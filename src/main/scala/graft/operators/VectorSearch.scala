@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** The reference's core query surface (SURVEY.md §2.A): brute-force exact
+  * KNN over an embedding column, with optional metadata pre-filter,
+  * similarity conversion, thresholding and ordering.
+  *
+  * Spark-first shape: `filter → withColumn(dist) → orderBy(dist, id) →
+  * limit(k)`. Catalyst plans the sort+limit as `TakeOrderedAndProject`
+  * (per-partition top-k heaps + driver merge — no global sort, no
+  * shuffle), and pushes the metadata predicate + column pruning into the
+  * parquet scan. That plan holds at 1000 executors: each task keeps a
+  * k-sized heap over its split and ships k rows to the driver.
+  *
+  * Distance metrics (graft.functions.VectorExpressions) are codegen'd
+  * float32 kernels; `l2sq` reproduces the reference bit-for-bit
+  * (Chroma space=l2 on normalized vectors, `vector_store.py:139-171`),
+  * `cosine`/`euclidean`/`dot` are the sane general-purpose metrics.
+  */
+object VectorSearch {
+
+  sealed trait Metric { def dist(a: Column, b: Column): Column }
+  /** squared L2 — the reference's metric (dist = 2 - 2*cos on unit vectors) */
+  case object L2Sq extends Metric { def dist(a: Column, b: Column): Column = l2SqF32(a, b) }
+  /** Euclidean — DuckDB list_distance bit-parity */
+  case object Euclidean extends Metric { def dist(a: Column, b: Column): Column = l2DistF32(a, b) }
+  /** cosine distance = 1 - cos_sim */
+  case object Cosine extends Metric { def dist(a: Column, b: Column): Column = lit(1.0) - cosSimF32(a, b).cast("double") }
+  /** negative dot product (monotone with cosine distance on unit vectors) */
+  case object NegDot extends Metric { def dist(a: Column, b: Column): Column = -dotF32(a, b) }
+
+  /** A1: top-k nearest rows to `queryVec`, optional pre-filter (A7).
+    * Returns rows without the distance column. */
+  def topK(chunks: DataFrame, queryVec: Seq[Float], k: Int,
+           metric: Metric = L2Sq, filter: Option[Column] = None,
+           embCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    topKWithScore(chunks, queryVec, k, metric, filter, embCol, idCol).drop("dist")
+
+  /** A2: same, keeping the `dist` column (cast to double). */
+  def topKWithScore(chunks: DataFrame, queryVec: Seq[Float], k: Int,
+                    metric: Metric = L2Sq, filter: Option[Column] = None,
+                    embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val pre = filter.map(chunks.filter).getOrElse(chunks)
+    pre
+      .withColumn("dist", metric.dist(col(embCol), typedLit(queryVec)).cast("double"))
+      .orderBy(col("dist"), col(idCol)) // unique id as final tie-break (SURVEY §7.4)
+      .limit(k)
+  }
+
+  /** A3+A4+A5: similarity = 1 - dist (`app.py:417-418`), threshold filter
+    * (default 0.1, `config.py:49`), then sort by score desc. Applied
+    * POST top-k exactly as the reference does. */
+  def scoreAndThreshold(topk: DataFrame, threshold: Double = 0.1,
+                        idCol: String = "vec_id"): DataFrame =
+    topk
+      .withColumn("score", lit(1.0) - col("dist"))
+      .filter(col("score") >= threshold)
+      .orderBy(col("score").desc, col(idCol))
+      .drop("dist")
+
+  /** A8 (intended semantics of the dead rerank path,
+    * `search_engine.py:15-55`): over-fetch 2k candidates, keep the best
+    * chunk per document, return top-k documents by that best score. */
+  def bestChunkPerDoc(chunks: DataFrame, queryVec: Seq[Float], k: Int,
+                      docCol: String, metric: Metric = L2Sq,
+                      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cands = topKWithScore(chunks, queryVec, 2 * k, metric, None, embCol, idCol)
+    val w = Window.partitionBy(col(docCol)).orderBy(col("dist"), col(idCol))
+    cands
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Batch multi-query top-k (SURVEY §4.3.2): broadcast the (small) query
+    * set against the (huge) corpus, window per query. The corpus side
+    * never shuffles for the join (broadcast); the window shuffles only
+    * `|corpus| * |queries|` narrow rows hash-partitioned by query id —
+    * at scale, pre-aggregate per-partition with a top-k heap instead
+    * (see graft.operators.PartitionedTopK). */
+  def batchTopK(chunks: DataFrame, queries: DataFrame, k: Int,
+                metric: Metric = Euclidean,
+                embCol: String = "embedding", idCol: String = "vec_id",
+                qIdCol: String = "query_id", qEmbCol: String = "query_embedding"): DataFrame = {
+    val joined = chunks.crossJoin(broadcast(queries))
+      .withColumn("dist", metric.dist(col(embCol), col(qEmbCol)).cast("double"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("dist"), col(idCol))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(idCol), col("dist"), col("rn"))
+      .orderBy(col(qIdCol), col("rn"))
+  }
+}

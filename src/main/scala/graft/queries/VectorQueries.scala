@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.VectorSearch
+import graft.operators.VectorSearch.{Euclidean, Cosine}
+
+/** SURVEY.md §2.A search surface as driver-checkable queries over
+  * `embeddings.parquet` (the chunk-corpus stand-in, FIXTURES.md).
+  *
+  * Oracle parity notes: distances are float32 sequential-accumulation
+  * kernels bit-identical to DuckDB `list_distance` /
+  * `list_cosine_similarity`; all downstream arithmetic is double (exact
+  * widening), so hashes match without tolerances. Every query ends in a
+  * total order with `vec_id` as the final tie-break (SURVEY §7.4).
+  */
+object VectorQueries {
+
+  /** Driver-side query-vector fetch (the reference embeds the query text
+    * driver-side too — `app.py:402` → one torch call; here the fixture
+    * vector IS the embedded query). */
+  def qvec(spark: SparkSession, dir: String, id: Long): Seq[Float] =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === id)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+
+  private val qvecSql = "(SELECT embedding AS q FROM embeddings WHERE vec_id = 0)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: top-k nearest, no scores returned (vector_store.py:139-154)
+    "a1_knn_topk" -> { (s, dir) =>
+      VectorSearch.topK(Tables.embeddings(s, dir), qvec(s, dir, 0), 10, Euclidean)
+        .drop("embedding")
+    },
+    // A2: top-k with distances (vector_store.py:156-171)
+    "a2_knn_score" -> { (s, dir) =>
+      VectorSearch.topKWithScore(Tables.embeddings(s, dir), qvec(s, dir, 0), 10, Euclidean)
+        .drop("embedding")
+    },
+    // A3+A4+A5: similarity = 1 - dist^2, threshold 0.1, sort desc
+    // (app.py:416-432, config.py:49)
+    "a3_score_threshold" -> { (s, dir) =>
+      VectorSearch
+        .topKWithScore(Tables.embeddings(s, dir), qvec(s, dir, 0), 10, Euclidean)
+        .withColumn("score", lit(1.0) - col("dist") * col("dist"))
+        .filter(col("score") >= 0.1)
+        .orderBy(col("score").desc, col("vec_id"))
+        .drop("dist", "embedding")
+    },
+    // A7: metadata pre-filter pushed below the distance computation
+    // (vector_store.py:148,165; README.md:186-193 `$eq` DSL)
+    "a7_meta_filter_knn" -> { (s, dir) =>
+      VectorSearch.topKWithScore(Tables.embeddings(s, dir), qvec(s, dir, 0), 5,
+        Euclidean, filter = Some(col("label") === 3)).drop("embedding")
+    },
+    // A8: over-fetch 2k, best chunk per doc, top-k docs
+    // (search_engine.py:15-55 intended semantics; label = doc stand-in)
+    "a8_best_per_doc" -> { (s, dir) =>
+      VectorSearch.bestChunkPerDoc(Tables.embeddings(s, dir), qvec(s, dir, 0), 5,
+        docCol = "label", metric = Euclidean).drop("embedding")
+    },
+    // batch multi-query top-k (SURVEY §4.3.2): broadcast 8 queries
+    "batch_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      VectorSearch.batchTopK(emb, qs, 5, Euclidean).drop("rn")
+    },
+    // cosine variant (the engine's sane-default metric, SURVEY §1.5)
+    "cosine_topk" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos_sim", cosSimF32(col("embedding"),
+          typedLit(qvec(s, dir, 0))).cast("double"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+        .drop("embedding")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_knn_topk" ->
+      s"""SELECT e.vec_id, e.label
+         |FROM embeddings e CROSS JOIN $qvecSql
+         |ORDER BY CAST(list_distance(e.embedding, q) AS DOUBLE), e.vec_id
+         |LIMIT 10""".stripMargin,
+    "a2_knn_score" ->
+      s"""SELECT e.vec_id, e.label,
+         |       CAST(list_distance(e.embedding, q) AS DOUBLE) AS dist
+         |FROM embeddings e CROSS JOIN $qvecSql
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "a3_score_threshold" ->
+      s"""WITH topk AS (
+         |  SELECT e.vec_id, e.label,
+         |         CAST(list_distance(e.embedding, q) AS DOUBLE) AS dist
+         |  FROM embeddings e CROSS JOIN $qvecSql
+         |  ORDER BY dist, e.vec_id LIMIT 10
+         |)
+         |SELECT vec_id, label, 1.0 - dist * dist AS score
+         |FROM topk WHERE 1.0 - dist * dist >= 0.1
+         |ORDER BY score DESC, vec_id""".stripMargin,
+    "a7_meta_filter_knn" ->
+      s"""SELECT e.vec_id, e.label,
+         |       CAST(list_distance(e.embedding, q) AS DOUBLE) AS dist
+         |FROM embeddings e CROSS JOIN $qvecSql
+         |WHERE e.label = 3
+         |ORDER BY dist, e.vec_id
+         |LIMIT 5""".stripMargin,
+    "a8_best_per_doc" ->
+      s"""WITH cands AS (
+         |  SELECT e.vec_id, e.label,
+         |         CAST(list_distance(e.embedding, q) AS DOUBLE) AS dist
+         |  FROM embeddings e CROSS JOIN $qvecSql
+         |  ORDER BY dist, e.vec_id LIMIT 10
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rn
+         |  FROM cands
+         |)
+         |SELECT vec_id, label, dist FROM ranked WHERE rn = 1
+         |ORDER BY dist, vec_id LIMIT 5""".stripMargin,
+    "batch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+        |), d AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         CAST(list_distance(e.embedding, q.qe) AS DOUBLE) AS dist,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY CAST(list_distance(e.embedding, q.qe) AS DOUBLE), e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q
+        |)
+        |SELECT query_id, vec_id, dist FROM d WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+    "cosine_topk" ->
+      s"""SELECT e.vec_id, e.label,
+         |       CAST(list_cosine_similarity(e.embedding, q) AS DOUBLE) AS cos_sim
+         |FROM embeddings e CROSS JOIN $qvecSql
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+  )
+}
