@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's collection/namespace system re-expressed as ONE
+  * logical table with a `collection` column (SURVEY §1.2): ChromaDB's
+  * six persist directories collapse to a partition column, and the
+  * dual-write / cascade-delete invariants become plain dataset algebra.
+  *
+  * At 100 TB the physical layout is parquet/Delta partitioned BY
+  * `collection`: partition pruning turns every per-collection operation
+  * into a scan of just that partition, and `DELETE WHERE doc_id=?`
+  * becomes a metadata-only Delta op. Here the transforms are expressed
+  * engine-side so they compose with any storage.
+  */
+object ChunkStore {
+
+  /** B11: dual-write — tag rows with their origin and append both the
+    * target-collection copy and the master copy (`vector_store.py:91-137`).
+    * One input row becomes two output rows (or one if target IS master),
+    * both tagged `original_collection = target`. */
+  def dualWrite(rows: DataFrame, targetCollection: String,
+                master: String = "master"): DataFrame = {
+    val tagged = rows
+      .withColumn("original_collection", lit(targetCollection))
+    if (targetCollection == master) tagged.withColumn("collection", lit(master))
+    else tagged.withColumn("collection", lit(targetCollection))
+      .unionByName(tagged.withColumn("collection", lit(master)))
+  }
+
+  /** B9: global duplicate guard — batch form of
+    * `document_exists_globally` (`vector_store.py:70-89`): keep only the
+    * incoming rows whose key does NOT already exist anywhere in the
+    * corpus. Left-anti join; Catalyst broadcasts the smaller side. */
+  def dropExistingGlobal(incoming: DataFrame, corpus: DataFrame,
+                         incomingKey: String, corpusKey: String): DataFrame =
+    incoming.join(corpus.select(col(corpusKey).as(incomingKey)).distinct(),
+      Seq(incomingKey), "left_anti")
+
+  /** B10: per-collection duplicate guard (`vector_store.py:56-68`) —
+    * same anti-join with the collection predicate pushed into the scan. */
+  def dropExistingInCollection(incoming: DataFrame, corpus: DataFrame,
+                               collection: String, incomingKey: String,
+                               corpusKey: String,
+                               collectionCol: String = "collection"): DataFrame =
+    dropExistingGlobal(incoming,
+      corpus.filter(col(collectionCol) === collection), incomingKey, corpusKey)
+
+  /** B9 point form: does `key` exist anywhere? (LIMIT-1 existence probe,
+    * `vector_store.py:80` — Spark plans it as CollectLimit, early-exit.) */
+  def existsGlobally(corpus: DataFrame, keyCol: String, key: Any): Boolean =
+    !corpus.filter(col(keyCol) === lit(key)).limit(1).isEmpty
+
+  /** D1+D2: delete-by-doc_id with master cascade
+    * (`vector_store.py:190-298`). Predicate-driven over the single
+    * table, so the reference's "peek original_collection then delete
+    * twice" collapses to one delete over both partitions; `collections`
+    * restricts the blast radius exactly like the reference's two cases.
+    * Returns the surviving rows (parquet path: rewrite; Delta: DELETE). */
+  def deleteDocument(chunks: DataFrame, docId: Any,
+                     collections: Option[Seq[String]] = None,
+                     docCol: String = "doc_id",
+                     collectionCol: String = "collection"): DataFrame = {
+    val victim = collections match {
+      case Some(cs) => col(docCol) === lit(docId) && col(collectionCol).isin(cs.map(lit): _*)
+      case None     => col(docCol) === lit(docId)
+    }
+    chunks.filter(!victim)
+  }
+
+  /** D3: affected-row accounting that replaces the reference's tri-flag
+    * success lattice (`vector_store.py:196-298`) — per-collection counts
+    * of deleted rows; "not found" is simply a zero count. */
+  def deleteReport(chunks: DataFrame, docId: Any,
+                   docCol: String = "doc_id",
+                   collectionCol: String = "collection"): DataFrame =
+    chunks.filter(col(docCol) === lit(docId))
+      .groupBy(col(collectionCol))
+      .agg(count(lit(1)).as("deleted_rows"))
+}
