@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Large-scale training-data deduplication suite (north-star scope,
+  * BASELINE.md): exact, MinHash+LSH, SimHash, n-gram Jaccard and
+  * embedding-cosine near-dup — the operations the reference's chunk
+  * corpus would need before indexing at 100 TB.
+  *
+  * Scale design: every variant is a shuffle-bounded DataFrame plan.
+  *  - exact: one hash-groupBy shuffle on a 16-byte fingerprint;
+  *  - MinHash LSH: narrow signature map → explode to `bands` rows/doc →
+  *    ONE shuffle on (band, bandHash) → within-bucket pairs → exact
+  *    Jaccard verify on the candidate set only (candidate count is
+  *    ~linear for realistic corpora; hot buckets are capped);
+  *  - SimHash: 64-bit signature, pigeonhole blocking on 4×16-bit chunks
+  *    (any pair within Hamming distance ≤3 shares at least one exact
+  *    chunk), verify by Hamming distance;
+  *  - cosine: exact O(n²) pair join is the correctness oracle; the scale
+  *    path prefilters through sign-LSH buckets (SignLsh below).
+  */
+object Dedup {
+
+  /** Canonical token array: whitespace split, empties removed. */
+  def tokens(text: Column): Column = array_remove(split(text, " "), "")
+
+  /** Text fingerprint for exact dedup: md5 of the raw text. */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Word-set fingerprint: md5 over the sorted distinct token set —
+    * catches reordered/repeated-word duplicates. */
+  def wordSetFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
+
+  /** Exact-duplicate groups: fingerprint → group members (only groups
+    * with >1 doc). One shuffle; the map side carries only (fp, id). */
+  def duplicateGroups(docs: DataFrame, fp: Column, idCol: String): DataFrame =
+    docs.select(fp.as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col(idCol)))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+
+  /** Exact dedup: keep the lowest-id doc per fingerprint. */
+  def dropDuplicates(docs: DataFrame, fp: Column, idCol: String): DataFrame = {
+    val keep = docs.select(fp.as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint")).agg(min(col(idCol)).as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Word n-gram shingle set (n tokens per shingle; whole text if shorter). */
+  def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = if (text == null) Array.empty[String]
+               else text.split(" ").filter(_.nonEmpty)
+    if (toks.length <= n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** MinHash signature: numHashes independent hash functions via seed
+    * mixing (h_i(x) = mix64(fnv64(x) ^ mix64(i))), min over shingles. */
+  def minHashSignature(text: String, numHashes: Int, shingle: Int): Array[Long] = {
+    val sh = shingleSet(text, shingle)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    for (s <- sh) {
+      val base = fnv64(s)
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(base ^ mix64(i.toLong))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Exact Jaccard over shingle sets (the verify step). */
+  def jaccard(a: String, b: String, shingle: Int): Double = {
+    val sa = shingleSet(a, shingle); val sb = shingleSet(b, shingle)
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** MinHash LSH near-dup pairs: band the signature (bands × rowsPerBand
+    * = numHashes), bucket-join on (band, bandHash), verify candidates
+    * with exact shingle Jaccard ≥ threshold.
+    *
+    * The only shuffle is the self-join on (band, bandHash) — at 100 TB
+    * that is `bands` narrow rows per doc of ~24 bytes. `maxBucket` guards
+    * against degenerate hot buckets (boilerplate corpora): buckets larger
+    * than the cap are dropped from candidate generation (tunable;
+    * salt-and-recheck is the lossless alternative). */
+  def nearDupMinHash(docs: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 128, bands: Int = 32, shingle: Int = 3,
+                     threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bandUdf = udf { (text: String) =>
+      minHashSignature(text, numHashes, shingle)
+        .grouped(rowsPerBand).zipWithIndex
+        .map { case (g, b) => (b, mix64(g.foldLeft(0L)((acc, h) => mix64(acc ^ h)))) }
+        .toSeq
+    }
+    val bandRows = docs
+      .select(col(idCol), col(textCol))
+      .withColumn("bh", explode(bandUdf(col(textCol))))
+      .select(col(idCol), col(textCol), col("bh._1").as("band"), col("bh._2").as("bucket"))
+
+    // cap hot buckets before the pair join
+    val bucketSizes = bandRows.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") <= maxBucket && col("sz") > 1)
+    val pruned = bandRows.join(bucketSizes, Seq("band", "bucket"), "left_semi")
+
+    val a = pruned.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val b = pruned.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col(textCol).as("text_b"))
+    val jacUdf = udf((x: String, y: String) => jaccard(x, y, shingle))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b")).distinct()
+      .withColumn("jaccard", jacUdf(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over the token multiset. */
+  def simHash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    if (text != null) for (t <- text.split(" ") if t.nonEmpty) {
+      val h = fnv64(t)
+      var b = 0
+      while (b < 64) { acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs within Hamming distance ≤ maxHamming.
+    * Pigeonhole blocking: with 4 chunks of 16 bits, any pair at distance
+    * ≤3 agrees exactly on ≥1 chunk — candidates come from ONE shuffle on
+    * (chunkIdx, chunkValue), then are verified by popcount. */
+  def nearDupSimHash(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val simUdf = udf((t: String) => simHash64(t))
+    val chunksUdf = udf((sim: Long) => (0 until 4).map(i => (sim >>> (i * 16)) & 0xFFFFL))
+    val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    val sigs = docs.select(col(idCol), simUdf(col(textCol)).as("sim"))
+    val chunked = sigs.select(col(idCol), col("sim"),
+      posexplode(chunksUdf(col("sim"))).as(Seq("chunk", "cv")))
+    val a = chunked.select(col("chunk"), col("cv"), col(idCol).as("id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("cv"), col(idCol).as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b")).distinct()
+      .withColumn("hamming", hammingUdf(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ------------------------------------------------------------- Jaccard/cosine
+
+  /** Exact word-set Jaccard pairs within a blocking column (e.g. lang):
+    * all arithmetic in int/double so DuckDB reproduces it bit-for-bit. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val t = docs.select(col(idCol), col(blockCol),
+      array_distinct(tokens(col(textCol))).as("w"))
+    val a = t.select(col(blockCol), col(idCol).as("id_a"), col("w").as("wa"))
+    val b = t.select(col(blockCol), col(idCol).as("id_b"), col("w").as("wb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("wa")) + size(col("wb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact embedding-cosine near-dup pairs (the correctness oracle; the
+    * scale path routes candidates through SignLsh buckets first). */
+  def cosineNearDup(emb: DataFrame, idCol: String, embCol: String,
+                    threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("ea"))
+    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("eb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosSimF32(col("ea"), col("eb")).cast("double"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star scope,
+  * BASELINE.md): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All pure column expressions — whole-stage
+  * codegen keeps them in one narrow map stage over the scan, and every
+  * one is ANSI-SQL-expressible for the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties removed (BPE-ish regex variant below). */
+  def tokens(text: Column): Column = array_remove(split(text, " "), "")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token count. */
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Non-space character count = summed token lengths. */
+  def charCount(text: Column): Column = length(regexp_replace(text, " ", ""))
+
+  /** Mean token length (double). */
+  def avgTokenLen(text: Column): Column =
+    charCount(text).cast("double") / tokenCount(text)
+
+  /** Type-token ratio — lexical diversity in [0,1]. */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Stopword hits against a fixed lexicon (SQL IN-list for parity). */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Stopword ratio. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordHits(text, stopwords).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: rewards lexical diversity, a sane
+    * 3-12 char mean token length, and a moderate stopword rate — the
+    * standard web-scale quality-filter shape (length/stopword heuristics). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val ttr = typeTokenRatio(text)
+    val len = avgTokenLen(text)
+    val sw = stopwordRatio(text, stopwords)
+    val lenOk = when(len >= 3.0 && len <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    val swOk = when(sw >= 0.01 && sw <= 0.5, lit(1.0)).otherwise(lit(0.0))
+    (ttr + lenOk + swOk) / lit(3.0)
+  }
+
+  /** Language-ID heuristic: per-language marker-word hit counts + CJK /
+    * Hangul character presence, argmax with fixed precedence
+    * (zh > en > de > es > fr > unknown on ties). Marker sets are tiny by
+    * design — the operator shape (hit-count → argmax) is what scales;
+    * swap in real frequency tables for production. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def cjkCharCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))
+
+  def hangulCharCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\uac00-\\ud7af]", ""))
+
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (l, ws) => l -> stopwordHits(text, ws) }
+    when(cjkCharCount(text) > 0, lit("zh"))
+      .when(hangulCharCount(text) > 0, lit("ko"))
+      .when(hits("en") >= hits("de") && hits("en") >= hits("es") &&
+            hits("en") >= hits("fr") && hits("en") > 0, lit("en"))
+      .when(hits("de") >= hits("es") && hits("de") >= hits("fr") &&
+            hits("de") > 0, lit("de"))
+      .when(hits("es") >= hits("fr") && hits("es") > 0, lit("es"))
+      .when(hits("fr") > 0, lit("fr"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text
+    * (the canonical near-exact-dup key). */
+  def docFingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")).cast("binary"))
+
+  /** Full per-document profile. */
+  def profile(docs: DataFrame, textCol: String = "text",
+              stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_distinct_tokens", distinctTokenCount(t))
+      .withColumn("n_chars_nospace", charCount(t))
+      .withColumn("avg_token_len", avgTokenLen(t))
+      .withColumn("type_token_ratio", typeTokenRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t, stopwords))
+      .withColumn("quality_score", qualityScore(t, stopwords))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", docFingerprint(t))
+      .drop(textCol)
+  }
+}

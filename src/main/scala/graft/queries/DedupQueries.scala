@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication queries (north-star scope, BASELINE.md): exact and
+  * word-set fingerprint groups, blocked n-gram Jaccard, exact
+  * embedding-cosine near-dup — all with DuckDB oracles. MinHash-LSH and
+  * SimHash run as rows-only entries (their hash families are not
+  * expressible in ANSI SQL) and are recall-verified against the exact
+  * variants in scalatest.
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup on raw text (hash-groupBy): fixture has no exact dups,
+    // the empty result IS the correct answer and is oracle-checked.
+    "dedup_exact_groups" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.duplicateGroups(docs, Dedup.fingerprint(col("text")), "doc_id")
+        .orderBy(col("fingerprint"))
+    },
+    // word-SET fingerprint dedup — catches reordered/repeated-word dups
+    // (the fixture's word-soup corpus has real collisions here).
+    "dedup_wordset_groups" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.duplicateGroups(docs, Dedup.wordSetFingerprint(col("text")), "doc_id")
+        .orderBy(col("fingerprint"))
+    },
+    // n-gram (word-set) Jaccard near-dup pairs, lang-blocked, >= 0.8
+    "dedup_jaccard" -> { (s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "lang", 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // exact embedding-cosine near-dup pairs (>= 0.45 on the fixture's
+    // cosine range); the scale path prefilters via sign-LSH buckets.
+    "dedup_cosine" -> { (s, dir) =>
+      Dedup.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // MinHash-LSH near-dup (rows-only: hash family not SQL-expressible;
+    // recall vs exact Jaccard is scalatest-verified).
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.nearDupMinHash(Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 128, bands = 32, shingle = 3, threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // SimHash near-dup (rows-only; Hamming <= 3 of 64 bits).
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.nearDupSimHash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+
+  private def groupsSql(fpExpr: String): String =
+    s"""WITH f AS (SELECT doc_id, $fpExpr AS fingerprint FROM documents)
+       |SELECT fingerprint, count(*) AS n_docs,
+       |       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+       |FROM f GROUP BY fingerprint HAVING count(*) > 1
+       |ORDER BY fingerprint""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_groups" -> groupsSql("md5(text)"),
+    "dedup_wordset_groups" -> groupsSql(
+      "md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' '))"),
+    "dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.w, b.w)) AS inter,
+        |         len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS uni
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

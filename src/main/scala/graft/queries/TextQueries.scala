@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import graft.operators.TextAnalysis._
+
+/** Text-analysis queries (north-star scope): token stats, quality
+  * scoring, language-ID, fingerprinting, corpus word frequency — each
+  * with a formula-identical DuckDB oracle (integer counts cast to BIGINT
+  * and all ratios computed as DOUBLE in both engines).
+  */
+object TextQueries {
+
+  private val stop = Seq("the", "a")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace tokenizer)
+    "t_token_stats" -> { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        tokenCount(t).cast("long").as("n_tokens"),
+        distinctTokenCount(t).cast("long").as("n_distinct_tokens"),
+        charCount(t).cast("long").as("n_chars_nospace"),
+        avgTokenLen(t).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+    // quality scoring: lexical diversity + length + stopword-rate gates
+    "t_quality_score" -> { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        typeTokenRatio(t).as("type_token_ratio"),
+        stopwordRatio(t, stop).as("stopword_ratio"),
+        qualityScore(t, stop).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+    // language-ID heuristic (marker words + CJK/Hangul presence)
+    "t_langid" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+    // document fingerprint (md5 of normalized text)
+    "t_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), docFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    // corpus word frequency: one explode + one hash-agg shuffle; at
+    // 100 TB this is THE canonical map-side-combine aggregation.
+    "t_word_freq" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }
+  )
+
+  private val wCte =
+    "SELECT doc_id, lang, text, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents"
+
+  val oracle: Map[String, String] = Map(
+    "t_token_stats" ->
+      s"""WITH t AS ($wCte)
+         |SELECT doc_id,
+         |       len(w) AS n_tokens,
+         |       len(list_distinct(w)) AS n_distinct_tokens,
+         |       length(replace(text, ' ', '')) AS n_chars_nospace,
+         |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_token_len
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "t_quality_score" ->
+      s"""WITH t AS ($wCte),
+         |p AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+         |         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_token_len,
+         |         CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w) AS stopword_ratio
+         |  FROM t
+         |)
+         |SELECT doc_id, type_token_ratio, stopword_ratio,
+         |       (type_token_ratio
+         |        + (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+         |        + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.5 THEN 1.0 ELSE 0.0 END)
+         |       ) / 3.0 AS quality_score
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "t_langid" ->
+      s"""WITH t AS ($wCte),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |         length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+         |         length(text) - length(regexp_replace(text, '[\\x{ac00}-\\x{d7af}]', '', 'g')) AS hangul,
+         |         len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS en,
+         |         len(list_filter(w, x -> x IN ('der', 'die', 'und', 'das', 'ein'))) AS de,
+         |         len(list_filter(w, x -> x IN ('el', 'la', 'de', 'los', 'que'))) AS es,
+         |         len(list_filter(w, x -> x IN ('le', 'la', 'et', 'les', 'des'))) AS fr
+         |  FROM t
+         |)
+         |SELECT doc_id, lang,
+         |       CASE WHEN cjk > 0 THEN 'zh'
+         |            WHEN hangul > 0 THEN 'ko'
+         |            WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+         |            WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+         |            WHEN es >= fr AND es > 0 THEN 'es'
+         |            WHEN fr > 0 THEN 'fr'
+         |            ELSE 'unknown' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_word_freq" ->
+      s"""WITH t AS ($wCte),
+         |tok AS (SELECT unnest(w) AS token FROM t)
+         |SELECT token, count(*) AS n FROM tok
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+  )
+}
