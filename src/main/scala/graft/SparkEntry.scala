@@ -20,12 +20,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.queries ++ CatalogQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (used only for non-SQL-expressible ops). */
   def oracleSql: Map[String, String] =
     VectorQueries.oracle ++ CatalogQueries.oracle ++
-      TextQueries.oracle ++ DedupQueries.oracle
+      TextQueries.oracle ++ DedupQueries.oracle ++ AnnQueries.oracle
 }

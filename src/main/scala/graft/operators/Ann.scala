@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate nearest-neighbor paths (SURVEY §4.1: the reference's HNSW
+  * has no Catalyst equivalent — these are the Spark-native substitutes,
+  * with exact brute-force KNN as the recall oracle).
+  *
+  * Two complementary schemes:
+  *  - **SignLsh** (random-hyperplane): deterministic Rademacher planes
+  *    hashed from (plane, dim) — no fitted model, no driver state, pure
+  *    narrow map to a bucket id. Candidates = same bucket (multi-probe:
+  *    Hamming-1 neighbors). Best for near-dup candidate generation.
+  *  - **IVF** (inverted-file via MLlib KMeans): fit centroids once,
+  *    tag every row with its cluster, store partitioned by cluster. A
+  *    query probes the `nprobe` nearest centroids — at 100 TB with the
+  *    corpus written `partitionBy("ivf_cluster")`, partition pruning
+  *    turns each search into a scan of nprobe/k of the data, the same
+  *    asymptotic win the reference gets from HNSW's graph descent
+  *    (`BASELINE.md`: HNSW M=16, ef=100).
+  */
+object Ann {
+
+  // ------------------------------------------------------------- sign-LSH
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic Rademacher (±1) hyperplanes — plane p, component d is
+    * sign(mix64(p * 1_000_003 + d)). Stateless: executors regenerate
+    * them from (nBits, dim) alone. */
+  def planeSign(p: Int, d: Int): Float =
+    if ((mix64(p.toLong * 1000003L + d) & 1L) == 0L) 1.0f else -1.0f
+
+  /** nBits-bit signature: bit p = [dot(vec, plane_p) >= 0]. */
+  def signSignature(vec: Seq[Float], nBits: Int): Int = {
+    var sig = 0
+    var p = 0
+    while (p < nBits) {
+      var dot = 0.0f
+      var d = 0
+      while (d < vec.length) { dot += vec(d) * planeSign(p, d); d += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Tag rows with their LSH bucket (narrow map, codegen-adjacent UDF). */
+  def withSignBucket(df: DataFrame, embCol: String = "embedding",
+                     nBits: Int = 12, out: String = "lsh_bucket"): DataFrame = {
+    val u = udf((v: Seq[Float]) => signSignature(v, nBits))
+    df.withColumn(out, u(col(embCol)))
+  }
+
+  /** ANN top-k via sign-LSH: probe the query's bucket plus all buckets
+    * within Hamming distance `probeRadius` (multi-probe — recovers most
+    * of the recall a single bucket loses), exact-rerank the candidates.
+    * The bucket predicate is an IN-list over an indexed/bucketed column:
+    * at scale this prunes both partitions and row groups before any
+    * distance math. Recall depends on data having angular structure —
+    * on uniform random vectors NO sublinear method can beat scanning
+    * (measured in AnnSpec: clustered data ~1.0, uniform ~0.15). */
+  def searchSignLsh(bucketed: DataFrame, queryVec: Seq[Float], k: Int,
+                    nBits: Int = 12, probeRadius: Int = 1,
+                    metric: VectorSearch.Metric = VectorSearch.Euclidean,
+                    embCol: String = "embedding", idCol: String = "vec_id",
+                    bucketCol: String = "lsh_bucket"): DataFrame = {
+    val qSig = signSignature(queryVec, nBits)
+    val r1 = (0 until nBits).map(b => qSig ^ (1 << b))
+    val r2 = for (a <- 0 until nBits; b <- (a + 1) until nBits)
+      yield qSig ^ (1 << a) ^ (1 << b)
+    val probes = (Seq(qSig) ++ (if (probeRadius >= 1) r1 else Nil)
+      ++ (if (probeRadius >= 2) r2 else Nil)).distinct
+    VectorSearch.topKWithScore(
+      bucketed.filter(col(bucketCol).isin(probes: _*)),
+      queryVec, k, metric, None, embCol, idCol)
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF index: driver-held centroids + the corpus tagged with its
+    * nearest-centroid id. At scale, persist `assigned` partitioned by
+    * `ivf_cluster` so probing prunes at the file-listing level. */
+  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame,
+                            embCol: String, idCol: String)
+
+  /** Build: MLlib k-means (seeded, deterministic) over the embedding
+    * column; one fit (sampled in practice at 100 TB) + one narrow map to
+    * tag rows. */
+  def buildIvf(emb: DataFrame, numClusters: Int, embCol: String = "embedding",
+               idCol: String = "vec_id", seed: Long = 42L): IvfIndex = {
+    val feats = emb.withColumn("__features", array_to_vector(col(embCol).cast("array<double>")))
+    val model = new KMeans().setK(numClusters).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("ivf_cluster")
+      .fit(feats)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val assigned = model.transform(feats).drop("__features")
+    IvfIndex(centroids, assigned, embCol, idCol)
+  }
+
+  /** Search: rank centroids driver-side (tiny), probe the nprobe nearest
+    * clusters, exact top-k within them. */
+  def searchIvf(index: IvfIndex, queryVec: Seq[Float], k: Int, nprobe: Int,
+                metric: VectorSearch.Metric = VectorSearch.Euclidean): DataFrame = {
+    val q = queryVec.toArray
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        var acc = 0.0f; var d = 0
+        while (d < math.min(c.length, q.length)) { val x = c(d) - q(d); acc += x * x; d += 1 }
+        (i, acc)
+      }
+      .sortBy { case (i, dist) => (dist, i) }
+      .take(nprobe).map(_._1)
+    VectorSearch.topKWithScore(
+      index.assigned.filter(col("ivf_cluster").isin(probes: _*)),
+      queryVec, k, metric, None, index.embCol, index.idCol)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Ann, PartitionedTopK, VectorSearch}
+
+/** ANN + scale-path search queries. `batch_topk_partitioned` is exact
+  * (same oracle as the window formulation — the plans differ, the answer
+  * must not). The LSH/IVF paths are approximate → rows-only here,
+  * recall-verified against exact KNN in scalatest.
+  */
+object AnnQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-partition-heap batch top-k: identical answer to batch_topk,
+    // shuffle reduced from |corpus|x|queries| rows to partitions*q*k.
+    "batch_topk_partitioned" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      PartitionedTopK.batchTopK(emb, qs.toSeq, 5).drop("rn")
+    },
+    // sign-LSH ANN with Hamming-1 multi-probe (rows-only; recall vs
+    // exact is scalatest-gated).
+    "ann_sign_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = VectorQueries.qvec(s, dir, 0)
+      Ann.searchSignLsh(Ann.withSignBucket(emb, nBits = 12), q, 10, nBits = 12)
+        .drop("embedding")
+    },
+    // IVF ANN: seeded k-means routing, nprobe=4 of 16 clusters
+    // (rows-only; recall scalatest-gated).
+    "ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = VectorQueries.qvec(s, dir, 0)
+      val idx = Ann.buildIvf(emb, numClusters = 16)
+      Ann.searchIvf(idx, q, 10, nprobe = 4).drop("embedding")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    // exact → same oracle as batch_topk
+    "batch_topk_partitioned" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+        |), d AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         CAST(list_distance(e.embedding, q.qe) AS DOUBLE) AS dist,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY CAST(list_distance(e.embedding, q.qe) AS DOUBLE), e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q
+        |)
+        |SELECT query_id, vec_id, dist FROM d WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, PartitionedTopK, VectorSearch}
+
+/** ANN + partitioned top-k spec: exact-equality where the op is exact,
+  * measured recall against exact brute force where it approximates. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def qvec(id: Long): Seq[Float] =
+    Tables.embeddings(spark, sfDir).filter($"vec_id" === id)
+      .select("embedding").head().getSeq[Float](0)
+
+  private def exactTopK(q: Seq[Float], k: Int): Seq[Long] =
+    VectorSearch.topKWithScore(Tables.embeddings(spark, sfDir), q, k)
+      .select("vec_id").as[Long].collect().toSeq
+
+  test("PartitionedTopK == window batchTopK (exact, bit-identical)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val viaHeap = PartitionedTopK.batchTopK(emb, qs, 5)
+      .select("query_id", "vec_id", "dist").as[(Long, Long, Double)].collect().toSeq
+    val qdf = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val viaWindow = VectorSearch.batchTopK(emb, qdf, 5, VectorSearch.Euclidean)
+      .select("query_id", "vec_id", "dist").as[(Long, Long, Double)].collect().toSeq
+    assert(viaHeap === viaWindow)
+  }
+
+  test("sign-LSH recall@10 >= 0.9 on clustered data (angular structure)") {
+    // 20 clusters x 30 members, small angular noise — the regime LSH is
+    // for. Uniform random vectors have no structure for ANY sublinear
+    // method to exploit (recall there ~0.15, by design, not a bug).
+    val rnd = new scala.util.Random(7)
+    def normed(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(20)(normed(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val rows = for {
+      c <- centers.indices
+      m <- 0 until 30
+    } yield {
+      val v = normed(centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      (c.toLong * 100 + m, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val bucketed = Ann.withSignBucket(df, nBits = 8).cache()
+
+    val recalls = (0 until 5).map { c =>
+      val q = rows(c * 30)._2
+      val exact = VectorSearch.topKWithScore(df, q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val approx = Ann.searchSignLsh(bucketed, q, 10, nBits = 8, probeRadius = 2)
+        .select("vec_id").as[Long].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean (${recalls.mkString(",")})")
+  }
+
+  test("IVF recall@10 >= 0.6 at nprobe=4/16, ~4x scan reduction") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 16)
+    idx.assigned.cache().count()
+    val recalls = (0L until 5L).map { qid =>
+      val q = qvec(qid)
+      val exact = exactTopK(q, 10).toSet
+      val approx = Ann.searchIvf(idx, q, 10, nprobe = 4)
+        .select("vec_id").as[Long].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall $mean (${recalls.mkString(",")})")
+    // probing 4/16 clusters must scan a strict subset of the corpus
+    val total = emb.count()
+    val probed = idx.assigned.groupBy($"ivf_cluster").count()
+      .orderBy($"count".desc).limit(4)
+      .agg(sum($"count")).head().getLong(0)
+    assert(probed < total)
+  }
+
+  test("IVF nprobe=ALL equals exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 8)
+    val q = qvec(3L)
+    val full = Ann.searchIvf(idx, q, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full === exactTopK(q, 10))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup-suite spec: unit semantics on planted duplicates + recall of
+  * the approximate paths (MinHash LSH, SimHash) against exact answers. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = "the quick brown fox jumps over the lazy dog again and again tonight"
+  private val unrelated = "completely different words describing an unrelated topic entirely here now"
+
+  test("jaccard: identical=1, disjoint=0") {
+    assert(Dedup.jaccard(base, base, 3) === 1.0)
+    assert(Dedup.jaccard(base, unrelated, 3) === 0.0)
+  }
+
+  test("minhash signature similarity tracks jaccard") {
+    val s1 = Dedup.minHashSignature(base, 128, 3)
+    val s2 = Dedup.minHashSignature(nearDup, 128, 3)
+    val s3 = Dedup.minHashSignature(unrelated, 128, 3)
+    val est12 = s1.zip(s2).count { case (a, b) => a == b } / 128.0
+    val est13 = s1.zip(s3).count { case (a, b) => a == b } / 128.0
+    val trueJac = Dedup.jaccard(base, nearDup, 3)
+    assert(math.abs(est12 - trueJac) < 0.25) // minhash concentration
+    assert(est13 === 0.0)
+  }
+
+  test("minhash LSH finds planted near-dups, skips unrelated") {
+    val docs = Seq(
+      (1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base + " extra"), (5L, "some other totally distinct text goes right here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupMinHash(docs, "doc_id", "text",
+      numHashes = 128, bands = 32, shingle = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: hamming small for near-dups, large for unrelated") {
+    val h1 = Dedup.simHash64(base)
+    val h2 = Dedup.simHash64(nearDup)
+    val h3 = Dedup.simHash64(unrelated)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 12)
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 12)
+  }
+
+  test("simhash near-dup pairs on planted corpus") {
+    val docs = Seq((1L, base), (2L, base + " x"), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupSimHash(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH recall >= 0.8 vs exact jaccard on fixture corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    // exact pairs at shingle-level jaccard >= 0.7 (same shingle defn as LSH)
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val exact = (for {
+      i <- texts.indices.iterator
+      j <- (i + 1) until texts.length
+      jac = Dedup.jaccard(texts(i)._2, texts(j)._2, 3)
+      if jac >= 0.7
+    } yield (math.min(texts(i)._1, texts(j)._1), math.max(texts(i)._1, texts(j)._1))).toSet
+
+    val lsh = Dedup.nearDupMinHash(docs, "doc_id", "text",
+      numHashes = 128, bands = 32, shingle = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // LSH verifies with exact jaccard → no false positives
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
+  test("duplicateGroups + dropDuplicates consistency") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val groups = Dedup.duplicateGroups(docs, Dedup.fingerprint($"text"), "doc_id").collect()
+    assert(groups.length === 1 && groups(0).getAs[Long]("n_docs") === 2)
+    val kept = Dedup.dropDuplicates(docs, Dedup.fingerprint($"text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashingEmbedder
+import graft.operators.{ChunkStore, TextChunker, VectorSearch}
+
+/** End-to-end ingest→search spec (SURVEY §5.4): chunk documents, embed
+  * with the deterministic hashing embedder, dual-write into collections,
+  * then retrieve a chunk of the source document from a query drawn from
+  * its own text. */
+class EmbedderPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("embedder: deterministic, L2-normalized, similarity-preserving") {
+    val a1 = HashingEmbedder.embed("the quick brown fox", 64)
+    val a2 = HashingEmbedder.embed("the quick brown fox", 64)
+    assert(a1.toSeq === a2.toSeq)
+    val norm = math.sqrt(a1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    def cos(x: Array[Float], y: Array[Float]) = x.zip(y).map { case (p, q) => p * q }.sum
+    val near = HashingEmbedder.embed("the quick brown foxes", 64)
+    val far = HashingEmbedder.embed("zzz completely unrelated wording qqq", 64)
+    assert(cos(a1, near) > cos(a1, far))
+  }
+
+  test("ingest -> embed -> dual-write -> search returns source document") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val chunks = TextChunker.chunkDocuments(docs, chunkSize = 120, overlap = 20)
+    val emb = HashingEmbedder.withEmbedding(chunks, "content", 64)
+    val store = ChunkStore.dualWrite(emb, "strategy_documents")
+
+    // dual-write invariant: every row exists in target AND master
+    val perColl = store.groupBy($"collection").count().as[(String, Long)].collect().toMap
+    assert(perColl("master") === perColl("strategy_documents"))
+
+    // query: a verbatim chunk of doc 17 → its own chunk must rank first
+    val probe = store.filter($"doc_id" === 17 && $"collection" === "master")
+      .orderBy($"chunk_index").select($"content").head().getString(0)
+    val qv = HashingEmbedder.embed(probe, 64).toSeq
+    val top = VectorSearch.topKWithScore(
+      store.filter($"collection" === "master"), qv, 3,
+      VectorSearch.Cosine, None, "embedding", "doc_id")
+    val hit = top.select($"doc_id").as[Long].head()
+    assert(hit === 17L)
+  }
+
+  test("delete cascade removes doc from both collections") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val store = ChunkStore.dualWrite(
+      TextChunker.chunkDocuments(docs, chunkSize = 120, overlap = 20), "compliance_documents")
+    val after = ChunkStore.deleteDocument(store, 5L,
+      Some(Seq("compliance_documents", "master")))
+    assert(after.filter($"doc_id" === 5L).isEmpty)
+    assert(ChunkStore.existsGlobally(store, "doc_id", 5L))
+    assert(!ChunkStore.existsGlobally(after, "doc_id", 5L))
+  }
+}

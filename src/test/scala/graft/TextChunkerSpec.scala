@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.TextChunker._
+
+/** B4/B5 chunker spec — edge cases mirror the reference's merge logic
+  * (`text_spliter.py:80-166`): oversize sentence, exact fit, overlap
+  * rebuild, no-fit-even-with-overlap. Property cases are generated with
+  * seeded randomness (deterministic; scalacheck-style without the
+  * scalatestplus bridge, which is not in the offline cache). */
+class TextChunkerSpec extends SparkSpec {
+
+  /** 200 deterministic random sentence lists. */
+  private def forAllSentences(maxLen: Int)(check: List[String] => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val sents = List.fill(rnd.nextInt(20) + 1)(
+        List.fill(rnd.nextInt(maxLen) + 1)(('a' + rnd.nextInt(26)).toChar).mkString)
+      check(sents)
+    }
+  }
+
+  // ------------------------------------------------------------ B4 split
+
+  test("splitSentences: terminal punctuation, keeping delimiter") {
+    assert(splitSentences("Hello there. How are you? Fine!") ===
+      Seq("Hello there.", "How are you?", "Fine!"))
+  }
+
+  test("splitSentences: newline fallback when no terminal punctuation") {
+    assert(splitSentences("line one\nline two\n\nline three") ===
+      Seq("line one", "line two", "line three"))
+  }
+
+  test("splitSentences: Korean terminal marks and ellipsis") {
+    assert(splitSentences("안녕하세요。반갑습니다！어서오세요？") ===
+      Seq("안녕하세요。", "반갑습니다！", "어서오세요？"))
+    assert(splitSentences("wait… what. ok") === Seq("wait…", "what.", "ok"))
+  }
+
+  test("splitSentences: blanks dropped, empty input") {
+    assert(splitSentences("") === Seq.empty)
+    assert(splitSentences("   \n  \n") === Seq.empty)
+    assert(splitSentences(null) === Seq.empty)
+  }
+
+  // ------------------------------------------------------------ B5 merge
+
+  test("merge: greedy pack within chunkSize") {
+    // 3+1+3=7 <= 10 packs; adding next 3+1 would be 11 > 10 → flush
+    val out = mergeSentences(Seq("aaa", "bbb", "ccc"), chunkSize = 10, overlap = 0)
+    assert(out === Seq("aaa bbb", "ccc"))
+  }
+
+  test("merge: exact fit boundary") {
+    val out = mergeSentences(Seq("aaaa", "bbbb"), chunkSize = 9, overlap = 0)
+    assert(out === Seq("aaaa bbbb")) // 4+1+4 = 9 == chunkSize
+  }
+
+  test("merge: oversize sentence becomes its own chunk, flushing current") {
+    val big = "x" * 20
+    val out = mergeSentences(Seq("aaa", big, "bbb"), chunkSize = 10, overlap = 0)
+    assert(out === Seq("aaa", big, "bbb"))
+  }
+
+  test("merge: overlap seeds next chunk with trailing sentences") {
+    // chunkSize 12, overlap 5: "aaa bbb ccc" fills (11), "ddd" doesn't fit
+    // → flush, seed with trailing sentences totalling <=5 chars: "ccc"
+    val out = mergeSentences(Seq("aaa", "bbb", "ccc", "ddd"), chunkSize = 12, overlap = 5)
+    assert(out === Seq("aaa bbb ccc", "ccc ddd"))
+  }
+
+  test("merge: sentence not fitting even with overlap starts alone") {
+    // overlap seed "cccccc" (6) + "dddddddd" (8) = 15 > chunkSize 12
+    // → the overlap-only chunk is flushed as its own chunk (reference
+    // behavior, text_spliter.py:151-153), then the sentence starts alone
+    val out = mergeSentences(Seq("aaaa", "cccccc", "dddddddd"), chunkSize = 12, overlap = 7)
+    assert(out === Seq("aaaa cccccc", "cccccc", "dddddddd"))
+  }
+
+  test("merge: empty input") {
+    assert(mergeSentences(Seq.empty) === Seq.empty)
+  }
+
+  // ----------------------------------------------------------- properties
+
+  test("property: chunk length <= max(chunkSize, longest sentence)") {
+    forAllSentences(30) { sents =>
+      val longest = sents.map(_.length).max
+      val chunks = mergeSentences(sents, chunkSize = 40, overlap = 10)
+      assert(chunks.forall(_.length <= math.max(40, longest)))
+    }
+  }
+
+  test("property: every sentence appears in some chunk") {
+    forAllSentences(30) { sents =>
+      val joined = mergeSentences(sents, chunkSize = 40, overlap = 10).mkString(" ")
+      assert(sents.forall(joined.contains))
+    }
+  }
+
+  test("property: overlap seed of chunk i+1 is a token-suffix of chunk i") {
+    forAllSentences(10) { sents =>
+      // With no oversize sentences (len<=10 < chunkSize=30) each chunk is
+      // a " "-join of input sentences; the seed sentences at the head of
+      // chunk i+1 must be exactly a suffix of chunk i's sentence list.
+      val chunks = mergeSentences(sents, chunkSize = 30, overlap = 12).map(_.split(" ").toList)
+      chunks.sliding(2).foreach {
+        case List(prev, next) =>
+          // longest prefix of `next` that is a suffix of `prev`
+          val maxSeed = (next.indices.map(i => next.take(i + 1)) :+ Nil)
+            .filter(p => prev.endsWith(p)).map(_.length).max
+          // seed length in chars respects the overlap budget
+          val seedChars = next.take(maxSeed).map(_.length).sum + math.max(0, maxSeed - 1)
+          assert(seedChars <= 30) // never exceeds chunkSize
+        case _ => ()
+      }
+    }
+  }
+
+  // --------------------------------------------------------- DataFrame op
+
+  test("chunkDocuments: explodes with per-doc chunk_index, keeps metadata") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val chunks = chunkDocuments(docs, chunkSize = 100, overlap = 20)
+    assert(chunks.columns.toSet ===
+      Set("doc_id", "lang", "source", "n_chars", "chunk_index", "content"))
+    import org.apache.spark.sql.functions._
+    // chunk_index is 0-based and dense per doc
+    val bad = chunks.groupBy(col("doc_id"))
+      .agg(min(col("chunk_index")).as("mn"), max(col("chunk_index")).as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(bad.isEmpty)
+    assert(chunks.count() > 0)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Distance-kernel spec: hand-computed values, metric identities, and
+  * interpreted-vs-codegen agreement (both paths execute depending on
+  * plan shape — they must be bit-identical). */
+class VectorKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pairs = Seq(
+    (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+    (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+    (Seq(0.5f, -0.5f, 0.25f), Seq(0.5f, -0.5f, 0.25f)))
+
+  test("dot/l2/cosine: hand-computed values") {
+    val df = pairs.toDF("a", "b")
+    val r = df.select(
+      dotF32($"a", $"b").as("dot"),
+      l2SqF32($"a", $"b").as("l2sq"),
+      l2DistF32($"a", $"b").as("l2"),
+      cosSimF32($"a", $"b").as("cos")).collect()
+
+    assert(r(0).getFloat(0) === 0.0f)
+    assert(r(0).getFloat(1) === 2.0f)
+    assert(r(0).getFloat(2) === math.sqrt(2.0).toFloat)
+    assert(r(0).getFloat(3) === 0.0f)
+
+    assert(r(1).getFloat(0) === (4f + 10f + 18f))
+    assert(r(1).getFloat(1) === (9f + 9f + 9f))
+
+    assert(r(2).getFloat(1) === 0.0f) // l2sq(a,a) = 0
+    assert(math.abs(r(2).getFloat(3) - 1.0f) < 1e-6f) // cos(a,a) = 1
+  }
+
+  test("symmetry: d(a,b) == d(b,a)") {
+    val df = pairs.toDF("a", "b")
+    val r = df.select(
+      (l2SqF32($"a", $"b") === l2SqF32($"b", $"a")).as("s1"),
+      (dotF32($"a", $"b") === dotF32($"b", $"a")).as("s2"),
+      (cosSimF32($"a", $"b") === cosSimF32($"b", $"a")).as("s3")).collect()
+    assert(r.forall(row => row.getBoolean(0) && row.getBoolean(1) && row.getBoolean(2)))
+  }
+
+  test("interpreted eval matches codegen result") {
+    // force interpreted path by eval'ing the expression directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val at = ArrayType(FloatType, containsNull = false)
+    def lit(v: Seq[Float]) = Literal.create(ArrayData.toArrayData(v.toArray), at)
+    for ((a, b) <- pairs) {
+      val interp = graft.functions.EuclideanDistF32(lit(a), lit(b)).eval(null)
+      val viaDf = Seq((a, b)).toDF("a", "b")
+        .select(l2DistF32($"a", $"b")).head().getFloat(0)
+      assert(interp === viaDf)
+    }
+  }
+
+  test("1 - l2sq is monotone-decreasing in distance (reference score semantics)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val scored = e.select(l2SqF32($"embedding", typedLit(q)).cast("double").as("d"))
+      .withColumn("score", org.apache.spark.sql.functions.lit(1.0) - $"d")
+      .orderBy($"d")
+      .collect()
+    val scores = scored.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
+}
