@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.queries ++ CatalogQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (used only for non-SQL-expressible ops). */
   def oracleSql: Map[String, String] =
     VectorQueries.oracle ++ CatalogQueries.oracle ++
-      TextQueries.oracle ++ DedupQueries.oracle ++ AnnQueries.oracle
+      TextQueries.oracle ++ DedupQueries.oracle ++ AnnQueries.oracle ++
+      MultimodalQueries.oracle
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+import graft.sources.ZipIngest
+
+/** Multimodal-plumbing + binary-ingest queries. The metadata/frame-
+  * sampling shapes are pure arithmetic → oracle-checked; feature
+  * extraction (stub decode) and zip explode are rows-only (binary
+  * in-memory inputs / non-SQL hash kernels), verified in scalatest.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // media metadata derivation + resize clamp (arithmetic — oracled)
+    "mm_resize_meta" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      Multimodal.resize(media, maxW = 512, maxH = 256)
+        .select(col("media_id"), col("kind"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy(col("media_id"))
+    },
+    // video frame sampling: one row per 1000ms of duration (oracled)
+    "mm_frame_sample" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      Multimodal.sampleFrames(media, everyMs = 1000L)
+        .orderBy(col("media_id"), col("frame_ts"))
+    },
+    // stub feature extraction via mapPartitions (rows-only)
+    "mm_features" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      Multimodal.extractFeatures(media, dim = 64)
+        .select(col("media_id"), col("kind"), col("features"))
+        .orderBy(col("media_id"))
+    },
+    // zip explode + parse + status rollup, self-contained: members are
+    // built from the documents table driver-side (rows-only)
+    "b2_zip_ingest" -> { (s, dir) =>
+      import java.util.zip.{ZipEntry, ZipOutputStream}
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(20).collect()
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new ZipOutputStream(bos)
+      docs.foreach { r =>
+        zos.putNextEntry(new ZipEntry(s"doc_${r.getLong(0)}.txt"))
+        zos.write(r.getString(1).getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+      import s.implicits._
+      val bin = Seq(("mem://batch.zip", bos.toByteArray)).toDF("path", "content")
+      ZipIngest.ingestZips(bin).orderBy(col("member_name"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_resize_meta" ->
+      """SELECT doc_id AS media_id,
+        |       (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        |       least(length(text) % 640, 512) AS width,
+        |       least(length(text) % 480, 256) AS height,
+        |       length(text) * 10 AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        |         length(text) * 10 AS duration_ms
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, kind,
+        |         unnest(CASE WHEN kind = 'video'
+        |                     THEN range(0, greatest(duration_ms, 1), 1000)
+        |                     ELSE [0] END) AS frame_ts
+        |  FROM m
+        |)
+        |SELECT media_id, kind, frame_ts FROM f
+        |ORDER BY media_id, frame_ts""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.HashingEmbedder
+import graft.operators.{ChunkStore, TextChunker}
+
+/** Structured-Streaming ingest surface (SURVEY §2.F notes the reference
+  * is synchronous request/response; the streaming file-source +
+  * foreachBatch upsert is the natural Spark generalization, and the
+  * events table gives the watermark/window shapes a training pipeline
+  * needs).
+  *
+  * All transforms are expressed on unbounded DataFrames — identical code
+  * paths to the batch operators (chunk → embed → dual-write), which is
+  * the point: the engine's operators are stream-agnostic.
+  */
+object StreamingIngest {
+
+  /** Streaming document ingest: a file-source stream of document rows →
+    * chunk → hash-embed → dual-write rows, written via foreachBatch so
+    * each micro-batch can run the B9 dup guard against the existing corpus
+    * (merge/upsert semantics; exactly-once per batch epoch). */
+  def documentIngestStream(spark: SparkSession, inputDir: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           targetCollection: String)(
+      upsert: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val docs = spark.readStream.schema(schema).parquet(inputDir)
+    val chunks = transformDocuments(docs, targetCollection)
+    chunks.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) => upsert(batch, epochId) }
+  }
+
+  /** The shared (batch==stream) document transform: chunk → embed →
+    * dual-write tag. */
+  def transformDocuments(docs: DataFrame, targetCollection: String): DataFrame =
+    ChunkStore.dualWrite(
+      HashingEmbedder.withEmbedding(
+        TextChunker.chunkDocuments(docs), "content"),
+      targetCollection)
+
+  /** Windowed event aggregation with watermark: per (1-minute window,
+    * event_type) counts and value sums; late events beyond the watermark
+    * are dropped — state is bounded, which is what makes this run
+    * forever at scale. */
+  def windowedEventCounts(events: DataFrame, watermark: String = "2 minutes",
+                          window: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  // ----------------------------------------------------- custom state op
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+  case class SessionResult(user_id: Long, n_events: Long, duration_ms: Long, closed: Boolean)
+
+  /** Per-user sessionization via mapGroupsWithState (the
+    * KeyValueGroupedDataset custom-state path): a session closes after
+    * `gapMs` of inactivity (processing-time timeout). Demonstrates the
+    * engine's arbitrary-stateful-op surface; state is per-key and
+    * timeout-bounded. */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+                 gapMs: Long = 60000): org.apache.spark.sql.Dataset[SessionResult] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionResult](GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionResult(userId, s.nEvents, s.lastTs - s.firstTs, closed = true)
+          } else {
+            val evs = batch.toSeq
+            val tss = evs.map(_.ts.getTime)
+            val prev = state.getOption.getOrElse(SessionState(0, tss.min, tss.min))
+            val next = SessionState(prev.nEvents + evs.size,
+              math.min(prev.firstTs, tss.min), math.max(prev.lastTs, tss.max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            SessionResult(userId, next.nEvents, next.lastTs - next.firstTs, closed = false)
+          }
+      }
+  }
+}

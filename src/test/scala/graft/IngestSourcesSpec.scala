@@ -1,0 +1,89 @@
+package graft
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.ZipIngest
+
+/** B1-B3 zip/binary ingest + multimodal plumbing spec. */
+class IngestSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def makeZip(entries: (String, String)*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    for ((name, text) <- entries) {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(text.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("explodeZip: members round-trip, directories skipped") {
+    val z = makeZip("a.txt" -> "hello", "dir/b.txt" -> "world")
+    val members = ZipIngest.explodeZip(z)
+    assert(members.map(_._1) === Seq("a.txt", "dir/b.txt"))
+    assert(members.map(m => new String(m._2, "UTF-8")) === Seq("hello", "world"))
+  }
+
+  test("decodeZipName: UTF-8 names survive, NFC applied") {
+    // java ZipOutputStream writes UTF-8 names; reading as CP437 gives the
+    // raw bytes back, and the decode chain must recover the original
+    val korean = "한국어문서.txt"
+    val raw = new String(korean.getBytes("UTF-8"), java.nio.charset.Charset.forName("CP437"))
+    assert(ZipIngest.decodeZipName(raw) === korean)
+    // NFD input normalizes to NFC
+    val nfd = java.text.Normalizer.normalize("café.txt", java.text.Normalizer.Form.NFD)
+    val rawNfd = new String(nfd.getBytes("UTF-8"), java.nio.charset.Charset.forName("CP437"))
+    assert(ZipIngest.decodeZipName(rawNfd) === "café.txt")
+  }
+
+  test("parseDocument: dispatch + unsupported-type error (B1 semantics)") {
+    assert(ZipIngest.parseDocument("a.txt", "hi".getBytes("UTF-8")) === Right("hi"))
+    assert(ZipIngest.parseDocument("a.TXT", "hi".getBytes("UTF-8")) === Right("hi"))
+    assert(ZipIngest.parseDocument("a.docx", Array[Byte]()).isLeft)
+    assert(ZipIngest.parseDocument("noext", Array[Byte]()).isLeft)
+  }
+
+  test("ingestZips + uploadStatus: per-member parse, per-zip lattice") {
+    val good = makeZip("a.txt" -> "alpha", "b.txt" -> "beta")
+    val mixed = makeZip("c.txt" -> "gamma", "d.exe" -> "binary")
+    val bin = Seq(("z1.zip", good), ("z2.zip", mixed)).toDF("path", "content")
+    val ingested = ZipIngest.ingestZips(bin).cache()
+    assert(ingested.count() === 4)
+    assert(ingested.filter($"ok").count() === 3)
+    val status = ZipIngest.uploadStatus(ingested)
+      .select("zip_path", "status").as[(String, String)].collect().toMap
+    assert(status("z1.zip") === "success")
+    assert(status("z2.zip") === "partial_success")
+  }
+
+  test("multimodal: feature extraction is deterministic and normalized") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(30))
+    val f1 = Multimodal.extractFeatures(media, 64).orderBy($"media_id")
+      .select($"features").as[Seq[Float]].collect()
+    val f2 = Multimodal.extractFeatures(media, 64).orderBy($"media_id")
+      .select($"features").as[Seq[Float]].collect()
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.forall(v => math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5))
+  }
+
+  test("multimodal: frame sampling emits one row per second of video") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(30))
+    val frames = Multimodal.sampleFrames(media, 1000L)
+    val video = media.filter($"kind" === "video")
+      .select($"media_id", $"meta.duration_ms").as[(Long, Long)].collect()
+    val counts = frames.filter($"kind" === "video")
+      .groupBy($"media_id").count().as[(Long, Long)].collect().toMap
+    for ((id, dur) <- video)
+      assert(counts(id) === (dur + 999) / 1000, s"media $id dur $dur")
+    // non-video: exactly one frame at t=0
+    val nonVideo = frames.filter($"kind" =!= "video")
+    assert(nonVideo.groupBy($"media_id").count().filter($"count" =!= 1).isEmpty)
+    assert(nonVideo.filter($"frame_ts" =!= 0).isEmpty)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingIngest
+
+/** Structured-Streaming spec: watermarked window agg and the shared
+  * batch==stream document transform, driven through MemoryStream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+  test("windowed event counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamingIngest.windowedEventCounts(input.toDF(), "2 minutes", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        Ev(t("2024-01-01 00:00:10"), "click", 1.0),
+        Ev(t("2024-01-01 00:00:40"), "click", 2.0),
+        Ev(t("2024-01-01 00:01:10"), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark past the first window (00:00-00:01)
+      input.addData(Ev(t("2024-01-01 00:05:00"), "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .select($"window_start", $"event_type", $"n_events", $"total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(out.contains((t("2024-01-01 00:00:00"), "click", 2L, 3.0)))
+      assert(out.contains((t("2024-01-01 00:01:00"), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming document ingest via foreachBatch upsert (shared transform)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang")
+    val transformed = StreamingIngest.transformDocuments(docs, "strategy_documents")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = transformed.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= batch.groupBy($"collection").count().as[(String, Long)].collect()
+        (): Unit
+      }
+      .start()
+    try {
+      input.addData((1L, "alpha beta gamma delta", "en"), (2L, "uno dos tres", "es"))
+      q.processAllAvailable()
+      val byColl = seen.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      // dual-write: same row count in target and master
+      assert(byColl("master") === byColl("strategy_documents"))
+      assert(byColl("master") >= 2)
+    } finally q.stop()
+  }
+
+  test("batch==stream parity of the document transform") {
+    val docs = Seq((1L, "one two three four five six", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = StreamingIngest.transformDocuments(docs, "compliance_documents")
+    assert(out.columns.contains("embedding"))
+    assert(out.filter($"collection" === "master").count() ===
+      out.filter($"collection" === "compliance_documents").count())
+  }
+}
