@@ -10,7 +10,15 @@ object Tables {
 
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
-  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    * default — read it as epoch-nanos BIGINT (legacy conf) and let
+    * queries do explicit integer ns arithmetic (ns magnitudes exceed
+    * double precision, so never divide through double). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

@@ -203,7 +203,7 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def reg2(name: String, f: (Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1)), "builtin")
+      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1)), "built-in")
     reg2("dot_f32", DotProductF32.apply)
     reg2("l2_dist_f32", EuclideanDistF32.apply)
     reg2("l2sq_f32", L2SqF32.apply)

@@ -69,6 +69,34 @@ object ChunkStore {
     chunks.filter(!victim)
   }
 
+  /** E1: retriever factory (`vector_store.py:173-188`) — curry a
+    * collection + k + filter + query embedder into a `query => topK`
+    * function, the LangChain-retriever shape without the framework. */
+  def retriever(chunks: DataFrame, collection: String, k: Int,
+                embedQuery: String => Seq[Float],
+                filter: Option[Column] = None,
+                collectionCol: String = "collection",
+                embCol: String = "embedding",
+                idCol: String = "chunk_id"): String => DataFrame = {
+    val scoped = chunks.filter(col(collectionCol) === collection)
+    query => VectorSearch.topKWithScore(
+      scoped, embedQuery(query), k, VectorSearch.L2Sq, filter, embCol, idCol)
+  }
+
+  /** E2: store initialization (`vector_store.py:16-46`) — ensure the
+    * partitioned table exists with the canonical chunk schema; idempotent
+    * (CREATE IF NOT EXISTS semantics for a parquet layout). */
+  def initializeStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      collections: Seq[String] = Seq("master")): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fsPath)) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.partitionBy("collection").parquet(path)
+    }
+  }
+
   /** D3: affected-row accounting that replaces the reference's tri-flag
     * success lattice (`vector_store.py:196-298`) — per-collection counts
     * of deleted rows; "not found" is simply a zero count. */

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics in batch form over the `events` fixture —
+  * the batch twins of the StreamingIngest shapes (same logical plans a
+  * Structured Streaming run would produce), all oracle-checked.
+  *
+  * Numeric-sum parity note: `value` sums run as exact integer cents
+  * (round(value*100) per row, BIGINT sum) — double summation order
+  * across rows is engine-dependent; integer addition is exact and
+  * associative, so hashes match in both engines.
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling-window aggregation (batch twin of windowedEventCounts);
+    // window key emitted as epoch SECONDS (BIGINT) for engine-agnostic
+    // hashing (ts arrives as epoch-nanos BIGINT, see Tables.events)
+    "ev_window_agg" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("window_start_s", expr("(ts DIV 60000000000) * 60"))
+        .groupBy(col("window_start_s"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("total_value_cents"))
+        .select(col("window_start_s"), col("event_type"),
+          col("n_events"), col("total_value_cents"))
+        .orderBy(col("window_start_s"), col("event_type"))
+    },
+    // gap-based sessionization in batch: lag + cumulative-sum session ids
+    // (the window-function twin of the mapGroupsWithState op)
+    "ev_sessionize" -> { (s, dir) =>
+      // integer epoch-microseconds on both engines: the fixture's ts is
+      // ns-precision parquet (Spark truncates to us, DuckDB keeps ns) —
+      // explicit us arithmetic removes the precision skew entirely
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val gapUs = 60000000L
+      val sessions = Tables.events(s, dir)
+        .withColumn("us", expr("ts DIV 1000"))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      sessions
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(col("us")) - min(col("us"))) / 1000).cast("long").as("duration_ms"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+    // per-user event counts, top-10 (hash-agg + TakeOrdered)
+    "ev_top_users" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("total_value_cents"))
+        .select(col("user_id"), col("n_events"), col("total_value_cents"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(10)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_window_agg" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) * 60 AS window_start_s,
+        |       event_type, count(*) AS n_events,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start_s, event_type""".stripMargin,
+    "ev_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |), l AS (
+        |  SELECT user_id, event_id, us,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN prev_us IS NULL OR us - prev_us > 60000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM l
+        |), sid AS (
+        |  SELECT user_id, us,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       count(*) AS n_events,
+        |       CAST((max(us) - min(us)) // 1000 AS BIGINT) AS duration_ms
+        |FROM sid GROUP BY session_seq, user_id
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "ev_top_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashingEmbedder
+import graft.operators.{ChunkStore, Dedup, TextChunker, VectorSearch}
+
+/** Physical-plan audit (SURVEY §4): the optimizations the engine claims
+  * must be visible in `explain` — pushdown, pruning, TakeOrdered top-k,
+  * broadcasts, and shuffle counts. These assertions are what keeps the
+  * 100 TB story honest: a plan regression (extra shuffle, lost pushdown)
+  * fails the suite, not just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def shuffles(df: DataFrame): Int =
+    "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findAllIn(plan(df)).length
+
+  private def qv: Seq[Float] =
+    Tables.embeddings(spark, sfDir).filter($"vec_id" === 0)
+      .select("embedding").head().getSeq[Float](0)
+
+  test("KNN top-k plans as TakeOrderedAndProject with zero shuffles") {
+    val p = plan(VectorSearch.topKWithScore(Tables.embeddings(spark, sfDir), qv, 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), "KNN must be shuffle-free:\n" + p)
+  }
+
+  test("metadata pre-filter (A7) is pushed into the parquet scan") {
+    val p = plan(VectorSearch.topKWithScore(Tables.embeddings(spark, sfDir), qv, 5,
+      VectorSearch.Euclidean, filter = Some($"label" === 3)))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"),
+      "label filter must reach the scan:\n" + p)
+  }
+
+  test("catalog projection prunes unread columns from the scan") {
+    val df = Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+    val p = plan(df)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      "scan must not read the wide text column:\n" + readSchema)
+  }
+
+  test("batch top-k broadcasts the query side (corpus never shuffles for the join)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val df = VectorSearch.batchTopK(emb, qs, 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"), p)
+    // map-side top-k BEFORE the shuffle: Spark plans the row_number<=k
+    // filter as a partial WindowGroupLimit, so the window shuffle carries
+    // only partitions*q*k rows, not |corpus|*|q|
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    // two shuffles total: the window hash partitioning + the final
+    // presentation sort of the tiny q*k result
+    assert(shuffles(df) === 2, "expected window + result-sort shuffles only:\n" + p)
+  }
+
+  test("blocked jaccard uses a broadcast hash join, not a 5-key shuffle join") {
+    val p = plan(Dedup.jaccardPairs(Tables.documents(spark, sfDir),
+      "doc_id", "text", "lang", 0.8))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "5-key SMJ caps parallelism at 5:\n" + p)
+  }
+
+  test("dup guard (B9) anti-join broadcasts the probe set") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(ChunkStore.dropExistingGlobal(
+      docs.select($"doc_id", $"source"), docs.filter($"doc_id" % 3 === 0),
+      "doc_id", "doc_id"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("ingest chain (chunk->embed->dual-write) is a shuffle-free narrow pipeline") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = ChunkStore.dualWrite(
+      HashingEmbedder.withEmbedding(
+        TextChunker.chunkDocuments(docs), "content"), "strategy_documents")
+    assert(shuffles(out) === 0, "ingest must not shuffle:\n" + plan(out))
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    val df = Tables.embeddings(spark, sfDir)
+      .select(graft.functions.VectorFunctions.cosSimF32($"embedding",
+        typedLit(qv)).as("c"))
+    // whole-stage codegen renders as a "*(n)" stage prefix in toString
+    val p = plan(df)
+    assert(p.contains("*(1)"), "expected a codegen stage:\n" + p)
+  }
+
+  test("SQL registration: kernels callable from spark.sql") {
+    Graft.init(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT vec_id, cos_sim_f32(embedding, embedding) AS c,
+        |       sorted_intersect_size(array('a','b'), array('b','c')) AS i
+        |FROM emb_sql ORDER BY vec_id LIMIT 1""".stripMargin).head()
+    assert(math.abs(r.getFloat(1) - 1.0f) < 1e-6)
+    assert(r.getInt(2) === 1)
+  }
+
+  test("retriever factory (E1) returns a curried query function") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val store = ChunkStore.dualWrite(
+      HashingEmbedder.withEmbedding(
+        TextChunker.chunkDocuments(docs), "content"), "strategy_documents")
+      .withColumn("chunk_id", concat($"doc_id", lit("_"), $"chunk_index"))
+    val retrieve = ChunkStore.retriever(store, "master", 3,
+      q => HashingEmbedder.embed(q, 64).toSeq)
+    val probe = store.filter($"collection" === "master").select($"content").head().getString(0)
+    assert(retrieve(probe).count() === 3)
+  }
+}
