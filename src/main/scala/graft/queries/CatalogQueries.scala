@@ -115,6 +115,31 @@ object CatalogQueries {
       ChunkStore.deleteReport(mutationCorpus(s, dir), 7L)
         .orderBy(col("collection"))
     },
+    // B10: per-collection duplicate guard (vector_store.py:56-68) —
+    // the B9 anti-join with the collection predicate pushed into the
+    // scan (lang as collection stand-in).
+    "b10_dup_guard_coll" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      ChunkStore.dropExistingInCollection(
+          docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("source")),
+          docs.select(col("doc_id"), col("source"), col("lang")),
+          "de", "doc_id", "doc_id", collectionCol = "lang")
+        .orderBy(col("doc_id"))
+    },
+    // B7: scalar-only metadata enforcement (document_processor.py:154-163)
+    // — blank/null-keyed entries dropped from the metadata map.
+    "b7_meta_sanitize" -> { (s, dir) =>
+      val withMeta = Tables.documents(s, dir)
+        .withColumn("metadata", map(
+          lit("lang"), col("lang"),
+          lit(""), lit("dropped"),
+          lit("source"), col("source")))
+      graft.ChunkSchema.sanitizeMetadata(withMeta)
+        .select(col("doc_id"),
+          concat_ws(",", array_sort(map_keys(col("metadata")))).as("meta_keys"),
+          element_at(col("metadata"), "lang").as("meta_lang"))
+        .orderBy(col("doc_id"))
+    },
     // A6: multi-keyword concat — query-prep semantics (app.py:373,402)
     // applied columnar for coverage.
     "a6_keyword_concat" -> { (s, dir) =>
@@ -162,6 +187,15 @@ object CatalogQueries {
          |WHERE doc_id = 7 GROUP BY collection ORDER BY collection""".stripMargin,
     "a6_keyword_concat" ->
       """SELECT doc_id, concat_ws(' ', lang, source) AS query_string
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "b10_dup_guard_coll" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id >= 400
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.lang = 'de' AND c.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "b7_meta_sanitize" ->
+      """SELECT doc_id, 'lang,source' AS meta_keys, lang AS meta_lang
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
