@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashingEmbedder
+import graft.operators.{Ann, ChunkStore, Skew, TextChunker}
+
+/** Storage-layout + skew specs: the parts of the 100 TB story that are
+  * observable at test scale — partition pruning on the IVF layout,
+  * delete-as-rewrite round trip, salted-join equivalence. */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("IVF layout: partitionBy(ivf_cluster) scan prunes at the file level") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 8)
+    val dir = tmpDir("ivf")
+    idx.assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(dir)
+    val reread = spark.read.parquet(dir).filter($"ivf_cluster".isin(0, 1))
+    val p = reread.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("ivf_cluster"),
+      "cluster predicate must prune partitions:\n" + p)
+    // pruned scan reads only the probed clusters
+    val probed = reread.count()
+    val expected = idx.assigned.filter($"ivf_cluster".isin(0, 1)).count()
+    assert(probed === expected)
+  }
+
+  test("delete-by-doc as rewrite: parquet round trip preserves survivors exactly") {
+    val docs = Tables.documents(spark, sfDir).limit(40)
+    val store = ChunkStore.dualWrite(
+      HashingEmbedder.withEmbedding(
+        TextChunker.chunkDocuments(docs), "content"), "strategy_documents")
+    val dir = tmpDir("store")
+    store.write.mode("overwrite").partitionBy("collection").parquet(dir)
+
+    val loaded = spark.read.parquet(dir)
+    val survivors = ChunkStore.deleteDocument(loaded, 7L,
+      Some(Seq("strategy_documents", "master")))
+    val dir2 = tmpDir("store2")
+    survivors.write.mode("overwrite").partitionBy("collection").parquet(dir2)
+
+    val after = spark.read.parquet(dir2)
+    assert(after.filter($"doc_id" === 7L).isEmpty)
+    assert(after.count() === loaded.count() - loaded.filter($"doc_id" === 7L).count())
+    // non-victim rows fully intact (anti-join both ways is empty)
+    val expected = loaded.filter($"doc_id" =!= 7L).select($"doc_id", $"chunk_index", $"collection")
+    val actual = after.select($"doc_id", $"chunk_index", $"collection")
+    assert(expected.exceptAll(actual).isEmpty && actual.exceptAll(expected).isEmpty)
+  }
+
+  test("saltedJoin == plain join (row multiset), spread across salts") {
+    // skewed left: 90% of rows share one key
+    val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"l$i")).toDF("k", "lv")
+    val right = Seq((1L, "hot"), (50L, "a"), (901L, "b")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select($"k", $"lv", $"rv")
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 8)
+      .select($"k", $"lv", $"rv")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    assert(salted.count() === plain.count())
+  }
+
+  test("saltedAggregate == plain aggregate for algebraic aggs") {
+    val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toLong)).toDF("k", "v")
+    val plain = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    val salted = Skew.saltedAggregate(df, "k", 8)(
+      _.agg(sum($"v").as("ps"), count(lit(1)).as("pn")),
+      _.agg(sum($"ps").as("s"), sum($"pn").as("n")))
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+}
