@@ -86,6 +86,21 @@ object TextAnalysis {
   def docFingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")).cast("binary"))
 
+  /** Corpus term statistics — the IDF building block: per token, its
+    * document frequency (docs containing it), total occurrences, and
+    * language spread. One explode + one hash-agg shuffle; integer
+    * outputs keep the oracle hash-exact (logs are applied by the
+    * consumer, where cross-engine libm parity stops mattering). */
+  def termStats(docs: DataFrame, textCol: String = "text",
+                docCol: String = "doc_id", langCol: String = "lang"): DataFrame =
+    docs
+      .select(col(docCol), col(langCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        countDistinct(col(docCol)).as("doc_freq"),
+        count(lit(1)).as("total_tf"),
+        countDistinct(col(langCol)).as("n_langs"))
+
   /** Full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text",
               stopwords: Seq[String] = Seq("the", "a")): DataFrame = {

@@ -58,6 +58,12 @@ object TextQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    },
+    // term statistics (document frequency / total tf / language spread)
+    // — the IDF building block, integer outputs for oracle exactness
+    "t_term_stats" -> { (s, dir) =>
+      TextAnalysis.termStats(Tables.documents(s, dir))
+        .orderBy(col("token"))
     }
   )
 
@@ -117,6 +123,14 @@ object TextQueries {
       s"""WITH t AS ($wCte),
          |tok AS (SELECT unnest(w) AS token FROM t)
          |SELECT token, count(*) AS n FROM tok
-         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "t_term_stats" ->
+      s"""WITH t AS ($wCte),
+         |tok AS (SELECT doc_id, lang, unnest(w) AS token FROM t)
+         |SELECT token,
+         |       count(DISTINCT doc_id) AS doc_freq,
+         |       count(*) AS total_tf,
+         |       count(DISTINCT lang) AS n_langs
+         |FROM tok GROUP BY token ORDER BY token""".stripMargin
   )
 }

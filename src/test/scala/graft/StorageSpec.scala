@@ -54,6 +54,31 @@ class StorageSpec extends SparkSpec {
     assert(expected.exceptAll(actual).isEmpty && actual.exceptAll(expected).isEmpty)
   }
 
+  test("bucketed tables co-locate the join: no Exchange in the join plan") {
+    // the 100 TB co-located-join story (SURVEY §4): two tables bucketed
+    // on the join key join WITHOUT a shuffle — bucket layout replaces
+    // the exchange. Observable at any scale via the plan.
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.select($"vec_id", $"label").write
+      .bucketBy(8, "vec_id").sortBy("vec_id")
+      .mode("overwrite").saveAsTable("emb_meta_b")
+    emb.select($"vec_id", $"embedding").write
+      .bucketBy(8, "vec_id").sortBy("vec_id")
+      .mode("overwrite").saveAsTable("emb_vec_b")
+    // force the shuffle-join path (the tables are tiny, so the planner
+    // would otherwise broadcast and skip bucketing entirely); bucketed
+    // scans must then satisfy the join's distribution with NO exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("emb_meta_b").join(spark.table("emb_vec_b"), "vec_id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(joined.count() === emb.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("saltedJoin == plain join (row multiset), spread across salts") {
     // skewed left: 90% of rows share one key
     val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"l$i")).toDF("k", "lv")
