@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.queries ++ CatalogQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries ++
-      MultimodalQueries.queries ++ EventQueries.queries
+      MultimodalQueries.queries ++ EventQueries.queries ++
+      RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     VectorQueries.oracle ++ CatalogQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++ AnnQueries.oracle ++
-      MultimodalQueries.oracle ++ EventQueries.oracle
+      MultimodalQueries.oracle ++ EventQueries.oracle ++
+      RelationalQueries.oracle
 }

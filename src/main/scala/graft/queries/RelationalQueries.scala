@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Refresh
+
+/** Relational-analytics coverage over the TPC-H-ish fixtures + the
+  * incremental-refresh ops, oracle-checked. Money sums use exact
+  * integer cents (see EventQueries parity note).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // join + aggregate: revenue by month and return flag — the canonical
+    // broadcast-dim/fact shape (orders is the bigger side at this SF;
+    // the join key shuffle is the one unavoidable exchange)
+    "rel_revenue_monthly" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("month"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("revenue_cents"))
+        .orderBy(col("month"), col("l_returnflag"))
+    },
+    // histogram: order totals bucketed to integer bins
+    "rel_price_histogram" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("bucket", floor(col("o_totalprice") / 10000).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("bucket"))
+    },
+    // upsert-by-key merge: docs >= 450 arrive as a corrected batch
+    "rel_upsert" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang"))
+      val incoming = docs.filter(col("doc_id") >= 450)
+        .withColumn("source", concat(lit("v2_"), col("source")))
+      Refresh.upsertByKey(docs, incoming, "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // keep-latest dedup by version
+    "rel_latest_by_key" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val versioned = docs.withColumn("version", lit(1))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("source", concat(lit("new_"), col("source")))
+          .withColumn("version", lit(2)))
+      Refresh.latestByKey(versioned, "doc_id", "version")
+        .orderBy(col("doc_id"))
+    },
+    // stratified sample: deterministic for a fixed seed (rows-only —
+    // DuckDB's sampler draws differently; determinism is scalatest-gated)
+    "rel_stratified_sample" -> { (s, dir) =>
+      Refresh.stratifiedSample(Tables.documents(s, dir), "lang",
+          Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5), seed = 42L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "rel_revenue_monthly" ->
+      """SELECT strftime(o.o_orderdate, '%Y-%m') AS month, l.l_returnflag,
+        |       count(*) AS n_items,
+        |       sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY month, l_returnflag""".stripMargin,
+    "rel_price_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "rel_upsert" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id >= 450 THEN 'v2_' || source ELSE source END AS source,
+        |       lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "rel_latest_by_key" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 0 THEN 'new_' || source ELSE source END AS source,
+        |       CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS version
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -90,6 +90,36 @@ class StorageSpec extends SparkSpec {
     assert(salted.count() === plain.count())
   }
 
+  test("upsertByKey replaces matched keys, keeps the rest") {
+    import graft.operators.Refresh
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val incoming = Seq((2L, "B2"), (4L, "d")).toDF("k", "v")
+    val merged = Refresh.upsertByKey(existing, incoming, "k")
+      .as[(Long, String)].collect().toMap
+    assert(merged === Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("latestByKey keeps max-version row per key") {
+    import graft.operators.Refresh
+    val df = Seq((1L, "old", 1), (1L, "new", 2), (2L, "only", 1)).toDF("k", "v", "ver")
+    val latest = Refresh.latestByKey(df, "k", "ver")
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(latest === Map(1L -> "new", 2L -> "only"))
+  }
+
+  test("stratifiedSample: deterministic for a fixed seed, fractions roughly honored") {
+    import graft.operators.Refresh
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = Refresh.stratifiedSample(docs, "lang", Map("en" -> 0.5, "de" -> 0.2), 42L)
+      .select($"doc_id").as[Long].collect().toSeq
+    val s2 = Refresh.stratifiedSample(docs, "lang", Map("en" -> 0.5, "de" -> 0.2), 42L)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(s1 === s2)
+    val en = docs.filter($"lang" === "en").count()
+    val enSampled = Refresh.stratifiedSample(docs, "lang", Map("en" -> 0.5), 42L).count()
+    assert(enSampled > en * 0.25 && enSampled < en * 0.75)
+  }
+
   test("saltedAggregate == plain aggregate for algebraic aggs") {
     val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toLong)).toDF("k", "v")
     val plain = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
