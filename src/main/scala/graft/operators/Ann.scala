@@ -108,6 +108,35 @@ object Ann {
     IvfIndex(centroids, assigned, embCol, idCol)
   }
 
+  /** Persist an IVF index: centroids as a tiny parquet + the assigned
+    * corpus partitioned by cluster (searches then prune partitions at
+    * the file listing — no re-fit, no full scan). */
+  def saveIvf(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = index.centroids.zipWithIndex
+      .map { case (c, i) => org.apache.spark.sql.Row(i, c.toSeq) }.toSeq.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false), nullable = false)))
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("ivf_cluster").parquet(s"$dir/corpus")
+  }
+
+  /** Load a persisted IVF index. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+              embCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cluster_id")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    IvfIndex(centroids, spark.read.parquet(s"$dir/corpus"), embCol, idCol)
+  }
+
   /** Search: rank centroids driver-side (tiny), probe the nprobe nearest
     * clusters, exact top-k within them. */
   def searchIvf(index: IvfIndex, queryVec: Seq[Float], k: Int, nprobe: Int,

@@ -31,6 +31,23 @@ class StorageSpec extends SparkSpec {
     assert(probed === expected)
   }
 
+  test("IVF save/load round trip: persisted index answers like the fitted one") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 8)
+    val dir = tmpDir("ivf-save")
+    Ann.saveIvf(idx, dir)
+    val loaded = Ann.loadIvf(spark, dir)
+    assert(loaded.centroids.length === 8)
+    val q = emb.filter($"vec_id" === 3).select($"embedding").head().getSeq[Float](0)
+    val a = Ann.searchIvf(idx, q, 10, nprobe = 8).select($"vec_id").as[Long].collect().toSeq
+    val b = Ann.searchIvf(loaded, q, 10, nprobe = 8).select($"vec_id").as[Long].collect().toSeq
+    assert(a === b)
+    // persisted corpus reads prune by cluster partition
+    val p = loaded.assigned.filter($"ivf_cluster" === 0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("ivf_cluster"), p)
+  }
+
   test("delete-by-doc as rewrite: parquet round trip preserves survivors exactly") {
     val docs = Tables.documents(spark, sfDir).limit(40)
     val store = ChunkStore.dualWrite(
