@@ -81,6 +81,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("robustness: empty corpus and single-doc corpus yield no pairs") {
+    val empty = spark.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).withColumn("text", lit("x")).limit(0)
+    assert(Dedup.nearDupMinHash(empty, "doc_id", "text").isEmpty)
+    val single = Seq((1L, base)).toDF("doc_id", "text")
+    assert(Dedup.nearDupMinHash(single, "doc_id", "text").isEmpty)
+    assert(Dedup.nearDupSimHash(single, "doc_id", "text").isEmpty)
+    assert(Dedup.jaccardPairs(single.withColumn("lang", lit("en")),
+      "doc_id", "text", "lang", 0.5).isEmpty)
+  }
+
+  test("robustness: empty/blank text shingles don't crash") {
+    assert(Dedup.shingleSet("", 3) === Set(""))
+    assert(Dedup.jaccard("", "", 3) === 1.0)
+    assert(Dedup.simHash64("") === 0L)
+    val docs = Seq((1L, ""), (2L, "   "), (3L, base)).toDF("doc_id", "text")
+    // blank docs form their own (trivially identical) pair; base stays out
+    val pairs = Dedup.nearDupMinHash(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("duplicateGroups + dropDuplicates consistency") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
     val groups = Dedup.duplicateGroups(docs, Dedup.fingerprint($"text"), "doc_id").collect()

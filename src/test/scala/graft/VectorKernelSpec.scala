@@ -59,6 +59,28 @@ class VectorKernelSpec extends SparkSpec {
     }
   }
 
+  test("null inputs propagate null (nullIntolerant contract)") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]]),
+      (Option.empty[Seq[Float]], Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f)))).toDF("a", "b")
+    val r = df.select(dotF32($"a", $"b").as("d")).collect()
+    assert(r(0).isNullAt(0) && r(1).isNullAt(0) && !r(2).isNullAt(0))
+  }
+
+  test("length mismatch: kernels use the common prefix (no crash)") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(dotF32($"a", $"b").as("d"), l2SqF32($"a", $"b").as("s")).head()
+    assert(r.getFloat(0) === 5.0f)
+    assert(r.getFloat(1) === 0.0f)
+  }
+
+  test("empty arrays: dot=0, l2sq=0") {
+    val df = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    val r = df.select(dotF32($"a", $"b").as("d"), l2SqF32($"a", $"b").as("s")).head()
+    assert(r.getFloat(0) === 0.0f && r.getFloat(1) === 0.0f)
+  }
+
   test("1 - l2sq is monotone-decreasing in distance (reference score semantics)") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
