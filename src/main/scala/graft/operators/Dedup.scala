@@ -246,4 +246,38 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  /** Embedding-cosine near-dup at scale: sign-LSH bucket the corpus,
+    * generate candidate pairs ONLY within a bucket (plus Hamming-1
+    * neighbor buckets via bit-flipped re-bucketing), verify exact
+    * cosine. The O(n²) cross join becomes a per-bucket quadratic on
+    * far smaller groups — the standard SNN-blocking trade: recall
+    * depends on angular structure (high-sim pairs agree on most sign
+    * bits; at threshold 0.9, P[bit differs] = arccos(0.9)/pi ~ 0.14).
+    * Verified pairs are exact — no false positives ever. */
+  def cosineNearDupLsh(emb: DataFrame, idCol: String, embCol: String,
+                       threshold: Double, nBits: Int = 8): DataFrame = {
+    val sigUdf = udf((v: Seq[Float]) => {
+      val sig = Ann.signSignature(v, nBits)
+      // own bucket + each Hamming-1 neighbor: any pair within Hamming
+      // distance 2 of each other shares >= 1 probe bucket
+      sig +: (0 until nBits).map(b => sig ^ (1 << b))
+    })
+    val bucketed = emb
+      .select(col(idCol), col(embCol))
+      .withColumn("bucket", explode(sigUdf(col(embCol))))
+      .select(col("bucket"), col(idCol))
+    // candidates dedup'd on slim id pairs; vectors re-attached after
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(emb.select(col(idCol).as("id_a"), col(embCol).as("ea")), Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(embCol).as("eb")), Seq("id_b"))
+      .withColumn("cos_sim", cosSimF32(col("ea"), col("eb")).cast("double"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
 }

@@ -41,6 +41,13 @@ object DedupQueries {
       Dedup.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // LSH-bucketed cosine near-dup — the scale path (rows-only; recall
+    // vs the exact pair join is scalatest-gated, verified pairs exact)
+    "dedup_cosine_lsh" -> { (s, dir) =>
+      Dedup.cosineNearDupLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.45, nBits = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // MinHash-LSH near-dup (rows-only: hash family not SQL-expressible;
     // recall vs exact Jaccard is scalatest-verified).
     "dedup_minhash_lsh" -> { (s, dir) =>

@@ -84,6 +84,29 @@ class AnnSpec extends SparkSpec {
     assert(probed < total)
   }
 
+  test("cosineNearDupLsh: no false positives; high recall on clustered data") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(11)
+    def normed(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(10)(normed(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val rows = for { c <- centers.indices; m <- 0 until 20 } yield {
+      val v = normed(centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      (c.toLong * 100 + m, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.cosineNearDup(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.cosineNearDupLsh(df, "vec_id", "embedding", 0.9, nBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // exact verify => no false positives
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall $recall over ${exact.size} exact pairs")
+  }
+
   test("IVF nprobe=ALL equals exact") {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Ann.buildIvf(emb, numClusters = 8)

@@ -62,6 +62,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source ingest stream: new parquet files flow through the transform") {
+    val inDir = java.nio.file.Files.createTempDirectory("stream-in").toString
+    val docs = Seq((1L, "alpha beta gamma", "en"), (2L, "uno dos tres", "es"))
+      .toDF("doc_id", "text", "lang")
+    val schema = docs.schema
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val writer = graft.streaming.StreamingIngest.documentIngestStream(
+      spark, inDir, schema, "operation_documents") { (batch, _) =>
+      seen += batch.count()
+      (): Unit
+    }
+    val q = writer.start()
+    try {
+      docs.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(seen.sum > 0, "first batch must deliver chunk rows")
+      val before = seen.sum
+      Seq((3L, "drei vier funf", "de")).toDF("doc_id", "text", "lang")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(seen.sum > before, "late-arriving file must produce a new batch")
+    } finally q.stop()
+  }
+
+  test("GraftExtensions injection point applies cleanly") {
+    // the conf-driven path (spark.sql.extensions=graft.GraftExtensions)
+    // can't be exercised against the suite's shared session (getOrCreate
+    // returns it); apply the injector directly — same code path the
+    // session builder runs at startup
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must not throw
+    // and the SQL surface itself is live after programmatic init
+    graft.Graft.init(spark)
+    val r = spark.sql("SELECT l2sq_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head()
+    assert(r.getFloat(0) === 4.0f)
+  }
+
   test("batch==stream parity of the document transform") {
     val docs = Seq((1L, "one two three four five six", "en"))
       .toDF("doc_id", "text", "lang")
