@@ -52,6 +52,17 @@ object EventQueries {
           ((max(col("us")) - min(col("us"))) / 1000).cast("long").as("duration_ms"))
         .orderBy(col("user_id"), col("session_seq"))
     },
+    // exact percentiles per event type (sort-based `percentile` — the
+    // linear-interpolation formula matches DuckDB quantile_cont
+    // bit-for-bit, verified including float artifacts)
+    "ev_quantiles" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.9)).as("p90"))
+        .orderBy(col("event_type"))
+    },
     // per-user event counts, top-10 (hash-agg + TakeOrdered)
     "ev_top_users" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -94,6 +105,11 @@ object EventQueries {
         |       CAST((max(us) - min(us)) // 1000 AS BIGINT) AS duration_ms
         |FROM sid GROUP BY session_seq, user_id
         |ORDER BY user_id, session_seq""".stripMargin,
+    "ev_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_top_users" ->
       """SELECT user_id, count(*) AS n_events,
         |       sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
