@@ -1,7 +1,44 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+
+/** The engine's embedding contract (SURVEY §2.B8): deterministic
+  * `text → L2-normalized float[dim]`. Implementations must be
+  * serializable OR constructed per-partition via the factory overload of
+  * [[Embedders.embedDistributed]] (how a real ONNX/torch session slots
+  * in: the session is created once per partition, never serialized). */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+  /** batch hook — override when the backend benefits from batching
+    * (model inference); default delegates per-row. */
+  def embedBatch(texts: Iterator[String]): Iterator[Array[Float]] =
+    texts.map(embed)
+}
+
+/** Distributed embedding drivers over any [[Embedder]]. */
+object Embedders {
+
+  /** Append `embedding` via mapPartitions: `mkEmbedder` runs ONCE per
+    * partition (the place to open an ONNX session / load weights), then
+    * rows stream through its batch hook. */
+  def embedDistributed(df: DataFrame, textCol: String,
+                       mkEmbedder: () => Embedder): DataFrame = {
+    val spark = df.sparkSession
+    val textIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false))
+    val rdd = df.rdd.mapPartitions { rows =>
+      val embedder = mkEmbedder() // per-partition init (model/session)
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ embedder.embed(r.getString(textIdx)).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}
 
 /** B8 (SURVEY §2): embedding inference re-expressed as a pluggable,
   * deterministic, model-free embedder.
@@ -24,6 +61,12 @@ import org.apache.spark.sql.functions._
 object HashingEmbedder {
 
   val DefaultDim = 64 // matches the fixture embedding dim (FIXTURES.md)
+
+  /** [[Embedder]] instance backed by the hashing projection. */
+  def asEmbedder(d: Int = DefaultDim): Embedder = new Embedder {
+    val dim: Int = d
+    def embed(text: String): Array[Float] = HashingEmbedder.embed(text, d)
+  }
 
   /** Deterministic (seed-free) string hash — FNV-1a 32-bit, stable across
     * JVMs (String.hashCode is also stable, but FNV gives better mixing). */

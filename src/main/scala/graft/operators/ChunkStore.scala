@@ -69,6 +69,15 @@ object ChunkStore {
     chunks.filter(!victim)
   }
 
+  /** Collection-name validation (`get_vector_store`,
+    * `vector_store.py:48-54`: unknown collection → ValueError). */
+  def requireCollection(name: String,
+                        known: Seq[String] = graft.ChunkSchema.collections): String = {
+    require(known.contains(name),
+      s"Unknown collection: '$name'. Known collections: ${known.mkString(", ")}")
+    name
+  }
+
   /** E1: retriever factory (`vector_store.py:173-188`) — curry a
     * collection + k + filter + query embedder into a `query => topK`
     * function, the LangChain-retriever shape without the framework. */

@@ -45,6 +45,42 @@ class EmbedderPipelineSpec extends SparkSpec {
     assert(hit === 17L)
   }
 
+  test("Embedder trait: per-partition factory path equals the column path") {
+    import graft.functions.{Embedders, HashingEmbedder => HE}
+    val docs = Tables.documents(spark, sfDir).limit(30).select($"doc_id", $"text")
+    val viaUdf = HE.withEmbedding(docs, "text", 64)
+      .select($"doc_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    val viaPartitions = Embedders.embedDistributed(docs, "text", () => HE.asEmbedder(64))
+      .select($"doc_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(viaUdf === viaPartitions)
+  }
+
+  test("typed Dataset[Chunk] round trip through the canonical schema") {
+    import graft.ChunkSchema
+    import graft.ChunkSchema.Chunk
+    val chunks = Seq(
+      Chunk("c1", "d1", "doc.txt", 0, "master", "strategy_documents",
+        Some("upload"), "hello world", Map("k" -> "v"),
+        graft.functions.HashingEmbedder.embed("hello world", 64)),
+      Chunk("c2", "d1", "doc.txt", 1, "master", "strategy_documents",
+        None, "second chunk", Map.empty,
+        graft.functions.HashingEmbedder.embed("second chunk", 64)))
+    val ds = spark.createDataset(chunks)(ChunkSchema.chunkEncoder)
+    // dataframe schema field names line up with the declared StructType
+    assert(ds.toDF().schema.fieldNames.toSeq === ChunkSchema.schema.fieldNames.toSeq)
+    val back = ds.as[Chunk](ChunkSchema.chunkEncoder).collect()
+    assert(back.map(_.chunk_id).toSet === Set("c1", "c2"))
+    assert(back.find(_.chunk_id == "c2").get.source.isEmpty)
+  }
+
+  test("unknown collection is rejected (get_vector_store ValueError semantics)") {
+    import graft.operators.ChunkStore
+    assert(ChunkStore.requireCollection("master") === "master")
+    intercept[IllegalArgumentException] {
+      ChunkStore.requireCollection("nonexistent_documents")
+    }
+  }
+
   test("delete cascade removes doc from both collections") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val store = ChunkStore.dualWrite(
