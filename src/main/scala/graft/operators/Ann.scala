@@ -149,7 +149,7 @@ object Ann {
         (i, acc)
       }
       .sortBy { case (i, dist) => (dist, i) }
-      .take(nprobe).map(_._1)
+      .take(nprobe).map(_._1).toIndexedSeq
     VectorSearch.topKWithScore(
       index.assigned.filter(col("ivf_cluster").isin(probes: _*)),
       queryVec, k, metric, None, index.embCol, index.idCol)

@@ -62,6 +62,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize (mapGroupsWithState): per-user session state, batch execution") {
+    // mapGroupsWithState runs in batch mode too (whole input = one
+    // batch, no timeouts) — validates the stateful op's aggregation
+    // semantics without the streaming harness
+    import graft.streaming.StreamingIngest.SessionEvent
+    def t(s: String) = Timestamp.valueOf(s)
+    val ds = Seq(
+      SessionEvent(1L, t("2024-01-01 00:00:00"), "click"),
+      SessionEvent(1L, t("2024-01-01 00:00:10"), "view"),
+      SessionEvent(1L, t("2024-01-01 00:00:20"), "purchase"),
+      SessionEvent(2L, t("2024-01-01 00:00:05"), "click")).toDS()
+    val out = graft.streaming.StreamingIngest.sessionize(ds, gapMs = 60000)
+      .collect().map(r => r.user_id -> r).toMap
+    assert(out(1L).n_events === 3)
+    assert(out(1L).duration_ms === 20000)
+    assert(out(2L).n_events === 1 && out(2L).duration_ms === 0)
+  }
+
   test("file-source ingest stream: new parquet files flow through the transform") {
     val inDir = java.nio.file.Files.createTempDirectory("stream-in").toString
     val docs = Seq((1L, "alpha beta gamma", "en"), (2L, "uno dos tres", "es"))
