@@ -22,7 +22,7 @@ object SparkEntry {
     VectorQueries.queries ++ CatalogQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries ++
       MultimodalQueries.queries ++ EventQueries.queries ++
-      RelationalQueries.queries
+      RelationalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
