@@ -22,11 +22,18 @@ import org.apache.spark.sql.functions._
 object ZipIngest {
 
   /** B3: zip member-name decode chain exactly as the reference
-    * (`app.py:171-194`): names read as CP437 (byte-preserving); if the
-    * bytes form valid UTF-8, use that; otherwise decode as EUC-KR
-    * ignoring errors; finally NFC-normalize. */
-  def decodeZipName(rawCp437: String): String = {
-    val bytes = rawCp437.getBytes(Charset.forName("CP437"))
+    * (`app.py:171-194`), which branches on the entry's UTF-8 flag: EFS
+    * entries are already proper Unicode (Java's ZipInputStream decodes
+    * them as UTF-8 regardless of the configured charset) → NFC only;
+    * non-EFS names arrive as CP437-preserved raw bytes → reinterpret as
+    * UTF-8, fall back to EUC-KR (ignoring errors), then NFC. A name the
+    * CP437 encoder cannot round-trip is necessarily an already-decoded
+    * EFS name (CP437 maps all 256 raw byte values). */
+  def decodeZipName(name: String): String = {
+    val cp437 = Charset.forName("CP437")
+    if (!cp437.newEncoder().canEncode(name))
+      return Normalizer.normalize(name, Normalizer.Form.NFC)
+    val bytes = name.getBytes(cp437)
     val utf8 = StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)

@@ -62,6 +62,21 @@ class IngestSourcesSpec extends SparkSpec {
     assert(status("z2.zip") === "partial_success")
   }
 
+  test("writeRawObjects (B12): byte-exact round trip, partitioned by collection") {
+    val z = makeZip("a.txt" -> "hello", "한국어.txt" -> "세계")
+    val members = ZipIngest.explodeZips(
+      Seq(("mem://z.zip", z)).toDF("path", "content"))
+    val dir = java.nio.file.Files.createTempDirectory("raw-objects").toString
+    ZipIngest.writeRawObjects(members, dir, "strategy_documents")
+    val back = spark.read.parquet(dir)
+    assert(back.select("collection").distinct().as[String].collect().toSeq ===
+      Seq("strategy_documents"))
+    val bytes = back.orderBy($"member_name")
+      .select($"member_name", $"member_bytes").as[(String, Array[Byte])].collect()
+    assert(bytes.map(_._1).toSeq === Seq("a.txt", "한국어.txt"))
+    assert(new String(bytes(1)._2, "UTF-8") === "세계")
+  }
+
   test("multimodal: feature extraction is deterministic and normalized") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(30))
     val f1 = Multimodal.extractFeatures(media, 64).orderBy($"media_id")
