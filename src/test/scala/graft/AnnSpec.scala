@@ -107,6 +107,18 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("MLlib BRP-LSH: deterministic, recall@10 measured vs exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildBrpLsh(emb, bucketLength = 2.0, numHashTables = 4)
+    val q = qvec(0L)
+    val exact = exactTopK(q, 10).toSet
+    val r1 = Ann.searchBrpLsh(idx, q, 10).select("vec_id").as[Long].collect().toSet
+    val r2 = Ann.searchBrpLsh(idx, q, 10).select("vec_id").as[Long].collect().toSet
+    assert(r1 === r2) // seeded => deterministic
+    val recall = (exact intersect r1).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall") // uniform data; bucketLength=2 is generous
+  }
+
   test("IVF nprobe=ALL equals exact") {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Ann.buildIvf(emb, numClusters = 8)
