@@ -103,6 +103,7 @@ object Ann {
                idCol: String = "vec_id", seed: Long = 42L): IvfIndex = {
     val feats = emb.withColumn("__features", array_to_vector(col(embCol).cast("array<double>")))
     val model = new KMeans().setK(numClusters).setSeed(seed)
+      .setMaxIter(10) // routing quality plateaus early; fit time halves
       .setFeaturesCol("__features").setPredictionCol("ivf_cluster")
       .fit(feats)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))

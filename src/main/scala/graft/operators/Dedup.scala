@@ -125,10 +125,13 @@ object Dedup {
       .withColumn("bh", explode(bandUdf(col(textCol))))
       .select(col(idCol), col("bh._1").as("band"), col("bh._2").as("bucket"))
 
-    // cap hot buckets before the pair join
-    val bucketSizes = bandRows.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("sz")).filter(col("sz") <= maxBucket && col("sz") > 1)
-    val pruned = bandRows.join(bucketSizes, Seq("band", "bucket"), "left_semi")
+    // cap hot buckets before the pair join — one window pass instead of
+    // an aggregate + semi-join (same shuffle key, half the exchanges)
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val pruned = bandRows
+      .withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
+      .drop("__bsz")
 
     // candidate pairs dedup'd on IDs ONLY (distinct over wide text pairs
     // would shuffle the payloads `bands` times); texts re-attached via
