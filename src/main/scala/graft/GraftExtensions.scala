@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("l2sq_f32", es => L2SqF32(es(0), es(1))))
     ext.injectFunction(fn("cos_sim_f32", es => CosineSimF32(es(0), es(1))))
     ext.injectFunction(fn("sorted_intersect_size", es => SortedIntersectSize(es(0), es(1))))
+    ext.injectFunction(fn("explode_zip", es => ExplodeZip(es(0))))
   }
 }
 
@@ -35,5 +36,7 @@ object Graft {
     VectorFunctions.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_size", es => SortedIntersectSize(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "explode_zip", es => ExplodeZip(es(0)), "built-in")
   }
 }

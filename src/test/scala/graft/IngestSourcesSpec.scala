@@ -62,6 +62,19 @@ class IngestSourcesSpec extends SparkSpec {
     assert(status("z2.zip") === "partial_success")
   }
 
+  test("explode_zip Generator: SQL-callable zip explode with name decode") {
+    graft.Graft.init(spark)
+    val z = makeZip("a.txt" -> "hello", "한국어.txt" -> "세계")
+    Seq(("z.zip", z)).toDF("path", "content").createOrReplaceTempView("zips_sql")
+    val rows = spark.sql(
+      """SELECT path, m.member_name, m.member_bytes
+        |FROM zips_sql LATERAL VIEW explode_zip(content) m AS member_name, member_bytes
+        |ORDER BY member_name""".stripMargin).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(1)).toSeq === Seq("a.txt", "한국어.txt"))
+    assert(new String(rows(1).getAs[Array[Byte]](2), "UTF-8") === "세계")
+  }
+
   test("writeRawObjects (B12): byte-exact round trip, partitioned by collection") {
     val z = makeZip("a.txt" -> "hello", "한국어.txt" -> "세계")
     val members = ZipIngest.explodeZips(
