@@ -9,17 +9,18 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Intersection size of two SORTED, DISTINCT string arrays by merge-scan
-  * — the hot kernel of set-similarity dedup (graft.operators.Dedup
-  * .jaccardPairs).
+  * — the EXACT set-intersection kernel, exposed to SQL as
+  * `sorted_intersect_size` via GraftExtensions.
   *
-  * `size(array_intersect(a, b))` builds a hash set per row pair; on a
-  * candidate-pair join that is millions of transient hash sets. With
-  * both sides sorted once per DOCUMENT (amortized over all its pairs),
-  * the per-pair cost drops to one O(n+m) pointer walk with byte-wise
-  * UTF8String compares, fully inside whole-stage codegen. Caller
-  * contract: inputs are sorted ascending and duplicate-free
-  * (`array_sort(array_distinct(...))`); output equals
-  * `size(array_intersect(a, b))` exactly under that contract.
+  * `size(array_intersect(a, b))` builds a hash set per row pair; with
+  * both sides sorted once per document the per-pair cost drops to one
+  * O(n+m) pointer walk inside whole-stage codegen. Note:
+  * `Dedup.jaccardPairs` defaults to an even faster 64-bit-token-hash
+  * intersection (collision odds ~n²/2^65); this expression is the
+  * collision-free alternative for callers that need provable exactness.
+  * Caller contract: inputs sorted ascending and duplicate-free
+  * (`array_sort(array_distinct(...))`); output then equals
+  * `size(array_intersect(a, b))`.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {

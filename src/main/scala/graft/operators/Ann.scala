@@ -77,6 +77,8 @@ object Ann {
                     metric: VectorSearch.Metric = VectorSearch.Euclidean,
                     embCol: String = "embedding", idCol: String = "vec_id",
                     bucketCol: String = "lsh_bucket"): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2,
+      s"probeRadius must be 0..2 (got $probeRadius); deeper probing is not generated")
     val qSig = signSignature(queryVec, nBits)
     val r1 = (0 until nBits).map(b => qSig ^ (1 << b))
     val r2 = for (a <- 0 until nBits; b <- (a + 1) until nBits)

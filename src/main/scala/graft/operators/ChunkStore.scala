@@ -94,15 +94,27 @@ object ChunkStore {
 
   /** E2: store initialization (`vector_store.py:16-46`) — ensure the
     * partitioned table exists with the canonical chunk schema; idempotent
-    * (CREATE IF NOT EXISTS semantics for a parquet layout). */
+    * (CREATE IF NOT EXISTS semantics for a parquet layout).
+    *
+    * A zero-row `partitionBy` write emits only `_SUCCESS` (no schema
+    * footer → later reads fail with UNABLE_TO_INFER_SCHEMA), so the
+    * empty table is materialized as one footer-bearing empty part file
+    * INSIDE a hive-style partition directory per collection: partition
+    * discovery then yields the full schema including the partition
+    * column. */
   def initializeStore(spark: org.apache.spark.sql.SparkSession, path: String,
                       schema: org.apache.spark.sql.types.StructType,
                       collections: Seq[String] = Seq("master")): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(fsPath)) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .write.partitionBy("collection").parquet(path)
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == "collection"))
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema).repartition(1)
+      collections.foreach { c =>
+        empty.write.mode("overwrite").parquet(s"$path/collection=$c")
+      }
     }
   }
 

@@ -107,8 +107,11 @@ object Multimodal {
     * single frame at t=0. A real impl decodes the frame bytes at each
     * timestamp inside a mapPartitions loop. */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame = {
+    // coalesce: a video row with null duration still yields one frame at
+    // t=0 (a bare when/explode would silently drop the row)
+    val dur = coalesce(col("meta.duration_ms"), lit(1L))
     val ts = when(col("kind") === "video",
-      sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs)))
+      sequence(lit(0L), greatest(dur - 1, lit(0L)), lit(everyMs)))
       .otherwise(array(lit(0L)))
     media
       .withColumn("frame_ts", explode(ts))

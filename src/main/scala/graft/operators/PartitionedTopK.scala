@@ -31,9 +31,6 @@ object PartitionedTopK {
     val sc = spark.sparkContext
     val bq = sc.broadcast(queries.toArray)
 
-    val embIdx = corpus.schema.fieldIndex(embCol)
-    val idIdx = corpus.schema.fieldIndex(idCol)
-
     // (dist, id) max-heap of size k per query: head = WORST kept entry,
     // so a better candidate evicts it in O(log k).
     val ord: Ordering[(Float, Long)] = Ordering.Tuple2[Float, Long]

@@ -22,6 +22,13 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int = 16, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right_outer/full_outer would surface every unmatched right-side
+    // REPLICA as a spurious null-extended row — only left-anchored join
+    // types preserve the plain join's row multiset under replication
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+      s"saltedJoin supports left-anchored join types only, got '$joinType' " +
+        "(replicating the right side breaks right/full outer semantics)")
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(struct(left.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)))
     val saltedRight = right.withColumn("__salt",

@@ -41,17 +41,24 @@ object ZipIngest {
       try utf8.decode(java.nio.ByteBuffer.wrap(bytes)).toString
       catch {
         case _: java.nio.charset.CharacterCodingException =>
-          val euckr = Charset.forName("EUC-KR").newDecoder()
-            .onMalformedInput(CodingErrorAction.IGNORE)
-            .onUnmappableCharacter(CodingErrorAction.IGNORE)
-          euckr.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          // EUC-KR strictly: if the bytes are not valid EUC-KR either,
+          // the name was NOT raw bytes — it is an EFS name whose chars
+          // all exist in CP437 (e.g. "café.txt"): keep it as-is rather
+          // than destroying it with a lossy decode. (The reference reads
+          // the flag bit directly, app.py:173-186; ZipInputStream hides
+          // it, so strict-decode-or-keep is the faithful equivalent.)
+          try Charset.forName("EUC-KR").newDecoder()
+            .onMalformedInput(CodingErrorAction.REPORT)
+            .onUnmappableCharacter(CodingErrorAction.REPORT)
+            .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          catch { case _: java.nio.charset.CharacterCodingException => name }
       }
     Normalizer.normalize(decoded, Normalizer.Form.NFC)
   }
 
   /** B2 core: explode one zip's bytes into (memberName, bytes) pairs.
-    * Directories and zero-length entries are skipped like the
-    * reference's extraction loop. */
+    * Directory entries are skipped; empty FILE members are kept (the
+    * reference extracts them too — they surface as zero-chunk docs). */
   def explodeZip(zipBytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val out = ArrayBuffer.empty[(String, Array[Byte])]
     val zis = new ZipInputStream(new ByteArrayInputStream(zipBytes), Charset.forName("CP437"))
@@ -67,6 +74,11 @@ object ZipIngest {
         }
         e = zis.getNextEntry
       }
+    } catch {
+      // corrupt/truncated archive: keep whatever extracted cleanly (zero
+      // members for garbage bytes) — the B13 rollup reports it as error
+      // instead of failing the whole ingest task
+      case _: java.util.zip.ZipException | _: java.io.IOException => ()
     } finally zis.close()
     out.toSeq
   }
@@ -120,15 +132,29 @@ object ZipIngest {
   }
 
   /** B13: per-zip status rollup — success / partial success / error
-    * (the reference's per-file lattice, `app.py:256-294`). */
-  def uploadStatus(ingested: DataFrame): DataFrame =
-    ingested.groupBy(col("zip_path"))
+    * (the reference's per-file lattice, `app.py:256-294`). Pass the
+    * original archive table so corrupt/empty zips — which explode to
+    * ZERO member rows and would otherwise vanish from a plain groupBy —
+    * still report `error` (the reference's per-file failure branch). */
+  def uploadStatus(ingested: DataFrame,
+                   allZips: Option[DataFrame] = None,
+                   pathCol: String = "path"): DataFrame = {
+    val perZip = ingested.groupBy(col("zip_path"))
       .agg(count(lit(1)).as("n_members"),
         sum(when(col("ok"), 1).otherwise(0)).as("n_ok"))
-      .withColumn("status",
-        when(col("n_ok") === col("n_members"), "success")
-          .when(col("n_ok") > 0, "partial_success")
-          .otherwise("error"))
+    val complete = allZips match {
+      case Some(zips) =>
+        zips.select(col(pathCol).as("zip_path")).distinct()
+          .join(perZip, Seq("zip_path"), "left_outer")
+          .na.fill(0L, Seq("n_members", "n_ok"))
+      case None => perZip
+    }
+    complete.withColumn("status",
+      when(col("n_members") === 0, "error")
+        .when(col("n_ok") === col("n_members"), "success")
+        .when(col("n_ok") > 0, "partial_success")
+        .otherwise("error"))
+  }
 
   /** B12: persist raw member bytes to object storage under
     * `{collection}/{filename}` — the reference's S3 layout

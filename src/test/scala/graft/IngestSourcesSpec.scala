@@ -52,14 +52,37 @@ class IngestSourcesSpec extends SparkSpec {
   test("ingestZips + uploadStatus: per-member parse, per-zip lattice") {
     val good = makeZip("a.txt" -> "alpha", "b.txt" -> "beta")
     val mixed = makeZip("c.txt" -> "gamma", "d.exe" -> "binary")
-    val bin = Seq(("z1.zip", good), ("z2.zip", mixed)).toDF("path", "content")
+    val corrupt = "this is not a zip".getBytes("UTF-8")
+    val bin = Seq(("z1.zip", good), ("z2.zip", mixed), ("z3.zip", corrupt))
+      .toDF("path", "content")
     val ingested = ZipIngest.ingestZips(bin).cache()
     assert(ingested.count() === 4)
     assert(ingested.filter($"ok").count() === 3)
-    val status = ZipIngest.uploadStatus(ingested)
+    val status = ZipIngest.uploadStatus(ingested, Some(bin))
       .select("zip_path", "status").as[(String, String)].collect().toMap
     assert(status("z1.zip") === "success")
     assert(status("z2.zip") === "partial_success")
+    // a corrupt archive explodes to zero members but must still report
+    assert(status("z3.zip") === "error")
+  }
+
+  test("decodeZipName: EFS names with CP437-encodable accents survive") {
+    // "café.txt" re-encodes to CP437 cleanly (é exists there) but is
+    // neither valid UTF-8 nor valid EUC-KR as bytes -> keep original
+    assert(ZipIngest.decodeZipName("café.txt") === "café.txt")
+  }
+
+  test("initializeStore: empty store is readable with full schema, idempotent") {
+    import graft.operators.ChunkStore
+    val dir = java.nio.file.Files.createTempDirectory("init-store").toString + "/store"
+    ChunkStore.initializeStore(spark, dir, graft.ChunkSchema.schema,
+      graft.ChunkSchema.collections)
+    val read = spark.read.parquet(dir)
+    assert(read.count() === 0)
+    assert(read.schema.fieldNames.contains("collection"))
+    assert(read.schema.fieldNames.contains("embedding"))
+    ChunkStore.initializeStore(spark, dir, graft.ChunkSchema.schema) // no-op
+    assert(spark.read.parquet(dir).count() === 0)
   }
 
   test("explode_zip Generator: SQL-callable zip explode with name decode") {
