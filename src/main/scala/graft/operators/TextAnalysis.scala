@@ -82,9 +82,12 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
-    * (the canonical near-exact-dup key). */
+    * (the canonical near-exact-dup key). The whitespace class is spelled
+    * out explicitly because Java's \s includes U+000B while RE2's (the
+    * oracle engine's) does not — an implicit \s would diverge on
+    * vertical-tab input. */
   def docFingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")).cast("binary"))
+    md5(lower(regexp_replace(trim(text), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary"))
 
   /** Corpus term statistics — the IDF building block: per token, its
     * document frequency (docs containing it), total occurrences, and

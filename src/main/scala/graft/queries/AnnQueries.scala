@@ -43,19 +43,8 @@ object AnnQueries {
     }
   )
 
+  // exact operator → literally the same oracle as the window formulation
+  // (shared reference, so the two specs can never diverge)
   val oracle: Map[String, String] = Map(
-    // exact → same oracle as batch_topk
-    "batch_topk_partitioned" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
-        |), d AS (
-        |  SELECT q.query_id, e.vec_id,
-        |         CAST(list_distance(e.embedding, q.qe) AS DOUBLE) AS dist,
-        |         row_number() OVER (PARTITION BY q.query_id
-        |           ORDER BY CAST(list_distance(e.embedding, q.qe) AS DOUBLE), e.vec_id) AS rn
-        |  FROM embeddings e CROSS JOIN q
-        |)
-        |SELECT query_id, vec_id, dist FROM d WHERE rn <= 5
-        |ORDER BY query_id, rn""".stripMargin
-  )
+    "batch_topk_partitioned" -> VectorQueries.oracle("batch_topk"))
 }

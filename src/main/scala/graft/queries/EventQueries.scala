@@ -38,6 +38,10 @@ object EventQueries {
       // ns-precision parquet (Spark truncates to us, DuckDB keeps ns) —
       // explicit us arithmetic removes the precision skew entirely
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      // pin ROWS frame: Spark's default RANGE frame treats order-key
+      // peers as one group — only equivalent to the oracle's ROWS frame
+      // while (us, event_id) stays unique
+      val byUserRows = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val gapUs = 60000000L
       val sessions = Tables.events(s, dir)
         .withColumn("us", expr("ts DIV 1000"))
@@ -45,7 +49,7 @@ object EventQueries {
         .withColumn("new_session",
           when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
             .otherwise(0))
-        .withColumn("session_seq", sum(col("new_session")).over(byUser))
+        .withColumn("session_seq", sum(col("new_session")).over(byUserRows))
       sessions
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),

@@ -21,6 +21,9 @@ object PipelineQueries {
       // dual-write tag into target + master
       val docs = Tables.documents(s, dir)
       val chunks = TextChunker.chunkDocuments(docs)
+        // unique per-chunk key so the top-k (dist, id) tie-break is a
+        // total order (doc_id alone repeats across a doc's chunks)
+        .withColumn("chunk_uid", col("doc_id") * 100000 + col("chunk_index"))
       val embedded = HashingEmbedder.withEmbedding(chunks, "content")
       val store = ChunkStore.dualWrite(embedded, "strategy_documents")
 
@@ -33,8 +36,8 @@ object PipelineQueries {
         store.filter(col("collection") === "master"),
         qv, k = 10, VectorSearch.L2Sq,
         filter = Some(col("lang") =!= "zh"),
-        embCol = "embedding", idCol = "doc_id")
-      VectorSearch.scoreAndThreshold(topk, threshold = 0.1, idCol = "doc_id")
+        embCol = "embedding", idCol = "chunk_uid")
+      VectorSearch.scoreAndThreshold(topk, threshold = 0.1, idCol = "chunk_uid")
         .select(col("doc_id"), col("chunk_index"), col("score"))
         .orderBy(col("score").desc, col("doc_id"), col("chunk_index"))
     }

@@ -117,7 +117,7 @@ object TextQueries {
          |FROM h ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id,
-        |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |       md5(lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_word_freq" ->
       s"""WITH t AS ($wCte),
