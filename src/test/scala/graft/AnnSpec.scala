@@ -50,38 +50,41 @@ class AnnSpec extends SparkSpec {
     }
     val df = rows.toDF("vec_id", "embedding")
     val bucketed = Ann.withSignBucket(df, nBits = 8).cache()
-
-    val recalls = (0 until 5).map { c =>
-      val q = rows(c * 30)._2
-      val exact = VectorSearch.topKWithScore(df, q, 10)
-        .select("vec_id").as[Long].collect().toSet
-      val approx = Ann.searchSignLsh(bucketed, q, 10, nBits = 8, probeRadius = 2)
-        .select("vec_id").as[Long].collect().toSet
-      (exact intersect approx).size.toDouble / exact.size
-    }
-    val mean = recalls.sum / recalls.size
-    assert(mean >= 0.9, s"mean recall $mean (${recalls.mkString(",")})")
+    try {
+      val recalls = (0 until 5).map { c =>
+        val q = rows(c * 30)._2
+        val exact = VectorSearch.topKWithScore(df, q, 10)
+          .select("vec_id").as[Long].collect().toSet
+        val approx = Ann.searchSignLsh(bucketed, q, 10, nBits = 8, probeRadius = 2)
+          .select("vec_id").as[Long].collect().toSet
+        (exact intersect approx).size.toDouble / exact.size
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.9, s"mean recall $mean (${recalls.mkString(",")})")
+    } finally bucketed.unpersist()
   }
 
   test("IVF recall@10 >= 0.6 at nprobe=4/16, ~4x scan reduction") {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Ann.buildIvf(emb, numClusters = 16)
     idx.assigned.cache().count()
-    val recalls = (0L until 5L).map { qid =>
-      val q = qvec(qid)
-      val exact = exactTopK(q, 10).toSet
-      val approx = Ann.searchIvf(idx, q, 10, nprobe = 4)
-        .select("vec_id").as[Long].collect().toSet
-      (exact intersect approx).size.toDouble / exact.size
-    }
-    val mean = recalls.sum / recalls.size
-    assert(mean >= 0.6, s"mean recall $mean (${recalls.mkString(",")})")
-    // probing 4/16 clusters must scan a strict subset of the corpus
-    val total = emb.count()
-    val probed = idx.assigned.groupBy($"ivf_cluster").count()
-      .orderBy($"count".desc).limit(4)
-      .agg(sum($"count")).head().getLong(0)
-    assert(probed < total)
+    try {
+      val recalls = (0L until 5L).map { qid =>
+        val q = qvec(qid)
+        val exact = exactTopK(q, 10).toSet
+        val approx = Ann.searchIvf(idx, q, 10, nprobe = 4)
+          .select("vec_id").as[Long].collect().toSet
+        (exact intersect approx).size.toDouble / exact.size
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.6, s"mean recall $mean (${recalls.mkString(",")})")
+      // probing 4/16 clusters must scan a strict subset of the corpus
+      val total = emb.count()
+      val probed = idx.assigned.groupBy($"ivf_cluster").count()
+        .orderBy($"count".desc).limit(4)
+        .agg(sum($"count")).head().getLong(0)
+      assert(probed < total)
+    } finally idx.assigned.unpersist()
   }
 
   test("cosineNearDupLsh: no false positives; high recall on clustered data") {

@@ -25,7 +25,7 @@ class EmbedderPipelineSpec extends SparkSpec {
   }
 
   test("ingest -> embed -> dual-write -> search returns source document") {
-    val docs = Tables.documents(spark, sfDir).limit(100)
+    val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(100)
     val chunks = TextChunker.chunkDocuments(docs, chunkSize = 120, overlap = 20)
     val emb = HashingEmbedder.withEmbedding(chunks, "content", 64)
     val store = ChunkStore.dualWrite(emb, "strategy_documents")
@@ -47,7 +47,7 @@ class EmbedderPipelineSpec extends SparkSpec {
 
   test("Embedder trait: per-partition factory path equals the column path") {
     import graft.functions.{Embedders, HashingEmbedder => HE}
-    val docs = Tables.documents(spark, sfDir).limit(30).select($"doc_id", $"text")
+    val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(30).select($"doc_id", $"text")
     val viaUdf = HE.withEmbedding(docs, "text", 64)
       .select($"doc_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
     val viaPartitions = Embedders.embedDistributed(docs, "text", () => HE.asEmbedder(64))
@@ -82,7 +82,7 @@ class EmbedderPipelineSpec extends SparkSpec {
   }
 
   test("delete cascade removes doc from both collections") {
-    val docs = Tables.documents(spark, sfDir).limit(20)
+    val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(20)
     val store = ChunkStore.dualWrite(
       TextChunker.chunkDocuments(docs, chunkSize = 120, overlap = 20), "compliance_documents")
     val after = ChunkStore.deleteDocument(store, 5L,

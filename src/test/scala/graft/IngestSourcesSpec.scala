@@ -56,14 +56,16 @@ class IngestSourcesSpec extends SparkSpec {
     val bin = Seq(("z1.zip", good), ("z2.zip", mixed), ("z3.zip", corrupt))
       .toDF("path", "content")
     val ingested = ZipIngest.ingestZips(bin).cache()
-    assert(ingested.count() === 4)
-    assert(ingested.filter($"ok").count() === 3)
-    val status = ZipIngest.uploadStatus(ingested, Some(bin))
-      .select("zip_path", "status").as[(String, String)].collect().toMap
-    assert(status("z1.zip") === "success")
-    assert(status("z2.zip") === "partial_success")
-    // a corrupt archive explodes to zero members but must still report
-    assert(status("z3.zip") === "error")
+    try {
+      assert(ingested.count() === 4)
+      assert(ingested.filter($"ok").count() === 3)
+      val status = ZipIngest.uploadStatus(ingested, Some(bin))
+        .select("zip_path", "status").as[(String, String)].collect().toMap
+      assert(status("z1.zip") === "success")
+      assert(status("z2.zip") === "partial_success")
+      // a corrupt archive explodes to zero members but must still report
+      assert(status("z3.zip") === "error")
+    } finally ingested.unpersist()
   }
 
   test("decodeZipName: EFS names with CP437-encodable accents survive") {

@@ -105,7 +105,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("retriever factory (E1) returns a curried query function") {
-    val docs = Tables.documents(spark, sfDir).limit(50)
+    val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(50)
     val store = ChunkStore.dualWrite(
       HashingEmbedder.withEmbedding(
         TextChunker.chunkDocuments(docs), "content"), "strategy_documents")

@@ -49,7 +49,7 @@ class StorageSpec extends SparkSpec {
   }
 
   test("delete-by-doc as rewrite: parquet round trip preserves survivors exactly") {
-    val docs = Tables.documents(spark, sfDir).limit(40)
+    val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(40)
     val store = ChunkStore.dualWrite(
       HashingEmbedder.withEmbedding(
         TextChunker.chunkDocuments(docs), "content"), "strategy_documents")
@@ -93,7 +93,11 @@ class StorageSpec extends SparkSpec {
       assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p)
       assert(p.contains("SortMergeJoin"), p)
       assert(joined.count() === emb.count())
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS emb_meta_b")
+      spark.sql("DROP TABLE IF EXISTS emb_vec_b")
+    }
   }
 
   test("saltedJoin == plain join (row multiset), spread across salts") {
@@ -105,6 +109,20 @@ class StorageSpec extends SparkSpec {
       .select($"k", $"lv", $"rv")
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
     assert(salted.count() === plain.count())
+  }
+
+  test("compactParquet: many small files -> few, rows preserved exactly") {
+    import graft.operators.Maintenance
+    val dir = tmpDir("compact") + "/table"
+    val df = Tables.documents(spark, sfDir).limit(200)
+    df.repartition(40).write.parquet(dir) // fragment into 40 small files
+    val (filesBefore, _) = Maintenance.fileStats(spark, dir)
+    assert(filesBefore >= 30)
+    val rows = Maintenance.compactParquet(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(rows === 200)
+    val (filesAfter, _) = Maintenance.fileStats(spark, dir)
+    assert(filesAfter <= 2, s"expected compaction, got $filesAfter files")
+    assert(spark.read.parquet(dir).count() === 200)
   }
 
   test("upsertByKey replaces matched keys, keeps the rest") {

@@ -98,20 +98,25 @@ class TextChunkerSpec extends SparkSpec {
     }
   }
 
-  test("property: overlap seed of chunk i+1 is a token-suffix of chunk i") {
-    forAllSentences(10) { sents =>
-      // With no oversize sentences (len<=10 < chunkSize=30) each chunk is
-      // a " "-join of input sentences; the seed sentences at the head of
-      // chunk i+1 must be exactly a suffix of chunk i's sentence list.
+  test("property: overlap seed of chunk i+1 is a token-suffix of chunk i within budget") {
+    // DISTINCT sentences (index-prefixed) make the prefix/suffix match
+    // unambiguous, so the seed is identified exactly and the <=overlap
+    // budget is genuinely asserted (with repeats it would be vacuous).
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 200) {
+      val sents = (0 until rnd.nextInt(15) + 2).map { i =>
+        s"s$i" + List.fill(rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString
+      }.toList
       val chunks = mergeSentences(sents, chunkSize = 30, overlap = 12).map(_.split(" ").toList)
       chunks.sliding(2).foreach {
         case List(prev, next) =>
-          // longest prefix of `next` that is a suffix of `prev`
-          val maxSeed = (next.indices.map(i => next.take(i + 1)) :+ Nil)
-            .filter(p => prev.endsWith(p)).map(_.length).max
-          // seed length in chars respects the overlap budget
-          val seedChars = next.take(maxSeed).map(_.length).sum + math.max(0, maxSeed - 1)
-          assert(seedChars <= 30) // never exceeds chunkSize
+          // unique sentences: the longest prefix of `next` that is a
+          // suffix of `prev` IS the overlap seed
+          val seed = (next.indices.map(i => next.take(i + 1)) :+ Nil)
+            .filter(p => prev.endsWith(p)).maxBy(_.length)
+          val seedChars = seed.map(_.length).sum + math.max(0, seed.length - 1)
+          assert(seedChars <= 12,
+            s"seed '${seed.mkString(" ")}' exceeds overlap budget in $chunks")
         case _ => ()
       }
     }
