@@ -15,18 +15,22 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def fn(name: String, build: Seq[Expression] => Expression) =
+  private def fn(name: String, arity: Int, build: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft", name),
-      (es: Seq[Expression]) => build(es))
+      (es: Seq[Expression]) => {
+        require(es.length == arity,
+          s"$name expects exactly $arity argument(s), got ${es.length}")
+        build(es)
+      })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("dot_f32", es => DotProductF32(es(0), es(1))))
-    ext.injectFunction(fn("l2_dist_f32", es => EuclideanDistF32(es(0), es(1))))
-    ext.injectFunction(fn("l2sq_f32", es => L2SqF32(es(0), es(1))))
-    ext.injectFunction(fn("cos_sim_f32", es => CosineSimF32(es(0), es(1))))
-    ext.injectFunction(fn("sorted_intersect_size", es => SortedIntersectSize(es(0), es(1))))
-    ext.injectFunction(fn("explode_zip", es => ExplodeZip(es(0))))
+    ext.injectFunction(fn("dot_f32", 2, es => DotProductF32(es(0), es(1))))
+    ext.injectFunction(fn("l2_dist_f32", 2, es => EuclideanDistF32(es(0), es(1))))
+    ext.injectFunction(fn("l2sq_f32", 2, es => L2SqF32(es(0), es(1))))
+    ext.injectFunction(fn("cos_sim_f32", 2, es => CosineSimF32(es(0), es(1))))
+    ext.injectFunction(fn("sorted_intersect_size", 2, es => SortedIntersectSize(es(0), es(1))))
+    ext.injectFunction(fn("explode_zip", 1, es => ExplodeZip(es(0))))
   }
 }
 
@@ -35,8 +39,14 @@ object Graft {
   def init(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_size", es => SortedIntersectSize(es(0), es(1)), "built-in")
+      "sorted_intersect_size", es => {
+        require(es.length == 2, s"sorted_intersect_size expects 2 arguments, got ${es.length}")
+        SortedIntersectSize(es(0), es(1))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "explode_zip", es => ExplodeZip(es(0)), "built-in")
+      "explode_zip", es => {
+        require(es.length == 1, s"explode_zip expects 1 argument, got ${es.length}")
+        ExplodeZip(es(0))
+      }, "built-in")
   }
 }

@@ -45,11 +45,17 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var cnt = 0
     val n = a.numElements(); val m = b.numElements()
-    while (i < n && j < m) {
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (c == 0) { cnt += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    // array_sort places null elements LAST: hitting one on either side
+    // means no further non-null matches exist — stop, don't NPE
+    var stop = false
+    while (!stop && i < n && j < m) {
+      if (a.isNullAt(i) || b.isNullAt(j)) stop = true
+      else {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { cnt += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     cnt
   }
@@ -63,6 +69,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $i = 0; int $j = 0; int $cnt = 0;
          |int $n = $a.numElements(); int $m = $b.numElements();
          |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) break;
          |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c == 0) { $cnt++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }

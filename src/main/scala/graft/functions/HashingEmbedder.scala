@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
 
 /** The engine's embedding contract (SURVEY §2.B8): deterministic
-  * `text → L2-normalized float[dim]`. Implementations must be
-  * serializable OR constructed per-partition via the factory overload of
-  * [[Embedders.embedDistributed]] (how a real ONNX/torch session slots
-  * in: the session is created once per partition, never serialized). */
+  * `text → L2-normalized float[dim]`. Lightweight implementations are
+  * serializable and can be passed directly; heavyweight backends (an
+  * ONNX/torch session) are constructed per-partition via the
+  * `() => Embedder` factory form of [[Embedders.embedDistributed]] —
+  * the session is created once per partition, never serialized. */
 trait Embedder extends Serializable {
   def dim: Int
   def embed(text: String): Array[Float]
@@ -23,21 +24,29 @@ object Embedders {
 
   /** Append `embedding` via mapPartitions: `mkEmbedder` runs ONCE per
     * partition (the place to open an ONNX session / load weights), then
-    * rows stream through its batch hook. */
+    * rows flow through [[Embedder.embedBatch]] in `batchSize` groups —
+    * backends that override the batch hook get real batched inference. */
   def embedDistributed(df: DataFrame, textCol: String,
-                       mkEmbedder: () => Embedder): DataFrame = {
+                       mkEmbedder: () => Embedder,
+                       batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
     val textIdx = df.schema.fieldIndex(textCol)
     val outSchema = StructType(df.schema.fields :+
       StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false))
     val rdd = df.rdd.mapPartitions { rows =>
       val embedder = mkEmbedder() // per-partition init (model/session)
-      rows.map { r =>
-        Row.fromSeq(r.toSeq :+ embedder.embed(r.getString(textIdx)).toSeq)
+      rows.grouped(batchSize).flatMap { group =>
+        val vecs = embedder.embedBatch(group.iterator.map(_.getString(textIdx))).toSeq
+        group.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Serializable-instance convenience form. */
+  def embedDistributed(df: DataFrame, textCol: String,
+                       embedder: Embedder): DataFrame =
+    embedDistributed(df, textCol, () => embedder)
 }
 
 /** B8 (SURVEY §2): embedding inference re-expressed as a pluggable,

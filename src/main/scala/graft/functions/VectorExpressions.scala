@@ -45,11 +45,27 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 
   protected def compute(a: ArrayData, b: ArrayData): Float
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    java.lang.Float.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  /** Dimension mismatch is a data error, not a truncation: a 64-dim
+    * query against a 1024-dim corpus must fail loudly (DuckDB's list_*
+    * kernels error identically), never return a prefix-only score. */
+  protected final def checkDims(n: Int, m: Int): Unit =
+    if (n != m) throw new IllegalArgumentException(
+      s"$prettyName: vector dimensions differ ($n vs $m)")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    checkDims(a.numElements(), b.numElements())
+    java.lang.Float.valueOf(compute(a, b))
+  }
+
+  protected def dimCheckCode(a: String, b: String): String =
+    s"""if ($a.numElements() != $b.numElements()) {
+       |  throw new IllegalArgumentException("$prettyName: vector dimensions differ ("
+       |    + $a.numElements() + " vs " + $b.numElements() + ")");
+       |}""".stripMargin
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => loopCode(ctx, a, b, ev.value))
+    nullSafeCodeGen(ctx, ev, (a, b) => dimCheckCode(a, b) + "\n" + loopCode(ctx, a, b, ev.value))
 }
 
 /** dot(a, b) with sequential float32 accumulation. On L2-normalized
@@ -163,7 +179,12 @@ case class CosineSimF32(left: Expression, right: Expression) extends VectorBinar
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na.toDouble).toFloat * math.sqrt(nb.toDouble).toFloat)
+    // zero-norm guard: similarity of/with a zero vector is defined as 0
+    // (NaN would rank ABOVE every real match in a desc sort and slip
+    // through >= threshold filters). Divergence from DuckDB only on
+    // zero vectors, which unit-norm corpora never contain.
+    if (na == 0.0f || nb == 0.0f) 0.0f
+    else dot / (math.sqrt(na.toDouble).toFloat * math.sqrt(nb.toDouble).toFloat)
   }
 
   override protected def loopCode(ctx: CodegenContext, a: String, b: String, target: String): String = {
@@ -181,8 +202,9 @@ case class CosineSimF32(left: Expression, right: Expression) extends VectorBinar
        |  float $x = $a.getFloat($i); float $y = $b.getFloat($i);
        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |$target = $dot / ((float) java.lang.Math.sqrt((double) $na)
-       |                  * (float) java.lang.Math.sqrt((double) $nb));
+       |$target = ($na == 0.0f || $nb == 0.0f) ? 0.0f
+       |  : $dot / ((float) java.lang.Math.sqrt((double) $na)
+       |            * (float) java.lang.Math.sqrt((double) $nb));
      """.stripMargin
   }
 
@@ -203,7 +225,10 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def reg2(name: String, f: (Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1)), "built-in")
+      reg.createOrReplaceTempFunction(name, es => {
+        require(es.length == 2, s"$name expects exactly 2 arguments, got ${es.length}")
+        f(es(0), es(1))
+      }, "built-in")
     reg2("dot_f32", DotProductF32.apply)
     reg2("l2_dist_f32", EuclideanDistF32.apply)
     reg2("l2sq_f32", L2SqF32.apply)

@@ -61,30 +61,38 @@ object StreamingIngest {
   case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
   case class SessionResult(user_id: Long, n_events: Long, duration_ms: Long, closed: Boolean)
 
-  /** Per-user sessionization via mapGroupsWithState (the
-    * KeyValueGroupedDataset custom-state path): a session closes after
-    * `gapMs` of inactivity (processing-time timeout). Demonstrates the
-    * engine's arbitrary-stateful-op surface; state is per-key and
-    * timeout-bounded. */
+  /** Per-user EVENT-TIME sessionization via flatMapGroupsWithState: a
+    * session closes when the next event arrives more than `gapMs` after
+    * the previous one (same gap rule as the batch twin,
+    * graft.queries.EventQueries ev_sessionize). Each trigger emits every
+    * session CLOSED by a gap inside/across batches plus the still-open
+    * session tagged closed=false (consumers keep closed=true rows, or
+    * the final open row per user at end of input). Requires
+    * OutputMode.Update when run as a stream; in batch execution the
+    * whole input is one trigger and all sessions (closed + final open)
+    * emit exactly once. */
   def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
                  gapMs: Long = 60000): org.apache.spark.sql.Dataset[SessionResult] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionResult](GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionResult](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            SessionResult(userId, s.nEvents, s.lastTs - s.firstTs, closed = true)
-          } else {
-            val evs = batch.toSeq
-            val tss = evs.map(_.ts.getTime)
-            val prev = state.getOption.getOrElse(SessionState(0, tss.min, tss.min))
-            val next = SessionState(prev.nEvents + evs.size,
-              math.min(prev.firstTs, tss.min), math.max(prev.lastTs, tss.max))
-            state.update(next)
-            state.setTimeoutDuration(gapMs)
-            SessionResult(userId, next.nEvents, next.lastTs - next.firstTs, closed = false)
+          val tss = batch.map(_.ts.getTime).toSeq.sorted
+          if (tss.isEmpty) Iterator.empty
+          else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionResult]
+            var cur = state.getOption.getOrElse(SessionState(0, tss.head, tss.head))
+            for (t <- tss) {
+              if (cur.nEvents > 0 && t - cur.lastTs > gapMs) {
+                closed += SessionResult(userId, cur.nEvents, cur.lastTs - cur.firstTs, closed = true)
+                cur = SessionState(0, t, t)
+              }
+              cur = SessionState(cur.nEvents + 1, math.min(cur.firstTs, t), math.max(cur.lastTs, t))
+            }
+            state.update(cur)
+            (closed :+ SessionResult(userId, cur.nEvents, cur.lastTs - cur.firstTs, closed = false))
+              .iterator
           }
       }
   }

@@ -62,22 +62,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionize (mapGroupsWithState): per-user session state, batch execution") {
-    // mapGroupsWithState runs in batch mode too (whole input = one
-    // batch, no timeouts) — validates the stateful op's aggregation
-    // semantics without the streaming harness
+  test("sessionize (flatMapGroupsWithState): event-time gaps split sessions") {
+    // batch execution = one trigger; gap splitting must match the batch
+    // twin (EventQueries ev_sessionize): events > gapMs apart start a
+    // new session; the final open session emits with closed=false
     import graft.streaming.StreamingIngest.SessionEvent
     def t(s: String) = Timestamp.valueOf(s)
     val ds = Seq(
       SessionEvent(1L, t("2024-01-01 00:00:00"), "click"),
       SessionEvent(1L, t("2024-01-01 00:00:10"), "view"),
       SessionEvent(1L, t("2024-01-01 00:00:20"), "purchase"),
+      SessionEvent(1L, t("2024-01-01 00:05:00"), "click"), // >60s gap
       SessionEvent(2L, t("2024-01-01 00:00:05"), "click")).toDS()
-    val out = graft.streaming.StreamingIngest.sessionize(ds, gapMs = 60000)
-      .collect().map(r => r.user_id -> r).toMap
-    assert(out(1L).n_events === 3)
-    assert(out(1L).duration_ms === 20000)
-    assert(out(2L).n_events === 1 && out(2L).duration_ms === 0)
+    val out = graft.streaming.StreamingIngest.sessionize(ds, gapMs = 60000).collect()
+    val u1 = out.filter(_.user_id == 1L)
+    assert(u1.count(_.closed) === 1)
+    val closedSession = u1.find(_.closed).get
+    assert(closedSession.n_events === 3 && closedSession.duration_ms === 20000)
+    val openSession = u1.find(!_.closed).get
+    assert(openSession.n_events === 1 && openSession.duration_ms === 0)
+    val u2 = out.filter(_.user_id == 2L)
+    assert(u2.length === 1 && !u2.head.closed && u2.head.n_events === 1)
   }
 
   test("file-source ingest stream: new parquet files flow through the transform") {

@@ -68,11 +68,22 @@ class VectorKernelSpec extends SparkSpec {
     assert(r(0).isNullAt(0) && r(1).isNullAt(0) && !r(2).isNullAt(0))
   }
 
-  test("length mismatch: kernels use the common prefix (no crash)") {
+  test("length mismatch: kernels fail loudly (prefix-only scores are garbage)") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
-    val r = df.select(dotF32($"a", $"b").as("d"), l2SqF32($"a", $"b").as("s")).head()
-    assert(r.getFloat(0) === 5.0f)
-    assert(r.getFloat(1) === 0.0f)
+    // surfaces as IllegalArgumentException directly (constant-folded
+    // local relation) or wrapped in SparkException from an executor
+    val e = intercept[Exception] {
+      df.select(dotF32($"a", $"b").as("d")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimensions differ")), e.toString)
+  }
+
+  test("cosine of a zero vector is 0, never NaN (ranking safety)") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val c = df.select(cosSimF32($"a", $"b").as("c")).head().getFloat(0)
+    assert(c === 0.0f && !c.isNaN)
   }
 
   test("empty arrays: dot=0, l2sq=0") {
