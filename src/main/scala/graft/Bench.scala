@@ -19,15 +19,24 @@ object Bench {
       Tables.embeddings(spark, sfDir).limit(1).count()
       spark.range(1000000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
+    // materialize via the noop sink: count() would let Catalyst prune
+    // computed columns and eliminate final sorts, timing a bare scan
+    // instead of the operator's actual work
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      // failed queries report -1 so a fast failure can never masquerade
+      // as a fast success in the perf gate
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failures = results.count(_._2 < 0)
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

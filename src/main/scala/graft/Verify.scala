@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale result from a previous run: a leftover dir
+        // would let the oracle compare silently pass on old output
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          stale.listFiles().foreach(_.delete())
+          stale.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -45,6 +45,8 @@ object Ann {
 
   /** nBits-bit signature: bit p = [dot(vec, plane_p) >= 0]. */
   def signSignature(vec: Seq[Float], nBits: Int): Int = {
+    require(nBits > 0 && nBits <= 31,
+      s"nBits must be 1..31 for an Int bucket (got $nBits; 1<<p wraps past 31)")
     var sig = 0
     var p = 0
     while (p < nBits) {
@@ -176,8 +178,10 @@ object Ann {
     val q = queryVec.toArray
     val probes = index.centroids.zipWithIndex
       .map { case (c, i) =>
+        require(c.length == q.length,
+          s"searchIvf: query dim ${q.length} != centroid dim ${c.length}")
         var acc = 0.0f; var d = 0
-        while (d < math.min(c.length, q.length)) { val x = c(d) - q(d); acc += x * x; d += 1 }
+        while (d < c.length) { val x = c(d) - q(d); acc += x * x; d += 1 }
         (i, acc)
       }
       .sortBy { case (i, dist) => (dist, i) }

@@ -173,6 +173,10 @@ object Dedup {
     * (chunkIdx, chunkValue), then are verified by popcount. */
   def nearDupSimHash(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
+    // 4 chunks of 16 bits guarantee a shared chunk only up to distance 3
+    // (pigeonhole); beyond that, qualifying pairs would be silently lost
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be 0..3 for 4x16-bit blocking (got $maxHamming)")
     val simUdf = udf((t: String) => simHash64(t))
     val chunksUdf = udf((sim: Long) => (0 until 4).map(i => (sim >>> (i * 16)) & 0xFFFFL))
     val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))

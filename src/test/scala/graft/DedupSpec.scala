@@ -51,11 +51,18 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash near-dup pairs on planted corpus") {
-    val docs = Seq((1L, base), (2L, base + " x"), (3L, unrelated)).toDF("doc_id", "text")
-    val pairs = Dedup.nearDupSimHash(docs, "doc_id", "text", maxHamming = 6)
+    // simhash is a token-multiset signature: reordering is Hamming 0,
+    // which is exactly the near-dup class it exists to catch (the 4x16
+    // blocking guarantees recall only to Hamming 3 — guarded)
+    val reordered = base.split(" ").reverse.mkString(" ")
+    val docs = Seq((1L, base), (2L, reordered), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupSimHash(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupSimHash(docs, "doc_id", "text", maxHamming = 6)
+    }
   }
 
   test("minhash LSH recall >= 0.8 vs exact jaccard on fixture corpus") {
