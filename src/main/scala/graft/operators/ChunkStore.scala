@@ -66,7 +66,10 @@ object ChunkStore {
       case Some(cs) => col(docCol) === lit(docId) && col(collectionCol).isin(cs.map(lit): _*)
       case None     => col(docCol) === lit(docId)
     }
-    chunks.filter(!victim)
+    // null-safe negation: under three-valued logic, a row with a null
+    // key would make `victim` NULL and `!victim` NULL — silently deleted
+    // by EVERY delete; coalesce keeps unmatched-by-null rows
+    chunks.filter(!coalesce(victim, lit(false)))
   }
 
   /** Collection-name validation (`get_vector_store`,
@@ -107,24 +110,41 @@ object ChunkStore {
                       collections: Seq[String] = Seq("master")): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(fsPath)) {
-      val dataSchema = org.apache.spark.sql.types.StructType(
-        schema.fields.filterNot(_.name == "collection"))
-      val empty = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema).repartition(1)
-      collections.foreach { c =>
-        empty.write.mode("overwrite").parquet(s"$path/collection=$c")
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == "collection"))
+    lazy val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema).repartition(1)
+    // per-collection existence check (not root-only): a crash between
+    // writes, or a collection added later, is repaired on the next call
+    collections.foreach { c =>
+      val cPath = new org.apache.hadoop.fs.Path(s"$path/collection=$c")
+      if (!fs.exists(cPath)) {
+        empty.write.mode("overwrite").parquet(cPath.toString)
       }
     }
   }
 
   /** D3: affected-row accounting that replaces the reference's tri-flag
     * success lattice (`vector_store.py:196-298`) — per-collection counts
-    * of deleted rows; "not found" is simply a zero count. */
+    * of deleted rows. Pass `collections` to get an explicit
+    * `deleted_rows = 0` row for consulted-but-empty collections (the
+    * lattice's "not found counts as success" state); without it, only
+    * collections that actually matched appear. */
   def deleteReport(chunks: DataFrame, docId: Any,
                    docCol: String = "doc_id",
-                   collectionCol: String = "collection"): DataFrame =
-    chunks.filter(col(docCol) === lit(docId))
+                   collectionCol: String = "collection",
+                   collections: Option[Seq[String]] = None): DataFrame = {
+    val matched = chunks.filter(col(docCol) === lit(docId))
       .groupBy(col(collectionCol))
       .agg(count(lit(1)).as("deleted_rows"))
+    collections match {
+      case None => matched
+      case Some(cs) =>
+        val spark = chunks.sparkSession
+        import spark.implicits._
+        cs.toDF(collectionCol)
+          .join(matched, Seq(collectionCol), "left_outer")
+          .na.fill(0L, Seq("deleted_rows"))
+    }
+  }
 }

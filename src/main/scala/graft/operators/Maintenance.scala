@@ -12,8 +12,10 @@ object Maintenance {
 
   /** Compact a parquet directory to ~targetBytes files: size the
     * partition count from actual on-disk bytes, rewrite, swap. The
-    * rewrite preserves rows exactly (count-checked before the swap —
-    * failed rewrites never destroy the original). */
+    * rewrite preserves rows exactly (count-checked before the swap) and
+    * the swap is rename-original-aside first, so any failure leaves the
+    * original either in place or restorable at `<path>__old`. A
+    * hive-partitioned layout (collection=... dirs) is preserved. */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024): Long = {
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -21,16 +23,33 @@ object Maintenance {
     val totalBytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
+    // preserve hive-style partition columns (dirs named col=value)
+    val partitionCols = fs.listStatus(hPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.contains("=")).map(_.split("=", 2)(0)).distinct
+
     val df = spark.read.parquet(path)
     val expected = df.count()
     val tmp = path.stripSuffix("/") + "__compacting"
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    val writer = df.repartition(nFiles).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp)
 
     val actual = spark.read.parquet(tmp).count()
     require(actual == expected,
       s"compaction row mismatch: $expected before, $actual after — aborting swap")
-    fs.delete(hPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val oldPath = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    if (fs.exists(oldPath)) fs.delete(oldPath, true)
+    require(fs.rename(hPath, oldPath),
+      s"compaction: could not move original aside ($path -> $oldPath); original untouched")
+    if (!fs.rename(tmpPath, hPath)) {
+      fs.rename(oldPath, hPath) // restore
+      throw new IllegalStateException(
+        s"compaction: swap failed for $path; original restored, rewrite left at $tmp")
+    }
+    fs.delete(oldPath, true)
     expected
   }
 

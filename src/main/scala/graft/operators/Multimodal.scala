@@ -33,8 +33,10 @@ object Multimodal {
     * the fixture stand-in for binary payloads. */
   def syntheticMedia(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
+    // pmod: negative ids under % would hit index 0 (error) or wrap to a
+    // wrong element via element_at's from-the-end negative indexing
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
-      (col(idCol) % 3 + 1).cast("int"))
+      (pmod(col(idCol), lit(3)) + 1).cast("int"))
     docs.select(
       col(idCol).as("media_id"),
       kind.as("kind"),

@@ -35,7 +35,13 @@ object PartitionedTopK {
     // so a better candidate evicts it in O(log k).
     val ord: Ordering[(Float, Long)] = Ordering.Tuple2[Float, Long]
 
-    val partial = corpus.select(col(idCol), col(embCol)).rdd.mapPartitions { rows =>
+    // null rows are excluded up front (a null embedding has no distance;
+    // the window formulation ranks them last via NULLS LAST — beyond-k
+    // either way), and dimension mismatch fails loudly exactly like the
+    // codegen kernels (VectorExpressions.checkDims)
+    val partial = corpus.select(col(idCol), col(embCol))
+      .where(col(idCol).isNotNull && col(embCol).isNotNull)
+      .rdd.mapPartitions { rows =>
       val qs = bq.value
       val heaps = Array.fill(qs.length)(mutable.PriorityQueue.empty[(Float, Long)](ord))
       for (r <- rows) {
@@ -44,9 +50,11 @@ object PartitionedTopK {
         var qi = 0
         while (qi < qs.length) {
           val q = qs(qi)._2
+          if (v.length != q.length) throw new IllegalArgumentException(
+            s"batchTopK: vector dimensions differ (${v.length} vs ${q.length})")
           var acc = 0.0f
           var d = 0
-          val n = math.min(v.length, q.length)
+          val n = v.length
           while (d < n) { val x = v(d) - q(d); acc += x * x; d += 1 }
           val dist = math.sqrt(acc.toDouble).toFloat
           val h = heaps(qi)

@@ -20,10 +20,14 @@ object Refresh {
     existing.join(incoming.select(col(key)).distinct(), Seq(key), "left_anti")
       .unionByName(incoming)
 
-  /** Keep-latest dedup: one row per key, the one with the max version
-    * column (ties broken by the key itself — deterministic). */
-  def latestByKey(df: DataFrame, key: String, versionCol: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc)
+  /** Keep-latest dedup: one row per key, the one with the max version.
+    * `tieBreakCols` makes equal-version ties deterministic (ordered
+    * ascending after version desc); without them, which duplicate of an
+    * exactly-tied version survives is partitioning-dependent. */
+  def latestByKey(df: DataFrame, key: String, versionCol: String,
+                  tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val ordering = col(versionCol).desc +: tieBreakCols.map(col(_).asc)
+    val w = Window.partitionBy(col(key)).orderBy(ordering: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

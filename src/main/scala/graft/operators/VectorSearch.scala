@@ -48,7 +48,10 @@ object VectorSearch {
     val pre = filter.map(chunks.filter).getOrElse(chunks)
     pre
       .withColumn("dist", metric.dist(col(embCol), typedLit(queryVec)).cast("double"))
-      .orderBy(col("dist"), col(idCol)) // unique id as final tie-break (SURVEY §7.4)
+      // nulls LAST: a null embedding yields a null dist (nullIntolerant
+      // kernels) and Spark's default NULLS FIRST would seat such rows in
+      // the top-k ahead of every real neighbor
+      .orderBy(col("dist").asc_nulls_last, col(idCol)) // unique id tie-break (SURVEY §7.4)
       .limit(k)
   }
 
@@ -70,7 +73,7 @@ object VectorSearch {
                       docCol: String, metric: Metric = L2Sq,
                       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val cands = topKWithScore(chunks, queryVec, 2 * k, metric, None, embCol, idCol)
-    val w = Window.partitionBy(col(docCol)).orderBy(col("dist"), col(idCol))
+    val w = Window.partitionBy(col(docCol)).orderBy(col("dist").asc_nulls_last, col(idCol))
     cands
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -91,7 +94,7 @@ object VectorSearch {
                 qIdCol: String = "query_id", qEmbCol: String = "query_embedding"): DataFrame = {
     val joined = chunks.crossJoin(broadcast(queries))
       .withColumn("dist", metric.dist(col(embCol), col(qEmbCol)).cast("double"))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("dist"), col(idCol))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("dist").asc_nulls_last, col(idCol))
     joined
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
