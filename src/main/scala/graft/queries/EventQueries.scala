@@ -13,7 +13,11 @@ import graft.Tables
   * Numeric-sum parity note: `value` sums run as exact integer cents
   * (round(value*100) per row, BIGINT sum) — double summation order
   * across rows is engine-dependent; integer addition is exact and
-  * associative, so hashes match in both engines.
+  * associative, so hashes match in both engines. The oracle wraps every
+  * sum in an outer CAST(... AS BIGINT): DuckDB's sum(BIGINT) yields
+  * HUGEINT, which pandas widens to float64 and the driver's dtype-aware
+  * hash then mismatches Spark's int64 even when the values are equal
+  * (the r1 `ev_window_agg`/`ev_top_users`/`rel_revenue_monthly` failure).
   */
 object EventQueries {
 
@@ -83,7 +87,7 @@ object EventQueries {
     "ev_window_agg" ->
       """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) * 60 AS window_start_s,
         |       event_type, count(*) AS n_events,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start_s, event_type""".stripMargin,
     "ev_sessionize" ->
@@ -116,7 +120,7 @@ object EventQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_top_users" ->
       """SELECT user_id, count(*) AS n_events,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM events GROUP BY user_id
         |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
   )

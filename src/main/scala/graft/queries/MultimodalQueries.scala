@@ -31,11 +31,18 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media, everyMs = 1000L)
         .orderBy(col("media_id"), col("frame_ts"))
     },
-    // stub feature extraction via mapPartitions (rows-only)
+    // stub feature extraction via mapPartitions (rows-only). The gate
+    // projects a scalar digest of the vector instead of the raw
+    // array<float>: the driver's pandas comparator cannot sort ndarray
+    // cells (r1 recorded this entry as err). Raw-array assertions live
+    // in MultimodalSpec.
     "mm_features" -> { (s, dir) =>
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
       Multimodal.extractFeatures(media, dim = 64)
-        .select(col("media_id"), col("kind"), col("features"))
+        .select(col("media_id"), col("kind"),
+          xxhash64(array_join(transform(col("features"),
+            f => format_number(f.cast("double"), 6)), ",")).as("features_digest"),
+          size(col("features")).cast("long").as("dim"))
         .orderBy(col("media_id"))
     },
     // zip explode + parse + status rollup, self-contained: members are

@@ -67,7 +67,7 @@ object RelationalQueries {
     "rel_revenue_monthly" ->
       """SELECT strftime(o.o_orderdate, '%Y-%m') AS month, l.l_returnflag,
         |       count(*) AS n_items,
-        |       sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |       CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2 ORDER BY month, l_returnflag""".stripMargin,
     "rel_price_histogram" ->

@@ -5,7 +5,9 @@ the shipped library has no Python dependency).
 Runs DuckDB oracle SQL from <outDir>/oracle_sql.json against the fixture
 parquet tables and compares against the Spark results graft.Verify wrote
 to <outDir>/<name>/ — columns sorted by name, rows sorted, exact value
-compare (floats bitwise unless --tol given).
+compare (floats bitwise, no tolerance) AND dtype-identical: the driver's
+hash is dtype-aware, so an int64 column vs DuckDB's HUGEINT-widened
+float64 is a FAIL here even when every value compares equal.
 
 Usage: python3 tools/verify_local.py <sfDir> <outDir>
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
@@ -36,11 +38,12 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        files = glob.glob(f"{d}/*.parquet")
+        files = sorted(glob.glob(f"{d}/*.parquet"))
         if not files:
             results[name] = "EMPTY-DIR"
             continue
-        spark_df = pq.read_table(files[0]).to_pandas()
+        spark_df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                             ignore_index=True)
         if name not in oracle:
             results[name] = f"ROWS-ONLY ({len(spark_df)} rows)"
             continue
@@ -59,6 +62,9 @@ def main():
         mismatches = []
         for c in s.columns:
             a, b = s[c], dck[c]
+            if a.dtype != b.dtype:
+                mismatches.append(f"{c}: dtype spark={a.dtype} duck={b.dtype}")
+                continue
             try:
                 eq = (a.values == b.values) | (a.isna().values & b.isna().values)
             except Exception:
