@@ -93,25 +93,26 @@ object ZipIngest {
       .select(col("zip_path"), col("m._1").as("member_name"), col("m._2").as("member_bytes"))
   }
 
-  /** B1: loader dispatch by extension — the live path supports .txt and
-    * .pdf only, everything else is an error (`document_processor.py:
-    * 100-117`, ValueError). Text parses as UTF-8; PDF text extraction
-    * needs a parser library not present in this environment, so the PDF
-    * branch is a clearly-marked STUB that recovers printable runs — the
-    * dispatch/error semantics and the Spark plumbing are the operator. */
+  /** B1: loader dispatch by extension, matching the reference's
+    * `load_document` surface (`document_processor.py:46-52`: Docling for
+    * .pdf, Unstructured for .docx/.doc, TextLoader for .txt/.md/
+    * .markdown) with its ValueError for anything else
+    * (`document_processor.py:100-117`). PDF and DOCX extraction are
+    * pure-JVM implementations ([[PdfText]], [[DocxText]]); a parse
+    * failure surfaces as Left so the B13 status lattice reports the
+    * member as error instead of failing the task. */
   def parseDocument(name: String, bytes: Array[Byte]): Either[String, String] = {
     val ext = name.lastIndexOf('.') match {
       case -1 => ""
       case i  => name.substring(i).toLowerCase
     }
     ext match {
-      case ".txt" => Right(new String(bytes, StandardCharsets.UTF_8))
-      case ".pdf" =>
-        // STUB: real impl = PDF text extraction (DoclingLoader equivalent);
-        // deterministic printable-run recovery keeps the pipeline testable.
-        Right(new String(bytes, StandardCharsets.ISO_8859_1)
-          .replaceAll("[^\\x20-\\x7E\\n]+", " ").trim)
-      case other => Left(s"Unsupported file type: $other. Supported types are: .pdf, .txt")
+      case ".txt" | ".md" | ".markdown" => Right(new String(bytes, StandardCharsets.UTF_8))
+      case ".pdf"           => PdfText.extract(bytes)
+      case ".docx" | ".doc" => DocxText.extract(bytes)
+      case other =>
+        Left(s"Unsupported file type: $other. Supported types are: " +
+          ".pdf, .txt, .md, .markdown, .docx, .doc")
     }
   }
 
