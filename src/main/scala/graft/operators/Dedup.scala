@@ -240,6 +240,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact word-set Jaccard pairs WITHOUT a corpus broadcast — the scale
+    * path for exact set-similarity (prefix-filtered inverted-index join,
+    * the SSJoin/PPJoin construction from the set-similarity literature).
+    *
+    * Under any global total order on tokens (here: the 64-bit token
+    * hash), `jaccard(a,b) >= t` implies `|a∩b| >= ceil(t*max(|a|,|b|))`,
+    * and two sets with intersection >= α must collide within their first
+    * `|x| - α + 1` order-smallest tokens. So indexing only the
+    * `floor((1-t)*|x|) + 1`-token prefix of each document loses NO
+    * qualifying pair, and candidate generation is an equi-join on
+    * (block, prefixToken) — a plain shuffle whose volume is ~(1-t+ε) of
+    * the exploded token table, not a quadratic pair loop or an
+    * all-corpus broadcast. Candidates dedup on slim id pairs, then one
+    * exact verify computes true Jaccard — identical output to
+    * [[jaccardPairs]] (same oracle gates both).
+    *
+    * 100 TB: shuffles scale linearly with corpus tokens; per-key fan-out
+    * concentrates only on tokens that are BOTH globally hot and
+    * hash-small (random order makes that rare; frequency-ascending
+    * ordering is the PPJoin refinement if a corpus hits it). */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    val t = docs.select(col(idCol), col(blockCol).as("blk"),
+      array_distinct(tokens(col(textCol))).as("w"))
+      .select(col(idCol), col("blk"), size(col("w")).as("sz"),
+        array_sort(transform(col("w"), x => xxhash64(x))).as("h"))
+    val prefLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
+    val pref = t.select(col(idCol), col("blk"), col("sz"),
+      explode(slice(col("h"), lit(1), prefLen)).as("tok"))
+    val a = pref.select(col("blk"), col("tok"), col(idCol).as("id_a"), col("sz").as("sa"))
+    val b = pref.select(col("blk"), col("tok"), col(idCol).as("id_b"), col("sz").as("sb"))
+    val candidates = a.join(b, Seq("blk", "tok"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sa"), col("sb")).cast("double") >=
+          lit(threshold) * greatest(col("sa"), col("sb")))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(t.select(col(idCol).as("id_a"), col("sz").as("sa"), col("h").as("ha")), Seq("id_a"))
+      .join(t.select(col(idCol).as("id_b"), col("sz").as("sb"), col("h").as("hb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact embedding-cosine near-dup pairs (the correctness oracle; the
     * scale path routes candidates through SignLsh buckets first). */
   def cosineNearDup(emb: DataFrame, idCol: String, embCol: String,

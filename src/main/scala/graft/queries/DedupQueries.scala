@@ -30,9 +30,13 @@ object DedupQueries {
       Dedup.duplicateGroups(docs, Dedup.wordSetFingerprint(col("text")), "doc_id")
         .orderBy(col("fingerprint"))
     },
-    // n-gram (word-set) Jaccard near-dup pairs, lang-blocked, >= 0.8
+    // n-gram (word-set) Jaccard near-dup pairs, lang-blocked, >= 0.8.
+    // The gate runs the prefix-filtered inverted-index join — the exact
+    // algorithm whose plan has NO full-corpus broadcast and survives
+    // 100 TB — against the same oracle as the pair-join formulation
+    // (both are exact; DedupSpec asserts plan-level equality too).
     "dedup_jaccard" -> { (s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "lang", 0.8)
+      Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text", "lang", 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
     // exact embedding-cosine near-dup pairs (>= 0.45 on the fixture's

@@ -130,6 +130,36 @@ class DedupSpec extends SparkSpec {
     assert(viaOp === exact)
   }
 
+  test("jaccardPairsPrefix == jaccardPairs on the fixture corpus (exactness of the scale path)") {
+    val docs = Tables.documents(spark, sfDir)
+    val prefix = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", "lang", 0.8)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val pairJoin = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.8)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(prefix === pairJoin)
+    assert(prefix.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("jaccardPairsPrefix: threshold boundaries and degenerate docs") {
+    val docs = Seq(
+      (1L, "a b c d e", "en"),  // vs 2: jac = 4/6
+      (2L, "a b c d x", "en"),
+      (3L, "a b c d e", "en"),  // exact dup of 1: jac = 1.0
+      (4L, "", "en"),           // empty token set: never a candidate
+      (5L, "a b c d e", "de")   // other block: never paired with 1/3
+    ).toDF("doc_id", "text", "lang")
+    val at1 = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", "lang", 1.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(at1 === Set((1L, 3L)))
+    val at066 = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", "lang", 0.66)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(at066 === Set((1L, 3L), (1L, 2L), (2L, 3L)))
+    // prefix path produces no broadcast of the corpus and no cross join
+    val plan = Dedup.jaccardPairsPrefix(Tables.documents(spark, sfDir),
+      "doc_id", "text", "lang", 0.8).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("duplicateGroups + dropDuplicates consistency") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
     val groups = Dedup.duplicateGroups(docs, Dedup.fingerprint($"text"), "doc_id").collect()
