@@ -21,12 +21,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale result from a previous run: a leftover dir
-        // would let the oracle compare silently pass on old output
-        val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists()) {
-          stale.listFiles().foreach(_.delete())
-          stale.delete()
+        // would let the oracle compare silently pass on old output.
+        // Recursive — a failed write can leave _temporary/ subtrees that
+        // a flat listFiles delete would silently skip.
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+          if (!f.delete() && f.exists())
+            System.err.println(s"[verify] WARNING: could not delete stale $f")
         }
+        rmTree(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

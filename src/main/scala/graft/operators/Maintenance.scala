@@ -10,14 +10,35 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** Restore a table whose compaction swap was interrupted: if `path`
+    * is missing but `<path>__old` exists (the crash window between the
+    * two renames in [[compactParquet]]), rename the original back.
+    * Returns true when a restore happened. Call at startup for any
+    * compaction-managed table, or rely on [[compactParquet]] calling it. */
+  def restoreIfInterrupted(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldPath = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    if (!fs.exists(hPath) && fs.exists(oldPath)) fs.rename(oldPath, hPath)
+    else false
+  }
+
   /** Compact a parquet directory to ~targetBytes files: size the
     * partition count from actual on-disk bytes, rewrite, swap. The
     * rewrite preserves rows exactly (count-checked before the swap) and
     * the swap is rename-original-aside first, so any failure leaves the
-    * original either in place or restorable at `<path>__old`. A
-    * hive-partitioned layout (collection=... dirs) is preserved. */
+    * original either in place or restorable at `<path>__old` (an
+    * interrupted swap is auto-restored on the next call, or explicitly
+    * via [[restoreIfInterrupted]]). A hive-partitioned layout
+    * (collection=... dirs) is preserved.
+    *
+    * Concurrency contract: SINGLE WRITER, and no concurrent readers
+    * during the swap — between the two renames the table path briefly
+    * does not exist. Readers holding an already-planned DataFrame are
+    * unaffected only until their next file listing. */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    restoreIfInterrupted(spark, path)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(hPath).getLength

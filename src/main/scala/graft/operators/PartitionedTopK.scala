@@ -24,16 +24,46 @@ import org.apache.spark.sql.types._
 object PartitionedTopK {
 
   /** queries: driver-side (id, vector) pairs — the broadcast side.
-    * Returns (query_id, idCol, dist, rn) ranked 1..k per query. */
+    * Returns (query_id, idCol, dist, rn) ranked 1..k per query.
+    * The id column may be long, int or string (e.g. ChunkSchema's
+    * string `chunk_id`); its type is carried through to the result. */
   def batchTopK(corpus: DataFrame, queries: Seq[(Long, Array[Float])], k: Int,
                 embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val spark = corpus.sparkSession
     val sc = spark.sparkContext
     val bq = sc.broadcast(queries.toArray)
 
+    // tie-break ordering on the id, matching the final window rank's
+    // semantics for that type (strings compare as UTF-8 bytes, the same
+    // binary order Spark's UTF8String sort uses — Java String.compareTo
+    // would disagree on supplementary characters)
+    val idType = corpus.schema(idCol).dataType
+    val idOrd: Ordering[Any] = idType match {
+      case LongType    => Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
+      case StringType  => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"batchTopK: id column '$idCol' has unsupported type $other " +
+          "(supported: long, int, string)")
+    }
+
     // (dist, id) max-heap of size k per query: head = WORST kept entry,
     // so a better candidate evicts it in O(log k).
-    val ord: Ordering[(Float, Long)] = Ordering.Tuple2[Float, Long]
+    val ord: Ordering[(Float, Any)] =
+      Ordering.Tuple2(Ordering.Float.TotalOrdering, idOrd)
 
     // null rows are excluded up front (a null embedding has no distance;
     // the window formulation ranks them last via NULLS LAST — beyond-k
@@ -43,9 +73,9 @@ object PartitionedTopK {
       .where(col(idCol).isNotNull && col(embCol).isNotNull)
       .rdd.mapPartitions { rows =>
       val qs = bq.value
-      val heaps = Array.fill(qs.length)(mutable.PriorityQueue.empty[(Float, Long)](ord))
+      val heaps = Array.fill(qs.length)(mutable.PriorityQueue.empty[(Float, Any)](ord))
       for (r <- rows) {
-        val id = r.getLong(0)
+        val id = r.get(0)
         val v = r.getSeq[Float](1)
         var qi = 0
         while (qi < qs.length) {
@@ -70,7 +100,7 @@ object PartitionedTopK {
 
     val schema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
-      StructField(idCol, LongType, nullable = false),
+      StructField(idCol, idType, nullable = false),
       StructField("dist", DoubleType, nullable = false)))
     val reduced = spark.createDataFrame(partial, schema)
 

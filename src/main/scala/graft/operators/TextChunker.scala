@@ -22,22 +22,38 @@ import org.apache.spark.sql.functions._
 object TextChunker {
 
   /** B4: sentence segmentation. No KSS on the JVM (SURVEY §7.4): a
-    * rule-based splitter over terminal punctuation `.!?…` (incl. Korean
-    * full stops `。！？`) keeping the delimiter with its sentence;
-    * newline fallback when no terminal punctuation exists, matching the
-    * reference's KSS-failure fallback (`text_spliter.py:64-68`).
+    * rule-based approximation of KSS's punct backend
+    * (`text_spliter.py:54-68`), with the KSS behaviors that matter most
+    * for Korean text (parity vectors in TextChunkerSpec):
+    *
+    *  - split AFTER terminal punctuation runs `.!?…。！？`, keeping up
+    *    to two closing quotes/brackets (`"’”)］」』》`) attached to the
+    *    sentence they close;
+    *  - do NOT split when the quote is followed by a continuation
+    *    particle (`라고/이라고/고/하고/며/면서` — reported speech reads on:
+    *    `그는 "안녕하세요."라고 말했다` is ONE sentence in KSS);
+    *  - split at whitespace after unpunctuated sentence-final endings
+    *    `~다/~요/~죠` (KSS's README example splits `...맛있었어요 다만,`),
+    *    EXCEPT the connective endings `~구요/~고요` which continue the
+    *    sentence (`...평범했구요 갈비탕과...` stays joined);
+    *  - newline fallback when no terminal punctuation exists, matching
+    *    the reference's KSS-failure fallback (`text_spliter.py:64-68`).
     * Blank-stripped like the reference. */
   def splitSentences(text: String): Seq[String] = {
     if (text == null) return Seq.empty
+    val punct = "\\.!\\?…。！？"
+    val closers = "\"'”’\\)\\]」』》"
+    val punctSplit = // after punct(+closers), not mid-run, not before a continuation
+      s"(?<=[$punct][$closers]{0,2})(?![$punct$closers])(?!라고|이라고|고[\\s,]|하고|며[\\s,]|면서)"
+    // unpunctuated sentence-final endings: word ends 다/요/죠 before
+    // whitespace; ~구요/~고요 are connectives, not terminals
+    val koEndingSplit = "(?<=[다요죠])(?<!구요)(?<!고요)\\s+(?=\\S)"
     val hasTerminal = text.exists(c => ".!?…。！？".indexOf(c.toInt) >= 0)
-    val parts: Seq[String] =
-      if (hasTerminal) {
-        // split AFTER terminal punctuation runs (e.g. "...", "?!")
-        text.split("(?<=[.!?…。！？])(?=[^.!?…。！？])").toSeq
-      } else {
-        text.split('\n').toSeq
-      }
-    parts.map(_.trim).filter(_.nonEmpty)
+    val base: Seq[String] =
+      if (hasTerminal) text.split(punctSplit).toSeq
+      else text.split('\n').toSeq
+    base.flatMap(_.split(koEndingSplit).toSeq)
+      .map(_.trim).filter(_.nonEmpty)
   }
 
   /** B5: greedy sentence packing with overlap — faithful re-expression of

@@ -58,6 +58,14 @@ object VectorQueries {
       VectorSearch.topKWithScore(Tables.embeddings(s, dir), qvec(s, dir, 0), 5,
         Euclidean, filter = Some(col("label") === 3)).drop("embedding")
     },
+    // A7 via the Chroma where-DSL surface: the JSON a reference API user
+    // sends ({"$or": ...}) translates to the same pushdown predicate
+    "a7_where_dsl" -> { (s, dir) =>
+      val where = graft.functions.WhereFilter.parse(
+        """{"$or": [{"label": {"$in": [2, 3]}}, {"label": {"$gte": 8}}]}""")
+      VectorSearch.topKWithScore(Tables.embeddings(s, dir), qvec(s, dir, 0), 5,
+        Euclidean, filter = Some(where)).drop("embedding")
+    },
     // A8: over-fetch 2k, best chunk per doc, top-k docs
     // (search_engine.py:15-55 intended semantics; label = doc stand-in)
     "a8_best_per_doc" -> { (s, dir) =>
@@ -105,6 +113,13 @@ object VectorQueries {
          |SELECT vec_id, label, 1.0 - dist * dist AS score
          |FROM topk WHERE 1.0 - dist * dist >= 0.1
          |ORDER BY score DESC, vec_id""".stripMargin,
+    "a7_where_dsl" ->
+      s"""SELECT e.vec_id, e.label,
+         |       CAST(list_distance(e.embedding, q) AS DOUBLE) AS dist
+         |FROM embeddings e CROSS JOIN $qvecSql
+         |WHERE e.label IN (2, 3) OR e.label >= 8
+         |ORDER BY dist, e.vec_id
+         |LIMIT 5""".stripMargin,
     "a7_meta_filter_knn" ->
       s"""SELECT e.vec_id, e.label,
          |       CAST(list_distance(e.embedding, q) AS DOUBLE) AS dist

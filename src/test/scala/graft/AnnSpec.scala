@@ -31,6 +31,29 @@ class AnnSpec extends SparkSpec {
     assert(viaHeap === viaWindow)
   }
 
+  test("PartitionedTopK: string id column carries through (chunk_id shape)") {
+    val emb = Tables.embeddings(spark, sfDir).limit(500)
+      .withColumn("chunk_id", concat(lit("chunk_"), format_string("%06d", $"vec_id")))
+    val qs = Tables.embeddings(spark, sfDir).filter($"vec_id" < 2)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val res = PartitionedTopK.batchTopK(emb, qs, 3, idCol = "chunk_id")
+      .select("query_id", "chunk_id", "dist").as[(Long, String, Double)].collect().toSeq
+    assert(res.length === 6)
+    assert(res.forall(_._2.startsWith("chunk_")))
+    // same answers as the long-id path, modulo the id formatting
+    val viaLong = PartitionedTopK.batchTopK(
+      Tables.embeddings(spark, sfDir).limit(500), qs, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(res.map(r => (r._1, r._2.stripPrefix("chunk_").toLong)) === viaLong)
+    // unsupported id type fails with a clear message
+    val bad = intercept[IllegalArgumentException] {
+      PartitionedTopK.batchTopK(emb.withColumn("fid", $"vec_id".cast("double")),
+        qs, 3, idCol = "fid")
+    }
+    assert(bad.getMessage.contains("unsupported"))
+  }
+
   test("sign-LSH recall@10 >= 0.9 on clustered data (angular structure)") {
     // 20 clusters x 30 members, small angular noise — the regime LSH is
     // for. Uniform random vectors have no structure for ANY sublinear

@@ -55,6 +55,42 @@ class EmbedderPipelineSpec extends SparkSpec {
     assert(viaUdf === viaPartitions)
   }
 
+  test("NeuralEmbedder: batched inference == per-row inference, bit-identical") {
+    import graft.functions.NeuralEmbedder
+    val e = new NeuralEmbedder(dim = 64)
+    val texts = Seq("the quick brown fox", "잘 부탁드립니다", "", "one", "two words here")
+    val batched = e.embedBatch(texts.iterator).toSeq
+    val perRow = texts.map(t => new NeuralEmbedder(dim = 64).embed(t))
+    for ((b, p) <- batched.zip(perRow)) assert(b.toSeq === p.toSeq)
+    // L2-normalized, deterministic across instances
+    for (v <- batched.filter(_.exists(_ != 0.0f)))
+      assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    // similarity structure: shared tokens → closer than disjoint
+    def cos(x: Array[Float], y: Array[Float]) = x.zip(y).map { case (a, b) => a * b }.sum
+    val q = e.embed("the quick brown fox jumps")
+    assert(cos(q, batched(0)) > cos(q, batched(1)))
+  }
+
+  test("NeuralEmbedder: per-partition session init + real batches through the seam") {
+    import graft.functions.{Embedders, NeuralEmbedder}
+    val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(200)
+      .select($"doc_id", $"text").repartition(4).cache()
+    try {
+      docs.count() // materialize so the embed job sees exactly 4 partitions
+      NeuralEmbedder.constructions.set(0)
+      NeuralEmbedder.maxBatchSeen.set(0)
+      val out = Embedders.embedDistributed(docs, "text",
+        () => new NeuralEmbedder(dim = 64), batchSize = 64)
+      assert(out.select($"embedding").as[Seq[Float]].collect().forall(_.length == 64))
+      // the "model load" ran once per partition — not once per row/batch
+      assert(NeuralEmbedder.constructions.get() === 4,
+        s"expected 4 per-partition inits, got ${NeuralEmbedder.constructions.get()}")
+      // and inference really was batched (50 rows/partition → batches of 64→50)
+      assert(NeuralEmbedder.maxBatchSeen.get() === 50,
+        s"expected a full 50-row batch, got ${NeuralEmbedder.maxBatchSeen.get()}")
+    } finally docs.unpersist()
+  }
+
   test("typed Dataset[Chunk] round trip through the canonical schema") {
     import graft.ChunkSchema
     import graft.ChunkSchema.Chunk

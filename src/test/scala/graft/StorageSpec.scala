@@ -125,6 +125,27 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 200)
   }
 
+  test("compactParquet: interrupted swap auto-restores from __old") {
+    import graft.operators.Maintenance
+    val dir = tmpDir("restore") + "/table"
+    Tables.documents(spark, sfDir).limit(50).write.parquet(dir)
+    // simulate a crash between the two swap renames: table moved aside
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    assert(Maintenance.restoreIfInterrupted(spark, dir))
+    assert(spark.read.parquet(dir).count() === 50)
+    // idempotent when nothing to restore
+    assert(!Maintenance.restoreIfInterrupted(spark, dir))
+    // and compactParquet itself restores before compacting
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old"))
+    assert(Maintenance.compactParquet(spark, dir) === 50)
+    assert(spark.read.parquet(dir).count() === 50)
+  }
+
   test("upsertByKey replaces matched keys, keeps the rest") {
     import graft.operators.Refresh
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")

@@ -43,6 +43,47 @@ class TextChunkerSpec extends SparkSpec {
     assert(splitSentences(null) === Seq.empty)
   }
 
+  // ---------------------------------------------- B4 KSS parity vectors
+  //
+  // Expected outputs below are what KSS (the reference's splitter,
+  // text_spliter.py:54-62) produces on its own published examples —
+  // the parity table for this rule-based approximation:
+  //
+  //   vector                              | KSS          | this splitter
+  //   ------------------------------------+--------------+--------------
+  //   README 3-sentence restaurant review | 3 sentences  | 3 (same cuts)
+  //   unpunctuated ~어요 before 다만       | split        | split
+  //   connective ~구요 mid-sentence        | no split     | no split
+  //   "quoted."라고 reported speech        | no split     | no split
+  //   closing quote after terminal punct  | attached     | attached
+
+  test("KSS parity: README example — unpunctuated 어요/구요 endings") {
+    val text = "회사 동료 분들과 다녀왔는데 분위기도 좋고 음식도 맛있었어요 다만, " +
+      "역시 토요일 저녁이라 사람이 많았습니다. 실내 인테리어는 평범했구요 " +
+      "갈비탕과 냉면, 육회비빔밥이 맛있습니다."
+    assert(splitSentences(text) === Seq(
+      "회사 동료 분들과 다녀왔는데 분위기도 좋고 음식도 맛있었어요",
+      "다만, 역시 토요일 저녁이라 사람이 많았습니다.",
+      "실내 인테리어는 평범했구요 갈비탕과 냉면, 육회비빔밥이 맛있습니다."))
+  }
+
+  test("KSS parity: reported speech — quote + 라고 continues the sentence") {
+    assert(splitSentences("그는 \"안녕하세요.\"라고 말했다. 그리고 떠났다.") ===
+      Seq("그는 \"안녕하세요.\"라고 말했다.", "그리고 떠났다."))
+  }
+
+  test("KSS parity: closing quotes/brackets stay with their sentence") {
+    assert(splitSentences("그녀는 \"좋아요!\" 그리고 웃었다.") ===
+      Seq("그녀는 \"좋아요!\"", "그리고 웃었다."))
+    assert(splitSentences("(이것은 예시다.) 다음 문장이다.") ===
+      Seq("(이것은 예시다.)", "다음 문장이다."))
+  }
+
+  test("KSS parity: unpunctuated 다/요/죠 endings split at whitespace") {
+    assert(splitSentences("오늘 날씨가 좋다 내일도 맑겠죠 모두 나들이 가요 좋은 하루") ===
+      Seq("오늘 날씨가 좋다", "내일도 맑겠죠", "모두 나들이 가요", "좋은 하루"))
+  }
+
   // ------------------------------------------------------------ B5 merge
 
   test("merge: greedy pack within chunkSize") {
