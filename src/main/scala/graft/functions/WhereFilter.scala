@@ -71,7 +71,10 @@ object WhereFilter {
 
   private def scalar(v: JValue): Any = v match {
     case JString(s)  => s
-    case JInt(i)     => i.toLong
+    case JInt(i)     =>
+      if (!i.isValidLong) // BigInt.toLong would silently wrap → wrong filter
+        throw new IllegalArgumentException(s"Integer filter value out of range: $i")
+      i.toLong
     case JLong(l)    => l
     case JDouble(d)  => d
     case JDecimal(d) => d.toDouble

@@ -262,10 +262,15 @@ object Dedup {
     * ordering is the PPJoin refinement if a corpus hits it). */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          blockCol: String, threshold: Double): DataFrame = {
+    // the slim tokenized projection feeds THREE consumers (prefix
+    // explode + both verify joins) — persist it so the corpus is
+    // tokenized/hashed once, not three times (it is the dominant
+    // row-wise cost; MEMORY_AND_DISK spills instead of OOMing at scale)
     val t = docs.select(col(idCol), col(blockCol).as("blk"),
       array_distinct(tokens(col(textCol))).as("w"))
       .select(col(idCol), col("blk"), size(col("w")).as("sz"),
         array_sort(transform(col("w"), x => xxhash64(x))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
     val pref = t.select(col(idCol), col("blk"), col("sz"),
       explode(slice(col("h"), lit(1), prefLen)).as("tok"))

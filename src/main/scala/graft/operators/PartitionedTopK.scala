@@ -42,17 +42,24 @@ object PartitionedTopK {
       case LongType    => Ordering.by((x: Any) => x.asInstanceOf[Long])
       case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
       case StringType  => new Ordering[Any] {
+        // code-point order == UTF-8 byte order (UTF-8 preserves code
+        // point ordering), computed without allocating byte arrays —
+        // this comparator runs inside the per-row heap loop on distance
+        // ties. Plain String.compareTo (UTF-16 code units) would
+        // disagree when supplementary characters meet chars >= U+E000.
         def compare(a: Any, b: Any): Int = {
-          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val x = a.asInstanceOf[String]
+          val y = b.asInstanceOf[String]
           var i = 0
-          val n = math.min(x.length, y.length)
-          while (i < n) {
-            val c = (x(i) & 0xff) - (y(i) & 0xff)
-            if (c != 0) return c
-            i += 1
+          var j = 0
+          while (i < x.length && j < y.length) {
+            val cx = x.codePointAt(i)
+            val cy = y.codePointAt(j)
+            if (cx != cy) return Integer.compare(cx, cy)
+            i += Character.charCount(cx)
+            j += Character.charCount(cy)
           }
-          x.length - y.length
+          Integer.compare(x.length - i, y.length - j)
         }
       }
       case other => throw new IllegalArgumentException(

@@ -32,28 +32,47 @@ object TextChunker {
     *  - do NOT split when the quote is followed by a continuation
     *    particle (`라고/이라고/고/하고/며/면서` — reported speech reads on:
     *    `그는 "안녕하세요."라고 말했다` is ONE sentence in KSS);
-    *  - split at whitespace after unpunctuated sentence-final endings
-    *    `~다/~요/~죠` (KSS's README example splits `...맛있었어요 다만,`),
+    *  - split at whitespace after unpunctuated sentence-final endings:
+    *    `~요/~죠` (KSS's README example splits `...맛있었어요 다만,`)
     *    EXCEPT the connective endings `~구요/~고요` which continue the
-    *    sentence (`...평범했구요 갈비탕과...` stays joined);
+    *    sentence (`...평범했구요 갈비탕과...` stays joined); and `~다`
+    *    ONLY under unambiguous verbal morphology — preceding syllable
+    *    with ㅆ-batchim (past `~았다/~었다/~였다`: 왔다/했다/있다...) or
+    *    `~니다/~겠다` — because bare `다` also ends common nouns
+    *    (바다, 소다), so splitting every `다 ` would cut mid-sentence;
     *  - newline fallback when no terminal punctuation exists, matching
     *    the reference's KSS-failure fallback (`text_spliter.py:64-68`).
     * Blank-stripped like the reference. */
   def splitSentences(text: String): Seq[String] = {
     if (text == null) return Seq.empty
-    val punct = "\\.!\\?…。！？"
-    val closers = "\"'”’\\)\\]」』》"
-    val punctSplit = // after punct(+closers), not mid-run, not before a continuation
-      s"(?<=[$punct][$closers]{0,2})(?![$punct$closers])(?!라고|이라고|고[\\s,]|하고|며[\\s,]|면서)"
-    // unpunctuated sentence-final endings: word ends 다/요/죠 before
-    // whitespace; ~구요/~고요 are connectives, not terminals
-    val koEndingSplit = "(?<=[다요죠])(?<!구요)(?<!고요)\\s+(?=\\S)"
     val hasTerminal = text.exists(c => ".!?…。！？".indexOf(c.toInt) >= 0)
     val base: Seq[String] =
-      if (hasTerminal) text.split(punctSplit).toSeq
+      if (hasTerminal) PunctSplit.split(text).toSeq
       else text.split('\n').toSeq
-    base.flatMap(_.split(koEndingSplit).toSeq)
+    base.flatMap(p => KoEndingSplit.split(p).toSeq)
       .map(_.trim).filter(_.nonEmpty)
+  }
+
+  // precompiled split patterns — splitSentences runs per row inside a
+  // UDF, so String.split(regex)'s per-call Pattern.compile would burn
+  // CPU on every document
+  private val PunctSplit: java.util.regex.Pattern = {
+    val punct = "\\.!\\?…。！？"
+    val closers = "\"'”’\\)\\]」』》"
+    // after punct(+closers), not mid-run, not before a continuation
+    java.util.regex.Pattern.compile(
+      s"(?<=[$punct][$closers]{0,2})(?![$punct$closers])(?!라고|이라고|고[\\s,]|하고|며[\\s,]|면서)")
+  }
+  private val KoEndingSplit: java.util.regex.Pattern = {
+    // unpunctuated sentence-final endings before whitespace:
+    //  - 요/죠, minus connective 구요/고요;
+    //  - 다 only after clear verbal morphology: a ㅆ-batchim syllable
+    //    (Hangul syllable layout: (c-0xAC00)%28 == 20 → 왔/했/였/있/없…)
+    //    or 니/겠 (~니다/~겠다). Noun-final 다 (바다…) must not split.
+    val ssBatchim = (0xAC00 to 0xD7A3).filter(c => (c - 0xAC00) % 28 == 20)
+      .map(_.toChar).mkString
+    java.util.regex.Pattern.compile(
+      s"(?:(?<=(?<![구고])[요죠])|(?<=[${ssBatchim}니겠]다))\\s+(?=\\S)")
   }
 
   /** B5: greedy sentence packing with overlap — faithful re-expression of

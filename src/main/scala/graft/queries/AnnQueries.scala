@@ -46,15 +46,25 @@ object AnnQueries {
 
   /** Build-once cache of the IVF index for a fixture dir (seeded k-means
     * → identical index whether freshly built or loaded). Lives under the
-    * JVM tmpdir keyed by corpus dir, like a real deployment's index
-    * directory next to its table. */
+    * JVM tmpdir, like a real deployment's index directory next to its
+    * table. The cache key fingerprints the corpus file (path + mtime +
+    * length), so a regenerated fixture at the same path gets a fresh
+    * index instead of silently serving stale data; the build is
+    * serialized JVM-wide so concurrent specs can't race the
+    * check-then-build. */
   def persistedIvf(s: SparkSession, dir: String, numClusters: Int = 16): Ann.IvfIndex = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-" +
-      s"${Integer.toHexString(dir.hashCode)}-k$numClusters"
-    if (!new java.io.File(s"$path/corpus/_SUCCESS").exists())
-      Ann.saveIvf(Ann.buildIvf(Tables.embeddings(s, dir), numClusters), path)
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${src.lastModified}|${src.length}".getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-$fp-k$numClusters"
+    ivfBuildLock.synchronized {
+      if (!new java.io.File(s"$path/corpus/_SUCCESS").exists())
+        Ann.saveIvf(Ann.buildIvf(Tables.embeddings(s, dir), numClusters), path)
+    }
     Ann.loadIvf(s, path)
   }
+  private val ivfBuildLock = new Object
 
   // exact operator → literally the same oracle as the window formulation
   // (shared reference, so the two specs can never diverge)

@@ -34,8 +34,13 @@ object DocxText {
     * line per `<w:p>`, `<w:br/>`/`<w:tab/>` surfaced as newline/tab. */
   private[sources] def extractFromDocumentXml(xml: String): String = {
     val body = xml
-      // surface break/tab elements as synthetic runs so one pass collects them
-      .replaceAll("<w:br\\s*/>", "<w:t>\n</w:t>")
+      // surface break/tab elements as synthetic runs so one pass collects
+      // them; br/cr may carry attributes (<w:br w:type="page"/>) or be
+      // written as open+close pairs. <w:tab/> stays attribute-free to
+      // avoid matching tab-stop DEFINITIONS (<w:tab w:val=... w:pos=...>
+      // inside <w:tabs>), which are layout config, not text.
+      .replaceAll("<w:(?:br|cr)\\b[^>]*?/>", "<w:t>\n</w:t>")
+      .replaceAll("<w:(br|cr)\\b[^>]*>\\s*</w:\\1>", "<w:t>\n</w:t>")
       .replaceAll("<w:tab\\s*/>", "<w:t>\t</w:t>")
     val lines = body.split("</w:p>").iterator
       .map(p => TextRun.findAllMatchIn(p).map(m => unescapeXml(m.group(1))).mkString)

@@ -157,10 +157,26 @@ object PdfText {
       case _         => ()
     }
 
-    def decodeStringBytes(raw: Array[Byte]): String =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0xfe && (raw(1) & 0xff) == 0xff)
-        new String(raw, 2, raw.length - 2, StandardCharsets.UTF_16BE)
-      else new String(raw, StandardCharsets.ISO_8859_1)
+    def decodeStringBytes(raw: Array[Byte]): String = {
+      val s =
+        if (raw.length >= 2 && (raw(0) & 0xff) == 0xfe && (raw(1) & 0xff) == 0xff)
+          new String(raw, 2, raw.length - 2, StandardCharsets.UTF_16BE)
+        else new String(raw, StandardCharsets.ISO_8859_1)
+      // Composite-font (Identity-H) show strings carry 2-byte GLYPH
+      // INDICES, not character codes — without the font's CMap they are
+      // unrecoverable. They betray themselves as control characters
+      // (glyph ids are small: 0x0003, 0x004F, ... → NULs and C0 bytes
+      // after byte decode). Drop such strings entirely — "degrade to
+      // skipped, never to garbage".
+      var ctl = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c < ' ' && c != '\n' && c != '\r' && c != '\t') ctl += 1
+        i += 1
+      }
+      if (ctl > 0) "" else s
+    }
 
     while (i < n) {
       val ch = c(i)

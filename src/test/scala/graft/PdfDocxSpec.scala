@@ -89,6 +89,25 @@ class PdfDocxSpec extends SparkSpec {
     PdfText.extract(chopped) // no exception = pass
   }
 
+  test("PdfText: composite-font glyph-index strings are skipped, not garbage") {
+    // Identity-H show strings carry 2-byte glyph ids (<0003004F...>);
+    // without the CMap they must be dropped entirely
+    val pdf = makePdf("BT <00030048004F> Tj (real text) Tj ET")
+    assert(PdfText.extract(pdf) === Right("real text"))
+    // a PDF with ONLY glyph-index text yields Left, not gibberish
+    val allGlyphs = makePdf("BT <00030048004F> Tj <00260051> Tj ET")
+    assert(PdfText.extract(allGlyphs).isLeft)
+  }
+
+  test("DocxText: br with attributes, open/close form, and cr all break lines") {
+    val xml = "<w:document><w:body><w:p><w:r>" +
+      "<w:t>end of page1</w:t><w:br w:type=\"page\"/><w:t>Heading2</w:t>" +
+      "<w:br></w:br><w:t>third</w:t><w:cr/><w:t>fourth</w:t>" +
+      "</w:r></w:p></w:body></w:document>"
+    assert(DocxText.extract(makeDocx(xml)) ===
+      Right("end of page1\nHeading2\nthird\nfourth"))
+  }
+
   test("DocxText: paragraphs, runs, entities, br and tab") {
     val xml =
       """<?xml version="1.0" encoding="UTF-8"?>

@@ -79,9 +79,22 @@ class TextChunkerSpec extends SparkSpec {
       Seq("(이것은 예시다.)", "다음 문장이다."))
   }
 
-  test("KSS parity: unpunctuated 다/요/죠 endings split at whitespace") {
-    assert(splitSentences("오늘 날씨가 좋다 내일도 맑겠죠 모두 나들이 가요 좋은 하루") ===
-      Seq("오늘 날씨가 좋다", "내일도 맑겠죠", "모두 나들이 가요", "좋은 하루"))
+  test("KSS parity: unpunctuated verbal endings split at whitespace") {
+    // ㅆ-batchim past (왔다), ~겠죠, ~가요, ~합니다 all split; the final
+    // fragment has no terminal ending and stays as the tail sentence
+    assert(splitSentences("어제 비가 왔다 내일도 맑겠죠 모두 나들이 가요 좋은 하루") ===
+      Seq("어제 비가 왔다", "내일도 맑겠죠", "모두 나들이 가요", "좋은 하루"))
+    assert(splitSentences("처음 뵙겠습니다 잘 부탁드립니다") ===
+      Seq("처음 뵙겠습니다", "잘 부탁드립니다"))
+  }
+
+  test("KSS parity: noun-final 다 must NOT split mid-sentence (over-split regression)") {
+    // 바다 (sea) and 다(all) end in 다 without verbal morphology — a
+    // naive 다-split would cut these sentences apart
+    assert(splitSentences("나는 바다 근처에 산다.") === Seq("나는 바다 근처에 산다."))
+    assert(splitSentences("거의 다 왔다고 말했다.") === Seq("거의 다 왔다고 말했다."))
+    // plain-form 좋다 is ambiguous with nouns → conservatively no split
+    assert(splitSentences("날씨가 좋다 그리고 맑다") === Seq("날씨가 좋다 그리고 맑다"))
   }
 
   // ------------------------------------------------------------ B5 merge

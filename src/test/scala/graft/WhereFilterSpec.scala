@@ -57,7 +57,8 @@ class WhereFilterSpec extends SparkSpec {
       """{"$and": []}""",                       // empty logical
       """{}""",                                 // empty object
       """[1, 2]""",                             // not an object
-      """not json at all"""
+      """not json at all""",
+      """{"doc_id": {"$gt": 99999999999999999999}}""" // BigInt would wrap
     )) assertThrows[IllegalArgumentException](WhereFilter.parse(bad))
   }
 
