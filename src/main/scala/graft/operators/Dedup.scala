@@ -272,14 +272,29 @@ object Dedup {
         array_sort(transform(col("w"), x => xxhash64(x))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
+    // posexplode: the in-prefix position feeds the PPJoin positional
+    // filter below (pos is 0-based; position pa = pos+1)
     val pref = t.select(col(idCol), col("blk"), col("sz"),
-      explode(slice(col("h"), lit(1), prefLen)).as("tok"))
-    val a = pref.select(col("blk"), col("tok"), col(idCol).as("id_a"), col("sz").as("sa"))
-    val b = pref.select(col("blk"), col("tok"), col(idCol).as("id_b"), col("sz").as("sb"))
+      posexplode(slice(col("h"), lit(1), prefLen)).as(Seq("pos", "tok")))
+    val a = pref.select(col("blk"), col("tok"), col(idCol).as("id_a"),
+      col("sz").as("sa"), col("pos").as("pa"))
+    val b = pref.select(col("blk"), col("tok"), col(idCol).as("id_b"),
+      col("sz").as("sb"), col("pos").as("pb"))
+    // positional filter (PPJoin): a pair sharing a token at sorted
+    // positions (pa, pb) has intersection <= 1 + min(sa-pa-1, sb-pb-1)
+    // counting only tokens from that point on; jaccard >= t needs
+    // intersection >= t*(sa+sb)/(1+t) (equivalent-overlap form). A
+    // qualifying pair's FIRST shared prefix token (nothing shared
+    // before it) always satisfies the bound, so per-row filtering never
+    // loses a pair — it only stops non-qualifying pairs from reaching
+    // the distinct shuffle at all.
     val candidates = a.join(b, Seq("blk", "tok"))
       .filter(col("id_a") < col("id_b") &&
         least(col("sa"), col("sb")).cast("double") >=
-          lit(threshold) * greatest(col("sa"), col("sb")))
+          lit(threshold) * greatest(col("sa"), col("sb")) &&
+        (lit(1) + least(col("sa") - col("pa") - 1, col("sb") - col("pb") - 1))
+          .cast("double") >=
+          lit(threshold / (1.0 + threshold)) * (col("sa") + col("sb")))
       .select(col("id_a"), col("id_b")).distinct()
     candidates
       .join(t.select(col(idCol).as("id_a"), col("sz").as("sa"), col("h").as("ha")), Seq("id_a"))
