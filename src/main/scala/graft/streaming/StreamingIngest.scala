@@ -55,6 +55,33 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact-dedup guard — the stream twin of the B9 dup guard
+    * and batch `Dedup.dropDuplicates`: fingerprint the text (md5, same
+    * as the batch path) and keep the first arrival per fingerprint
+    * within the watermark via `dropDuplicatesWithinWatermark`. State is
+    * bounded by the watermark (fingerprints older than it are evicted),
+    * which is what lets a training-data ingest stream run forever; the
+    * batch dedup at rest catches anything that re-arrives later. */
+  def dedupDocStream(docs: DataFrame, tsCol: String = "ts",
+                     textCol: String = "text",
+                     watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Stream-static enrichment join: events stream × document dimension
+    * table. The static side is broadcast (it is re-read per micro-batch,
+    * so at scale persist it), keeping the stream side shuffle-free —
+    * the standard shape for attaching corpus metadata to an event
+    * stream before windowed aggregation. */
+  def enrichEventsStream(events: DataFrame, docs: DataFrame,
+                         eventKey: String = "doc_id",
+                         docKey: String = "doc_id"): DataFrame =
+    events.join(broadcast(docs),
+      events(eventKey) === docs(docKey), "left_outer")
+      .drop(docs(docKey))
+
   // ----------------------------------------------------- custom state op
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -109,6 +109,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupDocStream: duplicate text within the watermark is dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    def t(s: String) = Timestamp.valueOf(s)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val deduped = StreamingIngest.dedupDocStream(docs)
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, "alpha beta", t("2024-01-01 00:00:00")),
+                    (2L, "gamma delta", t("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      // same text again in a LATER batch, still inside the watermark
+      input.addData((3L, "alpha beta", t("2024-01-01 00:01:00")),
+                    (4L, "epsilon zeta", t("2024-01-01 00:01:05")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select($"doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 4L), s"doc 3 duplicates doc 1's text; got $ids")
+    } finally q.stop()
+  }
+
+  test("enrichEventsStream: stream-static join is broadcast and enriches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("event_id", "doc_id", "value")
+    val dims = Seq((1L, "en", "web"), (2L, "ko", "pdf")).toDF("doc_id", "lang", "source")
+    val enriched = StreamingIngest.enrichEventsStream(events, dims)
+    val q = enriched.writeStream.format("memory").queryName("enriched_ev")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((100L, 1L, 0.5), (101L, 2L, 1.5), (102L, 99L, 2.5))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_ev")
+        .select($"event_id", $"lang").as[(Long, Option[String])].collect().toMap
+      assert(rows(100L) === Some("en"))
+      assert(rows(101L) === Some("ko"))
+      assert(rows(102L) === None) // unmatched key survives (left outer)
+    } finally q.stop()
+    // broadcast shape: the identical transform in batch execution must
+    // plan a BroadcastHashJoin, never a shuffle join on the stream side
+    val batchTwin = StreamingIngest.enrichEventsStream(
+      Seq((100L, 1L, 0.5)).toDF("event_id", "doc_id", "value"), dims)
+    val plan = batchTwin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("GraftExtensions injection point applies cleanly") {
     // the conf-driven path (spark.sql.extensions=graft.GraftExtensions)
     // can't be exercised against the suite's shared session (getOrCreate
