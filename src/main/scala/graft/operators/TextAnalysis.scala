@@ -11,11 +11,28 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empties removed (BPE-ish regex variant below). */
+  /** Whitespace tokens, empties removed ([[bpeishTokens]] is the
+    * subword-boundary variant). */
   def tokens(text: Column): Column = array_remove(split(text, " "), "")
 
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** GPT-2-style pre-tokenizer regex: contraction suffixes, letter runs,
+    * digit runs, punctuation runs — each optionally carrying its leading
+    * space, the way byte-level BPE vocabularies see text. Restricted to
+    * syntax BOTH Java regex and RE2 support (no lookahead), so the
+    * DuckDB oracle evaluates the identical pattern. */
+  val BpeishPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}']+"
+
+  /** BPE-ish pre-tokens of the text (array of strings). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  /** BPE-ish token count — the (proxy) "how many tokens will the LLM
+    * see" statistic; int for SQL parity via CAST. */
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
 
   /** Distinct-token count. */
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))

@@ -28,6 +28,18 @@ object TextQueries {
         avgTokenLen(t).as("avg_token_len"))
         .orderBy(col("doc_id"))
     },
+    // BPE-ish subword pre-tokenization (GPT-2 pretokenizer regex, the
+    // "how many tokens will the model see" proxy): counts + sequence
+    // digest, identical regex evaluated by both engines
+    "t_bpe_tokens" -> { (s, dir) =>
+      val toks = bpeishTokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        bpeishTokenCount(col("text")).cast("long").as("n_bpe"),
+        size(array_distinct(toks)).cast("long").as("n_bpe_distinct"),
+        md5(concat_ws("", toks).cast("binary")).as("bpe_digest"))
+        .orderBy(col("doc_id"))
+    },
     // quality scoring: lexical diversity + length + stopword-rate gates
     "t_quality_score" -> { (s, dir) =>
       val t = col("text")
@@ -70,7 +82,21 @@ object TextQueries {
   private val wCte =
     "SELECT doc_id, lang, text, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents"
 
+  // the BPE-ish pattern, SQL-string-escaped for the DuckDB oracle (the
+  // pattern is Java-and-RE2-compatible by construction)
+  private val bpePatSql = TextAnalysis.BpeishPattern.replace("'", "''")
+
   val oracle: Map[String, String] = Map(
+    "t_bpe_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$bpePatSql') AS l
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(len(l) AS BIGINT) AS n_bpe,
+         |       CAST(len(list_distinct(l)) AS BIGINT) AS n_bpe_distinct,
+         |       md5(array_to_string(l, chr(31))) AS bpe_digest
+         |FROM t ORDER BY doc_id""".stripMargin,
     "t_token_stats" ->
       s"""WITH t AS ($wCte)
          |SELECT doc_id,

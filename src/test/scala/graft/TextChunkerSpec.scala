@@ -8,6 +8,7 @@ import graft.operators.TextChunker._
   * seeded randomness (deterministic; scalacheck-style without the
   * scalatestplus bridge, which is not in the offline cache). */
 class TextChunkerSpec extends SparkSpec {
+  import spark.implicits._
 
   /** 200 deterministic random sentence lists. */
   private def forAllSentences(maxLen: Int)(check: List[String] => Unit): Unit = {
@@ -95,6 +96,15 @@ class TextChunkerSpec extends SparkSpec {
     assert(splitSentences("거의 다 왔다고 말했다.") === Seq("거의 다 왔다고 말했다."))
     // plain-form 좋다 is ambiguous with nouns → conservatively no split
     assert(splitSentences("날씨가 좋다 그리고 맑다") === Seq("날씨가 좋다 그리고 맑다"))
+  }
+
+  test("bpeishTokens: GPT-2-style pre-token boundaries") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "don't stop, it's 42 tokens!")).toDF("id", "t")
+    val toks = df.select(TextAnalysis.bpeishTokens($"t")).head().getSeq[String](0)
+    assert(toks === Seq("don", "'t", " stop", ",", " it", "'s", " 42", " tokens", "!"))
+    val empty = Seq((1L, "")).toDF("id", "t")
+    assert(empty.select(TextAnalysis.bpeishTokenCount($"t")).head().getInt(0) === 0)
   }
 
   // ------------------------------------------------------------ B5 merge
