@@ -95,6 +95,16 @@ object ChunkStore {
       scoped, embedQuery(query), k, VectorSearch.L2Sq, filter, embCol, idCol)
   }
 
+  /** E1 with the reference's wire-level filter form: the Chroma
+    * `where`-dict JSON an API caller sends (`README.md:186-193`,
+    * `app.py:381,411`) parsed into the pushdown predicate — what a
+    * drop-in replacement of the reference's `/search` accepts. */
+  def retrieverWithWhere(chunks: DataFrame, collection: String, k: Int,
+                         embedQuery: String => Seq[Float],
+                         whereJson: String): String => DataFrame =
+    retriever(chunks, collection, k, embedQuery,
+      filter = Some(graft.functions.WhereFilter.parse(whereJson)))
+
   /** E2: store initialization (`vector_store.py:16-46`) — ensure the
     * partitioned table exists with the canonical chunk schema; idempotent
     * (CREATE IF NOT EXISTS semantics for a parquet layout).

@@ -114,5 +114,12 @@ class PlanSpec extends SparkSpec {
       q => HashingEmbedder.embed(q, 64).toSeq)
     val probe = store.filter($"collection" === "master").select($"content").head().getString(0)
     assert(retrieve(probe).count() === 3)
+    // wire-level form: the same retriever built from a Chroma where-dict
+    val retrieveEn = ChunkStore.retrieverWithWhere(store, "master", 3,
+      q => HashingEmbedder.embed(q, 64).toSeq,
+      """{"lang": {"$eq": "en"}}""")
+    val hits = retrieveEn(probe)
+    assert(hits.count() <= 3)
+    assert(hits.select($"lang").distinct().as[String].collect().toSeq === Seq("en"))
   }
 }
