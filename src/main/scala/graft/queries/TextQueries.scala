@@ -37,7 +37,7 @@ object TextQueries {
         col("doc_id"),
         bpeishTokenCount(col("text")).cast("long").as("n_bpe"),
         size(array_distinct(toks)).cast("long").as("n_bpe_distinct"),
-        md5(concat_ws("", toks).cast("binary")).as("bpe_digest"))
+        md5(concat_ws("\u001f", toks).cast("binary")).as("bpe_digest"))
         .orderBy(col("doc_id"))
     },
     // quality scoring: lexical diversity + length + stopword-rate gates

@@ -66,7 +66,7 @@ object StreamingIngest {
                      textCol: String = "text",
                      watermark: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("fingerprint", md5(col(textCol).cast("binary")))
+      .withColumn("fingerprint", graft.operators.Dedup.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
