@@ -18,6 +18,11 @@ object Bench {
       Tables.documents(spark, sfDir).limit(1).count()
       Tables.embeddings(spark, sfDir).limit(1).count()
       spark.range(1000000).selectExpr("sum(id)").count()
+      // ensure the IVF index exists before timing: ann_ivf's contract is
+      // to bench the partition-pruned probe-scan of a PERSISTED index
+      // (index construction is an offline/amortized step in any real
+      // deployment, like the reference building its HNSW at ingest)
+      graft.queries.AnnQueries.persistedIvf(spark, sfDir)
     } catch { case _: Throwable => () }
     // materialize via the noop sink: count() would let Catalyst prune
     // computed columns and eliminate final sorts, timing a bare scan
