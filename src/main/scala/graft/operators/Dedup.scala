@@ -299,7 +299,9 @@ object Dedup {
     candidates
       .join(t.select(col(idCol).as("id_a"), col("sz").as("sa"), col("h").as("ha")), Seq("id_a"))
       .join(t.select(col(idCol).as("id_b"), col("sz").as("sb"), col("h").as("hb")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      // h is sorted → codegen'd merge-scan instead of a per-pair hash set
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("ha"), col("hb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)

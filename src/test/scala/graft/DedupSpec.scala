@@ -160,6 +160,29 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sorted_intersect_size (bigint): merge-scan == array_intersect, dup/collision-safe") {
+    import graft.functions.ArrayFunctions.sortedIntersectSize
+    import org.apache.spark.sql.functions.{array_intersect, array_sort, size => asize}
+    // randomized parity against the built-in (interpreted + codegen both
+    // exercised by the 200-row DataFrame)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((
+      Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted,
+      Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted))
+    val df = rows.toDF("a", "b")
+      .withColumn("via_expr", sortedIntersectSize($"a", $"b"))
+      .withColumn("via_builtin", asize(array_intersect($"a", $"b")))
+    assert(df.filter($"via_expr" =!= $"via_builtin").isEmpty)
+    // duplicate runs count once (set semantics)
+    val dup = Seq((Seq(1L, 2L, 2L, 3L), Seq(2L, 2L, 4L))).toDF("a", "b")
+    assert(dup.select(sortedIntersectSize($"a", $"b")).head().getInt(0) === 1)
+    // mixed types rejected at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(1L), Seq("x"))).toDF("a", "b")
+        .select(sortedIntersectSize($"a", $"b")).head()
+    }
+  }
+
   test("duplicateGroups + dropDuplicates consistency") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
     val groups = Dedup.duplicateGroups(docs, Dedup.fingerprint($"text"), "doc_id").collect()
