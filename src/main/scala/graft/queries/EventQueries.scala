@@ -71,6 +71,14 @@ object EventQueries {
           percentile(col("value"), lit(0.9)).as("p90"))
         .orderBy(col("event_type"))
     },
+    // sketch profile (rows-only: HLL++/GK sketches are not bit-portable
+    // across engines; error bounds vs the exact twins are SketchesSpec-
+    // gated). The 100 TB form of ev_quantiles/count-distinct: one pass,
+    // mergeable fixed-size state, map-side partial aggregation.
+    "ev_sketch_profile" -> { (s, dir) =>
+      graft.operators.Sketches.eventProfile(Tables.events(s, dir))
+        .orderBy(col("event_type"))
+    },
     // per-user event counts, top-10 (hash-agg + TakeOrdered)
     "ev_top_users" -> { (s, dir) =>
       Tables.events(s, dir)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Sketch error bounds vs the exact twins on the events fixture. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, sfDir)
+
+  test("approx_percentile within rank-error bound of exact percentile") {
+    val exact = events.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("p50"),
+        percentile($"value", lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val approx = Sketches.approxQuantiles(events, "event_type", "value",
+      Seq(0.5, 0.9), accuracy = 10000)
+      .as[(String, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    for ((et, a50, a90) <- approx) {
+      val (e50, e90, n) = exact(et)
+      // GK bound: rank error <= n/accuracy; translate to a value-rank
+      // check — the approx value must fall within the exact values at
+      // rank +- 2*n/accuracy (slack for interpolation)
+      val values = events.filter($"event_type" === et)
+        .select($"value").as[Double].collect().sorted
+      def rankWindow(p: Double): (Double, Double) = {
+        val r = (p * (n - 1)).toInt
+        val eps = math.max(2 * n / 10000, 2).toInt
+        (values(math.max(0, r - eps)), values(math.min(values.length - 1, r + eps)))
+      }
+      val (lo50, hi50) = rankWindow(0.5)
+      val (lo90, hi90) = rankWindow(0.9)
+      assert(a50 >= lo50 && a50 <= hi50, s"$et p50 $a50 not in [$lo50,$hi50] (exact $e50)")
+      assert(a90 >= lo90 && a90 <= hi90, s"$et p90 $a90 not in [$lo90,$hi90] (exact $e90)")
+    }
+  }
+
+  test("approx_count_distinct within 3*rsd of exact distinct count") {
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("d"))
+      .as[(String, Long)].collect().toMap
+    val approx = Sketches.approxDistinct(events, "event_type", "user_id", rsd = 0.05)
+      .as[(String, Long)].collect()
+    assert(approx.nonEmpty)
+    for ((et, a) <- approx) {
+      val e = exact(et).toDouble
+      assert(math.abs(a - e) <= 3 * 0.05 * e + 1,
+        s"$et approx $a vs exact $e outside 3*rsd")
+    }
+  }
+
+  test("eventProfile: one-pass combined sketch profile, partial aggregation") {
+    val prof = Sketches.eventProfile(events)
+    val rows = prof.collect()
+    assert(rows.nonEmpty)
+    // quantiles are ordered p50 <= p90 <= p99 per group
+    for (r <- rows) {
+      val (p50, p90, p99) = (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99, s"quantile ordering violated: $r")
+    }
+    // the plan must show map-side partial aggregation (one shuffle of
+    // sketch state, not raw rows)
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan)
+  }
+}
