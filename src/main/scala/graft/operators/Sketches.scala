@@ -23,12 +23,24 @@ import org.apache.spark.sql.functions._
   * bounds so a library upgrade that degrades a sketch fails the suite. */
 object Sketches {
 
-  /** Per-group approximate quantiles, single pass, mergeable state. */
+  /** Per-group approximate quantiles, single pass, mergeable state.
+    * Output columns are named p50/p90/p99-style from the rounded
+    * percentage (p999 for 0.999); names must be distinct. */
   def approxQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                       probabilities: Seq[Double], accuracy: Int = 10000): DataFrame = {
-    val aggs = probabilities.zipWithIndex.map { case (p, i) =>
-      percentile_approx(col(valueCol), lit(p), lit(accuracy))
-        .as(s"p${(p * 100).toInt}")
+    require(probabilities.nonEmpty, "approxQuantiles: probabilities must be non-empty")
+    // round with tolerance, not toInt: 0.29*100 is 28.999... in double
+    // and would truncate to p28; genuinely fractional percentages
+    // (0.999) fall through to the per-mille form (p999)
+    def name(p: Double): String = {
+      val c = math.round(p * 100)
+      if (math.abs(p * 100 - c) < 1e-9) s"p$c" else s"p${math.round(p * 1000)}"
+    }
+    val names = probabilities.map(name)
+    require(names.distinct.size == names.size,
+      s"approxQuantiles: probabilities map to colliding column names $names")
+    val aggs = probabilities.zip(names).map { case (p, nm) =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy)).as(nm)
     }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -21,13 +21,16 @@ class SketchesSpec extends SparkSpec {
       Seq(0.5, 0.9), accuracy = 10000)
       .as[(String, Double, Double)].collect()
     assert(approx.nonEmpty)
+    // one job for all groups' sorted values, not one filter+collect per type
+    val sortedByType = events.select($"event_type", $"value")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     for ((et, a50, a90) <- approx) {
       val (e50, e90, n) = exact(et)
       // GK bound: rank error <= n/accuracy; translate to a value-rank
       // check — the approx value must fall within the exact values at
       // rank +- 2*n/accuracy (slack for interpolation)
-      val values = events.filter($"event_type" === et)
-        .select($"value").as[Double].collect().sorted
+      val values = sortedByType(et)
       def rankWindow(p: Double): (Double, Double) = {
         val r = (p * (n - 1)).toInt
         val eps = math.max(2 * n / 10000, 2).toInt
@@ -37,6 +40,19 @@ class SketchesSpec extends SparkSpec {
       val (lo90, hi90) = rankWindow(0.9)
       assert(a50 >= lo50 && a50 <= hi50, s"$et p50 $a50 not in [$lo50,$hi50] (exact $e50)")
       assert(a90 >= lo90 && a90 <= hi90, s"$et p90 $a90 not in [$lo90,$hi90] (exact $e90)")
+    }
+  }
+
+  test("approxQuantiles: name derivation rounds and rejects collisions/empty") {
+    val df = events.limit(10)
+    val cols = Sketches.approxQuantiles(df, "event_type", "value", Seq(0.29, 0.999)).columns
+    assert(cols.toSeq === Seq("event_type", "p29", "p999"))
+    intercept[IllegalArgumentException] {
+      Sketches.approxQuantiles(df, "event_type", "value", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      // 0.5 → p50; 0.050001 falls to the per-mille form → also p50
+      Sketches.approxQuantiles(df, "event_type", "value", Seq(0.5, 0.050001))
     }
   }
 
