@@ -71,6 +71,26 @@ object EventQueries {
           percentile(col("value"), lit(0.9)).as("p90"))
         .orderBy(col("event_type"))
     },
+    // as-of join: each click labeled with the user's most recent
+    // purchase at or before it (point-in-time feature attribution).
+    // Union+window formulation — one shuffle, no join node; the oracle
+    // is DuckDB's native ASOF JOIN, so semantics are pinned exactly.
+    "ev_asof_purchase" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("purchase_cents"))
+      graft.operators.AsofJoin.asofBackward(
+          clicks, purchases, Seq("user_id"), "ts", "ts",
+          rightSelect = Seq("ts" -> "purchase_ts", "purchase_cents" -> "purchase_cents"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("click_us"),
+          expr("purchase_ts DIV 1000").as("purchase_us"),
+          col("purchase_cents"))
+        .orderBy(col("event_id"))
+    },
     // sketch profile (rows-only: HLL++/GK sketches are not bit-portable
     // across engines; error bounds vs the exact twins are SketchesSpec-
     // gated). The 100 TB form of ev_quantiles/count-distinct: one pass,
@@ -121,6 +141,15 @@ object EventQueries {
         |       CAST((max(us) - min(us)) // 1000 AS BIGINT) AS duration_ms
         |FROM sid GROUP BY session_seq, user_id
         |ORDER BY user_id, session_seq""".stripMargin,
+    "ev_asof_purchase" ->
+      """SELECT c.event_id, c.user_id,
+        |       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+        |       epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+        |       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "ev_quantiles" ->
       """SELECT event_type, count(*) AS n,
         |       quantile_cont(value, 0.5) AS p50,
