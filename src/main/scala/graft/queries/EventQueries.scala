@@ -91,6 +91,27 @@ object EventQueries {
           col("purchase_cents"))
         .orderBy(col("event_id"))
     },
+    // range join: every click within 24h AFTER a purchase by the same
+    // user (attribution-window pairs, possibly many per click). The
+    // bucketed equi-join form — no inequality-join cross product; the
+    // oracle is DuckDB's plain BETWEEN join on exact epoch-nanos.
+    "ev_range_attrib" -> { (s, dir) =>
+      val dayNs = 86400L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_start"),
+          (col("ts") + dayNs).as("p_end"))
+      graft.operators.RangeJoin.pointInRange(
+          clicks, purchases, Seq("user_id"), "ts", "p_start", "p_end",
+          bucketWidth = dayNs,
+          rightSelect = Seq("p_start" -> "purchase_ts"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("click_us"),
+          expr("purchase_ts DIV 1000").as("purchase_us"))
+        .orderBy(col("event_id"), col("purchase_us"))
+    },
     // sketch profile (rows-only: HLL++/GK sketches are not bit-portable
     // across engines; error bounds vs the exact twins are SketchesSpec-
     // gated). The 100 TB form of ev_quantiles/count-distinct: one pass,
@@ -141,6 +162,16 @@ object EventQueries {
         |       CAST((max(us) - min(us)) // 1000 AS BIGINT) AS duration_ms
         |FROM sid GROUP BY session_seq, user_id
         |ORDER BY user_id, session_seq""".stripMargin,
+    "ev_range_attrib" ->
+      """SELECT c.event_id, c.user_id,
+        |       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+        |       epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND epoch_ns(c.ts) BETWEEN epoch_ns(p.ts)
+        |                        AND epoch_ns(p.ts) + 86400000000000
+        |ORDER BY c.event_id, purchase_us""".stripMargin,
     "ev_asof_purchase" ->
       """SELECT c.event_id, c.user_id,
         |       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
