@@ -75,41 +75,42 @@ object EventQueries {
     // purchase at or before it (point-in-time feature attribution).
     // Union+window formulation — one shuffle, no join node; the oracle
     // is DuckDB's native ASOF JOIN, so semantics are pinned exactly.
+    // Join arithmetic runs in integer MICROSECONDS on both engines
+    // (the ev_sessionize parity rule): DuckDB reads the ns parquet as
+    // us TIMESTAMP, so comparing raw ns Spark-side would reintroduce
+    // sub-us boundary skew.
     "ev_asof_purchase" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("click_us"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"),
+        .select(col("user_id"), expr("ts DIV 1000").as("p_us"),
           round(col("value") * 100).cast("long").as("purchase_cents"))
       graft.operators.AsofJoin.asofBackward(
-          clicks, purchases, Seq("user_id"), "ts", "ts",
-          rightSelect = Seq("ts" -> "purchase_ts", "purchase_cents" -> "purchase_cents"))
-        .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("click_us"),
-          expr("purchase_ts DIV 1000").as("purchase_us"),
-          col("purchase_cents"))
+          clicks, purchases, Seq("user_id"), "click_us", "p_us",
+          rightSelect = Seq("p_us" -> "purchase_us", "purchase_cents" -> "purchase_cents"))
+        .select(col("event_id"), col("user_id"), col("click_us"),
+          col("purchase_us"), col("purchase_cents"))
         .orderBy(col("event_id"))
     },
     // range join: every click within 24h AFTER a purchase by the same
     // user (attribution-window pairs, possibly many per click). The
     // bucketed equi-join form — no inequality-join cross product; the
-    // oracle is DuckDB's plain BETWEEN join on exact epoch-nanos.
+    // oracle is DuckDB's plain BETWEEN join. Same us-domain parity rule
+    // as ev_asof_purchase.
     "ev_range_attrib" -> { (s, dir) =>
-      val dayNs = 86400L * 1000 * 1000 * 1000
+      val dayUs = 86400L * 1000 * 1000
       val ev = Tables.events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("click_us"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("p_start"),
-          (col("ts") + dayNs).as("p_end"))
+        .select(col("user_id"), expr("ts DIV 1000").as("p_start"),
+          (expr("ts DIV 1000") + dayUs).as("p_end"))
       graft.operators.RangeJoin.pointInRange(
-          clicks, purchases, Seq("user_id"), "ts", "p_start", "p_end",
-          bucketWidth = dayNs,
-          rightSelect = Seq("p_start" -> "purchase_ts"))
-        .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("click_us"),
-          expr("purchase_ts DIV 1000").as("purchase_us"))
+          clicks, purchases, Seq("user_id"), "click_us", "p_start", "p_end",
+          bucketWidth = dayUs,
+          rightSelect = Seq("p_start" -> "purchase_us"))
+        .select(col("event_id"), col("user_id"), col("click_us"), col("purchase_us"))
         .orderBy(col("event_id"), col("purchase_us"))
     },
     // sketch profile (rows-only: HLL++/GK sketches are not bit-portable
@@ -163,23 +164,29 @@ object EventQueries {
         |FROM sid GROUP BY session_seq, user_id
         |ORDER BY user_id, session_seq""".stripMargin,
     "ev_range_attrib" ->
-      """SELECT c.event_id, c.user_id,
-        |       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
-        |       epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id
-        | AND epoch_ns(c.ts) BETWEEN epoch_ns(p.ts)
-        |                        AND epoch_ns(p.ts) + 86400000000000
-        |ORDER BY c.event_id, purchase_us""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id, c.user_id, c.click_us, p.purchase_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND c.click_us BETWEEN p.purchase_us AND p.purchase_us + 86400000000
+        |ORDER BY c.event_id, p.purchase_us""".stripMargin,
     "ev_asof_purchase" ->
-      """SELECT c.event_id, c.user_id,
-        |       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
-        |       epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
-        |       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+        |         CAST(round(value * 100) AS BIGINT) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id, c.user_id, c.click_us, p.purchase_us, p.purchase_cents
+        |FROM c ASOF JOIN p
+        |  ON c.user_id = p.user_id AND c.click_us >= p.purchase_us
         |ORDER BY c.event_id""".stripMargin,
     "ev_quantiles" ->
       """SELECT event_type, count(*) AS n,

@@ -57,6 +57,32 @@ class AsofJoinSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("null right timestamps never match (DuckDB ASOF parity)") {
+    val q = Seq(("A", Option.empty[Long], 999L), ("A", Some(20L), 200L))
+      .toDF("k", "ts", "price")
+    val t = Seq(("A", 5L, 1L), ("A", 25L, 2L)).toDF("k", "ts", "qty")
+    val out = AsofJoin.asofBackward(t, q, Seq("k"), "ts", "ts",
+        rightSelect = Seq("price" -> "price"))
+      .select($"ts", $"price").as[(Long, Long)].collect().toSet
+    // the trade at ts=5 has NO prior non-null quote: dropped, not
+    // phantom-matched to the null-ts row's payload
+    assert(out === Set((25L, 200L)))
+  }
+
+  test("null payload fields come from the matched row, never torn from older rows") {
+    val q = Seq(
+      ("A", 10L, Some(5L), Some(7L)),
+      ("A", 20L, Option.empty[Long], Some(8L)) // matched row has null price
+    ).toDF("k", "ts", "price", "qty")
+    val t = Seq(("A", 25L, 1L)).toDF("k", "ts", "tid")
+    val out = AsofJoin.asofBackward(t, q, Seq("k"), "ts", "ts",
+        rightSelect = Seq("price" -> "price", "qty" -> "qty"))
+      .select($"price", $"qty").as[(Option[Long], Option[Long])].collect().toSeq
+    // DuckDB ASOF matches ts=20 → (null, 8); per-column last(ignoreNulls)
+    // would tear (5, 8) from two different rows
+    assert(out === Seq((None, Some(8L))))
+  }
+
   test("guards: name clashes, unknown how, mismatched ts types") {
     intercept[IllegalArgumentException] {
       AsofJoin.asofBackward(trades, quotes, Seq("k"), "ts", "ts",
@@ -68,6 +94,11 @@ class AsofJoinSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       AsofJoin.asofBackward(trades.withColumn("ts", $"ts".cast("int")), quotes,
+        Seq("k"), "ts", "ts", rightSelect = Seq("price" -> "p"))
+    }
+    // reserved temp names are rejected, not silently overwritten
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(trades.withColumn("__side", lit(9)), quotes,
         Seq("k"), "ts", "ts", rightSelect = Seq("price" -> "p"))
     }
   }

@@ -49,7 +49,7 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.count() === 1)
   }
 
-  test("guards: bad width and name clash") {
+  test("guards: bad width, name clash, reserved names, runaway intervals") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInRange(points, intervals, Seq("k"), "ts", "s", "e",
         0L, Seq("iid" -> "iid"))
@@ -58,5 +58,20 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.pointInRange(points, intervals, Seq("k"), "ts", "s", "e",
         100L, Seq("iid" -> "pid"))
     }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInRange(points.withColumn("__bucket", lit(1)), intervals,
+        Seq("k"), "ts", "s", "e", 100L, Seq("iid" -> "iid"))
+    }
+    // an open-ended sentinel interval fails fast with a clear message
+    // instead of a sequence() explosion
+    val openEnded = Seq(("A", 0L, Long.MaxValue, "open")).toDF("k", "s", "e", "iid")
+    val err = intercept[Exception] {
+      RangeJoin.pointInRange(points, openEnded, Seq("k"), "ts", "s", "e",
+        100L, Seq("iid" -> "iid")).collect()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("buckets") ||
+        Option(err.getCause).exists(_.getMessage.contains("buckets"))),
+      s"expected the fail-fast span guard, got: $err")
   }
 }
