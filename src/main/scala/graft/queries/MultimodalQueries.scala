@@ -58,6 +58,11 @@ object MultimodalQueries {
         zos.write(r.getString(1).getBytes("UTF-8"))
         zos.closeEntry()
       }
+      // one composite-font (Identity-H + ToUnicode CMap) PDF member so
+      // the CMap decode path runs through the gate, not just unit tests
+      zos.putNextEntry(new ZipEntry("doc_korean.pdf"))
+      zos.write(graft.sources.PdfSamples.koreanIdentityH)
+      zos.closeEntry()
       zos.close()
       import s.implicits._
       val bin = Seq(("mem://batch.zip", bos.toByteArray)).toDF("path", "content")

@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+/** Fixture-grade assembly of composite-font (Type0 / Identity-H) PDFs —
+  * the encoding real Korean Word/HWP-exported PDFs use (the reference's
+  * domain, document_processor.py:111-117). Used by PdfDocxSpec and by
+  * the self-contained `b2_zip_ingest` gate query so the ToUnicode CMap
+  * path in [[PdfText]] is exercised end-to-end, not just in unit tests.
+  *
+  * The emitted files are valid headerless-xref PDFs for readers that
+  * scan objects sequentially (as [[PdfText]] does); they are fixtures,
+  * not a general-purpose PDF writer.
+  */
+object PdfSamples {
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+    d.end()
+    out.toByteArray
+  }
+
+  /** ToUnicode CMap text from explicit code→string pairs plus optional
+    * incrementing ranges (lo, hi, dstStart). */
+  def toUnicodeCMap(bfchars: Seq[(Int, String)],
+                    bfranges: Seq[(Int, Int, String)] = Nil): String = {
+    def hexOf(s: String): String = s.map(ch => f"${ch.toInt}%04X").mkString
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    sb.append("/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n")
+    sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    if (bfchars.nonEmpty) {
+      sb.append(s"${bfchars.size} beginbfchar\n")
+      bfchars.foreach { case (c, s) => sb.append(f"<$c%04X> <${hexOf(s)}>%n") }
+      sb.append("endbfchar\n")
+    }
+    if (bfranges.nonEmpty) {
+      sb.append(s"${bfranges.size} beginbfrange\n")
+      bfranges.foreach { case (lo, hi, dst) =>
+        sb.append(f"<$lo%04X> <$hi%04X> <${hexOf(dst)}>%n")
+      }
+      sb.append("endbfrange\n")
+    }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    sb.toString
+  }
+
+  /** One-page PDF with a single Identity-H font `/F1` carrying the given
+    * ToUnicode CMap (Flate-compressed, as real writers emit it); the
+    * content stream body is caller-supplied operator text. */
+  def identityHPdf(cmapText: String, contentOps: String): Array[Byte] = {
+    val content = contentOps.getBytes(StandardCharsets.ISO_8859_1)
+    val cmap = deflate(cmapText.getBytes(StandardCharsets.ISO_8859_1))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >>\nstream\n")
+    bos.write(content)
+    w("\nendstream\nendobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /NotoSansKR " +
+      "/Encoding /Identity-H /DescendantFonts [7 0 R] /ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${cmap.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(cmap)
+    w("\nendstream\nendobj\n")
+    w("7 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /NotoSansKR " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >> endobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** An Identity-H PDF showing `text` through a generated CMap: each
+    * distinct character gets a synthetic glyph id (3, 4, ...), exactly
+    * how subset-embedded Korean fonts look in the wild. */
+  def identityHSample(text: String): Array[Byte] = {
+    val glyphOf = text.distinct.zipWithIndex.map { case (ch, i) => ch -> (i + 3) }.toMap
+    val cmap = toUnicodeCMap(glyphOf.toSeq.sortBy(_._2).map { case (ch, g) => g -> ch.toString })
+    val hex = text.map(ch => f"${glyphOf(ch)}%04X").mkString
+    identityHPdf(cmap, s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET")
+  }
+
+  /** The Korean demo document used by the b2 gate zip. */
+  def koreanIdentityH: Array[Byte] =
+    identityHSample("한국어 PDF 문서의 텍스트 추출 검증")
+}

@@ -19,11 +19,22 @@ import scala.collection.mutable.ArrayBuffer
   *     spaces for word-gap kerns in `TJ` arrays and newlines at the
   *     line operators `Td TD T* ' "` and `ET`.
   *
+  * Composite fonts (Type0 / Identity-H — the encoding virtually every
+  * Korean Word/HWP-exported PDF uses, the reference's entire domain,
+  * document_processor.py:111-117): show strings carry 2-byte glyph
+  * indices, which are mapped back to Unicode through the font's
+  * embedded /ToUnicode CMap (`bfchar`/`bfrange` sections, ISO 32000
+  * §9.10.3). The object graph is resolved just far enough for that:
+  * indirect-object headers → font dicts (`/ToUnicode N 0 R`) → page
+  * resource names (`/Font << /F1 N 0 R >>`), and the content-stream
+  * interpreter tracks the current font via the `Tf` operator.
+  *
   * Out of scope (rare in text PDFs, degrade to skipped streams, never
-  * to garbage output): non-Flate filters, CMap-mapped composite fonts
-  * (Identity-H glyph indices), encrypted files. Strings decode as
-  * Latin-1 bytes (standard simple-font encodings are Latin-1-compatible
-  * for the printable range) or UTF-16BE when BOM-tagged.
+  * to garbage output): non-Flate filters, composite fonts WITHOUT a
+  * ToUnicode CMap (pure glyph ids are unrecoverable), encrypted files.
+  * Strings decode as Latin-1 bytes (standard simple-font encodings are
+  * Latin-1-compatible for the printable range) or UTF-16BE when
+  * BOM-tagged.
   */
 object PdfText {
 
@@ -40,9 +51,10 @@ object PdfText {
     * PDF or no text stream decodes. */
   def extract(bytes: Array[Byte]): Either[String, String] = {
     if (!isPdf(bytes)) return Left("Not a PDF (missing %PDF- header)")
+    val fonts = fontCMaps(bytes)
     val streams = contentStreams(bytes)
     val texts = streams.flatMap { s =>
-      val t = extractFromContent(s)
+      val t = extractFromContent(s, fonts)
       if (t.nonEmpty) Some(t) else None
     }
     val joined = texts.mkString("\n")
@@ -54,9 +66,11 @@ object PdfText {
     else Right(joined)
   }
 
-  /** All decoded stream payloads that look like page content. */
-  private[sources] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
-    val out = ArrayBuffer.empty[Array[Byte]]
+  /** All decoded stream payloads with the byte offset of their `stream`
+    * keyword (the offset anchors a stream to its owning indirect object
+    * for CMap resolution). */
+  private[sources] def decodedStreams(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    val out = ArrayBuffer.empty[(Int, Array[Byte])]
     var i = 0
     while (i >= 0 && i < bytes.length) {
       i = indexOf(bytes, "stream", i)
@@ -81,10 +95,7 @@ object PdfText {
               if (dict.contains("/FlateDecode")) inflate(data)
               else if (dict.contains("/Filter")) None // unsupported filter
               else Some(data)
-            decoded.foreach { d =>
-              val s = new String(d, StandardCharsets.ISO_8859_1)
-              if (s.contains("Tj") || s.contains("TJ") || s.contains("BT")) out += d
-            }
+            decoded.foreach(d => out += ((i, d)))
             i = end + "endstream".length
           }
         } else i = kwEnd
@@ -92,6 +103,13 @@ object PdfText {
     }
     out.toSeq
   }
+
+  /** Decoded stream payloads that look like page content. */
+  private[sources] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] =
+    decodedStreams(bytes).map(_._2).filter { d =>
+      val s = new String(d, StandardCharsets.ISO_8859_1)
+      s.contains("Tj") || s.contains("TJ") || s.contains("BT")
+    }
 
   /** The dictionary text immediately preceding the `stream` keyword
     * (between the nearest `<<` pair-balanced open and the keyword). A
@@ -134,13 +152,180 @@ object PdfText {
     run(false).orElse(run(true))
   }
 
-  /** Text assembly from one decoded content stream. */
-  private[sources] def extractFromContent(content: Array[Byte]): String = {
+  /** A font's ToUnicode CMap: fixed-width character codes → Unicode
+    * strings (a code may map to several UTF-16 units, e.g. ligatures).
+    * Identity-H codespaces are 2-byte; 1-byte simple-font CMaps occur
+    * too, so the width comes from the CMap's codespacerange. */
+  private[graft] final case class ToUnicodeCMap(codeBytes: Int, map: Map[Int, String]) {
+    /** Decode a show-string's raw bytes through the CMap. Unmapped codes
+      * are dropped (never garbage); a string with NO mapped code decodes
+      * to "" so CMap-less glyph runs degrade exactly like before. */
+    def decode(raw: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i + codeBytes <= raw.length) {
+        var code = 0
+        var k = 0
+        while (k < codeBytes) { code = (code << 8) | (raw(i + k) & 0xff); k += 1 }
+        map.get(code).foreach(sb.append)
+        i += codeBytes
+      }
+      sb.toString
+    }
+  }
+
+  /** Total bfrange expansion cap — a corrupt `<0000> <FFFFFF> ...` range
+    * must not allocate unboundedly. 64K covers the full 2-byte codespace. */
+  private val MaxCMapEntries = 65536
+
+  /** Parse ToUnicode CMap text (ISO 32000 §9.10.3): codespacerange for
+    * the code width, `bfchar` pairs, and `bfrange` triples in both the
+    * incrementing-destination and explicit-array forms. */
+  private[graft] def parseCMap(text: String): ToUnicodeCMap = {
+    val hex = "<([0-9a-fA-F]+)>"
+    // destination hex = big-endian UTF-16 code units (surrogates included)
+    def utf16(h: String): String = {
+      if (h.length == 2) return (Integer.parseInt(h, 16) & 0xff).toChar.toString
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) {
+        sb.append(Integer.parseInt(h.substring(i, i + 4), 16).toChar)
+        i += 4
+      }
+      sb.toString
+    }
+    val entries = scala.collection.mutable.HashMap.empty[Int, String]
+
+    val codeBytes = ("""begincodespacerange\s*<([0-9a-fA-F]+)>""".r)
+      .findFirstMatchIn(text).map(_.group(1).length / 2)
+      .filter(w => w == 1 || w == 2).getOrElse(2)
+
+    val charEntry = (hex + """\s*""" + hex).r
+    """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(text).foreach { b =>
+      charEntry.findAllMatchIn(b.group(1)).foreach { e =>
+        val code = Integer.parseInt(e.group(1), 16)
+        if (!entries.contains(code)) entries(code) = utf16(e.group(2))
+      }
+    }
+
+    // <lo> <hi> <dstStart>  |  <lo> <hi> [<dst1> <dst2> ...]
+    val rangeEntry = (hex + """\s*""" + hex + """\s*(?:""" + hex +
+      """|\[((?:\s*<[0-9a-fA-F]+>)+)\s*\])""").r
+    """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(text).foreach { b =>
+      rangeEntry.findAllMatchIn(b.group(1)).foreach { e =>
+        val lo = Integer.parseInt(e.group(1), 16)
+        val hi = math.min(Integer.parseInt(e.group(2), 16),
+          lo + (MaxCMapEntries - entries.size).max(0))
+        if (e.group(3) != null) {
+          // incrementing form: offset is added to the LAST UTF-16 unit
+          val base = utf16(e.group(3))
+          var c = lo
+          while (c <= hi) {
+            if (!entries.contains(c) && base.nonEmpty)
+              entries(c) = base.dropRight(1) + (base.last + (c - lo)).toChar
+            c += 1
+          }
+        } else {
+          val dsts = "<([0-9a-fA-F]+)>".r.findAllMatchIn(e.group(4)).map(_.group(1)).toVector
+          var c = lo
+          var k = 0
+          while (c <= hi && k < dsts.length) {
+            if (!entries.contains(c)) entries(c) = utf16(dsts(k))
+            c += 1; k += 1
+          }
+        }
+      }
+    }
+    ToUnicodeCMap(codeBytes, entries.toMap)
+  }
+
+  /** Resolve page-resource font names (the `/F1` in `/F1 12 Tf`) to
+    * their ToUnicode CMaps. Resolution path: indirect-object headers →
+    * streams containing bfchar/bfrange sections (keyed by owning object)
+    * → font dicts carrying `/ToUnicode N 0 R` → `/Font` resource dicts,
+    * direct (`/Font << /F1 5 0 R >>`) or indirect (`/Font 9 0 R`).
+    * Names are resolved document-globally: if two pages bind the same
+    * name to different fonts the first binding wins — acceptable for a
+    * subset parser (writers emit per-document font resources in
+    * practice) and strictly better than dropping the text. */
+  private[graft] def fontCMaps(bytes: Array[Byte]): Map[String, ToUnicodeCMap] = {
+    val text = new String(bytes, StandardCharsets.ISO_8859_1)
+    val headers = """(\d+)\s+\d+\s+obj\b""".r.findAllMatchIn(text)
+      .map(m => (m.group(1).toInt, m.start, m.end)).toVector
+    if (headers.isEmpty) return Map.empty
+
+    // owning object of a byte offset = nearest header starting before it
+    def ownerOf(pos: Int): Option[Int] = {
+      var lo = 0; var hi = headers.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (headers(mid)._2 < pos) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (ans >= 0) Some(headers(ans)._1) else None
+    }
+
+    // an object's dictionary text: header end → nearest stream/endobj
+    // (bounded — stream dicts and font dicts are small)
+    def dictOf(idx: Int): String = {
+      val from = headers(idx)._3
+      val slice = text.substring(from, math.min(text.length, from + 2048))
+      val cuts = Seq(slice.indexOf("stream"), slice.indexOf("endobj")).filter(_ >= 0)
+      if (cuts.isEmpty) slice else slice.substring(0, cuts.min)
+    }
+
+    val cmapsByObj: Map[Int, ToUnicodeCMap] = decodedStreams(bytes).flatMap { case (pos, data) =>
+      val s = new String(data, StandardCharsets.ISO_8859_1)
+      if (s.contains("beginbfchar") || s.contains("beginbfrange")) {
+        val cm = parseCMap(s)
+        if (cm.map.nonEmpty) ownerOf(pos).map(_ -> cm) else None
+      } else None
+    }.toMap
+    if (cmapsByObj.isEmpty) return Map.empty
+
+    val toUniRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+    val cmapByFontObj: Map[Int, ToUnicodeCMap] = headers.indices.flatMap { i =>
+      toUniRe.findFirstMatchIn(dictOf(i))
+        .flatMap(m => cmapsByObj.get(m.group(1).toInt))
+        .map(headers(i)._1 -> _)
+    }.toMap
+    if (cmapByFontObj.isEmpty) return Map.empty
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, ToUnicodeCMap]
+    val pairRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+    def bind(pairsText: String): Unit =
+      pairRe.findAllMatchIn(pairsText).foreach { p =>
+        cmapByFontObj.get(p.group(2).toInt).foreach { cm =>
+          if (!out.contains(p.group(1))) out(p.group(1)) = cm
+        }
+      }
+    // direct resource dicts: /Font << /F1 5 0 R ... >>
+    """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(text).foreach(m => bind(m.group(1)))
+    // indirect resource dicts: /Font 9 0 R → pairs live in object 9
+    """/Font\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(text).foreach { m =>
+      val obj = m.group(1).toInt
+      headers.indexWhere(_._1 == obj) match {
+        case -1 => ()
+        case i  => bind(dictOf(i))
+      }
+    }
+    out.toMap
+  }
+
+  /** A `/Name` token captured as an operand (needed for `Tf`). */
+  private final case class PdfName(value: String)
+
+  /** Text assembly from one decoded content stream. `fonts` maps page
+    * resource names to ToUnicode CMaps; the `Tf` operator switches the
+    * active one, and show strings under a CMap'd font decode through it. */
+  private[sources] def extractFromContent(content: Array[Byte],
+                                          fonts: Map[String, ToUnicodeCMap] = Map.empty): String = {
     val sb = new StringBuilder
     var i = 0
     val n = content.length
     // pending operand stack for the current operator (strings + numbers)
     val operands = ArrayBuffer.empty[Any]
+    // active font's CMap (None = simple font → Latin-1/UTF-16BE decode)
+    var currentCMap: Option[ToUnicodeCMap] = None
 
     def c(k: Int): Char = (content(k) & 0xff).toChar
     def isDelim(ch: Char) = "()<>[]{}/%".indexOf(ch) >= 0
@@ -157,25 +342,27 @@ object PdfText {
       case _         => ()
     }
 
-    def decodeStringBytes(raw: Array[Byte]): String = {
-      val s =
-        if (raw.length >= 2 && (raw(0) & 0xff) == 0xfe && (raw(1) & 0xff) == 0xff)
-          new String(raw, 2, raw.length - 2, StandardCharsets.UTF_16BE)
-        else new String(raw, StandardCharsets.ISO_8859_1)
-      // Composite-font (Identity-H) show strings carry 2-byte GLYPH
-      // INDICES, not character codes — without the font's CMap they are
-      // unrecoverable. They betray themselves as control characters
-      // (glyph ids are small: 0x0003, 0x004F, ... → NULs and C0 bytes
-      // after byte decode). Drop such strings entirely — "degrade to
-      // skipped, never to garbage".
-      var ctl = 0
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c < ' ' && c != '\n' && c != '\r' && c != '\t') ctl += 1
-        i += 1
-      }
-      if (ctl > 0) "" else s
+    def decodeStringBytes(raw: Array[Byte]): String = currentCMap match {
+      case Some(cmap) => cmap.decode(raw)
+      case None =>
+        val s =
+          if (raw.length >= 2 && (raw(0) & 0xff) == 0xfe && (raw(1) & 0xff) == 0xff)
+            new String(raw, 2, raw.length - 2, StandardCharsets.UTF_16BE)
+          else new String(raw, StandardCharsets.ISO_8859_1)
+        // Composite-font (Identity-H) show strings carry 2-byte GLYPH
+        // INDICES, not character codes — without the font's ToUnicode
+        // CMap they are unrecoverable. They betray themselves as control
+        // characters (glyph ids are small: 0x0003, 0x004F, ... → NULs and
+        // C0 bytes after byte decode). Drop such strings entirely —
+        // "degrade to skipped, never to garbage".
+        var ctl = 0
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c < ' ' && c != '\n' && c != '\r' && c != '\t') ctl += 1
+          i += 1
+        }
+        if (ctl > 0) "" else s
     }
 
     while (i < n) {
@@ -246,7 +433,13 @@ object PdfText {
         }
         i += 1
       }
-      else if (ch == '/') { i += 1; while (i < n && !isWs(c(i)) && !isDelim(c(i))) i += 1 } // name: skip
+      else if (ch == '/') {
+        // name token — captured for Tf font switches
+        val start = i + 1
+        i += 1
+        while (i < n && !isWs(c(i)) && !isDelim(c(i))) i += 1
+        operands += PdfName(new String(content, start, i - start, StandardCharsets.ISO_8859_1))
+      }
       else if (ch == '{' || ch == '}') i += 1
       else if ((ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == '.') {
         val start = i
@@ -273,6 +466,9 @@ object PdfText {
             operands.lastOption.collect { case items: Seq[_] => items }
               .foreach(items => showTJ(items.asInstanceOf[Seq[Any]]))
           case "Td" | "TD" | "T*" | "ET" => newline()
+          case "Tf" =>
+            operands.collect { case PdfName(nm) => nm }.lastOption
+              .foreach(nm => currentCMap = fonts.get(nm))
           case _ => ()
         }
         if (op.nonEmpty) operands.clear()

@@ -2,7 +2,7 @@ package graft
 
 import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
 
-import graft.sources.{DocxText, PdfText, ZipIngest}
+import graft.sources.{DocxText, PdfSamples, PdfText, ZipIngest}
 
 /** B1 loader fidelity: pure-JVM PDF + DOCX text extraction. */
 class PdfDocxSpec extends SparkSpec {
@@ -97,6 +97,63 @@ class PdfDocxSpec extends SparkSpec {
     // a PDF with ONLY glyph-index text yields Left, not gibberish
     val allGlyphs = makePdf("BT <00030048004F> Tj <00260051> Tj ET")
     assert(PdfText.extract(allGlyphs).isLeft)
+  }
+
+  test("PdfText: parseCMap — bfchar, bfrange increment + array forms, codespace width") {
+    val cm = PdfText.parseCMap(
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0003> <0020>
+        |<0048> <D55C>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0061>
+        |<0020> <0021> [<00660066> <AC00>]
+        |endbfrange
+        |endcmap
+        |""".stripMargin)
+    assert(cm.codeBytes === 2)
+    assert(cm.map(0x0003) === " ")
+    assert(cm.map(0x0048) === "한")
+    assert(cm.map(0x0010) === "a" && cm.map(0x0011) === "b" && cm.map(0x0012) === "c")
+    assert(cm.map(0x0020) === "ff") // multi-unit destination (ligature)
+    assert(cm.map(0x0021) === "가")
+    // 1-byte codespace
+    val cm1 = PdfText.parseCMap(
+      "begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<41> <0041>\nendbfchar\nendcmap")
+    assert(cm1.codeBytes === 1)
+    assert(cm1.decode(Array[Byte](0x41)) === "A")
+  }
+
+  test("PdfText: parseCMap — corrupt oversized bfrange is capped, not OOM") {
+    val cm = PdfText.parseCMap(
+      "1 beginbfrange\n<0000> <FFFFFF> <0041>\nendbfrange\nendcmap")
+    assert(cm.map.size <= 65536 + 1)
+    assert(cm.map(0) === "A")
+  }
+
+  test("PdfText: Identity-H + ToUnicode CMap round-trips Korean text") {
+    val text = "한국어 PDF 문서의 텍스트 추출 검증"
+    assert(PdfText.extract(PdfSamples.identityHSample(text)) === Right(text))
+  }
+
+  test("PdfText: Tf switches fonts — CMap'd and simple strings coexist") {
+    val cmap = PdfSamples.toUnicodeCMap(Seq(3 -> "한", 4 -> "글"))
+    val pdf = PdfSamples.identityHPdf(cmap,
+      "BT /F1 12 Tf <00030004> Tj /F9 12 Tf ( and latin) Tj ET")
+    // F9 is not a CMap'd resource → falls back to the simple-font decode
+    assert(PdfText.extract(pdf) === Right("한글 and latin"))
+  }
+
+  test("PdfText: CMap'd font drops unmapped glyph ids instead of emitting garbage") {
+    val cmap = PdfSamples.toUnicodeCMap(Seq(3 -> "가"))
+    val pdf = PdfSamples.identityHPdf(cmap, "BT /F1 12 Tf <000300FF0003> Tj ET")
+    assert(PdfText.extract(pdf) === Right("가가"))
   }
 
   test("DocxText: br with attributes, open/close form, and cr all break lines") {
