@@ -93,6 +93,25 @@ object EventQueries {
           col("purchase_us"), col("purchase_cents"))
         .orderBy(col("event_id"))
     },
+    // the skew-hardened as-of variant, pinned to the SAME DuckDB ASOF
+    // oracle: (keys, hour-slice) window partitions + join-free carry-in
+    // instead of one window partition per user — a hot user's events
+    // split across span/1h tasks at 100 TB
+    "ev_asof_sliced" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("click_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts DIV 1000").as("p_us"),
+          round(col("value") * 100).cast("long").as("purchase_cents"))
+      graft.operators.AsofJoin.asofBackwardSliced(
+          clicks, purchases, Seq("user_id"), "click_us", "p_us",
+          rightSelect = Seq("p_us" -> "purchase_us", "purchase_cents" -> "purchase_cents"),
+          sliceWidth = 3600L * 1000 * 1000)
+        .select(col("event_id"), col("user_id"), col("click_us"),
+          col("purchase_us"), col("purchase_cents"))
+        .orderBy(col("event_id"))
+    },
     // range join: every click within 24h AFTER a purchase by the same
     // user (attribution-window pairs, possibly many per click). The
     // bucketed equi-join form — no inequality-join cross product; the
@@ -176,6 +195,19 @@ object EventQueries {
         | AND c.click_us BETWEEN p.purchase_us AND p.purchase_us + 86400000000
         |ORDER BY c.event_id, p.purchase_us""".stripMargin,
     "ev_asof_purchase" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+        |         CAST(round(value * 100) AS BIGINT) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id, c.user_id, c.click_us, p.purchase_us, p.purchase_cents
+        |FROM c ASOF JOIN p
+        |  ON c.user_id = p.user_id AND c.click_us >= p.purchase_us
+        |ORDER BY c.event_id""".stripMargin,
+    "ev_asof_sliced" ->
       """WITH c AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
         |  FROM events WHERE event_type = 'click'

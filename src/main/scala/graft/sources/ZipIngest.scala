@@ -108,8 +108,14 @@ object ZipIngest {
     }
     ext match {
       case ".txt" | ".md" | ".markdown" => Right(new String(bytes, StandardCharsets.UTF_8))
-      case ".pdf"           => PdfText.extract(bytes)
-      case ".docx" | ".doc" => DocxText.extract(bytes)
+      case ".pdf"  => PdfText.extract(bytes)
+      case ".docx" => DocxText.extract(bytes)
+      case ".doc"  =>
+        // legacy .doc is OLE2, not a zip — the DOCX parser can never
+        // succeed on it, so fail with an actionable message instead of
+        // a misleading "Not a DOCX" (the reference's unused path handled
+        // it via Unstructured, document_processor.py:48-50)
+        Left("legacy .doc (OLE2) format not supported; convert to .docx")
       case other =>
         Left(s"Unsupported file type: $other. Supported types are: " +
           ".pdf, .txt, .md, .markdown, .docx, .doc")

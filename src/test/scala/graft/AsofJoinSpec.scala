@@ -69,6 +69,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(out === Set((25L, 200L)))
   }
 
+  test("null join keys never match (SQL equality parity)") {
+    val q = Seq((Option.empty[String], 10L, 999L), (Some("A"), 10L, 100L))
+      .toDF("k", "ts", "price")
+    val t = Seq((Option.empty[String], 25L, 1L), (Some("A"), 25L, 2L))
+      .toDF("k", "ts", "qty")
+    // inner: the null-key trade is dropped — it must NOT match the
+    // null-key quote (Window.partitionBy would group them together)
+    val inner = AsofJoin.asofBackward(t, q, Seq("k"), "ts", "ts",
+        rightSelect = Seq("price" -> "price"))
+      .select($"qty", $"price").as[(Long, Long)].collect().toSet
+    assert(inner === Set((2L, 100L)))
+    // left: the null-key trade survives, null-extended
+    val lft = AsofJoin.asofBackward(t, q, Seq("k"), "ts", "ts",
+        rightSelect = Seq("price" -> "price"), how = "left")
+      .select($"qty", $"price").as[(Long, Option[Long])].collect().toSet
+    assert(lft === Set((1L, None), (2L, Some(100L))))
+  }
+
   test("null payload fields come from the matched row, never torn from older rows") {
     val q = Seq(
       ("A", 10L, Some(5L), Some(7L)),
@@ -100,6 +118,68 @@ class AsofJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AsofJoin.asofBackward(trades.withColumn("__side", lit(9)), quotes,
         Seq("k"), "ts", "ts", rightSelect = Seq("price" -> "p"))
+    }
+  }
+
+  test("sliced variant: identical results to base on the small fixtures") {
+    for (how <- Seq("inner", "left"); w <- Seq(1L, 7L, 100L)) {
+      val base = AsofJoin.asofBackward(trades, quotes, Seq("k"), "ts", "ts",
+          rightSelect = Seq("ts" -> "quote_ts", "price" -> "price"), how = how)
+        .select($"k", $"ts", $"qty", $"quote_ts", $"price")
+        .as[(String, Long, Long, Option[Long], Option[Long])].collect().toSet
+      val sliced = AsofJoin.asofBackwardSliced(trades, quotes, Seq("k"), "ts", "ts",
+          rightSelect = Seq("ts" -> "quote_ts", "price" -> "price"),
+          sliceWidth = w, how = how)
+        .select($"k", $"ts", $"qty", $"quote_ts", $"price")
+        .as[(String, Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(sliced === base, s"how=$how sliceWidth=$w")
+    }
+  }
+
+  test("sliced variant: carry-in crosses arbitrarily many empty slices") {
+    val q = Seq(("A", 0L, 100L)).toDF("k", "ts", "price")
+    val t = Seq(("A", 999999L, 1L), ("A", -5L, 2L)).toDF("k", "ts", "qty")
+    val out = AsofJoin.asofBackwardSliced(t, q, Seq("k"), "ts", "ts",
+        rightSelect = Seq("price" -> "price"), sliceWidth = 10L)
+      .select($"qty", $"price").as[(Long, Long)].collect().toSet
+    // ts=999999 sits ~100k empty slices after the only quote; ts=-5 is
+    // before it (negative slice — floor, not truncate-toward-zero)
+    assert(out === Set((1L, 100L)))
+  }
+
+  test("sliced variant: hot key — one key holds all rows, partitions split, no join node") {
+    val n = 4000
+    val rights = (0 until n).map(i => ("HOT", i.toLong * 10, i.toLong)).toDF("k", "ts", "price")
+    val lefts = (0 until n).map(i => ("HOT", i.toLong * 10 + 5, i.toLong)).toDF("k", "ts", "qty")
+    val sliced = AsofJoin.asofBackwardSliced(lefts, rights, Seq("k"), "ts", "ts",
+      rightSelect = Seq("ts" -> "p_ts", "price" -> "price"), sliceWidth = 1000L)
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val out = sliced.select($"ts", $"p_ts", $"price").as[(Long, Long, Long)].collect()
+    assert(out.length === n)
+    // every left row at i*10+5 matches the right row at i*10 exactly,
+    // boundary rows included (e.g. ts=1005 in slice 1 matching ts=1000,
+    // and carry-in covering any left row whose match fell in an earlier slice)
+    out.foreach { case (ts, pTs, price) =>
+      assert(pTs === ts - 5, s"left ts=$ts")
+      assert(price === (ts - 5) / 10)
+    }
+    // the base operator would put all n rows in ONE window partition;
+    // the sliced one splits the hot key across ~40 slices
+    val slices = lefts.select((col("ts") - pmod(col("ts"), lit(1000L))).divide(lit(1000L)))
+      .distinct().count()
+    assert(slices > 10)
+  }
+
+  test("sliced variant: guards — non-integral ts and bad width rejected") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackwardSliced(trades.withColumn("ts", $"ts".cast("double")),
+        quotes.withColumn("ts", $"ts".cast("double")), Seq("k"), "ts", "ts",
+        rightSelect = Seq("price" -> "p"), sliceWidth = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackwardSliced(trades, quotes, Seq("k"), "ts", "ts",
+        rightSelect = Seq("price" -> "p"), sliceWidth = 0L)
     }
   }
 
