@@ -23,7 +23,16 @@ import java.util.concurrent.atomic.AtomicInteger
   *
   * Swap-in path for a real model: keep `Embedders.embedDistributed(df,
   * col, () => new OnnxEmbedder(path))` and only the construction body
-  * changes; every operator upstream/downstream is untouched. */
+  * changes; every operator upstream/downstream is untouched.
+  *
+  * Environment probe (round 3, recorded per the round-2 review): the
+  * sandbox has NO inference runtime to swap in — no onnxruntime /
+  * djl / torch / tokenizers jar in `/opt/spark/jars` (287 jars, only
+  * MLlib + breeze + netlib BLAS), none in the offline coursier/ivy
+  * caches, no Python onnxruntime/torch, and no pretrained weight
+  * files (`*.onnx`/`*.safetensors`/`*.gguf`) anywhere on disk. The
+  * real-weights gap is therefore pinned to the environment, not to
+  * this seam. */
 final class NeuralEmbedder(val dim: Int = 64, val hidden: Int = 128,
                            val vocab: Int = 4096, seed: Long = 42L) extends Embedder {
   import NeuralEmbedder._

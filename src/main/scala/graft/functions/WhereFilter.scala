@@ -17,8 +17,15 @@ import org.json4s.jackson.JsonMethods
   *   - bare equality   `{"field": value}`
   *   - comparison      `{"field": {"$eq"|"$ne"|"$gt"|"$gte"|"$lt"|"$lte": value}}`
   *   - membership      `{"field": {"$in": [v...]}}`, `{"$nin": [v...]}`
+  *   - substring       `{"field": {"$contains"|"$not_contains": "str"}}`
   *   - logical         `{"$and": [f...]}`, `{"$or": [f...]}`
   *   - several top-level keys combine as AND.
+  *
+  * Chroma exposes `$contains`/`$not_contains` through the separate
+  * `where_document` parameter whose operators are TOP-LEVEL (no field —
+  * they always target the document text): [[parseDocument]] accepts that
+  * exact wire shape and binds the operators to a caller-chosen text
+  * column.
   *
   * Unknown operators and malformed shapes throw IllegalArgumentException
   * (the reference surfaces Chroma's error the same way). */
@@ -32,6 +39,35 @@ object WhereFilter {
       case e: Exception =>
         throw new IllegalArgumentException(s"Malformed where filter: ${e.getMessage}", e)
     }
+
+  /** Parse a Chroma `where_document` dict — `{"$contains": "str"}`,
+    * `{"$not_contains": "str"}`, `{"$and"|"$or": [...]}` — against the
+    * given document-text column. */
+  def parseDocument(json: String, textCol: String): Column =
+    try docColumn(JsonMethods.parse(json), textCol)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception =>
+        throw new IllegalArgumentException(s"Malformed where_document filter: ${e.getMessage}", e)
+    }
+
+  private def docColumn(j: JValue, textCol: String): Column = j match {
+    case JObject(fields) if fields.nonEmpty =>
+      fields.map {
+        case ("$and", JArray(fs)) if fs.nonEmpty => fs.map(docColumn(_, textCol)).reduce(_ && _)
+        case ("$or", JArray(fs)) if fs.nonEmpty  => fs.map(docColumn(_, textCol)).reduce(_ || _)
+        case (op @ ("$and" | "$or"), _) =>
+          throw new IllegalArgumentException(s"$op expects a non-empty array of filters")
+        case (op @ ("$contains" | "$not_contains"), v) => opColumn(textCol, op, v)
+        case (other, _) =>
+          throw new IllegalArgumentException(
+            s"Unsupported where_document operator '$other' " +
+              "(expected $contains/$not_contains/$and/$or)")
+      }.reduce(_ && _)
+    case other =>
+      throw new IllegalArgumentException(
+        s"where_document filter must be a non-empty object, got: $other")
+  }
 
   def toColumn(j: JValue): Column = j match {
     case JObject(fields) if fields.nonEmpty =>
@@ -57,10 +93,18 @@ object WhereFilter {
     case "$lte" => col(field) <= lit(scalar(v))
     case "$in"  => col(field).isin(values(v): _*)
     case "$nin" => !col(field).isin(values(v): _*)
+    case "$contains"     => col(field).contains(lit(string(v, op)))
+    case "$not_contains" => !col(field).contains(lit(string(v, op)))
     case other =>
       throw new IllegalArgumentException(
         s"Unsupported where operator '$other' on field '$field' " +
-          "(expected $eq/$ne/$gt/$gte/$lt/$lte/$in/$nin)")
+          "(expected $eq/$ne/$gt/$gte/$lt/$lte/$in/$nin/$contains/$not_contains)")
+  }
+
+  private def string(v: JValue, op: String): String = v match {
+    case JString(s) => s
+    case other =>
+      throw new IllegalArgumentException(s"$op expects a string, got: $other")
   }
 
   private def values(v: JValue): Seq[Any] = v match {

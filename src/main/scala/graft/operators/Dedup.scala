@@ -271,6 +271,23 @@ object Dedup {
       .select(col(idCol), col("blk"), size(col("w")).as("sz"),
         array_sort(transform(col("w"), x => xxhash64(x))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // self-releasing cache: unpersist when the first query in this
+    // session completes after this call — in the intended use (build →
+    // run → consume) that is the query over this result, so a
+    // long-lived session does not accumulate corpus-sized cached RDDs
+    // per call. Unpersist is always safe mid-flight (blocks recompute),
+    // so an unrelated query completing first costs at most a recompute
+    // of the projection, never correctness.
+    val lm = docs.sparkSession.listenerManager
+    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def cleanup(): Unit = { t.unpersist(blocking = false); lm.unregister(this) }
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = cleanup()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = cleanup()
+    })
     val prefLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
     // posexplode: the in-prefix position feeds the PPJoin positional
     // filter below (pos is 0-based; position pa = pos+1)
@@ -329,22 +346,49 @@ object Dedup {
     * far smaller groups — the standard SNN-blocking trade: recall
     * depends on angular structure (high-sim pairs agree on most sign
     * bits; at threshold 0.9, P[bit differs] = arccos(0.9)/pi ~ 0.14).
-    * Verified pairs are exact — no false positives ever. */
+    * Verified pairs are exact — no false positives ever.
+    *
+    * Scale guards: `nBits <= 0` (the default) derives the bucket-space
+    * size from the corpus count (~64 expected rows per bucket, clamped
+    * to [8, 20] bits), so a 10⁹-row corpus does not funnel into 2⁸
+    * buckets; and `maxBucket` caps degenerate hot buckets (boilerplate
+    * corpora — thousands of identical embeddings) the same way
+    * [[nearDupMinHash]] does: buckets above the cap are dropped from
+    * candidate generation instead of reinstating the quadratic blowup
+    * the LSH exists to avoid. */
   def cosineNearDupLsh(emb: DataFrame, idCol: String, embCol: String,
-                       threshold: Double, nBits: Int = 8): DataFrame = {
+                       threshold: Double, nBits: Int = 0,
+                       maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val bits =
+      if (nBits > 0) nBits
+      else {
+        val n = emb.count()
+        math.ceil(math.log((n.toDouble / 64.0).max(1.0)) / math.log(2.0)).toInt
+          .max(8).min(20)
+      }
+    require(bits <= 24, s"nBits must be <= 24 (got $bits): 2^$bits probe " +
+      "buckets per row would dominate the shuffle")
     val sigUdf = udf((v: Seq[Float]) => {
-      val sig = Ann.signSignature(v, nBits)
+      val sig = Ann.signSignature(v, bits)
       // own bucket + each Hamming-1 neighbor: any pair within Hamming
       // distance 2 of each other shares >= 1 probe bucket
-      sig +: (0 until nBits).map(b => sig ^ (1 << b))
+      sig +: (0 until bits).map(b => sig ^ (1 << b))
     })
     val bucketed = emb
       .select(col(idCol), col(embCol))
       .withColumn("bucket", explode(sigUdf(col(embCol))))
       .select(col("bucket"), col(idCol))
+    // cap hot buckets before the pair join (one window pass on the
+    // same shuffle key — the nearDupMinHash pattern)
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val pruned = bucketed
+      .withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
+      .drop("__bsz")
     // candidates dedup'd on slim id pairs; vectors re-attached after
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"))
+    val a = pruned.select(col("bucket"), col(idCol).as("id_a"))
+    val b = pruned.select(col("bucket"), col(idCol).as("id_b"))
     val candidates = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

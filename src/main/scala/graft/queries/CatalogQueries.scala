@@ -146,6 +146,17 @@ object CatalogQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), concat_ws(" ", col("lang"), col("source")).as("query_string"))
         .orderBy(col("doc_id"))
+    },
+    // A7 document-content filter: Chroma's `where_document` wire shape
+    // ({"$contains"/"$not_contains"}) over the text column — an ordinary
+    // pushdown-able predicate, same as the metadata where-DSL
+    "a7_where_doc" -> { (s, dir) =>
+      val where = graft.functions.WhereFilter.parseDocument(
+        """{"$and": [{"$contains": "spark"}, {"$not_contains": "data"}]}""", "text")
+      Tables.documents(s, dir)
+        .filter(where)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -196,6 +207,10 @@ object CatalogQueries {
         |ORDER BY d.doc_id""".stripMargin,
     "b7_meta_sanitize" ->
       """SELECT doc_id, 'lang,source' AS meta_keys, lang AS meta_lang
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "a7_where_doc" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE contains(text, 'spark') AND NOT contains(text, 'data')
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -46,10 +46,12 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
     // LSH-bucketed cosine near-dup — the scale path (rows-only; recall
-    // vs the exact pair join is scalatest-gated, verified pairs exact)
+    // vs the exact pair join is scalatest-gated, verified pairs exact).
+    // nBits derives from the corpus count and hot buckets are capped —
+    // the gate runs the same auto-sizing a 100 TB corpus would get.
     "dedup_cosine_lsh" -> { (s, dir) =>
       Dedup.cosineNearDupLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.45, nBits = 8)
+          threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))
     },
     // MinHash-LSH near-dup (rows-only: hash family not SQL-expressible;

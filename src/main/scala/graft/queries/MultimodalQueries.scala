@@ -31,17 +31,22 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media, everyMs = 1000L)
         .orderBy(col("media_id"), col("frame_ts"))
     },
-    // stub feature extraction via mapPartitions (rows-only). The gate
-    // projects a scalar digest of the vector instead of the raw
-    // array<float>: the driver's pandas comparator cannot sort ndarray
-    // cells (r1 recorded this entry as err). Raw-array assertions live
-    // in MultimodalSpec.
+    // stub feature extraction via mapPartitions (rows-only BY NECESSITY:
+    // the feature kernel is a per-byte FNV-1a accumulation with float32
+    // normalization — a DuckDB oracle would need that exact imperative
+    // loop with bit-identical float math in SQL, which ANSI SQL cannot
+    // express; the kernel is pinned by IngestSourcesSpec determinism/
+    // shape assertions instead). The gate projects a scalar
+    // digest of the vector because the driver's pandas comparator
+    // cannot sort ndarray cells (r1 recorded this entry as err).
+    // format_string("%.6f") keeps the digest representation stable —
+    // format_number inserts locale grouping separators.
     "mm_features" -> { (s, dir) =>
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
       Multimodal.extractFeatures(media, dim = 64)
         .select(col("media_id"), col("kind"),
           xxhash64(array_join(transform(col("features"),
-            f => format_number(f.cast("double"), 6)), ",")).as("features_digest"),
+            f => format_string("%.6f", f.cast("double"))), ",")).as("features_digest"),
           size(col("features")).cast("long").as("dim"))
         .orderBy(col("media_id"))
     },

@@ -133,6 +133,39 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("cosineNearDupLsh: planted hot bucket is capped; small clusters unaffected") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(7)
+    def normed(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // 300 IDENTICAL embeddings (the boilerplate-corpus degenerate case)
+    // + one small pair of genuine near-dups far from the hot cluster
+    val hot = normed(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val pairBase = normed(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val pairTwin = normed(pairBase.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    val rows = (0 until 300).map(i => (i.toLong, hot.toSeq)) ++
+      Seq((1000L, pairBase.toSeq), (1001L, pairTwin.toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val capped = Dedup.cosineNearDupLsh(df, "vec_id", "embedding",
+        threshold = 0.9, nBits = 8, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // hot-cluster pairs (299*300/2 = 44850 of them) are excluded by the
+    // cap; the small genuine pair still comes through
+    assert(capped === Set((1000L, 1001L)))
+    // with the cap above the hot-bucket size the quadratic set returns
+    val uncapped = Dedup.cosineNearDupLsh(df, "vec_id", "embedding",
+        threshold = 0.9, nBits = 8, maxBucket = 100000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 300 * 299 / 2 + 1)
+    // auto-derived nBits stays in [8, 20] and the call still verifies
+    val auto = Dedup.cosineNearDupLsh(df, "vec_id", "embedding",
+        threshold = 0.9, maxBucket = 100000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.contains((1000L, 1001L)))
+  }
+
   test("MLlib BRP-LSH: deterministic, recall@10 measured vs exact") {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Ann.buildBrpLsh(emb, bucketLength = 2.0, numHashTables = 4)

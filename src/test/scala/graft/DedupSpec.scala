@@ -140,6 +140,18 @@ class DedupSpec extends SparkSpec {
     assert(prefix.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("jaccardPairsPrefix releases its cached projection after the first action") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.jaccardPairsPrefix(Tables.documents(spark, sfDir),
+      "doc_id", "text", "lang", 0.8).collect()
+    assert(out.nonEmpty)
+    // the unpersist listener fires asynchronously on the listener bus
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.currentTimeMillis() + 30000
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"cached RDDs leaked after action: $leaked")
+  }
+
   test("jaccardPairsPrefix: threshold boundaries and degenerate docs") {
     val docs = Seq(
       (1L, "a b c d e", "en"),  // vs 2: jac = 4/6
@@ -181,6 +193,27 @@ class DedupSpec extends SparkSpec {
       Seq((Seq(1L), Seq("x"))).toDF("a", "b")
         .select(sortedIntersectSize($"a", $"b")).head()
     }
+  }
+
+  test("cross-gate: minhash at shingle=1 against the prefix-join word-set pairs") {
+    // shingle=1 makes MinHash's similarity definition IDENTICAL to the
+    // word-set jaccard the prefix join computes, so the two dedup
+    // families gate each other: every same-block verified MinHash pair
+    // must be an exact prefix-join pair, and recall must hold.
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", "lang", 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val mh = Dedup.nearDupMinHash(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, shingle = 1, threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // minhash runs unblocked — restrict to same-lang pairs before the
+    // subset check (the prefix join is lang-blocked by construction)
+    val lang = docs.select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val mhSameLang = mh.filter { case (a, b) => lang(a) == lang(b) }
+    assert(mhSameLang.subsetOf(exact))
+    val recall = (mhSameLang intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall over ${exact.size} exact pairs")
   }
 
   test("duplicateGroups + dropDuplicates consistency") {

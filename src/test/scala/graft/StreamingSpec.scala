@@ -109,6 +109,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source round-trip: cross-batch dup guard + dual-write land in a parquet store") {
+    import graft.operators.ChunkStore
+    val inDir = java.nio.file.Files.createTempDirectory("stream-in-rt").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("stream-store").toString + "/chunks"
+    val schema = Seq((0L, "x", "en")).toDF("doc_id", "text", "lang").schema
+    val writer = graft.streaming.StreamingIngest.documentIngestStream(
+      spark, inDir, schema, "strategy_documents") { (batch, _) =>
+      // the B9 guard against the store AS WRITTEN SO FAR — re-arriving
+      // docs in later micro-batches must not append twice
+      val fresh = scala.util.Try(spark.read.parquet(storeDir)).toOption match {
+        case Some(corpus) => ChunkStore.dropExistingGlobal(batch, corpus, "doc_id", "doc_id")
+        case None         => batch // first batch: store not created yet
+      }
+      fresh.write.mode("append").partitionBy("collection").parquet(storeDir)
+      (): Unit
+    }
+    val q = writer.start()
+    try {
+      Seq((1L, "alpha beta gamma", "en"), (2L, "uno dos tres", "es"))
+        .toDF("doc_id", "text", "lang").coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      // doc 2 re-arrives in a LATER file (cross-batch duplicate); doc 3 is new
+      Seq((2L, "uno dos tres", "es"), (3L, "drei vier funf", "de"))
+        .toDF("doc_id", "text", "lang").coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val store = spark.read.parquet(storeDir)
+      assert(store.select($"doc_id").distinct().as[Long].collect().toSet === Set(1L, 2L, 3L))
+      // no chunk landed twice despite doc 2's re-arrival
+      assert(store.groupBy($"doc_id", $"chunk_index", $"collection")
+        .count().filter($"count" > 1).isEmpty)
+      // dual-write held through the real file source + partitioned write
+      val counts = store.groupBy($"collection").count().as[(String, Long)].collect().toMap
+      assert(counts("master") === counts("strategy_documents"))
+      assert(counts("master") > 0)
+    } finally q.stop()
+  }
+
   test("dedupDocStream: duplicate text within the watermark is dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]

@@ -49,6 +49,34 @@ class WhereFilterSpec extends SparkSpec {
                            {"doc_name": "d.pdf"}]}""") === Set(3L, 4L))
   }
 
+  test("$contains / $not_contains on a named field") {
+    assert(ids("""{"doc_name": {"$contains": ".pdf"}}""") === Set(1L, 2L, 4L))
+    assert(ids("""{"doc_name": {"$not_contains": ".pdf"}}""") === Set(3L))
+    // substring, not equality or prefix
+    assert(ids("""{"doc_name": {"$contains": "pd"}}""") === Set(1L, 2L, 4L))
+    assert(ids("""{"doc_name": {"$contains": "a.pdf"}}""") === Set(1L))
+  }
+
+  test("parseDocument: Chroma where_document wire shape (top-level operators)") {
+    def docIds(json: String): Set[Long] =
+      df.filter(WhereFilter.parseDocument(json, "doc_name"))
+        .select($"doc_id").as[Long].collect().toSet
+    assert(docIds("""{"$contains": "pdf"}""") === Set(1L, 2L, 4L))
+    assert(docIds("""{"$not_contains": "pdf"}""") === Set(3L))
+    assert(docIds("""{"$and": [{"$contains": "pdf"}, {"$not_contains": "a."}]}""")
+      === Set(2L, 4L))
+    assert(docIds("""{"$or": [{"$contains": "a."}, {"$contains": "c."}]}""")
+      === Set(1L, 3L))
+    // malformed shapes
+    for (bad <- Seq(
+      """{"$contains": 3}""",          // non-string needle
+      """{"$regex": "x"}""",           // unknown operator
+      """{"field": {"$contains": "x"}}""", // field form not valid here
+      """{"$and": []}""",
+      """{}"""
+    )) assertThrows[IllegalArgumentException](WhereFilter.parseDocument(bad, "doc_name"))
+  }
+
   test("malformed filters throw IllegalArgumentException") {
     for (bad <- Seq(
       """{"lang": {"$regex": "x"}}""",          // unknown operator
