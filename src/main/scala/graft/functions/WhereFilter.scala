@@ -52,8 +52,11 @@ object WhereFilter {
     }
 
   private def docColumn(j: JValue, textCol: String): Column = j match {
-    case JObject(fields) if fields.nonEmpty =>
-      fields.map {
+    // Chroma requires exactly ONE operator per where_document dict (it
+    // rejects {"$contains": ..., "$not_contains": ...}); match that so
+    // malformed wire filters fail here the same way they fail there
+    case JObject(field :: Nil) =>
+      field match {
         case ("$and", JArray(fs)) if fs.nonEmpty => fs.map(docColumn(_, textCol)).reduce(_ && _)
         case ("$or", JArray(fs)) if fs.nonEmpty  => fs.map(docColumn(_, textCol)).reduce(_ || _)
         case (op @ ("$and" | "$or"), _) =>
@@ -63,10 +66,11 @@ object WhereFilter {
           throw new IllegalArgumentException(
             s"Unsupported where_document operator '$other' " +
               "(expected $contains/$not_contains/$and/$or)")
-      }.reduce(_ && _)
+      }
     case other =>
       throw new IllegalArgumentException(
-        s"where_document filter must be a non-empty object, got: $other")
+        "where_document filter must be an object with exactly one " +
+          s"operator, got: $other")
   }
 
   def toColumn(j: JValue): Column = j match {

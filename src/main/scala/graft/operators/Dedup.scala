@@ -24,6 +24,39 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
+  /** Self-releasing cache: unpersist `cached` when the first query that
+    * actually READS the cache completes (matched by the cached plan's
+    * output attribute ids inside the completed query's InMemoryRelation
+    * nodes — unrelated queries never evict it). In the intended use
+    * (build plan → run one action over it) this releases the cache the
+    * moment the result materializes; a caller running several actions
+    * over the same result pays a recompute from the second on — a perf
+    * trade, never a correctness one (unpersist is safe mid-flight). A
+    * plan that is built but never executed keeps its (lazy, therefore
+    * empty) cache entry plus this listener for the session's lifetime. */
+  private def releaseAfterUse(cached: DataFrame): Unit = {
+    val lm = cached.sparkSession.listenerManager
+    val ids = cached.queryExecution.analyzed.output.map(_.exprId).toSet
+    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def refs(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        // optimizedPlan re-throws for queries that FAILED in analysis —
+        // such a query never read the cache, so treat it as no-reference
+        scala.util.Try(qe.optimizedPlan.exists {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            r.output.exists(a => ids.contains(a.exprId))
+          case _ => false
+        }).getOrElse(false)
+      private def cleanup(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (refs(qe)) { cached.unpersist(blocking = false); lm.unregister(this) }
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = cleanup(qe)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = cleanup(qe)
+    })
+  }
+
   /** Canonical token array: whitespace split, empties removed. */
   def tokens(text: Column): Column = array_remove(split(text, " "), "")
 
@@ -271,23 +304,7 @@ object Dedup {
       .select(col(idCol), col("blk"), size(col("w")).as("sz"),
         array_sort(transform(col("w"), x => xxhash64(x))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // self-releasing cache: unpersist when the first query in this
-    // session completes after this call — in the intended use (build →
-    // run → consume) that is the query over this result, so a
-    // long-lived session does not accumulate corpus-sized cached RDDs
-    // per call. Unpersist is always safe mid-flight (blocks recompute),
-    // so an unrelated query completing first costs at most a recompute
-    // of the projection, never correctness.
-    val lm = docs.sparkSession.listenerManager
-    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      private def cleanup(): Unit = { t.unpersist(blocking = false); lm.unregister(this) }
-      override def onSuccess(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             durationNs: Long): Unit = cleanup()
-      override def onFailure(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             exception: Exception): Unit = cleanup()
-    })
+    releaseAfterUse(t)
     val prefLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
     // posexplode: the in-prefix position feeds the PPJoin positional
     // filter below (pos is 0-based; position pa = pos+1)
@@ -339,62 +356,100 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
-  /** Embedding-cosine near-dup at scale: sign-LSH bucket the corpus,
-    * generate candidate pairs ONLY within a bucket (plus Hamming-1
-    * neighbor buckets via bit-flipped re-bucketing), verify exact
-    * cosine. The O(n²) cross join becomes a per-bucket quadratic on
-    * far smaller groups — the standard SNN-blocking trade: recall
-    * depends on angular structure (high-sim pairs agree on most sign
-    * bits; at threshold 0.9, P[bit differs] = arccos(0.9)/pi ~ 0.14).
-    * Verified pairs are exact — no false positives ever.
+  /** Per-bit sign-agreement probability for a pair exactly AT the cosine
+    * threshold: p1 = 1 − arccos(t)/π (the classic SimHash identity). */
+  private def signAgreeProb(threshold: Double): Double =
+    1.0 - math.acos(threshold.min(1.0).max(-1.0)) / math.Pi
+
+  /** Number of independent sign-LSH bands so a pair AT `threshold` is
+    * generated as a candidate with probability ≥ `targetRecall`
+    * (1 − (1 − p1^bits)^L ≥ recall, solved for L; pairs ABOVE the
+    * threshold collide with strictly higher probability). Capped at 64
+    * bands — past that the probe volume dominates the shuffle. */
+  def signLshBands(threshold: Double, bits: Int, targetRecall: Double = 0.9): Int = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val pBand = math.pow(signAgreeProb(threshold), bits)
+    if (pBand >= 1.0 - 1e-12) 1
+    else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pBand))
+      .toInt.max(1).min(64)
+  }
+
+  /** `bits`-bit sign signature for band `band` — each band uses its own
+    * disjoint slice of the deterministic hyperplane family. */
+  private[operators] def bandSignature(vec: Seq[Float], band: Int, bits: Int): Int = {
+    var sig = 0
+    var j = 0
+    while (j < bits) {
+      val p = band * bits + j
+      var dot = 0.0f
+      var d = 0
+      while (d < vec.length) { dot += vec(d) * Ann.planeSign(p, d); d += 1 }
+      if (dot >= 0) sig |= (1 << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Embedding-cosine near-dup at scale: BANDED sign-LSH (L independent
+    * hash tables of `bits` bits each — the MinHash-banding construction
+    * applied to random hyperplanes). A pair is a candidate if it shares
+    * a bucket in ANY band; candidates verify with exact cosine, so
+    * there are never false positives. Unlike a single table with
+    * Hamming-1 probes, recall does NOT collapse as the bucket space
+    * grows: `bits` scales with corpus size (bucket occupancy) while the
+    * band count L re-derives from (threshold, bits, targetRecall) to
+    * keep P[candidate | sim ≥ threshold] ≥ targetRecall at ANY scale.
     *
-    * Scale guards: `nBits <= 0` (the default) derives the bucket-space
-    * size from the corpus count (~64 expected rows per bucket, clamped
-    * to [8, 20] bits), so a 10⁹-row corpus does not funnel into 2⁸
-    * buckets; and `maxBucket` caps degenerate hot buckets (boilerplate
-    * corpora — thousands of identical embeddings) the same way
-    * [[nearDupMinHash]] does: buckets above the cap are dropped from
-    * candidate generation instead of reinstating the quadratic blowup
-    * the LSH exists to avoid. */
+    * Scale guards: `nBits <= 0` (default) derives bits from the corpus
+    * count (~64 expected rows per bucket, clamped to [8, 20]);
+    * `maxBucket` caps degenerate hot buckets (boilerplate corpora —
+    * thousands of identical embeddings) the same way [[nearDupMinHash]]
+    * does. The corpus projection is persisted for its four consumers
+    * (sizing count, bucketing, both verify joins) and self-releases
+    * after the result materializes. NOTE: the default `nBits` auto-
+    * sizing runs ONE eager count of `emb` at call time — pass `nBits`
+    * explicitly when the upstream plan is expensive to execute. */
   def cosineNearDupLsh(emb: DataFrame, idCol: String, embCol: String,
-                       threshold: Double, nBits: Int = 0,
+                       threshold: Double, nBits: Int = 0, bands: Int = 0,
+                       targetRecall: Double = 0.9,
                        maxBucket: Int = 1000): DataFrame = {
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val e = emb.select(col(idCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releaseAfterUse(e)
     val bits =
       if (nBits > 0) nBits
       else {
-        val n = emb.count()
+        val n = e.count()
         math.ceil(math.log((n.toDouble / 64.0).max(1.0)) / math.log(2.0)).toInt
           .max(8).min(20)
       }
-    require(bits <= 24, s"nBits must be <= 24 (got $bits): 2^$bits probe " +
-      "buckets per row would dominate the shuffle")
-    val sigUdf = udf((v: Seq[Float]) => {
-      val sig = Ann.signSignature(v, bits)
-      // own bucket + each Hamming-1 neighbor: any pair within Hamming
-      // distance 2 of each other shares >= 1 probe bucket
-      sig +: (0 until bits).map(b => sig ^ (1 << b))
-    })
-    val bucketed = emb
-      .select(col(idCol), col(embCol))
-      .withColumn("bucket", explode(sigUdf(col(embCol))))
-      .select(col("bucket"), col(idCol))
+    require(bits <= 24, s"nBits must be <= 24 (got $bits): the bucket key " +
+      "would overflow the Int signature")
+    val l = if (bands > 0) bands else signLshBands(threshold, bits, targetRecall)
+    val sigUdf = udf((v: Seq[Float]) =>
+      (0 until l).map(band => (band, bandSignature(v, band, bits))))
+    val bucketed = e
+      .withColumn("bh", explode(sigUdf(col(embCol))))
+      .select(col("bh._1").as("band"), col("bh._2").as("bucket"), col(idCol))
     // cap hot buckets before the pair join (one window pass on the
     // same shuffle key — the nearDupMinHash pattern)
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
     val pruned = bucketed
       .withColumn("__bsz", count(lit(1)).over(wb))
       .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
       .drop("__bsz")
     // candidates dedup'd on slim id pairs; vectors re-attached after
-    val a = pruned.select(col("bucket"), col(idCol).as("id_a"))
-    val b = pruned.select(col("bucket"), col(idCol).as("id_b"))
-    val candidates = a.join(b, Seq("bucket"))
+    val a = pruned.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = pruned.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     candidates
-      .join(emb.select(col(idCol).as("id_a"), col(embCol).as("ea")), Seq("id_a"))
-      .join(emb.select(col(idCol).as("id_b"), col(embCol).as("eb")), Seq("id_b"))
+      .join(e.select(col(idCol).as("id_a"), col(embCol).as("ea")), Seq("id_a"))
+      .join(e.select(col(idCol).as("id_b"), col(embCol).as("eb")), Seq("id_b"))
       .withColumn("cos_sim", cosSimF32(col("ea"), col("eb")).cast("double"))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))

@@ -81,10 +81,63 @@ object PdfSamples {
     * distinct character gets a synthetic glyph id (3, 4, ...), exactly
     * how subset-embedded Korean fonts look in the wild. */
   def identityHSample(text: String): Array[Byte] = {
+    val (cmap, hex) = textToCMapAndHex(text)
+    identityHPdf(cmap, s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET")
+  }
+
+  private def textToCMapAndHex(text: String): (String, String) = {
     val glyphOf = text.distinct.zipWithIndex.map { case (ch, i) => ch -> (i + 3) }.toMap
     val cmap = toUnicodeCMap(glyphOf.toSeq.sortBy(_._2).map { case (ch, g) => g -> ch.toString })
-    val hex = text.map(ch => f"${glyphOf(ch)}%04X").mkString
-    identityHPdf(cmap, s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET")
+    (cmap, text.map(ch => f"${glyphOf(ch)}%04X").mkString)
+  }
+
+  /** The adversarial layout real writers produce: /Contents split across
+    * TWO streams (Tf in the first, show strings in the second — font
+    * state must survive the boundary), font resources reached through an
+    * INDIRECT /Resources dict, and an optional decoy stream whose body
+    * mimics object headers (the header scan must mask stream spans or a
+    * phantom object shadows the real one). */
+  def identityHPdfSplit(cmapText: String, contentOpsA: String, contentOpsB: String,
+                        decoy: Option[String] = None): Array[Byte] = {
+    val a = contentOpsA.getBytes(StandardCharsets.ISO_8859_1)
+    val b = contentOpsB.getBytes(StandardCharsets.ISO_8859_1)
+    val cmap = deflate(cmapText.getBytes(StandardCharsets.ISO_8859_1))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources 10 0 R /Contents [4 0 R 8 0 R] >> endobj\n")
+    decoy.foreach { d =>
+      w(s"11 0 obj << /Length ${d.length} >>\nstream\n")
+      w(d)
+      w("\nendstream\nendobj\n")
+    }
+    w(s"4 0 obj << /Length ${a.length} >>\nstream\n")
+    bos.write(a)
+    w("\nendstream\nendobj\n")
+    w(s"8 0 obj << /Length ${b.length} >>\nstream\n")
+    bos.write(b)
+    w("\nendstream\nendobj\n")
+    w("10 0 obj << /Font << /F1 5 0 R >> >> endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /NotoSansKR " +
+      "/Encoding /Identity-H /DescendantFonts [7 0 R] /ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${cmap.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(cmap)
+    w("\nendstream\nendobj\n")
+    w("7 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /NotoSansKR >> endobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** Split/indirect/decoy sample carrying `text` (see [[identityHPdfSplit]]). */
+  def identityHSplitSample(text: String): Array[Byte] = {
+    val (cmap, hex) = textToCMapAndHex(text)
+    identityHPdfSplit(cmap,
+      "BT /F1 12 Tf 72 720 Td",
+      s"<$hex> Tj ET",
+      decoy = Some("10 0 obj << /Font << /F1 99 0 R >> >>"))
   }
 
   /** The Korean demo document used by the b2 gate zip. */

@@ -48,16 +48,19 @@ object PdfText {
   }
 
   /** Extract text from PDF bytes. Left(reason) when the bytes are not a
-    * PDF or no text stream decodes. */
+    * PDF or no text stream decodes. Streams are located and inflated
+    * exactly once and shared by font resolution and text assembly. */
   def extract(bytes: Array[Byte]): Either[String, String] = {
     if (!isPdf(bytes)) return Left("Not a PDF (missing %PDF- header)")
-    val fonts = fontCMaps(bytes)
-    val streams = contentStreams(bytes)
-    val texts = streams.flatMap { s =>
-      val t = extractFromContent(s, fonts)
-      if (t.nonEmpty) Some(t) else None
-    }
-    val joined = texts.mkString("\n")
+    val streams = decodedStreams(bytes)
+    val fonts = fontCMaps(bytes, streams)
+    // ONE interpreter pass over all content streams in document order:
+    // graphics state (the current font's CMap) must survive stream
+    // boundaries — pages with split /Contents arrays set the font in
+    // one stream and show text in the next (ISO 32000 treats the
+    // concatenation as a single stream)
+    val joined = extractFromContent(
+        streams.map(_.data).filter(looksLikeContent), fonts)
       .replaceAll("[ \\t]+", " ")
       .replaceAll(" ?\\n ?", "\n")
       .replaceAll("\\n{3,}", "\n\n")
@@ -66,11 +69,15 @@ object PdfText {
     else Right(joined)
   }
 
-  /** All decoded stream payloads with the byte offset of their `stream`
-    * keyword (the offset anchors a stream to its owning indirect object
-    * for CMap resolution). */
-  private[sources] def decodedStreams(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
-    val out = ArrayBuffer.empty[(Int, Array[Byte])]
+  /** One located stream: the `stream` keyword offset and raw-data span
+    * (for masking binary regions during object-header scans) plus the
+    * decoded payload. */
+  private[sources] final case class RawStream(kwPos: Int, dataStart: Int,
+                                              dataEnd: Int, data: Array[Byte])
+
+  /** All decoded stream payloads with their byte positions. */
+  private[sources] def decodedStreams(bytes: Array[Byte]): Seq[RawStream] = {
+    val out = ArrayBuffer.empty[RawStream]
     var i = 0
     while (i >= 0 && i < bytes.length) {
       i = indexOf(bytes, "stream", i)
@@ -95,7 +102,7 @@ object PdfText {
               if (dict.contains("/FlateDecode")) inflate(data)
               else if (dict.contains("/Filter")) None // unsupported filter
               else Some(data)
-            decoded.foreach(d => out += ((i, d)))
+            decoded.foreach(d => out += RawStream(i, dataStart, dataEnd, d))
             i = end + "endstream".length
           }
         } else i = kwEnd
@@ -104,12 +111,14 @@ object PdfText {
     out.toSeq
   }
 
+  private def looksLikeContent(d: Array[Byte]): Boolean = {
+    val s = new String(d, StandardCharsets.ISO_8859_1)
+    s.contains("Tj") || s.contains("TJ") || s.contains("BT")
+  }
+
   /** Decoded stream payloads that look like page content. */
   private[sources] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] =
-    decodedStreams(bytes).map(_._2).filter { d =>
-      val s = new String(d, StandardCharsets.ISO_8859_1)
-      s.contains("Tj") || s.contains("TJ") || s.contains("BT")
-    }
+    decodedStreams(bytes).map(_.data).filter(looksLikeContent)
 
   /** The dictionary text immediately preceding the `stream` keyword
     * (between the nearest `<<` pair-balanced open and the keyword). A
@@ -248,9 +257,20 @@ object PdfText {
     * name to different fonts the first binding wins — acceptable for a
     * subset parser (writers emit per-document font resources in
     * practice) and strictly better than dropping the text. */
-  private[graft] def fontCMaps(bytes: Array[Byte]): Map[String, ToUnicodeCMap] = {
+  private[graft] def fontCMaps(bytes: Array[Byte]): Map[String, ToUnicodeCMap] =
+    fontCMaps(bytes, decodedStreams(bytes))
+
+  private[graft] def fontCMaps(bytes: Array[Byte],
+                               streams: Seq[RawStream]): Map[String, ToUnicodeCMap] = {
     val text = new String(bytes, StandardCharsets.ISO_8859_1)
+    // raw (often compressed) stream bodies can contain byte runs that
+    // look like "N M obj" — mask those spans so phantom headers cannot
+    // shadow real objects during resolution
+    val spans = streams.map(s => (s.dataStart, s.dataEnd)).sortBy(_._1)
+    def inStream(pos: Int): Boolean =
+      spans.exists { case (a, b) => pos >= a && pos < b }
     val headers = """(\d+)\s+\d+\s+obj\b""".r.findAllMatchIn(text)
+      .filterNot(m => inStream(m.start))
       .map(m => (m.group(1).toInt, m.start, m.end)).toVector
     if (headers.isEmpty) return Map.empty
 
@@ -273,11 +293,11 @@ object PdfText {
       if (cuts.isEmpty) slice else slice.substring(0, cuts.min)
     }
 
-    val cmapsByObj: Map[Int, ToUnicodeCMap] = decodedStreams(bytes).flatMap { case (pos, data) =>
-      val s = new String(data, StandardCharsets.ISO_8859_1)
+    val cmapsByObj: Map[Int, ToUnicodeCMap] = streams.flatMap { rs =>
+      val s = new String(rs.data, StandardCharsets.ISO_8859_1)
       if (s.contains("beginbfchar") || s.contains("beginbfrange")) {
         val cm = parseCMap(s)
-        if (cm.map.nonEmpty) ownerOf(pos).map(_ -> cm) else None
+        if (cm.map.nonEmpty) ownerOf(rs.kwPos).map(_ -> cm) else None
       } else None
     }.toMap
     if (cmapsByObj.isEmpty) return Map.empty
@@ -298,10 +318,13 @@ object PdfText {
           if (!out.contains(p.group(1))) out(p.group(1)) = cm
         }
       }
-    // direct resource dicts: /Font << /F1 5 0 R ... >>
-    """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(text).foreach(m => bind(m.group(1)))
+    // direct resource dicts: /Font << /F1 5 0 R ... >> (stream spans
+    // masked here too — decoy bytes must not bind resource names)
+    """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(text)
+      .filterNot(m => inStream(m.start)).foreach(m => bind(m.group(1)))
     // indirect resource dicts: /Font 9 0 R → pairs live in object 9
-    """/Font\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(text).foreach { m =>
+    """/Font\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(text)
+      .filterNot(m => inStream(m.start)).foreach { m =>
       val obj = m.group(1).toInt
       headers.indexWhere(_._1 == obj) match {
         case -1 => ()
@@ -314,18 +337,34 @@ object PdfText {
   /** A `/Name` token captured as an operand (needed for `Tf`). */
   private final case class PdfName(value: String)
 
-  /** Text assembly from one decoded content stream. `fonts` maps page
-    * resource names to ToUnicode CMaps; the `Tf` operator switches the
-    * active one, and show strings under a CMap'd font decode through it. */
+  /** Single-stream convenience overload (specs, simple callers). */
   private[sources] def extractFromContent(content: Array[Byte],
-                                          fonts: Map[String, ToUnicodeCMap] = Map.empty): String = {
+                                          fonts: Map[String, ToUnicodeCMap]): String =
+    extractFromContent(Seq(content), fonts)
+
+  private[sources] def extractFromContent(content: Array[Byte]): String =
+    extractFromContent(Seq(content), Map.empty[String, ToUnicodeCMap])
+
+  /** Text assembly from the document's content streams, interpreted as
+    * ONE stream in document order (graphics state — the active font's
+    * CMap — survives stream boundaries, which split /Contents arrays
+    * rely on). `fonts` maps page resource names to ToUnicode CMaps; the
+    * `Tf` operator switches the active one, and show strings under a
+    * CMap'd font decode through it. */
+  private[sources] def extractFromContent(contents: Seq[Array[Byte]],
+                                          fonts: Map[String, ToUnicodeCMap]): String = {
     val sb = new StringBuilder
-    var i = 0
-    val n = content.length
     // pending operand stack for the current operator (strings + numbers)
     val operands = ArrayBuffer.empty[Any]
     // active font's CMap (None = simple font → Latin-1/UTF-16BE decode)
     var currentCMap: Option[ToUnicodeCMap] = None
+
+    for (content <- contents) {
+    var i = 0
+    val n = content.length
+    // operands never span a stream boundary; a line break separates them
+    operands.clear()
+    if (sb.nonEmpty && sb.last != '\n') sb.append('\n')
 
     def c(k: Int): Char = (content(k) & 0xff).toChar
     def isDelim(ch: Char) = "()<>[]{}/%".indexOf(ch) >= 0
@@ -475,6 +514,7 @@ object PdfText {
         else i += 1 // lone delimiter char not consumed above — never stall
       }
     }
+    } // next content stream — sb/currentCMap carry over
     sb.toString.trim
   }
 }

@@ -118,7 +118,7 @@ object ZipIngest {
         Left("legacy .doc (OLE2) format not supported; convert to .docx")
       case other =>
         Left(s"Unsupported file type: $other. Supported types are: " +
-          ".pdf, .txt, .md, .markdown, .docx, .doc")
+          ".pdf, .txt, .md, .markdown, .docx")
     }
   }
 

@@ -125,12 +125,35 @@ class AnnSpec extends SparkSpec {
     val df = rows.toDF("vec_id", "embedding")
     val exact = Dedup.cosineNearDup(df, "vec_id", "embedding", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lsh = Dedup.cosineNearDupLsh(df, "vec_id", "embedding", 0.9, nBits = 8)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(lsh.subsetOf(exact)) // exact verify => no false positives
     assert(exact.nonEmpty)
-    val recall = lsh.size.toDouble / exact.size
-    assert(recall >= 0.85, s"recall $recall over ${exact.size} exact pairs")
+    // small and LARGE bucket spaces: the banded construction re-derives
+    // the band count from (threshold, bits, targetRecall), so recall
+    // must hold even at the 16-bit regime a large corpus auto-sizes to
+    for (bits <- Seq(8, 16)) {
+      val lsh = Dedup.cosineNearDupLsh(df, "vec_id", "embedding", 0.9, nBits = bits)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(lsh.subsetOf(exact)) // exact verify => no false positives
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.85, s"bits=$bits recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
+  test("signLshBands: band count covers the recall target, monotone in bits") {
+    import graft.operators.Dedup
+    // more bits per band => lower per-band collision => more bands needed
+    val b8 = Dedup.signLshBands(0.9, 8)
+    val b16 = Dedup.signLshBands(0.9, 16)
+    val b20 = Dedup.signLshBands(0.9, 20)
+    assert(b8 < b16 && b16 < b20)
+    // the closed form it solves: 1-(1-p1^bits)^L >= recall at the threshold
+    for ((bits, l) <- Seq((8, b8), (16, b16), (20, b20))) {
+      val p1 = 1.0 - math.acos(0.9) / math.Pi
+      val got = 1.0 - math.pow(1.0 - math.pow(p1, bits), l)
+      assert(got >= 0.9, s"bits=$bits L=$l covers only $got")
+    }
+    // trivial cases: threshold 1 needs a single band; cap at 64
+    assert(Dedup.signLshBands(1.0, 20) === 1)
+    assert(Dedup.signLshBands(0.5, 20) === 64)
   }
 
   test("cosineNearDupLsh: planted hot bucket is capped; small clusters unaffected") {

@@ -150,6 +150,16 @@ class PdfDocxSpec extends SparkSpec {
     assert(PdfText.extract(pdf) === Right("한글 and latin"))
   }
 
+  test("PdfText: split /Contents, indirect /Resources, decoy headers in stream bytes") {
+    // Tf lands in content stream A, the show string in stream B — the
+    // font state must survive the stream boundary (ISO 32000 treats a
+    // /Contents array as one concatenated stream); resources resolve
+    // through an indirect dict; and a decoy stream body containing
+    // "10 0 obj ... /F1 99 0 R" must not shadow the real bindings
+    val text = "한글 상태 유지"
+    assert(PdfText.extract(PdfSamples.identityHSplitSample(text)) === Right(text))
+  }
+
   test("PdfText: CMap'd font drops unmapped glyph ids instead of emitting garbage") {
     val cmap = PdfSamples.toUnicodeCMap(Seq(3 -> "가"))
     val pdf = PdfSamples.identityHPdf(cmap, "BT /F1 12 Tf <000300FF0003> Tj ET")

@@ -67,11 +67,12 @@ class WhereFilterSpec extends SparkSpec {
       === Set(2L, 4L))
     assert(docIds("""{"$or": [{"$contains": "a."}, {"$contains": "c."}]}""")
       === Set(1L, 3L))
-    // malformed shapes
+    // malformed shapes — including Chroma's exactly-one-operator rule
     for (bad <- Seq(
       """{"$contains": 3}""",          // non-string needle
       """{"$regex": "x"}""",           // unknown operator
       """{"field": {"$contains": "x"}}""", // field form not valid here
+      """{"$contains": "a", "$not_contains": "b"}""", // two top-level ops
       """{"$and": []}""",
       """{}"""
     )) assertThrows[IllegalArgumentException](WhereFilter.parseDocument(bad, "doc_name"))
