@@ -47,11 +47,15 @@ object DedupQueries {
     },
     // LSH-bucketed cosine near-dup — the scale path (rows-only; recall
     // vs the exact pair join is scalatest-gated, verified pairs exact).
-    // nBits derives from the corpus count and hot buckets are capped —
-    // the gate runs the same auto-sizing a 100 TB corpus would get.
+    // nBits auto-sizes from the corpus count; `bands` is pinned because
+    // the fixture's similarity ceiling (~0.5) forces a LOOSE threshold,
+    // and at loose thresholds the recall-derived band count rightly
+    // explodes (LSH is a tight-threshold tool — the exact pair join is
+    // the honest plan at 0.45). The derivation itself is AnnSpec-gated
+    // on clustered data at realistic thresholds.
     "dedup_cosine_lsh" -> { (s, dir) =>
       Dedup.cosineNearDupLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.45)
+          threshold = 0.45, bands = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
     // MinHash-LSH near-dup (rows-only: hash family not SQL-expressible;
