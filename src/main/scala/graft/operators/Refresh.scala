@@ -39,4 +39,39 @@ object Refresh {
   def stratifiedSample(df: DataFrame, stratumCol: String,
                        fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Temperature-based domain mixing — the rebalancing step training
+    * pipelines run before sampling a multi-domain corpus: domain d's
+    * share of the output is ∝ n_d^alpha (alpha ∈ (0,1] flattens the
+    * head; alpha = 1 is natural sampling — the multilingual-LM
+    * "temperature" scheme). Deterministic and engine-portable, with no
+    * RNG state: rows rank inside their domain by md5(key) — a fixed
+    * pseudo-random but reproducible order — and domain d keeps its
+    * first ceil(targetRows · n_d^alpha / Σ n^alpha) rows (capped at
+    * n_d, so scarce domains simply keep everything).
+    *
+    * Plan: one small per-domain count aggregate (broadcast back) + one
+    * window rank on the domain shuffle — two scans, no global window,
+    * survives any corpus size. alpha = 0.5 computes via `sqrt`, which
+    * IEEE requires correctly rounded in every engine (general `pow` is
+    * not), so the oracle-gated path is bit-exact cross-engine. */
+  def temperatureMix(df: DataFrame, domainCol: String, keyCol: String,
+                     targetRows: Long, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val nD = col("__n_d").cast("double")
+    val weight = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n_d"))
+      .withColumn("__w", weight)
+    val wsum = counts.agg(sum(col("__w")).as("__wsum"))
+    val rankW = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df
+      .join(broadcast(counts), Seq(domainCol))
+      .crossJoin(broadcast(wsum))
+      .withColumn("__rank", row_number().over(rankW))
+      .filter(col("__rank") <= ceil(lit(targetRows.toDouble) * col("__w") / col("__wsum")))
+      .drop("__n_d", "__w", "__wsum", "__rank")
+  }
 }

@@ -106,6 +106,45 @@ object TextAnalysis {
   def docFingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary"))
 
+  /** Word bigrams ("w1 w2" strings); empty when fewer than 2 tokens.
+    * The building block of the repetition filters below. */
+  def wordBigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Occurrence count of the most frequent bigram (0 when <2 tokens).
+    * Pure column expressions (distinct × filter is O(k²) per doc over
+    * the bigram array — a narrow, codegen'd per-row cost that scales
+    * linearly with corpus rows; typical web docs keep k in the
+    * hundreds). */
+  def topBigramCount(text: Column): Column = {
+    val bg = wordBigrams(text)
+    coalesce(
+      array_max(transform(array_distinct(bg), x => size(filter(bg, y => y === x)))),
+      lit(0))
+  }
+
+  /** Repetition signals in the Gopher-filter family (Rae et al. 2021,
+    * "fraction of characters in the most common n-gram" / "duplicate
+    * n-gram fraction", word-level form): docs dominated by one repeated
+    * phrase or by repeated bigrams are boilerplate/spam candidates. */
+  def topBigramFraction(text: Column): Column = {
+    val nbg = size(wordBigrams(text))
+    when(nbg > 0, topBigramCount(text).cast("double") / nbg).otherwise(lit(0.0))
+  }
+
+  /** Fraction of bigram instances that repeat an earlier one. */
+  def dupBigramFraction(text: Column): Column = {
+    val bg = wordBigrams(text)
+    when(size(bg) > 0,
+      (size(bg) - size(array_distinct(bg))).cast("double") / size(bg))
+      .otherwise(lit(0.0))
+  }
+
   /** Corpus term statistics — the IDF building block: per token, its
     * document frequency (docs containing it), total occurrences, and
     * language spread. One explode + one hash-agg shuffle; integer

@@ -60,6 +60,15 @@ object RelationalQueries {
           Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5), seed = 42L)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    },
+    // temperature-based domain mixing (share ∝ n_lang^0.5): md5-ranked,
+    // RNG-free, so the DuckDB oracle reproduces the exact row set —
+    // sqrt is IEEE-correctly-rounded in both engines
+    "rel_domain_mix" -> { (s, dir) =>
+      Refresh.temperatureMix(Tables.documents(s, dir), "lang", "doc_id",
+          targetRows = 200, alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -83,6 +92,22 @@ object RelationalQueries {
       """SELECT doc_id,
         |       CASE WHEN doc_id % 5 = 0 THEN 'new_' || source ELSE source END AS source,
         |       CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS version
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "rel_domain_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_d FROM documents GROUP BY lang
+        |), w AS (
+        |  SELECT lang, sqrt(CAST(n_d AS DOUBLE)) AS w FROM c
+        |), s AS (
+        |  SELECT sum(w) AS wsum FROM w
+        |), r AS (
+        |  SELECT d.doc_id, d.lang, w.w, s.wsum,
+        |         row_number() OVER (PARTITION BY d.lang
+        |           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        |  FROM documents d JOIN w ON d.lang = w.lang CROSS JOIN s
+        |)
+        |SELECT doc_id, lang FROM r
+        |WHERE rk <= ceil(200 * w / wsum)
+        |ORDER BY doc_id""".stripMargin
   )
 }

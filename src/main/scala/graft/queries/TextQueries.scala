@@ -76,6 +76,19 @@ object TextQueries {
     "t_term_stats" -> { (s, dir) =>
       TextAnalysis.termStats(Tables.documents(s, dir))
         .orderBy(col("token"))
+    },
+    // Gopher-family repetition filters: top-bigram dominance + duplicate
+    // bigram fraction (word-level). Pure per-row column expressions; the
+    // int-over-int divisions are IEEE-identical in both engines.
+    "t_repetition" -> { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        tokenCount(t).cast("long").as("n_tokens"),
+        topBigramCount(t).cast("long").as("top_bigram_n"),
+        topBigramFraction(t).as("top_bigram_frac"),
+        dupBigramFraction(t).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -157,6 +170,29 @@ object TextQueries {
          |       count(DISTINCT doc_id) AS doc_freq,
          |       count(*) AS total_tf,
          |       count(DISTINCT lang) AS n_langs
-         |FROM tok GROUP BY token ORDER BY token""".stripMargin
+         |FROM tok GROUP BY token ORDER BY token""".stripMargin,
+    "t_repetition" ->
+      s"""WITH t AS ($wCte),
+         |b AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |         CASE WHEN len(w) >= 2
+         |              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |              ELSE CAST([] AS VARCHAR[]) END AS bg
+         |  FROM t
+         |), m AS (
+         |  SELECT doc_id, n_tokens, bg,
+         |         coalesce(list_max(list_transform(list_distinct(bg),
+         |           x -> len(list_filter(bg, y -> y = x)))), 0) AS top_n
+         |  FROM b
+         |)
+         |SELECT doc_id,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(top_n AS BIGINT) AS top_bigram_n,
+         |       CASE WHEN len(bg) > 0 THEN CAST(top_n AS DOUBLE) / len(bg)
+         |            ELSE 0.0 END AS top_bigram_frac,
+         |       CASE WHEN len(bg) > 0
+         |            THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         |            ELSE 0.0 END AS dup_bigram_frac
+         |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -176,6 +176,35 @@ class StorageSpec extends SparkSpec {
     assert(enSampled > en * 0.25 && enSampled < en * 0.75)
   }
 
+  test("temperatureMix: shares follow n^alpha, deterministic, scarce domains capped") {
+    import graft.operators.Refresh
+    // skewed corpus: 900 "web" rows, 90 "code", 10 "law"
+    val rows = (1 to 900).map(i => (i.toLong, "web")) ++
+      (1001 to 1090).map(i => (i.toLong, "code")) ++
+      (2001 to 2010).map(i => (i.toLong, "law"))
+    val df = rows.toDF("doc_id", "domain")
+    val out = Refresh.temperatureMix(df, "domain", "doc_id", targetRows = 100, alpha = 0.5)
+    val byDomain = out.groupBy($"domain").count().as[(String, Long)].collect().toMap
+    // sqrt weights: 30 / 9.49 / 3.16 (sum 42.65) → targets 71 / 23 / 8
+    assert(byDomain("web") === math.ceil(100 * 30.0 / (30.0 + math.sqrt(90.0) + math.sqrt(10.0))).toLong)
+    assert(byDomain("law") < byDomain("code") && byDomain("code") < byDomain("web"))
+    // alpha flattens: natural sampling (alpha=1) gives web a larger share
+    val natural = Refresh.temperatureMix(df, "domain", "doc_id", 100, alpha = 1.0)
+      .groupBy($"domain").count().as[(String, Long)].collect().toMap
+    assert(natural("web") > byDomain("web"))
+    // deterministic: same call, same rows
+    val again = Refresh.temperatureMix(df, "domain", "doc_id", 100, alpha = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === out.select($"doc_id").as[Long].collect().toSet)
+    // a domain whose target exceeds its size keeps everything, no more
+    val tiny = Refresh.temperatureMix(df, "domain", "doc_id", 100000, alpha = 0.5)
+      .groupBy($"domain").count().as[(String, Long)].collect().toMap
+    assert(tiny("law") === 10L)
+    intercept[IllegalArgumentException] {
+      Refresh.temperatureMix(df, "domain", "doc_id", 100, alpha = 1.5)
+    }
+  }
+
   test("saltedAggregate == plain aggregate for algebraic aggs") {
     val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toLong)).toDF("k", "v")
     val plain = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n"))

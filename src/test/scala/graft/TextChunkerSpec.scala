@@ -202,4 +202,24 @@ class TextChunkerSpec extends SparkSpec {
     assert(bad.isEmpty)
     assert(chunks.count() > 0)
   }
+
+  test("repetition signals: planted repeated phrase dominates, degenerate docs are 0") {
+    import graft.operators.TextAnalysis._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"),      // 7 bigrams: "buy now"×4, "now buy"×3
+      (2L, "all tokens here are fully distinct ok"), // 6 distinct bigrams
+      (3L, "one"),                                   // <2 tokens → no bigrams
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        topBigramCount(col("text")).as("n"),
+        topBigramFraction(col("text")).as("top_frac"),
+        dupBigramFraction(col("text")).as("dup_frac"))
+      .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((4, 4.0 / 7, 5.0 / 7)))
+    assert(out(2L) === ((1, 1.0 / 6, 0.0)))
+    assert(out(3L) === ((0, 0.0, 0.0)))
+    assert(out(4L) === ((0, 0.0, 0.0)))
+  }
 }
