@@ -365,14 +365,28 @@ object Dedup {
     * generated as a candidate with probability ≥ `targetRecall`
     * (1 − (1 − p1^bits)^L ≥ recall, solved for L; pairs ABOVE the
     * threshold collide with strictly higher probability). Capped at 64
-    * bands — past that the probe volume dominates the shuffle. */
+    * bands — past that the probe volume dominates the shuffle — and the
+    * cap is NOT silent: when it binds (loose thresholds or very wide
+    * bucket spaces), the effective at-threshold recall is computed and
+    * logged so a shortfall against `targetRecall` is visible. */
   def signLshBands(threshold: Double, bits: Int, targetRecall: Double = 0.9): Int = {
     require(targetRecall > 0 && targetRecall < 1,
       s"targetRecall must be in (0,1), got $targetRecall")
     val pBand = math.pow(signAgreeProb(threshold), bits)
     if (pBand >= 1.0 - 1e-12) 1
-    else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pBand))
-      .toInt.max(1).min(64)
+    else {
+      val raw = math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pBand))
+        .toInt.max(1)
+      if (raw > 64) {
+        val effective = 1.0 - math.pow(1.0 - pBand, 64)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"signLshBands: threshold=$threshold%.2f bits=$bits needs $raw bands " +
+            f"for recall >= $targetRecall%.2f; capped at 64 — effective " +
+            f"at-threshold candidate recall is $effective%.2f. Tighten the " +
+            "threshold, lower bits, or pass bands explicitly.")
+        64
+      } else raw
+    }
   }
 
   /** `bits`-bit sign signature for band `band` — each band uses its own
@@ -417,7 +431,10 @@ object Dedup {
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
     val e = emb.select(col(idCol), col(embCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    releaseAfterUse(e)
+    // sizing count FIRST (it also warms the cache), listener AFTER — a
+    // listener registered before the count would see the count itself as
+    // the first cache-referencing query and evict the cache before the
+    // LSH job ever reads it
     val bits =
       if (nBits > 0) nBits
       else {
@@ -425,6 +442,7 @@ object Dedup {
         math.ceil(math.log((n.toDouble / 64.0).max(1.0)) / math.log(2.0)).toInt
           .max(8).min(20)
       }
+    releaseAfterUse(e)
     require(bits <= 24, s"nBits must be <= 24 (got $bits): the bucket key " +
       "would overflow the Int signature")
     val l = if (bands > 0) bands else signLshBands(threshold, bits, targetRecall)

@@ -54,14 +54,24 @@ object Refresh {
     * window rank on the domain shuffle — two scans, no global window,
     * survives any corpus size. alpha = 0.5 computes via `sqrt`, which
     * IEEE requires correctly rounded in every engine (general `pow` is
-    * not), so the oracle-gated path is bit-exact cross-engine. */
+    * not), so the oracle-gated path is bit-exact cross-engine.
+    *
+    * Contract notes: per-domain targets take `ceil`, so every nonempty
+    * domain keeps ≥ 1 row and the output can exceed `targetRows` by up
+    * to (#domains − 1) — the keep-every-domain floor is intentional
+    * (losing a scarce domain entirely is worse than a small overshoot),
+    * but with very many domains size the target accordingly. Rows with
+    * a NULL domain are dropped (standard SQL grouping/join semantics,
+    * matched deliberately so the DuckDB oracle reproduces the row set);
+    * fill or filter them upstream. */
   def temperatureMix(df: DataFrame, domainCol: String, keyCol: String,
                      targetRows: Long, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val nD = col("__n_d").cast("double")
     val weight = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
-    val counts = df.groupBy(col(domainCol))
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
       .agg(count(lit(1)).as("__n_d"))
       .withColumn("__w", weight)
     val wsum = counts.agg(sum(col("__w")).as("__wsum"))

@@ -60,7 +60,7 @@ object PdfText {
     // one stream and show text in the next (ISO 32000 treats the
     // concatenation as a single stream)
     val joined = extractFromContent(
-        streams.map(_.data).filter(looksLikeContent), fonts)
+        streams.flatMap(_.data).filter(looksLikeContent), fonts)
       .replaceAll("[ \\t]+", " ")
       .replaceAll(" ?\\n ?", "\n")
       .replaceAll("\\n{3,}", "\n\n")
@@ -70,12 +70,16 @@ object PdfText {
   }
 
   /** One located stream: the `stream` keyword offset and raw-data span
-    * (for masking binary regions during object-header scans) plus the
-    * decoded payload. */
+    * (for masking binary regions during object-header scans — recorded
+    * for EVERY stream, decodable or not, because undecodable payloads
+    * like DCTDecode images are exactly the binary runs most likely to
+    * contain phantom "N M obj" bytes) plus the decoded payload when the
+    * filter is supported. */
   private[sources] final case class RawStream(kwPos: Int, dataStart: Int,
-                                              dataEnd: Int, data: Array[Byte])
+                                              dataEnd: Int, data: Option[Array[Byte]])
 
-  /** All decoded stream payloads with their byte positions. */
+  /** All located streams with their byte positions; `data` is defined
+    * for the ones that decoded. */
   private[sources] def decodedStreams(bytes: Array[Byte]): Seq[RawStream] = {
     val out = ArrayBuffer.empty[RawStream]
     var i = 0
@@ -102,7 +106,7 @@ object PdfText {
               if (dict.contains("/FlateDecode")) inflate(data)
               else if (dict.contains("/Filter")) None // unsupported filter
               else Some(data)
-            decoded.foreach(d => out += RawStream(i, dataStart, dataEnd, d))
+            out += RawStream(i, dataStart, dataEnd, decoded)
             i = end + "endstream".length
           }
         } else i = kwEnd
@@ -118,7 +122,7 @@ object PdfText {
 
   /** Decoded stream payloads that look like page content. */
   private[sources] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] =
-    decodedStreams(bytes).map(_.data).filter(looksLikeContent)
+    decodedStreams(bytes).flatMap(_.data).filter(looksLikeContent)
 
   /** The dictionary text immediately preceding the `stream` keyword
     * (between the nearest `<<` pair-balanced open and the keyword). A
@@ -265,10 +269,18 @@ object PdfText {
     val text = new String(bytes, StandardCharsets.ISO_8859_1)
     // raw (often compressed) stream bodies can contain byte runs that
     // look like "N M obj" — mask those spans so phantom headers cannot
-    // shadow real objects during resolution
-    val spans = streams.map(s => (s.dataStart, s.dataEnd)).sortBy(_._1)
-    def inStream(pos: Int): Boolean =
-      spans.exists { case (a, b) => pos >= a && pos < b }
+    // shadow real objects during resolution. Spans cover ALL streams,
+    // including undecodable ones (images are the likeliest phantom
+    // source); lookup is a binary search over the sorted spans.
+    val spans = streams.map(s => (s.dataStart, s.dataEnd)).sortBy(_._1).toIndexedSeq
+    def inStream(pos: Int): Boolean = {
+      var lo = 0; var hi = spans.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (spans(mid)._1 <= pos) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      ans >= 0 && pos < spans(ans)._2
+    }
     val headers = """(\d+)\s+\d+\s+obj\b""".r.findAllMatchIn(text)
       .filterNot(m => inStream(m.start))
       .map(m => (m.group(1).toInt, m.start, m.end)).toVector
@@ -294,11 +306,13 @@ object PdfText {
     }
 
     val cmapsByObj: Map[Int, ToUnicodeCMap] = streams.flatMap { rs =>
-      val s = new String(rs.data, StandardCharsets.ISO_8859_1)
-      if (s.contains("beginbfchar") || s.contains("beginbfrange")) {
-        val cm = parseCMap(s)
-        if (cm.map.nonEmpty) ownerOf(rs.kwPos).map(_ -> cm) else None
-      } else None
+      rs.data.flatMap { d =>
+        val s = new String(d, StandardCharsets.ISO_8859_1)
+        if (s.contains("beginbfchar") || s.contains("beginbfrange")) {
+          val cm = parseCMap(s)
+          if (cm.map.nonEmpty) ownerOf(rs.kwPos).map(_ -> cm) else None
+        } else None
+      }
     }.toMap
     if (cmapsByObj.isEmpty) return Map.empty
 
@@ -346,25 +360,32 @@ object PdfText {
     extractFromContent(Seq(content), Map.empty[String, ToUnicodeCMap])
 
   /** Text assembly from the document's content streams, interpreted as
-    * ONE stream in document order (graphics state — the active font's
-    * CMap — survives stream boundaries, which split /Contents arrays
-    * rely on). `fonts` maps page resource names to ToUnicode CMaps; the
-    * `Tf` operator switches the active one, and show strings under a
-    * CMap'd font decode through it. */
+    * ONE stream in document order: ISO 32000 §7.8.2 treats a split
+    * /Contents array as the concatenation of its streams (divisions may
+    * fall between lexical tokens — even between an operand and its
+    * operator), so the streams are physically joined with a single
+    * whitespace byte (a token separator, never emitted as text) and
+    * interpreted in one pass. Graphics state (the active font's CMap)
+    * therefore survives boundaries for free. `fonts` maps page resource
+    * names to ToUnicode CMaps; the `Tf` operator switches the active
+    * one, and show strings under a CMap'd font decode through it. */
   private[sources] def extractFromContent(contents: Seq[Array[Byte]],
                                           fonts: Map[String, ToUnicodeCMap]): String = {
+    if (contents.isEmpty) return ""
+    val content =
+      if (contents.lengthCompare(1) == 0) contents.head
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        contents.foreach { s => if (bos.size() > 0) bos.write('\n'); bos.write(s) }
+        bos.toByteArray
+      }
     val sb = new StringBuilder
     // pending operand stack for the current operator (strings + numbers)
     val operands = ArrayBuffer.empty[Any]
     // active font's CMap (None = simple font → Latin-1/UTF-16BE decode)
     var currentCMap: Option[ToUnicodeCMap] = None
-
-    for (content <- contents) {
     var i = 0
     val n = content.length
-    // operands never span a stream boundary; a line break separates them
-    operands.clear()
-    if (sb.nonEmpty && sb.last != '\n') sb.append('\n')
 
     def c(k: Int): Char = (content(k) & 0xff).toChar
     def isDelim(ch: Char) = "()<>[]{}/%".indexOf(ch) >= 0
@@ -514,7 +535,6 @@ object PdfText {
         else i += 1 // lone delimiter char not consumed above — never stall
       }
     }
-    } // next content stream — sb/currentCMap carry over
     sb.toString.trim
   }
 }

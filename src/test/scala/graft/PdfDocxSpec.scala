@@ -160,6 +160,18 @@ class PdfDocxSpec extends SparkSpec {
     assert(PdfText.extract(PdfSamples.identityHSplitSample(text)) === Right(text))
   }
 
+  test("PdfText: operand/operator split across streams, no fabricated line break") {
+    val cmap = PdfSamples.toUnicodeCMap(Seq(3 -> "한", 4 -> "글"))
+    // ISO 32000 allows the /Contents division to fall between an operand
+    // and its operator: string in stream A, Tj in stream B
+    val pdf = PdfSamples.identityHPdfSplit(cmap, "BT /F1 12 Tf <00030004>", "Tj ET")
+    assert(PdfText.extract(pdf) === Right("한글"))
+    // text continuing across the boundary with no line operator must not
+    // acquire a newline
+    val pdf2 = PdfSamples.identityHPdfSplit(cmap, "BT /F1 12 Tf <0003> Tj", "<0004> Tj ET")
+    assert(PdfText.extract(pdf2) === Right("한글"))
+  }
+
   test("PdfText: CMap'd font drops unmapped glyph ids instead of emitting garbage") {
     val cmap = PdfSamples.toUnicodeCMap(Seq(3 -> "가"))
     val pdf = PdfSamples.identityHPdf(cmap, "BT /F1 12 Tf <000300FF0003> Tj ET")

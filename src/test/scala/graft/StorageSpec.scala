@@ -203,6 +203,15 @@ class StorageSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Refresh.temperatureMix(df, "domain", "doc_id", 100, alpha = 1.5)
     }
+    // NULL-domain rows are dropped (documented contract) and must not
+    // deflate the real domains' targets through the weight sum
+    val withNull = df.unionByName(
+      Seq((9001L, Option.empty[String]), (9002L, Option.empty[String]))
+        .toDF("doc_id", "domain"))
+    val mixed = Refresh.temperatureMix(withNull, "domain", "doc_id", 100, alpha = 0.5)
+    val mixedByDomain = mixed.groupBy($"domain").count().as[(String, Long)].collect().toMap
+    assert(!mixed.select($"doc_id").as[Long].collect().exists(_ >= 9001L))
+    assert(mixedByDomain === byDomain)
   }
 
   test("saltedAggregate == plain aggregate for algebraic aggs") {
