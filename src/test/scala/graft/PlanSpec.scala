@@ -104,6 +104,26 @@ class PlanSpec extends SparkSpec {
     assert(r.getInt(2) === 1)
   }
 
+  test("temperatureMix: counts broadcast, no shuffle join, one window exchange") {
+    import graft.operators.Refresh
+    val plan = Refresh.temperatureMix(Tables.documents(spark, sfDir),
+      "lang", "doc_id", 200, alpha = 0.5).queryExecution.executedPlan.toString
+    // both the per-domain counts and the weight sum attach via broadcast
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("repetition filters stay inside whole-stage codegen") {
+    import graft.operators.TextAnalysis
+    val plan = Tables.documents(spark, sfDir)
+      .select($"doc_id", TextAnalysis.topBigramFraction($"text"),
+        TextAnalysis.dupBigramFraction($"text"))
+      .queryExecution.executedPlan.toString
+    // codegen'd span shows as *(n); no exchange anywhere in the plan
+    assert(plan.contains("*("), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("retriever factory (E1) returns a curried query function") {
     val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(50)
     val store = ChunkStore.dualWrite(
