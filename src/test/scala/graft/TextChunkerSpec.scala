@@ -221,5 +221,19 @@ class TextChunkerSpec extends SparkSpec {
     assert(out(2L) === ((1, 1.0 / 6, 0.0)))
     assert(out(3L) === ((0, 0.0, 0.0)))
     assert(out(4L) === ((0, 0.0, 0.0)))
+    // the corpus-scale aggregation form must agree exactly with the
+    // scalar expressions — on the planted docs AND a real-fixture slice
+    def viaProfile(d: org.apache.spark.sql.DataFrame) =
+      repetitionProfile(d).as[(Long, Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._3.toInt, r._4, r._5))).toMap
+    assert(viaProfile(df) === out)
+    val slice = Tables.documents(spark, sfDir).limit(40).select($"doc_id", $"text")
+    val viaExpr = slice.select(col("doc_id"),
+        topBigramCount(col("text")).as("n"),
+        topBigramFraction(col("text")).as("tf"),
+        dupBigramFraction(col("text")).as("df"))
+      .as[(Long, Int, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(viaProfile(slice) === viaExpr)
   }
 }
