@@ -131,6 +131,44 @@ object PdfSamples {
     bos.toByteArray
   }
 
+  /** Two pages that BOTH name their font `/F1` but bind it to different
+    * Type0 fonts with different ToUnicode CMaps — the layout that
+    * breaks document-global (first-wins) name resolution and requires
+    * page-scoped /Resources handling. Both pages reuse the same glyph
+    * ids (3, 4, ...), so decoding page 2 through page 1's CMap yields
+    * page 1's characters: the test is unambiguous. */
+  def twoPageConflictingF1(textA: String, textB: String): Array[Byte] = {
+    val (cmapA, hexA) = textToCMapAndHex(textA)
+    val (cmapB, hexB) = textToCMapAndHex(textB)
+    val a = s"BT /F1 12 Tf 72 720 Td <$hexA> Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val b = s"BT /F1 12 Tf 72 720 Td <$hexB> Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val ca = deflate(cmapA.getBytes(StandardCharsets.ISO_8859_1))
+    val cb = deflate(cmapB.getBytes(StandardCharsets.ISO_8859_1))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 13 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${a.length} >>\nstream\n"); bos.write(a); w("\nendstream\nendobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /FontA " +
+      "/Encoding /Identity-H /DescendantFonts [7 0 R] /ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${ca.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(ca); w("\nendstream\nendobj\n")
+    w("7 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /FontA >> endobj\n")
+    w("13 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 15 0 R >> >> /Contents 14 0 R >> endobj\n")
+    w(s"14 0 obj << /Length ${b.length} >>\nstream\n"); bos.write(b); w("\nendstream\nendobj\n")
+    w("15 0 obj << /Type /Font /Subtype /Type0 /BaseFont /FontB " +
+      "/Encoding /Identity-H /DescendantFonts [17 0 R] /ToUnicode 16 0 R >> endobj\n")
+    w(s"16 0 obj << /Length ${cb.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(cb); w("\nendstream\nendobj\n")
+    w("17 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /FontB >> endobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
   /** Split/indirect/decoy sample carrying `text` (see [[identityHPdfSplit]]). */
   def identityHSplitSample(text: String): Array[Byte] = {
     val (cmap, hex) = textToCMapAndHex(text)

@@ -53,14 +53,29 @@ object PdfText {
   def extract(bytes: Array[Byte]): Either[String, String] = {
     if (!isPdf(bytes)) return Left("Not a PDF (missing %PDF- header)")
     val streams = decodedStreams(bytes)
-    val fonts = fontCMaps(bytes, streams)
-    // ONE interpreter pass over all content streams in document order:
-    // graphics state (the current font's CMap) must survive stream
-    // boundaries — pages with split /Contents arrays set the font in
-    // one stream and show text in the next (ISO 32000 treats the
-    // concatenation as a single stream)
-    val joined = extractFromContent(
-        streams.flatMap(_.data).filter(looksLikeContent), fonts)
+    val idx = new ObjIndex(bytes, streams)
+    val globalFonts = fontCMapsIdx(idx, streams)
+    // page-scoped interpretation: each page's /Contents streams run as
+    // ONE concatenated stream against that page's own font bindings
+    // (two pages may bind /F1 to different fonts); pages without
+    // resolvable resources — e.g. inherited from the /Pages parent —
+    // fall back to the merged document-global bindings, as do content
+    // streams no page claims
+    val pages = pageFontCMapsIdx(idx, streams)
+    val owned = for {
+      rs <- streams
+      d <- rs.data if looksLikeContent(d)
+      o <- idx.ownerOf(rs.kwPos)
+    } yield (o, d)
+    val byOwner = owned.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val claimed = pages.flatMap(_._1).toSet
+    val pageTexts = pages.map { case (contents, fontsOpt) =>
+      val cs = contents.flatMap(byOwner.getOrElse(_, Nil))
+      extractFromContent(cs, fontsOpt.filter(_.nonEmpty).getOrElse(globalFonts))
+    }
+    val orphanText = extractFromContent(
+      owned.collect { case (o, d) if !claimed.contains(o) => d }, globalFonts)
+    val joined = (pageTexts :+ orphanText).filter(_.nonEmpty).mkString("\n")
       .replaceAll("[ \\t]+", " ")
       .replaceAll(" ?\\n ?", "\n")
       .replaceAll("\\n{3,}", "\n\n")
@@ -80,7 +95,7 @@ object PdfText {
 
   /** All located streams with their byte positions; `data` is defined
     * for the ones that decoded. */
-  private[sources] def decodedStreams(bytes: Array[Byte]): Seq[RawStream] = {
+  private[graft] def decodedStreams(bytes: Array[Byte]): Seq[RawStream] = {
     val out = ArrayBuffer.empty[RawStream]
     var i = 0
     while (i >= 0 && i < bytes.length) {
@@ -124,12 +139,17 @@ object PdfText {
   private[sources] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] =
     decodedStreams(bytes).flatMap(_.data).filter(looksLikeContent)
 
-  /** The dictionary text immediately preceding the `stream` keyword
-    * (between the nearest `<<` pair-balanced open and the keyword). A
-    * bounded backward window is enough: stream dicts are small. */
+  /** The dictionary text immediately preceding the `stream` keyword. A
+    * bounded backward window, CUT at the last `obj`/`endstream` keyword
+    * inside it: the stream's own dict starts after its object header,
+    * and without the cut an EARLIER object's dict leaks in — e.g. a
+    * compressed stream's `/FlateDecode` within 512 bytes of a plain
+    * stream's keyword made the plain stream fail inflation and vanish. */
   private def precedingDict(bytes: Array[Byte], streamKw: Int): String = {
     val from = math.max(0, streamKw - 512)
-    new String(bytes, from, streamKw - from, StandardCharsets.ISO_8859_1)
+    val w = new String(bytes, from, streamKw - from, StandardCharsets.ISO_8859_1)
+    val cut = math.max(w.lastIndexOf("obj"), w.lastIndexOf("endstream"))
+    if (cut >= 0) w.substring(cut) else w
   }
 
   private def indexOf(haystack: Array[Byte], needle: String, from: Int): Int = {
@@ -257,22 +277,20 @@ object PdfText {
     * streams containing bfchar/bfrange sections (keyed by owning object)
     * → font dicts carrying `/ToUnicode N 0 R` → `/Font` resource dicts,
     * direct (`/Font << /F1 5 0 R >>`) or indirect (`/Font 9 0 R`).
-    * Names are resolved document-globally: if two pages bind the same
-    * name to different fonts the first binding wins — acceptable for a
-    * subset parser (writers emit per-document font resources in
-    * practice) and strictly better than dropping the text. */
+    * Page-aware resolution ([[pageFontCMaps]]) scopes bindings to each
+    * page's own /Resources; this document-global form is the fallback
+    * (and covers streams no page claims): all bindings merge, first
+    * wins on a name collision. */
   private[graft] def fontCMaps(bytes: Array[Byte]): Map[String, ToUnicodeCMap] =
     fontCMaps(bytes, decodedStreams(bytes))
 
-  private[graft] def fontCMaps(bytes: Array[Byte],
-                               streams: Seq[RawStream]): Map[String, ToUnicodeCMap] = {
+  /** Shared object-graph machinery: the file as Latin-1 text,
+    * indirect-object headers (with stream-data spans masked so binary
+    * payloads cannot fake "N M obj" headers), owner lookup and bounded
+    * dictionary extraction. */
+  private final class ObjIndex(bytes: Array[Byte], streams: Seq[RawStream]) {
     val text = new String(bytes, StandardCharsets.ISO_8859_1)
-    // raw (often compressed) stream bodies can contain byte runs that
-    // look like "N M obj" — mask those spans so phantom headers cannot
-    // shadow real objects during resolution. Spans cover ALL streams,
-    // including undecodable ones (images are the likeliest phantom
-    // source); lookup is a binary search over the sorted spans.
-    val spans = streams.map(s => (s.dataStart, s.dataEnd)).sortBy(_._1).toIndexedSeq
+    private val spans = streams.map(s => (s.dataStart, s.dataEnd)).sortBy(_._1).toIndexedSeq
     def inStream(pos: Int): Boolean = {
       var lo = 0; var hi = spans.length - 1; var ans = -1
       while (lo <= hi) {
@@ -281,11 +299,10 @@ object PdfText {
       }
       ans >= 0 && pos < spans(ans)._2
     }
-    val headers = """(\d+)\s+\d+\s+obj\b""".r.findAllMatchIn(text)
-      .filterNot(m => inStream(m.start))
-      .map(m => (m.group(1).toInt, m.start, m.end)).toVector
-    if (headers.isEmpty) return Map.empty
-
+    val headers: Vector[(Int, Int, Int)] = // (objNum, start, end)
+      """(\d+)\s+\d+\s+obj\b""".r.findAllMatchIn(text)
+        .filterNot(m => inStream(m.start))
+        .map(m => (m.group(1).toInt, m.start, m.end)).toVector
     // owning object of a byte offset = nearest header starting before it
     def ownerOf(pos: Int): Option[Int] = {
       var lo = 0; var hi = headers.length - 1; var ans = -1
@@ -295,57 +312,121 @@ object PdfText {
       }
       if (ans >= 0) Some(headers(ans)._1) else None
     }
-
     // an object's dictionary text: header end → nearest stream/endobj
-    // (bounded — stream dicts and font dicts are small)
-    def dictOf(idx: Int): String = {
+    // (bounded — stream dicts, font dicts and page dicts are small)
+    def dictAt(idx: Int): String = {
       val from = headers(idx)._3
       val slice = text.substring(from, math.min(text.length, from + 2048))
       val cuts = Seq(slice.indexOf("stream"), slice.indexOf("endobj")).filter(_ >= 0)
       if (cuts.isEmpty) slice else slice.substring(0, cuts.min)
     }
+    def dictOfObj(objNum: Int): Option[String] =
+      headers.indexWhere(_._1 == objNum) match {
+        case -1 => None
+        case i  => Some(dictAt(i))
+      }
+  }
 
+  /** fontObj → CMap for every font dict carrying `/ToUnicode N 0 R`. */
+  private def cmapByFontObj(idx: ObjIndex,
+                            streams: Seq[RawStream]): Map[Int, ToUnicodeCMap] = {
     val cmapsByObj: Map[Int, ToUnicodeCMap] = streams.flatMap { rs =>
       rs.data.flatMap { d =>
         val s = new String(d, StandardCharsets.ISO_8859_1)
         if (s.contains("beginbfchar") || s.contains("beginbfrange")) {
           val cm = parseCMap(s)
-          if (cm.map.nonEmpty) ownerOf(rs.kwPos).map(_ -> cm) else None
+          if (cm.map.nonEmpty) idx.ownerOf(rs.kwPos).map(_ -> cm) else None
         } else None
       }
     }.toMap
     if (cmapsByObj.isEmpty) return Map.empty
-
     val toUniRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
-    val cmapByFontObj: Map[Int, ToUnicodeCMap] = headers.indices.flatMap { i =>
-      toUniRe.findFirstMatchIn(dictOf(i))
+    idx.headers.indices.flatMap { i =>
+      toUniRe.findFirstMatchIn(idx.dictAt(i))
         .flatMap(m => cmapsByObj.get(m.group(1).toInt))
-        .map(headers(i)._1 -> _)
+        .map(idx.headers(i)._1 -> _)
     }.toMap
-    if (cmapByFontObj.isEmpty) return Map.empty
+  }
 
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, ToUnicodeCMap]
-    val pairRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
-    def bind(pairsText: String): Unit =
-      pairRe.findAllMatchIn(pairsText).foreach { p =>
-        cmapByFontObj.get(p.group(2).toInt).foreach { cm =>
-          if (!out.contains(p.group(1))) out(p.group(1)) = cm
-        }
-      }
-    // direct resource dicts: /Font << /F1 5 0 R ... >> (stream spans
-    // masked here too — decoy bytes must not bind resource names)
-    """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(text)
-      .filterNot(m => inStream(m.start)).foreach(m => bind(m.group(1)))
-    // indirect resource dicts: /Font 9 0 R → pairs live in object 9
-    """/Font\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(text)
-      .filterNot(m => inStream(m.start)).foreach { m =>
-      val obj = m.group(1).toInt
-      headers.indexWhere(_._1 == obj) match {
-        case -1 => ()
-        case i  => bind(dictOf(i))
+  private val FontPairRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+
+  /** Resolve `/F1 5 0 R`-style pairs against the font→CMap table. */
+  private def bindPairs(pairsText: String, fonts: Map[Int, ToUnicodeCMap],
+                        out: scala.collection.mutable.LinkedHashMap[String, ToUnicodeCMap]): Unit =
+    FontPairRe.findAllMatchIn(pairsText).foreach { p =>
+      fonts.get(p.group(2).toInt).foreach { cm =>
+        if (!out.contains(p.group(1))) out(p.group(1)) = cm
       }
     }
+
+  private[graft] def fontCMaps(bytes: Array[Byte],
+                               streams: Seq[RawStream]): Map[String, ToUnicodeCMap] =
+    fontCMapsIdx(new ObjIndex(bytes, streams), streams)
+
+  private def fontCMapsIdx(idx: ObjIndex,
+                           streams: Seq[RawStream]): Map[String, ToUnicodeCMap] = {
+    if (idx.headers.isEmpty) return Map.empty
+    val byFontObj = cmapByFontObj(idx, streams)
+    if (byFontObj.isEmpty) return Map.empty
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, ToUnicodeCMap]
+    // direct resource dicts: /Font << /F1 5 0 R ... >> (stream spans
+    // masked here too — decoy bytes must not bind resource names)
+    """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(idx.text)
+      .filterNot(m => idx.inStream(m.start)).foreach(m => bindPairs(m.group(1), byFontObj, out))
+    // indirect resource dicts: /Font 9 0 R → pairs live in object 9
+    """/Font\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(idx.text)
+      .filterNot(m => idx.inStream(m.start)).foreach { m =>
+        idx.dictOfObj(m.group(1).toInt).foreach(bindPairs(_, byFontObj, out))
+      }
     out.toMap
+  }
+
+  /** Per-page font resolution: each `/Type /Page` object's /Contents
+    * stream objects paired with the fonts bound by THAT page's
+    * /Resources (inline, or an indirect `/Resources N 0 R`). Two pages
+    * may bind the same name (`/F1`) to different fonts without
+    * clobbering each other — the Word/HWP-export layout. Pages with no
+    * resolvable resources fall back to the caller's global map. */
+  private[graft] def pageFontCMaps(bytes: Array[Byte], streams: Seq[RawStream])
+      : Seq[(Seq[Int], Option[Map[String, ToUnicodeCMap]])] =
+    pageFontCMapsIdx(new ObjIndex(bytes, streams), streams)
+
+  private def pageFontCMapsIdx(idx: ObjIndex, streams: Seq[RawStream])
+      : Seq[(Seq[Int], Option[Map[String, ToUnicodeCMap]])] = {
+    if (idx.headers.isEmpty) return Nil
+    val byFontObj = cmapByFontObj(idx, streams)
+    val contentsRefRe = """/Contents\s+(\d+)\s+\d+\s+R""".r
+    val contentsArrRe = """/Contents\s*\[([^\]]*)\]""".r
+    val refRe = """(\d+)\s+\d+\s+R""".r
+    val fontDictRe = """/Font\s*<<([^<>]*)>>""".r
+    val fontRefRe = """/Font\s+(\d+)\s+\d+\s+R""".r
+    val resRefRe = """/Resources\s+(\d+)\s+\d+\s+R""".r
+    idx.headers.indices.flatMap { i =>
+      val d = idx.dictAt(i)
+      // \b won't do: "/Type /Pages" must not match "/Page"
+      if (!"""/Type\s*/Page[^s]""".r.findFirstIn(d + " ").isDefined) None
+      else {
+        val contents: Seq[Int] =
+          contentsArrRe.findFirstMatchIn(d)
+            .map(m => refRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
+            .orElse(contentsRefRe.findFirstMatchIn(d).map(m => Seq(m.group(1).toInt)))
+            .getOrElse(Nil)
+        // page resources: inline /Font dict, or /Resources N 0 R whose
+        // object carries the /Font dict (directly or as /Font M 0 R)
+        val resText: Option[String] =
+          if (fontDictRe.findFirstIn(d).isDefined || fontRefRe.findFirstIn(d).isDefined) Some(d)
+          else resRefRe.findFirstMatchIn(d).flatMap(m => idx.dictOfObj(m.group(1).toInt))
+        val fonts: Option[Map[String, ToUnicodeCMap]] = resText.map { rt =>
+          val out = scala.collection.mutable.LinkedHashMap.empty[String, ToUnicodeCMap]
+          fontDictRe.findAllMatchIn(rt).foreach(m => bindPairs(m.group(1), byFontObj, out))
+          fontRefRe.findAllMatchIn(rt).foreach { m =>
+            idx.dictOfObj(m.group(1).toInt).foreach(bindPairs(_, byFontObj, out))
+          }
+          out.toMap
+        }
+        if (contents.isEmpty) None else Some((contents, fonts))
+      }
+    }
   }
 
   /** A `/Name` token captured as an operand (needed for `Tf`). */

@@ -160,6 +160,13 @@ class PdfDocxSpec extends SparkSpec {
     assert(PdfText.extract(PdfSamples.identityHSplitSample(text)) === Right(text))
   }
 
+  test("PdfText: two pages binding /F1 to different fonts decode page-scoped") {
+    // both pages reuse glyph ids 3,4,... — global first-wins binding
+    // would decode page 2 as page 1's characters
+    val pdf = PdfSamples.twoPageConflictingF1("한국어 문서", "일본어 자료")
+    assert(PdfText.extract(pdf) === Right("한국어 문서\n일본어 자료"))
+  }
+
   test("PdfText: operand/operator split across streams, no fabricated line break") {
     val cmap = PdfSamples.toUnicodeCMap(Seq(3 -> "한", 4 -> "글"))
     // ISO 32000 allows the /Contents division to fall between an operand
