@@ -82,6 +82,28 @@ object StreamingIngest {
       events(eventKey) === docs(docKey), "left_outer")
       .drop(docs(docKey))
 
+  /** Stream-STREAM interval join with watermarks — the streaming twin
+    * of `RangeJoin.pointInRange` / the `ev_range_attrib` batch query:
+    * each click joins every purchase by the same user within
+    * [purchase, purchase + attributionWindow]. Watermarks on BOTH sides
+    * let Spark bound the join state (buffered rows older than watermark
+    * + window are evicted), which is what makes the join runnable
+    * forever. Expects `event_id, user_id, ts` on clicks and
+    * `user_id, ts, value` on purchases, `ts` being a true timestamp. */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame,
+                        attributionWindow: String = "24 hours",
+                        watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    c.join(p, expr(
+        s"""c.user_id = p.user_id AND
+           |c.ts >= p.ts AND
+           |c.ts <= p.ts + interval $attributionWindow""".stripMargin))
+      .select(col("c.event_id").as("event_id"), col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"),
+        col("p.value").as("purchase_value"))
+  }
+
   // ----------------------------------------------------- custom state op
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)

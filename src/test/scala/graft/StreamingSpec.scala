@@ -167,6 +167,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks attribute to purchases within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Long, Timestamp)]    // event_id, user_id, ts
+    val purchases = MemoryStream[(Long, Timestamp, Double)] // user_id, ts, value
+    val out = StreamingIngest.attributionStream(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"),
+      attributionWindow = "1 hour")
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      purchases.addData((1L, t("2024-01-01 00:00:00"), 10.0),
+                        (2L, t("2024-01-01 00:00:00"), 20.0))
+      // clicks arrive in a LATER batch — the purchase side must be
+      // buffered in join state across triggers
+      clicks.addData(
+        (100L, 1L, t("2024-01-01 00:30:00")), // within 1h of u1's purchase
+        (101L, 1L, t("2024-01-01 02:00:00")), // outside the window
+        (102L, 3L, t("2024-01-01 00:30:00"))) // user with no purchase
+      q.processAllAvailable()
+      // advance both watermarks so Append-mode results emit
+      clicks.addData((999L, 9L, t("2024-01-01 09:00:00")))
+      purchases.addData((9L, t("2024-01-01 09:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select($"event_id", $"purchase_value").as[(Long, Double)].collect()
+        .filter(_._1 < 999L).toMap
+      assert(rows === Map(100L -> 10.0))
+    } finally q.stop()
+  }
+
   test("enrichEventsStream: stream-static join is broadcast and enriches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double)]
