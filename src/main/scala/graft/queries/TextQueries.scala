@@ -85,6 +85,24 @@ object TextQueries {
     "t_repetition" -> { (s, dir) =>
       TextAnalysis.repetitionProfile(Tables.documents(s, dir))
         .orderBy(col("doc_id"))
+    },
+    // the composed keep/drop decision a training pipeline actually runs:
+    // quality score + repetition signals + length bounds, one boolean
+    // verdict per doc (all signals reused from the gated operators above)
+    "t_quality_gate" -> { (s, dir) =>
+      val t = col("text")
+      val docs = Tables.documents(s, dir)
+      val quality = docs.select(col("doc_id"),
+        qualityScore(t, stop).as("quality_score"))
+      TextAnalysis.repetitionProfile(docs)
+        .join(quality, Seq("doc_id"))
+        .select(col("doc_id"), col("quality_score"),
+          col("top_bigram_frac"), col("dup_bigram_frac"), col("n_tokens"),
+          (col("quality_score") >= 0.5 &&
+            col("top_bigram_frac") <= 0.2 &&
+            col("dup_bigram_frac") <= 0.5 &&
+            col("n_tokens") >= 10 && col("n_tokens") <= 100000).as("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -189,6 +207,41 @@ object TextQueries {
          |       CASE WHEN len(bg) > 0
          |            THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
          |            ELSE 0.0 END AS dup_bigram_frac
-         |FROM m ORDER BY doc_id""".stripMargin
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "t_quality_gate" ->
+      s"""WITH t AS ($wCte),
+         |q AS (
+         |  SELECT doc_id,
+         |         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+         |          + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+         |                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+         |          + (CASE WHEN CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w)
+         |                       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+         |         ) / 3.0 AS quality_score
+         |  FROM t
+         |), b AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |         CASE WHEN len(w) >= 2
+         |              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |              ELSE CAST([] AS VARCHAR[]) END AS bg
+         |  FROM t
+         |), m AS (
+         |  SELECT doc_id, n_tokens,
+         |         CASE WHEN len(bg) > 0
+         |              THEN CAST(coalesce(list_max(list_transform(list_distinct(bg),
+         |                     x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE) / len(bg)
+         |              ELSE 0.0 END AS top_bigram_frac,
+         |         CASE WHEN len(bg) > 0
+         |              THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         |              ELSE 0.0 END AS dup_bigram_frac
+         |  FROM b
+         |)
+         |SELECT m.doc_id, q.quality_score, m.top_bigram_frac, m.dup_bigram_frac,
+         |       CAST(m.n_tokens AS BIGINT) AS n_tokens,
+         |       (q.quality_score >= 0.5 AND m.top_bigram_frac <= 0.2
+         |        AND m.dup_bigram_frac <= 0.5
+         |        AND m.n_tokens >= 10 AND m.n_tokens <= 100000) AS keep
+         |FROM m JOIN q ON m.doc_id = q.doc_id
+         |ORDER BY m.doc_id""".stripMargin
   )
 }
