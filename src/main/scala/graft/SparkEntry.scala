@@ -22,7 +22,8 @@ object SparkEntry {
     VectorQueries.queries ++ CatalogQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries ++
       MultimodalQueries.queries ++ EventQueries.queries ++
-      RelationalQueries.queries ++ PipelineQueries.queries
+      RelationalQueries.queries ++ PipelineQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -31,5 +32,5 @@ object SparkEntry {
     VectorQueries.oracle ++ CatalogQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++ AnnQueries.oracle ++
       MultimodalQueries.oracle ++ EventQueries.oracle ++
-      RelationalQueries.oracle
+      RelationalQueries.oracle ++ CurationQueries.oracle
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain provenance analysis for training-data curation.
+  *
+  * Web-scale corpora are filtered by domain: extract every URL, reduce
+  * it to its host, aggregate corpus-wide domain statistics, and drop
+  * documents that cite blocklisted hosts (trackers, ad networks, known
+  * low-quality mirrors). All patterns live in the Java∩RE2 common
+  * subset (same contract as [[Pii]]) so the DuckDB oracle evaluates
+  * the identical strings.
+  *
+  * Scale shape: extraction is a narrow codegen'd projection; the
+  * blocklist is tiny (thousands of hosts vs billions of documents) so
+  * the filter is a **broadcast** anti/semi join — the 100 TB corpus
+  * side never shuffles. Domain stats are one explode + one
+  * map-side-combined hash aggregation (the `t_word_freq` shape).
+  */
+object Urls {
+
+  /** http(s) URL: host then an optional path. Query-string characters
+    * are folded into the path class (no lookaround in RE2). */
+  val UrlPattern: String =
+    "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./_?=&%+-]*)?"
+
+  /** Capture group 1 = the host of a URL string. */
+  val HostPattern: String = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URLs in a text column, in match order. */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** Host of a single URL value ('' when the value is not a URL). */
+  def host(url: Column): Column = regexp_extract(url, HostPattern, 1)
+
+  /** Registrable-domain approximation: the last two host labels
+    * (`cdn3.assets.example.com` → `example.com`). A public-suffix
+    * list would refine multi-label TLDs; the two-label reduction is
+    * the standard first pass and is exactly SQL-expressible. */
+  def registeredDomain(hostCol: Column): Column = {
+    val parts = split(hostCol, "\\.")
+    when(size(parts) >= 2,
+      concat_ws(".", slice(parts, size(parts) - 1, lit(2))))
+      .otherwise(hostCol)
+  }
+
+  /** Per-document URL extraction: count, ordered host list digest, and
+    * a flag for any host present in `blockedHosts` (exact host match).
+    * `blockedHosts` is a small literal set → `arrays_overlap` against
+    * a literal array, shuffle-free. */
+  def extract(df: DataFrame, blockedHosts: Seq[String], textCol: String = "text")
+      : DataFrame = {
+    val u = urls(col(textCol))
+    val hosts = transform(u, x => host(x))
+    df.withColumn("n_urls", size(u).cast("long"))
+      .withColumn("hosts", hosts)
+      .withColumn("blocked",
+        arrays_overlap(hosts, array(blockedHosts.map(lit): _*)))
+  }
+
+  /** Drop every document that cites a blocklisted host, with the
+    * blocklist as a DataFrame (`host` column) — the production shape
+    * when the blocklist is thousands of rows rather than a literal.
+    * Explode hosts → **broadcast** left-semi join (corpus side never
+    * shuffles for the lookup) → distinct offending ids → left-anti
+    * back onto the corpus. The only corpus shuffle is the id-keyed
+    * anti join; the 100 TB text column moves zero times for the
+    * lookup itself. */
+  def dropBlockedDocs(df: DataFrame, blocklist: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val offending = df
+      .select(col(idCol), explode(urls(col(textCol))).as("url"))
+      .select(col(idCol), host(col("url")).as("host"))
+      .join(broadcast(blocklist.select(col("host"))), Seq("host"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(offending, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus-wide domain frequency with the blocklist removed: explode
+    * hosts → registered domain → hash-agg count. One shuffle on the
+    * domain key with map-side partial aggregation; the blocklist
+    * filter happens BEFORE the shuffle so blocked rows never move. */
+  def domainStats(df: DataFrame, blockedHosts: Seq[String], textCol: String = "text")
+      : DataFrame = {
+    val blocked = array(blockedHosts.map(lit): _*)
+    df.select(explode(urls(col(textCol))).as("url"))
+      .select(host(col("url")).as("host"))
+      .where(not(array_contains(blocked, col("host"))))
+      .select(registeredDomain(col("host")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Decontam, LineDedup, Pii, Urls}
+
+/** Training-data curation queries: PII scrubbing, URL/domain
+  * provenance, benchmark decontamination, C4-style line dedup.
+  *
+  * The fixture documents are flat word streams with no natural PII or
+  * URLs, so the PII/URL gate queries deterministically SYNTHESIZE the
+  * sensitive spans from (doc_id, source) with expressions evaluated
+  * identically by Spark and the DuckDB oracle (the same derivation
+  * trick `mm_resize_meta` uses for media metadata). The scrub /
+  * extract operators under test are the real ones — only the input
+  * text is synthetic.
+  */
+object CurationQueries {
+
+  /** Hosts blocked in the URL queries (the doc_id%4 injected tracker
+    * hosts below land in this set). */
+  val BlockedHosts: Seq[String] =
+    (0 until 5).map(i => s"ads.tracker$i.example")
+
+  /** Deterministic PII injection: email on doc_id%2==0, phone on
+    * doc_id%3==0, IPv4 on doc_id%5==0 (overlapping moduli exercise
+    * multi-kind docs; doc_id%30==1 etc. yield PII-free docs). */
+  private def withPii(text: Column): Column = concat(
+    text,
+    when(col("doc_id") % 2 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"), lit("@"),
+        col("source"), lit(".example.com"))).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" call +82-10-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-"),
+        lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 3) % 256).cast("string"),
+        lit("."), ((col("doc_id") * 5) % 256).cast("string")))
+      .otherwise(lit(""))
+  )
+
+  private val piiTextSql =
+    """text
+      | || CASE WHEN doc_id % 2 = 0
+      |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@'
+      |              || source || '.example.com' ELSE '' END
+      | || CASE WHEN doc_id % 3 = 0
+      |         THEN ' call +82-10-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |              || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0
+      |         THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |              || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+      |              || '.' || CAST((doc_id * 5) % 256 AS VARCHAR)
+      |         ELSE '' END""".stripMargin.replace("\n", "")
+
+  /** Deterministic URL injection: one content URL per doc, plus a
+    * blocklisted tracker URL on doc_id%4==0. */
+  private def withUrls(text: Column): Column = concat(
+    text,
+    lit(" see https://www."), col("source"),
+    element_at(array(lit(".org"), lit(".com"), lit(".net")),
+      (col("doc_id") % 3).cast("int") + 1),
+    lit("/p/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 4 === 0,
+      concat(lit(" img http://ads.tracker"),
+        (col("doc_id") % 5).cast("string"),
+        lit(".example/click?id="), col("doc_id").cast("string")))
+      .otherwise(lit(""))
+  )
+
+  private val urlTextSql =
+    """text || ' see https://www.' || source
+      | || (['.org', '.com', '.net'])[(doc_id % 3) + 1]
+      | || '/p/' || CAST(doc_id AS VARCHAR)
+      | || CASE WHEN doc_id % 4 = 0
+      |         THEN ' img http://ads.tracker' || CAST(doc_id % 5 AS VARCHAR)
+      |              || '.example/click?id=' || CAST(doc_id AS VARCHAR)
+      |         ELSE '' END""".stripMargin.replace("\n", "")
+
+  private def sqlQuote(pat: String): String = pat.replace("'", "''")
+  private val blockedSql = BlockedHosts.map(h => s"'$h'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII detect + redact: counts per kind, full redacted text
+    "t_pii_scrub" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), withPii(col("text")).as("text"))
+      Pii.scrub(docs)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), col("has_pii"), col("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    // per-doc URL extraction + exact-host blocklist flag
+    "url_extract" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), withUrls(col("text")).as("text"))
+      Urls.extract(docs, BlockedHosts)
+        .select(col("doc_id"), col("n_urls"),
+          concat_ws(",", col("hosts")).as("hosts_joined"), col("blocked"))
+        .orderBy(col("doc_id"))
+    },
+    // corpus-wide registered-domain frequency, blocklist removed
+    "url_domain_stats" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), withUrls(col("text")).as("text"))
+      Urls.domainStats(docs, BlockedHosts)
+        .orderBy(col("n").desc, col("domain"))
+    },
+    // benchmark decontamination: distinct shared 4-grams per corpus doc
+    // against the doc_id%29==0 "benchmark" slice
+    "decontam_overlap" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.where(col("doc_id") % 29 =!= 0)
+      val benchmark = docs.where(col("doc_id") % 29 === 0)
+      Decontam.overlapReport(corpus, benchmark, n = 4)
+        .orderBy(col("doc_id"))
+    },
+    // C4-style line dedup over 4-word chunks, keep-first, minCount=2
+    "dedup_lines" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      LineDedup.dedup(docs, LineDedup.wordChunks(col("text"), 4),
+          minCount = 2L, keepFirst = true)
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private val emailSql = sqlQuote(graft.operators.Pii.EmailPattern)
+  private val phoneSql = sqlQuote(graft.operators.Pii.PhonePattern)
+  private val ipSql    = sqlQuote(graft.operators.Pii.Ipv4Pattern)
+  private val urlSql   = sqlQuote(Urls.UrlPattern)
+  private val hostSql  = sqlQuote(Urls.HostPattern)
+
+  val oracle: Map[String, String] = Map(
+    "t_pii_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $piiTextSql AS text FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$emailSql')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$phoneSql')) AS BIGINT) AS n_phones,
+         |       CAST(len(regexp_extract_all(text, '$ipSql')) AS BIGINT) AS n_ips,
+         |       (len(regexp_extract_all(text, '$emailSql'))
+         |        + len(regexp_extract_all(text, '$phoneSql'))
+         |        + len(regexp_extract_all(text, '$ipSql'))) > 0 AS has_pii,
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(text, '$emailSql', '<EMAIL>', 'g'),
+         |           '$phoneSql', '<PHONE>', 'g'),
+         |         '$ipSql', '<IP>', 'g') AS redacted
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "url_extract" ->
+      s"""WITH t AS (SELECT doc_id, $urlTextSql AS text FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |         list_transform(regexp_extract_all(text, '$urlSql'),
+         |                        x -> regexp_extract(x, '$hostSql', 1)) AS hosts
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |       CAST(len(hosts) AS BIGINT) AS n_urls,
+         |       array_to_string(hosts, ',') AS hosts_joined,
+         |       len(list_filter(hosts, h -> h IN ($blockedSql))) > 0 AS blocked
+         |FROM u ORDER BY doc_id""".stripMargin,
+    "url_domain_stats" ->
+      s"""WITH t AS (SELECT doc_id, $urlTextSql AS text FROM documents),
+         |e AS (SELECT unnest(regexp_extract_all(text, '$urlSql')) AS url FROM t),
+         |h AS (SELECT regexp_extract(url, '$hostSql', 1) AS host FROM e),
+         |ok AS (SELECT host FROM h WHERE host NOT IN ($blockedSql)),
+         |d AS (
+         |  SELECT CASE WHEN len(string_split(host, '.')) >= 2
+         |              THEN string_split(host, '.')[len(string_split(host, '.'))-1]
+         |                   || '.' ||
+         |                   string_split(host, '.')[len(string_split(host, '.'))]
+         |              ELSE host END AS domain
+         |  FROM ok
+         |)
+         |SELECT domain, count(*) AS n FROM d
+         |GROUP BY domain ORDER BY n DESC, domain""".stripMargin,
+    "decontam_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 4
+        |              THEN list_distinct(list_transform(range(1, len(w) - 2),
+        |                     i -> array_to_string(w[i:i+3], ' ')))
+        |              ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM t
+        |), bg AS (
+        |  SELECT unnest(grams) AS gram FROM g WHERE doc_id % 29 = 0
+        |), bench AS (SELECT DISTINCT gram FROM bg),
+        |cg AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 29 <> 0
+        |), ov AS (
+        |  SELECT cg.doc_id, count(*) AS n_shared
+        |  FROM cg JOIN bench USING (gram) GROUP BY cg.doc_id
+        |)
+        |SELECT g.doc_id,
+        |       CAST(len(grams) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(ov.n_shared, 0) AS BIGINT) AS n_shared,
+        |       coalesce(ov.n_shared, 0) >= 1 AS contaminated
+        |FROM g LEFT JOIN ov USING (doc_id)
+        |WHERE g.doc_id % 29 <> 0
+        |ORDER BY g.doc_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), seg AS (
+        |  SELECT doc_id, w,
+        |         unnest(range(0, CAST(ceil(len(w) / 4.0) AS BIGINT))) AS idx
+        |  FROM t WHERE len(w) > 0
+        |), u AS (
+        |  SELECT doc_id, idx,
+        |         array_to_string(w[idx*4+1:idx*4+4], ' ') AS unit,
+        |         doc_id * 1000000 + idx AS pos
+        |  FROM seg
+        |), f AS (
+        |  SELECT unit, count(*) AS n, min(pos) AS keeper_pos
+        |  FROM u GROUP BY unit
+        |), k AS (
+        |  SELECT u.doc_id, u.idx, u.unit,
+        |         (f.n < 2 OR u.pos = f.keeper_pos) AS keep
+        |  FROM u JOIN f USING (unit)
+        |), d AS (
+        |  SELECT doc_id,
+        |         count(*) AS n_units,
+        |         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
+        |         string_agg(CASE WHEN keep THEN unit END, ' ' ORDER BY idx) AS kept_text
+        |  FROM k GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |       CAST(coalesce(d.n_units, 0) AS BIGINT) AS n_units,
+        |       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |       coalesce(d.kept_text, '') AS kept_text
+        |FROM t LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

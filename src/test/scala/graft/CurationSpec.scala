@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontam, LineDedup, Pii, Urls}
+
+/** Curation-suite spec: PII scrub semantics, URL extraction/blocklist,
+  * benchmark decontamination, C4-style line dedup — planted inputs
+  * with hand-computed expected outputs, plus plan-shape assertions for
+  * the broadcast contracts the Scaladocs promise. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- PII
+
+  test("pii: redacts email, phone, ip; counts match; order protects email-embedded IPs") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or +82-10-1234-5678 ok"),
+      (2L, "server at 192.168.0.1 and also user@10.0.0.1.example.com"),
+      (3L, "no sensitive content here at all")
+    ).toDF("doc_id", "text")
+    val out = Pii.scrub(docs).orderBy("doc_id")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "has_pii", "redacted")
+      .as[(Long, Long, Long, Long, Boolean, String)].collect()
+
+    assert(out(0) === ((1L, 1L, 1L, 0L, true,
+      "reach me at <EMAIL> or <PHONE> ok")))
+    // the email's dotted-quad domain must be eaten by <EMAIL>, not <IP>
+    // (counts are DETECTION counts on the original text, so the quad
+    // inside the email domain still counts toward n_ips=2)
+    assert(out(1) === ((2L, 1L, 0L, 2L, true,
+      "server at <IP> and also <EMAIL>")))
+    assert(out(2) === ((3L, 0L, 0L, 0L, false,
+      "no sensitive content here at all")))
+  }
+
+  test("pii: scrub is a narrow projection — no shuffle in the plan") {
+    val docs = Seq((1L, "a@b.co")).toDF("doc_id", "text")
+    val plan = Pii.scrub(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  // ---------------------------------------------------------------- URLs
+
+  test("urls: extraction, host, registered domain, blocklist flag") {
+    val docs = Seq(
+      (1L, "read https://www.news.example.com/a/1 then http://ads.tracker0.example/click?id=1"),
+      (2L, "plain text, zero links"),
+      (3L, "bare host http://localhost/x")
+    ).toDF("doc_id", "text")
+    val out = Urls.extract(docs, Seq("ads.tracker0.example"))
+      .orderBy("doc_id")
+      .select(col("n_urls"), concat_ws(",", col("hosts")).as("h"), col("blocked"))
+      .as[(Long, String, Boolean)].collect()
+    assert(out(0) === ((2L, "www.news.example.com,ads.tracker0.example", true)))
+    assert(out(1) === ((0L, "", false)))
+    assert(out(2) === ((1L, "localhost", false)))
+
+    val doms = Urls.domainStats(docs, Seq("ads.tracker0.example"))
+      .orderBy("domain").as[(String, Long)].collect()
+    // blocked host removed BEFORE domain aggregation; single-label host kept as-is
+    assert(doms.toSeq === Seq(("example.com", 1L), ("localhost", 1L)))
+  }
+
+  test("urls: dropBlockedDocs uses a broadcast lookup and keeps clean docs") {
+    val docs = Seq(
+      (1L, "see http://bad.example/x"),
+      (2L, "see https://good.example/y"),
+      (3L, "no urls at all")
+    ).toDF("doc_id", "text")
+    val blocklist = Seq("bad.example").toDF("host")
+    val kept = Urls.dropBlockedDocs(docs, blocklist)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"blocklist lookup should broadcast:\n$plan")
+  }
+
+  // ---------------------------------------------------------- Decontam
+
+  test("decontam: flags docs sharing an n-gram with the benchmark, exact counts") {
+    // benchmark doc holds "alpha beta gamma delta"; corpus doc 1 contains
+    // it shifted; doc 2 shares no 4-gram; doc 3 is too short for any gram
+    val corpus = Seq(
+      (1L, "x alpha beta gamma delta y"),
+      (2L, "alpha beta epsilon gamma delta zeta eta"),
+      (3L, "one two three")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+
+    val out = Decontam.overlapReport(corpus, bench, n = 4).orderBy("doc_id")
+      .select("n_grams", "n_shared", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out(0) === ((3L, 1L, true)))   // 3 grams, one == the benchmark gram
+    assert(out(1) === ((4L, 0L, false)))
+    assert(out(2) === ((0L, 0L, false)))  // < n tokens → zero grams, still reported
+  }
+
+  test("decontam: benchmark side is broadcast — corpus grams never shuffle for the lookup") {
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((2L, "c d e f")).toDF("doc_id", "text")
+    val plan = Decontam.overlapReport(corpus, bench, n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$plan")
+  }
+
+  test("decontam: wordGrams edge — exactly n tokens yields one gram") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val g = df.select(Decontam.wordGrams(col("text"), 4).as("g"))
+      .as[Seq[String]].head()
+    assert(g === Seq("a b c d"))
+  }
+
+  // --------------------------------------------------------- LineDedup
+
+  test("line dedup: keep-first retains the canonical occurrence, others dropped") {
+    // unit width 2; "dup one" appears in docs 1, 2, 3 → survives only at
+    // its first global position (doc 1, idx 0)
+    val docs = Seq(
+      (1L, "dup one aa bb"),
+      (2L, "dup one cc dd"),
+      (3L, "ee ff dup one")
+    ).toDF("doc_id", "text")
+    val out = LineDedup.dedup(docs, LineDedup.wordChunks(col("text"), 2),
+        minCount = 2L, keepFirst = true)
+      .orderBy("doc_id")
+      .select("n_units", "n_dropped", "kept_text")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) === ((2L, 0L, "dup one aa bb")))
+    assert(out(1) === ((2L, 1L, "cc dd")))
+    assert(out(2) === ((2L, 1L, "ee ff")))
+  }
+
+  test("line dedup: strict mode drops ALL occurrences; empty docs still reported") {
+    val docs = Seq(
+      (1L, "dup one dup one"),  // both units are the same chunk
+      (2L, "dup one")
+    ).toDF("doc_id", "text")
+    val out = LineDedup.dedup(docs, LineDedup.wordChunks(col("text"), 2),
+        minCount = 2L, keepFirst = false)
+      .orderBy("doc_id")
+      .select("n_units", "n_dropped", "kept_text")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) === ((2L, 2L, "")))
+    assert(out(1) === ((1L, 1L, "")))
+  }
+
+  test("line dedup: below minCount nothing is dropped; trailing partial chunk kept") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val out = LineDedup.dedup(docs, LineDedup.wordChunks(col("text"), 2),
+        minCount = 2L)
+      .select("n_units", "n_dropped", "kept_text")
+      .as[(Long, Long, String)].head()
+    assert(out === ((3L, 0L, "a b c d e")))
+  }
+
+  test("line dedup: newline segmentation filters blank lines") {
+    val df = Seq((1L, "first line\n\n  \nsecond line")).toDF("doc_id", "text")
+    val l = df.select(LineDedup.lines(col("text")).as("l")).as[Seq[String]].head()
+    assert(l === Seq("first line", "second line"))
+  }
+}
