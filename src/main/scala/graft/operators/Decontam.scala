@@ -49,22 +49,27 @@ object Decontam {
                     minShared: Long = 1L,
                     idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val grams = corpus.select(col(idCol),
-      explode(array_distinct(wordGrams(col(textCol), n))).as("gram"))
     val benchGrams = benchmark
       .select(explode(wordGrams(col(textCol), n)).as("gram")).distinct()
+      .withColumn("bench_hit", lit(1))
 
-    val shared = grams
-      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared"))
-
+    // Single corpus pass: the gram arrays are built ONCE, n_grams rides
+    // along through explode_outer (docs with < n tokens keep a null-gram
+    // row so they survive to the report), the broadcast left-outer
+    // lookup tags benchmark hits, and one map-side-combined aggregation
+    // produces the per-doc report directly — no second scan, no
+    // id-keyed join-back. (A first cut computed the gram arrays twice
+    // and joined the counts back on id; at sf0.1 that benched 8.3 s vs
+    // the shape below, the suite's most expensive query.)
     corpus
       .select(col(idCol),
-        size(array_distinct(wordGrams(col(textCol), n))).cast("long")
-          .as("n_grams"))
-      .join(shared, Seq(idCol), "left_outer")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        array_distinct(wordGrams(col(textCol), n)).as("grams"))
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(first(col("n_grams")).as("n_grams"),
+        count(col("bench_hit")).as("n_shared"))
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 }
