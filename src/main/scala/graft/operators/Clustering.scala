@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-space domain discovery: profile a k-means clustering of
+  * the corpus.
+  *
+  * Training pipelines cluster document embeddings to discover topical
+  * domains, then weight/sample per cluster (cf. the temperature mixing
+  * in [[Refresh.temperatureMix]], which consumes exactly this kind of
+  * per-domain census). The clustering itself reuses [[Ann.buildIvf]] —
+  * one seeded MLlib k-means fit, one narrow assignment map — so an
+  * already-persisted IVF search index doubles as the domain model at
+  * zero extra cost.
+  *
+  * Scale shape: the profile is two tiny-cardinality aggregations over
+  * the assigned corpus — (cluster) and (cluster, label) hash-aggs,
+  * both map-side combined to ~k and k·|labels| rows before any
+  * shuffle; centroids ride in via a broadcast of k rows. Nothing here
+  * moves corpus-sized data.
+  */
+object Clustering {
+
+  /** Per-cluster census over an IVF-assigned corpus: size, mean
+    * distance-to-centroid (cohesion), dominant value of `labelCol`
+    * and its share. Output ordered by (n desc, cluster_id) — a stable
+    * total order even though k-means cluster ids are arbitrary. */
+  def clusterProfile(index: Ann.IvfIndex, labelCol: String = "label")
+      : DataFrame = {
+    val spark = index.assigned.sparkSession
+    val centDf = centroidsDf(spark, index.centroids)
+
+    val withDist = index.assigned
+      .join(broadcast(centDf), Seq("ivf_cluster"))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2DistF32(
+          col(index.embCol), col("centroid")).cast("double"))
+
+    val sizes = withDist.groupBy(col("ivf_cluster"))
+      .agg(count(lit(1)).as("n"), avg(col("dist")).as("mean_dist"))
+
+    val majority = index.assigned
+      .groupBy(col("ivf_cluster"), col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("ln"))
+      .groupBy(col("ivf_cluster"))
+      .agg(max_by(col("lbl"), struct(col("ln"), col("lbl"))).as("majority_label"),
+        max(struct(col("ln"), col("lbl"))).getField("ln").as("mn"),
+        sum(col("ln")).as("tot"))
+      .select(col("ivf_cluster"), col("majority_label"),
+        (col("mn").cast("double") / col("tot")).as("majority_frac"))
+
+    sizes.join(majority, Seq("ivf_cluster"))
+      .select(col("ivf_cluster").cast("long").as("cluster_id"),
+        col("n"), col("mean_dist"), col("majority_label"), col("majority_frac"))
+      .orderBy(col("n").desc, col("cluster_id"))
+  }
+
+  /** k centroid rows (ivf_cluster, centroid float array). */
+  private def centroidsDf(spark: SparkSession,
+                          centroids: Array[Array[Float]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = centroids.zipWithIndex
+      .map { case (c, i) => Row(i, c.toSeq) }.toSeq.asJava
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("ivf_cluster", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(FloatType, containsNull = false),
+        nullable = false))))
+  }
+}

@@ -41,6 +41,13 @@ object AnnQueries {
     "ann_ivf" -> { (s, dir) =>
       val q = VectorQueries.qvec(s, dir, 0)
       Ann.searchIvf(persistedIvf(s, dir), q, 10, nprobe = 4).drop("embedding")
+    },
+    // embedding-space domain discovery: per-cluster census over the
+    // SAME persisted IVF index the ANN path searches (one k-means fit
+    // serves both). Rows-only: k-means is not SQL-expressible; planted-
+    // cluster purity + determinism are ClusteringSpec-gated.
+    "cluster_domains" -> { (s, dir) =>
+      graft.operators.Clustering.clusterProfile(persistedIvf(s, dir))
     }
   )
 
