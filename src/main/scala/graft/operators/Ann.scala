@@ -120,19 +120,28 @@ object Ann {
     * the file listing — no re-fit, no full scan). */
   def saveIvf(index: IvfIndex, dir: String): Unit = {
     val spark = index.assigned.sparkSession
-    import scala.jdk.CollectionConverters._
-    val rows = index.centroids.zipWithIndex
-      .map { case (c, i) => org.apache.spark.sql.Row(i, c.toSeq) }.toSeq.asJava
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cluster_id",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("centroid",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType, containsNull = false), nullable = false)))
-    spark.createDataFrame(rows, schema)
+    centroidsDf(spark, index.centroids, "cluster_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     index.assigned.write.mode("overwrite")
       .partitionBy("ivf_cluster").parquet(s"$dir/corpus")
+  }
+
+  /** k centroid rows ((idCol: int, centroid: array<float>)) — one
+    * schema shared by index persistence and the clustering census so
+    * the load/join paths can never drift apart. */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                  centroids: Array[Array[Float]], idCol: String)
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = centroids.zipWithIndex
+      .map { case (c, i) => org.apache.spark.sql.Row(i, c.toSeq) }.toSeq.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = false))))
   }
 
   /** Load a persisted IVF index. */

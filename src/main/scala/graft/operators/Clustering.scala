@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Embedding-space domain discovery: profile a k-means clustering of
   * the corpus.
@@ -30,42 +29,28 @@ object Clustering {
   def clusterProfile(index: Ann.IvfIndex, labelCol: String = "label")
       : DataFrame = {
     val spark = index.assigned.sparkSession
-    val centDf = centroidsDf(spark, index.centroids)
+    val centDf = Ann.centroidsDf(spark, index.centroids, "ivf_cluster")
+      .withColumnRenamed("centroid", "__centroid")
 
-    val withDist = index.assigned
+    // ONE corpus pass: broadcast-join centroids, then a (cluster, label)
+    // hash-agg carrying both the census counts and the distance sums;
+    // the second-level agg runs over ~k·|labels| rows only.
+    val perLabel = index.assigned
       .join(broadcast(centDf), Seq("ivf_cluster"))
       .withColumn("dist",
         graft.functions.VectorFunctions.l2DistF32(
-          col(index.embCol), col("centroid")).cast("double"))
-
-    val sizes = withDist.groupBy(col("ivf_cluster"))
-      .agg(count(lit(1)).as("n"), avg(col("dist")).as("mean_dist"))
-
-    val majority = index.assigned
+          col(index.embCol), col("__centroid")).cast("double"))
       .groupBy(col("ivf_cluster"), col(labelCol).as("lbl"))
-      .agg(count(lit(1)).as("ln"))
-      .groupBy(col("ivf_cluster"))
-      .agg(max_by(col("lbl"), struct(col("ln"), col("lbl"))).as("majority_label"),
-        max(struct(col("ln"), col("lbl"))).getField("ln").as("mn"),
-        sum(col("ln")).as("tot"))
-      .select(col("ivf_cluster"), col("majority_label"),
-        (col("mn").cast("double") / col("tot")).as("majority_frac"))
+      .agg(count(lit(1)).as("ln"), sum(col("dist")).as("sd"))
 
-    sizes.join(majority, Seq("ivf_cluster"))
+    perLabel.groupBy(col("ivf_cluster"))
+      .agg(sum(col("ln")).as("n"),
+        (sum(col("sd")) / sum(col("ln"))).as("mean_dist"),
+        max_by(col("lbl"), struct(col("ln"), col("lbl"))).as("majority_label"),
+        max(struct(col("ln"), col("lbl"))).getField("ln").as("mn"))
       .select(col("ivf_cluster").cast("long").as("cluster_id"),
-        col("n"), col("mean_dist"), col("majority_label"), col("majority_frac"))
+        col("n"), col("mean_dist"), col("majority_label"),
+        (col("mn").cast("double") / col("n")).as("majority_frac"))
       .orderBy(col("n").desc, col("cluster_id"))
-  }
-
-  /** k centroid rows (ivf_cluster, centroid float array). */
-  private def centroidsDf(spark: SparkSession,
-                          centroids: Array[Array[Float]]): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val rows = centroids.zipWithIndex
-      .map { case (c, i) => Row(i, c.toSeq) }.toSeq.asJava
-    spark.createDataFrame(rows, StructType(Seq(
-      StructField("ivf_cluster", IntegerType, nullable = false),
-      StructField("centroid", ArrayType(FloatType, containsNull = false),
-        nullable = false))))
   }
 }

@@ -26,6 +26,7 @@ object Decontam {
   /** Overlapping word n-grams of `text` as space-joined strings;
     * empty array when the document has fewer than `n` tokens. */
   def wordGrams(text: Column, n: Int): Column = {
+    require(n > 0, s"n-gram size must be positive, got $n")
     val w = TextAnalysis.tokens(text)
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)),

@@ -25,9 +25,14 @@ object LineDedup {
 
   /** Position encoding used to pick the canonical first occurrence:
     * `doc_id * PosBase + idx`, totally ordered across the corpus.
-    * Requires idx < PosBase (a million segments per document — a
-    * guard raises if violated) and doc_id < 2^43. */
+    * Requires idx < PosBase (a million segments per document) AND
+    * 0 <= doc_id <= MaxId — both raise loudly if violated, because a
+    * silent Long overflow would pick a WRONG canonical winner (10^6 is
+    * not invertible mod 2^64, so wrapped positions can collide).
+    * Corpora with 64-bit hash ids must re-key (dense_rank or similar)
+    * before line dedup. */
   val PosBase = 1000000L
+  val MaxId: Long = Long.MaxValue / PosBase - 1
 
   /** Newline segmentation for real corpora. */
   def lines(text: Column): Column =
@@ -37,6 +42,7 @@ object LineDedup {
     * chunks) for corpora without line structure — the fixture
     * documents are single-line word streams. */
   def wordChunks(text: Column, width: Int): Column = {
+    require(width > 0, s"chunk width must be positive, got $width")
     val w = TextAnalysis.tokens(text)
     val nChunks = ceil(size(w).cast("double") / width).cast("int")
     when(size(w) > 0,
@@ -65,9 +71,11 @@ object LineDedup {
     val id = col(idCol)
     val units = df.select(id, posexplode(segCol).as(Seq("idx", "unit")))
       .withColumn("pos",
-        when(col("idx") < PosBase, id * PosBase + col("idx"))
-          .otherwise(raise_error(
-            lit(s"LineDedup: segment index exceeds PosBase=$PosBase"))))
+        when(col("idx") < PosBase && id.between(0L, MaxId),
+          id * PosBase + col("idx"))
+          .otherwise(raise_error(lit(
+            s"LineDedup: idx >= PosBase=$PosBase or id outside [0, $MaxId]" +
+              " — position encoding would overflow; re-key ids first"))))
 
     // global unit frequency + canonical-first winner in ONE aggregation
     val freq = units.groupBy(col("unit"))

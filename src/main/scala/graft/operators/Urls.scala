@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
 object Urls {
 
   /** http(s) URL: host then an optional path. Query-string characters
-    * are folded into the path class (no lookaround in RE2). */
+    * are folded into the path class (no lookaround in RE2). Host and
+    * path both must END on a non-dot character so sentence-terminal
+    * punctuation ("visit http://x.example.") stays out of the match —
+    * a trailing dot in the host would silently defeat exact-host
+    * blocklist comparison and corrupt registeredDomain. */
   val UrlPattern: String =
-    "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./_?=&%+-]*)?"
+    "https?://[A-Za-z0-9.-]*[A-Za-z0-9](?:/[A-Za-z0-9./_?=&%+-]*[A-Za-z0-9/_=&%+-]|/)?"
 
   /** Capture group 1 = the host of a URL string. */
-  val HostPattern: String = "https?://([A-Za-z0-9.-]+)"
+  val HostPattern: String = "https?://([A-Za-z0-9.-]*[A-Za-z0-9])"
 
   /** All URLs in a text column, in match order. */
   def urls(text: Column): Column =

@@ -208,7 +208,7 @@ object CurationQueries {
         |WHERE g.doc_id % 29 <> 0
         |ORDER BY g.doc_id""".stripMargin,
     "dedup_lines" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
         |  FROM documents
         |), seg AS (
@@ -218,7 +218,7 @@ object CurationQueries {
         |), u AS (
         |  SELECT doc_id, idx,
         |         array_to_string(w[idx*4+1:idx*4+4], ' ') AS unit,
-        |         doc_id * 1000000 + idx AS pos
+        |         doc_id * ${graft.operators.LineDedup.PosBase} + idx AS pos
         |  FROM seg
         |), f AS (
         |  SELECT unit, count(*) AS n, min(pos) AS keeper_pos

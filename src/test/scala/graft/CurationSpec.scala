@@ -46,7 +46,10 @@ class CurationSpec extends SparkSpec {
     val docs = Seq(
       (1L, "read https://www.news.example.com/a/1 then http://ads.tracker0.example/click?id=1"),
       (2L, "plain text, zero links"),
-      (3L, "bare host http://localhost/x")
+      (3L, "bare host http://localhost/x"),
+      // sentence-terminal punctuation must stay OUT of host and path:
+      // a trailing dot in the host would defeat exact blocklist matching
+      (4L, "ends a sentence http://ads.tracker0.example. then https://a.example/p/x. done")
     ).toDF("doc_id", "text")
     val out = Urls.extract(docs, Seq("ads.tracker0.example"))
       .orderBy("doc_id")
@@ -55,11 +58,13 @@ class CurationSpec extends SparkSpec {
     assert(out(0) === ((2L, "www.news.example.com,ads.tracker0.example", true)))
     assert(out(1) === ((0L, "", false)))
     assert(out(2) === ((1L, "localhost", false)))
+    assert(out(3) === ((2L, "ads.tracker0.example,a.example", true)))
 
     val doms = Urls.domainStats(docs, Seq("ads.tracker0.example"))
       .orderBy("domain").as[(String, Long)].collect()
     // blocked host removed BEFORE domain aggregation; single-label host kept as-is
-    assert(doms.toSeq === Seq(("example.com", 1L), ("localhost", 1L)))
+    assert(doms.toSeq ===
+      Seq(("a.example", 1L), ("example.com", 1L), ("localhost", 1L)))
   }
 
   test("urls: dropBlockedDocs uses a broadcast lookup and keeps clean docs") {
