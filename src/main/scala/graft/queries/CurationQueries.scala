@@ -127,6 +127,34 @@ object CurationQueries {
       LineDedup.dedup(docs, LineDedup.wordChunks(col("text"), 4),
           minCount = 2L, keepFirst = true)
         .orderBy(col("doc_id"))
+    },
+    // the COMPOSED curation decision a training pipeline actually ships:
+    // PII scrub -> quality score -> benchmark decontamination -> one
+    // keep/drop verdict per doc, with the redacted payload as the
+    // surviving text. Every stage is individually oracle-gated above;
+    // this query pins their composition.
+    "curation_pipeline" -> { (s, dir) =>
+      import graft.operators.TextAnalysis.{qualityScore, tokenCount}
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.where(col("doc_id") % 29 =!= 0)
+      val benchmark = docs.where(col("doc_id") % 29 === 0)
+      val contam = Decontam.overlapReport(corpus, benchmark, n = 4)
+        .select(col("doc_id"), col("n_shared"), col("contaminated"))
+      val t = col("text")
+      Pii.scrub(corpus.select(col("doc_id"), col("source"),
+            withPii(t).as("ptext"), t), "ptext")
+        .select(col("doc_id"),
+          qualityScore(t, Seq("the", "a")).as("quality_score"),
+          tokenCount(t).cast("long").as("n_tokens"),
+          col("has_pii"), col("redacted"))
+        .join(contam, Seq("doc_id"))
+        .withColumn("keep",
+          col("quality_score") >= 0.5 && !col("contaminated") &&
+            col("n_tokens").between(10, 100000))
+        .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+          col("n_shared"), col("contaminated"), col("has_pii"),
+          col("keep"), col("redacted"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -239,6 +267,60 @@ object CurationQueries {
         |       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
         |       coalesce(d.kept_text, '') AS kept_text
         |FROM t LEFT JOIN d USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "curation_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents WHERE doc_id % 29 <> 0
+         |), q AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+         |          + (CASE WHEN CAST(length(replace(array_to_string(w, ' '), ' ', '')) AS DOUBLE) / len(w)
+         |                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+         |          + (CASE WHEN CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w)
+         |                       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+         |         ) / 3.0 AS quality_score
+         |  FROM t
+         |), ga AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(w) >= 4
+         |              THEN list_distinct(list_transform(range(1, len(w) - 2),
+         |                     i -> array_to_string(w[i:i+3], ' ')))
+         |              ELSE CAST([] AS VARCHAR[]) END AS grams
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |        FROM documents)
+         |), bg AS (SELECT unnest(grams) AS gram FROM ga WHERE doc_id % 29 = 0),
+         |bench AS (SELECT DISTINCT gram FROM bg),
+         |cg AS (SELECT doc_id, unnest(grams) AS gram FROM ga WHERE doc_id % 29 <> 0),
+         |ov AS (
+         |  SELECT cg.doc_id, count(*) AS n_shared
+         |  FROM cg JOIN bench USING (gram) GROUP BY cg.doc_id
+         |), p AS (
+         |  SELECT doc_id, $piiTextSql AS ptext
+         |  FROM documents WHERE doc_id % 29 <> 0
+         |), r AS (
+         |  SELECT doc_id,
+         |         (len(regexp_extract_all(ptext, '$emailSql'))
+         |          + len(regexp_extract_all(ptext, '$phoneSql'))
+         |          + len(regexp_extract_all(ptext, '$ipSql'))) > 0 AS has_pii,
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(ptext, '$emailSql', '<EMAIL>', 'g'),
+         |             '$phoneSql', '<PHONE>', 'g'),
+         |           '$ipSql', '<IP>', 'g') AS redacted
+         |  FROM p
+         |)
+         |SELECT q.doc_id, q.quality_score,
+         |       CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(ov.n_shared, 0) AS BIGINT) AS n_shared,
+         |       coalesce(ov.n_shared, 0) >= 1 AS contaminated,
+         |       r.has_pii,
+         |       (q.quality_score >= 0.5 AND coalesce(ov.n_shared, 0) < 1
+         |        AND q.n_tokens BETWEEN 10 AND 100000) AS keep,
+         |       r.redacted
+         |FROM q
+         |LEFT JOIN ov ON q.doc_id = ov.doc_id
+         |JOIN r ON q.doc_id = r.doc_id
+         |ORDER BY q.doc_id""".stripMargin
   )
 }
