@@ -70,6 +70,34 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming curation: the stream twin of the `curation_pipeline`
+    * gate's map-side stages — PII scrub + quality/length gate as one
+    * narrow projection+filter, so it attaches to any document stream
+    * with zero state and zero shuffle (decontamination and corpus-wide
+    * dedup stay batch/at-rest jobs by design: they need corpus-global
+    * state no watermark can bound). Emits only kept documents with the
+    * redacted payload as `text`. */
+  def curateDocStream(docs: DataFrame, textCol: String = "text",
+                      stopwords: Seq[String] = Seq("the", "a"),
+                      minQuality: Double = 0.5,
+                      minTokens: Int = 10, maxTokens: Int = 100000)
+      : DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("quality_score",
+        graft.operators.TextAnalysis.qualityScore(t, stopwords))
+      .withColumn("n_tokens",
+        graft.operators.TextAnalysis.tokenCount(t).cast("long"))
+      .where(col("quality_score") >= minQuality &&
+        col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("has_pii",
+        graft.operators.Pii.emailCount(t) +
+          graft.operators.Pii.phoneCount(t) +
+          graft.operators.Pii.ipCount(t) > 0)
+      // redact LAST: has_pii above must see the original text
+      .withColumn(textCol, graft.operators.Pii.redact(t))
+  }
+
   /** Stream-static enrichment join: events stream × document dimension
     * table. The static side is broadcast (it is re-read per micro-batch,
     * so at scale persist it), keeping the stream side shuffle-free —

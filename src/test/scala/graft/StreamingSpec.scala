@@ -247,4 +247,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter($"collection" === "master").count() ===
       out.filter($"collection" === "compliance_documents").count())
   }
+
+  test("streaming curation twin: stateless scrub+gate, batch==stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near jane.doe@mail.example.org today"),
+      (2L, "spam spam"), // passes quality but fails the length gate
+      (3L, "the server at 10.1.2.3 handles a steady load of varied requests daily"))
+    val input = MemoryStream[(Long, String)]
+    val curated = StreamingIngest.curateDocStream(input.toDF().toDF("doc_id", "text"))
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("curated")
+        .select($"doc_id", $"text", $"has_pii")
+        .as[(Long, String, Boolean)].collect().sortBy(_._1)
+      val batch = StreamingIngest.curateDocStream(rows.toDF("doc_id", "text"))
+        .select($"doc_id", $"text", $"has_pii")
+        .as[(Long, String, Boolean)].collect().sortBy(_._1)
+      // the twin is literally the same function -> identical output
+      assert(stream.toSeq === batch.toSeq)
+      assert(stream.map(_._1).toSeq === Seq(1L, 3L)) // doc 2 gated out
+      assert(stream.forall(_._3), "kept docs carry has_pii from original text")
+      assert(stream(0)._2.contains("<EMAIL>") && !stream(0)._2.contains("@"))
+      assert(stream(1)._2.contains("<IP>") && !stream(1)._2.contains("10.1.2.3"))
+    } finally q.stop()
+  }
 }
