@@ -342,6 +342,118 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ------------------------------------------------- connected components
+
+  /** Connected components over a near-dup pair set, via alternating
+    * large-star / small-star rounds (the MapReduce CC construction of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Near-dup dedup needs this: pair emitters ([[nearDupMinHash]],
+    * [[jaccardPairsPrefix]], [[cosineNearDupLsh]]) produce an edge SET,
+    * but "keep one doc per duplicate cluster" needs the transitive
+    * closure — a~b and b~c must collapse a,b,c together even when a~c
+    * itself is below threshold.
+    *
+    * Why this algorithm at 100 TB: each round is a fixed set of slim
+    * 2-column shuffles (window-min per endpoint + a distinct), rows stay
+    * O(|edges|), and convergence is O(log n) rounds REGARDLESS of
+    * component diameter — a chain of n near-identical docs converges in
+    * ~2·log₂(n) rounds where naive min-label propagation needs n. No
+    * neighbor lists are ever collected: the per-node minimum comes from
+    * a window aggregate, so a celebrity node with 10⁸ neighbors is a
+    * shuffle skew, not an OOM.
+    *
+    *  - large-star(u): every neighbor v > u re-links to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u): u and its smaller neighbors all link to the
+    *    minimum among them.
+    *
+    * Each round ends in `localCheckpoint` (plan truncation — iterative
+    * lineage otherwise grows without bound; swap for `checkpoint` with a
+    * reliable dir on a real cluster) and convergence is detected by an
+    * order-independent edge-set signature. Raises after `maxIter` rounds
+    * instead of returning a possibly-wrong labeling.
+    *
+    * Input: one row per undirected edge (self-loops and null endpoints
+    * are dropped; ids must be mutually comparable). Output: one row per
+    * node appearing in `pairs` — (`node_id`, `component`) with
+    * `component` = the minimum node id of the node's component. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val init = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+
+    def signature(edges: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free under ANSI mode
+      // (sum over 64-bit hashes overflows LongType)
+      val r = edges.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // large-star: group the SYMMETRIC neighborhood by u; every neighbor
+    // v > u re-links to m = min(N(u) ∪ {u}). The emitted (m, v) edge is
+    // already min-first, so (least, greatest) re-canonicalization is
+    // implicit in how we emit.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+    }
+
+    // small-star: orient edges max→min (input is min-first, so flip);
+    // u's smaller neighbors AND u itself all link to the minimum m.
+    // Emits (m, v) for v ∈ N⁻(u) ∪ {u}, v ≠ m.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val oriented = edges.select(col("v").as("u"), col("u").as("v")) // u > v
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      val withMin = oriented.withColumn("m", min(col("v")).over(w))
+      withMin.select(col("m").as("u"), col("v"))
+        .union(withMin.select(col("m").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = init.localCheckpoint(true)
+    var sig = signature(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"(edge signature still changing: $sig) — raise maxIter")
+    // converged state is a star forest: every edge is (root, member).
+    edges.select(col("v").as("node_id"), col("u").as("component"))
+      .union(edges.select(col("u").as("node_id"), col("u").as("component")))
+      .distinct()
+  }
+
+  /** Near-dup dedup APPLY step: collapse the pair set to components and
+    * keep only each component's canonical (minimum-id) member. Docs that
+    * appear in no pair survive untouched — the anti-join removes exactly
+    * the non-canonical component members. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val victims = connectedComponents(pairs, aCol, bCol)
+      .filter(col("node_id") =!= col("component"))
+      .select(col("node_id").as(idCol))
+    docs.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** Exact embedding-cosine near-dup pairs (the correctness oracle; the
     * scale path routes candidates through SignLsh buckets first). */
   def cosineNearDup(emb: DataFrame, idCol: String, embCol: String,

@@ -58,6 +58,24 @@ object DedupQueries {
           threshold = 0.45, bands = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // connected components over the exact cosine near-dup pair set
+    // (large-star/small-star; oracled against a DuckDB recursive-CTE
+    // transitive closure). The 0.45-threshold graph genuinely chains —
+    // a~b and b~c with a~c below threshold — so the closure is a real
+    // test of transitivity, not clique re-labeling.
+    "dedup_components" -> { (s, dir) =>
+      val pairs = Dedup.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("node_id"))
+    },
+    // end-to-end dedup APPLY: pairs -> components -> keep the canonical
+    // (min-id) member per component; untouched docs survive.
+    "dedup_apply" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Dedup.cosineNearDup(emb, "vec_id", "embedding", 0.45)
+      Dedup.keepCanonical(emb.select(col("vec_id")), pairs, "vec_id")
+        .orderBy(col("vec_id"))
+    },
     // MinHash-LSH near-dup (rows-only: hash family not SQL-expressible;
     // recall vs exact Jaccard is scalatest-verified).
     "dedup_minhash_lsh" -> { (s, dir) =>
@@ -97,6 +115,39 @@ object DedupQueries {
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |), sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b AS u, id_a AS v FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+        |)
+        |SELECT u AS node_id, least(u, min(v)) AS component
+        |FROM reach GROUP BY u ORDER BY node_id""".stripMargin,
+    "dedup_apply" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |), sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b AS u, id_a AS v FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+        |), victims AS (
+        |  SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) < u
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT u FROM victims)
+        |ORDER BY vec_id""".stripMargin,
     "dedup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) AS cos_sim
