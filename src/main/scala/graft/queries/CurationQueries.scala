@@ -155,6 +155,19 @@ object CurationQueries {
           col("n_shared"), col("contaminated"), col("has_pii"),
           col("keep"), col("redacted"))
         .orderBy(col("doc_id"))
+    },
+    // deterministic content-addressed shard assignment (md5 top-64-bit
+    // mod N — reproducible across engines/runs/cluster sizes)
+    "shard_assign" -> { (s, dir) =>
+      graft.operators.Sharding.assignShards(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", 16)
+        .orderBy(col("doc_id"))
+    },
+    // per-shard balance report (the pre-export sanity pass)
+    "shard_stats" -> { (s, dir) =>
+      graft.operators.Sharding.shardStats(
+          Tables.documents(s, dir), "doc_id", "text", 16)
+        .orderBy(col("shard"))
     }
   )
 
@@ -164,7 +177,23 @@ object CurationQueries {
   private val urlSql   = sqlQuote(Urls.UrlPattern)
   private val hostSql  = sqlQuote(Urls.HostPattern)
 
+  /** DuckDB twin of [[graft.operators.Sharding.shardId]] on doc_id. */
+  private val shardSql =
+    "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) % 16 AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    "shard_assign" ->
+      s"""SELECT doc_id, $shardSql AS shard
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "shard_stats" ->
+      s"""WITH a AS (
+         |  SELECT $shardSql AS shard, text FROM documents
+         |)
+         |SELECT shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+         |       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "t_pii_scrub" ->
       s"""WITH t AS (SELECT doc_id, $piiTextSql AS text FROM documents)
          |SELECT doc_id,

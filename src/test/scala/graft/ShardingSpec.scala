@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sharding
+
+/** Shard-export spec: content-addressed determinism, range, hash
+  * balance, shuffle-free assignment, and the physical export layout. */
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignment is deterministic and partitioning-independent") {
+    val ids = (1L to 500L).toDF("id")
+    val once = Sharding.assignShards(ids, "id", 8)
+      .as[(Long, Long)].collect().toMap
+    val again = Sharding.assignShards(ids.repartition(13), "id", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(once === again)
+    assert(once.values.forall(s => s >= 0 && s < 8))
+  }
+
+  test("string and numeric keys agree through the string form") {
+    val n = Sharding.assignShards(Seq(42L).toDF("k"), "k", 16)
+      .select("shard").as[Long].head()
+    val s = Sharding.assignShards(Seq("42").toDF("k"), "k", 16)
+      .select("shard").as[Long].head()
+    assert(n === s)
+  }
+
+  test("hash balance: 10k keys spread within 3x sqrt deviation") {
+    val nShards = 16
+    val counts = Sharding.assignShards((1L to 10000L).toDF("id"), "id", nShards)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(counts.size === nShards, "every shard is hit")
+    val expected = 10000.0 / nShards
+    val dev = 3 * math.sqrt(expected)
+    counts.values.foreach(c => assert(math.abs(c - expected) <= dev,
+      s"shard count $c outside $expected +/- $dev"))
+  }
+
+  test("assignment is a narrow projection — no Exchange in the plan") {
+    val plan = Sharding.assignShards((1L to 10L).toDF("id"), "id", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("exportShards writes one directory per shard and round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toFile
+    try {
+      val docs = (1L to 200L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+      Sharding.exportShards(docs, "doc_id", 4, dir.getAbsolutePath)
+      val shardDirs = dir.listFiles().filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+      assert(shardDirs === Array("shard=0", "shard=1", "shard=2", "shard=3"))
+      val back = spark.read.parquet(dir.getAbsolutePath)
+      assert(back.count() === 200)
+      // partition-column shard values survive the round trip intact
+      val reassigned = Sharding.assignShards(back.select(col("doc_id"), col("text")), "doc_id", 4)
+      val mismatch = back.select(col("doc_id"), col("shard").cast("long").as("s1"))
+        .join(reassigned.select(col("doc_id"), col("shard").as("s2")), "doc_id")
+        .filter(col("s1") =!= col("s2")).count()
+      assert(mismatch === 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+}
