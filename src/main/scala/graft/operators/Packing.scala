@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data export (north-star scope):
+  * trainers consume fixed-token-budget sequences, and packing multiple
+  * short documents into one sequence is what keeps the accelerator
+  * utilization high. This is the document-granularity (boundary-
+  * respecting) variant: docs are never split, a doc larger than the
+  * budget gets a pack of its own. Token-level splitting is a
+  * tokenizer-dependent post-step, out of engine scope.
+  *
+  * Determinism and scale come from the same construction as
+  * [[Sharding]]: packing order is (shard, doc_id) — shard assignment is
+  * content-addressed, doc order is total — so the SAME packs come out
+  * of any cluster size or partition count. Packing is inherently
+  * sequential WITHIN a shard (each verdict depends on the running
+  * total) and embarrassingly parallel ACROSS shards: one shuffle
+  * co-locates each shard, one in-partition sort fixes scan order, and a
+  * single mapPartitions pass assigns pack ids. At 100 TB the unit of
+  * parallelism is the shard count — size nShards to the cluster, not
+  * the corpus. */
+object Packing {
+
+  /** Next-fit packing state machine over one partition's sorted rows.
+    * Rows MUST arrive sorted by (shard, id); state resets on shard
+    * change. Emits (id, shard, pack_id, pack_pos, n_tokens), packs and
+    * positions 1-based. */
+  private def scanPartition(budget: Long)(
+      rows: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long, Long, Long)] =
+    new Iterator[(Long, Long, Long, Long, Long)] {
+      private var curShard = Long.MinValue
+      private var packId = 0L
+      private var packPos = 0L
+      private var cum = 0L
+      override def hasNext: Boolean = rows.hasNext
+      override def next(): (Long, Long, Long, Long, Long) = {
+        val (id, n, shard) = rows.next()
+        if (shard != curShard) { curShard = shard; packId = 0; cum = 0 }
+        if (packId == 0 || (cum > 0 && cum + n > budget)) {
+          packId += 1; packPos = 0; cum = 0
+        }
+        packPos += 1
+        cum += n
+        (id, shard, packId, packPos, n)
+      }
+    }
+
+  /** Pack documents into fixed-token-budget sequences: one row per doc
+    * with its (shard, pack_id, pack_pos) assignment. `idCol` must be
+    * LongType (or castable); token counts use TextAnalysis semantics
+    * via the caller-supplied `tokensCol`. */
+  def packDocs(docs: DataFrame, idCol: String, tokensCol: String,
+               nShards: Int, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val assigned = Sharding.assignShards(docs, idCol, nShards)
+      .select(col(idCol).cast("long"), col(tokensCol).cast("long"),
+        col("shard"))
+      .as[(Long, Long, Long)]
+    val packed: Dataset[(Long, Long, Long, Long, Long)] = assigned
+      // one shard never straddles two partitions → per-shard scan state
+      // is complete; nShards tasks carry the sequential phase
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .mapPartitions(scanPartition(budget))
+    packed.toDF(idCol, "shard", "pack_id", "pack_pos", "n_tokens")
+  }
+
+  /** Pack-level roll-up: docs per pack, token fill, fill ratio against
+    * the budget — the report that tells you whether the budget/shard
+    * parameters waste accelerator time. */
+  def packStats(docs: DataFrame, idCol: String, tokensCol: String,
+                nShards: Int, budget: Long): DataFrame =
+    packDocs(docs, idCol, tokensCol, nShards, budget)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"))
+      .withColumn("fill_ratio",
+        // oversize single-doc packs exceed the budget by design; report
+        // fill against the larger of the two so the ratio stays <= 1
+        col("pack_tokens").cast("double") /
+          greatest(col("pack_tokens"), lit(budget)).cast("double"))
+}

@@ -168,6 +168,24 @@ object CurationQueries {
       graft.operators.Sharding.shardStats(
           Tables.documents(s, dir), "doc_id", "text", 16)
         .orderBy(col("shard"))
+    },
+    // doc-granularity next-fit sequence packing (shard-parallel,
+    // deterministic; oracled against a DuckDB recursive-CTE replay of
+    // the same state machine)
+    "pack_sequences" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).withColumn("n_tok",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      graft.operators.Packing.packDocs(docs, "doc_id", "n_tok",
+          nShards = 8, budget = 512)
+        .orderBy(col("doc_id"))
+    },
+    // pack-level fill report (docs/pack, token fill vs budget)
+    "pack_stats" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).withColumn("n_tok",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      graft.operators.Packing.packStats(docs, "doc_id", "n_tok",
+          nShards = 8, budget = 512)
+        .orderBy(col("shard"), col("pack_id"))
     }
   )
 
@@ -178,8 +196,34 @@ object CurationQueries {
   private val hostSql  = sqlQuote(Urls.HostPattern)
 
   /** DuckDB twin of [[graft.operators.Sharding.shardId]] on doc_id. */
-  private val shardSql =
-    "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) % 16 AS BIGINT)"
+  private def shardSqlN(n: Int): String =
+    s"CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) % $n AS BIGINT)"
+  private val shardSql = shardSqlN(16)
+
+  /** DuckDB recursive-CTE replay of [[graft.operators.Packing]]'s
+    * next-fit state machine: one recursion step per (shard, rank). */
+  private val packCte =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n,
+       |         ${shardSqlN(8)} AS shard,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY ${shardSqlN(8)} ORDER BY doc_id) AS BIGINT) AS rn
+       |  FROM documents
+       |), p AS (
+       |  SELECT shard, rn, doc_id, n,
+       |         CAST(1 AS BIGINT) AS pack_id, CAST(1 AS BIGINT) AS pack_pos, n AS cum
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.rn, d.doc_id, d.n,
+       |         CASE WHEN p.cum > 0 AND p.cum + d.n > 512
+       |              THEN p.pack_id + 1 ELSE p.pack_id END,
+       |         CASE WHEN p.cum > 0 AND p.cum + d.n > 512
+       |              THEN CAST(1 AS BIGINT) ELSE p.pack_pos + 1 END,
+       |         CASE WHEN p.cum > 0 AND p.cum + d.n > 512
+       |              THEN d.n ELSE p.cum + d.n END
+       |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "shard_assign" ->
@@ -194,6 +238,19 @@ object CurationQueries {
          |       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
          |       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    "pack_sequences" ->
+      s"""$packCte
+         |SELECT doc_id, shard, pack_id, pack_pos, n AS n_tokens
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "pack_stats" ->
+      s"""$packCte
+         |SELECT shard, pack_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS pack_tokens,
+         |       CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) /
+         |         greatest(CAST(sum(n) AS BIGINT), 512) AS fill_ratio
+         |FROM p GROUP BY shard, pack_id
+         |ORDER BY shard, pack_id""".stripMargin,
     "t_pii_scrub" ->
       s"""WITH t AS (SELECT doc_id, $piiTextSql AS text FROM documents)
          |SELECT doc_id,
