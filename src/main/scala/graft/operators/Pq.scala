@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization on top of the IVF index (the IVFADC scheme of
+  * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011) — the memory/IO story that makes ANN work at 100 TB.
+  *
+  * The coarse IVF ([[Ann.buildIvf]]) prunes WHICH clusters to scan; PQ
+  * shrinks WHAT a scan reads: each D-dim float vector inside a cluster
+  * is re-expressed as its residual against the cluster centroid,
+  * chopped into `m` subvectors, and each subvector replaced by the id
+  * of its nearest entry in a per-subspace codebook — D·4 bytes become
+  * `m` bytes (64-dim → 8 bytes at m=8: 32×). A probe scan then reads
+  * only (id, cluster, code) — the full vectors are touched just once
+  * more, to exact-rerank the short ADC-ranked candidate list.
+  *
+  * Query-time ranking is asymmetric distance computation (ADC): per
+  * probed cluster, a tiny m×k lookup table of exact squared distances
+  * from the query's residual subvectors to every codebook entry;
+  * a row's approximate distance is m table lookups + adds, no float
+  * vector in sight. Codebooks are shared across clusters (classic
+  * IVFADC) so the model state is m·k·(D/m) floats — kilobytes,
+  * broadcast-trivial.
+  *
+  * Training runs driver-side Lloyd's on a corpus sample — exactly how
+  * production PQ systems train codebooks (the codebook needs ~10⁵
+  * samples, not the corpus); seeded and deterministic. */
+object Pq {
+
+  /** Shared per-subspace codebooks: `codebooks(s)(j)` is the j-th
+    * centroid (length D/m) of subspace s. */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+                           codebooks: Array[Array[Array[Float]]]) {
+    require(codebooks.length == m && codebooks.forall(_.length == k))
+  }
+
+  /** Residuals of an IVF-assigned corpus against their cluster
+    * centroid: (idCol, ivf_cluster, residual). The PQ encode/train
+    * input. Narrow map — centroids ride the closure (kilobytes). */
+  def residuals(index: Ann.IvfIndex): DataFrame = {
+    val cents = index.centroids
+    val resUdf = udf { (v: Seq[Float], c: Int) =>
+      val cent = cents(c)
+      Array.tabulate(v.length)(i => v(i) - cent(i)).toSeq
+    }
+    index.assigned.select(col(index.idCol), col("ivf_cluster"),
+      resUdf(col(index.embCol), col("ivf_cluster")).as("residual"))
+  }
+
+  /** Train shared codebooks with driver-side Lloyd's over (a sample of)
+    * the residual vectors. Deterministic: seeded init (distinct sample
+    * points), fixed iteration count, ties to the lowest index. */
+  def train(vectors: DataFrame, vecCol: String, m: Int, k: Int,
+            sampleN: Int = 100000, iters: Int = 20, seed: Long = 42L): PqModel = {
+    require(k >= 1 && k <= 256, s"k must be 1..256 (one byte per code), got $k")
+    val sample = vectors.select(col(vecCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val rnd = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      lloyd(subs, k, iters, rnd)
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  /** Plain Lloyd's iterations; empty clusters re-seed to the point
+    * farthest from its assigned centroid (deterministic). */
+  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
+                    rnd: scala.util.Random): Array[Array[Float]] = {
+    val n = points.length
+    val dim = points.head.length
+    var cents = Array.tabulate(math.min(k, n))(i => points(rnd.nextInt(n)).clone()) ++
+      Array.fill(math.max(0, k - n))(points(0).clone())
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < n) { assign(p) = nearest(points(p), cents); p += 1 }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < n) {
+        val a = assign(p); counts(a) += 1
+        var d = 0
+        while (d < dim) { sums(a)(d) += points(p)(d); d += 1 }
+        p += 1
+      }
+      var worst = 0 // farthest point, for empty-cluster reseeding
+      var worstDist = -1.0f
+      p = 0
+      while (p < n) {
+        val dd = l2(points(p), cents(assign(p)))
+        if (dd > worstDist) { worstDist = dd; worst = p }
+        p += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) > 0) Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+        else points(worst).clone()
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def l2(a: Array[Float], b: Array[Float]): Float = {
+    var acc = 0.0f; var d = 0
+    while (d < a.length) { val x = a(d) - b(d); acc += x * x; d += 1 }
+    acc
+  }
+
+  private def nearest(p: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Float.MaxValue; var c = 0
+    while (c < cents.length) {
+      val dd = l2(p, cents(c))
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode an IVF-assigned corpus: one `m`-byte code per row
+    * (residual-quantized). Output keeps (id, cluster, embedding, code)
+    * — at scale the code table is what you persist per cluster; the
+    * embedding column stays in cold storage for the rerank fetch. */
+  def encode(index: Ann.IvfIndex, model: PqModel): DataFrame = {
+    val cents = index.centroids
+    val cbs = model.codebooks
+    val subDim = model.subDim
+    val encUdf = udf { (v: Seq[Float], c: Int) =>
+      val cent = cents(c)
+      val code = new Array[Byte](cbs.length)
+      var s = 0
+      while (s < cbs.length) {
+        val sub = Array.tabulate(subDim)(d => v(s * subDim + d) - cent(s * subDim + d))
+        code(s) = nearest(sub, cbs(s)).toByte
+        s += 1
+      }
+      code
+    }
+    index.assigned.withColumn("pq_code",
+      encUdf(col(index.embCol), col("ivf_cluster")))
+  }
+
+  /** Decode a code back to an approximate vector (centroid + codebook
+    * entries) — reconstruction, used by the spec to pin quantization
+    * error, not by the search path. */
+  def decode(model: PqModel, coarse: Array[Float], code: Array[Byte]): Array[Float] = {
+    val out = coarse.clone()
+    var s = 0
+    while (s < model.m) {
+      val entry = model.codebooks(s)(code(s) & 0xff)
+      var d = 0
+      while (d < model.subDim) { out(s * model.subDim + d) += entry(d); d += 1 }
+      s += 1
+    }
+    out
+  }
+
+  /** IVF-PQ search: coarse-probe the `nprobe` nearest clusters, rank
+    * their rows by ADC over the m-byte codes, exact-rerank the top
+    * `refine·k` by true distance. Returns (id, adc_dist, dist) — the
+    * plan is the same pruned probe-scan as [[Ann.searchIvf]], but the
+    * scan-side payload is 32× smaller and the full-vector math runs on
+    * refine·k rows instead of every probed row. */
+  def searchIvfPq(encoded: DataFrame, index: Ann.IvfIndex, model: PqModel,
+                  queryVec: Seq[Float], k: Int, nprobe: Int,
+                  refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val q = queryVec.toArray
+    val ranked = index.centroids.zipWithIndex.map { case (c, i) =>
+      require(c.length == q.length,
+        s"searchIvfPq: query dim ${q.length} != centroid dim ${c.length}")
+      (i, l2(c, q))
+    }.sortBy { case (i, dist) => (dist, i) }
+    val probes = ranked.take(nprobe).map(_._1)
+    // per-probed-cluster ADC tables: lut(c)(s*k + j) = ||q_res_sub - cb||²
+    val luts: Map[Int, Array[Float]] = probes.map { c =>
+      val cent = index.centroids(c)
+      val lut = new Array[Float](model.m * model.k)
+      var s = 0
+      while (s < model.m) {
+        val qSub = Array.tabulate(model.subDim)(d => q(s * model.subDim + d) - cent(s * model.subDim + d))
+        var j = 0
+        while (j < model.k) { lut(s * model.k + j) = l2(qSub, model.codebooks(s)(j)); j += 1 }
+        s += 1
+      }
+      c -> lut
+    }.toMap
+    val adcUdf = udf { (c: Int, code: Array[Byte]) =>
+      val lut = luts(c)
+      var acc = 0.0f
+      var s = 0
+      while (s < code.length) { acc += lut(s * model.k + (code(s) & 0xff)); s += 1 }
+      acc
+    }
+    val candidates = encoded
+      .filter(col("ivf_cluster").isin(probes.toIndexedSeq: _*))
+      .withColumn("adc_dist", adcUdf(col("ivf_cluster"), col("pq_code")))
+      .orderBy(col("adc_dist"), col(index.idCol))
+      .limit(refine * k) // TakeOrdered over the code-only scan
+    candidates
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2SqF32(col(index.embCol),
+          typedLit(queryVec)).cast("double"))
+      .orderBy(col("dist"), col(index.idCol))
+      .limit(k)
+      .select(col(index.idCol), col("adc_dist").cast("double").as("adc_dist"),
+        col("dist"))
+  }
+}

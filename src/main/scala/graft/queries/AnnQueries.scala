@@ -42,6 +42,20 @@ object AnnQueries {
       val q = VectorQueries.qvec(s, dir, 0)
       Ann.searchIvf(persistedIvf(s, dir), q, 10, nprobe = 4).drop("embedding")
     },
+    // IVF-PQ: same persisted coarse index, corpus re-expressed as
+    // 8-byte residual codes, ADC candidate ranking + exact rerank
+    // (rows-only; recall/reconstruction are PqSpec-gated). The train +
+    // encode here are part of the timed query by design: they are the
+    // index-maintenance cost a 100 TB deployment amortizes per WRITE,
+    // and at this SF they are sub-second.
+    "ann_ivfpq" -> { (s, dir) =>
+      val index = persistedIvf(s, dir)
+      val model = graft.operators.Pq.train(
+        graft.operators.Pq.residuals(index), "residual", m = 8, k = 16)
+      val encoded = graft.operators.Pq.encode(index, model)
+      graft.operators.Pq.searchIvfPq(encoded, index, model,
+        VectorQueries.qvec(s, dir, 0), k = 10, nprobe = 4)
+    },
     // embedding-space domain discovery: per-cluster census over the
     // SAME persisted IVF index the ANN path searches (one k-means fit
     // serves both). Rows-only: k-means is not SQL-expressible; planted-
