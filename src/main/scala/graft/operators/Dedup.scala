@@ -342,6 +342,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental exact Jaccard near-dup check — the nightly-ingest
+    * shape: a new batch arrives and must be checked against the
+    * existing corpus (and against itself), but corpus×corpus pairs were
+    * already settled by previous runs and must cost NOTHING beyond the
+    * inverted-index scan. Same prefix/positional filters and identical
+    * output contract as [[jaccardPairsPrefix]] restricted to pairs that
+    * touch the increment; pair ids are canonicalized (id_a < id_b)
+    * regardless of which side is new.
+    *
+    * 100 TB: candidate generation probes the corpus-sized prefix index
+    * with ONLY the increment's prefixes — shuffle volume is
+    * O(increment tokens + corpus prefix tokens), linear per run, and
+    * the quadratic-in-corpus candidate space never exists. */
+  def jaccardPairsPrefixIncremental(newDocs: DataFrame, corpus: DataFrame,
+                                    idCol: String, textCol: String,
+                                    blockCol: String, threshold: Double): DataFrame = {
+    val all = newDocs.select(col(idCol), col(blockCol), col(textCol))
+      .withColumn("is_new", lit(true))
+      .unionByName(corpus.select(col(idCol), col(blockCol), col(textCol))
+        .withColumn("is_new", lit(false)))
+    val t = all.select(col(idCol), col(blockCol).as("blk"), col("is_new"),
+      array_distinct(tokens(col(textCol))).as("w"))
+      .select(col(idCol), col("blk"), col("is_new"), size(col("w")).as("sz"),
+        array_sort(transform(col("w"), x => xxhash64(x))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releaseAfterUse(t)
+    val prefLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
+    val pref = t.select(col(idCol), col("blk"), col("sz"), col("is_new"),
+      posexplode(slice(col("h"), lit(1), prefLen)).as(Seq("pos", "tok")))
+    // probe side: increment prefixes only; index side: everything. The
+    // PPJoin size-ratio and positional bounds are symmetric in the two
+    // sides, so they apply unchanged after canonicalization.
+    val n = pref.filter(col("is_new"))
+      .select(col("blk"), col("tok"), col(idCol).as("id_n"),
+        col("sz").as("sn"), col("pos").as("pn"))
+    val o = pref.select(col("blk"), col("tok"), col(idCol).as("id_o"),
+      col("sz").as("so"), col("pos").as("po"), col("is_new").as("new_o"))
+    val candidates = n.join(o, Seq("blk", "tok"))
+      .filter(col("id_n") =!= col("id_o") &&
+        // new×new pairs appear from both ends — keep the id_n < id_o copy
+        (!col("new_o") || col("id_n") < col("id_o")) &&
+        least(col("sn"), col("so")).cast("double") >=
+          lit(threshold) * greatest(col("sn"), col("so")) &&
+        (lit(1) + least(col("sn") - col("pn") - 1, col("so") - col("po") - 1))
+          .cast("double") >=
+          lit(threshold / (1.0 + threshold)) * (col("sn") + col("so")))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+    candidates
+      .join(t.select(col(idCol).as("id_a"), col("sz").as("sa"), col("h").as("ha")), Seq("id_a"))
+      .join(t.select(col(idCol).as("id_b"), col("sz").as("sb"), col("h").as("hb")), Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("ha"), col("hb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // ------------------------------------------------- connected components
 
   /** Connected components over a near-dup pair set, via alternating

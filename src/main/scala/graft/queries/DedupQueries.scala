@@ -39,6 +39,18 @@ object DedupQueries {
       Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text", "lang", 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // incremental near-dup: the nightly batch (doc_id%10==0) checked
+    // against the standing corpus and itself — corpus x corpus pairs
+    // are structurally excluded from the candidate space, not filtered
+    // after the fact.
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.jaccardPairsPrefixIncremental(
+          docs.where(col("doc_id") % 10 === 0),
+          docs.where(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", "lang", 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // exact embedding-cosine near-dup pairs (>= 0.45 on the fixture's
     // cosine range); the scale path prefilters via sign-LSH buckets.
     "dedup_cosine" -> { (s, dir) =>
@@ -111,6 +123,21 @@ object DedupQueries {
         |         len(list_intersect(a.w, b.w)) AS inter,
         |         len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS uni
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.w, b.w)) AS inter,
+        |         len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS uni
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
         |)
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.8

@@ -216,6 +216,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("incremental prefix join == full pairs restricted to the increment") {
+    val docs = Tables.documents(spark, sfDir)
+    val newDocs = docs.where($"doc_id" % 10 === 0)
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+    val inc = Dedup.jaccardPairsPrefixIncremental(newDocs, corpus,
+        "doc_id", "text", "lang", 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", "lang", 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter { case (a, b) => a % 10 == 0 || b % 10 == 0 }
+    assert(inc === expected)
+    assert(inc.nonEmpty, "fixture should produce increment-touching pairs")
+    // no corpus x corpus pair leaks into the incremental result
+    assert(inc.forall { case (a, b) => a % 10 == 0 || b % 10 == 0 })
+  }
+
   test("duplicateGroups + dropDuplicates consistency") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
     val groups = Dedup.duplicateGroups(docs, Dedup.fingerprint($"text"), "doc_id").collect()
