@@ -103,6 +103,28 @@ object TextQueries {
             col("dup_bigram_frac") <= 0.5 &&
             col("n_tokens") >= 10 && col("n_tokens") <= 100000).as("keep"))
         .orderBy(col("doc_id"))
+    },
+    // BPE tokenizer induction: the learned merge table in rank order
+    // (rows-only: iterative argmax recursion is not SQL; merge parity
+    // vs a naive reference + determinism are BpeSpec-gated). The
+    // corpus-sized step (weighted word vocab) is one distributed agg.
+    "bpe_train_merges" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Bpe.train(Tables.documents(s, dir), "text", nMerges = 64)
+        .toDF()
+        .select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), col("count").as("pair_count"))
+        .orderBy(col("rank"))
+    },
+    // distributed APPLY of the learned tokenizer: per-doc BPE unit
+    // count over the corpus (narrow map, merges ride the closure)
+    "bpe_encode_learned" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Bpe.train(docs, "text", nMerges = 64)
+      docs.select(col("doc_id"),
+          size(graft.operators.Bpe.encodeColumn(col("text"), merges))
+            .cast("long").as("n_bpe_units"))
+        .orderBy(col("doc_id"))
     }
   )
 
