@@ -1,6 +1,5 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 // dev scratch: run a subset of SparkEntry.queries (args: sfDir outDir names...)
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -17,14 +16,7 @@ object Scratch {
         .write.mode("overwrite").parquet(s"$outDir/$n")
       println(f"[scratch] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      SparkEntry.oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-        .mkString("{", ",", "}"))
+    Verify.writeOracleJson(outDir)
     spark.stop()
   }
 }

@@ -46,11 +46,25 @@ object Bpe {
     trainFromVocab(vocab, nMerges)
   }
 
+  /** Split a word into Unicode code points (NOT UTF-16 chars: a
+    * char-level split would tear surrogate pairs into lone surrogates,
+    * which UTF8String later mangles to '?' in the merge table). */
+  private[operators] def codePointSymbols(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length))
+    var i = 0; var j = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out(j) = new String(Character.toChars(cp))
+      i += Character.charCount(cp); j += 1
+    }
+    out
+  }
+
   /** The merge recursion over a weighted word vocabulary (exact BPE). */
   def trainFromVocab(vocab: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
     // each word as a mutable symbol sequence, weighted by its count
     var words: Array[(Array[String], Long)] =
-      vocab.map { case (w, n) => (w.map(_.toString).toArray, n) }.toArray
+      vocab.map { case (w, n) => (codePointSymbols(w), n) }.toArray
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
@@ -91,7 +105,7 @@ object Bpe {
     * lowest-rank merge present (the standard BPE inference rule — for
     * words seen in training this exactly replays the training state). */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = codePointSymbols(word)
     var cont = true
     while (cont && syms.length > 1) {
       var bestIdx = -1

@@ -295,52 +295,75 @@ object Dedup {
     * ordering is the PPJoin refinement if a corpus hits it). */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          blockCol: String, threshold: Double): DataFrame = {
-    // the slim tokenized projection feeds THREE consumers (prefix
-    // explode + both verify joins) — persist it so the corpus is
-    // tokenized/hashed once, not three times (it is the dominant
-    // row-wise cost; MEMORY_AND_DISK spills instead of OOMing at scale)
-    val t = docs.select(col(idCol), col(blockCol).as("blk"),
-      array_distinct(tokens(col(textCol))).as("w"))
-      .select(col(idCol), col("blk"), size(col("w")).as("sz"),
-        array_sort(transform(col("w"), x => xxhash64(x))).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    releaseAfterUse(t)
-    val prefLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
-    // posexplode: the in-prefix position feeds the PPJoin positional
-    // filter below (pos is 0-based; position pa = pos+1)
-    val pref = t.select(col(idCol), col("blk"), col("sz"),
-      posexplode(slice(col("h"), lit(1), prefLen)).as(Seq("pos", "tok")))
+    val t = hashedTokenProjection(docs.withColumn("is_new", lit(true)),
+      idCol, textCol, blockCol)
+    val pref = prefixRows(t, idCol, threshold)
     val a = pref.select(col("blk"), col("tok"), col(idCol).as("id_a"),
       col("sz").as("sa"), col("pos").as("pa"))
     val b = pref.select(col("blk"), col("tok"), col(idCol).as("id_b"),
       col("sz").as("sb"), col("pos").as("pb"))
-    // positional filter (PPJoin): a pair sharing a token at sorted
-    // positions (pa, pb) has intersection <= 1 + min(sa-pa-1, sb-pb-1)
-    // counting only tokens from that point on; jaccard >= t needs
-    // intersection >= t*(sa+sb)/(1+t) (equivalent-overlap form). A
-    // qualifying pair's FIRST shared prefix token (nothing shared
-    // before it) always satisfies the bound, so per-row filtering never
-    // loses a pair — it only stops non-qualifying pairs from reaching
-    // the distinct shuffle at all.
     val candidates = a.join(b, Seq("blk", "tok"))
       .filter(col("id_a") < col("id_b") &&
-        least(col("sa"), col("sb")).cast("double") >=
-          lit(threshold) * greatest(col("sa"), col("sb")) &&
-        (lit(1) + least(col("sa") - col("pa") - 1, col("sb") - col("pb") - 1))
-          .cast("double") >=
-          lit(threshold / (1.0 + threshold)) * (col("sa") + col("sb")))
+        ppjoinBounds(threshold, col("sa"), col("pa"), col("sb"), col("pb")))
       .select(col("id_a"), col("id_b")).distinct()
+    verifyPairs(t, candidates, idCol, threshold)
+  }
+
+  /** Slim tokenized projection — feeds THREE consumers (prefix explode
+    * + both verify joins), so it is persisted (tokenize/hash once, not
+    * three times; MEMORY_AND_DISK spills instead of OOMing at scale)
+    * and self-releases after the first consuming action. Expects an
+    * `is_new` tag column (constant true for the non-incremental path). */
+  private def hashedTokenProjection(docs: DataFrame, idCol: String,
+                                    textCol: String, blockCol: String): DataFrame = {
+    val t = docs.select(col(idCol), col(blockCol).as("blk"), col("is_new"),
+      array_distinct(tokens(col(textCol))).as("w"))
+      .select(col(idCol), col("blk"), col("is_new"), size(col("w")).as("sz"),
+        array_sort(transform(col("w"), x => xxhash64(x))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releaseAfterUse(t)
+    t
+  }
+
+  /** Prefix explode: under the sorted-hash total order, two sets with
+    * jaccard >= t must collide within their first floor((1-t)·|x|)+1
+    * tokens, so only that prefix is indexed — no qualifying pair is
+    * lost. posexplode keeps the in-prefix position for the positional
+    * filter (pos is 0-based). */
+  private def prefixRows(t: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val prefLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
+    t.select(col(idCol), col("blk"), col("sz"), col("is_new"),
+      posexplode(slice(col("h"), lit(1), prefLen)).as(Seq("pos", "tok")))
+  }
+
+  /** PPJoin candidate bounds, symmetric in the two sides: the integer
+    * size-ratio test (jac >= t ⇒ min >= t·max) plus the positional
+    * filter — a pair sharing a token at sorted positions (pa, pb) has
+    * intersection <= 1 + min(sa-pa-1, sb-pb-1) from that point on, and
+    * jaccard >= t needs intersection >= t·(sa+sb)/(1+t). A qualifying
+    * pair's FIRST shared prefix token always satisfies the bound, so
+    * per-row filtering never loses a pair — it only stops
+    * non-qualifying pairs from reaching the distinct shuffle. */
+  private def ppjoinBounds(threshold: Double, sa: Column, pa: Column,
+                           sb: Column, pb: Column): Column =
+    least(sa, sb).cast("double") >= lit(threshold) * greatest(sa, sb) &&
+      (lit(1) + least(sa - pa - 1, sb - pb - 1)).cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (sa + sb)
+
+  /** Exact verify of slim candidate id pairs: re-attach the sorted hash
+    * arrays, merge-scan the intersection (codegen'd — no per-pair hash
+    * set), compute true Jaccard. */
+  private def verifyPairs(t: DataFrame, candidates: DataFrame, idCol: String,
+                          threshold: Double): DataFrame =
     candidates
       .join(t.select(col(idCol).as("id_a"), col("sz").as("sa"), col("h").as("ha")), Seq("id_a"))
       .join(t.select(col(idCol).as("id_b"), col("sz").as("sb"), col("h").as("hb")), Seq("id_b"))
-      // h is sorted → codegen'd merge-scan instead of a per-pair hash set
       .withColumn("inter",
         graft.functions.ArrayFunctions.sortedIntersectSize(col("ha"), col("hb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Incremental exact Jaccard near-dup check — the nightly-ingest
     * shape: a new batch arrives and must be checked against the
@@ -362,18 +385,11 @@ object Dedup {
       .withColumn("is_new", lit(true))
       .unionByName(corpus.select(col(idCol), col(blockCol), col(textCol))
         .withColumn("is_new", lit(false)))
-    val t = all.select(col(idCol), col(blockCol).as("blk"), col("is_new"),
-      array_distinct(tokens(col(textCol))).as("w"))
-      .select(col(idCol), col("blk"), col("is_new"), size(col("w")).as("sz"),
-        array_sort(transform(col("w"), x => xxhash64(x))).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    releaseAfterUse(t)
-    val prefLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
-    val pref = t.select(col(idCol), col("blk"), col("sz"), col("is_new"),
-      posexplode(slice(col("h"), lit(1), prefLen)).as(Seq("pos", "tok")))
+    val t = hashedTokenProjection(all, idCol, textCol, blockCol)
+    val pref = prefixRows(t, idCol, threshold)
     // probe side: increment prefixes only; index side: everything. The
-    // PPJoin size-ratio and positional bounds are symmetric in the two
-    // sides, so they apply unchanged after canonicalization.
+    // PPJoin bounds are symmetric in the two sides, so they apply
+    // unchanged after canonicalization.
     val n = pref.filter(col("is_new"))
       .select(col("blk"), col("tok"), col(idCol).as("id_n"),
         col("sz").as("sn"), col("pos").as("pn"))
@@ -383,23 +399,11 @@ object Dedup {
       .filter(col("id_n") =!= col("id_o") &&
         // new×new pairs appear from both ends — keep the id_n < id_o copy
         (!col("new_o") || col("id_n") < col("id_o")) &&
-        least(col("sn"), col("so")).cast("double") >=
-          lit(threshold) * greatest(col("sn"), col("so")) &&
-        (lit(1) + least(col("sn") - col("pn") - 1, col("so") - col("po") - 1))
-          .cast("double") >=
-          lit(threshold / (1.0 + threshold)) * (col("sn") + col("so")))
+        ppjoinBounds(threshold, col("sn"), col("pn"), col("so"), col("po")))
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
-    candidates
-      .join(t.select(col(idCol).as("id_a"), col("sz").as("sa"), col("h").as("ha")), Seq("id_a"))
-      .join(t.select(col(idCol).as("id_b"), col("sz").as("sb"), col("h").as("hb")), Seq("id_b"))
-      .withColumn("inter",
-        graft.functions.ArrayFunctions.sortedIntersectSize(col("ha"), col("hb")))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sa") + col("sb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyPairs(t, candidates, idCol, threshold)
   }
 
   // ------------------------------------------------- connected components

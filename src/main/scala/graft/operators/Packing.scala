@@ -38,7 +38,12 @@ object Packing {
       override def next(): (Long, Long, Long, Long, Long) = {
         val (id, n, shard) = rows.next()
         if (shard != curShard) { curShard = shard; packId = 0; cum = 0 }
-        if (packId == 0 || (cum > 0 && cum + n > budget)) {
+        // every processed doc is a member, so the current pack is never
+        // empty past packId==0 — the overflow test alone is the new-pack
+        // condition. (A `cum > 0 &&` guard would let an oversize doc
+        // join a pack opened by zero-token docs, breaking the
+        // oversize-docs-pack-alone contract.)
+        if (packId == 0 || cum + n > budget) {
           packId += 1; packPos = 0; cum = 0
         }
         packPos += 1

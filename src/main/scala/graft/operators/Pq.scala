@@ -50,12 +50,18 @@ object Pq {
   }
 
   /** Train shared codebooks with driver-side Lloyd's over (a sample of)
-    * the residual vectors. Deterministic: seeded init (distinct sample
-    * points), fixed iteration count, ties to the lowest index. */
+    * the residual vectors. Deterministic AND layout-independent: the
+    * sample is the `sampleN` vectors with the smallest content hash
+    * (TakeOrdered — a per-partition heap, not a full sort), so the
+    * trained model never depends on file order, partitioning, or a
+    * cluster-partitioned input feeding `limit` from one cluster's
+    * directory. Init is seeded, iteration count fixed, ties to the
+    * lowest index. */
   def train(vectors: DataFrame, vecCol: String, m: Int, k: Int,
             sampleN: Int = 100000, iters: Int = 20, seed: Long = 42L): PqModel = {
     require(k >= 1 && k <= 256, s"k must be 1..256 (one byte per code), got $k")
-    val sample = vectors.select(col(vecCol)).limit(sampleN)
+    val sample = vectors.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol)).limit(sampleN)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample.head.length
@@ -69,14 +75,20 @@ object Pq {
     PqModel(m, k, subDim, codebooks)
   }
 
-  /** Plain Lloyd's iterations; empty clusters re-seed to the point
-    * farthest from its assigned centroid (deterministic). */
+  /** Plain Lloyd's iterations. Init draws k DISTINCT points (seeded
+    * shuffle over the distinct point set — duplicate initial centroids
+    * would tie every assignment to the lowest index and never
+    * differentiate); empty clusters re-seed to the farthest points in
+    * descending order, each to a different point for the same reason. */
   private def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
                     rnd: scala.util.Random): Array[Array[Float]] = {
     val n = points.length
     val dim = points.head.length
-    var cents = Array.tabulate(math.min(k, n))(i => points(rnd.nextInt(n)).clone()) ++
-      Array.fill(math.max(0, k - n))(points(0).clone())
+    val distinctIdx = points.indices
+      .groupBy(i => points(i).toSeq).map(_._2.head).toArray.sorted
+    val shuffled = rnd.shuffle(distinctIdx.toVector)
+    var cents = Array.tabulate(k)(i =>
+      points(shuffled(i % shuffled.length)).clone())
     val assign = new Array[Int](n)
     var it = 0
     while (it < iters) {
@@ -91,17 +103,16 @@ object Pq {
         while (d < dim) { sums(a)(d) += points(p)(d); d += 1 }
         p += 1
       }
-      var worst = 0 // farthest point, for empty-cluster reseeding
-      var worstDist = -1.0f
-      p = 0
-      while (p < n) {
-        val dd = l2(points(p), cents(assign(p)))
-        if (dd > worstDist) { worstDist = dd; worst = p }
-        p += 1
-      }
+      val empties = (0 until k).filter(counts(_) == 0)
+      // farthest points, one per empty cluster, deterministic order
+      val reseed: Array[Int] =
+        if (empties.isEmpty) Array.empty
+        else points.indices.toArray
+          .sortBy(p => (-l2(points(p), cents(assign(p))), p))
+          .take(empties.length)
       cents = Array.tabulate(k) { c =>
         if (counts(c) > 0) Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
-        else points(worst).clone()
+        else points(reseed(empties.indexOf(c) min (reseed.length - 1))).clone()
       }
       it += 1
     }

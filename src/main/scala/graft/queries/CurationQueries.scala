@@ -216,11 +216,11 @@ object CurationQueries {
        |  FROM d WHERE rn = 1
        |  UNION ALL
        |  SELECT d.shard, d.rn, d.doc_id, d.n,
-       |         CASE WHEN p.cum > 0 AND p.cum + d.n > 512
+       |         CASE WHEN p.cum + d.n > 512
        |              THEN p.pack_id + 1 ELSE p.pack_id END,
-       |         CASE WHEN p.cum > 0 AND p.cum + d.n > 512
+       |         CASE WHEN p.cum + d.n > 512
        |              THEN CAST(1 AS BIGINT) ELSE p.pack_pos + 1 END,
-       |         CASE WHEN p.cum > 0 AND p.cum + d.n > 512
+       |         CASE WHEN p.cum + d.n > 512
        |              THEN d.n ELSE p.cum + d.n END
        |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
        |)""".stripMargin

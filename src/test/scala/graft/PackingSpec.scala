@@ -58,6 +58,17 @@ class PackingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("zero-token doc cannot pull an oversize doc into its pack") {
+    // docs share a shard only if md5-assigned together; force one shard
+    val out = Packing.packDocs(
+        Seq((1L, 0L), (2L, 150L), (3L, 10L)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", nShards = 1, budget = budget)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val packOf = out.map(r => r._1 -> r._3).toMap
+    assert(packOf(2L) !== packOf(1L), "oversize doc must open its own pack")
+    assert(packOf(3L) !== packOf(2L), "doc after an oversize pack starts fresh")
+  }
+
   test("matches an exact driver-side next-fit replay") {
     val rnd = new scala.util.Random(23)
     val rows = (1L to 400L).map(i => (i, 1L + rnd.nextInt(120)))
@@ -66,7 +77,7 @@ class PackingSpec extends SparkSpec {
     val expected = rows.groupBy(r => shardOf(r._1)).flatMap { case (shard, docs) =>
       var packId = 0L; var pos = 0L; var cum = 0L
       docs.sortBy(_._1).map { case (id, n) =>
-        if (packId == 0 || (cum > 0 && cum + n > budget)) { packId += 1; pos = 0; cum = 0 }
+        if (packId == 0 || cum + n > budget) { packId += 1; pos = 0; cum = 0 }
         pos += 1; cum += n
         (id, shard, packId, pos, n)
       }
