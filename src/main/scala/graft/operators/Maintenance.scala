@@ -87,4 +87,29 @@ object Maintenance {
     }
     (files, bytes)
   }
+
+  /** Corpus version diff — the audit step between two snapshots of a
+    * training corpus: which docs were added, removed, or edited. Rows
+    * are compared by content fingerprint, so the join ships (id, 16-byte
+    * md5) only — at 100 TB this is ONE shuffle of slim fingerprint rows
+    * on the doc id, never the payloads. Returns one row per doc id in
+    * either snapshot with status added/removed/changed/unchanged. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), md5(col(textCol).cast("binary")).as("old_fp"))
+    val n = newDocs.select(col(idCol), md5(col(textCol).cast("binary")).as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged"))
+      .select(col(idCol), col("status"))
+  }
+
+  /** Roll-up of [[corpusDiff]]: doc counts per status. */
+  def corpusDiffStats(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    corpusDiff(oldDocs, newDocs, idCol, textCol)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
 }

@@ -50,6 +50,28 @@ object MultimodalQueries {
           size(col("features")).cast("long").as("dim"))
         .orderBy(col("media_id"))
     },
+    // JSONL round-trip with corrupt-line quarantine (rows-only: IO-side
+    // like b2_zip_ingest; schema fidelity is JsonlSpec-gated). Docs are
+    // written to JSONL, two corrupt lines are injected, and the read
+    // must recover every doc and quarantine exactly the bad lines.
+    "jsonl_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("jsonl").toFile
+      val path = s"${tmp.getAbsolutePath}/docs"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.sources.JsonlDocs.write(docs, path)
+      // inject malformed lines alongside the valid part files
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/part-corrupt.json"),
+        "{\"doc_id\": broken\nnot json at all\n")
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType)))
+      val (good, bad) = graft.sources.JsonlDocs.readWithQuarantine(s, path, schema)
+      good.agg(count(lit(1)).as("n_good"),
+          expr("bit_xor(xxhash64(doc_id, text))").as("content_sig"))
+        .crossJoin(bad.agg(count(lit(1)).as("n_quarantined")))
+    },
     // zip explode + parse + status rollup, self-contained: members are
     // built from the documents table driver-side (rows-only)
     "b2_zip_ingest" -> { (s, dir) =>

@@ -69,10 +69,62 @@ object RelationalQueries {
           targetRows = 200, alpha = 0.5)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    },
+    // corpus snapshot diff: deterministic v2 mutation (drop %31, edit
+    // %7, add %13 under shifted ids) audited by fingerprint — the join
+    // ships (id, md5) only, never payloads
+    "corpus_diff" -> { (s, dir) =>
+      val (o, n) = diffFixture(s, dir)
+      graft.operators.Maintenance.corpusDiff(o, n, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    "corpus_diff_stats" -> { (s, dir) =>
+      val (o, n) = diffFixture(s, dir)
+      graft.operators.Maintenance.corpusDiffStats(o, n, "doc_id", "text")
+        .orderBy(col("status"))
     }
   )
 
+  /** Old/new snapshot pair for the diff queries, derived
+    * deterministically from the documents fixture. */
+  private def diffFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val oldDocs = docs.select(col("doc_id"), col("text"))
+    val newDocs = docs.where(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    (oldDocs, newDocs)
+  }
+
+  private val diffCte =
+    """WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+      |n AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS new_fp
+      |  FROM documents WHERE doc_id % 31 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, md5(text) AS new_fp
+      |  FROM documents WHERE doc_id % 13 = 0
+      |), d AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.doc_id IS NULL THEN 'added'
+      |              WHEN n.doc_id IS NULL THEN 'removed'
+      |              WHEN o.old_fp <> n.new_fp THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "corpus_diff" ->
+      s"""$diffCte
+         |SELECT doc_id, status FROM d ORDER BY doc_id""".stripMargin,
+    "corpus_diff_stats" ->
+      s"""$diffCte
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "rel_revenue_monthly" ->
       """SELECT strftime(o.o_orderdate, '%Y-%m') AS month, l.l_returnflag,
         |       count(*) AS n_items,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Maintenance
+import graft.sources.JsonlDocs
+
+/** JSONL source + corpus-diff spec: round-trip fidelity (unicode,
+  * embedded quotes/newlines), quarantine exactness, blank-line and
+  * missing-field semantics; diff status matrix. */
+class JsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def tmpDir(): java.io.File =
+    java.nio.file.Files.createTempDirectory("jsonl-spec").toFile
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete()
+  }
+
+  test("round trip preserves unicode, quotes and newlines exactly") {
+    val dir = tmpDir()
+    try {
+      val rows = Seq((1L, "한국어 텍스트 🙂"), (2L, "with \"quotes\""),
+        (3L, "line one\nline two"), (4L, "tab\there"))
+      JsonlDocs.write(rows.toDF("doc_id", "text"), dir.getAbsolutePath)
+      val back = JsonlDocs.read(spark, dir.getAbsolutePath, schema)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(back === rows)
+    } finally rm(dir)
+  }
+
+  test("corrupt lines quarantine; good lines all survive") {
+    val dir = tmpDir()
+    try {
+      JsonlDocs.write((1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+        dir.getAbsolutePath)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${dir.getAbsolutePath}/part-bad.json"),
+        "{\"doc_id\": oops}\n\nplainly not json\n{\"doc_id\": 99, \"text\": \"fine\"}\n")
+      val (good, bad) = JsonlDocs.readWithQuarantine(spark, dir.getAbsolutePath, schema)
+      val ids = good.select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids === ((1L to 20L) :+ 99L))
+      // blank line is ignored, exactly the two malformed lines quarantine
+      assert(bad.as[String].collect().sorted.toSeq ===
+        Seq("{\"doc_id\": oops}", "plainly not json").sorted)
+    } finally rm(dir)
+  }
+
+  test("valid object missing a field is good, with a null column") {
+    val dir = tmpDir()
+    try {
+      java.nio.file.Files.createDirectories(dir.toPath)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${dir.getAbsolutePath}/part-0.json"),
+        "{\"doc_id\": 7}\n")
+      val good = JsonlDocs.read(spark, dir.getAbsolutePath, schema).collect()
+      assert(good.length === 1)
+      assert(good(0).getLong(0) === 7L && good(0).isNullAt(1))
+    } finally rm(dir)
+  }
+
+  test("corpusDiff: full status matrix and slim join payload") {
+    val oldDocs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newDocs = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val statuses = Maintenance.corpusDiff(oldDocs, newDocs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(statuses === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val stats = Maintenance.corpusDiffStats(oldDocs, newDocs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(stats === Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+}
