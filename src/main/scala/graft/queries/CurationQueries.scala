@@ -179,6 +179,24 @@ object CurationQueries {
           nShards = 8, budget = 512)
         .orderBy(col("doc_id"))
     },
+    // the COMPOSED export decision: wordset dedup (keep-min) → quality
+    // + length gate → content-addressed sharding → next-fit packing,
+    // ONE declarative plan end-to-end — each stage is individually
+    // oracle-gated above/in dedup+text suites; this pins the
+    // composition against one recursive-CTE oracle.
+    "export_pipeline" -> { (s, dir) =>
+      import graft.operators.{Dedup, Packing, TextAnalysis}
+      val docs = Tables.documents(s, dir)
+      val deduped = Dedup.dropDuplicates(docs,
+        Dedup.wordSetFingerprint(col("text")), "doc_id")
+      val gated = deduped
+        .withColumn("quality_score",
+          TextAnalysis.qualityScore(col("text"), Seq("the", "a")))
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .where(col("quality_score") >= 0.5 && col("n_tok").between(10, 100000))
+      Packing.packDocs(gated, "doc_id", "n_tok", nShards = 8, budget = 512)
+        .orderBy(col("doc_id"))
+    },
     // pack-level fill report (docs/pack, token fill vs budget)
     "pack_stats" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).withColumn("n_tok",
@@ -201,15 +219,15 @@ object CurationQueries {
   private val shardSql = shardSqlN(16)
 
   /** DuckDB recursive-CTE replay of [[graft.operators.Packing]]'s
-    * next-fit state machine: one recursion step per (shard, rank). */
-  private val packCte =
-    s"""WITH RECURSIVE d AS (
-       |  SELECT doc_id,
-       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n,
+    * next-fit state machine over any (doc_id, n) source CTE: one
+    * recursion step per (shard, rank). */
+  private def packCteOver(srcSql: String): String =
+    s"""WITH RECURSIVE src AS ($srcSql), d AS (
+       |  SELECT doc_id, n,
        |         ${shardSqlN(8)} AS shard,
        |         CAST(row_number() OVER (
        |           PARTITION BY ${shardSqlN(8)} ORDER BY doc_id) AS BIGINT) AS rn
-       |  FROM documents
+       |  FROM src
        |), p AS (
        |  SELECT shard, rn, doc_id, n,
        |         CAST(1 AS BIGINT) AS pack_id, CAST(1 AS BIGINT) AS pack_pos, n AS cum
@@ -225,7 +243,44 @@ object CurationQueries {
        |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
        |)""".stripMargin
 
+  private val allDocsTokensSql =
+    """SELECT doc_id,
+      |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      |FROM documents""".stripMargin
+  private val packCte = packCteOver(allDocsTokensSql)
+
+  /** The export_pipeline source: wordset dedup keep-min → quality +
+    * length gate, emitting (doc_id, n). Formulas are verbatim from the
+    * dedup_wordset_groups and t_quality_score oracles. */
+  private val exportSurvivorsSql =
+    """SELECT doc_id, n FROM (
+      |  SELECT doc_id,
+      |         CAST(len(w) AS BIGINT) AS n,
+      |         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+      |          + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) >= 3.0
+      |                   AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) <= 12.0
+      |                  THEN 1.0 ELSE 0.0 END)
+      |          + (CASE WHEN CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w) >= 0.01
+      |                   AND CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w) <= 0.5
+      |                  THEN 1.0 ELSE 0.0 END)
+      |         ) / 3.0 AS qs
+      |  FROM (
+      |    SELECT doc_id, text, w FROM (
+      |      SELECT doc_id, text, w,
+      |             min(doc_id) OVER (PARTITION BY
+      |               md5(array_to_string(list_sort(list_distinct(w)), ' '))) AS keeper
+      |      FROM (SELECT doc_id, text,
+      |              list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |            FROM documents)
+      |    ) WHERE doc_id = keeper
+      |  )
+      |) WHERE qs >= 0.5 AND n BETWEEN 10 AND 100000""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "export_pipeline" ->
+      s"""${packCteOver(exportSurvivorsSql)}
+         |SELECT doc_id, shard, pack_id, pack_pos, n AS n_tokens
+         |FROM p ORDER BY doc_id""".stripMargin,
     "shard_assign" ->
       s"""SELECT doc_id, $shardSql AS shard
          |FROM documents ORDER BY doc_id""".stripMargin,
