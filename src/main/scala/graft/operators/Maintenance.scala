@@ -93,16 +93,25 @@ object Maintenance {
     * are compared by content fingerprint, so the join ships (id, 16-byte
     * md5) only — at 100 TB this is ONE shuffle of slim fingerprint rows
     * on the doc id, never the payloads. Returns one row per doc id in
-    * either snapshot with status added/removed/changed/unchanged. */
+    * either snapshot with status added/removed/changed/unchanged.
+    *
+    * Contract: ids must be unique WITHIN each snapshot (dedup upstream —
+    * [[graft.operators.Dedup.dropDuplicates]]); duplicate ids fan out
+    * through the join and inflate the stats. Presence is tracked with
+    * explicit markers and the change test is null-safe, so a null text
+    * (a legitimate state for JSONL-read docs with a missing field) is a
+    * comparable value, not a fake join miss. */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
-    val o = oldDocs.select(col(idCol), md5(col(textCol).cast("binary")).as("old_fp"))
-    val n = newDocs.select(col(idCol), md5(col(textCol).cast("binary")).as("new_fp"))
+    val o = oldDocs.select(col(idCol), md5(col(textCol).cast("binary")).as("old_fp"),
+      lit(true).as("in_old"))
+    val n = newDocs.select(col(idCol), md5(col(textCol).cast("binary")).as("new_fp"),
+      lit(true).as("in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
-          .when(col("old_fp") =!= col("new_fp"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("old_fp") <=> col("new_fp")), "changed")
           .otherwise("unchanged"))
       .select(col(idCol), col("status"))
   }

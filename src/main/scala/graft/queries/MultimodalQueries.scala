@@ -57,20 +57,35 @@ object MultimodalQueries {
     "jsonl_roundtrip" -> { (s, dir) =>
       import org.apache.spark.sql.types._
       val tmp = java.nio.file.Files.createTempDirectory("jsonl").toFile
-      val path = s"${tmp.getAbsolutePath}/docs"
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"))
-      graft.sources.JsonlDocs.write(docs, path)
-      // inject malformed lines alongside the valid part files
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$path/part-corrupt.json"),
-        "{\"doc_id\": broken\nnot json at all\n")
-      val schema = StructType(Seq(StructField("doc_id", LongType),
-        StructField("lang", StringType), StructField("text", StringType)))
-      val (good, bad) = graft.sources.JsonlDocs.readWithQuarantine(s, path, schema)
-      good.agg(count(lit(1)).as("n_good"),
-          expr("bit_xor(xxhash64(doc_id, text))").as("content_sig"))
-        .crossJoin(bad.agg(count(lit(1)).as("n_quarantined")))
+      try {
+        val path = s"${tmp.getAbsolutePath}/docs"
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"))
+        graft.sources.JsonlDocs.write(docs, path)
+        // inject malformed lines alongside the valid part files
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$path/part-corrupt.json"),
+          "{\"doc_id\": broken\nnot json at all\n")
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType), StructField("text", StringType)))
+        // ONE pass over the files for both streams; materialized eagerly
+        // so the temp dir can be deleted before returning
+        val r = graft.sources.JsonlDocs.readWithStatus(s, path, schema)
+          .agg(sum(when(col("is_good"), 1L).otherwise(0L)).as("n_good"),
+            expr("bit_xor(CASE WHEN is_good THEN xxhash64(doc_id, text) END)")
+              .as("content_sig"),
+            sum(when(!col("is_good"), 1L).otherwise(0L)).as("n_quarantined"))
+          .head()
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("n_good", "content_sig", "n_quarantined")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(tmp)
+      }
     },
     // zip explode + parse + status rollup, self-contained: members are
     // built from the documents table driver-side (rows-only)

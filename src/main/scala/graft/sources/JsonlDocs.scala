@@ -35,7 +35,10 @@ object JsonlDocs {
       s"schema may not contain reserved column $CorruptCol")
     val withCr = schema.add(StructField(CorruptCol, StringType))
     spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0) // blank lines are not docs
+      // blank lines are not docs; trim tabs too — a tab-only separator
+      // line must be skipped, not quarantined (default trim is
+      // space-only; CR is already stripped by the text source lineSep)
+      .filter(length(trim(col("value"), " \t")) > 0)
       .withColumn("j", from_json(col("value"), withCr,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
   }
@@ -48,7 +51,19 @@ object JsonlDocs {
     parsed(spark, path, schema).filter(isGood)
       .select(col("j.*")).drop(CorruptCol)
 
-  /** (good rows, quarantined raw lines). */
+  /** ONE-pass read: every non-blank line as a row with `is_good`, the
+    * schema columns (null when malformed), and `raw_line`. This is the
+    * form to consume when you need both streams — the pair returned by
+    * [[readWithQuarantine]] is two plan subtrees over the same scan, so
+    * a job reading both without persisting pays the scan+parse twice. */
+  def readWithStatus(spark: SparkSession, path: String,
+                     schema: StructType): DataFrame =
+    parsed(spark, path, schema)
+      .select((col("value").as("raw_line") +: isGood.as("is_good") +:
+        schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq): _*)
+
+  /** (good rows, quarantined raw lines). Convenience split — see
+    * [[readWithStatus]] for the single-pass form. */
   def readWithQuarantine(spark: SparkSession, path: String,
                          schema: StructType): (DataFrame, DataFrame) = {
     val p = parsed(spark, path, schema)

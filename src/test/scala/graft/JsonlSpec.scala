@@ -15,29 +15,19 @@ class JsonlSpec extends SparkSpec {
   private val schema = StructType(Seq(StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  private def tmpDir(): java.io.File =
-    java.nio.file.Files.createTempDirectory("jsonl-spec").toFile
-
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete()
-  }
-
   test("round trip preserves unicode, quotes and newlines exactly") {
-    val dir = tmpDir()
-    try {
+    withTempDir("jsonl-spec") { dir =>
       val rows = Seq((1L, "한국어 텍스트 🙂"), (2L, "with \"quotes\""),
         (3L, "line one\nline two"), (4L, "tab\there"))
       JsonlDocs.write(rows.toDF("doc_id", "text"), dir.getAbsolutePath)
       val back = JsonlDocs.read(spark, dir.getAbsolutePath, schema)
         .as[(Long, String)].collect().sortBy(_._1).toSeq
       assert(back === rows)
-    } finally rm(dir)
+    }
   }
 
   test("corrupt lines quarantine; good lines all survive") {
-    val dir = tmpDir()
-    try {
+    withTempDir("jsonl-spec") { dir =>
       JsonlDocs.write((1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
         dir.getAbsolutePath)
       java.nio.file.Files.writeString(
@@ -49,12 +39,11 @@ class JsonlSpec extends SparkSpec {
       // blank line is ignored, exactly the two malformed lines quarantine
       assert(bad.as[String].collect().sorted.toSeq ===
         Seq("{\"doc_id\": oops}", "plainly not json").sorted)
-    } finally rm(dir)
+    }
   }
 
   test("valid object missing a field is good, with a null column") {
-    val dir = tmpDir()
-    try {
+    withTempDir("jsonl-spec") { dir =>
       java.nio.file.Files.createDirectories(dir.toPath)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"${dir.getAbsolutePath}/part-0.json"),
@@ -62,7 +51,34 @@ class JsonlSpec extends SparkSpec {
       val good = JsonlDocs.read(spark, dir.getAbsolutePath, schema).collect()
       assert(good.length === 1)
       assert(good(0).getLong(0) === 7L && good(0).isNullAt(1))
-    } finally rm(dir)
+    }
+  }
+
+  test("readWithStatus: one pass, one row per non-blank line") {
+    withTempDir("jsonl-spec") { dir =>
+      java.nio.file.Files.createDirectories(dir.toPath)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${dir.getAbsolutePath}/part-0.json"),
+        "{\"doc_id\": 1, \"text\": \"ok\"}\nbroken\n\t\n{\"doc_id\": 2, \"text\": \"ok2\"}\n")
+      val st = JsonlDocs.readWithStatus(spark, dir.getAbsolutePath, schema)
+        .select($"is_good", $"doc_id", $"raw_line")
+        .as[(Boolean, Option[Long], String)].collect().sortBy(_._3)
+      assert(st.length === 3) // tab-only line is blank, not quarantined
+      assert(st.count(_._1) === 2)
+      val bad = st.filter(!_._1).head
+      assert(bad._3 === "broken" && bad._2.isEmpty)
+    }
+  }
+
+  test("corpusDiff: null text is a comparable value, not absence") {
+    val oldDocs = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]), (4L, "x")).toDF("doc_id", "text")
+    val newDocs = Seq((1L, null.asInstanceOf[String]), (3L, "y"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val statuses = Maintenance.corpusDiff(oldDocs, newDocs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(statuses === Map(1L -> "unchanged", 2L -> "removed",
+      3L -> "added", 4L -> "changed"))
   }
 
   test("corpusDiff: full status matrix and slim join payload") {

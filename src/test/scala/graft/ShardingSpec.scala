@@ -45,8 +45,7 @@ class ShardingSpec extends SparkSpec {
   }
 
   test("exportShards writes one directory per shard and round-trips") {
-    val dir = java.nio.file.Files.createTempDirectory("shards").toFile
-    try {
+    withTempDir("shards") { dir =>
       val docs = (1L to 200L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
       Sharding.exportShards(docs, "doc_id", 4, dir.getAbsolutePath)
       val shardDirs = dir.listFiles().filter(_.getName.startsWith("shard=")).map(_.getName).sorted
@@ -59,12 +58,6 @@ class ShardingSpec extends SparkSpec {
         .join(reassigned.select(col("doc_id"), col("shard").as("s2")), "doc_id")
         .filter(col("s1") =!= col("s2")).count()
       assert(mismatch === 0)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(dir)
     }
   }
 }

@@ -9,6 +9,18 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Recursive delete (shared by every temp-dir-using spec). */
+  protected def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
+  /** Run `body` against a fresh temp dir, always cleaning it up. */
+  protected def withTempDir[A](prefix: String)(body: java.io.File => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    try body(dir) finally rmTree(dir)
+  }
 }
 
 object SparkSpec {
