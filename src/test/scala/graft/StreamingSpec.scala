@@ -248,6 +248,70 @@ class StreamingSpec extends SparkSpec {
       out.filter($"collection" === "compliance_documents").count())
   }
 
+  test("streaming JSONL ingest: one epoch feeds corpus and quarantine") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    withTempDir("jsonl-stream") { root =>
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${in.getAbsolutePath}/a.jsonl"),
+        "{\"doc_id\": 1, \"text\": \"one\"}\nbroken line\n{\"doc_id\": 2, \"text\": \"two\"}\n")
+      val goodOut = new java.io.File(root, "good").getAbsolutePath
+      val badOut = new java.io.File(root, "bad").getAbsolutePath
+      val stream = StreamingIngest.jsonlIngestStream(spark, in.getAbsolutePath, schema)
+      val q = stream.writeStream
+        .option("checkpointLocation", new java.io.File(root, "ckpt").getAbsolutePath)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.persist()
+          try {
+            batch.filter($"is_good").select($"doc_id", $"text")
+              .write.mode("append").parquet(goodOut)
+            batch.filter(!$"is_good").select($"raw_line")
+              .write.mode("append").parquet(badOut)
+          } finally batch.unpersist()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val good = spark.read.parquet(goodOut).as[(Long, String)].collect().sortBy(_._1)
+      assert(good.toSeq === Seq((1L, "one"), (2L, "two")))
+      val bad = spark.read.parquet(badOut).as[String].collect()
+      assert(bad.toSeq === Seq("broken line"))
+      // stream parse == batch parse of the same files
+      val batchStatus = graft.sources.JsonlDocs
+        .readWithStatus(spark, in.getAbsolutePath, schema)
+        .select($"is_good", $"doc_id").as[(Boolean, Option[Long])]
+        .collect().sortBy(_._2)
+      assert(batchStatus.count(_._1) === 2 && batchStatus.count(!_._1) === 1)
+    }
+  }
+
+  test("streaming sharded export matches batch shard assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    withTempDir("shard-stream") { root =>
+      val out = new java.io.File(root, "lake").getAbsolutePath
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingIngest.exportShardedStream(
+          input.toDF().toDF("doc_id", "text"), "doc_id", 4, out)
+        .option("checkpointLocation", new java.io.File(root, "ckpt").getAbsolutePath)
+        .start()
+      try {
+        input.addData((1L, "a"), (2L, "b"), (3L, "c"))
+        q.processAllAvailable()
+        input.addData((4L, "d"), (5L, "e")) // second epoch appends
+        q.processAllAvailable()
+      } finally q.stop()
+      val back = spark.read.parquet(out)
+        .select($"doc_id", $"shard".cast("long").as("shard"))
+      assert(back.count() === 5)
+      val expected = graft.operators.Sharding.assignShards(
+          back.select($"doc_id"), "doc_id", 4)
+        .as[(Long, Long)].collect().toMap
+      val actual = back.as[(Long, Long)].collect().toMap
+      assert(actual === expected)
+    }
+  }
+
   test("streaming curation twin: stateless scrub+gate, batch==stream") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
