@@ -124,6 +124,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("incremental prefix join: no cartesian product, no corpus broadcast") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(Dedup.jaccardPairsPrefixIncremental(
+      docs.where($"doc_id" % 10 === 0), docs.where($"doc_id" % 10 =!= 0),
+      "doc_id", "text", "lang", 0.8))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("shard stats aggregate map-side (partial HashAggregate before the exchange)") {
+    val p = plan(graft.operators.Sharding.shardStats(
+      Tables.documents(spark, sfDir), "doc_id", "text", 16))
+    // partial_count/partial_sum markers show the map-side combine ran
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("sequence packing shuffles exactly once (on the shard id)") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("n_tok", graft.operators.TextAnalysis.tokenCount($"text").cast("long"))
+    val df = graft.operators.Packing.packDocs(docs, "doc_id", "n_tok", 8, 512)
+    assert(shuffles(df) === 1, plan(df))
+  }
+
+  test("corpus diff ships fingerprints only — no text column past the scan") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(graft.operators.Maintenance.corpusDiff(
+      docs, docs.where($"doc_id" % 2 === 0), "doc_id", "text"))
+    // the join keys/payload are (doc_id, md5); the raw text column must
+    // not appear in any exchange output (only under the scan/project)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"), s"text crosses a shuffle:\n$p")
+  }
+
   test("retriever factory (E1) returns a curried query function") {
     val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(50)
     val store = ChunkStore.dualWrite(
