@@ -465,10 +465,12 @@ object Dedup {
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      // no distinct here: small-star's end-of-round distinct
+      // canonicalizes, and duplicate edges inflate one round by at most
+      // 2× while a distinct costs a full extra shuffle every round
       sym.withColumn("m", least(min(col("v")).over(w), col("u")))
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
-        .distinct()
     }
 
     // small-star: orient edges max→min (input is min-first, so flip);
