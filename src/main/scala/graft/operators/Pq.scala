@@ -144,6 +144,8 @@ object Pq {
     val cbs = model.codebooks
     val subDim = model.subDim
     val encUdf = udf { (v: Seq[Float], c: Int) =>
+      require(v.length == cbs.length * subDim,
+        s"encode: vector dim ${v.length} != model dim ${cbs.length * subDim}")
       val cent = cents(c)
       val code = new Array[Byte](cbs.length)
       var s = 0

@@ -79,6 +79,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(edges) === expected)
   }
 
+  test("empty pair set: components are empty, keepCanonical is identity") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+    val docs = (1L to 5L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(docs, empty, "doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept === (1L to 5L).toSeq)
+  }
+
   test("keepCanonical keeps min-id per component plus untouched docs") {
     val docs = (1L to 8L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
