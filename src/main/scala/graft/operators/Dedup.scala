@@ -465,9 +465,14 @@ object Dedup {
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
-      // no distinct here: small-star's end-of-round distinct
-      // canonicalizes, and duplicate edges inflate one round by at most
-      // 2× while a distinct costs a full extra shuffle every round
+      // no distinct here: small-star's end-of-round distinct restores
+      // set semantics and the window min is duplicate-insensitive.
+      // Duplicate (m, v) emissions are bounded by deg(v) within a
+      // round (a near-clique of k dups can feed small-star O(k²) rows
+      // where a distinct'd form feeds O(k)) — but the distinct costs a
+      // full extra shuffle EVERY round, and the k-clique case already
+      // pays O(k²) in the pair set itself. Reinstate the distinct if a
+      // corpus with huge duplicate cliques makes round cost dominate.
       sym.withColumn("m", least(min(col("v")).over(w), col("u")))
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))

@@ -29,18 +29,26 @@ object JsonlDocs {
     * non-JSON line yields a null struct; both forms are quarantined. */
   private val CorruptCol = "__graft_corrupt"
 
-  private def parsed(spark: SparkSession, path: String,
-                     schema: StructType): DataFrame = {
-    require(!schema.fieldNames.contains(CorruptCol),
-      s"schema may not contain reserved column $CorruptCol")
+  /** The ONE lines→status transform shared by the batch reader and the
+    * streaming twin ([[graft.streaming.StreamingIngest.jsonlIngestStream]])
+    * — stream==batch parse parity is enforced by construction, not by
+    * copy-paste. Input: a DataFrame/stream with a single `value` line
+    * column. Output: `raw_line`, `is_good`, then the schema columns. */
+  private[graft] def statusFromLines(lines: DataFrame,
+                                     schema: StructType): DataFrame = {
+    val reserved = Seq(CorruptCol, "raw_line", "is_good")
+    require(!schema.fieldNames.exists(reserved.contains),
+      s"schema may not contain reserved columns ${reserved.mkString(", ")}")
     val withCr = schema.add(StructField(CorruptCol, StringType))
-    spark.read.text(path)
+    lines
       // blank lines are not docs; trim tabs too — a tab-only separator
       // line must be skipped, not quarantined (default trim is
       // space-only; CR is already stripped by the text source lineSep)
       .filter(length(trim(col("value"), " \t")) > 0)
       .withColumn("j", from_json(col("value"), withCr,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
+      .select((col("value").as("raw_line") +: isGood.as("is_good") +:
+        schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq): _*)
   }
 
   private def isGood: Column =
@@ -48,8 +56,8 @@ object JsonlDocs {
 
   /** Well-formed rows only, in the given schema. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    parsed(spark, path, schema).filter(isGood)
-      .select(col("j.*")).drop(CorruptCol)
+    readWithStatus(spark, path, schema).filter(col("is_good"))
+      .drop("raw_line", "is_good")
 
   /** ONE-pass read: every non-blank line as a row with `is_good`, the
     * schema columns (null when malformed), and `raw_line`. This is the
@@ -58,16 +66,14 @@ object JsonlDocs {
     * a job reading both without persisting pays the scan+parse twice. */
   def readWithStatus(spark: SparkSession, path: String,
                      schema: StructType): DataFrame =
-    parsed(spark, path, schema)
-      .select((col("value").as("raw_line") +: isGood.as("is_good") +:
-        schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq): _*)
+    statusFromLines(spark.read.text(path), schema)
 
   /** (good rows, quarantined raw lines). Convenience split — see
     * [[readWithStatus]] for the single-pass form. */
   def readWithQuarantine(spark: SparkSession, path: String,
                          schema: StructType): (DataFrame, DataFrame) = {
-    val p = parsed(spark, path, schema)
-    (p.filter(isGood).select(col("j.*")).drop(CorruptCol),
-      p.filter(!isGood).select(col("value").as("raw_line")))
+    val p = readWithStatus(spark, path, schema)
+    (p.filter(col("is_good")).drop("raw_line", "is_good"),
+      p.filter(!col("is_good")).select(col("raw_line")))
   }
 }

@@ -35,42 +35,35 @@ object StreamingIngest {
   }
 
   /** Streaming JSONL ingest with quarantine — the stream twin of
-    * [[graft.sources.JsonlDocs]]: tail a directory of JSONL files,
-    * parse with the same explicit-corrupt-record rule, and emit ONE
-    * stream carrying `is_good`/`raw_line` plus the schema columns.
-    * Downstream splits good rows into the corpus and bad lines into a
-    * quarantine sink inside one foreachBatch — the micro-batch is read
-    * once, both sinks stay in the same epoch (exactly-once together). */
+    * [[graft.sources.JsonlDocs]]: tail a directory of JSONL files and
+    * emit ONE stream carrying `is_good`/`raw_line` plus the schema
+    * columns. The parse IS the batch parse
+    * ([[graft.sources.JsonlDocs.statusFromLines]] on a streaming lines
+    * source), so stream==batch parity holds by construction. Downstream
+    * splits good rows into the corpus and bad lines into a quarantine
+    * sink inside one foreachBatch — the micro-batch is read once and
+    * both sinks advance in the same epoch; parquet appends replay
+    * at-least-once on epoch retry, so key idempotent consumers by
+    * epochId (or overwrite an epoch-derived partition). */
   def jsonlIngestStream(spark: SparkSession, inputDir: String,
-                        schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val cr = "__graft_corrupt"
-    require(!schema.fieldNames.contains(cr),
-      s"schema may not contain reserved column $cr")
-    val withCr = schema.add(org.apache.spark.sql.types.StructField(cr,
-      org.apache.spark.sql.types.StringType))
-    val good = col("j").isNotNull && col(s"j.$cr").isNull
-    spark.readStream.text(inputDir)
-      .filter(length(trim(col("value"), " \t")) > 0)
-      .withColumn("j", from_json(col("value"), withCr,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> cr)))
-      .select((col("value").as("raw_line") +: good.as("is_good") +:
-        schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq): _*)
-  }
+                        schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.sources.JsonlDocs.statusFromLines(
+      spark.readStream.text(inputDir), schema)
 
   /** Streaming sharded export: append each micro-batch to a
-    * shard-partitioned lake directory using the SAME content-addressed
-    * assignment as the batch [[graft.operators.Sharding]] — a doc
-    * ingested via the stream lands in the identical shard directory a
-    * batch re-export would choose, so batch and streaming exports can
-    * be mixed, diffed, and compacted freely. */
+    * shard-partitioned lake directory via the SAME
+    * [[graft.operators.Sharding.exportShards]] pipeline as batch — a
+    * doc ingested via the stream lands in the identical shard directory
+    * a batch re-export would choose, so batch and streaming exports can
+    * be mixed, diffed, and compacted freely. Appends replay
+    * at-least-once on epoch retry (see [[jsonlIngestStream]]). */
   def exportShardedStream(docs: DataFrame, keyCol: String, nShards: Int,
                           path: String): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Sharding.assignShards(batch, keyCol, nShards)
-          .repartition(nShards, col("shard"))
-          .write.mode("append").partitionBy("shard").parquet(path)
+        graft.operators.Sharding.exportShards(batch, keyCol, nShards, path,
+          org.apache.spark.sql.SaveMode.Append)
       }
 
   /** The shared (batch==stream) document transform: chunk → embed →

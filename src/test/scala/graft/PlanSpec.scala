@@ -149,12 +149,27 @@ class PlanSpec extends SparkSpec {
 
   test("corpus diff ships fingerprints only — no text column past the scan") {
     val docs = Tables.documents(spark, sfDir)
-    val p = plan(graft.operators.Maintenance.corpusDiff(
-      docs, docs.where($"doc_id" % 2 === 0), "doc_id", "text"))
-    // the join keys/payload are (doc_id, md5); the raw text column must
-    // not appear in any exchange output (only under the scan/project)
-    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
-    assert(!exchangeLines.contains("text#"), s"text crosses a shuffle:\n$p")
+    val exec = graft.operators.Maintenance.corpusDiff(
+      docs, docs.where($"doc_id" % 2 === 0), "doc_id", "text")
+      .queryExecution.executedPlan
+    // inspect each Exchange node's OUTPUT attributes (its simpleString
+    // only prints partitioning expressions, which would make a
+    // substring check vacuous): the raw text column must be projected
+    // away before any shuffle — only (id, md5, marker) may cross.
+    val unwrapped = exec match {
+      // AQE wraps the tree and hides its child from collect()
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // current physical tree (post-EnsureRequirements)
+      case p => p
+    }
+    val exchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"expected a shuffle in:\n$exec")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"text crosses a shuffle: ${e.output.map(_.name).mkString(",")}")
+    }
   }
 
   test("retriever factory (E1) returns a curried query function") {
