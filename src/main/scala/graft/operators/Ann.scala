@@ -180,6 +180,53 @@ object Ann {
         Vectors.dense(queryVec.map(_.toDouble).toArray), k)
       .drop("__features", "__hashes")
 
+  /** Incremental index maintenance: assign NEW vectors to an existing
+    * index's centroids without a refit — the nightly-append path. A
+    * refit over 100 TB per append is not a plan; nearest-centroid
+    * assignment is a narrow map with the (kilobyte) centroid array in
+    * the closure, and the appended rows land in the same
+    * `partitionBy("ivf_cluster")` layout the probe-scan prunes.
+    * Assignment ties break to the lowest cluster id — the same rule as
+    * MLlib's transform, so appended and fit-time rows are
+    * indistinguishable (AnnSpec pins this equality on the fit corpus). */
+  def assignToIvf(index: IvfIndex, newVectors: DataFrame): DataFrame = {
+    val cents = index.centroids
+    val assignUdf = udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Float.MaxValue; var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        require(cent.length == v.length,
+          s"assignToIvf: vector dim ${v.length} != centroid dim ${cent.length}")
+        var acc = 0.0f; var d = 0
+        while (d < cent.length) { val x = v(d) - cent(d); acc += x * x; d += 1 }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      best
+    }
+    newVectors.withColumn("ivf_cluster", assignUdf(col(index.embCol)))
+  }
+
+  /** Routing-quality drift report: per-cluster row count and mean
+    * squared distance to the centroid. Run it over the standing corpus
+    * after appends — when a cluster's mean distance grows well past its
+    * fit-time value (or counts skew hard), the centroids no longer
+    * describe the data and it is time to REFIT, not to keep appending.
+    * One map-side-combined aggregation; no shuffle of vectors. */
+  def ivfDriftReport(index: IvfIndex): DataFrame = {
+    val cents = index.centroids
+    val distUdf = udf { (v: Seq[Float], c: Int) =>
+      val cent = cents(c)
+      var acc = 0.0f; var d = 0
+      while (d < cent.length) { val x = v(d) - cent(d); acc += x * x; d += 1 }
+      acc.toDouble
+    }
+    index.assigned
+      .withColumn("__d2", distUdf(col(index.embCol), col("ivf_cluster")))
+      .groupBy(col("ivf_cluster"))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("__d2")).as("mean_sq_dist"))
+  }
+
   /** Search: rank centroids driver-side (tiny), probe the nprobe nearest
     * clusters, exact top-k within them. */
   def searchIvf(index: IvfIndex, queryVec: Seq[Float], k: Int, nprobe: Int,

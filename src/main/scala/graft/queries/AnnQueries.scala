@@ -56,6 +56,24 @@ object AnnQueries {
       graft.operators.Pq.searchIvfPq(encoded, index, model,
         VectorQueries.qvec(s, dir, 0), k = 10, nprobe = 4)
     },
+    // incremental index maintenance: assign a "nightly" append slice to
+    // the persisted index without refit, then the drift report over
+    // corpus+append — the numbers that decide refit-vs-keep-appending
+    // (rows-only: k-means centroids are not SQL-expressible; the
+    // assignment==MLlib invariant and drift behavior are AnnSpec-gated)
+    "ann_ivf_append" -> { (s, dir) =>
+      val index = persistedIvf(s, dir)
+      val newRows = Tables.embeddings(s, dir)
+        .where(col("vec_id") % 10 === 0)
+        .select(col("vec_id") + 1000000, col("embedding"))
+        .toDF("vec_id", "embedding")
+      val appended = Ann.assignToIvf(index, newRows)
+      val union = index.assigned
+        .select(col("vec_id"), col("embedding"), col("ivf_cluster"))
+        .unionByName(appended)
+      Ann.ivfDriftReport(index.copy(assigned = union))
+        .orderBy(col("ivf_cluster"))
+    },
     // embedding-space domain discovery: per-cluster census over the
     // SAME persisted IVF index the ANN path searches (one k-means fit
     // serves both). Rows-only: k-means is not SQL-expressible; planted-

@@ -209,4 +209,34 @@ class AnnSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(full === exactTopK(q, 10))
   }
+
+  test("incremental assignToIvf matches MLlib's own assignment on the fit corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 8)
+    val own = idx.assigned.select($"vec_id", $"ivf_cluster".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    val re = Ann.assignToIvf(idx, emb.select($"vec_id", $"embedding"))
+      .select($"vec_id", $"ivf_cluster").as[(Long, Int)].collect().toMap
+    assert(re === own)
+  }
+
+  test("ivfDriftReport: appending far-out vectors raises their cluster's drift") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 4)
+    val base = Ann.ivfDriftReport(idx)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // plant vectors far from every centroid; they land SOMEWHERE and
+    // must raise that cluster's mean squared distance
+    val dim = idx.centroids.head.length
+    val far = (0 until 5).map(i =>
+      (10000L + i, Seq.fill(dim)(50.0f + i))).toDF("vec_id", "embedding")
+    val appended = Ann.assignToIvf(idx, far)
+    val union = idx.assigned.select($"vec_id", $"embedding", $"ivf_cluster")
+      .unionByName(appended.select($"vec_id", $"embedding", $"ivf_cluster"))
+    val drifted = Ann.ivfDriftReport(idx.copy(assigned = union))
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val hit = appended.select($"ivf_cluster").as[Int].head()
+    assert(drifted(hit) > base(hit) * 2,
+      s"cluster $hit drift ${drifted(hit)} not raised vs ${base(hit)}")
+  }
 }
