@@ -67,4 +67,33 @@ object Sharding {
     assignShards(docs, keyCol, nShards)
       .repartition(nShards, col("shard"))
       .write.mode(mode).partitionBy("shard").parquet(path)
+
+  /** Range-sorted export with a zone-map manifest — the layout for
+    * corpora queried by range (time-series events, id scans): rows are
+    * range-partitioned and sorted on `sortCol`, written as one file set
+    * per range, and the returned manifest holds each range's (min, max,
+    * rows). A reader pruning on `sortCol` consults the manifest (or the
+    * identical parquet row-group stats the sort produces) and touches
+    * only overlapping ranges — the same skip-index idea the zone-map /
+    * min-max-pruning literature describes, expressed as plain Spark.
+    *
+    * One range-exchange + in-partition sort; the manifest aggregation
+    * rides the SAME sorted partitions (no extra shuffle). Range
+    * boundaries come from Spark's sampling range partitioner — the
+    * LAYOUT may vary run to run, but the manifest invariants
+    * (disjoint, covering, sorted) always hold and are spec-gated. */
+  def exportSorted(docs: DataFrame, sortCol: String, nRanges: Int,
+                   path: String): DataFrame = {
+    val spark = docs.sparkSession
+    docs.repartitionByRange(nRanges, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .withColumn("range_id", spark_partition_id())
+      .write.mode("overwrite").partitionBy("range_id").parquet(path)
+    // manifest from the WRITTEN layout (not a second execution of the
+    // range exchange): the scan is pruned to (range_id, sortCol) only
+    spark.read.parquet(path)
+      .groupBy(col("range_id"))
+      .agg(min(col(sortCol)).as("min_key"), max(col(sortCol)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+  }
 }

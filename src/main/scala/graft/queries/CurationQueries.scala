@@ -169,6 +169,32 @@ object CurationQueries {
           Tables.documents(s, dir), "doc_id", "text", 16)
         .orderBy(col("shard"))
     },
+    // range-sorted export with zone-map manifest: runs the real
+    // write+manifest machinery against a temp dir, then returns the
+    // deterministic manifest roll-up (row coverage + global key range —
+    // range BOUNDARIES come from Spark's sampling partitioner and are
+    // layout, not semantics; disjoint/covering/sorted invariants are
+    // ShardingSpec-gated)
+    "export_sorted_manifest" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("sorted").toFile
+      try {
+        val manifest = graft.operators.Sharding.exportSorted(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", nRanges = 8, tmp.getAbsolutePath)
+        val r = manifest.agg(sum(col("n_rows")).cast("long").as("total_rows"),
+          min(col("min_key")).as("min_key"), max(col("max_key")).as("max_key"))
+          .head()
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("total_rows", "min_key", "max_key")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(tmp)
+      }
+    },
     // doc-granularity next-fit sequence packing (shard-parallel,
     // deterministic; oracled against a DuckDB recursive-CTE replay of
     // the same state machine)
@@ -277,6 +303,10 @@ object CurationQueries {
       |) WHERE qs >= 0.5 AND n BETWEEN 10 AND 100000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "export_sorted_manifest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |       min(doc_id) AS min_key, max(doc_id) AS max_key
+        |FROM documents""".stripMargin,
     "export_pipeline" ->
       s"""${packCteOver(exportSurvivorsSql)}
          |SELECT doc_id, shard, pack_id, pack_pos, n AS n_tokens

@@ -79,6 +79,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(edges) === expected)
   }
 
+  test("celebrity node: 20k-leaf star completes without collecting neighbors") {
+    // the window-min construction must handle one node with huge degree
+    // as shuffle volume, not driver/executor memory — this would OOM a
+    // collect_list formulation long before 20k
+    val star = (1L to 20000L).map(i => (0L, i))
+    val labels = Dedup.connectedComponents(star.toDF("id_a", "id_b"))
+    assert(labels.count() === 20001)
+    assert(labels.select("component").distinct().as[Long].collect().toSeq === Seq(0L))
+  }
+
   test("empty pair set: components are empty, keepCanonical is identity") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() === 0)

@@ -44,6 +44,34 @@ class ShardingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("exportSorted: disjoint covering manifest, sorted files, manifest-driven pruning") {
+    withTempDir("sorted") { dir =>
+      val rnd = new scala.util.Random(5)
+      val rows = (1L to 2000L).map(i => (i, rnd.nextInt(100000).toLong))
+        .toDF("doc_id", "ts")
+      val manifest = Sharding.exportSorted(rows, "ts", nRanges = 4, dir.getAbsolutePath)
+        .as[(Int, Long, Long, Long)].collect().sortBy(_._2)
+      assert(manifest.map(_._4).sum === 2000L, "manifest covers every row")
+      manifest.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._2, s"ranges overlap: $a vs $b")
+        case _ =>
+      }
+      // within-range files are sorted on the key
+      val oneRange = spark.read
+        .parquet(s"${dir.getAbsolutePath}/range_id=${manifest.head._1}")
+        .select("ts").as[Long].collect()
+      assert(oneRange.sameElements(oneRange.sorted))
+      // manifest-driven pruning: a point lookup touches ONE range dir
+      val probe = rows.select("ts").as[Long].head()
+      val hit = manifest.filter(m => m._2 <= probe && probe <= m._3)
+      assert(hit.length >= 1)
+      val found = spark.read
+        .parquet(s"${dir.getAbsolutePath}/range_id=${hit.head._1}")
+        .filter($"ts" === probe).count()
+      assert(found >= 1)
+    }
+  }
+
   test("exportShards writes one directory per shard and round-trips") {
     withTempDir("shards") { dir =>
       val docs = (1L to 200L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
