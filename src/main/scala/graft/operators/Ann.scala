@@ -187,18 +187,24 @@ object Ann {
     * the closure, and the appended rows land in the same
     * `partitionBy("ivf_cluster")` layout the probe-scan prunes.
     * Assignment ties break to the lowest cluster id — the same rule as
-    * MLlib's transform, so appended and fit-time rows are
-    * indistinguishable (AnnSpec pins this equality on the fit corpus). */
+    * MLlib's transform — and distances accumulate in double precision
+    * against the stored (float-rounded) centroids, so the only residual
+    * divergence from a refit's own transform is a vector sitting within
+    * float-rounding distance of two centroids (AnnSpec pins equality on
+    * the fit corpus). */
   def assignToIvf(index: IvfIndex, newVectors: DataFrame): DataFrame = {
     val cents = index.centroids
     val assignUdf = udf { (v: Seq[Float]) =>
-      var best = 0; var bestD = Float.MaxValue; var c = 0
+      require(v != null, "assignToIvf: null embedding")
+      require(v.length == cents(0).length,
+        s"assignToIvf: vector dim ${v.length} != centroid dim ${cents(0).length}")
+      var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < cents.length) {
         val cent = cents(c)
-        require(cent.length == v.length,
-          s"assignToIvf: vector dim ${v.length} != centroid dim ${cent.length}")
-        var acc = 0.0f; var d = 0
-        while (d < cent.length) { val x = v(d) - cent(d); acc += x * x; d += 1 }
+        var acc = 0.0; var d = 0
+        while (d < cent.length) {
+          val x = v(d).toDouble - cent(d); acc += x * x; d += 1
+        }
         if (acc < bestD) { bestD = acc; best = c }
         c += 1
       }
@@ -212,17 +218,18 @@ object Ann {
     * after appends — when a cluster's mean distance grows well past its
     * fit-time value (or counts skew hard), the centroids no longer
     * describe the data and it is time to REFIT, not to keep appending.
-    * One map-side-combined aggregation; no shuffle of vectors. */
+    * One broadcast join against the k-row centroid table + one
+    * map-side-combined aggregation; the distance runs in the codegen'd
+    * [[graft.functions.VectorFunctions.l2SqF32]] kernel (the same
+    * expression Clustering's census uses), not an opaque UDF. */
   def ivfDriftReport(index: IvfIndex): DataFrame = {
-    val cents = index.centroids
-    val distUdf = udf { (v: Seq[Float], c: Int) =>
-      val cent = cents(c)
-      var acc = 0.0f; var d = 0
-      while (d < cent.length) { val x = v(d) - cent(d); acc += x * x; d += 1 }
-      acc.toDouble
-    }
+    val spark = index.assigned.sparkSession
+    val cents = broadcast(centroidsDf(spark, index.centroids, "ivf_cluster"))
     index.assigned
-      .withColumn("__d2", distUdf(col(index.embCol), col("ivf_cluster")))
+      .join(cents, Seq("ivf_cluster"))
+      .withColumn("__d2",
+        graft.functions.VectorFunctions.l2SqF32(col(index.embCol),
+          col("centroid")).cast("double"))
       .groupBy(col("ivf_cluster"))
       .agg(count(lit(1)).as("n_vectors"), avg(col("__d2")).as("mean_sq_dist"))
   }

@@ -77,21 +77,29 @@ object Sharding {
     * only overlapping ranges — the same skip-index idea the zone-map /
     * min-max-pruning literature describes, expressed as plain Spark.
     *
-    * One range-exchange + in-partition sort; the manifest aggregation
-    * rides the SAME sorted partitions (no extra shuffle). Range
+    * One range-exchange + in-partition sort for the write; the manifest
+    * is then computed from the WRITTEN files — a second, column-pruned
+    * scan of (range_id, sortCol) only, cheap relative to the write and
+    * guaranteed to describe exactly what landed on disk. Range
     * boundaries come from Spark's sampling range partitioner — the
     * LAYOUT may vary run to run, but the manifest invariants
     * (disjoint, covering, sorted) always hold and are spec-gated. */
   def exportSorted(docs: DataFrame, sortCol: String, nRanges: Int,
                    path: String): DataFrame = {
     val spark = docs.sparkSession
-    docs.repartitionByRange(nRanges, col(sortCol))
-      .sortWithinPartitions(col(sortCol))
+    val ranged = docs.repartitionByRange(nRanges, col(sortCol))
       .withColumn("range_id", spark_partition_id())
-      .write.mode("overwrite").partitionBy("range_id").parquet(path)
-    // manifest from the WRITTEN layout (not a second execution of the
-    // range exchange): the scan is pruned to (range_id, sortCol) only
-    spark.read.parquet(path)
+      // sort key includes range_id (constant per partition, so the row
+      // order is the same) — the dynamic-partition writer requires an
+      // ordering on the partition column and would otherwise insert its
+      // OWN sort on range_id alone, whose spill-merge may reorder the
+      // sortCol-sorted rows
+      .sortWithinPartitions(col("range_id"), col(sortCol))
+    ranged.write.mode("overwrite").partitionBy("range_id").parquet(path)
+    // read back with the explicit schema: empty input writes no parquet
+    // files and schema inference would throw instead of returning the
+    // correct empty manifest
+    spark.read.schema(ranged.schema).parquet(path)
       .groupBy(col("range_id"))
       .agg(min(col(sortCol)).as("min_key"), max(col(sortCol)).as("max_key"),
         count(lit(1)).as("n_rows"))

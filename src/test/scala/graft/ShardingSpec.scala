@@ -52,8 +52,10 @@ class ShardingSpec extends SparkSpec {
       val manifest = Sharding.exportSorted(rows, "ts", nRanges = 4, dir.getAbsolutePath)
         .as[(Int, Long, Long, Long)].collect().sortBy(_._2)
       assert(manifest.map(_._4).sum === 2000L, "manifest covers every row")
+      // STRICT: equal boundary keys across two ranges would break
+      // manifest-driven point lookups (same key, two dirs)
       manifest.sliding(2).foreach {
-        case Array(a, b) => assert(a._3 <= b._2, s"ranges overlap: $a vs $b")
+        case Array(a, b) => assert(a._3 < b._2, s"ranges overlap: $a vs $b")
         case _ =>
       }
       // within-range files are sorted on the key
@@ -69,6 +71,14 @@ class ShardingSpec extends SparkSpec {
         .parquet(s"${dir.getAbsolutePath}/range_id=${hit.head._1}")
         .filter($"ts" === probe).count()
       assert(found >= 1)
+    }
+  }
+
+  test("exportSorted: empty input yields an empty manifest, not a crash") {
+    withTempDir("sorted-empty") { dir =>
+      val empty = Seq.empty[(Long, Long)].toDF("doc_id", "ts")
+      val manifest = Sharding.exportSorted(empty, "ts", nRanges = 4, dir.getAbsolutePath)
+      assert(manifest.count() === 0)
     }
   }
 
