@@ -234,6 +234,43 @@ object Ann {
       .agg(count(lit(1)).as("n_vectors"), avg(col("__d2")).as("mean_sq_dist"))
   }
 
+  /** The append-vs-refit POLICY as code (not a runbook comment): given
+    * the drift report captured AT FIT TIME (`fitReport` — run
+    * [[ivfDriftReport]] right after [[buildIvf]] and persist it next to
+    * the index), decide whether the standing index still describes the
+    * corpus. Refit triggers when any cluster's mean squared distance
+    * grew past `ratioThreshold` × its fit-time value (routing quality
+    * decayed — appended vectors no longer sit near the centroids that
+    * route them) or when a cluster's row count grew past the same
+    * ratio (occupancy skew: probes of that cluster degrade toward full
+    * scans). Clusters absent from the fit report (impossible for a real
+    * fit, which assigns every cluster id) are treated as drifted.
+    *
+    * Cost: the decision is ONE broadcast join + aggregation over the
+    * k-row reports; the refit itself (only when triggered) is a fresh
+    * [[buildIvf]] over the index's corpus. Returns the (possibly new)
+    * index and whether a refit happened — on `false` the input index is
+    * returned as-is, so assignment parity is trivially preserved. */
+  def refitIfDrifted(index: IvfIndex, fitReport: DataFrame,
+                     ratioThreshold: Double = 2.0,
+                     seed: Long = 42L): (IvfIndex, Boolean) = {
+    require(ratioThreshold > 1.0,
+      s"ratioThreshold must be > 1 (got $ratioThreshold): <= 1 would refit on no drift")
+    val now = ivfDriftReport(index)
+    val base = broadcast(fitReport.select(col("ivf_cluster"),
+      col("n_vectors").as("fit_n"), col("mean_sq_dist").as("fit_d2")))
+    val drifted = now.join(base, Seq("ivf_cluster"), "left_outer")
+      .filter(col("fit_n").isNull ||
+        col("mean_sq_dist") > col("fit_d2") * ratioThreshold ||
+        col("n_vectors").cast("double") > col("fit_n").cast("double") * ratioThreshold)
+      .limit(1).count() > 0
+    if (!drifted) (index, false)
+    else {
+      val corpus = index.assigned.drop("ivf_cluster", "__features")
+      (buildIvf(corpus, index.centroids.length, index.embCol, index.idCol, seed), true)
+    }
+  }
+
   /** Search: rank centroids driver-side (tiny), probe the nprobe nearest
     * clusters, exact top-k within them. */
   def searchIvf(index: IvfIndex, queryVec: Seq[Float], k: Int, nprobe: Int,

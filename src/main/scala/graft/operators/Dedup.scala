@@ -418,13 +418,15 @@ object Dedup {
     * itself is below threshold.
     *
     * Why this algorithm at 100 TB: each round is a fixed set of slim
-    * 2-column shuffles (window-min per endpoint + a distinct), rows stay
-    * O(|edges|), and convergence is O(log n) rounds REGARDLESS of
+    * 2-column shuffles (two-phase min per endpoint + a distinct), rows
+    * stay O(|edges|), and convergence is O(log n) rounds REGARDLESS of
     * component diameter — a chain of n near-identical docs converges in
     * ~2·log₂(n) rounds where naive min-label propagation needs n. No
-    * neighbor lists are ever collected: the per-node minimum comes from
-    * a window aggregate, so a celebrity node with 10⁸ neighbors is a
-    * shuffle skew, not an OOM.
+    * neighbor lists are ever collected, and the per-endpoint minimum is
+    * a map-side-combinable `groupBy.agg(min)` (+ re-join on the same
+    * key), so a celebrity node with 10⁸ neighbors contributes one
+    * partial min per upstream task — neither an OOM nor a one-task
+    * window straggler.
     *
     *  - large-star(u): every neighbor v > u re-links to
     *    m = min(Γ(u) ∪ {u});
@@ -433,9 +435,13 @@ object Dedup {
     *
     * Each round ends in `localCheckpoint` (plan truncation — iterative
     * lineage otherwise grows without bound; swap for `checkpoint` with a
-    * reliable dir on a real cluster) and convergence is detected by an
-    * order-independent edge-set signature. Raises after `maxIter` rounds
-    * instead of returning a possibly-wrong labeling.
+    * reliable dir on a real cluster). Convergence is screened by an
+    * order-independent edge-set signature and then CONFIRMED by an
+    * exact set compare (runs once, at the signature match): downstream
+    * `keepCanonical` deletes documents off this labeling, so a
+    * signature hash collision must not be able to end the loop early.
+    * Raises after `maxIter` rounds instead of returning a possibly-
+    * wrong labeling.
     *
     * Input: one row per undirected edge (self-loops and null endpoints
     * are dropped; ids must be mutually comparable). Output: one row per
@@ -457,48 +463,21 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    // large-star: group the SYMMETRIC neighborhood by u; every neighbor
-    // v > u re-links to m = min(N(u) ∪ {u}). The emitted (m, v) edge is
-    // already min-first, so (least, greatest) re-canonicalization is
-    // implicit in how we emit.
-    def largeStar(edges: DataFrame): DataFrame = {
-      val sym = edges.select(col("u"), col("v"))
-        .union(edges.select(col("v").as("u"), col("u").as("v")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
-      // no distinct here: small-star's end-of-round distinct restores
-      // set semantics and the window min is duplicate-insensitive.
-      // Duplicate (m, v) emissions are bounded by deg(v) within a
-      // round (a near-clique of k dups can feed small-star O(k²) rows
-      // where a distinct'd form feeds O(k)) — but the distinct costs a
-      // full extra shuffle EVERY round, and the k-clique case already
-      // pays O(k²) in the pair set itself. Reinstate the distinct if a
-      // corpus with huge duplicate cliques makes round cost dominate.
-      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
-        .filter(col("v") > col("u"))
-        .select(col("m").as("u"), col("v"))
-    }
-
-    // small-star: orient edges max→min (input is min-first, so flip);
-    // u's smaller neighbors AND u itself all link to the minimum m.
-    // Emits (m, v) for v ∈ N⁻(u) ∪ {u}, v ≠ m.
-    def smallStar(edges: DataFrame): DataFrame = {
-      val oriented = edges.select(col("v").as("u"), col("u").as("v")) // u > v
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
-      val withMin = oriented.withColumn("m", min(col("v")).over(w))
-      withMin.select(col("m").as("u"), col("v"))
-        .union(withMin.select(col("m").as("u"), col("u").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-    }
-
     var edges = init.localCheckpoint(true)
     var sig = signature(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = ccRound(edges).localCheckpoint(true)
       val nextSig = signature(next)
-      converged = nextSig == sig
+      // signature equality is the cheap per-round screen; before USING
+      // a fixpoint (keepCanonical deletes docs off this labeling) make
+      // it EXACT — a (count, xor) collision across different edge sets
+      // would otherwise declare convergence early and silently mislabel.
+      // The exact set compare runs at most once per call in the common
+      // case: only when the signatures already match.
+      converged = nextSig == sig &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges = next
       sig = nextSig
       it += 1
@@ -510,6 +489,57 @@ object Dedup {
     // converged state is a star forest: every edge is (root, member).
     edges.select(col("v").as("node_id"), col("u").as("component"))
       .union(edges.select(col("u").as("node_id"), col("u").as("component")))
+      .distinct()
+  }
+
+  /** One large-star + small-star round over a canonical (u < v) edge
+    * set — package-visible so the plan-shape spec can assert the
+    * two-phase min actually partial-aggregates. */
+  private[graft] def ccRound(edges: DataFrame): DataFrame =
+    ccSmallStar(ccLargeStar(edges))
+
+  // Per-endpoint minimum is TWO-PHASE (groupBy.agg(min) + re-join on
+  // the same key), not a window: HashAggregate partial-aggregates
+  // map-side, so a celebrity endpoint of degree 10⁸ contributes one
+  // partial min per upstream task instead of funneling every edge
+  // through ONE window task (window min computes the same value but
+  // cannot partial-aggregate — each partitionBy group is a single
+  // sorted run). The join adds no extra exchange: both sides are
+  // hash-partitioned on u by the agg/shuffle that precedes them.
+  private def ccMinPerEndpoint(df: DataFrame): DataFrame =
+    df.groupBy(col("u")).agg(min(col("v")).as("mv"))
+
+  // large-star: group the SYMMETRIC neighborhood by u; every neighbor
+  // v > u re-links to m = min(N(u) ∪ {u}). The emitted (m, v) edge is
+  // already min-first, so (least, greatest) re-canonicalization is
+  // implicit in how we emit.
+  private def ccLargeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    // no distinct here: small-star's end-of-round distinct restores
+    // set semantics and min is duplicate-insensitive. Duplicate
+    // (m, v) emissions are bounded by deg(v) within a round (a
+    // near-clique of k dups can feed small-star O(k²) rows where a
+    // distinct'd form feeds O(k)) — but the distinct costs a full
+    // extra shuffle EVERY round, and the k-clique case already pays
+    // O(k²) in the pair set itself. Reinstate the distinct if a
+    // corpus with huge duplicate cliques makes round cost dominate.
+    sym.join(ccMinPerEndpoint(sym), Seq("u"))
+      .withColumn("m", least(col("mv"), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("m").as("u"), col("v"))
+  }
+
+  // small-star: orient edges max→min (input is min-first, so flip);
+  // u's smaller neighbors AND u itself all link to the minimum m.
+  // Emits (m, v) for v ∈ N⁻(u) ∪ {u}, v ≠ m.
+  private def ccSmallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(col("v").as("u"), col("u").as("v")) // u > v
+    val withMin = oriented.join(
+      ccMinPerEndpoint(oriented).withColumnRenamed("mv", "m"), Seq("u"))
+    withMin.select(col("m").as("u"), col("v"))
+      .union(withMin.select(col("m").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
       .distinct()
   }
 
@@ -604,27 +634,36 @@ object Dedup {
     * thousands of identical embeddings) the same way [[nearDupMinHash]]
     * does. The corpus projection is persisted for its four consumers
     * (sizing count, bucketing, both verify joins) and self-releases
-    * after the result materializes. NOTE: the default `nBits` auto-
-    * sizing runs ONE eager count of `emb` at call time — pass `nBits`
-    * explicitly when the upstream plan is expensive to execute. */
+    * after the result materializes.
+    *
+    * Sizing without executing the upstream: `nBits` only gates bucket
+    * OCCUPANCY, so any count within ~2× is fine — pass `corpusCount`
+    * (a catalog row count, a manifest total, a stale count from the
+    * previous run) and NOTHING executes at call time; the plan stays
+    * fully lazy until the caller materializes the result. Passing
+    * `nBits` explicitly also skips the count. Only when neither is
+    * supplied does the auto-sizing fall back to ONE eager count of
+    * `emb` at call time (it doubles as a cache warm). */
   def cosineNearDupLsh(emb: DataFrame, idCol: String, embCol: String,
                        threshold: Double, nBits: Int = 0, bands: Int = 0,
                        targetRecall: Double = 0.9,
-                       maxBucket: Int = 1000): DataFrame = {
+                       maxBucket: Int = 1000,
+                       corpusCount: Long = -1L): DataFrame = {
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
     val e = emb.select(col(idCol), col(embCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sizing count FIRST (it also warms the cache), listener AFTER — a
-    // listener registered before the count would see the count itself as
-    // the first cache-referencing query and evict the cache before the
-    // LSH job ever reads it
+    // bits from a row count: ~64 expected rows per bucket, clamped
+    def bitsFor(n: Long): Int =
+      math.ceil(math.log((n.toDouble / 64.0).max(1.0)) / math.log(2.0)).toInt
+        .max(8).min(20)
+    // fallback sizing count FIRST (it also warms the cache), listener
+    // AFTER — a listener registered before the count would see the
+    // count itself as the first cache-referencing query and evict the
+    // cache before the LSH job ever reads it
     val bits =
       if (nBits > 0) nBits
-      else {
-        val n = e.count()
-        math.ceil(math.log((n.toDouble / 64.0).max(1.0)) / math.log(2.0)).toInt
-          .max(8).min(20)
-      }
+      else if (corpusCount > 0) bitsFor(corpusCount)
+      else bitsFor(e.count())
     releaseAfterUse(e)
     require(bits <= 24, s"nBits must be <= 24 (got $bits): the bucket key " +
       "would overflow the Int signature")

@@ -35,7 +35,10 @@ object Maintenance {
     * Concurrency contract: SINGLE WRITER, and no concurrent readers
     * during the swap — between the two renames the table path briefly
     * does not exist. Readers holding an already-planned DataFrame are
-    * unaffected only until their next file listing. */
+    * unaffected only until their next file listing. This flat variant
+    * exists for tables whose path other systems hard-code; when readers
+    * can resolve through a pointer, [[compactParquetVersioned]] removes
+    * the window entirely and is the 100 TB answer. */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024): Long = {
     restoreIfInterrupted(spark, path)
@@ -71,6 +74,92 @@ object Maintenance {
         s"compaction: swap failed for $path; original restored, rewrite left at $tmp")
     }
     fs.delete(oldPath, true)
+    expected
+  }
+
+  /** Resolve the live data directory of a pointer-managed table: when
+    * `<path>/_current` exists its contents name the live version subdir
+    * (`<path>/v<N>`); otherwise the table is a legacy flat layout and
+    * `path` itself is the data dir. ALL readers of a
+    * [[compactParquetVersioned]]-managed table go through this — the
+    * pointer indirection is what makes the swap atomic. */
+  def resolveCurrent(spark: SparkSession, path: String): String = {
+    val base = path.stripSuffix("/")
+    val ptr = new org.apache.hadoop.fs.Path(s"$base/_current")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) base
+    else {
+      val in = fs.open(ptr)
+      val ver = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(ver.matches("v[0-9]+"), s"corrupt _current pointer at $ptr: '$ver'")
+      s"$base/$ver"
+    }
+  }
+
+  /** Atomic-swap compaction: versioned data subdirs + a pointer file,
+    * the manifest-pointer design that removes [[compactParquet]]'s
+    * reader-visible non-existence window. The rewrite lands in a NEW
+    * `v<N+1>` subdir (count-checked, like the flat variant), then the
+    * swap is a single atomic rename of the pointer file — a reader that
+    * resolves the pointer one instant before the flip reads `v<N>`,
+    * one instant after reads `v<N+1>`, and NEVER sees a missing table.
+    * The previous version is retained for in-flight readers (one
+    * compaction cycle of grace); versions older than that are deleted.
+    *
+    * First call on a legacy flat layout migrates it (flat files →
+    * `v1` + pointer) and deletes the flat files — that one migration
+    * needs the single-writer-no-reader window the flat swap always
+    * needed; every SUBSEQUENT compaction is fully online. Readers must
+    * resolve through [[resolveCurrent]]. Returns the row count. */
+  def compactParquetVersioned(spark: SparkSession, path: String,
+                              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val base = path.stripSuffix("/")
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = resolveCurrent(spark, path)
+    val curVer = if (cur == base) 0 else cur.substring(cur.lastIndexOf("/v") + 2).toInt
+    val nextVer = curVer + 1
+    val curPath = new org.apache.hadoop.fs.Path(cur)
+
+    val totalBytes = fs.getContentSummary(curPath).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val partitionCols = fs.listStatus(curPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.contains("=")).map(_.split("=", 2)(0)).distinct
+
+    val df = spark.read.parquet(cur)
+    val expected = df.count()
+    val next = s"$base/v$nextVer"
+    val writer = df.repartition(nFiles).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(next)
+    val actual = spark.read.parquet(next).count()
+    require(actual == expected,
+      s"compaction row mismatch: $expected before, $actual after — pointer not flipped")
+
+    // atomic flip: write the new pointer aside, rename OVER _current.
+    // FileContext.rename(OVERWRITE) is atomic on HDFS and posix — the
+    // pointer file always exists with either the old or the new value.
+    val tmpPtr = new org.apache.hadoop.fs.Path(s"$base/_current.tmp")
+    val out = fs.create(tmpPtr, true)
+    try out.write(s"v$nextVer".getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      basePath.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmpPtr, new org.apache.hadoop.fs.Path(s"$base/_current"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+
+    // retain v<curVer> for in-flight readers; delete anything older.
+    // Legacy flat files (curVer == 0) cannot be retained alongside the
+    // version dirs — migration is the one offline step, so delete them.
+    fs.listStatus(basePath).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && nm.matches("v[0-9]+") &&
+          nm.substring(1).toInt < curVer)
+        fs.delete(st.getPath, true)
+      else if (!st.isDirectory && curVer == 0 && nm.endsWith(".parquet"))
+        fs.delete(st.getPath, false)
+    }
     expected
   }
 

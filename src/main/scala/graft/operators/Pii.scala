@@ -49,10 +49,15 @@ object Pii {
     size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long")
 
   /** Replace every PII span with its type token. Order matters: emails
-    * first (an email's domain may embed a dotted quad — `user@1.2.3.4`
-    * must become `<EMAIL>`, not `user@<IP>`), then phones, then bare
-    * IPs. Spark `regexp_replace` is replace-all by default; the DuckDB
-    * oracle must pass the 'g' flag for parity. */
+    * first, so a phone- or IP-shaped substring inside an email's local
+    * part (the local charset admits `+`, `-`, `.` and digits —
+    * `+82-2-555-1234@example.com`, `a.1.2.3.4b@example.com`) is
+    * consumed whole as `<EMAIL>` rather than partially rewritten as
+    * `<PHONE>@example.com` / `a.<IP>b@example.com`; then phones, then
+    * bare IPs. Note numeric-HOST addresses (`user@1.2.3.4`) never match
+    * EmailPattern (the TLD must be alphabetic) and intentionally fall
+    * through to `user@<IP>`. Spark `regexp_replace` is replace-all by
+    * default; the DuckDB oracle must pass the 'g' flag for parity. */
   def redact(text: Column): Column = {
     val noEmail = regexp_replace(text, EmailPattern, EmailToken)
     val noPhone = regexp_replace(noEmail, PhonePattern, PhoneToken)

@@ -78,17 +78,23 @@ object Pq {
   /** Plain Lloyd's iterations. Init draws k DISTINCT points (seeded
     * shuffle over the distinct point set — duplicate initial centroids
     * would tie every assignment to the lowest index and never
-    * differentiate); empty clusters re-seed to the farthest points in
-    * descending order, each to a different point for the same reason. */
+    * differentiate), and FAILS LOUDLY when the sample has fewer than k
+    * distinct vectors (silently wrapping would seed duplicate centroids
+    * and degrade the codebook without any signal); empty clusters
+    * re-seed to the farthest DISTINCT points in descending order, one
+    * per empty cluster, for the same reason. */
   private def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
                     rnd: scala.util.Random): Array[Array[Float]] = {
     val n = points.length
     val dim = points.head.length
     val distinctIdx = points.indices
       .groupBy(i => points(i).toSeq).map(_._2.head).toArray.sorted
+    require(distinctIdx.length >= k,
+      s"PQ subspace sample has only ${distinctIdx.length} distinct vectors " +
+        s"but k=$k codes were requested — lower k or enlarge the sample " +
+        "(duplicate initial centroids would silently degrade the codebook)")
     val shuffled = rnd.shuffle(distinctIdx.toVector)
-    var cents = Array.tabulate(k)(i =>
-      points(shuffled(i % shuffled.length)).clone())
+    var cents = Array.tabulate(k)(i => points(shuffled(i)).clone())
     val assign = new Array[Int](n)
     var it = 0
     while (it < iters) {
@@ -104,15 +110,26 @@ object Pq {
         p += 1
       }
       val empties = (0 until k).filter(counts(_) == 0)
-      // farthest points, one per empty cluster, deterministic order
+      // farthest DISTINCT points, one per empty cluster, deterministic
+      // order — distinctness is guaranteed reachable because init
+      // required >= k distinct vectors and at most k-1 clusters can be
+      // empty, so the distinct pool always covers the empties
       val reseed: Array[Int] =
         if (empties.isEmpty) Array.empty
-        else points.indices.toArray
-          .sortBy(p => (-l2(points(p), cents(assign(p))), p))
-          .take(empties.length)
+        else {
+          val seen = scala.collection.mutable.HashSet.empty[Seq[Float]]
+          val picked = points.indices.toArray
+            .sortBy(p => (-l2(points(p), cents(assign(p))), p))
+            .iterator.filter(p => seen.add(points(p).toSeq))
+            .take(empties.length).toArray
+          require(picked.length == empties.length,
+            s"PQ reseed: only ${picked.length} distinct points for " +
+              s"${empties.length} empty clusters — sample degenerated")
+          picked
+        }
       cents = Array.tabulate(k) { c =>
         if (counts(c) > 0) Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
-        else points(reseed(empties.indexOf(c) min (reseed.length - 1))).clone()
+        else points(reseed(empties.indexOf(c))).clone()
       }
       it += 1
     }

@@ -104,4 +104,31 @@ object Sharding {
       .agg(min(col(sortCol)).as("min_key"), max(col(sortCol)).as("max_key"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Manifest-driven range read over an [[exportSorted]] layout: prune
+    * to the `range_id` directories whose [min_key, max_key] overlaps
+    * [lo, hi], then filter rows. Pruning happens at PATH construction —
+    * only the overlapping `range_id=<id>` directories are ever listed,
+    * so at 100 TB a point/range lookup touches a handful of files no
+    * matter how many ranges the export produced (`df.inputFiles` proves
+    * it, spec-gated). The manifest is nRanges rows — collecting it
+    * driver-side is the zone-map read, not a data scan.
+    *
+    * An empty overlap returns an empty DataFrame with the manifest-free
+    * schema read from the full layout (schema-only, no row scan). */
+  def readRange(manifest: DataFrame, path: String, sortCol: String,
+                lo: Any, hi: Any): DataFrame = {
+    val spark = manifest.sparkSession
+    val overlapping = manifest
+      .filter(col("max_key") >= lit(lo) && col("min_key") <= lit(hi))
+      .select(col("range_id").cast("long")).collect().map(_.getLong(0)).sorted
+    val base = path.stripSuffix("/")
+    if (overlapping.isEmpty)
+      spark.read.schema(spark.read.parquet(path).schema).parquet(path)
+        .filter(lit(false))
+    else
+      spark.read.option("basePath", path)
+        .parquet(overlapping.map(id => s"$base/range_id=$id"): _*)
+        .filter(col(sortCol) >= lit(lo) && col(sortCol) <= lit(hi))
+  }
 }

@@ -185,7 +185,13 @@ object CurationQueries {
           min(col("min_key")).as("min_key"), max(col("max_key")).as("max_key"))
           .head()
         import s.implicits._
-        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+        // empty-corpus: sum/min/max aggregate to null — emit (0, null,
+        // null) instead of NPE so the query matches exportSorted's own
+        // explicit empty-input handling
+        val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+        def optLong(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        Seq((total, optLong(1), optLong(2)))
           .toDF("total_rows", "min_key", "max_key")
       } finally {
         def rm(f: java.io.File): Unit = {

@@ -189,6 +189,67 @@ class AnnSpec extends SparkSpec {
     assert(auto.contains((1000L, 1001L)))
   }
 
+  test("refitIfDrifted: stable corpus keeps the index as-is; planted drift refits") {
+    val rnd = new scala.util.Random(31)
+    def cluster(center: Double, n: Int, from: Long) = (0 until n).map { i =>
+      (from + i, Seq.fill(16)((center + 0.05 * rnd.nextGaussian()).toFloat))
+    }
+    val df = (cluster(0.0, 50, 0) ++ cluster(4.0, 50, 100)).toDF("vec_id", "embedding")
+    val idx = Ann.buildIvf(df, 2, "embedding", "vec_id")
+    val fitReport = Ann.ivfDriftReport(idx)
+    // no drift: the SAME index object comes back, no refit
+    val (same, refit0) = Ann.refitIfDrifted(idx, fitReport)
+    assert(!refit0 && (same eq idx))
+    // planted drift: a mass of vectors FAR from both centroids appended
+    // through the normal append path (assignToIvf)
+    val far = cluster(20.0, 200, 1000).toDF("vec_id", "embedding")
+    val appended = idx.assigned.unionByName(Ann.assignToIvf(idx, far))
+    val drifted = idx.copy(assigned = appended)
+    val (fresh, refit1) = Ann.refitIfDrifted(drifted, fitReport)
+    assert(refit1, "appending a far-away mass must trigger a refit")
+    assert(fresh.centroids.length === 2)
+    assert(fresh.assigned.count() === 300)
+    // the refit re-describes the data: its own drift report is stable
+    // against a no-op re-check
+    val (again, refit2) = Ann.refitIfDrifted(fresh, Ann.ivfDriftReport(fresh))
+    assert(!refit2 && (again eq fresh))
+  }
+
+  test("cosineNearDupLsh: supplied corpusCount keeps the call fully lazy") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, udf}
+    val rnd = new scala.util.Random(23)
+    def normed(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = normed(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 50).map { i =>
+      (i.toLong, normed(base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)).toSeq)
+    }
+    // accumulator-bumping UDF marks every upstream execution. The
+    // repartition below keeps the source out of LocalRelation form —
+    // otherwise Catalyst's ConvertToLocalRelation rule folds the
+    // (deterministic) UDF driver-side during plan OPTIMIZATION, which
+    // persist() triggers, and the instrument fires without any
+    // distributed execution having happened.
+    val acc = spark.sparkContext.longAccumulator("upstream-execs")
+    val bump = udf { (v: Seq[Float]) => acc.add(1); v }
+    val df = rows.toDF("vec_id", "embedding").repartition(4)
+      .withColumn("embedding", bump(col("embedding")))
+    val result = Dedup.cosineNearDupLsh(df, "vec_id", "embedding",
+      threshold = 0.9, corpusCount = rows.size.toLong)
+    assert(acc.value === 0L,
+      "cosineNearDupLsh with corpusCount must not execute the upstream at call time")
+    val pairs = result.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(acc.value > 0L) // the materialization, not the call, ran the upstream
+    // sizing from the supplied count matches the eager-count sizing
+    val eager = Dedup.cosineNearDupLsh(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === eager)
+  }
+
   test("MLlib BRP-LSH: deterministic, recall@10 measured vs exact") {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Ann.buildBrpLsh(emb, bucketLength = 2.0, numHashTables = 4)

@@ -80,13 +80,27 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("celebrity node: 20k-leaf star completes without collecting neighbors") {
-    // the window-min construction must handle one node with huge degree
-    // as shuffle volume, not driver/executor memory — this would OOM a
-    // collect_list formulation long before 20k
+    // the two-phase-min construction must handle one node with huge
+    // degree as shuffle volume, not driver/executor memory — this would
+    // OOM a collect_list formulation long before 20k
     val star = (1L to 20000L).map(i => (0L, i))
     val labels = Dedup.connectedComponents(star.toDF("id_a", "id_b"))
     assert(labels.count() === 20001)
     assert(labels.select("component").distinct().as[Long].collect().toSeq === Seq(0L))
+  }
+
+  test("per-endpoint min PARTIAL-aggregates (celebrity endpoint is no straggler)") {
+    // the round's min-per-endpoint must be a two-phase HashAggregate
+    // (partial_min before the exchange, min after) — a window-min
+    // formulation computes the same value but funnels a celebrity
+    // node's entire neighborhood through ONE task. Assert the physical
+    // plan, not just the answer.
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("u", "v")
+    val plan = Dedup.ccRound(edges).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"expected partial_min HashAggregate in round plan, got:\n$plan")
+    assert(!plan.contains("Window"),
+      s"round plan must not contain a Window operator:\n$plan")
   }
 
   test("empty pair set: components are empty, keepCanonical is identity") {

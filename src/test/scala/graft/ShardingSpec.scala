@@ -74,6 +74,35 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("readRange: prunes to overlapping range dirs only (inputFiles-proven)") {
+    withTempDir("readrange") { dir =>
+      val rows = (1L to 2000L).map(i => (i, i * 50L)).toDF("doc_id", "ts")
+      val manifest = Sharding.exportSorted(rows, "ts", nRanges = 4, dir.getAbsolutePath)
+      val bounds = manifest.as[(Int, Long, Long, Long)].collect().sortBy(_._2)
+      // probe a window entirely inside the FIRST range
+      val (lo, hi) = (bounds.head._2, (bounds.head._2 + bounds.head._3) / 2)
+      val pruned = Sharding.readRange(manifest, dir.getAbsolutePath, "ts", lo, hi)
+      val touchedDirs = pruned.inputFiles
+        .map(f => f.replaceAll("/[^/]*$", "").replaceAll(".*/", "")).distinct.sorted
+      assert(touchedDirs === Array(s"range_id=${bounds.head._1}"),
+        s"expected only the first range dir, touched: ${touchedDirs.mkString(",")}")
+      // values are exactly the full-scan filter's
+      val expect = rows.filter($"ts" >= lo && $"ts" <= hi)
+        .select("doc_id").as[Long].collect().sorted
+      assert(pruned.select("doc_id").as[Long].collect().sorted === expect)
+      // a window spanning two ranges touches exactly those two dirs
+      val (lo2, hi2) = (bounds(1)._3, bounds(2)._2)
+      val two = Sharding.readRange(manifest, dir.getAbsolutePath, "ts", lo2, hi2)
+      val twoDirs = two.inputFiles
+        .map(f => f.replaceAll("/[^/]*$", "").replaceAll(".*/", "")).distinct.sorted
+      assert(twoDirs === Array(s"range_id=${bounds(1)._1}", s"range_id=${bounds(2)._1}").sorted)
+      // an empty overlap returns empty without touching data
+      val none = Sharding.readRange(manifest, dir.getAbsolutePath, "ts",
+        Long.MaxValue - 10, Long.MaxValue)
+      assert(none.count() === 0)
+    }
+  }
+
   test("exportSorted: empty input yields an empty manifest, not a crash") {
     withTempDir("sorted-empty") { dir =>
       val empty = Seq.empty[(Long, Long)].toDF("doc_id", "ts")

@@ -146,6 +146,33 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 50)
   }
 
+  test("compactParquetVersioned: atomic pointer swap — mid-swap reader still succeeds") {
+    import graft.operators.Maintenance
+    val dir = tmpDir("versioned") + "/table"
+    Tables.documents(spark, sfDir).limit(50).repartition(20).write.parquet(dir)
+    // first call migrates flat -> v1 + pointer (the one offline step)
+    assert(Maintenance.compactParquetVersioned(spark, dir) === 50)
+    assert(Maintenance.resolveCurrent(spark, dir).endsWith("/v1"))
+    assert(spark.read.parquet(Maintenance.resolveCurrent(spark, dir)).count() === 50)
+    // a reader PLANNED against the pre-swap resolution (simulates one
+    // in flight while the next compaction swaps underneath it)
+    val inFlight = spark.read.parquet(Maintenance.resolveCurrent(spark, dir))
+    assert(Maintenance.compactParquetVersioned(spark, dir) === 50)
+    assert(Maintenance.resolveCurrent(spark, dir).endsWith("/v2"))
+    // v1 is retained one cycle, so the in-flight reader still succeeds
+    assert(inFlight.count() === 50)
+    // the pointer file always exists — there is no non-existence window
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_current")))
+    // third cycle retires v1 (older than previous) but keeps v2
+    assert(Maintenance.compactParquetVersioned(spark, dir) === 50)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(dirs === Array("v2", "v3"), s"got ${dirs.mkString(",")}")
+    assert(spark.read.parquet(Maintenance.resolveCurrent(spark, dir)).count() === 50)
+  }
+
   test("upsertByKey replaces matched keys, keeps the rest") {
     import graft.operators.Refresh
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
