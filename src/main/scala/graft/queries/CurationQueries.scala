@@ -229,6 +229,29 @@ object CurationQueries {
       Packing.packDocs(gated, "doc_id", "n_tok", nShards = 8, budget = 512)
         .orderBy(col("doc_id"))
     },
+    // BPE-budgeted sequence packing — the tokenizer-induction and
+    // export halves of the training-data story COMPOSED: the pack
+    // budget counts LEARNED-merge BPE units (what a trainer's context
+    // window actually holds), not whitespace tokens. Learned-BPE
+    // encoding is not SQL-expressible, so the Spark side publishes its
+    // per-doc unit counts as a parquet handoff that the oracle's
+    // recursive-CTE replay reads back (read_parquet) and verifies
+    // THROUGH — any wrong count desynchronizes the replayed state
+    // machine downstream of that doc. The counts themselves are
+    // BpeSpec-gated (merge parity vs a naive reference). Packing runs
+    // off the same re-read file, so oracle and operator consume
+    // byte-identical inputs.
+    "pack_bpe" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Bpe.train(docs, "text", nMerges = 64)
+      docs.select(col("doc_id"),
+          size(graft.operators.Bpe.encodeColumn(col("text"), merges))
+            .cast("long").as("n_bpe"))
+        .write.mode("overwrite").parquet(PackBpeHandoff)
+      graft.operators.Packing.packDocs(s.read.parquet(PackBpeHandoff),
+          "doc_id", "n_bpe", nShards = 8, budget = 1024)
+        .orderBy(col("doc_id"))
+    },
     // pack-level fill report (docs/pack, token fill vs budget)
     "pack_stats" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).withColumn("n_tok",
@@ -245,6 +268,11 @@ object CurationQueries {
   private val urlSql   = sqlQuote(Urls.UrlPattern)
   private val hostSql  = sqlQuote(Urls.HostPattern)
 
+  /** The pack_bpe Spark↔oracle handoff file: learned-BPE unit counts
+    * per doc, written by the Spark query, read by the DuckDB oracle's
+    * recursive-CTE replay (same absolute path in both engines). */
+  private val PackBpeHandoff = "/tmp/graft_pack_bpe_handoff.parquet"
+
   /** DuckDB twin of [[graft.operators.Sharding.shardId]] on doc_id. */
   private def shardSqlN(n: Int): String =
     s"CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) % $n AS BIGINT)"
@@ -253,7 +281,7 @@ object CurationQueries {
   /** DuckDB recursive-CTE replay of [[graft.operators.Packing]]'s
     * next-fit state machine over any (doc_id, n) source CTE: one
     * recursion step per (shard, rank). */
-  private def packCteOver(srcSql: String): String =
+  private def packCteOver(srcSql: String, budget: Long = 512L): String =
     s"""WITH RECURSIVE src AS ($srcSql), d AS (
        |  SELECT doc_id, n,
        |         ${shardSqlN(8)} AS shard,
@@ -266,11 +294,11 @@ object CurationQueries {
        |  FROM d WHERE rn = 1
        |  UNION ALL
        |  SELECT d.shard, d.rn, d.doc_id, d.n,
-       |         CASE WHEN p.cum + d.n > 512
+       |         CASE WHEN p.cum + d.n > $budget
        |              THEN p.pack_id + 1 ELSE p.pack_id END,
-       |         CASE WHEN p.cum + d.n > 512
+       |         CASE WHEN p.cum + d.n > $budget
        |              THEN CAST(1 AS BIGINT) ELSE p.pack_pos + 1 END,
-       |         CASE WHEN p.cum + d.n > 512
+       |         CASE WHEN p.cum + d.n > $budget
        |              THEN d.n ELSE p.cum + d.n END
        |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
        |)""".stripMargin
@@ -331,6 +359,12 @@ object CurationQueries {
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "pack_sequences" ->
       s"""$packCte
+         |SELECT doc_id, shard, pack_id, pack_pos, n AS n_tokens
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "pack_bpe" ->
+      s"""${packCteOver(
+             s"SELECT doc_id, CAST(n_bpe AS BIGINT) AS n FROM read_parquet('$PackBpeHandoff/*.parquet')",
+             budget = 1024L)}
          |SELECT doc_id, shard, pack_id, pack_pos, n AS n_tokens
          |FROM p ORDER BY doc_id""".stripMargin,
     "pack_stats" ->

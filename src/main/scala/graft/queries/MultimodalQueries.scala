@@ -50,10 +50,14 @@ object MultimodalQueries {
           size(col("features")).cast("long").as("dim"))
         .orderBy(col("media_id"))
     },
-    // JSONL round-trip with corrupt-line quarantine (rows-only: IO-side
-    // like b2_zip_ingest; schema fidelity is JsonlSpec-gated). Docs are
-    // written to JSONL, two corrupt lines are injected, and the read
-    // must recover every doc and quarantine exactly the bad lines.
+    // JSONL round-trip with corrupt-line quarantine — ORACLE-CHECKED:
+    // docs are written to JSONL, two corrupt lines are injected, and
+    // the read must recover every doc BYTE-EXACTLY (the content
+    // signature below is computable by both engines: bit_xor over the
+    // top 60 md5 bits of doc_id||'|'||text — the [[Sharding.shardId]]
+    // hex-parse parity trick, 15 hex chars so BIGINT holds it in both)
+    // and quarantine exactly the injected bad lines. Schema fidelity
+    // beyond these columns stays JsonlSpec-gated.
     "jsonl_roundtrip" -> { (s, dir) =>
       import org.apache.spark.sql.types._
       val tmp = java.nio.file.Files.createTempDirectory("jsonl").toFile
@@ -71,9 +75,11 @@ object MultimodalQueries {
         // ONE pass over the files for both streams; materialized eagerly
         // so the temp dir can be deleted before returning
         val r = graft.sources.JsonlDocs.readWithStatus(s, path, schema)
+          .withColumn("__sig",
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+              col("text")).cast("binary")), 1, 15), 16, 10).cast("bigint"))
           .agg(sum(when(col("is_good"), 1L).otherwise(0L)).as("n_good"),
-            expr("bit_xor(CASE WHEN is_good THEN xxhash64(doc_id, text) END)")
-              .as("content_sig"),
+            expr("bit_xor(CASE WHEN is_good THEN __sig END)").as("content_sig"),
             sum(when(!col("is_good"), 1L).otherwise(0L)).as("n_quarantined"))
           .head()
         import s.implicits._
@@ -113,6 +119,16 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the JSONL round-trip is content-verified against the SOURCE
+    // table: recovering every doc byte-exactly means the good-row
+    // signature over the round-tripped rows equals the same signature
+    // computed directly on documents, and the quarantine count is
+    // exactly the two injected lines
+    "jsonl_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_good,
+        |       bit_xor(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS UBIGINT) AS BIGINT)) AS content_sig,
+        |       CAST(2 AS BIGINT) AS n_quarantined
+        |FROM documents""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id AS media_id,
         |       (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
