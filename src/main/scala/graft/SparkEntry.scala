@@ -23,7 +23,7 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries ++
       MultimodalQueries.queries ++ EventQueries.queries ++
       RelationalQueries.queries ++ PipelineQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ HybridQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -32,5 +32,6 @@ object SparkEntry {
     VectorQueries.oracle ++ CatalogQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++ AnnQueries.oracle ++
       MultimodalQueries.oracle ++ EventQueries.oracle ++
-      RelationalQueries.oracle ++ CurationQueries.oracle
+      RelationalQueries.oracle ++ CurationQueries.oracle ++
+      HybridQueries.oracle
 }

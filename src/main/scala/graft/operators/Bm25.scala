@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword ranking and reciprocal-rank fusion — the hybrid-search
+  * surface a vector-store user reaches for the moment pure-embedding
+  * recall misses exact-term matches (north-star scope; the reference
+  * exposes only the dense path, `search_engine.py` + `app.py:402`, and
+  * its Chroma backend never surfaces its FTS index — SURVEY §2.F).
+  *
+  * Scoring is Robertson–Zaragoza BM25 (the Okapi formulation, with
+  * Lucene's +1-smoothed log idf as the default). Fusion is
+  * reciprocal-rank fusion (Cormack et al., SIGIR'09): candidates carry
+  * 1/(k+rank) from each ranking and the fused order is the sum.
+  *
+  * 100 TB design:
+  *  - Document length and corpus stats are ONE narrow projection + one
+  *    1-row aggregate (no shuffle of text; `size(terms(text))` never
+  *    materializes the token stream).
+  *  - Only documents containing a query term are ever shuffled: the
+  *    query-term filter sits directly under the explode, so the
+  *    shuffled set is bounded by the postings of the query terms, not
+  *    the corpus (inverted-index behavior without storing an index —
+  *    persist [[index]] to amortize repeated queries instead).
+  *  - Per-(doc,term) scores aggregate with map-side combine on doc id;
+  *    top-k is a shuffle-free TakeOrdered.
+  *  - RRF fuses the top-K CANDIDATE LISTS (bounded, two tiny inputs),
+  *    never full-corpus rankings — rank windows only ever see ≤ K rows.
+  *
+  * Oracle exactness: the driver gate compares value hashes bitwise, so
+  * the gate query uses `rationalIdf = true` (idf as one IEEE double
+  * division — correctly rounded by the standard in every engine) and
+  * fixed-point BIGINT scores (`floor(score·1e9)` per term, integer sum
+  * per doc — addition order cannot perturb the result). Natural-log idf
+  * (the Lucene default) is NOT correctly-rounded-guaranteed across
+  * libm implementations, so it stays the library default but is gated
+  * by scalatest ranking checks instead of the bitwise oracle.
+  */
+object Bm25 {
+
+  /** Lowercased alphanumeric terms; empties removed. Mirror of DuckDB
+    * `string_split_regex(lower(x), '[^a-z0-9]+')` minus empty strings. */
+  def terms(text: Column): Column =
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
+
+  /** Per-document postings for a fixed query-term set: (id, term, tf,
+    * dl). The `isin` filter sits under the aggregation so only query
+    * postings shuffle. */
+  def index(docs: DataFrame, idCol: String, textCol: String,
+            queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    docs
+      .select(col(idCol).as("id"), terms(col(textCol)).as("__terms"))
+      .select(col("id"), size(col("__terms")).cast("long").as("dl"),
+        explode(col("__terms")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Corpus stats as a 1-row frame: n docs, avgdl = Σdl/n with the sum
+    * taken over exact integers (bit-identical in any engine). */
+  private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n"),
+      (sum(size(terms(col(textCol))).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+
+  /** BM25 top-k for `queryTerms` over `docs`.
+    *
+    * Output: (id, bm25_fp, n_terms) — `bm25_fp` is the fixed-point
+    * BIGINT score (Σ_terms floor(score_t · 1e9)), `n_terms` the count
+    * of distinct query terms matched. Ties break on id ascending.
+    *
+    * @param rationalIdf true → idf = (n − df + 0.5)/(df + 0.5) (pure
+    *   IEEE ÷, cross-engine exact; used by the oracle gate); false →
+    *   Lucene idf = ln(1 + that ratio) (library default).
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75,
+           rationalIdf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val postings = index(docs, idCol, textCol, queryTerms)
+    // df per query term: postings are already (id, term)-distinct.
+    val dfByTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = corpusStats(docs, textCol)
+    // Both joined sides after the broadcasts are bounded by the query
+    // postings; stats and df are 1-row / |queryTerms|-row broadcasts.
+    val ratio = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val idf = if (rationalIdf) ratio else log(ratio + lit(1.0))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * (col("dl").cast("double") / col("avgdl")))
+    val termScore = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) / denom
+    postings
+      .join(broadcast(dfByTerm), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_fp", floor(termScore * lit(1.0e9)).cast("long"))
+      .groupBy(col("id"))
+      .agg(sum(col("score_fp")).as("bm25_fp"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_fp").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of two bounded candidate lists. Inputs are
+    * (id, rank) frames (rank 1-based, each id unique); output is
+    * (id, rrf_fp) ordered by fused score desc, id asc, limited to k.
+    * `rrf_fp = Σ 1e9 DIV (kRrf + rank)` in pure int64 — no floats, so
+    * any engine reproduces it bit-for-bit. Ids absent from one list
+    * contribute only the other's term (standard RRF). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60): DataFrame = {
+    require(k > 0 && kRrf > 0, s"k and kRrf must be positive, got $k, $kRrf")
+    def contrib(df: DataFrame, name: String): DataFrame =
+      df.select(col("id"),
+        expr(s"1000000000L DIV ($kRrf + CAST(rank AS BIGINT))").as(name))
+    contrib(a, "rrf_a")
+      .join(contrib(b, "rrf_b"), Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("rrf_a"), lit(0L)) + coalesce(col("rrf_b"), lit(0L)))
+          .as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Attach a 1-based dense rank to a bounded candidate list already in
+    * final order — callers pass a top-K result (≤ K rows), so the
+    * single-partition window is over a bounded list, never the corpus. */
+  def withRank(topList: DataFrame, orderCols: Seq[Column]): DataFrame =
+    topList.withColumn("rank",
+      row_number().over(Window.orderBy(orderCols: _*)))
+}

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Sequence packing for training-data export (north-star scope):
   * trainers consume fixed-token-budget sequences, and packing multiple
   * short documents into one sequence is what keeps the accelerator
-  * utilization high. This is the document-granularity (boundary-
-  * respecting) variant: docs are never split, a doc larger than the
-  * budget gets a pack of its own. Token-level splitting is a
-  * tokenizer-dependent post-step, out of engine scope.
+  * utilization high. [[packDocs]] is the document-granularity
+  * (boundary-respecting) variant: docs are never split, a doc larger
+  * than the budget gets a pack of its own. [[windowDocs]] is the
+  * complementary splitting step — oversize docs become fixed-token
+  * overlapping windows FIRST, then the windows pack; subword-exact
+  * budgets compose via `Bpe.encodeColumn` (the `pack_bpe` gate).
   *
   * Determinism and scale come from the same construction as
   * [[Sharding]]: packing order is (shard, doc_id) — shard assignment is
@@ -88,4 +90,45 @@ object Packing {
         // fill against the larger of the two so the ratio stays <= 1
         col("pack_tokens").cast("double") /
           greatest(col("pack_tokens"), lit(budget)).cast("double"))
+
+  /** Split each document into fixed-size overlapping token windows —
+    * the context-length chunking step trainers run before packing
+    * (windows of `windowTokens`, consecutive starts `strideTokens`
+    * apart, so adjacent windows overlap by windowTokens − strideTokens).
+    *
+    * Tokens are whitespace units (split on ' ', empties dropped) —
+    * the same unit as [[Sharding.shardStats]] / `TextAnalysis`; for
+    * subword-exact windows tokenize first and window the token array.
+    * Every doc emits ≥ 1 window (an empty doc emits one empty window,
+    * preserving corpus membership); the last window may be shorter than
+    * `windowTokens`. Window count uses pure integer arithmetic
+    * (`1 + (n − W + S − 1) DIV S` when n > W) so the DuckDB oracle
+    * reproduces boundaries exactly — no float `ceil` anywhere.
+    *
+    * Output: (idCol, window_id, n_tokens, window_text), window_id
+    * 0-based. One narrow projection + one generate — no shuffle, no
+    * full-token-stream materialization beyond each row's own array;
+    * at 100 TB this pipelines straight into the pack/export shuffle. */
+  def windowDocs(docs: DataFrame, idCol: String, textCol: String,
+                 windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    require(strideTokens > 0 && strideTokens <= windowTokens,
+      s"strideTokens must be in [1, windowTokens], got $strideTokens")
+    docs
+      .select(col(idCol),
+        array_remove(split(col(textCol), " "), "").as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__nwin",
+        when(col("__n") <= windowTokens, lit(1L)).otherwise(
+          lit(1L) + expr(s"(__n - $windowTokens + $strideTokens - 1) DIV $strideTokens")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(expr("sequence(0, __nwin - 1)")).as("window_id"))
+      .select(col(idCol), col("window_id"),
+        slice(col("__toks"),
+          (col("window_id") * strideTokens + lit(1)).cast("int"),
+          lit(windowTokens)).as("__win"))
+      .select(col(idCol), col("window_id"),
+        size(col("__win")).cast("long").as("n_tokens"),
+        array_join(col("__win"), " ").as("window_text"))
+  }
 }

@@ -40,6 +40,36 @@ object Refresh {
                        fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Engine-portable deterministic stratified sample: row survival is a
+    * pure function of (key, salt), not of any engine's RNG stream — the
+    * reproducibility contract [[stratifiedSample]] cannot give (Spark's
+    * sampler draws per-partition, so even Spark returns a different
+    * sample under a different partitioning; this one is identical on a
+    * laptop, a 1000-executor cluster, and in DuckDB).
+    *
+    * Construction (same family as [[Sharding.shardId]]): the top 52
+    * md5 bits of `key:salt` are a uniform integer in [0, 2^52); a row
+    * survives iff that integer < floor(fraction·2^52). 52 bits keeps
+    * every value exact in an int64 AND in a double, so the threshold
+    * literal is bit-identical in any engine. Rows whose stratum is not
+    * in `fractions` are dropped. Zero shuffle — the filter is a narrow
+    * codegen projection; md5 is a stable sampling hash, not a security
+    * boundary. */
+  def stratifiedSampleDet(df: DataFrame, stratumCol: String,
+                          fractions: Map[String, Double], keyCol: String,
+                          salt: String): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    fractions.foreach { case (s, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for '$s' must be in [0,1], got $f") }
+    val u52 = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(":" + salt)).cast("binary")), 1, 13), 16, 10).cast("long")
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      val threshold = math.floor(f * 4503599627370496.0).toLong // 2^52
+      acc || (col(stratumCol) === stratum && u52 < lit(threshold))
+    }
+    df.filter(keep)
+  }
+
   /** Temperature-based domain mixing — the rebalancing step training
     * pipelines run before sampling a multi-domain corpus: domain d's
     * share of the output is ∝ n_d^alpha (alpha ∈ (0,1] flattens the

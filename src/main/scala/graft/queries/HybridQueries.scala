@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Bm25
+
+/** Hybrid retrieval surface: BM25 keyword top-k and reciprocal-rank
+  * fusion with the dense cosine ranking — what a reference-server user
+  * runs when pure-embedding recall misses exact-term matches (the
+  * reference exposes only the dense path; SURVEY §2.F).
+  *
+  * Oracle parity strategy (see Bm25 scaladoc): rational idf (one IEEE
+  * division), per-term scores quantized to BIGINT fixed-point BEFORE
+  * the per-doc sum (integer addition is order-independent), RRF in
+  * pure int64 (`1e9 DIV (60+rank)`). Every expression tree below is
+  * mirrored token-for-token in the SQL so both engines evaluate the
+  * same IEEE operation sequence.
+  */
+object HybridQueries {
+
+  private val QueryTerms = Seq("vector", "hash", "join")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 keyword top-20 (rational idf + fixed-point, oracle-exact)
+    "bm25_topk" -> { (s, dir) =>
+      Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
+          QueryTerms, k = 20, rationalIdf = true)
+        .withColumnRenamed("id", "doc_id")
+    },
+    // RRF fusion of dense cosine top-50 and BM25 top-50 over the
+    // embedded subset (docs that carry a vector: vec_id == doc_id)
+    "hybrid_rrf" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .select(docs("doc_id"), docs("text"), emb("embedding"))
+      val q = VectorQueries.qvec(s, dir, 0)
+      val vecTop = base
+        .withColumn("cos_sim",
+          cosSimF32(col("embedding"), typedLit(q)).cast("double"))
+        .orderBy(col("cos_sim").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id").as("id"), col("cos_sim"))
+      val vecRanked = Bm25.withRank(vecTop,
+        Seq(col("cos_sim").desc, col("id").asc)).select("id", "rank")
+      val bmRanked = Bm25.withRank(
+        Bm25.topK(base, "doc_id", "text", QueryTerms, k = 50, rationalIdf = true),
+        Seq(col("bm25_fp").desc, col("id").asc)).select("id", "rank")
+      Bm25.rrfFuse(vecRanked, bmRanked, k = 10)
+        .withColumnRenamed("id", "doc_id")
+    }
+  )
+
+  /** Shared BM25 CTE text, parameterized on the corpus CTE name so the
+    * standalone query and the hybrid fusion pin the SAME scoring. */
+  private def bm25Sql(corpus: String, k: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS dl
+       |  FROM $corpus
+       |), post AS (
+       |  SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks WHERE term IN ('vector', 'hash', 'join')
+       |  GROUP BY 1, 2, 3
+       |), dft AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT)) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM $corpus
+       |), scored AS (
+       |  SELECT p.doc_id,
+       |         CAST(floor((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)
+       |           * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+       |           / (CAST(p.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(p.dl AS DOUBLE) / s.avgdl)))
+       |           * 1.0e9) AS BIGINT) AS score_fp
+       |  FROM post p JOIN dft d USING (term) CROSS JOIN stats s
+       |), btop AS (
+       |  -- SUM(BIGINT) is HUGEINT in DuckDB; pin to BIGINT for dtype parity
+       |  SELECT doc_id, CAST(SUM(score_fp) AS BIGINT) AS bm25_fp, CAST(COUNT(*) AS BIGINT) AS n_terms
+       |  FROM scored GROUP BY 1
+       |  ORDER BY bm25_fp DESC, doc_id LIMIT $k
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "bm25_topk" ->
+      s"""WITH ${bm25Sql("documents", 20)}
+         |SELECT doc_id, bm25_fp, n_terms FROM btop
+         |ORDER BY bm25_fp DESC, doc_id""".stripMargin,
+    "hybrid_rrf" ->
+      s"""WITH base AS (
+         |  SELECT d.doc_id, d.text, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), ${bm25Sql("base", 50)}, qv AS (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+         |), vtop AS (
+         |  SELECT doc_id, CAST(list_cosine_similarity(embedding, qe) AS DOUBLE) AS cos_sim
+         |  FROM base CROSS JOIN qv
+         |  ORDER BY cos_sim DESC, doc_id LIMIT 50
+         |), vrank AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank FROM vtop
+         |), brank AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS rank FROM btop
+         |), fused AS (
+         |  SELECT COALESCE(v.doc_id, b.doc_id) AS doc_id,
+         |         COALESCE(1000000000 // (60 + v.rank), 0)
+         |           + COALESCE(1000000000 // (60 + b.rank), 0) AS rrf_fp
+         |  FROM vrank v FULL OUTER JOIN brank b ON v.doc_id = b.doc_id
+         |)
+         |SELECT doc_id, rrf_fp FROM fused
+         |ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin
+  )
+}

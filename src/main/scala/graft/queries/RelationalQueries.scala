@@ -61,6 +61,16 @@ object RelationalQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
+    // engine-portable deterministic stratified sample: md5-threshold
+    // survival (no RNG stream), so the DuckDB oracle reproduces the
+    // EXACT row set — the reproducibility contract the RNG variant
+    // above cannot give (that one stays rows-only by nature)
+    "rel_stratified_det" -> { (s, dir) =>
+      Refresh.stratifiedSampleDet(Tables.documents(s, dir), "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0), "doc_id", salt = "r5")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
     // temperature-based domain mixing (share ∝ n_lang^0.5): md5-ranked,
     // RNG-free, so the DuckDB oracle reproduces the exact row set —
     // sqrt is IEEE-correctly-rounded in both engines
@@ -118,6 +128,20 @@ object RelationalQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // md5-threshold survival: top 52 md5 bits of 'doc_id:salt' as an
+    // exact int64, kept iff < floor(fraction * 2^52) (same hex→integer
+    // trick as shard_assign; thresholds are precomputed literals)
+    "rel_stratified_det" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r5'), 1, 13) AS UBIGINT) AS BIGINT) AS u52
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang FROM u
+        |WHERE (lang = 'en' AND u52 < 2251799813685248)
+        |   OR (lang = 'de' AND u52 < 1125899906842624)
+        |   OR (lang = 'fr' AND u52 < 4503599627370496)
+        |ORDER BY doc_id""".stripMargin,
     "corpus_diff" ->
       s"""$diffCte
          |SELECT doc_id, status FROM d ORDER BY doc_id""".stripMargin,

@@ -125,6 +125,14 @@ object TextQueries {
           size(graft.operators.Bpe.encodeColumn(col("text"), merges))
             .cast("long").as("n_bpe_units"))
         .orderBy(col("doc_id"))
+    },
+    // context-length windowing: every doc → fixed-token overlapping
+    // windows (W=32, S=24); integer-only boundary math, oracle-exact
+    "t_token_windows" -> { (s, dir) =>
+      graft.operators.Packing
+        .windowDocs(Tables.documents(s, dir), "doc_id", "text",
+          windowTokens = 32, strideTokens = 24)
+        .orderBy(col("doc_id"), col("window_id"))
     }
   )
 
@@ -264,6 +272,25 @@ object TextQueries {
          |        AND m.dup_bigram_frac <= 0.5
          |        AND m.n_tokens >= 10 AND m.n_tokens <= 100000) AS keep
          |FROM m JOIN q ON m.doc_id = q.doc_id
-         |ORDER BY m.doc_id""".stripMargin
+         |ORDER BY m.doc_id""".stripMargin,
+    // windowing boundaries are pure integer math; slices clamp at the
+    // end of the token list in both engines
+    "t_token_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |         CASE WHEN len(toks) <= 32 THEN 1
+        |              ELSE 1 + (CAST(len(toks) AS BIGINT) - 32 + 24 - 1) // 24 END AS nwin
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, toks, unnest(range(nwin)) AS window_id FROM w
+        |)
+        |SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+        |       CAST(len(toks[(window_id*24+1):(window_id*24+32)]) AS BIGINT) AS n_tokens,
+        |       array_to_string(toks[(window_id*24+1):(window_id*24+32)], ' ') AS window_text
+        |FROM e
+        |ORDER BY doc_id, window_id""".stripMargin
   )
 }

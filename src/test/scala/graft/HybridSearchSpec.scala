@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, Packing, Refresh}
+
+/** BM25 ranking semantics, RRF fusion math, token windowing boundaries,
+  * and deterministic stratified sampling — hand-computed fixtures plus
+  * the plan-shape contracts the Scaladocs promise. */
+class HybridSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- BM25
+
+  private def tinyCorpus = Seq(
+    (1L, "spark vector search vector index vector"), // tf(vector)=3, dl=6
+    (2L, "vector database basics"),                  // tf(vector)=1, dl=3
+    (3L, "join planning and hash join strategies"),  // common terms only
+    (4L, "completely unrelated text about cooking"),
+    (5L, "join join join join join join join join")  // tf(join)=8
+  ).toDF("doc_id", "text")
+
+  test("bm25: rare-term density wins; docs without query terms never appear") {
+    // 'vector' appears in 2/5 docs, 'join' in 2/5; doc 1 has the
+    // highest tf of a query term at moderate length
+    val top = Bm25.topK(tinyCorpus, "doc_id", "text",
+      Seq("vector"), k = 5).as[(Long, Long, Long)].collect()
+    assert(top.map(_._1).toSeq === Seq(1L, 2L), "only docs containing the term, densest first")
+    assert(top(0)._2 > top(1)._2, "fixed-point scores strictly ordered")
+  }
+
+  test("bm25: ln idf (default) and rational idf (oracle path) agree on the obvious winner") {
+    for (rational <- Seq(true, false)) {
+      val top = Bm25.topK(tinyCorpus, "doc_id", "text",
+        Seq("join"), k = 5, rationalIdf = rational).as[(Long, Long, Long)].collect()
+      assert(top.head._1 === 5L, s"rationalIdf=$rational: tf=8 doc must rank first")
+      assert(top.map(_._1).contains(3L))
+    }
+  }
+
+  test("bm25: tf saturation — k1 bounds the advantage of repeated terms") {
+    // doc 5 repeats 'join' 8x but BM25's tf/(tf+k1·norm) saturates:
+    // its per-term score must stay below (k1+1)·idf_fp
+    val scored = Bm25.topK(tinyCorpus, "doc_id", "text", Seq("join"), k = 5,
+      rationalIdf = true).as[(Long, Long, Long)].collect()
+    val n = 5.0; val df = 2.0
+    val idf = (n - df + 0.5) / (df + 0.5)
+    val cap = (idf * (1.2 + 1.0) * 1e9).toLong
+    assert(scored.forall(_._2 < cap), s"scores must stay under the (k1+1)*idf asymptote $cap")
+  }
+
+  test("bm25: multi-term scores are the integer sum of per-term scores") {
+    val both = Bm25.topK(tinyCorpus, "doc_id", "text",
+      Seq("vector", "join"), k = 5, rationalIdf = true)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val vOnly = Bm25.topK(tinyCorpus, "doc_id", "text", Seq("vector"), k = 5,
+      rationalIdf = true).as[(Long, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    val jOnly = Bm25.topK(tinyCorpus, "doc_id", "text", Seq("join"), k = 5,
+      rationalIdf = true).as[(Long, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    // df/idf of each term is identical in the single- and multi-term
+    // runs (df is per-term), so per-doc totals must add exactly
+    for ((id, (fp, nTerms)) <- both) {
+      assert(fp === vOnly.getOrElse(id, 0L) + jOnly.getOrElse(id, 0L), s"doc $id")
+      assert(nTerms === (if (vOnly.contains(id)) 1 else 0) + (if (jOnly.contains(id)) 1 else 0))
+    }
+  }
+
+  test("bm25: top-k is TakeOrdered (no global sort shuffle)") {
+    val plan = Bm25.topK(tinyCorpus, "doc_id", "text", Seq("vector"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
+
+  // ----------------------------------------------------------------- RRF
+
+  test("rrf: hand-computed fusion incl. a one-list-only candidate") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Bm25.rrfFuse(a, b, k = 10, kRrf = 60)
+      .as[(Long, Long)].collect().toSeq
+    def c(r: Int) = 1000000000L / (60L + r)
+    val expected = Seq(
+      20L -> (c(2) + c(1)), // in both lists → highest fused
+      10L -> c(1),
+      40L -> c(2),
+      30L -> c(3))
+    assert(out === expected.sortBy { case (id, fp) => (-fp, id) })
+  }
+
+  test("rrf: deterministic tie-break on id when fused scores tie") {
+    val a = Seq((7L, 1), (3L, 2)).toDF("id", "rank")
+    val b = Seq((3L, 1), (7L, 2)).toDF("id", "rank")
+    val out = Bm25.rrfFuse(a, b, k = 10).as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(3L, 7L), "equal fused scores order by id")
+    assert(out(0)._2 === out(1)._2)
+  }
+
+  // ------------------------------------------------------- token windows
+
+  test("windowDocs: boundary math — exact window counts and coverage") {
+    val docs = Seq(
+      (1L, ""),                                   // empty → 1 empty window
+      (2L, (1 to 4).map(i => s"t$i").mkString(" ")),  // n=4 <= W → 1 window
+      (3L, (1 to 5).map(i => s"t$i").mkString(" ")),  // n=5, W=4, S=2 → 2 windows
+      (4L, (1 to 9).map(i => s"t$i").mkString(" "))   // n=9 → 1+ceil(5/2)=4 windows
+    ).toDF("doc_id", "text")
+    val out = Packing.windowDocs(docs, "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "window_id")
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    assert(byDoc(1L) === Seq((1L, 0L, 0L, "")))
+    assert(byDoc(2L) === Seq((2L, 0L, 4L, "t1 t2 t3 t4")))
+    assert(byDoc(3L) === Seq(
+      (3L, 0L, 4L, "t1 t2 t3 t4"), (3L, 1L, 3L, "t3 t4 t5")))
+    assert(byDoc(4L).size === 4)
+    assert(byDoc(4L).last === ((4L, 3L, 3L, "t7 t8 t9")))
+    // every token of doc 4 appears in at least one window
+    val covered = byDoc(4L).flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 9).map(i => s"t$i").toSet)
+  }
+
+  test("windowDocs: stride == window → exact partition, no overlap, no shuffle") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.windowDocs(docs, "doc_id", "text", 3, 3)
+      .orderBy("window_id").as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._4).mkString(" ") === (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(out.map(_._3).sum === 10L)
+    val plan = Packing.windowDocs(docs, "doc_id", "text", 3, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"windowing must be shuffle-free:\n$plan")
+  }
+
+  test("windowDocs: rejects invalid window/stride") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Packing.windowDocs(docs, "doc_id", "text", 0, 1))
+    intercept[IllegalArgumentException](Packing.windowDocs(docs, "doc_id", "text", 4, 5))
+    intercept[IllegalArgumentException](Packing.windowDocs(docs, "doc_id", "text", 4, 0))
+  }
+
+  // ------------------------------------------- deterministic stratified
+
+  test("stratifiedSampleDet: partitioning-independent, salt-sensitive, fraction-exact at the edges") {
+    val docs = spark.range(0, 2000)
+      .select(col("id").as("doc_id"),
+        (when(col("id") % 2 === 0, "en").otherwise("de")).as("lang"))
+    val fr = Map("en" -> 0.5, "de" -> 1.0)
+    val s1 = Refresh.stratifiedSampleDet(docs, "lang", fr, "doc_id", "s")
+      .as[(Long, String)].collect().toSet
+    val s2 = Refresh.stratifiedSampleDet(docs.repartition(13), "lang", fr, "doc_id", "s")
+      .as[(Long, String)].collect().toSet
+    assert(s1 === s2, "survival must not depend on partitioning")
+    assert(s1.count(_._2 == "de") === 1000, "fraction 1.0 keeps the whole stratum")
+    val en = s1.count(_._2 == "en")
+    // md5 uniformity: |en - 500| within 5·sqrt(250) ≈ 79
+    assert(math.abs(en - 500) < 80, s"en stratum kept $en of 1000 at fraction 0.5")
+    val s3 = Refresh.stratifiedSampleDet(docs, "lang", fr, "doc_id", "other-salt")
+      .as[(Long, String)].collect().toSet
+    assert(s3 != s1, "different salt must draw a different sample")
+    // stratum not in the fraction map → dropped
+    val s4 = Refresh.stratifiedSampleDet(docs, "lang", Map("en" -> 1.0), "doc_id", "s")
+      .as[(Long, String)].collect()
+    assert(s4.forall(_._2 == "en") && s4.length === 1000)
+    // zero fraction → empty stratum
+    val s5 = Refresh.stratifiedSampleDet(docs, "lang", Map("en" -> 0.0), "doc_id", "s")
+    assert(s5.count() === 0)
+  }
+
+  test("stratifiedSampleDet: narrow plan — no shuffle, and rejects bad fractions") {
+    val docs = Seq((1L, "en")).toDF("doc_id", "lang")
+    val plan = Refresh.stratifiedSampleDet(docs, "lang", Map("en" -> 0.5), "doc_id", "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must be a narrow filter:\n$plan")
+    intercept[IllegalArgumentException](
+      Refresh.stratifiedSampleDet(docs, "lang", Map("en" -> 1.5), "doc_id", "s"))
+    intercept[IllegalArgumentException](
+      Refresh.stratifiedSampleDet(docs, "lang", Map.empty[String, Double], "doc_id", "s"))
+  }
+}
