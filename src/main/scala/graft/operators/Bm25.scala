@@ -46,16 +46,21 @@ object Bm25 {
     array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   /** Per-document postings for a fixed query-term set: (id, term, tf,
-    * dl). The `isin` filter sits under the aggregation so only query
-    * postings shuffle. */
+    * dl). The query-term filter runs INSIDE the token array (a lambda
+    * `filter` before the explode), so the generate emits one row per
+    * MATCHED token, never one per corpus token — Catalyst does not push
+    * predicates into a Generate, so filtering after the explode would
+    * materialize the full token stream as rows first. (At the 10×
+    * fixture both forms time the same — the regex split dominates — but
+    * row-per-token generation is the form that degrades with document
+    * length.) Only query postings ever shuffle. */
   def index(docs: DataFrame, idCol: String, textCol: String,
             queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     docs
       .select(col(idCol).as("id"), terms(col(textCol)).as("__terms"))
       .select(col("id"), size(col("__terms")).cast("long").as("dl"),
-        explode(col("__terms")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+        explode(filter(col("__terms"), t => t.isin(queryTerms: _*))).as("term"))
       .groupBy(col("id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
   }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact global ranking at scale (north-star scope: "keep the top X%
+  * by quality" is the selection step of every curation pipeline, and
+  * the naive `row_number() OVER (ORDER BY ...)` is the classic scale
+  * trap — Spark plans it as a SINGLE-partition window, so the whole
+  * corpus funnels through one task).
+  *
+  * Construction: range-exchange on the order columns (each partition
+  * owns a contiguous key range), per-partition sort, then global rank =
+  * partition offset + local position. The offsets come from one cheap
+  * counting job over the shuffled partitions — this is `zipWithIndex`'s
+  * count-then-emit contract, and the one genuinely imperative step
+  * (a running counter per partition), which is exactly the RDD seam's
+  * sanctioned use. Cost: one range shuffle + two result-stage passes
+  * over it (count, emit) — the shuffle files are reused across the two
+  * jobs, nothing re-shuffles, and no task ever sees more than its own
+  * partition.
+  *
+  * Determinism contract: `orderCols` must be a TOTAL order (add a
+  * unique tie-break column, e.g. the doc id) — with ties, the two
+  * passes could disagree on within-tie positions and rank stability
+  * across runs would be partitioning luck, the same caveat
+  * `latestByKey` documents. */
+object Ranking {
+
+  /** The distributed stage whose plan carries the scale contract:
+    * range exchange + in-partition sort (package-visible so the spec
+    * can assert the plan — the public result is an RDD-backed frame
+    * whose SQL plan is an opaque `Scan ExistingRDD`). */
+  private[graft] def ranged(df: DataFrame, orderCols: Seq[Column]): DataFrame =
+    df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+
+  /** Attach `rankCol` = 1-based global rank under `orderCols`. */
+  def globalRank(df: DataFrame, orderCols: Seq[Column],
+                 rankCol: String = "global_rank"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = df.sparkSession
+    val ranged = this.ranged(df, orderCols)
+    val schema = ranged.schema.add(rankCol, LongType, nullable = false)
+    val rdd = ranged.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Keep the top `percent`% rows under `orderCols` (at least one row
+    * for a non-empty input): rank ≤ max(1, n·percent DIV 100) — pure
+    * integer math so any engine draws the same boundary. The count is
+    * a 1-row broadcast, not a driver constant baked into the plan. */
+  def topFraction(df: DataFrame, orderCols: Seq[Column], percent: Int,
+                  rankCol: String = "global_rank"): DataFrame = {
+    require(percent >= 1 && percent <= 100,
+      s"percent must be in [1,100], got $percent")
+    val nDf = df.agg(count(lit(1)).cast("long").as("__n"))
+    globalRank(df, orderCols, rankCol)
+      .crossJoin(broadcast(nDf))
+      .filter(col(rankCol) <=
+        greatest(lit(1L), expr(s"(__n * $percent) DIV 100")))
+      .drop("__n")
+  }
+}

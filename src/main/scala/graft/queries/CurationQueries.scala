@@ -259,6 +259,33 @@ object CurationQueries {
       graft.operators.Packing.packStats(docs, "doc_id", "n_tok",
           nShards = 8, budget = 512)
         .orderBy(col("shard"), col("pack_id"))
+    },
+    // top-20%-longest selection via scalable exact global rank (range
+    // exchange + offsets — no single-partition window anywhere)
+    "rank_topfrac" -> { (s, dir) =>
+      graft.operators.Ranking.topFraction(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id").asc), percent = 20)
+        .orderBy(col("global_rank"))
+    },
+    // dataset card: the per-language corpus summary a training run
+    // publishes — one map-side-combined aggregation, exact integer
+    // stats, avg as exact-int sum / count (bitwise cross-engine)
+    "corpus_card" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(array_remove(split(col("text"), " "), ""))
+            .cast("long").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_tok")).as("min_tokens"),
+          max(col("n_tok")).as("max_tokens"),
+          (sum(col("n_tok")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -337,6 +364,30 @@ object CurationQueries {
       |) WHERE qs >= 0.5 AND n BETWEEN 10 AND 100000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "rank_topfrac" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS global_rank
+        |  FROM documents
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        |SELECT doc_id, n_chars, global_rank
+        |FROM r CROSS JOIN n
+        |WHERE global_rank <= greatest(1, (n * 20) // 100)
+        |ORDER BY global_rank""".stripMargin,
+    "corpus_card" ->
+      """WITH t AS (
+        |  SELECT lang, source, n_chars,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       min(n_tok) AS min_tokens, max(n_tok) AS max_tokens,
+        |       CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM t GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "export_sorted_manifest" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_rows,
         |       min(doc_id) AS min_key, max(doc_id) AS max_key

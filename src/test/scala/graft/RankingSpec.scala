@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranking
+
+/** Global-rank semantics (== single-partition row_number on small
+  * data), partitioning independence, and the no-single-partition-
+  * window plan contract. */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = spark.range(0, 1000)
+    .select(col("id"),
+      // deliberately collision-heavy sort key to exercise tie-breaks
+      (col("id") * 37 % 101).as("score"))
+
+  test("globalRank == row_number over the same total order") {
+    val expected = fixture.orderBy(col("score").desc, col("id"))
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val got = Ranking.globalRank(fixture, Seq(col("score").desc, col("id").asc))
+      .select("id", "global_rank").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("globalRank is partitioning-independent and deterministic across runs") {
+    val base = Ranking.globalRank(fixture, Seq(col("score").desc, col("id").asc))
+      .select("id", "global_rank").as[(Long, Long)].collect().toSet
+    for (p <- Seq(1, 7, 64)) {
+      val other = Ranking.globalRank(fixture.repartition(p),
+          Seq(col("score").desc, col("id").asc))
+        .select("id", "global_rank").as[(Long, Long)].collect().toSet
+      assert(other === base, s"ranks changed under repartition($p)")
+    }
+  }
+
+  test("globalRank plan: range exchange, never a single-partition sort") {
+    // the public result is RDD-backed (opaque ExistingRDD scan); the
+    // scale contract lives in the ranged stage it executes
+    val plan = Ranking.ranged(fixture, Seq(col("score").desc, col("id").asc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global rank must not funnel into one partition:\n$plan")
+  }
+
+  test("topFraction keeps exactly max(1, n*percent DIV 100) rows, the top ones") {
+    val out = Ranking.topFraction(fixture,
+        Seq(col("score").desc, col("id").asc), percent = 20)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 200)
+    assert(out.map(_._3).max === 200L)
+    // every kept score must be >= every dropped score
+    val keptMin = out.map(_._2).min
+    val all = fixture.as[(Long, Long)].collect()
+    val dropped = all.filterNot(r => out.exists(_._1 == r._1))
+    assert(dropped.forall(_._2 <= keptMin))
+    // tiny input: at least one row survives
+    val one = Ranking.topFraction(fixture.limit(3),
+      Seq(col("score").desc, col("id").asc), percent = 1)
+    assert(one.count() === 1L)
+  }
+
+  test("topFraction rejects bad percent; empty input stays empty") {
+    intercept[IllegalArgumentException](
+      Ranking.topFraction(fixture, Seq(col("id").asc), 0))
+    intercept[IllegalArgumentException](
+      Ranking.topFraction(fixture, Seq(col("id").asc), 101))
+    val empty = Ranking.globalRank(fixture.filter(lit(false)), Seq(col("id").asc))
+    assert(empty.count() === 0L)
+  }
+}
