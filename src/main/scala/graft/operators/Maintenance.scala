@@ -104,8 +104,10 @@ object Maintenance {
     * swap is a single atomic rename of the pointer file — a reader that
     * resolves the pointer one instant before the flip reads `v<N>`,
     * one instant after reads `v<N+1>`, and NEVER sees a missing table.
-    * The previous version is retained for in-flight readers (one
-    * compaction cycle of grace); versions older than that are deleted.
+    * The `retainPrevious` most recent prior versions are retained for
+    * in-flight readers (default 1 = one compaction cycle of grace);
+    * versions older than that are vacuumed — [[vacuumVersions]] is the
+    * standalone knob when retention policy runs on its own schedule.
     *
     * First call on a legacy flat layout migrates it (flat files →
     * `v1` + pointer) and deletes the flat files — that one migration
@@ -113,7 +115,9 @@ object Maintenance {
     * needed; every SUBSEQUENT compaction is fully online. Readers must
     * resolve through [[resolveCurrent]]. Returns the row count. */
   def compactParquetVersioned(spark: SparkSession, path: String,
-                              targetBytes: Long = 128L * 1024 * 1024): Long = {
+                              targetBytes: Long = 128L * 1024 * 1024,
+                              retainPrevious: Int = 1): Long = {
+    require(retainPrevious >= 1, s"retainPrevious must be >= 1, got $retainPrevious")
     val base = path.stripSuffix("/")
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -149,18 +153,43 @@ object Maintenance {
     fc.rename(tmpPtr, new org.apache.hadoop.fs.Path(s"$base/_current"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
-    // retain v<curVer> for in-flight readers; delete anything older.
-    // Legacy flat files (curVer == 0) cannot be retained alongside the
-    // version dirs — migration is the one offline step, so delete them.
-    fs.listStatus(basePath).foreach { st =>
-      val nm = st.getPath.getName
-      if (st.isDirectory && nm.matches("v[0-9]+") &&
-          nm.substring(1).toInt < curVer)
-        fs.delete(st.getPath, true)
-      else if (!st.isDirectory && curVer == 0 && nm.endsWith(".parquet"))
+    // retain `retainPrevious` prior versions for in-flight readers
+    // (default 1 = the cycle of grace), vacuum anything older. Legacy
+    // flat files (curVer == 0) cannot be retained alongside the version
+    // dirs — migration is the one offline step, so delete them.
+    vacuumVersions(spark, path, keep = retainPrevious + 1)
+    if (curVer == 0) fs.listStatus(basePath).foreach { st =>
+      if (!st.isDirectory && st.getPath.getName.endsWith(".parquet"))
         fs.delete(st.getPath, false)
     }
     expected
+  }
+
+  /** Retention vacuum for a pointer-managed table: keep the `keep`
+    * highest-numbered version dirs (the live one always among them),
+    * delete the rest, and return the deleted version names.
+    * [[compactParquetVersioned]] hard-codes one cycle of reader grace;
+    * this is the explicit knob for longer retention windows — run
+    * compaction with versions accumulating, then vacuum on the ops
+    * schedule that matches the fleet's longest-running reader. The
+    * current version is never deleted even if `keep` would exclude it
+    * (a pointer rolled back by hand must not have its data vacuumed). */
+  def vacuumVersions(spark: SparkSession, path: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val base = path.stripSuffix("/")
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = resolveCurrent(spark, path)
+    if (cur == base) return Nil // legacy flat layout: nothing versioned
+    val curName = cur.substring(cur.lastIndexOf('/') + 1)
+    val versions = fs.listStatus(basePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v[0-9]+"))
+      .map(_.getPath.getName)
+      .sortBy(_.substring(1).toInt)
+    val retained = versions.takeRight(keep).toSet + curName
+    val doomed = versions.filterNot(retained)
+    doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$base/$v"), true))
+    doomed
   }
 
   /** File-count + size profile of a parquet table (the signal that

@@ -173,6 +173,36 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(Maintenance.resolveCurrent(spark, dir)).count() === 50)
   }
 
+  test("vacuumVersions: retention knob keeps N newest, never the live version") {
+    import graft.operators.Maintenance
+    val dir = tmpDir("vacuum") + "/table"
+    Tables.documents(spark, sfDir).limit(30).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions: Seq[String] = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    // build up v1..v4 with a wide retention so nothing auto-vacuums
+    (1 to 4).foreach { _ =>
+      Maintenance.compactParquetVersioned(spark, dir, retainPrevious = 10)
+    }
+    assert(versions === Seq("v1", "v2", "v3", "v4"))
+    // keep=2 retires v1/v2, keeps v3/v4
+    assert(Maintenance.vacuumVersions(spark, dir, keep = 2) === Seq("v1", "v2"))
+    assert(versions === Seq("v3", "v4"))
+    assert(spark.read.parquet(Maintenance.resolveCurrent(spark, dir)).count() === 30)
+    // a hand-rolled-back pointer is never vacuumed out from under a reader
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_current"), true)
+    try out.write("v3".getBytes("UTF-8")) finally out.close()
+    assert(Maintenance.vacuumVersions(spark, dir, keep = 1) === Nil)
+    assert(versions === Seq("v3", "v4"))
+    assert(spark.read.parquet(Maintenance.resolveCurrent(spark, dir)).count() === 30)
+    // flat layout (no pointer) is a no-op; bad keep rejected
+    val flat = tmpDir("vacuum-flat") + "/table"
+    Tables.documents(spark, sfDir).limit(5).write.parquet(flat)
+    assert(Maintenance.vacuumVersions(spark, flat, keep = 1) === Nil)
+    intercept[IllegalArgumentException](Maintenance.vacuumVersions(spark, dir, 0))
+  }
+
   test("upsertByKey replaces matched keys, keeps the rest") {
     import graft.operators.Refresh
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
