@@ -38,6 +38,43 @@ object ChunkStore {
     incoming.join(corpus.select(col(corpusKey).as(incomingKey)).distinct(),
       Seq(incomingKey), "left_anti")
 
+  /** Build a reusable bloom filter over the corpus keys for
+    * [[dropExistingGlobalBloom]] — ONE corpus pass (mergeable partial
+    * filters per partition, OR-merged on the driver), amortized across
+    * every ingest batch until the next rebuild. Keys are probed through
+    * their string form so incoming/corpus key dtypes never have to
+    * match. Size it honestly: the filter costs ~`-ln(fpp)/ln(2)²` bits
+    * per expected item (≈10 bits/key at fpp 0.01), so 10⁹ corpus keys
+    * ≈ 1.2 GB of broadcast — at that scale raise fpp (every false
+    * positive only costs an exact re-check, never a wrong answer). */
+  def buildKeyBloom(corpus: DataFrame, keyCol: String, expectedItems: Long,
+                    fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    corpus.select(col(keyCol).cast("string").as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+
+  /** B9 for a 100 TB corpus: bloom-guarded duplicate drop. The plain
+    * [[dropExistingGlobal]] anti-join re-reads every corpus key for
+    * EVERY ingest batch; with a prebuilt corpus [[buildKeyBloom]]
+    * filter, bloom-negative incoming rows are *definitely* new (bloom
+    * filters have no false negatives) and pass with no join at all —
+    * only bloom-positive rows (true duplicates plus an fpp-fraction of
+    * false alarms) go through the exact anti-join confirm, whose
+    * incoming side is now tiny and broadcasts. The result is EXACTLY
+    * the plain anti-join's (false positives are re-checked, null keys
+    * take the no-match path both ways); the filter going stale after
+    * corpus appends only yields false negatives *for the appended
+    * keys*, so rebuild the filter whenever the corpus grows — the
+    * intended cadence is rebuild-per-compaction, probe-per-microbatch. */
+  def dropExistingGlobalBloom(incoming: DataFrame, corpus: DataFrame,
+                              incomingKey: String, corpusKey: String,
+                              bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val flag = might(col(incomingKey).cast("string"))
+    incoming.filter(!flag).unionByName(
+      dropExistingGlobal(incoming.filter(flag), corpus, incomingKey, corpusKey))
+  }
+
   /** B10: per-collection duplicate guard (`vector_store.py:56-68`) —
     * same anti-join with the collection predicate pushed into the scan. */
   def dropExistingInCollection(incoming: DataFrame, corpus: DataFrame,

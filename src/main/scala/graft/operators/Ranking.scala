@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -47,6 +48,26 @@ object Ranking {
       Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Top `k` rows per group — "best 5 docs per language", the
+    * group-wise selection step of quality curation. A per-group window
+    * IS the scale-correct plan here (unlike the global-rank case): the
+    * window partitions by the group keys, and Catalyst's
+    * WindowGroupLimit rewrite makes each map task keep only its local
+    * top-k per group BEFORE the shuffle, so the exchange carries
+    * O(k · groups · tasks) rows, not the corpus. `orderCols` should be
+    * a total order within a group (tie-break on a unique id) or the
+    * kept set at the k-boundary is partitioning luck. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column],
+                   k: Int, rankCol: String = "group_rank"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    // long for parity with globalRank (and ANSI engines' BIGINT row_number)
+    df.withColumn(rankCol, row_number().over(
+        Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)).cast("long"))
+      .filter(col(rankCol) <= k)
   }
 
   /** Keep the top `percent`% rows under `orderCols` (at least one row

@@ -93,6 +93,21 @@ object CatalogQueries {
           docs.filter(col("doc_id") % 3 === 0), "doc_id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // B9 bloom form: same guard semantics as b9_dup_guard, but the
+    // corpus is consulted through a prebuilt bloom filter — only
+    // bloom-positive rows reach the exact anti-join confirm. fpp 0.2
+    // deliberately forces false positives through the confirm path;
+    // the result must still hash-match the plain anti-join's oracle.
+    "b9_dup_guard_bloom" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val bloom = ChunkStore.buildKeyBloom(corpus, "doc_id",
+        expectedItems = 200, fpp = 0.2)
+      ChunkStore.dropExistingGlobalBloom(
+          docs.filter(col("lang") === "fr").select(col("doc_id"), col("source")),
+          corpus, "doc_id", "doc_id", bloom)
+        .orderBy(col("doc_id"))
+    },
     // B11: dual-write tagging (vector_store.py:91-137) — one upload
     // becomes a target-collection row and a master row, both tagged
     // original_collection.
@@ -175,6 +190,12 @@ object CatalogQueries {
          |       count(*) AS chunk_count
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "b9_dup_guard" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.lang = 'fr'
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 3 = 0 AND c.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "b9_dup_guard_bloom" ->
       """SELECT d.doc_id, d.source FROM documents d
         |WHERE d.lang = 'fr'
         |  AND NOT EXISTS (SELECT 1 FROM documents c

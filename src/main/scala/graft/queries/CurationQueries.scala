@@ -268,6 +268,25 @@ object CurationQueries {
           Seq(col("n_chars").desc, col("doc_id").asc), percent = 20)
         .orderBy(col("global_rank"))
     },
+    // best-5-docs-per-language: group-wise top-k via a per-group window
+    // (WindowGroupLimit keeps each task's local top-k before the shuffle)
+    "rank_top_per_group" -> { (s, dir) =>
+      graft.operators.Ranking.topKPerGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq(col("lang")), Seq(col("n_chars").desc, col("doc_id").asc), k = 5)
+        .orderBy(col("lang"), col("group_rank"))
+    },
+    // reproducible training order: global shuffle as md5-keyed exact
+    // rank — the same corpus enumerates in the same order on any
+    // engine, any cluster size, any partitioning (RNG-free, like
+    // rel_stratified_det's survival test)
+    "train_order" -> { (s, dir) =>
+      graft.operators.Ranking.globalRank(
+          Tables.documents(s, dir).select(col("doc_id"),
+            md5(col("doc_id").cast("string").cast("binary")).as("shuffle_key")),
+          Seq(col("shuffle_key").asc, col("doc_id").asc), rankCol = "train_pos")
+        .orderBy(col("train_pos"))
+    },
     // dataset card: the per-language corpus summary a training run
     // publishes — one map-side-combined aggregation, exact integer
     // stats, avg as exact-int sum / count (bitwise cross-engine)
@@ -374,6 +393,19 @@ object CurationQueries {
         |FROM r CROSS JOIN n
         |WHERE global_rank <= greatest(1, (n * 20) // 100)
         |ORDER BY global_rank""".stripMargin,
+    "train_order" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |         AS train_pos
+        |FROM documents ORDER BY train_pos""".stripMargin,
+    "rank_top_per_group" ->
+      """SELECT doc_id, lang, n_chars, group_rank FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id) AS group_rank
+        |  FROM documents
+        |) WHERE group_rank <= 5
+        |ORDER BY lang, group_rank""".stripMargin,
     "corpus_card" ->
       """WITH t AS (
         |  SELECT lang, source, n_chars,

@@ -63,6 +63,40 @@ class RankingSpec extends SparkSpec {
     assert(one.count() === 1L)
   }
 
+  test("topKPerGroup keeps exactly the k best rows per group, dense 1..k ranks") {
+    val grouped = fixture.withColumn("grp", (col("id") % 5).cast("long"))
+    val got = Ranking.topKPerGroup(grouped, Seq(col("grp")),
+        Seq(col("score").desc, col("id").asc), k = 3)
+      .select("grp", "id", "score", "group_rank")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 15) // 5 groups x 3
+    val byGrp = got.groupBy(_._1)
+    for ((g, rows) <- byGrp) {
+      assert(rows.map(_._4).sorted === Array(1L, 2L, 3L), s"ranks not dense in group $g")
+      // every kept row beats every dropped row of its group under the order
+      val keptWorst = rows.map(r => (r._3, -r._2)).min // (score desc, id asc)
+      val all = grouped.filter(col("grp") === g).select("id", "score")
+        .as[(Long, Long)].collect()
+      val droppedBest = all.filterNot(a => rows.exists(_._2 == a._1))
+        .map(a => (a._2, -a._1)).maxOption
+      droppedBest.foreach(d => assert(d._1 < keptWorst._1 ||
+        (d._1 == keptWorst._1 && d._2 < keptWorst._2),
+        s"group $g kept a worse row than it dropped: kept-worst $keptWorst, dropped-best $d"))
+    }
+  }
+
+  test("topKPerGroup plan: WindowGroupLimit prunes before the shuffle") {
+    val grouped = fixture.withColumn("grp", (col("id") % 5).cast("long"))
+    val plan = Ranking.topKPerGroup(grouped, Seq(col("grp")),
+      Seq(col("score").desc, col("id").asc), k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected Catalyst's WindowGroupLimit rewrite (map-side top-k per group):\n$plan")
+    intercept[IllegalArgumentException](
+      Ranking.topKPerGroup(grouped, Seq(col("grp")), Seq(col("id")), 0))
+    intercept[IllegalArgumentException](
+      Ranking.topKPerGroup(grouped, Nil, Seq(col("id")), 1))
+  }
+
   test("topFraction rejects bad percent; empty input stays empty") {
     intercept[IllegalArgumentException](
       Ranking.topFraction(fixture, Seq(col("id").asc), 0))

@@ -203,6 +203,39 @@ class StorageSpec extends SparkSpec {
     intercept[IllegalArgumentException](Maintenance.vacuumVersions(spark, dir, 0))
   }
 
+  test("bloom dup guard == exact anti-join, even with forced false positives") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter($"doc_id" % 3 === 0)
+    val incoming = docs.filter($"doc_id" < 200).select($"doc_id", $"source")
+    val exact = ChunkStore.dropExistingGlobal(incoming, corpus, "doc_id", "doc_id")
+      .as[(Long, String)].collect().toSet
+    // undersized + high-fpp filter: plenty of false positives must flow
+    // through the confirm join without changing the answer
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = ChunkStore.buildKeyBloom(corpus, "doc_id", expectedItems = 20, fpp = fpp)
+      val got = ChunkStore.dropExistingGlobalBloom(incoming, corpus, "doc_id", "doc_id", bloom)
+        .as[(Long, String)].collect().toSet
+      assert(got === exact, s"bloom guard diverged from exact anti-join at fpp=$fpp")
+    }
+  }
+
+  test("bloom dup guard: one filter serves many batches; null keys pass; no false negatives") {
+    val corpus = Seq(1L, 2L, 3L, 5L, 8L).toDF("k")
+    val bloom = ChunkStore.buildKeyBloom(corpus, "k", expectedItems = 5)
+    // reuse across two batches
+    val b1 = Seq(Some(1L), Some(4L)).toDF("k")
+    val b2 = Seq(Some(8L), Some(9L), None).toDF("k")
+    assert(ChunkStore.dropExistingGlobalBloom(b1, corpus, "k", "k", bloom)
+      .as[Option[Long]].collect().toSet === Set(Some(4L)))
+    // null key: anti-join never matches null, so the row survives —
+    // the bloom path must agree
+    assert(ChunkStore.dropExistingGlobalBloom(b2, corpus, "k", "k", bloom)
+      .as[Option[Long]].collect().toSet === Set(Some(9L), None))
+    // no false negatives: a batch of pure duplicates drops entirely
+    val allDups = corpus.toDF("k")
+    assert(ChunkStore.dropExistingGlobalBloom(allDups, corpus, "k", "k", bloom).count() === 0L)
+  }
+
   test("upsertByKey replaces matched keys, keeps the rest") {
     import graft.operators.Refresh
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
