@@ -105,6 +105,98 @@ object Sharding {
         count(lit(1)).as("n_rows"))
   }
 
+  /** floor-div on longs, exact at any magnitude (Column `/` detours
+    * through double — off-by-one beyond 2^53; same rationale as
+    * RangeJoin's bucket math). Operands here are non-negative. */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      GraftShim.expression(a), GraftShim.expression(b)))
+  }
+
+  /** Linear quantization of `v` into [0, 2^bits): pure integer math so
+    * any engine draws identical bucket boundaries; values outside
+    * [lo, hi] clamp to the edge buckets. */
+  private[graft] def quantize(v: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val nb = 1L << bits
+    greatest(lit(0L), least(lit(nb - 1),
+      intDiv((v.cast("long") - lit(lo)) * lit(nb), lit(hi - lo + 1))))
+  }
+
+  /** Z-order (Morton) key over two dimensions: each value quantized to
+    * `bits` buckets, then bit-interleaved (x in even positions, y in
+    * odd). Sorting by this ONE key gives locality in BOTH dimensions —
+    * the classic multi-dimensional clustering trick (Morton '66; the
+    * same layout Delta's OPTIMIZE ZORDER BY produces) — so per-file
+    * zone maps stay tight on x AND y and a 2-D box query can prune on
+    * either. Bounds are explicit (not data-sampled) so the key is a
+    * pure deterministic projection, reproducible across engines.
+    * `bits` ≤ 31 per dimension keeps the interleaved key in a long. */
+  def zOrderKey(x: Column, y: Column, xLo: Long, xHi: Long,
+                yLo: Long, yHi: Long, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    require(xHi >= xLo && yHi >= yLo, "empty quantization range")
+    require((xHi - xLo) <= (Long.MaxValue >> bits) &&
+      (yHi - yLo) <= (Long.MaxValue >> bits),
+      s"dimension span too wide for $bits-bit quantization without overflow")
+    val xb = quantize(x, xLo, xHi, bits)
+    val yb = quantize(y, yLo, yHi, bits)
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-ordered export with 2-D zone maps: rows are range-partitioned
+    * and sorted on the interleaved [[zOrderKey]], written one file set
+    * per range; the manifest carries each range's (min,max) of BOTH
+    * dimensions plus row count. Because Z-order clusters both
+    * dimensions, each range's x-interval AND y-interval are tight —
+    * [[readBox]] then prunes on both, where a 1-D [[exportSorted]]
+    * layout can only ever prune its sort column. Same write shape as
+    * exportSorted: one range exchange + in-partition sort, manifest
+    * computed from the written files. */
+  def exportZOrder(docs: DataFrame, xCol: String, yCol: String,
+                   xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+                   nRanges: Int, path: String, bits: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val keyed = docs.withColumn("__z",
+        zOrderKey(col(xCol), col(yCol), xLo, xHi, yLo, yHi, bits))
+      .repartitionByRange(nRanges, col("__z"))
+      .withColumn("range_id", spark_partition_id())
+      .sortWithinPartitions(col("range_id"), col("__z"))
+    keyed.write.mode("overwrite").partitionBy("range_id").parquet(path)
+    spark.read.schema(keyed.schema).parquet(path)
+      .groupBy(col("range_id"))
+      .agg(min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** 2-D box read over an [[exportZOrder]] layout: keep only the
+    * `range_id` directories whose x-zone AND y-zone overlap the box,
+    * then filter rows exactly. Pruning is at path construction, like
+    * [[readRange]] — `inputFiles` proves the skipped ranges are never
+    * listed. */
+  def readBox(manifest: DataFrame, path: String, xCol: String, yCol: String,
+              xLoQ: Long, xHiQ: Long, yLoQ: Long, yHiQ: Long): DataFrame = {
+    val spark = manifest.sparkSession
+    val overlapping = manifest
+      .filter(col("max_x") >= lit(xLoQ) && col("min_x") <= lit(xHiQ) &&
+        col("max_y") >= lit(yLoQ) && col("min_y") <= lit(yHiQ))
+      .select(col("range_id").cast("long")).collect().map(_.getLong(0)).sorted
+    val base = path.stripSuffix("/")
+    val boxFilter = col(xCol) >= lit(xLoQ) && col(xCol) <= lit(xHiQ) &&
+      col(yCol) >= lit(yLoQ) && col(yCol) <= lit(yHiQ)
+    if (overlapping.isEmpty)
+      spark.read.schema(spark.read.parquet(path).schema).parquet(path)
+        .filter(lit(false))
+    else
+      spark.read.option("basePath", path)
+        .parquet(overlapping.map(id => s"$base/range_id=$id"): _*)
+        .filter(boxFilter)
+  }
+
   /** Manifest-driven range read over an [[exportSorted]] layout: prune
     * to the `range_id` directories whose [min_key, max_key] overlaps
     * [lo, hi], then filter rows. Pruning happens at PATH construction —

@@ -276,6 +276,16 @@ object CurationQueries {
           Seq(col("lang")), Seq(col("n_chars").desc, col("doc_id").asc), k = 5)
         .orderBy(col("lang"), col("group_rank"))
     },
+    // Z-order (Morton) clustering key over (n_chars, doc_id): the
+    // multi-dimensional layout key behind exportZOrder — pure integer
+    // quantize + bit-interleave, bitwise-identical in any engine
+    "zorder_assign" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          graft.operators.Sharding.zOrderKey(col("n_chars"), col("doc_id"),
+            xLo = 0L, xHi = 16383L, yLo = 0L, yHi = 65535L, bits = 8).as("z_key"))
+        .orderBy(col("doc_id"))
+    },
     // reproducible training order: global shuffle as md5-keyed exact
     // rank — the same corpus enumerates in the same order on any
     // engine, any cluster size, any partitioning (RNG-free, like
@@ -393,6 +403,20 @@ object CurationQueries {
         |FROM r CROSS JOIN n
         |WHERE global_rank <= greatest(1, (n * 20) // 100)
         |ORDER BY global_rank""".stripMargin,
+    "zorder_assign" -> {
+      // the same quantize + interleave the Spark side computes, generated
+      // term by term (8 bits per dimension -> 16 shift/mask terms)
+      val xq = "greatest(0, least(255, (CAST(n_chars AS BIGINT) * 256) // 16384))"
+      val yq = "greatest(0, least(255, (CAST(doc_id AS BIGINT) * 256) // 65536))"
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((xq >> $i) & 1) << ${2 * i})", s"(((yq >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH q AS (
+         |  SELECT doc_id, n_chars, $xq AS xq, $yq AS yq FROM documents
+         |)
+         |SELECT doc_id, n_chars,
+         |       CAST(${terms.mkString(" | ")} AS BIGINT) AS z_key
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
     "train_order" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
         |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)

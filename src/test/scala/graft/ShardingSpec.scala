@@ -74,6 +74,62 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("zOrderKey: interleave matches hand-computed Morton codes") {
+    // identity quantization: lo=0, hi=2^bits-1 makes bucket == value
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L), (7L, 7L))
+      .toDF("x", "y")
+    val got = df.select($"x", $"y",
+        Sharding.zOrderKey($"x", $"y", 0L, 7L, 0L, 7L, bits = 3).as("z"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    def morton(x: Long, y: Long): Long = (0 until 3).map(i =>
+      (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).reduce(_ | _)
+    for (((x, y), z) <- got) assert(z === morton(x, y), s"($x,$y)")
+    // out-of-range clamps to edge buckets, never wraps
+    val clamped = Seq((-5L, 100L)).toDF("x", "y")
+      .select(Sharding.zOrderKey($"x", $"y", 0L, 7L, 0L, 7L, bits = 3))
+      .as[Long].head()
+    assert(clamped === morton(0L, 7L))
+    // guards
+    intercept[IllegalArgumentException](Sharding.zOrderKey($"x", $"y", 0, 7, 0, 7, 0))
+    intercept[IllegalArgumentException](Sharding.zOrderKey($"x", $"y", 0, 7, 0, 7, 32))
+    intercept[IllegalArgumentException](
+      Sharding.zOrderKey($"x", $"y", 0, Long.MaxValue - 1, 0, 7, 16))
+  }
+
+  test("exportZOrder + readBox: 2-D pruning skips ranges, result exact") {
+    withTempDir("zorder") { dir =>
+      // 64x64 grid: both dimensions uniformly covered, so a small box
+      // must prune most ranges in EITHER dimension
+      val rows = (0L until 4096L).map(i => (i, i % 64L, i / 64L))
+        .toDF("id", "x", "y")
+      val manifest = Sharding.exportZOrder(rows, "x", "y",
+        xLo = 0L, xHi = 63L, yLo = 0L, yHi = 63L,
+        nRanges = 16, path = dir.getAbsolutePath, bits = 6)
+      val m = manifest.as[(Int, Long, Long, Long, Long, Long)].collect()
+      assert(m.map(_._6).sum === 4096L, "manifest covers every row")
+      // a tight box: exact result vs brute-force filter
+      val box = Sharding.readBox(manifest, dir.getAbsolutePath, "x", "y",
+        xLoQ = 10L, xHiQ = 13L, yLoQ = 20L, yHiQ = 23L)
+      val expect = rows.filter($"x".between(10, 13) && $"y".between(20, 23))
+        .select("id").as[Long].collect().sorted
+      assert(box.select("id").as[Long].collect().sorted === expect)
+      assert(expect.length === 16)
+      // 2-D pruning: the box touches strictly fewer dirs than exist —
+      // and pruning bites on BOTH dimensions (a y-only slab also prunes,
+      // which a 1-D x-sorted layout could never do)
+      def dirsOf(df: org.apache.spark.sql.DataFrame) = df.inputFiles
+        .map(f => f.replaceAll("/[^/]*$", "").replaceAll(".*/", "")).distinct
+      assert(dirsOf(box).length < 16, "tight box must not scan every range")
+      val ySlab = Sharding.readBox(manifest, dir.getAbsolutePath, "x", "y",
+        0L, 63L, 0L, 3L)
+      assert(dirsOf(ySlab).length < 16, "y-slab must prune too (Z-order locality)")
+      assert(ySlab.count() === 256L)
+      // empty overlap: no rows, no crash
+      assert(Sharding.readBox(manifest, dir.getAbsolutePath, "x", "y",
+        100L, 200L, 100L, 200L).count() === 0L)
+    }
+  }
+
   test("readRange: prunes to overlapping range dirs only (inputFiles-proven)") {
     withTempDir("readrange") { dir =>
       val rows = (1L to 2000L).map(i => (i, i * 50L)).toDF("doc_id", "ts")
