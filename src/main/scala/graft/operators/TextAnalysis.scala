@@ -205,6 +205,49 @@ object TextAnalysis {
         count(lit(1)).as("total_tf"),
         countDistinct(col(langCol)).as("n_langs"))
 
+  /** Per-document n-gram novelty against the corpus — the rare-n-gram
+    * quality signal (a doc whose n-grams are all corpus-common is
+    * boilerplate; one whose n-grams are mostly rare is fresh text or
+    * noise — both ends inform curation thresholds). For each doc:
+    * total n-gram occurrences, occurrences whose corpus frequency is
+    * ≤ `rareThreshold`, and their ratio.
+    *
+    * Plan: one explode of adjacent-token n-grams (a narrow
+    * zip-transform over the token array, no self-join), a map-side-
+    * combined corpus frequency agg on the n-gram, one slim
+    * (doc_id, ngram) ⋈ (ngram, freq) shuffle join, and a final
+    * per-doc agg — at 100 TB every shuffled row is an n-gram string,
+    * never a document. All counts are exact integers; the ratio is a
+    * single IEEE division of two exact longs (bitwise cross-engine).
+    * Docs with fewer than `n` tokens have no n-grams and are absent
+    * from the output (count them upstream; a novelty score for "no
+    * evidence" would be noise). */
+  def ngramNovelty(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 2,
+                   rareThreshold: Long = 1L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    // adjacent n-grams: slice i..i+n-1 joined by a space — a transform
+    // over start positions, guarded because sequence(1, stop) DESCENDS
+    // when stop < 1 (a <n-token doc must yield zero grams, not [1,0])
+    val nStarts = size(toks) - (n - 1)
+    val grams = when(nStarts >= 1,
+      transform(sequence(lit(1), nStarts),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = docs
+      .select(col(idCol), explode(grams).as("ngram"))
+    val freq = exploded.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("__corpus_freq"))
+    exploded.join(freq, Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__corpus_freq") <= rareThreshold, 1L).otherwise(0L))
+          .as("n_rare"),
+        (sum(when(col("__corpus_freq") <= rareThreshold, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("novelty"))
+  }
+
   /** Full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text",
               stopwords: Seq[String] = Seq("the", "a")): DataFrame = {

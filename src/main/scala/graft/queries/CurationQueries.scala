@@ -276,6 +276,19 @@ object CurationQueries {
           Seq(col("lang")), Seq(col("n_chars").desc, col("doc_id").asc), k = 5)
         .orderBy(col("lang"), col("group_rank"))
     },
+    // exactly-N-per-stratum sampling: md5 draw + group-wise top-k —
+    // the fixed-COUNT complement to rel_stratified_det's fixed-RATE
+    // survival test; same determinism contract (engine/partitioning/
+    // run independent, salt-varied)
+    "sample_n_per_group" -> { (s, dir) =>
+      graft.operators.Ranking.topKPerGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+            md5(concat(col("doc_id").cast("string"), lit("|s1"))
+              .cast("binary")).as("draw")),
+          Seq(col("lang")), Seq(col("draw").asc, col("doc_id").asc),
+          k = 10, rankCol = "draw_rank")
+        .orderBy(col("lang"), col("draw_rank"))
+    },
     // Z-order (Morton) clustering key over (n_chars, doc_id): the
     // multi-dimensional layout key behind exportZOrder — pure integer
     // quantize + bit-interleave, bitwise-identical in any engine
@@ -403,6 +416,15 @@ object CurationQueries {
         |FROM r CROSS JOIN n
         |WHERE global_rank <= greatest(1, (n * 20) // 100)
         |ORDER BY global_rank""".stripMargin,
+    "sample_n_per_group" ->
+      """SELECT doc_id, lang, draw, draw_rank FROM (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || '|s1') AS draw,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|s1'), doc_id)
+        |           AS draw_rank
+        |  FROM documents
+        |) WHERE draw_rank <= 10
+        |ORDER BY lang, draw_rank""".stripMargin,
     "zorder_assign" -> {
       // the same quantize + interleave the Spark side computes, generated
       // term by term (8 bits per dimension -> 16 shift/mask terms)

@@ -93,6 +93,45 @@ object MultimodalQueries {
         rm(tmp)
       }
     },
+    // CSV round-trip with quarantine — the [[jsonl_roundtrip]] matrix
+    // on the positional-format twin: byte-exact recovery (the writer's
+    // default whitespace trim is disabled), same content signature,
+    // three injected corrupt lines (type mismatch, overflow, short row
+    // — CSV quarantines short rows where JSONL null-fills, fields
+    // being positional). Texts are newline-free in this corpus (CSV's
+    // documented line-split contract; scrub upstream otherwise).
+    "csv_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("csvrt").toFile
+      try {
+        val path = s"${tmp.getAbsolutePath}/docs"
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"))
+        graft.sources.CsvDocs.write(docs, path)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$path/part-corrupt.csv"),
+          "notanumber,en,type mismatch\n1,en,too,many,fields\n2,en\n")
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType), StructField("text", StringType)))
+        val r = graft.sources.CsvDocs.readWithStatus(s, path, schema)
+          .withColumn("__sig",
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+              col("text")).cast("binary")), 1, 15), 16, 10).cast("bigint"))
+          .agg(sum(when(col("is_good"), 1L).otherwise(0L)).as("n_good"),
+            expr("bit_xor(CASE WHEN is_good THEN __sig END)").as("content_sig"),
+            sum(when(!col("is_good"), 1L).otherwise(0L)).as("n_quarantined"))
+          .head()
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("n_good", "content_sig", "n_quarantined")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(tmp)
+      }
+    },
     // zip explode + parse + status rollup, self-contained: members are
     // built from the documents table driver-side (rows-only)
     "b2_zip_ingest" -> { (s, dir) =>
@@ -124,6 +163,13 @@ object MultimodalQueries {
     // signature over the round-tripped rows equals the same signature
     // computed directly on documents, and the quarantine count is
     // exactly the two injected lines
+    // same source-table verification as jsonl_roundtrip: byte-exact
+    // recovery <=> signature parity; quarantine = the 3 injected lines
+    "csv_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_good,
+        |       bit_xor(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS UBIGINT) AS BIGINT)) AS content_sig,
+        |       CAST(3 AS BIGINT) AS n_quarantined
+        |FROM documents""".stripMargin,
     "jsonl_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_good,
         |       bit_xor(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS UBIGINT) AS BIGINT)) AS content_sig,

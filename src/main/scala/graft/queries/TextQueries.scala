@@ -77,6 +77,15 @@ object TextQueries {
       TextAnalysis.termStats(Tables.documents(s, dir))
         .orderBy(col("token"))
     },
+    // rare-n-gram novelty: per doc, the share of its bigram occurrences
+    // whose corpus frequency is <= 2 — corpus-common everywhere means
+    // boilerplate, corpus-rare everywhere means fresh text or noise;
+    // exact integer counts, the ratio one IEEE division
+    "t_ngram_novelty" -> { (s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir), n = 2,
+          rareThreshold = 2L)
+        .orderBy(col("doc_id"))
+    },
     // Gopher-family repetition filters: top-bigram dominance + duplicate
     // bigram fraction (word-level), via the corpus-scale aggregation
     // form (explode + two-level agg — the per-row O(k²) expression form
@@ -215,6 +224,23 @@ object TextQueries {
          |       count(*) AS total_tf,
          |       count(DISTINCT lang) AS n_langs
          |FROM tok GROUP BY token ORDER BY token""".stripMargin,
+    "t_ngram_novelty" ->
+      s"""WITH t AS ($wCte),
+         |b AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(w) >= 2
+         |              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |              ELSE CAST([] AS VARCHAR[]) END AS bg
+         |  FROM t
+         |), g AS (SELECT doc_id, unnest(bg) AS ngram FROM b),
+         |f AS (SELECT ngram, count(*) AS cf FROM g GROUP BY ngram)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_ngrams,
+         |       CAST(sum(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |       CAST(sum(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM g JOIN f USING (ngram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_repetition" ->
       s"""WITH t AS ($wCte),
          |b AS (

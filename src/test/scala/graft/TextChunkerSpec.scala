@@ -236,4 +236,30 @@ class TextChunkerSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(viaProfile(slice) === viaExpr)
   }
+
+  test("ngramNovelty: hand-computed rare fractions; short docs absent; trigrams") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d"),   // bigrams: "a b" "b c" "c d"
+      (2L, "a b x y"),   // bigrams: "a b" "b x" "x y"
+      (3L, "one"),       // no bigrams -> absent
+      (4L, "")
+    ).toDF("doc_id", "text")
+    // corpus freq: "a b"=2, others=1; rareThreshold=1 -> rare = freq 1
+    val out = TextAnalysis.ngramNovelty(df, rareThreshold = 1L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      1L -> ((3L, 2L, 2.0 / 3)),
+      2L -> ((3L, 2L, 2.0 / 3))))
+    // threshold includes the shared bigram -> everything rare
+    val all = TextAnalysis.ngramNovelty(df, rareThreshold = 2L)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(all === Map(1L -> 1.0, 2L -> 1.0))
+    // trigrams: doc 1 has 2, doc 2 has 2, none shared
+    val tri = TextAnalysis.ngramNovelty(df, n = 3, rareThreshold = 1L)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(tri === Map(1L -> ((2L, 1.0)), 2L -> ((2L, 1.0))))
+    intercept[IllegalArgumentException](TextAnalysis.ngramNovelty(df, n = 0))
+  }
 }
