@@ -104,4 +104,33 @@ object LineDedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** Intra-document unit dedup: drop repeated occurrences of a unit
+    * WITHIN each document, keeping the first — the boilerplate cleaner
+    * (repeated nav menus, duplicated disclaimers, copy-paste stutter)
+    * that runs BEFORE corpus-level [[dedup]]. Output schema matches
+    * [[dedup]]: (idCol, n_units, n_dropped, kept_text).
+    *
+    * Purely per-row: the corpus never shuffles (corpus-level dedup
+    * needs three exchanges; this needs zero — it composes into any
+    * scan as a narrow projection). The per-row pass is a deterministic
+    * O(units) UDF with a seen-set; the codegen'd higher-order-function
+    * alternative (filter + array_position) is O(units²) per doc, which
+    * the r3 `t_repetition` incident showed is exactly the sf-blind
+    * trap to avoid on long documents. */
+  def dedupWithinDoc(df: DataFrame, segCol: Column,
+                     idCol: String = "doc_id"): DataFrame = {
+    val keepFirsts = udf { (units: Seq[String]) =>
+      if (units == null) (0L, 0L, "")
+      else {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        val kept = units.filter(seen.add) // add returns false on repeat
+        (units.length.toLong, (units.length - kept.length).toLong,
+          kept.mkString(" "))
+      }
+    }
+    df.select(col(idCol), keepFirsts(segCol).as("__r"))
+      .select(col(idCol), col("__r._1").as("n_units"),
+        col("__r._2").as("n_dropped"), col("__r._3").as("kept_text"))
+  }
 }

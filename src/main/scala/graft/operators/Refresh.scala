@@ -114,4 +114,34 @@ object Refresh {
       .filter(col("__rank") <= ceil(lit(targetRows.toDouble) * col("__w") / col("__wsum")))
       .drop("__n_d", "__w", "__wsum", "__rank")
   }
+
+  /** Token-budget corpus assembly: per domain, keep the PREFIX of docs
+    * (in deterministic md5 draw order) whose cumulative token count
+    * starts within `budgetTokens` — "give me ~1B tokens of each
+    * domain", the token-denominated complement to [[temperatureMix]]'s
+    * row-denominated shares. A doc is kept iff the tokens BEFORE it in
+    * draw order are < budget, so the selection overshoots by at most
+    * one document (greedy prefix, not a knapsack — reproducibility
+    * beats the last sliver of budget precision).
+    *
+    * One shuffle: a per-domain window cumsum in draw order. Parallelism
+    * is the domain count (each domain's running sum is sequential by
+    * nature — same contract [[graft.operators.Packing.packDocs]]
+    * documents for shards); a single mega-domain serializes its own
+    * sort but never the other domains'. NULL domains are dropped,
+    * matching [[temperatureMix]] and the SQL oracle. */
+  def tokenBudgetMix(df: DataFrame, domainCol: String, keyCol: String,
+                     tokensCol: String, budgetTokens: Long,
+                     salt: String = ""): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val draw = md5(concat(col(keyCol).cast("string"), lit("|" + salt))
+      .cast("binary"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__draw"), col(keyCol))
+    df.filter(col(domainCol).isNotNull)
+      .withColumn("__draw", draw)
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") - col(tokensCol) < budgetTokens)
+      .drop("__draw", "__cum")
+  }
 }

@@ -128,6 +128,14 @@ object CurationQueries {
           minCount = 2L, keepFirst = true)
         .orderBy(col("doc_id"))
     },
+    // intra-document dedup over the same 4-word chunks: keep each
+    // unit's FIRST occurrence within its own doc — the zero-shuffle
+    // boilerplate cleaner that precedes corpus-level dedup_lines
+    "dedup_lines_intra" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      LineDedup.dedupWithinDoc(docs, LineDedup.wordChunks(col("text"), 4))
+        .orderBy(col("doc_id"))
+    },
     // the COMPOSED curation decision a training pipeline actually ships:
     // PII scrub -> quality score -> benchmark decontamination -> one
     // keep/drop verdict per doc, with the redacted payload as the
@@ -605,6 +613,33 @@ object CurationQueries {
         |SELECT t.doc_id,
         |       CAST(coalesce(d.n_units, 0) AS BIGINT) AS n_units,
         |       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |       coalesce(d.kept_text, '') AS kept_text
+        |FROM t LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_lines_intra" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), seg AS (
+        |  SELECT doc_id, w,
+        |         unnest(range(0, CAST(ceil(len(w) / 4.0) AS BIGINT))) AS idx
+        |  FROM t WHERE len(w) > 0
+        |), u AS (
+        |  SELECT doc_id, idx, array_to_string(w[idx*4+1:idx*4+4], ' ') AS unit
+        |  FROM seg
+        |), f AS (
+        |  SELECT doc_id, unit, count(*) AS c, min(idx) AS fidx
+        |  FROM u GROUP BY doc_id, unit
+        |), d AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) AS n_units,
+        |         CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
+        |         string_agg(unit, ' ' ORDER BY fidx) AS kept_text
+        |  FROM f GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |       coalesce(d.n_units, 0) AS n_units,
+        |       coalesce(d.n_dropped, 0) AS n_dropped,
         |       coalesce(d.kept_text, '') AS kept_text
         |FROM t LEFT JOIN d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,

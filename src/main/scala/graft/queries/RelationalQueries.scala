@@ -80,6 +80,17 @@ object RelationalQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
+    // token-budget corpus assembly: per-language greedy prefix in md5
+    // draw order until ~5000 tokens — the token-denominated complement
+    // to rel_domain_mix's row shares; exact row-set parity
+    "rel_token_budget" -> { (s, dir) =>
+      Refresh.tokenBudgetMix(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+            size(array_remove(split(col("text"), " "), ""))
+              .cast("long").as("n_tok")),
+          "lang", "doc_id", "n_tok", budgetTokens = 5000L)
+        .orderBy(col("doc_id"))
+    },
     // corpus snapshot diff: deterministic v2 mutation (drop %31, edit
     // %7, add %13 under shifted ids) audited by fingerprint — the join
     // ships (id, md5) only, never payloads
@@ -184,6 +195,21 @@ object RelationalQueries {
         |)
         |SELECT doc_id, lang FROM r
         |WHERE rk <= ceil(200 * w / wsum)
+        |ORDER BY doc_id""".stripMargin,
+    "rel_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |         md5(CAST(doc_id AS VARCHAR) || '|') AS draw
+        |  FROM documents WHERE lang IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY lang ORDER BY draw, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_tok FROM c
+        |WHERE cum - n_tok < 5000
         |ORDER BY doc_id""".stripMargin
   )
 }

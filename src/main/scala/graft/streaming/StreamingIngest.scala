@@ -50,6 +50,15 @@ object StreamingIngest {
     graft.sources.JsonlDocs.statusFromLines(
       spark.readStream.text(inputDir), schema)
 
+  /** Streaming CSV ingest: the [[jsonlIngestStream]] twin over the
+    * positional format — the same shared lines→status parse as batch
+    * [[graft.sources.CsvDocs]], so stream==batch parity (including the
+    * short-row-quarantines contract) holds by construction. */
+  def csvIngestStream(spark: SparkSession, inputDir: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.sources.CsvDocs.statusFromLines(
+      spark.readStream.text(inputDir), schema)
+
   /** Streaming sharded export: append each micro-batch to a
     * shard-partitioned lake directory via the SAME
     * [[graft.operators.Sharding.exportShards]] pipeline as batch — a

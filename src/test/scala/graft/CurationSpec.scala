@@ -165,4 +165,34 @@ class CurationSpec extends SparkSpec {
     val l = df.select(LineDedup.lines(col("text")).as("l")).as[Seq[String]].head()
     assert(l === Seq("first line", "second line"))
   }
+
+  test("intra-doc dedup: first occurrence kept per doc, cross-doc repeats untouched") {
+    val docs = Seq(
+      (1L, "dup one aa bb dup one cc dd dup one"), // "dup one" x3 in ONE doc
+      (2L, "dup one ee ff"),                       // repeat across docs: kept
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = LineDedup.dedupWithinDoc(docs, LineDedup.wordChunks(col("text"), 2))
+      .orderBy("doc_id")
+      .select("n_units", "n_dropped", "kept_text")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) === ((5L, 2L, "dup one aa bb cc dd")))
+    assert(out(1) === ((2L, 0L, "dup one ee ff")))
+    assert(out(2) === ((0L, 0L, "")))
+  }
+
+  test("intra-doc dedup: zero shuffles; single-doc corpus agrees with corpus dedup") {
+    val docs = Seq((1L, "x y x y aa bb x y")).toDF("doc_id", "text")
+    val intra = LineDedup.dedupWithinDoc(docs, LineDedup.wordChunks(col("text"), 2))
+    assert(!intra.queryExecution.executedPlan.toString.contains("Exchange"),
+      "intra-doc dedup must be a narrow projection")
+    // on a one-doc corpus, within-doc == corpus-wide keep-first
+    val corpus = LineDedup.dedup(docs, LineDedup.wordChunks(col("text"), 2),
+      minCount = 2L, keepFirst = true)
+    val a = intra.select("doc_id", "n_units", "n_dropped", "kept_text")
+      .as[(Long, Long, Long, String)].head()
+    val b = corpus.select("doc_id", "n_units", "n_dropped", "kept_text")
+      .as[(Long, Long, Long, String)].head()
+    assert(a === b)
+  }
 }

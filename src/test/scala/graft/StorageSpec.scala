@@ -203,6 +203,45 @@ class StorageSpec extends SparkSpec {
     intercept[IllegalArgumentException](Maintenance.vacuumVersions(spark, dir, 0))
   }
 
+  test("tokenBudgetMix: greedy prefix per domain in draw order, bounded overshoot") {
+    import graft.operators.Refresh
+    val docs = (1L to 300L).map(i =>
+        (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else null, 10L + i % 7))
+      .toDF("doc_id", "dom", "n_tok")
+    val kept = Refresh.tokenBudgetMix(docs, "dom", "doc_id", "n_tok", 200L)
+      .as[(Long, String, Long)].collect()
+    // null domains never selected
+    assert(kept.forall(_._2 != null))
+    for (dom <- Seq("a", "b")) {
+      val keptDom = kept.filter(_._2 == dom)
+      val total = keptDom.map(_._3).sum
+      // budget respected up to the one greedy-overshoot doc
+      assert(total < 200L + keptDom.map(_._3).max,
+        s"domain $dom overshot: $total tokens")
+      // exactly the md5-order prefix: replay driver-side
+      val order = docs.filter($"dom" === dom)
+        .select($"doc_id", md5(concat($"doc_id".cast("string"), lit("|"))
+          .cast("binary")).as("d"), $"n_tok")
+        .as[(Long, String, Long)].collect().sortBy(r => (r._2, r._1))
+      var cum = 0L
+      val expectIds = order.flatMap { r =>
+        val before = cum; cum += r._3
+        if (before < 200L) Some(r._1) else None
+      }.toSet
+      assert(keptDom.map(_._1).toSet === expectIds, s"domain $dom prefix mismatch")
+    }
+    // partitioning-independent
+    val again = Refresh.tokenBudgetMix(docs.repartition(17), "dom", "doc_id",
+      "n_tok", 200L).as[(Long, String, Long)].collect().toSet
+    assert(again === kept.toSet)
+    // salt changes the draw, guards fire
+    val salted = Refresh.tokenBudgetMix(docs, "dom", "doc_id", "n_tok", 200L,
+      salt = "other").as[(Long, String, Long)].collect().toSet
+    assert(salted !== kept.toSet)
+    intercept[IllegalArgumentException](
+      Refresh.tokenBudgetMix(docs, "dom", "doc_id", "n_tok", 0L))
+  }
+
   test("bloom dup guard == exact anti-join, even with forced false positives") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter($"doc_id" % 3 === 0)

@@ -286,6 +286,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CSV ingest: good/quarantine split, stream parse == batch parse") {
+    implicit val sqlCtx = spark.sqlContext
+    withTempDir("csv-stream") { root =>
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${in.getAbsolutePath}/a.csv"),
+        "1,one\nnotanumber,broken\n2,two\n3\n")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val goodOut = new java.io.File(root, "good").getAbsolutePath
+      val badOut = new java.io.File(root, "bad").getAbsolutePath
+      val stream = StreamingIngest.csvIngestStream(spark, in.getAbsolutePath, schema)
+      val q = stream.writeStream
+        .option("checkpointLocation", new java.io.File(root, "ckpt").getAbsolutePath)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.persist()
+          try {
+            batch.filter($"is_good").select($"doc_id", $"text")
+              .write.mode("append").parquet(goodOut)
+            batch.filter(!$"is_good").select($"raw_line")
+              .write.mode("append").parquet(badOut)
+          } finally batch.unpersist()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val good = spark.read.parquet(goodOut).as[(Long, String)].collect().sortBy(_._1)
+      assert(good.toSeq === Seq((1L, "one"), (2L, "two")))
+      // the short positional row quarantines too (unlike JSONL)
+      val bad = spark.read.parquet(badOut).as[String].collect().sorted
+      assert(bad.toSeq === Seq("3", "notanumber,broken"))
+      // stream parse == batch parse of the same files
+      val batchStatus = graft.sources.CsvDocs
+        .readWithStatus(spark, in.getAbsolutePath, schema)
+        .select($"is_good", $"doc_id").as[(Boolean, Option[Long])]
+        .collect()
+      assert(batchStatus.count(_._1) === 2 && batchStatus.count(!_._1) === 2)
+    }
+  }
+
   test("streaming sharded export matches batch shard assignment") {
     implicit val sqlCtx = spark.sqlContext
     withTempDir("shard-stream") { root =>
