@@ -213,10 +213,12 @@ object TextAnalysis {
     * ≤ `rareThreshold`, and their ratio.
     *
     * Plan: one explode of adjacent-token n-grams (a narrow
-    * zip-transform over the token array, no self-join), a map-side-
-    * combined corpus frequency agg on the n-gram, one slim
-    * (doc_id, ngram) ⋈ (ngram, freq) shuffle join, and a final
-    * per-doc agg — at 100 TB every shuffled row is an n-gram string,
+    * zip-transform over the token array, no self-join), collapsed
+    * FIRST to per-(doc, ngram) multiplicities — map-side combine
+    * shrinks the shuffle below occurrence count, and everything
+    * downstream (the corpus-frequency agg, the frequency join, the
+    * per-doc rollup) moves distinct pairs instead of occurrences. At
+    * 100 TB every shuffled row is an n-gram string with a count,
     * never a document. All counts are exact integers; the ratio is a
     * single IEEE division of two exact longs (bitwise cross-engine).
     * Docs with fewer than `n` tokens have no n-grams and are absent
@@ -235,17 +237,18 @@ object TextAnalysis {
       transform(sequence(lit(1), nStarts),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    val exploded = docs
+    val docGrams = docs
       .select(col(idCol), explode(grams).as("ngram"))
-    val freq = exploded.groupBy(col("ngram"))
-      .agg(count(lit(1)).as("__corpus_freq"))
-    exploded.join(freq, Seq("ngram"))
+      .groupBy(col(idCol), col("ngram"))
+      .agg(count(lit(1)).as("__m"))
+    val freq = docGrams.groupBy(col("ngram"))
+      .agg(sum(col("__m")).as("__corpus_freq"))
+    val rare = sum(when(col("__corpus_freq") <= rareThreshold, col("__m"))
+      .otherwise(0L))
+    docGrams.join(freq, Seq("ngram"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("__corpus_freq") <= rareThreshold, 1L).otherwise(0L))
-          .as("n_rare"),
-        (sum(when(col("__corpus_freq") <= rareThreshold, 1L).otherwise(0L))
-          .cast("double") / count(lit(1)).cast("double")).as("novelty"))
+      .agg(sum(col("__m")).as("n_ngrams"), rare.as("n_rare"),
+        (rare.cast("double") / sum(col("__m")).cast("double")).as("novelty"))
   }
 
   /** Full per-document profile. */
