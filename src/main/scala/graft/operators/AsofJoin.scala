@@ -102,13 +102,10 @@ object AsofJoin {
       .drop("__ts", "__side", "__payload")
   }
 
-  /** floor(a / w), exact for any long (see RangeJoin.bucketOf). */
-  private def sliceOf(a: Column, w: Long): Column = {
-    import org.apache.spark.sql.GraftShim
-    val floored = a - pmod(a, lit(w))
-    GraftShim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      GraftShim.expression(floored), GraftShim.expression(lit(w))))
-  }
+  /** floor(a / w), exact for any long
+    * ([[graft.functions.IntMath.floorDiv]]). */
+  private def sliceOf(a: Column, w: Long): Column =
+    graft.functions.IntMath.floorDiv(a, w)
 
   /** Skew-hardened [[asofBackward]]: identical semantics, but the window
     * partition key is (keys, timeSlice) instead of (keys) — a hot key

@@ -53,26 +53,42 @@ object ChunkStore {
       .stat.bloomFilter("__k", expectedItems, fpp)
 
   /** B9 for a 100 TB corpus: bloom-guarded duplicate drop. The plain
-    * [[dropExistingGlobal]] anti-join re-reads every corpus key for
-    * EVERY ingest batch; with a prebuilt corpus [[buildKeyBloom]]
-    * filter, bloom-negative incoming rows are *definitely* new (bloom
-    * filters have no false negatives) and pass with no join at all —
-    * only bloom-positive rows (true duplicates plus an fpp-fraction of
-    * false alarms) go through the exact anti-join confirm, whose
-    * incoming side is now tiny and broadcasts. The result is EXACTLY
-    * the plain anti-join's (false positives are re-checked, null keys
-    * take the no-match path both ways); the filter going stale after
-    * corpus appends only yields false negatives *for the appended
-    * keys*, so rebuild the filter whenever the corpus grows — the
-    * intended cadence is rebuild-per-compaction, probe-per-microbatch. */
+    * [[dropExistingGlobal]] anti-join SHUFFLES the corpus keys for
+    * EVERY ingest batch (a left-anti join can only build-broadcast its
+    * right side — the corpus — which at 100 TB it never can). With a
+    * prebuilt corpus [[buildKeyBloom]] filter the confirm inverts:
+    * bloom-positive incoming KEYS (true duplicates plus an
+    * fpp-fraction of false alarms — a tiny, column-pruned projection
+    * of the batch) broadcast INTO a semi-join against the corpus,
+    * which therefore scans its key column once and never shuffles;
+    * the resulting confirmed-duplicate key set is at most the batch
+    * size, so the final anti-join against the full incoming rows
+    * build-broadcasts it. Bloom-negative keys are *definitely* new
+    * (no false negatives) — they skip the semi-join probe and survive
+    * the final anti-join by construction.
+    *
+    * The result is EXACTLY the plain anti-join's (false positives are
+    * re-checked, null keys take the no-match path both ways — spec-
+    * pinned even at fpp 0.5). A filter gone stale after corpus appends
+    * misses only the appended keys, so rebuild whenever the corpus
+    * grows — the intended cadence is rebuild-per-compaction,
+    * probe-per-microbatch. `incoming` is referenced by two plan
+    * subtrees (the key probe and the final anti-join); micro-batches
+    * are in memory already, persist larger inputs. */
   def dropExistingGlobalBloom(incoming: DataFrame, corpus: DataFrame,
                               incomingKey: String, corpusKey: String,
                               bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val might = udf((k: String) => k != null && bc.value.mightContainString(k))
-    val flag = might(col(incomingKey).cast("string"))
-    incoming.filter(!flag).unionByName(
-      dropExistingGlobal(incoming.filter(flag), corpus, incomingKey, corpusKey))
+    val positiveKeys = incoming
+      .select(col(incomingKey))
+      .filter(might(col(incomingKey).cast("string")))
+      .distinct()
+    val confirmedDups = corpus.select(col(corpusKey).as(incomingKey))
+      .join(broadcast(positiveKeys), Seq(incomingKey), "left_semi")
+    // confirmedDups ≤ the batch's key count — hint it explicitly, since
+    // its size ESTIMATE derives from corpus-sized stats
+    incoming.join(broadcast(confirmedDups), Seq(incomingKey), "left_anti")
   }
 
   /** B10: per-collection duplicate guard (`vector_store.py:56-68`) —

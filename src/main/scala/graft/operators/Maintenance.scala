@@ -123,7 +123,14 @@ object Maintenance {
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = resolveCurrent(spark, path)
     val curVer = if (cur == base) 0 else cur.substring(cur.lastIndexOf("/v") + 2).toInt
-    val nextVer = curVer + 1
+    // next = max EXISTING version + 1, not curVer + 1: after a hand
+    // rollback (pointer at v3 while v4 exists — a state vacuumVersions
+    // deliberately preserves) curVer+1 would OVERWRITE the retained v4
+    // that in-flight readers may hold open
+    val maxVer = (curVer +: fs.listStatus(basePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v[0-9]+"))
+      .map(_.getPath.getName.substring(1).toInt)).max
+    val nextVer = maxVer + 1
     val curPath = new org.apache.hadoop.fs.Path(cur)
 
     val totalBytes = fs.getContentSummary(curPath).getLength
@@ -154,10 +161,14 @@ object Maintenance {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
     // retain `retainPrevious` prior versions for in-flight readers
-    // (default 1 = the cycle of grace), vacuum anything older. Legacy
-    // flat files (curVer == 0) cannot be retained alongside the version
-    // dirs — migration is the one offline step, so delete them.
-    vacuumVersions(spark, path, keep = retainPrevious + 1)
+    // (default 1 = the cycle of grace), vacuum anything older — but
+    // ALWAYS keep the version that was current until this flip: after
+    // a hand rollback it is not among the highest-numbered, yet it is
+    // exactly the one in-flight readers are on. Legacy flat files
+    // (curVer == 0) cannot be retained alongside the version dirs —
+    // migration is the one offline step, so delete them.
+    vacuumVersions(spark, path, keep = retainPrevious + 1,
+      alwaysKeep = if (curVer > 0) Set(s"v$curVer") else Set.empty)
     if (curVer == 0) fs.listStatus(basePath).foreach { st =>
       if (!st.isDirectory && st.getPath.getName.endsWith(".parquet"))
         fs.delete(st.getPath, false)
@@ -174,7 +185,11 @@ object Maintenance {
     * schedule that matches the fleet's longest-running reader. The
     * current version is never deleted even if `keep` would exclude it
     * (a pointer rolled back by hand must not have its data vacuumed). */
-  def vacuumVersions(spark: SparkSession, path: String, keep: Int): Seq[String] = {
+  def vacuumVersions(spark: SparkSession, path: String, keep: Int): Seq[String] =
+    vacuumVersions(spark, path, keep, Set.empty)
+
+  private def vacuumVersions(spark: SparkSession, path: String, keep: Int,
+                             alwaysKeep: Set[String]): Seq[String] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val base = path.stripSuffix("/")
     val basePath = new org.apache.hadoop.fs.Path(base)
@@ -186,7 +201,7 @@ object Maintenance {
       .filter(st => st.isDirectory && st.getPath.getName.matches("v[0-9]+"))
       .map(_.getPath.getName)
       .sortBy(_.substring(1).toInt)
-    val retained = versions.takeRight(keep).toSet + curName
+    val retained = versions.takeRight(keep).toSet + curName ++ alwaysKeep
     val doomed = versions.filterNot(retained)
     doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$base/$v"), true))
     doomed

@@ -27,16 +27,10 @@ object RangeJoin {
 
   private val Reserved = Seq("__bucket", "__start", "__end")
 
-  /** floor(a / w) with floorDiv semantics, exact for any long:
-    * subtract the positive remainder, then integral-divide the exact
-    * multiple (SQL `div`, not Column `/` — the latter goes through
-    * double and loses integer precision beyond 2^53). */
-  private def bucketOf(a: Column, w: Long): Column = {
-    import org.apache.spark.sql.GraftShim
-    val floored = a - pmod(a, lit(w))
-    GraftShim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      GraftShim.expression(floored), GraftShim.expression(lit(w))))
-  }
+  /** floor(a / w) with floorDiv semantics, exact for any long —
+    * shared exact-division helper ([[graft.functions.IntMath]]). */
+  private def bucketOf(a: Column, w: Long): Column =
+    graft.functions.IntMath.floorDiv(a, w)
 
   /** Join points to the intervals containing them (inclusive ends).
     *

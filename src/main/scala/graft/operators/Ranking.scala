@@ -73,13 +73,18 @@ object Ranking {
   /** Keep the top `percent`% rows under `orderCols` (at least one row
     * for a non-empty input): rank ≤ max(1, n·percent DIV 100) — pure
     * integer math so any engine draws the same boundary. The count is
-    * a 1-row broadcast, not a driver constant baked into the plan. */
+    * a 1-row broadcast, not a driver constant baked into the plan —
+    * and it is derived from the RANKED output (n = max rank), not
+    * from a second scan of `df`: the source is evaluated exactly once
+    * into the range shuffle, the count pass reuses those shuffle
+    * files, and rank and count can never disagree. */
   def topFraction(df: DataFrame, orderCols: Seq[Column], percent: Int,
                   rankCol: String = "global_rank"): DataFrame = {
     require(percent >= 1 && percent <= 100,
       s"percent must be in [1,100], got $percent")
-    val nDf = df.agg(count(lit(1)).cast("long").as("__n"))
-    globalRank(df, orderCols, rankCol)
+    val ranked = globalRank(df, orderCols, rankCol)
+    val nDf = ranked.agg(coalesce(max(col(rankCol)), lit(0L)).as("__n"))
+    ranked
       .crossJoin(broadcast(nDf))
       .filter(col(rankCol) <=
         greatest(lit(1L), expr(s"(__n * $percent) DIV 100")))

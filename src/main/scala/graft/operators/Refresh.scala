@@ -124,12 +124,18 @@ object Refresh {
     * one document (greedy prefix, not a knapsack — reproducibility
     * beats the last sliver of budget precision).
     *
-    * One shuffle: a per-domain window cumsum in draw order. Parallelism
-    * is the domain count (each domain's running sum is sequential by
-    * nature — same contract [[graft.operators.Packing.packDocs]]
-    * documents for shards); a single mega-domain serializes its own
-    * sort but never the other domains'. NULL domains are dropped,
-    * matching [[temperatureMix]] and the SQL oracle. */
+    * One shuffle: a per-domain window cumsum in draw order, with an
+    * explicit ROWS frame — the default frame under an ORDER BY is
+    * RANGE, which sums ALL peer rows of a tie at once and would drop
+    * every copy of a duplicated key instead of keeping a prefix.
+    * Parallelism is the domain count (each domain's running sum is
+    * sequential by nature — same contract
+    * [[graft.operators.Packing.packDocs]] documents for shards); a
+    * single mega-domain serializes its own sort but never the other
+    * domains'. NULL domains are dropped, matching [[temperatureMix]]
+    * and the SQL oracle. `keyCol` should be unique (dedup upstream):
+    * duplicate keys draw identical md5s, and which tied row lands
+    * inside the budget boundary is then partitioning luck. */
   def tokenBudgetMix(df: DataFrame, domainCol: String, keyCol: String,
                      tokensCol: String, budgetTokens: Long,
                      salt: String = ""): DataFrame = {
@@ -138,6 +144,7 @@ object Refresh {
       .cast("binary"))
     val w = Window.partitionBy(col(domainCol))
       .orderBy(col("__draw"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.filter(col(domainCol).isNotNull)
       .withColumn("__draw", draw)
       .withColumn("__cum", sum(col(tokensCol)).over(w))

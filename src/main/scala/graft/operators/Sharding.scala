@@ -105,22 +105,19 @@ object Sharding {
         count(lit(1)).as("n_rows"))
   }
 
-  /** floor-div on longs, exact at any magnitude (Column `/` detours
-    * through double — off-by-one beyond 2^53; same rationale as
-    * RangeJoin's bucket math). Operands here are non-negative. */
-  private def intDiv(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.GraftShim
-    GraftShim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      GraftShim.expression(a), GraftShim.expression(b)))
-  }
-
   /** Linear quantization of `v` into [0, 2^bits): pure integer math so
     * any engine draws identical bucket boundaries; values outside
-    * [lo, hi] clamp to the edge buckets. */
+    * [lo, hi] clamp to the edge buckets. The clamp happens BEFORE the
+    * multiply — clamping the product instead would let a far-out value
+    * (an epoch-nanos outlier, a Long.MaxValue sentinel) overflow
+    * `(v - lo) * 2^bits` first, which under ANSI mode kills the whole
+    * job and without it silently wraps to the WRONG edge. After the
+    * clamp the span guard in [[zOrderKey]] makes overflow impossible. */
   private[graft] def quantize(v: Column, lo: Long, hi: Long, bits: Int): Column = {
     val nb = 1L << bits
-    greatest(lit(0L), least(lit(nb - 1),
-      intDiv((v.cast("long") - lit(lo)) * lit(nb), lit(hi - lo + 1))))
+    val clamped = greatest(lit(lo), least(lit(hi), v.cast("long")))
+    graft.functions.IntMath.integralDivide(
+      (clamped - lit(lo)) * lit(nb), lit(hi - lo + 1))
   }
 
   /** Z-order (Morton) key over two dimensions: each value quantized to

@@ -48,8 +48,18 @@ object CsvDocs {
     require(!schema.fieldNames.exists(reserved.contains),
       s"schema may not contain reserved columns ${reserved.mkString(", ")}")
     val withCr = schema.add(StructField(CorruptCol, StringType))
+    // The writer distinguishes empty string (quoted `""`) from null
+    // (bare empty field), but the DEFAULT parser collapses both to
+    // null: nullValue defaults to "" and claims quoted empties, and an
+    // explicit emptyValue of "" is ignored (empty option values read
+    // as unset — probed, not assumed). Pointing nullValue at the NUL
+    // frees the quoted empty to parse as "" while bare fields stay
+    // null natively — completing the byte-exact round-trip. Contract
+    // cost: a field that IS the single NUL character reads as null
+    // (CSV cannot carry NUL safely in any case).
     val opts = Map("mode" -> "PERMISSIVE",
-      "columnNameOfCorruptRecord" -> CorruptCol)
+      "columnNameOfCorruptRecord" -> CorruptCol,
+      "nullValue" -> "\u0000")
     lines
       .filter(length(trim(col("value"), " \t")) > 0)
       .withColumn("c", from_csv(col("value"), withCr, opts))

@@ -21,23 +21,23 @@ class CsvSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString + "/data"
 
-  test("round trip: quotes, commas, unicode, empty strings survive byte-exactly") {
+  test("round trip: quotes, commas, unicode, empty string AND null survive distinctly") {
     val docs = Seq(
       (1L, "en", "plain text"),
       (2L, "ko", "한국어 텍스트, 쉼표 포함"),
       (3L, "en", "quoted \"inner\" and, commas"),
       (4L, "fr", ""),
-      (5L, "de", "  leading and trailing  ")).toDF("doc_id", "lang", "text")
+      (5L, "de", "  leading and trailing  "),
+      (6L, "en", null)).toDF("doc_id", "lang", "text")
     val dir = tmp("csv-rt")
     CsvDocs.write(docs, dir)
     val back = CsvDocs.read(spark, dir, schema)
       .as[(Long, String, String)].collect().toSet
     val orig = docs.as[(Long, String, String)].collect().toSet
-    // the one asymmetry CSV cannot represent: an empty UNQUOTED field
-    // reads back as null, not "" — assert everything else byte-exact
-    val normalize = (s: Set[(Long, String, String)]) =>
-      s.map { case (i, l, t) => (i, l, if (t == null) "" else t) }
-    assert(normalize(back) === normalize(orig))
+    // byte-exact INCLUDING the empty-vs-null distinction: the writer
+    // quotes "" and leaves null bare; the reader's emptyValue/nullValue
+    // split restores each — doc 4 must come back "", doc 6 null
+    assert(back === orig)
   }
 
   test("quarantine: type-mismatch, overflow AND short lines isolate (positional format)") {

@@ -89,6 +89,14 @@ class ShardingSpec extends SparkSpec {
       .select(Sharding.zOrderKey($"x", $"y", 0L, 7L, 0L, 7L, bits = 3))
       .as[Long].head()
     assert(clamped === morton(0L, 7L))
+    // FAR out of range: the clamp runs before the multiply, so an
+    // epoch-nanos outlier or Long.MaxValue sentinel cannot overflow
+    // (ANSI mode would kill the job; non-ANSI would wrap to the WRONG
+    // edge) — it lands in the top bucket like any other high value
+    val extreme = Seq((Long.MaxValue, Long.MinValue)).toDF("x", "y")
+      .select(Sharding.zOrderKey($"x", $"y", 0L, 7L, 0L, 7L, bits = 3))
+      .as[Long].head()
+    assert(extreme === morton(7L, 0L))
     // guards
     intercept[IllegalArgumentException](Sharding.zOrderKey($"x", $"y", 0, 7, 0, 7, 0))
     intercept[IllegalArgumentException](Sharding.zOrderKey($"x", $"y", 0, 7, 0, 7, 32))

@@ -201,6 +201,18 @@ class StorageSpec extends SparkSpec {
     Tables.documents(spark, sfDir).limit(5).write.parquet(flat)
     assert(Maintenance.vacuumVersions(spark, flat, keep = 1) === Nil)
     intercept[IllegalArgumentException](Maintenance.vacuumVersions(spark, dir, 0))
+    // compacting the rolled-back state (pointer v3, v4 on disk) must
+    // NOT overwrite the retained v4 — the new version numbers PAST the
+    // maximum on disk, and v3 (the until-now-current the in-flight
+    // readers are on) survives the post-flip vacuum
+    val v4Files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/v4"))
+      .map(_.getPath.getName).sorted
+    assert(Maintenance.compactParquetVersioned(spark, dir) === 30)
+    assert(Maintenance.resolveCurrent(spark, dir).endsWith("/v5"))
+    assert(versions === Seq("v3", "v4", "v5"))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/v4"))
+      .map(_.getPath.getName).sorted === v4Files, "v4 clobbered by compaction")
+    assert(spark.read.parquet(Maintenance.resolveCurrent(spark, dir)).count() === 30)
   }
 
   test("tokenBudgetMix: greedy prefix per domain in draw order, bounded overshoot") {
@@ -240,6 +252,13 @@ class StorageSpec extends SparkSpec {
     assert(salted !== kept.toSet)
     intercept[IllegalArgumentException](
       Refresh.tokenBudgetMix(docs, "dom", "doc_id", "n_tok", 0L))
+    // tied draws (duplicate keys) accumulate ROW BY ROW: the default
+    // RANGE frame would lump all peers into one cum and drop every
+    // copy; the explicit ROWS frame keeps a true greedy prefix
+    val dups = Seq((7L, "a", 100L), (7L, "a", 100L), (7L, "a", 100L))
+      .toDF("doc_id", "dom", "n_tok")
+    assert(Refresh.tokenBudgetMix(dups, "dom", "doc_id", "n_tok", 150L)
+      .count() === 2L, "2 of 3 tied 100-token rows start within a 150 budget")
   }
 
   test("bloom dup guard == exact anti-join, even with forced false positives") {
@@ -273,6 +292,15 @@ class StorageSpec extends SparkSpec {
     // no false negatives: a batch of pure duplicates drops entirely
     val allDups = corpus.toDF("k")
     assert(ChunkStore.dropExistingGlobalBloom(allDups, corpus, "k", "k", bloom).count() === 0L)
+    // scale contract: the corpus side is consulted via a BROADCAST
+    // semi-join (batch keys broadcast INTO it) and the confirm is a
+    // broadcast anti-join — the corpus never sort-merge shuffles
+    val plan = ChunkStore.dropExistingGlobalBloom(b1, corpus, "k", "k", bloom)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected semi+anti join pair:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must never shuffle for the bloom-guarded confirm:\n$plan")
   }
 
   test("upsertByKey replaces matched keys, keeps the rest") {
