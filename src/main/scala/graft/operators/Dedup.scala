@@ -555,6 +555,33 @@ object Dedup {
     docs.join(victims, Seq(idCol), "left_anti")
   }
 
+  /** [[keepCanonical]] with a QUALITY-chosen canonical: each near-dup
+    * component keeps its best member under `(scoreCol desc, idCol
+    * asc)` — "of these near-identical pages, keep the highest-quality
+    * copy", the form curation pipelines actually want (min-id keeps
+    * whichever copy was crawled first). The winner is picked with ONE
+    * map-side-combinable max_by aggregation over the component
+    * labeling joined to the scores — no window, no per-component sort;
+    * the id tie-break makes the choice deterministic when scores tie.
+    * Docs in no pair survive untouched, as in [[keepCanonical]]. */
+  def keepCanonicalBy(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      scoreCol: String, aCol: String = "id_a",
+                      bCol: String = "id_b"): DataFrame = {
+    val members = connectedComponents(pairs, aCol, bCol)
+      .select(col("node_id").as(idCol), col("component"))
+      .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+    // (score desc, id asc) as one orderable struct: max_by on
+    // (score, -id) — negation flips the id order inside the max
+    val winners = members
+      .groupBy(col("component"))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), -col(idCol))).as("__winner"))
+      .select(col("__winner").as(idCol))
+    val victims = members.select(col(idCol))
+      .join(winners, Seq(idCol), "left_anti")
+    docs.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** Exact embedding-cosine near-dup pairs (the correctness oracle; the
     * scale path routes candidates through SignLsh buckets first). */
   def cosineNearDup(emb: DataFrame, idCol: String, embCol: String,

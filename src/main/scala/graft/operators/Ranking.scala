@@ -50,6 +50,26 @@ object Ranking {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** ANSI `ntile(n)` over the WHOLE corpus without the global-window
+    * trap — quality deciles for curriculum ordering / decile-based
+    * filtering. `ntile(n) OVER (ORDER BY …)` plans as a
+    * single-partition window exactly like global row_number; here the
+    * bucket derives from [[globalRank]] with pure integer math,
+    * `bucket = (rank−1)·n DIV total + 1`, which reproduces the
+    * standard remainder-to-leading-buckets sizing bit-for-bit (the
+    * DuckDB-ntile oracle pins it). Same determinism contract as
+    * globalRank: `orderCols` must be a total order. */
+  def ntileBuckets(df: DataFrame, orderCols: Seq[Column], n: Int,
+                   bucketCol: String = "bucket"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ranked = globalRank(df, orderCols, "__rank")
+    val totalDf = ranked.agg(coalesce(max(col("__rank")), lit(0L)).as("__total"))
+    ranked.crossJoin(broadcast(totalDf))
+      .withColumn(bucketCol, graft.functions.IntMath.integralDivide(
+        (col("__rank") - 1) * n, col("__total")) + 1)
+      .drop("__rank", "__total")
+  }
+
   /** Top `k` rows per group — "best 5 docs per language", the
     * group-wise selection step of quality curation. A per-group window
     * IS the scale-correct plan here (unlike the global-rank case): the

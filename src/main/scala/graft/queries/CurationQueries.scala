@@ -284,6 +284,16 @@ object CurationQueries {
           Seq(col("lang")), Seq(col("n_chars").desc, col("doc_id").asc), k = 5)
         .orderBy(col("lang"), col("group_rank"))
     },
+    // corpus-wide quality deciles WITHOUT the ntile global window —
+    // bucket = (rank-1)*10 DIV total + 1 over the range-exchange rank,
+    // pinned to DuckDB's real ntile(10)
+    "rank_ntile" -> { (s, dir) =>
+      graft.operators.Ranking.ntileBuckets(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id").asc), n = 10,
+          bucketCol = "decile")
+        .orderBy(col("doc_id"))
+    },
     // exactly-N-per-stratum sampling: md5 draw + group-wise top-k —
     // the fixed-COUNT complement to rel_stratified_det's fixed-RATE
     // survival test; same determinism contract (engine/partitioning/
@@ -424,6 +434,11 @@ object CurationQueries {
         |FROM r CROSS JOIN n
         |WHERE global_rank <= greatest(1, (n * 20) // 100)
         |ORDER BY global_rank""".stripMargin,
+    "rank_ntile" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+        |         AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_n_per_group" ->
       """SELECT doc_id, lang, draw, draw_rank FROM (
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || '|s1') AS draw,

@@ -88,6 +88,17 @@ object DedupQueries {
       Dedup.keepCanonical(emb.select(col("vec_id")), pairs, "vec_id")
         .orderBy(col("vec_id"))
     },
+    // dedup APPLY, quality-chosen canonical: each component keeps its
+    // best member under (quality desc, id asc) instead of min-id —
+    // deterministic synthetic quality (vec_id*37 % 101) plants ties
+    "dedup_apply_best" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Dedup.cosineNearDup(emb, "vec_id", "embedding", 0.45)
+      val scored = emb.select(col("vec_id"),
+        (col("vec_id") * 37 % 101).as("quality"))
+      Dedup.keepCanonicalBy(scored, pairs, "vec_id", "quality")
+        .orderBy(col("vec_id"))
+    },
     // MinHash-LSH near-dup (rows-only: hash family not SQL-expressible;
     // recall vs exact Jaccard is scalatest-verified).
     "dedup_minhash_lsh" -> { (s, dir) =>
@@ -174,6 +185,37 @@ object DedupQueries {
         |)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT u FROM victims)
+        |ORDER BY vec_id""".stripMargin,
+    "dedup_apply_best" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |), sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b AS u, id_a AS v FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+        |), comp AS (
+        |  SELECT u AS node_id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u
+        |), scored AS (
+        |  SELECT vec_id, vec_id * 37 % 101 AS quality FROM embeddings
+        |), win AS (
+        |  -- (quality desc, id asc) encoded as ONE key: q*1e10 - id
+        |  -- (id < 1e10 at any fixture scale, q <= 100 so no overflow)
+        |  SELECT component,
+        |         arg_max(node_id, quality * 10000000000 - node_id) AS winner
+        |  FROM comp JOIN scored ON node_id = vec_id
+        |  GROUP BY component
+        |), victims AS (
+        |  SELECT node_id FROM comp
+        |  WHERE node_id NOT IN (SELECT winner FROM win)
+        |)
+        |SELECT vec_id, quality FROM scored
+        |WHERE vec_id NOT IN (SELECT node_id FROM victims)
         |ORDER BY vec_id""".stripMargin,
     "dedup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -119,4 +119,19 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(kept === Seq(1L, 4L, 5L, 7L, 8L))
   }
+
+  test("keepCanonicalBy keeps the best-scored member; ties break to min id") {
+    // component {1,2,3}: scores 5,9,9 -> winner 2 (9 ties, min id wins);
+    // component {5,6}: scores 1,4 -> winner 6 (NOT the min id);
+    // 4,7,8 untouched
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 0L), (5L, 1L),
+      (6L, 4L), (7L, 2L), (8L, 3L)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonicalBy(docs, pairs, "doc_id", "q")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 4L, 6L, 7L, 8L))
+    // empty pairs: identity
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.keepCanonicalBy(docs, empty, "doc_id", "q").count() === 8L)
+  }
 }

@@ -97,6 +97,33 @@ class RankingSpec extends SparkSpec {
       Ranking.topKPerGroup(grouped, Nil, Seq(col("id")), 1))
   }
 
+  test("ntileBuckets == ANSI ntile sizing (remainder to leading buckets)") {
+    // 1000 rows, n=7: sizes 143 x6 + 142; leading (1000 mod 7)=6 buckets big
+    val got = Ranking.ntileBuckets(fixture,
+        Seq(col("score").desc, col("id").asc), n = 7)
+      .select("id", "bucket").as[(Long, Long)].collect()
+    val order = fixture.as[(Long, Long)].collect()
+      .sortBy(r => (-r._2, r._1)).map(_._1)
+    // replay ANSI ntile driver-side
+    val (q, r) = (1000 / 7, 1000 % 7)
+    val expected = order.zipWithIndex.map { case (id, i) =>
+      // first r buckets have q+1 rows
+      val bucket = if (i < r * (q + 1)) i / (q + 1) + 1
+                   else (i - r * (q + 1)) / q + r + 1
+      id -> bucket.toLong
+    }.toMap
+    assert(got.toMap === expected)
+    // buckets are contiguous under the order and 1..n
+    assert(got.map(_._2).toSet === (1L to 7L).toSet)
+    // partitioning independence
+    val again = Ranking.ntileBuckets(fixture.repartition(13),
+        Seq(col("score").desc, col("id").asc), n = 7)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(again === expected)
+    intercept[IllegalArgumentException](
+      Ranking.ntileBuckets(fixture, Seq(col("id")), 0))
+  }
+
   test("topFraction rejects bad percent; empty input stays empty") {
     intercept[IllegalArgumentException](
       Ranking.topFraction(fixture, Seq(col("id").asc), 0))
