@@ -92,8 +92,17 @@ object Bm25 {
     // df per query term: postings are already (id, term)-distinct.
     val dfByTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = corpusStats(docs, textCol)
-    // Both joined sides after the broadcasts are bounded by the query
-    // postings; stats and df are 1-row / |queryTerms|-row broadcasts.
+    scoreAndTake(postings, dfByTerm, stats, k, k1, b, rationalIdf)
+  }
+
+  /** The shared scoring tail of [[topK]] and [[searchPersistedIndex]]
+    * — one implementation, so on-the-fly and index-backed search agree
+    * bit-for-bit by construction. Both joined sides after the
+    * broadcasts are bounded by the query postings; stats and df are
+    * 1-row / |queryTerms|-row broadcasts. */
+  private def scoreAndTake(postings: DataFrame, dfByTerm: DataFrame,
+                           stats: DataFrame, k: Int, k1: Double, b: Double,
+                           rationalIdf: Boolean): DataFrame = {
     val ratio = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val idf = if (rationalIdf) ratio else log(ratio + lit(1.0))
@@ -109,6 +118,60 @@ object Bm25 {
       .agg(sum(col("score_fp")).as("bm25_fp"), count(lit(1)).as("n_terms"))
       .orderBy(col("bm25_fp").desc, col("id"))
       .limit(k)
+  }
+
+  /** Materialize the FULL inverted index once — the amortization path
+    * for repeated keyword queries over a stable corpus snapshot (the
+    * on-the-fly [[topK]] re-splits every document per query). Layout
+    * under `path`:
+    *   `postings/` — (term, id, tf, dl) range-sorted on term via
+    *     [[Sharding.exportSorted]]: each term lives in exactly one
+    *     `range_id` directory and parquet row-group min/max stats are
+    *     tight, so a query's terms prune to a handful of files;
+    *   `manifest/` — the persisted zone map over the term ranges;
+    *   `stats/` — one row (n docs, avgdl as exact-int sum / count).
+    * One corpus pass + one range shuffle of the postings (a posting is
+    * ~3 longs + the term string — far smaller than the corpus text).
+    * Per-term document frequencies are NOT stored: df is recomputed
+    * from the pruned postings at query time (a count over one file
+    * set), which keeps the index layout a pure function of the corpus
+    * and makes partial rebuilds compose. */
+  def buildPersistedIndex(docs: DataFrame, idCol: String, textCol: String,
+                          nRanges: Int, path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val postings = docs
+      .select(col(idCol).as("id"), terms(col(textCol)).as("__terms"))
+      .select(col("id"), size(col("__terms")).cast("long").as("dl"),
+        explode(col("__terms")).as("term"))
+      .groupBy(col("id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val manifest = Sharding.exportSorted(postings, "term", nRanges,
+      s"$base/postings")
+    manifest.write.mode("overwrite").parquet(s"$base/manifest")
+    corpusStats(docs, textCol).write.mode("overwrite").parquet(s"$base/stats")
+  }
+
+  /** BM25 top-k over a [[buildPersistedIndex]] layout: identical
+    * results to [[topK]] on the indexed snapshot (spec-pinned), but
+    * the corpus is never touched — each query term is a manifest-
+    * pruned point read of its posting range, so cost scales with the
+    * query's postings, not the corpus ([[Sharding.readRange]]
+    * semantics; `inputFiles` proves the pruning). */
+  def searchPersistedIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, queryTerms: Seq[String], k: Int,
+                           k1: Double = 1.2, b: Double = 0.75,
+                           rationalIdf: Boolean = false): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val base = path.stripSuffix("/")
+    val manifest = spark.read.parquet(s"$base/manifest")
+    val postings = queryTerms.distinct
+      .map(t => Sharding.readRange(manifest, s"$base/postings", "term", t, t))
+      .reduce(_ unionByName _)
+      .drop("range_id")
+    val dfByTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$base/stats")
+    scoreAndTake(postings, dfByTerm, stats, k, k1, b, rationalIdf)
   }
 
   /** Reciprocal-rank fusion of two bounded candidate lists. Inputs are

@@ -30,6 +30,29 @@ object HybridQueries {
           QueryTerms, k = 20, rationalIdf = true)
         .withColumnRenamed("id", "doc_id")
     },
+    // the SAME query answered from a persisted inverted index (build
+    // -> manifest-pruned per-term reads -> shared scoring tail): must
+    // hash-match the on-the-fly bm25_topk oracle exactly
+    "bm25_indexed" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toFile
+      try {
+        Bm25.buildPersistedIndex(Tables.documents(s, dir), "doc_id", "text",
+          nRanges = 8, path = tmp.getAbsolutePath)
+        val r = Bm25.searchPersistedIndex(s, tmp.getAbsolutePath,
+            QueryTerms, k = 20, rationalIdf = true)
+          .withColumnRenamed("id", "doc_id")
+        // materialize before the temp dir is deleted
+        import s.implicits._
+        val rows = r.as[(Long, Long, Long)].collect().toSeq
+        rows.toDF("doc_id", "bm25_fp", "n_terms")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(tmp)
+      }
+    },
     // RRF fusion of dense cosine top-50 and BM25 top-50 over the
     // embedded subset (docs that carry a vector: vec_id == doc_id)
     "hybrid_rrf" -> { (s, dir) =>
@@ -89,6 +112,11 @@ object HybridQueries {
 
   val oracle: Map[String, String] = Map(
     "bm25_topk" ->
+      s"""WITH ${bm25Sql("documents", 20)}
+         |SELECT doc_id, bm25_fp, n_terms FROM btop
+         |ORDER BY bm25_fp DESC, doc_id""".stripMargin,
+    // index-backed search must equal the on-the-fly computation
+    "bm25_indexed" ->
       s"""WITH ${bm25Sql("documents", 20)}
          |SELECT doc_id, bm25_fp, n_terms FROM btop
          |ORDER BY bm25_fp DESC, doc_id""".stripMargin,

@@ -73,6 +73,32 @@ class HybridSearchSpec extends SparkSpec {
 
   // ----------------------------------------------------------------- RRF
 
+  test("persisted index: search == on-the-fly topK; per-term reads prune dirs") {
+    withTempDir("bm25idx") { dir =>
+      val docs = Tables.documents(spark, sfDir).limit(300)
+        .select($"doc_id", $"text")
+      Bm25.buildPersistedIndex(docs, "doc_id", "text", nRanges = 8,
+        path = dir.getAbsolutePath)
+      for (terms <- Seq(Seq("vector", "hash", "join"), Seq("the"),
+          Seq("nonexistentterm", "vector"))) {
+        val live = Bm25.topK(docs, "doc_id", "text", terms, k = 15,
+          rationalIdf = true).as[(Long, Long, Long)].collect().toSeq
+        val indexed = Bm25.searchPersistedIndex(spark, dir.getAbsolutePath,
+          terms, k = 15, rationalIdf = true).as[(Long, Long, Long)].collect().toSeq
+        assert(indexed === live, s"index-backed search diverged for $terms")
+      }
+      // pruning: a single term touches a strict subset of range dirs
+      val manifest = spark.read.parquet(s"${dir.getAbsolutePath}/manifest")
+      val one = graft.operators.Sharding.readRange(manifest,
+        s"${dir.getAbsolutePath}/postings", "term", "vector", "vector")
+      val touched = one.inputFiles
+        .map(f => f.replaceAll("/[^/]*$", "").replaceAll(".*/", "")).distinct
+      val total = manifest.count()
+      assert(touched.length < total,
+        s"single-term read touched all $total ranges")
+    }
+  }
+
   test("rrf: hand-computed fusion incl. a one-list-only candidate") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
