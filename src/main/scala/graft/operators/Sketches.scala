@@ -52,6 +52,34 @@ object Sketches {
     df.groupBy(col(groupCol))
       .agg(approx_count_distinct(col(distinctCol), rsd).as("approx_distinct"))
 
+  /** Heavy hitters: every value of `itemCol` occurring in more than
+    * `support` fraction of rows (Karp/Misra-Gries single-pass sketch
+    * via Spark's `stat.freqItems` — mergeable partial summaries, one
+    * corpus pass, no value-keyed shuffle). The sketch guarantees NO
+    * FALSE NEGATIVES (every true heavy hitter is returned) but may
+    * include false positives just under the threshold, so the exact
+    * count is re-attached with ONE aggregation restricted to the
+    * candidate set (tiny broadcast) and the threshold re-applied —
+    * output is then exact: (item, n) for items with n > support·total.
+    * This is the "top domains / hottest users" primitive where an
+    * exact groupBy-count over all values is the thing being avoided:
+    * the only full-cardinality structure ever built is per-partition
+    * and size-bounded by 1/support. */
+  def heavyHitters(df: DataFrame, itemCol: String,
+                   support: Double = 0.01): DataFrame = {
+    require(support > 1e-4 && support < 1.0,
+      s"support must be in (1e-4, 1), got $support")
+    val candidates = df.stat.freqItems(Seq(itemCol), support)
+      .select(explode(col(s"${itemCol}_freqItems")).as(itemCol))
+    val totalDf = df.agg(count(lit(1)).as("__total"))
+    df.join(broadcast(candidates), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totalDf))
+      .filter(col("n").cast("double") > lit(support) * col("__total").cast("double"))
+      .drop("__total")
+  }
+
   /** The combined event-stream profile a monitoring pipeline keeps:
     * count, HLL distinct users, and p50/p90/p99 value quantiles per
     * event type — all one pass, all mergeable. */

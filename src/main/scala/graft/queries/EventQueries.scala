@@ -140,6 +140,15 @@ object EventQueries {
       graft.operators.Sketches.eventProfile(Tables.events(s, dir))
         .orderBy(col("event_type"))
     },
+    // heavy hitters over event_type: Misra-Gries candidate sketch +
+    // exact confirm restricted to the candidates — output is EXACT
+    // (items with n > 15% of rows), so it oracles despite the sketch
+    "ev_heavy_hitters" -> { (s, dir) =>
+      graft.operators.Sketches.heavyHitters(
+          Tables.events(s, dir).select(col("event_type")), "event_type",
+          support = 0.15)
+        .orderBy(col("event_type"))
+    },
     // per-user event counts, top-10 (hash-agg + TakeOrdered)
     "ev_top_users" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -153,6 +162,13 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_heavy_hitters" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY event_type
+        |HAVING CAST(count(*) AS DOUBLE) >
+        |       0.15 * (SELECT CAST(count(*) AS DOUBLE) FROM events)
+        |ORDER BY event_type""".stripMargin,
     "ev_window_agg" ->
       """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) * 60 AS window_start_s,
         |       event_type, count(*) AS n_events,

@@ -70,6 +70,28 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: exact output == brute-force threshold count (planted hitter)") {
+    import graft.operators.Sketches
+    // 10_000 rows: "hot" at 15%, "warm" at 8%, 770 distinct cold values
+    val rows = (0 until 10000).map { i =>
+      if (i < 1500) "hot" else if (i < 2300) "warm" else s"cold_${i % 770}"
+    }
+    val df = rows.toDF("item")
+    def exact(support: Double): Map[String, Long] =
+      rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 > support * rows.size)
+    for (support <- Seq(0.10, 0.05, 0.01)) {
+      val got = Sketches.heavyHitters(df, "item", support)
+        .as[(String, Long)].collect().toMap
+      assert(got === exact(support), s"mismatch at support=$support")
+    }
+    // repartitioning must not change the (exact) answer
+    val re = Sketches.heavyHitters(df.repartition(17), "item", 0.05)
+      .as[(String, Long)].collect().toMap
+    assert(re === exact(0.05))
+    intercept[IllegalArgumentException](Sketches.heavyHitters(df, "item", 1.5))
+  }
+
   test("eventProfile: one-pass combined sketch profile, partial aggregation") {
     val prof = Sketches.eventProfile(events)
     val rows = prof.collect()
