@@ -76,6 +76,32 @@ object Packing {
     packed.toDF(idCol, "shard", "pack_id", "pack_pos", "n_tokens")
   }
 
+  /** Render packed assignments into trainer-ready sequences: join the
+    * [[packDocs]] assignment back to the payloads and concatenate each
+    * pack's documents in pack_pos order with `sep` between them (the
+    * EOS/document-boundary marker every causal-LM data pipeline
+    * inserts). Output: one row per pack — (shard, pack_id, n_docs,
+    * pack_tokens, pack_text).
+    *
+    * One id-keyed join + one (shard, pack_id) agg; the in-pack order
+    * comes from sorting the collected (pack_pos, text) structs INSIDE
+    * the aggregation — no window, no second shuffle. A pack is at most
+    * `budget` tokens by construction, so the per-row collect_list is
+    * budget-bounded, never corpus-bounded. */
+  def renderPacks(docs: DataFrame, packed: DataFrame, idCol: String,
+                  textCol: String, sep: String = "<|endoftext|>"): DataFrame =
+    packed
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pack_pos"), col(textCol)))),
+            x => x.getField(textCol)),
+          sep).as("pack_text"))
+
   /** Pack-level roll-up: docs per pack, token fill, fill ratio against
     * the budget — the report that tells you whether the budget/shard
     * parameters waste accelerator time. */

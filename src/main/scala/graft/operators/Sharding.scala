@@ -68,6 +68,51 @@ object Sharding {
       .repartition(nShards, col("shard"))
       .write.mode(mode).partitionBy("shard").parquet(path)
 
+  /** Incremental re-export: rewrite ONLY the shard directories whose
+    * membership changed between two corpus snapshots — at 100 TB the
+    * nightly delta touches a handful of shards and re-exporting all N
+    * is almost entirely wasted IO. Changed docs come from the
+    * fingerprint-only [[Maintenance.corpusDiff]] (added/removed/changed
+    * — payloads never shuffle for the diff); their shard ids are
+    * content-addressed and engine-stable, so the changed-shard set is
+    * exact. The write ships only the new snapshot's rows for those
+    * shards, through dynamic partition overwrite — untouched shard
+    * directories are left byte-identical (spec-pinned), and the result
+    * equals a full [[exportShards]] of the new snapshot.
+    *
+    * Returns the rewritten shard ids (≤ nShards, collected — this IS
+    * the audit record an ops pipeline logs). */
+  def incrementalExportShards(oldDocs: DataFrame, newDocs: DataFrame,
+                              keyCol: String, payloadCol: String,
+                              nShards: Int, path: String): Seq[Long] = {
+    val changedShards = Maintenance.corpusDiff(oldDocs, newDocs, keyCol, payloadCol)
+      .filter(col("status") =!= "unchanged")
+      .select(shardId(col(keyCol), nShards).as("shard"))
+      .distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (changedShards.nonEmpty) {
+      val replacement = assignShards(newDocs, keyCol, nShards)
+        .filter(col("shard").isin(changedShards: _*))
+      replacement
+        .repartition(math.max(1, changedShards.size), col("shard"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(path)
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // written rows — a shard whose every doc was removed writes
+      // nothing and would keep its stale directory; delete those
+      val populated = replacement.select(col("shard")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      val fs = fsPath.getFileSystem(
+        oldDocs.sparkSession.sparkContext.hadoopConfiguration)
+      (changedShards.toSet -- populated).foreach { s =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/shard=$s"), true)
+      }
+    }
+    changedShards
+  }
+
   /** Range-sorted export with a zone-map manifest — the layout for
     * corpora queried by range (time-series events, id scans): rows are
     * range-partitioned and sorted on `sortCol`, written as one file set

@@ -219,6 +219,18 @@ object CurationQueries {
           nShards = 8, budget = 512)
         .orderBy(col("doc_id"))
     },
+    // trainer-facing pack rendering: the same packing joined back to
+    // payloads and concatenated in pack_pos order with an EOS marker —
+    // one row per training sequence
+    "pack_render" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).withColumn("n_tok",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      val packed = graft.operators.Packing.packDocs(docs, "doc_id", "n_tok",
+        nShards = 8, budget = 512)
+      graft.operators.Packing.renderPacks(docs, packed, "doc_id", "text",
+          sep = "<|eos|>")
+        .orderBy(col("shard"), col("pack_id"))
+    },
     // the COMPOSED export decision: wordset dedup (keep-min) → quality
     // + length gate → content-addressed sharding → next-fit packing,
     // ONE declarative plan end-to-end — each stage is individually
@@ -513,6 +525,15 @@ object CurationQueries {
       s"""$packCte
          |SELECT doc_id, shard, pack_id, pack_pos, n AS n_tokens
          |FROM p ORDER BY doc_id""".stripMargin,
+    "pack_render" ->
+      s"""$packCte
+         |SELECT p.shard, p.pack_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(p.n) AS BIGINT) AS pack_tokens,
+         |       string_agg(d.text, '<|eos|>' ORDER BY p.pack_pos) AS pack_text
+         |FROM p JOIN documents d ON p.doc_id = d.doc_id
+         |GROUP BY p.shard, p.pack_id
+         |ORDER BY p.shard, p.pack_id""".stripMargin,
     "pack_bpe" ->
       s"""${packCteOver(
              s"SELECT doc_id, CAST(n_bpe AS BIGINT) AS n FROM read_parquet('$PackBpeHandoff/*.parquet')",

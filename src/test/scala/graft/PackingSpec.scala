@@ -85,6 +85,32 @@ class PackingSpec extends SparkSpec {
     assert(pack(rows).toSeq === expected)
   }
 
+  test("renderPacks: pack_pos order, separator placement, budget-bounded rows") {
+    val docs = Seq((1L, "alpha", 10L), (2L, "bravo", 10L), (3L, "charlie", 10L),
+      (4L, "delta", 95L), (5L, "echo", 10L))
+      .toDF("doc_id", "text", "n_tok")
+    val packed = Packing.packDocs(docs, "doc_id", "n_tok", nShards = 1,
+      budget = 100L)
+    val rendered = Packing.renderPacks(docs, packed, "doc_id", "text", sep = "#")
+      .orderBy($"shard", $"pack_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // every pack's text is its members joined in pack_pos order
+    val assign = packed.as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._2, r._3))
+    val texts = docs.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    for ((shard, packId, nDocs, packTokens, packText) <- rendered) {
+      val members = assign((shard, packId)).sortBy(_._4)
+      assert(nDocs === members.length)
+      assert(packTokens === members.map(_._5).sum)
+      assert(packText === members.map(m => texts(m._1)).mkString("#"),
+        s"pack ($shard,$packId) rendered out of order")
+    }
+    // the oversize doc renders alone, no separator
+    val solo = rendered.find(_._5 == "delta")
+    assert(solo.isDefined && solo.get._3 === 1L)
+  }
+
   test("packStats fill ratio is <= 1 and exact for multi-doc packs") {
     val rows = (1L to 100L).map(i => (i, 40L))
     val stats = Packing.packStats(rows.toDF("doc_id", "n_tok"), "doc_id", "n_tok", 2, budget)

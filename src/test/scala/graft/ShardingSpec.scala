@@ -74,6 +74,63 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("incrementalExportShards: rewrites only touched shards, equals full re-export") {
+    withTempDir("increx") { dir =>
+      val path = dir.getAbsolutePath
+      val oldDocs = (1L to 400L).map(i => (i, s"text_$i")).toDF("doc_id", "text")
+      Sharding.exportShards(oldDocs, "doc_id", nShards = 8, path)
+      // new snapshot: edit doc 5, add doc 1000, remove doc 10
+      val newDocs = (1L to 400L).filter(_ != 10L)
+        .map(i => (i, if (i == 5L) "EDITED" else s"text_$i"))
+        .:+((1000L, "text_1000")).toDF("doc_id", "text")
+      // file listing of an untouched shard, before
+      val changedExpected = Seq(5L, 10L, 1000L)
+        .map(id => Sharding.assignShards(Seq(id).toDF("doc_id"), "doc_id", 8)
+          .select("shard").as[Long].head()).distinct.sorted
+      val untouched = (0L until 8L).filterNot(changedExpected.contains).head
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def filesOf(s: Long) = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$path/shard=$s"))
+        .map(f => (f.getPath.getName, f.getModificationTime)).sortBy(_._1).toSeq
+      val before = filesOf(untouched)
+      val rewritten = Sharding.incrementalExportShards(
+        oldDocs, newDocs, "doc_id", "text", nShards = 8, path)
+      assert(rewritten === changedExpected, "rewrote a different shard set")
+      // untouched shard files byte-identical (names AND mtimes)
+      assert(filesOf(untouched) === before, s"untouched shard $untouched rewritten")
+      // on-disk content == full re-export of the new snapshot
+      val got = spark.read.parquet(path).select("doc_id", "text")
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(got === newDocs.as[(Long, String)].collect().sorted.toSeq)
+      // no changes -> no writes, empty audit
+      assert(Sharding.incrementalExportShards(
+        newDocs, newDocs, "doc_id", "text", 8, path) === Nil)
+    }
+  }
+
+  test("incrementalExportShards: an emptied shard's directory is removed") {
+    withTempDir("increx-empty") { dir =>
+      val path = dir.getAbsolutePath
+      // two docs in one known shard, nothing else
+      val pair = (1L to 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      Sharding.exportShards(pair, "doc_id", nShards = 4, path)
+      val victimShard = Sharding.assignShards(Seq(7L).toDF("doc_id"), "doc_id", 4)
+        .select("shard").as[Long].head()
+      // new snapshot drops EVERY doc of that shard
+      val survivors = pair.join(
+        Sharding.assignShards(pair, "doc_id", 4).filter($"shard" === victimShard)
+          .select($"doc_id"), Seq("doc_id"), "left_anti")
+      Sharding.incrementalExportShards(pair, survivors, "doc_id", "text", 4, path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/shard=$victimShard")),
+        "stale directory for fully-emptied shard must be deleted")
+      val got = spark.read.parquet(path).select("doc_id").as[Long].collect().sorted
+      assert(got === survivors.select("doc_id").as[Long].collect().sorted)
+    }
+  }
+
   test("zOrderKey: interleave matches hand-computed Morton codes") {
     // identity quantization: lo=0, hi=2^bits-1 makes bucket == value
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L), (7L, 7L))
