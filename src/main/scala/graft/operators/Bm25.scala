@@ -153,10 +153,15 @@ object Bm25 {
 
   /** BM25 top-k over a [[buildPersistedIndex]] layout: identical
     * results to [[topK]] on the indexed snapshot (spec-pinned), but
-    * the corpus is never touched — each query term is a manifest-
-    * pruned point read of its posting range, so cost scales with the
-    * query's postings, not the corpus ([[Sharding.readRange]]
-    * semantics; `inputFiles` proves the pruning). */
+    * the corpus is never touched — the query's terms are grouped into
+    * the range directories that can contain them (ONE driver-side pass
+    * over the nRanges-row manifest, which IS the zone-map read) and
+    * each overlapping directory is scanned once with an `isin` term
+    * filter that parquet row-group stats prune further. Cost scales
+    * with the query's postings, not the corpus, and never reads a
+    * directory twice however many terms share it. An empty index (or
+    * a query whose terms are all out of range) returns an empty
+    * result, never a schema-inference crash. */
   def searchPersistedIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, queryTerms: Seq[String], k: Int,
                            k1: Double = 1.2, b: Double = 0.75,
@@ -164,10 +169,24 @@ object Bm25 {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
     val base = path.stripSuffix("/")
-    val manifest = spark.read.parquet(s"$base/manifest")
-    val postings = queryTerms.distinct
-      .map(t => Sharding.readRange(manifest, s"$base/postings", "term", t, t))
-      .reduce(_ unionByName _)
+    val terms = queryTerms.distinct
+    // terms are [a-z0-9]+ by construction (see [[Bm25.terms]]), so
+    // Java's String ordering == Spark's UTF8String binary ordering and
+    // the driver-side range test matches the manifest's min/max
+    val overlapping = spark.read.parquet(s"$base/manifest")
+      .select(col("range_id").cast("long"), col("min_key"), col("max_key"))
+      .collect()
+      .filter(r => !r.isNullAt(1) && terms.exists(t =>
+        r.getString(1) <= t && t <= r.getString(2)))
+      .map(_.getLong(0)).sorted
+    val empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("id", "bm25_fp", "n_terms")
+    }
+    if (overlapping.isEmpty) return empty
+    val postings = spark.read.option("basePath", s"$base/postings")
+      .parquet(overlapping.map(id => s"$base/postings/range_id=$id"): _*)
+      .filter(col("term").isin(terms: _*))
       .drop("range_id")
     val dfByTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.read.parquet(s"$base/stats")

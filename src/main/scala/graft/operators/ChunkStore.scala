@@ -86,8 +86,12 @@ object ChunkStore {
       .distinct()
     val confirmedDups = corpus.select(col(corpusKey).as(incomingKey))
       .join(broadcast(positiveKeys), Seq(incomingKey), "left_semi")
-    // confirmedDups ≤ the batch's key count — hint it explicitly, since
-    // its size ESTIMATE derives from corpus-sized stats
+      // the semi-join keeps corpus-side MULTIPLICITY — a key duplicated
+      // heavily in a dirty corpus (exactly what a dup guard exists for)
+      // would blow the forced broadcast below without this distinct
+      .distinct()
+    // after distinct, confirmedDups ≤ the batch's key count — hint it
+    // explicitly, since its size ESTIMATE derives from corpus stats
     incoming.join(broadcast(confirmedDups), Seq(incomingKey), "left_anti")
   }
 

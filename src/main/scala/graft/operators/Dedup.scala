@@ -570,13 +570,19 @@ object Dedup {
     val members = connectedComponents(pairs, aCol, bCol)
       .select(col("node_id").as(idCol), col("component"))
       .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
-    // (score desc, id asc) as one orderable struct: max_by on
-    // (score, -id) — negation flips the id order inside the max
-    val winners = members
+    // (score desc, id asc) in two map-side-combinable aggs: best score
+    // per component, then min id among the best-scored members — the
+    // struct(score, -id) max_by one-liner would silently require a
+    // NUMERIC id (unary minus on a string id casts to double: null
+    // keys off ANSI, a runtime error under it), while min(id) orders
+    // any Spark-orderable id type
+    val best = members.groupBy(col("component"))
+      .agg(max(col(scoreCol)).as("__best"))
+    val winners = members.join(best, Seq("component"))
+      .filter(col(scoreCol) === col("__best"))
       .groupBy(col("component"))
-      .agg(max_by(col(idCol),
-        struct(col(scoreCol), -col(idCol))).as("__winner"))
-      .select(col("__winner").as(idCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
     val victims = members.select(col(idCol))
       .join(winners, Seq(idCol), "left_anti")
     docs.join(victims, Seq(idCol), "left_anti")

@@ -87,7 +87,10 @@ object Packing {
     * comes from sorting the collected (pack_pos, text) structs INSIDE
     * the aggregation — no window, no second shuffle. A pack is at most
     * `budget` tokens by construction, so the per-row collect_list is
-    * budget-bounded, never corpus-bounded. */
+    * budget-bounded, never corpus-bounded. A null text renders as the
+    * EMPTY document (its boundary marker survives) — `array_join`
+    * would otherwise silently drop the element AND its separator,
+    * leaving pack_text disagreeing with its own n_docs/pack_tokens. */
   def renderPacks(docs: DataFrame, packed: DataFrame, idCol: String,
                   textCol: String, sep: String = "<|endoftext|>"): DataFrame =
     packed
@@ -98,7 +101,9 @@ object Packing {
         sum(col("n_tokens")).as("pack_tokens"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col("pack_pos"), col(textCol)))),
+            array_sort(collect_list(
+              struct(col("pack_pos"), coalesce(col(textCol), lit(""))
+                .as(textCol)))),
             x => x.getField(textCol)),
           sep).as("pack_text"))
 

@@ -54,19 +54,34 @@ object Ranking {
     * trap — quality deciles for curriculum ordering / decile-based
     * filtering. `ntile(n) OVER (ORDER BY …)` plans as a
     * single-partition window exactly like global row_number; here the
-    * bucket derives from [[globalRank]] with pure integer math,
-    * `bucket = (rank−1)·n DIV total + 1`, which reproduces the
-    * standard remainder-to-leading-buckets sizing bit-for-bit (the
-    * DuckDB-ntile oracle pins it). Same determinism contract as
-    * globalRank: `orderCols` must be a total order. */
+    * bucket derives from [[globalRank]] with pure integer math.
+    *
+    * ANSI sizing is remainder-to-LEADING-buckets: with q = total DIV n
+    * and r = total MOD n, the first r buckets hold q+1 rows and the
+    * rest hold q. The one-liner `(rank−1)·n DIV total + 1` is NOT that
+    * distribution — it interleaves the big buckets evenly (total=10,
+    * n=4 gives 3,2,3,2 where ANSI gives 3,3,2,2) — so the bucket is
+    * computed piecewise exactly as the standard defines it (the
+    * DuckDB-ntile oracle pins the parity on a fixture whose count is
+    * NOT divisible by n). Same determinism contract as globalRank:
+    * `orderCols` must be a total order. */
   def ntileBuckets(df: DataFrame, orderCols: Seq[Column], n: Int,
                    bucketCol: String = "bucket"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    import graft.functions.IntMath.integralDivide
     val ranked = globalRank(df, orderCols, "__rank")
     val totalDf = ranked.agg(coalesce(max(col("__rank")), lit(0L)).as("__total"))
+    val q = integralDivide(col("__total"), lit(n.toLong))
+    val r = col("__total") - q * n
+    val bigSpan = r * (q + 1) // rows living in the r leading (q+1)-buckets
+    val bucket = when(col("__rank") <= bigSpan,
+        integralDivide(col("__rank") - 1, q + 1) + 1)
+      .otherwise(r + integralDivide(col("__rank") - bigSpan - 1,
+        // q can be 0 only when rank <= bigSpan always (n > total), but
+        // guard the divisor so the branch is safe to EVALUATE
+        greatest(q, lit(1L))) + 1)
     ranked.crossJoin(broadcast(totalDf))
-      .withColumn(bucketCol, graft.functions.IntMath.integralDivide(
-        (col("__rank") - 1) * n, col("__total")) + 1)
+      .withColumn(bucketCol, bucket)
       .drop("__rank", "__total")
   }
 

@@ -71,44 +71,75 @@ object Sharding {
   /** Incremental re-export: rewrite ONLY the shard directories whose
     * membership changed between two corpus snapshots — at 100 TB the
     * nightly delta touches a handful of shards and re-exporting all N
-    * is almost entirely wasted IO. Changed docs come from the
-    * fingerprint-only [[Maintenance.corpusDiff]] (added/removed/changed
-    * — payloads never shuffle for the diff); their shard ids are
-    * content-addressed and engine-stable, so the changed-shard set is
-    * exact. The write ships only the new snapshot's rows for those
-    * shards, through dynamic partition overwrite — untouched shard
+    * is almost entirely wasted IO. The change test fingerprints ALL
+    * non-key columns (a doc whose lang flips but whose text is
+    * unchanged must still rewrite its shard, or incremental and full
+    * exports diverge), through the same fingerprint-only diff shape as
+    * [[Maintenance.corpusDiff]] — payloads never shuffle. Shard ids
+    * are content-addressed and engine-stable, so the changed-shard set
+    * is exact. The write ships only the new snapshot's rows for those
+    * shards via dynamic partition overwrite — untouched shard
     * directories are left byte-identical (spec-pinned), and the result
-    * equals a full [[exportShards]] of the new snapshot.
+    * equals a full [[exportShards]] of the new snapshot. Null-key rows
+    * are supported: they live in the Hive default partition and a
+    * null-key change rewrites exactly that directory.
     *
-    * Returns the rewritten shard ids (≤ nShards, collected — this IS
-    * the audit record an ops pipeline logs). */
+    * Returns the rewritten non-null shard ids (≤ nShards, collected —
+    * this IS the audit record an ops pipeline logs). */
   def incrementalExportShards(oldDocs: DataFrame, newDocs: DataFrame,
-                              keyCol: String, payloadCol: String,
-                              nShards: Int, path: String): Seq[Long] = {
-    val changedShards = Maintenance.corpusDiff(oldDocs, newDocs, keyCol, payloadCol)
+                              keyCol: String, nShards: Int,
+                              path: String): Seq[Long] = {
+    require(oldDocs.columns.sorted.sameElements(newDocs.columns.sorted),
+      s"snapshot schemas differ: ${oldDocs.columns.mkString(",")} vs " +
+        newDocs.columns.mkString(","))
+    // one fingerprint over every non-key column, in a FIXED (sorted)
+    // column order so both snapshots hash identically
+    val payloadCols = oldDocs.columns.filterNot(_ == keyCol).sorted
+    def fingerprinted(df: DataFrame) = df.select(col(keyCol),
+      to_json(struct(payloadCols.map(col): _*)).as("__payload"))
+    val changedRows = Maintenance.corpusDiff(
+        fingerprinted(oldDocs), fingerprinted(newDocs), keyCol, "__payload")
       .filter(col("status") =!= "unchanged")
       .select(shardId(col(keyCol), nShards).as("shard"))
       .distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
-    if (changedShards.nonEmpty) {
+      .collect()
+    // a null key hashes to a null shard — it addresses the Hive
+    // default partition, not a numbered directory
+    val nullChanged = changedRows.exists(_.isNullAt(0))
+    val changedShards =
+      changedRows.filterNot(_.isNullAt(0)).map(_.getLong(0)).sorted.toSeq
+    if (changedShards.nonEmpty || nullChanged) {
+      val shardFilter =
+        if (nullChanged && changedShards.nonEmpty)
+          col("shard").isin(changedShards: _*) || col("shard").isNull
+        else if (nullChanged) col("shard").isNull
+        else col("shard").isin(changedShards: _*)
       val replacement = assignShards(newDocs, keyCol, nShards)
-        .filter(col("shard").isin(changedShards: _*))
-      replacement
-        .repartition(math.max(1, changedShards.size), col("shard"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard").parquet(path)
-      // dynamic overwrite only replaces partitions PRESENT in the
-      // written rows — a shard whose every doc was removed writes
-      // nothing and would keep its stale directory; delete those
-      val populated = replacement.select(col("shard")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      val fsPath = new org.apache.hadoop.fs.Path(path)
-      val fs = fsPath.getFileSystem(
-        oldDocs.sparkSession.sparkContext.hadoopConfiguration)
-      (changedShards.toSet -- populated).foreach { s =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/shard=$s"), true)
-      }
+        .filter(shardFilter)
+        .persist() // consumed twice: the write and the populated-set scan
+      try {
+        replacement
+          .repartition(math.max(1, changedShards.size + 1), col("shard"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard").parquet(path)
+        // dynamic overwrite only replaces partitions PRESENT in the
+        // written rows — a shard whose every doc was removed writes
+        // nothing and would keep its stale directory; delete those
+        val populatedRows = replacement.select(col("shard")).distinct().collect()
+        val populated =
+          populatedRows.filterNot(_.isNullAt(0)).map(_.getLong(0)).toSet
+        val nullPopulated = populatedRows.exists(_.isNullAt(0))
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(
+          oldDocs.sparkSession.sparkContext.hadoopConfiguration)
+        (changedShards.toSet -- populated).foreach { s =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/shard=$s"), true)
+        }
+        if (nullChanged && !nullPopulated)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$path/shard=__HIVE_DEFAULT_PARTITION__"), true)
+      } finally replacement.unpersist()
     }
     changedShards
   }

@@ -64,15 +64,22 @@ object Sketches {
     * This is the "top domains / hottest users" primitive where an
     * exact groupBy-count over all values is the thing being avoided:
     * the only full-cardinality structure ever built is per-partition
-    * and size-bounded by 1/support. */
+    * and size-bounded by 1/support.
+    *
+    * NULL items are EXCLUDED (filtered before the sketch, so a
+    * null-heavy column cannot silently vanish through the semi-join's
+    * no-match path instead) — "is null frequent" is a data-quality
+    * question `count(when(isnull...))` answers in one pass; the
+    * support denominator is the non-null row count accordingly. */
   def heavyHitters(df: DataFrame, itemCol: String,
                    support: Double = 0.01): DataFrame = {
     require(support > 1e-4 && support < 1.0,
       s"support must be in (1e-4, 1), got $support")
-    val candidates = df.stat.freqItems(Seq(itemCol), support)
+    val nonNull = df.filter(col(itemCol).isNotNull)
+    val candidates = nonNull.stat.freqItems(Seq(itemCol), support)
       .select(explode(col(s"${itemCol}_freqItems")).as(itemCol))
-    val totalDf = df.agg(count(lit(1)).as("__total"))
-    df.join(broadcast(candidates), Seq(itemCol), "left_semi")
+    val totalDf = nonNull.agg(count(lit(1)).as("__total"))
+    nonNull.join(broadcast(candidates), Seq(itemCol), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(totalDf))

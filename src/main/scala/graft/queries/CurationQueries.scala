@@ -297,11 +297,14 @@ object CurationQueries {
         .orderBy(col("lang"), col("group_rank"))
     },
     // corpus-wide quality deciles WITHOUT the ntile global window —
-    // bucket = (rank-1)*10 DIV total + 1 over the range-exchange rank,
-    // pinned to DuckDB's real ntile(10)
+    // ANSI piecewise bucket math over the range-exchange rank, pinned
+    // to DuckDB's real ntile(10). The %29 filter makes the row count
+    // NOT divisible by 10, so the remainder-to-leading-buckets sizing
+    // is actually exercised (a divisible fixture is blind to it).
     "rank_ntile" -> { (s, dir) =>
       graft.operators.Ranking.ntileBuckets(
-          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          Tables.documents(s, dir).filter(col("doc_id") % 29 =!= 0)
+            .select(col("doc_id"), col("n_chars")),
           Seq(col("n_chars").desc, col("doc_id").asc), n = 10,
           bucketCol = "decile")
         .orderBy(col("doc_id"))
@@ -450,7 +453,8 @@ object CurationQueries {
       """SELECT doc_id, n_chars,
         |       CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
         |         AS decile
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE doc_id % 29 <> 0
+        |ORDER BY doc_id""".stripMargin,
     "sample_n_per_group" ->
       """SELECT doc_id, lang, draw, draw_rank FROM (
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || '|s1') AS draw,

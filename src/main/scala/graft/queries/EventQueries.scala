@@ -164,10 +164,11 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "ev_heavy_hitters" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
-        |FROM events
+        |FROM events WHERE event_type IS NOT NULL
         |GROUP BY event_type
         |HAVING CAST(count(*) AS DOUBLE) >
-        |       0.15 * (SELECT CAST(count(*) AS DOUBLE) FROM events)
+        |       0.15 * (SELECT CAST(count(*) AS DOUBLE) FROM events
+        |               WHERE event_type IS NOT NULL)
         |ORDER BY event_type""".stripMargin,
     "ev_window_agg" ->
       """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) * 60 AS window_start_s,

@@ -134,4 +134,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.keepCanonicalBy(docs, empty, "doc_id", "q").count() === 8L)
   }
+
+  test("keepCanonicalBy works with STRING ids (no numeric-negation tie-break)") {
+    // content-hash-style ids; component {a,b}: b wins on score;
+    // component {c,d}: scores tie -> lexicographically smaller id wins
+    val docs = Seq(("doc_a", 1L), ("doc_b", 7L), ("doc_c", 5L),
+      ("doc_d", 5L), ("doc_e", 0L)).toDF("doc_id", "q")
+    val pairs = Seq(("doc_a", "doc_b"), ("doc_c", "doc_d")).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonicalBy(docs, pairs, "doc_id", "q")
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(kept === Seq("doc_b", "doc_c", "doc_e"))
+  }
 }

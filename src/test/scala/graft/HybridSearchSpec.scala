@@ -99,6 +99,23 @@ class HybridSearchSpec extends SparkSpec {
     }
   }
 
+  test("persisted index: empty corpus and out-of-range terms return empty, not a crash") {
+    withTempDir("bm25idx-empty") { dir =>
+      val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      Bm25.buildPersistedIndex(none, "doc_id", "text", nRanges = 4,
+        path = dir.getAbsolutePath)
+      assert(Bm25.searchPersistedIndex(spark, dir.getAbsolutePath,
+        Seq("anything"), k = 5).count() === 0L)
+    }
+    withTempDir("bm25idx-oor") { dir =>
+      Bm25.buildPersistedIndex(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+        "doc_id", "text", nRanges = 2, path = dir.getAbsolutePath)
+      // every query term lexicographically outside the posting ranges
+      assert(Bm25.searchPersistedIndex(spark, dir.getAbsolutePath,
+        Seq("zzzz"), k = 5).count() === 0L)
+    }
+  }
+
   test("rrf: hand-computed fusion incl. a one-list-only candidate") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")

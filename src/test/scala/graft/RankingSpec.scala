@@ -98,28 +98,44 @@ class RankingSpec extends SparkSpec {
   }
 
   test("ntileBuckets == ANSI ntile sizing (remainder to leading buckets)") {
-    // 1000 rows, n=7: sizes 143 x6 + 142; leading (1000 mod 7)=6 buckets big
-    val got = Ranking.ntileBuckets(fixture,
-        Seq(col("score").desc, col("id").asc), n = 7)
-      .select("id", "bucket").as[(Long, Long)].collect()
+    def ansiReplay(total: Int, n: Int, order: Array[Long]): Map[Long, Long] = {
+      val (q, r) = (total / n, total % n)
+      order.zipWithIndex.map { case (id, i) =>
+        // first r buckets have q+1 rows — the interleaved-remainder
+        // formula this operator once used diverges whenever
+        // total mod n is in [2, n-2], so test exactly there
+        val bucket = if (i < r * (q + 1)) i / (q + 1) + 1
+                     else (i - r * (q + 1)) / q + r + 1
+        id -> bucket.toLong
+      }.toMap
+    }
     val order = fixture.as[(Long, Long)].collect()
       .sortBy(r => (-r._2, r._1)).map(_._1)
-    // replay ANSI ntile driver-side
-    val (q, r) = (1000 / 7, 1000 % 7)
-    val expected = order.zipWithIndex.map { case (id, i) =>
-      // first r buckets have q+1 rows
-      val bucket = if (i < r * (q + 1)) i / (q + 1) + 1
-                   else (i - r * (q + 1)) / q + r + 1
-      id -> bucket.toLong
-    }.toMap
-    assert(got.toMap === expected)
-    // buckets are contiguous under the order and 1..n
-    assert(got.map(_._2).toSet === (1L to 7L).toSet)
+    // 1000 mod 6 = 4 ∈ [2, n-2]: sizes 167 x4 then 166 x2
+    for (n <- Seq(6, 7, 4)) {
+      val got = Ranking.ntileBuckets(fixture,
+          Seq(col("score").desc, col("id").asc), n = n)
+        .select("id", "bucket").as[(Long, Long)].collect()
+      assert(got.toMap === ansiReplay(1000, n, order), s"n=$n")
+      assert(got.map(_._2).toSet === (1L to n).toSet)
+    }
+    // the exact counterexample to the interleaved formula: 10 rows, n=4
+    // must size 3,3,2,2 (rank 6 -> bucket 2, not 3)
+    val ten = fixture.limit(10)
+    val tenOrder = ten.as[(Long, Long)].collect().sortBy(r => (-r._2, r._1)).map(_._1)
+    val tenGot = Ranking.ntileBuckets(ten, Seq(col("score").desc, col("id").asc), 4)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(tenGot === ansiReplay(10, 4, tenOrder))
+    assert(tenGot(tenOrder(5)) === 2L, "rank 6 of 10 with n=4 is ANSI bucket 2")
+    // n > total: one row per leading bucket
+    val three = Ranking.ntileBuckets(ten.limit(3), Seq(col("id").asc), 8)
+      .select("bucket").as[Long].collect().sorted
+    assert(three === Array(1L, 2L, 3L))
     // partitioning independence
     val again = Ranking.ntileBuckets(fixture.repartition(13),
-        Seq(col("score").desc, col("id").asc), n = 7)
+        Seq(col("score").desc, col("id").asc), n = 6)
       .select("id", "bucket").as[(Long, Long)].collect().toMap
-    assert(again === expected)
+    assert(again === ansiReplay(1000, 6, order))
     intercept[IllegalArgumentException](
       Ranking.ntileBuckets(fixture, Seq(col("id")), 0))
   }

@@ -95,7 +95,7 @@ class ShardingSpec extends SparkSpec {
         .map(f => (f.getPath.getName, f.getModificationTime)).sortBy(_._1).toSeq
       val before = filesOf(untouched)
       val rewritten = Sharding.incrementalExportShards(
-        oldDocs, newDocs, "doc_id", "text", nShards = 8, path)
+        oldDocs, newDocs, "doc_id", nShards = 8, path)
       assert(rewritten === changedExpected, "rewrote a different shard set")
       // untouched shard files byte-identical (names AND mtimes)
       assert(filesOf(untouched) === before, s"untouched shard $untouched rewritten")
@@ -105,7 +105,19 @@ class ShardingSpec extends SparkSpec {
       assert(got === newDocs.as[(Long, String)].collect().sorted.toSeq)
       // no changes -> no writes, empty audit
       assert(Sharding.incrementalExportShards(
-        newDocs, newDocs, "doc_id", "text", 8, path) === Nil)
+        newDocs, newDocs, "doc_id", 8, path) === Nil)
+      // a NON-text column change must still rewrite its shard
+      // (the fingerprint covers ALL non-key columns)
+      val base2 = newDocs.withColumn("extra", lit("A"))
+      val relabeled = base2.withColumn("extra",
+        when($"doc_id" === 3L, lit("B")).otherwise($"extra"))
+      Sharding.exportShards(base2, "doc_id", nShards = 8, path)
+      val r2 = Sharding.incrementalExportShards(base2, relabeled, "doc_id", 8, path)
+      val shard3 = Sharding.assignShards(Seq(3L).toDF("doc_id"), "doc_id", 8)
+        .select("shard").as[Long].head()
+      assert(r2 === Seq(shard3), "metadata-only change must rewrite the shard")
+      assert(spark.read.parquet(path).filter($"doc_id" === 3L)
+        .select("extra").as[String].head() === "B")
     }
   }
 
@@ -121,7 +133,7 @@ class ShardingSpec extends SparkSpec {
       val survivors = pair.join(
         Sharding.assignShards(pair, "doc_id", 4).filter($"shard" === victimShard)
           .select($"doc_id"), Seq("doc_id"), "left_anti")
-      Sharding.incrementalExportShards(pair, survivors, "doc_id", "text", 4, path)
+      Sharding.incrementalExportShards(pair, survivors, "doc_id", 4, path)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/shard=$victimShard")),

@@ -90,6 +90,13 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(re === exact(0.05))
     intercept[IllegalArgumentException](Sketches.heavyHitters(df, "item", 1.5))
+    // nulls are excluded BY CONTRACT and the support denominator is the
+    // non-null count — a 60%-null column must still surface "hot"
+    val withNulls = (rows.take(2000).map(Option(_)) ++
+      Seq.fill(3000)(Option.empty[String])).toDF("item")
+    val hh = Sketches.heavyHitters(withNulls, "item", 0.5)
+      .as[(String, Long)].collect().toMap
+    assert(hh === Map("hot" -> 1500L), s"got $hh") // 1500 of 2000 non-null
   }
 
   test("eventProfile: one-pass combined sketch profile, partial aggregation") {

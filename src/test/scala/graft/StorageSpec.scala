@@ -301,6 +301,12 @@ class StorageSpec extends SparkSpec {
       s"expected semi+anti join pair:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"corpus must never shuffle for the bloom-guarded confirm:\n$plan")
+    // a key duplicated heavily in a dirty corpus must not multiply the
+    // broadcast confirm set: result identical, one row per incoming key
+    val dirty = corpus.union(Seq.fill(5000)(2L).toDF("k"))
+    assert(ChunkStore.dropExistingGlobalBloom(b1, dirty, "k", "k",
+        ChunkStore.buildKeyBloom(dirty, "k", 10))
+      .as[Option[Long]].collect().toSet === Set(Some(4L)))
   }
 
   test("upsertByKey replaces matched keys, keeps the rest") {
