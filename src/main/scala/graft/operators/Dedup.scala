@@ -588,6 +588,122 @@ object Dedup {
     docs.join(victims, Seq(idCol), "left_anti")
   }
 
+  /** Sliding token-window fingerprints shared by
+    * [[duplicatedSpanProfile]] and [[trimDuplicatedSpans]]: one row per
+    * window start — (id, pos 0-based, fp) where fp is the top-60-md5-
+    * bit fingerprint of the window's space-joined tokens (the
+    * [[Sharding.shardId]] hex-parse parity trick, so a DuckDB oracle
+    * computes the identical BIGINT). The gram STRING never leaves the
+    * projection — only 8-byte fingerprints shuffle. */
+  private def spanOccurrences(docs: DataFrame, idCol: String,
+                              textCol: String, window: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nStarts = size(toks) - (window - 1)
+    val grams = when(nStarts >= 1,
+      transform(sequence(lit(0), nStarts - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(window)))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol), posexplode(grams).as(Seq("pos", "__gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("__gram").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("fp"))
+  }
+
+  /** Cross-document EXACT duplicated-span detection (the ExactSubstr
+    * idea of Lee et al. '22, "Deduplicating Training Data Makes
+    * Language Models Better", at token-window granularity): a span of
+    * `window` consecutive tokens whose fingerprint occurs more than
+    * once corpus-wide is a duplicated span; the globally-first
+    * occurrence (by (id, pos) — [[LineDedup.PosBase]] encoding) is
+    * canonical, the rest are trim candidates. Near-dup families
+    * (MinHash/SimHash/Jaccard/cosine) score whole documents; this
+    * catches the verbatim PARAGRAPH pasted into otherwise-distinct
+    * pages, which whole-doc similarity dilutes below any threshold.
+    *
+    * Output: one row per doc — (idCol, n_spans, n_dup_spans,
+    * dup_fraction) where n_dup_spans counts NON-canonical occurrences
+    * of repeated fingerprints. Docs shorter than `window` tokens have
+    * n_spans = 0 and dup_fraction 0.0.
+    *
+    * Scale shape: everything is LINEAR in corpus tokens — windows are
+    * a narrow generate, the frequency agg map-side-combines on the
+    * 8-byte fingerprint, the join re-attaches counts to occurrences,
+    * and no doc pair is ever materialized (a boilerplate span shared
+    * by 10⁶ docs is one frequency row, not 10¹² pairs). */
+  def duplicatedSpanProfile(docs: DataFrame, idCol: String,
+                            textCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val occ = spanOccurrences(docs, idCol, textCol, window)
+      .withColumn("__epos",
+        when(col("pos") < LineDedup.PosBase &&
+            col(idCol).between(0L, LineDedup.MaxId),
+          col(idCol) * LineDedup.PosBase + col("pos"))
+          .otherwise(raise_error(lit("duplicatedSpanProfile: position " +
+            "encoding would overflow; re-key ids first"))))
+    val freq = occ.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n"), min(col("__epos")).as("__keeper"))
+    val flagged = occ.join(freq, Seq("fp"))
+      .withColumn("__dup",
+        col("__n") >= 2 && col("__epos") =!= col("__keeper"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col(idCol)).distinct()
+      .join(flagged, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+            col("n_spans").cast("double")).as("dup_fraction"))
+  }
+
+  /** The APPLY step of [[duplicatedSpanProfile]]: delete every token
+    * covered by a non-canonical duplicated span (the union of their
+    * [pos, pos+window) ranges) and reassemble the survivors in
+    * document order — the canonical copy of each repeated span
+    * survives verbatim in exactly one document. Output: (idCol,
+    * n_tokens, n_dropped_tokens, kept_text).
+    *
+    * The only inflation is dropped-occurrence ranges exploding to
+    * their `window` token indices before a distinct — linear in the
+    * tokens actually being removed, never in the corpus. */
+  def trimDuplicatedSpans(docs: DataFrame, idCol: String,
+                          textCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val occ = spanOccurrences(docs, idCol, textCol, window)
+      .withColumn("__epos",
+        when(col("pos") < LineDedup.PosBase &&
+            col(idCol).between(0L, LineDedup.MaxId),
+          col(idCol) * LineDedup.PosBase + col("pos"))
+          .otherwise(raise_error(lit("trimDuplicatedSpans: position " +
+            "encoding would overflow; re-key ids first"))))
+    val freq = occ.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n"), min(col("__epos")).as("__keeper"))
+    val covered = occ.join(freq, Seq("fp"))
+      .filter(col("__n") >= 2 && col("__epos") =!= col("__keeper"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (window - 1))).as("tok_idx"))
+      .distinct()
+    val toks = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("tok_idx", "tok")))
+      .withColumn("tok_idx", col("tok_idx").cast("long"))
+    val kept = toks.join(covered, Seq(idCol, "tok_idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tok_idx"), col("tok")))),
+          x => x.getField("tok"))).as("kept_text"))
+    val totals = docs.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    totals.join(kept, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped_tokens"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Exact embedding-cosine near-dup pairs (the correctness oracle; the
     * scale path routes candidates through SignLsh buckets first). */
   def cosineNearDup(emb: DataFrame, idCol: String, embCol: String,

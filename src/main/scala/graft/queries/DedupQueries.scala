@@ -88,6 +88,24 @@ object DedupQueries {
       Dedup.keepCanonical(emb.select(col("vec_id")), pairs, "vec_id")
         .orderBy(col("vec_id"))
     },
+    // ExactSubstr-style duplicated-span detection over 8-token windows
+    // — every doc_id%10==0 doc carries a planted verbatim boilerplate
+    // tail, so its tail windows repeat across ~50 docs while the
+    // leading text stays unique. Linear everywhere: no doc pair ever
+    // materializes (the shared span is ONE frequency row).
+    "dedup_spans_profile" -> { (s, dir) =>
+      Dedup.duplicatedSpanProfile(spanFixture(s, dir), "doc_id", "text",
+          window = 8)
+        .orderBy(col("doc_id"))
+    },
+    // the APPLY step: delete tokens covered by non-canonical repeated
+    // spans; the globally-first copy of the boilerplate survives in
+    // exactly one document
+    "dedup_spans_trim" -> { (s, dir) =>
+      Dedup.trimDuplicatedSpans(spanFixture(s, dir), "doc_id", "text",
+          window = 8)
+        .orderBy(col("doc_id"))
+    },
     // dedup APPLY, quality-chosen canonical: each component keeps its
     // best member under (quality desc, id asc) instead of min-id —
     // deterministic synthetic quality (vec_id*37 % 101) plants ties
@@ -112,6 +130,48 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }
   )
+
+  /** Boilerplate tail appended to every %10 doc — 12 words, so 8-token
+    * windows inside it repeat verbatim across the tagged docs. The SQL
+    * twin lives in [[spanFixtureSql]]; keep both in sync. */
+  private val SpanTail =
+    " the shared graft boilerplate tail phrase repeated verbatim across tagged documents end"
+
+  private def spanFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(SpanTail)))
+        .otherwise(col("text")).as("text"))
+
+  private val spanFixtureSql: String =
+    s"""SELECT doc_id,
+       |       CASE WHEN doc_id % 10 = 0 THEN text || '$SpanTail'
+       |            ELSE text END AS text
+       |FROM documents""".stripMargin
+
+  /** Shared CTE body for the span oracles: windows → fingerprints →
+    * frequency+canonical → per-occurrence dup flag (window = 8,
+    * 0-based positions, the same top-60-md5-bit fingerprint and
+    * doc_id·PosBase+pos encoding as the Scala side). */
+  private val spanCte: String =
+    s"""d AS ($spanFixtureSql),
+       |t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM d
+       |), g AS (
+       |  SELECT doc_id, w,
+       |         unnest(range(0, greatest(len(w) - 7, 0))) AS pos
+       |  FROM t
+       |), o AS (
+       |  SELECT doc_id, pos,
+       |         CAST(CAST('0x' || substr(md5(array_to_string(w[pos+1:pos+8], ' ')), 1, 15) AS UBIGINT) AS BIGINT) AS fp,
+       |         doc_id * ${graft.operators.LineDedup.PosBase} + pos AS epos
+       |  FROM g
+       |), f AS (
+       |  SELECT fp, count(*) AS n, min(epos) AS keeper FROM o GROUP BY fp
+       |), j AS (
+       |  SELECT o.doc_id, o.pos, (f.n >= 2 AND o.epos <> f.keeper) AS dup
+       |  FROM o JOIN f USING (fp)
+       |)""".stripMargin
 
   private def groupsSql(fpExpr: String): String =
     s"""WITH f AS (SELECT doc_id, $fpExpr AS fingerprint FROM documents)
@@ -186,6 +246,45 @@ object DedupQueries {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT u FROM victims)
         |ORDER BY vec_id""".stripMargin,
+    "dedup_spans_profile" ->
+      s"""WITH $spanCte,
+         |p AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |         sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup
+         |  FROM j GROUP BY doc_id
+         |)
+         |SELECT t.doc_id,
+         |       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+         |       CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
+         |            ELSE CAST(coalesce(p.n_dup, 0) AS DOUBLE) / p.n_spans
+         |       END AS dup_fraction
+         |FROM t LEFT JOIN p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_spans_trim" ->
+      s"""WITH $spanCte,
+         |cov AS (
+         |  SELECT DISTINCT doc_id, tok_idx FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + 8)) AS tok_idx
+         |    FROM j WHERE dup
+         |  )
+         |), toks AS (
+         |  SELECT doc_id, unnest(w) AS tok,
+         |         generate_subscripts(w, 1) - 1 AS tok_idx
+         |  FROM t
+         |), kept AS (
+         |  SELECT k.doc_id, count(*) AS n_kept,
+         |         string_agg(k.tok, ' ' ORDER BY k.tok_idx) AS kept_text
+         |  FROM toks k LEFT JOIN cov c
+         |    ON k.doc_id = c.doc_id AND k.tok_idx = c.tok_idx
+         |  WHERE c.doc_id IS NULL
+         |  GROUP BY k.doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |       CAST(len(w) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_dropped_tokens,
+         |       coalesce(kept.kept_text, '') AS kept_text
+         |FROM t LEFT JOIN kept USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_apply_best" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b

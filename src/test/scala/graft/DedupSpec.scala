@@ -240,4 +240,51 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 3L))
   }
+
+  test("duplicatedSpanProfile: hand-computed counts; canonical is global-first") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // 3 windows, all canonical (first by id)
+      (2L, "x a b c d y"),    // shares "a b c" and "b c d" -> 2 dup of 4
+      (3L, "a b"),            // shorter than the window: 0 spans
+      (4L, "a b c d e")       // verbatim copy of doc 1: all 3 spans dup
+    ).toDF("doc_id", "text")
+    val p = Dedup.duplicatedSpanProfile(docs, "doc_id", "text", window = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(p(1L) === ((3L, 0L, 0.0)))
+    assert(p(2L) === ((4L, 2L, 0.5)))
+    assert(p(3L) === ((0L, 0L, 0.0)))
+    assert(p(4L) === ((3L, 3L, 1.0)))
+  }
+
+  test("trimDuplicatedSpans: covered unions trim, canonical copy survives verbatim") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "a b"),
+      (4L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val t = Dedup.trimDuplicatedSpans(docs, "doc_id", "text", window = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 is the canonical home of every repeated span: untouched
+    assert(t(1L) === ((5L, 0L, "a b c d e")))
+    // doc 2's dup spans at pos 1 and 2 cover tokens 1..4 -> "x y"
+    assert(t(2L) === ((6L, 4L, "x y")))
+    // short doc: untouched
+    assert(t(3L) === ((2L, 0L, "a b")))
+    // doc 4 is fully covered by spans canonical in doc 1
+    assert(t(4L) === ((5L, 5L, "")))
+  }
+
+  test("duplicated spans: no corpus without repeats is ever modified") {
+    val docs = Seq((1L, "one two three four"), (2L, "five six seven eight"))
+      .toDF("doc_id", "text")
+    val t = Dedup.trimDuplicatedSpans(docs, "doc_id", "text", window = 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(t.forall(_._3 == 0L), "nothing to trim")
+    assert(t.map(_._4).toSet === Set("one two three four", "five six seven eight"))
+    intercept[IllegalArgumentException](
+      Dedup.duplicatedSpanProfile(docs, "doc_id", "text", 0))
+  }
 }
