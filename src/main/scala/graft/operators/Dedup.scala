@@ -594,7 +594,11 @@ object Dedup {
     * bit fingerprint of the window's space-joined tokens (the
     * [[Sharding.shardId]] hex-parse parity trick, so a DuckDB oracle
     * computes the identical BIGINT). The gram STRING never leaves the
-    * projection — only 8-byte fingerprints shuffle. */
+    * projection — only 8-byte fingerprints shuffle. The result is
+    * persisted with the self-releasing cache: both consumers feed it
+    * into a frequency agg AND a re-attachment join, and the
+    * window-concat + md5 projection is the dominant cost — computing
+    * it once instead of twice nearly halves the job. */
   private def spanOccurrences(docs: DataFrame, idCol: String,
                               textCol: String, window: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
@@ -603,11 +607,14 @@ object Dedup {
       transform(sequence(lit(0), nStarts - 1),
         i => concat_ws(" ", slice(toks, i + 1, lit(window)))))
       .otherwise(array().cast("array<string>"))
-    docs
+    val occ = docs
       .select(col(idCol), posexplode(grams).as(Seq("pos", "__gram")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         conv(substring(md5(col("__gram").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("fp"))
+      .persist()
+    releaseAfterUse(occ)
+    occ
   }
 
   /** Cross-document EXACT duplicated-span detection (the ExactSubstr
