@@ -149,6 +149,12 @@ object Bm25 {
       s"$base/postings")
     manifest.write.mode("overwrite").parquet(s"$base/manifest")
     corpusStats(docs, textCol).write.mode("overwrite").parquet(s"$base/stats")
+    // a footer-bearing EMPTY postings file pins the schema (including
+    // the id column's true type) for query paths that read no range —
+    // an empty index or an all-out-of-range query must return an empty
+    // frame of the SAME schema as a populated read, not a hardcoded one
+    postings.filter(lit(false)).repartition(1)
+      .write.mode("overwrite").parquet(s"$base/schema")
   }
 
   /** BM25 top-k over a [[buildPersistedIndex]] layout: identical
@@ -179,15 +185,14 @@ object Bm25 {
       .filter(r => !r.isNullAt(1) && terms.exists(t =>
         r.getString(1) <= t && t <= r.getString(2)))
       .map(_.getLong(0)).sorted
-    val empty = {
-      import spark.implicits._
-      Seq.empty[(Long, Long, Long)].toDF("id", "bm25_fp", "n_terms")
-    }
-    if (overlapping.isEmpty) return empty
-    val postings = spark.read.option("basePath", s"$base/postings")
-      .parquet(overlapping.map(id => s"$base/postings/range_id=$id"): _*)
-      .filter(col("term").isin(terms: _*))
-      .drop("range_id")
+    // the schema-pinning empty file keeps the no-range path's result
+    // schema identical to a populated read (id type included)
+    val postings =
+      if (overlapping.isEmpty) spark.read.parquet(s"$base/schema")
+      else spark.read.option("basePath", s"$base/postings")
+        .parquet(overlapping.map(id => s"$base/postings/range_id=$id"): _*)
+        .filter(col("term").isin(terms: _*))
+        .drop("range_id")
     val dfByTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.read.parquet(s"$base/stats")
     scoreAndTake(postings, dfByTerm, stats, k, k1, b, rationalIdf)

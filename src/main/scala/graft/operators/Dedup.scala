@@ -579,7 +579,13 @@ object Dedup {
     val best = members.groupBy(col("component"))
       .agg(max(col(scoreCol)).as("__best"))
     val winners = members.join(best, Seq("component"))
-      .filter(col(scoreCol) === col("__best"))
+      // null-SAFE equality: a component whose every score is null has
+      // __best = null, and `===` would match no member — the whole
+      // component would be deleted instead of keeping one canonical
+      // copy; `<=>` lets the all-null component fall through to the
+      // min-id tie-break (mixed null/non-null still prefers scored
+      // members, since max ignores nulls)
+      .filter(col(scoreCol) <=> col("__best"))
       .groupBy(col("component"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
@@ -638,21 +644,29 @@ object Dedup {
     * 8-byte fingerprint, the join re-attaches counts to occurrences,
     * and no doc pair is ever materialized (a boilerplate span shared
     * by 10⁶ docs is one frequency row, not 10¹² pairs). */
-  def duplicatedSpanProfile(docs: DataFrame, idCol: String,
-                            textCol: String, window: Int): DataFrame = {
+  /** Occurrences with their duplicate flag — the shared core of the
+    * profile and trim entry points: (idCol, pos, __dup) where __dup
+    * marks a NON-canonical occurrence of a repeated fingerprint. */
+  private def dupFlaggedSpans(docs: DataFrame, idCol: String,
+                              textCol: String, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     val occ = spanOccurrences(docs, idCol, textCol, window)
       .withColumn("__epos",
         when(col("pos") < LineDedup.PosBase &&
             col(idCol).between(0L, LineDedup.MaxId),
           col(idCol) * LineDedup.PosBase + col("pos"))
-          .otherwise(raise_error(lit("duplicatedSpanProfile: position " +
+          .otherwise(raise_error(lit("duplicated-span detection: position " +
             "encoding would overflow; re-key ids first"))))
     val freq = occ.groupBy(col("fp"))
       .agg(count(lit(1)).as("__n"), min(col("__epos")).as("__keeper"))
-    val flagged = occ.join(freq, Seq("fp"))
-      .withColumn("__dup",
-        col("__n") >= 2 && col("__epos") =!= col("__keeper"))
+    occ.join(freq, Seq("fp"))
+      .select(col(idCol), col("pos"),
+        (col("__n") >= 2 && col("__epos") =!= col("__keeper")).as("__dup"))
+  }
+
+  def duplicatedSpanProfile(docs: DataFrame, idCol: String,
+                            textCol: String, window: Int): DataFrame = {
+    val flagged = dupFlaggedSpans(docs, idCol, textCol, window)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_spans"))
@@ -678,18 +692,8 @@ object Dedup {
     * tokens actually being removed, never in the corpus. */
   def trimDuplicatedSpans(docs: DataFrame, idCol: String,
                           textCol: String, window: Int): DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
-    val occ = spanOccurrences(docs, idCol, textCol, window)
-      .withColumn("__epos",
-        when(col("pos") < LineDedup.PosBase &&
-            col(idCol).between(0L, LineDedup.MaxId),
-          col(idCol) * LineDedup.PosBase + col("pos"))
-          .otherwise(raise_error(lit("trimDuplicatedSpans: position " +
-            "encoding would overflow; re-key ids first"))))
-    val freq = occ.groupBy(col("fp"))
-      .agg(count(lit(1)).as("__n"), min(col("__epos")).as("__keeper"))
-    val covered = occ.join(freq, Seq("fp"))
-      .filter(col("__n") >= 2 && col("__epos") =!= col("__keeper"))
+    val covered = dupFlaggedSpans(docs, idCol, textCol, window)
+      .filter(col("__dup"))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (window - 1))).as("tok_idx"))
       .distinct()
@@ -702,8 +706,11 @@ object Dedup {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("tok_idx"), col("tok")))),
           x => x.getField("tok"))).as("kept_text"))
+    // coalesce: a null text tokenizes to a null array, whose size is
+    // null — report (0, 0, "") exactly like duplicatedSpanProfile does
     val totals = docs.select(col(idCol),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      coalesce(size(TextAnalysis.tokens(col(textCol))).cast("long"), lit(0L))
+        .as("n_tokens"))
     totals.join(kept, Seq(idCol), "left_outer")
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))

@@ -93,14 +93,24 @@ object Sharding {
       s"snapshot schemas differ: ${oldDocs.columns.mkString(",")} vs " +
         newDocs.columns.mkString(","))
     // one fingerprint over every non-key column, in a FIXED (sorted)
-    // column order so both snapshots hash identically
+    // column order so both snapshots hash identically. The diff joins
+    // on a null-safe SURROGATE key: an equi-join never matches null
+    // keys, so the (at most one, per the unique-id contract) null-key
+    // row would read as removed+added on EVERY run and churn the
+    // default partition nightly even when untouched.
     val payloadCols = oldDocs.columns.filterNot(_ == keyCol).sorted
-    def fingerprinted(df: DataFrame) = df.select(col(keyCol),
-      to_json(struct(payloadCols.map(col): _*)).as("__payload"))
-    val changedRows = Maintenance.corpusDiff(
-        fingerprinted(oldDocs), fingerprinted(newDocs), keyCol, "__payload")
-      .filter(col("status") =!= "unchanged")
-      .select(shardId(col(keyCol), nShards).as("shard"))
+    def fingerprinted(df: DataFrame, fpName: String) = df.select(
+      when(col(keyCol).isNull, lit("__graft_null_key__"))
+        .otherwise(concat(lit("k:"), col(keyCol).cast("string"))).as("__k"),
+      shardId(col(keyCol), nShards).as("shard"),
+      md5(to_json(struct(payloadCols.map(col): _*)).cast("binary")).as(fpName))
+    val changedRows = fingerprinted(oldDocs, "__ofp")
+      .withColumnRenamed("shard", "__oshard")
+      .join(fingerprinted(newDocs, "__nfp").withColumnRenamed("shard", "__nshard"),
+        Seq("__k"), "full_outer")
+      .filter(!(col("__ofp") <=> col("__nfp")))
+      // an added doc has no old-side shard and vice versa
+      .select(coalesce(col("__oshard"), col("__nshard")).as("shard"))
       .distinct()
       .collect()
     // a null key hashes to a null shard — it addresses the Hive

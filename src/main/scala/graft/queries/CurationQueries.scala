@@ -534,7 +534,7 @@ object CurationQueries {
          |SELECT p.shard, p.pack_id,
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(p.n) AS BIGINT) AS pack_tokens,
-         |       string_agg(d.text, '<|eos|>' ORDER BY p.pack_pos) AS pack_text
+         |       string_agg(coalesce(d.text, ''), '<|eos|>' ORDER BY p.pack_pos) AS pack_text
          |FROM p JOIN documents d ON p.doc_id = d.doc_id
          |GROUP BY p.shard, p.pack_id
          |ORDER BY p.shard, p.pack_id""".stripMargin,

@@ -145,4 +145,16 @@ class ConnectedComponentsSpec extends SparkSpec {
       .select("doc_id").as[String].collect().sorted.toSeq
     assert(kept === Seq("doc_b", "doc_c", "doc_e"))
   }
+
+  test("keepCanonicalBy: an all-null-score component still keeps one canonical") {
+    // component {1,2}: both scores null -> min-id fallback, NOT deletion;
+    // component {3,4}: null vs 5 -> the scored member wins
+    val docs = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]),
+      (3L, Option.empty[Long]), (4L, Some(5L)), (5L, Some(1L)))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonicalBy(docs, pairs, "doc_id", "q")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L))
+  }
 }

@@ -286,5 +286,14 @@ class DedupSpec extends SparkSpec {
     assert(t.map(_._4).toSet === Set("one two three four", "five six seven eight"))
     intercept[IllegalArgumentException](
       Dedup.duplicatedSpanProfile(docs, "doc_id", "text", 0))
+    // null text: profile and trim agree on (0, 0, "") — not null counts
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("a b c")))
+      .toDF("doc_id", "text")
+    val tn = Dedup.trimDuplicatedSpans(withNull, "doc_id", "text", window = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(tn(1L) === ((1L, 0L, 0L, "")))
+    val pn = Dedup.duplicatedSpanProfile(withNull, "doc_id", "text", window = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(pn(1L) === ((1L, 0L, 0L, 0.0)))
   }
 }

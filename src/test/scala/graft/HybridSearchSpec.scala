@@ -114,6 +114,23 @@ class HybridSearchSpec extends SparkSpec {
       assert(Bm25.searchPersistedIndex(spark, dir.getAbsolutePath,
         Seq("zzzz"), k = 5).count() === 0L)
     }
+    // the no-range path must return the SAME schema as a populated read
+    // — including a non-long id type
+    withTempDir("bm25idx-strid") { dir =>
+      Bm25.buildPersistedIndex(
+        Seq(("doc_x", "alpha beta"), ("doc_y", "alpha gamma"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", nRanges = 2, path = dir.getAbsolutePath)
+      val hit = Bm25.searchPersistedIndex(spark, dir.getAbsolutePath,
+        Seq("alpha"), k = 5)
+      val miss = Bm25.searchPersistedIndex(spark, dir.getAbsolutePath,
+        Seq("zzzz"), k = 5)
+      assert(hit.count() === 2L && miss.count() === 0L)
+      assert(miss.schema === hit.schema,
+        s"empty path schema ${miss.schema} != populated ${hit.schema}")
+      assert(hit.schema("id").dataType ===
+        org.apache.spark.sql.types.StringType)
+    }
   }
 
   test("rrf: hand-computed fusion incl. a one-list-only candidate") {

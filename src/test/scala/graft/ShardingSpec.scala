@@ -121,6 +121,39 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("incrementalExportShards: identical snapshots with a null key rewrite NOTHING") {
+    withTempDir("increx-null") { dir =>
+      val path = dir.getAbsolutePath
+      val docs = ((1L to 30L).map(i => (Some(i), s"t$i")) :+
+        ((Option.empty[Long], "null-key payload"))).toDF("doc_id", "text")
+      Sharding.exportShards(docs, "doc_id", nShards = 4, path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def allFiles = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val before = {
+        val it = allFiles; val b = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) { val f = it.next(); b += s"${f.getPath}@${f.getModificationTime}" }
+        b.sorted.toSeq
+      }
+      // identical snapshots: the null-key row must NOT read as changed
+      assert(Sharding.incrementalExportShards(docs, docs, "doc_id", 4, path) === Nil)
+      val after = {
+        val it = allFiles; val b = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) { val f = it.next(); b += s"${f.getPath}@${f.getModificationTime}" }
+        b.sorted.toSeq
+      }
+      assert(after === before, "no-op incremental export must not touch any file")
+      // an actual null-key payload change rewrites ONLY the default partition
+      val edited = docs.withColumn("text",
+        when($"doc_id".isNull, lit("edited")).otherwise($"text"))
+      assert(Sharding.incrementalExportShards(docs, edited, "doc_id", 4, path) === Nil)
+      val got = spark.read.parquet(path).filter($"doc_id".isNull)
+        .select("text").as[String].head()
+      assert(got === "edited")
+      assert(spark.read.parquet(path).count() === 31L)
+    }
+  }
+
   test("incrementalExportShards: an emptied shard's directory is removed") {
     withTempDir("increx-empty") { dir =>
       val path = dir.getAbsolutePath
