@@ -249,6 +249,38 @@ object Maintenance {
       .select(col(idCol), col("status"))
   }
 
+  /** Corpus health report: one row per column with its null count and
+    * (for strings) empty/blank count — the data-quality gate an ingest
+    * pipeline runs before promoting a snapshot. ONE pass over the
+    * corpus: every counter is a conditional sum inside a single
+    * aggregation (map-side combined, fixed-size state), then the 1-row
+    * wide result is unpivoted driver-side — no per-column jobs, no
+    * second scan. Deterministic integer outputs, so the report is
+    * oracle-exact. */
+  def corpusHealth(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.StringType
+    val fields = df.schema.fields
+    val aggs = count(lit(1)).as("__rows") +: fields.flatMap { f =>
+      val c = col(f.name)
+      val nulls = sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls")
+      if (f.dataType == StringType)
+        Seq(nulls, sum(when(trim(c) === "", 1L).otherwise(0L))
+          .as(s"${f.name}__blank"))
+      else Seq(nulls)
+    }.toSeq
+    val wide = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = fields.map { f =>
+      val nulls = wide.getAs[Long](s"${f.name}__nulls")
+      val blank = if (f.dataType == StringType)
+        Some(wide.getAs[Long](s"${f.name}__blank")) else None
+      (f.name, f.dataType.simpleString, wide.getAs[Long]("__rows"),
+        nulls, blank)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("column", "dtype", "n_rows", "n_nulls", "n_blank")
+  }
+
   /** Roll-up of [[corpusDiff]]: doc counts per status. */
   def corpusDiffStats(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
                       textCol: String): DataFrame =

@@ -91,6 +91,13 @@ object RelationalQueries {
           "lang", "doc_id", "n_tok", budgetTokens = 5000L)
         .orderBy(col("doc_id"))
     },
+    // pre-promotion data-quality gate: per-column null/blank counts in
+    // ONE corpus pass (conditional sums in a single agg, no per-column
+    // jobs)
+    "corpus_health" -> { (s, dir) =>
+      graft.operators.Maintenance.corpusHealth(Tables.documents(s, dir))
+        .orderBy(col("column"))
+    },
     // corpus snapshot diff: deterministic v2 mutation (drop %31, edit
     // %7, add %13 under shifted ids) audited by fingerprint — the join
     // ships (id, md5) only, never payloads
@@ -196,6 +203,23 @@ object RelationalQueries {
         |SELECT doc_id, lang FROM r
         |WHERE rk <= ceil(200 * w / wsum)
         |ORDER BY doc_id""".stripMargin,
+    "corpus_health" -> {
+      def strCol(name: String) =
+        s"""SELECT '$name' AS "column", 'string' AS dtype,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+           |       CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       CAST(sum(CASE WHEN trim($name) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
+           |FROM documents""".stripMargin
+      def numCol(name: String) =
+        s"""SELECT '$name' AS "column", 'bigint' AS dtype,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+           |       CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       CAST(NULL AS BIGINT) AS n_blank
+           |FROM documents""".stripMargin
+      Seq(numCol("doc_id"), strCol("text"), strCol("lang"),
+        strCol("source"), numCol("n_chars"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "rel_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

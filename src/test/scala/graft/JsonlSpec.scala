@@ -81,6 +81,20 @@ class JsonlSpec extends SparkSpec {
       3L -> "added", 4L -> "changed"))
   }
 
+  test("corpusHealth: per-column null/blank counts, one aggregation pass") {
+    val df = Seq(
+      (Option(1L), Option("a")),
+      (Option.empty[Long], Option("")),
+      (Option(3L), Option.empty[String]),
+      (Option(4L), Option("  "))).toDF("id", "t")
+    val h = graft.operators.Maintenance.corpusHealth(df)
+      .as[(String, String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(h("id") === (("id", "bigint", 4L, 1L, None)))
+    // blanks: "" and whitespace-only; the NULL string is a null, not a blank
+    assert(h("t") === (("t", "string", 4L, 1L, Some(2L))))
+  }
+
   test("corpusDiff: full status matrix and slim join payload") {
     val oldDocs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newDocs = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
