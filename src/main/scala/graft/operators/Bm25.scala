@@ -129,7 +129,10 @@ object Bm25 {
     *     `range_id` directory and parquet row-group min/max stats are
     *     tight, so a query's terms prune to a handful of files;
     *   `manifest/` — the persisted zone map over the term ranges;
-    *   `stats/` — one row (n docs, avgdl as exact-int sum / count).
+    *   `stats/` — one row (n docs, avgdl as exact-int sum / count);
+    *   `schema/` — a footer-bearing EMPTY postings file pinning the
+    *     postings schema (incl. the id column's true type) for query
+    *     paths that read no range.
     * One corpus pass + one range shuffle of the postings (a posting is
     * ~3 longs + the term string — far smaller than the corpus text).
     * Per-term document frequencies are NOT stored: df is recomputed
@@ -186,9 +189,22 @@ object Bm25 {
         r.getString(1) <= t && t <= r.getString(2)))
       .map(_.getLong(0)).sorted
     // the schema-pinning empty file keeps the no-range path's result
-    // schema identical to a populated read (id type included)
+    // schema identical to a populated read (id type included). Indexes
+    // persisted by builds predating schema/ fall back to the postings
+    // files' own schema; a pre-schema/ EMPTY index (no files at all)
+    // falls back to the long-id shape — documented, and unreachable
+    // from any index this builder writes today.
+    def pinnedEmpty: DataFrame =
+      scala.util.Try(spark.read.parquet(s"$base/schema"))
+        .orElse(scala.util.Try(
+          spark.read.parquet(s"$base/postings").filter(lit(false))
+            .drop("range_id")))
+        .getOrElse {
+          import spark.implicits._
+          Seq.empty[(Long, Long, String, Long)].toDF("id", "dl", "term", "tf")
+        }
     val postings =
-      if (overlapping.isEmpty) spark.read.parquet(s"$base/schema")
+      if (overlapping.isEmpty) pinnedEmpty
       else spark.read.option("basePath", s"$base/postings")
         .parquet(overlapping.map(id => s"$base/postings/range_id=$id"): _*)
         .filter(col("term").isin(terms: _*))

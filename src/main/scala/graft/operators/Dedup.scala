@@ -623,6 +623,26 @@ object Dedup {
     occ
   }
 
+  /** Occurrences with their duplicate flag — the shared core of the
+    * profile and trim entry points: (idCol, pos, __dup) where __dup
+    * marks a NON-canonical occurrence of a repeated fingerprint. */
+  private def dupFlaggedSpans(docs: DataFrame, idCol: String,
+                              textCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val occ = spanOccurrences(docs, idCol, textCol, window)
+      .withColumn("__epos",
+        when(col("pos") < LineDedup.PosBase &&
+            col(idCol).between(0L, LineDedup.MaxId),
+          col(idCol) * LineDedup.PosBase + col("pos"))
+          .otherwise(raise_error(lit("duplicated-span detection: position " +
+            "encoding would overflow; re-key ids first"))))
+    val freq = occ.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n"), min(col("__epos")).as("__keeper"))
+    occ.join(freq, Seq("fp"))
+      .select(col(idCol), col("pos"),
+        (col("__n") >= 2 && col("__epos") =!= col("__keeper")).as("__dup"))
+  }
+
   /** Cross-document EXACT duplicated-span detection (the ExactSubstr
     * idea of Lee et al. '22, "Deduplicating Training Data Makes
     * Language Models Better", at token-window granularity): a span of
@@ -644,26 +664,6 @@ object Dedup {
     * 8-byte fingerprint, the join re-attaches counts to occurrences,
     * and no doc pair is ever materialized (a boilerplate span shared
     * by 10⁶ docs is one frequency row, not 10¹² pairs). */
-  /** Occurrences with their duplicate flag — the shared core of the
-    * profile and trim entry points: (idCol, pos, __dup) where __dup
-    * marks a NON-canonical occurrence of a repeated fingerprint. */
-  private def dupFlaggedSpans(docs: DataFrame, idCol: String,
-                              textCol: String, window: Int): DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
-    val occ = spanOccurrences(docs, idCol, textCol, window)
-      .withColumn("__epos",
-        when(col("pos") < LineDedup.PosBase &&
-            col(idCol).between(0L, LineDedup.MaxId),
-          col(idCol) * LineDedup.PosBase + col("pos"))
-          .otherwise(raise_error(lit("duplicated-span detection: position " +
-            "encoding would overflow; re-key ids first"))))
-    val freq = occ.groupBy(col("fp"))
-      .agg(count(lit(1)).as("__n"), min(col("__epos")).as("__keeper"))
-    occ.join(freq, Seq("fp"))
-      .select(col(idCol), col("pos"),
-        (col("__n") >= 2 && col("__epos") =!= col("__keeper")).as("__dup"))
-  }
-
   def duplicatedSpanProfile(docs: DataFrame, idCol: String,
                             textCol: String, window: Int): DataFrame = {
     val flagged = dupFlaggedSpans(docs, idCol, textCol, window)

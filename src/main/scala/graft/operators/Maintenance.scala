@@ -233,14 +233,20 @@ object Maintenance {
     * through the join and inflate the stats. Presence is tracked with
     * explicit markers and the change test is null-safe, so a null text
     * (a legitimate state for JSONL-read docs with a missing field) is a
-    * comparable value, not a fake join miss. */
+    * comparable value, not a fake join miss. The join itself is
+    * NULL-SAFE on the id (`<=>`): the (at most one, per the uniqueness
+    * contract) null-id row compares across snapshots like any other id
+    * instead of reading as removed+added on every audit. */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
     val o = oldDocs.select(col(idCol), md5(col(textCol).cast("binary")).as("old_fp"),
       lit(true).as("in_old"))
-    val n = newDocs.select(col(idCol), md5(col(textCol).cast("binary")).as("new_fp"),
+    val n = newDocs.select(col(idCol).as("__nid"),
+      md5(col(textCol).cast("binary")).as("new_fp"),
       lit(true).as("in_new"))
-    o.join(n, Seq(idCol), "full_outer")
+    o.join(n, o(idCol) <=> n("__nid"), "full_outer")
+      .withColumn(idCol, coalesce(o(idCol), n("__nid")))
+      .drop("__nid")
       .withColumn("status",
         when(col("in_old").isNull, "added")
           .when(col("in_new").isNull, "removed")
@@ -262,7 +268,10 @@ object Maintenance {
     import org.apache.spark.sql.types.StringType
     val fields = df.schema.fields
     val aggs = count(lit(1)).as("__rows") +: fields.flatMap { f =>
-      val c = col(f.name)
+      // backtick-quote (with doubling) so a column literally named
+      // `meta.source` resolves as a column, not a struct-field path —
+      // messy schemas are exactly what a health gate inspects
+      val c = col(s"`${f.name.replace("`", "``")}`")
       val nulls = sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls")
       if (f.dataType == StringType)
         Seq(nulls, sum(when(trim(c) === "", 1L).otherwise(0L))

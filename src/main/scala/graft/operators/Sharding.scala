@@ -99,11 +99,30 @@ object Sharding {
     // row would read as removed+added on EVERY run and churn the
     // default partition nightly even when untouched.
     val payloadCols = oldDocs.columns.filterNot(_ == keyCol).sorted
-    def fingerprinted(df: DataFrame, fpName: String) = df.select(
-      when(col(keyCol).isNull, lit("__graft_null_key__"))
-        .otherwise(concat(lit("k:"), col(keyCol).cast("string"))).as("__k"),
-      shardId(col(keyCol), nShards).as("shard"),
-      md5(to_json(struct(payloadCols.map(col): _*)).cast("binary")).as(fpName))
+    def payloadFp = md5(to_json(struct(payloadCols.map(col): _*))
+      .cast("binary"))
+    def fingerprinted(df: DataFrame, fpName: String): DataFrame = {
+      val nonNull = df.filter(col(keyCol).isNotNull).select(
+        concat(lit("k:"), col(keyCol).cast("string")).as("__k"),
+        shardId(col(keyCol), nShards).as("shard"), payloadFp.as(fpName))
+      // ALL null-key rows collapse to one SET-SIGNATURE row: with no
+      // identity to pair on, they can only be compared as a multiset —
+      // (count : xor of payload fingerprints), order-independent and
+      // ONE row however many null keys a dirty snapshot carries (a
+      // shared per-row surrogate would cross-join m×n through the
+      // full-outer and flag churn on every no-op run). The xor screen
+      // shares CC's negligible-collision caveat; a collision means one
+      // skipped rewrite, never corruption.
+      val nullSig = df.filter(col(keyCol).isNull)
+        .select(conv(substring(payloadFp, 1, 15), 16, 10)
+          .cast("long").as("__pfp"))
+        .agg(concat_ws(":", count(lit(1)).cast("string"),
+          coalesce(expr("bit_xor(__pfp)"), lit(0L)).cast("string"))
+          .as(fpName))
+        .select(lit("__graft_null_key__").as("__k"),
+          lit(null).cast("long").as("shard"), col(fpName))
+      nonNull.unionByName(nullSig)
+    }
     val changedRows = fingerprinted(oldDocs, "__ofp")
       .withColumnRenamed("shard", "__oshard")
       .join(fingerprinted(newDocs, "__nfp").withColumnRenamed("shard", "__nshard"),

@@ -204,16 +204,18 @@ object RelationalQueries {
         |WHERE rk <= ceil(200 * w / wsum)
         |ORDER BY doc_id""".stripMargin,
     "corpus_health" -> {
+      // coalesce(sum, 0): the Scala side reports 0 counts for an empty
+      // corpus (Row.getAs unboxes the null sum), so the oracle must too
       def strCol(name: String) =
         s"""SELECT '$name' AS "column", 'string' AS dtype,
            |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
-           |       CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-           |       CAST(sum(CASE WHEN trim($name) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
+           |       CAST(coalesce(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+           |       CAST(coalesce(sum(CASE WHEN trim($name) = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_blank
            |FROM documents""".stripMargin
       def numCol(name: String) =
         s"""SELECT '$name' AS "column", 'bigint' AS dtype,
            |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
-           |       CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       CAST(coalesce(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
            |       CAST(NULL AS BIGINT) AS n_blank
            |FROM documents""".stripMargin
       Seq(numCol("doc_id"), strCol("text"), strCol("lang"),

@@ -114,6 +114,17 @@ class HybridSearchSpec extends SparkSpec {
       assert(Bm25.searchPersistedIndex(spark, dir.getAbsolutePath,
         Seq("zzzz"), k = 5).count() === 0L)
     }
+    // a legacy index (persisted before schema/ existed) must fall back
+    // to the postings files' own schema on the no-range path, not crash
+    withTempDir("bm25idx-legacy") { dir =>
+      Bm25.buildPersistedIndex(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+        "doc_id", "text", nRanges = 2, path = dir.getAbsolutePath)
+      val fs = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${dir.getAbsolutePath}/schema"), true)
+      assert(Bm25.searchPersistedIndex(spark, dir.getAbsolutePath,
+        Seq("zzzz"), k = 5).count() === 0L)
+    }
     // the no-range path must return the SAME schema as a populated read
     // — including a non-long id type
     withTempDir("bm25idx-strid") { dir =>

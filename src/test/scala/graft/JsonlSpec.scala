@@ -81,6 +81,27 @@ class JsonlSpec extends SparkSpec {
       3L -> "added", 4L -> "changed"))
   }
 
+  test("corpusDiff: a null id compares across snapshots, not removed+added") {
+    val oldDocs = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("doc_id", "text")
+    val sameDocs = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("doc_id", "text")
+    val editedNull = Seq((Option(1L), "a"), (Option.empty[Long], "n2")).toDF("doc_id", "text")
+    val same = graft.operators.Maintenance.corpusDiff(oldDocs, sameDocs, "doc_id", "text")
+      .select("status").as[String].collect()
+    assert(same.forall(_ == "unchanged"), s"got ${same.mkString(",")}")
+    val edited = graft.operators.Maintenance
+      .corpusDiff(oldDocs, editedNull, "doc_id", "text")
+      .as[(Option[Long], String)].collect().toMap
+    assert(edited(None) === "changed" && edited(Some(1L)) === "unchanged")
+  }
+
+  test("corpusHealth: dotted column names resolve as columns, not field paths") {
+    val df = Seq((1L, "x"), (2L, null)).toDF("id", "meta.source")
+    val h = graft.operators.Maintenance.corpusHealth(df)
+      .as[(String, String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(h("meta.source") === (("meta.source", "string", 2L, 1L, Some(0L))))
+  }
+
   test("corpusHealth: per-column null/blank counts, one aggregation pass") {
     val df = Seq(
       (Option(1L), Option("a")),

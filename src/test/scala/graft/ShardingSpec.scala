@@ -154,6 +154,31 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("incrementalExportShards: MULTIPLE null-key rows stay stable (set signature)") {
+    withTempDir("increx-multinull") { dir =>
+      val path = dir.getAbsolutePath
+      val docs = ((1L to 10L).map(i => (Some(i), s"t$i")) ++
+        Seq((Option.empty[Long], "null one"), (Option.empty[Long], "null two")))
+        .toDF("doc_id", "text")
+      Sharding.exportShards(docs, "doc_id", nShards = 4, path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def nullDirFiles = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$path/shard=__HIVE_DEFAULT_PARTITION__"))
+        .map(f => s"${f.getPath.getName}@${f.getModificationTime}").sorted.toSeq
+      val before = nullDirFiles
+      // identical snapshots with 2 null-key rows: the per-row-surrogate
+      // design would cross-pair them and churn the default partition
+      // forever; the multiset signature must see them as unchanged
+      assert(Sharding.incrementalExportShards(docs, docs, "doc_id", 4, path) === Nil)
+      assert(nullDirFiles === before, "default partition must not churn")
+      // dropping one null row IS a change and rewrites the partition
+      val oneLess = docs.filter($"doc_id".isNotNull || $"text" === "null one")
+      assert(Sharding.incrementalExportShards(docs, oneLess, "doc_id", 4, path) === Nil)
+      assert(spark.read.parquet(path).filter($"doc_id".isNull).count() === 1L)
+    }
+  }
+
   test("incrementalExportShards: an emptied shard's directory is removed") {
     withTempDir("increx-empty") { dir =>
       val path = dir.getAbsolutePath
