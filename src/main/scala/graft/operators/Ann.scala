@@ -213,6 +213,18 @@ object Ann {
     newVectors.withColumn("ivf_cluster", assignUdf(col(index.embCol)))
   }
 
+  /** Fixed-point scale for deterministic distributed float sums: a
+    * per-row double in [0, ~8e12) is floored to integer 2^-20 units, so
+    * the aggregation sums LONGS — exact, associative, and therefore
+    * identical under any partitioning, task order, or engine. A plain
+    * `sum(double)` is run-to-run nondeterministic at 100 TB (the
+    * combine order changes with the shuffle); the fixed-point form
+    * makes drift/census reports reproducible AND DuckDB-replayable. */
+  private[operators] val FpScale = 1048576L // 2^20
+
+  private[operators] def fp(c: Column): Column =
+    floor(c * FpScale.toDouble).cast("long")
+
   /** Routing-quality drift report: per-cluster row count and mean
     * squared distance to the centroid. Run it over the standing corpus
     * after appends — when a cluster's mean distance grows well past its
@@ -220,18 +232,23 @@ object Ann {
     * describe the data and it is time to REFIT, not to keep appending.
     * One broadcast join against the k-row centroid table + one
     * map-side-combined aggregation; the distance runs in the codegen'd
-    * [[graft.functions.VectorFunctions.l2SqF32]] kernel (the same
-    * expression Clustering's census uses), not an opaque UDF. */
+    * [[graft.functions.VectorFunctions.l2DistF32]] kernel (squared in
+    * double after the f32 kernel — the same value DuckDB reaches via
+    * `pow(list_distance(...), 2)`), and the mean accumulates in
+    * [[fp]] fixed point so the report is bit-stable under any
+    * partitioning (and oracle-checkable). */
   def ivfDriftReport(index: IvfIndex): DataFrame = {
     val spark = index.assigned.sparkSession
     val cents = broadcast(centroidsDf(spark, index.centroids, "ivf_cluster"))
+    val d = graft.functions.VectorFunctions.l2DistF32(col(index.embCol),
+      col("centroid")).cast("double")
     index.assigned
       .join(cents, Seq("ivf_cluster"))
-      .withColumn("__d2",
-        graft.functions.VectorFunctions.l2SqF32(col(index.embCol),
-          col("centroid")).cast("double"))
+      .withColumn("__d2fp", fp(d * d))
       .groupBy(col("ivf_cluster"))
-      .agg(count(lit(1)).as("n_vectors"), avg(col("__d2")).as("mean_sq_dist"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("__d2fp")).cast("double") /
+          (count(lit(1)) * FpScale).cast("double")).as("mean_sq_dist"))
   }
 
   /** The append-vs-refit POLICY as code (not a runbook comment): given

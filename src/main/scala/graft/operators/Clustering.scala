@@ -34,18 +34,22 @@ object Clustering {
 
     // ONE corpus pass: broadcast-join centroids, then a (cluster, label)
     // hash-agg carrying both the census counts and the distance sums;
-    // the second-level agg runs over ~k·|labels| rows only.
+    // the second-level agg runs over ~k·|labels| rows only. Distances
+    // accumulate in [[Ann.fp]] fixed point (longs — exact, associative)
+    // so mean_dist is bit-stable under any partitioning and DuckDB can
+    // replay it from the same per-row f32 kernel values.
     val perLabel = index.assigned
       .join(broadcast(centDf), Seq("ivf_cluster"))
-      .withColumn("dist",
+      .withColumn("dist", Ann.fp(
         graft.functions.VectorFunctions.l2DistF32(
-          col(index.embCol), col("__centroid")).cast("double"))
+          col(index.embCol), col("__centroid")).cast("double")))
       .groupBy(col("ivf_cluster"), col(labelCol).as("lbl"))
       .agg(count(lit(1)).as("ln"), sum(col("dist")).as("sd"))
 
     perLabel.groupBy(col("ivf_cluster"))
       .agg(sum(col("ln")).as("n"),
-        (sum(col("sd")) / sum(col("ln"))).as("mean_dist"),
+        (sum(col("sd")).cast("double") /
+          (sum(col("ln")) * Ann.FpScale).cast("double")).as("mean_dist"),
         max_by(col("lbl"), struct(col("ln"), col("lbl"))).as("majority_label"),
         max(struct(col("ln"), col("lbl"))).getField("ln").as("mn"))
       .select(col("ivf_cluster").cast("long").as("cluster_id"),

@@ -144,7 +144,18 @@ object Dedup {
     * salt-and-recheck is the lossless alternative). */
   def nearDupMinHash(docs: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 128, bands: Int = 32, shingle: Int = 3,
-                     threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+                     threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame =
+    minHashVerifyPairs(
+      minHashBandRows(docs, idCol, textCol, numHashes, bands, shingle),
+      docs, idCol, textCol, shingle, threshold, maxBucket)
+
+  /** Stage 1 of [[nearDupMinHash]]: the banded signature rows
+    * (idCol, band, bucket) — the only non-SQL-expressible part of the
+    * pipeline (hash-family bit math). A gate hands this table to an
+    * independent engine and replays everything downstream. */
+  def minHashBandRows(docs: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 128, bands: Int = 32,
+                      shingle: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandUdf = udf { (text: String) =>
@@ -153,11 +164,18 @@ object Dedup {
         .map { case (g, b) => (b, mix64(g.foldLeft(0L)((acc, h) => mix64(acc ^ h)))) }
         .toSeq
     }
-    val bandRows = docs
+    docs
       .select(col(idCol), col(textCol))
       .withColumn("bh", explode(bandUdf(col(textCol))))
       .select(col(idCol), col("bh._1").as("band"), col("bh._2").as("bucket"))
+  }
 
+  /** Stage 2 of [[nearDupMinHash]]: hot-bucket cap, candidate pair
+    * join, exact-Jaccard verify — pure relational algebra + the
+    * int/double Jaccard arithmetic, all replayable in ANSI SQL. */
+  def minHashVerifyPairs(bandRows: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String, shingle: Int, threshold: Double,
+                         maxBucket: Int = 1000): DataFrame = {
     // cap hot buckets before the pair join — one window pass instead of
     // an aggregate + semi-join (same shuffle key, half the exchanges)
     val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
@@ -205,15 +223,28 @@ object Dedup {
     * ≤3 agrees exactly on ≥1 chunk — candidates come from ONE shuffle on
     * (chunkIdx, chunkValue), then are verified by popcount. */
   def nearDupSimHash(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3): DataFrame =
+    simHashPairs(simHashSignatures(docs, idCol, textCol), idCol, maxHamming)
+
+  /** Stage 1 of [[nearDupSimHash]]: (idCol, sim) 64-bit signatures —
+    * the non-SQL hash kernel, handed off for independent replay. */
+  def simHashSignatures(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val simUdf = udf((t: String) => simHash64(t))
+    docs.select(col(idCol), simUdf(col(textCol)).as("sim"))
+  }
+
+  /** Stage 2 of [[nearDupSimHash]]: pigeonhole blocking + popcount
+    * verify over precomputed signatures — pure bit math an ANSI SQL
+    * engine replays with shift/mask/xor/bit_count. */
+  def simHashPairs(sigs: DataFrame, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
     // 4 chunks of 16 bits guarantee a shared chunk only up to distance 3
     // (pigeonhole); beyond that, qualifying pairs would be silently lost
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be 0..3 for 4x16-bit blocking (got $maxHamming)")
-    val simUdf = udf((t: String) => simHash64(t))
     val chunksUdf = udf((sim: Long) => (0 until 4).map(i => (sim >>> (i * 16)) & 0xFFFFL))
     val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-    val sigs = docs.select(col(idCol), simUdf(col(textCol)).as("sim"))
     val chunked = sigs.select(col(idCol), col("sim"),
       posexplode(chunksUdf(col("sim"))).as(Seq("chunk", "cv")))
     val a = chunked.select(col("chunk"), col("cv"), col(idCol).as("id_a"), col("sim").as("sim_a"))
@@ -815,27 +846,46 @@ object Dedup {
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
     val e = emb.select(col(idCol), col(embCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bits from a row count: ~64 expected rows per bucket, clamped
-    def bitsFor(n: Long): Int =
-      math.ceil(math.log((n.toDouble / 64.0).max(1.0)) / math.log(2.0)).toInt
-        .max(8).min(20)
     // fallback sizing count FIRST (it also warms the cache), listener
     // AFTER — a listener registered before the count would see the
     // count itself as the first cache-referencing query and evict the
     // cache before the LSH job ever reads it
     val bits =
       if (nBits > 0) nBits
-      else if (corpusCount > 0) bitsFor(corpusCount)
-      else bitsFor(e.count())
+      else if (corpusCount > 0) lshBitsFor(corpusCount)
+      else lshBitsFor(e.count())
     releaseAfterUse(e)
     require(bits <= 24, s"nBits must be <= 24 (got $bits): the bucket key " +
       "would overflow the Int signature")
     val l = if (bands > 0) bands else signLshBands(threshold, bits, targetRecall)
+    cosinePairsFromBuckets(signLshBandBuckets(e, idCol, embCol, l, bits),
+      e, idCol, embCol, threshold, maxBucket)
+  }
+
+  /** Bucket-bit sizing from a corpus row count: ~64 expected rows per
+    * bucket, clamped to [8, 20] ([[cosineNearDupLsh]]'s auto-sizing,
+    * exposed so gates replicate the derivation). */
+  def lshBitsFor(n: Long): Int =
+    math.ceil(math.log((n.toDouble / 64.0).max(1.0)) / math.log(2.0)).toInt
+      .max(8).min(20)
+
+  /** Stage 1 of [[cosineNearDupLsh]]: (band, bucket, idCol) rows from
+    * the banded random-hyperplane family — the non-SQL hash kernel,
+    * handed off for independent replay of everything downstream. */
+  def signLshBandBuckets(e: DataFrame, idCol: String, embCol: String,
+                         bands: Int, bits: Int): DataFrame = {
     val sigUdf = udf((v: Seq[Float]) =>
-      (0 until l).map(band => (band, bandSignature(v, band, bits))))
-    val bucketed = e
-      .withColumn("bh", explode(sigUdf(col(embCol))))
+      (0 until bands).map(band => (band, bandSignature(v, band, bits))))
+    e.withColumn("bh", explode(sigUdf(col(embCol))))
       .select(col("bh._1").as("band"), col("bh._2").as("bucket"), col(idCol))
+  }
+
+  /** Stage 2 of [[cosineNearDupLsh]]: hot-bucket cap, candidate pairs,
+    * exact-cosine verify — relational algebra + the f32 cosine kernel
+    * (bit-identical to DuckDB `list_cosine_similarity`). */
+  def cosinePairsFromBuckets(bucketed: DataFrame, e: DataFrame, idCol: String,
+                             embCol: String, threshold: Double,
+                             maxBucket: Int = 1000): DataFrame = {
     // cap hot buckets before the pair join (one window pass on the
     // same shuffle key — the nearDupMinHash pattern)
     val wb = org.apache.spark.sql.expressions.Window

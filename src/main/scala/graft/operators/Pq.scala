@@ -197,10 +197,21 @@ object Pq {
     * `refine·k` by true distance. Returns (id, adc_dist, dist) — the
     * plan is the same pruned probe-scan as [[Ann.searchIvf]], but the
     * scan-side payload is 32× smaller and the full-vector math runs on
-    * refine·k rows instead of every probed row. */
+    * refine·k rows instead of every probed row. Split into
+    * [[adcCandidates]] + [[rerank]] so a gate can hand the candidate
+    * list to an independent engine and replay the rerank stage. */
   def searchIvfPq(encoded: DataFrame, index: Ann.IvfIndex, model: PqModel,
                   queryVec: Seq[Float], k: Int, nprobe: Int,
-                  refine: Int = 4): DataFrame = {
+                  refine: Int = 4): DataFrame =
+    rerank(adcCandidates(encoded, index, model, queryVec, k, nprobe, refine),
+      index.assigned, queryVec, k, index.embCol, index.idCol)
+
+  /** Stage 1 of [[searchIvfPq]]: the ADC-ranked candidate list —
+    * (idCol, adc_dist) of the `refine·k` best rows under the m-byte
+    * code distance, scanned only within the `nprobe` probed clusters. */
+  def adcCandidates(encoded: DataFrame, index: Ann.IvfIndex, model: PqModel,
+                    queryVec: Seq[Float], k: Int, nprobe: Int,
+                    refine: Int = 4): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     val q = queryVec.toArray
     val ranked = index.centroids.zipWithIndex.map { case (c, i) =>
@@ -229,18 +240,30 @@ object Pq {
       while (s < code.length) { acc += lut(s * model.k + (code(s) & 0xff)); s += 1 }
       acc
     }
-    val candidates = encoded
+    encoded
       .filter(col("ivf_cluster").isin(probes.toIndexedSeq: _*))
       .withColumn("adc_dist", adcUdf(col("ivf_cluster"), col("pq_code")))
       .orderBy(col("adc_dist"), col(index.idCol))
       .limit(refine * k) // TakeOrdered over the code-only scan
-    candidates
-      .withColumn("dist",
-        graft.functions.VectorFunctions.l2SqF32(col(index.embCol),
-          typedLit(queryVec)).cast("double"))
-      .orderBy(col("dist"), col(index.idCol))
-      .limit(k)
-      .select(col(index.idCol), col("adc_dist").cast("double").as("adc_dist"),
-        col("dist"))
+      .select(col(index.idCol), col("adc_dist").cast("double").as("adc_dist"))
   }
+
+  /** Stage 2 of [[searchIvfPq]]: exact-rerank a candidate list
+    * (idCol, adc_dist) by true distance — the full vectors are fetched
+    * by a join against the corpus (refine·k point lookups, the "cold
+    * storage" read). `dist` is the f32 L2 kernel every exact search
+    * path uses ([[graft.functions.VectorFunctions.l2DistF32]]) — same
+    * ordering as squared distance, and bit-identical to DuckDB
+    * `list_distance` for the oracle replay. */
+  def rerank(candidates: DataFrame, corpus: DataFrame, queryVec: Seq[Float],
+             k: Int, embCol: String = "embedding",
+             idCol: String = "vec_id"): DataFrame =
+    candidates
+      .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2DistF32(col(embCol),
+          typedLit(queryVec)).cast("double"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("adc_dist"), col("dist"))
 }

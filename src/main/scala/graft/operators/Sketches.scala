@@ -98,4 +98,43 @@ object Sketches {
       percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("p50"),
       percentile_approx(col("value"), lit(0.9), lit(accuracy)).as("p90"),
       percentile_approx(col("value"), lit(0.99), lit(accuracy)).as("p99"))
+
+  /** Sketch ACCEPTANCE TEST: check an [[eventProfile]] output against
+    * exact twins computed from the raw events — the oracle-scale
+    * validation a sketch deployment runs before trusting the sketches
+    * at full scale. Every bound is integer/rank arithmetic so an
+    * independent SQL engine reproduces the booleans bit-for-bit:
+    *  - `hll_ok`: |approx − exact| · 4 ≤ exact (±25 %, 5× the default
+    *    5 % rsd — a failure means the sketch is broken, not unlucky);
+    *  - `pXX_ok`: the sketch quantile lies between the exact values at
+    *    ranks `(n·(p−1)) div 100` and `(n·(p+1)) div 100 + 1` (±1
+    *    percentile-point rank window — 100× the 1e-4 GK bound; integer
+    *    `DIV` keeps both engines' rank cutoffs identical, where a
+    *    float `0.49·n` would straddle exact-integer boundaries).
+    * Value-at-rank is well-defined under ties (the sorted multiset is
+    * deterministic even though row_number's tie order is not). */
+  def profileCheck(events: DataFrame, profile: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wg = Window.partitionBy(col("event_type"))
+    def kLo(p: Int) = greatest(lit(1L), expr(s"(nn * ${p - 1}) DIV 100"))
+    def kHi(p: Int) = least(col("nn"), expr(s"(nn * ${p + 1}) DIV 100") + lit(1L))
+    val ranked = events.select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nn", count(lit(1)).over(wg))
+    def at(k: Column, nm: String) = min(when(col("rn") === k, col("value"))).as(nm)
+    val bounds = ranked.groupBy(col("event_type")).agg(
+      at(kLo(50), "lo50"), at(kHi(50), "hi50"),
+      at(kLo(90), "lo90"), at(kHi(90), "hi90"),
+      at(kLo(99), "lo99"), at(kHi(99), "hi99"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    def ok(p: Int) =
+      (col(s"p$p") >= col(s"lo$p") && col(s"p$p") <= col(s"hi$p")).as(s"p${p}_ok")
+    profile.join(bounds, Seq("event_type")).join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        (abs(col("approx_users") - col("exact_users")) * 4 <= col("exact_users"))
+          .as("hll_ok"),
+        ok(50), ok(90), ok(99))
+  }
 }

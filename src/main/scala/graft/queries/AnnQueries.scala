@@ -4,14 +4,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, PartitionedTopK, VectorSearch}
+import graft.operators.{Ann, PartitionedTopK, Pq, VectorSearch}
 
 /** ANN + scale-path search queries. `batch_topk_partitioned` is exact
   * (same oracle as the window formulation — the plans differ, the answer
-  * must not). The LSH/IVF paths are approximate → rows-only here,
-  * recall-verified against exact KNN in scalatest.
+  * must not).
+  *
+  * The LSH/IVF/PQ paths are approximate, but "approximate" does not
+  * mean "unverifiable": each query publishes its one non-SQL artifact
+  * (hash buckets, k-means centroids + assignment, ADC candidate list)
+  * as a parquet handoff, and the DuckDB oracle INDEPENDENTLY replays
+  * everything downstream of it — probe selection, candidate
+  * generation, exact rerank, census aggregation — on the same
+  * `embeddings` table (the pack_bpe verify-THROUGH pattern,
+  * CurationQueries.scala). The handed-off artifact itself stays
+  * scalatest-gated (recall bounds, MLlib-parity, determinism specs).
+  * Distance parity notes: f32 kernels ≡ DuckDB `list_distance`/
+  * `list_cosine_similarity` (VectorQueries scaladoc); fixed-point sums
+  * for the drift/census means (Ann.fp).
   */
 object AnnQueries {
+
+  /** Spark↔oracle handoff files (absolute paths shared by both engines;
+    * the oracle reads them with read_parquet). */
+  private val CentroidsHandoff = "/tmp/graft_ivf_centroids_handoff.parquet"
+  private val AssignedHandoff  = "/tmp/graft_ivf_assigned_handoff.parquet"
+  private val LshBucketsHandoff = "/tmp/graft_lsh_buckets_handoff.parquet"
+  private val PqCandHandoff    = "/tmp/graft_pq_candidates_handoff.parquet"
+
+  /** Publish the persisted IVF index's two driver-checkable artifacts:
+    * the k-row centroid table and the slim (id, cluster) assignment. */
+  private def writeIvfHandoff(s: SparkSession, index: Ann.IvfIndex): Unit = {
+    Ann.centroidsDf(s, index.centroids, "cluster_id")
+      .coalesce(1).write.mode("overwrite").parquet(CentroidsHandoff)
+    index.assigned
+      .select(col(index.idCol), col("ivf_cluster").cast("int").as("ivf_cluster"))
+      .coalesce(1).write.mode("overwrite").parquet(AssignedHandoff)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-partition-heap batch top-k: identical answer to batch_topk,
@@ -25,44 +54,58 @@ object AnnQueries {
         .sortBy(_._1)
       PartitionedTopK.batchTopK(emb, qs.toSeq, 5).drop("rn")
     },
-    // sign-LSH ANN with Hamming-1 multi-probe (rows-only; recall vs
-    // exact is scalatest-gated).
+    // sign-LSH ANN with Hamming-1 multi-probe. The bucket table is the
+    // handoff; the oracle recomputes the probe set (popcount over
+    // xor'd buckets) and the exact rerank from it. The gate re-reads
+    // the handoff so both engines consume byte-identical buckets.
     "ann_sign_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val q = VectorQueries.qvec(s, dir, 0)
-      Ann.searchSignLsh(Ann.withSignBucket(emb, nBits = 12), q, 10, nBits = 12)
+      Ann.withSignBucket(emb, nBits = 12)
+        .select(col("vec_id"), col("lsh_bucket"))
+        .coalesce(1).write.mode("overwrite").parquet(LshBucketsHandoff)
+      val bucketed = emb.join(s.read.parquet(LshBucketsHandoff), Seq("vec_id"))
+      Ann.searchSignLsh(bucketed, VectorQueries.qvec(s, dir, 0), 10, nBits = 12)
         .drop("embedding")
     },
-    // IVF ANN: seeded k-means routing, nprobe=4 of 16 clusters
-    // (rows-only; recall scalatest-gated). Searches a PERSISTED index —
-    // build happens once per fixture dir and is reused, so the gate/bench
-    // time the probe-scan over the cluster-partitioned corpus (the path
-    // the 100 TB story depends on), not the k-means fit.
+    // IVF ANN: seeded k-means routing, nprobe=4 of 16 clusters.
+    // Searches a PERSISTED index — build happens once per fixture dir
+    // and is reused, so the gate/bench time the probe-scan over the
+    // cluster-partitioned corpus (the path the 100 TB story depends
+    // on), not the k-means fit. The oracle replays probe selection
+    // from the handed-off centroids and the pruned exact top-k from
+    // the handed-off assignment.
     "ann_ivf" -> { (s, dir) =>
-      val q = VectorQueries.qvec(s, dir, 0)
-      Ann.searchIvf(persistedIvf(s, dir), q, 10, nprobe = 4).drop("embedding")
+      val index = persistedIvf(s, dir)
+      writeIvfHandoff(s, index)
+      Ann.searchIvf(index, VectorQueries.qvec(s, dir, 0), 10, nprobe = 4)
+        .drop("embedding")
     },
     // IVF-PQ: same persisted coarse index, corpus re-expressed as
-    // 8-byte residual codes, ADC candidate ranking + exact rerank
-    // (rows-only; recall/reconstruction are PqSpec-gated). The train +
-    // encode here are part of the timed query by design: they are the
+    // 8-byte residual codes, ADC candidate ranking + exact rerank.
+    // The ADC candidate list (the one non-SQL stage) is the handoff;
+    // the oracle replays the exact rerank over it. The train + encode
+    // here are part of the timed query by design: they are the
     // index-maintenance cost a 100 TB deployment amortizes per WRITE,
     // and at this SF they are sub-second.
     "ann_ivfpq" -> { (s, dir) =>
       val index = persistedIvf(s, dir)
-      val model = graft.operators.Pq.train(
-        graft.operators.Pq.residuals(index), "residual", m = 8, k = 16)
-      val encoded = graft.operators.Pq.encode(index, model)
-      graft.operators.Pq.searchIvfPq(encoded, index, model,
-        VectorQueries.qvec(s, dir, 0), k = 10, nprobe = 4)
+      val model = Pq.train(Pq.residuals(index), "residual", m = 8, k = 16)
+      val encoded = Pq.encode(index, model)
+      val q = VectorQueries.qvec(s, dir, 0)
+      Pq.adcCandidates(encoded, index, model, q, k = 10, nprobe = 4)
+        .coalesce(1).write.mode("overwrite").parquet(PqCandHandoff)
+      Pq.rerank(s.read.parquet(PqCandHandoff), index.assigned, q, 10)
     },
     // incremental index maintenance: assign a "nightly" append slice to
     // the persisted index without refit, then the drift report over
-    // corpus+append — the numbers that decide refit-vs-keep-appending
-    // (rows-only: k-means centroids are not SQL-expressible; the
-    // assignment==MLlib invariant and drift behavior are AnnSpec-gated)
+    // corpus+append — the numbers that decide refit-vs-keep-appending.
+    // The oracle replays assignToIvf's double-precision argmin for the
+    // append slice FROM THE CENTROIDS ALONE (nearest-centroid is pure
+    // SQL), unions it with the handed-off base assignment, and checks
+    // the fixed-point drift aggregation bit-for-bit.
     "ann_ivf_append" -> { (s, dir) =>
       val index = persistedIvf(s, dir)
+      writeIvfHandoff(s, index)
       val newRows = Tables.embeddings(s, dir)
         .where(col("vec_id") % 10 === 0)
         .select(col("vec_id") + 1000000, col("embedding"))
@@ -76,10 +119,14 @@ object AnnQueries {
     },
     // embedding-space domain discovery: per-cluster census over the
     // SAME persisted IVF index the ANN path searches (one k-means fit
-    // serves both). Rows-only: k-means is not SQL-expressible; planted-
-    // cluster purity + determinism are ClusteringSpec-gated.
+    // serves both). The oracle replays the census — fixed-point mean
+    // distance, majority label arg-max, shares — from the handed-off
+    // (centroids, assignment); planted-cluster purity + determinism
+    // stay ClusteringSpec-gated.
     "cluster_domains" -> { (s, dir) =>
-      graft.operators.Clustering.clusterProfile(persistedIvf(s, dir))
+      val index = persistedIvf(s, dir)
+      writeIvfHandoff(s, index)
+      graft.operators.Clustering.clusterProfile(index)
     }
   )
 
@@ -105,8 +152,117 @@ object AnnQueries {
   }
   private val ivfBuildLock = new Object
 
-  // exact operator → literally the same oracle as the window formulation
-  // (shared reference, so the two specs can never diverge)
+  private val qvecSql = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+  private def rp(path: String) = s"read_parquet('$path/*.parquet')"
+
   val oracle: Map[String, String] = Map(
-    "batch_topk_partitioned" -> VectorQueries.oracle("batch_topk"))
+    // exact operator → literally the same oracle as the window
+    // formulation (shared reference, so the two can never diverge)
+    "batch_topk_partitioned" -> VectorQueries.oracle("batch_topk"),
+    "ann_sign_lsh" ->
+      s"""WITH h AS (SELECT * FROM ${rp(LshBucketsHandoff)}),
+         |qs AS (SELECT lsh_bucket AS qsig FROM h WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, h.lsh_bucket,
+         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM embeddings e
+         |JOIN h ON e.vec_id = h.vec_id
+         |CROSS JOIN $qvecSql q CROSS JOIN qs
+         |WHERE bit_count(xor(CAST(h.lsh_bucket AS BIGINT),
+         |                    CAST(qs.qsig AS BIGINT))) <= 1
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |probes AS (
+         |  SELECT cluster_id FROM cents CROSS JOIN $qvecSql q
+         |  ORDER BY CAST(list_distance(centroid, q.qv) AS DOUBLE), cluster_id
+         |  LIMIT 4
+         |),
+         |asg AS (SELECT * FROM ${rp(AssignedHandoff)})
+         |SELECT e.vec_id, e.label, a.ivf_cluster,
+         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM embeddings e
+         |JOIN asg a ON e.vec_id = a.vec_id
+         |CROSS JOIN $qvecSql q
+         |WHERE a.ivf_cluster IN (SELECT cluster_id FROM probes)
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "ann_ivfpq" ->
+      s"""WITH h AS (SELECT * FROM ${rp(PqCandHandoff)})
+         |SELECT h.vec_id, h.adc_dist,
+         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM h JOIN embeddings e ON h.vec_id = e.vec_id
+         |CROSS JOIN $qvecSql q
+         |ORDER BY dist, h.vec_id
+         |LIMIT 10""".stripMargin,
+    "ann_ivf_append" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |base AS (SELECT * FROM ${rp(AssignedHandoff)}),
+         |app AS (
+         |  SELECT e.vec_id + 1000000 AS vec_id, e.vec_id AS orig_id
+         |  FROM embeddings e WHERE e.vec_id % 10 = 0
+         |),
+         |appd AS (
+         |  SELECT vec_id, orig_id, cluster_id AS ivf_cluster FROM (
+         |    SELECT a.vec_id, a.orig_id, c.cluster_id,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(c.centroid AS DOUBLE[])),
+         |             c.cluster_id) AS rn
+         |    FROM app a JOIN embeddings e ON a.orig_id = e.vec_id
+         |    CROSS JOIN cents c
+         |  ) WHERE rn = 1
+         |),
+         |uni AS (
+         |  SELECT b.vec_id AS orig_id, b.ivf_cluster FROM base b
+         |  UNION ALL
+         |  SELECT d.orig_id, d.ivf_cluster FROM appd d
+         |),
+         |dd AS (
+         |  SELECT u.ivf_cluster,
+         |         CAST(list_distance(e.embedding, c.centroid) AS DOUBLE) AS d
+         |  FROM uni u
+         |  JOIN embeddings e ON u.orig_id = e.vec_id
+         |  JOIN cents c ON u.ivf_cluster = c.cluster_id
+         |)
+         |SELECT ivf_cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(CAST(sum(CAST(floor(d * d * 1048576.0) AS BIGINT)) AS BIGINT)
+         |              AS DOUBLE) /
+         |         CAST(count(*) * 1048576 AS DOUBLE) AS mean_sq_dist
+         |FROM dd GROUP BY ivf_cluster
+         |ORDER BY ivf_cluster""".stripMargin,
+    "cluster_domains" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |asg AS (SELECT * FROM ${rp(AssignedHandoff)}),
+         |d AS (
+         |  SELECT a.ivf_cluster, e.label,
+         |         CAST(floor(CAST(list_distance(e.embedding, c.centroid) AS DOUBLE)
+         |                    * 1048576.0) AS BIGINT) AS dfp
+         |  FROM asg a
+         |  JOIN embeddings e ON a.vec_id = e.vec_id
+         |  JOIN cents c ON a.ivf_cluster = c.cluster_id
+         |),
+         |pl AS (
+         |  SELECT ivf_cluster, label, CAST(count(*) AS BIGINT) AS ln,
+         |         CAST(sum(dfp) AS BIGINT) AS sd
+         |  FROM d GROUP BY ivf_cluster, label
+         |),
+         |agg AS (
+         |  SELECT ivf_cluster, CAST(sum(ln) AS BIGINT) AS n,
+         |         CAST(sum(sd) AS BIGINT) AS ssd
+         |  FROM pl GROUP BY ivf_cluster
+         |),
+         |mj AS (
+         |  SELECT ivf_cluster, label AS majority_label, ln AS mn FROM (
+         |    SELECT pl.*, row_number() OVER (PARTITION BY ivf_cluster
+         |      ORDER BY ln DESC, label DESC) AS rn FROM pl
+         |  ) WHERE rn = 1
+         |)
+         |SELECT CAST(a.ivf_cluster AS BIGINT) AS cluster_id, a.n,
+         |       CAST(a.ssd AS DOUBLE) / CAST(a.n * 1048576 AS DOUBLE) AS mean_dist,
+         |       m.majority_label,
+         |       CAST(m.mn AS DOUBLE) / CAST(a.n AS DOUBLE) AS majority_frac
+         |FROM agg a JOIN mj m ON a.ivf_cluster = m.ivf_cluster
+         |ORDER BY n DESC, cluster_id""".stripMargin
+  )
 }

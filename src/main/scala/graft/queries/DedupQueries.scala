@@ -57,17 +57,22 @@ object DedupQueries {
       Dedup.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
         .orderBy(col("id_a"), col("id_b"))
     },
-    // LSH-bucketed cosine near-dup — the scale path (rows-only; recall
-    // vs the exact pair join is scalatest-gated, verified pairs exact).
-    // nBits auto-sizes from the corpus count; `bands` is pinned because
-    // the fixture's similarity ceiling (~0.5) forces a LOOSE threshold,
-    // and at loose thresholds the recall-derived band count rightly
-    // explodes (LSH is a tight-threshold tool — the exact pair join is
-    // the honest plan at 0.45). The derivation itself is AnnSpec-gated
-    // on clustered data at realistic thresholds.
+    // LSH-bucketed cosine near-dup — the scale path. nBits auto-sizes
+    // from the corpus count; `bands` is pinned because the fixture's
+    // similarity ceiling (~0.5) forces a LOOSE threshold, and at loose
+    // thresholds the recall-derived band count rightly explodes (LSH
+    // is a tight-threshold tool — the exact pair join is the honest
+    // plan at 0.45). The hyperplane bucket table is the parquet
+    // handoff; the DuckDB oracle independently replays the hot-bucket
+    // cap, pair generation, and exact-cosine verify from it. Recall vs
+    // the exact pair join stays scalatest-gated.
     "dedup_cosine_lsh" -> { (s, dir) =>
-      Dedup.cosineNearDupLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.45, bands = 8)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val bits = Dedup.lshBitsFor(e.count())
+      Dedup.signLshBandBuckets(e, "vec_id", "embedding", bands = 8, bits)
+        .coalesce(1).write.mode("overwrite").parquet(CosLshHandoff)
+      Dedup.cosinePairsFromBuckets(s.read.parquet(CosLshHandoff), e,
+          "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))
     },
     // connected components over the exact cosine near-dup pair set
@@ -117,19 +122,37 @@ object DedupQueries {
       Dedup.keepCanonicalBy(scored, pairs, "vec_id", "quality")
         .orderBy(col("vec_id"))
     },
-    // MinHash-LSH near-dup (rows-only: hash family not SQL-expressible;
-    // recall vs exact Jaccard is scalatest-verified).
+    // MinHash-LSH near-dup. The banded signature rows (the hash-family
+    // bit math) are the parquet handoff; the oracle replays the
+    // hot-bucket cap, candidate pairing, AND the exact 3-gram shingle
+    // Jaccard verify — DuckDB re-tokenizes and re-shingles the
+    // documents itself, so a wrong Spark-side Jaccard cannot pass.
+    // Signature recall vs exact Jaccard stays scalatest-verified.
     "dedup_minhash_lsh" -> { (s, dir) =>
-      Dedup.nearDupMinHash(Tables.documents(s, dir), "doc_id", "text",
-          numHashes = 128, bands = 32, shingle = 3, threshold = 0.7)
+      val docs = Tables.documents(s, dir)
+      Dedup.minHashBandRows(docs, "doc_id", "text",
+          numHashes = 128, bands = 32, shingle = 3)
+        .coalesce(1).write.mode("overwrite").parquet(MinhashHandoff)
+      Dedup.minHashVerifyPairs(s.read.parquet(MinhashHandoff), docs,
+          "doc_id", "text", shingle = 3, threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))
     },
-    // SimHash near-dup (rows-only; Hamming <= 3 of 64 bits).
+    // SimHash near-dup (Hamming <= 3 of 64 bits). The 64-bit
+    // signatures are the handoff; pigeonhole chunking, pair join, and
+    // popcount verify replay in DuckDB as shift/mask/xor/bit_count.
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.nearDupSimHash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simHashSignatures(Tables.documents(s, dir), "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(SimhashHandoff)
+      Dedup.simHashPairs(s.read.parquet(SimhashHandoff), "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }
   )
+
+  /** Spark↔oracle handoff files for the LSH gates (absolute paths
+    * shared by both engines — the pack_bpe verify-THROUGH pattern). */
+  private val CosLshHandoff  = "/tmp/graft_coslsh_buckets_handoff.parquet"
+  private val MinhashHandoff = "/tmp/graft_minhash_bands_handoff.parquet"
+  private val SimhashHandoff = "/tmp/graft_simhash_sigs_handoff.parquet"
 
   /** Boilerplate tail appended to every %10 doc — 12 words, so 8-token
     * windows inside it repeat verbatim across the tagged docs. The SQL
@@ -181,6 +204,84 @@ object DedupQueries {
        |ORDER BY fingerprint""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_cosine_lsh" ->
+      s"""WITH h AS (SELECT * FROM read_parquet('$CosLshHandoff/*.parquet')),
+         |sz AS (SELECT band, bucket, count(*) AS c FROM h GROUP BY band, bucket),
+         |pr AS (
+         |  SELECT h.band, h.bucket, h.vec_id
+         |  FROM h JOIN sz ON h.band = sz.band AND h.bucket = sz.bucket
+         |  WHERE sz.c > 1 AND sz.c <= 1000
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM pr a JOIN pr b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE)
+         |         AS cos_sim
+         |FROM cand c
+         |JOIN embeddings ea ON c.id_a = ea.vec_id
+         |JOIN embeddings eb ON c.id_b = eb.vec_id
+         |WHERE CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE)
+         |      >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH h AS (SELECT * FROM read_parquet('$MinhashHandoff/*.parquet')),
+         |sz AS (SELECT band, bucket, count(*) AS c FROM h GROUP BY band, bucket),
+         |pr AS (
+         |  SELECT h.band, h.bucket, h.doc_id
+         |  FROM h JOIN sz ON h.band = sz.band AND h.bucket = sz.bucket
+         |  WHERE sz.c > 1 AND sz.c <= 1000
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pr a JOIN pr b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |              ELSE list_distinct(list_transform(
+         |                generate_series(1, len(toks) - 2),
+         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |         END AS s
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |        FROM documents)
+         |),
+         |j AS (
+         |  SELECT c.id_a, c.id_b,
+         |         len(list_intersect(sa.s, sb.s)) AS inter,
+         |         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+         |  FROM cand c
+         |  JOIN sh sa ON c.id_a = sa.doc_id
+         |  JOIN sh sb ON c.id_b = sb.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |       CASE WHEN uni = 0 THEN 1.0
+         |            ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END AS jaccard
+         |FROM j
+         |WHERE (CASE WHEN uni = 0 THEN 1.0
+         |            ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH h AS (SELECT * FROM read_parquet('$SimhashHandoff/*.parquet')),
+         |ch AS (
+         |  SELECT doc_id, sim, t.i AS chunk, (sim >> (t.i * 16)) & 65535 AS cv
+         |  FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.sim AS sim_a, b.sim AS sim_b
+         |  FROM ch a JOIN ch b
+         |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+         |FROM pairs
+         |WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_exact_groups" -> groupsSql("md5(text)"),
     "dedup_wordset_groups" -> groupsSql(
       "md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' '))"),

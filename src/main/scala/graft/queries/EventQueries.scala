@@ -132,12 +132,19 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("click_us"), col("purchase_us"))
         .orderBy(col("event_id"), col("purchase_us"))
     },
-    // sketch profile (rows-only: HLL++/GK sketches are not bit-portable
-    // across engines; error bounds vs the exact twins are SketchesSpec-
-    // gated). The 100 TB form of ev_quantiles/count-distinct: one pass,
-    // mergeable fixed-size state, map-side partial aggregation.
+    // sketch profile — the 100 TB form of ev_quantiles/count-distinct:
+    // one pass, mergeable fixed-size state, map-side partial
+    // aggregation. HLL++/GK sketch VALUES are not bit-portable across
+    // engines, so the gate publishes the profile as a parquet handoff
+    // and emits integer-arithmetic BOUND CHECKS (Sketches.profileCheck)
+    // that the DuckDB oracle re-derives independently from the raw
+    // events — a broken sketch flips a boolean on both sides of the
+    // compare. Tight error bounds stay SketchesSpec-gated.
     "ev_sketch_profile" -> { (s, dir) =>
-      graft.operators.Sketches.eventProfile(Tables.events(s, dir))
+      val ev = Tables.events(s, dir)
+      graft.operators.Sketches.eventProfile(ev)
+        .coalesce(1).write.mode("overwrite").parquet(SketchProfileHandoff)
+      graft.operators.Sketches.profileCheck(ev, s.read.parquet(SketchProfileHandoff))
         .orderBy(col("event_type"))
     },
     // heavy hitters over event_type: Misra-Gries candidate sketch +
@@ -161,7 +168,44 @@ object EventQueries {
     }
   )
 
+  /** The ev_sketch_profile Spark↔oracle handoff: the sketch outputs
+    * (approx_users, p50/p90/p99) per event type, written by the Spark
+    * gate, read back by both engines' bound checks. */
+  private val SketchProfileHandoff = "/tmp/graft_sketch_profile_handoff.parquet"
+
   val oracle: Map[String, String] = Map(
+    "ev_sketch_profile" ->
+      s"""WITH p AS (SELECT * FROM read_parquet('$SketchProfileHandoff/*.parquet')),
+         |r AS (
+         |  SELECT event_type, value,
+         |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value)
+         |              AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+         |  FROM events
+         |),
+         |b AS (
+         |  SELECT event_type,
+         |    min(CASE WHEN rn = greatest(1, (nn * 49) // 100) THEN value END) AS lo50,
+         |    min(CASE WHEN rn = least(nn, (nn * 51) // 100 + 1) THEN value END) AS hi50,
+         |    min(CASE WHEN rn = greatest(1, (nn * 89) // 100) THEN value END) AS lo90,
+         |    min(CASE WHEN rn = least(nn, (nn * 91) // 100 + 1) THEN value END) AS hi90,
+         |    min(CASE WHEN rn = greatest(1, (nn * 98) // 100) THEN value END) AS lo99,
+         |    min(CASE WHEN rn = least(nn, (nn * 100) // 100 + 1) THEN value END) AS hi99
+         |  FROM r GROUP BY event_type
+         |),
+         |x AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT p.event_type, x.n,
+         |       abs(p.approx_users - x.exact_users) * 4 <= x.exact_users AS hll_ok,
+         |       p.p50 >= b.lo50 AND p.p50 <= b.hi50 AS p50_ok,
+         |       p.p90 >= b.lo90 AND p.p90 <= b.hi90 AS p90_ok,
+         |       p.p99 >= b.lo99 AND p.p99 <= b.hi99 AS p99_ok
+         |FROM p JOIN b ON p.event_type = b.event_type
+         |JOIN x ON p.event_type = x.event_type
+         |ORDER BY p.event_type""".stripMargin,
     "ev_heavy_hitters" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events WHERE event_type IS NOT NULL
