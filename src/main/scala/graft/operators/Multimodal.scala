@@ -9,14 +9,58 @@ import org.apache.spark.sql.types._
   * metadata, and run decode / feature-extract / resize / frame-sample as
   * batched per-partition functions.
   *
-  * The decode kernels themselves are STUBS (this container has no
-  * image/audio codecs — marked below); everything Spark-side is real:
-  * the schema, the mapPartitions batch shape (amortize per-partition
-  * model/codec init, exactly how an ONNX/ffmpeg impl slots in), and the
-  * partitioning story (media rows are large → size partitions by bytes
-  * via `spark.sql.files.maxPartitionBytes`, never groupBy raw binary).
+  * IMAGE decode is REAL: `javax.imageio` (pure JDK, headless-safe)
+  * encodes/decodes PNG payloads, and `kind = image` rows flow through
+  * genuine pixel decode → histogram features. Audio/video kernels stay
+  * STUBS (this container ships no media codecs — marked below);
+  * everything Spark-side is real for all kinds: the schema, the
+  * mapPartitions batch shape (amortize per-partition model/codec init,
+  * exactly how an ONNX/ffmpeg impl slots in), and the partitioning
+  * story (media rows are large → size partitions by bytes via
+  * `spark.sql.files.maxPartitionBytes`, never groupBy raw binary).
   */
 object Multimodal {
+
+  // ------------------------------------------------------- PNG codec (real)
+
+  /** Encode an 8-bit grayscale raster as PNG bytes (row-major samples,
+    * one per pixel). Pure-JDK ImageIO; lossless, so decode(encode(px))
+    * == px — the property the oracle gate leans on. */
+  def encodePng(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == w * h, s"raster ${gray.length} != $w x $h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < gray.length) { raster.setSample(i % w, i / w, 0, gray(i)); i += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode image bytes to (width, height, row-major gray samples).
+    * Raw raster samples — NOT `getRGB`, whose gray→sRGB colorspace
+    * conversion would silently rewrite the values. Multi-band images
+    * read band 0. */
+  def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "decodeGray: ImageIO could not decode payload")
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) { px(i) = raster.getSample(i % w, i / w, 0); i += 1 }
+    (w, h, px)
+  }
+
+  /** The deterministic pixel generator behind [[syntheticMedia]]'s
+    * image payloads: pure integer math both engines replay —
+    * `p(x,y) = (id·2654435761 + x·40503 + y·65027) mod 256`. */
+  def synthPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 2654435761L + x * 40503L + y * 65027L) % 256L).toInt
+
+  private[operators] def synthDims(id: Long): (Int, Int) =
+    ((8 + id % 5).toInt, (8 + id % 3).toInt)
 
   /** Canonical media schema: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -30,21 +74,33 @@ object Multimodal {
       StructField("duration_ms", LongType, nullable = true))), nullable = true)))
 
   /** Deterministic synthetic media table derived from a text corpus —
-    * the fixture stand-in for binary payloads. */
+    * the fixture stand-in for binary payloads. `kind = image` rows
+    * carry REAL PNG bytes (encoded from the [[synthPixel]] generator,
+    * dims [[synthDims]]) with truthful metadata, so the decode path
+    * exercises a genuine codec; audio/video rows keep opaque
+    * text-derived bytes for the stub kernels. */
   def syntheticMedia(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     // pmod: negative ids under % would hit index 0 (error) or wrap to a
     // wrong element via element_at's from-the-end negative indexing
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(col(idCol), lit(3)) + 1).cast("int"))
+    val pngUdf = udf { (id: Long) =>
+      val (w, h) = synthDims(id)
+      encodePng(w, h, Array.tabulate(w * h)(i => synthPixel(id, i % w, i / w)))
+    }
+    val isImage = pmod(col(idCol), lit(3)) === 0
     docs.select(
       col(idCol).as("media_id"),
       kind.as("kind"),
-      col(textCol).cast("binary").as("bytes"),
+      when(isImage, pngUdf(col(idCol)))
+        .otherwise(col(textCol).cast("binary")).as("bytes"),
       struct(
-        lit("synthetic").as("format"),
-        (length(col(textCol)) % 640).cast("int").as("width"),
-        (length(col(textCol)) % 480).cast("int").as("height"),
+        when(isImage, lit("png")).otherwise(lit("synthetic")).as("format"),
+        when(isImage, (lit(8) + pmod(col(idCol), lit(5))).cast("int"))
+          .otherwise((length(col(textCol)) % 640).cast("int")).as("width"),
+        when(isImage, (lit(8) + pmod(col(idCol), lit(3))).cast("int"))
+          .otherwise((length(col(textCol)) % 480).cast("int")).as("height"),
         (length(col(textCol)) * 10L).as("duration_ms")).as("meta"))
   }
 
@@ -70,24 +126,72 @@ object Multimodal {
     v
   }
 
+  /** REAL image features: decode the payload with ImageIO and compute
+    * the `dim`-bin gray-level histogram, each bin an exact integer
+    * count divided once by the pixel count (double — so an independent
+    * SQL engine reproduces every bin bit-for-bit from the pixels). */
+  def imageHistogramFeatures(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val (w, h, px) = decodeGray(bytes)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < px.length) { counts(px(i) * dim / 256) += 1L; i += 1 }
+    val n = (w * h).toDouble
+    counts.map(_.toDouble / n)
+  }
+
   /** Feature extraction over media rows: mapPartitions so per-partition
-    * codec/model init happens once (the stub's "init" is trivial; an
-    * ONNX session or ffmpeg context goes exactly here). Output keeps
-    * (media_id, kind) and appends `features`. */
+    * codec/model init happens once (an ONNX session or ffmpeg context
+    * goes exactly here). `kind = image` rows run the REAL ImageIO
+    * decode → histogram kernel; audio/video fall back to the
+    * deterministic stub (no codecs in this container). Output keeps
+    * (media_id, kind) and appends `features` (array<double> — the
+    * stub's f32 values widen exactly). */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
     val idIdx = media.schema.fieldIndex("media_id")
     val kindIdx = media.schema.fieldIndex("kind")
     val bytesIdx = media.schema.fieldIndex("bytes")
     val rdd = media.rdd.mapPartitions { rows =>
       // per-partition init goes here (codec/model session)
       rows.map { r =>
-        Row(r.getLong(idIdx), r.getString(kindIdx),
-          decodeFeaturesStub(r.getAs[Array[Byte]](bytesIdx), dim).toSeq)
+        val kind = r.getString(kindIdx)
+        val bytes = r.getAs[Array[Byte]](bytesIdx)
+        val feats: Seq[Double] =
+          if (kind == "image") imageHistogramFeatures(bytes, dim).toSeq
+          else decodeFeaturesStub(bytes, dim).map(_.toDouble).toSeq
+        Row(r.getLong(idIdx), kind, feats)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode-fidelity report for image rows: true (width, height), the
+    * exact pixel sum, and an md5 digest of the row-major sample string
+    * — the gate artifact an independent engine checks against the
+    * generator formula (PNG is lossless, so decode(encode(gen)) must
+    * reproduce the generated raster bit-for-bit). */
+  def imageDecodeReport(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("px_sum", LongType, nullable = false),
+      StructField("px_digest", StringType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val rdd = media.rdd.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (w, h, px) = decodeGray(r.getAs[Array[Byte]](bytesIdx))
+        md.reset()
+        val hex = md.digest(px.mkString(",").getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        Row(r.getLong(idIdx), w, h, px.map(_.toLong).sum, hex)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -8,9 +8,12 @@ import graft.operators.Multimodal
 import graft.sources.ZipIngest
 
 /** Multimodal-plumbing + binary-ingest queries. The metadata/frame-
-  * sampling shapes are pure arithmetic → oracle-checked; feature
-  * extraction (stub decode) and zip explode are rows-only (binary
-  * in-memory inputs / non-SQL hash kernels), verified in scalatest.
+  * sampling shapes are pure arithmetic → oracle-checked. Image rows
+  * carry REAL PNG payloads: `mm_image_decode`/`mm_features` run a
+  * genuine javax.imageio decode and are oracle-checked against the
+  * integer pixel generator (PNG losslessness closes the loop). Zip
+  * explode stays rows-only (binary in-memory inputs), verified in
+  * scalatest alongside the audio/video stub kernels.
   */
 object MultimodalQueries {
 
@@ -31,23 +34,35 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media, everyMs = 1000L)
         .orderBy(col("media_id"), col("frame_ts"))
     },
-    // stub feature extraction via mapPartitions (rows-only BY NECESSITY:
-    // the feature kernel is a per-byte FNV-1a accumulation with float32
-    // normalization — a DuckDB oracle would need that exact imperative
-    // loop with bit-identical float math in SQL, which ANSI SQL cannot
-    // express; the kernel is pinned by IngestSourcesSpec determinism/
-    // shape assertions instead). The gate projects a scalar
-    // digest of the vector because the driver's pandas comparator
-    // cannot sort ndarray cells (r1 recorded this entry as err).
-    // format_string("%.6f") keeps the digest representation stable —
-    // format_number inserts locale grouping separators.
+    // REAL feature extraction over the image rows: PNG payloads decode
+    // through javax.imageio inside the mapPartitions loop, features are
+    // the 64-bin gray histogram (exact integer counts / pixel count).
+    // ORACLE-CHECKED: the pixel generator is pure integer math, PNG is
+    // lossless, so DuckDB regenerates the rasters from the formula,
+    // re-derives every histogram bin, and must match the md5 digest of
+    // the %.6f-formatted vector (the driver's pandas comparator cannot
+    // sort ndarray cells, hence the scalar digest). Audio/video rows
+    // run the deterministic stub kernel — no codecs in this container —
+    // and stay scalatest-gated (IngestSourcesSpec).
     "mm_features" -> { (s, dir) =>
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+        .filter(col("kind") === "image")
       Multimodal.extractFeatures(media, dim = 64)
-        .select(col("media_id"), col("kind"),
-          xxhash64(array_join(transform(col("features"),
-            f => format_string("%.6f", f.cast("double"))), ",")).as("features_digest"),
+        .select(col("media_id"),
+          md5(array_join(transform(col("features"),
+            f => format_string("%.6f", f)), ",").cast("binary"))
+            .as("features_digest"),
           size(col("features")).cast("long").as("dim"))
+        .orderBy(col("media_id"))
+    },
+    // decode fidelity: true dims, exact pixel sum, md5 of the raw
+    // row-major samples — decode(encode(generator)) must reproduce the
+    // generator bit-for-bit (PNG lossless round-trip through a REAL
+    // codec), and DuckDB checks it from the formula alone.
+    "mm_image_decode" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+        .filter(col("kind") === "image")
+      Multimodal.imageDecodeReport(media)
         .orderBy(col("media_id"))
     },
     // JSONL round-trip with corrupt-line quarantine — ORACLE-CHECKED:
@@ -178,10 +193,67 @@ object MultimodalQueries {
     "mm_resize_meta" ->
       """SELECT doc_id AS media_id,
         |       (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-        |       least(length(text) % 640, 512) AS width,
-        |       least(length(text) % 480, 256) AS height,
+        |       CASE WHEN doc_id % 3 = 0 THEN least(8 + doc_id % 5, 512)
+        |            ELSE least(length(text) % 640, 512) END AS width,
+        |       CASE WHEN doc_id % 3 = 0 THEN least(8 + doc_id % 3, 256)
+        |            ELSE least(length(text) % 480, 256) END AS height,
         |       length(text) * 10 AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_features" ->
+      s"""WITH img AS (
+         |  SELECT doc_id AS media_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+         |  FROM documents WHERE doc_id % 3 = 0
+         |),
+         |px AS (
+         |  SELECT media_id, w, h,
+         |         unnest(generate_series(0, w * h - 1)) AS i
+         |  FROM img
+         |),
+         |pv AS (
+         |  SELECT media_id, w * h AS n_px,
+         |         (media_id * 2654435761 + (i % w) * 40503 + (i // w) * 65027)
+         |           % 256 AS p
+         |  FROM px
+         |),
+         |hist AS (
+         |  SELECT media_id, n_px, (p * 64) // 256 AS b, count(*) AS c
+         |  FROM pv GROUP BY media_id, n_px, (p * 64) // 256
+         |),
+         |bins AS (
+         |  SELECT i.media_id, i.w * i.h AS n_px, t.b, coalesce(hist.c, 0) AS c
+         |  FROM img i
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) t
+         |  LEFT JOIN hist ON hist.media_id = i.media_id AND hist.b = t.b
+         |)
+         |SELECT media_id,
+         |       md5(string_agg(printf('%.6f', CAST(c AS DOUBLE) / CAST(n_px AS DOUBLE)),
+         |                      ',' ORDER BY b)) AS features_digest,
+         |       CAST(64 AS BIGINT) AS dim
+         |FROM bins GROUP BY media_id
+         |ORDER BY media_id""".stripMargin,
+    "mm_image_decode" ->
+      s"""WITH img AS (
+         |  SELECT doc_id AS media_id,
+         |         CAST(8 + doc_id % 5 AS INTEGER) AS width,
+         |         CAST(8 + doc_id % 3 AS INTEGER) AS height
+         |  FROM documents WHERE doc_id % 3 = 0
+         |),
+         |px AS (
+         |  SELECT media_id, width, height,
+         |         unnest(generate_series(0, width * height - 1)) AS i
+         |  FROM img
+         |),
+         |pv AS (
+         |  SELECT media_id, width, height, i,
+         |         (media_id * 2654435761 + (i % width) * 40503
+         |          + (i // width) * 65027) % 256 AS p
+         |  FROM px
+         |)
+         |SELECT media_id, width, height,
+         |       CAST(sum(p) AS BIGINT) AS px_sum,
+         |       md5(string_agg(CAST(p AS VARCHAR), ',' ORDER BY i)) AS px_digest
+         |FROM pv GROUP BY media_id, width, height
+         |ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

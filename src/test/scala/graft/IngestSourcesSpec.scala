@@ -117,12 +117,37 @@ class IngestSourcesSpec extends SparkSpec {
 
   test("multimodal: feature extraction is deterministic and normalized") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(30))
-    val f1 = Multimodal.extractFeatures(media, 64).orderBy($"media_id")
-      .select($"features").as[Seq[Float]].collect()
-    val f2 = Multimodal.extractFeatures(media, 64).orderBy($"media_id")
-      .select($"features").as[Seq[Float]].collect()
+    def run() = Multimodal.extractFeatures(media, 64).orderBy($"media_id")
+      .select($"kind", $"features").as[(String, Seq[Double])].collect()
+    val f1 = run(); val f2 = run()
     assert(f1.toSeq === f2.toSeq)
-    assert(f1.forall(v => math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5))
+    // stub kinds are L2-normalized; image histograms are L1 (shares sum to 1)
+    assert(f1.collect { case (k, v) if k != "image" => v }
+      .forall(v => math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-5))
+    assert(f1.collect { case ("image", v) => v }
+      .forall(v => math.abs(v.sum - 1.0) < 1e-9))
+  }
+
+  test("multimodal: PNG round-trip — decode(encode(gen)) reproduces the raster") {
+    for (id <- Seq(0L, 3L, 12L, 999L)) {
+      val (w, h) = (8 + (id % 5).toInt, 8 + (id % 3).toInt)
+      val px = Array.tabulate(w * h)(i => Multimodal.synthPixel(id, i % w, i / w))
+      val (dw, dh, dpx) = Multimodal.decodeGray(Multimodal.encodePng(w, h, px))
+      assert((dw, dh) === ((w, h)))
+      assert(dpx.toSeq === px.toSeq)
+    }
+    // syntheticMedia image rows carry real decodable PNGs with truthful meta
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(30))
+      .filter($"kind" === "image")
+      .select($"media_id", $"bytes", $"meta.width", $"meta.height")
+      .as[(Long, Array[Byte], Int, Int)].collect()
+    assert(media.nonEmpty)
+    for ((id, bytes, mw, mh) <- media) {
+      val (dw, dh, dpx) = Multimodal.decodeGray(bytes)
+      assert((dw, dh) === ((mw, mh)), s"media $id meta dims")
+      assert(dpx.zipWithIndex.forall { case (p, i) =>
+        p == Multimodal.synthPixel(id, i % dw, i / dw) }, s"media $id pixels")
+    }
   }
 
   test("multimodal: frame sampling emits one row per second of video") {
