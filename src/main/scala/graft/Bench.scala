@@ -29,6 +29,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARNING: IVF warmup failed (${e.getMessage}); " +
         "ann_ivf timing will include index construction") }
+    // same contract for the persisted BM25 inverted index: bm25_indexed
+    // times the manifest-pruned reads, not the amortized build
+    try graft.queries.HybridQueries.persistedBm25(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: BM25 index warmup failed (${e.getMessage}); " +
+        "bm25_indexed timing will include index construction") }
     // materialize via the noop sink: count() would let Catalyst prune
     // computed columns and eliminate final sorts, timing a bare scan
     // instead of the operator's actual work.

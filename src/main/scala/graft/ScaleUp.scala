@@ -42,8 +42,12 @@ object ScaleUp {
     shifted.drop("__rep")
   }
 
-  private def stride(df: DataFrame, key: String): Long =
-    df.agg(max(col(key).cast("long"))).head.getLong(0) + 1L
+  private def stride(df: DataFrame, key: String): Long = {
+    // max over an empty table is null — fail with context, not an NPE
+    val m = df.agg(max(col(key).cast("long"))).head.get(0)
+    require(m != null, s"stride: base table is empty (key '$key')")
+    m.asInstanceOf[Long] + 1L
+  }
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -113,7 +113,14 @@ object Maintenance {
     * `v1` + pointer) and deletes the flat files — that one migration
     * needs the single-writer-no-reader window the flat swap always
     * needed; every SUBSEQUENT compaction is fully online. Readers must
-    * resolve through [[resolveCurrent]]. Returns the row count. */
+    * resolve through [[resolveCurrent]]. Returns the row count.
+    *
+    * CONCURRENT writers are safe (post-migration): each compactor
+    * claims a distinct version number via [[claimVersion]]'s atomic
+    * create-exclusive marker and publishes a complete rewrite by
+    * rename, so simultaneous compactions can never co-write a dir; the
+    * pointer flip is last-writer-wins between two valid versions
+    * (both rewrites of a consistent snapshot, counts checked). */
   def compactParquetVersioned(spark: SparkSession, path: String,
                               targetBytes: Long = 128L * 1024 * 1024,
                               retainPrevious: Int = 1): Long = {
@@ -130,7 +137,17 @@ object Maintenance {
     val maxVer = (curVer +: fs.listStatus(basePath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.matches("v[0-9]+"))
       .map(_.getPath.getName.substring(1).toInt)).max
-    val nextVer = maxVer + 1
+    // CONCURRENT-WRITER safety: two compactors that both observed
+    // maxVer would both target v<max+1> and overwrite each other's
+    // rewrite mid-write. Each writer therefore CLAIMS its version
+    // number first via an atomic create-exclusive marker file — the
+    // loser of the race moves to the next number, so no two writers
+    // ever share a version dir. (Atomicity contract: create(overwrite=
+    // false) is atomic on HDFS and posix filesystems; on stores
+    // without atomic create-exclusive, front this with a coordination
+    // service.) The rewrite then lands in v<N>__writing and is RENAMED
+    // to v<N> — a version dir either doesn't exist or is complete.
+    val nextVer = claimVersion(fs, base, maxVer + 1)
     val curPath = new org.apache.hadoop.fs.Path(cur)
 
     val totalBytes = fs.getContentSummary(curPath).getLength
@@ -142,23 +159,51 @@ object Maintenance {
     val df = spark.read.parquet(cur)
     val expected = df.count()
     val next = s"$base/v$nextVer"
+    val writing = s"${next}__writing"
     val writer = df.repartition(nFiles).write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(next)
-    val actual = spark.read.parquet(next).count()
+      .parquet(writing)
+    val actual = spark.read.parquet(writing).count()
     require(actual == expected,
       s"compaction row mismatch: $expected before, $actual after — pointer not flipped")
+    // publish the complete rewrite under its claimed name. The claim
+    // guarantees exclusivity, so a pre-existing dest is a hard error
+    // (Hadoop rename would otherwise move the source INTO it).
+    val nextPath = new org.apache.hadoop.fs.Path(next)
+    require(!fs.exists(nextPath),
+      s"compaction: claimed version dir $next already exists — claim protocol violated")
+    require(fs.rename(new org.apache.hadoop.fs.Path(writing), nextPath),
+      s"compaction: could not publish $writing -> $next")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/.claim_v$nextVer"), false)
 
     // atomic flip: write the new pointer aside, rename OVER _current.
     // FileContext.rename(OVERWRITE) is atomic on HDFS and posix — the
     // pointer file always exists with either the old or the new value.
-    val tmpPtr = new org.apache.hadoop.fs.Path(s"$base/_current.tmp")
-    val out = fs.create(tmpPtr, true)
-    try out.write(s"v$nextVer".getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      basePath.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmpPtr, new org.apache.hadoop.fs.Path(s"$base/_current"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // The aside file is PER-VERSION (concurrent flippers must not
+    // co-write one tmp name; each renames its own, last writer wins).
+    val tmpPtr = new org.apache.hadoop.fs.Path(s"$base/_current.tmp.v$nextVer")
+    val curPtr = new org.apache.hadoop.fs.Path(s"$base/_current")
+    if (fs.makeQualified(curPtr).toUri.getScheme == "file") {
+      // posix rename(2) overwrites atomically; Hadoop's local
+      // Rename.OVERWRITE is delete-then-rename — a concurrent flipper
+      // can land between the two and abort the flip. Write + move via
+      // NIO (no ChecksumFileSystem .crc sidecar, whose staleness after
+      // a raw move would fail every subsequent pointer read).
+      val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmpPtr).toUri.getPath)
+      val curNio = java.nio.file.Paths.get(fs.makeQualified(curPtr).toUri.getPath)
+      java.nio.file.Files.write(tmpNio, s"v$nextVer".getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(
+        curNio.resolveSibling("._current.crc")) // stale sidecar from a raw create
+      java.nio.file.Files.move(tmpNio, curNio,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = fs.create(tmpPtr, true)
+      try out.write(s"v$nextVer".getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        basePath.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmpPtr, curPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
 
     // retain `retainPrevious` prior versions for in-flight readers
     // (default 1 = the cycle of grace), vacuum anything older — but
@@ -174,6 +219,40 @@ object Maintenance {
         fs.delete(st.getPath, false)
     }
     expected
+  }
+
+  /** Atomically claim the first free version number >= `from`: the
+    * claim is a create-exclusive marker file (`.claim_v<N>` — dot-
+    * prefixed so parquet readers ignore it); exactly one writer wins
+    * each number, losers advance. A number is also skipped when its
+    * version dir already exists (a finished writer may have deleted
+    * its marker). Bounded so a pathological store cannot spin. */
+  private def claimVersion(fs: org.apache.hadoop.fs.FileSystem, base: String,
+                           from: Int): Int = {
+    var v = from
+    while (v - from < 1000) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/v$v"))) {
+        val marker = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(s"$base/.claim_v$v"))
+        // local fs: Hadoop's create(overwrite=false) is CHECK-then-
+        // create (two racers both pass the check) — go through NIO's
+        // CREATE_NEW, which is O_EXCL-atomic on posix. Elsewhere
+        // (HDFS), Hadoop's exclusive create is atomic natively.
+        val won =
+          if (marker.toUri.getScheme == "file")
+            try {
+              java.nio.file.Files.createFile(
+                java.nio.file.Paths.get(marker.toUri.getPath)); true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          else
+            try { fs.create(marker, false).close(); true }
+            catch { case _: java.io.IOException => false }
+        if (won) return v
+      }
+      v += 1
+    }
+    throw new IllegalStateException(
+      s"claimVersion: 1000 consecutive claim conflicts under $base")
   }
 
   /** Retention vacuum for a pointer-managed table: keep the `keep`

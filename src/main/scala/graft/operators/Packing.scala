@@ -130,7 +130,9 @@ object Packing {
     * Tokens are whitespace units (split on ' ', empties dropped) —
     * the same unit as [[Sharding.shardStats]] / `TextAnalysis`; for
     * subword-exact windows tokenize first and window the token array.
-    * Every doc emits ≥ 1 window (an empty doc emits one empty window,
+    * Every doc emits ≥ 1 window (an empty OR NULL-text doc emits one
+    * empty window — the token array is coalesced, so null cannot
+    * silently drop a doc through null-propagating `sequence`/`explode`,
     * preserving corpus membership); the last window may be shorter than
     * `windowTokens`. Window count uses pure integer arithmetic
     * (`1 + (n − W + S − 1) DIV S` when n > W) so the DuckDB oracle
@@ -147,7 +149,8 @@ object Packing {
       s"strideTokens must be in [1, windowTokens], got $strideTokens")
     docs
       .select(col(idCol),
-        array_remove(split(col(textCol), " "), "").as("__toks"))
+        coalesce(array_remove(split(col(textCol), " "), ""),
+          array().cast("array<string>")).as("__toks"))
       .withColumn("__n", size(col("__toks")).cast("long"))
       .withColumn("__nwin",
         when(col("__n") <= windowTokens, lit(1L)).otherwise(

