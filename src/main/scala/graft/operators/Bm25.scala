@@ -66,12 +66,17 @@ object Bm25 {
   }
 
   /** Corpus stats as a 1-row frame: n docs, avgdl = Σdl/n with the sum
-    * taken over exact integers (bit-identical in any engine). */
+    * taken over exact integers (bit-identical in any engine). `sum_dl`
+    * carries the exact integer numerator so incremental appends can
+    * update avgdl without re-scanning the corpus (old + delta sums are
+    * exact longs; the single division is then identical to a full
+    * rebuild's). */
   private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
     docs.agg(
       count(lit(1)).as("n"),
       (sum(size(terms(col(textCol))).cast("long")).cast("double") /
-        count(lit(1)).cast("double")).as("avgdl"))
+        count(lit(1)).cast("double")).as("avgdl"),
+      sum(size(terms(col(textCol))).cast("long")).as("sum_dl"))
 
   /** BM25 top-k for `queryTerms` over `docs`.
     *
@@ -139,15 +144,21 @@ object Bm25 {
     * from the pruned postings at query time (a count over one file
     * set), which keeps the index layout a pure function of the corpus
     * and makes partial rebuilds compose. */
-  def buildPersistedIndex(docs: DataFrame, idCol: String, textCol: String,
-                          nRanges: Int, path: String): Unit = {
-    val base = path.stripSuffix("/")
-    val postings = docs
+  /** (id, dl, term, tf) postings of a doc set — shared by the full
+    * build and the incremental append so the two can never tokenize
+    * differently. */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("id"), terms(col(textCol)).as("__terms"))
       .select(col("id"), size(col("__terms")).cast("long").as("dl"),
         explode(col("__terms")).as("term"))
       .groupBy(col("id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+
+  def buildPersistedIndex(docs: DataFrame, idCol: String, textCol: String,
+                          nRanges: Int, path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val postings = postingsOf(docs, idCol, textCol)
     val manifest = Sharding.exportSorted(postings, "term", nRanges,
       s"$base/postings")
     manifest.write.mode("overwrite").parquet(s"$base/manifest")
@@ -158,6 +169,125 @@ object Bm25 {
     // frame of the SAME schema as a populated read, not a hardcoded one
     postings.filter(lit(false)).repartition(1)
       .write.mode("overwrite").parquet(s"$base/schema")
+  }
+
+  /** INCREMENTAL index maintenance: merge a batch of NEW documents
+    * into a [[buildPersistedIndex]] layout touching only the range
+    * directories their terms route to — the nightly-append shape every
+    * other incremental path here follows (IVF assign-without-refit,
+    * changed-shard re-export): O(delta + touched ranges), never a full
+    * rebuild. After the append the index is SEMANTICALLY IDENTICAL to
+    * a fresh build over old∪new (gate-pinned: the appended index's
+    * search hash-matches the full-corpus oracle):
+    *  - delta postings route to the range with the largest
+    *    `min_key <= term` (first range for smaller terms) — a
+    *    deterministic rule that only ever WIDENS a range's manifest
+    *    interval, so zone-map pruning stays correct;
+    *  - each touched range merges existing + delta postings, re-sorted
+    *    on term (row-group stats stay tight), staged and swapped so a
+    *    failure leaves the old directory intact; untouched ranges are
+    *    NOT rewritten (spec-pinned via file listings);
+    *  - the manifest updates touched rows with pure driver math
+    *    (interval union + row counts; no corpus scan);
+    *  - stats update from the exact integer `sum_dl` (old + delta),
+    *    so avgdl is bit-identical to a rebuild's sum/count division.
+    *
+    * Contract: `newDocs` ids must be NEW (an id already indexed would
+    * double its postings — dedup upstream, [[ChunkStore]]'s guards are
+    * the ingest-side enforcement); single writer per index (like any
+    * index build). Pre-`sum_dl` indexes must rebuild once to upgrade.
+    * Returns the touched range ids. */
+  def appendToPersistedIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                             path: String): Seq[Long] = {
+    val spark = newDocs.sparkSession
+    val base = path.stripSuffix("/")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+
+    val statsRow = spark.read.parquet(s"$base/stats").head()
+    require(statsRow.schema.fieldNames.contains("sum_dl"),
+      s"index at $path predates sum_dl stats — rebuild once with " +
+        "buildPersistedIndex to enable appends")
+    val n0 = statsRow.getAs[Long]("n")
+    val sum0 = statsRow.getAs[Long]("sum_dl")
+
+    val man = spark.read.parquet(s"$base/manifest")
+      .select(col("range_id").cast("long"), col("min_key"), col("max_key"),
+        col("n_rows"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    require(man.nonEmpty,
+      s"index at $path has no ranges (empty corpus) — rebuild instead of appending")
+
+    // route: the range with the largest min_key <= term (ranges are
+    // key-ordered by construction of repartitionByRange), else the
+    // first — kilobyte routing table in the closure, narrow map
+    val mins: Array[(String, Long)] =
+      man.sortBy(_._1).map { case (rid, mn, _, _) => (mn, rid) }
+    val routeUdf = udf { (t: String) =>
+      var lo = 0; var hi = mins.length - 1
+      if (t < mins(0)._1) mins(0)._2
+      else {
+        while (lo < hi) { // invariant: mins(lo) <= t < mins(hi+1)
+          val mid = (lo + hi + 1) / 2
+          if (mins(mid)._1 <= t) lo = mid else hi = mid - 1
+        }
+        mins(lo)._2
+      }
+    }
+    val delta = postingsOf(newDocs, idCol, textCol)
+      .withColumn("__rid", routeUdf(col("term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-touched-range delta summary — driver-sized (<= nRanges rows)
+      val touchedStats = delta.groupBy(col("__rid"))
+        .agg(min(col("term")).as("dmn"), max(col("term")).as("dmx"),
+          count(lit(1)).as("dn"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val touched = touchedStats.map(_._1).sorted.toSeq
+
+      // merge + swap each touched range; staging first, so a failure
+      // mid-append leaves every published directory consistent
+      touched.foreach { rid =>
+        val dir = s"$base/postings/range_id=$rid"
+        val staging = s"$base/postings/.append_r$rid"
+        val existing = spark.read.parquet(dir)
+        existing
+          .unionByName(delta.filter(col("__rid") === rid).drop("__rid")
+            .select(existing.columns.map(col).toIndexedSeq: _*))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite").parquet(staging)
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+          new org.apache.hadoop.fs.Path(dir)),
+          s"append: could not publish $staging -> $dir")
+      }
+
+      // manifest: interval union + counts, pure driver math
+      val deltaByRid = touchedStats.map(t => t._1 -> t).toMap
+      val newMan = man.map { case (rid, mn, mx, n) =>
+        deltaByRid.get(rid) match {
+          case Some((_, dmn, dmx, dn)) =>
+            (rid, if (mn <= dmn) mn else dmn, if (mx >= dmx) mx else dmx, n + dn)
+          case None => (rid, mn, mx, n)
+        }
+      }.sortBy(_._1).toIndexedSeq
+      import spark.implicits._
+      newMan.toDF("range_id", "min_key", "max_key", "n_rows")
+        .select(col("range_id").cast("int"), col("min_key"), col("max_key"),
+          col("n_rows"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+
+      // stats: exact integer sums -> one division, rebuild-identical
+      val dAgg = newDocs
+        .agg(count(lit(1)), sum(size(terms(col(textCol))).cast("long"))).head()
+      val n1 = n0 + dAgg.getLong(0)
+      val sum1 = sum0 + (if (dAgg.isNullAt(1)) 0L else dAgg.getLong(1))
+      Seq((n1, sum1.toDouble / n1.toDouble, sum1)).toDF("n", "avgdl", "sum_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stats")
+      touched
+    } finally delta.unpersist()
   }
 
   /** BM25 top-k over a [[buildPersistedIndex]] layout: identical

@@ -42,6 +42,34 @@ object HybridQueries {
           QueryTerms, k = 20, rationalIdf = true)
         .withColumnRenamed("id", "doc_id")
     },
+    // INCREMENTAL index maintenance gate: build the index on 90% of
+    // the corpus, APPEND the other 10% (touched-range-only merge), and
+    // search — the result must hash-match the on-the-fly oracle over
+    // the FULL corpus, i.e. append ≡ rebuild, bit for bit. Builds into
+    // a fresh temp dir each run because the append mutates the layout.
+    "bm25_append" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("bm25app").toFile
+      try {
+        Bm25.buildPersistedIndex(docs.where(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", nRanges = 8, path = tmp.getAbsolutePath)
+        Bm25.appendToPersistedIndex(docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", tmp.getAbsolutePath)
+        val r = Bm25.searchPersistedIndex(s, tmp.getAbsolutePath,
+            QueryTerms, k = 20, rationalIdf = true)
+          .withColumnRenamed("id", "doc_id")
+        // materialize before the temp dir is deleted
+        import s.implicits._
+        r.as[(Long, Long, Long)].collect().toSeq
+          .toDF("doc_id", "bm25_fp", "n_terms")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(tmp)
+      }
+    },
     // RRF fusion of dense cosine top-50 and BM25 top-50 over the
     // embedded subset (docs that carry a vector: vec_id == doc_id)
     "hybrid_rrf" -> { (s, dir) =>
@@ -128,6 +156,12 @@ object HybridQueries {
          |ORDER BY bm25_fp DESC, doc_id""".stripMargin,
     // index-backed search must equal the on-the-fly computation
     "bm25_indexed" ->
+      s"""WITH ${bm25Sql("documents", 20)}
+         |SELECT doc_id, bm25_fp, n_terms FROM btop
+         |ORDER BY bm25_fp DESC, doc_id""".stripMargin,
+    // append ≡ rebuild: the incrementally-maintained index must answer
+    // exactly like the on-the-fly computation over the FULL corpus
+    "bm25_append" ->
       s"""WITH ${bm25Sql("documents", 20)}
          |SELECT doc_id, bm25_fp, n_terms FROM btop
          |ORDER BY bm25_fp DESC, doc_id""".stripMargin,

@@ -144,6 +144,77 @@ class HybridSearchSpec extends SparkSpec {
     }
   }
 
+  test("appendToPersistedIndex: append == rebuild; untouched ranges not rewritten") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir).limit(200).select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 10 =!= 0)
+    val delta = docs.filter($"doc_id" % 10 === 0)
+    val appendDir = java.nio.file.Files.createTempDirectory("bm25-append").toFile
+    val rebuildDir = java.nio.file.Files.createTempDirectory("bm25-rebuild").toFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val synth = Seq((999999L, "zzzq zzzq zzzr")).toDF("doc_id", "text")
+    try {
+      Bm25.buildPersistedIndex(base, "doc_id", "text", 8, appendDir.getAbsolutePath)
+      Bm25.buildPersistedIndex(docs.unionByName(synth), "doc_id", "text", 8,
+        rebuildDir.getAbsolutePath)
+      // snapshot postings files before the appends
+      def files(dir: java.io.File): Map[String, Seq[(String, Long)]] =
+        Option(new java.io.File(dir, "postings").listFiles()).getOrElse(Array())
+          .filter(d => d.isDirectory && d.getName.startsWith("range_id="))
+          .map(d => d.getName -> Option(d.listFiles()).getOrElse(Array())
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).sorted.toSeq).toMap
+      val before = files(appendDir)
+      // a NARROW append (two adjacent high terms) must touch one range
+      // and leave every other dir's file set (names AND mtimes) intact
+      val touchedSynth = Bm25.appendToPersistedIndex(synth, "doc_id", "text",
+        appendDir.getAbsolutePath)
+      val after = files(appendDir)
+      assert(touchedSynth.size === 1,
+        s"narrow append should touch exactly one range (touched $touchedSynth)")
+      val untouchedDirs = before.keySet.filterNot(d =>
+        touchedSynth.contains(d.stripPrefix("range_id=").toLong))
+      assert(untouchedDirs.nonEmpty)
+      untouchedDirs.foreach(d => assert(after(d) === before(d), s"$d rewritten"))
+      // then the broad real delta — append-after-append must still
+      // equal a single fresh rebuild over the full corpus
+      Bm25.appendToPersistedIndex(delta, "doc_id", "text",
+        appendDir.getAbsolutePath)
+      // append == rebuild: identical postings multiset, stats, and search
+      def postings(dir: java.io.File) =
+        spark.read.option("basePath", s"${dir.getAbsolutePath}/postings")
+          .parquet(s"${dir.getAbsolutePath}/postings")
+          .select($"id", $"term", $"dl", $"tf")
+          .as[(Long, String, Long, Long)].collect().sorted.toSeq
+      assert(postings(appendDir) === postings(rebuildDir))
+      assert(spark.read.parquet(s"$appendDir/stats")
+        .as[(Long, Double, Long)].head() ===
+        spark.read.parquet(s"$rebuildDir/stats").as[(Long, Double, Long)].head())
+      val viaAppend = Bm25.searchPersistedIndex(spark, appendDir.getAbsolutePath,
+        Seq("vector", "hash", "join"), 20, rationalIdf = true)
+        .as[(Long, Long, Long)].collect().toSeq
+      val viaRebuild = Bm25.searchPersistedIndex(spark, rebuildDir.getAbsolutePath,
+        Seq("vector", "hash", "join"), 20, rationalIdf = true)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(viaAppend === viaRebuild)
+      // guard: pre-sum_dl index refuses append with an actionable message
+      val legacy = java.nio.file.Files.createTempDirectory("bm25-legacy").toFile
+      try {
+        Bm25.buildPersistedIndex(base, "doc_id", "text", 4, legacy.getAbsolutePath)
+        spark.read.parquet(s"$legacy/stats").drop("sum_dl")
+          .write.mode("overwrite").parquet(s"$legacy/stats2")
+        // swap stats with the legacy (sum_dl-less) shape
+        rm(new java.io.File(legacy, "stats"))
+        new java.io.File(legacy, "stats2").renameTo(new java.io.File(legacy, "stats"))
+        val e = intercept[IllegalArgumentException](
+          Bm25.appendToPersistedIndex(delta, "doc_id", "text", legacy.getAbsolutePath))
+        assert(e.getMessage.contains("rebuild"))
+      } finally rm(legacy)
+    } finally { rm(appendDir); rm(rebuildDir) }
+  }
+
   test("rrf: hand-computed fusion incl. a one-list-only candidate") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
