@@ -19,22 +19,35 @@ object Bench {
       Tables.embeddings(spark, sfDir).limit(1).count()
       spark.range(1000000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
-    // ensure the IVF index exists before timing: ann_ivf's contract is
-    // to bench the partition-pruned probe-scan of a PERSISTED index
+    // SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the run to a subset —
+    // the spot-bench knob for scale runs (e.g. the 10 heaviest at a
+    // 100x-derived SF) without paying the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] WARNING: unknown queries ignored: $unknown")
+    }
+    // ensure the persisted indexes exist before timing: ann_ivf /
+    // bm25_indexed bench the pruned probe-scan of a PERSISTED index
     // (index construction is an offline/amortized step in any real
     // deployment, like the reference building its HNSW at ingest). A
-    // failure here must be LOUD: the timed ann_ivf would silently fall
-    // back to building the index inside its measured window.
-    try graft.queries.AnnQueries.persistedIvf(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] WARNING: IVF warmup failed (${e.getMessage}); " +
-        "ann_ivf timing will include index construction") }
-    // same contract for the persisted BM25 inverted index: bm25_indexed
-    // times the manifest-pruned reads, not the amortized build
-    try graft.queries.HybridQueries.persistedBm25(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] WARNING: BM25 index warmup failed (${e.getMessage}); " +
-        "bm25_indexed timing will include index construction") }
+    // failure here must be LOUD: the timed query would silently fall
+    // back to building the index inside its measured window. Skipped
+    // when the subset doesn't touch them.
+    if (Seq("ann_ivf", "ann_ivfpq", "ann_ivf_append", "cluster_domains")
+        .exists(selected.contains))
+      try graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: IVF warmup failed (${e.getMessage}); " +
+          "ann_ivf timing will include index construction") }
+    if (selected.contains("bm25_indexed"))
+      try graft.queries.HybridQueries.persistedBm25(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: BM25 index warmup failed (${e.getMessage}); " +
+          "bm25_indexed timing will include index construction") }
     // materialize via the noop sink: count() would let Catalyst prune
     // computed columns and eliminate final sorts, timing a bare scan
     // instead of the operator's actual work.
@@ -51,7 +64,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to repeats).map(_ => timeOnce(name, fn))
       // any failed run fails the query: -1 so a fast failure can never
       // masquerade as a fast success in the perf gate
