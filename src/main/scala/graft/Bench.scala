@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bench mode: gate queries skip their oracle-handoff parquet
+    // writes (graft.queries.Handoff) — correctness-gate plumbing must
+    // not sit inside the measured window
+    sys.props("graft.bench.mode") = "true"
     // warmup: touch the parquet footers and spin up codegen/shuffle
     // machinery once so the first measured query doesn't pay session
     // startup (it is measured work in every real deployment, but it is

@@ -184,9 +184,14 @@ object Bm25 {
     *    deterministic rule that only ever WIDENS a range's manifest
     *    interval, so zone-map pruning stays correct;
     *  - each touched range merges existing + delta postings, re-sorted
-    *    on term (row-group stats stay tight), staged and swapped so a
-    *    failure leaves the old directory intact; untouched ranges are
-    *    NOT rewritten (spec-pinned via file listings);
+    *    on term (row-group stats stay tight); ALL merges stage before
+    *    ANY publish (two-phase), publishes are aside-renames, and
+    *    manifest/stats go through write-swap — a failure during the
+    *    heavy staging phase leaves the live index byte-untouched, and
+    *    a crash inside the short publish window is recoverable from
+    *    the parked `.old_r*` dirs (or by rebuild, always safe);
+    *    untouched ranges are NOT rewritten (spec-pinned via file
+    *    listings);
     *  - the manifest updates touched rows with pure driver math
     *    (interval union + row counts; no corpus scan);
     *  - stats update from the exact integer `sum_dl` (old + delta),
@@ -247,21 +252,45 @@ object Bm25 {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       val touched = touchedStats.map(_._1).sorted.toSeq
 
-      // merge + swap each touched range; staging first, so a failure
-      // mid-append leaves every published directory consistent
+      // TWO-PHASE publish: stage EVERY touched range's merge first
+      // (all heavy work, all failure-prone IO), only then swap them in
+      // with aside-renames. A failure during staging leaves the live
+      // index byte-untouched; the vulnerable window shrinks to the
+      // rename sequence below, and even there the old directory is
+      // parked at `<dir>__old`, never deleted before its replacement
+      // is in place — recovery is renaming `__old` back (or a
+      // rebuild, which is always safe). Cross-range + manifest/stats
+      // atomicity would need a versioned-pointer layout like
+      // [[Maintenance.compactParquetVersioned]]; for this operator the
+      // contract is single writer + restore-or-rebuild on a crash
+      // mid-publish. Re-running a SUCCEEDED append double-inserts the
+      // delta (the ids-must-be-new contract) — idempotence lives with
+      // the caller's ingest ledger.
       touched.foreach { rid =>
-        val dir = s"$base/postings/range_id=$rid"
         val staging = s"$base/postings/.append_r$rid"
-        val existing = spark.read.parquet(dir)
+        val existing = spark.read.parquet(s"$base/postings/range_id=$rid")
         existing
           .unionByName(delta.filter(col("__rid") === rid).drop("__rid")
             .select(existing.columns.map(col).toIndexedSeq: _*))
           .sortWithinPartitions(col("term"))
           .write.mode("overwrite").parquet(staging)
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(staging),
-          new org.apache.hadoop.fs.Path(dir)),
-          s"append: could not publish $staging -> $dir")
+      }
+      touched.foreach { rid =>
+        val dir = new org.apache.hadoop.fs.Path(s"$base/postings/range_id=$rid")
+        // dot-prefixed park name: invisible to parquet partition
+        // discovery, so even a crash mid-publish never surfaces a
+        // malformed range_id value to a full-index read
+        val old = new org.apache.hadoop.fs.Path(s"$base/postings/.old_r$rid")
+        val staging = new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid")
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(dir, old),
+          s"append: could not park $dir aside; index untouched")
+        if (!fs.rename(staging, dir)) {
+          fs.rename(old, dir) // restore
+          throw new IllegalStateException(
+            s"append: could not publish $staging -> $dir; original restored")
+        }
+        fs.delete(old, true)
       }
 
       // manifest: interval union + counts, pure driver math
@@ -274,20 +303,36 @@ object Bm25 {
         }
       }.sortBy(_._1).toIndexedSeq
       import spark.implicits._
-      newMan.toDF("range_id", "min_key", "max_key", "n_rows")
+      writeSwap(newMan.toDF("range_id", "min_key", "max_key", "n_rows")
         .select(col("range_id").cast("int"), col("min_key"), col("max_key"),
-          col("n_rows"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+          col("n_rows")), s"$base/manifest", fs)
 
       // stats: exact integer sums -> one division, rebuild-identical
       val dAgg = newDocs
         .agg(count(lit(1)), sum(size(terms(col(textCol))).cast("long"))).head()
       val n1 = n0 + dAgg.getLong(0)
       val sum1 = sum0 + (if (dAgg.isNullAt(1)) 0L else dAgg.getLong(1))
-      Seq((n1, sum1.toDouble / n1.toDouble, sum1)).toDF("n", "avgdl", "sum_dl")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/stats")
+      writeSwap(Seq((n1, sum1.toDouble / n1.toDouble, sum1))
+        .toDF("n", "avgdl", "sum_dl"), s"$base/stats", fs)
       touched
     } finally delta.unpersist()
+  }
+
+  /** Overwrite a tiny metadata parquet (manifest/stats) via
+    * write-aside + rename — a plain overwrite is delete-then-write,
+    * whose crash window loses the file entirely. */
+  private def writeSwap(df: DataFrame, target: String,
+                        fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val tmp = s"${target}__new"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val tgt = new org.apache.hadoop.fs.Path(target)
+    val old = new org.apache.hadoop.fs.Path(s"${target}__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tgt))
+      require(fs.rename(tgt, old), s"writeSwap: could not park $target")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), tgt),
+      s"writeSwap: could not publish $tmp -> $target")
+    fs.delete(old, true)
   }
 
   /** BM25 top-k over a [[buildPersistedIndex]] layout: identical

@@ -34,7 +34,7 @@ object Dedup {
     * trade, never a correctness one (unpersist is safe mid-flight). A
     * plan that is built but never executed keeps its (lazy, therefore
     * empty) cache entry plus this listener for the session's lifetime. */
-  private def releaseAfterUse(cached: DataFrame): Unit = {
+  private[graft] def releaseAfterUse(cached: DataFrame): Unit = {
     val lm = cached.sparkSession.listenerManager
     val ids = cached.queryExecution.analyzed.output.map(_.exprId).toSet
     lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
@@ -411,7 +411,9 @@ object Dedup {
     * the quadratic-in-corpus candidate space never exists. */
   def jaccardPairsPrefixIncremental(newDocs: DataFrame, corpus: DataFrame,
                                     idCol: String, textCol: String,
-                                    blockCol: String, threshold: Double): DataFrame = {
+                                    blockCol: String, threshold: Double,
+                                    saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val all = newDocs.select(col(idCol), col(blockCol), col(textCol))
       .withColumn("is_new", lit(true))
       .unionByName(corpus.select(col(idCol), col(blockCol), col(textCol))
@@ -421,12 +423,30 @@ object Dedup {
     // probe side: increment prefixes only; index side: everything. The
     // PPJoin bounds are symmetric in the two sides, so they apply
     // unchanged after canonicalization.
-    val n = pref.filter(col("is_new"))
+    //
+    // SALTED join key (opt-in, saltBuckets > 1): a boilerplate-heavy
+    // corpus concentrates a hot prefix token's whole posting list (and
+    // its quadratic candidate expansion) in ONE reducer — measured at
+    // the 100× twin-replicated spot-bench as a 2-3-core straggler tail
+    // that salting restores to full parallelism (SCALEBENCH.md).
+    // Appending a salt derived from the INDEX side's id splits every
+    // (blk, tok) key `saltBuckets` ways; the increment side (small by
+    // the operator's contract — it is the nightly batch) replicates
+    // per salt, so the added shuffle volume is saltBuckets ×
+    // increment-prefixes, never corpus-sized. Exact: every (n, o) row
+    // pair still meets in exactly one salt bucket. DEFAULT OFF because
+    // the replication tax only pays off under heavy token skew: at the
+    // 10× fixture salt=16 measured 19.0 s vs 12.8 s unsalted — enable
+    // it when the corpus is known twin/boilerplate-heavy, exactly like
+    // [[graft.operators.Skew]]'s salted joins.
+    val n0 = pref.filter(col("is_new"))
       .select(col("blk"), col("tok"), col(idCol).as("id_n"),
         col("sz").as("sn"), col("pos").as("pn"))
     val o = pref.select(col("blk"), col("tok"), col(idCol).as("id_o"),
       col("sz").as("so"), col("pos").as("po"), col("is_new").as("new_o"))
-    val candidates = n.join(o, Seq("blk", "tok"))
+      .withColumn("__salt", pmod(hash(col("id_o")), lit(saltBuckets)))
+    val n = n0.withColumn("__salt", explode(lit((0 until saltBuckets).toArray)))
+    val candidates = n.join(o, Seq("blk", "tok", "__salt"))
       .filter(col("id_n") =!= col("id_o") &&
         // new×new pairs appear from both ends — keep the id_n < id_o copy
         (!col("new_o") || col("id_n") < col("id_o")) &&

@@ -174,7 +174,10 @@ object Maintenance {
       s"compaction: claimed version dir $next already exists — claim protocol violated")
     require(fs.rename(new org.apache.hadoop.fs.Path(writing), nextPath),
       s"compaction: could not publish $writing -> $next")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$base/.claim_v$nextVer"), false)
+    // the claim marker survives until AFTER the pointer flip: a
+    // published-but-not-yet-flipped version must not be vacuumable by
+    // a faster concurrent compactor (vacuumVersions keeps any version
+    // with a live marker)
 
     // atomic flip: write the new pointer aside, rename OVER _current.
     // FileContext.rename(OVERWRITE) is atomic on HDFS and posix — the
@@ -218,6 +221,9 @@ object Maintenance {
       if (!st.isDirectory && st.getPath.getName.endsWith(".parquet"))
         fs.delete(st.getPath, false)
     }
+    // claim released only now — pointer flipped, version protected by
+    // the normal retention rules from here on
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/.claim_v$nextVer"), false)
     expected
   }
 
@@ -280,10 +286,39 @@ object Maintenance {
       .filter(st => st.isDirectory && st.getPath.getName.matches("v[0-9]+"))
       .map(_.getPath.getName)
       .sortBy(_.substring(1).toInt)
-    val retained = versions.takeRight(keep).toSet + curName ++ alwaysKeep
+    // a live .claim_vN marker means a concurrent compactor published
+    // (or is about to publish) that version but has not flipped the
+    // pointer yet — vacuuming it would strand their flip on a deleted
+    // directory. Markers release only after the flip.
+    val claimed = versions.filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$base/.claim_$v"))).toSet
+    val retained = versions.takeRight(keep).toSet + curName ++ alwaysKeep ++ claimed
     val doomed = versions.filterNot(retained)
     doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$base/$v"), true))
     doomed
+  }
+
+  /** Reap artifacts abandoned by CRASHED compactors: `.claim_vN`
+    * markers and `v<N>__writing` rewrite dirs older than
+    * `olderThanMs` (a marker whose version dir was published is left
+    * for its writer's post-flip cleanup unless stale). Run on the ops
+    * schedule, sized well past the longest legitimate compaction —
+    * reaping a LIVE writer's marker would re-expose its version to
+    * [[vacuumVersions]]. Returns the reaped names. */
+  def reapAbandoned(spark: SparkSession, path: String,
+                    olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val base = path.stripSuffix("/")
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    fs.listStatus(basePath).toSeq.filter { st =>
+      val n = st.getPath.getName
+      (n.matches("\\.claim_v[0-9]+") || n.matches("v[0-9]+__writing")) &&
+        st.getModificationTime < cutoff
+    }.map { st =>
+      fs.delete(st.getPath, true); st.getPath.getName
+    }
   }
 
   /** File-count + size profile of a parquet table (the signal that

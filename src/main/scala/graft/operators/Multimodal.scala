@@ -134,7 +134,15 @@ object Multimodal {
     val (w, h, px) = decodeGray(bytes)
     val counts = new Array[Long](dim)
     var i = 0
-    while (i < px.length) { counts(px(i) * dim / 256) += 1L; i += 1 }
+    while (i < px.length) {
+      // binning assumes 8-bit samples; a 16-bit grayscale would index
+      // past the histogram — fail with the real cause, not an AIOOBE
+      require(px(i) < 256,
+        s"imageHistogramFeatures: sample ${px(i)} exceeds 8-bit depth — " +
+          "rescale or re-bin for >8-bit images")
+      counts(px(i) * dim / 256) += 1L
+      i += 1
+    }
     val n = (w * h).toDouble
     counts.map(_.toDouble / n)
   }

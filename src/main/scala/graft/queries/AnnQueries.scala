@@ -33,14 +33,17 @@ object AnnQueries {
   private val PqCandHandoff    = "/tmp/graft_pq_candidates_handoff.parquet"
 
   /** Publish the persisted IVF index's two driver-checkable artifacts:
-    * the k-row centroid table and the slim (id, cluster) assignment. */
-  private def writeIvfHandoff(s: SparkSession, index: Ann.IvfIndex): Unit = {
-    Ann.centroidsDf(s, index.centroids, "cluster_id")
-      .coalesce(1).write.mode("overwrite").parquet(CentroidsHandoff)
-    index.assigned
-      .select(col(index.idCol), col("ivf_cluster").cast("int").as("ivf_cluster"))
-      .coalesce(1).write.mode("overwrite").parquet(AssignedHandoff)
-  }
+    * the k-row centroid table and the slim (id, cluster) assignment.
+    * Skipped in bench mode ([[Handoff]]) — gate plumbing, not operator
+    * work. */
+  private def writeIvfHandoff(s: SparkSession, index: Ann.IvfIndex): Unit =
+    if (!Handoff.benchMode) {
+      Ann.centroidsDf(s, index.centroids, "cluster_id")
+        .coalesce(1).write.mode("overwrite").parquet(CentroidsHandoff)
+      index.assigned
+        .select(col(index.idCol), col("ivf_cluster").cast("int").as("ivf_cluster"))
+        .coalesce(1).write.mode("overwrite").parquet(AssignedHandoff)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-partition-heap batch top-k: identical answer to batch_topk,
@@ -60,11 +63,11 @@ object AnnQueries {
     // the handoff so both engines consume byte-identical buckets.
     "ann_sign_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Ann.withSignBucket(emb, nBits = 12)
-        .select(col("vec_id"), col("lsh_bucket"))
-        .coalesce(1).write.mode("overwrite").parquet(LshBucketsHandoff)
-      val bucketed = emb.join(s.read.parquet(LshBucketsHandoff), Seq("vec_id"))
-      Ann.searchSignLsh(bucketed, VectorQueries.qvec(s, dir, 0), 10, nBits = 12)
+      val buckets = Handoff.publish(
+        Ann.withSignBucket(emb, nBits = 12).select(col("vec_id"), col("lsh_bucket")),
+        LshBucketsHandoff)
+      Ann.searchSignLsh(emb.join(buckets, Seq("vec_id")),
+          VectorQueries.qvec(s, dir, 0), 10, nBits = 12)
         .drop("embedding")
     },
     // IVF ANN: seeded k-means routing, nprobe=4 of 16 clusters.
@@ -92,9 +95,11 @@ object AnnQueries {
       val model = Pq.train(Pq.residuals(index), "residual", m = 8, k = 16)
       val encoded = Pq.encode(index, model)
       val q = VectorQueries.qvec(s, dir, 0)
-      Pq.adcCandidates(encoded, index, model, q, k = 10, nprobe = 4)
-        .coalesce(1).write.mode("overwrite").parquet(PqCandHandoff)
-      Pq.rerank(s.read.parquet(PqCandHandoff), index.assigned, q, 10)
+      Pq.rerank(
+        Handoff.publish(
+          Pq.adcCandidates(encoded, index, model, q, k = 10, nprobe = 4),
+          PqCandHandoff),
+        index.assigned, q, 10)
     },
     // incremental index maintenance: assign a "nightly" append slice to
     // the persisted index without refit, then the drift report over
@@ -138,7 +143,13 @@ object AnnQueries {
     * index instead of silently serving stale data; the build is
     * serialized JVM-wide so concurrent specs can't race the
     * check-then-build. */
-  def persistedIvf(s: SparkSession, dir: String, numClusters: Int = 16): Ann.IvfIndex = {
+  def persistedIvf(s: SparkSession, dir: String, numClusters: Int = 16): Ann.IvfIndex =
+    Ann.loadIvf(s, persistedIvfPath(s, dir, numClusters))
+
+  /** The persisted index's on-disk path (built if absent) — the single
+    * owner of the cache-key/naming recipe, so serving-path callers
+    * can't drift from the builder. */
+  def persistedIvfPath(s: SparkSession, dir: String, numClusters: Int = 16): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|${src.lastModified}|${src.length}".getBytes("UTF-8"))
@@ -148,7 +159,7 @@ object AnnQueries {
       if (!new java.io.File(s"$path/corpus/_SUCCESS").exists())
         Ann.saveIvf(Ann.buildIvf(Tables.embeddings(s, dir), numClusters), path)
     }
-    Ann.loadIvf(s, path)
+    path
   }
   private val ivfBuildLock = new Object
 

@@ -264,11 +264,10 @@ object CurationQueries {
     "pack_bpe" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val merges = graft.operators.Bpe.train(docs, "text", nMerges = 64)
-      docs.select(col("doc_id"),
-          size(graft.operators.Bpe.encodeColumn(col("text"), merges))
-            .cast("long").as("n_bpe"))
-        .write.mode("overwrite").parquet(PackBpeHandoff)
-      graft.operators.Packing.packDocs(s.read.parquet(PackBpeHandoff),
+      graft.operators.Packing.packDocs(
+          Handoff.publish(docs.select(col("doc_id"),
+            size(graft.operators.Bpe.encodeColumn(col("text"), merges))
+              .cast("long").as("n_bpe")), PackBpeHandoff),
           "doc_id", "n_bpe", nShards = 8, budget = 1024)
         .orderBy(col("doc_id"))
     },

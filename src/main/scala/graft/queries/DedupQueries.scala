@@ -67,12 +67,19 @@ object DedupQueries {
     // cap, pair generation, and exact-cosine verify from it. Recall vs
     // the exact pair join stays scalatest-gated.
     "dedup_cosine_lsh" -> { (s, dir) =>
+      // persist the slim projection across its consumers (sizing
+      // count, bucketing, both verify joins) like cosineNearDupLsh
+      // does internally; the release listener frees it once the
+      // verify result materializes
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bits = Dedup.lshBitsFor(e.count())
-      Dedup.signLshBandBuckets(e, "vec_id", "embedding", bands = 8, bits)
-        .coalesce(1).write.mode("overwrite").parquet(CosLshHandoff)
-      Dedup.cosinePairsFromBuckets(s.read.parquet(CosLshHandoff), e,
-          "vec_id", "embedding", threshold = 0.45)
+      val buckets = Handoff.publish(
+        Dedup.signLshBandBuckets(e, "vec_id", "embedding", bands = 8, bits),
+        CosLshHandoff)
+      Dedup.releaseAfterUse(e)
+      Dedup.cosinePairsFromBuckets(buckets, e, "vec_id", "embedding",
+          threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))
     },
     // connected components over the exact cosine near-dup pair set
@@ -130,10 +137,11 @@ object DedupQueries {
     // Signature recall vs exact Jaccard stays scalatest-verified.
     "dedup_minhash_lsh" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      Dedup.minHashBandRows(docs, "doc_id", "text",
-          numHashes = 128, bands = 32, shingle = 3)
-        .coalesce(1).write.mode("overwrite").parquet(MinhashHandoff)
-      Dedup.minHashVerifyPairs(s.read.parquet(MinhashHandoff), docs,
+      val bandRows = Handoff.publish(
+        Dedup.minHashBandRows(docs, "doc_id", "text",
+          numHashes = 128, bands = 32, shingle = 3),
+        MinhashHandoff)
+      Dedup.minHashVerifyPairs(bandRows, docs,
           "doc_id", "text", shingle = 3, threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -141,9 +149,11 @@ object DedupQueries {
     // signatures are the handoff; pigeonhole chunking, pair join, and
     // popcount verify replay in DuckDB as shift/mask/xor/bit_count.
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.simHashSignatures(Tables.documents(s, dir), "doc_id", "text")
-        .coalesce(1).write.mode("overwrite").parquet(SimhashHandoff)
-      Dedup.simHashPairs(s.read.parquet(SimhashHandoff), "doc_id", maxHamming = 3)
+      Dedup.simHashPairs(
+          Handoff.publish(
+            Dedup.simHashSignatures(Tables.documents(s, dir), "doc_id", "text"),
+            SimhashHandoff),
+          "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }
   )

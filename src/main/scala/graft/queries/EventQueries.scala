@@ -142,9 +142,9 @@ object EventQueries {
     // compare. Tight error bounds stay SketchesSpec-gated.
     "ev_sketch_profile" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
-      graft.operators.Sketches.eventProfile(ev)
-        .coalesce(1).write.mode("overwrite").parquet(SketchProfileHandoff)
-      graft.operators.Sketches.profileCheck(ev, s.read.parquet(SketchProfileHandoff))
+      graft.operators.Sketches.profileCheck(ev,
+          Handoff.publish(graft.operators.Sketches.eventProfile(ev),
+            SketchProfileHandoff))
         .orderBy(col("event_type"))
     },
     // heavy hitters over event_type: Misra-Gries candidate sketch +

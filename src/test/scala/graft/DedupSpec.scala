@@ -230,6 +230,11 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture should produce increment-touching pairs")
     // no corpus x corpus pair leaks into the incremental result
     assert(inc.forall { case (a, b) => a % 10 == 0 || b % 10 == 0 })
+    // the skew salt is a pure parallelism knob: salted == unsalted
+    val salted = Dedup.jaccardPairsPrefixIncremental(newDocs, corpus,
+        "doc_id", "text", "lang", 0.8, saltBuckets = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(salted === inc)
   }
 
   test("duplicateGroups + dropDuplicates consistency") {

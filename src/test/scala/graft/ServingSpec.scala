@@ -11,14 +11,7 @@ import graft.serving.Serving
 class ServingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ivfPath: String = {
-    AnnQueries.persistedIvf(spark, sfDir) // ensure built
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|${src.lastModified}|${src.length}".getBytes("UTF-8"))
-      .take(8).map(b => f"${b & 0xff}%02x").mkString
-    s"${sys.props("java.io.tmpdir")}/graft-ivf-$fp-k16"
-  }
+  private def ivfPath: String = AnnQueries.persistedIvfPath(spark, sfDir)
 
   test("IVF serving probe == Spark searchIvf, hit for hit") {
     val path = ivfPath
