@@ -255,17 +255,18 @@ object Bm25 {
       // TWO-PHASE publish: stage EVERY touched range's merge first
       // (all heavy work, all failure-prone IO), only then swap them in
       // with aside-renames. A failure during staging leaves the live
-      // index byte-untouched; the vulnerable window shrinks to the
-      // rename sequence below, and even there the old directory is
-      // parked at `<dir>__old`, never deleted before its replacement
-      // is in place — recovery is renaming `__old` back (or a
-      // rebuild, which is always safe). Cross-range + manifest/stats
-      // atomicity would need a versioned-pointer layout like
+      // index byte-untouched; a failure anywhere in the swap loop
+      // rolls back every already-swapped range from its parked
+      // `.old_r*` dir (parks are deleted only after ALL ranges
+      // publish). The irreducible residue is a hard CRASH mid-loop —
+      // parked dirs remain on disk for manual restore, and a rebuild
+      // is always safe. Full multi-dir + manifest/stats atomicity
+      // would need a versioned-pointer layout like
       // [[Maintenance.compactParquetVersioned]]; for this operator the
-      // contract is single writer + restore-or-rebuild on a crash
-      // mid-publish. Re-running a SUCCEEDED append double-inserts the
-      // delta (the ids-must-be-new contract) — idempotence lives with
-      // the caller's ingest ledger.
+      // contract is single writer + restore-or-rebuild on a crash.
+      // Re-running a SUCCEEDED append double-inserts the delta (the
+      // ids-must-be-new contract) — idempotence lives with the
+      // caller's ingest ledger.
       touched.foreach { rid =>
         val staging = s"$base/postings/.append_r$rid"
         val existing = spark.read.parquet(s"$base/postings/range_id=$rid")
@@ -275,23 +276,40 @@ object Bm25 {
           .sortWithinPartitions(col("term"))
           .write.mode("overwrite").parquet(staging)
       }
-      touched.foreach { rid =>
-        val dir = new org.apache.hadoop.fs.Path(s"$base/postings/range_id=$rid")
-        // dot-prefixed park name: invisible to parquet partition
-        // discovery, so even a crash mid-publish never surfaces a
-        // malformed range_id value to a full-index read
-        val old = new org.apache.hadoop.fs.Path(s"$base/postings/.old_r$rid")
-        val staging = new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid")
-        if (fs.exists(old)) fs.delete(old, true)
-        require(fs.rename(dir, old),
-          s"append: could not park $dir aside; index untouched")
-        if (!fs.rename(staging, dir)) {
-          fs.rename(old, dir) // restore
-          throw new IllegalStateException(
-            s"append: could not publish $staging -> $dir; original restored")
+      // park dirs are dot-prefixed (invisible to parquet partition
+      // discovery) and retained until EVERY range has swapped — a
+      // failure anywhere in this loop rolls ALL published ranges back
+      // to the parked originals, so the index is never left with a
+      // subset of the delta merged in
+      def dirP(rid: Long) = new org.apache.hadoop.fs.Path(s"$base/postings/range_id=$rid")
+      def oldP(rid: Long) = new org.apache.hadoop.fs.Path(s"$base/postings/.old_r$rid")
+      val published = scala.collection.mutable.ArrayBuffer.empty[Long]
+      try {
+        touched.foreach { rid =>
+          val staging = new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid")
+          if (fs.exists(oldP(rid))) fs.delete(oldP(rid), true)
+          require(fs.rename(dirP(rid), oldP(rid)),
+            s"append: could not park ${dirP(rid)} aside; index untouched")
+          if (!fs.rename(staging, dirP(rid)))
+            throw new IllegalStateException(
+              s"append: could not publish $staging -> ${dirP(rid)}")
+          published += rid
         }
-        fs.delete(old, true)
+      } catch {
+        case e: Throwable =>
+          // roll back every range already swapped this run, then the
+          // one that failed mid-park (whose dir may be at oldP only)
+          (published :+ touched.find(r => !published.contains(r)).getOrElse(-1L))
+            .filter(_ >= 0).foreach { rid =>
+              if (fs.exists(oldP(rid))) {
+                fs.delete(dirP(rid), true)
+                fs.rename(oldP(rid), dirP(rid))
+              }
+            }
+          throw new IllegalStateException(
+            s"append: publish failed, all ranges rolled back: ${e.getMessage}", e)
       }
+      touched.foreach(rid => fs.delete(oldP(rid), true))
 
       // manifest: interval union + counts, pure driver math
       val deltaByRid = touchedStats.map(t => t._1 -> t).toMap

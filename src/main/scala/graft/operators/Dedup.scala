@@ -442,11 +442,18 @@ object Dedup {
     val n0 = pref.filter(col("is_new"))
       .select(col("blk"), col("tok"), col(idCol).as("id_n"),
         col("sz").as("sn"), col("pos").as("pn"))
-    val o = pref.select(col("blk"), col("tok"), col(idCol).as("id_o"),
+    val o0 = pref.select(col("blk"), col("tok"), col(idCol).as("id_o"),
       col("sz").as("so"), col("pos").as("po"), col("is_new").as("new_o"))
-      .withColumn("__salt", pmod(hash(col("id_o")), lit(saltBuckets)))
-    val n = n0.withColumn("__salt", explode(lit((0 until saltBuckets).toArray)))
-    val candidates = n.join(o, Seq("blk", "tok", "__salt"))
+    // salt columns only exist when salting is ON — the default path
+    // must not pay a hash/pmod per corpus posting plus a 1-way explode
+    // for a constant join key
+    val (n, o, joinKeys) =
+      if (saltBuckets > 1)
+        (n0.withColumn("__salt", explode(lit((0 until saltBuckets).toArray))),
+          o0.withColumn("__salt", pmod(hash(col("id_o")), lit(saltBuckets))),
+          Seq("blk", "tok", "__salt"))
+      else (n0, o0, Seq("blk", "tok"))
+    val candidates = n.join(o, joinKeys)
       .filter(col("id_n") =!= col("id_o") &&
         // new×new pairs appear from both ends — keep the id_n < id_o copy
         (!col("new_o") || col("id_n") < col("id_o")) &&

@@ -314,7 +314,8 @@ object Maintenance {
     val cutoff = System.currentTimeMillis() - olderThanMs
     fs.listStatus(basePath).toSeq.filter { st =>
       val n = st.getPath.getName
-      (n.matches("\\.claim_v[0-9]+") || n.matches("v[0-9]+__writing")) &&
+      (n.matches("\\.claim_v[0-9]+") || n.matches("v[0-9]+__writing") ||
+        n.matches("_current\\.tmp\\.v[0-9]+")) && // pointer-aside of a crashed flip
         st.getModificationTime < cutoff
     }.map { st =>
       fs.delete(st.getPath, true); st.getPath.getName

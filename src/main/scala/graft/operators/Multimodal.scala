@@ -43,6 +43,13 @@ object Multimodal {
     * conversion would silently rewrite the values. Multi-band images
     * read band 0. */
   def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, px, _) = decodeGrayDepth(bytes)
+    (w, h, px)
+  }
+
+  /** [[decodeGray]] plus band-0's sample bit depth — callers whose
+    * math assumes 8-bit values (histogram binning) must check it. */
+  def decodeGrayDepth(bytes: Array[Byte]): (Int, Int, Array[Int], Int) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "decodeGray: ImageIO could not decode payload")
     val w = img.getWidth; val h = img.getHeight
@@ -50,7 +57,7 @@ object Multimodal {
     val px = new Array[Int](w * h)
     var i = 0
     while (i < px.length) { px(i) = raster.getSample(i % w, i / w, 0); i += 1 }
-    (w, h, px)
+    (w, h, px, raster.getSampleModel.getSampleSize(0))
   }
 
   /** The deterministic pixel generator behind [[syntheticMedia]]'s
@@ -131,18 +138,16 @@ object Multimodal {
     * count divided once by the pixel count (double — so an independent
     * SQL engine reproduces every bin bit-for-bit from the pixels). */
   def imageHistogramFeatures(bytes: Array[Byte], dim: Int): Array[Double] = {
-    val (w, h, px) = decodeGray(bytes)
+    val (w, h, px, depth) = decodeGrayDepth(bytes)
+    // DEPTH-based guard, not value-based: a dark 16-bit image whose
+    // samples all happen to fall under 256 would otherwise bin as if
+    // they were 8-bit mid-tones — silently wrong, no error
+    require(depth <= 8,
+      s"imageHistogramFeatures: $depth-bit samples — binning assumes " +
+        "8-bit; rescale or re-bin for deeper images")
     val counts = new Array[Long](dim)
     var i = 0
-    while (i < px.length) {
-      // binning assumes 8-bit samples; a 16-bit grayscale would index
-      // past the histogram — fail with the real cause, not an AIOOBE
-      require(px(i) < 256,
-        s"imageHistogramFeatures: sample ${px(i)} exceeds 8-bit depth — " +
-          "rescale or re-bin for >8-bit images")
-      counts(px(i) * dim / 256) += 1L
-      i += 1
-    }
+    while (i < px.length) { counts(px(i) * dim / 256) += 1L; i += 1 }
     val n = (w * h).toDouble
     counts.map(_.toDouble / n)
   }
