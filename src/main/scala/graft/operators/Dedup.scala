@@ -383,18 +383,43 @@ object Dedup {
 
   /** Exact verify of slim candidate id pairs: re-attach the sorted hash
     * arrays, merge-scan the intersection (codegen'd — no per-pair hash
-    * set), compute true Jaccard. */
+    * set), compute true Jaccard.
+    *
+    * SALTED verify joins (saltBuckets > 1): under twin-heavy corpora a
+    * single mega-hot doc id can be one endpoint of ~factor² candidate
+    * pairs, concentrating that id's whole candidate group — each row
+    * carrying a token-hash ARRAY after the first re-attach — into one
+    * reducer task (the named 100× OOM in SCALEBENCH.md). Salting each
+    * verify join by the hash of the OTHER endpoint spreads a hot id's
+    * group `saltBuckets` ways while staying exact: a candidate (a, b)
+    * computes one fixed salt per join, and the one-row-per-id `t` side
+    * is replicated across all salt values, so every pair still meets
+    * its token row in exactly one bucket. Cost when ON is saltBuckets ×
+    * |t| extra shuffle volume per join — linear in corpus tokens, never
+    * candidate-sized — and the default-OFF path is byte-identical to
+    * the unsalted plan. */
   private def verifyPairs(t: DataFrame, candidates: DataFrame, idCol: String,
-                          threshold: Double): DataFrame =
-    candidates
-      .join(t.select(col(idCol).as("id_a"), col("sz").as("sa"), col("h").as("ha")), Seq("id_a"))
-      .join(t.select(col(idCol).as("id_b"), col("sz").as("sb"), col("h").as("hb")), Seq("id_b"))
+                          threshold: Double, saltBuckets: Int = 1): DataFrame = {
+    val ta = t.select(col(idCol).as("id_a"), col("sz").as("sa"), col("h").as("ha"))
+    val tb = t.select(col(idCol).as("id_b"), col("sz").as("sb"), col("h").as("hb"))
+    val attached =
+      if (saltBuckets > 1) {
+        val salts = lit((0 until saltBuckets).toArray)
+        candidates
+          .withColumn("__vsa", pmod(hash(col("id_b")), lit(saltBuckets)))
+          .join(ta.withColumn("__vsa", explode(salts)), Seq("id_a", "__vsa"))
+          .withColumn("__vsb", pmod(hash(col("id_a")), lit(saltBuckets)))
+          .join(tb.withColumn("__vsb", explode(salts)), Seq("id_b", "__vsb"))
+          .drop("__vsa", "__vsb")
+      } else candidates.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+    attached
       .withColumn("inter",
         graft.functions.ArrayFunctions.sortedIntersectSize(col("ha"), col("hb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   /** Incremental exact Jaccard near-dup check — the nightly-ingest
     * shape: a new batch arrives and must be checked against the
@@ -461,7 +486,10 @@ object Dedup {
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
-    verifyPairs(t, candidates, idCol, threshold)
+    // the salt knob covers BOTH skew surfaces: candidate generation
+    // (hot prefix tokens, above) and the verify re-attach joins (hot
+    // pair endpoints — see verifyPairs scaladoc).
+    verifyPairs(t, candidates, idCol, threshold, saltBuckets)
   }
 
   // ------------------------------------------------- connected components

@@ -27,10 +27,10 @@ object AnnQueries {
 
   /** Spark↔oracle handoff files (absolute paths shared by both engines;
     * the oracle reads them with read_parquet). */
-  private val CentroidsHandoff = "/tmp/graft_ivf_centroids_handoff.parquet"
-  private val AssignedHandoff  = "/tmp/graft_ivf_assigned_handoff.parquet"
-  private val LshBucketsHandoff = "/tmp/graft_lsh_buckets_handoff.parquet"
-  private val PqCandHandoff    = "/tmp/graft_pq_candidates_handoff.parquet"
+  private val CentroidsHandoff = Handoff.path("ivf_centroids")
+  private val AssignedHandoff  = Handoff.path("ivf_assigned")
+  private val LshBucketsHandoff = Handoff.path("lsh_buckets")
+  private val PqCandHandoff    = Handoff.path("pq_candidates")
 
   /** Publish the persisted IVF index's two driver-checkable artifacts:
     * the k-row centroid table and the slim (id, cluster) assignment.

@@ -372,7 +372,7 @@ object CurationQueries {
   /** The pack_bpe Spark↔oracle handoff file: learned-BPE unit counts
     * per doc, written by the Spark query, read by the DuckDB oracle's
     * recursive-CTE replay (same absolute path in both engines). */
-  private val PackBpeHandoff = "/tmp/graft_pack_bpe_handoff.parquet"
+  private val PackBpeHandoff = Handoff.path("pack_bpe")
 
   /** DuckDB twin of [[graft.operators.Sharding.shardId]] on doc_id. */
   private def shardSqlN(n: Int): String =

@@ -160,9 +160,9 @@ object DedupQueries {
 
   /** Spark↔oracle handoff files for the LSH gates (absolute paths
     * shared by both engines — the pack_bpe verify-THROUGH pattern). */
-  private val CosLshHandoff  = "/tmp/graft_coslsh_buckets_handoff.parquet"
-  private val MinhashHandoff = "/tmp/graft_minhash_bands_handoff.parquet"
-  private val SimhashHandoff = "/tmp/graft_simhash_sigs_handoff.parquet"
+  private val CosLshHandoff  = Handoff.path("coslsh_buckets")
+  private val MinhashHandoff = Handoff.path("minhash_bands")
+  private val SimhashHandoff = Handoff.path("simhash_sigs")
 
   /** Boilerplate tail appended to every %10 doc — 12 words, so 8-token
     * windows inside it repeat verbatim across the tagged docs. The SQL

@@ -171,7 +171,7 @@ object EventQueries {
   /** The ev_sketch_profile Spark↔oracle handoff: the sketch outputs
     * (approx_users, p50/p90/p99) per event type, written by the Spark
     * gate, read back by both engines' bound checks. */
-  private val SketchProfileHandoff = "/tmp/graft_sketch_profile_handoff.parquet"
+  private val SketchProfileHandoff = Handoff.path("sketch_profile")
 
   val oracle: Map[String, String] = Map(
     "ev_sketch_profile" ->

@@ -17,13 +17,26 @@ import org.apache.spark.sql.DataFrame
   * identical either way — the re-read consumes exactly what was
   * written.
   *
-  * Paths are fixed per query (the oracle SQL embeds them), which
-  * assumes ONE verify run at a time per machine — the driver's
-  * contract. Concurrent verifies would clobber each other's
-  * artifacts; scope the paths per checkout before running two. */
+  * Paths are fixed per query within one JVM (the oracle SQL embeds
+  * them — [[path]] interpolates the same constant into both the Spark
+  * write and the SQL string), rooted at `graft.handoff.dir` (default
+  * `/tmp`). Overriding the root scopes the artifacts per checkout, so
+  * two checkouts can verify on one machine without clobbering each
+  * other; within a single root the one-verify-at-a-time contract
+  * still applies. */
 object Handoff {
 
   def benchMode: Boolean = sys.props.get("graft.bench.mode").contains("true")
+
+  /** Handoff root directory — `-Dgraft.handoff.dir=...` scopes all
+    * handoff artifacts (and the oracle SQL that reads them) per
+    * checkout. Read once at class init: the query closures and the
+    * `oracleSql` strings must agree within a JVM, so a mid-session
+    * property flip must not split them. */
+  val root: String = sys.props.getOrElse("graft.handoff.dir", "/tmp")
+
+  /** The one path scheme every handoff artifact uses. */
+  def path(name: String): String = s"$root/graft_${name}_handoff.parquet"
 
   /** Publish `df` at `path` for the oracle and return the re-read
     * frame; in bench mode, return `df` untouched. */

@@ -113,23 +113,41 @@ object TextQueries {
             col("n_tokens") >= 10 && col("n_tokens") <= 100000).as("keep"))
         .orderBy(col("doc_id"))
     },
-    // BPE tokenizer induction: the learned merge table in rank order
-    // (rows-only: iterative argmax recursion is not SQL; merge parity
-    // vs a naive reference + determinism are BpeSpec-gated). The
-    // corpus-sized step (weighted word vocab) is one distributed agg.
+    // BPE tokenizer induction: the learned merge table in rank order.
+    // Oracle-verified via the handoff pattern: the merge table is
+    // published, and DuckDB recomputes EVERY row independently — rank r
+    // is re-derived from the corpus plus only the ranks BEFORE r
+    // (greedy re-encode of the weighted vocab with merges < r, pair
+    // count, argmax with the training tie-break), so rank 0 uses no
+    // handoff at all and a hash match is an inductive full-training
+    // replay, not an echo. Merge parity vs a naive reference +
+    // determinism stay BpeSpec-gated. The corpus-sized step (weighted
+    // word vocab) is one distributed agg.
     "bpe_train_merges" -> { (s, dir) =>
       import s.implicits._
-      graft.operators.Bpe.train(Tables.documents(s, dir), "text", nMerges = 64)
-        .toDF()
-        .select(col("rank").cast("long").as("rank"), col("left"),
-          col("right"), col("count").as("pair_count"))
-        .orderBy(col("rank"))
+      Handoff.publish(
+        graft.operators.Bpe.train(Tables.documents(s, dir), "text", nMerges = 64)
+          .toDF()
+          .select(col("rank").cast("long").as("rank"), col("left"),
+            col("right"), col("count").as("pair_count"))
+          .orderBy(col("rank")),
+        BpeMergesHandoff)
     },
     // distributed APPLY of the learned tokenizer: per-doc BPE unit
-    // count over the corpus (narrow map, merges ride the closure)
+    // count over the corpus (narrow map, merges ride the closure).
+    // The learned merge table is the handoff; DuckDB independently
+    // replays the greedy lowest-rank-first encode (recursive CTE over
+    // the distinct word set) and re-aggregates per document.
     "bpe_encode_learned" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val merges = graft.operators.Bpe.train(docs, "text", nMerges = 64)
+      if (!Handoff.benchMode) {
+        import s.implicits._
+        merges.toDF()
+          .select(col("rank").cast("long").as("rank"), col("left"),
+            col("right"), col("count").as("pair_count"))
+          .coalesce(1).write.mode("overwrite").parquet(BpeEncodeHandoff)
+      }
       docs.select(col("doc_id"),
           size(graft.operators.Bpe.encodeColumn(col("text"), merges))
             .cast("long").as("n_bpe_units"))
@@ -148,11 +166,117 @@ object TextQueries {
   private val wCte =
     "SELECT doc_id, lang, text, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents"
 
+  /** Spark↔oracle handoff files for the BPE gates (separate paths so
+    * the two queries never depend on each other's run order). */
+  private val BpeMergesHandoff = Handoff.path("bpe_merges")
+  private val BpeEncodeHandoff = Handoff.path("bpe_encode_merges")
+
   // the BPE-ish pattern, SQL-string-escaped for the DuckDB oracle (the
   // pattern is Java-and-RE2-compatible by construction)
   private val bpePatSql = TextAnalysis.BpeishPattern.replace("'", "''")
 
+  // Greedy lowest-rank-first BPE encode as a DuckDB recursive CTE: one
+  // step merges the LEFTMOST occurrence of the minimum-rank adjacent
+  // pair. Equivalent to the Scala encoder's merge-all-occurrences step
+  // because a pair produced by merging p always ranks AFTER p (the
+  // merged symbol only exists from p's rank on), so while any
+  // occurrence of p remains, p stays the strict minimum — one-at-a-time
+  // leftmost replays the same final state. Ranks ride a MAP (the merge
+  // table is kilobytes); terminal states are rows where no adjacent
+  // pair has a rank.
+  private def bpeEncodeRecursion(handoff: String, rankLimit: String): String =
+    s"""m AS (SELECT map(list("left" || chr(1) || "right"), list(rank)) AS mp
+       |      FROM read_parquet('$handoff/*.parquet')),
+       |enc(r, w, syms) AS (
+       |  SELECT r, w, list_transform(range(1, length(w) + 1), i -> w[i])
+       |  FROM rks, words
+       |  UNION ALL
+       |  SELECT r, w,
+       |         list_slice(syms, 1, i - 1) || [syms[i] || syms[i + 1]]
+       |           || list_slice(syms, i + 2, len(syms))
+       |  FROM (
+       |    SELECT e.r AS r, e.w AS w, e.syms AS syms,
+       |           list_transform(
+       |             list_transform(range(1, len(e.syms)),
+       |               k -> coalesce(map_extract(m.mp, e.syms[k] || chr(1) || e.syms[k + 1])[1],
+       |                             2147483647)),
+       |             x -> CASE WHEN x < $rankLimit THEN x ELSE 2147483647 END) AS pr,
+       |           list_min(pr) AS best,
+       |           list_position(pr, best) AS i
+       |    FROM enc e, m
+       |  ) WHERE best < 2147483647
+       |),
+       |terminal AS (
+       |  SELECT t.r, t.w, t.syms
+       |  FROM (
+       |    SELECT e.r, e.w, e.syms,
+       |           coalesce(list_min(list_transform(
+       |             list_transform(range(1, len(e.syms)),
+       |               k -> coalesce(map_extract(m.mp, e.syms[k] || chr(1) || e.syms[k + 1])[1],
+       |                             2147483647)),
+       |             x -> CASE WHEN x < $rankLimit THEN x ELSE 2147483647 END)), 2147483647) AS best
+       |    FROM enc e, m
+       |  ) t WHERE t.best = 2147483647
+       |)""" // NOT stripMargin'd here: the caller embeds this inside its
+             // own margin-piped string and strips ONCE — stripping twice
+             // would eat the first '|' of the SQL list-concat '||' lines
+
   val oracle: Map[String, String] = Map(
+    // full inductive training replay: rank r's (left, right, pair_count)
+    // is recomputed from the corpus and the handed-off merges BEFORE r
+    // only — re-encode the weighted vocab with merges < r (BPE's
+    // apply-in-rank-order ≡ greedy-encode property for in-training
+    // words), count adjacent pairs weighted by word frequency, argmax
+    // with the training tie-break (count desc, then lexicographic).
+    // Rank 0 touches no handoff, so a hash match certifies the whole
+    // table by induction.
+    "bpe_train_merges" ->
+      s"""WITH RECURSIVE
+         |rks AS (SELECT rank AS r FROM read_parquet('$BpeMergesHandoff/*.parquet')),
+         |words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+         |  GROUP BY w ORDER BY n DESC, w LIMIT 200000
+         |),
+         |${bpeEncodeRecursion(BpeMergesHandoff, "e.r")},
+         |paircnt AS (
+         |  SELECT t.r, t.syms[k] AS l, t.syms[k + 1] AS rr, SUM(v.n) AS cnt
+         |  FROM terminal t
+         |  JOIN words v ON t.w = v.w,
+         |       unnest(range(1, len(t.syms))) AS u(k)
+         |  GROUP BY t.r, l, rr
+         |),
+         |best AS (
+         |  SELECT r, l, rr, cnt,
+         |         row_number() OVER (PARTITION BY r ORDER BY cnt DESC, l, rr) AS rn
+         |  FROM paircnt
+         |)
+         |SELECT CAST(r AS BIGINT) AS rank, l AS "left", rr AS "right",
+         |       CAST(cnt AS BIGINT) AS pair_count
+         |FROM best WHERE rn = 1 ORDER BY rank""".stripMargin,
+    // independent greedy-encode replay over the distinct word set (a
+    // single pseudo-rank covers the full merge table), re-aggregated
+    // per document; docs with no tokens keep their row at 0.
+    "bpe_encode_learned" ->
+      s"""WITH RECURSIVE
+         |rks AS (SELECT 2147483646 AS r),
+         |words AS (
+         |  SELECT DISTINCT w
+         |  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+         |),
+         |${bpeEncodeRecursion(BpeEncodeHandoff, "2147483646")},
+         |units AS (SELECT w, CAST(len(syms) AS BIGINT) AS u FROM terminal),
+         |docw AS (
+         |  SELECT doc_id, w
+         |  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(sum(u.u), 0) AS BIGINT) AS n_bpe_units
+         |FROM documents d
+         |LEFT JOIN docw ON d.doc_id = docw.doc_id
+         |LEFT JOIN units u ON docw.w = u.w
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "t_bpe_tokens" ->
       s"""WITH t AS (
          |  SELECT doc_id, regexp_extract_all(text, '$bpePatSql') AS l
