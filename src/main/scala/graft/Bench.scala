@@ -52,6 +52,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] WARNING: BM25 index warmup failed (${e.getMessage}); " +
           "bm25_indexed timing will include index construction") }
+    if (selected.contains("bm25_append"))
+      try graft.queries.HybridQueries.baselineBm25(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: BM25 baseline warmup failed (${e.getMessage}); " +
+          "bm25_append timing will include the baseline build") }
     // materialize via the noop sink: count() would let Catalyst prune
     // computed columns and eliminate final sorts, timing a bare scan
     // instead of the operator's actual work.

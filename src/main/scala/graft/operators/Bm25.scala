@@ -209,6 +209,21 @@ object Bm25 {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
 
+    // FAIL FAST on leftover crash-recovery state: `.old_r*` parks and
+    // `.append_r*` staging dirs from a prior crashed append are the
+    // operator's MANUAL-RESTORE artifacts (scaladoc contract). Deleting
+    // them silently would destroy the recovery path — and worse, a
+    // stale park could later be "restored" by this run's rollback over
+    // the live range dir, corrupting the index with pre-crash data.
+    // The operator must restore-or-rebuild first; this append refuses.
+    val leftovers = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$base/postings/.{old_r,append_r}*")))
+      .getOrElse(Array.empty).map(_.getPath.getName)
+    require(leftovers.isEmpty,
+      s"append: index at $path holds crash-recovery dirs " +
+        s"${leftovers.mkString(", ")} from a prior interrupted append — " +
+        "restore the parked ranges (or rebuild the index) before appending")
+
     val statsRow = spark.read.parquet(s"$base/stats").head()
     require(statsRow.schema.fieldNames.contains("sum_dl"),
       s"index at $path predates sum_dl stats — rebuild once with " +
@@ -267,14 +282,26 @@ object Bm25 {
       // Re-running a SUCCEEDED append double-inserts the delta (the
       // ids-must-be-new contract) — idempotence lives with the
       // caller's ingest ledger.
-      touched.foreach { rid =>
-        val staging = s"$base/postings/.append_r$rid"
-        val existing = spark.read.parquet(s"$base/postings/range_id=$rid")
-        existing
-          .unionByName(delta.filter(col("__rid") === rid).drop("__rid")
-            .select(existing.columns.map(col).toIndexedSeq: _*))
-          .sortWithinPartitions(col("term"))
-          .write.mode("overwrite").parquet(staging)
+      // stage CONCURRENTLY: each touched range's merge is an
+      // independent read→union→sort→write over disjoint directories,
+      // and Spark schedules concurrent jobs from one session fine —
+      // sequential staging would pay ~nRanges × job-submit latency for
+      // no ordering benefit (the publish loop below is the only part
+      // that needs an order). Failures propagate: any staging error
+      // aborts before a single live dir is touched.
+      {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(Future.sequence(touched.map { rid => Future {
+          val staging = s"$base/postings/.append_r$rid"
+          val existing = spark.read.parquet(s"$base/postings/range_id=$rid")
+          existing
+            .unionByName(delta.filter(col("__rid") === rid).drop("__rid")
+              .select(existing.columns.map(col).toIndexedSeq: _*))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite").parquet(staging)
+        }}), Duration.Inf)
       }
       // park dirs are dot-prefixed (invisible to parquet partition
       // discovery) and retained until EVERY range has swapped — a
@@ -287,7 +314,8 @@ object Bm25 {
       try {
         touched.foreach { rid =>
           val staging = new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid")
-          if (fs.exists(oldP(rid))) fs.delete(oldP(rid), true)
+          // no stale oldP can exist here: the entry fail-fast refused
+          // the append if any crash-recovery dir was present
           require(fs.rename(dirP(rid), oldP(rid)),
             s"append: could not park ${dirP(rid)} aside; index untouched")
           if (!fs.rename(staging, dirP(rid)))

@@ -385,40 +385,81 @@ object Dedup {
     * arrays, merge-scan the intersection (codegen'd — no per-pair hash
     * set), compute true Jaccard.
     *
-    * SALTED verify joins (saltBuckets > 1): under twin-heavy corpora a
-    * single mega-hot doc id can be one endpoint of ~factor² candidate
-    * pairs, concentrating that id's whole candidate group — each row
-    * carrying a token-hash ARRAY after the first re-attach — into one
-    * reducer task (the named 100× OOM in SCALEBENCH.md). Salting each
-    * verify join by the hash of the OTHER endpoint spreads a hot id's
-    * group `saltBuckets` ways while staying exact: a candidate (a, b)
-    * computes one fixed salt per join, and the one-row-per-id `t` side
-    * is replicated across all salt values, so every pair still meets
-    * its token row in exactly one bucket. Cost when ON is saltBuckets ×
-    * |t| extra shuffle volume per join — linear in corpus tokens, never
-    * candidate-sized — and the default-OFF path is byte-identical to
-    * the unsalted plan. */
+    * CLASS-DEDUPED: documents with bit-identical token-hash arrays
+    * (exact twins post-tokenization — what crawl replication produces
+    * in bulk) form equivalence classes keyed by the ARRAY ITSELF (no
+    * fingerprint collision risk; the groupBy ships t once, linear).
+    * The array-carrying verify then runs once per distinct CLASS pair,
+    * and per-pair results map back over the candidate set through slim
+    * id→rep joins. Exactness: members share the rep's array bit-for-
+    * bit, so cross-class jaccard is computed from identical inputs;
+    * same-class pairs get jaccard = sz/sz = 1.0 — exactly what the
+    * direct intersect computes (prefix candidates never contain
+    * empty token sets, the one input where the direct form is NaN).
+    * Under 100× twin replication this collapses the verify's shuffle
+    * volume from candidates × token-arrays (~factor² growth — the
+    * 100× disk-exhaustion in SCALEBENCH.md) back to ~base-corpus
+    * class pairs; on a twin-free corpus classes are singletons and
+    * the overhead is one linear groupBy plus two slim joins.
+    *
+    * SALTED class verify (saltBuckets > 1): classes also bound how hot
+    * a verify-join key can get, but a corpus of NEAR-twins (distinct
+    * arrays, shared prefixes) can still concentrate one rep in many
+    * class pairs — the opt-in salt spreads each rep's group by the
+    * hash of the opposite endpoint, replicating the one-row-per-rep
+    * array side per salt (exact: every pair still meets its array row
+    * in exactly one bucket). Default OFF: the unsalted path adds no
+    * per-row hash/explode work. */
   private def verifyPairs(t: DataFrame, candidates: DataFrame, idCol: String,
                           threshold: Double, saltBuckets: Int = 1): DataFrame = {
+    // equivalence classes by exact token-set content; rep = min id
+    val classes = t.select(col(idCol).as("__vid"), col("sz"), col("h"))
+    val reps = classes.groupBy(col("h")).agg(min(col("__vid")).as("__rep"))
+    val idToRep = classes.join(reps, Seq("h")).select(col("__vid"), col("__rep"))
+    // persisted: consumed by the rep-pair distinct AND the two result
+    // branches — recomputing it would re-run the candidate generation
+    // (the expensive prefix join) once per consumer
+    val withReps = candidates
+      .join(idToRep.select(col("__vid").as("id_a"), col("__rep").as("__ra")), Seq("id_a"))
+      .join(idToRep.select(col("__vid").as("id_b"), col("__rep").as("__rb")), Seq("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releaseAfterUse(withReps)
+    val repPairs = withReps.filter(col("__ra") =!= col("__rb"))
+      .select(least(col("__ra"), col("__rb")).as("id_a"),
+        greatest(col("__ra"), col("__rb")).as("id_b"))
+      .distinct()
+
     val ta = t.select(col(idCol).as("id_a"), col("sz").as("sa"), col("h").as("ha"))
     val tb = t.select(col(idCol).as("id_b"), col("sz").as("sb"), col("h").as("hb"))
     val attached =
       if (saltBuckets > 1) {
         val salts = lit((0 until saltBuckets).toArray)
-        candidates
+        repPairs
           .withColumn("__vsa", pmod(hash(col("id_b")), lit(saltBuckets)))
           .join(ta.withColumn("__vsa", explode(salts)), Seq("id_a", "__vsa"))
           .withColumn("__vsb", pmod(hash(col("id_a")), lit(saltBuckets)))
           .join(tb.withColumn("__vsb", explode(salts)), Seq("id_b", "__vsb"))
           .drop("__vsa", "__vsb")
-      } else candidates.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
-    attached
+      } else repPairs.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+    val repJac = attached
       .withColumn("inter",
         graft.functions.ArrayFunctions.sortedIntersectSize(col("ha"), col("hb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("__ra2"), col("id_b").as("__rb2"), col("jaccard"))
+
+    // map class results back over the candidate pairs (slim joins);
+    // same-class pairs are exact duplicates: jaccard 1.0 by identity
+    val crossClass = withReps.filter(col("__ra") =!= col("__rb"))
+      .join(repJac,
+        least(col("__ra"), col("__rb")) === col("__ra2") &&
+          greatest(col("__ra"), col("__rb")) === col("__rb2"))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sameClass = withReps.filter(col("__ra") === col("__rb"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= threshold)
+    crossClass.unionByName(sameClass)
   }
 
   /** Incremental exact Jaccard near-dup check — the nightly-ingest

@@ -62,12 +62,137 @@ object Multimodal {
 
   /** The deterministic pixel generator behind [[syntheticMedia]]'s
     * image payloads: pure integer math both engines replay —
-    * `p(x,y) = (id·2654435761 + x·40503 + y·65027) mod 256`. */
+    * `p(x,y) = (id·2654435761 + x·40503 + y·65027) mod 256`, with
+    * FLOORED mod (`Math.floorMod`, `((x % 256) + 256) % 256` in SQL):
+    * a signed `%` on a negative media_id would emit negative samples
+    * that the PNG raster silently wraps, breaking
+    * decode(encode(gen)) == formula parity with the oracle — the same
+    * negative-id discipline [[syntheticMedia]]'s pmod columns use. */
   def synthPixel(id: Long, x: Int, y: Int): Int =
-    ((id * 2654435761L + x * 40503L + y * 65027L) % 256L).toInt
+    Math.floorMod(id * 2654435761L + x * 40503L + y * 65027L, 256L).toInt
 
   private[operators] def synthDims(id: Long): (Int, Int) =
-    ((8 + id % 5).toInt, (8 + id % 3).toInt)
+    ((8 + Math.floorMod(id, 5L)).toInt, (8 + Math.floorMod(id, 3L)).toInt)
+
+  // ------------------------------------------------------------- audio (WAV)
+
+  /** Audio twin of [[synthPixel]]: deterministic PCM16 sample both
+    * engines replay — `s(i) = floorMod(id·48271 + i·16807, 65536) −
+    * 32768` (full signed 16-bit range; floored mod per the negative-id
+    * discipline). */
+  def synthSample(id: Long, i: Int): Int =
+    Math.floorMod(id * 48271L + i * 16807L, 65536L).toInt - 32768
+
+  private[operators] def synthAudioLen(id: Long): Int =
+    (400 + Math.floorMod(id, 7L) * 100).toInt
+
+  /** Fixture sample rate (8 kHz mono — telephony PCM). */
+  val AudioSampleRate = 8000
+
+  /** Encode PCM16 mono samples as a WAV payload through the JDK's own
+    * RIFF/WAVE writer (`javax.sound.sampled` ships with the JRE — the
+    * codec-availability probe that kept audio stubbed missed it). */
+  def encodeWavPcm16(samples: Array[Int], sampleRate: Int = AudioSampleRate): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL WAV decode via the JDK codec → (sampleRate, channels,
+    * interleaved samples). PCM16 only — the honest boundary: WAV/AU/
+    * AIFF PCM decode ships with the JRE; compressed codecs (mp3/ogg/
+    * aac) genuinely do not exist in this container and stay stubbed. */
+  def decodeWavPcm16(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        && fmt.getSampleSizeInBits == 16,
+      s"decodeWavPcm16: ${fmt.getEncoding}/${fmt.getSampleSizeInBits}-bit — " +
+        "only PCM16 is supported")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    if (fmt.isBigEndian)
+      while (i < n) { out(i) = (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff); i += 1 }
+    else
+      while (i < n) { out(i) = (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff); i += 1 }
+    (fmt.getSampleRate.toInt, fmt.getChannels, out)
+  }
+
+  /** `"RIFF"` container sniff — how [[extractFeatures]] routes audio
+    * payloads between the real WAV decoder and the stub. */
+  def isRiff(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F'
+
+  /** Deterministic synthetic audio table: one REAL WAV payload per doc
+    * (samples from [[synthSample]], length [[synthAudioLen]]) — the
+    * audio twin of [[syntheticMedia]]'s PNG rows, kept as a separate
+    * generator so the existing media fixtures (and their green
+    * oracles) stay byte-stable. */
+  def syntheticAudio(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val wavUdf = udf { (id: Long) =>
+      encodeWavPcm16(Array.tabulate(synthAudioLen(id))(i => synthSample(id, i)))
+    }
+    docs.select(col(idCol).as("media_id"), wavUdf(col(idCol)).as("bytes"))
+  }
+
+  /** Decode-fidelity report for WAV rows — the audio twin of
+    * [[imageDecodeReport]]: real JDK decode, exact integer sample sum,
+    * md5 digest of the comma-joined samples. WAV PCM is lossless, so
+    * decode(encode(generator)) must reproduce the generator bit-for-
+    * bit and DuckDB verifies from the formula alone. */
+  def audioDecodeReport(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("amp_sum", LongType, nullable = false),
+      StructField("samples_digest", StringType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val rdd = media.rdd.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (rate, _, smp) = decodeWavPcm16(r.getAs[Array[Byte]](bytesIdx))
+        md.reset()
+        val hex = md.digest(smp.mkString(",").getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        Row(r.getLong(idIdx), rate, smp.length.toLong, smp.map(_.toLong).sum, hex)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL audio features: JDK WAV decode → `dim`-bin amplitude
+    * histogram (signed 16-bit samples shifted to [0, 65536)), each bin
+    * an exact integer count divided once by the sample count — the
+    * audio twin of [[imageHistogramFeatures]]'s exactness contract. */
+  def audioHistogramFeatures(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val (_, _, smp) = decodeWavPcm16(bytes)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < smp.length) {
+      counts(((smp(i) + 32768) * dim / 65536)) += 1L; i += 1
+    }
+    val n = smp.length.toDouble
+    counts.map(_.toDouble / n)
+  }
 
   /** Canonical media schema: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -155,10 +280,13 @@ object Multimodal {
   /** Feature extraction over media rows: mapPartitions so per-partition
     * codec/model init happens once (an ONNX session or ffmpeg context
     * goes exactly here). `kind = image` rows run the REAL ImageIO
-    * decode → histogram kernel; audio/video fall back to the
-    * deterministic stub (no codecs in this container). Output keeps
-    * (media_id, kind) and appends `features` (array<double> — the
-    * stub's f32 values widen exactly). */
+    * decode → histogram kernel; `kind = audio` rows sniff the
+    * container — RIFF payloads run the REAL JDK WAV decode →
+    * amplitude-histogram kernel, anything else (the synthetic text
+    * payloads, compressed formats) falls back to the deterministic
+    * stub; video stays stubbed (no video codec in the JRE). Output
+    * keeps (media_id, kind) and appends `features` (array<double> —
+    * the stub's f32 values widen exactly). */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
@@ -175,6 +303,8 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](bytesIdx)
         val feats: Seq[Double] =
           if (kind == "image") imageHistogramFeatures(bytes, dim).toSeq
+          else if (kind == "audio" && isRiff(bytes))
+            audioHistogramFeatures(bytes, dim).toSeq
           else decodeFeaturesStub(bytes, dim).map(_.toDouble).toSeq
         Row(r.getLong(idIdx), kind, feats)
       }

@@ -112,7 +112,11 @@ object Sketches {
     *    `DIV` keeps both engines' rank cutoffs identical, where a
     *    float `0.49·n` would straddle exact-integer boundaries).
     * Value-at-rank is well-defined under ties (the sorted multiset is
-    * deterministic even though row_number's tie order is not). */
+    * deterministic even though row_number's tie order is not).
+    * NULL values are excluded from the rank window and from `nn` on
+    * BOTH engines: percentile_approx ignores nulls, and Spark's
+    * NULLS-FIRST default vs DuckDB's NULLS-LAST would otherwise shift
+    * every rank cutoff on a null-bearing column. */
   def profileCheck(events: DataFrame, profile: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
@@ -120,6 +124,7 @@ object Sketches {
     def kLo(p: Int) = greatest(lit(1L), expr(s"(nn * ${p - 1}) DIV 100"))
     def kHi(p: Int) = least(col("nn"), expr(s"(nn * ${p + 1}) DIV 100") + lit(1L))
     val ranked = events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("nn", count(lit(1)).over(wg))
     def at(k: Column, nm: String) = min(when(col("rn") === k, col("value"))).as(nm)

@@ -11,9 +11,13 @@ import graft.sources.ZipIngest
   * sampling shapes are pure arithmetic → oracle-checked. Image rows
   * carry REAL PNG payloads: `mm_image_decode`/`mm_features` run a
   * genuine javax.imageio decode and are oracle-checked against the
-  * integer pixel generator (PNG losslessness closes the loop). Zip
+  * integer pixel generator (PNG losslessness closes the loop). Audio
+  * rows get the same treatment through the JDK's RIFF/WAVE codec
+  * (`mm_audio_decode`/`mm_audio_features` — javax.sound.sampled ships
+  * with the JRE, so PCM WAV decode is real, not environmental); only
+  * video and compressed audio formats remain honest stubs. Zip
   * explode stays rows-only (binary in-memory inputs), verified in
-  * scalatest alongside the audio/video stub kernels.
+  * scalatest.
   */
 object MultimodalQueries {
 
@@ -63,6 +67,33 @@ object MultimodalQueries {
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
         .filter(col("kind") === "image")
       Multimodal.imageDecodeReport(media)
+        .orderBy(col("media_id"))
+    },
+    // AUDIO decode fidelity — the WAV twin of mm_image_decode: real
+    // RIFF/WAVE payloads (PCM16, encoded and decoded through the JDK's
+    // javax.sound.sampled codec), exact integer sample sum + md5 of
+    // the raw samples, oracle-replayed by DuckDB from the sample
+    // formula alone (WAV PCM is lossless). Audio kind rows are
+    // doc_id % 3 == 1, mirroring syntheticMedia's kind assignment.
+    "mm_audio_decode" -> { (s, dir) =>
+      val audio = Multimodal.syntheticAudio(
+        Tables.documents(s, dir).where(pmod(col("doc_id"), lit(3)) === 1))
+      Multimodal.audioDecodeReport(audio)
+        .orderBy(col("media_id"))
+    },
+    // REAL audio features over the WAV rows: container-sniffed decode
+    // (RIFF -> JDK codec) + 64-bin amplitude histogram, digest-compared
+    // exactly like mm_features' image histograms.
+    "mm_audio_features" -> { (s, dir) =>
+      val audio = Multimodal.syntheticAudio(
+          Tables.documents(s, dir).where(pmod(col("doc_id"), lit(3)) === 1))
+        .withColumn("kind", lit("audio"))
+      Multimodal.extractFeatures(audio, dim = 64)
+        .select(col("media_id"),
+          md5(array_join(transform(col("features"),
+            f => format_string("%.6f", f)), ",").cast("binary"))
+            .as("features_digest"),
+          size(col("features")).cast("long").as("dim"))
         .orderBy(col("media_id"))
     },
     // JSONL round-trip with corrupt-line quarantine — ORACLE-CHECKED:
@@ -192,16 +223,18 @@ object MultimodalQueries {
         |FROM documents""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id AS media_id,
-        |       (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-        |       CASE WHEN doc_id % 3 = 0 THEN least(8 + doc_id % 5, 512)
+        |       (['image','audio','video'])[((doc_id % 3) + 3) % 3 + 1] AS kind,
+        |       CASE WHEN doc_id % 3 = 0 THEN least(8 + ((doc_id % 5) + 5) % 5, 512)
         |            ELSE least(length(text) % 640, 512) END AS width,
-        |       CASE WHEN doc_id % 3 = 0 THEN least(8 + doc_id % 3, 256)
+        |       CASE WHEN doc_id % 3 = 0 THEN least(8 + ((doc_id % 3) + 3) % 3, 256)
         |            ELSE least(length(text) % 480, 256) END AS height,
         |       length(text) * 10 AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_features" ->
       s"""WITH img AS (
-         |  SELECT doc_id AS media_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+         |  SELECT doc_id AS media_id,
+         |         8 + ((doc_id % 5) + 5) % 5 AS w,
+         |         8 + ((doc_id % 3) + 3) % 3 AS h
          |  FROM documents WHERE doc_id % 3 = 0
          |),
          |px AS (
@@ -211,8 +244,8 @@ object MultimodalQueries {
          |),
          |pv AS (
          |  SELECT media_id, w * h AS n_px,
-         |         (media_id * 2654435761 + (i % w) * 40503 + (i // w) * 65027)
-         |           % 256 AS p
+         |         (((media_id * 2654435761 + (i % w) * 40503 + (i // w) * 65027)
+         |           % 256) + 256) % 256 AS p
          |  FROM px
          |),
          |hist AS (
@@ -234,8 +267,8 @@ object MultimodalQueries {
     "mm_image_decode" ->
       s"""WITH img AS (
          |  SELECT doc_id AS media_id,
-         |         CAST(8 + doc_id % 5 AS INTEGER) AS width,
-         |         CAST(8 + doc_id % 3 AS INTEGER) AS height
+         |         CAST(8 + ((doc_id % 5) + 5) % 5 AS INTEGER) AS width,
+         |         CAST(8 + ((doc_id % 3) + 3) % 3 AS INTEGER) AS height
          |  FROM documents WHERE doc_id % 3 = 0
          |),
          |px AS (
@@ -245,8 +278,8 @@ object MultimodalQueries {
          |),
          |pv AS (
          |  SELECT media_id, width, height, i,
-         |         (media_id * 2654435761 + (i % width) * 40503
-         |          + (i // width) * 65027) % 256 AS p
+         |         (((media_id * 2654435761 + (i % width) * 40503
+         |          + (i // width) * 65027) % 256) + 256) % 256 AS p
          |  FROM px
          |)
          |SELECT media_id, width, height,
@@ -254,10 +287,60 @@ object MultimodalQueries {
          |       md5(string_agg(CAST(p AS VARCHAR), ',' ORDER BY i)) AS px_digest
          |FROM pv GROUP BY media_id, width, height
          |ORDER BY media_id""".stripMargin,
+    // audio decode replay: regenerate the PCM16 samples from the
+    // integer formula (floored mods) and check sum + digest — the
+    // decode side ran a REAL RIFF/WAVE codec, so a hash match proves
+    // the lossless round trip, exactly like mm_image_decode's PNG loop
+    "mm_audio_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id,
+        |         400 + (((doc_id % 7) + 7) % 7) * 100 AS n
+        |  FROM documents WHERE ((doc_id % 3) + 3) % 3 = 1
+        |),
+        |s AS (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM a),
+        |v AS (
+        |  SELECT media_id, n, i,
+        |         (((media_id * 48271 + i * 16807) % 65536) + 65536) % 65536
+        |           - 32768 AS smp
+        |  FROM s
+        |)
+        |SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(sum(smp) AS BIGINT) AS amp_sum,
+        |       md5(string_agg(CAST(smp AS VARCHAR), ',' ORDER BY i)) AS samples_digest
+        |FROM v GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+    "mm_audio_features" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id,
+        |         400 + (((doc_id % 7) + 7) % 7) * 100 AS n
+        |  FROM documents WHERE ((doc_id % 3) + 3) % 3 = 1
+        |),
+        |s AS (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM a),
+        |v AS (
+        |  SELECT media_id, n,
+        |         (((media_id * 48271 + i * 16807) % 65536) + 65536) % 65536 AS u
+        |  FROM s
+        |),
+        |hist AS (
+        |  SELECT media_id, n, (u * 64) // 65536 AS b, count(*) AS c
+        |  FROM v GROUP BY media_id, n, (u * 64) // 65536
+        |),
+        |bins AS (
+        |  SELECT a.media_id, a.n, t.b, coalesce(hist.c, 0) AS c
+        |  FROM a
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) t
+        |  LEFT JOIN hist ON hist.media_id = a.media_id AND hist.b = t.b
+        |)
+        |SELECT media_id,
+        |       md5(string_agg(printf('%.6f', CAST(c AS DOUBLE) / CAST(n AS DOUBLE)),
+        |                      ',' ORDER BY b)) AS features_digest,
+        |       CAST(64 AS BIGINT) AS dim
+        |FROM bins GROUP BY media_id
+        |ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
-        |         (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        |         (['image','audio','video'])[((doc_id % 3) + 3) % 3 + 1] AS kind,
         |         length(text) * 10 AS duration_ms
         |  FROM documents
         |), f AS (

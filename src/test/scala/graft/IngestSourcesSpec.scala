@@ -150,6 +150,55 @@ class IngestSourcesSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: WAV round-trip — decode(encode(gen)) reproduces the samples") {
+    // negative id included: the floored-mod generator must stay in
+    // PCM16 range and round-trip for it too
+    for (id <- Seq(0L, 1L, 7L, 999L, -4L)) {
+      val n = 400 + math.floorMod(id, 7L).toInt * 100
+      val smp = Array.tabulate(n)(i => Multimodal.synthSample(id, i))
+      assert(smp.forall(s => s >= -32768 && s <= 32767), s"id $id range")
+      val wav = Multimodal.encodeWavPcm16(smp)
+      assert(Multimodal.isRiff(wav))
+      val (rate, ch, dec) = Multimodal.decodeWavPcm16(wav)
+      assert(rate === Multimodal.AudioSampleRate)
+      assert(ch === 1)
+      assert(dec.toSeq === smp.toSeq, s"id $id samples")
+    }
+    // syntheticAudio rows decode through the real codec, formula-exact
+    val audio = Multimodal.syntheticAudio(Tables.documents(spark, sfDir).limit(9))
+      .select($"media_id", $"bytes").as[(Long, Array[Byte])].collect()
+    assert(audio.nonEmpty)
+    for ((id, bytes) <- audio) {
+      val (_, _, dec) = Multimodal.decodeWavPcm16(bytes)
+      assert(dec.zipWithIndex.forall { case (s, i) =>
+        s == Multimodal.synthSample(id, i) }, s"media $id samples")
+    }
+  }
+
+  test("multimodal: extractFeatures routes RIFF audio to the real decoder") {
+    val audio = Multimodal.syntheticAudio(Tables.documents(spark, sfDir).limit(6))
+      .withColumn("kind", lit("audio"))
+    val feats = Multimodal.extractFeatures(audio, 64).orderBy($"media_id")
+      .select($"media_id", $"features").as[(Long, Seq[Double])].collect()
+    assert(feats.nonEmpty)
+    for ((id, v) <- feats) {
+      // real amplitude histogram: L1 (shares sum to 1), matches the
+      // direct kernel — a stub fallback would be L2-normalized instead
+      assert(math.abs(v.sum - 1.0) < 1e-9, s"media $id not a histogram")
+      val wav = Multimodal.encodeWavPcm16(
+        Array.tabulate(400 + math.floorMod(id, 7L).toInt * 100)(
+          i => Multimodal.synthSample(id, i)))
+      assert(v === Multimodal.audioHistogramFeatures(wav, 64).toSeq)
+    }
+    // non-RIFF audio payloads still fall back to the stub (L2-normed)
+    val stub = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(30))
+      .filter($"kind" === "audio")
+    val sf = Multimodal.extractFeatures(stub, 64)
+      .select($"features").as[Seq[Double]].collect()
+    assert(sf.nonEmpty)
+    assert(sf.forall(v => math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-5))
+  }
+
   test("multimodal: frame sampling emits one row per second of video") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sfDir).limit(30))
     val frames = Multimodal.sampleFrames(media, 1000L)

@@ -47,9 +47,40 @@ class ServingSpec extends SparkSpec {
     val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(hits.size === 10)
     assert(jobsAfter === jobsBefore, "serving probe must not launch Spark jobs")
-    info(f"serving probe latency: $servingMs%.1f ms (warm)")
-    // generous bound — the point is the ORDER of magnitude vs a Spark
-    // job's ~100ms+ floor; single-digit ms is typical at this SF
-    assert(servingMs < 500.0, f"serving probe took $servingMs%.1f ms")
+    // latency is info-only: the no-Spark-job assertion above IS the
+    // property this test exists for; a wall-clock bound would flake on
+    // a loaded CI box without proving anything further
+    info(f"serving probe latency: $servingMs%.1f ms (warm, uncached)")
+  }
+
+  test("IndexCache: cached probes bit-identical, repeat probe served from memory") {
+    val path = ivfPath
+    val q = VectorQueries.qvec(spark, sfDir, 0).toArray
+    val cache = Serving.newCache()
+    val uncached = Serving.searchIvf(path, q, 10, nprobe = 4)
+    val first = Serving.searchIvf(path, q, 10, nprobe = 4, cache = cache)
+    assert(first === uncached, "cached probe must be bit-identical")
+    assert(cache.size > 0, "first cached probe must populate the cache")
+    val sizeAfterFirst = cache.size
+    val t0 = System.nanoTime()
+    val second = Serving.searchIvf(path, q, 10, nprobe = 4, cache = cache)
+    val repeatMs = (System.nanoTime() - t0) / 1e6
+    assert(second === uncached)
+    assert(cache.size === sizeAfterFirst,
+      "repeat probe of the same index must not re-load any directory")
+    info(f"repeat cached probe latency: $repeatMs%.1f ms")
+
+    // BM25 side: same parity + reuse contract, different query terms
+    // still hit the cached posting dirs
+    val bmPath = HybridQueries.persistedBm25(spark, sfDir)
+    val terms = Seq("vector", "hash", "join")
+    val bmUncached = Serving.searchBm25(bmPath, terms, k = 20)
+    val bmFirst = Serving.searchBm25(bmPath, terms, k = 20, cache = cache)
+    assert(bmFirst === bmUncached)
+    val bmSize = cache.size
+    val other = Serving.searchBm25(bmPath, Seq("vector"), k = 20, cache = cache)
+    assert(other === Serving.searchBm25(bmPath, Seq("vector"), k = 20))
+    assert(cache.size === bmSize,
+      "a different term set over the same pruned ranges must reuse cached postings")
   }
 }

@@ -249,6 +249,51 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(Maintenance.resolveCurrent(spark, dir)).count() === 30)
   }
 
+  test("reapAbandoned: stale crash artifacts reaped; in-flight claim just under the threshold survives") {
+    import graft.operators.Maintenance
+    val dir = tmpDir("reap") + "/table"
+    Tables.documents(spark, sfDir).limit(10).write.parquet(dir)
+    Maintenance.compactParquetVersioned(spark, dir) // migrate -> v1 + pointer
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(name: String) = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    def touchFile(name: String): Unit = fs.create(p(name), true).close()
+    val olderThanMs = 3600L * 1000
+    val now = System.currentTimeMillis()
+
+    // a CRASHED writer's leftovers: claim marker, half-written rewrite
+    // dir, pointer-flip aside — all aged past the threshold
+    touchFile(".claim_v7"); fs.mkdirs(p("v7__writing")); touchFile("_current.tmp.v7")
+    Seq(".claim_v7", "v7__writing", "_current.tmp.v7").foreach(n =>
+      fs.setTimes(p(n), now - olderThanMs - 60000, -1))
+
+    // the INTERLEAVING the reaper must survive: a slow LIVE writer has
+    // published its version dir and still holds its claim (not yet
+    // flipped), aged to JUST UNDER the threshold — a reaper pass now
+    // must not take the claim (re-exposing v8 to vacuum mid-publish)
+    touchFile(".claim_v8"); fs.mkdirs(p("v8__writing")); fs.mkdirs(p("v8"))
+    Seq(".claim_v8", "v8__writing").foreach(n =>
+      fs.setTimes(p(n), now - olderThanMs + 120000, -1))
+
+    val reaped = Maintenance.reapAbandoned(spark, dir, olderThanMs)
+    assert(reaped.toSet === Set(".claim_v7", "v7__writing", "_current.tmp.v7"),
+      s"got $reaped")
+    assert(fs.exists(p(".claim_v8")), "in-flight claim must never be reaped")
+    assert(fs.exists(p("v8__writing")), "in-flight rewrite dir must never be reaped")
+
+    // and while that claim lives, vacuum keeps the published-but-
+    // unflipped v8 even under the tightest retention
+    assert(!Maintenance.vacuumVersions(spark, dir, keep = 1).contains("v8"))
+    assert(fs.exists(p("v8")), "claimed version vacuumed out from under its writer")
+
+    // once the writer is gone (artifacts aged), a later reaper pass
+    // takes the claim and the vacuum can then retire the version
+    Seq(".claim_v8", "v8__writing").foreach(n =>
+      fs.setTimes(p(n), now - olderThanMs - 60000, -1))
+    val reaped2 = Maintenance.reapAbandoned(spark, dir, olderThanMs)
+    assert(reaped2.toSet === Set(".claim_v8", "v8__writing"))
+  }
+
   test("tokenBudgetMix: greedy prefix per domain in draw order, bounded overshoot") {
     import graft.operators.Refresh
     val docs = (1L to 300L).map(i =>
