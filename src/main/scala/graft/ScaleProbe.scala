@@ -28,6 +28,12 @@ object ScaleProbe {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // zstd halves shuffle-file size vs the lz4 default: every shuffle
+      // write of a single probe job is retained until the job ends, and
+      // the adversarial twin fixture's candidate volume makes DISK the
+      // binding resource on this box (a real cluster sizes scratch per
+      // executor; the single-node probe must live within one disk)
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -325,20 +325,9 @@ object Dedup {
     * hash-small (random order makes that rare; frequency-ascending
     * ordering is the PPJoin refinement if a corpus hits it). */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
-                         blockCol: String, threshold: Double): DataFrame = {
-    val t = hashedTokenProjection(docs.withColumn("is_new", lit(true)),
-      idCol, textCol, blockCol)
-    val pref = prefixRows(t, idCol, threshold)
-    val a = pref.select(col("blk"), col("tok"), col(idCol).as("id_a"),
-      col("sz").as("sa"), col("pos").as("pa"))
-    val b = pref.select(col("blk"), col("tok"), col(idCol).as("id_b"),
-      col("sz").as("sb"), col("pos").as("pb"))
-    val candidates = a.join(b, Seq("blk", "tok"))
-      .filter(col("id_a") < col("id_b") &&
-        ppjoinBounds(threshold, col("sa"), col("pa"), col("sb"), col("pb")))
-      .select(col("id_a"), col("id_b")).distinct()
-    verifyPairs(t, candidates, idCol, threshold)
-  }
+                         blockCol: String, threshold: Double): DataFrame =
+    classPairJaccard(docs.withColumn("is_new", lit(true)),
+      idCol, textCol, blockCol, threshold, saltBuckets = 1)
 
   /** Slim tokenized projection — feeds THREE consumers (prefix explode
     * + both verify joins), so it is persisted (tokenize/hash once, not
@@ -381,56 +370,102 @@ object Dedup {
       (lit(1) + least(sa - pa - 1, sb - pb - 1)).cast("double") >=
         lit(threshold / (1.0 + threshold)) * (sa + sb)
 
-  /** Exact verify of slim candidate id pairs: re-attach the sorted hash
-    * arrays, merge-scan the intersection (codegen'd — no per-pair hash
-    * set), compute true Jaccard.
+  /** Class-collapsed PPJoin engine behind [[jaccardPairsPrefix]] and
+    * [[jaccardPairsPrefixIncremental]] — exact, with the adversarial-
+    * duplication case (bulk exact twins, what crawl replication
+    * produces) collapsed at EVERY stage:
     *
-    * CLASS-DEDUPED: documents with bit-identical token-hash arrays
-    * (exact twins post-tokenization — what crawl replication produces
-    * in bulk) form equivalence classes keyed by the ARRAY ITSELF (no
-    * fingerprint collision risk; the groupBy ships t once, linear).
-    * The array-carrying verify then runs once per distinct CLASS pair,
-    * and per-pair results map back over the candidate set through slim
-    * id→rep joins. Exactness: members share the rep's array bit-for-
-    * bit, so cross-class jaccard is computed from identical inputs;
-    * same-class pairs get jaccard = sz/sz = 1.0 — exactly what the
-    * direct intersect computes (prefix candidates never contain
-    * empty token sets, the one input where the direct form is NaN).
-    * Under 100× twin replication this collapses the verify's shuffle
-    * volume from candidates × token-arrays (~factor² growth — the
-    * 100× disk-exhaustion in SCALEBENCH.md) back to ~base-corpus
-    * class pairs; on a twin-free corpus classes are singletons and
-    * the overhead is one linear groupBy plus two slim joins.
+    *  1. Documents with bit-identical token-hash arrays form
+    *     equivalence classes keyed by the array itself (no fingerprint
+    *     collision risk). Members share sz, prefix tokens, and prefix
+    *     positions, so candidate generation runs over ONE row per
+    *     (class, block) — under k-fold twin replication the prefix
+    *     join shrinks ~k² vs id-level rows, and its distinct's shuffle
+    *     is class-pair-sized (partial aggregation consumes the join
+    *     output map-side).
+    *  2. The array-carrying verify runs once per distinct candidate
+    *     CLASS pair. The opt-in salt (saltBuckets > 1) spreads
+    *     NEAR-twin skew — distinct sets sharing hot prefix tokens —
+    *     across reducers in both the candidate join (probe side
+    *     replicated per salt) and the verify re-attach (rep-array side
+    *     replicated); exact, every pair meets in exactly one bucket;
+    *     default OFF because classing already collapses exact twins.
+    *  3. The id-level result is produced by EXPANDING class members
+    *     against the verified class pairs as the FINAL stage: the
+    *     (inherently output-sized, under twin replication quadratic)
+    *     pair set is generated exactly once, streamed straight into
+    *     the consumer, never shuffled. Earlier shapes that joined
+    *     per-pair results back over an id-level candidate set shuffled
+    *     the factor²-sized pair set repeatedly and exhausted the probe
+    *     box's disk at the 100× twin spot-bench (SCALEBENCH.md).
     *
-    * SALTED class verify (saltBuckets > 1): classes also bound how hot
-    * a verify-join key can get, but a corpus of NEAR-twins (distinct
-    * arrays, shared prefixes) can still concentrate one rep in many
-    * class pairs — the opt-in salt spreads each rep's group by the
-    * hash of the opposite endpoint, replicating the one-row-per-rep
-    * array side per salt (exact: every pair still meets its array row
-    * in exactly one bucket). Default OFF: the unsalted path adds no
-    * per-row hash/explode work. */
-  private def verifyPairs(t: DataFrame, candidates: DataFrame, idCol: String,
-                          threshold: Double, saltBuckets: Int = 1): DataFrame = {
-    // equivalence classes by exact token-set content; rep = min id
-    val classes = t.select(col(idCol).as("__vid"), col("sz"), col("h"))
-    val reps = classes.groupBy(col("h")).agg(min(col("__vid")).as("__rep"))
-    val idToRep = classes.join(reps, Seq("h")).select(col("__vid"), col("__rep"))
-    // persisted: consumed by the rep-pair distinct AND the two result
-    // branches — recomputing it would re-run the candidate generation
-    // (the expensive prefix join) once per consumer
-    val withReps = candidates
-      .join(idToRep.select(col("__vid").as("id_a"), col("__rep").as("__ra")), Seq("id_a"))
-      .join(idToRep.select(col("__vid").as("id_b"), col("__rep").as("__rb")), Seq("id_b"))
+    * Output equality with the direct id-level construction: PPJoin
+    * completeness makes the direct output exactly {(a, b): same block,
+    * a < b, jaccard >= t, and — incrementally — at least one new
+    * endpoint}. The expansion emits exactly that set. A qualifying
+    * cross-class pair's class pair is itself a class-level candidate
+    * (members share the witnessing prefix collision, bounds, and the
+    * new-member flag travels per (class, block) unit), its jaccard is
+    * computed from the rep arrays — bit-identical to every member's —
+    * and emitted pairs re-check block equality and newness member-by-
+    * member. Same-class pairs are identical non-empty token sets:
+    * jaccard sz/sz = 1.0, exactly the direct intersect's value; empty
+    * token sets are excluded, matching the direct form where they
+    * produce no prefix rows (and a 0/0 = NaN jaccard, never >= t). */
+  private def classPairJaccard(all: DataFrame, idCol: String, textCol: String,
+                               blockCol: String, threshold: Double,
+                               saltBuckets: Int): DataFrame = {
+    val t = hashedTokenProjection(all, idCol, textCol, blockCol)
+    // one row per class: the token-set array itself + rep = min member
+    val reps = t.groupBy(col("h")).agg(min(col(idCol)).as("__rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    releaseAfterUse(withReps)
-    val repPairs = withReps.filter(col("__ra") =!= col("__rb"))
-      .select(least(col("__ra"), col("__rb")).as("id_a"),
-        greatest(col("__ra"), col("__rb")).as("id_b"))
+    releaseAfterUse(reps)
+    // slim member table: id -> (class rep, block, newness, set size)
+    val m = t.join(reps, Seq("h"))
+      .select(col(idCol).as("__mid"), col("blk"), col("is_new"),
+        col("sz"), col("__rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releaseAfterUse(m)
+    // class-level prefix units — one row per (class, block), flagged
+    // with whether any member there is new; shaped exactly like t so
+    // prefixRows applies unchanged (the rep plays the id role)
+    val units = m.groupBy(col("__rep"), col("blk"))
+      .agg(max(col("is_new")).as("is_new"))
+      .join(reps, Seq("__rep"))
+      .select(col("__rep").as(idCol), col("blk"), col("is_new"),
+        size(col("h")).as("sz"), col("h"))
+    val pref = prefixRows(units, idCol, threshold)
+
+    // candidate CLASS pairs: probe side = units holding a new member
+    // (every unit, for the full-corpus operator); index side = all
+    val n0 = pref.filter(col("is_new"))
+      .select(col("blk"), col("tok"), col(idCol).as("id_n"),
+        col("sz").as("sn"), col("pos").as("pn"))
+    val o0 = pref.select(col("blk"), col("tok"), col(idCol).as("id_o"),
+      col("sz").as("so"), col("pos").as("po"), col("is_new").as("new_o"))
+    // salt columns only exist when salting is ON — the default path
+    // must not pay a hash/pmod per posting plus a 1-way explode
+    val (n, o, joinKeys) =
+      if (saltBuckets > 1)
+        (n0.withColumn("__salt", explode(lit((0 until saltBuckets).toArray))),
+          o0.withColumn("__salt", pmod(hash(col("id_o")), lit(saltBuckets))),
+          Seq("blk", "tok", "__salt"))
+      else (n0, o0, Seq("blk", "tok"))
+    val repPairs = n.join(o, joinKeys)
+      .filter(col("id_n") =!= col("id_o") &&
+        // probe x probe pairs appear from both ends — keep one copy
+        (!col("new_o") || col("id_n") < col("id_o")) &&
+        ppjoinBounds(threshold, col("sn"), col("pn"), col("so"), col("po")))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
 
-    val ta = t.select(col(idCol).as("id_a"), col("sz").as("sa"), col("h").as("ha"))
-    val tb = t.select(col(idCol).as("id_b"), col("sz").as("sb"), col("h").as("hb"))
+    // exact verify, once per class pair: re-attach the rep arrays,
+    // merge-scan the intersection (codegen'd), true Jaccard
+    val ta = reps.select(col("__rep").as("id_a"), size(col("h")).as("sa"),
+      col("h").as("ha"))
+    val tb = reps.select(col("__rep").as("id_b"), size(col("h")).as("sb"),
+      col("h").as("hb"))
     val attached =
       if (saltBuckets > 1) {
         val salts = lit((0 until saltBuckets).toArray)
@@ -447,17 +482,31 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a").as("__ra2"), col("id_b").as("__rb2"), col("jaccard"))
+      .select(col("id_a").as("__ra"), col("id_b").as("__rb"), col("jaccard"))
 
-    // map class results back over the candidate pairs (slim joins);
-    // same-class pairs are exact duplicates: jaccard 1.0 by identity
-    val crossClass = withReps.filter(col("__ra") =!= col("__rb"))
-      .join(repJac,
-        least(col("__ra"), col("__rb")) === col("__ra2") &&
-          greatest(col("__ra"), col("__rb")) === col("__rb2"))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    val sameClass = withReps.filter(col("__ra") === col("__rb"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    // EXPAND members over the verified class pairs — the only
+    // output-sized stage, produced at the sink with no further shuffle
+    val ma = m.select(col("__mid").as("__xid"), col("blk").as("__xblk"),
+      col("is_new").as("__xnew"), col("__rep").as("__ra"))
+    val mb = m.select(col("__mid").as("__yid"), col("blk").as("__yblk"),
+      col("is_new").as("__ynew"), col("__rep").as("__rb"))
+    val crossClass = repJac.join(ma, Seq("__ra")).join(mb, Seq("__rb"))
+      .filter(col("__xblk") === col("__yblk") &&
+        (col("__xnew") || col("__ynew")))
+      .select(least(col("__xid"), col("__yid")).as("id_a"),
+        greatest(col("__xid"), col("__yid")).as("id_b"), col("jaccard"))
+    // same-class pairs: identical non-empty token sets, jaccard 1.0.
+    // NOTE a class of k same-block members inherently contributes
+    // C(k, 2) output rows — a corpus that is one giant duplicate class
+    // pays its own output size here, nothing else.
+    val sa2 = m.filter(col("sz") >= 1).select(col("__rep"), col("blk"),
+      col("__mid").as("__xid"), col("is_new").as("__xnew"))
+    val sb2 = m.filter(col("sz") >= 1).select(col("__rep"), col("blk"),
+      col("__mid").as("__yid"), col("is_new").as("__ynew"))
+    val sameClass = sa2.join(sb2, Seq("__rep", "blk"))
+      .filter(col("__xid") < col("__yid") && (col("__xnew") || col("__ynew")))
+      .select(col("__xid").as("id_a"), col("__yid").as("id_b"),
+        lit(1.0).as("jaccard"))
       .filter(lit(1.0) >= threshold)
     crossClass.unionByName(sameClass)
   }
@@ -472,9 +521,16 @@ object Dedup {
     * regardless of which side is new.
     *
     * 100 TB: candidate generation probes the corpus-sized prefix index
-    * with ONLY the increment's prefixes — shuffle volume is
-    * O(increment tokens + corpus prefix tokens), linear per run, and
-    * the quadratic-in-corpus candidate space never exists. */
+    * with ONLY the increment's prefixes (at class granularity — see
+    * [[classPairJaccard]]) — shuffle volume is O(increment tokens +
+    * corpus prefix tokens), linear per run, and the quadratic-in-corpus
+    * candidate space never exists. `saltBuckets > 1` opts into salted
+    * joins for near-twin/boilerplate-heavy corpora whose hot prefix
+    * tokens would otherwise concentrate in a few reducers — with exact
+    * twins already collapsed by the classing, the knob measured ~free
+    * at the 10×/100× twin fixtures (SCALEBENCH.md); enable it when the
+    * corpus is known boilerplate-heavy, exactly like
+    * [[graft.operators.Skew]]'s salted joins. */
   def jaccardPairsPrefixIncremental(newDocs: DataFrame, corpus: DataFrame,
                                     idCol: String, textCol: String,
                                     blockCol: String, threshold: Double,
@@ -484,53 +540,7 @@ object Dedup {
       .withColumn("is_new", lit(true))
       .unionByName(corpus.select(col(idCol), col(blockCol), col(textCol))
         .withColumn("is_new", lit(false)))
-    val t = hashedTokenProjection(all, idCol, textCol, blockCol)
-    val pref = prefixRows(t, idCol, threshold)
-    // probe side: increment prefixes only; index side: everything. The
-    // PPJoin bounds are symmetric in the two sides, so they apply
-    // unchanged after canonicalization.
-    //
-    // SALTED join key (opt-in, saltBuckets > 1): a boilerplate-heavy
-    // corpus concentrates a hot prefix token's whole posting list (and
-    // its quadratic candidate expansion) in ONE reducer — measured at
-    // the 100× twin-replicated spot-bench as a 2-3-core straggler tail
-    // that salting restores to full parallelism (SCALEBENCH.md).
-    // Appending a salt derived from the INDEX side's id splits every
-    // (blk, tok) key `saltBuckets` ways; the increment side (small by
-    // the operator's contract — it is the nightly batch) replicates
-    // per salt, so the added shuffle volume is saltBuckets ×
-    // increment-prefixes, never corpus-sized. Exact: every (n, o) row
-    // pair still meets in exactly one salt bucket. DEFAULT OFF because
-    // the replication tax only pays off under heavy token skew: at the
-    // 10× fixture salt=16 measured 19.0 s vs 12.8 s unsalted — enable
-    // it when the corpus is known twin/boilerplate-heavy, exactly like
-    // [[graft.operators.Skew]]'s salted joins.
-    val n0 = pref.filter(col("is_new"))
-      .select(col("blk"), col("tok"), col(idCol).as("id_n"),
-        col("sz").as("sn"), col("pos").as("pn"))
-    val o0 = pref.select(col("blk"), col("tok"), col(idCol).as("id_o"),
-      col("sz").as("so"), col("pos").as("po"), col("is_new").as("new_o"))
-    // salt columns only exist when salting is ON — the default path
-    // must not pay a hash/pmod per corpus posting plus a 1-way explode
-    // for a constant join key
-    val (n, o, joinKeys) =
-      if (saltBuckets > 1)
-        (n0.withColumn("__salt", explode(lit((0 until saltBuckets).toArray))),
-          o0.withColumn("__salt", pmod(hash(col("id_o")), lit(saltBuckets))),
-          Seq("blk", "tok", "__salt"))
-      else (n0, o0, Seq("blk", "tok"))
-    val candidates = n.join(o, joinKeys)
-      .filter(col("id_n") =!= col("id_o") &&
-        // new×new pairs appear from both ends — keep the id_n < id_o copy
-        (!col("new_o") || col("id_n") < col("id_o")) &&
-        ppjoinBounds(threshold, col("sn"), col("pn"), col("so"), col("po")))
-      .select(least(col("id_n"), col("id_o")).as("id_a"),
-        greatest(col("id_n"), col("id_o")).as("id_b"))
-      .distinct()
-    // the salt knob covers BOTH skew surfaces: candidate generation
-    // (hot prefix tokens, above) and the verify re-attach joins (hot
-    // pair endpoints — see verifyPairs scaladoc).
-    verifyPairs(t, candidates, idCol, threshold, saltBuckets)
+    classPairJaccard(all, idCol, textCol, blockCol, threshold, saltBuckets)
   }
 
   // ------------------------------------------------- connected components
