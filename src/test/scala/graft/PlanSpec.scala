@@ -172,6 +172,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("class-pair jaccard: id-level pair rows never cross an exchange") {
+    // THE scale property of the class-collapsed engine (SCALEBENCH.md):
+    // the inherently-quadratic member-level pair set is produced by the
+    // final expansion joins and streamed to the consumer — if a future
+    // refactor shuffles (or broadcasts) rows that already carry BOTH
+    // member ids, the 100× twin case regresses to disk exhaustion.
+    // Class-level pairs (rep ids) may shuffle freely; member pair rows
+    // are identified by the engine's __xid/__yid expansion columns.
+    val docs = Tables.documents(spark, sfDir)
+    val exec = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", "lang", 0.8)
+      .queryExecution.executedPlan
+    val unwrapped = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$exec")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name).toSet
+      assert(!(names.contains("__xid") && names.contains("__yid")),
+        s"member-level pair crossed an exchange: ${names.mkString(",")}\n$exec")
+    }
+  }
+
   test("retriever factory (E1) returns a curried query function") {
     val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(50)
     val store = ChunkStore.dualWrite(
