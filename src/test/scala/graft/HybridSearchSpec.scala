@@ -212,6 +212,19 @@ class HybridSearchSpec extends SparkSpec {
           Bm25.appendToPersistedIndex(delta, "doc_id", "text", legacy.getAbsolutePath))
         assert(e.getMessage.contains("rebuild"))
       } finally rm(legacy)
+      // guard: leftover crash-recovery dirs make the append REFUSE
+      // (restoring them is the operator's job, not this run's) — and
+      // the refusal leaves the dirs untouched for that restore
+      val park = new java.io.File(appendDir, "postings/.old_r0")
+      park.mkdirs()
+      try {
+        val e2 = intercept[IllegalArgumentException](
+          Bm25.appendToPersistedIndex(synth
+              .withColumn("doc_id", $"doc_id" + 1), "doc_id", "text",
+            appendDir.getAbsolutePath))
+        assert(e2.getMessage.contains(".old_r0"), e2.getMessage)
+        assert(park.exists(), "fail-fast must not delete recovery state")
+      } finally rm(park)
     } finally { rm(appendDir); rm(rebuildDir) }
   }
 
