@@ -1035,7 +1035,13 @@ object Dedup {
       .withColumn("__bsz", count(lit(1)).over(wb))
       .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
       .drop("__bsz")
-    // candidates dedup'd on slim id pairs; vectors re-attached after
+    // candidates dedup'd on slim id pairs; vectors re-attached after.
+    // Deliberately NOT class-deduped (the minHashVerifyPairs trick):
+    // measured at the 100× twin fixture, the extra class joins cost
+    // MORE than they save here (69 s → 86 s) because the f32 cosine
+    // kernel is codegen'd and ~free per pair, unlike MinHash's
+    // O(text) shingling UDF — the trick pays only when the per-pair
+    // verify work dominates the bookkeeping shuffles.
     val a = pruned.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = pruned.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
