@@ -209,20 +209,28 @@ object Bm25 {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
 
-    // FAIL FAST on leftover crash-recovery state: `.old_r*` parks and
-    // `.append_r*` staging dirs from a prior crashed append are the
-    // operator's MANUAL-RESTORE artifacts (scaladoc contract). Deleting
-    // them silently would destroy the recovery path — and worse, a
-    // stale park could later be "restored" by this run's rollback over
-    // the live range dir, corrupting the index with pre-crash data.
-    // The operator must restore-or-rebuild first; this append refuses.
-    val leftovers = Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$base/postings/.{old_r,append_r}*")))
+    // FAIL FAST on leftover crash-recovery state: a `.old_r*` park from
+    // a prior crashed append is the operator's MANUAL-RESTORE artifact
+    // (scaladoc contract). Deleting it silently would destroy the
+    // recovery path — and worse, a stale park could later be
+    // "restored" by this run's rollback over the live range dir,
+    // corrupting the index with pre-crash data. The operator must
+    // restore-or-rebuild first; this append refuses. `.append_r*`
+    // STAGING leftovers are different: staging is disposable by
+    // construction (the live index is untouched until the publish
+    // loop), so a failed prior append's staging must NOT block a
+    // retry — with no park present it is deleted here (single-writer
+    // contract makes that safe); with a park present it is left alone
+    // for the operator's restore.
+    val parks = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$base/postings/.old_r*")))
       .getOrElse(Array.empty).map(_.getPath.getName)
-    require(leftovers.isEmpty,
+    require(parks.isEmpty,
       s"append: index at $path holds crash-recovery dirs " +
-        s"${leftovers.mkString(", ")} from a prior interrupted append — " +
+        s"${parks.mkString(", ")} from a prior interrupted append — " +
         "restore the parked ranges (or rebuild the index) before appending")
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/postings/.append_r*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
 
     val statsRow = spark.read.parquet(s"$base/stats").head()
     require(statsRow.schema.fieldNames.contains("sum_dl"),
@@ -288,12 +296,18 @@ object Bm25 {
       // sequential staging would pay ~nRanges × job-submit latency for
       // no ordering benefit (the publish loop below is the only part
       // that needs an order). Failures propagate: any staging error
-      // aborts before a single live dir is touched.
+      // aborts before a single live dir is touched. The failure path
+      // AWAITS every sibling future before throwing (Future.sequence
+      // alone fails fast and would leave detached jobs writing staging
+      // dirs after this method returned — racing a caller's cleanup or
+      // rebuild) and then deletes all staging dirs, so a failed append
+      // leaves the index exactly as it found it and a retry starts
+      // clean.
       {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.global
-        Await.result(Future.sequence(touched.map { rid => Future {
+        val futures = touched.map { rid => Future {
           val staging = s"$base/postings/.append_r$rid"
           val existing = spark.read.parquet(s"$base/postings/range_id=$rid")
           existing
@@ -301,7 +315,15 @@ object Bm25 {
               .select(existing.columns.map(col).toIndexedSeq: _*))
             .sortWithinPartitions(col("term"))
             .write.mode("overwrite").parquet(staging)
-        }}), Duration.Inf)
+        }}
+        val outcomes = futures.map(f =>
+          Await.ready(f, Duration.Inf).value.get)
+        outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
+          touched.foreach(rid => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid"), true))
+          throw new IllegalStateException(
+            s"append: staging failed, index untouched, staging cleaned: ${e.getMessage}", e)
+        }
       }
       // park dirs are dot-prefixed (invisible to parquet partition
       // discovery) and retained until EVERY range has swapped — a

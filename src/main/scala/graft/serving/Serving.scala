@@ -55,11 +55,16 @@ object Serving {
     * the cache does NOT watch for mutation, same staleness contract as
     * any warm server over a republished index). Thread-safe. */
   class IndexCache private[Serving] () {
-    private val entries = mutable.HashMap.empty[String, AnyRef]
+    // per-key loading (computeIfAbsent): a cold load of one large
+    // postings dir must not serialize probes of OTHER (possibly
+    // already-cached) directories behind a single global lock — only
+    // callers racing on the SAME directory wait for its one load
+    private val entries =
+      new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
     private[Serving] def getOrLoad[T <: AnyRef](dir: String)(load: => T): T =
-      entries.synchronized(entries.getOrElseUpdate(dir, load)).asInstanceOf[T]
-    def size: Int = entries.synchronized(entries.size)
-    def clear(): Unit = entries.synchronized(entries.clear())
+      entries.computeIfAbsent(dir, _ => load).asInstanceOf[T]
+    def size: Int = entries.size
+    def clear(): Unit = entries.clear()
   }
 
   /** A fresh cache for a resident server (one per served index tree,
