@@ -23,7 +23,8 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries ++
       MultimodalQueries.queries ++ EventQueries.queries ++
       RelationalQueries.queries ++ PipelineQueries.queries ++
-      CurationQueries.queries ++ HybridQueries.queries
+      CurationQueries.queries ++ HybridQueries.queries ++
+      ModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -33,5 +34,5 @@ object SparkEntry {
       TextQueries.oracle ++ DedupQueries.oracle ++ AnnQueries.oracle ++
       MultimodalQueries.oracle ++ EventQueries.oracle ++
       RelationalQueries.oracle ++ CurationQueries.oracle ++
-      HybridQueries.oracle
+      HybridQueries.oracle ++ ModelQueries.oracle
 }

@@ -57,4 +57,64 @@ object Clustering {
         (col("mn").cast("double") / col("n")).as("majority_frac"))
       .orderBy(col("n").desc, col("cluster_id"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via
+    * cluster-then-pair. All-pairs cosine over a 100 TB embedding
+    * corpus is not a plan; SemDeDup's observation is that semantic
+    * near-dups co-locate in k-means clusters, so pairing only WITHIN
+    * clusters bounds candidates by Σ|cluster|² — with balanced
+    * clusters, a k-fold reduction that compounds with k. The
+    * clustering reuses the same persisted IVF index the ANN path
+    * searches (one fit, three consumers).
+    *
+    * Per cluster: pairs with cosine ≥ `threshold` (the f32 kernel,
+    * DuckDB-parity), connected components, and each component keeps
+    * the member FARTHEST from its centroid (the paper's keep-low-
+    * centroid-similarity rule: near-centroid members are the
+    * redundant "typical" copies; the far one carries the most extra
+    * information). Distance ranks in [[Ann.fp]] fixed point so the
+    * winner choice is bit-deterministic; ties break to the lowest id.
+    *
+    * Output: (idCol, ivf_cluster, dist_fp, kept) for EVERY corpus
+    * vector — vectors in no near-dup pair are trivially kept.
+    *
+    * Plan shape: pair generation repartitions by cluster (candidate-
+    * bounded, never corpus×corpus); components run on the pair set
+    * (large-star/small-star, O(log n) rounds); the keep rule is two
+    * map-side-combinable aggs ([[Dedup.keepCanonicalBy]]). Skewed
+    * mega-clusters are the known failure mode — cap or split them at
+    * fit time (more k), not at pair time. */
+  def semDedup(index: Ann.IvfIndex, threshold: Double): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val centDf = Ann.centroidsDf(spark, index.centroids, "ivf_cluster")
+      .withColumnRenamed("centroid", "__centroid")
+    val base = index.assigned
+      .join(broadcast(centDf), Seq("ivf_cluster"))
+      .select(col(index.idCol), col("ivf_cluster").cast("int").as("ivf_cluster"),
+        col(index.embCol),
+        Ann.fp(graft.functions.VectorFunctions.l2DistF32(
+          col(index.embCol), col("__centroid")).cast("double")).as("dist_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = base.select(col("ivf_cluster"), col(index.idCol).as("id_a"),
+      col(index.embCol).as("__ea"))
+    val b = base.select(col("ivf_cluster"), col(index.idCol).as("id_b"),
+      col(index.embCol).as("__eb"))
+    val pairs = a.join(b, Seq("ivf_cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        graft.functions.VectorFunctions.cosSimF32(col("__ea"), col("__eb"))
+          .cast("double"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val kept = Dedup.keepCanonicalBy(
+        base.select(col(index.idCol), col("dist_fp")), pairs,
+        index.idCol, "dist_fp")
+      .select(col(index.idCol)).withColumn("__kept", lit(true))
+    val out = base.select(col(index.idCol), col("ivf_cluster"), col("dist_fp"))
+      .join(kept, Seq(index.idCol), "left")
+      .select(col(index.idCol), col("ivf_cluster"), col("dist_fp"),
+        coalesce(col("__kept"), lit(false)).as("kept"))
+    Dedup.releaseAfterUse(base)
+    out
+  }
 }

@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical corpus models for training-data curation: unigram-LM
+  * perplexity scoring (the CCNet-style quality signal), a multinomial
+  * Naive-Bayes quality classifier (the fastText-classifier role in
+  * LLaMA-style pipelines), and hashed-n-gram importance weights (DSIR,
+  * Xie et al. 2023). The reference exposes none of these — they are
+  * north-star scope: the model-based curation stages a 100 TB
+  * training-data pipeline runs between raw ingest and export.
+  *
+  * All three share one architecture:
+  *  - TRAIN is one explode + one map-side-combined hash-agg over the
+  *    corpus (token or hashed-feature counts) — the same shuffle shape
+  *    as `t_word_freq`, THE canonical scalable aggregation. The model
+  *    (vocab/bucket table) is tiny relative to the corpus: capped
+  *    vocab, or a fixed bucket space.
+  *  - The ln() mapping from counts to fixed-point log-probabilities
+  *    happens ONCE, Spark-side, per model row. Natural log is not
+  *    correctly-rounded-guaranteed across libm implementations (the
+  *    Bm25 scaladoc rule), so the oracle never recomputes it: the
+  *    model table is the parquet handoff, DuckDB independently
+  *    re-derives every COUNT in it (dropping any row Spark got wrong)
+  *    and replays all scoring downstream as exact integer sums.
+  *  - SCORE is a broadcast join (model rows ride to the data; the
+  *    corpus never shuffles) + one integer aggregation per document.
+  *    Summing pre-quantized longs is exact and associative — bit-equal
+  *    under any partitioning, task order, or engine.
+  *
+  * 100 TB posture: corpus-sized data crosses the wire once (the count
+  * agg, map-side combined to |vocab| rows); scoring is shuffle-free on
+  * the feature side (broadcast ≤ a few 100 MB even at 1M-row vocabs)
+  * plus one per-doc combine. No window functions, no driver loops.
+  */
+object CorpusModels {
+
+  /** Fixed-point scale for log-probabilities: floor(ln(p)·1e9) as
+    * BIGINT. 1e9 keeps 9 sub-ln-unit digits; doc sums stay far inside
+    * int64 (a 100k-token doc scores ≥ −ln(V)·1e9·100k ≈ −2e15). */
+  val LpScale = 1.0e9
+
+  private def lpFp(p: Column): Column = floor(log(p) * lit(LpScale)).cast("long")
+
+  // ---------------------------------------------------------- unigram LM
+
+  /** Train a Laplace-smoothed unigram LM over `textCol` tokens.
+    *
+    * Returns (vocab, stats):
+    *  - vocab: (token, cnt, logp_fp) — the `vocabCap` most frequent
+    *    tokens (count desc, token asc — deterministic), with
+    *    logp_fp = floor(ln((cnt+1)/(N+V))·1e9);
+    *  - stats: one row (n_tokens, vocab_total, oov_logp_fp) where N is
+    *    the corpus token count, V the UNCAPPED distinct-token count,
+    *    and oov_logp_fp = floor(ln(1/(N+V))·1e9) — tokens outside the
+    *    capped table score as unseen (the standard cap-the-table
+    *    engineering tradeoff; the smoothing denominator still uses the
+    *    true V so capping never changes in-vocab probabilities).
+    *
+    * The cap bounds the scoring broadcast at any corpus size; the
+    * count agg is the only corpus-wide shuffle. */
+  def unigramLm(docs: DataFrame, textCol: String, vocabCap: Int)
+      : (DataFrame, DataFrame) = {
+    require(vocabCap > 0, s"vocabCap must be positive, got $vocabCap")
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab_total"))
+    val denom = (col("n_tokens") + col("vocab_total")).cast("double")
+    val vocab = counts
+      .orderBy(col("cnt").desc, col("token")).limit(vocabCap)
+      .crossJoin(broadcast(totals))
+      .withColumn("logp_fp", lpFp((col("cnt") + lit(1)).cast("double") / denom))
+      .select(col("token"), col("cnt"), col("logp_fp"))
+    val stats = totals
+      .withColumn("oov_logp_fp", lpFp(lit(1.0) / denom))
+    (vocab, stats)
+  }
+
+  /** Per-document cross-entropy under a [[unigramLm]] model: (idCol,
+    * n_tokens, nll_fp, cross_entropy) for EVERY input document
+    * (zero-token docs keep their row at 0 / 0.0).
+    *
+    * nll_fp = −Σ logp_fp over token occurrences (exact long sum);
+    * cross_entropy = nll_fp/1e9/n_tokens — nats per token, two IEEE
+    * divisions applied to exactly-representable integers, so the
+    * double is engine-identical. High cross-entropy = far from the
+    * corpus distribution (noise / wrong language / gibberish) — the
+    * CCNet filter sorts on exactly this. */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame, stats: DataFrame): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val scored = tok
+      .join(broadcast(vocab.select(col("token"), col("logp_fp"))), Seq("token"), "left")
+      .crossJoin(broadcast(stats.select(col("oov_logp_fp"))))
+      .withColumn("lp", coalesce(col("logp_fp"), col("oov_logp_fp")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), (-sum(col("lp"))).as("nll"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll"), lit(0L)).as("nll_fp"),
+        when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("nll").cast("double") / lit(LpScale) /
+            col("n").cast("double"))
+          .as("cross_entropy"))
+  }
+
+  // ------------------------------------------- Naive-Bayes quality classifier
+
+  /** Train a multinomial Naive-Bayes classifier from boolean-labeled
+    * documents (label true = the class to keep; in the curation
+    * pipeline the labels come from the rule-based quality gate, making
+    * this the classic weak-supervision bootstrap: rules label a seed,
+    * the classifier generalizes them).
+    *
+    * Returns (model, prior):
+    *  - model: (token, c_pos, c_neg, llr_fp) per distinct token, with
+    *    llr_fp = floor((ln((c_pos+1)/(N_pos+V)) −
+    *                    ln((c_neg+1)/(N_neg+V)))·1e9)
+    *    — the per-occurrence log-likelihood-ratio vote;
+    *  - prior: one row (n_pos_docs, n_neg_docs, n_pos_tok, n_neg_tok,
+    *    vocab_size, prior_fp) with prior_fp the (+1-smoothed) log doc
+    *    prior. The five count fields exist so a verifier can re-derive
+    *    every input to the ln()s.
+    *
+    * The full-vocab model is the fixture-honest shape; at 100 TB the
+    * same vocab cap as [[unigramLm]] applies (rare-token LLRs carry
+    * ~zero evidence, so capping is also statistically benign). */
+  def nbTrain(docs: DataFrame, textCol: String, labelCol: String)
+      : (DataFrame, DataFrame) = {
+    val tok = docs.select(col(labelCol).as("__lbl"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy(col("token")).agg(
+      sum(when(col("__lbl"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(col("__lbl"), 0L).otherwise(1L)).as("c_neg"))
+    val totals = counts.agg(
+      sum(col("c_pos")).as("n_pos_tok"),
+      sum(col("c_neg")).as("n_neg_tok"),
+      count(lit(1)).as("vocab_size"))
+    val docTotals = docs.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos_docs"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg_docs"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("llr_fp",
+        floor((log((col("c_pos") + lit(1)).cast("double") /
+                   (col("n_pos_tok") + col("vocab_size")).cast("double")) -
+               log((col("c_neg") + lit(1)).cast("double") /
+                   (col("n_neg_tok") + col("vocab_size")).cast("double"))) *
+          lit(LpScale)).cast("long"))
+      .select(col("token"), col("c_pos"), col("c_neg"), col("llr_fp"))
+    val prior = docTotals.crossJoin(totals)
+      .withColumn("prior_fp",
+        lpFp((col("n_pos_docs") + lit(1)).cast("double") /
+             (col("n_neg_docs") + lit(1)).cast("double")))
+      .select(col("n_pos_docs"), col("n_neg_docs"),
+        col("n_pos_tok"), col("n_neg_tok"), col("vocab_size"), col("prior_fp"))
+    (model, prior)
+  }
+
+  /** Score documents under a [[nbTrain]] model: (idCol, n_tokens,
+    * score_fp, keep_pred) for every input document. score_fp =
+    * prior_fp + Σ llr_fp over token occurrences; keep_pred =
+    * score_fp > 0 (the Bayes decision boundary). Tokens absent from
+    * the model (possible when scoring a different corpus than the
+    * training one) vote 0 — the neutral no-evidence choice. Zero-token
+    * docs score exactly the prior. */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, prior: DataFrame): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val scored = tok
+      .join(broadcast(model.select(col("token"), col("llr_fp"))), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("llr_fp"), lit(0L))).as("s"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .crossJoin(broadcast(prior.select(col("prior_fp"))))
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        (coalesce(col("s"), lit(0L)) + col("prior_fp")).as("score_fp"))
+      .withColumn("keep_pred", col("score_fp") > 0)
+  }
+
+  // ------------------------------------------------ DSIR importance weights
+
+  /** Hashed-bigram feature bucket: top-60-md5-bits of the gram string
+    * mod `numBuckets` — the [[Sharding]] hex-parse parity trick, so a
+    * SQL oracle computes the identical bucket. The hashing trick keeps
+    * the model a FIXED-size table no matter the corpus (DSIR's core
+    * scaling idea: n-gram space → 10⁴ buckets). */
+  private def gramBucket(gram: Column, numBuckets: Int): Column =
+    pmod(conv(substring(md5(gram.cast("binary")), 1, 15), 16, 10).cast("long"),
+      lit(numBuckets.toLong))
+
+  /** Train DSIR importance weights: hashed-bigram counts under the
+    * RAW distribution (all docs) and the TARGET distribution (docs
+    * with `targetCol` true — in-pipeline, the quality gate's keeps;
+    * in the paper, the high-quality target corpus).
+    *
+    * Returns (model, stats):
+    *  - model: (bucket, c_target, c_raw, llr_fp) with llr_fp =
+    *    floor((ln((c_target+1)/(N_target+B)) −
+    *           ln((c_raw+1)/(N_raw+B)))·1e9);
+    *  - stats: one row (n_target_grams, n_raw_grams) — the ln()
+    *    inputs, re-derivable by a verifier.
+    *
+    * Only buckets observed in the corpus materialize (a doc can only
+    * ever hit observed buckets, so scoring never needs the absent
+    * ones). */
+  def dsirModel(docs: DataFrame, textCol: String, targetCol: String,
+                numBuckets: Int): (DataFrame, DataFrame) = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val grams = docs.select(col(targetCol).as("__tgt"),
+      explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
+    val counts = grams
+      .select(col("__tgt"), gramBucket(col("gram"), numBuckets).as("bucket"))
+      .groupBy(col("bucket")).agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_target"),
+        count(lit(1)).as("c_raw"))
+    val stats = counts.agg(
+      sum(col("c_target")).as("n_target_grams"),
+      sum(col("c_raw")).as("n_raw_grams"))
+    val model = counts.crossJoin(broadcast(stats))
+      .withColumn("llr_fp",
+        floor((log((col("c_target") + lit(1)).cast("double") /
+                   (col("n_target_grams") + lit(numBuckets)).cast("double")) -
+               log((col("c_raw") + lit(1)).cast("double") /
+                   (col("n_raw_grams") + lit(numBuckets)).cast("double"))) *
+          lit(LpScale)).cast("long"))
+      .select(col("bucket"), col("c_target"), col("c_raw"), col("llr_fp"))
+    (model, stats)
+  }
+
+  /** Per-document DSIR importance weight: (idCol, n_grams, weight_fp,
+    * weight) for every input document. weight_fp = Σ llr_fp over the
+    * doc's bigram-bucket occurrences (exact long sum) — the estimated
+    * log target/raw likelihood ratio; importance resampling samples
+    * proportionally to exp(weight). Docs with < 2 tokens have no
+    * bigrams and weigh 0 (neutral). weight = weight_fp/1e9, one IEEE
+    * division. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  model: DataFrame, numBuckets: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
+    val scored = grams
+      .select(col(idCol), gramBucket(col("gram"), numBuckets).as("bucket"))
+      .join(broadcast(model.select(col("bucket"), col("llr_fp"))), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("llr_fp"), lit(0L))).as("s"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_grams"),
+        coalesce(col("s"), lit(0L)).as("weight_fp"),
+        (coalesce(col("s"), lit(0L)).cast("double") / lit(LpScale)).as("weight"))
+  }
+}

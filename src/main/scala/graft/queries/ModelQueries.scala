@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Clustering, CorpusModels, TextAnalysis}
+
+/** Model-based curation queries (north-star scope): unigram-LM
+  * perplexity (CCNet), Naive-Bayes quality classification (the
+  * fastText-classifier role), DSIR importance weights, SemDeDup, and
+  * the Gopher rule battery.
+  *
+  * Oracle pattern for the model family: the trained model table
+  * (counts + fixed-point log-probs) is the parquet handoff; DuckDB
+  * re-derives EVERY count in it from the raw corpus and joins on
+  * (key, counts) — a row whose counts Spark got wrong drops out of
+  * the join and the downstream integer-sum scores diverge. Model
+  * SIZE guards (row count + count sums must equal the recomputed
+  * ones) close the silent-omission hole: a model missing a row fails
+  * the guard, which nulls the scalar the scoring needs, failing every
+  * output row. Only the ln() value mapping itself is taken from the
+  * handoff (cross-libm ln is not bitwise-portable — the Bm25 rule);
+  * its monotonicity in the verified counts is spec-gated.
+  *
+  * The NB labels and the DSIR target distribution come from the
+  * rule-based quality gate (`t_quality_gate`) — the classic
+  * weak-supervision bootstrap, and the gate is itself
+  * SQL-expressible, so the oracle recomputes the labels too: the
+  * ENTIRE train+score pipeline is replayed except ln().
+  */
+object ModelQueries {
+
+  private val LmVocabHandoff   = Handoff.path("lm_vocab")
+  private val LmStatsHandoff   = Handoff.path("lm_stats")
+  private val NbModelHandoff   = Handoff.path("nb_model")
+  private val NbPriorHandoff   = Handoff.path("nb_prior")
+  private val DsirModelHandoff = Handoff.path("dsir_model")
+  private val SemCentHandoff   = Handoff.path("semdedup_centroids")
+  private val SemAsgHandoff    = Handoff.path("semdedup_assigned")
+
+  /** Fixture-aware vocab cap: the word-soup corpus has ~31 distinct
+    * tokens, so 24 genuinely exercises the OOV path the cap exists
+    * for (at 100 TB the same knob would sit at ~1M). */
+  private val LmCap = 24
+
+  private val DsirBuckets = 1024
+
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The rule-based quality-gate labels (the t_quality_gate verdict,
+    * reduced to (doc_id, keep)) — training labels for the NB
+    * classifier and the DSIR target distribution. */
+  private def gateLabels(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val quality = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("quality_score"))
+    TextAnalysis.repetitionProfile(docs)
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("quality_score") >= 0.5 &&
+          col("top_bigram_frac") <= 0.2 &&
+          col("dup_bigram_frac") <= 0.5 &&
+          col("n_tokens") >= 10 && col("n_tokens") <= 100000).as("keep"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CCNet-style LM quality signal: train the smoothed unigram LM on
+    // the corpus, score every doc's cross-entropy under it. The
+    // capped vocab + stats row are the handoffs; scoring is replayed
+    // from them over independently recomputed token streams.
+    "lm_perplexity" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (vocab0, stats0) = CorpusModels.unigramLm(docs, "text", LmCap)
+      val vocab = Handoff.publish(vocab0, LmVocabHandoff)
+      val stats = Handoff.publish(stats0, LmStatsHandoff)
+      CorpusModels.perplexity(docs, "doc_id", "text", vocab, stats)
+        .orderBy(col("doc_id"))
+    },
+    // classifier-based quality filter: NB trained on the rule-gate
+    // labels, scoring the full corpus. keep_pred is the Bayes
+    // decision; divergence from the rule labels is exactly the
+    // classifier's generalization (spec-gated for accuracy).
+    "cls_nb_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
+      val (model0, prior0) = CorpusModels.nbTrain(labeled, "text", "keep")
+      val model = Handoff.publish(model0, NbModelHandoff)
+      val prior = Handoff.publish(prior0, NbPriorHandoff)
+      CorpusModels.nbScore(docs, "doc_id", "text", model, prior)
+        .orderBy(col("doc_id"))
+    },
+    // DSIR: hashed-bigram importance weights of the raw corpus toward
+    // the gate-kept target distribution. The bucket model is the
+    // handoff; buckets are md5-mod-B, recomputable in SQL.
+    "dsir_weights" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
+      val (model0, _) = CorpusModels.dsirModel(labeled, "text", "keep", DsirBuckets)
+      val model = Handoff.publish(model0, DsirModelHandoff)
+      CorpusModels.dsirWeights(docs, "doc_id", "text", model, DsirBuckets)
+        .orderBy(col("doc_id"))
+    },
+    // SemDeDup over the SAME persisted IVF index the ANN path
+    // searches. Centroids + assignment are the handoffs (the index
+    // artifact, scalatest-gated); pairs, components, and the
+    // keep-farthest-from-centroid rule all replay in SQL.
+    "semdedup_keep" -> { (s, dir) =>
+      val index = AnnQueries.persistedIvf(s, dir)
+      if (!Handoff.benchMode) {
+        graft.operators.Ann.centroidsDf(s, index.centroids, "cluster_id")
+          .coalesce(1).write.mode("overwrite").parquet(SemCentHandoff)
+        index.assigned
+          .select(col("vec_id"), col("ivf_cluster").cast("int").as("ivf_cluster"))
+          .coalesce(1).write.mode("overwrite").parquet(SemAsgHandoff)
+      }
+      Clustering.semDedup(index, threshold = 0.45)
+        .orderBy(col("vec_id"))
+    },
+    // the Gopher rule battery (word-count bounds, mean-word-length
+    // bounds, alphabetic-word fraction, stopword presence) — pure
+    // integer/one-division arithmetic, no handoff needed.
+    "t_gopher_rules" -> { (s, dir) =>
+      val t = col("text")
+      val toks = TextAnalysis.tokens(t)
+      val n = size(toks).cast("long")
+      val meanLen = when(n === 0, lit(0.0))
+        .otherwise(TextAnalysis.charCount(t).cast("double") / n.cast("double"))
+      val fracAlpha = when(n === 0, lit(0.0))
+        .otherwise(size(filter(toks, x => x.rlike("[a-z]"))).cast("double") /
+          n.cast("double"))
+      val stopHits = TextAnalysis.stopwordHits(t, gopherStops).cast("long")
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          meanLen.as("mean_token_len"),
+          fracAlpha.as("frac_alpha_words"),
+          stopHits.as("n_stop_hits"),
+          (n >= 50 && n <= 100000 &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            fracAlpha >= 0.8 && stopHits >= 2).as("keep"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private def rp(path: String) = s"read_parquet('$path/*.parquet')"
+
+  /** The t_quality_gate verdict as a reusable CTE chain ending in
+    * `lab(doc_id, keep)` — keep in sync with TextQueries's
+    * t_quality_gate oracle (same formulas, same thresholds). */
+  private val labelCte =
+    """lt AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |), lq AS (
+      |  SELECT doc_id,
+      |         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+      |          + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+      |                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+      |          + (CASE WHEN CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w)
+      |                       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+      |         ) / 3.0 AS quality_score
+      |  FROM lt
+      |), lb AS (
+      |  SELECT doc_id, len(w) AS n_tokens,
+      |         CASE WHEN len(w) >= 2
+      |              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      |              ELSE CAST([] AS VARCHAR[]) END AS bg
+      |  FROM lt
+      |), lm AS (
+      |  SELECT doc_id, n_tokens,
+      |         CASE WHEN len(bg) > 0
+      |              THEN CAST(coalesce(list_max(list_transform(list_distinct(bg),
+      |                     x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE) / len(bg)
+      |              ELSE 0.0 END AS top_bigram_frac,
+      |         CASE WHEN len(bg) > 0
+      |              THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+      |              ELSE 0.0 END AS dup_bigram_frac
+      |  FROM lb
+      |), lab AS (
+      |  SELECT lm.doc_id,
+      |         (lq.quality_score >= 0.5 AND lm.top_bigram_frac <= 0.2
+      |          AND lm.dup_bigram_frac <= 0.5
+      |          AND lm.n_tokens >= 10 AND lm.n_tokens <= 100000) AS keep
+      |  FROM lm JOIN lq ON lm.doc_id = lq.doc_id
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // verify the LM end-to-end: recompute token counts, totals, and
+    // the capped-vocab SELECTION; accept the handoff row only when
+    // its counts match; the stats row only when its totals match AND
+    // the handoff has exactly the expected row count (omission
+    // guard). Then replay scoring as integer sums.
+    "lm_perplexity" ->
+      s"""WITH h AS (SELECT * FROM ${rp(LmVocabHandoff)}),
+         |hs AS (SELECT * FROM ${rp(LmStatsHandoff)}),
+         |t AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents
+         |), c AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token
+         |), tot AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS vocab_total
+         |  FROM c
+         |), vs AS (
+         |  SELECT hs.oov_logp_fp FROM hs JOIN tot
+         |    ON hs.n_tokens = tot.n_tokens AND hs.vocab_total = tot.vocab_total
+         |  WHERE (SELECT count(*) FROM h) =
+         |        least($LmCap, (SELECT vocab_total FROM tot))
+         |), cap AS (
+         |  SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT $LmCap
+         |), hv AS (
+         |  SELECT h.token, h.logp_fp
+         |  FROM h JOIN cap ON h.token = cap.token AND h.cnt = cap.cnt
+         |), sc AS (
+         |  SELECT t.doc_id, coalesce(hv.logp_fp, (SELECT oov_logp_fp FROM vs)) AS lp
+         |  FROM t LEFT JOIN hv USING (token)
+         |), g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(-sum(lp) AS BIGINT) AS nll
+         |  FROM sc GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(g.n, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(g.nll, 0) AS BIGINT) AS nll_fp,
+         |       CASE WHEN coalesce(g.n, 0) = 0 THEN 0.0
+         |            ELSE CAST(g.nll AS DOUBLE) / 1000000000.0 / CAST(g.n AS DOUBLE)
+         |       END AS cross_entropy
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // verify NB end-to-end: recompute gate labels, per-class token
+    // counts, totals, and doc priors; accept model rows on count
+    // match, the prior row on five-way total match + model row-count
+    // and count-sum guards; replay scoring.
+    "cls_nb_gate" ->
+      s"""WITH m AS (SELECT * FROM ${rp(NbModelHandoff)}),
+         |p AS (SELECT * FROM ${rp(NbPriorHandoff)}),
+         |$labelCte,
+         |tk AS (
+         |  SELECT lt.doc_id, lab.keep, unnest(lt.w) AS token
+         |  FROM lt JOIN lab ON lt.doc_id = lab.doc_id
+         |), c AS (
+         |  SELECT token,
+         |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+         |  FROM tk GROUP BY token
+         |), tot AS (
+         |  SELECT CAST(sum(c_pos) AS BIGINT) AS np, CAST(sum(c_neg) AS BIGINT) AS nn,
+         |         CAST(count(*) AS BIGINT) AS v
+         |  FROM c
+         |), dtot AS (
+         |  SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS npd,
+         |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nnd
+         |  FROM lab
+         |), pv AS (
+         |  SELECT p.prior_fp FROM p
+         |  JOIN tot ON p.n_pos_tok = tot.np AND p.n_neg_tok = tot.nn
+         |          AND p.vocab_size = tot.v
+         |  JOIN dtot ON p.n_pos_docs = dtot.npd AND p.n_neg_docs = dtot.nnd
+         |  WHERE (SELECT count(*) FROM m) = (SELECT v FROM tot)
+         |    AND (SELECT CAST(sum(c_pos) + sum(c_neg) AS BIGINT) FROM m) =
+         |        (SELECT np + nn FROM tot)
+         |), mv AS (
+         |  SELECT m.token, m.llr_fp
+         |  FROM m JOIN c ON m.token = c.token AND m.c_pos = c.c_pos
+         |                AND m.c_neg = c.c_neg
+         |), sc AS (
+         |  SELECT tk.doc_id, coalesce(mv.llr_fp, 0) AS lp
+         |  FROM tk LEFT JOIN mv USING (token)
+         |), g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(lp) AS BIGINT) AS s
+         |  FROM sc GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(g.n, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(g.s, 0) + (SELECT prior_fp FROM pv) AS BIGINT) AS score_fp,
+         |       (coalesce(g.s, 0) + (SELECT prior_fp FROM pv)) > 0 AS keep_pred
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // verify DSIR end-to-end: recompute labels, bigrams, md5-mod-B
+    // buckets, and both distributions' counts; accept model rows on
+    // (c_target, c_raw) match with row-count + sum guards; replay
+    // the weight sums.
+    "dsir_weights" ->
+      s"""WITH m AS (SELECT * FROM ${rp(DsirModelHandoff)}),
+         |$labelCte,
+         |bg AS (
+         |  SELECT lt.doc_id, lab.keep,
+         |         unnest(CASE WHEN len(lt.w) >= 2
+         |                THEN list_transform(range(1, len(lt.w)),
+         |                       i -> lt.w[i] || ' ' || lt.w[i+1])
+         |                ELSE CAST([] AS VARCHAR[]) END) AS gram
+         |  FROM lt JOIN lab ON lt.doc_id = lab.doc_id
+         |), bk AS (
+         |  SELECT doc_id, keep,
+         |         CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT) AS BIGINT)
+         |           % $DsirBuckets AS bucket
+         |  FROM bg
+         |), c AS (
+         |  SELECT bucket,
+         |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_target,
+         |         CAST(count(*) AS BIGINT) AS c_raw
+         |  FROM bk GROUP BY bucket
+         |), gv AS (
+         |  SELECT 1 AS ok
+         |  WHERE (SELECT count(*) FROM m) = (SELECT count(*) FROM c)
+         |    AND (SELECT CAST(sum(c_raw) AS BIGINT) FROM m) =
+         |        (SELECT CAST(sum(c_raw) AS BIGINT) FROM c)
+         |), mv AS (
+         |  SELECT m.bucket, m.llr_fp
+         |  FROM m JOIN c ON m.bucket = c.bucket AND m.c_target = c.c_target
+         |                AND m.c_raw = c.c_raw
+         |), sc AS (
+         |  SELECT bk.doc_id,
+         |         coalesce(mv.llr_fp, 0) * (SELECT ok FROM gv) AS lp
+         |  FROM bk LEFT JOIN mv USING (bucket)
+         |), g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(lp) AS BIGINT) AS s
+         |  FROM sc GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(g.n, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(g.s, 0) AS BIGINT) AS weight_fp,
+         |       CAST(coalesce(g.s, 0) AS DOUBLE) / 1000000000.0 AS weight
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // replay SemDeDup from the index handoff: within-cluster pairs at
+    // the cosine threshold, recursive-CTE components, keep the
+    // max-dist_fp (tie: min id) member per component.
+    "semdedup_keep" ->
+      s"""WITH RECURSIVE
+         |cents AS (SELECT * FROM ${rp(SemCentHandoff)}),
+         |asg AS (SELECT * FROM ${rp(SemAsgHandoff)}),
+         |d AS (
+         |  SELECT a.vec_id, a.ivf_cluster,
+         |         CAST(floor(CAST(list_distance(e.embedding, c.centroid) AS DOUBLE)
+         |                    * 1048576.0) AS BIGINT) AS dist_fp
+         |  FROM asg a
+         |  JOIN embeddings e ON a.vec_id = e.vec_id
+         |  JOIN cents c ON a.ivf_cluster = c.cluster_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM asg a JOIN asg b
+         |    ON a.ivf_cluster = b.ivf_cluster AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON a.vec_id = ea.vec_id
+         |  JOIN embeddings eb ON b.vec_id = eb.vec_id
+         |  WHERE CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE)
+         |        >= 0.45
+         |), sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b AS u, id_a AS v FROM pairs
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+         |), comp AS (
+         |  SELECT u AS node_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u
+         |), mem AS (
+         |  SELECT c.node_id, c.component, d.dist_fp
+         |  FROM comp c JOIN d ON c.node_id = d.vec_id
+         |), best AS (
+         |  SELECT component, max(dist_fp) AS b FROM mem GROUP BY component
+         |), win AS (
+         |  SELECT m.component, min(m.node_id) AS winner
+         |  FROM mem m JOIN best ON m.component = best.component
+         |                      AND m.dist_fp = best.b
+         |  GROUP BY m.component
+         |), victims AS (
+         |  SELECT node_id FROM mem
+         |  WHERE node_id NOT IN (SELECT winner FROM win)
+         |)
+         |SELECT d.vec_id, CAST(d.ivf_cluster AS INTEGER) AS ivf_cluster, d.dist_fp,
+         |       d.vec_id NOT IN (SELECT node_id FROM victims) AS kept
+         |FROM d ORDER BY vec_id""".stripMargin,
+    "t_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |         CASE WHEN len(w) = 0 THEN 0.0
+        |              ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+        |         END AS mean_token_len,
+        |         CASE WHEN len(w) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |                     AS DOUBLE) / len(w)
+        |         END AS frac_alpha_words,
+        |         CAST(len(list_filter(w,
+        |           x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')))
+        |           AS BIGINT) AS n_stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, mean_token_len, frac_alpha_words, n_stop_hits,
+        |       (n_tokens >= 50 AND n_tokens <= 100000
+        |        AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+        |        AND frac_alpha_words >= 0.8 AND n_stop_hits >= 2) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin
+  )
+}

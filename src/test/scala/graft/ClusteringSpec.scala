@@ -42,4 +42,54 @@ class ClusteringSpec extends SparkSpec {
     val b = Clustering.clusterProfile(Ann.buildIvf(planted(), 3)).collect()
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
+
+  // ----------------------------------------------------------- SemDeDup
+
+  /** Hand-built index: two clusters with planted dup pairs whose
+    * winner the keep-farthest rule determines unambiguously, plus a
+    * same-direction pair SPLIT across clusters (must NOT pair —
+    * cluster-scoping is the scale contract). */
+  private def semIndex() = {
+    val centroids = Array(
+      Array(1f, 0f, 0f, 0f),  // cluster 0
+      Array(0f, 0f, 1f, 0f))  // cluster 1
+    val rows = Seq(
+      (1L, Seq(2f, 0f, 0f, 0f), 0),     // dup with v2; dist 1 → dropped
+      (2L, Seq(3f, 0f, 0f, 0f), 0),     // dup with v1; dist 2 → kept (farther)
+      (3L, Seq(0f, 5f, 0f, 0f), 0),     // orthogonal → no pair → kept
+      (4L, Seq(0f, 0f, 2f, 0f), 1),     // dup with v5; dist 1 → dropped
+      (5L, Seq(0f, 0f, 2.5f, 0f), 1),   // dup with v4; dist 1.5 → kept
+      (6L, Seq(5f, 0f, 0f, 0f), 1))     // cos 1 with v1/v2 but OTHER cluster → kept
+      .toDF("vec_id", "embedding", "ivf_cluster")
+    Ann.IvfIndex(centroids, rows, "embedding", "vec_id")
+  }
+
+  test("semDedup: keeps the farthest-from-centroid member per dup component, cluster-scoped") {
+    val out = Clustering.semDedup(semIndex(), threshold = 0.9)
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).collect()
+    val kept = out.map(r => r.getLong(0) -> r.getAs[Boolean]("kept")).toMap
+    assert(kept === Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true, 6L -> true))
+    // every vector keeps its row, with its cluster and a ranked distance
+    assert(out.length === 6)
+    val d = out.map(r => r.getLong(0) -> r.getAs[Long]("dist_fp")).toMap
+    assert(d(2L) > d(1L) && d(5L) > d(4L)) // the keep rule's evidence
+  }
+
+  test("semDedup is partitioning-independent and idempotent-on-survivors") {
+    val idx = semIndex()
+    val a = Clustering.semDedup(idx, 0.9)
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).collect().toSeq
+    val b = Clustering.semDedup(
+        idx.copy(assigned = idx.assigned.repartition(5)), 0.9)
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).collect().toSeq
+    assert(a === b)
+    // rerunning on the survivors drops nothing further (dup pairs gone)
+    val survivors = idx.assigned.join(
+      Clustering.semDedup(idx, 0.9)
+        .filter(org.apache.spark.sql.functions.col("kept"))
+        .select("vec_id"), Seq("vec_id"))
+    val again = Clustering.semDedup(idx.copy(assigned = survivors), 0.9)
+    assert(again.filter(!org.apache.spark.sql.functions.col("kept")).count() === 0)
+  }
 }

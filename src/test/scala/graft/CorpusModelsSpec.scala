@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusModels
+
+/** Corpus-model spec: hand-computed smoothing math on tiny corpora,
+  * OOV routing, zero-token rows, partitioning-independence of the
+  * fixed-point sums, and sign/monotonicity laws that tie the
+  * handed-off ln() values to the oracle-verified counts. */
+class CorpusModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lp(p: Double): Long = math.floor(math.log(p) * 1e9).toLong
+
+  // ------------------------------------------------------------ unigram LM
+
+  private val lmDocs = Seq(
+    (0L, "a a b"),
+    (1L, "b c"),
+    (2L, "")).toDF("doc_id", "text")
+
+  test("unigramLm: counts, totals, cap selection, and logp math are exact") {
+    val (vocab, stats) = CorpusModels.unigramLm(lmDocs, "text", vocabCap = 2)
+    val s = stats.collect()(0)
+    // N = 5 tokens, V = 3 distinct
+    assert(s.getAs[Long]("n_tokens") === 5L)
+    assert(s.getAs[Long]("vocab_total") === 3L)
+    assert(s.getAs[Long]("oov_logp_fp") === lp(1.0 / 8.0))
+    // cap 2 of 3 by (cnt desc, token asc): a(2), b(2) — c capped out
+    val v = vocab.collect().map(r =>
+      r.getString(0) -> (r.getAs[Long]("cnt"), r.getAs[Long]("logp_fp"))).toMap
+    assert(v.keySet === Set("a", "b"))
+    assert(v("a") === ((2L, lp(3.0 / 8.0))))
+    assert(v("b") === ((2L, lp(3.0 / 8.0))))
+  }
+
+  test("perplexity: in-vocab + OOV sums, zero-token rows survive at 0") {
+    val (vocab, stats) = CorpusModels.unigramLm(lmDocs, "text", vocabCap = 2)
+    val out = CorpusModels.perplexity(lmDocs, "doc_id", "text", vocab, stats)
+      .orderBy("doc_id").collect()
+    // doc 0: a a b — all in vocab
+    val nll0 = -(2 * lp(3.0 / 8.0) + lp(3.0 / 8.0))
+    assert(out(0).getAs[Long]("nll_fp") === nll0)
+    assert(out(0).getAs[Double]("cross_entropy") === nll0.toDouble / 1e9 / 3.0)
+    // doc 1: b (vocab) + c (capped out → OOV)
+    val nll1 = -(lp(3.0 / 8.0) + lp(1.0 / 8.0))
+    assert(out(1).getAs[Long]("nll_fp") === nll1)
+    // doc 2: empty
+    assert(out(2).getAs[Long]("n_tokens") === 0L)
+    assert(out(2).getAs[Long]("nll_fp") === 0L)
+    assert(out(2).getAs[Double]("cross_entropy") === 0.0)
+  }
+
+  test("perplexity: scoring tokens unseen at train time routes to OOV") {
+    val (vocab, stats) = CorpusModels.unigramLm(lmDocs, "text", vocabCap = 3)
+    val out = CorpusModels.perplexity(
+        Seq((9L, "zz zz")).toDF("doc_id", "text"), "doc_id", "text", vocab, stats)
+      .collect()(0)
+    assert(out.getAs[Long]("nll_fp") === -2 * lp(1.0 / 8.0))
+  }
+
+  test("LM pipeline is partitioning-independent (exact long sums)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (v1, s1) = CorpusModels.unigramLm(docs, "text", 24)
+    val (v2, s2) = CorpusModels.unigramLm(docs.repartition(17), "text", 24)
+    val a = CorpusModels.perplexity(docs, "doc_id", "text", v1, s1)
+      .orderBy("doc_id").collect().toSeq
+    val b = CorpusModels.perplexity(docs.repartition(13), "doc_id", "text", v2, s2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  // ------------------------------------------------------------ Naive Bayes
+
+  private val nbDocs = Seq(
+    (0L, "good good fine", true),
+    (1L, "good bad", true),
+    (2L, "bad bad awful", false),
+    (3L, "", false)).toDF("doc_id", "text", "keep")
+
+  test("nbTrain: class counts, totals, priors, and llr math are exact") {
+    val (model, prior) = CorpusModels.nbTrain(nbDocs, "text", "keep")
+    val p = prior.collect()(0)
+    assert(p.getAs[Long]("n_pos_docs") === 2L)
+    assert(p.getAs[Long]("n_neg_docs") === 2L)
+    assert(p.getAs[Long]("n_pos_tok") === 5L)
+    assert(p.getAs[Long]("n_neg_tok") === 3L)
+    assert(p.getAs[Long]("vocab_size") === 4L)
+    assert(p.getAs[Long]("prior_fp") === lp(3.0 / 3.0)) // == 0
+    val m = model.collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("c_pos"), r.getAs[Long]("c_neg"), r.getAs[Long]("llr_fp"))).toMap
+    assert(m("good")._1 === 3L && m("good")._2 === 0L)
+    // llr(good) = ln(4/9) - ln(1/7)
+    val expected = math.floor((math.log(4.0 / 9.0) - math.log(1.0 / 7.0)) * 1e9).toLong
+    assert(m("good")._3 === expected)
+    // sign laws: pos-exclusive tokens vote >0, neg-exclusive <0
+    assert(m("good")._3 > 0 && m("fine")._3 > 0)
+    assert(m("bad")._3 < 0 && m("awful")._3 < 0)
+  }
+
+  test("nbScore: decision boundary, neutral unknowns, zero-token docs score the prior") {
+    val (model, prior) = CorpusModels.nbTrain(nbDocs, "text", "keep")
+    val out = CorpusModels.nbScore(nbDocs, "doc_id", "text", model, prior)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("keep_pred") === true)
+    assert(out(2).getAs[Boolean]("keep_pred") === false)
+    // empty doc: exactly the prior (= 0 here), not kept (score_fp > 0 is strict)
+    assert(out(3).getAs[Long]("score_fp") === 0L)
+    assert(out(3).getAs[Boolean]("keep_pred") === false)
+    // unknown tokens vote 0: score is the prior
+    val unk = CorpusModels.nbScore(Seq((7L, "zz qq")).toDF("doc_id", "text"),
+      "doc_id", "text", model, prior).collect()(0)
+    assert(unk.getAs[Long]("score_fp") === 0L)
+  }
+
+  test("NB classifier generalizes the rule gate on the fixture (high agreement)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val stop = Seq("the", "a")
+    val quality = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text"), stop).as("q"))
+    val labels = graft.operators.TextAnalysis.repetitionProfile(docs)
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("q") >= 0.5 && col("top_bigram_frac") <= 0.2 &&
+          col("dup_bigram_frac") <= 0.5 &&
+          col("n_tokens") >= 10 && col("n_tokens") <= 100000).as("keep"))
+    val labeled = docs.join(labels, Seq("doc_id"))
+    val (model, prior) = CorpusModels.nbTrain(labeled, "text", "keep")
+    val scored = CorpusModels.nbScore(docs, "doc_id", "text", model, prior)
+    val agree = scored.join(labels, Seq("doc_id"))
+      .filter(col("keep_pred") === col("keep")).count()
+    assert(agree >= (labels.count() * 0.8).toLong,
+      s"NB agreed on only $agree of ${labels.count()}")
+  }
+
+  // ------------------------------------------------------------------ DSIR
+
+  private val dsirDocs = Seq(
+    (0L, "alpha beta alpha beta", true),
+    (1L, "alpha beta gamma delta", true),
+    (2L, "noise junk noise junk", false),
+    (3L, "alpha", false)).toDF("doc_id", "text", "keep")
+
+  test("dsirModel: target-exclusive grams weigh positive, raw-only negative") {
+    val (model, stats) = CorpusModels.dsirModel(dsirDocs, "text", "keep", 64)
+    val s = stats.collect()(0)
+    assert(s.getAs[Long]("n_target_grams") === 6L) // 3 + 3 bigrams
+    assert(s.getAs[Long]("n_raw_grams") === 9L)    // + 3 from doc 2, 0 from doc 3
+    val m = model.collect()
+    // every target-exclusive bucket (c_target == c_raw): llr > 0;
+    // raw-only (c_target == 0): llr < 0 (N_raw > N_target makes both strict)
+    m.foreach { r =>
+      val (ct, cr, llr) = (r.getAs[Long]("c_target"), r.getAs[Long]("c_raw"),
+        r.getAs[Long]("llr_fp"))
+      if (ct === cr) assert(llr > 0, s"bucket ${r.get(0)}")
+      if (ct === 0L) assert(llr < 0, s"bucket ${r.get(0)}")
+    }
+  }
+
+  test("dsirWeights: target-like docs weigh above raw-only docs; short docs are neutral") {
+    val (model, _) = CorpusModels.dsirModel(dsirDocs, "text", "keep", 64)
+    val w = CorpusModels.dsirWeights(dsirDocs, "doc_id", "text", model, 64)
+      .orderBy("doc_id").collect()
+    assert(w(0).getAs[Long]("weight_fp") > 0)
+    assert(w(2).getAs[Long]("weight_fp") < 0)
+    // single-token doc: no bigrams → neutral 0
+    assert(w(3).getAs[Long]("n_grams") === 0L)
+    assert(w(3).getAs[Long]("weight_fp") === 0L)
+    assert(w(3).getAs[Double]("weight") === 0.0)
+  }
+
+  test("DSIR pipeline is partitioning-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100)
+    val lbl = docs.select(col("doc_id"), (col("doc_id") % 3 === 0).as("t"))
+    val labeled = docs.join(lbl, Seq("doc_id"))
+    val (m1, _) = CorpusModels.dsirModel(labeled, "text", "t", 256)
+    val (m2, _) = CorpusModels.dsirModel(labeled.repartition(11), "text", "t", 256)
+    val a = CorpusModels.dsirWeights(docs, "doc_id", "text", m1, 256)
+      .orderBy("doc_id").collect().toSeq
+    val b = CorpusModels.dsirWeights(docs.repartition(7), "doc_id", "text", m2, 256)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
