@@ -92,14 +92,19 @@ object CorpusModels {
     * CCNet filter sorts on exactly this. */
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
                  vocab: DataFrame, stats: DataFrame): DataFrame = {
+    // Σ_occurrences logp ≡ Σ_distinct cnt·logp over exact longs, so the
+    // model join touches one row per (doc, DISTINCT token) — on natural
+    // corpora a fraction of the token stream (Heaps' law), and the
+    // per-doc count agg combines map-side before anything joins.
     val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tc"))
     val scored = tok
       .join(broadcast(vocab.select(col("token"), col("logp_fp"))), Seq("token"), "left")
       .crossJoin(broadcast(stats.select(col("oov_logp_fp"))))
       .withColumn("lp", coalesce(col("logp_fp"), col("oov_logp_fp")))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n"), (-sum(col("lp"))).as("nll"))
+      .agg(sum(col("__tc")).as("n"), (-sum(col("__tc") * col("lp"))).as("nll"))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
@@ -172,12 +177,16 @@ object CorpusModels {
     * docs score exactly the prior. */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
               model: DataFrame, prior: DataFrame): DataFrame = {
+    // (doc, distinct-token) counts before the model join — the same
+    // cnt-weighted exact-sum reshape as [[perplexity]]
     val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tc"))
     val scored = tok
       .join(broadcast(model.select(col("token"), col("llr_fp"))), Seq("token"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n"), sum(coalesce(col("llr_fp"), lit(0L))).as("s"))
+      .agg(sum(col("__tc")).as("n"),
+        sum(col("__tc") * coalesce(col("llr_fp"), lit(0L))).as("s"))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .crossJoin(broadcast(prior.select(col("prior_fp"))))
@@ -216,13 +225,20 @@ object CorpusModels {
   def dsirModel(docs: DataFrame, textCol: String, targetCol: String,
                 numBuckets: Int): (DataFrame, DataFrame) = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // aggregate to DISTINCT gram strings first (the word-count shuffle
+    // shape, map-side combined), hash only those — md5 runs once per
+    // distinct gram, not once per occurrence
     val grams = docs.select(col(targetCol).as("__tgt"),
-      explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
+        explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
+      .groupBy(col("gram")).agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("gt"),
+        count(lit(1)).as("gr"))
     val counts = grams
-      .select(col("__tgt"), gramBucket(col("gram"), numBuckets).as("bucket"))
+      .select(gramBucket(col("gram"), numBuckets).as("bucket"),
+        col("gt"), col("gr"))
       .groupBy(col("bucket")).agg(
-        sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_target"),
-        count(lit(1)).as("c_raw"))
+        sum(col("gt")).as("c_target"),
+        sum(col("gr")).as("c_raw"))
     val stats = counts.agg(
       sum(col("c_target")).as("n_target_grams"),
       sum(col("c_raw")).as("n_raw_grams"))
@@ -246,13 +262,18 @@ object CorpusModels {
     * division. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   model: DataFrame, numBuckets: Int): DataFrame = {
+    // (doc, distinct-gram) counts before hashing + the model join —
+    // md5 once per (doc, distinct gram), exact cnt-weighted sums after
     val grams = docs.select(col(idCol),
-      explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
+        explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__gc"))
     val scored = grams
-      .select(col(idCol), gramBucket(col("gram"), numBuckets).as("bucket"))
+      .select(col(idCol), col("__gc"),
+        gramBucket(col("gram"), numBuckets).as("bucket"))
       .join(broadcast(model.select(col("bucket"), col("llr_fp"))), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n"), sum(coalesce(col("llr_fp"), lit(0L))).as("s"))
+      .agg(sum(col("__gc")).as("n"),
+        sum(col("__gc") * coalesce(col("llr_fp"), lit(0L))).as("s"))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
