@@ -196,6 +196,29 @@ object CorpusModels {
       .withColumn("keep_pred", col("score_fp") > 0)
   }
 
+  /** Per-ROW NB scoring for the streaming/serving path: the model
+    * rides the closure as a plain Map (kilobytes at capped vocabs)
+    * and every row scores independently — stateless, no aggregation,
+    * so it runs under any streaming output mode with zero state
+    * store. Produces exactly [[nbScore]]'s integers (same long sums,
+    * same neutral-0 unknowns); batch==stream parity is spec-gated. */
+  def nbScoreColumn(model: Map[String, Long], priorFp: Long)(text: Column): Column = {
+    val scoreUdf = udf { (toks: Seq[String]) =>
+      var s = priorFp
+      var i = 0
+      while (i < toks.length) { s += model.getOrElse(toks(i), 0L); i += 1 }
+      s
+    }
+    scoreUdf(TextAnalysis.tokens(text))
+  }
+
+  /** Collect a [[nbTrain]] model into the closure-sized form
+    * [[nbScoreColumn]] wants. Bounded by the vocab (cap it at scale —
+    * the same contract as the scoring broadcast). */
+  def nbModelMap(model: DataFrame): Map[String, Long] =
+    model.select(col("token"), col("llr_fp")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   // ------------------------------------------------ DSIR importance weights
 
   /** Hashed-bigram feature bucket: top-60-md5-bits of the gram string

@@ -139,6 +139,20 @@ object StreamingIngest {
       .withColumn(textCol, graft.operators.Pii.redact(t))
   }
 
+  /** Streaming classifier scoring: the stream twin of `cls_nb_gate`'s
+    * score stage. The trained NB model (train stays a batch/at-rest
+    * job by design — it needs corpus-global counts) rides the closure
+    * as a Map, so scoring is one stateless narrow projection: no
+    * aggregation, no state store, any output mode. Batch==stream
+    * integer parity is spec-gated ([[graft.operators.CorpusModels
+    * .nbScoreColumn]] produces exactly `nbScore`'s long sums). */
+  def scoreDocStream(docs: DataFrame, model: Map[String, Long],
+                     priorFp: Long, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("score_fp",
+        graft.operators.CorpusModels.nbScoreColumn(model, priorFp)(col(textCol)))
+      .withColumn("keep_pred", col("score_fp") > 0)
+
   /** Stream-static enrichment join: events stream × document dimension
     * table. The static side is broadcast (it is re-read per micro-batch,
     * so at scale persist it), keeping the stream side shuffle-free —

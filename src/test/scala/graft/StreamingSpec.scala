@@ -381,4 +381,41 @@ class StreamingSpec extends SparkSpec {
       assert(stream(1)._2.contains("<IP>") && !stream(1)._2.contains("10.1.2.3"))
     } finally q.stop()
   }
+
+  test("streaming NB scoring twin: stateless, batch==stream integer parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusModels
+    // train on a batch corpus (train is a batch job by design)
+    val corpus = Seq(
+      (0L, "good good fine", true), (1L, "good bad", true),
+      (2L, "bad bad awful", false), (3L, "mixed good bad", false))
+      .toDF("doc_id", "text", "keep")
+    val (model, prior) = CorpusModels.nbTrain(corpus, "text", "keep")
+    val mm = CorpusModels.nbModelMap(model)
+    val pf = prior.collect()(0).getAs[Long]("prior_fp")
+    // batch scores over fresh docs (incl. unknown tokens + empty)
+    val fresh = Seq((10L, "good fine fine"), (11L, "awful zz"), (12L, ""))
+      .toDF("doc_id", "text")
+    val batch = CorpusModels.nbScore(fresh, "doc_id", "text", model, prior)
+      .select($"doc_id", $"score_fp", $"keep_pred")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // the same docs through the stream twin
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamingIngest.scoreDocStream(
+      input.toDF().toDF("doc_id", "text"), mm, pf)
+    val q = scored.writeStream.format("memory").queryName("nb_scored")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((10L, "good fine fine"), (11L, "awful zz"))
+      q.processAllAvailable()
+      input.addData((12L, "")) // second epoch: stateless — still scores
+      q.processAllAvailable()
+      val stream = spark.table("nb_scored")
+        .select($"doc_id", $"score_fp", $"keep_pred")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(stream === batch)
+      // and the plan is stateless: no state store operators
+      assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
+    } finally q.stop()
+  }
 }
