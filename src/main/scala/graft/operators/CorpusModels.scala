@@ -285,23 +285,89 @@ object CorpusModels {
     * division. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   model: DataFrame, numBuckets: Int): DataFrame = {
-    // (doc, distinct-gram) counts before hashing + the model join —
-    // md5 once per (doc, distinct gram), exact cnt-weighted sums after
-    val grams = docs.select(col(idCol),
-        explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__gc"))
-    val scored = grams
-      .select(col(idCol), col("__gc"),
-        gramBucket(col("gram"), numBuckets).as("bucket"))
+    // Dictionary-encode the hash: the md5→bucket chain runs once per
+    // GLOBALLY distinct gram (Heaps-bounded — the distinct agg
+    // map-side combines, shuffling only distinct-per-partition
+    // grams), producing a (gram, llr) dictionary that broadcast-joins
+    // back by plain string equality. The corpus-sized occurrence
+    // stream is never hashed, never pre-grouped (bigrams barely
+    // repeat within a doc, so a (doc, gram) pre-agg is a fat
+    // composite-key shuffle for nothing — unlike [[nbScore]]'s
+    // tokens); the only corpus-sized shuffle is the per-doc sum,
+    // map-side combined to one row per doc per partition. At a scale
+    // where the distinct-gram dictionary outgrows a broadcast, hash
+    // per occurrence instead — the hashing trick's direct form; both
+    // forms produce identical integers.
+    val occ = docs.select(col(idCol),
+      explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
+    val gramLlr = occ.select(col("gram")).distinct()
+      .withColumn("bucket", gramBucket(col("gram"), numBuckets))
       .join(broadcast(model.select(col("bucket"), col("llr_fp"))), Seq("bucket"), "left")
+      .select(col("gram"), coalesce(col("llr_fp"), lit(0L)).as("__llr"))
+    val scored = occ
+      .join(broadcast(gramLlr), Seq("gram"))
       .groupBy(col(idCol))
-      .agg(sum(col("__gc")).as("n"),
-        sum(col("__gc") * coalesce(col("llr_fp"), lit(0L))).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("__llr")).as("s"))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n"), lit(0L)).as("n_grams"),
         coalesce(col("s"), lit(0L)).as("weight_fp"),
         (coalesce(col("s"), lit(0L)).cast("double") / lit(LpScale)).as("weight"))
+  }
+
+  /** Fused train+score DSIR over one corpus (the self-weighting shape
+    * the curation pipeline runs): the bigram occurrence stream
+    * materializes ONCE (persisted, self-releasing) and feeds both the
+    * model aggregation and the per-doc weight sums, and the train
+    * agg's distinct-gram table doubles as the scoring dictionary — no
+    * second explode, no separate distinct. `publish` is the
+    * oracle-handoff hook for the model table (identity by default).
+    * Output and integers are exactly [[dsirModel]]+[[dsirWeights]]. */
+  def dsirPipeline(docs: DataFrame, idCol: String, textCol: String,
+                   targetCol: String, numBuckets: Int,
+                   publish: DataFrame => DataFrame = identity): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val occ = docs.select(col(idCol), col(targetCol).as("__tgt"),
+        explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = occ.groupBy(col("gram")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("gt"),
+      count(lit(1)).as("gr"))
+    val bucketed = grams
+      .select(gramBucket(col("gram"), numBuckets).as("bucket"),
+        col("gram"), col("gt"), col("gr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = bucketed
+      .groupBy(col("bucket")).agg(
+        sum(col("gt")).as("c_target"),
+        sum(col("gr")).as("c_raw"))
+    val stats = counts.agg(
+      sum(col("c_target")).as("n_target_grams"),
+      sum(col("c_raw")).as("n_raw_grams"))
+    val model = publish(counts.crossJoin(broadcast(stats))
+      .withColumn("llr_fp",
+        floor((log((col("c_target") + lit(1)).cast("double") /
+                   (col("n_target_grams") + lit(numBuckets)).cast("double")) -
+               log((col("c_raw") + lit(1)).cast("double") /
+                   (col("n_raw_grams") + lit(numBuckets)).cast("double"))) *
+          lit(LpScale)).cast("long"))
+      .select(col("bucket"), col("c_target"), col("c_raw"), col("llr_fp")))
+    val gramLlr = bucketed.select(col("gram"), col("bucket"))
+      .join(broadcast(model.select(col("bucket"), col("llr_fp"))), Seq("bucket"), "left")
+      .select(col("gram"), coalesce(col("llr_fp"), lit(0L)).as("__llr"))
+    val scored = occ
+      .join(broadcast(gramLlr), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), sum(col("__llr")).as("s"))
+    val out = docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_grams"),
+        coalesce(col("s"), lit(0L)).as("weight_fp"),
+        (coalesce(col("s"), lit(0L)).cast("double") / lit(LpScale)).as("weight"))
+    Dedup.releaseAfterUse(occ)
+    Dedup.releaseAfterUse(bucketed)
+    out
   }
 }

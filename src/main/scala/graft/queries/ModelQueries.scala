@@ -96,9 +96,8 @@ object ModelQueries {
     "dsir_weights" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
-      val (model0, _) = CorpusModels.dsirModel(labeled, "text", "keep", DsirBuckets)
-      val model = Handoff.publish(model0, DsirModelHandoff)
-      CorpusModels.dsirWeights(docs, "doc_id", "text", model, DsirBuckets)
+      CorpusModels.dsirPipeline(labeled, "doc_id", "text", "keep", DsirBuckets,
+          publish = Handoff.publish(_, DsirModelHandoff))
         .orderBy(col("doc_id"))
     },
     // SemDeDup over the SAME persisted IVF index the ANN path

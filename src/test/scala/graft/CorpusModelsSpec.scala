@@ -171,6 +171,18 @@ class CorpusModelsSpec extends SparkSpec {
     assert(w(3).getAs[Double]("weight") === 0.0)
   }
 
+  test("dsirPipeline == dsirModel + dsirWeights (fused path changes no integer)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val lbl = docs.select(col("doc_id"), (col("doc_id") % 4 =!= 0).as("t"))
+    val labeled = docs.join(lbl, Seq("doc_id"))
+    val (model, _) = CorpusModels.dsirModel(labeled, "text", "t", 128)
+    val split = CorpusModels.dsirWeights(labeled, "doc_id", "text", model, 128)
+      .orderBy("doc_id").collect().toSeq
+    val fused = CorpusModels.dsirPipeline(labeled, "doc_id", "text", "t", 128)
+      .orderBy("doc_id").collect().toSeq
+    assert(fused === split)
+  }
+
   test("DSIR pipeline is partitioning-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .limit(100)
