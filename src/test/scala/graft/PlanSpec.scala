@@ -199,6 +199,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("model scoring plans: model rides a broadcast join, corpus never shuffles for it") {
+    import graft.operators.CorpusModels
+    val docs = Tables.documents(spark, sfDir)
+    val (vocab, stats) = CorpusModels.unigramLm(docs, "text", 24)
+    val ppl = CorpusModels.perplexity(docs, "doc_id", "text", vocab, stats)
+    val pPpl = plan(ppl)
+    assert(pPpl.contains("BroadcastExchange"), pPpl)
+    // the only hash shuffles are the (doc, token) count agg and the
+    // per-doc sum + the final doc left-join — the model side never
+    // exchanges more than its broadcast
+    assert(!pPpl.contains("SortMergeJoin") ||
+      !pPpl.split("SortMergeJoin")(0).contains("logp_fp"),
+      "model join must not sort-merge:\n" + pPpl)
+    val lbl = docs.select($"doc_id", ($"doc_id" % 3 === 0).as("t"))
+    val labeled = docs.join(lbl, Seq("doc_id"))
+    val w = CorpusModels.dsirPipeline(labeled, "doc_id", "text", "t", 256)
+    val pW = plan(w)
+    assert(pW.contains("BroadcastExchange"), pW)
+  }
+
   test("retriever factory (E1) returns a curried query function") {
     val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(50)
     val store = ChunkStore.dualWrite(
