@@ -48,6 +48,19 @@ object ModelQueries {
 
   private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** SemDeDup's index: cluster count scales with the corpus —
+    * max(16, n/1000) — so average cluster occupancy stays ~1000 and
+    * the within-cluster candidate count stays LINEAR in n (fixed k
+    * makes clusters grow with the corpus and candidates quadratic:
+    * measured 105 s at the 100× fixture before this, Σ|c|² ≈ 1.25B
+    * pairs). At fixture SFs (n ≤ 2000) this resolves to k=16 — the
+    * identical shared index the ANN/census paths use. Also the bench
+    * warmup hook: the build must not sit in the timed window. */
+  def semdedupIndex(s: SparkSession, dir: String): graft.operators.Ann.IvfIndex = {
+    val n = Tables.embeddings(s, dir).count()
+    AnnQueries.persistedIvf(s, dir, math.max(16, (n / 1000L).toInt))
+  }
+
   /** The rule-based quality-gate labels (the t_quality_gate verdict,
     * reduced to (doc_id, keep)) — training labels for the NB
     * classifier and the DSIR target distribution. */
@@ -101,11 +114,13 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     },
     // SemDeDup over the SAME persisted IVF index the ANN path
-    // searches. Centroids + assignment are the handoffs (the index
-    // artifact, scalatest-gated); pairs, components, and the
-    // keep-farthest-from-centroid rule all replay in SQL.
+    // searches at fixture scale (see [[semdedupIndex]] for the
+    // corpus-proportional cluster count). Centroids + assignment are
+    // the handoffs (the index artifact, scalatest-gated); pairs,
+    // components, and the keep-farthest-from-centroid rule all
+    // replay in SQL.
     "semdedup_keep" -> { (s, dir) =>
-      val index = AnnQueries.persistedIvf(s, dir)
+      val index = semdedupIndex(s, dir)
       if (!Handoff.benchMode) {
         graft.operators.Ann.centroidsDf(s, index.centroids, "cluster_id")
           .coalesce(1).write.mode("overwrite").parquet(SemCentHandoff)
