@@ -43,6 +43,14 @@ object CorpusModels {
 
   private def lpFp(p: Column): Column = floor(log(p) * lit(LpScale)).cast("long")
 
+  /** The one smoothed log-likelihood-ratio vote both classifiers use:
+    * floor((ln((cA+1)/denomA) − ln((cB+1)/denomB))·1e9) as BIGINT —
+    * counts +1-smoothed, denominators passed pre-summed (N + V). */
+  private def llrFp(cA: Column, denomA: Column, cB: Column, denomB: Column): Column =
+    floor((log((cA + lit(1)).cast("double") / denomA.cast("double")) -
+           log((cB + lit(1)).cast("double") / denomB.cast("double"))) *
+      lit(LpScale)).cast("long")
+
   // ---------------------------------------------------------- unigram LM
 
   /** Train a Laplace-smoothed unigram LM over `textCol` tokens.
@@ -152,12 +160,9 @@ object CorpusModels {
       sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos_docs"),
       sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg_docs"))
     val model = counts.crossJoin(broadcast(totals))
-      .withColumn("llr_fp",
-        floor((log((col("c_pos") + lit(1)).cast("double") /
-                   (col("n_pos_tok") + col("vocab_size")).cast("double")) -
-               log((col("c_neg") + lit(1)).cast("double") /
-                   (col("n_neg_tok") + col("vocab_size")).cast("double"))) *
-          lit(LpScale)).cast("long"))
+      .withColumn("llr_fp", llrFp(
+        col("c_pos"), col("n_pos_tok") + col("vocab_size"),
+        col("c_neg"), col("n_neg_tok") + col("vocab_size")))
       .select(col("token"), col("c_pos"), col("c_neg"), col("llr_fp"))
     val prior = docTotals.crossJoin(totals)
       .withColumn("prior_fp",
@@ -205,8 +210,12 @@ object CorpusModels {
   def nbScoreColumn(model: Map[String, Long], priorFp: Long)(text: Column): Column = {
     val scoreUdf = udf { (toks: Seq[String]) =>
       var s = priorFp
-      var i = 0
-      while (i < toks.length) { s += model.getOrElse(toks(i), 0L); i += 1 }
+      // null text → null token array: score the prior, like the batch
+      // path's left join does (parity contract incl. null rows)
+      if (toks != null) {
+        var i = 0
+        while (i < toks.length) { s += model.getOrElse(toks(i), 0L); i += 1 }
+      }
       s
     }
     scoreUdf(TextAnalysis.tokens(text))
@@ -266,12 +275,9 @@ object CorpusModels {
       sum(col("c_target")).as("n_target_grams"),
       sum(col("c_raw")).as("n_raw_grams"))
     val model = counts.crossJoin(broadcast(stats))
-      .withColumn("llr_fp",
-        floor((log((col("c_target") + lit(1)).cast("double") /
-                   (col("n_target_grams") + lit(numBuckets)).cast("double")) -
-               log((col("c_raw") + lit(1)).cast("double") /
-                   (col("n_raw_grams") + lit(numBuckets)).cast("double"))) *
-          lit(LpScale)).cast("long"))
+      .withColumn("llr_fp", llrFp(
+        col("c_target"), col("n_target_grams") + lit(numBuckets),
+        col("c_raw"), col("n_raw_grams") + lit(numBuckets)))
       .select(col("bucket"), col("c_target"), col("c_raw"), col("llr_fp"))
     (model, stats)
   }
@@ -346,12 +352,9 @@ object CorpusModels {
       sum(col("c_target")).as("n_target_grams"),
       sum(col("c_raw")).as("n_raw_grams"))
     val model = publish(counts.crossJoin(broadcast(stats))
-      .withColumn("llr_fp",
-        floor((log((col("c_target") + lit(1)).cast("double") /
-                   (col("n_target_grams") + lit(numBuckets)).cast("double")) -
-               log((col("c_raw") + lit(1)).cast("double") /
-                   (col("n_raw_grams") + lit(numBuckets)).cast("double"))) *
-          lit(LpScale)).cast("long"))
+      .withColumn("llr_fp", llrFp(
+        col("c_target"), col("n_target_grams") + lit(numBuckets),
+        col("c_raw"), col("n_raw_grams") + lit(numBuckets)))
       .select(col("bucket"), col("c_target"), col("c_raw"), col("llr_fp")))
     val gramLlr = bucketed.select(col("gram"), col("bucket"))
       .join(broadcast(model.select(col("bucket"), col("llr_fp"))), Seq("bucket"), "left")

