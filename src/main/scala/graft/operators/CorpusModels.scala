@@ -124,6 +124,93 @@ object CorpusModels {
           .as("cross_entropy"))
   }
 
+  // ----------------------------------------------------------- bigram LM
+
+  /** Train a Laplace-smoothed BIGRAM LM — the context-aware upgrade of
+    * [[unigramLm]] (CCNet's filter uses exactly this family's
+    * perplexity, just at higher order): p(w|u) = (c(u,w)+1)/(c(u)+V).
+    *
+    * Returns (bigrams, contexts):
+    *  - bigrams: (ctx, tok, c_uw, logp_fp) — the `bigramCap` most
+    *    frequent transitions (count desc, ctx asc, tok asc);
+    *  - contexts: (ctx, c_u, oov_logp_fp) for EVERY observed context
+    *    (vocab-bounded), where c_u = Σ_w c(u,w) and oov_logp_fp =
+    *    floor(ln(1/(c_u+V))·1e9) — the score of a transition out of a
+    *    known context whose target fell outside the capped table.
+    *    Both ln mappings are precomputed per model row, so scoring
+    *    needs no separate stats handoff.
+    *
+    * Same shuffle shape as the unigram train: one explode + two
+    * map-side-combined aggs ((ctx,tok) then ctx). */
+  /** (ctx, tok) transition rows without round-tripping through the
+    * concatenated "u w" gram string (build + re-split doubled the
+    * bytes in the hot explode): two clamped slices zipped into named
+    * structs. Empty/one-token docs produce empty arrays → explode
+    * drops them. */
+  private def transitions(docs: DataFrame, keep: Seq[Column],
+                          textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val len = greatest(size(toks) - lit(1), lit(0))
+    val zipped = zip_with(
+      slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (c, t) => struct(c.as("ctx"), t.as("tok")))
+    docs.select(keep :+ explode(zipped).as("__tr"): _*)
+      .select(keep :+ col("__tr.ctx") :+ col("__tr.tok"): _*)
+  }
+
+  def bigramLm(docs: DataFrame, textCol: String, bigramCap: Int)
+      : (DataFrame, DataFrame) = {
+    require(bigramCap > 0, s"bigramCap must be positive, got $bigramCap")
+    val tok = TextAnalysis.tokens(col(textCol))
+    val trans = transitions(docs, Seq.empty, textCol)
+    val pairCounts = trans.groupBy(col("ctx"), col("tok"))
+      .agg(count(lit(1)).as("c_uw"))
+    val ctxCounts = pairCounts.groupBy(col("ctx")).agg(sum(col("c_uw")).as("c_u"))
+    val vocab = docs.select(explode(tok).as("t")).agg(
+      countDistinct(col("t")).as("v"))
+    val contexts = ctxCounts.crossJoin(broadcast(vocab))
+      .withColumn("oov_logp_fp",
+        lpFp(lit(1.0) / (col("c_u") + col("v")).cast("double")))
+      .select(col("ctx"), col("c_u"), col("oov_logp_fp"))
+    val bigrams = pairCounts
+      .orderBy(col("c_uw").desc, col("ctx"), col("tok")).limit(bigramCap)
+      .join(ctxCounts, Seq("ctx"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp_fp",
+        lpFp((col("c_uw") + lit(1)).cast("double") /
+             (col("c_u") + col("v")).cast("double")))
+      .select(col("ctx"), col("tok"), col("c_uw"), col("logp_fp"))
+    (bigrams, contexts)
+  }
+
+  /** Per-document cross-entropy over bigram TRANSITIONS: (idCol,
+    * n_transitions, nll_fp, cross_entropy) for every document; docs
+    * with < 2 tokens have no transitions and score 0. Transitions out
+    * of a known context to a capped-out target take the context's OOV
+    * log-prob (scoring the training corpus, every context is known —
+    * the inner contexts join is total by construction, and a foreign
+    * doc's unknown context drops the transition, spec-pinned). */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                       bigrams: DataFrame, contexts: DataFrame): DataFrame = {
+    val trans = transitions(docs, Seq(col(idCol)), textCol)
+    val scored = trans
+      .join(broadcast(bigrams.select(col("ctx"), col("tok"), col("logp_fp"))),
+        Seq("ctx", "tok"), "left")
+      .join(broadcast(contexts.select(col("ctx"), col("oov_logp_fp"))), Seq("ctx"))
+      .withColumn("lp", coalesce(col("logp_fp"), col("oov_logp_fp")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), (-sum(col("lp"))).as("nll"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_transitions"),
+        coalesce(col("nll"), lit(0L)).as("nll_fp"),
+        when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("nll").cast("double") / lit(LpScale) /
+            col("n").cast("double"))
+          .as("cross_entropy"))
+  }
+
   // ------------------------------------------- Naive-Bayes quality classifier
 
   /** Train a multinomial Naive-Bayes classifier from boolean-labeled

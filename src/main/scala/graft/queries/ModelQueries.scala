@@ -33,6 +33,8 @@ object ModelQueries {
 
   private val LmVocabHandoff   = Handoff.path("lm_vocab")
   private val LmStatsHandoff   = Handoff.path("lm_stats")
+  private val LmBigramsHandoff = Handoff.path("lm_bigrams")
+  private val LmCtxHandoff     = Handoff.path("lm_contexts")
   private val NbModelHandoff   = Handoff.path("nb_model")
   private val NbPriorHandoff   = Handoff.path("nb_prior")
   private val DsirModelHandoff = Handoff.path("dsir_model")
@@ -43,6 +45,10 @@ object ModelQueries {
     * tokens, so 24 genuinely exercises the OOV path the cap exists
     * for (at 100 TB the same knob would sit at ~1M). */
   private val LmCap = 24
+
+  /** Bigram-table cap: the fixture has ~916 distinct transitions, so
+    * 512 exercises the per-context OOV fallback. */
+  private val BigramCap = 512
 
   private val DsirBuckets = 1024
 
@@ -87,6 +93,17 @@ object ModelQueries {
       val vocab = Handoff.publish(vocab0, LmVocabHandoff)
       val stats = Handoff.publish(stats0, LmStatsHandoff)
       CorpusModels.perplexity(docs, "doc_id", "text", vocab, stats)
+        .orderBy(col("doc_id"))
+    },
+    // the context-aware LM signal (CCNet's actual model family):
+    // bigram transitions with per-context Laplace smoothing; capped
+    // transition table + full context table are the handoffs.
+    "lm_bigram_ppl" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (bi0, ctx0) = CorpusModels.bigramLm(docs, "text", BigramCap)
+      val bi = Handoff.publish(bi0, LmBigramsHandoff)
+      val ctx = Handoff.publish(ctx0, LmCtxHandoff)
+      CorpusModels.bigramPerplexity(docs, "doc_id", "text", bi, ctx)
         .orderBy(col("doc_id"))
     },
     // classifier-based quality filter: NB trained on the rule-gate
@@ -195,6 +212,56 @@ object ModelQueries {
          |)
          |SELECT d.doc_id,
          |       CAST(coalesce(g.n, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(g.nll, 0) AS BIGINT) AS nll_fp,
+         |       CASE WHEN coalesce(g.n, 0) = 0 THEN 0.0
+         |            ELSE CAST(g.nll AS DOUBLE) / 1000000000.0 / CAST(g.n AS DOUBLE)
+         |       END AS cross_entropy
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // verify the bigram LM end-to-end: recompute transitions, pair
+    // counts, context totals, vocab, and the cap SELECTION; accept
+    // handoff rows on count match with row-count guards; replay
+    // scoring with the per-context OOV fallback.
+    "lm_bigram_ppl" ->
+      s"""WITH hb AS (SELECT * FROM ${rp(LmBigramsHandoff)}),
+         |hc AS (SELECT * FROM ${rp(LmCtxHandoff)}),
+         |tt AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents
+         |), t AS (
+         |  SELECT doc_id, w[i] AS ctx, w[i+1] AS tok
+         |  FROM tt, unnest(range(1, len(w))) AS u(i)
+         |  WHERE len(w) >= 2
+         |), pc AS (
+         |  SELECT ctx, tok, CAST(count(*) AS BIGINT) AS c_uw
+         |  FROM t GROUP BY ctx, tok
+         |), cc AS (
+         |  SELECT ctx, CAST(sum(c_uw) AS BIGINT) AS c_u FROM pc GROUP BY ctx
+         |), hcv AS (
+         |  SELECT hc.ctx, hc.oov_logp_fp
+         |  FROM hc JOIN cc ON hc.ctx = cc.ctx AND hc.c_u = cc.c_u
+         |  WHERE (SELECT count(*) FROM hc) = (SELECT count(*) FROM cc)
+         |), cap AS (
+         |  SELECT ctx, tok, c_uw FROM pc
+         |  ORDER BY c_uw DESC, ctx, tok LIMIT $BigramCap
+         |), hbv AS (
+         |  SELECT hb.ctx, hb.tok, hb.logp_fp
+         |  FROM hb JOIN cap ON hb.ctx = cap.ctx AND hb.tok = cap.tok
+         |                  AND hb.c_uw = cap.c_uw
+         |  WHERE (SELECT count(*) FROM hb) =
+         |        least($BigramCap, (SELECT count(*) FROM pc))
+         |), sc AS (
+         |  SELECT t.doc_id, coalesce(hbv.logp_fp, hcv.oov_logp_fp) AS lp
+         |  FROM t
+         |  LEFT JOIN hbv ON t.ctx = hbv.ctx AND t.tok = hbv.tok
+         |  JOIN hcv ON t.ctx = hcv.ctx
+         |), g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(-sum(lp) AS BIGINT) AS nll
+         |  FROM sc GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(g.n, 0) AS BIGINT) AS n_transitions,
          |       CAST(coalesce(g.nll, 0) AS BIGINT) AS nll_fp,
          |       CASE WHEN coalesce(g.n, 0) = 0 THEN 0.0
          |            ELSE CAST(g.nll AS DOUBLE) / 1000000000.0 / CAST(g.n AS DOUBLE)

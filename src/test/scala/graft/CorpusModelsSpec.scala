@@ -71,6 +71,53 @@ class CorpusModelsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ------------------------------------------------------------- bigram LM
+
+  test("bigramLm: pair/context counts, cap selection, per-context smoothing math") {
+    val (bi, ctx) = CorpusModels.bigramLm(lmDocs, "text", bigramCap = 2)
+    // transitions: (a,a), (a,b) from doc 0; (b,c) from doc 1; V = 3
+    val c = ctx.collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("c_u"), r.getAs[Long]("oov_logp_fp"))).toMap
+    assert(c("a") === ((2L, lp(1.0 / 5.0))))
+    assert(c("b") === ((1L, lp(1.0 / 4.0))))
+    // cap 2 of 3 by (count desc, ctx, tok): all counts 1 → (a,a), (a,b)
+    val b = bi.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("c_uw"), r.getAs[Long]("logp_fp"))).toMap
+    assert(b.keySet === Set(("a", "a"), ("a", "b")))
+    assert(b(("a", "a")) === ((1L, lp(2.0 / 5.0))))
+  }
+
+  test("bigramPerplexity: transition sums, capped-out OOV fallback, short/unknown docs") {
+    val (bi, ctx) = CorpusModels.bigramLm(lmDocs, "text", bigramCap = 2)
+    val out = CorpusModels.bigramPerplexity(lmDocs, "doc_id", "text", bi, ctx)
+      .orderBy("doc_id").collect()
+    // doc 0 "a a b": both transitions in the capped table
+    assert(out(0).getAs[Long]("nll_fp") === -(lp(2.0 / 5.0) + lp(2.0 / 5.0)))
+    // doc 1 "b c": (b,c) capped out → context-b OOV
+    assert(out(1).getAs[Long]("n_transitions") === 1L)
+    assert(out(1).getAs[Long]("nll_fp") === -lp(1.0 / 4.0))
+    // doc 2 "": no transitions
+    assert(out(2).getAs[Long]("nll_fp") === 0L)
+    assert(out(2).getAs[Double]("cross_entropy") === 0.0)
+    // foreign doc with an UNKNOWN context: the transition drops (the
+    // documented contract — contexts join is inner)
+    val foreign = CorpusModels.bigramPerplexity(
+      Seq((9L, "z z")).toDF("doc_id", "text"), "doc_id", "text", bi, ctx)
+      .collect()(0)
+    assert(foreign.getAs[Long]("n_transitions") === 0L)
+  }
+
+  test("bigram LM is partitioning-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (b1, c1) = CorpusModels.bigramLm(docs, "text", 512)
+    val (b2, c2) = CorpusModels.bigramLm(docs.repartition(17), "text", 512)
+    val a = CorpusModels.bigramPerplexity(docs, "doc_id", "text", b1, c1)
+      .orderBy("doc_id").collect().toSeq
+    val b = CorpusModels.bigramPerplexity(docs.repartition(9), "doc_id", "text", b2, c2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   // ------------------------------------------------------------ Naive Bayes
 
   private val nbDocs = Seq(
