@@ -118,6 +118,79 @@ class CorpusModelsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ---------------------------------- property: naive-reference parity
+  // (the BpeSpec pattern: seeded random corpora vs an independent
+  // driver-side implementation of the full train+score math)
+
+  private def randomCorpus(rnd: scala.util.Random, nDocs: Int): Seq[(Long, String)] = {
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    (0 until nDocs).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+  }
+
+  test("property: unigram perplexity == naive reference on random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 4) {
+      val docs = randomCorpus(rnd, 40)
+      val toksAll = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      if (toksAll.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val cap = 1 + rnd.nextInt(6)
+        val (vocab, stats) = CorpusModels.unigramLm(df, "text", cap)
+        val out = CorpusModels.perplexity(df, "doc_id", "text", vocab, stats)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val counts = toksAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val nTot = toksAll.size.toLong
+        val v = counts.size.toLong
+        val capped = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(cap).toMap
+        def lpTok(t: String): Long = capped.get(t) match {
+          case Some(c) => math.floor(math.log((c + 1).toDouble / (nTot + v)) * 1e9).toLong
+          case None    => math.floor(math.log(1.0 / (nTot + v)) * 1e9).toLong
+        }
+        docs.foreach { case (id, text) =>
+          val ts = text.split(" ").filter(_.nonEmpty).toSeq
+          assert(out(id) === ((ts.length.toLong, -ts.map(lpTok).sum)),
+            s"doc $id round $round cap $cap")
+        }
+      }
+    }
+  }
+
+  test("property: bigram perplexity == naive reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 4) {
+      val docs = randomCorpus(rnd, 40)
+      val trans = docs.flatMap { case (_, text) =>
+        val ts = text.split(" ").filter(_.nonEmpty).toSeq
+        ts.zip(ts.drop(1))
+      }
+      if (trans.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val cap = 1 + rnd.nextInt(10)
+        val (bi, ctx) = CorpusModels.bigramLm(df, "text", cap)
+        val out = CorpusModels.bigramPerplexity(df, "doc_id", "text", bi, ctx)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val pairCounts = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val cu = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val v = docs.flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct.size.toLong
+        val capped = pairCounts.toSeq
+          .sortBy { case ((c, t), n) => (-n, c, t) }.take(cap).toMap
+        def lpTr(p: (String, String)): Long = capped.get(p) match {
+          case Some(c) => math.floor(math.log((c + 1).toDouble / (cu(p._1) + v)) * 1e9).toLong
+          case None    => math.floor(math.log(1.0 / (cu(p._1) + v)) * 1e9).toLong
+        }
+        docs.foreach { case (id, text) =>
+          val ts = text.split(" ").filter(_.nonEmpty).toSeq
+          val tr = ts.zip(ts.drop(1))
+          assert(out(id) === ((tr.length.toLong, -tr.map(lpTr).sum)),
+            s"doc $id round $round cap $cap")
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------------ Naive Bayes
 
   private val nbDocs = Seq(
