@@ -315,6 +315,21 @@ object CorpusModels {
     model.select(col("token"), col("llr_fp")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** Persist a trained NB model next to its corpus (`dir/model`,
+    * `dir/prior`) — the batch-train / online-serve split: a nightly
+    * job rebuilds the model, resident scorers
+    * ([[graft.serving.Serving.scoreNb]]) read the layout with no
+    * Spark session. The model is vocab-bounded → coalesce(1). */
+  def saveNbModel(model: DataFrame, prior: DataFrame, dir: String): Unit = {
+    model.coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    prior.coalesce(1).write.mode("overwrite").parquet(s"$dir/prior")
+  }
+
+  /** Load a [[saveNbModel]] layout back into (model, prior) frames. */
+  def loadNbModel(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/model"), spark.read.parquet(s"$dir/prior"))
+
   // ------------------------------------------------ DSIR importance weights
 
   /** Hashed-bigram feature bucket: top-60-md5-bits of the gram string

@@ -242,4 +242,42 @@ object Serving {
     byDoc.toSeq.map { case (id, (s, c)) => Bm25Hit(id, s, c) }
       .sortBy(h => (-h.bm25Fp, h.id)).take(k)
   }
+
+  // --------------------------------------------------- NB classifier probe
+
+  final case class NbScore(scoreFp: Long, keepPred: Boolean)
+
+  /** Single-document quality-classifier scoring from a
+    * [[graft.operators.CorpusModels.saveNbModel]] layout, no Spark —
+    * the online half of the batch-train/online-serve split: an ingest
+    * front-end gates documents with the nightly-trained model at
+    * driver latency. Same whitespace tokenizer, same fixed-point long
+    * sums, same strict `> 0` decision as the Spark operator
+    * ([[graft.operators.CorpusModels.nbScore]]) — hit-for-hit parity
+    * spec-pinned. The vocab-bounded model map caches per dir for
+    * resident scorers. */
+  def scoreNb(modelDir: String, text: String,
+              conf: Configuration = defaultConf,
+              cache: IndexCache = noCache): NbScore = {
+    val base = modelDir.stripSuffix("/")
+    val llr = cache.getOrLoad(s"$base/model") {
+      val m = mutable.HashMap.empty[String, Long]
+      foreachGroup(conf, s"$base/model") { g =>
+        m(g.getString("token", 0)) = g.getLong("llr_fp", 0)
+      }
+      m.toMap
+    }
+    val priorFp = cache.getOrLoad(s"$base/prior") {
+      var p = 0L; var saw = false
+      foreachGroup(conf, s"$base/prior") { g =>
+        p = g.getLong("prior_fp", 0); saw = true
+      }
+      require(saw, s"no prior row under $base/prior")
+      java.lang.Long.valueOf(p)
+    }.longValue()
+    var s = priorFp
+    if (text != null)
+      text.split(" ").foreach(t => if (t.nonEmpty) s += llr.getOrElse(t, 0L))
+    NbScore(s, s > 0)
+  }
 }

@@ -83,4 +83,32 @@ class ServingSpec extends SparkSpec {
     assert(cache.size === bmSize,
       "a different term set over the same pruned ranges must reuse cached postings")
   }
+
+  test("NB serving probe == Spark nbScore doc for doc, no Spark job on the probe") {
+    import graft.operators.CorpusModels
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val labeled = docs.withColumn("keep", col("doc_id") % 3 =!= 0)
+    val (model, prior) = CorpusModels.nbTrain(labeled, "text", "keep")
+    val dir = java.nio.file.Files.createTempDirectory("nb-serve").toString
+    CorpusModels.saveNbModel(model, prior, dir)
+    val batch = CorpusModels.nbScore(docs, "doc_id", "text", model, prior)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("score_fp"), r.getAs[Boolean]("keep_pred")))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // warm the model map once, then assert the probes launch no jobs
+    Serving.scoreNb(dir, texts.head._2)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val cache = Serving.newCache()
+    texts.foreach { case (id, text) =>
+      val s = Serving.scoreNb(dir, text, cache = cache)
+      assert((s.scoreFp, s.keepPred) === batch(id), s"doc $id")
+    }
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "NB probe must not launch Spark jobs")
+    // null text scores the prior, matching the batch left-join contract
+    val priorFp = prior.collect()(0).getAs[Long]("prior_fp")
+    assert(Serving.scoreNb(dir, null, cache = cache).scoreFp === priorFp)
+  }
 }
