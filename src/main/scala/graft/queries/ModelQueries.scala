@@ -38,6 +38,10 @@ object ModelQueries {
   private val NbModelHandoff   = Handoff.path("nb_model")
   private val NbPriorHandoff   = Handoff.path("nb_prior")
   private val DsirModelHandoff = Handoff.path("dsir_model")
+  private val McpNbModelHandoff = Handoff.path("mcp_nb_model")
+  private val McpNbPriorHandoff = Handoff.path("mcp_nb_prior")
+  private val McpLmVocabHandoff = Handoff.path("mcp_lm_vocab")
+  private val McpLmStatsHandoff = Handoff.path("mcp_lm_stats")
   private val SemCentHandoff   = Handoff.path("semdedup_centroids")
   private val SemAsgHandoff    = Handoff.path("semdedup_assigned")
 
@@ -145,27 +149,60 @@ object ModelQueries {
     // bounds, alphabetic-word fraction, stopword presence) — pure
     // integer/one-division arithmetic, no handoff needed.
     "t_gopher_rules" -> { (s, dir) =>
-      val t = col("text")
-      val toks = TextAnalysis.tokens(t)
-      val n = size(toks).cast("long")
-      val meanLen = when(n === 0, lit(0.0))
-        .otherwise(TextAnalysis.charCount(t).cast("double") / n.cast("double"))
-      val fracAlpha = when(n === 0, lit(0.0))
-        .otherwise(size(filter(toks, x => x.rlike("[a-z]"))).cast("double") /
-          n.cast("double"))
-      val stopHits = TextAnalysis.stopwordHits(t, gopherStops).cast("long")
-      Tables.documents(s, dir).select(
-          col("doc_id"),
-          n.as("n_tokens"),
-          meanLen.as("mean_token_len"),
-          fracAlpha.as("frac_alpha_words"),
-          stopHits.as("n_stop_hits"),
-          (n >= 50 && n <= 100000 &&
-            meanLen >= 3.0 && meanLen <= 10.0 &&
-            fracAlpha >= 0.8 && stopHits >= 2).as("keep"))
+      gopherFrame(s, dir).orderBy(col("doc_id"))
+    },
+    // the composed modern-curation verdict: NB classifier (trained on
+    // the rule-gate labels) AND the Gopher battery decide keep, with
+    // the LM cross-entropy attached for downstream thresholding — the
+    // one declarative plan a training pipeline actually submits. Own
+    // handoff paths (the standalone queries must not clobber them
+    // within one verify run); every stage's oracle replay is composed
+    // into ONE SQL statement from the per-stage chains.
+    "model_curation_pipeline" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
+      val (model0, prior0) = CorpusModels.nbTrain(labeled, "text", "keep")
+      val model = Handoff.publish(model0, McpNbModelHandoff)
+      val prior = Handoff.publish(prior0, McpNbPriorHandoff)
+      val nb = CorpusModels.nbScore(docs, "doc_id", "text", model, prior)
+        .select(col("doc_id"), col("score_fp"), col("keep_pred"))
+      val (vocab0, stats0) = CorpusModels.unigramLm(docs, "text", LmCap)
+      val vocab = Handoff.publish(vocab0, McpLmVocabHandoff)
+      val stats = Handoff.publish(stats0, McpLmStatsHandoff)
+      val ppl = CorpusModels.perplexity(docs, "doc_id", "text", vocab, stats)
+        .select(col("doc_id"), col("cross_entropy"))
+      val gopher = gopherFrame(s, dir)
+        .select(col("doc_id"), col("keep").as("gopher_keep"))
+      nb.join(ppl, Seq("doc_id")).join(gopher, Seq("doc_id"))
+        .select(col("doc_id"), col("score_fp"), col("keep_pred"),
+          col("cross_entropy"), col("gopher_keep"),
+          (col("keep_pred") && col("gopher_keep")).as("keep"))
         .orderBy(col("doc_id"))
     }
   )
+
+  /** The Gopher battery as a frame — shared by `t_gopher_rules` and
+    * the composite pipeline. */
+  private def gopherFrame(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = TextAnalysis.tokens(t)
+    val n = size(toks).cast("long")
+    val meanLen = when(n === 0, lit(0.0))
+      .otherwise(TextAnalysis.charCount(t).cast("double") / n.cast("double"))
+    val fracAlpha = when(n === 0, lit(0.0))
+      .otherwise(size(filter(toks, x => x.rlike("[a-z]"))).cast("double") /
+        n.cast("double"))
+    val stopHits = TextAnalysis.stopwordHits(t, gopherStops).cast("long")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      meanLen.as("mean_token_len"),
+      fracAlpha.as("frac_alpha_words"),
+      stopHits.as("n_stop_hits"),
+      (n >= 50 && n <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        fracAlpha >= 0.8 && stopHits >= 2).as("keep"))
+  }
 
   private def rp(path: String) = s"read_parquet('$path/*.parquet')"
 
@@ -413,6 +450,104 @@ object ModelQueries {
          |SELECT d.vec_id, CAST(d.ivf_cluster AS INTEGER) AS ivf_cluster, d.dist_fp,
          |       d.vec_id NOT IN (SELECT node_id FROM victims) AS kept
          |FROM d ORDER BY vec_id""".stripMargin,
+    // the composite: every stage's replay chain composed into one
+    // statement — NB (labels recomputed via the shared gateCte, class
+    // counts + priors verified, scoring replayed), unigram LM (counts,
+    // totals, cap selection verified, scoring replayed), Gopher rules
+    // (pure SQL) — then the same joins and the same AND verdict.
+    "model_curation_pipeline" ->
+      s"""WITH nm AS (SELECT * FROM ${rp(McpNbModelHandoff)}),
+         |np AS (SELECT * FROM ${rp(McpNbPriorHandoff)}),
+         |uh AS (SELECT * FROM ${rp(McpLmVocabHandoff)}),
+         |us AS (SELECT * FROM ${rp(McpLmStatsHandoff)}),
+         |$labelCte,
+         |tk AS (
+         |  SELECT lt.doc_id, lab.keep, unnest(lt.w) AS token
+         |  FROM lt JOIN lab ON lt.doc_id = lab.doc_id
+         |), c AS (
+         |  SELECT token,
+         |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+         |  FROM tk GROUP BY token
+         |), tot AS (
+         |  SELECT CAST(sum(c_pos) AS BIGINT) AS np_, CAST(sum(c_neg) AS BIGINT) AS nn_,
+         |         CAST(count(*) AS BIGINT) AS v
+         |  FROM c
+         |), dtot AS (
+         |  SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS npd,
+         |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nnd
+         |  FROM lab
+         |), pv AS (
+         |  SELECT np.prior_fp FROM np
+         |  JOIN tot ON np.n_pos_tok = tot.np_ AND np.n_neg_tok = tot.nn_
+         |          AND np.vocab_size = tot.v
+         |  JOIN dtot ON np.n_pos_docs = dtot.npd AND np.n_neg_docs = dtot.nnd
+         |  WHERE (SELECT count(*) FROM nm) = (SELECT v FROM tot)
+         |    AND (SELECT CAST(sum(c_pos) + sum(c_neg) AS BIGINT) FROM nm) =
+         |        (SELECT np_ + nn_ FROM tot)
+         |), mv AS (
+         |  SELECT nm.token, nm.llr_fp
+         |  FROM nm JOIN c ON nm.token = c.token AND nm.c_pos = c.c_pos
+         |                AND nm.c_neg = c.c_neg
+         |), nsc AS (
+         |  SELECT tk.doc_id, coalesce(mv.llr_fp, 0) AS lp
+         |  FROM tk LEFT JOIN mv USING (token)
+         |), ng AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(lp) AS BIGINT) AS s
+         |  FROM nsc GROUP BY doc_id
+         |), uc AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(w) AS token FROM lt) GROUP BY token
+         |), utot AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS vocab_total
+         |  FROM uc
+         |), uvs AS (
+         |  SELECT us.oov_logp_fp FROM us JOIN utot
+         |    ON us.n_tokens = utot.n_tokens AND us.vocab_total = utot.vocab_total
+         |  WHERE (SELECT count(*) FROM uh) =
+         |        least($LmCap, (SELECT vocab_total FROM utot))
+         |), ucap AS (
+         |  SELECT token, cnt FROM uc ORDER BY cnt DESC, token LIMIT $LmCap
+         |), uhv AS (
+         |  SELECT uh.token, uh.logp_fp
+         |  FROM uh JOIN ucap ON uh.token = ucap.token AND uh.cnt = ucap.cnt
+         |), usc AS (
+         |  SELECT t2.doc_id, coalesce(uhv.logp_fp, (SELECT oov_logp_fp FROM uvs)) AS lp
+         |  FROM (SELECT doc_id, unnest(w) AS token FROM lt) t2
+         |  LEFT JOIN uhv USING (token)
+         |), ug AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(-sum(lp) AS BIGINT) AS nll
+         |  FROM usc GROUP BY doc_id
+         |), gp AS (
+         |  SELECT doc_id,
+         |         (len(w) >= 50 AND len(w) <= 100000
+         |          AND (CASE WHEN len(w) = 0 THEN 0.0
+         |               ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) END)
+         |              BETWEEN 3.0 AND 10.0
+         |          AND (CASE WHEN len(w) = 0 THEN 0.0
+         |               ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+         |                      AS DOUBLE) / len(w) END) >= 0.8
+         |          AND len(list_filter(w,
+         |            x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')))
+         |              >= 2) AS gopher_keep
+         |  FROM lt
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(ng.s, 0) + (SELECT prior_fp FROM pv) AS BIGINT) AS score_fp,
+         |       (coalesce(ng.s, 0) + (SELECT prior_fp FROM pv)) > 0 AS keep_pred,
+         |       CASE WHEN coalesce(ug.n, 0) = 0 THEN 0.0
+         |            ELSE CAST(ug.nll AS DOUBLE) / 1000000000.0 / CAST(ug.n AS DOUBLE)
+         |       END AS cross_entropy,
+         |       gp.gopher_keep,
+         |       ((coalesce(ng.s, 0) + (SELECT prior_fp FROM pv)) > 0
+         |        AND gp.gopher_keep) AS keep
+         |FROM documents d
+         |LEFT JOIN ng ON d.doc_id = ng.doc_id
+         |LEFT JOIN ug ON d.doc_id = ug.doc_id
+         |JOIN gp ON d.doc_id = gp.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "t_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, text,
