@@ -126,22 +126,6 @@ object CorpusModels {
 
   // ----------------------------------------------------------- bigram LM
 
-  /** Train a Laplace-smoothed BIGRAM LM — the context-aware upgrade of
-    * [[unigramLm]] (CCNet's filter uses exactly this family's
-    * perplexity, just at higher order): p(w|u) = (c(u,w)+1)/(c(u)+V).
-    *
-    * Returns (bigrams, contexts):
-    *  - bigrams: (ctx, tok, c_uw, logp_fp) — the `bigramCap` most
-    *    frequent transitions (count desc, ctx asc, tok asc);
-    *  - contexts: (ctx, c_u, oov_logp_fp) for EVERY observed context
-    *    (vocab-bounded), where c_u = Σ_w c(u,w) and oov_logp_fp =
-    *    floor(ln(1/(c_u+V))·1e9) — the score of a transition out of a
-    *    known context whose target fell outside the capped table.
-    *    Both ln mappings are precomputed per model row, so scoring
-    *    needs no separate stats handoff.
-    *
-    * Same shuffle shape as the unigram train: one explode + two
-    * map-side-combined aggs ((ctx,tok) then ctx). */
   /** (ctx, tok) transition rows without round-tripping through the
     * concatenated "u w" gram string (build + re-split doubled the
     * bytes in the hot explode): two clamped slices zipped into named
@@ -158,23 +142,56 @@ object CorpusModels {
       .select(keep :+ col("__tr.ctx") :+ col("__tr.tok"): _*)
   }
 
-  def bigramLm(docs: DataFrame, textCol: String, bigramCap: Int)
-      : (DataFrame, DataFrame) = {
+  /** Train a Laplace-smoothed BIGRAM LM — the context-aware upgrade of
+    * [[unigramLm]] (CCNet's filter uses exactly this family's
+    * perplexity, just at higher order): p(w|u) = (c(u,w)+1)/(c(u)+V).
+    *
+    * Returns (bigrams, contexts):
+    *  - bigrams: (ctx, tok, c_uw, logp_fp) — the `bigramCap` most
+    *    frequent transitions (count desc, ctx asc, tok asc);
+    *  - contexts: (ctx, c_u, v, oov_logp_fp) — the `contextCap` most
+    *    frequent contexts (c_u desc, ctx asc), where c_u = Σ_w c(u,w),
+    *    v is the corpus distinct-token count (constant per row, so a
+    *    verifier can re-derive EVERY integer input to both ln
+    *    mappings from the model tables alone), and oov_logp_fp =
+    *    floor(ln(1/(c_u+V))·1e9) — the score of a transition out of a
+    *    known context whose target fell outside the capped transition
+    *    table. The ln values are precomputed per model row, so
+    *    scoring needs no separate stats handoff.
+    *
+    * BOTH caps bound the scoring broadcasts at any corpus size
+    * (web-scale distinct tokens run to 1e9 — an uncapped context
+    * table would not broadcast): transitions to a capped-out target
+    * score the context OOV; transitions out of a capped-out context
+    * DROP, the same contract as an unknown context
+    * ([[bigramPerplexity]]).
+    *
+    * Same shuffle shape as the unigram train: one explode + two
+    * map-side-combined aggs ((ctx,tok) then ctx). */
+  def bigramLm(docs: DataFrame, textCol: String, bigramCap: Int,
+               contextCap: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     require(bigramCap > 0, s"bigramCap must be positive, got $bigramCap")
+    require(contextCap > 0, s"contextCap must be positive, got $contextCap")
     val tok = TextAnalysis.tokens(col(textCol))
     val trans = transitions(docs, Seq.empty, textCol)
     val pairCounts = trans.groupBy(col("ctx"), col("tok"))
       .agg(count(lit(1)).as("c_uw"))
-    val ctxCounts = pairCounts.groupBy(col("ctx")).agg(sum(col("c_uw")).as("c_u"))
+    val ctxAll = pairCounts.groupBy(col("ctx")).agg(sum(col("c_uw")).as("c_u"))
+    val ctxCapped =
+      if (contextCap == Int.MaxValue) ctxAll
+      else ctxAll.orderBy(col("c_u").desc, col("ctx")).limit(contextCap)
     val vocab = docs.select(explode(tok).as("t")).agg(
       countDistinct(col("t")).as("v"))
-    val contexts = ctxCounts.crossJoin(broadcast(vocab))
+    val contexts = ctxCapped.crossJoin(broadcast(vocab))
       .withColumn("oov_logp_fp",
         lpFp(lit(1.0) / (col("c_u") + col("v")).cast("double")))
-      .select(col("ctx"), col("c_u"), col("oov_logp_fp"))
+      .select(col("ctx"), col("c_u"), col("v"), col("oov_logp_fp"))
+    // bigram log-probs use the TRUE (uncapped) context totals: a
+    // capped-in transition under a capped-out context is simply never
+    // reached by scoring (the contexts join drops it first)
     val bigrams = pairCounts
       .orderBy(col("c_uw").desc, col("ctx"), col("tok")).limit(bigramCap)
-      .join(ctxCounts, Seq("ctx"))
+      .join(ctxAll, Seq("ctx"))
       .crossJoin(broadcast(vocab))
       .withColumn("logp_fp",
         lpFp((col("c_uw") + lit(1)).cast("double") /

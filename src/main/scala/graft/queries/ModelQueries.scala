@@ -54,6 +54,10 @@ object ModelQueries {
     * 512 exercises the per-context OOV fallback. */
   private val BigramCap = 512
 
+  /** Context-table cap: the fixture has ~31 distinct contexts, so 24
+    * exercises the capped-out-context drop path. */
+  private val BigramCtxCap = 24
+
   private val DsirBuckets = 1024
 
   private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -86,25 +90,42 @@ object ModelQueries {
   private def gateLabels(s: SparkSession, dir: String): DataFrame =
     TextQueries.qualityGateFrame(s, dir).select(col("doc_id"), col("keep"))
 
+  /** Train-publish-score NB over `dir`'s corpus — the ONE Spark-side
+    * owner of the stage, shared by `cls_nb_gate` and the composite
+    * (which differ only in handoff paths and final projection). */
+  private def nbScored(s: SparkSession, dir: String,
+                       modelPath: String, priorPath: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
+    val (model0, prior0) = CorpusModels.nbTrain(labeled, "text", "keep")
+    CorpusModels.nbScore(docs, "doc_id", "text",
+      Handoff.publish(model0, modelPath), Handoff.publish(prior0, priorPath))
+  }
+
+  /** Train-publish-score the unigram LM — the stage's one Spark-side
+    * owner, shared by `lm_perplexity` and the composite. */
+  private def lmScored(s: SparkSession, dir: String,
+                       vocabPath: String, statsPath: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (vocab0, stats0) = CorpusModels.unigramLm(docs, "text", LmCap)
+    CorpusModels.perplexity(docs, "doc_id", "text",
+      Handoff.publish(vocab0, vocabPath), Handoff.publish(stats0, statsPath))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CCNet-style LM quality signal: train the smoothed unigram LM on
     // the corpus, score every doc's cross-entropy under it. The
     // capped vocab + stats row are the handoffs; scoring is replayed
     // from them over independently recomputed token streams.
     "lm_perplexity" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val (vocab0, stats0) = CorpusModels.unigramLm(docs, "text", LmCap)
-      val vocab = Handoff.publish(vocab0, LmVocabHandoff)
-      val stats = Handoff.publish(stats0, LmStatsHandoff)
-      CorpusModels.perplexity(docs, "doc_id", "text", vocab, stats)
-        .orderBy(col("doc_id"))
+      lmScored(s, dir, LmVocabHandoff, LmStatsHandoff).orderBy(col("doc_id"))
     },
     // the context-aware LM signal (CCNet's actual model family):
     // bigram transitions with per-context Laplace smoothing; capped
     // transition table + full context table are the handoffs.
     "lm_bigram_ppl" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val (bi0, ctx0) = CorpusModels.bigramLm(docs, "text", BigramCap)
+      val (bi0, ctx0) = CorpusModels.bigramLm(docs, "text", BigramCap, BigramCtxCap)
       val bi = Handoff.publish(bi0, LmBigramsHandoff)
       val ctx = Handoff.publish(ctx0, LmCtxHandoff)
       CorpusModels.bigramPerplexity(docs, "doc_id", "text", bi, ctx)
@@ -115,13 +136,7 @@ object ModelQueries {
     // decision; divergence from the rule labels is exactly the
     // classifier's generalization (spec-gated for accuracy).
     "cls_nb_gate" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
-      val (model0, prior0) = CorpusModels.nbTrain(labeled, "text", "keep")
-      val model = Handoff.publish(model0, NbModelHandoff)
-      val prior = Handoff.publish(prior0, NbPriorHandoff)
-      CorpusModels.nbScore(docs, "doc_id", "text", model, prior)
-        .orderBy(col("doc_id"))
+      nbScored(s, dir, NbModelHandoff, NbPriorHandoff).orderBy(col("doc_id"))
     },
     // DSIR: hashed-bigram importance weights of the raw corpus toward
     // the gate-kept target distribution. The bucket model is the
@@ -159,17 +174,9 @@ object ModelQueries {
     // within one verify run); every stage's oracle replay is composed
     // into ONE SQL statement from the per-stage chains.
     "model_curation_pipeline" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
-      val (model0, prior0) = CorpusModels.nbTrain(labeled, "text", "keep")
-      val model = Handoff.publish(model0, McpNbModelHandoff)
-      val prior = Handoff.publish(prior0, McpNbPriorHandoff)
-      val nb = CorpusModels.nbScore(docs, "doc_id", "text", model, prior)
+      val nb = nbScored(s, dir, McpNbModelHandoff, McpNbPriorHandoff)
         .select(col("doc_id"), col("score_fp"), col("keep_pred"))
-      val (vocab0, stats0) = CorpusModels.unigramLm(docs, "text", LmCap)
-      val vocab = Handoff.publish(vocab0, McpLmVocabHandoff)
-      val stats = Handoff.publish(stats0, McpLmStatsHandoff)
-      val ppl = CorpusModels.perplexity(docs, "doc_id", "text", vocab, stats)
+      val ppl = lmScored(s, dir, McpLmVocabHandoff, McpLmStatsHandoff)
         .select(col("doc_id"), col("cross_entropy"))
       val gopher = gopherFrame(s, dir)
         .select(col("doc_id"), col("keep").as("gopher_keep"))
@@ -211,49 +218,128 @@ object ModelQueries {
     * t_quality_gate oracle selects from. */
   private def labelCte = TextQueries.gateCte
 
+  // One owner per replay chain (the gateCte rule, applied to this
+  // file's own oracles): each helper emits the stage's full verify +
+  // replay CTE list with `p`-prefixed names, so the standalone oracle
+  // and the composite compose the SAME text and can never drift. All
+  // chains require [[labelCte]]'s lt (and lab, for NB) upstream.
+
+  /** NB replay: verifies handoff class counts, token/doc totals, and
+    * model size (omission guard), replays scoring. Produces
+    * ${p}pv(prior_fp) and ${p}g(doc_id, n, s). */
+  private def nbChainCte(modelRp: String, priorRp: String, p: String): String =
+    s"""${p}m AS (SELECT * FROM $modelRp),
+       |${p}p AS (SELECT * FROM $priorRp),
+       |${p}tk AS (
+       |  SELECT lt.doc_id, lab.keep, unnest(lt.w) AS token
+       |  FROM lt JOIN lab ON lt.doc_id = lab.doc_id
+       |), ${p}c AS (
+       |  SELECT token,
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+       |  FROM ${p}tk GROUP BY token
+       |), ${p}tot AS (
+       |  SELECT CAST(sum(c_pos) AS BIGINT) AS np_, CAST(sum(c_neg) AS BIGINT) AS nn_,
+       |         CAST(count(*) AS BIGINT) AS v
+       |  FROM ${p}c
+       |), ${p}dtot AS (
+       |  SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS npd,
+       |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nnd
+       |  FROM lab
+       |), ${p}pv AS (
+       |  SELECT ${p}p.prior_fp FROM ${p}p
+       |  JOIN ${p}tot ON ${p}p.n_pos_tok = ${p}tot.np_
+       |              AND ${p}p.n_neg_tok = ${p}tot.nn_
+       |              AND ${p}p.vocab_size = ${p}tot.v
+       |  JOIN ${p}dtot ON ${p}p.n_pos_docs = ${p}dtot.npd
+       |               AND ${p}p.n_neg_docs = ${p}dtot.nnd
+       |  WHERE (SELECT count(*) FROM ${p}m) = (SELECT v FROM ${p}tot)
+       |    AND (SELECT CAST(sum(c_pos) + sum(c_neg) AS BIGINT) FROM ${p}m) =
+       |        (SELECT np_ + nn_ FROM ${p}tot)
+       |), ${p}mv AS (
+       |  SELECT ${p}m.token, ${p}m.llr_fp
+       |  FROM ${p}m JOIN ${p}c ON ${p}m.token = ${p}c.token
+       |                       AND ${p}m.c_pos = ${p}c.c_pos
+       |                       AND ${p}m.c_neg = ${p}c.c_neg
+       |), ${p}sc AS (
+       |  SELECT ${p}tk.doc_id, coalesce(${p}mv.llr_fp, 0) AS lp
+       |  FROM ${p}tk LEFT JOIN ${p}mv USING (token)
+       |), ${p}g AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(lp) AS BIGINT) AS s
+       |  FROM ${p}sc GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Unigram-LM replay: verifies handoff counts, totals, and the cap
+    * SELECTION with omission guards, replays scoring with the OOV
+    * fallback. Produces ${p}g(doc_id, n, nll). */
+  private def lmChainCte(vocabRp: String, statsRp: String, p: String): String =
+    s"""${p}h AS (SELECT * FROM $vocabRp),
+       |${p}hs AS (SELECT * FROM $statsRp),
+       |${p}t AS (SELECT doc_id, unnest(w) AS token FROM lt),
+       |${p}c AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ${p}t GROUP BY token
+       |), ${p}tot AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS vocab_total
+       |  FROM ${p}c
+       |), ${p}vs AS (
+       |  SELECT ${p}hs.oov_logp_fp FROM ${p}hs JOIN ${p}tot
+       |    ON ${p}hs.n_tokens = ${p}tot.n_tokens
+       |   AND ${p}hs.vocab_total = ${p}tot.vocab_total
+       |  WHERE (SELECT count(*) FROM ${p}h) =
+       |        least($LmCap, (SELECT vocab_total FROM ${p}tot))
+       |), ${p}cap AS (
+       |  SELECT token, cnt FROM ${p}c ORDER BY cnt DESC, token LIMIT $LmCap
+       |), ${p}hv AS (
+       |  SELECT ${p}h.token, ${p}h.logp_fp
+       |  FROM ${p}h JOIN ${p}cap ON ${p}h.token = ${p}cap.token
+       |                         AND ${p}h.cnt = ${p}cap.cnt
+       |), ${p}sc AS (
+       |  SELECT ${p}t.doc_id,
+       |         coalesce(${p}hv.logp_fp, (SELECT oov_logp_fp FROM ${p}vs)) AS lp
+       |  FROM ${p}t LEFT JOIN ${p}hv USING (token)
+       |), ${p}g AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(-sum(lp) AS BIGINT) AS nll
+       |  FROM ${p}sc GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Gopher rules over lt: metric CTE ${p}g plus verdict CTE
+    * ${p}k(doc_id, metrics…, keep). */
+  private def gopherCte(p: String): String =
+    s"""${p}g AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |         CASE WHEN len(w) = 0 THEN 0.0
+       |              ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+       |         END AS mean_token_len,
+       |         CASE WHEN len(w) = 0 THEN 0.0
+       |              ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+       |                     AS DOUBLE) / len(w)
+       |         END AS frac_alpha_words,
+       |         CAST(len(list_filter(w,
+       |           x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')))
+       |           AS BIGINT) AS n_stop_hits
+       |  FROM lt
+       |), ${p}k AS (
+       |  SELECT doc_id, n_tokens, mean_token_len, frac_alpha_words, n_stop_hits,
+       |         (n_tokens >= 50 AND n_tokens <= 100000
+       |          AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+       |          AND frac_alpha_words >= 0.8 AND n_stop_hits >= 2) AS keep
+       |  FROM ${p}g
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // verify the LM end-to-end: recompute token counts, totals, and
-    // the capped-vocab SELECTION; accept the handoff row only when
-    // its counts match; the stats row only when its totals match AND
-    // the handoff has exactly the expected row count (omission
-    // guard). Then replay scoring as integer sums.
+    // the LM replay chain (see lmChainCte) + the standalone projection
     "lm_perplexity" ->
-      s"""WITH h AS (SELECT * FROM ${rp(LmVocabHandoff)}),
-         |hs AS (SELECT * FROM ${rp(LmStatsHandoff)}),
-         |t AS (
-         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-         |  FROM documents
-         |), c AS (
-         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token
-         |), tot AS (
-         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
-         |         CAST(count(*) AS BIGINT) AS vocab_total
-         |  FROM c
-         |), vs AS (
-         |  SELECT hs.oov_logp_fp FROM hs JOIN tot
-         |    ON hs.n_tokens = tot.n_tokens AND hs.vocab_total = tot.vocab_total
-         |  WHERE (SELECT count(*) FROM h) =
-         |        least($LmCap, (SELECT vocab_total FROM tot))
-         |), cap AS (
-         |  SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT $LmCap
-         |), hv AS (
-         |  SELECT h.token, h.logp_fp
-         |  FROM h JOIN cap ON h.token = cap.token AND h.cnt = cap.cnt
-         |), sc AS (
-         |  SELECT t.doc_id, coalesce(hv.logp_fp, (SELECT oov_logp_fp FROM vs)) AS lp
-         |  FROM t LEFT JOIN hv USING (token)
-         |), g AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(-sum(lp) AS BIGINT) AS nll
-         |  FROM sc GROUP BY doc_id
-         |)
+      s"""WITH $labelCte,
+         |${lmChainCte(rp(LmVocabHandoff), rp(LmStatsHandoff), "u")}
          |SELECT d.doc_id,
-         |       CAST(coalesce(g.n, 0) AS BIGINT) AS n_tokens,
-         |       CAST(coalesce(g.nll, 0) AS BIGINT) AS nll_fp,
-         |       CASE WHEN coalesce(g.n, 0) = 0 THEN 0.0
-         |            ELSE CAST(g.nll AS DOUBLE) / 1000000000.0 / CAST(g.n AS DOUBLE)
+         |       CAST(coalesce(ug.n, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(ug.nll, 0) AS BIGINT) AS nll_fp,
+         |       CASE WHEN coalesce(ug.n, 0) = 0 THEN 0.0
+         |            ELSE CAST(ug.nll AS DOUBLE) / 1000000000.0 / CAST(ug.n AS DOUBLE)
          |       END AS cross_entropy
-         |FROM documents d LEFT JOIN g USING (doc_id)
+         |FROM documents d LEFT JOIN ug USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // verify the bigram LM end-to-end: recompute transitions, pair
     // counts, context totals, vocab, and the cap SELECTION; accept
@@ -274,10 +360,17 @@ object ModelQueries {
          |  FROM t GROUP BY ctx, tok
          |), cc AS (
          |  SELECT ctx, CAST(sum(c_uw) AS BIGINT) AS c_u FROM pc GROUP BY ctx
+         |), vv AS (
+         |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+         |  FROM (SELECT unnest(w) AS token FROM tt)
+         |), ccap AS (
+         |  SELECT ctx, c_u FROM cc ORDER BY c_u DESC, ctx LIMIT $BigramCtxCap
          |), hcv AS (
          |  SELECT hc.ctx, hc.oov_logp_fp
-         |  FROM hc JOIN cc ON hc.ctx = cc.ctx AND hc.c_u = cc.c_u
-         |  WHERE (SELECT count(*) FROM hc) = (SELECT count(*) FROM cc)
+         |  FROM hc JOIN ccap ON hc.ctx = ccap.ctx AND hc.c_u = ccap.c_u
+         |  WHERE hc.v = (SELECT v FROM vv)
+         |    AND (SELECT count(*) FROM hc) =
+         |        least($BigramCtxCap, (SELECT count(*) FROM cc))
          |), cap AS (
          |  SELECT ctx, tok, c_uw FROM pc
          |  ORDER BY c_uw DESC, ctx, tok LIMIT $BigramCap
@@ -305,54 +398,15 @@ object ModelQueries {
          |       END AS cross_entropy
          |FROM documents d LEFT JOIN g USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
-    // verify NB end-to-end: recompute gate labels, per-class token
-    // counts, totals, and doc priors; accept model rows on count
-    // match, the prior row on five-way total match + model row-count
-    // and count-sum guards; replay scoring.
+    // the NB replay chain (see nbChainCte) + the standalone projection
     "cls_nb_gate" ->
-      s"""WITH m AS (SELECT * FROM ${rp(NbModelHandoff)}),
-         |p AS (SELECT * FROM ${rp(NbPriorHandoff)}),
-         |$labelCte,
-         |tk AS (
-         |  SELECT lt.doc_id, lab.keep, unnest(lt.w) AS token
-         |  FROM lt JOIN lab ON lt.doc_id = lab.doc_id
-         |), c AS (
-         |  SELECT token,
-         |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
-         |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
-         |  FROM tk GROUP BY token
-         |), tot AS (
-         |  SELECT CAST(sum(c_pos) AS BIGINT) AS np, CAST(sum(c_neg) AS BIGINT) AS nn,
-         |         CAST(count(*) AS BIGINT) AS v
-         |  FROM c
-         |), dtot AS (
-         |  SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS npd,
-         |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nnd
-         |  FROM lab
-         |), pv AS (
-         |  SELECT p.prior_fp FROM p
-         |  JOIN tot ON p.n_pos_tok = tot.np AND p.n_neg_tok = tot.nn
-         |          AND p.vocab_size = tot.v
-         |  JOIN dtot ON p.n_pos_docs = dtot.npd AND p.n_neg_docs = dtot.nnd
-         |  WHERE (SELECT count(*) FROM m) = (SELECT v FROM tot)
-         |    AND (SELECT CAST(sum(c_pos) + sum(c_neg) AS BIGINT) FROM m) =
-         |        (SELECT np + nn FROM tot)
-         |), mv AS (
-         |  SELECT m.token, m.llr_fp
-         |  FROM m JOIN c ON m.token = c.token AND m.c_pos = c.c_pos
-         |                AND m.c_neg = c.c_neg
-         |), sc AS (
-         |  SELECT tk.doc_id, coalesce(mv.llr_fp, 0) AS lp
-         |  FROM tk LEFT JOIN mv USING (token)
-         |), g AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(lp) AS BIGINT) AS s
-         |  FROM sc GROUP BY doc_id
-         |)
+      s"""WITH $labelCte,
+         |${nbChainCte(rp(NbModelHandoff), rp(NbPriorHandoff), "n")}
          |SELECT d.doc_id,
-         |       CAST(coalesce(g.n, 0) AS BIGINT) AS n_tokens,
-         |       CAST(coalesce(g.s, 0) + (SELECT prior_fp FROM pv) AS BIGINT) AS score_fp,
-         |       (coalesce(g.s, 0) + (SELECT prior_fp FROM pv)) > 0 AS keep_pred
-         |FROM documents d LEFT JOIN g USING (doc_id)
+         |       CAST(coalesce(ng.n, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(ng.s, 0) + (SELECT prior_fp FROM npv) AS BIGINT) AS score_fp,
+         |       (coalesce(ng.s, 0) + (SELECT prior_fp FROM npv)) > 0 AS keep_pred
+         |FROM documents d LEFT JOIN ng USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // verify DSIR end-to-end: recompute labels, bigrams, md5-mod-B
     // buckets, and both distributions' counts; accept model rows on
@@ -450,127 +504,34 @@ object ModelQueries {
          |SELECT d.vec_id, CAST(d.ivf_cluster AS INTEGER) AS ivf_cluster, d.dist_fp,
          |       d.vec_id NOT IN (SELECT node_id FROM victims) AS kept
          |FROM d ORDER BY vec_id""".stripMargin,
-    // the composite: every stage's replay chain composed into one
-    // statement — NB (labels recomputed via the shared gateCte, class
-    // counts + priors verified, scoring replayed), unigram LM (counts,
-    // totals, cap selection verified, scoring replayed), Gopher rules
-    // (pure SQL) — then the same joins and the same AND verdict.
+    // the composite: the SAME chains as the standalone oracles (one
+    // owner each — nbChainCte / lmChainCte / gopherCte), composed on
+    // dedicated handoff paths, then the same joins and AND verdict.
     "model_curation_pipeline" ->
-      s"""WITH nm AS (SELECT * FROM ${rp(McpNbModelHandoff)}),
-         |np AS (SELECT * FROM ${rp(McpNbPriorHandoff)}),
-         |uh AS (SELECT * FROM ${rp(McpLmVocabHandoff)}),
-         |us AS (SELECT * FROM ${rp(McpLmStatsHandoff)}),
-         |$labelCte,
-         |tk AS (
-         |  SELECT lt.doc_id, lab.keep, unnest(lt.w) AS token
-         |  FROM lt JOIN lab ON lt.doc_id = lab.doc_id
-         |), c AS (
-         |  SELECT token,
-         |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
-         |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
-         |  FROM tk GROUP BY token
-         |), tot AS (
-         |  SELECT CAST(sum(c_pos) AS BIGINT) AS np_, CAST(sum(c_neg) AS BIGINT) AS nn_,
-         |         CAST(count(*) AS BIGINT) AS v
-         |  FROM c
-         |), dtot AS (
-         |  SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS npd,
-         |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nnd
-         |  FROM lab
-         |), pv AS (
-         |  SELECT np.prior_fp FROM np
-         |  JOIN tot ON np.n_pos_tok = tot.np_ AND np.n_neg_tok = tot.nn_
-         |          AND np.vocab_size = tot.v
-         |  JOIN dtot ON np.n_pos_docs = dtot.npd AND np.n_neg_docs = dtot.nnd
-         |  WHERE (SELECT count(*) FROM nm) = (SELECT v FROM tot)
-         |    AND (SELECT CAST(sum(c_pos) + sum(c_neg) AS BIGINT) FROM nm) =
-         |        (SELECT np_ + nn_ FROM tot)
-         |), mv AS (
-         |  SELECT nm.token, nm.llr_fp
-         |  FROM nm JOIN c ON nm.token = c.token AND nm.c_pos = c.c_pos
-         |                AND nm.c_neg = c.c_neg
-         |), nsc AS (
-         |  SELECT tk.doc_id, coalesce(mv.llr_fp, 0) AS lp
-         |  FROM tk LEFT JOIN mv USING (token)
-         |), ng AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(lp) AS BIGINT) AS s
-         |  FROM nsc GROUP BY doc_id
-         |), uc AS (
-         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(w) AS token FROM lt) GROUP BY token
-         |), utot AS (
-         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
-         |         CAST(count(*) AS BIGINT) AS vocab_total
-         |  FROM uc
-         |), uvs AS (
-         |  SELECT us.oov_logp_fp FROM us JOIN utot
-         |    ON us.n_tokens = utot.n_tokens AND us.vocab_total = utot.vocab_total
-         |  WHERE (SELECT count(*) FROM uh) =
-         |        least($LmCap, (SELECT vocab_total FROM utot))
-         |), ucap AS (
-         |  SELECT token, cnt FROM uc ORDER BY cnt DESC, token LIMIT $LmCap
-         |), uhv AS (
-         |  SELECT uh.token, uh.logp_fp
-         |  FROM uh JOIN ucap ON uh.token = ucap.token AND uh.cnt = ucap.cnt
-         |), usc AS (
-         |  SELECT t2.doc_id, coalesce(uhv.logp_fp, (SELECT oov_logp_fp FROM uvs)) AS lp
-         |  FROM (SELECT doc_id, unnest(w) AS token FROM lt) t2
-         |  LEFT JOIN uhv USING (token)
-         |), ug AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(-sum(lp) AS BIGINT) AS nll
-         |  FROM usc GROUP BY doc_id
-         |), gp AS (
-         |  SELECT doc_id,
-         |         (len(w) >= 50 AND len(w) <= 100000
-         |          AND (CASE WHEN len(w) = 0 THEN 0.0
-         |               ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) END)
-         |              BETWEEN 3.0 AND 10.0
-         |          AND (CASE WHEN len(w) = 0 THEN 0.0
-         |               ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-         |                      AS DOUBLE) / len(w) END) >= 0.8
-         |          AND len(list_filter(w,
-         |            x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')))
-         |              >= 2) AS gopher_keep
-         |  FROM lt
-         |)
+      s"""WITH $labelCte,
+         |${nbChainCte(rp(McpNbModelHandoff), rp(McpNbPriorHandoff), "n")},
+         |${lmChainCte(rp(McpLmVocabHandoff), rp(McpLmStatsHandoff), "u")},
+         |${gopherCte("q")}
          |SELECT d.doc_id,
-         |       CAST(coalesce(ng.s, 0) + (SELECT prior_fp FROM pv) AS BIGINT) AS score_fp,
-         |       (coalesce(ng.s, 0) + (SELECT prior_fp FROM pv)) > 0 AS keep_pred,
+         |       CAST(coalesce(ng.s, 0) + (SELECT prior_fp FROM npv) AS BIGINT) AS score_fp,
+         |       (coalesce(ng.s, 0) + (SELECT prior_fp FROM npv)) > 0 AS keep_pred,
          |       CASE WHEN coalesce(ug.n, 0) = 0 THEN 0.0
          |            ELSE CAST(ug.nll AS DOUBLE) / 1000000000.0 / CAST(ug.n AS DOUBLE)
          |       END AS cross_entropy,
-         |       gp.gopher_keep,
-         |       ((coalesce(ng.s, 0) + (SELECT prior_fp FROM pv)) > 0
-         |        AND gp.gopher_keep) AS keep
+         |       qk.keep AS gopher_keep,
+         |       ((coalesce(ng.s, 0) + (SELECT prior_fp FROM npv)) > 0
+         |        AND qk.keep) AS keep
          |FROM documents d
          |LEFT JOIN ng ON d.doc_id = ng.doc_id
          |LEFT JOIN ug ON d.doc_id = ug.doc_id
-         |JOIN gp ON d.doc_id = gp.doc_id
+         |JOIN qk ON d.doc_id = qk.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // the Gopher chain (see gopherCte) + the standalone projection
     "t_gopher_rules" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         list_filter(string_split(text, ' '), x -> x <> '') AS w
-        |  FROM documents
-        |), g AS (
-        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-        |         CASE WHEN len(w) = 0 THEN 0.0
-        |              ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
-        |         END AS mean_token_len,
-        |         CASE WHEN len(w) = 0 THEN 0.0
-        |              ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-        |                     AS DOUBLE) / len(w)
-        |         END AS frac_alpha_words,
-        |         CAST(len(list_filter(w,
-        |           x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')))
-        |           AS BIGINT) AS n_stop_hits
-        |  FROM t
-        |)
-        |SELECT doc_id, n_tokens, mean_token_len, frac_alpha_words, n_stop_hits,
-        |       (n_tokens >= 50 AND n_tokens <= 100000
-        |        AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
-        |        AND frac_alpha_words >= 0.8 AND n_stop_hits >= 2) AS keep
-        |FROM g ORDER BY doc_id""".stripMargin
+      s"""WITH $labelCte,
+         |${gopherCte("q")}
+         |SELECT doc_id, n_tokens, mean_token_len, frac_alpha_words, n_stop_hits, keep
+         |FROM qk ORDER BY doc_id""".stripMargin
+
   )
 }

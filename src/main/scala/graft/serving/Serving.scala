@@ -265,6 +265,10 @@ object Serving {
       foreachGroup(conf, s"$base/model") { g =>
         m(g.getString("token", 0)) = g.getLong("llr_fp", 0)
       }
+      // fail LOUD on a missing/empty model dir (mid-republish race, bad
+      // path): a silent empty map would score bare priors forever —
+      // and a resident server would CACHE that emptiness
+      require(m.nonEmpty, s"no model rows under $base/model")
       m.toMap
     }
     val priorFp = cache.getOrLoad(s"$base/prior") {

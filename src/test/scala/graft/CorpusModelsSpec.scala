@@ -107,6 +107,18 @@ class CorpusModelsSpec extends SparkSpec {
     assert(foreign.getAs[Long]("n_transitions") === 0L)
   }
 
+  test("bigramLm contextCap: capped-out contexts drop their transitions; v rides the table") {
+    val (bi, ctx) = CorpusModels.bigramLm(lmDocs, "text", bigramCap = 3, contextCap = 1)
+    // contexts by (c_u desc, ctx asc): a(2) kept, b(1) capped out; V = 3
+    val rows = ctx.collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a"))
+    assert(rows(0).getAs[Long]("v") === 3L)
+    val out = CorpusModels.bigramPerplexity(lmDocs, "doc_id", "text", bi, ctx)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_transitions") === 2L) // ctx a survives
+    assert(out(1).getAs[Long]("n_transitions") === 0L) // ctx b dropped
+  }
+
   test("bigram LM is partitioning-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (b1, c1) = CorpusModels.bigramLm(docs, "text", 512)

@@ -97,10 +97,11 @@ class ServingSpec extends SparkSpec {
         ((r.getAs[Long]("score_fp"), r.getAs[Boolean]("keep_pred")))).toMap
     val texts = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
-    // warm the model map once, then assert the probes launch no jobs
-    Serving.scoreNb(dir, texts.head._2)
-    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // warm the model map into THE cache the loop uses, then assert the
+    // probes launch no jobs
     val cache = Serving.newCache()
+    Serving.scoreNb(dir, texts.head._2, cache = cache)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     texts.foreach { case (id, text) =>
       val s = Serving.scoreNb(dir, text, cache = cache)
       assert((s.scoreFp, s.keepPred) === batch(id), s"doc $id")
