@@ -347,6 +347,19 @@ object CorpusModels {
       : (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/model"), spark.read.parquet(s"$dir/prior"))
 
+  /** Persist a trained [[unigramLm]] (`dir/vocab`, `dir/stats`) for
+    * [[graft.serving.Serving.scorePpl]] — same split as
+    * [[saveNbModel]]: nightly batch retrain, driver-latency serve. */
+  def saveLmModel(vocab: DataFrame, stats: DataFrame, dir: String): Unit = {
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Load a [[saveLmModel]] layout back into (vocab, stats) frames. */
+  def loadLmModel(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/vocab"), spark.read.parquet(s"$dir/stats"))
+
   // ------------------------------------------------ DSIR importance weights
 
   /** Hashed-bigram feature bucket: top-60-md5-bits of the gram string

@@ -284,4 +284,45 @@ object Serving {
       text.split(" ").foreach(t => if (t.nonEmpty) s += llr.getOrElse(t, 0L))
     NbScore(s, s > 0)
   }
+
+  // ------------------------------------------------------- LM perplexity probe
+
+  final case class PplScore(nTokens: Long, nllFp: Long, crossEntropy: Double)
+
+  /** Single-document LM cross-entropy from a
+    * [[graft.operators.CorpusModels.saveLmModel]] layout, no Spark —
+    * the serving form of the CCNet quality signal (gate a document at
+    * ingest by its perplexity under the nightly corpus LM). Same
+    * tokenizer, OOV routing, integer sums, and division chain as
+    * [[graft.operators.CorpusModels.perplexity]] — doc-for-doc parity
+    * spec-pinned. */
+  def scorePpl(modelDir: String, text: String,
+               conf: Configuration = defaultConf,
+               cache: IndexCache = noCache): PplScore = {
+    val base = modelDir.stripSuffix("/")
+    val vocab = cache.getOrLoad(s"$base/vocab") {
+      val m = mutable.HashMap.empty[String, Long]
+      foreachGroup(conf, s"$base/vocab") { g =>
+        m(g.getString("token", 0)) = g.getLong("logp_fp", 0)
+      }
+      require(m.nonEmpty, s"no vocab rows under $base/vocab")
+      m.toMap
+    }
+    val oovFp = cache.getOrLoad(s"$base/stats") {
+      var p = 0L; var saw = false
+      foreachGroup(conf, s"$base/stats") { g =>
+        p = g.getLong("oov_logp_fp", 0); saw = true
+      }
+      require(saw, s"no stats row under $base/stats")
+      java.lang.Long.valueOf(p)
+    }.longValue()
+    var n = 0L
+    var nll = 0L
+    if (text != null)
+      text.split(" ").foreach { t =>
+        if (t.nonEmpty) { n += 1; nll -= vocab.getOrElse(t, oovFp) }
+      }
+    PplScore(n, nll,
+      if (n == 0) 0.0 else nll.toDouble / 1.0e9 / n.toDouble)
+  }
 }

@@ -112,4 +112,28 @@ class ServingSpec extends SparkSpec {
     val priorFp = prior.collect()(0).getAs[Long]("prior_fp")
     assert(Serving.scoreNb(dir, null, cache = cache).scoreFp === priorFp)
   }
+
+  test("LM perplexity serving probe == Spark perplexity doc for doc, no Spark job") {
+    import graft.operators.CorpusModels
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val (vocab, stats) = CorpusModels.unigramLm(docs, "text", 24)
+    val dir = java.nio.file.Files.createTempDirectory("lm-serve").toString
+    CorpusModels.saveLmModel(vocab, stats, dir)
+    val batch = CorpusModels.perplexity(docs, "doc_id", "text", vocab, stats)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("nll_fp"), r.getAs[Double]("cross_entropy")))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val cache = Serving.newCache()
+    Serving.scorePpl(dir, texts.head._2, cache = cache)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    texts.foreach { case (id, text) =>
+      val s = Serving.scorePpl(dir, text, cache = cache)
+      assert((s.nTokens, s.nllFp, s.crossEntropy) === batch(id), s"doc $id")
+    }
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "LM probe must not launch Spark jobs")
+    // null/empty text → the zero row, matching the batch contract
+    assert(Serving.scorePpl(dir, null, cache = cache) === Serving.PplScore(0L, 0L, 0.0))
+  }
 }
