@@ -38,6 +38,7 @@ object ModelQueries {
   private val NbModelHandoff   = Handoff.path("nb_model")
   private val NbPriorHandoff   = Handoff.path("nb_prior")
   private val DsirModelHandoff = Handoff.path("dsir_model")
+  private val DsirSelHandoff   = Handoff.path("dsir_select_model")
   private val McpNbModelHandoff = Handoff.path("mcp_nb_model")
   private val McpNbPriorHandoff = Handoff.path("mcp_nb_prior")
   private val McpLmVocabHandoff = Handoff.path("mcp_lm_vocab")
@@ -146,6 +147,20 @@ object ModelQueries {
       val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
       CorpusModels.dsirPipeline(labeled, "doc_id", "text", "keep", DsirBuckets,
           publish = Handoff.publish(_, DsirModelHandoff))
+        .orderBy(col("doc_id"))
+    },
+    // the DSIR SELECTION step: importance weights → exact global rank
+    // (range exchange, no single-partition window) → keep the top 60%
+    // by (weight desc, id) — deterministic integer boundary, the
+    // resampling a pipeline actually materializes.
+    "dsir_select" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
+      val w = CorpusModels.dsirPipeline(labeled, "doc_id", "text", "keep",
+        DsirBuckets, publish = Handoff.publish(_, DsirSelHandoff))
+      graft.operators.Ranking.topFraction(
+          w.select(col("doc_id"), col("weight_fp")),
+          Seq(col("weight_fp").desc, col("doc_id")), percent = 60)
         .orderBy(col("doc_id"))
     },
     // SemDeDup over the SAME persisted IVF index the ANN path
@@ -328,6 +343,48 @@ object ModelQueries {
        |  FROM ${p}g
        |)""".stripMargin
 
+
+  /** DSIR replay: recomputes labels' bigram buckets + both
+    * distributions' counts, verifies model rows with size/sum guards,
+    * replays weight sums. Produces ${p}g(doc_id, n, s). */
+  private def dsirChainCte(modelRp: String, p: String): String =
+    s"""${p}m AS (SELECT * FROM $modelRp),
+       |${p}bg AS (
+       |  SELECT lt.doc_id, lab.keep,
+       |         unnest(CASE WHEN len(lt.w) >= 2
+       |                THEN list_transform(range(1, len(lt.w)),
+       |                       i -> lt.w[i] || ' ' || lt.w[i+1])
+       |                ELSE CAST([] AS VARCHAR[]) END) AS gram
+       |  FROM lt JOIN lab ON lt.doc_id = lab.doc_id
+       |), ${p}bk AS (
+       |  SELECT doc_id, keep,
+       |         CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT) AS BIGINT)
+       |           % $DsirBuckets AS bucket
+       |  FROM ${p}bg
+       |), ${p}c AS (
+       |  SELECT bucket,
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_target,
+       |         CAST(count(*) AS BIGINT) AS c_raw
+       |  FROM ${p}bk GROUP BY bucket
+       |), ${p}gv AS (
+       |  SELECT 1 AS ok
+       |  WHERE (SELECT count(*) FROM ${p}m) = (SELECT count(*) FROM ${p}c)
+       |    AND (SELECT CAST(sum(c_raw) AS BIGINT) FROM ${p}m) =
+       |        (SELECT CAST(sum(c_raw) AS BIGINT) FROM ${p}c)
+       |), ${p}mv AS (
+       |  SELECT ${p}m.bucket, ${p}m.llr_fp
+       |  FROM ${p}m JOIN ${p}c ON ${p}m.bucket = ${p}c.bucket
+       |                       AND ${p}m.c_target = ${p}c.c_target
+       |                       AND ${p}m.c_raw = ${p}c.c_raw
+       |), ${p}sc AS (
+       |  SELECT ${p}bk.doc_id,
+       |         coalesce(${p}mv.llr_fp, 0) * (SELECT ok FROM ${p}gv) AS lp
+       |  FROM ${p}bk LEFT JOIN ${p}mv USING (bucket)
+       |), ${p}g AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(lp) AS BIGINT) AS s
+       |  FROM ${p}sc GROUP BY doc_id
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the LM replay chain (see lmChainCte) + the standalone projection
     "lm_perplexity" ->
@@ -412,48 +469,34 @@ object ModelQueries {
     // buckets, and both distributions' counts; accept model rows on
     // (c_target, c_raw) match with row-count + sum guards; replay
     // the weight sums.
+    // the DSIR replay chain (see dsirChainCte) + standalone projection
     "dsir_weights" ->
-      s"""WITH m AS (SELECT * FROM ${rp(DsirModelHandoff)}),
-         |$labelCte,
-         |bg AS (
-         |  SELECT lt.doc_id, lab.keep,
-         |         unnest(CASE WHEN len(lt.w) >= 2
-         |                THEN list_transform(range(1, len(lt.w)),
-         |                       i -> lt.w[i] || ' ' || lt.w[i+1])
-         |                ELSE CAST([] AS VARCHAR[]) END) AS gram
-         |  FROM lt JOIN lab ON lt.doc_id = lab.doc_id
-         |), bk AS (
-         |  SELECT doc_id, keep,
-         |         CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT) AS BIGINT)
-         |           % $DsirBuckets AS bucket
-         |  FROM bg
-         |), c AS (
-         |  SELECT bucket,
-         |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_target,
-         |         CAST(count(*) AS BIGINT) AS c_raw
-         |  FROM bk GROUP BY bucket
-         |), gv AS (
-         |  SELECT 1 AS ok
-         |  WHERE (SELECT count(*) FROM m) = (SELECT count(*) FROM c)
-         |    AND (SELECT CAST(sum(c_raw) AS BIGINT) FROM m) =
-         |        (SELECT CAST(sum(c_raw) AS BIGINT) FROM c)
-         |), mv AS (
-         |  SELECT m.bucket, m.llr_fp
-         |  FROM m JOIN c ON m.bucket = c.bucket AND m.c_target = c.c_target
-         |                AND m.c_raw = c.c_raw
-         |), sc AS (
-         |  SELECT bk.doc_id,
-         |         coalesce(mv.llr_fp, 0) * (SELECT ok FROM gv) AS lp
-         |  FROM bk LEFT JOIN mv USING (bucket)
-         |), g AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(lp) AS BIGINT) AS s
-         |  FROM sc GROUP BY doc_id
-         |)
+      s"""WITH $labelCte,
+         |${dsirChainCte(rp(DsirModelHandoff), "d")}
          |SELECT d.doc_id,
-         |       CAST(coalesce(g.n, 0) AS BIGINT) AS n_grams,
-         |       CAST(coalesce(g.s, 0) AS BIGINT) AS weight_fp,
-         |       CAST(coalesce(g.s, 0) AS DOUBLE) / 1000000000.0 AS weight
-         |FROM documents d LEFT JOIN g USING (doc_id)
+         |       CAST(coalesce(dg.n, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(dg.s, 0) AS BIGINT) AS weight_fp,
+         |       CAST(coalesce(dg.s, 0) AS DOUBLE) / 1000000000.0 AS weight
+         |FROM documents d LEFT JOIN dg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // the SELECTION step on the same chain: exact global rank by
+    // (weight desc, id) and the integer top-60% boundary — the
+    // rank/boundary math mirrors Ranking.topFraction exactly.
+    "dsir_select" ->
+      s"""WITH $labelCte,
+         |${dsirChainCte(rp(DsirSelHandoff), "d")},
+         |w AS (
+         |  SELECT d.doc_id, CAST(coalesce(dg.s, 0) AS BIGINT) AS weight_fp
+         |  FROM documents d LEFT JOIN dg USING (doc_id)
+         |), r AS (
+         |  SELECT doc_id, weight_fp,
+         |         CAST(row_number() OVER (ORDER BY weight_fp DESC, doc_id)
+         |              AS BIGINT) AS global_rank,
+         |         CAST(count(*) OVER () AS BIGINT) AS nn
+         |  FROM w
+         |)
+         |SELECT doc_id, weight_fp, global_rank
+         |FROM r WHERE global_rank <= greatest(1, (nn * 60) // 100)
          |ORDER BY doc_id""".stripMargin,
     // replay SemDeDup from the index handoff: within-cluster pairs at
     // the cosine threshold, recursive-CTE components, keep the
