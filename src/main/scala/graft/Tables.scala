@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.functions.{col, expr, lit}
 
 /** Parquet readers for the driver-generated fixture tables
   * (`/root/testdata/sf*`, see TESTDATA.md / FIXTURES.md). */
@@ -21,17 +21,24 @@ object Tables {
     * TIMESTAMP(NANOS) (pre-r8), which Spark 4 rejects by default and
     * the legacy conf reads as BIGINT ns directly, and
     * TIMESTAMP(MICROS, isAdjustedToUTC=false) (r8+), which Spark reads
-    * as TIMESTAMP_NTZ — that wall-clock is mapped through an explicit
-    * UTC session zone (matching DuckDB's zone-free `epoch_us`) and
-    * scaled to ns, so both generations present the identical column. */
+    * as TIMESTAMP_NTZ — that wall-clock is mapped to epoch micros by
+    * PURE NTZ ARITHMETIC, `timestampdiff(MICROSECOND,
+    * TIMESTAMP_NTZ'1970-01-01', ts)` (matching DuckDB's zone-free
+    * `epoch_us`), and scaled to ns, so both generations present the
+    * identical column WITHOUT touching — or even reading — the
+    * session's timezone state. (A reader must not silently change the
+    * semantics of unrelated local-time queries in the same session,
+    * and zone FUNCTIONS are no better: `to_utc_timestamp`/`cast` route
+    * NTZ through the session zone. Zone-independence and
+    * no-session-mutation are spec-pinned in TablesSpec.) */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
       case _ => raw.withColumn("ts",
-        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+          * lit(1000L))
     }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")

@@ -169,7 +169,7 @@ object CorpusModels {
     * Same shuffle shape as the unigram train: one explode + two
     * map-side-combined aggs ((ctx,tok) then ctx). */
   def bigramLm(docs: DataFrame, textCol: String, bigramCap: Int,
-               contextCap: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+               contextCap: Int): (DataFrame, DataFrame) = {
     require(bigramCap > 0, s"bigramCap must be positive, got $bigramCap")
     require(contextCap > 0, s"contextCap must be positive, got $contextCap")
     val tok = TextAnalysis.tokens(col(textCol))
@@ -237,20 +237,27 @@ object CorpusModels {
     * the classifier generalizes them).
     *
     * Returns (model, prior):
-    *  - model: (token, c_pos, c_neg, llr_fp) per distinct token, with
+    *  - model: (token, c_pos, c_neg, llr_fp) — the `vocabCap` tokens
+    *    with the highest total count (c_pos+c_neg desc, token asc —
+    *    deterministic, the [[unigramLm]] cap pattern), with
     *    llr_fp = floor((ln((c_pos+1)/(N_pos+V)) −
     *                    ln((c_neg+1)/(N_neg+V)))·1e9)
     *    — the per-occurrence log-likelihood-ratio vote;
     *  - prior: one row (n_pos_docs, n_neg_docs, n_pos_tok, n_neg_tok,
     *    vocab_size, prior_fp) with prior_fp the (+1-smoothed) log doc
     *    prior. The five count fields exist so a verifier can re-derive
-    *    every input to the ln()s.
+    *    every input to the ln()s; N_pos/N_neg/V are always the
+    *    UNCAPPED totals, so capping never changes an in-model LLR.
     *
-    * The full-vocab model is the fixture-honest shape; at 100 TB the
-    * same vocab cap as [[unigramLm]] applies (rare-token LLRs carry
-    * ~zero evidence, so capping is also statistically benign). */
-  def nbTrain(docs: DataFrame, textCol: String, labelCol: String)
-      : (DataFrame, DataFrame) = {
+    * The cap bounds the scoring broadcast ([[nbScore]]) and the
+    * closure map ([[nbModelMap]]) at any corpus size — web-scale
+    * distinct tokens run to 1e9, far beyond broadcast range. Capped-out
+    * tokens score the same neutral 0 as tokens never seen in training
+    * (rare-token LLRs carry ~zero evidence, so the cap is also
+    * statistically benign); the scoring contract is unchanged. */
+  def nbTrain(docs: DataFrame, textCol: String, labelCol: String,
+              vocabCap: Int): (DataFrame, DataFrame) = {
+    require(vocabCap > 0, s"vocabCap must be positive, got $vocabCap")
     val tok = docs.select(col(labelCol).as("__lbl"),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
     val counts = tok.groupBy(col("token")).agg(
@@ -263,7 +270,9 @@ object CorpusModels {
     val docTotals = docs.agg(
       sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos_docs"),
       sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg_docs"))
-    val model = counts.crossJoin(broadcast(totals))
+    val model = counts
+      .orderBy((col("c_pos") + col("c_neg")).desc, col("token")).limit(vocabCap)
+      .crossJoin(broadcast(totals))
       .withColumn("llr_fp", llrFp(
         col("c_pos"), col("n_pos_tok") + col("vocab_size"),
         col("c_neg"), col("n_neg_tok") + col("vocab_size")))
@@ -360,6 +369,58 @@ object CorpusModels {
       : (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/vocab"), spark.read.parquet(s"$dir/stats"))
 
+  /** Persist a trained [[bigramLm]] (`dir/bigrams`, `dir/contexts`)
+    * for [[graft.serving.Serving.scoreBigramPpl]] — the same
+    * batch-train/online-serve split as [[saveLmModel]]. Both tables
+    * are capped by construction (bigramCap / contextCap are required
+    * parameters) → coalesce(1). */
+  def saveBigramLm(bigrams: DataFrame, contexts: DataFrame, dir: String): Unit = {
+    bigrams.coalesce(1).write.mode("overwrite").parquet(s"$dir/bigrams")
+    contexts.coalesce(1).write.mode("overwrite").parquet(s"$dir/contexts")
+  }
+
+  /** Load a [[saveBigramLm]] layout back into (bigrams, contexts). */
+  def loadBigramLm(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/bigrams"), spark.read.parquet(s"$dir/contexts"))
+
+  /** Collect a [[unigramLm]] vocab into the closure-sized map
+    * [[pplScoreColumn]] wants — cap-bounded by construction. */
+  def lmModelMap(vocab: DataFrame): Map[String, Long] =
+    vocab.select(col("token"), col("logp_fp")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The OOV log-prob scalar from a [[unigramLm]] stats frame. */
+  def lmOovFp(stats: DataFrame): Long =
+    stats.select(col("oov_logp_fp")).collect()(0).getLong(0)
+
+  /** Per-ROW LM cross-entropy for the streaming/serving path — the
+    * perplexity twin of [[nbScoreColumn]]: the capped vocab rides the
+    * closure as a plain Map, every row scores independently
+    * (stateless, no aggregation, any streaming output mode), and the
+    * integers are exactly [[perplexity]]'s (same long sums, same OOV
+    * routing, same two-IEEE-division cross-entropy; batch==stream
+    * parity is spec-gated). Returns a struct column
+    * (n_tokens, nll_fp, cross_entropy); null text scores (0, 0, 0.0)
+    * like the batch path's left join. */
+  def pplScoreColumn(vocab: Map[String, Long], oovFp: Long)(text: Column): Column = {
+    val scoreUdf = udf { (toks: Seq[String]) =>
+      var n = 0L
+      var nll = 0L
+      if (toks != null) {
+        var i = 0
+        while (i < toks.length) { nll -= vocab.getOrElse(toks(i), oovFp); i += 1 }
+        n = toks.length.toLong
+      }
+      PplRow(n, nll, if (n == 0L) 0.0 else nll.toDouble / LpScale / n.toDouble)
+    }
+    scoreUdf(TextAnalysis.tokens(text))
+  }
+
+  /** Row shape of [[pplScoreColumn]] — field names match the batch
+    * [[perplexity]] output so `select("ppl.*")` is the batch schema. */
+  case class PplRow(n_tokens: Long, nll_fp: Long, cross_entropy: Double)
+
   // ------------------------------------------------ DSIR importance weights
 
   /** Hashed-bigram feature bucket: top-60-md5-bits of the gram string
@@ -422,28 +483,41 @@ object CorpusModels {
     * bigrams and weigh 0 (neutral). weight = weight_fp/1e9, one IEEE
     * division. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  model: DataFrame, numBuckets: Int): DataFrame = {
-    // Dictionary-encode the hash: the md5→bucket chain runs once per
-    // GLOBALLY distinct gram (Heaps-bounded — the distinct agg
-    // map-side combines, shuffling only distinct-per-partition
-    // grams), producing a (gram, llr) dictionary that broadcast-joins
-    // back by plain string equality. The corpus-sized occurrence
-    // stream is never hashed, never pre-grouped (bigrams barely
-    // repeat within a doc, so a (doc, gram) pre-agg is a fat
-    // composite-key shuffle for nothing — unlike [[nbScore]]'s
-    // tokens); the only corpus-sized shuffle is the per-doc sum,
-    // map-side combined to one row per doc per partition. At a scale
-    // where the distinct-gram dictionary outgrows a broadcast, hash
-    // per occurrence instead — the hashing trick's direct form; both
-    // forms produce identical integers.
+                  model: DataFrame, numBuckets: Int,
+                  dictEncode: Boolean = true): DataFrame = {
+    // dictEncode=true: dictionary-encode the hash — the md5→bucket
+    // chain runs once per GLOBALLY distinct gram (Heaps-bounded — the
+    // distinct agg map-side combines, shuffling only
+    // distinct-per-partition grams), producing a (gram, llr)
+    // dictionary that broadcast-joins back by plain string equality.
+    // The corpus-sized occurrence stream is never hashed, never
+    // pre-grouped (bigrams barely repeat within a doc, so a
+    // (doc, gram) pre-agg is a fat composite-key shuffle for nothing —
+    // unlike [[nbScore]]'s tokens); the only corpus-sized shuffle is
+    // the per-doc sum, map-side combined to one row per doc per
+    // partition.
+    // dictEncode=false: the hashing trick's DIRECT form for corpora
+    // whose distinct-gram dictionary outgrows a broadcast (the 100 TB
+    // path) — hash every occurrence and broadcast only the
+    // ≤numBuckets-row bucket model; more md5 work, zero
+    // corpus-dependent broadcast. Both forms produce identical
+    // integers (same md5, same mod — spec-pinned).
     val occ = docs.select(col(idCol),
       explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
-    val gramLlr = occ.select(col("gram")).distinct()
-      .withColumn("bucket", gramBucket(col("gram"), numBuckets))
-      .join(broadcast(model.select(col("bucket"), col("llr_fp"))), Seq("bucket"), "left")
-      .select(col("gram"), coalesce(col("llr_fp"), lit(0L)).as("__llr"))
-    val scored = occ
-      .join(broadcast(gramLlr), Seq("gram"))
+    val modelB = broadcast(model.select(col("bucket"), col("llr_fp")))
+    val votes =
+      if (dictEncode) {
+        val gramLlr = occ.select(col("gram")).distinct()
+          .withColumn("bucket", gramBucket(col("gram"), numBuckets))
+          .join(modelB, Seq("bucket"), "left")
+          .select(col("gram"), coalesce(col("llr_fp"), lit(0L)).as("__llr"))
+        occ.join(broadcast(gramLlr), Seq("gram"))
+      } else {
+        occ.select(col(idCol), gramBucket(col("gram"), numBuckets).as("bucket"))
+          .join(modelB, Seq("bucket"), "left")
+          .withColumn("__llr", coalesce(col("llr_fp"), lit(0L)))
+      }
+    val scored = votes
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n"), sum(col("__llr")).as("s"))
     docs.select(col(idCol))
@@ -457,14 +531,20 @@ object CorpusModels {
   /** Fused train+score DSIR over one corpus (the self-weighting shape
     * the curation pipeline runs): the bigram occurrence stream
     * materializes ONCE (persisted, self-releasing) and feeds both the
-    * model aggregation and the per-doc weight sums, and the train
-    * agg's distinct-gram table doubles as the scoring dictionary — no
-    * second explode, no separate distinct. `publish` is the
-    * oracle-handoff hook for the model table (identity by default).
-    * Output and integers are exactly [[dsirModel]]+[[dsirWeights]]. */
+    * model aggregation and the per-doc weight sums, and (with
+    * `dictEncode`, the default) the train agg's distinct-gram table
+    * doubles as the scoring dictionary — no second explode, no
+    * separate distinct. `dictEncode = false` is the 100 TB form
+    * ([[dsirWeights]]): score by re-hashing each occurrence against
+    * the broadcast ≤numBuckets-row model, so nothing corpus-dependent
+    * ever broadcasts. `publish` is the oracle-handoff hook for the
+    * model table (identity by default). Output and integers are
+    * exactly [[dsirModel]]+[[dsirWeights]] under either knob
+    * (spec-pinned). */
   def dsirPipeline(docs: DataFrame, idCol: String, textCol: String,
                    targetCol: String, numBuckets: Int,
-                   publish: DataFrame => DataFrame = identity): DataFrame = {
+                   publish: DataFrame => DataFrame = identity,
+                   dictEncode: Boolean = true): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val occ = docs.select(col(idCol), col(targetCol).as("__tgt"),
         explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
@@ -488,11 +568,19 @@ object CorpusModels {
         col("c_target"), col("n_target_grams") + lit(numBuckets),
         col("c_raw"), col("n_raw_grams") + lit(numBuckets)))
       .select(col("bucket"), col("c_target"), col("c_raw"), col("llr_fp")))
-    val gramLlr = bucketed.select(col("gram"), col("bucket"))
-      .join(broadcast(model.select(col("bucket"), col("llr_fp"))), Seq("bucket"), "left")
-      .select(col("gram"), coalesce(col("llr_fp"), lit(0L)).as("__llr"))
-    val scored = occ
-      .join(broadcast(gramLlr), Seq("gram"))
+    val modelB = broadcast(model.select(col("bucket"), col("llr_fp")))
+    val votes =
+      if (dictEncode) {
+        val gramLlr = bucketed.select(col("gram"), col("bucket"))
+          .join(modelB, Seq("bucket"), "left")
+          .select(col("gram"), coalesce(col("llr_fp"), lit(0L)).as("__llr"))
+        occ.join(broadcast(gramLlr), Seq("gram"))
+      } else {
+        occ.select(col(idCol), gramBucket(col("gram"), numBuckets).as("bucket"))
+          .join(modelB, Seq("bucket"), "left")
+          .withColumn("__llr", coalesce(col("llr_fp"), lit(0L)))
+      }
+    val scored = votes
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n"), sum(col("__llr")).as("s"))
     val out = docs.select(col(idCol))

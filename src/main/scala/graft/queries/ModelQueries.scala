@@ -39,6 +39,8 @@ object ModelQueries {
   private val NbPriorHandoff   = Handoff.path("nb_prior")
   private val DsirModelHandoff = Handoff.path("dsir_model")
   private val DsirSelHandoff   = Handoff.path("dsir_select_model")
+  private val PplSelVocabHandoff = Handoff.path("ppl_select_vocab")
+  private val PplSelStatsHandoff = Handoff.path("ppl_select_stats")
   private val McpNbModelHandoff = Handoff.path("mcp_nb_model")
   private val McpNbPriorHandoff = Handoff.path("mcp_nb_prior")
   private val McpLmVocabHandoff = Handoff.path("mcp_lm_vocab")
@@ -50,6 +52,11 @@ object ModelQueries {
     * tokens, so 24 genuinely exercises the OOV path the cap exists
     * for (at 100 TB the same knob would sit at ~1M). */
   private val LmCap = 24
+
+  /** NB model cap — same fixture logic as [[LmCap]]: 24 < ~31
+    * distinct tokens, so capped-out tokens genuinely vote neutral-0
+    * and the oracle's cap-selection replay is exercised. */
+  private val NbCap = 24
 
   /** Bigram-table cap: the fixture has ~916 distinct transitions, so
     * 512 exercises the per-context OOV fallback. */
@@ -77,11 +84,17 @@ object ModelQueries {
   def semdedupIndex(s: SparkSession, dir: String): graft.operators.Ann.IvfIndex = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val key = s"$dir|${src.lastModified}|${src.length}"
-    val k = semKCache.getOrElseUpdate(key,
-      math.max(16, (Tables.embeddings(s, dir).count() / 1000L).toInt))
+    // lock around the memo: TrieMap.getOrElseUpdate is not atomic for
+    // an expensive thunk, and two concurrent first calls would both
+    // run the count() job (consistent k, but duplicate work)
+    val k = semKLock.synchronized {
+      semKCache.getOrElseUpdate(key,
+        math.max(16, (Tables.embeddings(s, dir).count() / 1000L).toInt))
+    }
     AnnQueries.persistedIvf(s, dir, k)
   }
   private val semKCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val semKLock = new Object
 
   /** The rule-based quality-gate labels (the t_quality_gate verdict,
     * reduced to (doc_id, keep)) — training labels for the NB
@@ -98,7 +111,7 @@ object ModelQueries {
                        modelPath: String, priorPath: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
-    val (model0, prior0) = CorpusModels.nbTrain(labeled, "text", "keep")
+    val (model0, prior0) = CorpusModels.nbTrain(labeled, "text", "keep", NbCap)
     CorpusModels.nbScore(docs, "doc_id", "text",
       Handoff.publish(model0, modelPath), Handoff.publish(prior0, priorPath))
   }
@@ -161,6 +174,22 @@ object ModelQueries {
       graft.operators.Ranking.topFraction(
           w.select(col("doc_id"), col("weight_fp")),
           Seq(col("weight_fp").desc, col("doc_id")), percent = 60)
+        .orderBy(col("doc_id"))
+    },
+    // the CCNet SELECTION step: unigram-LM cross-entropy → exact
+    // global rank (range exchange, no single-partition window) → keep
+    // the lowest-cross-entropy 60% by (cross_entropy asc, doc_id) —
+    // the perplexity twin of dsir_select, making the LM family
+    // end-to-end (train → score → select). Ranking on the
+    // cross_entropy double is engine-safe: it is two IEEE divisions
+    // of exactly-representable integers, bit-identical in any engine
+    // (the perplexity contract), with doc_id as the total-order tie
+    // break.
+    "ppl_select" -> { (s, dir) =>
+      val w = lmScored(s, dir, PplSelVocabHandoff, PplSelStatsHandoff)
+      graft.operators.Ranking.topFraction(
+          w.select(col("doc_id"), col("cross_entropy")),
+          Seq(col("cross_entropy").asc, col("doc_id")), percent = 60)
         .orderBy(col("doc_id"))
     },
     // SemDeDup over the SAME persisted IVF index the ANN path
@@ -239,9 +268,14 @@ object ModelQueries {
   // and the composite compose the SAME text and can never drift. All
   // chains require [[labelCte]]'s lt (and lab, for NB) upstream.
 
-  /** NB replay: verifies handoff class counts, token/doc totals, and
-    * model size (omission guard), replays scoring. Produces
-    * ${p}pv(prior_fp) and ${p}g(doc_id, n, s). */
+  /** NB replay: verifies handoff class counts, token/doc totals, the
+    * cap SELECTION (top-[[NbCap]] by c_pos+c_neg desc, token asc —
+    * re-derived, not trusted), and model size/sum omission guards,
+    * then replays scoring (capped-out tokens vote 0, like the Spark
+    * side's left join). A failed guard empties ${p}pv, whose prior
+    * scalar rides every output row — so every row fails, not just
+    * capped-out-token docs. Produces ${p}pv(prior_fp) and
+    * ${p}g(doc_id, n, s). */
   private def nbChainCte(modelRp: String, priorRp: String, p: String): String =
     s"""${p}m AS (SELECT * FROM $modelRp),
        |${p}p AS (SELECT * FROM $priorRp),
@@ -257,6 +291,9 @@ object ModelQueries {
        |  SELECT CAST(sum(c_pos) AS BIGINT) AS np_, CAST(sum(c_neg) AS BIGINT) AS nn_,
        |         CAST(count(*) AS BIGINT) AS v
        |  FROM ${p}c
+       |), ${p}cap AS (
+       |  SELECT token, c_pos, c_neg FROM ${p}c
+       |  ORDER BY (c_pos + c_neg) DESC, token LIMIT $NbCap
        |), ${p}dtot AS (
        |  SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS npd,
        |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nnd
@@ -268,14 +305,15 @@ object ModelQueries {
        |              AND ${p}p.vocab_size = ${p}tot.v
        |  JOIN ${p}dtot ON ${p}p.n_pos_docs = ${p}dtot.npd
        |               AND ${p}p.n_neg_docs = ${p}dtot.nnd
-       |  WHERE (SELECT count(*) FROM ${p}m) = (SELECT v FROM ${p}tot)
+       |  WHERE (SELECT count(*) FROM ${p}m) =
+       |        least($NbCap, (SELECT v FROM ${p}tot))
        |    AND (SELECT CAST(sum(c_pos) + sum(c_neg) AS BIGINT) FROM ${p}m) =
-       |        (SELECT np_ + nn_ FROM ${p}tot)
+       |        (SELECT CAST(sum(c_pos) + sum(c_neg) AS BIGINT) FROM ${p}cap)
        |), ${p}mv AS (
        |  SELECT ${p}m.token, ${p}m.llr_fp
-       |  FROM ${p}m JOIN ${p}c ON ${p}m.token = ${p}c.token
-       |                       AND ${p}m.c_pos = ${p}c.c_pos
-       |                       AND ${p}m.c_neg = ${p}c.c_neg
+       |  FROM ${p}m JOIN ${p}cap ON ${p}m.token = ${p}cap.token
+       |                         AND ${p}m.c_pos = ${p}cap.c_pos
+       |                         AND ${p}m.c_neg = ${p}cap.c_neg
        |), ${p}sc AS (
        |  SELECT ${p}tk.doc_id, coalesce(${p}mv.llr_fp, 0) AS lp
        |  FROM ${p}tk LEFT JOIN ${p}mv USING (token)
@@ -286,7 +324,11 @@ object ModelQueries {
 
   /** Unigram-LM replay: verifies handoff counts, totals, and the cap
     * SELECTION with omission guards, replays scoring with the OOV
-    * fallback. Produces ${p}g(doc_id, n, nll). */
+    * fallback. ${p}vs doubles as the guard scalar: every token's lp is
+    * multiplied by `(SELECT 1 FROM ${p}vs)`, so a failed guard nulls
+    * EVERY tokenized doc's score — not just docs containing OOV tokens
+    * (which are the only ones that read the oov_logp_fp scalar).
+    * Produces ${p}g(doc_id, n, nll). */
   private def lmChainCte(vocabRp: String, statsRp: String, p: String): String =
     s"""${p}h AS (SELECT * FROM $vocabRp),
        |${p}hs AS (SELECT * FROM $statsRp),
@@ -311,7 +353,8 @@ object ModelQueries {
        |                         AND ${p}h.cnt = ${p}cap.cnt
        |), ${p}sc AS (
        |  SELECT ${p}t.doc_id,
-       |         coalesce(${p}hv.logp_fp, (SELECT oov_logp_fp FROM ${p}vs)) AS lp
+       |         coalesce(${p}hv.logp_fp, (SELECT oov_logp_fp FROM ${p}vs))
+       |           * (SELECT 1 FROM ${p}vs) AS lp
        |  FROM ${p}t LEFT JOIN ${p}hv USING (token)
        |), ${p}g AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
@@ -496,6 +539,29 @@ object ModelQueries {
          |  FROM w
          |)
          |SELECT doc_id, weight_fp, global_rank
+         |FROM r WHERE global_rank <= greatest(1, (nn * 60) // 100)
+         |ORDER BY doc_id""".stripMargin,
+    // the SELECTION step on the unigram-LM chain: rank by
+    // (cross_entropy asc, doc_id), keep the integer top-60% — the
+    // rank/boundary math mirrors Ranking.topFraction exactly, the
+    // cross_entropy doubles are the engine-identical division chain.
+    "ppl_select" ->
+      s"""WITH $labelCte,
+         |${lmChainCte(rp(PplSelVocabHandoff), rp(PplSelStatsHandoff), "u")},
+         |w AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN coalesce(ug.n, 0) = 0 THEN 0.0
+         |              ELSE CAST(ug.nll AS DOUBLE) / 1000000000.0 / CAST(ug.n AS DOUBLE)
+         |         END AS cross_entropy
+         |  FROM documents d LEFT JOIN ug USING (doc_id)
+         |), r AS (
+         |  SELECT doc_id, cross_entropy,
+         |         CAST(row_number() OVER (ORDER BY cross_entropy ASC, doc_id)
+         |              AS BIGINT) AS global_rank,
+         |         CAST(count(*) OVER () AS BIGINT) AS nn
+         |  FROM w
+         |)
+         |SELECT doc_id, cross_entropy, global_rank
          |FROM r WHERE global_rank <= greatest(1, (nn * 60) // 100)
          |ORDER BY doc_id""".stripMargin,
     // replay SemDeDup from the index handoff: within-cluster pairs at

@@ -97,6 +97,31 @@ object Serving {
     }
   }
 
+  /** Cache key for the MODEL scorers, with a freshness component:
+    * [[graft.operators.CorpusModels.saveNbModel]]-family layouts are
+    * republished in place by the nightly retrain (mode("overwrite")),
+    * so a resident scorer keying the cache on the bare path would
+    * serve the stale model forever. Folding the part files' max
+    * mtime + total length into the key makes the republish a natural
+    * cache miss: next probe reloads, old entries become garbage
+    * (bounded by republish count — call [[IndexCache.clear]] on a
+    * long-lived server if that ever matters). One FS metadata listing
+    * per probe — noise next to reader init on a miss, and exactly the
+    * staleness check a resident server wants on a hit. The INDEX
+    * probes (IVF/BM25) keep the documented explicit-clear contract:
+    * their layouts are partition trees, not single republished dirs. */
+  private def freshKey(conf: Configuration, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) dir
+    else {
+      val parts = fs.listStatus(p).filter(st => !st.isDirectory &&
+        st.getPath.getName.endsWith(".parquet"))
+      val mtime = if (parts.isEmpty) 0L else parts.map(_.getModificationTime).max
+      s"$dir|$mtime|${parts.map(_.getLen).sum}"
+    }
+  }
+
   /** Read a Spark-written `array<float>` column (3-level LIST group)
     * by field INDEX, so list/element naming variants don't matter. */
   private def floatArray(g: Group, field: String): Array[Float] = {
@@ -254,13 +279,15 @@ object Serving {
     * driver latency. Same whitespace tokenizer, same fixed-point long
     * sums, same strict `> 0` decision as the Spark operator
     * ([[graft.operators.CorpusModels.nbScore]]) — hit-for-hit parity
-    * spec-pinned. The vocab-bounded model map caches per dir for
-    * resident scorers. */
+    * spec-pinned. The vocab-bounded model map caches per
+    * (dir, freshness) key for resident scorers — a republished model
+    * at the same path is picked up on the next probe
+    * ([[freshKey]]). */
   def scoreNb(modelDir: String, text: String,
               conf: Configuration = defaultConf,
               cache: IndexCache = noCache): NbScore = {
     val base = modelDir.stripSuffix("/")
-    val llr = cache.getOrLoad(s"$base/model") {
+    val llr = cache.getOrLoad(freshKey(conf, s"$base/model")) {
       val m = mutable.HashMap.empty[String, Long]
       foreachGroup(conf, s"$base/model") { g =>
         m(g.getString("token", 0)) = g.getLong("llr_fp", 0)
@@ -271,7 +298,7 @@ object Serving {
       require(m.nonEmpty, s"no model rows under $base/model")
       m.toMap
     }
-    val priorFp = cache.getOrLoad(s"$base/prior") {
+    val priorFp = cache.getOrLoad(freshKey(conf, s"$base/prior")) {
       var p = 0L; var saw = false
       foreachGroup(conf, s"$base/prior") { g =>
         p = g.getLong("prior_fp", 0); saw = true
@@ -295,12 +322,12 @@ object Serving {
     * ingest by its perplexity under the nightly corpus LM). Same
     * tokenizer, OOV routing, integer sums, and division chain as
     * [[graft.operators.CorpusModels.perplexity]] — doc-for-doc parity
-    * spec-pinned. */
+    * spec-pinned. Freshness-keyed caching, as [[scoreNb]]. */
   def scorePpl(modelDir: String, text: String,
                conf: Configuration = defaultConf,
                cache: IndexCache = noCache): PplScore = {
     val base = modelDir.stripSuffix("/")
-    val vocab = cache.getOrLoad(s"$base/vocab") {
+    val vocab = cache.getOrLoad(freshKey(conf, s"$base/vocab")) {
       val m = mutable.HashMap.empty[String, Long]
       foreachGroup(conf, s"$base/vocab") { g =>
         m(g.getString("token", 0)) = g.getLong("logp_fp", 0)
@@ -308,7 +335,7 @@ object Serving {
       require(m.nonEmpty, s"no vocab rows under $base/vocab")
       m.toMap
     }
-    val oovFp = cache.getOrLoad(s"$base/stats") {
+    val oovFp = cache.getOrLoad(freshKey(conf, s"$base/stats")) {
       var p = 0L; var saw = false
       foreachGroup(conf, s"$base/stats") { g =>
         p = g.getLong("oov_logp_fp", 0); saw = true
@@ -322,6 +349,57 @@ object Serving {
       text.split(" ").foreach { t =>
         if (t.nonEmpty) { n += 1; nll -= vocab.getOrElse(t, oovFp) }
       }
+    PplScore(n, nll,
+      if (n == 0) 0.0 else nll.toDouble / 1.0e9 / n.toDouble)
+  }
+
+  /** Single-document BIGRAM-LM cross-entropy from a
+    * [[graft.operators.CorpusModels.saveBigramLm]] layout, no Spark —
+    * the serving form of the context-aware CCNet signal, closing the
+    * batch/serve split for the last model family. Same tokenizer,
+    * transition enumeration, capped-table routing (transition to a
+    * capped-out target scores its context's OOV; a transition out of
+    * an unknown/capped-out context DROPS — the inner contexts join),
+    * integer sums, and division chain as
+    * [[graft.operators.CorpusModels.bigramPerplexity]] — doc-for-doc
+    * parity spec-pinned, zero Spark jobs. Both maps are
+    * cap-bounded by construction (bigramCap/contextCap are required);
+    * freshness-keyed caching, as [[scoreNb]]. */
+  def scoreBigramPpl(modelDir: String, text: String,
+                     conf: Configuration = defaultConf,
+                     cache: IndexCache = noCache): PplScore = {
+    val base = modelDir.stripSuffix("/")
+    val bigrams = cache.getOrLoad(freshKey(conf, s"$base/bigrams")) {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      foreachGroup(conf, s"$base/bigrams") { g =>
+        m((g.getString("ctx", 0), g.getString("tok", 0))) = g.getLong("logp_fp", 0)
+      }
+      require(m.nonEmpty, s"no bigram rows under $base/bigrams")
+      m.toMap
+    }
+    val contexts = cache.getOrLoad(freshKey(conf, s"$base/contexts")) {
+      val m = mutable.HashMap.empty[String, Long]
+      foreachGroup(conf, s"$base/contexts") { g =>
+        m(g.getString("ctx", 0)) = g.getLong("oov_logp_fp", 0)
+      }
+      require(m.nonEmpty, s"no context rows under $base/contexts")
+      m.toMap
+    }
+    var n = 0L
+    var nll = 0L
+    if (text != null) {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      var i = 0
+      while (i < toks.length - 1) {
+        contexts.get(toks(i)) match {
+          case Some(ctxOov) =>
+            n += 1
+            nll -= bigrams.getOrElse((toks(i), toks(i + 1)), ctxOov)
+          case None => // unknown or capped-out context: transition drops
+        }
+        i += 1
+      }
+    }
     PplScore(n, nll,
       if (n == 0) 0.0 else nll.toDouble / 1.0e9 / n.toDouble)
   }

@@ -153,6 +153,24 @@ object StreamingIngest {
         graft.operators.CorpusModels.nbScoreColumn(model, priorFp)(col(textCol)))
       .withColumn("keep_pred", col("score_fp") > 0)
 
+  /** Streaming LM-perplexity scoring: the stream twin of
+    * `lm_perplexity`'s score stage, same contract as
+    * [[scoreDocStream]] — the capped vocab rides the closure, scoring
+    * is one stateless narrow projection (no aggregation, no state
+    * store, any output mode), and batch==stream integer parity is
+    * spec-gated ([[graft.operators.CorpusModels.pplScoreColumn]]
+    * produces exactly `perplexity`'s long sums and division chain,
+    * incl. null text → the zero row). */
+  def scoreDocStreamPpl(docs: DataFrame, vocab: Map[String, Long],
+                        oovFp: Long, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__ppl",
+        graft.operators.CorpusModels.pplScoreColumn(vocab, oovFp)(col(textCol)))
+      .withColumn("n_tokens", col("__ppl.n_tokens"))
+      .withColumn("nll_fp", col("__ppl.nll_fp"))
+      .withColumn("cross_entropy", col("__ppl.cross_entropy"))
+      .drop("__ppl")
+
   /** Stream-static enrichment join: events stream × document dimension
     * table. The static side is broadcast (it is re-read per micro-batch,
     * so at scale persist it), keeping the stream side shuffle-free —

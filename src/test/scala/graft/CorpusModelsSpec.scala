@@ -74,7 +74,7 @@ class CorpusModelsSpec extends SparkSpec {
   // ------------------------------------------------------------- bigram LM
 
   test("bigramLm: pair/context counts, cap selection, per-context smoothing math") {
-    val (bi, ctx) = CorpusModels.bigramLm(lmDocs, "text", bigramCap = 2)
+    val (bi, ctx) = CorpusModels.bigramLm(lmDocs, "text", bigramCap = 2, contextCap = Int.MaxValue)
     // transitions: (a,a), (a,b) from doc 0; (b,c) from doc 1; V = 3
     val c = ctx.collect().map(r => r.getString(0) ->
       (r.getAs[Long]("c_u"), r.getAs[Long]("oov_logp_fp"))).toMap
@@ -88,7 +88,7 @@ class CorpusModelsSpec extends SparkSpec {
   }
 
   test("bigramPerplexity: transition sums, capped-out OOV fallback, short/unknown docs") {
-    val (bi, ctx) = CorpusModels.bigramLm(lmDocs, "text", bigramCap = 2)
+    val (bi, ctx) = CorpusModels.bigramLm(lmDocs, "text", bigramCap = 2, contextCap = Int.MaxValue)
     val out = CorpusModels.bigramPerplexity(lmDocs, "doc_id", "text", bi, ctx)
       .orderBy("doc_id").collect()
     // doc 0 "a a b": both transitions in the capped table
@@ -121,8 +121,8 @@ class CorpusModelsSpec extends SparkSpec {
 
   test("bigram LM is partitioning-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val (b1, c1) = CorpusModels.bigramLm(docs, "text", 512)
-    val (b2, c2) = CorpusModels.bigramLm(docs.repartition(17), "text", 512)
+    val (b1, c1) = CorpusModels.bigramLm(docs, "text", 512, Int.MaxValue)
+    val (b2, c2) = CorpusModels.bigramLm(docs.repartition(17), "text", 512, Int.MaxValue)
     val a = CorpusModels.bigramPerplexity(docs, "doc_id", "text", b1, c1)
       .orderBy("doc_id").collect().toSeq
     val b = CorpusModels.bigramPerplexity(docs.repartition(9), "doc_id", "text", b2, c2)
@@ -181,7 +181,7 @@ class CorpusModelsSpec extends SparkSpec {
       if (trans.nonEmpty) {
         val df = docs.toDF("doc_id", "text")
         val cap = 1 + rnd.nextInt(10)
-        val (bi, ctx) = CorpusModels.bigramLm(df, "text", cap)
+        val (bi, ctx) = CorpusModels.bigramLm(df, "text", cap, Int.MaxValue)
         val out = CorpusModels.bigramPerplexity(df, "doc_id", "text", bi, ctx)
           .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
         val pairCounts = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -212,7 +212,7 @@ class CorpusModelsSpec extends SparkSpec {
     (3L, "", false)).toDF("doc_id", "text", "keep")
 
   test("nbTrain: class counts, totals, priors, and llr math are exact") {
-    val (model, prior) = CorpusModels.nbTrain(nbDocs, "text", "keep")
+    val (model, prior) = CorpusModels.nbTrain(nbDocs, "text", "keep", 1024)
     val p = prior.collect()(0)
     assert(p.getAs[Long]("n_pos_docs") === 2L)
     assert(p.getAs[Long]("n_neg_docs") === 2L)
@@ -232,7 +232,7 @@ class CorpusModelsSpec extends SparkSpec {
   }
 
   test("nbScore: decision boundary, neutral unknowns, zero-token docs score the prior") {
-    val (model, prior) = CorpusModels.nbTrain(nbDocs, "text", "keep")
+    val (model, prior) = CorpusModels.nbTrain(nbDocs, "text", "keep", 1024)
     val out = CorpusModels.nbScore(nbDocs, "doc_id", "text", model, prior)
       .orderBy("doc_id").collect()
     assert(out(0).getAs[Boolean]("keep_pred") === true)
@@ -244,6 +244,27 @@ class CorpusModelsSpec extends SparkSpec {
     val unk = CorpusModels.nbScore(Seq((7L, "zz qq")).toDF("doc_id", "text"),
       "doc_id", "text", model, prior).collect()(0)
     assert(unk.getAs[Long]("score_fp") === 0L)
+  }
+
+  test("nbTrain vocabCap: top-total selection, unchanged in-model LLRs, capping changes a score") {
+    val (full, prior) = CorpusModels.nbTrain(nbDocs, "text", "keep", 1024)
+    val (capped, priorC) = CorpusModels.nbTrain(nbDocs, "text", "keep", 2)
+    // totals: good 3, bad 3, fine 1, awful 1 → top-2 by
+    // (c_pos+c_neg desc, token asc): tie at 3 broken to "bad","good"
+    val mc = capped.collect().map(r => r.getString(0) -> r.getAs[Long]("llr_fp")).toMap
+    assert(mc.keySet === Set("bad", "good"))
+    val mf = full.collect().map(r => r.getString(0) -> r.getAs[Long]("llr_fp")).toMap
+    // in-model LLRs unchanged: smoothing denominators use UNCAPPED totals
+    assert(mc("good") === mf("good") && mc("bad") === mf("bad"))
+    // the prior row is cap-independent
+    assert(priorC.collect().toSeq === prior.collect().toSeq)
+    // capping changes doc 0's score by exactly 'fine''s lost vote
+    // (capped-out tokens vote the same neutral 0 as unknown tokens)
+    def score(m: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame): Long =
+      CorpusModels.nbScore(nbDocs, "doc_id", "text", m, p)
+        .filter(col("doc_id") === 0L).collect()(0).getAs[Long]("score_fp")
+    assert(score(full, prior) - score(capped, priorC) === mf("fine"))
+    assert(mf("fine") !== 0L)
   }
 
   test("NB classifier generalizes the rule gate on the fixture (high agreement)") {
@@ -259,7 +280,7 @@ class CorpusModelsSpec extends SparkSpec {
           col("dup_bigram_frac") <= 0.5 &&
           col("n_tokens") >= 10 && col("n_tokens") <= 100000).as("keep"))
     val labeled = docs.join(labels, Seq("doc_id"))
-    val (model, prior) = CorpusModels.nbTrain(labeled, "text", "keep")
+    val (model, prior) = CorpusModels.nbTrain(labeled, "text", "keep", 1 << 20)
     val scored = CorpusModels.nbScore(docs, "doc_id", "text", model, prior)
     val agree = scored.join(labels, Seq("doc_id"))
       .filter(col("keep_pred") === col("keep")).count()
@@ -313,6 +334,21 @@ class CorpusModelsSpec extends SparkSpec {
     val fused = CorpusModels.dsirPipeline(labeled, "doc_id", "text", "t", 128)
       .orderBy("doc_id").collect().toSeq
     assert(fused === split)
+  }
+
+  test("DSIR per-occurrence-hash scoring (dictEncode=false) == dictionary form, every integer") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(150)
+    val lbl = docs.select(col("doc_id"), (col("doc_id") % 4 =!= 0).as("t"))
+    val labeled = docs.join(lbl, Seq("doc_id"))
+    val (model, _) = CorpusModels.dsirModel(labeled, "text", "t", 128)
+    val dict = CorpusModels.dsirWeights(labeled, "doc_id", "text", model, 128)
+      .orderBy("doc_id").collect().toSeq
+    val direct = CorpusModels.dsirWeights(labeled, "doc_id", "text", model, 128,
+      dictEncode = false).orderBy("doc_id").collect().toSeq
+    assert(direct === dict)
+    val fusedDirect = CorpusModels.dsirPipeline(labeled, "doc_id", "text", "t", 128,
+      dictEncode = false).orderBy("doc_id").collect().toSeq
+    assert(fusedDirect === dict)
   }
 
   test("DSIR pipeline is partitioning-independent") {

@@ -89,7 +89,7 @@ class ServingSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir).limit(120)
     val labeled = docs.withColumn("keep", col("doc_id") % 3 =!= 0)
-    val (model, prior) = CorpusModels.nbTrain(labeled, "text", "keep")
+    val (model, prior) = CorpusModels.nbTrain(labeled, "text", "keep", 1 << 20)
     val dir = java.nio.file.Files.createTempDirectory("nb-serve").toString
     CorpusModels.saveNbModel(model, prior, dir)
     val batch = CorpusModels.nbScore(docs, "doc_id", "text", model, prior)
@@ -135,5 +135,58 @@ class ServingSpec extends SparkSpec {
     assert(jobsAfter === jobsBefore, "LM probe must not launch Spark jobs")
     // null/empty text → the zero row, matching the batch contract
     assert(Serving.scorePpl(dir, null, cache = cache) === Serving.PplScore(0L, 0L, 0.0))
+  }
+
+  test("bigram-LM serving probe == Spark bigramPerplexity doc for doc, no Spark job") {
+    import graft.operators.CorpusModels
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    // contextCap below the corpus' distinct-context count, so the
+    // capped-out-context DROP path is live in both batch and probe
+    val (bi, ctx) = CorpusModels.bigramLm(docs, "text", 512, 24)
+    val dir = java.nio.file.Files.createTempDirectory("bigram-serve").toString
+    CorpusModels.saveBigramLm(bi, ctx, dir)
+    val batch = CorpusModels.bigramPerplexity(docs, "doc_id", "text", bi, ctx)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("n_transitions"),
+        r.getAs[Long]("nll_fp"), r.getAs[Double]("cross_entropy")))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val cache = Serving.newCache()
+    Serving.scoreBigramPpl(dir, texts.head._2, cache = cache)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    texts.foreach { case (id, text) =>
+      val s = Serving.scoreBigramPpl(dir, text, cache = cache)
+      assert((s.nTokens, s.nllFp, s.crossEntropy) === batch(id), s"doc $id")
+    }
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "bigram probe must not launch Spark jobs")
+    // null text → the zero row (no transitions)
+    assert(Serving.scoreBigramPpl(dir, null, cache = cache) === Serving.PplScore(0L, 0L, 0.0))
+    // fail-loud on a missing model dir
+    intercept[IllegalArgumentException] {
+      Serving.scoreBigramPpl("/nonexistent/bigram-model", "a b")
+    }
+  }
+
+  test("republish at the same path reaches a CACHED scorer (freshness key)") {
+    import graft.operators.CorpusModels
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    val (m1, p1) = CorpusModels.nbTrain(
+      docs.withColumn("keep", col("doc_id") % 2 === 0), "text", "keep", 1 << 20)
+    val (m2, p2) = CorpusModels.nbTrain(
+      docs.withColumn("keep", col("doc_id") % 2 =!= 0), "text", "keep", 1 << 20)
+    val dir = java.nio.file.Files.createTempDirectory("nb-republish").toString
+    val text = docs.select("text").collect()(1).getString(0)
+    val cache = Serving.newCache()
+    CorpusModels.saveNbModel(m1, p1, dir)
+    val s1 = Serving.scoreNb(dir, text, cache = cache)
+    // republish IN PLACE (the nightly retrain): same path, new content;
+    // sleep past coarse-mtime filesystems so freshness must trip
+    Thread.sleep(1100)
+    CorpusModels.saveNbModel(m2, p2, dir)
+    val s2 = Serving.scoreNb(dir, text, cache = cache)
+    assert(s2 === Serving.scoreNb(dir, text),
+      "cached scorer must serve the republished model, not the stale cache")
+    assert(s1 !== s2, "flipped-label models should score this text differently")
   }
 }

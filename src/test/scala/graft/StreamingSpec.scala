@@ -390,7 +390,7 @@ class StreamingSpec extends SparkSpec {
       (0L, "good good fine", true), (1L, "good bad", true),
       (2L, "bad bad awful", false), (3L, "mixed good bad", false))
       .toDF("doc_id", "text", "keep")
-    val (model, prior) = CorpusModels.nbTrain(corpus, "text", "keep")
+    val (model, prior) = CorpusModels.nbTrain(corpus, "text", "keep", 1024)
     val mm = CorpusModels.nbModelMap(model)
     val pf = prior.collect()(0).getAs[Long]("prior_fp")
     // batch scores over fresh docs (incl. unknown tokens, empty, NULL)
@@ -417,6 +417,41 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       assert(stream === batch)
       // and the plan is stateless: no state store operators
+      assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
+    } finally q.stop()
+  }
+
+  test("streaming LM perplexity twin: stateless, batch==stream integer parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusModels
+    // train on a batch corpus; cap 3 of 4 distinct tokens so the OOV
+    // closure path is live ('d' capped out)
+    val corpus = Seq((0L, "a a b"), (1L, "b c"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val (vocab, stats) = CorpusModels.unigramLm(corpus, "text", 3)
+    val vm = CorpusModels.lmModelMap(vocab)
+    val oov = CorpusModels.lmOovFp(stats)
+    // fresh docs: unknown token, empty text, NULL text
+    val fresh = Seq((10L, "a b zz"), (11L, ""), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = CorpusModels.perplexity(fresh, "doc_id", "text", vocab, stats)
+      .select($"doc_id", $"n_tokens", $"nll_fp", $"cross_entropy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamingIngest.scoreDocStreamPpl(
+      input.toDF().toDF("doc_id", "text"), vm, oov)
+    val q = scored.writeStream.format("memory").queryName("ppl_scored")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((10L, "a b zz"), (11L, ""))
+      q.processAllAvailable()
+      // second epoch: stateless — null text scores the zero row
+      input.addData((12L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val stream = spark.table("ppl_scored")
+        .select($"doc_id", $"n_tokens", $"nll_fp", $"cross_entropy")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(stream === batch)
       assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
     } finally q.stop()
   }
