@@ -421,6 +421,52 @@ object CorpusModels {
     * [[perplexity]] output so `select("ppl.*")` is the batch schema. */
   case class PplRow(n_tokens: Long, nll_fp: Long, cross_entropy: Double)
 
+  /** Collect a [[bigramLm]] model into the closure-sized maps
+    * [[bigramPplScoreColumn]] wants — both cap-bounded by
+    * construction (bigramCap/contextCap are required). */
+  def bigramModelMaps(bigrams: DataFrame, contexts: DataFrame)
+      : (Map[(String, String), Long], Map[String, Long]) = {
+    val bi = bigrams.select(col("ctx"), col("tok"), col("logp_fp")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ctx = contexts.select(col("ctx"), col("oov_logp_fp")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (bi, ctx)
+  }
+
+  /** Per-ROW bigram-LM cross-entropy for the streaming path — the
+    * context-aware sibling of [[pplScoreColumn]], same contract:
+    * capped maps ride the closure, rows score independently, and the
+    * integers are exactly [[bigramPerplexity]]'s (same transition
+    * enumeration, capped-out-target OOV, unknown/capped-out-context
+    * DROP, long sums, division chain; batch==stream parity
+    * spec-gated). Field names follow the batch output
+    * (n_transitions). */
+  def bigramPplScoreColumn(bigrams: Map[(String, String), Long],
+                           contexts: Map[String, Long])(text: Column): Column = {
+    val scoreUdf = udf { (toks: Seq[String]) =>
+      var n = 0L
+      var nll = 0L
+      if (toks != null && toks.length >= 2) {
+        var i = 0
+        while (i < toks.length - 1) {
+          contexts.get(toks(i)) match {
+            case Some(ctxOov) =>
+              n += 1
+              nll -= bigrams.getOrElse((toks(i), toks(i + 1)), ctxOov)
+            case None => // unknown or capped-out context: drops
+          }
+          i += 1
+        }
+      }
+      BigramPplRow(n, nll, if (n == 0L) 0.0 else nll.toDouble / LpScale / n.toDouble)
+    }
+    scoreUdf(TextAnalysis.tokens(text))
+  }
+
+  /** Row shape of [[bigramPplScoreColumn]], named as the batch
+    * [[bigramPerplexity]] output. */
+  case class BigramPplRow(n_transitions: Long, nll_fp: Long, cross_entropy: Double)
+
   // ------------------------------------------------ DSIR importance weights
 
   /** Hashed-bigram feature bucket: top-60-md5-bits of the gram string
@@ -552,10 +598,17 @@ object CorpusModels {
     val grams = occ.groupBy(col("gram")).agg(
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("gt"),
       count(lit(1)).as("gr"))
-    val bucketed = grams
+    // the distinct-gram table is persisted ONLY under dictEncode —
+    // it doubles as the scoring dictionary there; the per-occurrence
+    // form reads it exactly once (for the model agg), so caching it
+    // would only cost memory
+    val bucketed0 = grams
       .select(gramBucket(col("gram"), numBuckets).as("bucket"),
         col("gram"), col("gt"), col("gr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed =
+      if (dictEncode)
+        bucketed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bucketed0
     val counts = bucketed
       .groupBy(col("bucket")).agg(
         sum(col("gt")).as("c_target"),
@@ -590,7 +643,7 @@ object CorpusModels {
         coalesce(col("s"), lit(0L)).as("weight_fp"),
         (coalesce(col("s"), lit(0L)).cast("double") / lit(LpScale)).as("weight"))
     Dedup.releaseAfterUse(occ)
-    Dedup.releaseAfterUse(bucketed)
+    if (dictEncode) Dedup.releaseAfterUse(bucketed)
     out
   }
 }

@@ -171,6 +171,22 @@ object StreamingIngest {
       .withColumn("cross_entropy", col("__ppl.cross_entropy"))
       .drop("__ppl")
 
+  /** Streaming BIGRAM-LM scoring — the context-aware sibling of
+    * [[scoreDocStreamPpl]], same stateless contract; parity with
+    * `bigramPerplexity` (incl. the unknown-context transition DROP)
+    * is spec-gated. */
+  def scoreDocStreamBigramPpl(docs: DataFrame,
+                              bigrams: Map[(String, String), Long],
+                              contexts: Map[String, Long],
+                              textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__ppl",
+        graft.operators.CorpusModels.bigramPplScoreColumn(bigrams, contexts)(col(textCol)))
+      .withColumn("n_transitions", col("__ppl.n_transitions"))
+      .withColumn("nll_fp", col("__ppl.nll_fp"))
+      .withColumn("cross_entropy", col("__ppl.cross_entropy"))
+      .drop("__ppl")
+
   /** Stream-static enrichment join: events stream × document dimension
     * table. The static side is broadcast (it is re-read per micro-batch,
     * so at scale persist it), keeping the stream side shuffle-free —

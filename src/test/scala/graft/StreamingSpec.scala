@@ -455,4 +455,38 @@ class StreamingSpec extends SparkSpec {
       assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
     } finally q.stop()
   }
+
+  test("streaming bigram-LM twin: stateless, batch==stream, unknown-context drop parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusModels
+    val corpus = Seq((0L, "a a b"), (1L, "b c"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    // bigramCap caps out rare transitions; contextCap=2 caps out a
+    // context → both fallback paths live in the parity check
+    val (bi, ctx) = CorpusModels.bigramLm(corpus, "text", 4, 2)
+    val (bm, cm) = CorpusModels.bigramModelMaps(bi, ctx)
+    // fresh docs: capped-out target, UNKNOWN context ("zz"), 1-token, NULL
+    val fresh = Seq((10L, "a b c"), (11L, "zz a b"), (12L, "a"),
+        (13L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = CorpusModels.bigramPerplexity(fresh, "doc_id", "text", bi, ctx)
+      .select($"doc_id", $"n_transitions", $"nll_fp", $"cross_entropy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamingIngest.scoreDocStreamBigramPpl(
+      input.toDF().toDF("doc_id", "text"), bm, cm)
+    val q = scored.writeStream.format("memory").queryName("bippl_scored")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((10L, "a b c"), (11L, "zz a b"))
+      q.processAllAvailable()
+      input.addData((12L, "a"), (13L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val stream = spark.table("bippl_scored")
+        .select($"doc_id", $"n_transitions", $"nll_fp", $"cross_entropy")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(stream === batch)
+      assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
+    } finally q.stop()
+  }
 }
