@@ -32,13 +32,23 @@ object Tables {
     * NTZ through the session zone. Zone-independence and
     * no-session-mutation are spec-pinned in TablesSpec.) */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
+    // match on the ACTUAL read type, one zone-free mapping each — a
+    // catch-all would silently route a future isAdjustedToUTC=true
+    // (LTZ) generation through NTZ/LTZ coercion, which IS
+    // session-zone-dependent
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn("ts",
+      case LongType => raw
+      case TimestampNTZType => raw.withColumn("ts",
         expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
           * lit(1000L))
+      case TimestampType => // an instant: unix_micros is zone-free on LTZ
+        raw.withColumn("ts", org.apache.spark.sql.functions.unix_micros(col("ts"))
+          * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet read type $other")
     }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")

@@ -321,17 +321,69 @@ object CorpusModels {
     * store. Produces exactly [[nbScore]]'s integers (same long sums,
     * same neutral-0 unknowns); batch==stream parity is spec-gated. */
   def nbScoreColumn(model: Map[String, Long], priorFp: Long)(text: Column): Column = {
-    val scoreUdf = udf { (toks: Seq[String]) =>
-      var s = priorFp
-      // null text → null token array: score the prior, like the batch
-      // path's left join does (parity contract incl. null rows)
-      if (toks != null) {
-        var i = 0
-        while (i < toks.length) { s += model.getOrElse(toks(i), 0L); i += 1 }
-      }
-      s
-    }
+    val scoreUdf = udf { (toks: Seq[String]) => nbKernel(toks, model, priorFp) }
     scoreUdf(TextAnalysis.tokens(text))
+  }
+
+  // ------------------------- closure-scoring kernels (ONE loop per model)
+  // Shared by the streaming UDFs above/below and the driver-side
+  // probes (graft.serving.Serving.scoreNb/scorePpl/scoreBigramPpl):
+  // parity-critical logic lives exactly once, so the batch==stream and
+  // batch==serve contracts cannot fork between hand-synced copies.
+  // null toks = null text: the batch paths' left joins produce the
+  // same neutral row (prior-only / zeros).
+
+  /** Driver-side twin of [[TextAnalysis.tokens]] for the probes:
+    * whitespace split, empties dropped. */
+  private[graft] def splitTokens(text: String): Array[String] =
+    if (text == null) null else text.split(" ").filter(_.nonEmpty)
+
+  /** score_fp = prior + Σ LLR votes (unknown/capped-out → 0). */
+  private[graft] def nbKernel(toks: Seq[String], model: Map[String, Long],
+                              priorFp: Long): Long = {
+    var s = priorFp
+    if (toks != null) {
+      var i = 0
+      while (i < toks.length) { s += model.getOrElse(toks(i), 0L); i += 1 }
+    }
+    s
+  }
+
+  /** (n_tokens, nll_fp) under a capped unigram vocab + OOV scalar. */
+  private[graft] def pplKernel(toks: Seq[String], vocab: Map[String, Long],
+                               oovFp: Long): (Long, Long) = {
+    var n = 0L
+    var nll = 0L
+    if (toks != null) {
+      var i = 0
+      while (i < toks.length) { nll -= vocab.getOrElse(toks(i), oovFp); i += 1 }
+      n = toks.length.toLong
+    }
+    (n, nll)
+  }
+
+  /** (n_transitions, nll_fp) under capped bigram/context maps —
+    * capped-out target scores its context's OOV; unknown/capped-out
+    * context DROPS the transition (the [[bigramPerplexity]] inner
+    * join). */
+  private[graft] def bigramPplKernel(toks: Seq[String],
+                                     bigrams: Map[(String, String), Long],
+                                     contexts: Map[String, Long]): (Long, Long) = {
+    var n = 0L
+    var nll = 0L
+    if (toks != null && toks.length >= 2) {
+      var i = 0
+      while (i < toks.length - 1) {
+        contexts.get(toks(i)) match {
+          case Some(ctxOov) =>
+            n += 1
+            nll -= bigrams.getOrElse((toks(i), toks(i + 1)), ctxOov)
+          case None => // unknown or capped-out context: drops
+        }
+        i += 1
+      }
+    }
+    (n, nll)
   }
 
   /** Collect a [[nbTrain]] model into the closure-sized form
@@ -405,13 +457,7 @@ object CorpusModels {
     * like the batch path's left join. */
   def pplScoreColumn(vocab: Map[String, Long], oovFp: Long)(text: Column): Column = {
     val scoreUdf = udf { (toks: Seq[String]) =>
-      var n = 0L
-      var nll = 0L
-      if (toks != null) {
-        var i = 0
-        while (i < toks.length) { nll -= vocab.getOrElse(toks(i), oovFp); i += 1 }
-        n = toks.length.toLong
-      }
+      val (n, nll) = pplKernel(toks, vocab, oovFp)
       PplRow(n, nll, if (n == 0L) 0.0 else nll.toDouble / LpScale / n.toDouble)
     }
     scoreUdf(TextAnalysis.tokens(text))
@@ -444,20 +490,7 @@ object CorpusModels {
   def bigramPplScoreColumn(bigrams: Map[(String, String), Long],
                            contexts: Map[String, Long])(text: Column): Column = {
     val scoreUdf = udf { (toks: Seq[String]) =>
-      var n = 0L
-      var nll = 0L
-      if (toks != null && toks.length >= 2) {
-        var i = 0
-        while (i < toks.length - 1) {
-          contexts.get(toks(i)) match {
-            case Some(ctxOov) =>
-              n += 1
-              nll -= bigrams.getOrElse((toks(i), toks(i + 1)), ctxOov)
-            case None => // unknown or capped-out context: drops
-          }
-          i += 1
-        }
-      }
+      val (n, nll) = bigramPplKernel(toks, bigrams, contexts)
       BigramPplRow(n, nll, if (n == 0L) 0.0 else nll.toDouble / LpScale / n.toDouble)
     }
     scoreUdf(TextAnalysis.tokens(text))

@@ -84,17 +84,16 @@ object ModelQueries {
   def semdedupIndex(s: SparkSession, dir: String): graft.operators.Ann.IvfIndex = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val key = s"$dir|${src.lastModified}|${src.length}"
-    // lock around the memo: TrieMap.getOrElseUpdate is not atomic for
-    // an expensive thunk, and two concurrent first calls would both
-    // run the count() job (consistent k, but duplicate work)
-    val k = semKLock.synchronized {
-      semKCache.getOrElseUpdate(key,
-        math.max(16, (Tables.embeddings(s, dir).count() / 1000L).toInt))
-    }
+    // per-key memo (computeIfAbsent): only concurrent first calls for
+    // the SAME fixture wait on its one count() job — resolving k for a
+    // different dir is never serialized behind it (the IndexCache
+    // pattern; a global lock held across a Spark job would be)
+    val k = semKCache.computeIfAbsent(key,
+      _ => math.max(16, (Tables.embeddings(s, dir).count() / 1000L).toInt))
     AnnQueries.persistedIvf(s, dir, k)
   }
-  private val semKCache = scala.collection.concurrent.TrieMap.empty[String, Int]
-  private val semKLock = new Object
+  private val semKCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The rule-based quality-gate labels (the t_quality_gate verdict,
     * reduced to (doc_id, keep)) — training labels for the NB

@@ -61,8 +61,11 @@ object Serving {
     // callers racing on the SAME directory wait for its one load
     private val entries =
       new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-    private[Serving] def getOrLoad[T <: AnyRef](dir: String)(load: => T): T =
-      entries.computeIfAbsent(dir, _ => load).asInstanceOf[T]
+    // key is BY-NAME: the no-cache stand-in never forces it, so the
+    // default path pays zero key-computation cost (freshKey lists the
+    // directory — wasted FS round-trips if evaluated eagerly)
+    private[Serving] def getOrLoad[T <: AnyRef](key: => String)(load: => T): T =
+      entries.computeIfAbsent(key, _ => load).asInstanceOf[T]
     def size: Int = entries.size
     def clear(): Unit = entries.clear()
   }
@@ -71,9 +74,10 @@ object Serving {
     * or one shared — entries key on absolute dir paths). */
   def newCache(): IndexCache = new IndexCache
 
-  /** No-op cache stand-in: every [[IndexCache.getOrLoad]] misses. */
+  /** No-op cache stand-in: every [[IndexCache.getOrLoad]] misses (and
+    * never forces the by-name key). */
   private val noCache: IndexCache = new IndexCache {
-    override private[Serving] def getOrLoad[T <: AnyRef](dir: String)(load: => T): T = load
+    override private[Serving] def getOrLoad[T <: AnyRef](key: => String)(load: => T): T = load
   }
 
   // ------------------------------------------------------ parquet plumbing
@@ -102,12 +106,16 @@ object Serving {
     * republished in place by the nightly retrain (mode("overwrite")),
     * so a resident scorer keying the cache on the bare path would
     * serve the stale model forever. Folding the part files' max
-    * mtime + total length into the key makes the republish a natural
-    * cache miss: next probe reloads, old entries become garbage
-    * (bounded by republish count — call [[IndexCache.clear]] on a
-    * long-lived server if that ever matters). One FS metadata listing
-    * per probe — noise next to reader init on a miss, and exactly the
-    * staleness check a resident server wants on a hit. The INDEX
+    * NAMES (Spark embeds a fresh write-job UUID in every part
+    * filename, so a republish can never collide — no dependence on
+    * mtime granularity), plus per-file mtime and length for
+    * non-Spark writers, makes the republish a natural cache miss:
+    * next probe reloads, old entries become garbage (bounded by
+    * republish count — call [[IndexCache.clear]] on a long-lived
+    * server if that ever matters). One FS metadata listing per CACHED
+    * probe — noise next to reader init on a miss, exactly the
+    * staleness check a resident server wants on a hit, and skipped
+    * entirely on the no-cache path (the key is by-name). The INDEX
     * probes (IVF/BM25) keep the documented explicit-clear contract:
     * their layouts are partition trees, not single republished dirs. */
   private def freshKey(conf: Configuration, dir: String): String = {
@@ -116,9 +124,9 @@ object Serving {
     if (!fs.exists(p)) dir
     else {
       val parts = fs.listStatus(p).filter(st => !st.isDirectory &&
-        st.getPath.getName.endsWith(".parquet"))
-      val mtime = if (parts.isEmpty) 0L else parts.map(_.getModificationTime).max
-      s"$dir|$mtime|${parts.map(_.getLen).sum}"
+        st.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      s"$dir|" + parts.map(st =>
+        s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}").mkString(",")
     }
   }
 
@@ -306,15 +314,21 @@ object Serving {
       require(saw, s"no prior row under $base/prior")
       java.lang.Long.valueOf(p)
     }.longValue()
-    var s = priorFp
-    if (text != null)
-      text.split(" ").foreach(t => if (t.nonEmpty) s += llr.getOrElse(t, 0L))
+    // the ONE scoring loop, shared with the batch-parity UDF
+    // (CorpusModels.nbScoreColumn) — the contract cannot fork
+    val s = graft.operators.CorpusModels.nbKernel(
+      graft.operators.CorpusModels.splitTokens(text), llr, priorFp)
     NbScore(s, s > 0)
   }
 
   // ------------------------------------------------------- LM perplexity probe
 
   final case class PplScore(nTokens: Long, nllFp: Long, crossEntropy: Double)
+
+  /** Bigram probe result — the count field is TRANSITIONS (tokens−1
+    * minus dropped unknown-context transitions), named to match the
+    * batch `bigramPerplexity` output, not a token count. */
+  final case class BigramPplScore(nTransitions: Long, nllFp: Long, crossEntropy: Double)
 
   /** Single-document LM cross-entropy from a
     * [[graft.operators.CorpusModels.saveLmModel]] layout, no Spark —
@@ -343,12 +357,8 @@ object Serving {
       require(saw, s"no stats row under $base/stats")
       java.lang.Long.valueOf(p)
     }.longValue()
-    var n = 0L
-    var nll = 0L
-    if (text != null)
-      text.split(" ").foreach { t =>
-        if (t.nonEmpty) { n += 1; nll -= vocab.getOrElse(t, oovFp) }
-      }
+    val (n, nll) = graft.operators.CorpusModels.pplKernel(
+      graft.operators.CorpusModels.splitTokens(text), vocab, oovFp)
     PplScore(n, nll,
       if (n == 0) 0.0 else nll.toDouble / 1.0e9 / n.toDouble)
   }
@@ -367,7 +377,7 @@ object Serving {
     * freshness-keyed caching, as [[scoreNb]]. */
   def scoreBigramPpl(modelDir: String, text: String,
                      conf: Configuration = defaultConf,
-                     cache: IndexCache = noCache): PplScore = {
+                     cache: IndexCache = noCache): BigramPplScore = {
     val base = modelDir.stripSuffix("/")
     val bigrams = cache.getOrLoad(freshKey(conf, s"$base/bigrams")) {
       val m = mutable.HashMap.empty[(String, String), Long]
@@ -385,22 +395,9 @@ object Serving {
       require(m.nonEmpty, s"no context rows under $base/contexts")
       m.toMap
     }
-    var n = 0L
-    var nll = 0L
-    if (text != null) {
-      val toks = text.split(" ").filter(_.nonEmpty)
-      var i = 0
-      while (i < toks.length - 1) {
-        contexts.get(toks(i)) match {
-          case Some(ctxOov) =>
-            n += 1
-            nll -= bigrams.getOrElse((toks(i), toks(i + 1)), ctxOov)
-          case None => // unknown or capped-out context: transition drops
-        }
-        i += 1
-      }
-    }
-    PplScore(n, nll,
+    val (n, nll) = graft.operators.CorpusModels.bigramPplKernel(
+      graft.operators.CorpusModels.splitTokens(text), bigrams, contexts)
+    BigramPplScore(n, nll,
       if (n == 0) 0.0 else nll.toDouble / 1.0e9 / n.toDouble)
   }
 }

@@ -155,12 +155,13 @@ class ServingSpec extends SparkSpec {
     val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     texts.foreach { case (id, text) =>
       val s = Serving.scoreBigramPpl(dir, text, cache = cache)
-      assert((s.nTokens, s.nllFp, s.crossEntropy) === batch(id), s"doc $id")
+      assert((s.nTransitions, s.nllFp, s.crossEntropy) === batch(id), s"doc $id")
     }
     val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(jobsAfter === jobsBefore, "bigram probe must not launch Spark jobs")
     // null text → the zero row (no transitions)
-    assert(Serving.scoreBigramPpl(dir, null, cache = cache) === Serving.PplScore(0L, 0L, 0.0))
+    assert(Serving.scoreBigramPpl(dir, null, cache = cache) ===
+      Serving.BigramPplScore(0L, 0L, 0.0))
     // fail-loud on a missing model dir
     intercept[IllegalArgumentException] {
       Serving.scoreBigramPpl("/nonexistent/bigram-model", "a b")
@@ -180,9 +181,9 @@ class ServingSpec extends SparkSpec {
     val cache = Serving.newCache()
     CorpusModels.saveNbModel(m1, p1, dir)
     val s1 = Serving.scoreNb(dir, text, cache = cache)
-    // republish IN PLACE (the nightly retrain): same path, new content;
-    // sleep past coarse-mtime filesystems so freshness must trip
-    Thread.sleep(1100)
+    // republish IN PLACE (the nightly retrain): same path, new content
+    // (no sleep needed: part filenames embed a fresh write-job UUID,
+    // so the freshness key changes regardless of mtime granularity)
     CorpusModels.saveNbModel(m2, p2, dir)
     val s2 = Serving.scoreNb(dir, text, cache = cache)
     assert(s2 === Serving.scoreNb(dir, text),
