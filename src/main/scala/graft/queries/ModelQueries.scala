@@ -41,6 +41,8 @@ object ModelQueries {
   private val DsirSelHandoff   = Handoff.path("dsir_select_model")
   private val PplSelVocabHandoff = Handoff.path("ppl_select_vocab")
   private val PplSelStatsHandoff = Handoff.path("ppl_select_stats")
+  private val PplBktVocabHandoff = Handoff.path("ppl_buckets_vocab")
+  private val PplBktStatsHandoff = Handoff.path("ppl_buckets_stats")
   private val McpNbModelHandoff = Handoff.path("mcp_nb_model")
   private val McpNbPriorHandoff = Handoff.path("mcp_nb_prior")
   private val McpLmVocabHandoff = Handoff.path("mcp_lm_vocab")
@@ -189,6 +191,18 @@ object ModelQueries {
       graft.operators.Ranking.topFraction(
           w.select(col("doc_id"), col("cross_entropy")),
           Seq(col("cross_entropy").asc, col("doc_id")), percent = 60)
+        .orderBy(col("doc_id"))
+    },
+    // CCNet's actual corpus partition: head/middle/tail TERCILES of
+    // LM cross-entropy (the paper trains on head+middle and drops the
+    // tail) — ANSI ntile(3) via the range-exchange bucket math, no
+    // global window, same engine-safe double ordering as ppl_select.
+    "ppl_buckets" -> { (s, dir) =>
+      val w = lmScored(s, dir, PplBktVocabHandoff, PplBktStatsHandoff)
+      graft.operators.Ranking.ntileBuckets(
+          w.select(col("doc_id"), col("cross_entropy")),
+          Seq(col("cross_entropy").asc, col("doc_id")), n = 3,
+          bucketCol = "ppl_bucket")
         .orderBy(col("doc_id"))
     },
     // SemDeDup over the SAME persisted IVF index the ANN path
@@ -563,6 +577,23 @@ object ModelQueries {
          |SELECT doc_id, cross_entropy, global_rank
          |FROM r WHERE global_rank <= greatest(1, (nn * 60) // 100)
          |ORDER BY doc_id""".stripMargin,
+    // the tercile split on the same chain: DuckDB's REAL ntile(3)
+    // pins the ANSI remainder-to-leading-buckets sizing of
+    // Ranking.ntileBuckets on the model-scored ordering.
+    "ppl_buckets" ->
+      s"""WITH $labelCte,
+         |${lmChainCte(rp(PplBktVocabHandoff), rp(PplBktStatsHandoff), "u")},
+         |w AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN coalesce(ug.n, 0) = 0 THEN 0.0
+         |              ELSE CAST(ug.nll AS DOUBLE) / 1000000000.0 / CAST(ug.n AS DOUBLE)
+         |         END AS cross_entropy
+         |  FROM documents d LEFT JOIN ug USING (doc_id)
+         |)
+         |SELECT doc_id, cross_entropy,
+         |       CAST(ntile(3) OVER (ORDER BY cross_entropy ASC, doc_id) AS BIGINT)
+         |         AS ppl_bucket
+         |FROM w ORDER BY doc_id""".stripMargin,
     // replay SemDeDup from the index handoff: within-cluster pairs at
     // the cosine threshold, recursive-CTE components, keep the
     // max-dist_fp (tie: min id) member per component.
