@@ -43,6 +43,8 @@ object ModelQueries {
   private val PplSelStatsHandoff = Handoff.path("ppl_select_stats")
   private val PplBktVocabHandoff = Handoff.path("ppl_buckets_vocab")
   private val PplBktStatsHandoff = Handoff.path("ppl_buckets_stats")
+  private val NbRepModelHandoff  = Handoff.path("nb_report_model")
+  private val NbRepPriorHandoff  = Handoff.path("nb_report_prior")
   private val McpNbModelHandoff = Handoff.path("mcp_nb_model")
   private val McpNbPriorHandoff = Handoff.path("mcp_nb_prior")
   private val McpLmVocabHandoff = Handoff.path("mcp_lm_vocab")
@@ -152,6 +154,24 @@ object ModelQueries {
     // classifier's generalization (spec-gated for accuracy).
     "cls_nb_gate" -> { (s, dir) =>
       nbScored(s, dir, NbModelHandoff, NbPriorHandoff).orderBy(col("doc_id"))
+    },
+    // the calibration report a nightly retrain publishes: confusion
+    // counts of the classifier's Bayes decision against its own
+    // training labels (in-sample fit — divergence IS the
+    // generalization/cap loss), plus the exact accuracy ratio. One
+    // row of exact longs + one engine-stable division.
+    "cls_nb_report" -> { (s, dir) =>
+      val pred = nbScored(s, dir, NbRepModelHandoff, NbRepPriorHandoff)
+        .select(col("doc_id"), col("keep_pred"))
+      pred.join(gateLabels(s, dir), Seq("doc_id"))
+        .agg(
+          sum(when(col("keep_pred") && col("keep"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("keep_pred") && !col("keep"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("keep_pred") && !col("keep"), 1L).otherwise(0L)).as("tn"),
+          sum(when(!col("keep_pred") && col("keep"), 1L).otherwise(0L)).as("fn"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("accuracy",
+          (col("tp") + col("tn")).cast("double") / col("n_docs").cast("double"))
     },
     // DSIR: hashed-bigram importance weights of the raw corpus toward
     // the gate-kept target distribution. The bucket model is the
@@ -521,6 +541,31 @@ object ModelQueries {
          |       (coalesce(ng.s, 0) + (SELECT prior_fp FROM npv)) > 0 AS keep_pred
          |FROM documents d LEFT JOIN ng USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // the same chain, aggregated to the confusion counts — a failed
+    // guard nulls the prior scalar, which nulls keep_pred, which
+    // zeroes all four confusion counts (CASE-ELSE) while n_docs stays
+    // real: tp+fp+tn+fn ≠ n_docs can never match the Spark row, where
+    // the four counts partition n_docs by construction.
+    "cls_nb_report" ->
+      s"""WITH $labelCte,
+         |${nbChainCte(rp(NbRepModelHandoff), rp(NbRepPriorHandoff), "n")},
+         |pred AS (
+         |  SELECT d.doc_id,
+         |         (coalesce(ng.s, 0) + (SELECT prior_fp FROM npv)) > 0 AS keep_pred
+         |  FROM documents d LEFT JOIN ng USING (doc_id)
+         |), j AS (
+         |  SELECT pred.keep_pred, lab.keep
+         |  FROM pred JOIN lab ON pred.doc_id = lab.doc_id
+         |)
+         |SELECT CAST(sum(CASE WHEN keep_pred AND keep THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |       CAST(sum(CASE WHEN keep_pred AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |       CAST(sum(CASE WHEN NOT keep_pred AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |       CAST(sum(CASE WHEN NOT keep_pred AND keep THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN keep_pred AND keep THEN 1 ELSE 0 END)
+         |            + sum(CASE WHEN NOT keep_pred AND NOT keep THEN 1 ELSE 0 END)
+         |              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+         |FROM j""".stripMargin,
     // verify DSIR end-to-end: recompute labels, bigrams, md5-mod-B
     // buckets, and both distributions' counts; accept model rows on
     // (c_target, c_raw) match with row-count + sum guards; replay
