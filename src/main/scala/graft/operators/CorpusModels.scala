@@ -228,6 +228,49 @@ object CorpusModels {
           .as("cross_entropy"))
   }
 
+  /** The stupid-backoff alpha, ln(0.4) in [[LpScale]] fixed point —
+    * Brants et al. 2007's constant. An ALGORITHM constant (like the
+    * ln mapping itself), not data-derived: the oracle interpolates
+    * the same literal, nothing rides a handoff. */
+  val StupidBackoffAlphaFp: Long = math.floor(math.log(0.4) * LpScale).toLong
+
+  /** Stupid-backoff perplexity (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — THE web-scale smoothing: no
+    * normalization, just back off to the lower order with a constant
+    * penalty): a transition scores its capped-table bigram log-prob
+    * if present, else alpha + the token's UNIGRAM log-prob (capped
+    * vocab, OOV fallback). Nothing drops — unknown contexts back off
+    * like everything else, so n counts ALL transitions (contrast
+    * [[bigramPerplexity]]'s unknown-context drop). Output shape =
+    * [[bigramPerplexity]]. Every ln is precomputed per model row
+    * (both tables capped, both broadcasts bounded); scoring is two
+    * broadcast left joins + exact long sums — the same
+    * engine-portable fixed-point contract as the whole family. */
+  def backoffPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                        bigrams: DataFrame, vocab: DataFrame, stats: DataFrame,
+                        alphaFp: Long = StupidBackoffAlphaFp): DataFrame = {
+    val trans = transitions(docs, Seq(col(idCol)), textCol)
+    val scored = trans
+      .join(broadcast(bigrams.select(col("ctx"), col("tok"),
+        col("logp_fp").as("__bi"))), Seq("ctx", "tok"), "left")
+      .join(broadcast(vocab.select(col("token").as("tok"),
+        col("logp_fp").as("__uni"))), Seq("tok"), "left")
+      .crossJoin(broadcast(stats.select(col("oov_logp_fp"))))
+      .withColumn("lp", coalesce(col("__bi"),
+        lit(alphaFp) + coalesce(col("__uni"), col("oov_logp_fp"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), (-sum(col("lp"))).as("nll"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_transitions"),
+        coalesce(col("nll"), lit(0L)).as("nll_fp"),
+        when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("nll").cast("double") / lit(LpScale) /
+            col("n").cast("double"))
+          .as("cross_entropy"))
+  }
+
   // ------------------------------------------- Naive-Bayes quality classifier
 
   /** Train a multinomial Naive-Bayes classifier from boolean-labeled

@@ -45,6 +45,10 @@ object ModelQueries {
   private val PplBktStatsHandoff = Handoff.path("ppl_buckets_stats")
   private val NbRepModelHandoff  = Handoff.path("nb_report_model")
   private val NbRepPriorHandoff  = Handoff.path("nb_report_prior")
+  private val BkoBiHandoff       = Handoff.path("backoff_bigrams")
+  private val BkoCtxHandoff      = Handoff.path("backoff_contexts")
+  private val BkoVocabHandoff    = Handoff.path("backoff_vocab")
+  private val BkoStatsHandoff    = Handoff.path("backoff_stats")
   private val McpNbModelHandoff = Handoff.path("mcp_nb_model")
   private val McpNbPriorHandoff = Handoff.path("mcp_nb_prior")
   private val McpLmVocabHandoff = Handoff.path("mcp_lm_vocab")
@@ -146,6 +150,23 @@ object ModelQueries {
       val bi = Handoff.publish(bi0, LmBigramsHandoff)
       val ctx = Handoff.publish(ctx0, LmCtxHandoff)
       CorpusModels.bigramPerplexity(docs, "doc_id", "text", bi, ctx)
+        .orderBy(col("doc_id"))
+    },
+    // stupid-backoff perplexity (Brants 2007): bigram table hit, else
+    // constant-penalty backoff to the unigram — the web-scale
+    // smoothing; nothing drops (unknown contexts back off). Both
+    // capped models published on dedicated paths.
+    "lm_backoff_ppl" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (bi0, ctx0) = CorpusModels.bigramLm(docs, "text", BigramCap, BigramCtxCap)
+      val (vocab0, stats0) = CorpusModels.unigramLm(docs, "text", LmCap)
+      val bi = Handoff.publish(bi0, BkoBiHandoff)
+      // context table is a verification-only handoff here (backoff
+      // scoring never reads it; the oracle re-derives c_u/v from it)
+      Handoff.publish(ctx0, BkoCtxHandoff)
+      val vocab = Handoff.publish(vocab0, BkoVocabHandoff)
+      val stats = Handoff.publish(stats0, BkoStatsHandoff)
+      CorpusModels.backoffPerplexity(docs, "doc_id", "text", bi, vocab, stats)
         .orderBy(col("doc_id"))
     },
     // classifier-based quality filter: NB trained on the rule-gate
@@ -395,6 +416,61 @@ object ModelQueries {
        |  FROM ${p}sc GROUP BY doc_id
        |)""".stripMargin
 
+  /** Bigram-LM replay chain — the ONE owner of bigram-table
+    * verification (lm_bigram_ppl and lm_backoff_ppl compose it):
+    * recomputes transitions, pair counts, context totals, and vocab
+    * from the documents table; accepts handoff rows only on count
+    * match against the re-derived CAP SELECTIONS. Produces
+    * ${p}t(doc_id, ctx, tok), ${p}hbv(ctx, tok, logp_fp),
+    * ${p}hcv(ctx, oov_logp_fp), and the guard scalar ${p}ok — one row
+    * iff BOTH tables have exactly the re-derived cap row counts and
+    * every handoff row matched (row-count equality of the verified
+    * views closes silent count mismatches); scoring multiplies each
+    * lp by `(SELECT ok FROM ${p}ok)`, so a failed guard nulls EVERY
+    * scored row, not just the rows that touch a fallback. */
+  private def bigramChainCte(biRp: String, ctxRp: String, p: String): String =
+    s"""${p}hb AS (SELECT * FROM $biRp),
+       |${p}hc AS (SELECT * FROM $ctxRp),
+       |${p}tt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), ${p}t AS (
+       |  SELECT doc_id, w[i] AS ctx, w[i+1] AS tok
+       |  FROM ${p}tt, unnest(range(1, len(w))) AS u(i)
+       |  WHERE len(w) >= 2
+       |), ${p}pc AS (
+       |  SELECT ctx, tok, CAST(count(*) AS BIGINT) AS c_uw
+       |  FROM ${p}t GROUP BY ctx, tok
+       |), ${p}cc AS (
+       |  SELECT ctx, CAST(sum(c_uw) AS BIGINT) AS c_u FROM ${p}pc GROUP BY ctx
+       |), ${p}vv AS (
+       |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+       |  FROM (SELECT unnest(w) AS token FROM ${p}tt)
+       |), ${p}ccap AS (
+       |  SELECT ctx, c_u FROM ${p}cc ORDER BY c_u DESC, ctx LIMIT $BigramCtxCap
+       |), ${p}hcv AS (
+       |  SELECT ${p}hc.ctx, ${p}hc.oov_logp_fp
+       |  FROM ${p}hc JOIN ${p}ccap ON ${p}hc.ctx = ${p}ccap.ctx
+       |                           AND ${p}hc.c_u = ${p}ccap.c_u
+       |  WHERE ${p}hc.v = (SELECT v FROM ${p}vv)
+       |), ${p}cap AS (
+       |  SELECT ctx, tok, c_uw FROM ${p}pc
+       |  ORDER BY c_uw DESC, ctx, tok LIMIT $BigramCap
+       |), ${p}hbv AS (
+       |  SELECT ${p}hb.ctx, ${p}hb.tok, ${p}hb.logp_fp
+       |  FROM ${p}hb JOIN ${p}cap ON ${p}hb.ctx = ${p}cap.ctx
+       |                          AND ${p}hb.tok = ${p}cap.tok
+       |                          AND ${p}hb.c_uw = ${p}cap.c_uw
+       |), ${p}ok AS (
+       |  SELECT 1 AS ok
+       |  WHERE (SELECT count(*) FROM ${p}hb) =
+       |        least($BigramCap, (SELECT count(*) FROM ${p}pc))
+       |    AND (SELECT count(*) FROM ${p}hc) =
+       |        least($BigramCtxCap, (SELECT count(*) FROM ${p}cc))
+       |    AND (SELECT count(*) FROM ${p}hbv) = (SELECT count(*) FROM ${p}hb)
+       |    AND (SELECT count(*) FROM ${p}hcv) = (SELECT count(*) FROM ${p}hc)
+       |)""".stripMargin
+
   /** Gopher rules over lt: metric CTE ${p}g plus verdict CTE
     * ${p}k(doc_id, metrics…, keep). */
   private def gopherCte(p: String): String =
@@ -474,50 +550,51 @@ object ModelQueries {
          |       END AS cross_entropy
          |FROM documents d LEFT JOIN ug USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
-    // verify the bigram LM end-to-end: recompute transitions, pair
-    // counts, context totals, vocab, and the cap SELECTION; accept
-    // handoff rows on count match with row-count guards; replay
-    // scoring with the per-context OOV fallback.
+    // the bigram replay chain (see bigramChainCte) + transition
+    // scoring with the per-context OOV fallback, every lp rides the
+    // chain's guard scalar.
     "lm_bigram_ppl" ->
-      s"""WITH hb AS (SELECT * FROM ${rp(LmBigramsHandoff)}),
-         |hc AS (SELECT * FROM ${rp(LmCtxHandoff)}),
-         |tt AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-         |  FROM documents
-         |), t AS (
-         |  SELECT doc_id, w[i] AS ctx, w[i+1] AS tok
-         |  FROM tt, unnest(range(1, len(w))) AS u(i)
-         |  WHERE len(w) >= 2
-         |), pc AS (
-         |  SELECT ctx, tok, CAST(count(*) AS BIGINT) AS c_uw
-         |  FROM t GROUP BY ctx, tok
-         |), cc AS (
-         |  SELECT ctx, CAST(sum(c_uw) AS BIGINT) AS c_u FROM pc GROUP BY ctx
-         |), vv AS (
-         |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
-         |  FROM (SELECT unnest(w) AS token FROM tt)
-         |), ccap AS (
-         |  SELECT ctx, c_u FROM cc ORDER BY c_u DESC, ctx LIMIT $BigramCtxCap
-         |), hcv AS (
-         |  SELECT hc.ctx, hc.oov_logp_fp
-         |  FROM hc JOIN ccap ON hc.ctx = ccap.ctx AND hc.c_u = ccap.c_u
-         |  WHERE hc.v = (SELECT v FROM vv)
-         |    AND (SELECT count(*) FROM hc) =
-         |        least($BigramCtxCap, (SELECT count(*) FROM cc))
-         |), cap AS (
-         |  SELECT ctx, tok, c_uw FROM pc
-         |  ORDER BY c_uw DESC, ctx, tok LIMIT $BigramCap
-         |), hbv AS (
-         |  SELECT hb.ctx, hb.tok, hb.logp_fp
-         |  FROM hb JOIN cap ON hb.ctx = cap.ctx AND hb.tok = cap.tok
-         |                  AND hb.c_uw = cap.c_uw
-         |  WHERE (SELECT count(*) FROM hb) =
-         |        least($BigramCap, (SELECT count(*) FROM pc))
-         |), sc AS (
-         |  SELECT t.doc_id, coalesce(hbv.logp_fp, hcv.oov_logp_fp) AS lp
-         |  FROM t
-         |  LEFT JOIN hbv ON t.ctx = hbv.ctx AND t.tok = hbv.tok
-         |  JOIN hcv ON t.ctx = hcv.ctx
+      s"""WITH ${bigramChainCte(rp(LmBigramsHandoff), rp(LmCtxHandoff), "b")},
+         |sc AS (
+         |  SELECT bt.doc_id,
+         |         coalesce(bhbv.logp_fp, bhcv.oov_logp_fp)
+         |           * (SELECT ok FROM bok) AS lp
+         |  FROM bt
+         |  LEFT JOIN bhbv ON bt.ctx = bhbv.ctx AND bt.tok = bhbv.tok
+         |  JOIN bhcv ON bt.ctx = bhcv.ctx
+         |), g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(-sum(lp) AS BIGINT) AS nll
+         |  FROM sc GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(g.n, 0) AS BIGINT) AS n_transitions,
+         |       CAST(coalesce(g.nll, 0) AS BIGINT) AS nll_fp,
+         |       CASE WHEN coalesce(g.n, 0) = 0 THEN 0.0
+         |            ELSE CAST(g.nll AS DOUBLE) / 1000000000.0 / CAST(g.n AS DOUBLE)
+         |       END AS cross_entropy
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // stupid backoff: both model chains verified (unigram via
+    // lmChainCte, bigram via bigramChainCte), then the backoff CASE
+    // replayed as integer sums — capped-table bigram lp, else
+    // ALPHA + unigram lp (vocab or OOV). Alpha = floor(ln(0.4)·1e9)
+    // is an algorithm constant interpolated identically on both
+    // sides, not a handoff. Both guard scalars ride every lp.
+    "lm_backoff_ppl" ->
+      s"""WITH $labelCte,
+         |${lmChainCte(rp(BkoVocabHandoff), rp(BkoStatsHandoff), "u")},
+         |${bigramChainCte(rp(BkoBiHandoff), rp(BkoCtxHandoff), "b")},
+         |sc AS (
+         |  SELECT bt.doc_id,
+         |         coalesce(bhbv.logp_fp,
+         |                  ${CorpusModels.StupidBackoffAlphaFp}
+         |                  + coalesce(uhv.logp_fp,
+         |                             (SELECT oov_logp_fp FROM uvs)))
+         |           * (SELECT 1 FROM uvs) * (SELECT ok FROM bok) AS lp
+         |  FROM bt
+         |  LEFT JOIN bhbv ON bt.ctx = bhbv.ctx AND bt.tok = bhbv.tok
+         |  LEFT JOIN uhv ON bt.tok = uhv.token
          |), g AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
          |         CAST(-sum(lp) AS BIGINT) AS nll

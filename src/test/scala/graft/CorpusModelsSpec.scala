@@ -119,6 +119,33 @@ class CorpusModelsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_transitions") === 0L) // ctx b dropped
   }
 
+  test("backoffPerplexity: table hit, constant-penalty backoff, no drops (stupid backoff)") {
+    val (bi, _) = CorpusModels.bigramLm(lmDocs, "text", bigramCap = 2,
+      contextCap = Int.MaxValue)
+    val (vocab, stats) = CorpusModels.unigramLm(lmDocs, "text", vocabCap = 2)
+    val alpha = CorpusModels.StupidBackoffAlphaFp
+    assert(alpha === math.floor(math.log(0.4) * 1e9).toLong)
+    val out = CorpusModels.backoffPerplexity(lmDocs, "doc_id", "text", bi, vocab, stats)
+      .orderBy("doc_id").collect()
+    // doc 0 "a a b": both transitions in the capped bigram table
+    assert(out(0).getAs[Long]("n_transitions") === 2L)
+    assert(out(0).getAs[Long]("nll_fp") === -(lp(2.0 / 5.0) + lp(2.0 / 5.0)))
+    // doc 1 "b c": (b,c) capped out → alpha + unigram(c); c is also
+    // capped out of the vocab → unigram OOV
+    assert(out(1).getAs[Long]("n_transitions") === 1L)
+    assert(out(1).getAs[Long]("nll_fp") === -(alpha + lp(1.0 / 8.0)))
+    // doc 2 "": zero row
+    assert(out(2).getAs[Long]("nll_fp") === 0L)
+    assert(out(2).getAs[Double]("cross_entropy") === 0.0)
+    // unknown context does NOT drop — it backs off to the in-vocab
+    // unigram (contrast bigramPerplexity's inner contexts join)
+    val f = CorpusModels.backoffPerplexity(
+      Seq((9L, "z b")).toDF("doc_id", "text"), "doc_id", "text", bi, vocab, stats)
+      .collect()(0)
+    assert(f.getAs[Long]("n_transitions") === 1L)
+    assert(f.getAs[Long]("nll_fp") === -(alpha + lp(3.0 / 8.0)))
+  }
+
   test("bigram LM is partitioning-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (b1, c1) = CorpusModels.bigramLm(docs, "text", 512, Int.MaxValue)
