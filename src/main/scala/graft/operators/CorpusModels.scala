@@ -405,6 +405,42 @@ object CorpusModels {
     (n, nll)
   }
 
+  /** (n_transitions, nll_fp) under stupid backoff — capped-table
+    * bigram lp, else alpha + unigram lp (vocab or OOV); nothing
+    * drops ([[backoffPerplexity]]'s contract). */
+  private[graft] def backoffPplKernel(toks: Seq[String],
+                                      bigrams: Map[(String, String), Long],
+                                      vocab: Map[String, Long], oovFp: Long,
+                                      alphaFp: Long): (Long, Long) = {
+    var n = 0L
+    var nll = 0L
+    if (toks != null && toks.length >= 2) {
+      var i = 0
+      while (i < toks.length - 1) {
+        n += 1
+        nll -= (bigrams.get((toks(i), toks(i + 1))) match {
+          case Some(lp) => lp
+          case None => alphaFp + vocab.getOrElse(toks(i + 1), oovFp)
+        })
+        i += 1
+      }
+    }
+    (n, nll)
+  }
+
+  /** Per-ROW stupid-backoff cross-entropy for the streaming path —
+    * contract as [[bigramPplScoreColumn]]; parity with
+    * [[backoffPerplexity]] spec-gated. */
+  def backoffPplScoreColumn(bigrams: Map[(String, String), Long],
+                            vocab: Map[String, Long], oovFp: Long,
+                            alphaFp: Long = StupidBackoffAlphaFp)(text: Column): Column = {
+    val scoreUdf = udf { (toks: Seq[String]) =>
+      val (n, nll) = backoffPplKernel(toks, bigrams, vocab, oovFp, alphaFp)
+      BigramPplRow(n, nll, if (n == 0L) 0.0 else nll.toDouble / LpScale / n.toDouble)
+    }
+    scoreUdf(TextAnalysis.tokens(text))
+  }
+
   /** (n_transitions, nll_fp) under capped bigram/context maps —
     * capped-out target scores its context's OOV; unknown/capped-out
     * context DROPS the transition (the [[bigramPerplexity]] inner

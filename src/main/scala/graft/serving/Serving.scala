@@ -337,11 +337,11 @@ object Serving {
     * tokenizer, OOV routing, integer sums, and division chain as
     * [[graft.operators.CorpusModels.perplexity]] — doc-for-doc parity
     * spec-pinned. Freshness-keyed caching, as [[scoreNb]]. */
-  def scorePpl(modelDir: String, text: String,
-               conf: Configuration = defaultConf,
-               cache: IndexCache = noCache): PplScore = {
-    val base = modelDir.stripSuffix("/")
-    val vocab = cache.getOrLoad(freshKey(conf, s"$base/vocab")) {
+  // cache-keyed loaders for the persisted LM/bigram layouts — shared
+  // by the single-model probes and the composed backoff probe
+  private def loadVocabMap(conf: Configuration, cache: IndexCache,
+                           base: String): Map[String, Long] =
+    cache.getOrLoad(freshKey(conf, s"$base/vocab")) {
       val m = mutable.HashMap.empty[String, Long]
       foreachGroup(conf, s"$base/vocab") { g =>
         m(g.getString("token", 0)) = g.getLong("logp_fp", 0)
@@ -349,7 +349,10 @@ object Serving {
       require(m.nonEmpty, s"no vocab rows under $base/vocab")
       m.toMap
     }
-    val oovFp = cache.getOrLoad(freshKey(conf, s"$base/stats")) {
+
+  private def loadOovFp(conf: Configuration, cache: IndexCache,
+                        base: String): Long =
+    cache.getOrLoad(freshKey(conf, s"$base/stats")) {
       var p = 0L; var saw = false
       foreachGroup(conf, s"$base/stats") { g =>
         p = g.getLong("oov_logp_fp", 0); saw = true
@@ -357,6 +360,35 @@ object Serving {
       require(saw, s"no stats row under $base/stats")
       java.lang.Long.valueOf(p)
     }.longValue()
+
+  private def loadBigramMap(conf: Configuration, cache: IndexCache,
+                            base: String): Map[(String, String), Long] =
+    cache.getOrLoad(freshKey(conf, s"$base/bigrams")) {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      foreachGroup(conf, s"$base/bigrams") { g =>
+        m((g.getString("ctx", 0), g.getString("tok", 0))) = g.getLong("logp_fp", 0)
+      }
+      require(m.nonEmpty, s"no bigram rows under $base/bigrams")
+      m.toMap
+    }
+
+  private def loadContextMap(conf: Configuration, cache: IndexCache,
+                             base: String): Map[String, Long] =
+    cache.getOrLoad(freshKey(conf, s"$base/contexts")) {
+      val m = mutable.HashMap.empty[String, Long]
+      foreachGroup(conf, s"$base/contexts") { g =>
+        m(g.getString("ctx", 0)) = g.getLong("oov_logp_fp", 0)
+      }
+      require(m.nonEmpty, s"no context rows under $base/contexts")
+      m.toMap
+    }
+
+  def scorePpl(modelDir: String, text: String,
+               conf: Configuration = defaultConf,
+               cache: IndexCache = noCache): PplScore = {
+    val base = modelDir.stripSuffix("/")
+    val vocab = loadVocabMap(conf, cache, base)
+    val oovFp = loadOovFp(conf, cache, base)
     val (n, nll) = graft.operators.CorpusModels.pplKernel(
       graft.operators.CorpusModels.splitTokens(text), vocab, oovFp)
     PplScore(n, nll,
@@ -379,24 +411,32 @@ object Serving {
                      conf: Configuration = defaultConf,
                      cache: IndexCache = noCache): BigramPplScore = {
     val base = modelDir.stripSuffix("/")
-    val bigrams = cache.getOrLoad(freshKey(conf, s"$base/bigrams")) {
-      val m = mutable.HashMap.empty[(String, String), Long]
-      foreachGroup(conf, s"$base/bigrams") { g =>
-        m((g.getString("ctx", 0), g.getString("tok", 0))) = g.getLong("logp_fp", 0)
-      }
-      require(m.nonEmpty, s"no bigram rows under $base/bigrams")
-      m.toMap
-    }
-    val contexts = cache.getOrLoad(freshKey(conf, s"$base/contexts")) {
-      val m = mutable.HashMap.empty[String, Long]
-      foreachGroup(conf, s"$base/contexts") { g =>
-        m(g.getString("ctx", 0)) = g.getLong("oov_logp_fp", 0)
-      }
-      require(m.nonEmpty, s"no context rows under $base/contexts")
-      m.toMap
-    }
+    val bigrams = loadBigramMap(conf, cache, base)
+    val contexts = loadContextMap(conf, cache, base)
     val (n, nll) = graft.operators.CorpusModels.bigramPplKernel(
       graft.operators.CorpusModels.splitTokens(text), bigrams, contexts)
+    BigramPplScore(n, nll,
+      if (n == 0) 0.0 else nll.toDouble / 1.0e9 / n.toDouble)
+  }
+
+  /** Single-document STUPID-BACKOFF cross-entropy from a
+    * [[graft.operators.CorpusModels.saveBigramLm]] layout plus a
+    * [[graft.operators.CorpusModels.saveLmModel]] layout, no Spark —
+    * the serving form of `lm_backoff_ppl` (same
+    * `CorpusModels.backoffPplKernel` as the batch-parity UDF:
+    * capped-table bigram lp, else ln(0.4)-penalty backoff to the
+    * unigram; nothing drops). Doc-for-doc parity + zero Spark jobs
+    * spec-pinned; freshness-keyed caching, as [[scoreNb]]. */
+  def scoreBackoffPpl(bigramModelDir: String, lmModelDir: String, text: String,
+                      alphaFp: Long = graft.operators.CorpusModels.StupidBackoffAlphaFp,
+                      conf: Configuration = defaultConf,
+                      cache: IndexCache = noCache): BigramPplScore = {
+    val bigrams = loadBigramMap(conf, cache, bigramModelDir.stripSuffix("/"))
+    val lmBase = lmModelDir.stripSuffix("/")
+    val vocab = loadVocabMap(conf, cache, lmBase)
+    val oovFp = loadOovFp(conf, cache, lmBase)
+    val (n, nll) = graft.operators.CorpusModels.backoffPplKernel(
+      graft.operators.CorpusModels.splitTokens(text), bigrams, vocab, oovFp, alphaFp)
     BigramPplScore(n, nll,
       if (n == 0) 0.0 else nll.toDouble / 1.0e9 / n.toDouble)
   }

@@ -187,6 +187,20 @@ object StreamingIngest {
       .withColumn("cross_entropy", col("__ppl.cross_entropy"))
       .drop("__ppl")
 
+  /** Streaming stupid-backoff scoring — same stateless contract;
+    * parity with `backoffPerplexity` (nothing drops) spec-gated. */
+  def scoreDocStreamBackoffPpl(docs: DataFrame,
+                               bigrams: Map[(String, String), Long],
+                               vocab: Map[String, Long], oovFp: Long,
+                               textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__ppl",
+        graft.operators.CorpusModels.backoffPplScoreColumn(bigrams, vocab, oovFp)(col(textCol)))
+      .withColumn("n_transitions", col("__ppl.n_transitions"))
+      .withColumn("nll_fp", col("__ppl.nll_fp"))
+      .withColumn("cross_entropy", col("__ppl.cross_entropy"))
+      .drop("__ppl")
+
   /** Stream-static enrichment join: events stream × document dimension
     * table. The static side is broadcast (it is re-read per micro-batch,
     * so at scale persist it), keeping the stream side shuffle-free —

@@ -168,6 +168,33 @@ class ServingSpec extends SparkSpec {
     }
   }
 
+  test("backoff serving probe == Spark backoffPerplexity doc for doc, no Spark job") {
+    import graft.operators.CorpusModels
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val (bi, ctx) = CorpusModels.bigramLm(docs, "text", 512, 24)
+    val (vocab, stats) = CorpusModels.unigramLm(docs, "text", 24)
+    val biDir = java.nio.file.Files.createTempDirectory("bko-bi").toString
+    val lmDir = java.nio.file.Files.createTempDirectory("bko-lm").toString
+    CorpusModels.saveBigramLm(bi, ctx, biDir)
+    CorpusModels.saveLmModel(vocab, stats, lmDir)
+    val batch = CorpusModels.backoffPerplexity(docs, "doc_id", "text", bi, vocab, stats)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("n_transitions"),
+        r.getAs[Long]("nll_fp"), r.getAs[Double]("cross_entropy")))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val cache = Serving.newCache()
+    Serving.scoreBackoffPpl(biDir, lmDir, texts.head._2, cache = cache)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    texts.foreach { case (id, text) =>
+      val s = Serving.scoreBackoffPpl(biDir, lmDir, text, cache = cache)
+      assert((s.nTransitions, s.nllFp, s.crossEntropy) === batch(id), s"doc $id")
+    }
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "backoff probe must not launch Spark jobs")
+    assert(Serving.scoreBackoffPpl(biDir, lmDir, null, cache = cache) ===
+      Serving.BigramPplScore(0L, 0L, 0.0))
+  }
+
   test("republish at the same path reaches a CACHED scorer (freshness key)") {
     import graft.operators.CorpusModels
     import org.apache.spark.sql.functions.col

@@ -489,4 +489,42 @@ class StreamingSpec extends SparkSpec {
       assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
     } finally q.stop()
   }
+
+  test("streaming stupid-backoff twin: stateless, batch==stream, nothing drops") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusModels
+    val corpus = Seq((0L, "a a b"), (1L, "b c"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val (bi, ctx) = CorpusModels.bigramLm(corpus, "text", 4, 2)
+    val (vocab, stats) = CorpusModels.unigramLm(corpus, "text", 3)
+    val (bm, _) = CorpusModels.bigramModelMaps(bi, ctx)
+    val vm = CorpusModels.lmModelMap(vocab)
+    val oov = CorpusModels.lmOovFp(stats)
+    // capped-out transition, unknown context, OOV token, 1-token, NULL
+    val fresh = Seq((10L, "a b c"), (11L, "zz a b"), (12L, "a"),
+        (13L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = CorpusModels.backoffPerplexity(fresh, "doc_id", "text", bi, vocab, stats)
+      .select($"doc_id", $"n_transitions", $"nll_fp", $"cross_entropy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamingIngest.scoreDocStreamBackoffPpl(
+      input.toDF().toDF("doc_id", "text"), bm, vm, oov)
+    val q = scored.writeStream.format("memory").queryName("bko_scored")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((10L, "a b c"), (11L, "zz a b"))
+      q.processAllAvailable()
+      input.addData((12L, "a"), (13L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val stream = spark.table("bko_scored")
+        .select($"doc_id", $"n_transitions", $"nll_fp", $"cross_entropy")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(stream === batch)
+      // NOTHING drops under backoff: "zz a b" has BOTH transitions
+      assert(spark.table("bko_scored").filter($"doc_id" === 11L)
+        .collect()(0).getAs[Long]("n_transitions") === 2L)
+      assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
+    } finally q.stop()
+  }
 }
