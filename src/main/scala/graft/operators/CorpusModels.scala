@@ -579,6 +579,52 @@ object CorpusModels {
     * [[bigramPerplexity]] output. */
   case class BigramPplRow(n_transitions: Long, nll_fp: Long, cross_entropy: Double)
 
+  // ------------------------------------------------- versioned model publish
+
+  /** Versioned, reader-safe model publish — `save*Model`'s
+    * overwrite-in-place is racy against a RESIDENT scorer reading the
+    * same path mid-overwrite, so a production nightly retrain
+    * publishes each model as an immutable `v<N>` under `root` and
+    * atomically flips the `_current` pointer. Exactly
+    * [[Maintenance.compactParquetVersioned]]'s protocol (claim →
+    * write aside → rename → flip → vacuum), sharing its primitives so
+    * there is ONE pointer implementation in the repo. Readers resolve
+    * the pointer driver-side
+    * ([[graft.serving.Serving.currentModelDir]], no Spark session)
+    * and then read an IMMUTABLE dir — no torn reads, and a resolved
+    * version's freshness keys never change, so the serving cache
+    * stays warm per version. `save` writes any model layout into the
+    * dir it is given (e.g. `saveNbModel(model, prior, _)`). The
+    * `retainPrevious` most recent prior versions are kept for
+    * in-flight readers. Returns the published version name. */
+  def publishModelVersion(spark: org.apache.spark.sql.SparkSession, root: String,
+                          retainPrevious: Int = 1)(save: String => Unit): String = {
+    require(retainPrevious >= 1,
+      s"retainPrevious must be >= 1, got $retainPrevious")
+    val base = root.stripSuffix("/")
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val cur = Maintenance.resolveCurrent(spark, base)
+    val curVer = if (cur == base) 0 else cur.substring(cur.lastIndexOf("/v") + 2).toInt
+    val maxVer = (curVer +: fs.listStatus(basePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v[0-9]+"))
+      .map(_.getPath.getName.substring(1).toInt)).max
+    val v = Maintenance.claimVersion(fs, base, maxVer + 1)
+    val writing = s"$base/v${v}__writing"
+    save(writing)
+    val nextPath = new org.apache.hadoop.fs.Path(s"$base/v$v")
+    require(!fs.exists(nextPath),
+      s"publish: claimed version dir $base/v$v already exists — claim protocol violated")
+    require(fs.rename(new org.apache.hadoop.fs.Path(writing), nextPath),
+      s"publish: could not publish $writing -> $base/v$v")
+    Maintenance.flipCurrent(fs, spark.sparkContext.hadoopConfiguration, base, v)
+    Maintenance.vacuumVersions(spark, base, keep = retainPrevious + 1,
+      alwaysKeep = if (curVer > 0) Set(s"v$curVer") else Set.empty)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/.claim_v$v"), false)
+    s"v$v"
+  }
+
   // ------------------------------------------------ DSIR importance weights
 
   /** Hashed-bigram feature bucket: top-60-md5-bits of the gram string

@@ -184,29 +184,7 @@ object Maintenance {
     // pointer file always exists with either the old or the new value.
     // The aside file is PER-VERSION (concurrent flippers must not
     // co-write one tmp name; each renames its own, last writer wins).
-    val tmpPtr = new org.apache.hadoop.fs.Path(s"$base/_current.tmp.v$nextVer")
-    val curPtr = new org.apache.hadoop.fs.Path(s"$base/_current")
-    if (fs.makeQualified(curPtr).toUri.getScheme == "file") {
-      // posix rename(2) overwrites atomically; Hadoop's local
-      // Rename.OVERWRITE is delete-then-rename — a concurrent flipper
-      // can land between the two and abort the flip. Write + move via
-      // NIO (no ChecksumFileSystem .crc sidecar, whose staleness after
-      // a raw move would fail every subsequent pointer read).
-      val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmpPtr).toUri.getPath)
-      val curNio = java.nio.file.Paths.get(fs.makeQualified(curPtr).toUri.getPath)
-      java.nio.file.Files.write(tmpNio, s"v$nextVer".getBytes("UTF-8"))
-      java.nio.file.Files.deleteIfExists(
-        curNio.resolveSibling("._current.crc")) // stale sidecar from a raw create
-      java.nio.file.Files.move(tmpNio, curNio,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      val out = fs.create(tmpPtr, true)
-      try out.write(s"v$nextVer".getBytes("UTF-8")) finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        basePath.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmpPtr, curPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
+    flipCurrent(fs, spark.sparkContext.hadoopConfiguration, base, nextVer)
 
     // retain `retainPrevious` prior versions for in-flight readers
     // (default 1 = the cycle of grace), vacuum anything older — but
@@ -227,13 +205,46 @@ object Maintenance {
     expected
   }
 
+  /** Atomically flip `<base>/_current` to `v<nextVer>` — factored from
+    * [[compactParquetVersioned]] so every pointer-managed layout
+    * (compaction, model registry) flips through the ONE protocol.
+    * The aside file is PER-VERSION (concurrent flippers must not
+    * co-write one tmp name; each renames its own, last writer wins). */
+  private[graft] def flipCurrent(fs: org.apache.hadoop.fs.FileSystem,
+                                 conf: org.apache.hadoop.conf.Configuration,
+                                 base: String, nextVer: Int): Unit = {
+    val tmpPtr = new org.apache.hadoop.fs.Path(s"$base/_current.tmp.v$nextVer")
+    val curPtr = new org.apache.hadoop.fs.Path(s"$base/_current")
+    if (fs.makeQualified(curPtr).toUri.getScheme == "file") {
+      // posix rename(2) overwrites atomically; Hadoop's local
+      // Rename.OVERWRITE is delete-then-rename — a concurrent flipper
+      // can land between the two and abort the flip. Write + move via
+      // NIO (no ChecksumFileSystem .crc sidecar, whose staleness after
+      // a raw move would fail every subsequent pointer read).
+      val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmpPtr).toUri.getPath)
+      val curNio = java.nio.file.Paths.get(fs.makeQualified(curPtr).toUri.getPath)
+      java.nio.file.Files.write(tmpNio, s"v$nextVer".getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(
+        curNio.resolveSibling("._current.crc")) // stale sidecar from a raw create
+      java.nio.file.Files.move(tmpNio, curNio,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = fs.create(tmpPtr, true)
+      try out.write(s"v$nextVer".getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new org.apache.hadoop.fs.Path(base).toUri, conf)
+      fc.rename(tmpPtr, curPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   /** Atomically claim the first free version number >= `from`: the
     * claim is a create-exclusive marker file (`.claim_v<N>` — dot-
     * prefixed so parquet readers ignore it); exactly one writer wins
     * each number, losers advance. A number is also skipped when its
     * version dir already exists (a finished writer may have deleted
     * its marker). Bounded so a pathological store cannot spin. */
-  private def claimVersion(fs: org.apache.hadoop.fs.FileSystem, base: String,
+  private[graft] def claimVersion(fs: org.apache.hadoop.fs.FileSystem, base: String,
                            from: Int): Int = {
     var v = from
     while (v - from < 1000) {
@@ -273,7 +284,7 @@ object Maintenance {
   def vacuumVersions(spark: SparkSession, path: String, keep: Int): Seq[String] =
     vacuumVersions(spark, path, keep, Set.empty)
 
-  private def vacuumVersions(spark: SparkSession, path: String, keep: Int,
+  private[graft] def vacuumVersions(spark: SparkSession, path: String, keep: Int,
                              alwaysKeep: Set[String]): Seq[String] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val base = path.stripSuffix("/")

@@ -80,6 +80,27 @@ object Serving {
     override private[Serving] def getOrLoad[T <: AnyRef](key: => String)(load: => T): T = load
   }
 
+  /** Resolve a pointer-managed model root — the
+    * [[graft.operators.CorpusModels.publishModelVersion]] layout — to
+    * its live immutable version dir, driver-side, ZERO Spark: the
+    * resident scorer resolves, then probes the resolved dir (whose
+    * freshness keys never change, so the per-version cache stays
+    * warm). Falls back to `root` itself for a flat layout, mirroring
+    * `Maintenance.resolveCurrent`. */
+  def currentModelDir(root: String, conf: Configuration = defaultConf): String = {
+    val base = root.stripSuffix("/")
+    val ptr = new Path(s"$base/_current")
+    val fs = ptr.getFileSystem(conf)
+    if (!fs.exists(ptr)) base
+    else {
+      val in = fs.open(ptr)
+      val ver = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(ver.matches("v[0-9]+"), s"corrupt _current pointer at $ptr: '$ver'")
+      s"$base/$ver"
+    }
+  }
+
   // ------------------------------------------------------ parquet plumbing
 
   /** Iterate every row group of every part file under `dir` (sorted by

@@ -195,6 +195,45 @@ class ServingSpec extends SparkSpec {
       Serving.BigramPplScore(0L, 0L, 0.0))
   }
 
+  test("versioned model publish: pointer flip, immutable versions, retention, FS-only resolve") {
+    import graft.operators.CorpusModels
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    val (m1, p1) = CorpusModels.nbTrain(
+      docs.withColumn("keep", col("doc_id") % 2 === 0), "text", "keep", 1 << 20)
+    val (m2, p2) = CorpusModels.nbTrain(
+      docs.withColumn("keep", col("doc_id") % 2 =!= 0), "text", "keep", 1 << 20)
+    val root = java.nio.file.Files.createTempDirectory("nb-registry").toString
+    val text = docs.select("text").collect()(1).getString(0)
+    val v1 = CorpusModels.publishModelVersion(spark, root) { d =>
+      CorpusModels.saveNbModel(m1, p1, d)
+    }
+    assert(v1 === "v1")
+    assert(Serving.currentModelDir(root) === s"$root/v1")
+    val s1 = Serving.scoreNb(Serving.currentModelDir(root), text)
+    // publish v2: pointer flips; v1 retained for in-flight readers
+    assert(CorpusModels.publishModelVersion(spark, root) { d =>
+      CorpusModels.saveNbModel(m2, p2, d)
+    } === "v2")
+    assert(Serving.currentModelDir(root) === s"$root/v2")
+    val s2 = Serving.scoreNb(Serving.currentModelDir(root), text)
+    assert(s1 !== s2, "flipped-label models should score this text differently")
+    assert(new java.io.File(root, "v1").exists,
+      "previous version retained for in-flight readers")
+    // v3: v1 falls out of the retention window (keep = retain+1 = 2)
+    CorpusModels.publishModelVersion(spark, root) { d =>
+      CorpusModels.saveNbModel(m1, p1, d)
+    }
+    assert(Serving.currentModelDir(root) === s"$root/v3")
+    assert(!new java.io.File(root, "v1").exists, "old version vacuumed")
+    assert(new java.io.File(root, "v2").exists)
+    // pointer resolution is pure FS metadata — no Spark job
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Serving.scoreNb(Serving.currentModelDir(root), text)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length === before,
+      "resolve + probe must not launch Spark jobs")
+  }
+
   test("republish at the same path reaches a CACHED scorer (freshness key)") {
     import graft.operators.CorpusModels
     import org.apache.spark.sql.functions.col
