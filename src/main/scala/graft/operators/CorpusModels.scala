@@ -612,12 +612,24 @@ object CorpusModels {
       .map(_.getPath.getName.substring(1).toInt)).max
     val v = Maintenance.claimVersion(fs, base, maxVer + 1)
     val writing = s"$base/v${v}__writing"
-    save(writing)
-    val nextPath = new org.apache.hadoop.fs.Path(s"$base/v$v")
-    require(!fs.exists(nextPath),
-      s"publish: claimed version dir $base/v$v already exists — claim protocol violated")
-    require(fs.rename(new org.apache.hadoop.fs.Path(writing), nextPath),
-      s"publish: could not publish $writing -> $base/v$v")
+    // failure-path cleanup: a throwing save must not strand the claim
+    // marker (which would burn version v forever — claimVersion skips
+    // live claims) or the half-written dir. Hard crashes that skip
+    // this are covered by [[Maintenance.reapAbandoned]] on the root —
+    // run it on model roots on the same ops schedule as table roots.
+    try {
+      save(writing)
+      val nextPath = new org.apache.hadoop.fs.Path(s"$base/v$v")
+      require(!fs.exists(nextPath),
+        s"publish: claimed version dir $base/v$v already exists — claim protocol violated")
+      require(fs.rename(new org.apache.hadoop.fs.Path(writing), nextPath),
+        s"publish: could not publish $writing -> $base/v$v")
+    } catch {
+      case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(writing), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/.claim_v$v"), false)
+        throw e
+    }
     Maintenance.flipCurrent(fs, spark.sparkContext.hadoopConfiguration, base, v)
     Maintenance.vacuumVersions(spark, base, keep = retainPrevious + 1,
       alwaysKeep = if (curVer > 0) Set(s"v$curVer") else Set.empty)

@@ -85,8 +85,17 @@ object Maintenance {
     * pointer indirection is what makes the swap atomic. */
   def resolveCurrent(spark: SparkSession, path: String): String = {
     val base = path.stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolveCurrentFs(fs, base)
+  }
+
+  /** The ONE pointer-READ implementation (no SparkSession — the
+    * serving resolver shares it): `<base>/_current` names the live
+    * version subdir; absent pointer = legacy flat layout = `base`. */
+  private[graft] def resolveCurrentFs(fs: org.apache.hadoop.fs.FileSystem,
+                                      base: String): String = {
     val ptr = new org.apache.hadoop.fs.Path(s"$base/_current")
-    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(ptr)) base
     else {
       val in = fs.open(ptr)

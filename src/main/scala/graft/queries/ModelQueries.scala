@@ -92,16 +92,32 @@ object ModelQueries {
   def semdedupIndex(s: SparkSession, dir: String): graft.operators.Ann.IvfIndex = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val key = s"$dir|${src.lastModified}|${src.length}"
-    // per-key memo (computeIfAbsent): only concurrent first calls for
-    // the SAME fixture wait on its one count() job — resolving k for a
-    // different dir is never serialized behind it (the IndexCache
-    // pattern; a global lock held across a Spark job would be)
-    val k = semKCache.computeIfAbsent(key,
-      _ => math.max(16, (Tables.embeddings(s, dir).count() / 1000L).toInt))
+    // per-key memo via putIfAbsent of a future: the count() Spark job
+    // runs OUTSIDE any map lock (computeIfAbsent would hold the CHM
+    // bin lock for the job's multi-second duration, serializing
+    // unrelated keys that share the bin — the JDK explicitly warns
+    // mappings must be short); only racers on the SAME key wait, on
+    // the future, and a failed compute removes its future so the next
+    // call retries instead of caching the exception.
+    val fresh = new java.util.concurrent.CompletableFuture[Integer]()
+    val prior = semKCache.putIfAbsent(key, fresh)
+    val k: Int =
+      if (prior != null) prior.join().intValue()
+      else
+        try {
+          val v = math.max(16, (Tables.embeddings(s, dir).count() / 1000L).toInt)
+          fresh.complete(v)
+          v
+        } catch {
+          case e: Throwable =>
+            fresh.completeExceptionally(e)
+            semKCache.remove(key, fresh)
+            throw e
+        }
     AnnQueries.persistedIvf(s, dir, k)
   }
-  private val semKCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val semKCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Integer]]()
 
   /** The rule-based quality-gate labels (the t_quality_gate verdict,
     * reduced to (doc_id, keep)) — training labels for the NB

@@ -89,16 +89,10 @@ object Serving {
     * `Maintenance.resolveCurrent`. */
   def currentModelDir(root: String, conf: Configuration = defaultConf): String = {
     val base = root.stripSuffix("/")
-    val ptr = new Path(s"$base/_current")
-    val fs = ptr.getFileSystem(conf)
-    if (!fs.exists(ptr)) base
-    else {
-      val in = fs.open(ptr)
-      val ver = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      require(ver.matches("v[0-9]+"), s"corrupt _current pointer at $ptr: '$ver'")
-      s"$base/$ver"
-    }
+    val fs = new Path(base).getFileSystem(conf)
+    // the ONE pointer-read implementation — writer (Maintenance/
+    // publishModelVersion) and reader resolve the same way, always
+    graft.operators.Maintenance.resolveCurrentFs(fs, base)
   }
 
   // ------------------------------------------------------ parquet plumbing

@@ -192,10 +192,13 @@ object StreamingIngest {
   def scoreDocStreamBackoffPpl(docs: DataFrame,
                                bigrams: Map[(String, String), Long],
                                vocab: Map[String, Long], oovFp: Long,
-                               textCol: String = "text"): DataFrame =
+                               textCol: String = "text",
+                               alphaFp: Long =
+                                 graft.operators.CorpusModels.StupidBackoffAlphaFp): DataFrame =
     docs
       .withColumn("__ppl",
-        graft.operators.CorpusModels.backoffPplScoreColumn(bigrams, vocab, oovFp)(col(textCol)))
+        graft.operators.CorpusModels
+          .backoffPplScoreColumn(bigrams, vocab, oovFp, alphaFp)(col(textCol)))
       .withColumn("n_transitions", col("__ppl.n_transitions"))
       .withColumn("nll_fp", col("__ppl.nll_fp"))
       .withColumn("cross_entropy", col("__ppl.cross_entropy"))
