@@ -113,6 +113,34 @@ object Ranking {
     * from a second scan of `df`: the source is evaluated exactly once
     * into the range shuffle, the count pass reuses those shuffle
     * files, and rank and count can never disagree. */
+  /** Keep the top `percent`% rows of EACH group under `orderCols` (at
+    * least one row per non-empty group) — the per-language/per-domain
+    * curation selector ("best 60% of every language", where a global
+    * [[topFraction]] would let a high-scoring language crowd the rest
+    * out entirely). Unlike the global fraction (range exchange), the
+    * per-group form is window-friendly and scale-correct as a plain
+    * window: rank and group-count partition by the group keys — ONE
+    * shuffle by group, no single-partition window anywhere. Same
+    * integer boundary as [[topFraction]]: rank ≤ max(1,
+    * n·percent DIV 100), engine-exact. `orderCols` must totally order
+    * within a group (tie-break on a unique id). */
+  def topFractionPerGroup(df: DataFrame, groupCols: Seq[Column],
+                          orderCols: Seq[Column], percent: Int,
+                          rankCol: String = "group_rank"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(percent >= 1 && percent <= 100,
+      s"percent must be in [1,100], got $percent")
+    // both window functions share the partitioning → one Exchange
+    df.withColumn(rankCol, row_number().over(
+        Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(groupCols: _*)))
+      .filter(col(rankCol) <=
+        greatest(lit(1L), expr(s"(__n * $percent) DIV 100")))
+      .drop("__n")
+  }
+
   def topFraction(df: DataFrame, orderCols: Seq[Column], percent: Int,
                   rankCol: String = "global_rank"): DataFrame = {
     require(percent >= 1 && percent <= 100,

@@ -50,6 +50,20 @@ object TextQueries {
         qualityScore(t, stop).as("quality_score"))
         .orderBy(col("doc_id"))
     },
+    // per-LANGUAGE curation selection: keep the best 60% of every
+    // language by quality score — the stratified complement of the
+    // global selectors (a global fraction would let one high-scoring
+    // language crowd the others out). One shuffle by lang, no global
+    // window (Ranking.topFractionPerGroup).
+    "sel_quality_per_lang" -> { (s, dir) =>
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        qualityScore(col("text"), stop).as("quality_score"))
+      graft.operators.Ranking.topFractionPerGroup(scored,
+          Seq(col("lang")), Seq(col("quality_score").desc, col("doc_id")),
+          percent = 60)
+        .orderBy(col("doc_id"))
+    },
     // language-ID heuristic (marker words + CJK/Hangul presence)
     "t_langid" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -153,6 +167,27 @@ object TextQueries {
 
   private val wCte =
     "SELECT doc_id, lang, text, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents"
+
+  /** The quality-score formula as SQL — ONE owner, composed by the
+    * `t_quality_score` oracle and every selector that ranks on it.
+    * Requires `t` (the [[wCte]] frame) upstream; produces
+    * ${p}q(doc_id, lang, type_token_ratio, stopword_ratio,
+    * quality_score). Mirrors [[TextAnalysis.qualityScore]] exactly. */
+  private def qualityScoreCte(p: String): String =
+    s"""${p}p AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+       |         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_token_len,
+       |         CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w) AS stopword_ratio
+       |  FROM t
+       |), ${p}q AS (
+       |  SELECT doc_id, lang, type_token_ratio, stopword_ratio,
+       |         (type_token_ratio
+       |          + (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+       |          + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.5 THEN 1.0 ELSE 0.0 END)
+       |         ) / 3.0 AS quality_score
+       |  FROM ${p}p
+       |)""".stripMargin
 
   /** THE quality-gate verdict — the one owner of the gate formulas and
     * thresholds. `t_quality_gate` gates on it, and the model-based
@@ -347,19 +382,24 @@ object TextQueries {
          |FROM t ORDER BY doc_id""".stripMargin,
     "t_quality_score" ->
       s"""WITH t AS ($wCte),
-         |p AS (
-         |  SELECT doc_id,
-         |         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
-         |         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_token_len,
-         |         CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w) AS stopword_ratio
-         |  FROM t
+         |${qualityScoreCte("s")}
+         |SELECT doc_id, type_token_ratio, stopword_ratio, quality_score
+         |FROM sq ORDER BY doc_id""".stripMargin,
+    // the quality-score chain (ONE owner: qualityScoreCte) + the
+    // per-group rank/boundary mirror of Ranking.topFractionPerGroup
+    "sel_quality_per_lang" ->
+      s"""WITH t AS ($wCte),
+         |${qualityScoreCte("s")},
+         |r AS (
+         |  SELECT doc_id, lang, quality_score,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY quality_score DESC, doc_id) AS BIGINT) AS group_rank,
+         |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nn
+         |  FROM sq
          |)
-         |SELECT doc_id, type_token_ratio, stopword_ratio,
-         |       (type_token_ratio
-         |        + (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
-         |        + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.5 THEN 1.0 ELSE 0.0 END)
-         |       ) / 3.0 AS quality_score
-         |FROM p ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, lang, quality_score, group_rank
+         |FROM r WHERE group_rank <= greatest(1, (nn * 60) // 100)
+         |ORDER BY doc_id""".stripMargin,
     "t_langid" ->
       s"""WITH t AS ($wCte),
          |h AS (

@@ -63,6 +63,44 @@ class RankingSpec extends SparkSpec {
     assert(one.count() === 1L)
   }
 
+  test("topFractionPerGroup: exact per-group boundary, min-1 row, one-Exchange plan") {
+    // 3 uneven groups: g0 = 334 ids, g1 = 333, g2 = 333
+    val grouped = fixture.withColumn("g", col("id") % 3)
+    val out = Ranking.topFractionPerGroup(grouped, Seq(col("g")),
+        Seq(col("score").desc, col("id").asc), percent = 20)
+      .select("id", "score", "g", "group_rank")
+      .as[(Long, Long, Long, Long)].collect()
+    val byG = out.groupBy(_._3)
+    val sizes = Map(0L -> 334L, 1L -> 333L, 2L -> 333L)
+    sizes.foreach { case (g, n) =>
+      val kept = byG(g)
+      assert(kept.length.toLong === math.max(1L, n * 20 / 100), s"group $g")
+      assert(kept.map(_._4).max === kept.length.toLong, s"dense ranks, group $g")
+      // per-group dominance: every kept score >= every dropped score IN g
+      val keptIds = kept.map(_._1).toSet
+      val droppedMax = grouped.filter(col("g") === g)
+        .as[(Long, Long, Long)].collect()
+        .filterNot(r => keptIds(r._1)).map(_._2).max
+      assert(kept.map(_._2).min >= droppedMax, s"dominance, group $g")
+    }
+    // a 2-row group under percent=1 still keeps its best row
+    val tiny = Ranking.topFractionPerGroup(
+      Seq((1L, 10L, "x"), (2L, 20L, "x")).toDF("id", "score", "g"),
+      Seq(col("g")), Seq(col("score").desc, col("id").asc), percent = 1)
+      .as[(Long, Long, String, Long)].collect()
+    assert(tiny.map(t => (t._1, t._4)).toSeq === Seq((2L, 1L)))
+    // plan: rank and count share ONE hash exchange by the group keys,
+    // and nothing funnels into a single partition
+    val plan = Ranking.topFractionPerGroup(grouped, Seq(col("g")),
+        Seq(col("score").desc, col("id").asc), percent = 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"per-group fraction must not use a global window:\n$plan")
+    assert("hashpartitioning".r.findAllIn(plan).length >= 1 &&
+      plan.split("Exchange").length - 1 <= 2,
+      s"expected the group-key exchange (not one per window):\n$plan")
+  }
+
   test("topKPerGroup keeps exactly the k best rows per group, dense 1..k ranks") {
     val grouped = fixture.withColumn("grp", (col("id") % 5).cast("long"))
     val got = Ranking.topKPerGroup(grouped, Seq(col("grp")),
