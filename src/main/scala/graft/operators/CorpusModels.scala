@@ -124,6 +124,153 @@ object CorpusModels {
           .as("cross_entropy"))
   }
 
+  // --------------------------------------------------- grouped unigram LMs
+
+  /** Train one Laplace-smoothed unigram LM PER GROUP — the grouped
+    * twin of [[unigramLm]] (same math, every count keyed by
+    * `groupCol`). CCNet's filter is per-LANGUAGE (one LM per language,
+    * each doc scored by its own language's model); DoReMi-style
+    * mixture work needs one LM per DOMAIN. Both are this operator
+    * with a different group column.
+    *
+    * Returns (vocab, stats):
+    *  - vocab: (grp, token, cnt, logp_fp) — per group, the `vocabCap`
+    *    most frequent tokens (count desc, token asc — deterministic);
+    *  - stats: (grp, n_tokens, vocab_total, oov_logp_fp), one row per
+    *    group with ≥1 token occurrence (a group whose docs all
+    *    tokenize empty trains no model).
+    *
+    * Scale shape: the corpus-wide work is ONE explode + one
+    * map-side-combined (grp, token) count agg — identical to the
+    * global train. The per-group cap is a `row_number` window over
+    * the COUNT table (Σ_g V_g rows, never the corpus), and Catalyst's
+    * WindowGroupLimit rewrite keeps each map task's local top-cap per
+    * group before that exchange. The model broadcast is ≤ groups·cap
+    * rows — bounded when the group column is a curation axis
+    * (languages ~10², DoReMi-scale domains 10–10²), which is the
+    * operator's contract; it is NOT for high-cardinality keys. */
+  def groupedUnigramLm(docs: DataFrame, groupCol: String, textCol: String,
+                       vocabCap: Int): (DataFrame, DataFrame) = {
+    require(vocabCap > 0, s"vocabCap must be positive, got $vocabCap")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("grp")).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab_total"))
+    val denom = (col("n_tokens") + col("vocab_total")).cast("double")
+    val vocab = counts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("cnt").desc, col("token"))))
+      .filter(col("__rn") <= vocabCap)
+      .join(broadcast(totals), Seq("grp"))
+      .withColumn("logp_fp", lpFp((col("cnt") + lit(1)).cast("double") / denom))
+      .select(col("grp"), col("token"), col("cnt"), col("logp_fp"))
+    val stats = totals
+      .withColumn("oov_logp_fp", lpFp(lit(1.0) / denom))
+      .select(col("grp"), col("n_tokens"), col("vocab_total"), col("oov_logp_fp"))
+    (vocab, stats)
+  }
+
+  /** Per-document cross-entropy where each doc is scored by ITS OWN
+    * group's [[groupedUnigramLm]] model — (idCol, grp, n_tokens,
+    * nll_fp, cross_entropy) for EVERY input document (zero-token docs
+    * keep their row at 0 / 0.0, carrying their group). Same
+    * fixed-point contract as [[perplexity]]: the model join touches
+    * one row per (doc, distinct token), sums are exact longs, the
+    * division chain is engine-identical IEEE. A doc whose group
+    * trained no model (possible only when scoring a foreign corpus)
+    * keeps n_tokens but scores null — fail-loud beats silently
+    * scoring with the wrong group's distribution. */
+  def groupedPerplexity(docs: DataFrame, idCol: String, groupCol: String,
+                        textCol: String, vocab: DataFrame,
+                        stats: DataFrame): DataFrame = {
+    val tok = docs.select(col(idCol), col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("grp"), col("token")).agg(count(lit(1)).as("__tc"))
+    val scored = tok
+      .join(broadcast(vocab.select(col("grp"), col("token"), col("logp_fp"))),
+        Seq("grp", "token"), "left")
+      .join(broadcast(stats.select(col("grp"), col("oov_logp_fp"))), Seq("grp"))
+      .withColumn("lp", coalesce(col("logp_fp"), col("oov_logp_fp")))
+      .groupBy(col(idCol), col("grp"))
+      .agg(sum(col("__tc")).as("n"), (-sum(col("__tc") * col("lp"))).as("nll"))
+    docs.select(col(idCol), col(groupCol).as("grp"))
+      .join(scored, Seq(idCol, "grp"), "left")
+      .select(col(idCol), col("grp"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll"), lit(0L)).as("nll_fp"),
+        when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("nll").cast("double") / lit(LpScale) /
+            col("n").cast("double"))
+          .as("cross_entropy"))
+  }
+
+  /** DoReMi-flavored domain mixture weights (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — the published idea: upweight domains where a
+    * generalist reference model has the most LEARNABLE HEADROOM over
+    * a domain-fit model; here both models are unigram LMs, the same
+    * cheap proxy family the rest of the curation suite uses).
+    *
+    * Per domain: excess_fp = clamp(Σ nll_global − Σ nll_self, ≥0)
+    * over that domain's tokenized docs — how many fixed-point nats
+    * the GLOBAL model loses to the domain's OWN model on the
+    * domain's text (0 = the domain is already perfectly modeled
+    * globally; large = distinctive, under-served). The mixture
+    * weight is the exact rational excess_fp / Σ excess_fp (uniform
+    * 1/k when every excess is 0 — e.g. a corpus whose domains are
+    * distributionally identical): one IEEE division of exact longs
+    * per row, engine-identical, no softmax/temperature (an exp()
+    * would put libm on the verify path — the Bm25 rule).
+    *
+    * Output: (domain, n_docs, n_tokens, nll_global_fp, nll_self_fp,
+    * excess_fp, mix_weight) — one row per domain with ≥1 tokenized
+    * doc, n_docs counting exactly those docs.
+    *
+    * Scale shape: ONE pass over the token stream — both models ride
+    * broadcast joins onto the same (doc, domain, distinct-token)
+    * count frame, and the aggregation goes STRAIGHT to the
+    * per-domain row (sums of per-doc longs == sums of per-occurrence
+    * longs, associativity of exact arithmetic), so there is no
+    * per-doc shuffle at all: one map-side-combined agg to |domains|
+    * rows. Nothing corpus-sized broadcasts (both models capped),
+    * nothing funnels to one task. */
+  def domainMixWeights(docs: DataFrame, idCol: String, domainCol: String,
+                       textCol: String,
+                       globalVocab: DataFrame, globalStats: DataFrame,
+                       grpVocab: DataFrame, grpStats: DataFrame): DataFrame = {
+    val tok = docs.select(col(idCol), col(domainCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("grp"), col("token")).agg(count(lit(1)).as("__tc"))
+    val per = tok
+      .join(broadcast(globalVocab.select(col("token"), col("logp_fp").as("__glp"))),
+        Seq("token"), "left")
+      .join(broadcast(grpVocab.select(col("grp"), col("token"),
+        col("logp_fp").as("__dlp"))), Seq("grp", "token"), "left")
+      .join(broadcast(grpStats.select(col("grp"), col("oov_logp_fp").as("__doov"))),
+        Seq("grp"))
+      .crossJoin(broadcast(globalStats.select(col("oov_logp_fp").as("__goov"))))
+      .groupBy(col("grp").as("domain"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        sum(col("__tc")).as("n_tokens"),
+        (-sum(col("__tc") * coalesce(col("__glp"), col("__goov"))))
+          .as("nll_global_fp"),
+        (-sum(col("__tc") * coalesce(col("__dlp"), col("__doov"))))
+          .as("nll_self_fp"))
+      .withColumn("excess_fp",
+        greatest(col("nll_global_fp") - col("nll_self_fp"), lit(0L)))
+    val tot = per.agg(sum(col("excess_fp")).as("__te"),
+      count(lit(1)).as("__nd"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("mix_weight",
+        when(col("__te") === 0, lit(1.0) / col("__nd").cast("double"))
+          .otherwise(col("excess_fp").cast("double") / col("__te").cast("double")))
+      .drop("__te", "__nd")
+  }
+
   // ----------------------------------------------------------- bigram LM
 
   /** (ctx, tok) transition rows without round-tripping through the

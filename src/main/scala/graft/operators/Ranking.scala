@@ -68,20 +68,10 @@ object Ranking {
   def ntileBuckets(df: DataFrame, orderCols: Seq[Column], n: Int,
                    bucketCol: String = "bucket"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    import graft.functions.IntMath.integralDivide
     val ranked = globalRank(df, orderCols, "__rank")
     val totalDf = ranked.agg(coalesce(max(col("__rank")), lit(0L)).as("__total"))
-    val q = integralDivide(col("__total"), lit(n.toLong))
-    val r = col("__total") - q * n
-    val bigSpan = r * (q + 1) // rows living in the r leading (q+1)-buckets
-    val bucket = when(col("__rank") <= bigSpan,
-        integralDivide(col("__rank") - 1, q + 1) + 1)
-      .otherwise(r + integralDivide(col("__rank") - bigSpan - 1,
-        // q can be 0 only when rank <= bigSpan always (n > total), but
-        // guard the divisor so the branch is safe to EVALUATE
-        greatest(q, lit(1L))) + 1)
     ranked.crossJoin(broadcast(totalDf))
-      .withColumn(bucketCol, bucket)
+      .withColumn(bucketCol, ansiNtile(col("__rank"), col("__total"), n))
       .drop("__rank", "__total")
   }
 
@@ -119,8 +109,12 @@ object Ranking {
     * [[topFraction]] would let a high-scoring language crowd the rest
     * out entirely). Unlike the global fraction (range exchange), the
     * per-group form is window-friendly and scale-correct as a plain
-    * window: rank and group-count partition by the group keys — ONE
-    * shuffle by group, no single-partition window anywhere. Same
+    * window WHEN groups are numerous relative to tasks (domains,
+    * shards, users): rank and group-count partition by the group
+    * keys — ONE shuffle by group, no single-partition window
+    * anywhere. For a FEW FAT groups (5 languages over 100 TB — each
+    * whole group lands in one task), rank with [[groupRank]] instead
+    * and draw the same boundary from its per-group totals. Same
     * integer boundary as [[topFraction]]: rank ≤ max(1,
     * n·percent DIV 100), engine-exact. `orderCols` must totally order
     * within a group (tie-break on a unique id). */
@@ -139,6 +133,114 @@ object Ranking {
       .filter(col(rankCol) <=
         greatest(lit(1L), expr(s"(__n * $percent) DIV 100")))
       .drop("__n")
+  }
+
+  /** 1-based rank WITHIN each group under `orderCols`, without the
+    * low-cardinality-group window trap: `row_number() OVER (PARTITION
+    * BY grp …)` materializes each whole group in ONE task — with 5
+    * languages over 100 TB that funnels ~20 TB through one executor.
+    * (For NUMEROUS small groups the plain window is the better plan —
+    * [[topKPerGroup]]/[[topFractionPerGroup]] document that regime;
+    * this operator is the few-fat-groups complement.)
+    * Here the plan is the grouped [[globalRank]]: range-exchange on
+    * (groupCols ++ orderCols) — each group spans a contiguous RUN of
+    * partitions, no partition holds more than its range — then one
+    * cheap pass over the shuffled files collects per-(partition,
+    * group-run) counts (≤ #partitions + #groups rows, the
+    * driver-state bound), prefix-sums them into per-partition group
+    * offsets, and a second pass emits offset + local position. Both
+    * passes reuse the same shuffle files (the zipWithIndex contract).
+    *
+    * Group values must have well-defined equality (strings/numerics —
+    * not arrays/binary/NaN), and `orderCols` must totally order
+    * within a group (tie-break on a unique id) — the [[globalRank]]
+    * determinism contract, per group. */
+  def groupRank(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column],
+                rankCol: String = "group_rank"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = df.sparkSession
+    val gkIdx = df.schema.size // __gk appended after the user columns
+    val ranged = this.ranged(df.withColumn("__gk", struct(groupCols: _*)),
+      col("__gk") +: orderCols)
+    val rdd = ranged.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: ordered (group, count) runs per partition — rows are
+    // sorted by __gk within each partition, so every group is one run
+    val runs: Array[(Int, Array[(Any, Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+        var cur: Any = null; var n = 0L; var any = false
+        it.foreach { row =>
+          val k = row.get(gkIdx)
+          if (!any || k != cur) {
+            if (any) acc += ((cur, n))
+            cur = k; n = 1L; any = true
+          } else n += 1L
+        }
+        if (any) acc += ((cur, n))
+        Iterator.single((pid, acc.toArray))
+      }.collect()
+    // prefix-sum across partitions (pid order == range order): the
+    // offset of group g in partition p = rows of g in partitions < p
+    val offsets = Array.fill(runs.length)(
+      scala.collection.mutable.HashMap.empty[Any, Long])
+    val running = scala.collection.mutable.HashMap.empty[Any, Long]
+    runs.sortBy(_._1).foreach { case (pid, rs) =>
+      rs.foreach { case (k, n) =>
+        offsets(pid).update(k, running.getOrElse(k, 0L))
+        running.update(k, running.getOrElse(k, 0L) + n)
+      }
+    }
+    val offB = spark.sparkContext.broadcast(offsets.map(_.toMap))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(rankCol, LongType, nullable = false))
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = offB.value(pid)
+      var cur: Any = null; var pos = 0L; var any = false
+      it.map { row =>
+        val k = row.get(gkIdx)
+        if (!any || k != cur) { cur = k; pos = off(k); any = true }
+        pos += 1L
+        Row.fromSeq(row.toSeq.take(gkIdx) :+ pos)
+      }
+    }
+    val out = spark.createDataFrame(ranked, outSchema)
+    rdd.unpersist(blocking = false)
+    out
+  }
+
+  /** ANSI `ntile(n)` WITHIN each group — per-language quality
+    * terciles (the CCNet head/middle/tail split is per language), on
+    * [[groupRank]]'s scale-correct plan instead of a grouped window.
+    * Bucket math is the same remainder-to-leading-buckets piecewise
+    * form as [[ntileBuckets]], fed per-group totals (≤ one row per
+    * group, broadcast). Same determinism contract as [[groupRank]]. */
+  def ntilePerGroup(df: DataFrame, groupCols: Seq[Column],
+                    orderCols: Seq[Column], n: Int,
+                    bucketCol: String = "bucket"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ranked = groupRank(df, groupCols, orderCols, "__rank")
+      .withColumn("__gk", struct(groupCols: _*))
+    val totals = ranked.groupBy(col("__gk"))
+      .agg(max(col("__rank")).as("__total"))
+    ranked.join(broadcast(totals), Seq("__gk"))
+      .withColumn(bucketCol, ansiNtile(col("__rank"), col("__total"), n))
+      .drop("__gk", "__rank", "__total")
+  }
+
+  /** The ANSI ntile bucket of `rank` among `total` rows — remainder
+    * to the LEADING buckets (see [[ntileBuckets]]'s scaladoc for why
+    * the interleaving one-liner is wrong). */
+  private def ansiNtile(rank: Column, total: Column, n: Int): Column = {
+    import graft.functions.IntMath.integralDivide
+    val q = integralDivide(total, lit(n.toLong))
+    val r = total - q * n
+    val bigSpan = r * (q + 1)
+    when(rank <= bigSpan, integralDivide(rank - 1, q + 1) + 1)
+      .otherwise(r + integralDivide(rank - bigSpan - 1,
+        greatest(q, lit(1L))) + 1)
   }
 
   def topFraction(df: DataFrame, orderCols: Seq[Column], percent: Int,

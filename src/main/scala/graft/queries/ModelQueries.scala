@@ -55,6 +55,12 @@ object ModelQueries {
   private val McpLmStatsHandoff = Handoff.path("mcp_lm_stats")
   private val SemCentHandoff   = Handoff.path("semdedup_centroids")
   private val SemAsgHandoff    = Handoff.path("semdedup_assigned")
+  private val DmixGVocabHandoff = Handoff.path("dmix_global_vocab")
+  private val DmixGStatsHandoff = Handoff.path("dmix_global_stats")
+  private val DmixDVocabHandoff = Handoff.path("dmix_domain_vocab")
+  private val DmixDStatsHandoff = Handoff.path("dmix_domain_stats")
+  private val LangVocabHandoff  = Handoff.path("ppl_lang_vocab")
+  private val LangStatsHandoff  = Handoff.path("ppl_lang_stats")
 
   /** Fixture-aware vocab cap: the word-soup corpus has ~31 distinct
     * tokens, so 24 genuinely exercises the OOV path the cap exists
@@ -65,6 +71,13 @@ object ModelQueries {
     * distinct tokens, so capped-out tokens genuinely vote neutral-0
     * and the oracle's cap-selection replay is exercised. */
   private val NbCap = 24
+
+  /** Per-GROUP vocab cap for the grouped LM family — the [[LmCap]]
+    * fixture logic applied per group: every language/source subset
+    * still sees most of the ~31-token word-soup vocabulary, so 24
+    * exercises the per-group OOV path and the per-group cap-selection
+    * replay (at 100 TB the knob sits at ~1M per group). */
+  private val GrpLmCap = 24
 
   /** Bigram-table cap: the fixture has ~916 distinct transitions, so
     * 512 exercises the per-context OOV fallback. */
@@ -262,6 +275,41 @@ object ModelQueries {
           bucketCol = "ppl_bucket")
         .orderBy(col("doc_id"))
     },
+    // DoReMi-flavored domain mixture weights (Xie et al. 2023):
+    // per-source excess cross-entropy of the GLOBAL unigram LM over
+    // each source's OWN LM, normalized to exact-rational mixture
+    // weights. All four model tables (global vocab+stats, grouped
+    // vocab+stats) are handoffs; DuckDB re-derives every count, BOTH
+    // cap selections (global and per-group), and replays scoring and
+    // the per-domain aggregation as integer sums.
+    "domain_mix_weights" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (gv0, gs0) = CorpusModels.unigramLm(docs, "text", LmCap)
+      val (dv0, ds0) = CorpusModels.groupedUnigramLm(docs, "source", "text", GrpLmCap)
+      CorpusModels.domainMixWeights(docs, "doc_id", "source", "text",
+          Handoff.publish(gv0, DmixGVocabHandoff),
+          Handoff.publish(gs0, DmixGStatsHandoff),
+          Handoff.publish(dv0, DmixDVocabHandoff),
+          Handoff.publish(ds0, DmixDStatsHandoff))
+        .orderBy(col("domain"))
+    },
+    // CCNet's ACTUAL partition is per language: one LM per language,
+    // each doc scored by its own language's model, head/middle/tail
+    // terciles WITHIN the language. The tercile math runs on the
+    // grouped range-exchange rank (Ranking.ntilePerGroup) — a grouped
+    // window would funnel each whole language through one task.
+    "ppl_buckets_by_lang" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (v0, st0) = CorpusModels.groupedUnigramLm(docs, "lang", "text", GrpLmCap)
+      val w = CorpusModels.groupedPerplexity(docs, "doc_id", "lang", "text",
+        Handoff.publish(v0, LangVocabHandoff),
+        Handoff.publish(st0, LangStatsHandoff))
+      graft.operators.Ranking.ntilePerGroup(
+          w.select(col("doc_id"), col("grp").as("lang"), col("cross_entropy")),
+          Seq(col("lang")), Seq(col("cross_entropy").asc, col("doc_id")),
+          n = 3, bucketCol = "ppl_bucket")
+        .orderBy(col("doc_id"))
+    },
     // SemDeDup over the SAME persisted IVF index the ANN path
     // searches at fixture scale (see [[semdedupIndex]] for the
     // corpus-proportional cluster count). Centroids + assignment are
@@ -331,6 +379,15 @@ object ModelQueries {
     * owned by [[TextQueries.gateCte]], the same single source the
     * t_quality_gate oracle selects from. */
   private def labelCte = TextQueries.gateCte
+
+  /** Minimal tokenized-docs CTE for chains that need `lt` but not the
+    * gate labels (the grouped-LM oracles) — same tokenization text as
+    * [[labelCte]]'s lt, without the label chain riding along. */
+  private val ltOnlyCte: String =
+    """lt AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |)""".stripMargin
 
   // One owner per replay chain (the gateCte rule, applied to this
   // file's own oracles): each helper emits the stage's full verify +
@@ -430,6 +487,66 @@ object ModelQueries {
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
        |         CAST(-sum(lp) AS BIGINT) AS nll
        |  FROM ${p}sc GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Grouped unigram-LM replay — the per-group twin of [[lmChainCte]]
+    * (CCNet per-language / DoReMi per-domain): re-derives the
+    * (group, token) counts, per-group totals, and the PER-GROUP cap
+    * selection (row_number partitioned by group), accepts handoff
+    * rows only on full (grp, token, cnt) / (grp, totals) match, and
+    * guards row counts + count sums so a silently-missing model row
+    * fails everything. The guard scalar ${p}ok rides every lp.
+    * Requires `lt` upstream; `groupCol` names the documents column.
+    * Produces ${p}g(doc_id, grp, n, nll). */
+  private def groupedLmChainCte(vocabRp: String, statsRp: String,
+                                groupCol: String, p: String): String =
+    s"""${p}h AS (SELECT * FROM $vocabRp),
+       |${p}hs AS (SELECT * FROM $statsRp),
+       |${p}t AS (
+       |  SELECT lt.doc_id, d.$groupCol AS grp, unnest(lt.w) AS token
+       |  FROM lt JOIN documents d ON lt.doc_id = d.doc_id
+       |), ${p}c AS (
+       |  SELECT grp, token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ${p}t GROUP BY grp, token
+       |), ${p}tot AS (
+       |  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS vocab_total
+       |  FROM ${p}c GROUP BY grp
+       |), ${p}cap AS (
+       |  SELECT grp, token, cnt FROM (
+       |    SELECT grp, token, cnt,
+       |           row_number() OVER (PARTITION BY grp
+       |                              ORDER BY cnt DESC, token) AS rn
+       |    FROM ${p}c) AS s WHERE rn <= $GrpLmCap
+       |), ${p}hv AS (
+       |  SELECT ${p}h.grp, ${p}h.token, ${p}h.logp_fp
+       |  FROM ${p}h JOIN ${p}cap ON ${p}h.grp = ${p}cap.grp
+       |                         AND ${p}h.token = ${p}cap.token
+       |                         AND ${p}h.cnt = ${p}cap.cnt
+       |), ${p}sv AS (
+       |  SELECT ${p}hs.grp, ${p}hs.oov_logp_fp
+       |  FROM ${p}hs JOIN ${p}tot ON ${p}hs.grp = ${p}tot.grp
+       |                          AND ${p}hs.n_tokens = ${p}tot.n_tokens
+       |                          AND ${p}hs.vocab_total = ${p}tot.vocab_total
+       |), ${p}ok AS (
+       |  SELECT 1 AS ok WHERE
+       |        (SELECT count(*) FROM ${p}h)  = (SELECT count(*) FROM ${p}cap)
+       |    AND (SELECT count(*) FROM ${p}hv) = (SELECT count(*) FROM ${p}cap)
+       |    AND (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM ${p}h) =
+       |        (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM ${p}cap)
+       |    AND (SELECT count(*) FROM ${p}hs) = (SELECT count(*) FROM ${p}tot)
+       |    AND (SELECT count(*) FROM ${p}sv) = (SELECT count(*) FROM ${p}tot)
+       |), ${p}sc AS (
+       |  SELECT ${p}t.doc_id, ${p}t.grp,
+       |         coalesce(${p}hv.logp_fp, ${p}sv.oov_logp_fp)
+       |           * (SELECT ok FROM ${p}ok) AS lp
+       |  FROM ${p}t
+       |  LEFT JOIN ${p}hv ON ${p}t.grp = ${p}hv.grp AND ${p}t.token = ${p}hv.token
+       |  JOIN ${p}sv ON ${p}t.grp = ${p}sv.grp
+       |), ${p}g AS (
+       |  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(-sum(lp) AS BIGINT) AS nll
+       |  FROM ${p}sc GROUP BY doc_id, grp
        |)""".stripMargin
 
   /** Bigram-LM replay chain — the ONE owner of bigram-table
@@ -730,6 +847,55 @@ object ModelQueries {
          |)
          |SELECT doc_id, cross_entropy,
          |       CAST(ntile(3) OVER (ORDER BY cross_entropy ASC, doc_id) AS BIGINT)
+         |         AS ppl_bucket
+         |FROM w ORDER BY doc_id""".stripMargin,
+    // DoReMi-lite: BOTH chains replay (global via lmChainCte, grouped
+    // via groupedLmChainCte, one owner each), then the per-domain
+    // aggregation, the excess clamp, and the exact-rational mixture
+    // division — all from re-derived integers; both guard scalars
+    // ride every lp, so a wrong model table nulls every output row.
+    "domain_mix_weights" ->
+      s"""WITH $ltOnlyCte,
+         |${lmChainCte(rp(DmixGVocabHandoff), rp(DmixGStatsHandoff), "u")},
+         |${groupedLmChainCte(rp(DmixDVocabHandoff), rp(DmixDStatsHandoff), "source", "m")},
+         |per AS (
+         |  SELECT g.grp AS domain,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(g.n) AS BIGINT) AS n_tokens,
+         |         CAST(sum(ug.nll) AS BIGINT) AS nll_global_fp,
+         |         CAST(sum(g.nll) AS BIGINT) AS nll_self_fp,
+         |         greatest(CAST(sum(ug.nll) - sum(g.nll) AS BIGINT),
+         |                  CAST(0 AS BIGINT)) AS excess_fp
+         |  FROM mg g JOIN ug ON g.doc_id = ug.doc_id
+         |  GROUP BY g.grp
+         |), tt AS (
+         |  SELECT CAST(coalesce(sum(excess_fp), 0) AS BIGINT) AS te,
+         |         CAST(count(*) AS BIGINT) AS nd
+         |  FROM per
+         |)
+         |SELECT domain, n_docs, n_tokens, nll_global_fp, nll_self_fp, excess_fp,
+         |       CASE WHEN (SELECT te FROM tt) = 0
+         |            THEN 1.0 / CAST((SELECT nd FROM tt) AS DOUBLE)
+         |            ELSE CAST(excess_fp AS DOUBLE) /
+         |                 CAST((SELECT te FROM tt) AS DOUBLE)
+         |       END AS mix_weight
+         |FROM per ORDER BY domain""".stripMargin,
+    // per-language terciles on the grouped chain: DuckDB's REAL
+    // ntile(3) PARTITION BY lang pins Ranking.ntilePerGroup's grouped
+    // range-exchange rank + ANSI bucket math.
+    "ppl_buckets_by_lang" ->
+      s"""WITH $ltOnlyCte,
+         |${groupedLmChainCte(rp(LangVocabHandoff), rp(LangStatsHandoff), "lang", "m")},
+         |w AS (
+         |  SELECT d.doc_id, d.lang,
+         |         CASE WHEN coalesce(g.n, 0) = 0 THEN 0.0
+         |              ELSE CAST(g.nll AS DOUBLE) / 1000000000.0 / CAST(g.n AS DOUBLE)
+         |         END AS cross_entropy
+         |  FROM documents d LEFT JOIN mg g ON d.doc_id = g.doc_id
+         |)
+         |SELECT doc_id, lang, cross_entropy,
+         |       CAST(ntile(3) OVER (PARTITION BY lang
+         |                           ORDER BY cross_entropy ASC, doc_id) AS BIGINT)
          |         AS ppl_bucket
          |FROM w ORDER BY doc_id""".stripMargin,
     // replay SemDeDup from the index handoff: within-cluster pairs at

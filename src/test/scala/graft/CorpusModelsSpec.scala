@@ -391,4 +391,99 @@ class CorpusModelsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  // ------------------------------------------------- grouped unigram LMs
+
+  private val grpDocs = Seq(
+    (0L, "a a b", "x"),
+    (1L, "b c", "x"),
+    (2L, "z z", "y"),
+    (3L, "", "y")).toDF("doc_id", "text", "grp0")
+
+  test("groupedUnigramLm: per-group counts, totals, cap, and logp math") {
+    val (vocab, stats) = CorpusModels.groupedUnigramLm(grpDocs, "grp0", "text", 2)
+    val st = stats.collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab_total"),
+        r.getAs[Long]("oov_logp_fp"))).toMap
+    // x: N=5, V=3, denom 8; y: N=2, V=1, denom 3 (doc 3 is empty)
+    assert(st === Map(
+      "x" -> ((5L, 3L, lp(1.0 / 8.0))),
+      "y" -> ((2L, 1L, lp(1.0 / 3.0)))))
+    val v = vocab.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("cnt"), r.getAs[Long]("logp_fp"))).toMap
+    // x caps 2 of 3 by (cnt desc, token asc): a(2), b(2); c capped out.
+    // y has 1 < cap distinct: z(2), p=(2+1)/3 = 1 -> logp 0
+    assert(v === Map(
+      ("x", "a") -> ((2L, lp(3.0 / 8.0))),
+      ("x", "b") -> ((2L, lp(3.0 / 8.0))),
+      ("y", "z") -> ((2L, lp(3.0 / 3.0)))))
+  }
+
+  test("groupedUnigramLm on a single group == unigramLm on that subset") {
+    val one = grpDocs.filter(col("grp0") === "x")
+    val (gv, gs) = CorpusModels.groupedUnigramLm(one, "grp0", "text", 2)
+    val (uv, us) = CorpusModels.unigramLm(one, "text", 2)
+    assert(gv.drop("grp").orderBy("token").collect().toSeq ===
+      uv.orderBy("token").collect().toSeq)
+    assert(gs.drop("grp").collect().toSeq ===
+      us.select("n_tokens", "vocab_total", "oov_logp_fp").collect().toSeq)
+  }
+
+  test("groupedPerplexity: own-group scoring, OOV in-group, zero-token rows") {
+    val (vocab, stats) = CorpusModels.groupedUnigramLm(grpDocs, "grp0", "text", 2)
+    val out = CorpusModels.groupedPerplexity(
+        grpDocs, "doc_id", "grp0", "text", vocab, stats)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getAs[Long]("n_tokens"), r.getAs[Long]("nll_fp"))).toMap
+    // doc0: a a b, all in x's capped vocab
+    assert(byId(0L) === (("x", 3L, -(2 * lp(3.0 / 8.0) + lp(3.0 / 8.0)))))
+    // doc1: b in-vocab, c capped out -> x's OOV
+    assert(byId(1L) === (("x", 2L, -(lp(3.0 / 8.0) + lp(1.0 / 8.0)))))
+    // doc2 scores under y's model (logp 0), NOT x's
+    assert(byId(2L) === (("y", 2L, 0L)))
+    // doc3: zero tokens, row survives with its group
+    assert(byId(3L) === (("y", 0L, 0L)))
+  }
+
+  test("domainMixWeights: distinctive domains weigh by exact excess; uniform at zero") {
+    val docs = Seq(
+      (0L, "a a a a", "d1"),
+      (1L, "z z z z", "d2"),
+      (2L, "z z z z", "d2")).toDF("doc_id", "text", "dom")
+    val (gv, gs) = CorpusModels.unigramLm(docs, "text", 100)
+    val (dv, ds) = CorpusModels.groupedUnigramLm(docs, "dom", "text", 100)
+    val out = CorpusModels.domainMixWeights(docs, "doc_id", "dom", "text",
+      gv, gs, dv, ds).orderBy("domain").collect()
+    // global: N=12, V=2, denom 14: p(a)=5/14, p(z)=9/14
+    // d1 model: p(a)=(4+1)/(4+1)=1 -> self nll 0; d2: p(z)=(8+1)/(8+1)=1
+    val e1 = -4 * lp(5.0 / 14.0)
+    val e2 = -8 * lp(9.0 / 14.0)
+    val m = out.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("nll_global_fp"), r.getAs[Long]("nll_self_fp"),
+        r.getAs[Long]("excess_fp"), r.getAs[Double]("mix_weight"))).toMap
+    assert(m("d1") === ((1L, 4L, e1, 0L, e1, e1.toDouble / (e1 + e2).toDouble)))
+    assert(m("d2") === ((2L, 8L, e2, 0L, e2, e2.toDouble / (e1 + e2).toDouble)))
+    assert(math.abs(m.values.map(_._6).sum - 1.0) < 1e-12)
+    // two distributionally IDENTICAL single-token domains: both excesses
+    // clamp/land at 0 -> uniform 1/k
+    val same = Seq((0L, "a a", "u"), (1L, "a a", "v")).toDF("doc_id", "text", "dom")
+    val (sgv, sgs) = CorpusModels.unigramLm(same, "text", 100)
+    val (sdv, sds) = CorpusModels.groupedUnigramLm(same, "dom", "text", 100)
+    val su = CorpusModels.domainMixWeights(same, "doc_id", "dom", "text",
+      sgv, sgs, sdv, sds).collect()
+    assert(su.map(_.getAs[Double]("mix_weight")).toSeq === Seq(0.5, 0.5))
+  }
+
+  test("grouped LM pipeline is partitioning-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (v1, s1) = CorpusModels.groupedUnigramLm(docs, "lang", "text", 24)
+    val (v2, s2) = CorpusModels.groupedUnigramLm(docs.repartition(11), "lang", "text", 24)
+    val a = CorpusModels.groupedPerplexity(docs, "doc_id", "lang", "text", v1, s1)
+      .orderBy("doc_id").collect().toSeq
+    val b = CorpusModels.groupedPerplexity(docs.repartition(7), "doc_id", "lang", "text", v2, s2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }

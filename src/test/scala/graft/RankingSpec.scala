@@ -178,6 +178,92 @@ class RankingSpec extends SparkSpec {
       Ranking.ntileBuckets(fixture, Seq(col("id")), 0))
   }
 
+  test("groupRank == per-group row_number; groups that span partitions") {
+    // 2 fat groups over default parallelism: the range exchange MUST
+    // split each group across many partitions (the whole point vs a
+    // grouped window), and ranks must still be dense per group
+    val grouped = fixture.withColumn("g", (col("id") % 2).cast("long"))
+    val expected = grouped.select("id", "score", "g")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._3).flatMap { case (_, rows) =>
+        rows.toSeq.sortBy(r => (-r._2, r._1)).zipWithIndex
+          .map { case (r, i) => r._1 -> (i + 1L) }
+      }.toMap
+    val got = Ranking.groupRank(grouped, Seq(col("g")),
+        Seq(col("score").desc, col("id").asc))
+      .select("id", "group_rank").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // multi-column group keys
+    val mc = fixture.withColumn("g1", (col("id") % 2).cast("long"))
+      .withColumn("g2", (col("id") % 3).cast("long"))
+    val mcExpected = mc.select("id", "score", "g1", "g2")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._3, r._4)).flatMap { case (_, rows) =>
+        rows.toSeq.sortBy(r => (-r._2, r._1)).zipWithIndex
+          .map { case (r, i) => r._1 -> (i + 1L) }
+      }.toMap
+    val mcGot = Ranking.groupRank(mc, Seq(col("g1"), col("g2")),
+        Seq(col("score").desc, col("id").asc))
+      .select("id", "group_rank").as[(Long, Long)].collect().toMap
+    assert(mcGot === mcExpected)
+  }
+
+  test("groupRank is partitioning-independent; empty input; bad args") {
+    val grouped = fixture.withColumn("g", (col("id") % 3).cast("long"))
+    val base = Ranking.groupRank(grouped, Seq(col("g")),
+        Seq(col("score").desc, col("id").asc))
+      .select("id", "group_rank").as[(Long, Long)].collect().toSet
+    for (p <- Seq(1, 7, 64)) {
+      val other = Ranking.groupRank(grouped.repartition(p), Seq(col("g")),
+          Seq(col("score").desc, col("id").asc))
+        .select("id", "group_rank").as[(Long, Long)].collect().toSet
+      assert(other === base, s"group ranks changed under repartition($p)")
+    }
+    assert(Ranking.groupRank(grouped.filter(lit(false)), Seq(col("g")),
+      Seq(col("id"))).count() === 0L)
+    intercept[IllegalArgumentException](
+      Ranking.groupRank(grouped, Nil, Seq(col("id"))))
+    intercept[IllegalArgumentException](
+      Ranking.groupRank(grouped, Seq(col("g")), Nil))
+  }
+
+  test("groupRank plan: range exchange on (group, order), no grouped window") {
+    // the scale contract: the shuffled stage range-partitions — a
+    // grouped window (hashpartitioning on g alone) would funnel each
+    // whole group through one task
+    val grouped = fixture.withColumn("g", (col("id") % 2).cast("long"))
+    val plan = Ranking.ranged(
+        grouped.withColumn("__gk", struct(col("g"))),
+        Seq(col("__gk"), col("score").desc, col("id").asc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange:\n$plan")
+    assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
+      s"grouped rank must not use a window or a single partition:\n$plan")
+  }
+
+  test("ntilePerGroup == ANSI ntile PARTITION BY group") {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = fixture.withColumn("g", (col("id") % 3).cast("long"))
+    // expected via Spark's own window ntile (ANSI) on small data
+    val expected = grouped.withColumn("b",
+        ntile(4).over(Window.partitionBy(col("g"))
+          .orderBy(col("score").desc, col("id").asc)).cast("long"))
+      .select("id", "b").as[(Long, Long)].collect().toMap
+    val got = Ranking.ntilePerGroup(grouped, Seq(col("g")),
+        Seq(col("score").desc, col("id").asc), n = 4)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // group smaller than n: one row per leading bucket, like ntileBuckets
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "g")
+    val tinyGot = Ranking.ntilePerGroup(tiny, Seq(col("g")),
+        Seq(col("id").asc), n = 8)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(tinyGot === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    intercept[IllegalArgumentException](
+      Ranking.ntilePerGroup(grouped, Seq(col("g")), Seq(col("id")), 0))
+  }
+
   test("topFraction rejects bad percent; empty input stays empty") {
     intercept[IllegalArgumentException](
       Ranking.topFraction(fixture, Seq(col("id").asc), 0))
