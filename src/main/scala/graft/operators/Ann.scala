@@ -307,4 +307,83 @@ object Ann {
       index.assigned.filter(col("ivf_cluster").isin(probes: _*)),
       queryVec, k, metric, None, index.embCol, index.idCol)
   }
+
+  // ------------------------------------------- JL random projection (RP)
+
+  /** Salt for the RP plane family so its planes never coincide with
+    * the sign-LSH planes when both run in one pipeline. */
+  private val RpSalt = 1 << 20
+
+  /** Deterministic Rademacher (±1) projection planes for the
+    * Johnson–Lindenstrauss compression path — the same stateless
+    * hashed family as [[planeSign]] (executors and the driver
+    * regenerate them from (nPlanes, dim) alone; no fitted model),
+    * salted (see [[RpSalt]]). The canonical 1/√d' JL scale factor is
+    * OMITTED: it is a positive constant, so every distance it would
+    * scale ranks identically without it — and the fixed-point
+    * candidate distances stay comfortably integral. */
+  def rpPlanes(nPlanes: Int, dim: Int): Array[Array[Float]] = {
+    require(nPlanes > 0 && dim > 0, s"need positive dims, got $nPlanes x $dim")
+    Array.tabulate(nPlanes, dim)((p, d) => planeSign(p + RpSalt, d))
+  }
+
+  /** f32 sequential dot — the DRIVER-side twin of
+    * [[graft.functions.DotProductF32]] (same accumulation order, so
+    * bit-identical) for projecting the query vector without a Spark
+    * job. */
+  private[graft] def dotF32Local(a: Seq[Float], b: Array[Float]): Float = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0f; var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Attach the d'-dim JL projection: proj[p] = f32 dot(vec,
+    * plane_p) — a narrow codegen'd map (`transform` over a plane
+    * literal with the [[graft.functions.DotProductF32]] kernel
+    * inside). At 100 TB this runs ONCE at ingest and the projected
+    * column is what candidate scans read: a 1024-d f32 corpus
+    * shrinks 1024/d'-fold for the scan stage, with the JL lemma
+    * bounding the pairwise-distance distortion. Complements sign-LSH:
+    * same plane family, but magnitudes survive (sign-LSH keeps one
+    * BIT per plane), so ranking in the projected space is meaningful
+    * and needs no bucket/probe tuning. */
+  def withRpProjection(df: DataFrame, planes: Array[Array[Float]],
+                       embCol: String = "embedding",
+                       out: String = "rp_proj"): DataFrame = {
+    val planesLit = typedLit(planes.map(_.toSeq).toSeq)
+    df.withColumn(out, transform(planesLit, p => dotF32(col(embCol), p)))
+  }
+
+  /** ANN top-k via the JL projection: rank ALL rows by projected-space
+    * distance (cheap: d' dims instead of d), keep `candidates` of
+    * them, exact-rerank those to the final k.
+    *
+    * The candidate distance is exact fixed point —
+    * dist_fp = Σ_p floor((Δ_p²) · 2²⁰) with Δ_p the f32 projection
+    * difference — so candidate selection is bit-stable across
+    * engines, partitionings, and runs (floats only ever enter through
+    * the f32 kernels that bit-match DuckDB's list functions). The
+    * candidate stage is a narrow scan + TakeOrdered (no shuffle); the
+    * rerank joins the `candidates`-row frame back as a broadcast. */
+  def searchRp(projected: DataFrame, planes: Array[Array[Float]],
+               queryVec: Seq[Float], k: Int, candidates: Int,
+               embCol: String = "embedding", idCol: String = "vec_id",
+               projCol: String = "rp_proj"): DataFrame = {
+    require(k > 0 && candidates >= k,
+      s"need candidates >= k > 0, got k=$k candidates=$candidates")
+    val qp = planes.map(pl => dotF32Local(queryVec, pl))
+    val qLit = typedLit(qp.toSeq)
+    val distFp = aggregate(
+      zip_with(col(projCol), qLit, (a, b) =>
+        floor(((a - b) * (a - b)).cast("double") * lit(1048576.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val cand = projected.withColumn("rp_dist_fp", distFp)
+      .select(col(idCol), col("rp_dist_fp"))
+      .orderBy(col("rp_dist_fp"), col(idCol)).limit(candidates)
+    projected.join(broadcast(cand), Seq(idCol))
+      .withColumn("dist", l2DistF32(col(embCol), typedLit(queryVec)).cast("double"))
+      .orderBy(col("dist"), col(idCol)).limit(k)
+      .drop(embCol, projCol)
+  }
 }

@@ -31,6 +31,12 @@ object AnnQueries {
   private val AssignedHandoff  = Handoff.path("ivf_assigned")
   private val LshBucketsHandoff = Handoff.path("lsh_buckets")
   private val PqCandHandoff    = Handoff.path("pq_candidates")
+  private val RpPlanesHandoff  = Handoff.path("rp_planes")
+
+  /** RP path dimensions: d'=16 planes, 50 candidates for the exact
+    * top-10 rerank. */
+  private val RpPlanesN = 16
+  private val RpCandidates = 50
 
   /** Publish an IVF index's two driver-checkable artifacts: the k-row
     * centroid table and the slim (id, cluster) assignment — the ONE
@@ -72,6 +78,25 @@ object AnnQueries {
       Ann.searchSignLsh(emb.join(buckets, Seq("vec_id")),
           VectorQueries.qvec(s, dir, 0), 10, nBits = 12)
         .drop("embedding")
+    },
+    // JL random-projection ANN: candidate ranking in the d'=16
+    // projected space (exact fixed-point distances over f32 dots),
+    // exact rerank of the top-50. The plane table is the one handoff
+    // (deterministic Rademacher family — its mix64 hash is not
+    // SQL-replayable, like the k-means centroids); the oracle
+    // recomputes every projection from it with list_dot_product
+    // (bit-equal to the f32 kernel), replays candidate selection, and
+    // the exact rerank.
+    "ann_rp_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = VectorQueries.qvec(s, dir, 0)
+      val planes = Ann.rpPlanes(RpPlanesN, q.length)
+      Handoff.publish(
+        Ann.centroidsDf(s, planes, "plane_id")
+          .withColumnRenamed("centroid", "signs"),
+        RpPlanesHandoff)
+      Ann.searchRp(Ann.withRpProjection(emb, planes), planes, q,
+        k = 10, candidates = RpCandidates)
     },
     // IVF ANN: seeded k-means routing, nprobe=4 of 16 clusters.
     // Searches a PERSISTED index — build happens once per fixture dir
@@ -185,6 +210,37 @@ object AnnQueries {
          |                    CAST(qs.qsig AS BIGINT))) <= 1
          |ORDER BY dist, e.vec_id
          |LIMIT 10""".stripMargin,
+    // RP replay: every projection recomputed from the plane handoff
+    // with the bit-equal f32 kernel; candidate fixed-point distances,
+    // the top-50 selection, and the exact rerank all re-derived.
+    "ann_rp_topk" ->
+      s"""WITH pl AS (SELECT * FROM ${rp(RpPlanesHandoff)}),
+         |qp AS (
+         |  SELECT pl.plane_id,
+         |         CAST(list_dot_product(q.qv, pl.signs) AS FLOAT) AS qv
+         |  FROM pl CROSS JOIN $qvecSql q
+         |),
+         |dp AS (
+         |  SELECT e.vec_id, pl.plane_id,
+         |         CAST(list_dot_product(e.embedding, pl.signs) AS FLOAT) AS pv
+         |  FROM embeddings e CROSS JOIN pl
+         |),
+         |dist AS (
+         |  SELECT dp.vec_id,
+         |         CAST(sum(CAST(floor(CAST((dp.pv - qp.qv) * (dp.pv - qp.qv) AS DOUBLE)
+         |                             * 1048576.0) AS BIGINT)) AS BIGINT) AS rp_dist_fp
+         |  FROM dp JOIN qp USING (plane_id)
+         |  GROUP BY dp.vec_id
+         |),
+         |cand AS (
+         |  SELECT vec_id, rp_dist_fp FROM dist
+         |  ORDER BY rp_dist_fp, vec_id LIMIT $RpCandidates
+         |)
+         |SELECT c.vec_id, e.label, c.rp_dist_fp,
+         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+         |CROSS JOIN $qvecSql q
+         |ORDER BY dist, c.vec_id LIMIT 10""".stripMargin,
     "ann_ivf" ->
       s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
          |probes AS (

@@ -300,4 +300,48 @@ class AnnSpec extends SparkSpec {
     assert(drifted(hit) > base(hit) * 2,
       s"cluster $hit drift ${drifted(hit)} not raised vs ${base(hit)}")
   }
+
+  test("RP projection: executor kernel == driver dotF32Local, bit for bit") {
+    val emb = Tables.embeddings(spark, sfDir).limit(20)
+    val dim = qvec(0).length
+    val planes = Ann.rpPlanes(8, dim)
+    val got = Ann.withRpProjection(emb, planes)
+      .select($"vec_id", $"rp_proj").as[(Long, Seq[Float])].collect()
+    val raw = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    got.foreach { case (id, proj) =>
+      val expected = planes.map(pl => Ann.dotF32Local(raw(id), pl)).toSeq
+      assert(proj === expected, s"vec $id projection mismatch")
+    }
+    // planes are ±1 and salted away from the sign-LSH family
+    assert(planes.flatten.forall(v => v == 1.0f || v == -1.0f))
+    val lshPlanes = Array.tabulate(2, dim)((p, d) => Ann.planeSign(p, d))
+    assert(planes.take(2).map(_.toSeq).toSeq != lshPlanes.map(_.toSeq).toSeq,
+      "RP planes must not reuse the sign-LSH planes")
+  }
+
+  test("searchRp: exact rerank of RP candidates, recall vs exact, determinism") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = qvec(0)
+    val planes = Ann.rpPlanes(16, q.length)
+    val projected = Ann.withRpProjection(emb, planes)
+    val got = Ann.searchRp(projected, planes, q, k = 10, candidates = 50)
+      .select($"vec_id", $"dist").as[(Long, Double)].collect().toSeq
+    assert(got.length === 10)
+    assert(got.map(_._2) === got.map(_._2).sorted, "rerank must sort by exact dist")
+    // with 50 candidates of a 500-row corpus, the exact top-1 (the
+    // query itself at distance 0) must survive, and recall@10 should
+    // be well above the 10% a random candidate set would give
+    val exact = exactTopK(q, 10).toSet
+    assert(got.head._1 === 0L && got.head._2 === 0.0)
+    val recall = got.map(_._1).count(exact) / 10.0
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    // deterministic under repartition (fixed-point candidate ranking)
+    val again = Ann.searchRp(Ann.withRpProjection(emb.repartition(7), planes),
+        planes, q, k = 10, candidates = 50)
+      .select($"vec_id", $"dist").as[(Long, Double)].collect().toSeq
+    assert(again === got)
+    intercept[IllegalArgumentException](
+      Ann.searchRp(projected, planes, q, k = 10, candidates = 5))
+  }
 }
