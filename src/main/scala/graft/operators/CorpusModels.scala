@@ -208,6 +208,154 @@ object CorpusModels {
           .as("cross_entropy"))
   }
 
+  // ------------------------------------------- multiclass NB (language ID)
+
+  /** Smoothed per-class document priors for [[multiclassNbPredict]]:
+    * (grp, n_docs, prior_fp) with prior_fp =
+    * floor(ln((n_c+1)/(N+K))·1e9) — +1-smoothed over the K observed
+    * classes. One count agg to K rows; nothing corpus-sized. */
+  def multiclassNbPriors(docs: DataFrame, classCol: String): DataFrame = {
+    val perClass = docs.groupBy(col(classCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = perClass.agg(sum(col("n_docs")).as("__nd"), count(lit(1)).as("__k"))
+    perClass.crossJoin(broadcast(tot))
+      .withColumn("prior_fp", lpFp((col("n_docs") + lit(1)).cast("double") /
+        (col("__nd") + col("__k")).cast("double")))
+      .select(col("grp"), col("n_docs"), col("prior_fp"))
+  }
+
+  /** Multiclass multinomial Naive Bayes — the fastText-classifier role
+    * for language/domain TAGGING (CCNet tags every doc with a language
+    * before its per-language LM filter; the binary [[nbTrain]] covers
+    * the keep/drop gate). Generatively, NB with per-class unigram
+    * likelihoods IS one [[groupedUnigramLm]] per class plus a doc
+    * prior, so training reuses that operator verbatim: score(c) =
+    * prior_fp(c) + Σ_tokens logp_fp(token|c), argmax over classes with
+    * the deterministic (score desc, class asc) tie-break.
+    *
+    * Scoring never multiplies the token stream by K: the (doc,
+    * distinct-token) count frame joins the capped vocab BY TOKEN ONLY
+    * (≤K matches per token, sparse), aggregates to a compact
+    * (doc, class) matched frame, and the OOV mass is reconstructed
+    * arithmetically — score(c) = prior(c) + matched_sum(c) +
+    * (n_tokens − matched_cnt(c))·oov(c), exact longs throughout. Only
+    * doc-keyed, K-bounded frames shuffle after the one token-count
+    * agg; the model (≤ K·cap rows) and the K-row class table ride
+    * broadcasts. Classes whose training docs all tokenize empty train
+    * no LM and are not scoreable (dropped by the stats join) —
+    * fail-soft by omission rather than scoring on an undefined
+    * distribution.
+    *
+    * Output: (idCol, n_tokens, pred_class, score_fp) for every input
+    * document; zero-token docs score prior-only (argmax of priors). */
+  def multiclassNbPredict(docs: DataFrame, idCol: String, textCol: String,
+                          vocab: DataFrame, stats: DataFrame,
+                          priors: DataFrame): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tc"))
+    val matched = tok
+      .join(broadcast(vocab.select(col("grp"), col("token"), col("logp_fp"))),
+        Seq("token"))
+      .groupBy(col(idCol), col("grp"))
+      .agg(sum(col("__tc") * col("logp_fp")).as("__msum"),
+        sum(col("__tc")).as("__mcnt"))
+    val n = tok.groupBy(col(idCol)).agg(sum(col("__tc")).as("__n"))
+    val classes = stats.select(col("grp"), col("oov_logp_fp"))
+      .join(priors.select(col("grp"), col("prior_fp")), Seq("grp"))
+    val scored = docs.select(col(idCol))
+      .join(n, Seq(idCol), "left")
+      .crossJoin(broadcast(classes))
+      .join(matched, Seq(idCol, "grp"), "left")
+      .withColumn("score_fp",
+        col("prior_fp") + coalesce(col("__msum"), lit(0L)) +
+          (coalesce(col("__n"), lit(0L)) - coalesce(col("__mcnt"), lit(0L))) *
+            col("oov_logp_fp"))
+      .select(col(idCol), col("grp"), col("score_fp"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+    // deterministic argmax: max score, then min class — two map-side-
+    // combined doc-keyed aggs (a per-doc window would do one exchange
+    // fewer but funnels every doc's K rows through a sort; the K-row
+    // frames here are tiny relative to the token stream either way)
+    val best = scored.groupBy(col(idCol)).agg(max(col("score_fp")).as("score_fp"))
+    scored.join(best, Seq(idCol, "score_fp"))
+      .groupBy(col(idCol), col("score_fp"))
+      .agg(min(col("grp")).as("pred_class"), max(col("__n")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("pred_class"), col("score_fp"))
+  }
+
+  /** (pred_class, score_fp) under closure-sized multiclass NB model
+    * maps — one pass over the tokens accumulating all K class sums
+    * (vocab: token → per-class lp present in the capped table; missing
+    * classes take that class's OOV), then the deterministic
+    * (score desc, class asc) argmax. Exactly
+    * [[multiclassNbPredict]]'s integers; classes arrive sorted asc so
+    * the first strict max wins ties toward the smaller class. */
+  private[graft] def mcNbKernel(toks: Seq[String],
+                                vocab: Map[String, Map[String, Long]],
+                                classesAsc: Array[(String, Long, Long)])
+      : (String, Long) = {
+    val k = classesAsc.length
+    val sums = new Array[Long](k)
+    var c = 0
+    while (c < k) { sums(c) = classesAsc(c)._3; c += 1 } // priors
+    if (toks != null) {
+      var i = 0
+      while (i < toks.length) {
+        val byClass = vocab.getOrElse(toks(i), null)
+        var j = 0
+        while (j < k) {
+          val cls = classesAsc(j)
+          val lp = if (byClass == null) cls._2
+                   else byClass.getOrElse(cls._1, cls._2)
+          sums(j) += lp
+          j += 1
+        }
+        i += 1
+      }
+    }
+    var bi = 0
+    var b = sums(0)
+    c = 1
+    while (c < k) { if (sums(c) > b) { b = sums(c); bi = c }; c += 1 }
+    (classesAsc(bi)._1, b)
+  }
+
+  /** Collect a multiclass NB model into the closure-sized maps
+    * [[mcNbScoreColumn]] and the serving probe want: (token →
+    * (class → lp), classes sorted asc as (grp, oov_fp, prior_fp)).
+    * Bounded by K·cap rows by construction. */
+  def mcNbModelMaps(vocab: DataFrame, stats: DataFrame, priors: DataFrame)
+      : (Map[String, Map[String, Long]], Array[(String, Long, Long)]) = {
+    val v = vocab.select(col("token"), col("grp"), col("logp_fp")).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    val cls = stats.select(col("grp"), col("oov_logp_fp"))
+      .join(priors.select(col("grp"), col("prior_fp")), Seq("grp")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    (v, cls)
+  }
+
+  /** Per-ROW multiclass NB prediction for the streaming/serving path —
+    * same contract as the rest of the closure-scoring family: capped
+    * maps ride the closure, rows score independently (stateless, any
+    * streaming output mode), integers and argmax exactly
+    * [[multiclassNbPredict]]'s (batch==stream parity spec-gated).
+    * Returns a struct (pred_class, score_fp); null text predicts the
+    * prior argmax like the batch path's left joins. */
+  def mcNbScoreColumn(vocab: Map[String, Map[String, Long]],
+                      classesAsc: Array[(String, Long, Long)])(text: Column): Column = {
+    val scoreUdf = udf { (toks: Seq[String]) =>
+      val (cls, s) = mcNbKernel(toks, vocab, classesAsc)
+      McNbRow(cls, s)
+    }
+    scoreUdf(TextAnalysis.tokens(text))
+  }
+
+  /** Row shape of [[mcNbScoreColumn]], named as the batch output. */
+  case class McNbRow(pred_class: String, score_fp: Long)
+
   /** DoReMi-flavored domain mixture weights (Xie et al. 2023,
     * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
     * Pretraining" — the published idea: upweight domains where a

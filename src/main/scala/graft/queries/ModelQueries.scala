@@ -61,6 +61,9 @@ object ModelQueries {
   private val DmixDStatsHandoff = Handoff.path("dmix_domain_stats")
   private val LangVocabHandoff  = Handoff.path("ppl_lang_vocab")
   private val LangStatsHandoff  = Handoff.path("ppl_lang_stats")
+  private val McnVocabHandoff   = Handoff.path("mcnb_vocab")
+  private val McnStatsHandoff   = Handoff.path("mcnb_stats")
+  private val McnPriorsHandoff  = Handoff.path("mcnb_priors")
 
   /** Fixture-aware vocab cap: the word-soup corpus has ~31 distinct
     * tokens, so 24 genuinely exercises the OOV path the cap exists
@@ -310,6 +313,31 @@ object ModelQueries {
           n = 3, bucketCol = "ppl_bucket")
         .orderBy(col("doc_id"))
     },
+    // multiclass NB language ID (the fastText-tagger role): per-class
+    // unigram likelihoods (= one groupedUnigramLm per language) +
+    // smoothed doc priors, argmax with the (score desc, class asc)
+    // tie-break. All three model tables are handoffs; DuckDB
+    // re-derives every count, the per-class cap selection, and the
+    // priors, then replays all K class scores and the argmax as exact
+    // integer arithmetic. `correct` compares against the fixture's
+    // actual lang column; NOTE the fixture's languages share one
+    // 31-token word pool, so content carries ~no language signal
+    // there (near-chance fit, deterministic either way) — accuracy on
+    // a separable corpus is spec-gated in CorpusModelsSpec.
+    "cls_lang_nb" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (v0, st0) = CorpusModels.groupedUnigramLm(docs, "lang", "text", GrpLmCap)
+      val pr0 = CorpusModels.multiclassNbPriors(docs, "lang")
+      CorpusModels.multiclassNbPredict(docs, "doc_id", "text",
+          Handoff.publish(v0, McnVocabHandoff),
+          Handoff.publish(st0, McnStatsHandoff),
+          Handoff.publish(pr0, McnPriorsHandoff))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("pred_class").as("pred_lang"), col("score_fp"),
+          col("lang"), (col("lang") === col("pred_class")).as("correct"))
+        .orderBy(col("doc_id"))
+    },
     // SemDeDup over the SAME persisted IVF index the ANN path
     // searches at fixture scale (see [[semdedupIndex]] for the
     // corpus-proportional cluster count). Centroids + assignment are
@@ -489,16 +517,18 @@ object ModelQueries {
        |  FROM ${p}sc GROUP BY doc_id
        |)""".stripMargin
 
-  /** Grouped unigram-LM replay — the per-group twin of [[lmChainCte]]
-    * (CCNet per-language / DoReMi per-domain): re-derives the
+  /** The verified grouped-LM MODEL views — the shared stem of
+    * [[groupedLmChainCte]] (own-group scoring) and
+    * [[mcNbChainCte]] (all-class scoring): re-derives the
     * (group, token) counts, per-group totals, and the PER-GROUP cap
     * selection (row_number partitioned by group), accepts handoff
     * rows only on full (grp, token, cnt) / (grp, totals) match, and
     * guards row counts + count sums so a silently-missing model row
-    * fails everything. The guard scalar ${p}ok rides every lp.
-    * Requires `lt` upstream; `groupCol` names the documents column.
-    * Produces ${p}g(doc_id, grp, n, nll). */
-  private def groupedLmChainCte(vocabRp: String, statsRp: String,
+    * fails everything. Requires `lt` upstream; `groupCol` names the
+    * documents column. Produces ${p}t(doc_id, grp, token),
+    * ${p}hv(grp, token, logp_fp), ${p}sv(grp, oov_logp_fp), and the
+    * guard scalar ${p}ok. */
+  private def groupedLmModelCte(vocabRp: String, statsRp: String,
                                 groupCol: String, p: String): String =
     s"""${p}h AS (SELECT * FROM $vocabRp),
        |${p}hs AS (SELECT * FROM $statsRp),
@@ -536,7 +566,16 @@ object ModelQueries {
        |        (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM ${p}cap)
        |    AND (SELECT count(*) FROM ${p}hs) = (SELECT count(*) FROM ${p}tot)
        |    AND (SELECT count(*) FROM ${p}sv) = (SELECT count(*) FROM ${p}tot)
-       |), ${p}sc AS (
+       |)""".stripMargin
+
+  /** Grouped unigram-LM replay — [[groupedLmModelCte]] + own-group
+    * scoring (each doc under ITS OWN group's model, the CCNet
+    * per-language shape). The guard scalar ${p}ok rides every lp.
+    * Produces ${p}g(doc_id, grp, n, nll). */
+  private def groupedLmChainCte(vocabRp: String, statsRp: String,
+                                groupCol: String, p: String): String =
+    s"""${groupedLmModelCte(vocabRp, statsRp, groupCol, p)},
+       |${p}sc AS (
        |  SELECT ${p}t.doc_id, ${p}t.grp,
        |         coalesce(${p}hv.logp_fp, ${p}sv.oov_logp_fp)
        |           * (SELECT ok FROM ${p}ok) AS lp
@@ -547,6 +586,65 @@ object ModelQueries {
        |  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS n,
        |         CAST(-sum(lp) AS BIGINT) AS nll
        |  FROM ${p}sc GROUP BY doc_id, grp
+       |)""".stripMargin
+
+  /** Multiclass-NB replay — [[groupedLmModelCte]] (the per-class
+    * likelihoods ARE grouped unigram LMs) + a priors-handoff verify +
+    * ALL-CLASS scoring and the deterministic argmax:
+    * score(c) = prior(c) + matched_sum(c) + (n − matched_cnt(c))·oov(c)
+    * replayed as exact integer sums from the verified model views (the
+    * token stream is never multiplied by K — matched sums come from a
+    * token-only join against the capped vocab, OOV mass is
+    * reconstructed arithmetically, mirroring the Spark plan). Priors
+    * accepted only on (grp, n_docs) match with row-count guards; both
+    * guard scalars ride every score, so a wrong model or prior table
+    * nulls every score → the argmax join drops every row → loud rows
+    * mismatch. Produces ${p}pred(doc_id, score_fp, pred) and
+    * ${p}dn(doc_id, n). */
+  private def mcNbChainCte(vocabRp: String, statsRp: String, priorsRp: String,
+                           groupCol: String, p: String): String =
+    s"""${groupedLmModelCte(vocabRp, statsRp, groupCol, p)},
+       |${p}pr AS (SELECT * FROM $priorsRp),
+       |${p}pd AS (
+       |  SELECT $groupCol AS grp, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1
+       |), ${p}pv AS (
+       |  SELECT ${p}pr.grp, ${p}pr.prior_fp
+       |  FROM ${p}pr JOIN ${p}pd ON ${p}pr.grp = ${p}pd.grp
+       |                         AND ${p}pr.n_docs = ${p}pd.n_docs
+       |), ${p}pok AS (
+       |  SELECT 1 AS ok
+       |  WHERE (SELECT count(*) FROM ${p}pr) = (SELECT count(*) FROM ${p}pd)
+       |    AND (SELECT count(*) FROM ${p}pv) = (SELECT count(*) FROM ${p}pd)
+       |), ${p}dt AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tc
+       |  FROM (SELECT doc_id, unnest(w) AS token FROM lt) GROUP BY 1, 2
+       |), ${p}dn AS (
+       |  SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n FROM ${p}dt GROUP BY 1
+       |), ${p}cl AS (
+       |  SELECT sv.grp, sv.oov_logp_fp, pv.prior_fp
+       |  FROM ${p}sv sv JOIN ${p}pv pv ON sv.grp = pv.grp
+       |), ${p}mm AS (
+       |  SELECT dt.doc_id, hv.grp,
+       |         CAST(sum(dt.tc * hv.logp_fp) AS BIGINT) AS msum,
+       |         CAST(sum(dt.tc) AS BIGINT) AS mcnt
+       |  FROM ${p}dt dt JOIN ${p}hv hv ON dt.token = hv.token
+       |  GROUP BY 1, 2
+       |), ${p}sc AS (
+       |  SELECT d.doc_id, c.grp,
+       |         (c.prior_fp + coalesce(m.msum, 0)
+       |          + (coalesce(n.n, 0) - coalesce(m.mcnt, 0)) * c.oov_logp_fp)
+       |           * (SELECT ok FROM ${p}ok) * (SELECT ok FROM ${p}pok) AS score_fp
+       |  FROM documents d CROSS JOIN ${p}cl c
+       |  LEFT JOIN ${p}dn n ON d.doc_id = n.doc_id
+       |  LEFT JOIN ${p}mm m ON d.doc_id = m.doc_id AND c.grp = m.grp
+       |), ${p}best AS (
+       |  SELECT doc_id, max(score_fp) AS score_fp FROM ${p}sc GROUP BY 1
+       |), ${p}pred AS (
+       |  SELECT sc.doc_id, sc.score_fp, min(sc.grp) AS pred
+       |  FROM ${p}sc sc JOIN ${p}best b ON sc.doc_id = b.doc_id
+       |                              AND sc.score_fp = b.score_fp
+       |  GROUP BY 1, 2
        |)""".stripMargin
 
   /** Bigram-LM replay chain — the ONE owner of bigram-table
@@ -898,6 +996,22 @@ object ModelQueries {
          |                           ORDER BY cross_entropy ASC, doc_id) AS BIGINT)
          |         AS ppl_bucket
          |FROM w ORDER BY doc_id""".stripMargin,
+    // the multiclass-NB replay chain (see mcNbChainCte) + the
+    // standalone projection with the actual-lang comparison
+    "cls_lang_nb" ->
+      s"""WITH $ltOnlyCte,
+         |${mcNbChainCte(rp(McnVocabHandoff), rp(McnStatsHandoff),
+                         rp(McnPriorsHandoff), "lang", "x")}
+         |SELECT d.doc_id,
+         |       CAST(coalesce(xdn.n, 0) AS BIGINT) AS n_tokens,
+         |       xpred.pred AS pred_lang,
+         |       CAST(xpred.score_fp AS BIGINT) AS score_fp,
+         |       d.lang,
+         |       (d.lang = xpred.pred) AS correct
+         |FROM documents d
+         |JOIN xpred ON d.doc_id = xpred.doc_id
+         |LEFT JOIN xdn ON d.doc_id = xdn.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // replay SemDeDup from the index handoff: within-cluster pairs at
     // the cosine threshold, recursive-CTE components, keep the
     // max-dist_fp (tie: min id) member per component.

@@ -486,4 +486,112 @@ class CorpusModelsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  // -------------------------------------------------------- multiclass NB
+
+  private val mcDocs = Seq(
+    (0L, "a a b", "x"),
+    (1L, "a b",   "x"),
+    (2L, "z z",   "y"),
+    (3L, "",      "y")).toDF("doc_id", "text", "cls")
+
+  test("multiclassNbPriors: smoothed doc priors over observed classes") {
+    val pr = CorpusModels.multiclassNbPriors(mcDocs, "cls").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("prior_fp")))
+      .toMap
+    // N=4 docs, K=2: prior(x) = ln(3/6), prior(y) = ln(3/6)
+    assert(pr === Map("x" -> ((2L, lp(3.0 / 6.0))), "y" -> ((2L, lp(3.0 / 6.0)))))
+  }
+
+  test("multiclassNbPredict: all-class scores, argmax, OOV mass, empty docs") {
+    val (v, st) = CorpusModels.groupedUnigramLm(mcDocs, "cls", "text", 100)
+    val pr = CorpusModels.multiclassNbPriors(mcDocs, "cls")
+    val out = CorpusModels.multiclassNbPredict(mcDocs, "doc_id", "text", v, st, pr)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_tokens"), r.getString(2), r.getAs[Long]("score_fp"))).toMap
+    // class x: N=5 (a:3, b:2), V=2, denom 7; class y: N=2 (z:2), V=1, denom 3
+    val prior = lp(3.0 / 6.0)
+    // doc 0 "a a b": under x = prior + 2·ln(4/7) + ln(3/7);
+    //                under y = prior + 3·ln(1/3) (all OOV) — x wins
+    val s0x = prior + 2 * lp(4.0 / 7.0) + lp(3.0 / 7.0)
+    val s0y = prior + 3 * lp(1.0 / 3.0)
+    assert(s0x > s0y)
+    assert(byId(0L) === ((3L, "x", s0x)))
+    // doc 2 "z z": under y = prior + 2·ln(3/3)=prior; under x = prior+2·ln(1/7)
+    assert(byId(2L) === ((2L, "y", prior + 2 * lp(3.0 / 3.0))))
+    // doc 3 empty: prior-only scores tie (both ln(3/6)) → class asc wins
+    assert(byId(3L) === ((0L, "x", prior)))
+  }
+
+  test("multiclassNbPredict: argmax tie-break is deterministic (class asc)") {
+    // two classes with IDENTICAL corpora: every doc's two scores tie
+    val docs = Seq((0L, "a a", "p"), (1L, "a a", "q")).toDF("doc_id", "text", "cls")
+    val (v, st) = CorpusModels.groupedUnigramLm(docs, "cls", "text", 100)
+    val pr = CorpusModels.multiclassNbPriors(docs, "cls")
+    val out = CorpusModels.multiclassNbPredict(docs, "doc_id", "text", v, st, pr)
+      .collect()
+    assert(out.map(_.getString(2)).toSeq === Seq("p", "p"))
+  }
+
+  test("multiclass NB tags separable languages with high in-sample accuracy") {
+    // the parquet fixture's languages share ONE 31-token word pool
+    // (content carries ~no language signal there — chance ≈ 1/K, and
+    // cls_lang_nb documents that); separability is the property to
+    // pin, so build a corpus whose languages have mostly-distinct
+    // vocabularies with a few shared tokens
+    val rnd = new scala.util.Random(42)
+    val pools = Map(
+      "aa" -> Vector("uno", "dos", "tres", "cuatro", "cinco", "data"),
+      "bb" -> Vector("eins", "zwei", "drei", "vier", "funf", "data"),
+      "cc" -> Vector("one", "two", "three", "four", "five", "data"))
+    val docs = (0 until 120).map { i =>
+      val lang = Vector("aa", "bb", "cc")(i % 3)
+      val pool = pools(lang)
+      val text = Seq.fill(12)(pool(rnd.nextInt(pool.size))).mkString(" ")
+      (i.toLong, text, lang)
+    }.toDF("doc_id", "text", "cls")
+    val (v, st) = CorpusModels.groupedUnigramLm(docs, "cls", "text", 24)
+    val pr = CorpusModels.multiclassNbPriors(docs, "cls")
+    val pred = CorpusModels.multiclassNbPredict(docs, "doc_id", "text", v, st, pr)
+      .join(docs.select(col("doc_id"), col("cls")), Seq("doc_id"))
+    val n = pred.count()
+    val ok = pred.filter(col("pred_class") === col("cls")).count()
+    assert(ok.toDouble / n.toDouble > 0.95, s"accuracy $ok/$n")
+  }
+
+  test("multiclass NB kernel == batch predict (serve/stream parity), incl. null text") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(150)
+    val (v, st) = CorpusModels.groupedUnigramLm(docs, "lang", "text", 24)
+    val pr = CorpusModels.multiclassNbPriors(docs, "lang")
+    val batch = CorpusModels.multiclassNbPredict(docs, "doc_id", "text", v, st, pr)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getAs[Long]("score_fp")))
+    val (vm, cls) = CorpusModels.mcNbModelMaps(v, st, pr)
+    val kern = docs.select("doc_id", "text").orderBy("doc_id").collect().map { r =>
+      val (p, s) = CorpusModels.mcNbKernel(
+        CorpusModels.splitTokens(r.getString(1)), vm, cls)
+      (r.getLong(0), p, s)
+    }
+    assert(batch.toSeq === kern.toSeq)
+    // null text → prior argmax, exactly the batch left-join behavior
+    val (pNull, sNull) = CorpusModels.mcNbKernel(null, vm, cls)
+    assert(cls.map(c => (c._3, c._1)).max._2 ===
+      cls.filter(_._3 == cls.map(_._3).max).map(_._1).min)
+    assert(sNull === cls.map(_._3).max)
+    assert(pNull === cls.filter(_._3 == cls.map(_._3).max).map(_._1).min)
+  }
+
+  test("multiclass NB is partitioning-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val (v1, s1) = CorpusModels.groupedUnigramLm(docs, "lang", "text", 24)
+    val p1 = CorpusModels.multiclassNbPriors(docs, "lang")
+    val (v2, s2) = CorpusModels.groupedUnigramLm(docs.repartition(13), "lang", "text", 24)
+    val p2 = CorpusModels.multiclassNbPriors(docs.repartition(5), "lang")
+    val a = CorpusModels.multiclassNbPredict(docs, "doc_id", "text", v1, s1, p1)
+      .orderBy("doc_id").collect().toSeq
+    val b = CorpusModels.multiclassNbPredict(docs.repartition(7), "doc_id", "text", v2, s2, p2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
