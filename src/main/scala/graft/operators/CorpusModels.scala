@@ -810,6 +810,25 @@ object CorpusModels {
       : (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/bigrams"), spark.read.parquet(s"$dir/contexts"))
 
+  /** Persist a trained multiclass NB model (`dir/vocab`, `dir/stats`,
+    * `dir/priors`) for [[graft.serving.Serving.scoreMcNb]] — the same
+    * batch-train/online-serve split as [[saveNbModel]]: a nightly job
+    * retrains the tagger, resident scorers read the layout with no
+    * Spark session. All three tables are bounded (K·cap / K / K rows)
+    * → coalesce(1). */
+  def saveMcNbModel(vocab: DataFrame, stats: DataFrame, priors: DataFrame,
+                    dir: String): Unit = {
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    priors.coalesce(1).write.mode("overwrite").parquet(s"$dir/priors")
+  }
+
+  /** Load a [[saveMcNbModel]] layout back into (vocab, stats, priors). */
+  def loadMcNbModel(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/vocab"), spark.read.parquet(s"$dir/stats"),
+      spark.read.parquet(s"$dir/priors"))
+
   /** Collect a [[unigramLm]] vocab into the closure-sized map
     * [[pplScoreColumn]] wants — cap-bounded by construction. */
   def lmModelMap(vocab: DataFrame): Map[String, Long] =

@@ -455,4 +455,54 @@ object Serving {
     BigramPplScore(n, nll,
       if (n == 0) 0.0 else nll.toDouble / 1.0e9 / n.toDouble)
   }
+
+  // ------------------------------------------------- multiclass NB probe
+
+  final case class McNbScore(predClass: String, scoreFp: Long)
+
+  /** Single-document multiclass-NB class prediction from a
+    * [[graft.operators.CorpusModels.saveMcNbModel]] layout, no Spark —
+    * the serving form of the language/domain tagger (tag a document at
+    * ingest with the nightly-trained model at driver latency). Same
+    * tokenizer, per-class integer sums, OOV routing, and
+    * (score desc, class asc) argmax as
+    * [[graft.operators.CorpusModels.multiclassNbPredict]] via the ONE
+    * shared `mcNbKernel` — doc-for-doc parity + zero Spark jobs
+    * spec-pinned. All maps are K·cap-bounded by construction;
+    * freshness-keyed caching, as [[scoreNb]]. */
+  def scoreMcNb(modelDir: String, text: String,
+                conf: Configuration = defaultConf,
+                cache: IndexCache = noCache): McNbScore = {
+    val base = modelDir.stripSuffix("/")
+    val vocab = cache.getOrLoad(freshKey(conf, s"$base/vocab")) {
+      val m = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]
+      foreachGroup(conf, s"$base/vocab") { g =>
+        m.getOrElseUpdate(g.getString("token", 0), mutable.HashMap.empty)
+          .update(g.getString("grp", 0), g.getLong("logp_fp", 0))
+      }
+      require(m.nonEmpty, s"no vocab rows under $base/vocab")
+      m.map { case (t, by) => t -> by.toMap }.toMap
+    }
+    val classes = cache.getOrLoad(freshKey(conf, s"$base/stats") + "|" +
+        freshKey(conf, s"$base/priors")) {
+      val oov = mutable.HashMap.empty[String, Long]
+      foreachGroup(conf, s"$base/stats") { g =>
+        oov(g.getString("grp", 0)) = g.getLong("oov_logp_fp", 0)
+      }
+      val pri = mutable.HashMap.empty[String, Long]
+      foreachGroup(conf, s"$base/priors") { g =>
+        pri(g.getString("grp", 0)) = g.getLong("prior_fp", 0)
+      }
+      require(oov.nonEmpty, s"no stats rows under $base/stats")
+      require(pri.nonEmpty, s"no prior rows under $base/priors")
+      // scoreable classes = stats ∩ priors, exactly the batch path's
+      // stats-priors inner join
+      oov.keySet.intersect(pri.keySet).toArray.sorted
+        .map(g => (g, oov(g), pri(g)))
+    }
+    require(classes.nonEmpty, s"no scoreable classes under $base")
+    val (cls, s) = graft.operators.CorpusModels.mcNbKernel(
+      graft.operators.CorpusModels.splitTokens(text), vocab, classes)
+    McNbScore(cls, s)
+  }
 }

@@ -204,6 +204,24 @@ object StreamingIngest {
       .withColumn("cross_entropy", col("__ppl.cross_entropy"))
       .drop("__ppl")
 
+  /** Streaming multiclass-NB tagging — the stream twin of
+    * `cls_lang_nb`'s predict stage, same stateless contract: the
+    * K·cap-bounded model maps ride the closure, tagging is one narrow
+    * projection (no aggregation, no state store, any output mode),
+    * and batch==stream parity (integers AND the deterministic argmax)
+    * is spec-gated ([[graft.operators.CorpusModels.mcNbScoreColumn]]
+    * shares `mcNbKernel` with the batch-parity path). */
+  def scoreDocStreamMcNb(docs: DataFrame,
+                         vocab: Map[String, Map[String, Long]],
+                         classesAsc: Array[(String, Long, Long)],
+                         textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__mc",
+        graft.operators.CorpusModels.mcNbScoreColumn(vocab, classesAsc)(col(textCol)))
+      .withColumn("pred_class", col("__mc.pred_class"))
+      .withColumn("score_fp", col("__mc.score_fp"))
+      .drop("__mc")
+
   /** Stream-static enrichment join: events stream × document dimension
     * table. The static side is broadcast (it is re-read per micro-batch,
     * so at scale persist it), keeping the stream side shuffle-free —

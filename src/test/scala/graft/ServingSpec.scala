@@ -195,6 +195,42 @@ class ServingSpec extends SparkSpec {
       Serving.BigramPplScore(0L, 0L, 0.0))
   }
 
+  test("multiclass NB serving probe == Spark multiclassNbPredict doc for doc, no Spark job") {
+    import graft.operators.CorpusModels
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    // cap 24 < ~31 distinct tokens per language, so the per-class OOV
+    // path is live in both batch and probe
+    val (vocab, stats) = CorpusModels.groupedUnigramLm(docs, "lang", "text", 24)
+    val priors = CorpusModels.multiclassNbPriors(docs, "lang")
+    val dir = java.nio.file.Files.createTempDirectory("mcnb-serve").toString
+    CorpusModels.saveMcNbModel(vocab, stats, priors, dir)
+    val batch = CorpusModels.multiclassNbPredict(docs, "doc_id", "text",
+        vocab, stats, priors)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getAs[Long]("score_fp")))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val cache = Serving.newCache()
+    Serving.scoreMcNb(dir, texts.head._2, cache = cache)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    texts.foreach { case (id, text) =>
+      val s = Serving.scoreMcNb(dir, text, cache = cache)
+      assert((s.predClass, s.scoreFp) === batch(id), s"doc $id")
+    }
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "multiclass probe must not launch Spark jobs")
+    // null text → the prior argmax (class asc on ties), like batch
+    val nullScore = Serving.scoreMcNb(dir, null, cache = cache)
+    val cls = priors.collect().map(r => r.getString(0) -> r.getAs[Long]("prior_fp")).toMap
+    val bestPrior = cls.values.max
+    assert(nullScore.scoreFp === bestPrior)
+    assert(nullScore.predClass === cls.filter(_._2 == bestPrior).keys.min)
+    // fail-loud on a missing model dir
+    intercept[IllegalArgumentException] {
+      Serving.scoreMcNb("/nonexistent/mcnb-model", "a b")
+    }
+  }
+
   test("versioned model publish: pointer flip, immutable versions, retention, FS-only resolve") {
     import graft.operators.CorpusModels
     import org.apache.spark.sql.functions.col

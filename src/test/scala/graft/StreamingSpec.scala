@@ -527,4 +527,44 @@ class StreamingSpec extends SparkSpec {
       assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
     } finally q.stop()
   }
+
+  test("streaming multiclass-NB twin: stateless, batch==stream prediction parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusModels
+    // two separable classes + one shared token; cap 2 < 3 distinct
+    // tokens in class x so the per-class OOV path is live
+    val corpus = Seq(
+      (0L, "a a b s", "x"), (1L, "a b c", "x"),
+      (2L, "z z s", "y"), (3L, "z q", "y"))
+      .toDF("doc_id", "text", "cls")
+    val (vocab, stats) = CorpusModels.groupedUnigramLm(corpus, "cls", "text", 2)
+    val priors = CorpusModels.multiclassNbPriors(corpus, "cls")
+    val (vm, cls) = CorpusModels.mcNbModelMaps(vocab, stats, priors)
+    // fresh docs: clear x, clear y, all-unknown, empty, NULL
+    val fresh = Seq((10L, "a a b"), (11L, "z z"), (12L, "qq ww"), (13L, ""),
+        (14L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = CorpusModels.multiclassNbPredict(fresh, "doc_id", "text",
+        vocab, stats, priors)
+      .select($"doc_id", $"pred_class", $"score_fp")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamingIngest.scoreDocStreamMcNb(
+      input.toDF().toDF("doc_id", "text"), vm, cls)
+    val q = scored.writeStream.format("memory").queryName("mc_scored")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((10L, "a a b"), (11L, "z z"), (12L, "qq ww"))
+      q.processAllAvailable()
+      // second epoch: stateless — empty and null text predict the
+      // prior argmax like the batch left joins
+      input.addData((13L, ""), (14L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val stream = spark.table("mc_scored")
+        .select($"doc_id", $"pred_class", $"score_fp")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(stream === batch)
+      assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
+    } finally q.stop()
+  }
 }
