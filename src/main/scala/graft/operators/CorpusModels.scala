@@ -893,6 +893,65 @@ object CorpusModels {
     * [[bigramPerplexity]] output. */
   case class BigramPplRow(n_transitions: Long, nll_fp: Long, cross_entropy: Double)
 
+  // ---------------------------------------------------- distribution drift
+
+  /** Per-group token-distribution drift: the plug-in KL divergence of
+    * each group's unigram distribution from the WHOLE corpus's —
+    * KL(P_g ‖ P_all) ≈ Σ_t p̂_g(t) · ln(p_g(t)/p_all(t)) with
+    * empirical weights p̂_g = c_g/N_g and Laplace-smoothed ratio
+    * probabilities p_g = (c_g+1)/(N_g+V), p_all = (c_all+1)/(N_all+V)
+    * (V = global distinct tokens, so both smoothing denominators share
+    * one support). The quantified companion to the set-difference
+    * corpus diff: "which source/snapshot drifted furthest from the
+    * corpus distribution" — the monitoring signal a nightly curation
+    * run alerts on (CCNet-style mixture shifts, a crawler gone wrong,
+    * a domain flooding the crawl).
+    *
+    * Same fixed-point contract as the rest of the family: the ln
+    * ratio is precomputed ONCE per (group, token) model row
+    * (`lr_fp = floor((ln p_g − ln p_all)·1e9)`), published through
+    * `publish` for the oracle, and the KL sum is the exact long
+    * Σ c_g·lr_fp over the model table itself — kl_nats =
+    * kl_fp/1e9/N_g, two engine-identical IEEE divisions. Plug-in
+    * weights make zero-count tokens contribute exactly 0, so the
+    * model needs only each group's OBSERVED tokens (Σ_g V_g rows).
+    *
+    * 100 TB posture: the corpus crosses the wire once (the (grp,
+    * token) count agg — the word-freq shuffle, map-side combined);
+    * everything after runs on count tables (one token-keyed join for
+    * the corpus-wide counts, one group agg). NOTHING corpus-dependent
+    * broadcasts — the only broadcast is the 1-row totals frame; the
+    * model table goes to disk (handoff), never to memory.
+    *
+    * Output: (grp, n_tokens, kl_fp, kl_nats), one row per group with
+    * ≥1 token occurrence, kl_nats ≥ 0 up to smoothing (the plug-in
+    * estimator can dip marginally negative on near-identical
+    * distributions — it is a drift SCORE, ranked not thresholded). */
+  def klDrift(docs: DataFrame, groupCol: String, textCol: String,
+              publish: DataFrame => DataFrame = identity): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("cnt"))
+    val gtot = counts.groupBy(col("grp")).agg(sum(col("cnt")).as("n_g"))
+    val atot = counts.agg(sum(col("cnt")).as("n_all"),
+      countDistinct(col("token")).as("v"))
+    val allCounts = counts.groupBy(col("token")).agg(sum(col("cnt")).as("cnt_all"))
+    val model = publish(counts
+      .join(allCounts, Seq("token"))
+      .join(gtot, Seq("grp"))
+      .crossJoin(broadcast(atot))
+      .withColumn("lr_fp", llrFp(
+        col("cnt"), col("n_g") + col("v"),
+        col("cnt_all"), col("n_all") + col("v")))
+      .select(col("grp"), col("token"), col("cnt"), col("cnt_all"), col("lr_fp")))
+    model.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lr_fp")).as("kl_fp"))
+      .withColumn("kl_nats",
+        col("kl_fp").cast("double") / lit(LpScale) / col("n_tokens").cast("double"))
+  }
+
   // ------------------------------------------------- versioned model publish
 
   /** Versioned, reader-safe model publish — `save*Model`'s
@@ -1056,6 +1115,58 @@ object CorpusModels {
         coalesce(col("n"), lit(0L)).as("n_grams"),
         coalesce(col("s"), lit(0L)).as("weight_fp"),
         (coalesce(col("s"), lit(0L)).cast("double") / lit(LpScale)).as("weight"))
+  }
+
+  /** Deterministic per-document Gumbel perturbation for
+    * [[dsirGumbelResample]]: h52 = the top 52 bits of
+    * md5(id ":" seed) (52 so the integer is EXACTLY representable as
+    * a double — the hex-parse recipe is SQL-replicable, the
+    * [[Sharding]] parity trick), u = (h52+0.5)/2^52 ∈ (0,1) strictly,
+    * gumbel_fp = floor(−ln(−ln(u))·1e9). The ln chain is JVM-side
+    * only — like every ln in this family it rides the handoff; the
+    * oracle re-derives h52 (verifying the randomness source) and
+    * takes the value mapping on faith, with monotonicity-in-u
+    * spec-gated. */
+  private def gumbelFp(id: Column, seed: Long): (Column, Column) = {
+    val h52 = conv(substring(md5(concat(id.cast("string"), lit(":"),
+      lit(seed.toString)).cast("binary")), 1, 13), 16, 10).cast("long")
+    val u = (h52.cast("double") + lit(0.5)) / lit((1L << 52).toDouble)
+    (h52, floor(-log(-log(u)) * lit(LpScale)).cast("long"))
+  }
+
+  /** DSIR's actual RESAMPLING step (Xie et al. 2023 sample ∝
+    * exp(weight); [[graft.operators.Ranking.topFraction]] on the raw
+    * weight is the deterministic take-the-best variant): Gumbel-top-k
+    * — add an i.i.d. Gumbel(0,1) perturbation to each log-weight and
+    * keep the top fraction of key = weight + G. The Gumbel-max
+    * theorem makes that EXACTLY sampling-without-replacement
+    * proportional to exp(weight), and a hash-seeded Gumbel makes the
+    * sample deterministic, re-runnable, and verifiable — no RNG
+    * state, the same derandomization trick as the hashed shard
+    * assignment. In fixed point: key_fp = weight_fp + gumbel_fp
+    * (exact longs; both on the same ·1e9 scale), ranked
+    * (key_fp desc, id) through the range-exchange rank — no
+    * single-partition window, no corpus broadcast, one narrow
+    * projection on top of the weights frame.
+    *
+    * `publish` hands off the per-doc (id, weight_fp, h52, gumbel_fp)
+    * table: the oracle re-derives h52 from md5 and the weights from
+    * the corpus, accepts rows only on full match, and replays the
+    * key sum + rank + integer boundary.
+    *
+    * Output: the selected rows (idCol, weight_fp, gumbel_fp, key_fp,
+    * global_rank). */
+  def dsirGumbelResample(weights: DataFrame, idCol: String, weightCol: String,
+                         seed: Long, percent: Int,
+                         publish: DataFrame => DataFrame = identity): DataFrame = {
+    val (h52, gfp) = gumbelFp(col(idCol), seed)
+    val keyed = publish(weights.select(col(idCol), col(weightCol))
+      .withColumn("h52", h52)
+      .withColumn("gumbel_fp", gfp))
+    Ranking.topFraction(
+      keyed.withColumn("key_fp", col(weightCol) + col("gumbel_fp"))
+        .drop("h52"),
+      Seq(col("key_fp").desc, col(idCol)), percent)
   }
 
   /** Fused train+score DSIR over one corpus (the self-weighting shape

@@ -64,6 +64,14 @@ object ModelQueries {
   private val McnVocabHandoff   = Handoff.path("mcnb_vocab")
   private val McnStatsHandoff   = Handoff.path("mcnb_stats")
   private val McnPriorsHandoff  = Handoff.path("mcnb_priors")
+  private val KlModelHandoff    = Handoff.path("kl_drift_model")
+  private val DsirRsModelHandoff = Handoff.path("dsir_resample_model")
+  private val DsirRsKeysHandoff  = Handoff.path("dsir_resample_keys")
+
+  /** Fixed resampling seed for `dsir_resample` — baked into both the
+    * Spark query and the oracle SQL (determinism is the point of the
+    * hash-seeded Gumbel). */
+  private val ResampleSeed = 7L
 
   /** Fixture-aware vocab cap: the word-soup corpus has ~31 distinct
     * tokens, so 24 genuinely exercises the OOV path the cap exists
@@ -250,6 +258,23 @@ object ModelQueries {
           Seq(col("weight_fp").desc, col("doc_id")), percent = 60)
         .orderBy(col("doc_id"))
     },
+    // the paper's ACTUAL resampling: Gumbel-top-k over the importance
+    // weights — sample-without-replacement ∝ exp(weight), made
+    // deterministic (and oracle-replayable) by hash-seeding the
+    // Gumbel from md5(doc_id, seed). The per-doc key table is a
+    // second handoff: DuckDB re-derives the weights AND the hash
+    // integer h52; only the −ln(−ln(u)) value mapping rides the
+    // handoff (the family's ln rule, monotonicity spec-gated).
+    "dsir_resample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
+      val w = CorpusModels.dsirPipeline(labeled, "doc_id", "text", "keep",
+        DsirBuckets, publish = Handoff.publish(_, DsirRsModelHandoff))
+      CorpusModels.dsirGumbelResample(w, "doc_id", "weight_fp",
+          seed = ResampleSeed, percent = 60,
+          publish = Handoff.publish(_, DsirRsKeysHandoff))
+        .orderBy(col("doc_id"))
+    },
     // the CCNet SELECTION step: unigram-LM cross-entropy → exact
     // global rank (range exchange, no single-partition window) → keep
     // the lowest-cross-entropy 60% by (cross_entropy asc, doc_id) —
@@ -337,6 +362,16 @@ object ModelQueries {
           col("pred_class").as("pred_lang"), col("score_fp"),
           col("lang"), (col("lang") === col("pred_class")).as("correct"))
         .orderBy(col("doc_id"))
+    },
+    // per-source distribution drift: plug-in KL divergence of each
+    // source's token distribution from the whole corpus's — the
+    // quantified "which source drifted furthest" monitoring signal.
+    // The (grp, token) ratio table is the handoff; DuckDB re-derives
+    // every count and replays the KL sums as exact integers.
+    "corpus_kl_drift" -> { (s, dir) =>
+      CorpusModels.klDrift(Tables.documents(s, dir), "source", "text",
+          publish = Handoff.publish(_, KlModelHandoff))
+        .orderBy(col("grp"))
     },
     // SemDeDup over the SAME persisted IVF index the ANN path
     // searches at fixture scale (see [[semdedupIndex]] for the
@@ -907,6 +942,43 @@ object ModelQueries {
          |SELECT doc_id, weight_fp, global_rank
          |FROM r WHERE global_rank <= greatest(1, (nn * 60) // 100)
          |ORDER BY doc_id""".stripMargin,
+    // Gumbel-top-k resampling on the same weights chain: re-derive
+    // every weight AND the hash integer h52 = top-52-md5-bits of
+    // (doc_id ':' seed); accept key rows only on full (weight, h52)
+    // match with row-count guards; replay key = weight_fp + gumbel_fp,
+    // the rank, and the integer boundary. Only the −ln(−ln(u)) value
+    // mapping is taken from the verified handoff row (the family's ln
+    // rule — monotonicity in h52 is spec-gated).
+    "dsir_resample" ->
+      s"""WITH $labelCte,
+         |${dsirChainCte(rp(DsirRsModelHandoff), "d")},
+         |gk AS (SELECT * FROM ${rp(DsirRsKeysHandoff)}),
+         |w AS (
+         |  SELECT d.doc_id, CAST(coalesce(dg.s, 0) AS BIGINT) AS weight_fp
+         |  FROM documents d LEFT JOIN dg USING (doc_id)
+         |), gv AS (
+         |  SELECT gk.doc_id, gk.weight_fp, gk.gumbel_fp
+         |  FROM gk JOIN w ON gk.doc_id = w.doc_id
+         |               AND gk.weight_fp = w.weight_fp
+         |  WHERE gk.h52 = CAST(CAST('0x' ||
+         |          substr(md5(CAST(gk.doc_id AS VARCHAR) || ':$ResampleSeed'), 1, 13)
+         |          AS UBIGINT) AS BIGINT)
+         |), gok AS (
+         |  SELECT 1 AS ok
+         |  WHERE (SELECT count(*) FROM gk) = (SELECT count(*) FROM w)
+         |    AND (SELECT count(*) FROM gv) = (SELECT count(*) FROM w)
+         |), r AS (
+         |  SELECT doc_id, weight_fp, gumbel_fp,
+         |         CAST((weight_fp + gumbel_fp) * (SELECT ok FROM gok)
+         |              AS BIGINT) AS key_fp,
+         |         CAST(row_number() OVER (ORDER BY (weight_fp + gumbel_fp) DESC,
+         |                                 doc_id) AS BIGINT) AS global_rank,
+         |         CAST(count(*) OVER () AS BIGINT) AS nn
+         |  FROM gv
+         |)
+         |SELECT doc_id, weight_fp, gumbel_fp, key_fp, global_rank
+         |FROM r WHERE global_rank <= greatest(1, (nn * 60) // 100)
+         |ORDER BY doc_id""".stripMargin,
     // the SELECTION step on the unigram-LM chain: rank by
     // (cross_entropy asc, doc_id), keep the integer top-60% — the
     // rank/boundary math mirrors Ranking.topFraction exactly, the
@@ -1012,6 +1084,44 @@ object ModelQueries {
          |JOIN xpred ON d.doc_id = xpred.doc_id
          |LEFT JOIN xdn ON d.doc_id = xdn.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // KL drift replay: re-derive the (source, token) counts, the
+    // corpus-wide token counts, and both totals; accept handoff rows
+    // only on full count match with row-count + sum omission guards;
+    // replay the per-group KL sums as exact integers and the
+    // engine-identical division chain. The guard scalar rides every
+    // aggregate, so a wrong model table nulls every output column.
+    "corpus_kl_drift" ->
+      s"""WITH $ltOnlyCte,
+         |km AS (SELECT * FROM ${rp(KlModelHandoff)}),
+         |kt AS (
+         |  SELECT d.source AS grp, unnest(lt.w) AS token
+         |  FROM lt JOIN documents d ON lt.doc_id = d.doc_id
+         |), kc AS (
+         |  SELECT grp, token, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM kt GROUP BY 1, 2
+         |), ka AS (
+         |  SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt_all
+         |  FROM kc GROUP BY 1
+         |), kmv AS (
+         |  SELECT km.grp, km.token, km.cnt, km.lr_fp
+         |  FROM km
+         |  JOIN kc ON km.grp = kc.grp AND km.token = kc.token
+         |         AND km.cnt = kc.cnt
+         |  JOIN ka ON km.token = ka.token AND km.cnt_all = ka.cnt_all
+         |), kok AS (
+         |  SELECT 1 AS ok
+         |  WHERE (SELECT count(*) FROM km) = (SELECT count(*) FROM kc)
+         |    AND (SELECT count(*) FROM kmv) = (SELECT count(*) FROM kc)
+         |    AND (SELECT CAST(sum(cnt) AS BIGINT) FROM km) =
+         |        (SELECT CAST(sum(cnt) AS BIGINT) FROM kc)
+         |)
+         |SELECT grp,
+         |       CAST(sum(cnt) * (SELECT ok FROM kok) AS BIGINT) AS n_tokens,
+         |       CAST(sum(cnt * lr_fp) * (SELECT ok FROM kok) AS BIGINT) AS kl_fp,
+         |       CAST(sum(cnt * lr_fp) AS DOUBLE) * (SELECT ok FROM kok)
+         |         / 1000000000.0 / CAST(sum(cnt) AS DOUBLE) AS kl_nats
+         |FROM kmv GROUP BY grp
+         |ORDER BY grp""".stripMargin,
     // replay SemDeDup from the index handoff: within-cluster pairs at
     // the cosine threshold, recursive-CTE components, keep the
     // max-dist_fp (tie: min id) member per component.

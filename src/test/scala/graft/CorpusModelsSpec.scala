@@ -582,6 +582,116 @@ class CorpusModelsSpec extends SparkSpec {
     assert(pNull === cls.filter(_._3 == cls.map(_._3).max).map(_._1).min)
   }
 
+  // ------------------------------------------------- Gumbel-top-k resample
+
+  /** JVM-side twin of the operator's hash→Gumbel chain, for
+    * hand-verification: h52 = top-52 md5 bits of "id:seed". */
+  private def gumbelOf(id: Long, seed: Long): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id:$seed".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h52 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    val u = (h52.toDouble + 0.5) / (1L << 52).toDouble
+    (h52, math.floor(-math.log(-math.log(u)) * 1e9).toLong)
+  }
+
+  test("dsirGumbelResample: hash-seeded keys match the JVM twin; selection is deterministic") {
+    val w = (0L until 20L).map(i => (i, i * 1000L)).toDF("doc_id", "weight_fp")
+    var captured: org.apache.spark.sql.DataFrame = null
+    val out = CorpusModels.dsirGumbelResample(w, "doc_id", "weight_fp",
+        seed = 7L, percent = 60, publish = { d => captured = d; d })
+      .orderBy("doc_id").collect()
+    // handoff rows carry exactly the JVM-twin hash + value mapping
+    captured.collect().foreach { r =>
+      val (h, g) = gumbelOf(r.getLong(0), 7L)
+      assert(r.getAs[Long]("h52") === h, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("gumbel_fp") === g, s"doc ${r.getLong(0)}")
+    }
+    // key = weight + gumbel, exact
+    out.foreach { r =>
+      assert(r.getAs[Long]("key_fp") ===
+        r.getAs[Long]("weight_fp") + r.getAs[Long]("gumbel_fp"))
+    }
+    // 60% of 20 = 12 selected; same seed → identical selection
+    assert(out.length === 12)
+    val again = CorpusModels.dsirGumbelResample(w, "doc_id", "weight_fp",
+      seed = 7L, percent = 60).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    // a different seed perturbs differently (keys differ somewhere)
+    val other = CorpusModels.dsirGumbelResample(w, "doc_id", "weight_fp",
+      seed = 8L, percent = 60).orderBy("doc_id").collect()
+    assert(other.map(r => r.getLong(0) -> r.getAs[Long]("key_fp")).toMap !==
+      out.map(r => r.getLong(0) -> r.getAs[Long]("key_fp")).toMap)
+  }
+
+  test("dsirGumbelResample: a dominant weight survives every seed (Gumbel range is bounded)") {
+    // gumbel_fp spans ~[−3.6e9, +3.6e10] at 52-bit u; a 1e11 weight
+    // gap cannot be overturned by any perturbation
+    val w = ((0L, 100000000000L) +: (1L until 10L).map(i => (i, 0L)))
+      .toDF("doc_id", "weight_fp")
+    (1L to 5L).foreach { seed =>
+      val top = CorpusModels.dsirGumbelResample(w, "doc_id", "weight_fp",
+        seed = seed, percent = 10).collect()
+      assert(top.length === 1 && top(0).getLong(0) === 0L, s"seed $seed")
+    }
+  }
+
+  test("Gumbel value mapping is monotone increasing in u (handoff-law gate)") {
+    // the oracle takes floor(−ln(−ln(u))·1e9) from the handoff after
+    // verifying h52; this pins the mapping's law: strictly increasing
+    // in u (ties only from the floor), so rank order == u order
+    val us = (1 to 999).map(_ / 1000.0)
+    val gs = us.map(u => math.floor(-math.log(-math.log(u)) * 1e9).toLong)
+    assert(gs.zip(gs.tail).forall { case (a, b) => a < b })
+    // and the 52-bit hash grid maps strictly inside (0,1)
+    val uMin = 0.5 / (1L << 52).toDouble
+    val uMax = ((1L << 52) - 1 + 0.5) / (1L << 52).toDouble
+    assert(uMin > 0.0 && uMax < 1.0)
+  }
+
+  // ---------------------------------------------------------- KL drift
+
+  private def llr(cA: Long, dA: Long, cB: Long, dB: Long): Long =
+    math.floor((math.log((cA + 1).toDouble / dA.toDouble) -
+      math.log((cB + 1).toDouble / dB.toDouble)) * 1e9).toLong
+
+  test("klDrift: hand-computed plug-in KL, drifted groups score positive") {
+    val docs = Seq(
+      (0L, "a a b", "A"),
+      (1L, "z z b", "B")).toDF("doc_id", "text", "src")
+    val out = CorpusModels.klDrift(docs, "src", "text")
+      .orderBy("grp").collect()
+    // counts: A{a:2,b:1} B{z:2,b:1}; N_A=N_B=3, N_all=6, V=3
+    // lr(A,a)=llr(2, 3+3, 2, 6+3), lr(A,b)=llr(1, 6, 2, 9)
+    val klA = 2 * llr(2, 6, 2, 9) + 1 * llr(1, 6, 2, 9)
+    val klB = 2 * llr(2, 6, 2, 9) + 1 * llr(1, 6, 2, 9)
+    val m = out.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("kl_fp"),
+        r.getAs[Double]("kl_nats"))).toMap
+    assert(m("A") === ((3L, klA, klA.toDouble / 1e9 / 3.0)))
+    assert(m("B") === ((3L, klB, klB.toDouble / 1e9 / 3.0)))
+    // both groups hold exclusive mass (a / z) → positive drift
+    assert(klA > 0 && klB > 0)
+  }
+
+  test("klDrift: a single group IS the corpus — zero drift exactly") {
+    val docs = Seq((0L, "a a b c"), (1L, "b c c")).toDF("doc_id", "text")
+      .withColumn("src", lit("only"))
+    val out = CorpusModels.klDrift(docs, "src", "text").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("kl_fp") === 0L)
+    assert(out(0).getAs[Double]("kl_nats") === 0.0)
+  }
+
+  test("klDrift is partitioning-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = CorpusModels.klDrift(docs, "source", "text")
+      .orderBy("grp").collect().toSeq
+    val b = CorpusModels.klDrift(docs.repartition(13), "source", "text")
+      .orderBy("grp").collect().toSeq
+    assert(a === b)
+  }
+
   test("multiclass NB is partitioning-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
     val (v1, s1) = CorpusModels.groupedUnigramLm(docs, "lang", "text", 24)
