@@ -220,6 +220,18 @@ class PlanSpec extends SparkSpec {
     val w = CorpusModels.dsirPipeline(labeled, "doc_id", "text", "t", 256)
     val pW = plan(w)
     assert(pW.contains("BroadcastExchange"), pW)
+    // multiclass tagger: the K·cap model and the K-row class table ride
+    // broadcasts; the token stream must never sort-merge the model
+    val (gv, gs) = CorpusModels.groupedUnigramLm(docs, "lang", "text", 24)
+    val pr = CorpusModels.multiclassNbPriors(docs, "lang")
+    val mc = CorpusModels.multiclassNbPredict(docs, "doc_id", "text", gv, gs, pr)
+    val pMc = plan(mc)
+    assert(pMc.contains("BroadcastExchange"), pMc)
+    val mcSmj = mc.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if (j.left.output ++ j.right.output).exists(_.name == "logp_fp") => j
+    }
+    assert(mcSmj.isEmpty, "multiclass model join must not sort-merge:\n" + pMc)
   }
 
   test("retriever factory (E1) returns a curried query function") {
