@@ -151,4 +151,43 @@ object Refresh {
       .filter(col("__cum") - col(tokensCol) < budgetTokens)
       .drop("__draw", "__cum")
   }
+
+  /** LEARNED-mixture corpus assembly — [[tokenBudgetMix]] with a
+    * per-domain budget from a weights table instead of one flat
+    * budget: budget_d = floor(weight_d · totalBudgetTokens), then the
+    * same deterministic greedy prefix per domain. Feed it
+    * [[graft.operators.CorpusModels.domainMixWeights]]'s mix_weight
+    * column and this IS the DoReMi materialization step: learn the
+    * mixture, then cut a corpus to it ("~1B tokens distributed by the
+    * learned mixture"). The floor is over an engine-identical double
+    * (mix_weight is exact-rational arithmetic on verified integers ×
+    * an exactly-representable budget), so the budget — and therefore
+    * the row set — is oracle-replayable. A domain with weight 0 (or
+    * weight·B < 1 token) keeps NOTHING — a learned zero is a real
+    * signal, unlike [[temperatureMix]]'s keep-every-domain floor;
+    * guard upstream if scarce domains must survive. Same plan shape
+    * as [[tokenBudgetMix]] (one per-domain window cumsum; the weights
+    * table is domain-cardinality and rides a broadcast), same NULL
+    * and duplicate-key contracts. `weights` must carry `domainCol`
+    * and `weightCol`. */
+  def weightedTokenBudgetMix(df: DataFrame, domainCol: String, keyCol: String,
+                             tokensCol: String, weights: DataFrame,
+                             totalBudgetTokens: Long, salt: String = "",
+                             weightCol: String = "mix_weight"): DataFrame = {
+    require(totalBudgetTokens > 0,
+      s"totalBudgetTokens must be positive, got $totalBudgetTokens")
+    val draw = md5(concat(col(keyCol).cast("string"), lit("|" + salt))
+      .cast("binary"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__draw"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(domainCol).isNotNull)
+      .join(broadcast(weights.select(col(domainCol),
+        floor(col(weightCol) * lit(totalBudgetTokens.toDouble))
+          .cast("long").as("__budget"))), Seq(domainCol))
+      .withColumn("__draw", draw)
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") - col(tokensCol) < col("__budget"))
+      .drop("__draw", "__cum", "__budget")
+  }
 }

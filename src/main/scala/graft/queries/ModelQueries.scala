@@ -65,6 +65,16 @@ object ModelQueries {
   private val McnStatsHandoff   = Handoff.path("mcnb_stats")
   private val McnPriorsHandoff  = Handoff.path("mcnb_priors")
   private val KlModelHandoff    = Handoff.path("kl_drift_model")
+  private val DmsGVocabHandoff  = Handoff.path("dms_global_vocab")
+  private val DmsGStatsHandoff  = Handoff.path("dms_global_stats")
+  private val DmsDVocabHandoff  = Handoff.path("dms_domain_vocab")
+  private val DmsDStatsHandoff  = Handoff.path("dms_domain_stats")
+
+  /** Total token budget for `domain_mix_select` — baked into both the
+    * Spark query and the oracle SQL. At sf0.01 (~125k corpus tokens)
+    * 20k is genuinely selective; the knob scales with the corpus in a
+    * real deployment ("cut ~1B tokens to the learned mixture"). */
+  private val DmixBudget = 20000L
   private val DsirRsModelHandoff = Handoff.path("dsir_resample_model")
   private val DsirRsKeysHandoff  = Handoff.path("dsir_resample_keys")
 
@@ -320,6 +330,28 @@ object ModelQueries {
           Handoff.publish(dv0, DmixDVocabHandoff),
           Handoff.publish(ds0, DmixDStatsHandoff))
         .orderBy(col("domain"))
+    },
+    // the DoReMi MATERIALIZATION step: learn the mixture
+    // (domainMixWeights on its own handoff paths), then cut a corpus
+    // to it — per-source token budget = floor(mix_weight · B), greedy
+    // deterministic prefix per source in md5 draw order
+    // (weightedTokenBudgetMix). End-to-end: model → weights → corpus.
+    "domain_mix_select" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (gv0, gs0) = CorpusModels.unigramLm(docs, "text", LmCap)
+      val (dv0, ds0) = CorpusModels.groupedUnigramLm(docs, "source", "text", GrpLmCap)
+      val w = CorpusModels.domainMixWeights(docs, "doc_id", "source", "text",
+          Handoff.publish(gv0, DmsGVocabHandoff),
+          Handoff.publish(gs0, DmsGStatsHandoff),
+          Handoff.publish(dv0, DmsDVocabHandoff),
+          Handoff.publish(ds0, DmsDStatsHandoff))
+        .select(col("domain").as("source"), col("mix_weight"))
+      graft.operators.Refresh.weightedTokenBudgetMix(
+          docs.select(col("doc_id"), col("source"),
+            size(array_remove(split(col("text"), " "), ""))
+              .cast("long").as("n_tok")),
+          "source", "doc_id", "n_tok", w, totalBudgetTokens = DmixBudget)
+        .orderBy(col("doc_id"))
     },
     // CCNet's ACTUAL partition is per language: one LM per language,
     // each doc scored by its own language's model, head/middle/tail
@@ -682,6 +714,38 @@ object ModelQueries {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** DoReMi mixture-weight replay — the ONE owner of the per-domain
+    * aggregation + excess clamp + exact-rational mixture division
+    * (`domain_mix_weights` and `domain_mix_select` compose it). Sits
+    * on top of lmChainCte(p="u") and groupedLmChainCte(p="m"): reads
+    * their ug/mg outputs, whose lp values already carry both guard
+    * scalars — a wrong model table nulls every weight downstream.
+    * Produces dmper, dmtt, and dmw(domain, counts…, mix_weight). */
+  private val dmixCte: String =
+    """dmper AS (
+      |  SELECT g.grp AS domain,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(g.n) AS BIGINT) AS n_tokens,
+      |         CAST(sum(ug.nll) AS BIGINT) AS nll_global_fp,
+      |         CAST(sum(g.nll) AS BIGINT) AS nll_self_fp,
+      |         greatest(CAST(sum(ug.nll) - sum(g.nll) AS BIGINT),
+      |                  CAST(0 AS BIGINT)) AS excess_fp
+      |  FROM mg g JOIN ug ON g.doc_id = ug.doc_id
+      |  GROUP BY g.grp
+      |), dmtt AS (
+      |  SELECT CAST(coalesce(sum(excess_fp), 0) AS BIGINT) AS te,
+      |         CAST(count(*) AS BIGINT) AS nd
+      |  FROM dmper
+      |), dmw AS (
+      |  SELECT domain, n_docs, n_tokens, nll_global_fp, nll_self_fp, excess_fp,
+      |         CASE WHEN (SELECT te FROM dmtt) = 0
+      |              THEN 1.0 / CAST((SELECT nd FROM dmtt) AS DOUBLE)
+      |              ELSE CAST(excess_fp AS DOUBLE) /
+      |                   CAST((SELECT te FROM dmtt) AS DOUBLE)
+      |         END AS mix_weight
+      |  FROM dmper
+      |)""".stripMargin
+
   /** Bigram-LM replay chain — the ONE owner of bigram-table
     * verification (lm_bigram_ppl and lm_backoff_ppl compose it):
     * recomputes transitions, pair counts, context totals, and vocab
@@ -1028,28 +1092,40 @@ object ModelQueries {
       s"""WITH $ltOnlyCte,
          |${lmChainCte(rp(DmixGVocabHandoff), rp(DmixGStatsHandoff), "u")},
          |${groupedLmChainCte(rp(DmixDVocabHandoff), rp(DmixDStatsHandoff), "source", "m")},
-         |per AS (
-         |  SELECT g.grp AS domain,
-         |         CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(g.n) AS BIGINT) AS n_tokens,
-         |         CAST(sum(ug.nll) AS BIGINT) AS nll_global_fp,
-         |         CAST(sum(g.nll) AS BIGINT) AS nll_self_fp,
-         |         greatest(CAST(sum(ug.nll) - sum(g.nll) AS BIGINT),
-         |                  CAST(0 AS BIGINT)) AS excess_fp
-         |  FROM mg g JOIN ug ON g.doc_id = ug.doc_id
-         |  GROUP BY g.grp
-         |), tt AS (
-         |  SELECT CAST(coalesce(sum(excess_fp), 0) AS BIGINT) AS te,
-         |         CAST(count(*) AS BIGINT) AS nd
-         |  FROM per
-         |)
+         |$dmixCte
          |SELECT domain, n_docs, n_tokens, nll_global_fp, nll_self_fp, excess_fp,
-         |       CASE WHEN (SELECT te FROM tt) = 0
-         |            THEN 1.0 / CAST((SELECT nd FROM tt) AS DOUBLE)
-         |            ELSE CAST(excess_fp AS DOUBLE) /
-         |                 CAST((SELECT te FROM tt) AS DOUBLE)
-         |       END AS mix_weight
-         |FROM per ORDER BY domain""".stripMargin,
+         |       mix_weight
+         |FROM dmw ORDER BY domain""".stripMargin,
+    // the materialization on the same (one-owner) mixture chain, on
+    // dedicated handoff paths: budget_d = floor(mix_weight · B) from
+    // the replayed weights, then the rel_token_budget cumsum mirror —
+    // both chains' guard scalars null the weights on a bad model
+    // table, which nulls every budget, which drops every row (loud).
+    "domain_mix_select" ->
+      s"""WITH $ltOnlyCte,
+         |${lmChainCte(rp(DmsGVocabHandoff), rp(DmsGStatsHandoff), "u")},
+         |${groupedLmChainCte(rp(DmsDVocabHandoff), rp(DmsDStatsHandoff), "source", "m")},
+         |$dmixCte,
+         |bt AS (
+         |  SELECT domain,
+         |         CAST(floor(mix_weight * $DmixBudget.0) AS BIGINT) AS budget
+         |  FROM dmw
+         |), t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |              AS BIGINT) AS n_tok,
+         |         md5(CAST(doc_id AS VARCHAR) || '|') AS draw
+         |  FROM documents WHERE source IS NOT NULL
+         |), c AS (
+         |  SELECT doc_id, source, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY source ORDER BY draw, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t
+         |)
+         |SELECT c.source, c.doc_id, c.n_tok FROM c
+         |JOIN bt ON c.source = bt.domain
+         |WHERE c.cum - c.n_tok < bt.budget
+         |ORDER BY c.doc_id""".stripMargin,
     // per-language terciles on the grouped chain: DuckDB's REAL
     // ntile(3) PARTITION BY lang pins Ranking.ntilePerGroup's grouped
     // range-exchange rank + ANSI bucket math.

@@ -340,6 +340,40 @@ class StorageSpec extends SparkSpec {
       .count() === 2L, "2 of 3 tied 100-token rows start within a 150 budget")
   }
 
+  test("weightedTokenBudgetMix: learned per-domain budgets, zero-weight domains keep nothing") {
+    import graft.operators.Refresh
+    val docs = (1L to 300L).map(i =>
+        (i, Seq("a", "b", "c")((i % 3).toInt), 10L + i % 7))
+      .toDF("doc_id", "dom", "n_tok")
+    val weights = Seq(("a", 0.7), ("b", 0.3), ("c", 0.0))
+      .toDF("dom", "mix_weight")
+    val kept = Refresh.weightedTokenBudgetMix(docs, "dom", "doc_id", "n_tok",
+        weights, totalBudgetTokens = 1000L)
+      .select($"doc_id", $"dom", $"n_tok").as[(Long, String, Long)].collect()
+    // a learned zero keeps NOTHING (contrast temperatureMix's floor)
+    assert(!kept.exists(_._2 == "c"))
+    // per-domain totals respect budget_d = floor(w·B) up to one
+    // greedy-overshoot doc, and equal the flat-budget operator run at
+    // exactly budget_d (same draw order → same prefix)
+    for ((dom, w) <- Seq(("a", 0.7), ("b", 0.3))) {
+      val budget = math.floor(w * 1000.0).toLong
+      val keptDom = kept.filter(_._2 == dom)
+      val total = keptDom.map(_._3).sum
+      assert(total < budget + keptDom.map(_._3).max, s"$dom overshot")
+      val flat = Refresh.tokenBudgetMix(docs.filter($"dom" === dom),
+          "dom", "doc_id", "n_tok", budget)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(keptDom.map(_._1).toSet === flat, s"$dom != flat-budget prefix")
+    }
+    // partitioning-independent
+    val again = Refresh.weightedTokenBudgetMix(docs.repartition(17), "dom",
+        "doc_id", "n_tok", weights, 1000L)
+      .select($"doc_id", $"dom", $"n_tok").as[(Long, String, Long)].collect().toSet
+    assert(again === kept.toSet)
+    intercept[IllegalArgumentException](
+      Refresh.weightedTokenBudgetMix(docs, "dom", "doc_id", "n_tok", weights, 0L))
+  }
+
   test("bloom dup guard == exact anti-join, even with forced false positives") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter($"doc_id" % 3 === 0)
