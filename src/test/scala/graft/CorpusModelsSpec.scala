@@ -582,6 +582,84 @@ class CorpusModelsSpec extends SparkSpec {
     assert(pNull === cls.filter(_._3 == cls.map(_._3).max).map(_._1).min)
   }
 
+  test("property: multiclass NB predict == naive reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 4) {
+      val base = randomCorpus(rnd, 40)
+      val docs = base.map { case (id, text) =>
+        (id, text, Seq("p", "q", "r")(rnd.nextInt(3))) }
+      // every class needs ≥1 token occurrence to train a model
+      val tokByCls = docs.groupBy(_._3).view
+        .mapValues(_.flatMap(_._2.split(" ").filter(_.nonEmpty))).toMap
+      if (Seq("p", "q", "r").forall(c => tokByCls.getOrElse(c, Nil).nonEmpty)) {
+        val df = docs.toDF("doc_id", "text", "cls")
+        val cap = 1 + rnd.nextInt(5)
+        val (vocab, stats) = CorpusModels.groupedUnigramLm(df, "cls", "text", cap)
+        val priors = CorpusModels.multiclassNbPriors(df, "cls")
+        val out = CorpusModels.multiclassNbPredict(df, "doc_id", "text",
+            vocab, stats, priors)
+          .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+        // naive reference
+        val k = 3L
+        val nDocs = docs.size.toLong
+        val priorOf = docs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+          .map { case (c, n) =>
+            c -> math.floor(math.log((n + 1).toDouble / (nDocs + k)) * 1e9).toLong }
+        val models = Seq("p", "q", "r").map { c =>
+          val toks = tokByCls(c)
+          val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val nTot = toks.size.toLong
+          val v = counts.size.toLong
+          val capped = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(cap).toMap
+          def lpTok(t: String): Long = capped.get(t) match {
+            case Some(n) => math.floor(math.log((n + 1).toDouble / (nTot + v)) * 1e9).toLong
+            case None    => math.floor(math.log(1.0 / (nTot + v)) * 1e9).toLong
+          }
+          c -> lpTok _
+        }.toMap
+        docs.foreach { case (id, text, _) =>
+          val ts = text.split(" ").filter(_.nonEmpty).toSeq
+          val scores = Seq("p", "q", "r")
+            .map(c => c -> (priorOf(c) + ts.map(models(c)).sum))
+          val best = scores.map(_._2).max
+          val pred = scores.filter(_._2 == best).map(_._1).min
+          assert(out(id) === ((pred, best)), s"doc $id round $round cap $cap")
+        }
+      }
+    }
+  }
+
+  test("property: klDrift == naive reference on random grouped corpora") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 4) {
+      val base = randomCorpus(rnd, 40)
+      val docs = base.map { case (id, text) =>
+        (id, text, Seq("g1", "g2")(rnd.nextInt(2))) }
+      val all = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      if (all.nonEmpty) {
+        val df = docs.toDF("doc_id", "text", "grp0")
+        val out = CorpusModels.klDrift(df, "grp0", "text")
+          .collect().map(r => r.getString(0) ->
+            ((r.getAs[Long]("n_tokens"), r.getAs[Long]("kl_fp")))).toMap
+        val allCounts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val nAll = all.size.toLong
+        val v = allCounts.size.toLong
+        docs.groupBy(_._3).foreach { case (g, ds) =>
+          val toks = ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+          if (toks.nonEmpty) {
+            val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+            val nG = toks.size.toLong
+            val kl = counts.map { case (t, c) =>
+              c * math.floor((math.log((c + 1).toDouble / (nG + v)) -
+                math.log((allCounts(t) + 1).toDouble / (nAll + v))) * 1e9).toLong
+            }.sum
+            assert(out(g) === ((nG, kl)), s"group $g round $round")
+          }
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------- Gumbel-top-k resample
 
   /** JVM-side twin of the operator's hash→Gumbel chain, for
