@@ -308,6 +308,66 @@ object Ann {
       queryVec, k, metric, None, index.embCol, index.idCol)
   }
 
+  /** BATCH IVF search — [[searchIvf]] for a query SET, fully
+    * distributed (no driver probe loop): each query's `nprobe`
+    * nearest centroids come from a per-query window over the
+    * broadcast k-row centroid table, the corpus-sized assignment then
+    * joins the (queries·nprobe)-row probe list BY CLUSTER — a
+    * broadcast join, the corpus never shuffles for candidate
+    * generation — and exact distances + a top-k-per-query window
+    * finish it (candidates ≈ |corpus|·nprobe/k per query, the IVF
+    * pruning; the window shuffle is candidates hash-partitioned by
+    * query id, WindowGroupLimit keeps per-task top-k first). Same
+    * f32 distance kernel and (dist, id) tie-break as [[searchIvf]],
+    * so a single-row query set reproduces it hit for hit.
+    *
+    * `queries`: (qIdCol, qEmbCol) — the eval-sample contract: Q is
+    * bounded (recall evals run on samples), the corpus is not. */
+  def batchSearchIvf(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+                     queries: DataFrame, k: Int, nprobe: Int,
+                     metric: VectorSearch.Metric = VectorSearch.Euclidean,
+                     qIdCol: String = "query_id",
+                     qEmbCol: String = "query_embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroidsDf(spark, index.centroids, "cluster_id")
+    val wp = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__cdist").asc_nulls_last, col("cluster_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("__cdist", metric.dist(col(qEmbCol), col("centroid")).cast("double"))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe)
+      .select(col(qIdCol), col(qEmbCol), col("cluster_id").as("ivf_cluster"))
+    val wk = Window.partitionBy(col(qIdCol))
+      .orderBy(col("dist").asc_nulls_last, col(index.idCol))
+    index.assigned
+      .join(broadcast(probes), Seq("ivf_cluster"))
+      .withColumn("dist", metric.dist(col(index.embCol), col(qEmbCol)).cast("double"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(index.idCol), col("dist"), col("rn"))
+  }
+
+  /** Recall@k of an approximate result set against exact ground
+    * truth — the eval metric a vector platform publishes with every
+    * index build. Both inputs are (qIdCol, idCol) top-k frames;
+    * output is (qIdCol, n_hits, recall_at_k) for EVERY query in
+    * `exact` (a query the approx side missed entirely scores 0).
+    * Exact integer intersection counts + one engine-stable division;
+    * both frames are Q·k rows — nothing corpus-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+                qIdCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hits = exact.select(col(qIdCol), col(idCol))
+      .join(approx.select(col(qIdCol), col(idCol)), Seq(qIdCol, idCol))
+      .groupBy(col(qIdCol)).agg(count(lit(1)).as("n_hits"))
+    exact.select(col(qIdCol)).distinct()
+      .join(hits, Seq(qIdCol), "left")
+      .select(col(qIdCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as(s"recall_at_$k"))
+  }
+
   // ------------------------------------------- JL random projection (RP)
 
   /** Salt for the RP plane family so its planes never coincide with

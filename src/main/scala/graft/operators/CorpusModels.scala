@@ -273,15 +273,18 @@ object CorpusModels {
             col("oov_logp_fp"))
       .select(col(idCol), col("grp"), col("score_fp"),
         coalesce(col("__n"), lit(0L)).as("__n"))
-    // deterministic argmax: max score, then min class — two map-side-
-    // combined doc-keyed aggs (a per-doc window would do one exchange
-    // fewer but funnels every doc's K rows through a sort; the K-row
-    // frames here are tiny relative to the token stream either way)
-    val best = scored.groupBy(col(idCol)).agg(max(col("score_fp")).as("score_fp"))
-    scored.join(best, Seq(idCol, "score_fp"))
-      .groupBy(col(idCol), col("score_fp"))
-      .agg(min(col("grp")).as("pred_class"), max(col("__n")).as("n_tokens"))
-      .select(col(idCol), col("n_tokens"), col("pred_class"), col("score_fp"))
+    // deterministic argmax: top-1 per doc by (score desc, class asc)
+    // — ONE doc-keyed exchange (a max-agg + self-join spends three on
+    // the same K-row frames); the rn=1 filter triggers Catalyst's
+    // WindowGroupLimit rewrite, so each map task keeps only its local
+    // best per doc before the exchange
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_fp").desc, col("grp"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__n").as("n_tokens"),
+        col("grp").as("pred_class"), col("score_fp"))
   }
 
   /** (pred_class, score_fp) under closure-sized multiclass NB model

@@ -87,6 +87,26 @@ object AnnQueries {
     // recomputes every projection from it with list_dot_product
     // (bit-equal to the f32 kernel), replays candidate selection, and
     // the exact rerank.
+    // IVF recall@10 evaluation over a 32-query sample — the quality
+    // report a vector platform publishes with every index build
+    // (approximate search is only shippable with a measured recall).
+    // Approx = distributed batch IVF (per-query probe window over the
+    // broadcast centroids, candidates by broadcast cluster join —
+    // corpus never shuffles); exact = brute-force batch top-k on the
+    // same f32 kernel; recall = exact integer intersection counts.
+    // Reuses ann_ivf's handoff paths — same persisted index, same
+    // artifact content, no clobber.
+    "ann_recall_report" -> { (s, dir) =>
+      val index = persistedIvf(s, dir)
+      writeIvfHandoff(s, index)
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val approx = Ann.batchSearchIvf(s, index, qs, k = 10, nprobe = 4)
+      val exact = VectorSearch.batchTopK(emb, qs, 10, VectorSearch.Euclidean)
+      Ann.recallAtK(approx, exact, 10).orderBy(col("query_id"))
+    },
     "ann_rp_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val q = VectorQueries.qvec(s, dir, 0)
@@ -213,6 +233,53 @@ object AnnQueries {
     // RP replay: every projection recomputed from the plane handoff
     // with the bit-equal f32 kernel; candidate fixed-point distances,
     // the top-50 selection, and the exact rerank all re-derived.
+    // replay both sides of the recall eval from the index handoff:
+    // per-query probe ranking over the centroid table, candidate
+    // top-10 within probed clusters, brute-force exact top-10, then
+    // the intersection counts and one engine-stable division. Rank
+    // order parity holds because distances are the bit-equal f32
+    // kernel on both engines (the ann_ivf/batch_topk contracts).
+    "ann_recall_report" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |asg AS (SELECT * FROM ${rp(AssignedHandoff)}),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 32
+         |), probes AS (
+         |  SELECT query_id, cluster_id FROM (
+         |    SELECT q.query_id, c.cluster_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY CAST(list_distance(c.centroid, q.qv) AS DOUBLE),
+         |                      c.cluster_id) AS rn
+         |    FROM q CROSS JOIN cents c) AS s WHERE rn <= 4
+         |), approx AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT p.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY CAST(list_distance(e.embedding, q.qv) AS DOUBLE),
+         |                      e.vec_id) AS rn
+         |    FROM probes p
+         |    JOIN asg a ON a.ivf_cluster = p.cluster_id
+         |    JOIN embeddings e ON e.vec_id = a.vec_id
+         |    JOIN q ON q.query_id = p.query_id) AS s WHERE rn <= 10
+         |), exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY CAST(list_distance(e.embedding, q.qv) AS DOUBLE),
+         |                      e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e) AS s WHERE rn <= 10
+         |), hits AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM exact e JOIN approx a ON e.query_id = a.query_id
+         |                            AND e.vec_id = a.vec_id
+         |  GROUP BY 1
+         |)
+         |SELECT q.query_id,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM q LEFT JOIN hits h USING (query_id)
+         |ORDER BY q.query_id""".stripMargin,
     "ann_rp_topk" ->
       s"""WITH pl AS (SELECT * FROM ${rp(RpPlanesHandoff)}),
          |qp AS (

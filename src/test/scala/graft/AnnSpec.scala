@@ -110,6 +110,41 @@ class AnnSpec extends SparkSpec {
     } finally idx.assigned.unpersist()
   }
 
+  test("batchSearchIvf == searchIvf hit for hit; recallAtK counts exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 16)
+    idx.assigned.cache().count()
+    try {
+      // single-row query set reproduces the driver-probe path exactly
+      val qs = emb.filter($"vec_id" === 3L)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+      val batch = Ann.batchSearchIvf(spark, idx, qs, k = 10, nprobe = 4)
+        .orderBy("rn").select("vec_id", "dist").collect().toSeq
+      val single = Ann.searchIvf(idx, qvec(3L), 10, nprobe = 4)
+        .select("vec_id", "dist").collect().toSeq
+      assert(batch === single)
+      // recallAtK: hand-built frames — q1 hits 2 of 3, q2 misses all,
+      // and a query absent from approx scores 0
+      import spark.implicits._
+      val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+        (2L, 20L), (2L, 21L), (2L, 22L)).toDF("query_id", "vec_id")
+      val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L)).toDF("query_id", "vec_id")
+      val r = Ann.recallAtK(approx, exact, 3).orderBy("query_id").collect()
+      assert(r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq ===
+        Seq((1L, 2L, 2.0 / 3.0), (2L, 0L, 0.0)))
+      // the fixture eval: mean recall over the 32-query sample is the
+      // published number — sanity-floor it
+      val sample = emb.filter($"vec_id" < 32)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+      val approxAll = Ann.batchSearchIvf(spark, idx, sample, 10, nprobe = 4)
+      val exactAll = graft.operators.VectorSearch.batchTopK(emb, sample, 10,
+        graft.operators.VectorSearch.Euclidean)
+      val rep = Ann.recallAtK(approxAll, exactAll, 10)
+      val mean = rep.agg(avg($"recall_at_10")).head().getDouble(0)
+      assert(mean >= 0.6, s"mean recall@10 $mean")
+    } finally idx.assigned.unpersist()
+  }
+
   test("cosineNearDupLsh: no false positives; high recall on clustered data") {
     import graft.operators.Dedup
     val rnd = new scala.util.Random(11)
