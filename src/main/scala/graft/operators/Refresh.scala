@@ -152,6 +152,42 @@ object Refresh {
       .drop("__draw", "__cum")
   }
 
+  /** Deterministic train/val/test split by key hash — the holdout
+    * assignment every training pipeline needs, derandomized the same
+    * way as [[stratifiedSampleDet]]: h52 = top-52 md5 bits of
+    * (key "|" salt), split s_i ⟺ h52 ∈ [b_{i−1}, b_i) with EXACT
+    * integer thresholds b_i = ⌊2^52 · cumPercent_i / 100⌋ — no float
+    * boundary anywhere, so the partition is bit-reproducible on any
+    * engine, any partitioning, any day (an RNG split is none of
+    * those), and a document NEVER migrates between splits as the
+    * corpus grows (membership depends only on its own key — the
+    * property that keeps eval sets stable across corpus versions).
+    * Zero shuffle: one narrow projection. `splits` are (name,
+    * percent) with percents summing to 100. */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Int)],
+                salt: String = "", splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), s"split percents must be positive: $splits")
+    require(splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got ${splits.map(_._2).sum}")
+    val h52 = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit("|" + salt)).cast("binary")), 1, 13), 16, 10).cast("long")
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+      .map(c => ((BigInt(1) << 52) * c / 100).toLong)
+    val caseExpr = splits.zip(bounds).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), b), rest) => when(col("__h52") < b, lit(name)).otherwise(rest)
+    }
+    df.withColumn("__h52", h52)
+      .withColumn(splitCol, caseExpr)
+      .drop("__h52")
+  }
+
+  /** The integer split thresholds [[hashSplit]] uses — exposed so an
+    * external verifier (the SQL oracle) interpolates the IDENTICAL
+    * longs instead of re-deriving float boundaries. */
+  def hashSplitBounds(splits: Seq[(String, Int)]): Seq[Long] =
+    splits.scanLeft(0)(_ + _._2).tail.map(c => ((BigInt(1) << 52) * c / 100).toLong)
+
   /** LEARNED-mixture corpus assembly — [[tokenBudgetMix]] with a
     * per-domain budget from a weights table instead of one flat
     * budget: budget_d = floor(weight_d · totalBudgetTokens), then the

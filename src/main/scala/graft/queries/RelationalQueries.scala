@@ -71,6 +71,16 @@ object RelationalQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
+    // deterministic train/val/test split: 80/10/10 by key hash with
+    // EXACT integer thresholds on the 52-bit md5 prefix — stable
+    // across corpus versions (membership depends only on the key), no
+    // RNG, no float boundary, zero shuffle
+    "rel_hash_split" -> { (s, dir) =>
+      Refresh.hashSplit(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "r9")
+        .orderBy(col("doc_id"))
+    },
     // temperature-based domain mixing (share ∝ n_lang^0.5): md5-ranked,
     // RNG-free, so the DuckDB oracle reproduces the exact row set —
     // sqrt is IEEE-correctly-rounded in both engines
@@ -160,6 +170,23 @@ object RelationalQueries {
         |   OR (lang = 'de' AND u52 < 1125899906842624)
         |   OR (lang = 'fr' AND u52 < 4503599627370496)
         |ORDER BY doc_id""".stripMargin,
+    // the same 52-bit hash parse as rel_stratified_det; thresholds are
+    // the operator's OWN integers (hashSplitBounds), interpolated — the
+    // oracle never re-derives a float boundary
+    "rel_hash_split" -> {
+      val b = Refresh.hashSplitBounds(Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      s"""WITH u AS (
+         |  SELECT doc_id, lang,
+         |         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|r9'), 1, 13)
+         |              AS UBIGINT) AS BIGINT) AS h52
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang,
+         |       CASE WHEN h52 < ${b(0)} THEN 'train'
+         |            WHEN h52 < ${b(1)} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
     "corpus_diff" ->
       s"""$diffCte
          |SELECT doc_id, status FROM d ORDER BY doc_id""".stripMargin,

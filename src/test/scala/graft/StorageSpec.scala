@@ -374,6 +374,45 @@ class StorageSpec extends SparkSpec {
       Refresh.weightedTokenBudgetMix(docs, "dom", "doc_id", "n_tok", weights, 0L))
   }
 
+  test("hashSplit: exact-threshold 3-way holdout — disjoint, covering, stable, salt-sensitive") {
+    import graft.operators.Refresh
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val out = Refresh.hashSplit(docs, "doc_id", splits, salt = "s1")
+      .as[(Long, String)].collect()
+    val n = out.length
+    // covering + disjoint by construction (one row in, one row out)
+    assert(out.map(_._1).distinct.length === n)
+    assert(out.forall(r => Set("train", "val", "test")(r._2)))
+    // fractions near the percents (md5 is uniform; 5000 docs → tight)
+    val frac = out.groupBy(_._2).view.mapValues(_.size.toDouble / n).toMap
+    assert(math.abs(frac("train") - 0.80) < 0.03, frac.toString)
+    assert(math.abs(frac("val") - 0.10) < 0.02, frac.toString)
+    assert(math.abs(frac("test") - 0.10) < 0.02, frac.toString)
+    // hand-verify one row against a JVM md5 twin + the integer bounds
+    val bounds = Refresh.hashSplitBounds(splits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val id0 = out.head._1
+    val hex = md.digest(s"$id0|s1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h52 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    val expect = if (h52 < bounds(0)) "train" else if (h52 < bounds(1)) "val" else "test"
+    assert(out.head._2 === expect)
+    // partitioning-independent; membership never migrates when the
+    // corpus grows (drop half the docs — survivors keep their split)
+    val again = Refresh.hashSplit(docs.repartition(13), "doc_id", splits, salt = "s1")
+      .as[(Long, String)].collect().toSet
+    assert(again === out.toSet)
+    val half = Refresh.hashSplit(docs.filter($"doc_id" % 2 === 0), "doc_id",
+      splits, salt = "s1").as[(Long, String)].collect().toSet
+    assert(half.subsetOf(out.toSet))
+    // a different salt reshuffles; invalid percents refuse
+    val other = Refresh.hashSplit(docs, "doc_id", splits, salt = "s2")
+      .as[(Long, String)].collect().toSet
+    assert(other !== out.toSet)
+    intercept[IllegalArgumentException](
+      Refresh.hashSplit(docs, "doc_id", Seq("a" -> 50, "b" -> 40)))
+  }
+
   test("bloom dup guard == exact anti-join, even with forced false positives") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter($"doc_id" % 3 === 0)
