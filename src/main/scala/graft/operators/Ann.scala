@@ -293,13 +293,20 @@ object Ann {
   def searchIvf(index: IvfIndex, queryVec: Seq[Float], k: Int, nprobe: Int,
                 metric: VectorSearch.Metric = VectorSearch.Euclidean): DataFrame = {
     val q = queryVec.toArray
+    // probe ranking in f32 EUCLIDEAN distance (sqrt, exactly the
+    // EuclideanDistF32 kernel — double-rounded sqrt of the f32 acc),
+    // NOT the raw squared acc: [[batchSearchIvf]] and the SQL oracle
+    // rank probes with the distance kernel / list_distance, and sqrt
+    // rounding can merge two distinct squared values — ranking the
+    // same quantity on every path keeps the probe set identical even
+    // at those collisions (tie → smaller cluster id everywhere)
     val probes = index.centroids.zipWithIndex
       .map { case (c, i) =>
         require(c.length == q.length,
           s"searchIvf: query dim ${q.length} != centroid dim ${c.length}")
         var acc = 0.0f; var d = 0
         while (d < c.length) { val x = c(d) - q(d); acc += x * x; d += 1 }
-        (i, acc)
+        (i, math.sqrt(acc.toDouble).toFloat)
       }
       .sortBy { case (i, dist) => (dist, i) }
       .take(nprobe).map(_._1).toIndexedSeq
@@ -332,8 +339,12 @@ object Ann {
     val cents = centroidsDf(spark, index.centroids, "cluster_id")
     val wp = Window.partitionBy(col(qIdCol))
       .orderBy(col("__cdist").asc_nulls_last, col("cluster_id"))
+    // probe ranking is ALWAYS f32 Euclidean (the searchIvf / oracle
+    // contract — see the probe comment there); `metric` governs only
+    // the candidate ranking below
     val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("__cdist", metric.dist(col(qEmbCol), col("centroid")).cast("double"))
+      .withColumn("__cdist",
+        l2DistF32(col(qEmbCol), col("centroid")).cast("double"))
       .withColumn("__rn", row_number().over(wp))
       .filter(col("__rn") <= nprobe)
       .select(col(qIdCol), col(qEmbCol), col("cluster_id").as("ivf_cluster"))
@@ -357,8 +368,11 @@ object Ann {
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
                 qIdCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val hits = exact.select(col(qIdCol), col(idCol))
-      .join(approx.select(col(qIdCol), col(idCol)), Seq(qIdCol, idCol))
+    // intersection of SETS: distinct both sides first — a duplicated
+    // corpus id (two rows sharing one vec_id) would otherwise multiply
+    // through the join and report recall > 1
+    val hits = exact.select(col(qIdCol), col(idCol)).distinct()
+      .join(approx.select(col(qIdCol), col(idCol)).distinct(), Seq(qIdCol, idCol))
       .groupBy(col(qIdCol)).agg(count(lit(1)).as("n_hits"))
     exact.select(col(qIdCol)).distinct()
       .join(hits, Seq(qIdCol), "left")

@@ -324,10 +324,36 @@ object CorpusModels {
     (classesAsc(bi)._1, b)
   }
 
+  /** Spark orders strings by unsigned UTF-8 BYTES (UTF8String binary
+    * comparison); JVM `String.compareTo` orders by UTF-16 code units
+    * — they disagree when a supplementary-plane character (UTF-8
+    * lead byte F0, UTF-16 surrogate D800–DBFF) meets a U+E000–U+FFFF
+    * one (UTF-8 lead EE–EF, UTF-16 code unit above the surrogates).
+    * Every driver-side class ordering that must reproduce a Spark
+    * tie-break sorts with THIS, or batch and serve/stream could pick
+    * different classes on tied scores. */
+  private[graft] val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      ab.length - bb.length
+    }
+  }
+
   /** Collect a multiclass NB model into the closure-sized maps
     * [[mcNbScoreColumn]] and the serving probe want: (token →
     * (class → lp), classes sorted asc as (grp, oov_fp, prior_fp)).
-    * Bounded by K·cap rows by construction. */
+    * Bounded by K·cap rows by construction. Classes sort in UTF-8
+    * BYTE order ([[utf8Ordering]]) — the batch argmax window's
+    * tie-break order, which JVM string order does not match for
+    * supplementary-plane labels. */
   def mcNbModelMaps(vocab: DataFrame, stats: DataFrame, priors: DataFrame)
       : (Map[String, Map[String, Long]], Array[(String, Long, Long)]) = {
     val v = vocab.select(col("token"), col("grp"), col("logp_fp")).collect()
@@ -336,7 +362,7 @@ object CorpusModels {
     val cls = stats.select(col("grp"), col("oov_logp_fp"))
       .join(priors.select(col("grp"), col("prior_fp")), Seq("grp")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+      .sortBy(_._1)(utf8Ordering)
     (v, cls)
   }
 

@@ -136,10 +136,16 @@ object Refresh {
     * and the SQL oracle. `keyCol` should be unique (dedup upstream):
     * duplicate keys draw identical md5s, and which tied row lands
     * inside the budget boundary is then partitioning luck. */
-  def tokenBudgetMix(df: DataFrame, domainCol: String, keyCol: String,
-                     tokensCol: String, budgetTokens: Long,
-                     salt: String = ""): DataFrame = {
-    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+  /** The ONE owner of the deterministic greedy-prefix selection both
+    * budget mixers share: md5 draw order, per-domain ROWS-frame
+    * cumsum, keep iff the tokens BEFORE the row start within
+    * `budgetCol` (a per-row Column — a literal for the flat budget,
+    * a joined per-domain value for the learned one). Keeping the draw
+    * recipe / tie-break / overshoot rule here means the two contracts
+    * cannot drift apart. */
+  private def greedyTokenPrefix(df: DataFrame, domainCol: String, keyCol: String,
+                                tokensCol: String, budgetCol: Column,
+                                salt: String): DataFrame = {
     val draw = md5(concat(col(keyCol).cast("string"), lit("|" + salt))
       .cast("binary"))
     val w = Window.partitionBy(col(domainCol))
@@ -148,8 +154,15 @@ object Refresh {
     df.filter(col(domainCol).isNotNull)
       .withColumn("__draw", draw)
       .withColumn("__cum", sum(col(tokensCol)).over(w))
-      .filter(col("__cum") - col(tokensCol) < budgetTokens)
+      .filter(col("__cum") - col(tokensCol) < budgetCol)
       .drop("__draw", "__cum")
+  }
+
+  def tokenBudgetMix(df: DataFrame, domainCol: String, keyCol: String,
+                     tokensCol: String, budgetTokens: Long,
+                     salt: String = ""): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    greedyTokenPrefix(df, domainCol, keyCol, tokensCol, lit(budgetTokens), salt)
   }
 
   /** Deterministic train/val/test split by key hash — the holdout
@@ -172,13 +185,17 @@ object Refresh {
       s"split percents must sum to 100, got ${splits.map(_._2).sum}")
     val h52 = conv(substring(md5(concat(col(keyCol).cast("string"),
       lit("|" + salt)).cast("binary")), 1, 13), 16, 10).cast("long")
-    val bounds = splits.scanLeft(0)(_ + _._2).tail
-      .map(c => ((BigInt(1) << 52) * c / 100).toLong)
+    val bounds = hashSplitBounds(splits)
     val caseExpr = splits.zip(bounds).init.foldRight(lit(splits.last._1)) {
       case (((name, _), b), rest) => when(col("__h52") < b, lit(name)).otherwise(rest)
     }
+    // a NULL key hashes to NULL: every `<` test is unknown, so the
+    // bare CASE chain would silently funnel null-keyed rows into the
+    // LAST split — contaminating the holdout invisibly. Propagate the
+    // NULL instead (split = NULL), so bad keys are loud downstream.
     df.withColumn("__h52", h52)
-      .withColumn(splitCol, caseExpr)
+      .withColumn(splitCol,
+        when(col("__h52").isNull, lit(null)).otherwise(caseExpr))
       .drop("__h52")
   }
 
@@ -212,18 +229,11 @@ object Refresh {
                              weightCol: String = "mix_weight"): DataFrame = {
     require(totalBudgetTokens > 0,
       s"totalBudgetTokens must be positive, got $totalBudgetTokens")
-    val draw = md5(concat(col(keyCol).cast("string"), lit("|" + salt))
-      .cast("binary"))
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(col("__draw"), col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.filter(col(domainCol).isNotNull)
+    val budgeted = df
       .join(broadcast(weights.select(col(domainCol),
         floor(col(weightCol) * lit(totalBudgetTokens.toDouble))
           .cast("long").as("__budget"))), Seq(domainCol))
-      .withColumn("__draw", draw)
-      .withColumn("__cum", sum(col(tokensCol)).over(w))
-      .filter(col("__cum") - col(tokensCol) < col("__budget"))
-      .drop("__draw", "__cum", "__budget")
+    greedyTokenPrefix(budgeted, domainCol, keyCol, tokensCol,
+      col("__budget"), salt).drop("__budget")
   }
 }

@@ -182,7 +182,8 @@ object RelationalQueries {
          |  FROM documents
          |)
          |SELECT doc_id, lang,
-         |       CASE WHEN h52 < ${b(0)} THEN 'train'
+         |       CASE WHEN h52 IS NULL THEN NULL
+         |            WHEN h52 < ${b(0)} THEN 'train'
          |            WHEN h52 < ${b(1)} THEN 'val'
          |            ELSE 'test' END AS split
          |FROM u ORDER BY doc_id""".stripMargin

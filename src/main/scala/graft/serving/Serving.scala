@@ -496,8 +496,10 @@ object Serving {
       require(oov.nonEmpty, s"no stats rows under $base/stats")
       require(pri.nonEmpty, s"no prior rows under $base/priors")
       // scoreable classes = stats ∩ priors, exactly the batch path's
-      // stats-priors inner join
-      oov.keySet.intersect(pri.keySet).toArray.sorted
+      // stats-priors inner join; UTF-8 byte order = the batch
+      // tie-break (CorpusModels.utf8Ordering)
+      oov.keySet.intersect(pri.keySet).toArray
+        .sorted(graft.operators.CorpusModels.utf8Ordering)
         .map(g => (g, oov(g), pri(g)))
     }
     require(classes.nonEmpty, s"no scoreable classes under $base")

@@ -132,6 +132,13 @@ class AnnSpec extends SparkSpec {
       val r = Ann.recallAtK(approx, exact, 3).orderBy("query_id").collect()
       assert(r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq ===
         Seq((1L, 2L, 2.0 / 3.0), (2L, 0L, 0.0)))
+      // duplicated rows (a doubled corpus id) must NOT inflate recall
+      // past 1.0 — the intersection is over SETS
+      val dupApprox = Seq((1L, 10L), (1L, 10L), (1L, 11L), (1L, 12L))
+        .toDF("query_id", "vec_id")
+      val rd = Ann.recallAtK(dupApprox, exact.filter($"query_id" === 1L), 3)
+        .collect()(0)
+      assert((rd.getLong(1), rd.getDouble(2)) === ((3L, 1.0)))
       // the fixture eval: mean recall over the 32-query sample is the
       // published number — sanity-floor it
       val sample = emb.filter($"vec_id" < 32)

@@ -770,6 +770,28 @@ class CorpusModelsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("multiclass tie-break: kernel class order is UTF-8 bytes, matching Spark") {
+    // U+1F600 (UTF-16 surrogate D83D…, UTF-8 F0 9F 98 80) vs U+FFFD
+    // (UTF-16 FFFD, UTF-8 EF BF BD): JVM string order puts the emoji
+    // FIRST (D83D < FFFD), Spark's UTF-8 byte order puts it LAST
+    // (F0 > EF) — identical corpora force a tie, and batch + kernel
+    // must both resolve it to the byte-order minimum
+    val emoji = "😀"
+    val repl = "�"
+    assert(Ordering.String.lt(emoji, repl)) // JVM order: emoji first
+    assert(CorpusModels.utf8Ordering.gt(emoji, repl)) // byte order: emoji last
+    val docs = Seq((0L, "a a", emoji), (1L, "a a", repl))
+      .toDF("doc_id", "text", "cls")
+    val (v, st) = CorpusModels.groupedUnigramLm(docs, "cls", "text", 100)
+    val pr = CorpusModels.multiclassNbPriors(docs, "cls")
+    val batch = CorpusModels.multiclassNbPredict(docs, "doc_id", "text", v, st, pr)
+      .collect().map(_.getString(2)).toSeq
+    assert(batch === Seq(repl, repl), "batch tie must resolve to the UTF-8 minimum")
+    val (vm, cls) = CorpusModels.mcNbModelMaps(v, st, pr)
+    val (kPred, _) = CorpusModels.mcNbKernel(Seq("a", "a"), vm, cls)
+    assert(kPred === repl, "kernel tie must match the batch tie")
+  }
+
   test("multiclass NB is partitioning-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
     val (v1, s1) = CorpusModels.groupedUnigramLm(docs, "lang", "text", 24)

@@ -411,6 +411,13 @@ class StorageSpec extends SparkSpec {
     assert(other !== out.toSet)
     intercept[IllegalArgumentException](
       Refresh.hashSplit(docs, "doc_id", Seq("a" -> 50, "b" -> 40)))
+    // a NULL key must get a NULL split, not silently land in 'test'
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    val ns = Refresh.hashSplit(withNull, "doc_id", splits, salt = "s1")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        Option(r.getString(1))).toMap
+    assert(ns(None) === None, "null key must yield a null split")
+    assert(ns(Some(1L)).isDefined)
   }
 
   test("bloom dup guard == exact anti-join, even with forced false positives") {
