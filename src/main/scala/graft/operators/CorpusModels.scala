@@ -922,6 +922,61 @@ object CorpusModels {
     * [[bigramPerplexity]] output. */
   case class BigramPplRow(n_transitions: Long, nll_fp: Long, cross_entropy: Double)
 
+  // ---------------------------------------------------- character entropy
+
+  /** Per-document character-level Shannon entropy (nats) — the
+    * Gopher/RefinedWeb-style junk signal orthogonal to the token
+    * metrics: near-zero = one repeated character (padding, ASCII-art
+    * runs), near-ln(alphabet) = uniform noise (mojibake, base64
+    * blobs); natural text sits in a band between.
+    *
+    * H = ln(n) − (Σ_ch c·ln(c))/n over the doc's character counts —
+    * every ln comes from ONE tiny table: the distinct count values in
+    * the corpus (≤ max doc length rows, CORPUS-SIZE-INDEPENDENT —
+    * counts repeat massively), published through `publish` so a
+    * verifier re-derives every count and takes only the ln value
+    * mapping from the handoff (the family's ln rule). Per-doc sums
+    * are exact longs; the output double is the engine-identical
+    * division/subtraction chain. A doc of one repeated character
+    * scores EXACTLY 0.0 (the two fixed-point terms cancel).
+    *
+    * Characters are UTF-16 code units on the Spark side (split("")) —
+    * identical to a SQL per-char split for all BMP text; a
+    * supplementary-plane character counts as its two surrogates here
+    * and one char there, which the count-verifying oracle surfaces
+    * LOUDLY rather than silently.
+    *
+    * 100 TB posture: one explode + one (doc, char) count agg (the
+    * word-freq shuffle over a ≤alphabet-per-doc key space), one
+    * broadcast of the tiny ln table, doc-keyed aggs after. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+                  publish: DataFrame => DataFrame = identity): DataFrame = {
+    val cc = docs.select(col(idCol),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("cnt"))
+    val n = cc.groupBy(col(idCol)).agg(sum(col("cnt")).as("n_chars"))
+    val vals = cc.select(col("cnt").as("v"))
+      .union(n.select(col("n_chars").as("v"))).distinct()
+    val lnTable = publish(vals.withColumn("ln_fp",
+      floor(log(col("v").cast("double")) * lit(LpScale)).cast("long")))
+    val sums = cc
+      .join(broadcast(lnTable), cc("cnt") === lnTable("v"))
+      .groupBy(col(idCol)).agg(sum(col("cnt") * col("ln_fp")).as("s"))
+    docs.select(col(idCol))
+      .join(n, Seq(idCol), "left")
+      .join(sums, Seq(idCol), "left")
+      .join(broadcast(lnTable.select(col("v"), col("ln_fp").as("__lnn"))),
+        col("n_chars") === col("v"), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("s"), lit(0L)).as("sum_clnc_fp"),
+        when(coalesce(col("n_chars"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("__lnn").cast("double") / lit(LpScale) -
+            col("s").cast("double") / lit(LpScale) / col("n_chars").cast("double"))
+          .as("entropy_nats"))
+  }
+
   // ---------------------------------------------------- distribution drift
 
   /** Per-group token-distribution drift: the plug-in KL divergence of

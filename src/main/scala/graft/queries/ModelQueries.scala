@@ -70,6 +70,8 @@ object ModelQueries {
   private val DmsDVocabHandoff  = Handoff.path("dms_domain_vocab")
   private val DmsDStatsHandoff  = Handoff.path("dms_domain_stats")
 
+  private val EntLnHandoff      = Handoff.path("char_entropy_ln")
+
   /** Total token budget for `domain_mix_select` — baked into both the
     * Spark query and the oracle SQL. At sf0.01 (~125k corpus tokens)
     * 20k is genuinely selective; the knob scales with the corpus in a
@@ -393,6 +395,16 @@ object ModelQueries {
         .select(col("doc_id"), col("n_tokens"),
           col("pred_class").as("pred_lang"), col("score_fp"),
           col("lang"), (col("lang") === col("pred_class")).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+    // per-document character entropy (the Gopher/RefinedWeb junk
+    // signal): near-zero = repeated-character padding, high = uniform
+    // noise. The corpus's distinct count values + their ln()s are the
+    // (tiny, corpus-size-independent) handoff; everything else is
+    // re-derived counts and exact integer sums.
+    "t_char_entropy" -> { (s, dir) =>
+      CorpusModels.charEntropy(Tables.documents(s, dir), "doc_id", "text",
+          publish = Handoff.publish(_, EntLnHandoff))
         .orderBy(col("doc_id"))
     },
     // per-source distribution drift: plug-in KL divergence of each
@@ -1159,6 +1171,48 @@ object ModelQueries {
          |FROM documents d
          |JOIN xpred ON d.doc_id = xpred.doc_id
          |LEFT JOIN xdn ON d.doc_id = xdn.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // character-entropy replay: re-derive per-doc char counts and doc
+    // lengths; verify the ln table covers EXACTLY the distinct count
+    // values (row-count guards both ways); replay the fixed-point sums
+    // and the engine-identical division/subtraction chain. Only ln()
+    // rides the handoff.
+    "t_char_entropy" ->
+      s"""WITH lt0 AS (SELECT * FROM ${rp(EntLnHandoff)}),
+         |ec AS (
+         |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+         |        FROM documents)
+         |  WHERE ch <> '' GROUP BY 1, 2
+         |), en AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM ec GROUP BY 1
+         |), evals AS (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT cnt AS v FROM ec UNION SELECT n AS v FROM en)
+         |), eltv AS (
+         |  SELECT lt0.v, lt0.ln_fp FROM lt0 JOIN evals USING (v)
+         |), eok AS (
+         |  SELECT 1 AS ok
+         |  WHERE (SELECT count(*) FROM lt0) = (SELECT count(*) FROM evals)
+         |    AND (SELECT count(*) FROM eltv) = (SELECT count(*) FROM evals)
+         |), es AS (
+         |  SELECT ec.doc_id, CAST(sum(ec.cnt * eltv.ln_fp) AS BIGINT) AS s
+         |  FROM ec JOIN eltv ON ec.cnt = eltv.v GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(en.n, 0) AS BIGINT) AS n_chars,
+         |       CAST(coalesce(es.s, 0) * (SELECT ok FROM eok) AS BIGINT)
+         |         AS sum_clnc_fp,
+         |       CASE WHEN coalesce(en.n, 0) = 0 THEN 0.0
+         |            ELSE (CAST(lnn.ln_fp AS DOUBLE) / 1000000000.0
+         |                  - CAST(es.s AS DOUBLE) / 1000000000.0
+         |                    / CAST(en.n AS DOUBLE))
+         |                 * (SELECT ok FROM eok)
+         |       END AS entropy_nats
+         |FROM documents d
+         |LEFT JOIN en ON d.doc_id = en.doc_id
+         |LEFT JOIN es ON d.doc_id = es.doc_id
+         |LEFT JOIN eltv lnn ON en.n = lnn.v
          |ORDER BY d.doc_id""".stripMargin,
     // KL drift replay: re-derive the (source, token) counts, the
     // corpus-wide token counts, and both totals; accept handoff rows

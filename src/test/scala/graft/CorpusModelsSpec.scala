@@ -660,6 +660,42 @@ class CorpusModelsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- character entropy
+
+  test("charEntropy: hand-computed nats, exact zero on repeated chars, empty/null rows") {
+    val docs = Seq(
+      (0L, "aab"),          // a:2 b:1, n=3
+      (1L, "aaaa"),         // one char: exactly 0.0
+      (2L, "ab"),           // uniform 2: ln 2
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = CorpusModels.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def lnfp(v: Long): Long = math.floor(math.log(v.toDouble) * 1e9).toLong
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getAs[Long]("n_chars"), r.getAs[Long]("sum_clnc_fp"),
+        r.getAs[Double]("entropy_nats")))).toMap
+    assert(byId(0L) === ((3L, 2 * lnfp(2),
+      lnfp(3).toDouble / 1e9 - (2 * lnfp(2)).toDouble / 1e9 / 3.0)))
+    // repeated char: ln(n) and (n·ln(n))/n cancel EXACTLY
+    assert(byId(1L) === ((4L, 4 * lnfp(4), 0.0)))
+    // uniform over 2 chars: H = ln 2 (up to the 1e-9 fixed point)
+    assert(math.abs(byId(2L)._3 - math.log(2.0)) < 1e-8)
+    assert(byId(3L) === ((0L, 0L, 0.0)))
+    assert(byId(4L) === ((0L, 0L, 0.0)))
+    // junk-signal laws: noise scores above natural-ish text, padding below
+    assert(byId(2L)._3 > byId(0L)._3 && byId(0L)._3 > byId(1L)._3)
+  }
+
+  test("charEntropy is partitioning-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = CorpusModels.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = CorpusModels.charEntropy(docs.repartition(11), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   // ------------------------------------------------- Gumbel-top-k resample
 
   /** JVM-side twin of the operator's hash→Gumbel chain, for
