@@ -107,6 +107,32 @@ object AnnQueries {
       val exact = VectorSearch.batchTopK(emb, qs, 10, VectorSearch.Euclidean)
       Ann.recallAtK(approx, exact, 10).orderBy(col("query_id"))
     },
+    // hard-negative mining for contrastive embedding training: per
+    // anchor, the 3 CLOSEST non-duplicate neighbors by cosine — the
+    // E5/SimCSE-style pair-mining batch job. IVF-pruned candidates
+    // (the corpus never shuffles — broadcast cluster join), then drop
+    // self and near-duplicates (cos > 0.95 is a dup, not a negative)
+    // and keep the 3 hardest survivors. The k=20 candidate margin
+    // absorbs dup-heavy neighborhoods; anchors are the 64-vector
+    // sample (mining runs per-batch in practice).
+    "mine_hard_negatives" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val index = persistedIvf(s, dir)
+      writeIvfHandoff(s, index)
+      val anchors = Tables.embeddings(s, dir).filter(col("vec_id") < 64)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val cands = Ann.batchSearchIvf(s, index, anchors, k = 20, nprobe = 4,
+        metric = VectorSearch.Cosine)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      cands.filter(col("vec_id") =!= col("query_id") && col("dist") >= 0.05)
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .filter(col("neg_rank") <= 3)
+        .select(col("query_id"), col("vec_id").as("negative_id"),
+          col("dist"), col("neg_rank"))
+        .orderBy(col("query_id"), col("neg_rank"))
+    },
     "ann_rp_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val q = VectorQueries.qvec(s, dir, 0)
@@ -280,6 +306,46 @@ object AnnQueries {
          |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
          |FROM q LEFT JOIN hits h USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
+    // replay the mining from the index handoff: Euclidean probe
+    // ranking (the batchSearchIvf contract), cosine top-20 candidates
+    // within probed clusters, then the dup/self filter and the
+    // hardest-3 re-rank — all on the bit-equal kernels.
+    "mine_hard_negatives" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |asg AS (SELECT * FROM ${rp(AssignedHandoff)}),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 64
+         |), probes AS (
+         |  SELECT query_id, cluster_id FROM (
+         |    SELECT q.query_id, c.cluster_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY CAST(list_distance(c.centroid, q.qv) AS DOUBLE),
+         |                      c.cluster_id) AS rn
+         |    FROM q CROSS JOIN cents c) AS s WHERE rn <= 4
+         |), cand AS (
+         |  SELECT query_id, vec_id, dist FROM (
+         |    SELECT d.query_id, d.vec_id, d.dist,
+         |           row_number() OVER (PARTITION BY d.query_id
+         |             ORDER BY d.dist, d.vec_id) AS rn
+         |    FROM (
+         |      SELECT p.query_id, e.vec_id,
+         |             1.0 - CAST(list_cosine_similarity(e.embedding, q.qv)
+         |                        AS DOUBLE) AS dist
+         |      FROM probes p
+         |      JOIN asg a ON a.ivf_cluster = p.cluster_id
+         |      JOIN embeddings e ON e.vec_id = a.vec_id
+         |      JOIN q ON q.query_id = p.query_id) AS d) AS s
+         |  WHERE rn <= 20
+         |)
+         |SELECT query_id, vec_id AS negative_id, dist, neg_rank FROM (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY dist, vec_id) AS neg_rank
+         |  FROM cand
+         |  WHERE vec_id <> query_id AND dist >= 0.05) AS r
+         |WHERE neg_rank <= 3
+         |ORDER BY query_id, neg_rank""".stripMargin,
     "ann_rp_topk" ->
       s"""WITH pl AS (SELECT * FROM ${rp(RpPlanesHandoff)}),
          |qp AS (

@@ -152,6 +152,40 @@ class AnnSpec extends SparkSpec {
     } finally idx.assigned.unpersist()
   }
 
+  test("hard-negative mining: no self, no near-dups, hardest-first, dense ranks") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 16)
+    idx.assigned.cache().count()
+    try {
+      val anchors = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+      val cands = Ann.batchSearchIvf(spark, idx, anchors, k = 20, nprobe = 4,
+        metric = graft.operators.VectorSearch.Cosine)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"query_id").orderBy($"dist", $"vec_id")
+      val mined = cands
+        .filter($"vec_id" =!= $"query_id" && $"dist" >= 0.05)
+        .withColumn("neg_rank", row_number().over(w))
+        .filter($"neg_rank" <= 3)
+        .collect()
+      // every anchor mines, no self-pairs, no dups, ranks dense 1..3,
+      // hardest (smallest cosine distance) first
+      assert(mined.nonEmpty)
+      mined.foreach { r =>
+        assert(r.getAs[Long]("vec_id") !== r.getAs[Long]("query_id"))
+        assert(r.getAs[Double]("dist") >= 0.05)
+      }
+      val byQ = mined.groupBy(_.getAs[Long]("query_id"))
+      byQ.foreach { case (q, rs) =>
+        val sorted = rs.sortBy(_.getAs[Int]("neg_rank"))
+        assert(sorted.map(_.getAs[Int]("neg_rank")).toSeq ===
+          (1 to sorted.length).toSeq, s"anchor $q ranks not dense")
+        assert(sorted.map(_.getAs[Double]("dist")).toSeq ===
+          sorted.map(_.getAs[Double]("dist")).sorted.toSeq, s"anchor $q not hardest-first")
+      }
+    } finally idx.assigned.unpersist()
+  }
+
   test("cosineNearDupLsh: no false positives; high recall on clustered data") {
     import graft.operators.Dedup
     val rnd = new scala.util.Random(11)
