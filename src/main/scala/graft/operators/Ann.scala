@@ -291,7 +291,8 @@ object Ann {
   /** Search: rank centroids driver-side (tiny), probe the nprobe nearest
     * clusters, exact top-k within them. */
   def searchIvf(index: IvfIndex, queryVec: Seq[Float], k: Int, nprobe: Int,
-                metric: VectorSearch.Metric = VectorSearch.Euclidean): DataFrame = {
+                metric: VectorSearch.Metric = VectorSearch.Euclidean,
+                filter: Option[Column] = None): DataFrame = {
     val q = queryVec.toArray
     // probe ranking in f32 EUCLIDEAN distance (sqrt, exactly the
     // EuclideanDistF32 kernel — double-rounded sqrt of the f32 acc),
@@ -310,9 +311,15 @@ object Ann {
       }
       .sortBy { case (i, dist) => (dist, i) }
       .take(nprobe).map(_._1).toIndexedSeq
+    // metadata filter INSIDE the probe scan (Chroma's `where` + KNN on
+    // the ANN path): the predicate prunes candidates before the top-k
+    // heap, and on a partitioned-by-cluster layout both the cluster
+    // pruning and the predicate push into the scan. A highly selective
+    // filter can starve k below the probed clusters' survivors — the
+    // caller widens nprobe, exactly the filtered-HNSW tradeoff.
     VectorSearch.topKWithScore(
       index.assigned.filter(col("ivf_cluster").isin(probes: _*)),
-      queryVec, k, metric, None, index.embCol, index.idCol)
+      queryVec, k, metric, filter, index.embCol, index.idCol)
   }
 
   /** BATCH IVF search — [[searchIvf]] for a query SET, fully
@@ -380,6 +387,62 @@ object Ann {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
           .as(s"recall_at_$k"))
+  }
+
+  /** The NDCG@k rank-discount table in [[fp]]-style fixed point:
+    * (rank 1..k, disc_fp = floor(1e9/log2(rank+1))). log2 is a libm
+    * value mapping — not bitwise-portable across engines (the Bm25
+    * scaladoc rule) — so this k-row table is a HANDOFF artifact: the
+    * verifier takes only the value mapping on faith (disc(1) = 1e9
+    * exactly and strict monotone decrease are spec-gated laws) and
+    * re-derives everything DCG-shaped from it as exact integer sums. */
+  def ndcgDiscounts(spark: org.apache.spark.sql.SparkSession, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import scala.jdk.CollectionConverters._
+    val rows = (1 to k).map { r =>
+      org.apache.spark.sql.Row(r.toLong,
+        math.floor(1e9 / (math.log((r + 1).toDouble) / math.log(2.0))).toLong)
+    }
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("disc_fp", org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** NDCG@k of an approximate ranking against exact ground truth —
+    * the rank-SENSITIVE companion to [[recallAtK]] (recall says the
+    * right ids came back; NDCG says they came back in the right
+    * ORDER). Graded relevance is derived from the exact side: the
+    * exact rank-r id carries rel = k+1−r (top hit k, k-th hit 1; ids
+    * outside the exact top-k are 0). DCG_fp = Σ rel·disc_fp(approx
+    * rank) in exact longs over the `discounts` table
+    * ([[ndcgDiscounts]]); IDCG_fp is the constant Σ (k+1−r)·disc_fp(r)
+    * (every query's ideal ordering has the same grade profile);
+    * ndcg = DCG_fp/IDCG_fp, one engine-stable IEEE division.
+    *
+    * Inputs are (qIdCol, idCol, rank-ordering column `rnCol`) top-k
+    * frames — Q·k rows, nothing corpus-sized. Output: (qIdCol,
+    * dcg_fp, ndcg_at_k) for every query in `exact`. */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, discounts: DataFrame,
+              k: Int, qIdCol: String = "query_id", idCol: String = "vec_id",
+              rnCol: String = "rn"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val disc = broadcast(discounts.select(col("rank"), col("disc_fp")))
+    val idcgFp = discounts.filter(col("rank") <= k)
+      .select(sum((lit(k + 1) - col("rank")) * col("disc_fp")))
+      .head().getLong(0)
+    val rel = exact.select(col(qIdCol), col(idCol),
+      (lit(k + 1) - col(rnCol).cast("long")).as("__rel"))
+    val dcg = approx.select(col(qIdCol), col(idCol), col(rnCol).cast("long").as("rank"))
+      .join(rel, Seq(qIdCol, idCol), "left")
+      .join(disc, Seq("rank"))
+      .groupBy(col(qIdCol))
+      .agg(sum(coalesce(col("__rel"), lit(0L)) * col("disc_fp")).as("dcg_fp"))
+    exact.select(col(qIdCol)).distinct()
+      .join(dcg, Seq(qIdCol), "left")
+      .select(col(qIdCol),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
+        (coalesce(col("dcg_fp"), lit(0L)).cast("double") / lit(idcgFp.toDouble))
+          .as(s"ndcg_at_$k"))
   }
 
   // ------------------------------------------- JL random projection (RP)

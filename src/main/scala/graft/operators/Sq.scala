@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Scalar quantization (SQ8) for the embedding column: each vector is
+  * L2-normalized and its components mapped to int8 — 4× smaller than
+  * f32, and candidate ranking becomes an EXACT int64 dot product
+  * (integer arithmetic is engine- and order-portable, the repo's
+  * fixed-point rule). The faiss `SQ8` / Lucene `int8` idea, completing
+  * the compression family next to PQ (8-byte codes, codebook lookup)
+  * and the JL projection (d'=16 floats): SQ8 keeps full
+  * dimensionality, needs NO trained codebook (every vector quantizes
+  * independently — append-friendly by construction, no drift-refit
+  * cycle), and reranks exactly.
+  *
+  * Quantization contract (shared kernel [[sq8Codes]], used by the
+  * corpus UDF and the query side so the two cannot fork):
+  *   norm  = f32 sqrt of the f32 sum of squares — exactly the
+  *           EuclideanDistF32 kernel against the zero vector, hence
+  *           DuckDB `list_distance(e, zeros)` bit-parity;
+  *   code_i = clamp(floor(x_i/norm · 127 + 0.5), −127, 127), computed
+  *           in IEEE doubles on exact f32 inputs — engine-identical;
+  *           the clamp covers the 1-ulp case where f32 norm rounds
+  *           below a dominant |x_i| and the ratio exceeds 1;
+  *   zero vector → all-zero codes (no NaN ever enters the column).
+  *
+  * Every stage — the codes, the int dot, the top-R candidate cut, the
+  * f32 exact rerank — is replayable in SQL from `embeddings` alone: no
+  * handoff artifact at all, the only ANN variant with that property.
+  *
+  * Scale shape: the candidate scan reads ONLY the d-byte code column
+  * (parquet column pruning; 4× less IO than f32, 16× less than a
+  * doubled corpus) and keeps per-partition top-R heaps
+  * (TakeOrderedAndProject — no shuffle, k rows per task to the
+  * driver); the exact rerank touches R rows' f32 vectors. */
+object Sq {
+
+  /** Shared int8 quantization kernel — see the object scaladoc for the
+    * exact arithmetic contract. */
+  private[graft] def sq8Codes(v: Array[Float]): Array[Byte] = {
+    var acc = 0.0f
+    var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(acc.toDouble).toFloat
+    val out = new Array[Byte](v.length)
+    if (nrm != 0.0f) {
+      i = 0
+      while (i < v.length) {
+        val q = math.floor(v(i).toDouble / nrm.toDouble * 127.0 + 0.5)
+        out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Exact int64 dot product of two code vectors (≤ d·127² ≈ 2²⁴·d —
+    * nowhere near overflow at any real dimension). */
+  private[graft] def dot8(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+
+  /** Add the int8 code column (`BinaryType`, d bytes/row). Null
+    * embeddings stay null. Stateless per row — quantize once at
+    * ingest and append forever, no fit to drift from. */
+  def quantize(df: DataFrame, embCol: String = "embedding",
+               codeCol: String = "sq_code"): DataFrame = {
+    val enc = udf { (v: Seq[Float]) =>
+      if (v == null) null else sq8Codes(v.toArray)
+    }
+    df.withColumn(codeCol, enc(col(embCol)))
+  }
+
+  /** SQ8 ANN: rank all codes by exact int dot against the quantized
+    * query (desc, id — a per-partition-heap TakeOrdered, no shuffle),
+    * keep `rerank` candidates, then exact f32 cosine top-k. Returns
+    * (all input columns minus emb/code) + (approx_dot, cos_sim) in
+    * (cos_sim desc, id) order. */
+  def searchSq8(quantized: DataFrame, queryVec: Seq[Float], k: Int,
+                rerank: Int, embCol: String = "embedding",
+                idCol: String = "vec_id",
+                codeCol: String = "sq_code"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val qc = sq8Codes(queryVec.toArray)
+    val dotU = udf { (c: Array[Byte]) =>
+      if (c == null) null else java.lang.Long.valueOf(dot8(c, qc))
+    }
+    quantized
+      .withColumn("approx_dot", dotU(col(codeCol)))
+      .filter(col("approx_dot").isNotNull)
+      .orderBy(col("approx_dot").desc, col(idCol))
+      .limit(rerank)
+      .withColumn("cos_sim",
+        cosSimF32(col(embCol), typedLit(queryVec)).cast("double"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .drop(embCol, codeCol)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, PartitionedTopK, Pq, VectorSearch}
+import graft.operators.{Ann, PartitionedTopK, Pq, Sq, VectorSearch}
 
 /** ANN + scale-path search queries. `batch_topk_partitioned` is exact
   * (same oracle as the window formulation — the plans differ, the answer
@@ -32,6 +32,7 @@ object AnnQueries {
   private val LshBucketsHandoff = Handoff.path("lsh_buckets")
   private val PqCandHandoff    = Handoff.path("pq_candidates")
   private val RpPlanesHandoff  = Handoff.path("rp_planes")
+  private val NdcgDiscHandoff  = Handoff.path("ndcg_discounts")
 
   /** RP path dimensions: d'=16 planes, 50 candidates for the exact
     * top-10 rerank. */
@@ -156,6 +157,50 @@ object AnnQueries {
       writeIvfHandoff(s, index)
       Ann.searchIvf(index, VectorQueries.qvec(s, dir, 0), 10, nprobe = 4)
         .drop("embedding")
+    },
+    // Chroma's `where` + KNN on the ANN path (the reference pairs its
+    // metadata filter with every search — vector_store.py:148,165;
+    // a7 covers the brute-force side): the predicate prunes INSIDE
+    // the probed clusters, before the top-k heap. The oracle replays
+    // probes + assignment + the same predicate. nprobe widened to 8:
+    // a selective filter thins each probed cluster, the filtered-ANN
+    // recall tradeoff the scaladoc documents.
+    "ann_ivf_filtered" -> { (s, dir) =>
+      val index = persistedIvf(s, dir)
+      writeIvfHandoff(s, index)
+      Ann.searchIvf(index, VectorQueries.qvec(s, dir, 0), 10, nprobe = 8,
+          filter = Some(col("label").isin(2, 3) || col("label") >= 8))
+        .drop("embedding")
+    },
+    // SQ8 scalar-quantized ANN: int8 codes (4x smaller), EXACT int64
+    // dot-product candidate ranking over the code column only, f32
+    // exact rerank of the top-32. The only ANN variant with NO
+    // handoff artifact: quantization is per-row floor arithmetic on
+    // the f32 norm (list_distance-vs-zeros bit-parity), so the oracle
+    // re-derives the codes, the integer dots, the candidate cut and
+    // the rerank from `embeddings` alone.
+    "ann_sq8" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      Sq.searchSq8(Sq.quantize(emb), VectorQueries.qvec(s, dir, 0),
+        k = 10, rerank = 32)
+    },
+    // NDCG@10 of the IVF ranking vs exact ground truth — the
+    // rank-sensitive companion to ann_recall_report on the same
+    // 32-query sample and persisted index (recall counts hits; NDCG
+    // scores their ORDER, graded by the exact rank). The 10-row
+    // log2-discount table is the one handoff (the ln rule); relevance
+    // grades, DCG sums and the IDCG constant are exact integers.
+    "ann_ndcg_report" -> { (s, dir) =>
+      val index = persistedIvf(s, dir)
+      writeIvfHandoff(s, index)
+      val disc = Handoff.publish(Ann.ndcgDiscounts(s, 10), NdcgDiscHandoff)
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val approx = Ann.batchSearchIvf(s, index, qs, k = 10, nprobe = 4)
+      val exact = VectorSearch.batchTopK(emb, qs, 10, VectorSearch.Euclidean)
+      Ann.ndcgAtK(approx, exact, disc, 10).orderBy(col("query_id"))
     },
     // IVF-PQ: same persisted coarse index, corpus re-expressed as
     // 8-byte residual codes, ADC candidate ranking + exact rerank.
@@ -390,6 +435,110 @@ object AnnQueries {
          |WHERE a.ivf_cluster IN (SELECT cluster_id FROM probes)
          |ORDER BY dist, e.vec_id
          |LIMIT 10""".stripMargin,
+    // ann_ivf's replay + the same predicate inside the probed set
+    // (nprobe 8)
+    "ann_ivf_filtered" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |probes AS (
+         |  SELECT cluster_id FROM cents CROSS JOIN $qvecSql q
+         |  ORDER BY CAST(list_distance(centroid, q.qv) AS DOUBLE), cluster_id
+         |  LIMIT 8
+         |),
+         |asg AS (SELECT * FROM ${rp(AssignedHandoff)})
+         |SELECT e.vec_id, e.label, a.ivf_cluster,
+         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM embeddings e
+         |JOIN asg a ON e.vec_id = a.vec_id
+         |CROSS JOIN $qvecSql q
+         |WHERE a.ivf_cluster IN (SELECT cluster_id FROM probes)
+         |  AND (e.label IN (2, 3) OR e.label >= 8)
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    // full SQ8 replay from embeddings alone: f32 norm via
+    // list_distance against the zero vector, the same
+    // floor(x/norm*127+0.5) clamp in IEEE doubles, exact int dots,
+    // top-32 candidate cut, f32 cosine rerank
+    "ann_sq8" ->
+      """WITH z AS (
+        |  SELECT vec_id, label, embedding,
+        |         list_distance(embedding,
+        |           list_transform(embedding, x -> CAST(0.0 AS FLOAT))) AS nrm
+        |  FROM embeddings
+        |), codes AS (
+        |  SELECT vec_id, label, embedding,
+        |         CASE WHEN nrm = 0
+        |              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(embedding, x ->
+        |                CAST(GREATEST(-127, LEAST(127,
+        |                  floor(CAST(x AS DOUBLE)/CAST(nrm AS DOUBLE)*127.0 + 0.5)))
+        |                  AS BIGINT))
+        |         END AS code
+        |  FROM z
+        |), q AS (SELECT code AS qcode, embedding AS qe FROM codes WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT c.vec_id, c.label,
+        |         CAST(list_sum(list_transform(list_zip(c.code, q.qcode),
+        |           t -> t[1]*t[2])) AS BIGINT) AS approx_dot,
+        |         CAST(list_cosine_similarity(c.embedding, q.qe) AS DOUBLE) AS cos_sim
+        |  FROM codes c CROSS JOIN q
+        |  WHERE c.vec_id <> 0
+        |), cand AS (
+        |  SELECT * FROM scored ORDER BY approx_dot DESC, vec_id LIMIT 32
+        |)
+        |SELECT vec_id, label, approx_dot, cos_sim FROM cand
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // both rankings replayed from the index handoff (the
+    // ann_recall_report replay), grades + DCG as exact integer sums
+    // over the discount handoff, IDCG the same constant both engines
+    // derive from it
+    "ann_ndcg_report" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |asg AS (SELECT * FROM ${rp(AssignedHandoff)}),
+         |disc AS (SELECT * FROM ${rp(NdcgDiscHandoff)}),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 32
+         |), probes AS (
+         |  SELECT query_id, cluster_id FROM (
+         |    SELECT q.query_id, c.cluster_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY CAST(list_distance(c.centroid, q.qv) AS DOUBLE),
+         |                      c.cluster_id) AS rn
+         |    FROM q CROSS JOIN cents c) AS s WHERE rn <= 4
+         |), approx AS (
+         |  SELECT query_id, vec_id, rn FROM (
+         |    SELECT p.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY CAST(list_distance(e.embedding, q.qv) AS DOUBLE),
+         |                      e.vec_id) AS rn
+         |    FROM probes p
+         |    JOIN asg a ON a.ivf_cluster = p.cluster_id
+         |    JOIN embeddings e ON e.vec_id = a.vec_id
+         |    JOIN q ON q.query_id = p.query_id) AS s WHERE rn <= 10
+         |), exact AS (
+         |  SELECT query_id, vec_id, rn FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY CAST(list_distance(e.embedding, q.qv) AS DOUBLE),
+         |                      e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e) AS s WHERE rn <= 10
+         |), idcg AS (
+         |  SELECT CAST(sum((11 - rank) * disc_fp) AS BIGINT) AS idcg_fp
+         |  FROM disc WHERE rank <= 10
+         |), dcg AS (
+         |  SELECT a.query_id,
+         |         CAST(sum(coalesce(11 - e.rn, 0) * d.disc_fp) AS BIGINT) AS dcg_fp
+         |  FROM approx a
+         |  JOIN disc d ON d.rank = a.rn
+         |  LEFT JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |  GROUP BY a.query_id
+         |)
+         |SELECT q.query_id,
+         |       CAST(coalesce(g.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+         |       CAST(coalesce(g.dcg_fp, 0) AS DOUBLE) /
+         |         CAST(i.idcg_fp AS DOUBLE) AS ndcg_at_10
+         |FROM q LEFT JOIN dcg g USING (query_id) CROSS JOIN idcg i
+         |ORDER BY q.query_id""".stripMargin,
     "ann_ivfpq" ->
       s"""WITH h AS (SELECT * FROM ${rp(PqCandHandoff)})
          |SELECT h.vec_id, h.adc_dist,

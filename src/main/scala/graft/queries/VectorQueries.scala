@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.VectorSearch
+import graft.operators.{Rerank, VectorSearch}
 import graft.operators.VectorSearch.{Euclidean, Cosine}
 
 /** SURVEY.md §2.A search surface as driver-checkable queries over
@@ -79,6 +79,21 @@ object VectorQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       VectorSearch.batchTopK(emb, qs, 5, Euclidean).drop("rn")
     },
+    // MMR diversified retrieval (LangChain search_type="mmr" over the
+    // reference's retriever surface): per query, top-24 cosine
+    // candidates (self-excluded via the two-sided candFilter), then
+    // the greedy lambda=0.5 diversity rerank to 8. Every pick replays
+    // in SQL as a recursive CTE over the bit-equal f32 cosine kernel
+    // — the one oracle in the suite that verifies a greedy LOOP
+    // step-for-step.
+    "mmr_rerank" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Rerank.batchMmr(emb, qs, k = 8, fetchK = 24,
+        candFilter = Some(col("vec_id") =!= col("query_id")))
+    },
     // cosine variant (the engine's sane-default metric, SURVEY §1.5)
     "cosine_topk" -> { (s, dir) =>
       Tables.embeddings(s, dir)
@@ -151,6 +166,47 @@ object VectorQueries {
         |)
         |SELECT query_id, vec_id, dist FROM d WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    // greedy MMR as a recursive CTE: the working row per query carries
+    // the picked-id list; each step's LATERAL argmax re-derives every
+    // candidate's lambda-blend (true max over picked — cosines can be
+    // negative; only the empty-set base case uses 0) with the same
+    // (score DESC, vec_id) tie-break as the Scala kernel
+    "mmr_rerank" ->
+      """WITH RECURSIVE cand0 AS (
+        |  SELECT q.query_id, e.vec_id, e.embedding,
+        |         CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS sim,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY CAST(list_cosine_similarity(e.embedding, q.qe)
+        |                         AS DOUBLE) DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN
+        |       (SELECT vec_id AS query_id, embedding AS qe
+        |        FROM embeddings WHERE vec_id < 4) q
+        |  WHERE e.vec_id <> q.query_id
+        |), c AS (SELECT query_id, vec_id, embedding, sim FROM cand0 WHERE rn <= 24),
+        |mmr AS (
+        |  SELECT query_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank,
+        |         0.5*sim AS mmr_score, [vec_id] AS picked
+        |  FROM c WHERE (query_id, vec_id) IN
+        |    (SELECT (query_id, vec_id) FROM cand0 WHERE rn = 1)
+        |  UNION ALL
+        |  SELECT m.query_id, nxt.vec_id, m.mmr_rank + 1, nxt.score,
+        |         list_append(m.picked, nxt.vec_id)
+        |  FROM mmr m, LATERAL (
+        |     SELECT c2.vec_id,
+        |            0.5*c2.sim - 0.5*(
+        |              SELECT max(CAST(list_cosine_similarity(c2.embedding,
+        |                                                     c3.embedding) AS DOUBLE))
+        |              FROM c c3 WHERE c3.query_id = m.query_id
+        |                AND list_contains(m.picked, c3.vec_id)) AS score
+        |     FROM c c2
+        |     WHERE c2.query_id = m.query_id
+        |       AND NOT list_contains(m.picked, c2.vec_id)
+        |     ORDER BY score DESC, c2.vec_id LIMIT 1
+        |  ) nxt
+        |  WHERE m.mmr_rank < 8
+        |)
+        |SELECT query_id, vec_id, mmr_rank, mmr_score FROM mmr
+        |ORDER BY query_id, mmr_rank""".stripMargin,
     "cosine_topk" ->
       s"""SELECT e.vec_id, e.label,
          |       CAST(list_cosine_similarity(e.embedding, q) AS DOUBLE) AS cos_sim

@@ -212,6 +212,63 @@ object Serving {
     hits.toSeq.sortBy(h => (h.dist, h.vecId)).take(k)
   }
 
+  /** One diversified pick of [[mmrIvf]]. */
+  final case class MmrHit(vecId: Long, rank: Long, score: Double)
+
+  /** Single-query MMR-diversified retrieval from a
+    * [[graft.operators.Ann.saveIvf]] layout, no Spark: probe the
+    * `nprobe` nearest clusters exactly as [[searchIvf]] (f32 squared
+    * centroid distance, ties to the lower id), rank the probed rows by
+    * f32 cosine (desc, id) keeping `fetchK` candidates, then run the
+    * ONE shared greedy kernel ([[graft.operators.Rerank.mmrKernel]])
+    * — batch and serve picks cannot fork. `excludeId` drops one corpus
+    * row (the gate/spec self-exclusion; pass the default −1 for a
+    * foreign query vector). With nprobe = numClusters the candidate
+    * pool equals brute force and the picks match
+    * [[graft.operators.Rerank.batchMmr]] doc-for-doc (spec-pinned,
+    * zero Spark jobs). */
+  def mmrIvf(indexDir: String, query: Array[Float], k: Int, fetchK: Int,
+             nprobe: Int, lambda: Double = 0.5, excludeId: Long = -1L,
+             conf: Configuration = defaultConf,
+             cache: IndexCache = noCache): Seq[MmrHit] = {
+    val base = indexDir.stripSuffix("/")
+    val cents = cache.getOrLoad(s"$base/centroids") {
+      val b = mutable.ArrayBuffer.empty[(Int, Array[Float])]
+      foreachGroup(conf, s"$base/centroids") { g =>
+        b += ((g.getInteger("cluster_id", 0), floatArray(g, "centroid")))
+      }
+      b.toSeq
+    }
+    require(cents.nonEmpty, s"no centroids under $base/centroids")
+    val probes = cents.map { case (i, c) =>
+      require(c.length == query.length,
+        s"query dim ${query.length} != centroid dim ${c.length}")
+      var acc = 0.0f; var d = 0
+      while (d < c.length) { val x = c(d) - query(d); acc += x * x; d += 1 }
+      (i, acc)
+    }.sortBy { case (i, dist) => (dist, i) }.take(nprobe).map(_._1)
+    val cands = mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
+    probes.foreach { c =>
+      val dir = s"$base/corpus/ivf_cluster=$c"
+      val vecs = cache.getOrLoad(dir) {
+        val b = mutable.ArrayBuffer.empty[(Long, Int, Array[Float])]
+        foreachGroup(conf, dir) { g =>
+          b += ((g.getLong("vec_id", 0), g.getInteger("label", 0),
+            floatArray(g, "embedding")))
+        }
+        b.toSeq
+      }
+      vecs.foreach { case (id, _, v) =>
+        if (id != excludeId)
+          cands += ((id, graft.operators.Rerank.cosSimLocal(v, query).toDouble, v))
+      }
+    }
+    val top = cands.sortBy { case (id, sim, _) => (-sim, id) }.take(fetchK).toArray
+    graft.operators.Rerank
+      .mmrKernel(top.map(_._1), top.map(_._2), top.map(_._3), k, lambda)
+      .map(p => MmrHit(p.id, p.rank, p.score)).toSeq
+  }
+
   // ----------------------------------------------------------- BM25 probe
 
   final case class Bm25Hit(id: Long, bm25Fp: Long, nTerms: Long)

@@ -347,6 +347,65 @@ class AnnSpec extends SparkSpec {
     assert(full === exactTopK(q, 10))
   }
 
+  test("searchIvf filter: predicate prunes candidates; nprobe=ALL equals filtered exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 8)
+    val q = qvec(3L)
+    val pred = $"label" === 2 || $"label" === 5
+    val got = Ann.searchIvf(idx, q, 10, nprobe = 8, filter = Some(pred))
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, l) => l == 2 || l == 5 }, "every hit satisfies the predicate")
+    val exact = VectorSearch.topKWithScore(emb.filter(pred), q, 10)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toSeq
+    assert(got === exact, "nprobe=ALL filtered IVF must equal brute-force filtered top-k")
+    // and a narrower probe set returns a subset of the predicate's rows
+    val narrow = Ann.searchIvf(idx, q, 10, nprobe = 2, filter = Some(pred))
+      .select($"label").as[Int].collect()
+    assert(narrow.forall(l => l == 2 || l == 5))
+  }
+
+  test("ndcgDiscounts: disc(1) = 1e9 exactly, strictly decreasing, k rows") {
+    val d = Ann.ndcgDiscounts(spark, 10)
+      .orderBy($"rank").as[(Long, Long)].collect().toSeq
+    assert(d.size === 10)
+    assert(d.head === ((1L, 1000000000L)), "log2(2)=1 -> discount exactly 1e9")
+    assert(d.map(_._2) === d.map(_._2).sorted.reverse)
+    assert(d.map(_._2).distinct.size === 10, "strict decrease")
+  }
+
+  test("ndcgAtK: perfect ranking scores 1.0; order flips cost; disjoint scores 0") {
+    val disc = Ann.ndcgDiscounts(spark, 3)
+    val exact = Seq((1L, 100L, 1), (1L, 200L, 2), (1L, 300L, 3))
+      .toDF("query_id", "vec_id", "rn")
+    def score(approx: Seq[(Long, Long, Int)]): Double =
+      Ann.ndcgAtK(approx.toDF("query_id", "vec_id", "rn"), exact, disc, 3)
+        .select($"ndcg_at_3").as[Double].head()
+    assert(score(Seq((1L, 100L, 1), (1L, 200L, 2), (1L, 300L, 3))) === 1.0)
+    val flipped = score(Seq((1L, 200L, 1), (1L, 100L, 2), (1L, 300L, 3)))
+    assert(flipped < 1.0 && flipped > 0.5, s"flip costs but keeps most credit: $flipped")
+    assert(score(Seq((1L, 900L, 1), (1L, 901L, 2), (1L, 902L, 3))) === 0.0)
+    // a query the approx side missed entirely still reports, at 0
+    val missed = Ann.ndcgAtK(
+      Seq((2L, 100L, 1)).toDF("query_id", "vec_id", "rn"), exact, disc, 3)
+      .select($"query_id", $"ndcg_at_3").as[(Long, Double)].collect().toSeq
+    assert(missed === Seq((1L, 0.0)))
+  }
+
+  test("ndcgAtK on the fixture: IVF ranking scores within (0,1], above its own recall floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 8)
+    val qs = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val approx = Ann.batchSearchIvf(spark, idx, qs, k = 10, nprobe = 4)
+    val exact = VectorSearch.batchTopK(emb, qs, 10, VectorSearch.Euclidean)
+    val disc = Ann.ndcgDiscounts(spark, 10)
+    val rows = Ann.ndcgAtK(approx, exact, disc, 10)
+      .select($"query_id", $"ndcg_at_10").as[(Long, Double)].collect().toSeq
+    assert(rows.size === 8)
+    assert(rows.forall { case (_, n) => n > 0.0 && n <= 1.0 })
+  }
+
   test("incremental assignToIvf matches MLlib's own assignment on the fit corpus") {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Ann.buildIvf(emb, numClusters = 8)

@@ -36,6 +36,27 @@ class ServingSpec extends SparkSpec {
     assert(viaServing === viaSpark)
   }
 
+  test("MMR serving probe (nprobe=ALL) == batchMmr, pick for pick, zero Spark jobs") {
+    val path = ivfPath
+    val q = VectorQueries.qvec(spark, sfDir, 0)
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val viaSpark = graft.operators.Rerank
+      .batchMmr(emb, qs, k = 8, fetchK = 24,
+        candFilter = Some($"vec_id" =!= $"query_id"))
+      .select($"vec_id", $"mmr_rank", $"mmr_score")
+      .as[(Long, Long, Double)].collect().toSeq
+    Serving.mmrIvf(path, q.toArray, 8, 24, nprobe = 16, excludeId = 0L) // warm
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val viaServing = Serving.mmrIvf(path, q.toArray, 8, 24, nprobe = 16,
+        excludeId = 0L)
+      .map(h => (h.vecId, h.rank, h.score))
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "MMR probe must not launch Spark jobs")
+    assert(viaServing === viaSpark)
+  }
+
   test("serving probe answers without a Spark job, well under the job floor") {
     val path = ivfPath
     val q = VectorQueries.qvec(spark, sfDir, 0).toArray

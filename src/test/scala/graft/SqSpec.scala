@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.Sq
+
+/** SQ8 scalar quantization: kernel arithmetic (clamp edges, zero
+  * vector), exact integer dot, search contract, and recall sanity of
+  * the quantized candidate ranking. */
+class SqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codes are d bytes, bounded to [-127,127]; dominant component hits the rail") {
+    val c = Sq.sq8Codes(Array(0.0f, 5.0f, 0.0f))
+    assert(c.toSeq === Seq[Byte](0, 127, 0))
+    val n = Sq.sq8Codes(Array(-3.0f, 0.0f))
+    assert(n.toSeq === Seq[Byte](-127, 0))
+    val f = Sq.sq8Codes(Array.fill(64)(0.125f))
+    assert(f.length === 64)
+    assert(f.forall(b => b >= -127 && b <= 127))
+  }
+
+  test("zero vector quantizes to all-zero codes (no NaN path)") {
+    assert(Sq.sq8Codes(Array(0.0f, 0.0f, 0.0f)).toSeq === Seq[Byte](0, 0, 0))
+  }
+
+  test("quantization is scale-invariant (codes depend only on direction)") {
+    val v = Array(0.3f, -0.7f, 0.64f, 0.01f)
+    val scaled = v.map(_ * 8.0f) // exact f32 scaling: direction unchanged
+    assert(Sq.sq8Codes(v).toSeq === Sq.sq8Codes(scaled).toSeq)
+  }
+
+  test("dot8 matches a BigInt reference on random codes") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val a = Array.fill(64)((rnd.nextInt(255) - 127).toByte)
+      val b = Array.fill(64)((rnd.nextInt(255) - 127).toByte)
+      val ref = a.zip(b).map { case (x, y) => BigInt(x.toInt) * BigInt(y.toInt) }.sum
+      assert(BigInt(Sq.dot8(a, b)) === ref)
+    }
+  }
+
+  test("quantize: null embedding stays null; code column is BinaryType") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val q = Sq.quantize(df)
+    assert(q.schema("sq_code").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val rows = q.orderBy($"vec_id").select($"sq_code").collect()
+    assert(rows(0).get(0) != null)
+    assert(rows(1).get(0) == null)
+  }
+
+  test("searchSq8 returns k rows in (cos_sim desc, id) order with exact int dots") {
+    val emb = Tables.embeddings(spark, sfDir).filter($"vec_id" =!= 0)
+    val q = graft.queries.VectorQueries.qvec(spark, sfDir, 0)
+    val out = Sq.searchSq8(Sq.quantize(emb), q, k = 10, rerank = 32)
+      .select($"vec_id", $"approx_dot", $"cos_sim")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.size === 10)
+    assert(out.map(r => (-r._3, r._1)) === out.map(r => (-r._3, r._1)).sorted)
+    // dots re-derived driver-side from the same kernel
+    val all = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (i, e) => i -> Sq.sq8Codes(e.toArray) }.toMap
+    val qc = Sq.sq8Codes(q.toArray)
+    out.foreach { case (id, dot, _) => assert(dot === Sq.dot8(all(id), qc)) }
+  }
+
+  test("quantized candidate ranking reaches recall@10 >= 0.9 vs exact cosine") {
+    val emb = Tables.embeddings(spark, sfDir).filter($"vec_id" =!= 0)
+    val q = graft.queries.VectorQueries.qvec(spark, sfDir, 0)
+    val approx = Sq.searchSq8(Sq.quantize(emb), q, k = 10, rerank = 32)
+      .select($"vec_id").as[Long].collect().toSet
+    val exact = emb
+      .withColumn("cs", cosSimF32($"embedding", typedLit(q)).cast("double"))
+      .orderBy($"cs".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (approx & exact).size / 10.0
+    info(f"SQ8 recall@10 = $recall%.2f")
+    assert(recall >= 0.9, s"SQ8 with 32-candidate rerank should be near-exact, got $recall")
+  }
+
+  test("searchSq8 guards: rerank >= k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    intercept[IllegalArgumentException](
+      Sq.searchSq8(Sq.quantize(emb), Seq(1.0f), k = 5, rerank = 4))
+  }
+}
