@@ -290,6 +290,23 @@ object Ann {
 
   /** Search: rank centroids driver-side (tiny), probe the nprobe nearest
     * clusters, exact top-k within them. */
+  /** Driver-side probe ranking shared by every single-query IVF
+    * variant ([[searchIvf]], [[Sq.searchIvfSq8]], the serving probes):
+    * f32 Euclidean distance to each centroid (sqrt-rounded — see the
+    * probe comment in [[searchIvf]]), ties to the lower cluster id. */
+  private[graft] def rankProbes(centroids: Array[Array[Float]],
+                                q: Array[Float], nprobe: Int): IndexedSeq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        require(c.length == q.length,
+          s"rankProbes: query dim ${q.length} != centroid dim ${c.length}")
+        var acc = 0.0f; var d = 0
+        while (d < c.length) { val x = c(d) - q(d); acc += x * x; d += 1 }
+        (i, math.sqrt(acc.toDouble).toFloat)
+      }
+      .sortBy { case (i, dist) => (dist, i) }
+      .take(nprobe).map(_._1).toIndexedSeq
+
   def searchIvf(index: IvfIndex, queryVec: Seq[Float], k: Int, nprobe: Int,
                 metric: VectorSearch.Metric = VectorSearch.Euclidean,
                 filter: Option[Column] = None): DataFrame = {
@@ -301,16 +318,7 @@ object Ann {
     // rounding can merge two distinct squared values — ranking the
     // same quantity on every path keeps the probe set identical even
     // at those collisions (tie → smaller cluster id everywhere)
-    val probes = index.centroids.zipWithIndex
-      .map { case (c, i) =>
-        require(c.length == q.length,
-          s"searchIvf: query dim ${q.length} != centroid dim ${c.length}")
-        var acc = 0.0f; var d = 0
-        while (d < c.length) { val x = c(d) - q(d); acc += x * x; d += 1 }
-        (i, math.sqrt(acc.toDouble).toFloat)
-      }
-      .sortBy { case (i, dist) => (dist, i) }
-      .take(nprobe).map(_._1).toIndexedSeq
+    val probes = rankProbes(index.centroids, q, nprobe)
     // metadata filter INSIDE the probe scan (Chroma's `where` + KNN on
     // the ANN path): the predicate prunes candidates before the top-k
     // heap, and on a partitioned-by-cluster layout both the cluster

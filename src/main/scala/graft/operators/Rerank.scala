@@ -148,4 +148,31 @@ object Rerank {
       .toDF(qIdCol, idCol, "mmr_rank", "mmr_score")
       .orderBy(col(qIdCol), col("mmr_rank"))
   }
+
+  /** RAG context assembly under a token budget — the step between
+    * retrieval and the LLM call (the reference's serving flow stuffs
+    * retrieved chunks into the prompt; a budget-aware assembler is
+    * what that becomes once prompts have a hard token limit): keep
+    * each query's ranked PREFIX whose cumulative token count stays
+    * within `budget`, stopping at the first overflow (rank order is
+    * relevance order — skipping a big chunk to squeeze in a worse one
+    * would reorder evidence; next-fit packing for training batches is
+    * [[Packing]]'s job, not serving's).
+    *
+    * `ranked`: (qIdCol, rankCol, tokCol, ...) — a per-query ranked
+    * candidate frame (Q·k rows, nothing corpus-sized). Adds
+    * `cum_tokens` (running total in rank order, exact longs) and
+    * filters to the budget prefix; one hash exchange by query id.
+    * Token counts are non-negative, so the running total is monotone
+    * and the `<= budget` filter IS the stop-at-first-overflow prefix. */
+  def contextBudget(ranked: DataFrame, budget: Long,
+                    qIdCol: String = "query_id", rankCol: String = "rn",
+                    tokCol: String = "n_tokens"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col(rankCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("cum_tokens", sum(col(tokCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

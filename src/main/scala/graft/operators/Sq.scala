@@ -104,4 +104,24 @@ object Sq {
       .limit(k)
       .drop(embCol, codeCol)
   }
+
+  /** IVF + SQ8 — the combined at-scale shape (faiss `IVF<n>,SQ8`):
+    * coarse cluster pruning cuts the scan to ~nprobe/k of the corpus,
+    * the int8 dot ranks the survivors on 4×-compressed codes, and the
+    * f32 rerank restores exact order for the final k. Quantization
+    * here runs in-plan over the PRUNED rows (bounded, and exactly what
+    * the SQL oracle replays); a production table stores `sq_code`
+    * next to `ivf_cluster` at ingest ([[quantize]] is stateless, so
+    * appends quantize independently — no codebook refit ever) and the
+    * scan then reads d bytes/row instead of 4d.
+    *
+    * Probe ranking is the exact [[Ann.searchIvf]] contract
+    * ([[Ann.rankProbes]] — shared, cannot fork). */
+  def searchIvfSq8(index: Ann.IvfIndex, queryVec: Seq[Float], k: Int,
+                   rerank: Int, nprobe: Int): DataFrame = {
+    val probes = Ann.rankProbes(index.centroids, queryVec.toArray, nprobe)
+    val pruned = index.assigned.filter(col("ivf_cluster").isin(probes: _*))
+    searchSq8(quantize(pruned, index.embCol), queryVec, k, rerank,
+      index.embCol, index.idCol)
+  }
 }

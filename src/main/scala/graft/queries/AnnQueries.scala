@@ -184,6 +184,17 @@ object AnnQueries {
       Sq.searchSq8(Sq.quantize(emb), VectorQueries.qvec(s, dir, 0),
         k = 10, rerank = 32)
     },
+    // IVF + SQ8 (faiss IVF16,SQ8): coarse pruning to nprobe=4
+    // clusters, int8-dot ranking of the survivors, exact f32 rerank.
+    // Probe replay from the centroid handoff (the ann_ivf contract);
+    // codes/dots/cut/rerank re-derived from embeddings (the ann_sq8
+    // contract) — composition of the two oracles.
+    "ann_ivf_sq8" -> { (s, dir) =>
+      val index = persistedIvf(s, dir)
+      writeIvfHandoff(s, index)
+      Sq.searchIvfSq8(index, VectorQueries.qvec(s, dir, 0),
+        k = 10, rerank = 32, nprobe = 4)
+    },
     // NDCG@10 of the IVF ranking vs exact ground truth — the
     // rank-sensitive companion to ann_recall_report on the same
     // 32-query sample and persisted index (recall counts hits; NDCG
@@ -487,6 +498,61 @@ object AnnQueries {
         |)
         |SELECT vec_id, label, approx_dot, cos_sim FROM cand
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_ivf_sq8" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |asg AS (SELECT * FROM ${rp(AssignedHandoff)}),
+         |probes AS (
+         |  SELECT cluster_id FROM cents CROSS JOIN $qvecSql q
+         |  ORDER BY CAST(list_distance(centroid, q.qv) AS DOUBLE), cluster_id
+         |  LIMIT 4
+         |),
+         |sub AS (
+         |  SELECT e.vec_id, e.label, a.ivf_cluster, e.embedding,
+         |         list_distance(e.embedding,
+         |           list_transform(e.embedding, x -> CAST(0.0 AS FLOAT))) AS nrm
+         |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+         |  WHERE a.ivf_cluster IN (SELECT cluster_id FROM probes)
+         |),
+         |codes AS (
+         |  SELECT vec_id, label, ivf_cluster, embedding,
+         |         CASE WHEN nrm = 0
+         |              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |              ELSE list_transform(embedding, x ->
+         |                CAST(GREATEST(-127, LEAST(127,
+         |                  floor(CAST(x AS DOUBLE)/CAST(nrm AS DOUBLE)*127.0 + 0.5)))
+         |                  AS BIGINT))
+         |         END AS code
+         |  FROM sub
+         |),
+         |qz AS (
+         |  SELECT embedding AS qe,
+         |         list_distance(embedding,
+         |           list_transform(embedding, x -> CAST(0.0 AS FLOAT))) AS nrm
+         |  FROM embeddings WHERE vec_id = 0
+         |),
+         |qc AS (
+         |  SELECT qe,
+         |         CASE WHEN nrm = 0
+         |              THEN list_transform(qe, x -> CAST(0 AS BIGINT))
+         |              ELSE list_transform(qe, x ->
+         |                CAST(GREATEST(-127, LEAST(127,
+         |                  floor(CAST(x AS DOUBLE)/CAST(nrm AS DOUBLE)*127.0 + 0.5)))
+         |                  AS BIGINT))
+         |         END AS qcode
+         |  FROM qz
+         |),
+         |scored AS (
+         |  SELECT c.vec_id, c.label, c.ivf_cluster,
+         |         CAST(list_sum(list_transform(list_zip(c.code, q.qcode),
+         |           t -> t[1]*t[2])) AS BIGINT) AS approx_dot,
+         |         CAST(list_cosine_similarity(c.embedding, q.qe) AS DOUBLE) AS cos_sim
+         |  FROM codes c CROSS JOIN qc q
+         |),
+         |cand AS (
+         |  SELECT * FROM scored ORDER BY approx_dot DESC, vec_id LIMIT 32
+         |)
+         |SELECT vec_id, label, ivf_cluster, approx_dot, cos_sim FROM cand
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // both rankings replayed from the index handoff (the
     // ann_recall_report replay), grades + DCG as exact integer sums
     // over the discount handoff, IDCG the same constant both engines

@@ -94,6 +94,27 @@ object VectorQueries {
       Rerank.batchMmr(emb, qs, k = 8, fetchK = 24,
         candFilter = Some(col("vec_id") =!= col("query_id")))
     },
+    // RAG context assembly: per query, the cosine top-12 candidates
+    // joined to their documents' token counts, then the budget-120
+    // ranked prefix (stop at first overflow) — the
+    // retrieval-to-prompt step of the reference's serving flow, made
+    // token-limit-aware. Exact long cumsums; the oracle replays the
+    // ranking, the join, and the window prefix.
+    "rag_context_pack" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val cands = VectorSearch.batchTopK(emb, qs, 12, Cosine)
+        .withColumn("rn", col("rn").cast("long"))
+      val toks = Tables.documents(s, dir).select(col("doc_id").as("vec_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      Rerank.contextBudget(cands.join(toks, Seq("vec_id")), budget = 120)
+        .select(col("query_id"), col("vec_id"), col("rn"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("query_id"), col("rn"))
+    },
     // cosine variant (the engine's sane-default metric, SURVEY §1.5)
     "cosine_topk" -> { (s, dir) =>
       Tables.embeddings(s, dir)
@@ -207,6 +228,34 @@ object VectorQueries {
         |)
         |SELECT query_id, vec_id, mmr_rank, mmr_score FROM mmr
         |ORDER BY query_id, mmr_rank""".stripMargin,
+    // batch cosine ranking (the batch_topk mirror on 1-cos), token
+    // counts via the t_token_stats tokenizer, running-prefix window
+    "rag_context_pack" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 4
+        |), cand AS (
+        |  SELECT query_id, vec_id, rn FROM (
+        |    SELECT q.query_id, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY 1.0 - CAST(list_cosine_similarity(e.embedding, q.qe)
+        |                               AS DOUBLE), e.vec_id) AS rn
+        |    FROM embeddings e CROSS JOIN q) AS s WHERE rn <= 12
+        |), toks AS (
+        |  SELECT doc_id AS vec_id,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT c.query_id, c.vec_id, c.rn, t.n_tokens,
+        |         CAST(sum(t.n_tokens) OVER (PARTITION BY c.query_id
+        |           ORDER BY c.rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_tokens
+        |  FROM cand c JOIN toks t USING (vec_id)
+        |)
+        |SELECT query_id, vec_id, rn, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       cum_tokens
+        |FROM cum WHERE cum_tokens <= 120
+        |ORDER BY query_id, rn""".stripMargin,
     "cosine_topk" ->
       s"""SELECT e.vec_id, e.label,
          |       CAST(list_cosine_similarity(e.embedding, q) AS DOUBLE) AS cos_sim

@@ -120,6 +120,27 @@ class RerankSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("contextBudget: ranked prefix stops at first overflow (not knapsack), per query") {
+    val df = Seq(
+      (1L, 1L, 50L), (1L, 2L, 60L), (1L, 3L, 5L), // 5-token rank-3 would fit, but rank-2 overflowed
+      (2L, 1L, 200L), (2L, 2L, 10L),              // first candidate alone blows the budget
+      (3L, 1L, 100L)                              // exact fit kept
+    ).toDF("query_id", "rn", "n_tokens")
+    val out = Rerank.contextBudget(df, budget = 100)
+      .select($"query_id", $"rn", $"cum_tokens")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((1L, 1L, 50L), (3L, 1L, 100L)))
+  }
+
+  test("contextBudget: zero-token rows ride free; budget must be positive") {
+    val df = Seq((1L, 1L, 0L), (1L, 2L, 7L), (1L, 3L, 0L))
+      .toDF("query_id", "rn", "n_tokens")
+    val out = Rerank.contextBudget(df, budget = 7)
+      .select($"rn", $"cum_tokens").as[(Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((1L, 0L), (2L, 7L), (3L, 7L)))
+    intercept[IllegalArgumentException](Rerank.contextBudget(df, budget = 0))
+  }
+
   test("batchMmr guards: fetchK >= k, lambda in [0,1]") {
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.limit(1).select($"vec_id".as("query_id"),

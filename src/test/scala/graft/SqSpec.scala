@@ -81,6 +81,29 @@ class SqSpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 with 32-candidate rerank should be near-exact, got $recall")
   }
 
+  test("searchIvfSq8: nprobe=ALL + corpus-wide rerank equals exact cosine top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = graft.operators.Ann.buildIvf(emb, numClusters = 8)
+    val q = graft.queries.VectorQueries.qvec(spark, sfDir, 3)
+    val got = Sq.searchIvfSq8(idx, q, k = 10, rerank = 500, nprobe = 8)
+      .select($"vec_id").as[Long].collect().toSeq
+    val exact = emb
+      .withColumn("cs", cosSimF32($"embedding", typedLit(q)).cast("double"))
+      .orderBy($"cs".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got === exact)
+  }
+
+  test("searchIvfSq8: results come only from the probed clusters") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = graft.operators.Ann.buildIvf(emb, numClusters = 8)
+    val q = graft.queries.VectorQueries.qvec(spark, sfDir, 3)
+    val probed = graft.operators.Ann.rankProbes(idx.centroids, q.toArray, 2).toSet
+    val clusters = Sq.searchIvfSq8(idx, q, k = 10, rerank = 32, nprobe = 2)
+      .select($"ivf_cluster".cast("int")).as[Int].collect().toSet
+    assert(clusters.subsetOf(probed))
+  }
+
   test("searchSq8 guards: rerank >= k") {
     val emb = Tables.embeddings(spark, sfDir)
     intercept[IllegalArgumentException](
