@@ -158,20 +158,10 @@ object Serving {
 
   // ------------------------------------------------------------ IVF probe
 
-  final case class IvfHit(vecId: Long, label: Int, cluster: Int, dist: Double)
-
-  /** Single-query IVF ANN from a [[graft.operators.Ann.saveIvf]]
-    * layout, no Spark: read the k-row centroid file, rank clusters
-    * exactly as [[graft.operators.Ann.searchIvf]] (f32 squared
-    * distance, ties to the lower id), then scan ONLY the `nprobe`
-    * `ivf_cluster=<c>` directories with the same f32 L2 kernel as the
-    * codegen'd expression — bit-identical hits in the same
-    * (dist, vec_id) order. */
-  def searchIvf(indexDir: String, query: Array[Float], k: Int, nprobe: Int,
-                conf: Configuration = defaultConf,
-                cache: IndexCache = noCache): Seq[IvfHit] = {
-    val base = indexDir.stripSuffix("/")
-    // centroids: (cluster_id int, centroid array<float>) — tiny
+  /** Decoded centroid table of a saveIvf layout — ONE loader shared by
+    * every IVF-layout probe (searchIvf, mmrIvf), cache-keyed by dir. */
+  private def loadCentroids(conf: Configuration, cache: IndexCache,
+                            base: String): Seq[(Int, Array[Float])] = {
     val cents = cache.getOrLoad(s"$base/centroids") {
       val b = mutable.ArrayBuffer.empty[(Int, Array[Float])]
       foreachGroup(conf, s"$base/centroids") { g =>
@@ -180,28 +170,63 @@ object Serving {
       b.toSeq
     }
     require(cents.nonEmpty, s"no centroids under $base/centroids")
-    val probes = cents.map { case (i, c) =>
+    cents
+  }
+
+  /** Decoded rows of ONE cluster partition (vec_id, label, embedding)
+    * — the other shared loader of the saveIvf layout. */
+  private def loadClusterVecs(conf: Configuration, cache: IndexCache,
+                              base: String, cluster: Int)
+      : Seq[(Long, Int, Array[Float])] = {
+    val dir = s"$base/corpus/ivf_cluster=$cluster"
+    cache.getOrLoad(dir) {
+      val b = mutable.ArrayBuffer.empty[(Long, Int, Array[Float])]
+      foreachGroup(conf, dir) { g =>
+        b += ((g.getLong("vec_id", 0), g.getInteger("label", 0),
+          floatArray(g, "embedding")))
+      }
+      b.toSeq
+    }
+  }
+
+  /** The [[graft.operators.Ann.rankProbes]] contract on a decoded
+    * centroid table: f32 Euclidean distance (sqrt-ROUNDED, exactly as
+    * the Spark operator and the SQL oracle rank probes — sqrt rounding
+    * can merge two distinct squared values, and ranking the same
+    * quantity on every path keeps the probe set identical at those
+    * collisions; ties to the lower id — ranking the raw squared acc
+    * instead would diverge by one probe exactly at a collision). */
+  private def rankProbesLocal(cents: Seq[(Int, Array[Float])],
+                              query: Array[Float], nprobe: Int): Seq[Int] = {
+    cents.map { case (i, c) =>
       require(c.length == query.length,
         s"query dim ${query.length} != centroid dim ${c.length}")
       var acc = 0.0f; var d = 0
       while (d < c.length) { val x = c(d) - query(d); acc += x * x; d += 1 }
-      (i, acc)
+      (i, math.sqrt(acc.toDouble).toFloat)
     }.sortBy { case (i, dist) => (dist, i) }.take(nprobe).map(_._1)
+  }
 
+  final case class IvfHit(vecId: Long, label: Int, cluster: Int, dist: Double)
+
+  /** Single-query IVF ANN from a [[graft.operators.Ann.saveIvf]]
+    * layout, no Spark: read the k-row centroid file, rank clusters
+    * exactly as [[graft.operators.Ann.searchIvf]]
+    * ([[rankProbesLocal]]), then scan ONLY the `nprobe`
+    * `ivf_cluster=<c>` directories with the same f32 L2 kernel as the
+    * codegen'd expression — bit-identical hits in the same
+    * (dist, vec_id) order. */
+  def searchIvf(indexDir: String, query: Array[Float], k: Int, nprobe: Int,
+                conf: Configuration = defaultConf,
+                cache: IndexCache = noCache): Seq[IvfHit] = {
+    val base = indexDir.stripSuffix("/")
+    val cents = loadCentroids(conf, cache, base)
+    val probes = rankProbesLocal(cents, query, nprobe)
     // probe scan: only the claimed cluster dirs are ever listed/read
     // (and, with a cache, re-listed only on first touch)
     val hits = mutable.ArrayBuffer.empty[IvfHit]
     probes.foreach { c =>
-      val dir = s"$base/corpus/ivf_cluster=$c"
-      val vecs = cache.getOrLoad(dir) {
-        val b = mutable.ArrayBuffer.empty[(Long, Int, Array[Float])]
-        foreachGroup(conf, dir) { g =>
-          b += ((g.getLong("vec_id", 0), g.getInteger("label", 0),
-            floatArray(g, "embedding")))
-        }
-        b.toSeq
-      }
-      vecs.foreach { case (id, label, v) =>
+      loadClusterVecs(conf, cache, base, c).foreach { case (id, label, v) =>
         var acc = 0.0f; var d = 0
         while (d < v.length) { val x = v(d) - query(d); acc += x * x; d += 1 }
         // the L2DistF32 kernel: f32 accumulation, double-rounded sqrt
@@ -217,8 +242,9 @@ object Serving {
 
   /** Single-query MMR-diversified retrieval from a
     * [[graft.operators.Ann.saveIvf]] layout, no Spark: probe the
-    * `nprobe` nearest clusters exactly as [[searchIvf]] (f32 squared
-    * centroid distance, ties to the lower id), rank the probed rows by
+    * `nprobe` nearest clusters exactly as [[searchIvf]]
+    * ([[rankProbesLocal]] — the Ann.rankProbes contract), rank the
+    * probed rows by
     * f32 cosine (desc, id) keeping `fetchK` candidates, then run the
     * ONE shared greedy kernel ([[graft.operators.Rerank.mmrKernel]])
     * — batch and serve picks cannot fork. `excludeId` drops one corpus
@@ -232,33 +258,11 @@ object Serving {
              conf: Configuration = defaultConf,
              cache: IndexCache = noCache): Seq[MmrHit] = {
     val base = indexDir.stripSuffix("/")
-    val cents = cache.getOrLoad(s"$base/centroids") {
-      val b = mutable.ArrayBuffer.empty[(Int, Array[Float])]
-      foreachGroup(conf, s"$base/centroids") { g =>
-        b += ((g.getInteger("cluster_id", 0), floatArray(g, "centroid")))
-      }
-      b.toSeq
-    }
-    require(cents.nonEmpty, s"no centroids under $base/centroids")
-    val probes = cents.map { case (i, c) =>
-      require(c.length == query.length,
-        s"query dim ${query.length} != centroid dim ${c.length}")
-      var acc = 0.0f; var d = 0
-      while (d < c.length) { val x = c(d) - query(d); acc += x * x; d += 1 }
-      (i, acc)
-    }.sortBy { case (i, dist) => (dist, i) }.take(nprobe).map(_._1)
+    val cents = loadCentroids(conf, cache, base)
+    val probes = rankProbesLocal(cents, query, nprobe)
     val cands = mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
     probes.foreach { c =>
-      val dir = s"$base/corpus/ivf_cluster=$c"
-      val vecs = cache.getOrLoad(dir) {
-        val b = mutable.ArrayBuffer.empty[(Long, Int, Array[Float])]
-        foreachGroup(conf, dir) { g =>
-          b += ((g.getLong("vec_id", 0), g.getInteger("label", 0),
-            floatArray(g, "embedding")))
-        }
-        b.toSeq
-      }
-      vecs.foreach { case (id, _, v) =>
+      loadClusterVecs(conf, cache, base, c).foreach { case (id, _, v) =>
         if (id != excludeId)
           cands += ((id, graft.operators.Rerank.cosSimLocal(v, query).toDouble, v))
       }
@@ -267,6 +271,40 @@ object Serving {
     graft.operators.Rerank
       .mmrKernel(top.map(_._1), top.map(_._2), top.map(_._3), k, lambda)
       .map(p => MmrHit(p.id, p.rank, p.score)).toSeq
+  }
+
+  /** One fused hit of [[hybridRrf]]. */
+  final case class HybridHit(id: Long, rrfFp: Long)
+
+  /** Single-query HYBRID retrieval with zero Spark jobs: the IVF
+    * probe ([[searchIvf]]) and the BM25 probe ([[searchBm25]]) each
+    * produce their ranked top-fetchK from their persisted layouts,
+    * and the two rank lists fuse by reciprocal rank —
+    * `rrf_fp = Σ 1e9 DIV (kRrf + rank)` in pure int64, exactly
+    * [[graft.operators.Bm25.rrfFuse]]'s arithmetic (ids in one list
+    * only contribute that one term), ordered (rrf_fp desc, id).
+    * Rank parity of each side with its Spark operator is already
+    * spec-pinned, so the fusion is parity-by-construction
+    * (ServingSpec pins the composed result too). The reference's
+    * keyword+vector search surface, answered at driver latency from
+    * the two nightly-built indexes. */
+  def hybridRrf(ivfDir: String, bm25Dir: String, query: Array[Float],
+                terms: Seq[String], k: Int, fetchK: Int = 50,
+                nprobe: Int = 4, kRrf: Int = 60,
+                conf: Configuration = defaultConf,
+                cache: IndexCache = noCache): Seq[HybridHit] = {
+    require(k > 0 && kRrf > 0, s"k and kRrf must be positive, got $k, $kRrf")
+    val vec = searchIvf(ivfDir, query, fetchK, nprobe, conf, cache)
+    val lex = searchBm25(bm25Dir, terms, fetchK, conf = conf, cache = cache)
+    val score = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    vec.iterator.zipWithIndex.foreach { case (h, i) =>
+      score(h.vecId) += 1000000000L / (kRrf + i + 1L)
+    }
+    lex.iterator.zipWithIndex.foreach { case (h, i) =>
+      score(h.id) += 1000000000L / (kRrf + i + 1L)
+    }
+    score.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      .map { case (id, s) => HybridHit(id, s) }
   }
 
   // ----------------------------------------------------------- BM25 probe

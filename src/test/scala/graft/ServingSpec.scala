@@ -57,6 +57,32 @@ class ServingSpec extends SparkSpec {
     assert(viaServing === viaSpark)
   }
 
+  test("hybrid RRF serving probe == Spark rrfFuse over the same persisted indexes, zero jobs") {
+    val ivf = ivfPath
+    val bm25 = HybridQueries.persistedBm25(spark, sfDir)
+    val q = VectorQueries.qvec(spark, sfDir, 0)
+    val terms = Seq("vector", "hash", "join")
+    val index = Ann.loadIvf(spark, ivf)
+    val vecRanked = Bm25.withRank(
+      Ann.searchIvf(index, q, 50, nprobe = 4)
+        .select($"vec_id".as("id"), $"dist"),
+      Seq(org.apache.spark.sql.functions.col("dist").asc,
+        org.apache.spark.sql.functions.col("id").asc)).select("id", "rank")
+    val bmRanked = Bm25.withRank(
+      Bm25.searchPersistedIndex(spark, bm25, terms, 50, rationalIdf = true),
+      Seq(org.apache.spark.sql.functions.col("bm25_fp").desc,
+        org.apache.spark.sql.functions.col("id").asc)).select("id", "rank")
+    val viaSpark = Bm25.rrfFuse(vecRanked, bmRanked, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    Serving.hybridRrf(ivf, bm25, q.toArray, terms, 10) // warm
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val viaServing = Serving.hybridRrf(ivf, bm25, q.toArray, terms, 10)
+      .map(h => (h.id, h.rrfFp))
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "hybrid probe must not launch Spark jobs")
+    assert(viaServing === viaSpark)
+  }
+
   test("serving probe answers without a Spark job, well under the job floor") {
     val path = ivfPath
     val q = VectorQueries.qvec(spark, sfDir, 0).toArray
