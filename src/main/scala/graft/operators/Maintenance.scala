@@ -425,6 +425,56 @@ object Maintenance {
     rows.toSeq.toDF("column", "dtype", "n_rows", "n_nulls", "n_blank")
   }
 
+  /** Health report for an EMBEDDING column — the vector-side
+    * [[corpusHealth]]: the invariants every ANN/quantization/serving
+    * path in this engine assumes (constant dimension, finite
+    * components, no zero vectors in a unit-norm corpus) checked in ONE
+    * map-side-combined aggregation pass. A single row:
+    * (n_rows, n_null, n_zero, n_nonfinite, dim_min, dim_max, n_dims,
+    * norm_min, norm_max, norm_mean).
+    *
+    * Norms are the f32 EuclideanDistF32 kernel against the zero
+    * vector (DuckDB `list_distance`-vs-zeros bit-parity, the Sq
+    * contract); min/max are exact f32 values widened to double, the
+    * mean rides the 2^20 fixed-point sum (the drift-report pattern)
+    * so it is engine-identical. Zero detection treats −0.0 components
+    * as zero on both engines. Null embeddings are excluded from every
+    * vector stat and counted separately; non-finite rows are counted
+    * in n_nonfinite and EXCLUDED from the norm envelope/mean (their
+    * NaN/Inf norms would otherwise poison all three); an all-null or
+    * all-non-finite corpus reports null norm stats rather than
+    * dividing by zero. */
+  def embeddingHealth(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = col(embCol)
+    val nrm = l2DistF32(e, array_repeat(lit(0.0f), size(e))).cast("double")
+    val isZero = e.isNotNull &&
+      size(filter(e, x => x =!= lit(0.0f))) === 0
+    // non-finite at the NORM level: catches NaN/Inf components AND a
+    // finite-component vector whose f32 sum-of-squares overflows —
+    // both would poison the fixed-point mean (ANSI long overflow)
+    val nonFinite = e.isNotNull &&
+      (size(filter(e, x => isnan(x) || x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity))) > 0 ||
+        isnan(nrm) || nrm === lit(Double.PositiveInfinity))
+    val nrmOk = when(e.isNotNull && !nonFinite, nrm)
+    val nOk = sum(when(e.isNotNull && !nonFinite, 1L).otherwise(0L))
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(e.isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(isZero, 1L).otherwise(0L)).as("n_zero"),
+      sum(when(nonFinite, 1L).otherwise(0L)).as("n_nonfinite"),
+      min(when(e.isNotNull, size(e))).cast("bigint").as("dim_min"),
+      max(when(e.isNotNull, size(e))).cast("bigint").as("dim_max"),
+      countDistinct(when(e.isNotNull, size(e))).as("n_dims"),
+      min(nrmOk).as("norm_min"),
+      max(nrmOk).as("norm_max"),
+      (sum(floor(nrmOk * lit(1048576.0)).cast("long")).cast("double") /
+        when(nOk === 0, lit(null))
+          .otherwise(nOk * lit(1048576L)).cast("double"))
+        .as("norm_mean"))
+  }
+
   /** Roll-up of [[corpusDiff]]: doc counts per status. */
   def corpusDiffStats(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
                       textCol: String): DataFrame =

@@ -115,6 +115,13 @@ object VectorQueries {
           col("n_tokens"), col("cum_tokens"))
         .orderBy(col("query_id"), col("rn"))
     },
+    // embedding-column health gate: the invariants the whole
+    // ANN/quantization/serving stack assumes, one aggregation pass
+    // (dims, nulls, zero vectors, non-finite components, f32 norm
+    // envelope + fixed-point mean)
+    "emb_health" -> { (s, dir) =>
+      graft.operators.Maintenance.embeddingHealth(Tables.embeddings(s, dir))
+    },
     // cosine variant (the engine's sane-default metric, SURVEY §1.5)
     "cosine_topk" -> { (s, dir) =>
       Tables.embeddings(s, dir)
@@ -256,6 +263,49 @@ object VectorQueries {
         |       cum_tokens
         |FROM cum WHERE cum_tokens <= 120
         |ORDER BY query_id, rn""".stripMargin,
+    // f32 norms via list_distance-vs-zeros (the ann_sq8 idiom); -0.0
+    // components count as zero on both engines; norm_mean rides the
+    // 2^20 fixed-point sum
+    "emb_health" ->
+      """WITH z AS (
+        |  SELECT embedding,
+        |         CASE WHEN embedding IS NULL THEN NULL
+        |              ELSE list_distance(embedding,
+        |                     list_transform(embedding, x -> CAST(0.0 AS FLOAT)))
+        |         END AS nrm
+        |  FROM embeddings
+        |), f AS (
+        |  SELECT embedding, nrm,
+        |         (embedding IS NOT NULL AND
+        |          (len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+        |           OR NOT isfinite(nrm))) AS bad,
+        |         CASE WHEN embedding IS NOT NULL AND NOT
+        |           (len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+        |            OR NOT isfinite(nrm))
+        |         THEN nrm END AS nrm_ok
+        |  FROM z
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END), 0)
+        |       AS BIGINT) AS n_null,
+        |  CAST(coalesce(sum(CASE WHEN embedding IS NOT NULL
+        |         AND len(list_filter(embedding, x -> x <> 0)) = 0
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zero,
+        |  CAST(coalesce(sum(CASE WHEN bad THEN 1 ELSE 0 END), 0)
+        |       AS BIGINT) AS n_nonfinite,
+        |  CAST(min(CASE WHEN embedding IS NOT NULL THEN len(embedding) END)
+        |       AS BIGINT) AS dim_min,
+        |  CAST(max(CASE WHEN embedding IS NOT NULL THEN len(embedding) END)
+        |       AS BIGINT) AS dim_max,
+        |  CAST(count(DISTINCT CASE WHEN embedding IS NOT NULL
+        |         THEN len(embedding) END) AS BIGINT) AS n_dims,
+        |  CAST(min(nrm_ok) AS DOUBLE) AS norm_min,
+        |  CAST(max(nrm_ok) AS DOUBLE) AS norm_max,
+        |  CAST(sum(CAST(floor(CAST(nrm_ok AS DOUBLE) * 1048576.0) AS BIGINT))
+        |       AS DOUBLE) /
+        |    CAST(nullif(sum(CASE WHEN nrm_ok IS NOT NULL THEN 1 ELSE 0 END), 0)
+        |         * 1048576 AS DOUBLE) AS norm_mean
+        |FROM f""".stripMargin,
     "cosine_topk" ->
       s"""SELECT e.vec_id, e.label,
          |       CAST(list_cosine_similarity(e.embedding, q) AS DOUBLE) AS cos_sim

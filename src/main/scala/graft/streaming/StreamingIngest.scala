@@ -153,6 +153,20 @@ object StreamingIngest {
         graft.operators.CorpusModels.nbScoreColumn(model, priorFp)(col(textCol)))
       .withColumn("keep_pred", col("score_fp") > 0)
 
+  /** Streaming vector-index maintenance: new embeddings are routed to
+    * their IVF cluster (broadcast k-row centroid argmin —
+    * [[graft.operators.Ann.assignToIvf]], the append-without-refit
+    * path) and int8-quantized ([[graft.operators.Sq.quantize]],
+    * codebook-free so appends never wait on a refit) AS THEY ARRIVE —
+    * the reference's add-documents flow as a stream, with the index
+    * columns ready for the partitioned-by-cluster store. Both stages
+    * are stateless narrow projections (no aggregation, no state
+    * store, any output mode); batch==stream parity is spec-gated. */
+  def vectorIngestStream(vectors: DataFrame,
+                         index: graft.operators.Ann.IvfIndex): DataFrame =
+    graft.operators.Sq.quantize(
+      graft.operators.Ann.assignToIvf(index, vectors))
+
   /** Streaming LM-perplexity scoring: the stream twin of
     * `lm_perplexity`'s score stage, same contract as
     * [[scoreDocStream]] — the capped vocab rides the closure, scoring

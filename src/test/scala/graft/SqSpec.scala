@@ -104,6 +104,36 @@ class SqSpec extends SparkSpec {
     assert(clusters.subsetOf(probed))
   }
 
+  test("embeddingHealth: nulls, zero vectors, non-finite components, ragged dims") {
+    val rows = Seq(
+      (1L, Seq(3.0f, 4.0f)),                       // norm exactly 5
+      (2L, Seq(0.0f, -0.0f)),                      // zero vector (-0.0 counts)
+      (3L, Seq(Float.NaN, 1.0f)),                  // non-finite
+      (4L, Seq(Float.PositiveInfinity, 0.0f)),     // non-finite
+      (5L, Seq(1.0f, 0.0f, 0.0f)),                 // ragged dim 3
+      (6L, null.asInstanceOf[Seq[Float]]))
+    val h = graft.operators.Maintenance
+      .embeddingHealth(rows.toDF("vec_id", "embedding"))
+      .collect()(0)
+    assert(h.getAs[Long]("n_rows") === 6L)
+    assert(h.getAs[Long]("n_null") === 1L)
+    assert(h.getAs[Long]("n_zero") === 1L)
+    assert(h.getAs[Long]("n_nonfinite") === 2L)
+    assert(h.getAs[Long]("dim_min") === 2L)
+    assert(h.getAs[Long]("dim_max") === 3L)
+    assert(h.getAs[Long]("n_dims") === 2L)
+    assert(h.getAs[Double]("norm_min") === 0.0)
+  }
+
+  test("embeddingHealth: all-null corpus reports null norm stats, no division error") {
+    val df = Seq((1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val h = graft.operators.Maintenance.embeddingHealth(df).collect()(0)
+    assert(h.getAs[Long]("n_null") === 1L)
+    assert(h.isNullAt(h.fieldIndex("norm_mean")))
+    assert(h.isNullAt(h.fieldIndex("norm_min")))
+  }
+
   test("searchSq8 guards: rerank >= k") {
     val emb = Tables.embeddings(spark, sfDir)
     intercept[IllegalArgumentException](

@@ -421,6 +421,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vector-ingest twin: cluster routing + int8 codes, batch==stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ann, Sq}
+    val emb = Tables.embeddings(spark, sfDir)
+    val index = Ann.buildIvf(emb, numClusters = 8)
+    // the "nightly append" slice, re-keyed like ann_ivf_append
+    val fresh = emb.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+    val batch = Sq.quantize(Ann.assignToIvf(index, fresh))
+      .select($"vec_id", $"ivf_cluster".cast("int"), $"sq_code")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    val rows = fresh.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val out = StreamingIngest.vectorIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), index)
+    val q = out.writeStream.format("memory").queryName("vec_ingest")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = rows.splitAt(rows.size / 2)
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*) // second epoch: stateless, no cross-batch state
+      q.processAllAvailable()
+      val stream = spark.table("vec_ingest")
+        .select($"vec_id", $"ivf_cluster".cast("int"), $"sq_code")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getAs[Array[Byte]](2).toSeq)).toSet
+      assert(stream === batch)
+      assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
+    } finally q.stop()
+  }
+
   test("streaming LM perplexity twin: stateless, batch==stream integer parity") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CorpusModels
