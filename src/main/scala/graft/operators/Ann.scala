@@ -434,13 +434,19 @@ object Ann {
               k: Int, qIdCol: String = "query_id", idCol: String = "vec_id",
               rnCol: String = "rn"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val disc = broadcast(discounts.select(col("rank"), col("disc_fp")))
+    // clip EVERY input to rank <= k: a top-20 frame with k=10 must
+    // score its first 10 rows only — unclipped, exact ranks beyond k
+    // would contribute NEGATIVE grades (k+1-rn < 0) and approx ranks
+    // beyond k extra discount terms, corrupting the metric both ways
+    val disc = broadcast(discounts.filter(col("rank") <= k)
+      .select(col("rank"), col("disc_fp")))
     val idcgFp = discounts.filter(col("rank") <= k)
       .select(sum((lit(k + 1) - col("rank")) * col("disc_fp")))
       .head().getLong(0)
-    val rel = exact.select(col(qIdCol), col(idCol),
+    val rel = exact.filter(col(rnCol) <= k).select(col(qIdCol), col(idCol),
       (lit(k + 1) - col(rnCol).cast("long")).as("__rel"))
-    val dcg = approx.select(col(qIdCol), col(idCol), col(rnCol).cast("long").as("rank"))
+    val dcg = approx.filter(col(rnCol) <= k)
+      .select(col(qIdCol), col(idCol), col(rnCol).cast("long").as("rank"))
       .join(rel, Seq(qIdCol, idCol), "left")
       .join(disc, Seq("rank"))
       .groupBy(col(qIdCol))

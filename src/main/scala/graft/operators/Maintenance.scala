@@ -450,13 +450,15 @@ object Maintenance {
     val nrm = l2DistF32(e, array_repeat(lit(0.0f), size(e))).cast("double")
     val isZero = e.isNotNull &&
       size(filter(e, x => x =!= lit(0.0f))) === 0
-    // non-finite at the NORM level: catches NaN/Inf components AND a
-    // finite-component vector whose f32 sum-of-squares overflows —
-    // both would poison the fixed-point mean (ANSI long overflow)
+    // pathological at the NORM level: NaN/Inf components, a
+    // finite-component vector whose f32 sum-of-squares overflows, AND
+    // finite norms beyond the fixed-point domain [0, 8e12) (the Ann.fp
+    // contract) — floor(nrm·2^20) of a 2e19 norm would overflow the
+    // per-row long cast, poisoning exactly the gate built to flag it
     val nonFinite = e.isNotNull &&
       (size(filter(e, x => isnan(x) || x === lit(Float.PositiveInfinity) ||
         x === lit(Float.NegativeInfinity))) > 0 ||
-        isnan(nrm) || nrm === lit(Double.PositiveInfinity))
+        isnan(nrm) || nrm >= lit(8.0e12))
     val nrmOk = when(e.isNotNull && !nonFinite, nrm)
     val nOk = sum(when(e.isNotNull && !nonFinite, 1L).otherwise(0L))
     df.agg(
@@ -469,7 +471,12 @@ object Maintenance {
       countDistinct(when(e.isNotNull, size(e))).as("n_dims"),
       min(nrmOk).as("norm_min"),
       max(nrmOk).as("norm_max"),
-      (sum(floor(nrmOk * lit(1048576.0)).cast("long")).cast("double") /
+      // the AGGREGATE sum rides decimal(38,0): per-row values are
+      // < 2^63 by the domain cap above, but a 100 TB corpus of large
+      // norms can push the TOTAL past long range — decimal keeps it
+      // exact (DuckDB's BIGINT sum widens to HUGEINT, same headroom)
+      (sum(floor(nrmOk * lit(1048576.0)).cast("long").cast("decimal(38,0)"))
+        .cast("double") /
         when(nOk === 0, lit(null))
           .otherwise(nOk * lit(1048576L)).cast("double"))
         .as("norm_mean"))

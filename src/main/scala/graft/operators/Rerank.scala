@@ -169,10 +169,21 @@ object Rerank {
                     qIdCol: String = "query_id", rankCol: String = "rn",
                     tokCol: String = "n_tokens"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // the whole contract rests on non-negative, known token counts: a
+    // null would be SKIPPED by the windowed sum (the row inherits the
+    // previous cumulative and ships with unknown cost — a blown
+    // prompt budget at serve time), a negative count would make the
+    // cumsum non-monotone (the <= filter then keeps a non-prefix
+    // subset). Fail loud in-plan instead of packing garbage.
+    val tok = when(col(tokCol).isNotNull && col(tokCol) >= 0,
+      col(tokCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"contextBudget: null/negative $tokCol at rank "),
+        col(rankCol).cast("string"))).cast("long"))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col(rankCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked
-      .withColumn("cum_tokens", sum(col(tokCol).cast("long")).over(w))
+      .withColumn("cum_tokens", sum(tok).over(w))
       .filter(col("cum_tokens") <= budget)
   }
 }

@@ -39,14 +39,20 @@ import graft.functions.VectorFunctions._
 object Sq {
 
   /** Shared int8 quantization kernel — see the object scaladoc for the
-    * exact arithmetic contract. */
+    * exact arithmetic contract. A vector whose norm is not finite and
+    * positive (zero vector; NaN/Inf components; finite components
+    * whose f32 sum of squares overflows) quantizes to ALL-ZERO codes
+    * on BOTH engines — without the guard, Scala's NaN.toByte (0) and
+    * SQL's LEAST(127, NaN) (NaN ranks above all numbers in DuckDB →
+    * 127) would silently fork the replay on exactly the rows
+    * [[graft.operators.Maintenance.embeddingHealth]] exists to flag. */
   private[graft] def sq8Codes(v: Array[Float]): Array[Byte] = {
     var acc = 0.0f
     var i = 0
     while (i < v.length) { acc += v(i) * v(i); i += 1 }
     val nrm = math.sqrt(acc.toDouble).toFloat
     val out = new Array[Byte](v.length)
-    if (nrm != 0.0f) {
+    if (nrm != 0.0f && java.lang.Float.isFinite(nrm)) {
       i = 0
       while (i < v.length) {
         val q = math.floor(v(i).toDouble / nrm.toDouble * 127.0 + 0.5)

@@ -477,7 +477,7 @@ object AnnQueries {
         |  FROM embeddings
         |), codes AS (
         |  SELECT vec_id, label, embedding,
-        |         CASE WHEN nrm = 0
+        |         CASE WHEN nrm = 0 OR NOT isfinite(nrm)
         |              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
         |              ELSE list_transform(embedding, x ->
         |                CAST(GREATEST(-127, LEAST(127,
@@ -515,7 +515,7 @@ object AnnQueries {
          |),
          |codes AS (
          |  SELECT vec_id, label, ivf_cluster, embedding,
-         |         CASE WHEN nrm = 0
+         |         CASE WHEN nrm = 0 OR NOT isfinite(nrm)
          |              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
          |              ELSE list_transform(embedding, x ->
          |                CAST(GREATEST(-127, LEAST(127,
@@ -532,7 +532,7 @@ object AnnQueries {
          |),
          |qc AS (
          |  SELECT qe,
-         |         CASE WHEN nrm = 0
+         |         CASE WHEN nrm = 0 OR NOT isfinite(nrm)
          |              THEN list_transform(qe, x -> CAST(0 AS BIGINT))
          |              ELSE list_transform(qe, x ->
          |                CAST(GREATEST(-127, LEAST(127,

@@ -278,10 +278,10 @@ object VectorQueries {
         |  SELECT embedding, nrm,
         |         (embedding IS NOT NULL AND
         |          (len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
-        |           OR NOT isfinite(nrm))) AS bad,
+        |           OR NOT isfinite(nrm) OR nrm >= 8e12)) AS bad,
         |         CASE WHEN embedding IS NOT NULL AND NOT
         |           (len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
-        |            OR NOT isfinite(nrm))
+        |            OR NOT isfinite(nrm) OR nrm >= 8e12)
         |         THEN nrm END AS nrm_ok
         |  FROM z
         |)

@@ -161,11 +161,21 @@ object StreamingIngest {
     * the reference's add-documents flow as a stream, with the index
     * columns ready for the partitioned-by-cluster store. Both stages
     * are stateless narrow projections (no aggregation, no state
-    * store, any output mode); batch==stream parity is spec-gated. */
+    * store, any output mode); batch==stream parity is spec-gated.
+    *
+    * Null-embedding rows are DROPPED here, not crashed on:
+    * `assignToIvf`'s fail-loud require is right for a batch job (one
+    * job fails, the operator re-runs) but a single poison record must
+    * not terminate a long-running ingest stream and block everything
+    * behind it. Callers who need the rejects route them first
+    * (`vectors.filter(col(embCol).isNull)` → a quarantine sink, the
+    * CSV/JSONL ingest pattern); `emb_health` over the landed table
+    * counts what was dropped. */
   def vectorIngestStream(vectors: DataFrame,
                          index: graft.operators.Ann.IvfIndex): DataFrame =
     graft.operators.Sq.quantize(
-      graft.operators.Ann.assignToIvf(index, vectors))
+      graft.operators.Ann.assignToIvf(index,
+        vectors.filter(col(index.embCol).isNotNull)))
 
   /** Streaming LM-perplexity scoring: the stream twin of
     * `lm_perplexity`'s score stage, same contract as

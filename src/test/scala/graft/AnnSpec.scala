@@ -392,6 +392,19 @@ class AnnSpec extends SparkSpec {
     assert(missed === Seq((1L, 0.0)))
   }
 
+  test("ndcgAtK clips inputs to rank <= k: top-3 frames with k=2 still score a perfect 1.0") {
+    val disc = Ann.ndcgDiscounts(spark, 3)
+    val exact = Seq((1L, 100L, 1), (1L, 200L, 2), (1L, 300L, 3))
+      .toDF("query_id", "vec_id", "rn")
+    val approx = Seq((1L, 100L, 1), (1L, 200L, 2), (1L, 300L, 3))
+      .toDF("query_id", "vec_id", "rn")
+    // unclipped, the rank-3 rows would add a negative grade (k+1-3)
+    // and a third discount term to a k=2 score
+    val n = Ann.ndcgAtK(approx, exact, disc, k = 2)
+      .select($"ndcg_at_2").as[Double].head()
+    assert(n === 1.0)
+  }
+
   test("ndcgAtK on the fixture: IVF ranking scores within (0,1], above its own recall floor") {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Ann.buildIvf(emb, numClusters = 8)

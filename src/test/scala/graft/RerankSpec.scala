@@ -132,6 +132,18 @@ class RerankSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, 50L), (3L, 1L, 100L)))
   }
 
+  test("contextBudget: null or negative token counts fail loud, not pack garbage") {
+    val withNull = Seq((1L, 1L, Option(5L)), (1L, 2L, Option.empty[Long]))
+      .toDF("query_id", "rn", "n_tokens")
+    val e1 = intercept[Exception](
+      Rerank.contextBudget(withNull, budget = 100).collect())
+    assert(e1.getMessage.contains("contextBudget") ||
+      Option(e1.getCause).exists(_.getMessage.contains("contextBudget")))
+    val withNeg = Seq((1L, 1L, 5L), (1L, 2L, -3L))
+      .toDF("query_id", "rn", "n_tokens")
+    intercept[Exception](Rerank.contextBudget(withNeg, budget = 100).collect())
+  }
+
   test("contextBudget: zero-token rows ride free; budget must be positive") {
     val df = Seq((1L, 1L, 0L), (1L, 2L, 7L), (1L, 3L, 0L))
       .toDF("query_id", "rn", "n_tokens")

@@ -25,6 +25,16 @@ class SqSpec extends SparkSpec {
     assert(Sq.sq8Codes(Array(0.0f, 0.0f, 0.0f)).toSeq === Seq[Byte](0, 0, 0))
   }
 
+  test("non-finite norms quantize to all-zero codes (Scala==SQL on pathological rows)") {
+    // NaN component; Inf component; finite components whose f32 acc
+    // overflows — all three must take the zero path, because Scala's
+    // NaN.toByte (0) and DuckDB's LEAST(127, NaN) (127) disagree on
+    // the unguarded arithmetic
+    assert(Sq.sq8Codes(Array(Float.NaN, 1.0f)).toSeq === Seq[Byte](0, 0))
+    assert(Sq.sq8Codes(Array(Float.PositiveInfinity, 1.0f)).toSeq === Seq[Byte](0, 0))
+    assert(Sq.sq8Codes(Array(3.0e38f, 3.0e38f)).toSeq === Seq[Byte](0, 0))
+  }
+
   test("quantization is scale-invariant (codes depend only on direction)") {
     val v = Array(0.3f, -0.7f, 0.64f, 0.01f)
     val scaled = v.map(_ * 8.0f) // exact f32 scaling: direction unchanged
@@ -123,6 +133,18 @@ class SqSpec extends SparkSpec {
     assert(h.getAs[Long]("dim_max") === 3L)
     assert(h.getAs[Long]("n_dims") === 2L)
     assert(h.getAs[Double]("norm_min") === 0.0)
+  }
+
+  test("embeddingHealth: a finite norm beyond the fixed-point domain is excluded, not overflowed") {
+    // norm 2e19 is finite (no NaN/Inf component) but floor(2e19*2^20)
+    // would overflow the ANSI long cast — the row must be counted
+    // pathological and excluded from the envelope/mean
+    val df = Seq((1L, Seq(2.0e19f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val h = graft.operators.Maintenance.embeddingHealth(df).collect()(0)
+    assert(h.getAs[Long]("n_nonfinite") === 1L)
+    assert(h.getAs[Double]("norm_max") === 5.0)
+    assert(h.getAs[Double]("norm_mean") === 5.0)
   }
 
   test("embeddingHealth: all-null corpus reports null norm stats, no division error") {

@@ -444,6 +444,10 @@ class StreamingSpec extends SparkSpec {
       val (a, b) = rows.splitAt(rows.size / 2)
       input.addData(a: _*)
       q.processAllAvailable()
+      // a poison record (null embedding) must be dropped, not kill the
+      // long-running query — batch assignToIvf fails loud by design,
+      // the stream twin quarantines-by-filter instead
+      input.addData((9999999L, null.asInstanceOf[Seq[Float]]))
       input.addData(b: _*) // second epoch: stateless, no cross-batch state
       q.processAllAvailable()
       val stream = spark.table("vec_ingest")
