@@ -82,6 +82,65 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Fixed-point mean-pooled group embeddings — chunk→document (or
+    * any group axis) aggregation of the embedding column: (grp,
+    * n_members, pooled_fp: array<long>) with
+    * pooled_fp[i] = floor( Σ_members floor(x_i·2^20) / n ).
+    * The double-floor form is chosen over a float mean deliberately:
+    * every step is exact integer arithmetic (per-element floor of an
+    * exact f32, long sum, floor division replayed as
+    * floor(double(s)/n) — exact while |s| < 2^53, i.e. ~10^9 unit-norm
+    * members per group), so the pooled table is engine-identical and
+    * the downstream ranking oracle-verifiable — a float mean would be
+    * partition-order-dependent.
+    *
+    * Scale shape: ONE map-side-combined (grp, dim) aggregation over
+    * the exploded column (n·d narrow rows), then a d-row-per-group
+    * regroup — the word-freq shuffle shape, nothing corpus-sized
+    * broadcasts. */
+  def poolEmbeddingsFp(df: DataFrame, groupCol: String,
+                       embCol: String = "embedding"): DataFrame = {
+    val px = df
+      .select(col(groupCol).as("grp"),
+        posexplode(col(embCol)).as(Seq("pos", "x")))
+    px.groupBy(col("grp"), col("pos"))
+      .agg(sum(floor(col("x").cast("double") * lit(1048576.0)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("mean_fp",
+        floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n_members"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mean_fp")))),
+          s => s.getField("mean_fp")).as("pooled_fp"))
+  }
+
+  /** Coarse routing over a [[poolEmbeddingsFp]] table: rank groups by
+    * the EXACT int64 dot of the pooled fixed-point vector against the
+    * identically-quantized query (desc, grp tie-break), keep
+    * `kGroups`. The two-level retrieval pattern: route to the best
+    * document/section groups first, exact-rerank chunks inside them —
+    * IVF with data-defined "centroids". The pooled table is
+    * |groups|·d longs; the rank is a TakeOrdered over it. */
+  def routeByPooled(pooled: DataFrame, queryVec: Seq[Float],
+                    kGroups: Int): DataFrame = {
+    require(kGroups >= 1, s"kGroups must be >= 1, got $kGroups")
+    val qfp = queryVec.map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray
+    val dotU = udf { (m: Seq[Long]) =>
+      if (m == null) null
+      else {
+        val n = math.min(m.length, qfp.length)
+        var s = 0L; var i = 0
+        while (i < n) { s += m(i) * qfp(i); i += 1 }
+        java.lang.Long.valueOf(s)
+      }
+    }
+    pooled
+      .withColumn("route_dot", dotU(col("pooled_fp")))
+      .filter(col("route_dot").isNotNull)
+      .orderBy(col("route_dot").desc, col("grp"))
+      .limit(kGroups)
+  }
+
   /** Batch multi-query top-k (SURVEY §4.3.2): broadcast the (small) query
     * set against the (huge) corpus, window per query. The corpus side
     * never shuffles for the join (broadcast); the window shuffles only

@@ -115,6 +115,23 @@ object VectorQueries {
           col("n_tokens"), col("cum_tokens"))
         .orderBy(col("query_id"), col("rn"))
     },
+    // two-level retrieval: fixed-point mean-pool per label (the doc
+    // stand-in, the a8 convention), route to the 2 best groups by
+    // exact int64 dot, exact f32 chunk rerank inside them — coarse
+    // route + fine rerank, IVF with data-defined centroids. Every
+    // stage replays in SQL (the pooled table is exact integers).
+    "emb_pool_route" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = qvec(s, dir, 0)
+      val top = VectorSearch
+        .routeByPooled(VectorSearch.poolEmbeddingsFp(emb, "label"), q, kGroups = 2)
+        .select(col("grp").as("label"), col("route_dot"))
+      emb.join(broadcast(top), Seq("label"))
+        .withColumn("cos_sim", cosSimF32(col("embedding"), typedLit(q)).cast("double"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("route_dot"), col("cos_sim"))
+    },
     // embedding-column health gate: the invariants the whole
     // ANN/quantization/serving stack assumes, one aggregation pass
     // (dims, nulls, zero vectors, non-finite components, f32 norm
@@ -263,6 +280,41 @@ object VectorQueries {
         |       cum_tokens
         |FROM cum WHERE cum_tokens <= 120
         |ORDER BY query_id, rn""".stripMargin,
+    // pooled means re-derived per (label, dim) as exact integers
+    // (floor of a <2^53 double division — the operator's documented
+    // exactness domain), route dots exact, chunk rerank on the f32
+    // kernel
+    "emb_pool_route" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |px AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding) AS x
+        |  FROM embeddings
+        |), sums AS (
+        |  SELECT label, pos,
+        |         CAST(sum(CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT))
+        |              AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM px GROUP BY label, pos
+        |), means AS (
+        |  SELECT label, pos,
+        |         CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) AS mean_fp
+        |  FROM sums
+        |), qf AS (
+        |  SELECT generate_subscripts(qe, 1) AS pos,
+        |         CAST(floor(CAST(unnest(qe) AS DOUBLE)*1048576.0) AS BIGINT) AS qfp
+        |  FROM q
+        |), score AS (
+        |  SELECT m.label, CAST(sum(m.mean_fp * qf.qfp) AS BIGINT) AS route_dot
+        |  FROM means m JOIN qf USING (pos) GROUP BY m.label
+        |), top AS (
+        |  SELECT label, route_dot FROM score
+        |  ORDER BY route_dot DESC, label LIMIT 2
+        |)
+        |SELECT e.vec_id, e.label, t.route_dot,
+        |       CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS cos_sim
+        |FROM embeddings e JOIN top t ON e.label = t.label CROSS JOIN q
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
     // f32 norms via list_distance-vs-zeros (the ann_sq8 idiom); -0.0
     // components count as zero on both engines; norm_mean rides the
     // 2^20 fixed-point sum

@@ -419,6 +419,36 @@ class AnnSpec extends SparkSpec {
     assert(rows.forall { case (_, n) => n > 0.0 && n <= 1.0 })
   }
 
+  test("poolEmbeddingsFp: hand-computed fixed-point means, negative values, determinism") {
+    val df = Seq(
+      (1, Seq(1.0f, -0.5f)), (1, Seq(0.0f, -0.5f)),  // grp 1: sums (2^20, -2^20), means (2^19, -2^19)
+      (2, Seq(0.25f, 0.75f)))
+      .toDF("label", "embedding")
+    val got = VectorSearch.poolEmbeddingsFp(df, "label")
+      .as[(Int, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1, 2L, Seq(524288L, -524288L)),
+      (2, 1L, Seq(262144L, 786432L))))
+    val again = VectorSearch.poolEmbeddingsFp(df.repartition(5), "label")
+      .as[(Int, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(again === got)
+  }
+
+  test("routeByPooled: exact int dot ranks groups, ties to the smaller group") {
+    val df = Seq(
+      (1, Seq(1.0f, 0.0f)), (2, Seq(0.0f, 1.0f)), (3, Seq(1.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val pooled = VectorSearch.poolEmbeddingsFp(df, "label")
+    val top = VectorSearch.routeByPooled(pooled, Seq(1.0f, 0.0f), kGroups = 2)
+      .select($"grp".cast("int"), $"route_dot").as[(Int, Long)].collect().toSeq
+    // groups 1 and 3 both align with the query (equal dots) — tie to 1
+    assert(top.map(_._1) === Seq(1, 3))
+    assert(top(0)._2 === top(1)._2)
+    assert(top(0)._2 === 1048576L * 1048576L)
+    intercept[IllegalArgumentException](
+      VectorSearch.routeByPooled(pooled, Seq(1.0f), kGroups = 0))
+  }
+
   test("incremental assignToIvf matches MLlib's own assignment on the fit corpus") {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Ann.buildIvf(emb, numClusters = 8)
