@@ -156,6 +156,31 @@ class SqSpec extends SparkSpec {
     assert(h.isNullAt(h.fieldIndex("norm_min")))
   }
 
+  test("two-phase plan: candidate scan reads only (id, code) from a stored-codes table; fetch pushes an id filter") {
+    withTempDir("sq8codes") { dir =>
+      val emb = Tables.embeddings(spark, sfDir)
+      Sq.quantize(emb).write.mode("overwrite").parquet(dir.toString)
+      val stored = spark.read.parquet(dir.toString)
+      val q = graft.queries.VectorQueries.qvec(spark, sfDir, 0)
+      val candPlan = Sq.sq8Candidates(stored, q, rerank = 32)
+        .queryExecution.executedPlan.toString
+      val readSchema = candPlan.linesIterator
+        .find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("sq_code") && !readSchema.contains("embedding"),
+        s"candidate scan must not read the f32 column: $readSchema")
+      val fetchPlan = Sq.searchSq8(stored, q, k = 10, rerank = 32)
+        .queryExecution.executedPlan.toString
+      assert(fetchPlan.contains("PushedFilters") && fetchPlan.contains("In(vec_id"),
+        s"fetch phase must push the candidate-id filter: $fetchPlan")
+      // and the stored-codes path returns the same answer as in-plan quantize
+      val viaStored = Sq.searchSq8(stored, q, 10, 32)
+        .select($"vec_id").as[Long].collect().toSeq
+      val viaInPlan = Sq.searchSq8(Sq.quantize(emb), q, 10, 32)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(viaStored === viaInPlan)
+    }
+  }
+
   test("searchSq8 guards: rerank >= k") {
     val emb = Tables.embeddings(spark, sfDir)
     intercept[IllegalArgumentException](
