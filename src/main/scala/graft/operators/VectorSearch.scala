@@ -141,6 +141,53 @@ object VectorSearch {
       .limit(kGroups)
   }
 
+  /** Similarity-threshold calibration over a query sample — the
+    * data-driven version of the reference's hardcoded
+    * `SIMILARITY_THRESHOLD = 0.1` (`config.py:49`): per query,
+    *  - `kth_score`: the k-th best cosine over the corpus (what a
+    *    top-k search returns as its weakest hit);
+    *  - `bg_p95`: the exact `pct`-percentile of the full similarity
+    *    distribution (lower-nearest-rank: the element at
+    *    ceil(pct·n) in (sim asc, id) order) — the BACKGROUND score
+    *    level of non-matches;
+    *  - `margin = kth_score − bg_p95`: a threshold placed inside a
+    *    positive margin separates hits from background for that
+    *    query; a non-positive margin says top-k scores are
+    *    indistinguishable from noise at this k.
+    *
+    * Exactness: sims are the f32 kernel; the percentile is an exact
+    * order statistic (no interpolation — engine-identical); the
+    * position ceil(pct·n) is one IEEE multiply + ceil both engines
+    * compute identically. Eval-on-a-sample shape: Q·n sims, two
+    * same-partitioning window sorts, Q output rows. */
+  def thresholdCalibration(chunks: DataFrame, queries: DataFrame, k: Int,
+                           pct: Double = 0.95,
+                           embCol: String = "embedding",
+                           idCol: String = "vec_id",
+                           qIdCol: String = "query_id",
+                           qEmbCol: String = "query_embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(pct > 0.0 && pct < 1.0, s"pct must be in (0,1), got $pct")
+    val n = chunks.count()
+    val pos = math.ceil(pct * n).toLong
+    val wDesc = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__sim").desc, col(idCol))
+    val wAsc = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__sim").asc, col(idCol))
+    chunks.crossJoin(broadcast(queries))
+      .withColumn("__sim",
+        graft.functions.VectorFunctions.cosSimF32(col(embCol), col(qEmbCol))
+          .cast("double"))
+      .withColumn("__rd", row_number().over(wDesc))
+      .withColumn("__ra", row_number().over(wAsc))
+      .filter(col("__rd") === k || col("__ra") === pos)
+      .groupBy(col(qIdCol))
+      .agg(max(when(col("__rd") === k, col("__sim"))).as("kth_score"),
+        max(when(col("__ra") === pos, col("__sim"))).as("bg_p95"))
+      .withColumn("margin", col("kth_score") - col("bg_p95"))
+      .orderBy(col(qIdCol))
+  }
+
   /** Batch multi-query top-k (SURVEY §4.3.2): broadcast the (small) query
     * set against the (huge) corpus, window per query. The corpus side
     * never shuffles for the join (broadcast); the window shuffles only

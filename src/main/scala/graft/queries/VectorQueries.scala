@@ -132,6 +132,17 @@ object VectorQueries {
         .limit(10)
         .select(col("vec_id"), col("label"), col("route_dot"), col("cos_sim"))
     },
+    // similarity-threshold calibration over a 16-query sample: the
+    // data-driven version of the reference's hardcoded 0.1 threshold
+    // (kth-best score vs the exact p95 background percentile, margin
+    // between them)
+    "threshold_calibration" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      VectorSearch.thresholdCalibration(emb, qs, k = 10)
+    },
     // embedding-column health gate: the invariants the whole
     // ANN/quantization/serving stack assumes, one aggregation pass
     // (dims, nulls, zero vectors, non-finite components, f32 norm
@@ -315,6 +326,32 @@ object VectorQueries {
         |       CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS cos_sim
         |FROM embeddings e JOIN top t ON e.label = t.label CROSS JOIN q
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    // the exact-order-statistic replay: both window ranks re-derived,
+    // the percentile position from the same ceil(0.95*n) IEEE multiply
+    "threshold_calibration" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 16
+        |), simmed AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |), ranked AS (
+        |  SELECT query_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, vec_id) AS rd,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim ASC, vec_id) AS ra
+        |  FROM simmed
+        |), pos AS (SELECT CAST(ceil(0.95 * n) AS BIGINT) AS p FROM nn)
+        |SELECT query_id,
+        |       max(CASE WHEN rd = 10 THEN sim END) AS kth_score,
+        |       max(CASE WHEN ra = (SELECT p FROM pos) THEN sim END) AS bg_p95,
+        |       max(CASE WHEN rd = 10 THEN sim END) -
+        |         max(CASE WHEN ra = (SELECT p FROM pos) THEN sim END) AS margin
+        |FROM ranked GROUP BY query_id
+        |ORDER BY query_id""".stripMargin,
     // f32 norms via list_distance-vs-zeros (the ann_sq8 idiom); -0.0
     // components count as zero on both engines; norm_mean rides the
     // 2^20 fixed-point sum

@@ -419,6 +419,28 @@ class AnnSpec extends SparkSpec {
     assert(rows.forall { case (_, n) => n > 0.0 && n <= 1.0 })
   }
 
+  test("thresholdCalibration: hand-computed order statistics, margin, guards") {
+    // corpus of 4 unit-ish vectors with distinct cosines to the query
+    // [1,0]: sims = 1.0 (id 1), 0.0 (id 2), -1.0 (id 3), ~0.707 (id 4)
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f)), (4L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((0L, Seq(1.0f, 0.0f)))
+      .toDF("query_id", "query_embedding")
+    // k=2 -> kth = 2nd best = cos([1,1],[1,0]); pct=0.5 over n=4 ->
+    // pos = ceil(2.0) = 2 in asc order = sim 0.0
+    val r = VectorSearch.thresholdCalibration(emb, qs, k = 2, pct = 0.5)
+      .as[(Long, Double, Double, Double)].head()
+    val c = graft.operators.Rerank
+      .cosSimLocal(Array(1.0f, 1.0f), Array(1.0f, 0.0f)).toDouble
+    assert(r === ((0L, c, 0.0, c - 0.0)))
+    intercept[IllegalArgumentException](
+      VectorSearch.thresholdCalibration(emb, qs, k = 0))
+    intercept[IllegalArgumentException](
+      VectorSearch.thresholdCalibration(emb, qs, k = 2, pct = 1.0))
+  }
+
   test("poolEmbeddingsFp: hand-computed fixed-point means, negative values, determinism") {
     val df = Seq(
       (1, Seq(1.0f, -0.5f)), (1, Seq(0.0f, -0.5f)),  // grp 1: sums (2^20, -2^20), means (2^19, -2^19)

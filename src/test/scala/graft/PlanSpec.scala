@@ -45,6 +45,20 @@ class PlanSpec extends SparkSpec {
       "scan must not read the wide text column:\n" + readSchema)
   }
 
+  test("batchMmr: broadcast query side + partial WindowGroupLimit before the candidate exchange") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val df = graft.operators.Rerank.batchMmr(emb, qs, k = 4, fetchK = 16,
+      candFilter = Some($"vec_id" =!= $"query_id"))
+    val p = plan(df)
+    // the corpus never shuffles for the join, and each map task keeps
+    // only its local top-fetchK per query before the window exchange —
+    // the property that makes the greedy stage's input q*fetchK rows
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
   test("batch top-k broadcasts the query side (corpus never shuffles for the join)") {
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.filter($"vec_id" < 4)
