@@ -84,6 +84,28 @@ object Sq {
     df.withColumn(codeCol, enc(col(embCol)))
   }
 
+  /** Phase 1 as a lazy frame: (idCol, approx_dot), the `rerank` best
+    * codes by exact int dot. Touches ONLY (id, code) — PlanSpec pins
+    * that the scan's ReadSchema excludes the embedding column.
+    * Null-id rows are excluded up front: an id-less row cannot be
+    * fetched in phase 2 (isin/join never match NULL), so ranking it
+    * would silently burn a rerank slot. */
+  private[graft] def sq8Candidates(quantized: DataFrame, queryVec: Seq[Float],
+                                   rerank: Int, idCol: String = "vec_id",
+                                   codeCol: String = "sq_code"): DataFrame = {
+    val qc = sq8Codes(queryVec.toArray)
+    val dotU = udf { (c: Array[Byte]) =>
+      if (c == null) null else java.lang.Long.valueOf(dot8(c, qc))
+    }
+    quantized.select(col(idCol), col(codeCol))
+      .filter(col(idCol).isNotNull)
+      .withColumn("approx_dot", dotU(col(codeCol)))
+      .filter(col("approx_dot").isNotNull)
+      .orderBy(col("approx_dot").desc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol), col("approx_dot"))
+  }
+
   /** SQ8 ANN in TWO PHASES, like every production code-scan index:
     *
     *  1. CANDIDATE SCAN reads ONLY (id, code) — a narrow projection
@@ -104,24 +126,6 @@ object Sq {
     * the candidate-then-fetch shape of the PQ path's ADC rerank.
     * Returns (all input columns minus emb/code) + (approx_dot,
     * cos_sim) in (cos_sim desc, id) order. */
-  /** Phase 1 as a lazy frame: (idCol, approx_dot), the `rerank` best
-    * codes by exact int dot. Touches ONLY (id, code) — PlanSpec pins
-    * that the scan's ReadSchema excludes the embedding column. */
-  private[graft] def sq8Candidates(quantized: DataFrame, queryVec: Seq[Float],
-                                   rerank: Int, idCol: String = "vec_id",
-                                   codeCol: String = "sq_code"): DataFrame = {
-    val qc = sq8Codes(queryVec.toArray)
-    val dotU = udf { (c: Array[Byte]) =>
-      if (c == null) null else java.lang.Long.valueOf(dot8(c, qc))
-    }
-    quantized.select(col(idCol), col(codeCol))
-      .withColumn("approx_dot", dotU(col(codeCol)))
-      .filter(col("approx_dot").isNotNull)
-      .orderBy(col("approx_dot").desc, col(idCol))
-      .limit(rerank)
-      .select(col(idCol), col("approx_dot"))
-  }
-
   def searchSq8(quantized: DataFrame, queryVec: Seq[Float], k: Int,
                 rerank: Int, embCol: String = "embedding",
                 idCol: String = "vec_id",

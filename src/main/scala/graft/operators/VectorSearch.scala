@@ -100,11 +100,22 @@ object VectorSearch {
     * broadcasts. */
   def poolEmbeddingsFp(df: DataFrame, groupCol: String,
                        embCol: String = "embedding"): DataFrame = {
-    val px = df
+    val e = col(embCol)
+    // pathological vectors (null; NaN/Inf components) are EXCLUDED
+    // from the pool — the same contract as Sq.sq8Codes' zero path and
+    // embeddingHealth's envelope: Spark would floor NaN to 0 and Inf
+    // to Long.MaxValue silently while the SQL replay errors, so the
+    // engine-identical claim only holds over finite inputs
+    // (emb_health counts what this drops)
+    val clean = df.filter(e.isNotNull &&
+      size(filter(e, x => isnan(x) || x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity))) === 0)
+    val px = clean
       .select(col(groupCol).as("grp"),
-        posexplode(col(embCol)).as(Seq("pos", "x")))
+        posexplode(e).as(Seq("pos", "x")))
     px.groupBy(col("grp"), col("pos"))
-      .agg(sum(floor(col("x").cast("double") * lit(1048576.0)).cast("long")).as("s"),
+      .agg(sum(floor(col("x").cast("double") * lit(Ann.FpScale.toDouble))
+        .cast("long")).as("s"),
         count(lit(1)).as("n"))
       .withColumn("mean_fp",
         floor(col("s").cast("double") / col("n")).cast("long"))
@@ -124,7 +135,10 @@ object VectorSearch {
   def routeByPooled(pooled: DataFrame, queryVec: Seq[Float],
                     kGroups: Int): DataFrame = {
     require(kGroups >= 1, s"kGroups must be >= 1, got $kGroups")
-    val qfp = queryVec.map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray
+    require(queryVec.forall(java.lang.Float.isFinite),
+      "routeByPooled: query vector must be finite (NaN floors to 0, Inf saturates)")
+    val qfp = queryVec.map(x =>
+      math.floor(x.toDouble * Ann.FpScale.toDouble).toLong).toArray
     val dotU = udf { (m: Seq[Long]) =>
       if (m == null) null
       else {
@@ -168,22 +182,32 @@ object VectorSearch {
                            qEmbCol: String = "query_embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(pct > 0.0 && pct < 1.0, s"pct must be in (0,1), got $pct")
-    val n = chunks.count()
-    val pos = math.ceil(pct * n).toLong
+    // null sims (null embeddings — the kernels are null-intolerant)
+    // drop BEFORE ranking: Spark's default asc sort seats NULLS FIRST
+    // where DuckDB seats them last, so leaving them in would shift
+    // the percentile element on one engine only. The population n is
+    // counted per query over the SAME filtered frame (a count window
+    // on the partitioning the ranks already use — no separate corpus
+    // scan, the operator stays lazy like the rest of this file), so
+    // ceil(pct·n) positions over valid scores only.
     val wDesc = Window.partitionBy(col(qIdCol))
       .orderBy(col("__sim").desc, col(idCol))
     val wAsc = Window.partitionBy(col(qIdCol))
       .orderBy(col("__sim").asc, col(idCol))
+    val wAll = Window.partitionBy(col(qIdCol))
     chunks.crossJoin(broadcast(queries))
       .withColumn("__sim",
         graft.functions.VectorFunctions.cosSimF32(col(embCol), col(qEmbCol))
           .cast("double"))
+      .filter(col("__sim").isNotNull)
+      .withColumn("__pos",
+        ceil(lit(pct) * count(lit(1)).over(wAll)).cast("long"))
       .withColumn("__rd", row_number().over(wDesc))
       .withColumn("__ra", row_number().over(wAsc))
-      .filter(col("__rd") === k || col("__ra") === pos)
+      .filter(col("__rd") === k || col("__ra") === col("__pos"))
       .groupBy(col(qIdCol))
       .agg(max(when(col("__rd") === k, col("__sim"))).as("kth_score"),
-        max(when(col("__ra") === pos, col("__sim"))).as("bg_p95"))
+        max(when(col("__ra") === col("__pos"), col("__sim"))).as("bg_p95"))
       .withColumn("margin", col("kth_score") - col("bg_p95"))
       .orderBy(col(qIdCol))
   }

@@ -301,6 +301,8 @@ object VectorQueries {
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
         |         unnest(embedding) AS x
         |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
         |), sums AS (
         |  SELECT label, pos,
         |         CAST(sum(CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT))
@@ -329,8 +331,7 @@ object VectorQueries {
     // the exact-order-statistic replay: both window ranks re-derived,
     // the percentile position from the same ceil(0.95*n) IEEE multiply
     "threshold_calibration" ->
-      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-        |q AS (
+      """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe
         |  FROM embeddings WHERE vec_id < 16
         |), simmed AS (
@@ -339,17 +340,19 @@ object VectorQueries {
         |  FROM embeddings e CROSS JOIN q
         |), ranked AS (
         |  SELECT query_id, sim,
+        |         CAST(ceil(0.95 * count(*) OVER (PARTITION BY query_id))
+        |              AS BIGINT) AS pos,
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY sim DESC, vec_id) AS rd,
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY sim ASC, vec_id) AS ra
-        |  FROM simmed
-        |), pos AS (SELECT CAST(ceil(0.95 * n) AS BIGINT) AS p FROM nn)
+        |  FROM simmed WHERE sim IS NOT NULL
+        |)
         |SELECT query_id,
         |       max(CASE WHEN rd = 10 THEN sim END) AS kth_score,
-        |       max(CASE WHEN ra = (SELECT p FROM pos) THEN sim END) AS bg_p95,
+        |       max(CASE WHEN ra = pos THEN sim END) AS bg_p95,
         |       max(CASE WHEN rd = 10 THEN sim END) -
-        |         max(CASE WHEN ra = (SELECT p FROM pos) THEN sim END) AS margin
+        |         max(CASE WHEN ra = pos THEN sim END) AS margin
         |FROM ranked GROUP BY query_id
         |ORDER BY query_id""".stripMargin,
     // f32 norms via list_distance-vs-zeros (the ann_sq8 idiom); -0.0

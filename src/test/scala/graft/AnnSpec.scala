@@ -435,6 +435,14 @@ class AnnSpec extends SparkSpec {
     val c = graft.operators.Rerank
       .cosSimLocal(Array(1.0f, 1.0f), Array(1.0f, 0.0f)).toDouble
     assert(r === ((0L, c, 0.0, c - 0.0)))
+    // null embeddings are excluded from BOTH the population and the
+    // ranks (Spark's NULLS FIRST asc default would otherwise shift
+    // the percentile element vs the SQL replay)
+    val withNull = emb.unionByName(
+      Seq((9L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val r2 = VectorSearch.thresholdCalibration(withNull, qs, k = 2, pct = 0.5)
+      .as[(Long, Double, Double, Double)].head()
+    assert(r2 === r)
     intercept[IllegalArgumentException](
       VectorSearch.thresholdCalibration(emb, qs, k = 0))
     intercept[IllegalArgumentException](
@@ -454,6 +462,15 @@ class AnnSpec extends SparkSpec {
     val again = VectorSearch.poolEmbeddingsFp(df.repartition(5), "label")
       .as[(Int, Long, Seq[Long])].collect().sortBy(_._1).toSeq
     assert(again === got)
+    // pathological vectors (null, NaN/Inf components) are excluded
+    // from the pool — Spark would floor NaN to 0 silently while the
+    // SQL replay errors
+    val dirty = df.unionByName(Seq(
+      (1, Seq(Float.NaN, 1.0f)), (2, null.asInstanceOf[Seq[Float]]))
+      .toDF("label", "embedding"))
+    val cleaned = VectorSearch.poolEmbeddingsFp(dirty, "label")
+      .as[(Int, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(cleaned === got)
   }
 
   test("routeByPooled: exact int dot ranks groups, ties to the smaller group") {

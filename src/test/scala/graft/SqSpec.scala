@@ -156,6 +156,19 @@ class SqSpec extends SparkSpec {
     assert(h.isNullAt(h.fieldIndex("norm_min")))
   }
 
+  test("searchSq8: a null-id row neither returns nor displaces a real candidate") {
+    val emb = Tables.embeddings(spark, sfDir).filter($"vec_id" =!= 0)
+    val q = graft.queries.VectorQueries.qvec(spark, sfDir, 0)
+    val clean = Sq.searchSq8(Sq.quantize(emb), q, k = 10, rerank = 12)
+      .select($"vec_id").as[Long].collect().toSeq
+    val withNullId = emb.unionByName(
+      emb.limit(1).select(lit(null).cast("long").as("vec_id"),
+        $"embedding", $"label"))
+    val dirty = Sq.searchSq8(Sq.quantize(withNullId), q, k = 10, rerank = 12)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(dirty === clean)
+  }
+
   test("two-phase plan: candidate scan reads only (id, code) from a stored-codes table; fetch pushes an id filter") {
     withTempDir("sq8codes") { dir =>
       val emb = Tables.embeddings(spark, sfDir)
