@@ -4,10 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_SHUFFLE_CODEC=zstd halves shuffle/spill file size vs
+    // the lz4 default (the ScaleProbe knob): at derived-100× the
+    // output-quadratic pair queries are DISK-bound on a single box —
+    // the global presentation sort of a 7.6B-row result retains its
+    // whole compressed run on local scratch
+    val codec = sys.env.get("SPARK_GRAFT_SHUFFLE_CODEC")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    val spark = codec.fold(b0)(c => b0.config("spark.io.compression.codec", c))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // bench mode: gate queries skip their oracle-handoff parquet
