@@ -459,6 +459,32 @@ object Ann {
           .as(s"ndcg_at_$k"))
   }
 
+  /** MRR@k — the third leg of the retrieval-eval family next to
+    * [[recallAtK]] (did the right ids come back) and [[ndcgAtK]] (in
+    * the right order): how FAR DOWN the approximate list the first
+    * truly-relevant id sits (relevant = the exact top-k set). Output:
+    * (qIdCol, first_hit_rank, rr_at_k) for every query in `exact` —
+    * first_hit_rank null and rr 0.0 when the approx top-k misses the
+    * exact set entirely. Exact integer ranks; rr = 1.0/rank is one
+    * engine-identical IEEE division. Both inputs clipped to rank ≤ k
+    * (the ndcgAtK lesson). */
+  def mrrAtK(approx: DataFrame, exact: DataFrame, k: Int,
+             qIdCol: String = "query_id", idCol: String = "vec_id",
+             rnCol: String = "rn"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rel = exact.filter(col(rnCol) <= k).select(col(qIdCol), col(idCol))
+    val first = approx.filter(col(rnCol) <= k)
+      .select(col(qIdCol), col(idCol), col(rnCol))
+      .join(rel, Seq(qIdCol, idCol))
+      .groupBy(col(qIdCol))
+      .agg(min(col(rnCol).cast("long")).as("first_hit_rank"))
+    exact.select(col(qIdCol)).distinct()
+      .join(first, Seq(qIdCol), "left")
+      .select(col(qIdCol), col("first_hit_rank"),
+        coalesce(lit(1.0) / col("first_hit_rank").cast("double"), lit(0.0))
+          .as(s"rr_at_$k"))
+  }
+
   // ------------------------------------------- JL random projection (RP)
 
   /** Salt for the RP plane family so its planes never coincide with

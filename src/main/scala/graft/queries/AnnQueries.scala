@@ -195,6 +195,19 @@ object AnnQueries {
       Sq.searchIvfSq8(index, VectorQueries.qvec(s, dir, 0),
         k = 10, rerank = 32, nprobe = 4)
     },
+    // MRR@10 — the third retrieval-eval leg on the same sample/index:
+    // how far down the IVF list the first truly-relevant id sits
+    "ann_mrr_report" -> { (s, dir) =>
+      val index = persistedIvf(s, dir)
+      writeIvfHandoff(s, index)
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val approx = Ann.batchSearchIvf(s, index, qs, k = 10, nprobe = 4)
+      val exact = VectorSearch.batchTopK(emb, qs, 10, VectorSearch.Euclidean)
+      Ann.mrrAtK(approx, exact, 10).orderBy(col("query_id"))
+    },
     // NDCG@10 of the IVF ranking vs exact ground truth — the
     // rank-sensitive companion to ann_recall_report on the same
     // 32-query sample and persisted index (recall counts hits; NDCG
@@ -553,6 +566,48 @@ object AnnQueries {
          |)
          |SELECT vec_id, label, ivf_cluster, approx_dot, cos_sim FROM cand
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // same replay as ann_recall_report; first hit = min approx rank
+    // inside the exact set, rr = one engine-identical division
+    "ann_mrr_report" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |asg AS (SELECT * FROM ${rp(AssignedHandoff)}),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 32
+         |), probes AS (
+         |  SELECT query_id, cluster_id FROM (
+         |    SELECT q.query_id, c.cluster_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY CAST(list_distance(c.centroid, q.qv) AS DOUBLE),
+         |                      c.cluster_id) AS rn
+         |    FROM q CROSS JOIN cents c) AS s WHERE rn <= 4
+         |), approx AS (
+         |  SELECT query_id, vec_id, rn FROM (
+         |    SELECT p.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY CAST(list_distance(e.embedding, q.qv) AS DOUBLE),
+         |                      e.vec_id) AS rn
+         |    FROM probes p
+         |    JOIN asg a ON a.ivf_cluster = p.cluster_id
+         |    JOIN embeddings e ON e.vec_id = a.vec_id
+         |    JOIN q ON q.query_id = p.query_id) AS s WHERE rn <= 10
+         |), exact AS (
+         |  SELECT query_id, vec_id, rn FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY CAST(list_distance(e.embedding, q.qv) AS DOUBLE),
+         |                      e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e) AS s WHERE rn <= 10
+         |), hits AS (
+         |  SELECT a.query_id, CAST(min(a.rn) AS BIGINT) AS first_hit_rank
+         |  FROM approx a JOIN exact e ON e.query_id = a.query_id
+         |                            AND e.vec_id = a.vec_id
+         |  GROUP BY a.query_id
+         |)
+         |SELECT q.query_id, h.first_hit_rank,
+         |       coalesce(1.0 / CAST(h.first_hit_rank AS DOUBLE), 0.0) AS rr_at_10
+         |FROM q LEFT JOIN hits h USING (query_id)
+         |ORDER BY q.query_id""".stripMargin,
     // both rankings replayed from the index handoff (the
     // ann_recall_report replay), grades + DCG as exact integer sums
     // over the discount handoff, IDCG the same constant both engines

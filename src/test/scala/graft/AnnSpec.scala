@@ -405,6 +405,23 @@ class AnnSpec extends SparkSpec {
     assert(n === 1.0)
   }
 
+  test("mrrAtK: perfect=1, late first hit=1/rank, total miss=0 with null rank, clip at k") {
+    val exact = Seq((1L, 100L, 1), (1L, 200L, 2), (2L, 300L, 1), (3L, 400L, 1))
+      .toDF("query_id", "vec_id", "rn")
+    val approx = Seq(
+      (1L, 100L, 1),               // q1: first hit at rank 1
+      (2L, 900L, 1), (2L, 901L, 2), (2L, 300L, 3), // q2: first hit at rank 3
+      (3L, 902L, 1), (3L, 400L, 11))               // q3: only hit is beyond k -> miss
+      .toDF("query_id", "vec_id", "rn")
+    val r = graft.operators.Ann.mrrAtK(approx, exact, k = 10)
+      .orderBy($"query_id")
+      .as[(Long, Option[Long], Double)].collect().toSeq
+    assert(r === Seq(
+      (1L, Some(1L), 1.0),
+      (2L, Some(3L), 1.0 / 3.0),
+      (3L, None, 0.0)))
+  }
+
   test("ndcgAtK on the fixture: IVF ranking scores within (0,1], above its own recall floor") {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Ann.buildIvf(emb, numClusters = 8)
