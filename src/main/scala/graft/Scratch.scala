@@ -14,10 +14,16 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val countOnly = sys.env.get("SPARK_GRAFT_COUNT_ONLY").contains("1")
+    // SPARK_GRAFT_EXPLAIN=1: print each query's formatted physical plan
+    // instead of executing it (the iterate-on-the-plan loop)
+    val explainOnly = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     new java.io.File(outDir).mkdirs()
     names.foreach { n =>
       val t0 = System.nanoTime()
-      if (countOnly) {
+      if (explainOnly) {
+        println(s"===== $n =====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      } else if (countOnly) {
         val c = SparkEntry.queries(n)(spark, sfDir).count()
         println(f"[scratch] $n: $c rows, ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } else {
@@ -26,7 +32,7 @@ object Scratch {
         println(f"[scratch] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
-    if (!countOnly) Verify.writeOracleJson(outDir)
+    if (!countOnly && !explainOnly) Verify.writeOracleJson(outDir)
     spark.stop()
   }
 }

@@ -423,9 +423,13 @@ object Ann {
     * exact rank-r id carries rel = k+1−r (top hit k, k-th hit 1; ids
     * outside the exact top-k are 0). DCG_fp = Σ rel·disc_fp(approx
     * rank) in exact longs over the `discounts` table
-    * ([[ndcgDiscounts]]); IDCG_fp is the constant Σ (k+1−r)·disc_fp(r)
-    * (every query's ideal ordering has the same grade profile);
-    * ndcg = DCG_fp/IDCG_fp, one engine-stable IEEE division.
+    * ([[ndcgDiscounts]]); IDCG_fp is PER QUERY — Σ (k+1−r)·disc_fp(r)
+    * over that query's ACTUAL exact rows (a filtered corpus can yield
+    * fewer than k exact results, and a perfect approximate ranking of
+    * a short list must still score 1.0 — the constant-IDCG form would
+    * cap it below 1); ndcg = DCG_fp/IDCG_fp, one engine-stable IEEE
+    * division. Queries with a full-k exact frame get exactly the
+    * constant Σ_{r≤k}, so the common case is unchanged.
     *
     * Inputs are (qIdCol, idCol, rank-ordering column `rnCol`) top-k
     * frames — Q·k rows, nothing corpus-sized. Output: (qIdCol,
@@ -440,23 +444,30 @@ object Ann {
     // beyond k extra discount terms, corrupting the metric both ways
     val disc = broadcast(discounts.filter(col("rank") <= k)
       .select(col("rank"), col("disc_fp")))
-    val idcgFp = discounts.filter(col("rank") <= k)
-      .select(sum((lit(k + 1) - col("rank")) * col("disc_fp")))
-      .head().getLong(0)
     val rel = exact.filter(col(rnCol) <= k).select(col(qIdCol), col(idCol),
+      col(rnCol).cast("long").as("__ern"),
       (lit(k + 1) - col(rnCol).cast("long")).as("__rel"))
+    // per-query ideal DCG: each query's own exact rows in their exact
+    // order (rank r carries grade k+1−r AND discount disc(r)) — Q·k
+    // rows joined to the k-row broadcast table, map-side-combined sum
+    val idcg = rel
+      .join(disc, rel("__ern") === disc("rank"))
+      .groupBy(col(qIdCol))
+      .agg(sum(col("__rel") * col("disc_fp")).as("idcg_fp"))
     val dcg = approx.filter(col(rnCol) <= k)
       .select(col(qIdCol), col(idCol), col(rnCol).cast("long").as("rank"))
-      .join(rel, Seq(qIdCol, idCol), "left")
+      .join(rel.select(col(qIdCol), col(idCol), col("__rel")),
+        Seq(qIdCol, idCol), "left")
       .join(disc, Seq("rank"))
       .groupBy(col(qIdCol))
       .agg(sum(coalesce(col("__rel"), lit(0L)) * col("disc_fp")).as("dcg_fp"))
     exact.select(col(qIdCol)).distinct()
+      .join(idcg, Seq(qIdCol))
       .join(dcg, Seq(qIdCol), "left")
       .select(col(qIdCol),
         coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
-        (coalesce(col("dcg_fp"), lit(0L)).cast("double") / lit(idcgFp.toDouble))
-          .as(s"ndcg_at_$k"))
+        (coalesce(col("dcg_fp"), lit(0L)).cast("double") /
+          col("idcg_fp").cast("double")).as(s"ndcg_at_$k"))
   }
 
   /** MRR@k — the third leg of the retrieval-eval family next to

@@ -122,6 +122,23 @@ object Bpe {
     syms.toSeq
   }
 
+  /** Persist a learned merge table (`dir/merges`, rank-ordered) for
+    * [[graft.serving.Serving.encodeBpe]] — the saveNbModel split:
+    * nightly batch train, driver-latency tokenize probe. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], dir: String): Unit = {
+    import spark.implicits._
+    merges.sortBy(_.rank).toDF("rank", "left", "right", "count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+  }
+
+  /** Load a [[saveMerges]] layout back into the merge sequence. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[Merge] =
+    spark.read.parquet(s"$dir/merges").orderBy(col("rank"))
+      .collect().map(r => Merge(r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+
   /** Corpus tokenization with a learned merge table — the distributed
     * APPLY step: merges ride the closure (kilobytes), the scan is a
     * narrow map. */

@@ -1238,6 +1238,14 @@ object CorpusModels {
     * the corpus, accepts rows only on full match, and replays the
     * key sum + rank + integer boundary.
     *
+    * Batch/serve split: resampling is CORPUS-BATCH BY NATURE — the
+    * keep/drop boundary is a global rank over every candidate's
+    * perturbed key, so there is deliberately no driver-latency probe
+    * for it. The serve side consumes the WEIGHTS (trained model +
+    * per-doc scores ride the persisted artifact — the dsirShared
+    * build-once cache / publishModelVersion); the selection itself
+    * stays a nightly batch job, like `Refresh.weightedTokenBudgetMix`.
+    *
     * Output: the selected rows (idCol, weight_fp, gumbel_fp, key_fp,
     * global_rank). */
   def dsirGumbelResample(weights: DataFrame, idCol: String, weightCol: String,
@@ -1269,7 +1277,22 @@ object CorpusModels {
   def dsirPipeline(docs: DataFrame, idCol: String, textCol: String,
                    targetCol: String, numBuckets: Int,
                    publish: DataFrame => DataFrame = identity,
-                   dictEncode: Boolean = true): DataFrame = {
+                   dictEncode: Boolean = true): DataFrame =
+    dsirTrainScore(docs, idCol, textCol, targetCol, numBuckets,
+      publish, dictEncode)._2
+
+  /** [[dsirPipeline]] returning BOTH halves — (published model,
+    * per-doc weights) — so a build-once cache can persist the trained
+    * model next to its corpus scores and the selection/resampling
+    * queries can share one training pass instead of each retraining
+    * (the trio's in-suite 3× retrain was round 9's top perf finding).
+    * The `publish` hook still wraps the model BEFORE scoring consumes
+    * it, so a caller that routes it to a parquet write gets weights
+    * derived from the exact persisted artifact. */
+  def dsirTrainScore(docs: DataFrame, idCol: String, textCol: String,
+                     targetCol: String, numBuckets: Int,
+                     publish: DataFrame => DataFrame = identity,
+                     dictEncode: Boolean = true): (DataFrame, DataFrame) = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val occ = docs.select(col(idCol), col(targetCol).as("__tgt"),
         explode(TextAnalysis.wordBigrams(col(textCol))).as("gram"))
@@ -1323,6 +1346,6 @@ object CorpusModels {
         (coalesce(col("s"), lit(0L)).cast("double") / lit(LpScale)).as("weight"))
     Dedup.releaseAfterUse(occ)
     if (dictEncode) Dedup.releaseAfterUse(bucketed)
-    out
+    (model, out)
   }
 }

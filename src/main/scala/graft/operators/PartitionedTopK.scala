@@ -33,39 +33,8 @@ object PartitionedTopK {
     val sc = spark.sparkContext
     val bq = sc.broadcast(queries.toArray)
 
-    // tie-break ordering on the id, matching the final window rank's
-    // semantics for that type (strings compare as UTF-8 bytes, the same
-    // binary order Spark's UTF8String sort uses — Java String.compareTo
-    // would disagree on supplementary characters)
     val idType = corpus.schema(idCol).dataType
-    val idOrd: Ordering[Any] = idType match {
-      case LongType    => Ordering.by((x: Any) => x.asInstanceOf[Long])
-      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
-      case StringType  => new Ordering[Any] {
-        // code-point order == UTF-8 byte order (UTF-8 preserves code
-        // point ordering), computed without allocating byte arrays —
-        // this comparator runs inside the per-row heap loop on distance
-        // ties. Plain String.compareTo (UTF-16 code units) would
-        // disagree when supplementary characters meet chars >= U+E000.
-        def compare(a: Any, b: Any): Int = {
-          val x = a.asInstanceOf[String]
-          val y = b.asInstanceOf[String]
-          var i = 0
-          var j = 0
-          while (i < x.length && j < y.length) {
-            val cx = x.codePointAt(i)
-            val cy = y.codePointAt(j)
-            if (cx != cy) return Integer.compare(cx, cy)
-            i += Character.charCount(cx)
-            j += Character.charCount(cy)
-          }
-          Integer.compare(x.length - i, y.length - j)
-        }
-      }
-      case other => throw new IllegalArgumentException(
-        s"batchTopK: id column '$idCol' has unsupported type $other " +
-          "(supported: long, int, string)")
-    }
+    val idOrd: Ordering[Any] = idOrdering(idType, idCol)
 
     // (dist, id) max-heap of size k per query: head = WORST kept entry,
     // so a better candidate evicts it in O(log k).
@@ -117,5 +86,103 @@ object PartitionedTopK {
     reduced.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Tie-break ordering on the id column, matching the final window
+    * rank's semantics for that type (strings compare as UTF-8 bytes,
+    * the same binary order Spark's UTF8String sort uses — Java
+    * String.compareTo would disagree on supplementary characters). */
+  private[graft] def idOrdering(idType: DataType, idCol: String): Ordering[Any] =
+    idType match {
+      case LongType    => Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
+      case StringType  => new Ordering[Any] {
+        // code-point order == UTF-8 byte order (UTF-8 preserves code
+        // point ordering), computed without allocating byte arrays —
+        // this comparator runs inside the per-row heap loop on ties.
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String]
+          val y = b.asInstanceOf[String]
+          var i = 0
+          var j = 0
+          while (i < x.length && j < y.length) {
+            val cx = x.codePointAt(i)
+            val cy = y.codePointAt(j)
+            if (cx != cy) return Integer.compare(cx, cy)
+            i += Character.charCount(cx)
+            j += Character.charCount(cy)
+          }
+          Integer.compare(x.length - i, y.length - j)
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"id column '$idCol' has unsupported type $other " +
+          "(supported: long, int, string)")
+    }
+
+  /** Per-partition per-query TOP-M reduction of a pre-scored frame by
+    * (`simCol` DESC, `idCol` ASC) — the heap pre-aggregation behind
+    * [[batchTopK]], exposed for operators whose scoring is already
+    * declarative (similarity windows, calibration) but whose rank cut
+    * would otherwise shuffle |corpus|·|queries| rows. `sizes` gives
+    * each query its own M (the calibration percentile cut is
+    * per-query); rows for query ids absent from `sizes` are dropped.
+    *
+    * Heap comparisons use Spark SQL's DESC semantics exactly — NaN
+    * above every value (desc seats it first) and −0.0 == 0.0 (ties
+    * fall to the id) — so re-ranking the merged partials with a
+    * `simCol.desc, idCol` window reproduces the full window's
+    * prefix bit-for-bit (the raw sim VALUE passes through untouched).
+    * Output: (`qIdCol` long, `idCol`, `simCol`) —
+    * ≤ partitions · Σ min(M_q, partition rows) rows. The query-id
+    * column is cast to long (the [[graft.operators.Rerank.batchMmr]]
+    * convention); `sizes` rides a broadcast, so the map must be
+    * driver-sized — query batches are bounded by contract. */
+  def reduceTopBySim(scored: DataFrame, sizes: Map[Long, Int],
+                     qIdCol: String = "query_id", idCol: String = "vec_id",
+                     simCol: String = "__sim"): DataFrame = {
+    require(sizes.values.forall(_ > 0),
+      s"every heap size must be positive, got ${sizes.filter(_._2 <= 0)}")
+    val spark = scored.sparkSession
+    val idType = scored.schema(idCol).dataType
+    val idOrd = idOrdering(idType, idCol)
+    val bsizes = spark.sparkContext.broadcast(sizes)
+    // worst-first ordering (head of the max-queue = eviction candidate):
+    // LOWER sim is worse; NaN compares above every sim (kept first, as
+    // Spark's desc does); ±0.0 canonicalized equal so the id decides
+    val ord: Ordering[(Double, Any)] = new Ordering[(Double, Any)] {
+      def compare(a: (Double, Any), b: (Double, Any)): Int = {
+        val sa = if (a._1 == 0.0d) 0.0d else a._1
+        val sb = if (b._1 == 0.0d) 0.0d else b._1
+        val c = java.lang.Double.compare(sb, sa)
+        if (c != 0) c else idOrd.compare(a._2, b._2)
+      }
+    }
+    val partial = scored
+      .select(col(qIdCol).cast("long"), col(idCol), col(simCol).cast("double"))
+      .where(col(qIdCol).isNotNull && col(idCol).isNotNull &&
+        col(simCol).isNotNull)
+      .rdd.mapPartitions { rows =>
+        val szs = bsizes.value
+        val heaps = mutable.HashMap.empty[Long, mutable.PriorityQueue[(Double, Any)]]
+        for (r <- rows) {
+          val q = r.getLong(0)
+          szs.get(q).foreach { m =>
+            val id = r.get(1)
+            val sim = r.getDouble(2)
+            val h = heaps.getOrElseUpdate(q,
+              mutable.PriorityQueue.empty[(Double, Any)](ord))
+            if (h.size < m) h.enqueue((sim, id))
+            else if (ord.lt((sim, id), h.head)) { h.dequeue(); h.enqueue((sim, id)) }
+          }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (sim, id) => Row(q, id, sim) }
+        }
+      }
+    spark.createDataFrame(partial, StructType(Seq(
+      StructField(qIdCol, LongType, nullable = false),
+      StructField(idCol, idType, nullable = false),
+      StructField(simCol, DoubleType, nullable = false))))
   }
 }

@@ -222,7 +222,19 @@ object Refresh {
     * as [[tokenBudgetMix]] (one per-domain window cumsum; the weights
     * table is domain-cardinality and rides a broadcast), same NULL
     * and duplicate-key contracts. `weights` must carry `domainCol`
-    * and `weightCol`. */
+    * and `weightCol`.
+    *
+    * Batch/serve split: this op is CORPUS-BATCH BY NATURE — selection
+    * needs every candidate's token count and a global cumsum, so
+    * there is deliberately no driver-latency probe for it. The
+    * serve-side story is the weights table itself: it rides the
+    * persisted model ([[graft.operators.CorpusModels
+    * .publishModelVersion]]) and a server reads the per-domain
+    * weights from there; cutting a corpus to the mixture stays a
+    * nightly batch job. Same contract as `dsirGumbelResample` — the
+    * model-family batch/serve matrix is: score-one-doc ops have
+    * probes (Serving.scoreNb/scorePpl/…), whole-corpus selection ops
+    * do not. */
   def weightedTokenBudgetMix(df: DataFrame, domainCol: String, keyCol: String,
                              tokensCol: String, weights: DataFrame,
                              totalBudgetTokens: Long, salt: String = "",

@@ -116,7 +116,12 @@ object Rerank {
     * both sides — self-exclusion (`col(idCol) =!= col(qIdCol)`) or a
     * per-query metadata predicate (the Chroma `where` + MMR
     * combination). The second exchange after the candidate window
-    * moves only queries·fetchK rows. */
+    * moves only queries·fetchK rows — and the FIRST (window) exchange
+    * never carries the |corpus|·Q sim stream either: Catalyst plans
+    * the `row_number <= fetchK` filter as a map-side Partial
+    * WindowGroupLimit below the exchange (PlanSpec pins it), which IS
+    * the per-partition heap pre-aggregation `PartitionedTopK` hand
+    * writes, emitted for free from the declarative plan. */
   def batchMmr(chunks: DataFrame, queries: DataFrame, k: Int, fetchK: Int,
                lambda: Double = 0.5, candFilter: Option[Column] = None,
                embCol: String = "embedding", idCol: String = "vec_id",

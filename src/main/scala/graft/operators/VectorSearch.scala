@@ -172,8 +172,23 @@ object VectorSearch {
     * Exactness: sims are the f32 kernel; the percentile is an exact
     * order statistic (no interpolation — engine-identical); the
     * position ceil(pct·n) is one IEEE multiply + ceil both engines
-    * compute identically. Eval-on-a-sample shape: Q·n sims, two
-    * same-partitioning window sorts, Q output rows. */
+    * compute identically.
+    *
+    * Scale shape (two jobs): the asc-rank-ceil(pct·n) element's SIM
+    * equals the desc-rank (m = n−ceil(pct·n)+1) element's sim (same
+    * position in the sim multiset — tie-breaks move only the ID, and
+    * the output carries sims alone), and m is the top-(1−pct) slice —
+    * a bounded top-M selection. So: (1) one partial-agg count of each
+    * query's valid-sim population (partitions·Q rows, collected — Q
+    * is the calibration sample, driver-sized by contract); (2) a
+    * per-partition heap of max(k, m_q) rows per query
+    * ([[PartitionedTopK.reduceTopBySim]]) so the rank shuffle carries
+    * ≤ partitions·Q·max(k,m_q) rows instead of the full Q·|corpus|
+    * sim stream the three-window formulation moved. Null sims (null
+    * embeddings — the kernels are null-intolerant) drop before both
+    * the count and the heap, exactly as before (Spark would seat
+    * NULLS FIRST asc where DuckDB seats them last). The query-id
+    * column is cast to long (the batchMmr convention). */
   def thresholdCalibration(chunks: DataFrame, queries: DataFrame, k: Int,
                            pct: Double = 0.95,
                            embCol: String = "embedding",
@@ -182,32 +197,41 @@ object VectorSearch {
                            qEmbCol: String = "query_embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(pct > 0.0 && pct < 1.0, s"pct must be in (0,1), got $pct")
-    // null sims (null embeddings — the kernels are null-intolerant)
-    // drop BEFORE ranking: Spark's default asc sort seats NULLS FIRST
-    // where DuckDB seats them last, so leaving them in would shift
-    // the percentile element on one engine only. The population n is
-    // counted per query over the SAME filtered frame (a count window
-    // on the partitioning the ranks already use — no separate corpus
-    // scan, the operator stays lazy like the rest of this file), so
-    // ceil(pct·n) positions over valid scores only.
-    val wDesc = Window.partitionBy(col(qIdCol))
-      .orderBy(col("__sim").desc, col(idCol))
-    val wAsc = Window.partitionBy(col(qIdCol))
-      .orderBy(col("__sim").asc, col(idCol))
-    val wAll = Window.partitionBy(col(qIdCol))
-    chunks.crossJoin(broadcast(queries))
+    val spark = chunks.sparkSession
+    val scored = chunks.crossJoin(broadcast(queries))
       .withColumn("__sim",
         graft.functions.VectorFunctions.cosSimF32(col(embCol), col(qEmbCol))
           .cast("double"))
       .filter(col("__sim").isNotNull)
-      .withColumn("__pos",
-        ceil(lit(pct) * count(lit(1)).over(wAll)).cast("long"))
+      .select(col(qIdCol).cast("long").as(qIdCol), col(idCol), col("__sim"))
+    // per-query valid-sim population: map-side-combined partial agg,
+    // partitions·Q rows shuffled, Q rows collected
+    val counts = scored.groupBy(col(qIdCol))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mByQ = counts.map { case (q, n) =>
+      q -> (n - math.ceil(pct * n).toLong + 1L)
+    }
+    val heapSizes = mByQ.map { case (q, m) =>
+      q -> math.max(k.toLong, m).toInt
+    }
+    if (heapSizes.isEmpty)
+      return scored.groupBy(col(qIdCol))
+        .agg(max(lit(null).cast("double")).as("kth_score"),
+          max(lit(null).cast("double")).as("bg_p95"))
+        .withColumn("margin", col("kth_score") - col("bg_p95"))
+    val reduced = PartitionedTopK.reduceTopBySim(
+      scored, heapSizes, qIdCol, idCol, "__sim")
+    import spark.implicits._
+    val mDf = broadcast(mByQ.toSeq.toDF(qIdCol, "__m"))
+    val wDesc = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__sim").desc, col(idCol))
+    reduced
       .withColumn("__rd", row_number().over(wDesc))
-      .withColumn("__ra", row_number().over(wAsc))
-      .filter(col("__rd") === k || col("__ra") === col("__pos"))
+      .join(mDf, Seq(qIdCol))
       .groupBy(col(qIdCol))
       .agg(max(when(col("__rd") === k, col("__sim"))).as("kth_score"),
-        max(when(col("__ra") === col("__pos"), col("__sim"))).as("bg_p95"))
+        max(when(col("__rd") === col("__m"), col("__sim"))).as("bg_p95"))
       .withColumn("margin", col("kth_score") - col("bg_p95"))
       .orderBy(col(qIdCol))
   }

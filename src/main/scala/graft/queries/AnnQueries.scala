@@ -610,8 +610,8 @@ object AnnQueries {
          |ORDER BY q.query_id""".stripMargin,
     // both rankings replayed from the index handoff (the
     // ann_recall_report replay), grades + DCG as exact integer sums
-    // over the discount handoff, IDCG the same constant both engines
-    // derive from it
+    // over the discount handoff, IDCG per query from that query's
+    // actual exact rows (both engines derive the identical sums)
     "ann_ndcg_report" ->
       s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
          |asg AS (SELECT * FROM ${rp(AssignedHandoff)}),
@@ -644,8 +644,10 @@ object AnnQueries {
          |                      e.vec_id) AS rn
          |    FROM q CROSS JOIN embeddings e) AS s WHERE rn <= 10
          |), idcg AS (
-         |  SELECT CAST(sum((11 - rank) * disc_fp) AS BIGINT) AS idcg_fp
-         |  FROM disc WHERE rank <= 10
+         |  SELECT e.query_id,
+         |         CAST(sum((11 - e.rn) * d.disc_fp) AS BIGINT) AS idcg_fp
+         |  FROM exact e JOIN disc d ON d.rank = e.rn
+         |  GROUP BY e.query_id
          |), dcg AS (
          |  SELECT a.query_id,
          |         CAST(sum(coalesce(11 - e.rn, 0) * d.disc_fp) AS BIGINT) AS dcg_fp
@@ -658,7 +660,7 @@ object AnnQueries {
          |       CAST(coalesce(g.dcg_fp, 0) AS BIGINT) AS dcg_fp,
          |       CAST(coalesce(g.dcg_fp, 0) AS DOUBLE) /
          |         CAST(i.idcg_fp AS DOUBLE) AS ndcg_at_10
-         |FROM q LEFT JOIN dcg g USING (query_id) CROSS JOIN idcg i
+         |FROM q LEFT JOIN dcg g USING (query_id) JOIN idcg i USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
     "ann_ivfpq" ->
       s"""WITH h AS (SELECT * FROM ${rp(PqCandHandoff)})

@@ -16,10 +16,14 @@ import graft.operators.{Clustering, CorpusModels, TextAnalysis}
   * re-derives EVERY count in it from the raw corpus and joins on
   * (key, counts) — a row whose counts Spark got wrong drops out of
   * the join and the downstream integer-sum scores diverge. Model
-  * SIZE guards (row count + count sums must equal the recomputed
-  * ones) close the silent-omission hole: a model missing a row fails
-  * the guard, which nulls the scalar the scoring needs, failing every
-  * output row. Only the ln() value mapping itself is taken from the
+  * SIZE guards close the silent-omission hole: every chain multiplies
+  * its scores by a guard scalar (`(SELECT 1 FROM …vs)` /
+  * dsirChainCte's `ok`) that goes NULL unless the handoff's row count
+  * and recomputed totals match — so a model MISSING a row fails every
+  * output row, while a row with corrupted counts drops out of the
+  * value join and fails exactly the docs that score through it (the
+  * fixture guarantees every model key is exercised, so neither
+  * corruption survives). Only the ln() value mapping is taken from the
   * handoff (cross-libm ln is not bitwise-portable — the Bm25 rule);
   * its monotonicity in the verified counts is spec-gated.
   *
@@ -155,6 +159,46 @@ object ModelQueries {
   private val semKCache = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[Integer]]()
 
+  /** Build-once cache of the trained DSIR artifact for a fixture dir —
+    * the [[AnnQueries.persistedIvf]] recipe applied to the model
+    * family: ONE training pass (gate labels → bigram occurrences →
+    * hashed-bucket LLR model → per-doc weight sums) persisted under
+    * the JVM tmpdir, keyed on the corpus fingerprint (path + mtime +
+    * length + bucket count) so a regenerated fixture rebuilds instead
+    * of silently serving stale weights. `dsir_weights` /
+    * `dsir_select` / `dsir_resample` all score/rank against this one
+    * artifact — in a real deployment the weights are trained once
+    * nightly and every selection policy reads them; retraining per
+    * query was round 9's top perf finding (3× the same ~5 s pipeline
+    * in one suite). The model parquet is written THROUGH the training
+    * pass's publish hook, so the cached weights derive from the exact
+    * persisted model file; each query re-publishes the cached model
+    * to its own oracle handoff path (a ≤1024-row write), and the
+    * oracle's full count replay is unchanged. Returns (model,
+    * weights) frames read from the cache. */
+  def dsirShared(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${src.lastModified}|${src.length}|$DsirBuckets"
+        .getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft-dsir-$fp"
+    dsirBuildLock.synchronized {
+      if (!new java.io.File(s"$path/weights/_SUCCESS").exists()) {
+        val docs = Tables.documents(s, dir)
+        val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
+        val (_, w) = CorpusModels.dsirTrainScore(labeled, "doc_id", "text",
+          "keep", DsirBuckets, publish = m => {
+            m.coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+            s.read.parquet(s"$path/model")
+          })
+        w.write.mode("overwrite").parquet(s"$path/weights")
+      }
+    }
+    (s.read.parquet(s"$path/model"), s.read.parquet(s"$path/weights"))
+  }
+  private val dsirBuildLock = new Object
+
   /** The rule-based quality-gate labels (the t_quality_gate verdict,
     * reduced to (doc_id, keep)) — training labels for the NB
     * classifier and the DSIR target distribution. Delegates to
@@ -248,23 +292,22 @@ object ModelQueries {
     },
     // DSIR: hashed-bigram importance weights of the raw corpus toward
     // the gate-kept target distribution. The bucket model is the
-    // handoff; buckets are md5-mod-B, recomputable in SQL.
+    // handoff; buckets are md5-mod-B, recomputable in SQL. Trained
+    // once per fixture via [[dsirShared]] (the trio shares the pass);
+    // the oracle re-derives every count regardless of where the
+    // published model came from.
     "dsir_weights" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
-      CorpusModels.dsirPipeline(labeled, "doc_id", "text", "keep", DsirBuckets,
-          publish = Handoff.publish(_, DsirModelHandoff))
-        .orderBy(col("doc_id"))
+      val (model, w) = dsirShared(s, dir)
+      Handoff.publish(model, DsirModelHandoff)
+      w.orderBy(col("doc_id"))
     },
     // the DSIR SELECTION step: importance weights → exact global rank
     // (range exchange, no single-partition window) → keep the top 60%
     // by (weight desc, id) — deterministic integer boundary, the
     // resampling a pipeline actually materializes.
     "dsir_select" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
-      val w = CorpusModels.dsirPipeline(labeled, "doc_id", "text", "keep",
-        DsirBuckets, publish = Handoff.publish(_, DsirSelHandoff))
+      val (model, w) = dsirShared(s, dir)
+      Handoff.publish(model, DsirSelHandoff)
       graft.operators.Ranking.topFraction(
           w.select(col("doc_id"), col("weight_fp")),
           Seq(col("weight_fp").desc, col("doc_id")), percent = 60)
@@ -278,10 +321,8 @@ object ModelQueries {
     // integer h52; only the −ln(−ln(u)) value mapping rides the
     // handoff (the family's ln rule, monotonicity spec-gated).
     "dsir_resample" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
-      val w = CorpusModels.dsirPipeline(labeled, "doc_id", "text", "keep",
-        DsirBuckets, publish = Handoff.publish(_, DsirRsModelHandoff))
+      val (model, w) = dsirShared(s, dir)
+      Handoff.publish(model, DsirRsModelHandoff)
       CorpusModels.dsirGumbelResample(w, "doc_id", "weight_fp",
           seed = ResampleSeed, percent = 60,
           publish = Handoff.publish(_, DsirRsKeysHandoff))

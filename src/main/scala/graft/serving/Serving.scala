@@ -267,7 +267,18 @@ object Serving {
           cands += ((id, graft.operators.Rerank.cosSimLocal(v, query).toDouble, v))
       }
     }
-    val top = cands.sortBy { case (id, sim, _) => (-sim, id) }.take(fetchK).toArray
+    // candidate cut with SQL comparison semantics, matching batchMmr's
+    // `__sim desc, id` window exactly: java.lang.Double.compare seats
+    // NaN above every finite sim (desc → first, as Spark does) but
+    // also -0.0 below 0.0, which Spark treats as EQUAL — canonicalize
+    // the sort key (-0.0 → 0.0) so ±0.0 ties break by id on both
+    // paths; the kernel still receives the raw sim (value parity).
+    val top = cands.sortWith { case ((idA, sA0, _), (idB, sB0, _)) =>
+      val sA = if (sA0 == 0.0d) 0.0d else sA0
+      val sB = if (sB0 == 0.0d) 0.0d else sB0
+      val c = java.lang.Double.compare(sB, sA)
+      c < 0 || (c == 0 && idA < idB)
+    }.take(fetchK).toArray
     graft.operators.Rerank
       .mmrKernel(top.map(_._1), top.map(_._2), top.map(_._3), k, lambda)
       .map(p => MmrHit(p.id, p.rank, p.score)).toSeq
@@ -601,5 +612,38 @@ object Serving {
     val (cls, s) = graft.operators.CorpusModels.mcNbKernel(
       graft.operators.CorpusModels.splitTokens(text), vocab, classes)
     McNbScore(cls, s)
+  }
+
+  // ------------------------------------------------------ BPE tokenize probe
+
+  /** Single-string BPE tokenization from a
+    * [[graft.operators.Bpe.saveMerges]] layout, no Spark — the
+    * tokenize-one-string call a resident server needs (count prompt
+    * tokens, pre-tokenize a query) against the nightly-learned merge
+    * table. Same whitespace pre-split, same code-point symbol split,
+    * same lowest-rank-first merge loop as the batch
+    * [[graft.operators.Bpe.encodeColumn]] via the ONE shared
+    * `Bpe.encodeWord` kernel — doc-for-doc parity + zero Spark jobs
+    * spec-pinned. The ranks map is built from the rows in rank order,
+    * exactly `encodeColumn`'s `merges.map(...).toMap` (later rank wins
+    * a duplicate pair, not that training can emit one); merge tables
+    * are nMerges-bounded by construction. Freshness-keyed caching, as
+    * [[scoreNb]]. */
+  def encodeBpe(modelDir: String, text: String,
+                conf: Configuration = defaultConf,
+                cache: IndexCache = noCache): Seq[String] = {
+    val base = modelDir.stripSuffix("/")
+    val ranks = cache.getOrLoad(freshKey(conf, s"$base/merges")) {
+      val rows = mutable.ArrayBuffer.empty[(Int, String, String)]
+      foreachGroup(conf, s"$base/merges") { g =>
+        rows += ((g.getInteger("rank", 0),
+          g.getString("left", 0), g.getString("right", 0)))
+      }
+      require(rows.nonEmpty, s"no merge rows under $base/merges")
+      rows.sortBy(_._1).map { case (r, l, rt) => (l, rt) -> r }.toMap
+    }
+    if (text == null) Seq.empty[String]
+    else text.split(" ").filter(_.nonEmpty).toSeq
+      .flatMap(w => graft.operators.Bpe.encodeWord(w, ranks))
   }
 }

@@ -175,7 +175,8 @@ object StreamingIngest {
                          index: graft.operators.Ann.IvfIndex): DataFrame =
     graft.operators.Sq.quantize(
       graft.operators.Ann.assignToIvf(index,
-        vectors.filter(col(index.embCol).isNotNull)))
+        vectors.filter(col(index.embCol).isNotNull)),
+      embCol = index.embCol)
 
   /** Streaming LM-perplexity scoring: the stream twin of
     * `lm_perplexity`'s score stage, same contract as

@@ -466,6 +466,95 @@ class AnnSpec extends SparkSpec {
       VectorSearch.thresholdCalibration(emb, qs, k = 2, pct = 1.0))
   }
 
+  test("ndcgAtK: a query whose exact frame has fewer than k rows can still score 1.0") {
+    // filtered corpora legitimately yield short exact lists; the ideal
+    // ordering of 2 relevant items IS 2 rows, so a perfect approximate
+    // ranking must score exactly 1.0 (the constant-IDCG form capped it
+    // below 1 by charging for a phantom third row)
+    val disc = Ann.ndcgDiscounts(spark, 3)
+    val exact = Seq((1L, 100L, 1), (1L, 200L, 2)).toDF("query_id", "vec_id", "rn")
+    val perfect = Ann.ndcgAtK(
+      Seq((1L, 100L, 1), (1L, 200L, 2)).toDF("query_id", "vec_id", "rn"),
+      exact, disc, 3).select($"ndcg_at_3").as[Double].head()
+    assert(perfect === 1.0)
+    // and an imperfect ranking of the short list scores strictly below
+    val flipped = Ann.ndcgAtK(
+      Seq((1L, 200L, 1), (1L, 100L, 2)).toDF("query_id", "vec_id", "rn"),
+      exact, disc, 3).select($"ndcg_at_3").as[Double].head()
+    assert(flipped < 1.0 && flipped > 0.0)
+  }
+
+  test("reduceTopBySim: per-query sizes, SQL desc semantics (NaN first, -0.0 == 0.0), drop unknown queries") {
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7), (1L, 13L, 0.95),
+      // q2's boundary discriminates the tie semantics: -0.0 on the
+      // SMALLER id — Spark's window treats ±0.0 equal and tie-breaks
+      // by id (10 in), a naive Double ordering would rank 0.0 above
+      // -0.0 and keep 11 instead
+      (2L, 10L, -0.0), (2L, 11L, 0.0), (2L, 12L, Double.NaN), (2L, 13L, 0.5),
+      (3L, 99L, 0.1)) // absent from sizes -> dropped entirely
+      .toDF("query_id", "vec_id", "__sim").repartition(3)
+    val red = PartitionedTopK.reduceTopBySim(scored, Map(1L -> 2, 2L -> 3))
+    assert(red.filter($"query_id" === 3L).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"__sim".desc, $"vec_id")
+    val ranked = red.withColumn("rn", row_number().over(w))
+    val q1 = ranked.filter($"query_id" === 1L && $"rn" <= 2)
+      .orderBy($"rn").select("vec_id").as[Long].collect().toSeq
+    assert(q1 === Seq(13L, 10L))
+    val q2 = ranked.filter($"query_id" === 2L && $"rn" <= 3)
+      .orderBy($"rn").select("vec_id").as[Long].collect().toSeq
+    assert(q2 === Seq(12L, 13L, 10L),
+      "NaN ranks first (desc), and the ±0.0 tie falls to the smaller id")
+    // parity with Spark's own full window on the same frame
+    val full = scored.withColumn("rn", row_number().over(w))
+      .filter(($"query_id" === 1L && $"rn" <= 2) || ($"query_id" === 2L && $"rn" <= 3))
+      .orderBy($"query_id", $"rn").select("vec_id").as[Long].collect().toSeq
+    assert(full === q1 ++ q2)
+    intercept[IllegalArgumentException](
+      PartitionedTopK.reduceTopBySim(scored, Map(1L -> 0)))
+  }
+
+  test("thresholdCalibration heap path == legacy three-window formulation on the fixture") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val got = VectorSearch.thresholdCalibration(emb, qs, k = 10)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    // the pre-r10 formulation, inline: three stacked windows over the
+    // full Q x n sim stream
+    val wDesc = Window.partitionBy($"query_id").orderBy($"__sim".desc, $"vec_id")
+    val wAsc = Window.partitionBy($"query_id").orderBy($"__sim".asc, $"vec_id")
+    val wAll = Window.partitionBy($"query_id")
+    val legacy = emb.crossJoin(broadcast(qs))
+      .withColumn("__sim", graft.functions.VectorFunctions
+        .cosSimF32($"embedding", $"query_embedding").cast("double"))
+      .filter($"__sim".isNotNull)
+      .withColumn("__pos", ceil(lit(0.95) * count(lit(1)).over(wAll)).cast("long"))
+      .withColumn("__rd", row_number().over(wDesc))
+      .withColumn("__ra", row_number().over(wAsc))
+      .filter($"__rd" === 10 || $"__ra" === $"__pos")
+      .groupBy($"query_id")
+      .agg(max(when($"__rd" === 10, $"__sim")).as("kth_score"),
+        max(when($"__ra" === $"__pos", $"__sim")).as("bg_p95"))
+      .withColumn("margin", $"kth_score" - $"bg_p95")
+      .orderBy($"query_id")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got === legacy)
+  }
+
+  test("thresholdCalibration: population smaller than k reports a null kth_score") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((0L, Seq(1.0f, 0.0f))).toDF("query_id", "query_embedding")
+    val r = VectorSearch.thresholdCalibration(emb, qs, k = 5, pct = 0.5).collect()
+    assert(r.length === 1)
+    assert(r(0).isNullAt(1), "no 5th-best score exists over a 2-row corpus")
+    assert(!r(0).isNullAt(2), "the percentile is still defined")
+    assert(r(0).isNullAt(3), "margin inherits the null")
+  }
+
   test("poolEmbeddingsFp: hand-computed fixed-point means, negative values, determinism") {
     val df = Seq(
       (1, Seq(1.0f, -0.5f)), (1, Seq(0.0f, -0.5f)),  // grp 1: sums (2^20, -2^20), means (2^19, -2^19)

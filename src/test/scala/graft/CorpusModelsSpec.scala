@@ -378,6 +378,29 @@ class CorpusModelsSpec extends SparkSpec {
     assert(fusedDirect === dict)
   }
 
+  test("dsirShared build-once cache == a fresh train+score pass, and is stable across calls") {
+    val dir = "/root/testdata/sf0.001"
+    val (model, w) = graft.queries.ModelQueries.dsirShared(spark, dir)
+    // fresh retrain from the same public label surface (the quality
+    // gate query owns the label formulas)
+    val docs = Tables.documents(spark, dir)
+    val labels = SparkEntry.queries("t_quality_gate")(spark, dir)
+      .select(col("doc_id"), col("keep"))
+    val fresh = CorpusModels.dsirPipeline(docs.join(labels, Seq("doc_id")),
+      "doc_id", "text", "keep", 1024)
+    assert(w.orderBy("doc_id").collect().toSeq ===
+      fresh.orderBy("doc_id").collect().toSeq,
+      "cached weights must be integer-identical to a fresh pipeline")
+    // model sanity: bucket ids in range, counts positive
+    val m = model.collect()
+    assert(m.nonEmpty)
+    assert(m.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 1024))
+    // second call serves the same artifact (cache hit, same values)
+    val (_, w2) = graft.queries.ModelQueries.dsirShared(spark, dir)
+    assert(w2.orderBy("doc_id").collect().toSeq ===
+      w.orderBy("doc_id").collect().toSeq)
+  }
+
   test("DSIR pipeline is partitioning-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .limit(100)

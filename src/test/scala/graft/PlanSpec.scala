@@ -248,6 +248,42 @@ class PlanSpec extends SparkSpec {
     assert(mcSmj.isEmpty, "multiclass model join must not sort-merge:\n" + pMc)
   }
 
+  test("batchMmr candidate fetch pre-limits map-side (partial WindowGroupLimit before the exchange)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val df = graft.operators.Rerank.batchMmr(emb, qs, k = 4, fetchK = 12,
+      candFilter = Some($"vec_id" =!= $"query_id"))
+    // Catalyst plans the row_number<=fetchK filter as WindowGroupLimit
+    // in Partial mode — and Partial is, by construction of the rule,
+    // the copy BELOW the window's hash exchange (the map side), so the
+    // shuffle carries <= partitions*Q*fetchK rows, never |corpus|*Q —
+    // the heap pre-aggregation, for free from the declarative plan.
+    val p = plan(df)
+    assert("WindowGroupLimit .*row_number\\(\\), 12, Partial".r.findFirstIn(p).isDefined,
+      "candidate fetch must keep a map-side (Partial) WindowGroupLimit at fetchK:\n" + p)
+    assert("WindowGroupLimit .*row_number\\(\\), 12, Final".r.findFirstIn(p).isDefined,
+      "and the reduce-side Final copy:\n" + p)
+  }
+
+  test("thresholdCalibration ranks over the heap-reduced set, not the Q x corpus sim stream") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val df = VectorSearch.thresholdCalibration(emb, qs, k = 10)
+    val p = plan(df)
+    // the SQL plan's window consumes the per-partition heap output (an
+    // ExistingRDD scan of <= partitions*Q*max(k,m) rows); the corpus
+    // crossjoin lives inside the RDD lineage, upstream of the shuffle
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the corpus-sized crossjoin must not sit above the rank shuffle:\n" + p)
+    // shuffles: the window's hash exchange + the final orderBy range
+    // exchange only (the per-query m-table joins as a broadcast)
+    assert(shuffles(df) <= 2, "expected window + result-sort shuffles only:\n" + p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("retriever factory (E1) returns a curried query function") {
     val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(50)
     val store = ChunkStore.dualWrite(

@@ -278,6 +278,36 @@ class ServingSpec extends SparkSpec {
     }
   }
 
+  test("BPE serving probe == batch encodeColumn doc for doc, zero Spark jobs") {
+    import graft.operators.Bpe
+    val docs = Tables.documents(spark, sfDir).limit(150)
+    val merges = Bpe.train(docs, "text", nMerges = 40)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-serve").toString
+    Bpe.saveMerges(spark, merges, dir)
+    // batch encode against the PERSISTED merges (round-trip included)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded === merges.sortBy(_.rank))
+    val texts = docs.select("doc_id", "text").limit(30).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val batch = docs.limit(30)
+      .select($"doc_id", Bpe.encodeColumn($"text", loaded).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val cache = Serving.newCache()
+    Serving.encodeBpe(dir, texts.head._2, cache = cache) // warm
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    texts.foreach { case (id, text) =>
+      assert(Serving.encodeBpe(dir, text, cache = cache) === batch(id), s"doc $id")
+    }
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "BPE probe must not launch Spark jobs")
+    // null text → empty token list, like the batch UDF
+    assert(Serving.encodeBpe(dir, null, cache = cache) === Seq.empty)
+    // fail-loud on a missing model dir
+    intercept[IllegalArgumentException] {
+      Serving.encodeBpe("/nonexistent/bpe-model", "a b")
+    }
+  }
+
   test("versioned model publish: pointer flip, immutable versions, retention, FS-only resolve") {
     import graft.operators.CorpusModels
     import org.apache.spark.sql.functions.col
