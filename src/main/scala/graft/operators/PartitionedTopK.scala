@@ -120,6 +120,20 @@ object PartitionedTopK {
           "(supported: long, int, string)")
     }
 
+  /** Spark SQL's `sim DESC` comparison, shared by every driver/heap
+    * path that must reproduce a `simCol.desc` window order bit-for-bit
+    * ([[reduceTopBySim]]'s heap, [[graft.serving.Serving.mmrIvf]]'s
+    * candidate cut): NaN compares ABOVE every value (desc seats it
+    * first, as Spark does) and −0.0 == 0.0 (ties fall to the caller's
+    * id tie-break). Returns <0 iff `a` ranks BEFORE `b` descending.
+    * One owner, because a fork between two hand-rolled copies would
+    * silently split batch vs serve results at a rank boundary. */
+  def compareSimDesc(a: Double, b: Double): Int = {
+    val sa = if (a == 0.0d) 0.0d else a
+    val sb = if (b == 0.0d) 0.0d else b
+    java.lang.Double.compare(sb, sa)
+  }
+
   /** Per-partition per-query TOP-M reduction of a pre-scored frame by
     * (`simCol` DESC, `idCol` ASC) — the heap pre-aggregation behind
     * [[batchTopK]], exposed for operators whose scoring is already
@@ -148,13 +162,11 @@ object PartitionedTopK {
     val idOrd = idOrdering(idType, idCol)
     val bsizes = spark.sparkContext.broadcast(sizes)
     // worst-first ordering (head of the max-queue = eviction candidate):
-    // LOWER sim is worse; NaN compares above every sim (kept first, as
-    // Spark's desc does); ±0.0 canonicalized equal so the id decides
+    // LOWER sim is worse ([[compareSimDesc]] owns the NaN/±0.0
+    // semantics), ties fall to the id
     val ord: Ordering[(Double, Any)] = new Ordering[(Double, Any)] {
       def compare(a: (Double, Any), b: (Double, Any)): Int = {
-        val sa = if (a._1 == 0.0d) 0.0d else a._1
-        val sb = if (b._1 == 0.0d) 0.0d else b._1
-        val c = java.lang.Double.compare(sb, sa)
+        val c = compareSimDesc(a._1, b._1)
         if (c != 0) c else idOrd.compare(a._2, b._2)
       }
     }

@@ -212,22 +212,26 @@ object TextAnalysis {
     * total n-gram occurrences, occurrences whose corpus frequency is
     * ≤ `rareThreshold`, and their ratio.
     *
-    * Plan: one explode of adjacent-token n-grams (a narrow
-    * zip-transform over the token array, no self-join), then the
-    * corpus frequency as a COUNT WINDOW partitioned by the gram and a
-    * per-doc rollup — two shuffles total, both of narrow (id, gram)
-    * rows, no join, nothing computed twice. (The previous agg+join
-    * formulation recomputed the un-persisted per-(doc,gram) agg on
-    * both join inputs and paid a third exchange for the sort-merge —
-    * 3.3 s at sf0.1 where this runs in under a second; a (doc, gram)
-    * pre-agg buys almost nothing here because adjacent n-grams barely
-    * repeat within a document, the dsirWeights argument.) At 100 TB
-    * every shuffled row is an n-gram string with a doc id, never a
-    * document. All counts are exact integers; the ratio is a single
-    * IEEE division of two exact longs (bitwise cross-engine). Docs
-    * with fewer than `n` tokens have no n-grams and are absent from
-    * the output (count them upstream; a novelty score for "no
-    * evidence" would be noise). */
+    * Plan: one explode of adjacent-token n-grams (a narrow zip_with,
+    * no self-join); corpus frequency as a MAP-SIDE-COMBINED count by
+    * gram (a hot gram — "of the" at web scale — reduces to ~1 row per
+    * mapper before its shuffle; a count WINDOW partitioned by gram
+    * would instead co-locate and buffer every occurrence of it in one
+    * task); then the occurrence stream joins the frequency table (the
+    * hot gram's occurrences stream against its single freq row —
+    * spill-safe sort, no group buffering) and rolls up per doc. The
+    * occurrence explode is computed twice (once per join side) BY
+    * DESIGN: re-tokenizing is a narrow recompute, where persisting a
+    * corpus-sized gram stream at 100 TB is a second copy of the
+    * corpus on scratch disk. A (doc, gram) pre-agg buys nothing —
+    * adjacent n-grams barely repeat within a document (the
+    * dsirWeights argument); the original formulation also paid it,
+    * un-persisted, on BOTH join inputs (3.3 s at sf0.1 vs ~1 s now).
+    * All counts are exact integers; the ratio is a single IEEE
+    * division of two exact longs (bitwise cross-engine). Docs with
+    * fewer than `n` tokens have no n-grams and are absent from the
+    * output (count them upstream; a novelty score for "no evidence"
+    * would be noise). */
   def ngramNovelty(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", n: Int = 2,
                    rareThreshold: Long = 1L): DataFrame = {
@@ -249,11 +253,11 @@ object TextAnalysis {
     }
     val grams = when(nTok >= n, gramN)
       .otherwise(array().cast("array<string>"))
-    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("ngram"))
+    val occ = docs.select(col(idCol), explode(grams).as("ngram"))
+    val freq = occ.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("__corpus_freq"))
     val rare = sum(when(col("__corpus_freq") <= rareThreshold, 1L).otherwise(0L))
-    docs
-      .select(col(idCol), explode(grams).as("ngram"))
-      .withColumn("__corpus_freq", count(lit(1)).over(wGram))
+    occ.join(freq, Seq("ngram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"), rare.as("n_rare"),
         (rare.cast("double") / count(lit(1)).cast("double")).as("novelty"))

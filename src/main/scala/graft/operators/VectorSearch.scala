@@ -179,16 +179,23 @@ object VectorSearch {
     * position in the sim multiset — tie-breaks move only the ID, and
     * the output carries sims alone), and m is the top-(1−pct) slice —
     * a bounded top-M selection. So: (1) one partial-agg count of each
-    * query's valid-sim population (partitions·Q rows, collected — Q
-    * is the calibration sample, driver-sized by contract); (2) a
-    * per-partition heap of max(k, m_q) rows per query
-    * ([[PartitionedTopK.reduceTopBySim]]) so the rank shuffle carries
-    * ≤ partitions·Q·max(k,m_q) rows instead of the full Q·|corpus|
-    * sim stream the three-window formulation moved. Null sims (null
-    * embeddings — the kernels are null-intolerant) drop before both
-    * the count and the heap, exactly as before (Spark would seat
-    * NULLS FIRST asc where DuckDB seats them last). The query-id
-    * column is cast to long (the batchMmr convention). */
+    * query's valid-sim population (partitions·Q rows shuffled, Q rows
+    * collected — Q is the calibration sample, driver-sized by
+    * contract; the sim kernel runs in BOTH jobs rather than persisting
+    * a corpus-sized scored frame); (2) a per-partition heap of
+    * max(k, m_q) rows per query ([[PartitionedTopK.reduceTopBySim]])
+    * so the rank shuffle carries ≤ partitions·Q·max(k,m_q) rows
+    * instead of the full Q·|corpus| sim stream the three-window
+    * formulation moved. m_q grows as (1−pct)·n_q — when any heap
+    * would exceed [[CalibrationHeapCutoff]] entries (driver/executor
+    * heap memory is Q·m·~48 B per partition), the operator falls back
+    * to the windowed formulation, which sorts-and-spills instead of
+    * heaping: identical output, exchange-heavy but memory-safe.
+    * Null sims (null embeddings — the kernels are null-intolerant)
+    * and null query ids drop before both the count and the heap
+    * (Spark would seat NULLS FIRST asc where DuckDB seats them last;
+    * a null query id cannot be reported against). The query-id column
+    * is cast to long (the batchMmr convention). */
   def thresholdCalibration(chunks: DataFrame, queries: DataFrame, k: Int,
                            pct: Double = 0.95,
                            embCol: String = "embedding",
@@ -204,6 +211,7 @@ object VectorSearch {
           .cast("double"))
       .filter(col("__sim").isNotNull)
       .select(col(qIdCol).cast("long").as(qIdCol), col(idCol), col("__sim"))
+      .where(col(qIdCol).isNotNull)
     // per-query valid-sim population: map-side-combined partial agg,
     // partitions·Q rows shuffled, Q rows collected
     val counts = scored.groupBy(col(qIdCol))
@@ -212,16 +220,12 @@ object VectorSearch {
     val mByQ = counts.map { case (q, n) =>
       q -> (n - math.ceil(pct * n).toLong + 1L)
     }
-    val heapSizes = mByQ.map { case (q, m) =>
-      q -> math.max(k.toLong, m).toInt
-    }
-    if (heapSizes.isEmpty)
-      return scored.groupBy(col(qIdCol))
-        .agg(max(lit(null).cast("double")).as("kth_score"),
-          max(lit(null).cast("double")).as("bg_p95"))
-        .withColumn("margin", col("kth_score") - col("bg_p95"))
+    val heapSizesL = mByQ.map { case (q, m) => q -> math.max(k.toLong, m) }
+    if (heapSizesL.values.exists(_ > CalibrationHeapCutoff))
+      return calibrationWindowed(scored, k, pct, idCol, qIdCol)
     val reduced = PartitionedTopK.reduceTopBySim(
-      scored, heapSizes, qIdCol, idCol, "__sim")
+      scored, heapSizesL.map { case (q, m) => q -> m.toInt },
+      qIdCol, idCol, "__sim")
     import spark.implicits._
     val mDf = broadcast(mByQ.toSeq.toDF(qIdCol, "__m"))
     val wDesc = Window.partitionBy(col(qIdCol))
@@ -232,6 +236,37 @@ object VectorSearch {
       .groupBy(col(qIdCol))
       .agg(max(when(col("__rd") === k, col("__sim"))).as("kth_score"),
         max(when(col("__rd") === col("__m"), col("__sim"))).as("bg_p95"))
+      .withColumn("margin", col("kth_score") - col("bg_p95"))
+      .orderBy(col(qIdCol))
+  }
+
+  /** Per-partition heap-size bound for [[thresholdCalibration]]: above
+    * this the heap pass would hold Q·m ~48-byte entries per partition
+    * (1M ≈ 48 MB per query per partition) and the sort-spill windowed
+    * form is the memory-safe plan. */
+  val CalibrationHeapCutoff: Long = 1L << 20
+
+  /** The windowed [[thresholdCalibration]] formulation — exact twin of
+    * the heap path (spec-pinned), used when a per-query top-M heap
+    * would not fit: three stacked windows over the Q·n sim stream,
+    * sort-based and spillable. `scored` is the filtered
+    * (qIdCol long, idCol, __sim) frame. */
+  private def calibrationWindowed(scored: DataFrame, k: Int, pct: Double,
+                                  idCol: String, qIdCol: String): DataFrame = {
+    val wDesc = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__sim").desc, col(idCol))
+    val wAsc = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__sim").asc, col(idCol))
+    val wAll = Window.partitionBy(col(qIdCol))
+    scored
+      .withColumn("__pos",
+        ceil(lit(pct) * count(lit(1)).over(wAll)).cast("long"))
+      .withColumn("__rd", row_number().over(wDesc))
+      .withColumn("__ra", row_number().over(wAsc))
+      .filter(col("__rd") === k || col("__ra") === col("__pos"))
+      .groupBy(col(qIdCol))
+      .agg(max(when(col("__rd") === k, col("__sim"))).as("kth_score"),
+        max(when(col("__ra") === col("__pos"), col("__sim"))).as("bg_p95"))
       .withColumn("margin", col("kth_score") - col("bg_p95"))
       .orderBy(col(qIdCol))
   }

@@ -291,20 +291,14 @@ object AnnQueries {
 
   /** The persisted index's on-disk path (built if absent) — the single
     * owner of the cache-key/naming recipe, so serving-path callers
-    * can't drift from the builder. */
-  def persistedIvfPath(s: SparkSession, dir: String, numClusters: Int = 16): String = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${src.lastModified}|${src.length}".getBytes("UTF-8"))
-      .take(8).map(b => f"${b & 0xff}%02x").mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-$fp-k$numClusters"
-    ivfBuildLock.synchronized {
-      if (!new java.io.File(s"$path/corpus/_SUCCESS").exists())
-        Ann.saveIvf(Ann.buildIvf(Tables.embeddings(s, dir), numClusters), path)
+    * can't drift from the builder. Key/lock discipline is
+    * [[BuildOnce.cached]]'s. */
+  def persistedIvfPath(s: SparkSession, dir: String, numClusters: Int = 16): String =
+    BuildOnce.cached(s"ivf-k$numClusters",
+        new java.io.File(s"$dir/embeddings.parquet"))(
+        p => s"$p/corpus/_SUCCESS") { p =>
+      Ann.saveIvf(Ann.buildIvf(Tables.embeddings(s, dir), numClusters), p)
     }
-    path
-  }
-  private val ivfBuildLock = new Object
 
   private val qvecSql = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
   private def rp(path: String) = s"read_parquet('$path/*.parquet')"

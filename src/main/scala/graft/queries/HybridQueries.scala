@@ -103,22 +103,15 @@ object HybridQueries {
     * file so a regenerated fixture gets a fresh index, serialize the
     * check-then-build JVM-wide, and let Bench pre-build in warmup so
     * the timed query measures the pruned reads only. */
-  def persistedBm25(s: SparkSession, dir: String, nRanges: Int = 8): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${src.lastModified}|${src.length}".getBytes("UTF-8"))
-      .take(8).map(b => f"${b & 0xff}%02x").mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-bm25-$fp-r$nRanges"
-    bm25BuildLock.synchronized {
-      // the schema pin is the LAST artifact buildPersistedIndex writes,
-      // so its _SUCCESS marks a complete index
-      if (!new java.io.File(s"$path/schema/_SUCCESS").exists())
-        graft.operators.Bm25.buildPersistedIndex(Tables.documents(s, dir),
-          "doc_id", "text", nRanges, path)
+  def persistedBm25(s: SparkSession, dir: String, nRanges: Int = 8): String =
+    // the schema pin is the LAST artifact buildPersistedIndex writes,
+    // so its _SUCCESS marks a complete index
+    BuildOnce.cached(s"bm25-r$nRanges",
+        new java.io.File(s"$dir/documents.parquet"))(
+        p => s"$p/schema/_SUCCESS") { p =>
+      graft.operators.Bm25.buildPersistedIndex(Tables.documents(s, dir),
+        "doc_id", "text", nRanges, p)
     }
-    path
-  }
-  private val bm25BuildLock = new Object
 
   /** Build-once cache of the bm25_append 90%-baseline index (docs with
     * doc_id % 10 != 0): same fingerprint + lock discipline as
@@ -126,20 +119,14 @@ object HybridQueries {
     * before appending — the append mutates the layout in place and a
     * second append to the same dir would double-insert
     * (Bm25.appendToPersistedIndex's documented ledger contract). */
-  def baselineBm25(s: SparkSession, dir: String, nRanges: Int = 8): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${src.lastModified}|${src.length}".getBytes("UTF-8"))
-      .take(8).map(b => f"${b & 0xff}%02x").mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-bm25-base90-$fp-r$nRanges"
-    bm25BuildLock.synchronized {
-      if (!new java.io.File(s"$path/schema/_SUCCESS").exists())
-        graft.operators.Bm25.buildPersistedIndex(
-          Tables.documents(s, dir).where(col("doc_id") % 10 =!= 0),
-          "doc_id", "text", nRanges, path)
+  def baselineBm25(s: SparkSession, dir: String, nRanges: Int = 8): String =
+    BuildOnce.cached(s"bm25-base90-r$nRanges",
+        new java.io.File(s"$dir/documents.parquet"))(
+        p => s"$p/schema/_SUCCESS") { p =>
+      graft.operators.Bm25.buildPersistedIndex(
+        Tables.documents(s, dir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", nRanges, p)
     }
-    path
-  }
 
   /** Local-FS recursive copy (the persisted-index layout is plain
     * files; bench/gate both run on local dirs). */

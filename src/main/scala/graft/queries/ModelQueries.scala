@@ -174,30 +174,24 @@ object ModelQueries {
     * pass's publish hook, so the cached weights derive from the exact
     * persisted model file; each query re-publishes the cached model
     * to its own oracle handoff path (a ≤1024-row write), and the
-    * oracle's full count replay is unchanged. Returns (model,
-    * weights) frames read from the cache. */
+    * oracle's full count replay is unchanged. Key/lock discipline is
+    * [[BuildOnce.cached]]'s. Returns (model, weights) frames read
+    * from the cache. */
   def dsirShared(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${src.lastModified}|${src.length}|$DsirBuckets"
-        .getBytes("UTF-8"))
-      .take(8).map(b => f"${b & 0xff}%02x").mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-dsir-$fp"
-    dsirBuildLock.synchronized {
-      if (!new java.io.File(s"$path/weights/_SUCCESS").exists()) {
-        val docs = Tables.documents(s, dir)
-        val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
-        val (_, w) = CorpusModels.dsirTrainScore(labeled, "doc_id", "text",
-          "keep", DsirBuckets, publish = m => {
-            m.coalesce(1).write.mode("overwrite").parquet(s"$path/model")
-            s.read.parquet(s"$path/model")
-          })
-        w.write.mode("overwrite").parquet(s"$path/weights")
-      }
+    val path = BuildOnce.cached(s"dsir-b$DsirBuckets",
+        new java.io.File(s"$dir/documents.parquet"))(
+        p => s"$p/weights/_SUCCESS") { p =>
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.join(gateLabels(s, dir), Seq("doc_id"))
+      val (_, w) = CorpusModels.dsirTrainScore(labeled, "doc_id", "text",
+        "keep", DsirBuckets, publish = m => {
+          m.coalesce(1).write.mode("overwrite").parquet(s"$p/model")
+          s.read.parquet(s"$p/model")
+        })
+      w.write.mode("overwrite").parquet(s"$p/weights")
     }
     (s.read.parquet(s"$path/model"), s.read.parquet(s"$path/weights"))
   }
-  private val dsirBuildLock = new Object
 
   /** The rule-based quality-gate labels (the t_quality_gate verdict,
     * reduced to (doc_id, keep)) — training labels for the NB

@@ -268,15 +268,12 @@ object Serving {
       }
     }
     // candidate cut with SQL comparison semantics, matching batchMmr's
-    // `__sim desc, id` window exactly: java.lang.Double.compare seats
-    // NaN above every finite sim (desc → first, as Spark does) but
-    // also -0.0 below 0.0, which Spark treats as EQUAL — canonicalize
-    // the sort key (-0.0 → 0.0) so ±0.0 ties break by id on both
-    // paths; the kernel still receives the raw sim (value parity).
-    val top = cands.sortWith { case ((idA, sA0, _), (idB, sB0, _)) =>
-      val sA = if (sA0 == 0.0d) 0.0d else sA0
-      val sB = if (sB0 == 0.0d) 0.0d else sB0
-      val c = java.lang.Double.compare(sB, sA)
+    // `__sim desc, id` window exactly — the ONE shared comparator
+    // (PartitionedTopK.compareSimDesc: NaN first like Spark's desc,
+    // ±0.0 equal so the id decides); the kernel still receives the
+    // raw sim (value parity).
+    val top = cands.sortWith { case ((idA, sA, _), (idB, sB, _)) =>
+      val c = graft.operators.PartitionedTopK.compareSimDesc(sA, sB)
       c < 0 || (c == 0 && idA < idB)
     }.take(fetchK).toArray
     graft.operators.Rerank

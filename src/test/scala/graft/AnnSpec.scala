@@ -544,6 +544,16 @@ class AnnSpec extends SparkSpec {
     assert(got === legacy)
   }
 
+  test("thresholdCalibration: null query ids drop instead of crashing the count pass") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val qs = Seq((Some(0L), Seq(1.0f, 0.0f)), (None, Seq(0.0f, 1.0f)))
+      .toDF("query_id", "query_embedding")
+    val r = VectorSearch.thresholdCalibration(emb, qs, k = 2, pct = 0.5)
+      .select($"query_id").as[Long].collect().toSeq
+    assert(r === Seq(0L), "the null-id query cannot be reported against and drops")
+  }
+
   test("thresholdCalibration: population smaller than k reports a null kth_score") {
     val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
