@@ -237,6 +237,53 @@ object Serving {
     hits.toSeq.sortBy(h => (h.dist, h.vecId)).take(k)
   }
 
+  /** One hit of [[searchIvfSq8]]. */
+  final case class Sq8Hit(vecId: Long, label: Int, cluster: Int,
+                          approxDot: Long, cosSim: Double)
+
+  /** Single-query IVF+SQ8 ANN from a [[graft.operators.Ann.saveIvf]]
+    * layout, no Spark — the serving form of the faiss `IVF<n>,SQ8`
+    * shape (`ann_ivf_sq8`): rank probes exactly as [[searchIvf]]
+    * ([[rankProbesLocal]]), int8-quantize the probed rows and the
+    * query with the ONE shared [[graft.operators.Sq.sq8Codes]] kernel,
+    * keep the `rerank` best by exact int64 dot (desc, id — the
+    * [[graft.operators.Sq.sq8Candidates]] cut, exact long compares),
+    * then exact-f32-cosine rerank to k in SQL comparison order
+    * ([[graft.operators.PartitionedTopK.compareSimDesc]]) —
+    * hit-for-hit parity with the batch operator spec-pinned. A
+    * resident server quantizes per probe here; a production layout
+    * stores `sq_code` next to `ivf_cluster` at ingest (the batch
+    * scaladoc's contract) and this probe would read d bytes/row. */
+  def searchIvfSq8(indexDir: String, query: Array[Float], k: Int,
+                   rerank: Int, nprobe: Int,
+                   conf: Configuration = defaultConf,
+                   cache: IndexCache = noCache): Seq[Sq8Hit] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val base = indexDir.stripSuffix("/")
+    val cents = loadCentroids(conf, cache, base)
+    val probes = rankProbesLocal(cents, query, nprobe)
+    val qc = graft.operators.Sq.sq8Codes(query)
+    val cands = mutable.ArrayBuffer.empty[(Long, Int, Int, Long, Array[Float])]
+    probes.foreach { c =>
+      loadClusterVecs(conf, cache, base, c).foreach { case (id, label, v) =>
+        cands += ((id, label, c,
+          graft.operators.Sq.dot8(graft.operators.Sq.sq8Codes(v), qc), v))
+      }
+    }
+    cands.sortBy { case (id, _, _, dot, _) => (-dot, id) }
+      .take(rerank)
+      .map { case (id, label, c, dot, v) =>
+        Sq8Hit(id, label, c, dot,
+          graft.operators.Rerank.cosSimLocal(v, query).toDouble)
+      }
+      .sortWith { (a, b) =>
+        val cc = graft.operators.PartitionedTopK.compareSimDesc(a.cosSim, b.cosSim)
+        cc < 0 || (cc == 0 && a.vecId < b.vecId)
+      }
+      .take(k).toSeq
+  }
+
   /** One diversified pick of [[mmrIvf]]. */
   final case class MmrHit(vecId: Long, rank: Long, score: Double)
 

@@ -278,6 +278,31 @@ class ServingSpec extends SparkSpec {
     }
   }
 
+  test("IVF+SQ8 serving probe == Spark searchIvfSq8, hit for hit, zero Spark jobs") {
+    val path = ivfPath
+    val index = graft.operators.Ann.loadIvf(spark, path)
+    val q = VectorQueries.qvec(spark, sfDir, 3)
+    for (nprobe <- Seq(4, 16)) {
+      val viaSpark = graft.operators.Sq
+        .searchIvfSq8(index, q, k = 8, rerank = 24, nprobe = nprobe)
+        .select($"vec_id", $"label", $"ivf_cluster".cast("int"),
+          $"approx_dot", $"cos_sim")
+        .as[(Long, Int, Int, Long, Double)].collect().toSeq
+      val cache = Serving.newCache()
+      Serving.searchIvfSq8(path, q.toArray, 8, 24, nprobe, cache = cache) // warm
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val viaServing = Serving.searchIvfSq8(path, q.toArray, 8, 24, nprobe,
+          cache = cache)
+        .map(h => (h.vecId, h.label, h.cluster, h.approxDot, h.cosSim))
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(jobsAfter === jobsBefore, "SQ8 probe must not launch Spark jobs")
+      assert(viaServing === viaSpark, s"nprobe=$nprobe")
+    }
+    intercept[IllegalArgumentException](
+      Serving.searchIvfSq8(path, VectorQueries.qvec(spark, sfDir, 3).toArray,
+        8, rerank = 4, nprobe = 4))
+  }
+
   test("BPE serving probe == batch encodeColumn doc for doc, zero Spark jobs") {
     import graft.operators.Bpe
     val docs = Tables.documents(spark, sfDir).limit(150)
