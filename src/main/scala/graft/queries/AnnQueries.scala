@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, PartitionedTopK, Pq, Sq, VectorSearch}
+import graft.operators.{Ann, Hnsw, PartitionedTopK, Pq, Sq, VectorSearch}
 
 /** ANN + scale-path search queries. `batch_topk_partitioned` is exact
   * (same oracle as the window formulation — the plans differ, the answer
@@ -33,6 +33,15 @@ object AnnQueries {
   private val PqCandHandoff    = Handoff.path("pq_candidates")
   private val RpPlanesHandoff  = Handoff.path("rp_planes")
   private val NdcgDiscHandoff  = Handoff.path("ndcg_discounts")
+  private val HnswCandHandoff  = Handoff.path("hnsw_candidates")
+  private val HnswApproxHandoff = Handoff.path("hnsw_approx")
+  private val HnswAppendHandoff = Handoff.path("hnsw_append_candidates")
+
+  /** Gate-scale HNSW hyper-parameters (the [[Hnsw]] defaults): shards
+    * are the persisted IVF's 16 cells, so the m=8 graphs sit well
+    * inside a task and ef=64 construction beams are near-exhaustive —
+    * recall quality is spec-gated, the GATE only needs determinism. */
+  private val HnswP = Hnsw.HnswParams()
 
   /** RP path dimensions: d'=16 planes, 50 candidates for the exact
     * top-10 rerank. */
@@ -275,6 +284,84 @@ object AnnQueries {
       val index = persistedIvf(s, dir)
       writeIvfHandoff(s, index)
       graft.operators.Clustering.clusterProfile(index)
+    },
+    // graph-ANN (the reference's persisted hnswlib segment, batch
+    // form): ef-beam search over the persisted sharded HNSW, shards
+    // routed by the SAME IVF centroids as ann_ivf. The graph traversal
+    // is the one non-SQL stage — its emitted candidate set is the
+    // handoff, and the oracle replays the exact f32 rerank over it
+    // (the ann_ivfpq contract). Graph quality (recall, determinism,
+    // serve parity) is HnswSpec-gated.
+    "ann_hnsw" -> { (s, dir) =>
+      val idx = persistedHnsw(s, dir)
+      val q = VectorQueries.qvec(s, dir, 0)
+      val cands = Hnsw.searchShards(idx.graph,
+        Seq(Hnsw.HnswQuery(0L, q.toArray, Hnsw.route(idx, q.toArray, 4))),
+        ef = 32, idx.params)
+      val candIds = Handoff.publish(cands.select(col("vec_id")), HnswCandHandoff)
+      VectorSearch.topKWithScore(
+          Tables.embeddings(s, dir).join(candIds, Seq("vec_id")),
+          q, 10, VectorSearch.Euclidean)
+        .select(col("vec_id"), col("label"), col("dist"))
+    },
+    // HNSW recall@10 over the same 32-query sample as
+    // ann_recall_report — the quality report that ships with a graph
+    // index build. Approx = routed ef-beam candidates exact-reranked
+    // to 10 (the approx side is the handoff — graph traversal is not
+    // SQL-replayable); exact = brute-force batch top-10; recall =
+    // exact integer intersection counts, both engines computing it
+    // from the same handed-off approx set and their own exact scan.
+    "ann_hnsw_recall" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val idx = persistedHnsw(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val qRows = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val hq = qRows.map { case (id, v) =>
+        Hnsw.HnswQuery(id, v, Hnsw.route(idx, v, 4)) }.toSeq
+      val cands = Hnsw.searchShards(idx.graph, hq, ef = 32, idx.params)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      val approx = Handoff.publish(
+        cands.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).select(col("query_id"), col("vec_id")),
+        HnswApproxHandoff)
+      val qs = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val exact = VectorSearch.batchTopK(emb, qs, 10, VectorSearch.Euclidean)
+      Ann.recallAtK(approx, exact, 10).orderBy(col("query_id"))
+    },
+    // incremental graph maintenance (hnswlib add_items): route a
+    // "nightly" append slice via the index's own centroids, insert
+    // into ONLY the touched shard graphs (no global rebuild — the
+    // cost scales with touched shards), then search the appended
+    // graph. Appended vectors are exact copies of corpus rows at
+    // shifted ids, so the rerank MUST surface both twins — the
+    // appended nodes being reachable is what the gate checks; the
+    // oracle replays the rerank over base ∪ appended by formula.
+    "ann_hnsw_append" -> { (s, dir) =>
+      val idx = persistedHnsw(s, dir)
+      val ivf = persistedIvf(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val newRows = emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val appended = Hnsw.appendToShards(idx.graph,
+        Ann.assignToIvf(ivf, newRows), idx.params)
+      val q = VectorQueries.qvec(s, dir, 0)
+      val cands = Hnsw.searchShards(appended,
+        Seq(Hnsw.HnswQuery(0L, q.toArray, Hnsw.route(idx, q.toArray, 4))),
+        ef = 32, idx.params)
+      val candIds = Handoff.publish(cands.select(col("vec_id")), HnswAppendHandoff)
+      val uni = emb.select(col("vec_id"), col("label"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+            col("embedding")))
+      VectorSearch.topKWithScore(uni.join(candIds, Seq("vec_id")),
+          q, 10, VectorSearch.Euclidean)
+        .select(col("vec_id"), col("label"), col("dist"))
     }
   )
 
@@ -299,6 +386,23 @@ object AnnQueries {
         p => s"$p/corpus/_SUCCESS") { p =>
       Ann.saveIvf(Ann.buildIvf(Tables.embeddings(s, dir), numClusters), p)
     }
+
+  /** The persisted sharded-HNSW graph for a fixture dir, built over
+    * the SAME persisted IVF (one routing table serves both index
+    * families). Deterministic build (hash levels, id-asc insertion) →
+    * identical graph whether freshly built or loaded; key/lock
+    * discipline is [[BuildOnce.cached]]'s. */
+  def persistedHnswPath(s: SparkSession, dir: String): String =
+    BuildOnce.cached("hnsw-m8-k16",
+        new java.io.File(s"$dir/embeddings.parquet"))(
+        p => s"$p/graph/_SUCCESS") { p =>
+      val index = persistedIvf(s, dir)
+      Hnsw.saveHnsw(Hnsw.buildShards(index.assigned, HnswP),
+        index.centroids, HnswP, p)
+    }
+
+  def persistedHnsw(s: SparkSession, dir: String): Hnsw.HnswIndex =
+    Hnsw.loadHnsw(s, persistedHnswPath(s, dir))
 
   private val qvecSql = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
   private def rp(path: String) = s"read_parquet('$path/*.parquet')"
@@ -732,6 +836,57 @@ object AnnQueries {
          |       m.majority_label,
          |       CAST(m.mn AS DOUBLE) / CAST(a.n AS DOUBLE) AS majority_frac
          |FROM agg a JOIN mj m ON a.ivf_cluster = m.ivf_cluster
-         |ORDER BY n DESC, cluster_id""".stripMargin
+         |ORDER BY n DESC, cluster_id""".stripMargin,
+    // graph-traversal candidates are the handoff; the oracle replays
+    // the exact f32 rerank over them (the ann_ivfpq contract)
+    "ann_hnsw" ->
+      s"""WITH h AS (SELECT vec_id FROM ${rp(HnswCandHandoff)})
+         |SELECT h.vec_id, e.label,
+         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM h JOIN embeddings e ON h.vec_id = e.vec_id
+         |CROSS JOIN $qvecSql q
+         |ORDER BY dist, h.vec_id
+         |LIMIT 10""".stripMargin,
+    // approx top-10 from the handoff, exact top-10 re-derived by
+    // brute force, integer intersection counts — the
+    // ann_recall_report shape with the approx side handed off
+    "ann_hnsw_recall" ->
+      s"""WITH approx AS (SELECT * FROM ${rp(HnswApproxHandoff)}),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 32
+         |), exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY CAST(list_distance(e.embedding, q.qv) AS DOUBLE),
+         |                      e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e) AS s WHERE rn <= 10
+         |), hits AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM exact e JOIN approx a ON e.query_id = a.query_id
+         |                            AND e.vec_id = a.vec_id
+         |  GROUP BY 1
+         |)
+         |SELECT q.query_id,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM q LEFT JOIN hits h USING (query_id)
+         |ORDER BY q.query_id""".stripMargin,
+    // base ∪ appended reconstructed by formula (appends are corpus
+    // rows at shifted ids), then the exact rerank over the handoff
+    "ann_hnsw_append" ->
+      s"""WITH uni AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, label, embedding
+         |  FROM embeddings WHERE vec_id % 10 = 0
+         |), h AS (SELECT vec_id FROM ${rp(HnswAppendHandoff)})
+         |SELECT h.vec_id, u.label,
+         |       CAST(list_distance(u.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM h JOIN uni u ON h.vec_id = u.vec_id
+         |CROSS JOIN $qvecSql q
+         |ORDER BY dist, h.vec_id
+         |LIMIT 10""".stripMargin
   )
 }

@@ -690,4 +690,149 @@ object Serving {
     else text.split(" ").filter(_.nonEmpty).toSeq
       .flatMap(w => graft.operators.Bpe.encodeWord(w, ranks))
   }
+
+  // ------------------------------------------------------------ HNSW probe
+
+  /** Read a Spark-written `array<bigint>` column (3-level LIST group)
+    * by field index — the int64 twin of [[floatArray]]. */
+  private def longArray(g: Group, field: String): Array[Long] = {
+    val list = g.getGroup(field, 0)
+    val n = list.getFieldRepetitionCount(0)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = list.getGroup(0, i).getLong(0, 0); i += 1 }
+    out
+  }
+
+  /** Hyper-parameters of a [[graft.operators.Hnsw.saveHnsw]] layout —
+    * the one-row `params` file, cache-keyed by dir. */
+  private def loadHnswParams(conf: Configuration, cache: IndexCache,
+                             base: String): graft.operators.Hnsw.HnswParams =
+    cache.getOrLoad(s"$base/params") {
+      var p: graft.operators.Hnsw.HnswParams = null
+      foreachGroup(conf, s"$base/params") { g =>
+        p = graft.operators.Hnsw.HnswParams(
+          g.getInteger("m", 0), g.getInteger("ef_construction", 0),
+          g.getLong("seed", 0))
+      }
+      require(p != null, s"no params row under $base/params")
+      p
+    }
+
+  /** Decoded + reconstructed graph of ONE shard directory — the
+    * expensive load a resident server caches (the IVF
+    * [[loadClusterVecs]] contract: explicit-clear, keyed by dir).
+    * Reconstruction is [[graft.operators.Hnsw.HnswGraph.fromRows]],
+    * whose entry rule is canonical — the rebuilt graph searches
+    * bit-identically to the batch-built one. */
+  private def loadHnswShard(conf: Configuration, cache: IndexCache,
+                            base: String, shard: Int,
+                            params: graft.operators.Hnsw.HnswParams)
+      : graft.operators.Hnsw.HnswGraph = {
+    val dir = s"$base/graph/shard=$shard"
+    cache.getOrLoad(dir) {
+      val rows = mutable.ArrayBuffer.empty[graft.operators.Hnsw.GraphRow]
+      foreachGroup(conf, dir) { g =>
+        val emb =
+          if (g.getFieldRepetitionCount("embedding") == 0) null
+          else floatArray(g, "embedding").toSeq
+        rows += graft.operators.Hnsw.GraphRow(
+          g.getLong("vec_id", 0), g.getInteger("level", 0),
+          g.getInteger("layer", 0), longArray(g, "neighbors").toSeq, emb)
+      }
+      graft.operators.Hnsw.HnswGraph.fromRows(rows.toSeq, params)
+    }
+  }
+
+  /** One hit of [[searchHnsw]]. */
+  final case class HnswHit(vecId: Long, shard: Int, dist: Double)
+
+  /** Single-query graph-ANN from a [[graft.operators.Hnsw.saveHnsw]]
+    * layout, no Spark — the serving form of the reference's hnswlib
+    * query path (`vector_store.py`: Chroma answers one query from its
+    * persisted per-segment HNSW). Ranks `nprobe` shards exactly as
+    * every IVF probe ([[rankProbesLocal]] over the same centroid
+    * schema), reconstructs each probed shard's graph (cached for a
+    * resident server), runs the ONE shared ef-beam kernel
+    * ([[graft.operators.Hnsw.HnswGraph.search]] — the same code the
+    * batch tasks run), and merges by (dist, vec_id) — hit-for-hit
+    * parity with the batch `ann_hnsw` rerank spec-pinned. Only the
+    * probed `shard=<s>` directories are ever listed or read. */
+  def searchHnsw(indexDir: String, query: Array[Float], k: Int, ef: Int,
+                 nprobe: Int, conf: Configuration = defaultConf,
+                 cache: IndexCache = noCache): Seq[HnswHit] = {
+    val base = indexDir.stripSuffix("/")
+    val params = loadHnswParams(conf, cache, base)
+    val cents = loadCentroids(conf, cache, base)
+    val probes = rankProbesLocal(cents, query, nprobe)
+    val hits = mutable.ArrayBuffer.empty[HnswHit]
+    probes.foreach { c =>
+      loadHnswShard(conf, cache, base, c, params).search(query, k, ef)
+        .foreach { case (id, d) => hits += HnswHit(id, c, d.toDouble) }
+    }
+    hits.toSeq.sortBy(h => (h.dist, h.vecId)).take(k)
+  }
+
+  /** A resident server's ONLINE sharded HNSW: every shard graph held
+    * in memory, single-writer inserts routed by nearest centroid —
+    * the hnswlib `add_items` + query loop (the reference's segment
+    * lives in process and grows per upload), backed by the same
+    * persisted layout batch maintains. Inserts here and batch
+    * [[graft.operators.Hnsw.appendToShards]] produce the SAME graph
+    * when fed the same rows in id order (one shared insert kernel —
+    * spec-pinned), so a server can flush its in-memory state to the
+    * nightly batch append with no divergence. Not thread-safe (one
+    * writer), like the underlying graphs. */
+  final class OnlineHnsw private[Serving] (
+      cents: Seq[(Int, Array[Float])],
+      shards: mutable.Map[Int, graft.operators.Hnsw.HnswGraph],
+      params: graft.operators.Hnsw.HnswParams) {
+
+    /** Insert one vector into its nearest-centroid shard; returns the
+      * shard it landed in. */
+    def insert(id: Long, vec: Array[Float]): Int = {
+      val s = rankProbesLocal(cents, vec, 1).head
+      shards.getOrElseUpdate(s, new graft.operators.Hnsw.HnswGraph(params))
+        .insert(id, vec)
+      s
+    }
+
+    /** Query the live graphs — same probe ranking, ef-beam, and
+      * (dist, id) merge as [[searchHnsw]]. */
+    def search(query: Array[Float], k: Int, ef: Int,
+               nprobe: Int): Seq[HnswHit] = {
+      val probes = rankProbesLocal(cents, query, nprobe)
+      val hits = mutable.ArrayBuffer.empty[HnswHit]
+      probes.foreach { c =>
+        shards.get(c).foreach(_.search(query, k, ef).foreach { case (id, d) =>
+          hits += HnswHit(id, c, d.toDouble)
+        })
+      }
+      hits.toSeq.sortBy(h => (h.dist, h.vecId)).take(k)
+    }
+  }
+
+  /** Open a persisted HNSW layout as a live [[OnlineHnsw]]: loads
+    * EVERY shard graph into memory (the resident-server assumption —
+    * hnswlib's index lives in RAM; shard count × shard size is the
+    * capacity plan). Mutations affect only the in-memory state; the
+    * persisted layout stays the batch pipeline's property. */
+  def openHnsw(indexDir: String,
+               conf: Configuration = defaultConf): OnlineHnsw = {
+    val base = indexDir.stripSuffix("/")
+    val params = loadHnswParams(conf, noCache, base)
+    val cents = loadCentroids(conf, noCache, base)
+    val graphRoot = new Path(s"$base/graph")
+    val fs = graphRoot.getFileSystem(conf)
+    val shards = mutable.Map.empty[Int, graft.operators.Hnsw.HnswGraph]
+    if (fs.exists(graphRoot)) {
+      fs.listStatus(graphRoot).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("shard="))
+        .map(_.stripPrefix("shard=").toInt).sorted
+        .foreach { s =>
+          shards(s) = loadHnswShard(conf, noCache, base, s, params)
+        }
+    }
+    new OnlineHnsw(cents, shards, params)
+  }
 }

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Hnsw, VectorSearch}
+import graft.operators.Hnsw.{HnswGraph, HnswParams, HnswQuery}
+import graft.serving.Serving
+
+/** Sharded-HNSW spec: determinism (the property that makes a graph
+  * index gate-able), measured recall against exact brute force,
+  * reconstruction stability, batch==serve==online parity, and the
+  * insert-kernel edge cases. */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = HnswParams()
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  private def qvec(id: Long): Array[Float] =
+    emb.filter($"vec_id" === id).select("embedding")
+      .head().getSeq[Float](0).toArray
+
+  /** All vectors as (id, vec), id-ascending. */
+  private def allVecs: Seq[(Long, Array[Float])] =
+    emb.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  private def exactTopK(q: Array[Float], k: Int): Seq[Long] =
+    VectorSearch.topKWithScore(emb, q.toSeq, k, VectorSearch.Euclidean)
+      .select("vec_id").as[Long].collect().toSeq
+
+  /** Single-shard frame: every vector in shard 0 (isolates graph
+    * quality from routing). */
+  private def singleShard = emb.withColumn("shard0", lit(0))
+
+  test("levelOf: deterministic, capped, and exponentially distributed") {
+    val lvls = (0L until 2000L).map(Hnsw.levelOf(_, P))
+    assert(lvls === (0L until 2000L).map(Hnsw.levelOf(_, P)))
+    assert(lvls.max <= 30)
+    // ~1/m of nodes at level >= 1, within loose bounds
+    val frac = lvls.count(_ >= 1).toDouble / lvls.length
+    assert(frac > 0.03 && frac < 0.35, s"level>=1 fraction $frac")
+    // a different seed reshuffles levels
+    assert((0L until 2000L).map(Hnsw.levelOf(_, HnswParams(seed = 7L))) !== lvls)
+  }
+
+  test("buildShards is deterministic: two builds, identical rows") {
+    def rows() = Hnsw.buildShards(singleShard, P, shardCol = "shard0")
+      .orderBy($"vec_id", $"layer")
+      .select($"vec_id", $"level", $"layer", $"neighbors")
+      .as[(Long, Int, Int, Seq[Long])].collect().toSeq
+    assert(rows() === rows())
+  }
+
+  test("single-shard ef-beam recall@10 >= 0.9 vs exact brute force") {
+    val graph = Hnsw.buildShards(singleShard, P, shardCol = "shard0")
+    val qs = allVecs.take(20)
+      .map { case (id, v) => HnswQuery(id, v, Seq(0)) }
+    val cands = Hnsw.searchShards(graph, qs, ef = 64, P)
+      .select($"query_id", $"vec_id", $"dist")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    val recalls = qs.map { q =>
+      val approx = cands(q.queryId).sortBy(c => (c._3, c._2)).take(10).map(_._2).toSet
+      val exact = exactTopK(q.vec, 10).toSet
+      (exact & approx).size.toDouble / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"mean recall@10 $mean (per-query: $recalls)")
+  }
+
+  test("export/reconstruct round-trip is stable (untouched-shard pass-through)") {
+    val g = new HnswGraph(P)
+    allVecs.take(100).foreach { case (id, v) => g.insert(id, v) }
+    val rows = g.exportRows
+    val g2 = HnswGraph.fromRows(rows, P)
+    assert(g2.exportRows === rows)
+    // and the reconstruction searches bit-identically
+    val q = qvec(3)
+    assert(g2.search(q, 10, 32) === g.search(q, 10, 32))
+  }
+
+  test("append == fresh build when ids arrive in the same order") {
+    // id-ascending appends continue the exact insertion sequence a
+    // fresh full build would have executed — graphs must be identical
+    val vecs = allVecs.take(120)
+    val full = new HnswGraph(P)
+    vecs.foreach { case (id, v) => full.insert(id, v) }
+    val base = new HnswGraph(P)
+    vecs.take(80).foreach { case (id, v) => base.insert(id, v) }
+    val resumed = HnswGraph.fromRows(base.exportRows, P)
+    vecs.drop(80).foreach { case (id, v) => resumed.insert(id, v) }
+    assert(resumed.exportRows === full.exportRows)
+  }
+
+  test("batch searchShards == Serving.searchHnsw == OnlineHnsw (hit parity)") {
+    withTempDir("hnsw-serve") { dir =>
+      val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      val graph = Hnsw.buildShards(index.assigned, P)
+      Hnsw.saveHnsw(graph, index.centroids, P, dir.getPath)
+      val idx = Hnsw.loadHnsw(spark, dir.getPath)
+      for (qid <- Seq(0L, 5L, 17L)) {
+        val q = qvec(qid)
+        val probes = Hnsw.route(idx, q, 4)
+        val batch = Hnsw.searchShards(idx.graph,
+            Seq(HnswQuery(qid, q, probes)), ef = 32, P)
+          .select($"vec_id", $"dist").as[(Long, Double)].collect()
+          .sortBy(h => (h._2, h._1)).take(10).toSeq
+        val served = Serving.searchHnsw(dir.getPath, q, k = 10, ef = 32,
+          nprobe = 4).map(h => (h.vecId, h.dist))
+        assert(served === batch, s"serve!=batch for query $qid")
+        val online = Serving.openHnsw(dir.getPath)
+          .search(q, k = 10, ef = 32, nprobe = 4).map(h => (h.vecId, h.dist))
+        assert(online === batch, s"online!=batch for query $qid")
+      }
+    }
+  }
+
+  test("appendToShards: untouched shards byte-identical, appended ids searchable") {
+    val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+    val graph = Hnsw.buildShards(index.assigned, P)
+    val newRows = emb.where($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+    val appended = Hnsw.appendToShards(graph, Ann.assignToIvf(index, newRows), P)
+    // every appended id present at layer 0
+    val newIds = appended.filter($"vec_id" >= 1000000 && $"layer" === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val expected = emb.where($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000).as("v")).as[Long].collect().toSet
+    assert(newIds === expected)
+    // shards that received no appends carry through row-identical
+    val touched = appended.filter($"vec_id" >= 1000000)
+      .select("shard").distinct().as[Int].collect().toSet
+    val before = graph.filter(!$"shard".isin(touched.toSeq.map(Integer.valueOf): _*))
+      .orderBy($"vec_id", $"layer")
+      .select($"shard", $"vec_id", $"level", $"layer", $"neighbors")
+      .as[(Int, Long, Int, Int, Seq[Long])].collect().toSeq
+    val after = appended.filter(!$"shard".isin(touched.toSeq.map(Integer.valueOf): _*))
+      .orderBy($"vec_id", $"layer")
+      .select($"shard", $"vec_id", $"level", $"layer", $"neighbors")
+      .as[(Int, Long, Int, Int, Seq[Long])].collect().toSeq
+    assert(after === before)
+    // a search near an appended twin surfaces BOTH twins (dist ties
+    // break to the lower id, so the original ranks first)
+    val q = qvec(0)
+    val probes = Ann.rankProbes(index.centroids, q, 4)
+    val hits = Hnsw.searchShards(appended, Seq(HnswQuery(0L, q, probes.toSeq)),
+        ef = 32, P)
+      .select($"vec_id", $"dist").as[(Long, Double)].collect()
+      .sortBy(h => (h._2, h._1)).take(10).map(_._1).toSeq
+    assert(hits.take(2) === Seq(0L, 1000000L))
+  }
+
+  test("OnlineHnsw.insert routes by nearest centroid and is immediately searchable") {
+    withTempDir("hnsw-online") { dir =>
+      val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      val graph = Hnsw.buildShards(index.assigned, P)
+      Hnsw.saveHnsw(graph, index.centroids, P, dir.getPath)
+      val online = Serving.openHnsw(dir.getPath)
+      val v = qvec(7)
+      val shard = online.insert(5000000L, v)
+      assert(shard === Ann.rankProbes(index.centroids, v, 1).head)
+      val hits = online.search(v, k = 2, ef = 32, nprobe = 4).map(_.vecId)
+      // exact twin: original 7 first (lower id on the tie), insert second
+      assert(hits === Seq(7L, 5000000L))
+    }
+  }
+
+  test("insert kernel edge cases: duplicates, non-finite, empty search") {
+    val g = new HnswGraph(P)
+    assert(g.search(Array(1f, 2f), 5, 16) === Seq.empty)
+    g.insert(1L, Array(1f, 0f))
+    intercept[IllegalArgumentException] { g.insert(1L, Array(0f, 1f)) }
+    intercept[IllegalArgumentException] { g.insert(2L, Array(Float.NaN, 0f)) }
+    intercept[IllegalArgumentException] {
+      g.insert(3L, Array(Float.PositiveInfinity, 0f))
+    }
+    // k larger than the graph: every node returned, closest first
+    g.insert(4L, Array(0f, 1f))
+    assert(g.search(Array(1f, 0f), 10, 16).map(_._1) === Seq(1L, 4L))
+  }
+}
