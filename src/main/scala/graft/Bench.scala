@@ -55,6 +55,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] WARNING: IVF warmup failed (${e.getMessage}); " +
           "ann_ivf timing will include index construction") }
+    // HNSW gates search/append against the PERSISTED graph (built
+    // over the same IVF) — warm it so graph construction never sits
+    // in a timed window
+    if (Seq("ann_hnsw", "ann_hnsw_recall", "ann_hnsw_append")
+        .exists(selected.contains))
+      try graft.queries.AnnQueries.persistedHnsw(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: HNSW warmup failed (${e.getMessage}); " +
+          "ann_hnsw timing will include graph construction") }
     // semdedup's cluster count scales with the corpus (may differ from
     // the ANN k=16 at derived SFs) — warm ITS index so the fit never
     // sits in the timed window

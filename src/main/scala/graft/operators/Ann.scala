@@ -192,24 +192,35 @@ object Ann {
     * divergence from a refit's own transform is a vector sitting within
     * float-rounding distance of two centroids (AnnSpec pins equality on
     * the fit corpus). */
+  /** The ASSIGNMENT kernel (one owner): double-precision squared
+    * argmin, strict `<` so a tie keeps the lower cluster id — shared
+    * by [[assignToIvf]] and the online HNSW insert router
+    * ([[graft.serving.Serving.OnlineHnsw]]), so a live insert and the
+    * nightly batch append can never route the same vector to
+    * different shards. NOTE: deliberately NOT [[rankProbes]] — probe
+    * RANKING is f32+sqrt for oracle parity; assignment is the f64
+    * argmin the persisted layout was built with. */
+  private[graft] def nearestCentroid(cents: Array[Array[Float]],
+                                     v: Seq[Float]): Int = {
+    require(v != null, "nearestCentroid: null embedding")
+    require(v.length == cents(0).length,
+      s"nearestCentroid: vector dim ${v.length} != centroid dim ${cents(0).length}")
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var acc = 0.0; var d = 0
+      while (d < cent.length) {
+        val x = v(d).toDouble - cent(d); acc += x * x; d += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
   def assignToIvf(index: IvfIndex, newVectors: DataFrame): DataFrame = {
     val cents = index.centroids
-    val assignUdf = udf { (v: Seq[Float]) =>
-      require(v != null, "assignToIvf: null embedding")
-      require(v.length == cents(0).length,
-        s"assignToIvf: vector dim ${v.length} != centroid dim ${cents(0).length}")
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cents.length) {
-        val cent = cents(c)
-        var acc = 0.0; var d = 0
-        while (d < cent.length) {
-          val x = v(d).toDouble - cent(d); acc += x * x; d += 1
-        }
-        if (acc < bestD) { bestD = acc; best = c }
-        c += 1
-      }
-      best
-    }
+    val assignUdf = udf { (v: Seq[Float]) => nearestCentroid(cents, v) }
     newVectors.withColumn("ivf_cluster", assignUdf(col(index.embCol)))
   }
 

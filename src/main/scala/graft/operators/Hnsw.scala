@@ -58,7 +58,10 @@ object Hnsw {
     require(m >= 2, s"m must be >= 2, got $m")
     require(efConstruction >= 1, s"efConstruction must be >= 1")
     val mMax0: Int = 2 * m
-    val mL: Double = 1.0 / math.log(m.toDouble)
+    // StrictMath: ln is not bitwise-portable across JVM intrinsics
+    // (the Bm25 rule), and levels are determinism-critical STRUCTURE —
+    // a 1-ulp log divergence between hosts would fork append==rebuild
+    val mL: Double = 1.0 / StrictMath.log(m.toDouble)
   }
 
   /** splitmix64 finalizer — the stateless hash behind [[levelOf]]. */
@@ -77,7 +80,7 @@ object Hnsw {
     * and the cap bounds the per-node layer array. */
   def levelOf(id: Long, params: HnswParams): Int = {
     val u = ((mix64(id ^ params.seed) >>> 11) + 1).toDouble / 9007199254740992.0
-    math.min(30, math.floor(-math.log(u) * params.mL).toInt)
+    math.min(30, math.floor(-StrictMath.log(u) * params.mL).toInt)
   }
 
   /** One exported adjacency row: a node appears once per layer it
@@ -255,6 +258,15 @@ object Hnsw {
       * (dist, id) order — the candidate set a caller reranks or
       * truncates to k. */
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Float)] = {
+      // same finiteness contract as insert: a NaN query makes every
+      // comparison false and the beam degenerates to arbitrary
+      // BFS-order picks — fail loudly instead of returning garbage
+      var qi = 0
+      while (qi < q.length) {
+        require(!q(qi).isNaN && !q(qi).isInfinite,
+          s"non-finite query component at dim=$qi")
+        qi += 1
+      }
       if (entry < 0) return Seq.empty
       var ep = entry
       var layer = lvls(entry)
@@ -359,24 +371,27 @@ object Hnsw {
       .sortWithinPartitions(col("shard"), col("vec_id"))
     val rdd = slim.rdd.mapPartitions { rows =>
       // partitions may hold several shards (hash exchange): build one
-      // graph per run of equal shard (rows arrive shard-sorted)
-      val out = mutable.ArrayBuffer.empty[Row]
-      var curShard = Int.MinValue
-      var g: HnswGraph = null
-      def flush(): Unit = if (g != null) {
-        g.exportRows.foreach { r =>
-          out += Row(curShard, r.vec_id, r.level, r.layer, r.neighbors,
-            r.embedding)
-        }
-        g = null
+      // graph per run of equal shard (rows arrive shard-sorted). The
+      // output iterator is LAZY per shard, so peak task memory is ONE
+      // live graph + its export — the documented largest-shard bound —
+      // not every shard hashed into the partition.
+      val it = rows.buffered
+      new Iterator[Row] {
+        private var cur: Iterator[Row] = Iterator.empty
+        private def advance(): Unit =
+          while (!cur.hasNext && it.hasNext) {
+            val shard = it.head.getInt(0)
+            val g = new HnswGraph(params)
+            while (it.hasNext && it.head.getInt(0) == shard) {
+              val r = it.next()
+              g.insert(r.getLong(1), r.getSeq[Float](2).toArray)
+            }
+            cur = g.exportRows.iterator.map(e =>
+              Row(shard, e.vec_id, e.level, e.layer, e.neighbors, e.embedding))
+          }
+        def hasNext: Boolean = { advance(); cur.hasNext }
+        def next(): Row = { advance(); cur.next() }
       }
-      rows.foreach { r =>
-        val s = r.getInt(0)
-        if (s != curShard) { flush(); curShard = s; g = new HnswGraph(params) }
-        g.insert(r.getLong(1), r.getSeq[Float](2).toArray)
-      }
-      flush()
-      out.iterator
     }
     spark.createDataFrame(rdd, graphSchema)
   }
@@ -457,9 +472,19 @@ object Hnsw {
                      embCol: String = "embedding",
                      idCol: String = "vec_id"): DataFrame = {
     val spark = graph.sparkSession
+    // the touched shard set is ≤ #centroids — a k-row driver collect.
+    // Untouched shards NEVER enter the exchange: their rows pass
+    // through as a plain filter (this is what makes append cost scale
+    // with the touched shards, not the corpus).
+    val touched = newAssigned.select(col(shardCol).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return graph
+    val touchedVals = touched.map(Integer.valueOf)
+    val untouched = graph.filter(!col("shard").isin(touchedVals: _*))
     // tag: kind 0 = existing graph row, kind 1 = new vector
-    val existing = graph.select(col("shard"), col("vec_id"), col("level"),
-      col("layer"), col("neighbors"), col("embedding"), lit(0).as("kind"))
+    val existing = graph.filter(col("shard").isin(touchedVals: _*))
+      .select(col("shard"), col("vec_id"), col("level"),
+        col("layer"), col("neighbors"), col("embedding"), lit(0).as("kind"))
     val incoming = newAssigned.select(
       col(shardCol).cast("int").as("shard"),
       col(idCol).cast("long").as("vec_id"),
@@ -472,41 +497,34 @@ object Hnsw {
       .sortWithinPartitions(col("shard"), col("kind"), col("vec_id"),
         col("layer"))
     val rdd = slim.rdd.mapPartitions { rows =>
-      val out = mutable.ArrayBuffer.empty[Row]
-      var curShard = Int.MinValue
-      var buf = mutable.ArrayBuffer.empty[GraphRow]
-      var fresh = mutable.ArrayBuffer.empty[(Long, Array[Float])]
-      def flush(): Unit = if (buf.nonEmpty || fresh.nonEmpty) {
-        if (fresh.isEmpty) {
-          // untouched shard: pass rows through byte-identical
-          buf.foreach { r =>
-            out += Row(curShard, r.vec_id, r.level, r.layer, r.neighbors,
-              r.embedding)
+      // lazy per shard, as buildShards: one reconstructed graph live
+      val it = rows.buffered
+      new Iterator[Row] {
+        private var cur: Iterator[Row] = Iterator.empty
+        private def advance(): Unit =
+          while (!cur.hasNext && it.hasNext) {
+            val shard = it.head.getInt(0)
+            val buf = mutable.ArrayBuffer.empty[GraphRow]
+            val fresh = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+            while (it.hasNext && it.head.getInt(0) == shard) {
+              val r = it.next()
+              if (r.getInt(6) == 0)
+                buf += GraphRow(r.getLong(1), r.getInt(2), r.getInt(3),
+                  r.getSeq[Long](4),
+                  if (r.isNullAt(5)) null else r.getSeq[Float](5))
+              else fresh += ((r.getLong(1), r.getSeq[Float](5).toArray))
+            }
+            val g = HnswGraph.fromRows(buf.toSeq, params)
+            fresh.sortInPlace()(Ordering.by[(Long, Array[Float]), Long](_._1))
+            fresh.foreach { case (id, v) => g.insert(id, v) }
+            cur = g.exportRows.iterator.map(e =>
+              Row(shard, e.vec_id, e.level, e.layer, e.neighbors, e.embedding))
           }
-        } else {
-          val g = HnswGraph.fromRows(buf.toSeq, params)
-          fresh.sortInPlace()(Ordering.by[(Long, Array[Float]), Long](_._1))
-          fresh.foreach { case (id, v) => g.insert(id, v) }
-          g.exportRows.foreach { r =>
-            out += Row(curShard, r.vec_id, r.level, r.layer, r.neighbors,
-              r.embedding)
-          }
-        }
-        buf = mutable.ArrayBuffer.empty[GraphRow]
-        fresh = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        def hasNext: Boolean = { advance(); cur.hasNext }
+        def next(): Row = { advance(); cur.next() }
       }
-      rows.foreach { r =>
-        val s = r.getInt(0)
-        if (s != curShard) { flush(); curShard = s }
-        if (r.getInt(6) == 0)
-          buf += GraphRow(r.getLong(1), r.getInt(2), r.getInt(3),
-            r.getSeq[Long](4), if (r.isNullAt(5)) null else r.getSeq[Float](5))
-        else fresh += ((r.getLong(1), r.getSeq[Float](5).toArray))
-      }
-      flush()
-      out.iterator
     }
-    spark.createDataFrame(rdd, graphSchema)
+    untouched.unionByName(spark.createDataFrame(rdd, graphSchema))
   }
 
   // ------------------------------------------------------------------

@@ -788,10 +788,21 @@ object Serving {
       shards: mutable.Map[Int, graft.operators.Hnsw.HnswGraph],
       params: graft.operators.Hnsw.HnswParams) {
 
-    /** Insert one vector into its nearest-centroid shard; returns the
-      * shard it landed in. */
+    // the ASSIGNMENT routing table (cluster-id order) for
+    // Ann.nearestCentroid — insert routing must be the f64-argmin
+    // kernel batch appendToShards routes with (Ann.assignToIvf), NOT
+    // the f32+sqrt probe-RANKING kernel, or a near-tie vector could
+    // land in different shards live vs in the nightly batch append
+    private val centSorted: Array[(Int, Array[Float])] =
+      cents.sortBy(_._1).toArray
+    private val centArray: Array[Array[Float]] = centSorted.map(_._2)
+
+    /** Insert one vector into its nearest-centroid shard (the
+      * [[graft.operators.Ann.assignToIvf]] kernel — spec-pinned
+      * against it); returns the shard it landed in. */
     def insert(id: Long, vec: Array[Float]): Int = {
-      val s = rankProbesLocal(cents, vec, 1).head
+      val s = centSorted(
+        graft.operators.Ann.nearestCentroid(centArray, vec.toSeq))._1
       shards.getOrElseUpdate(s, new graft.operators.Hnsw.HnswGraph(params))
         .insert(id, vec)
       s

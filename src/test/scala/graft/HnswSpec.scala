@@ -153,19 +153,53 @@ class HnswSpec extends SparkSpec {
     assert(hits.take(2) === Seq(0L, 1000000L))
   }
 
-  test("OnlineHnsw.insert routes by nearest centroid and is immediately searchable") {
+  test("OnlineHnsw.insert routes exactly as batch assignToIvf (f64 argmin kernel)") {
     withTempDir("hnsw-online") { dir =>
       val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
       val graph = Hnsw.buildShards(index.assigned, P)
       Hnsw.saveHnsw(graph, index.centroids, P, dir.getPath)
       val online = Serving.openHnsw(dir.getPath)
-      val v = qvec(7)
-      val shard = online.insert(5000000L, v)
-      assert(shard === Ann.rankProbes(index.centroids, v, 1).head)
-      val hits = online.search(v, k = 2, ef = 32, nprobe = 4).map(_.vecId)
-      // exact twin: original 7 first (lower id on the tie), insert second
-      assert(hits === Seq(7L, 5000000L))
+      // live-insert routing must agree with the nightly batch append's
+      // router (Ann.assignToIvf) on every vector — the flush-to-batch
+      // no-divergence contract
+      val sample = allVecs.take(32)
+      val sampleDf = sample.map { case (id, v) => (id + 9000000L, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val expected = Ann.assignToIvf(index, sampleDf)
+        .select($"vec_id", $"ivf_cluster").as[(Long, Int)].collect().toMap
+      sample.foreach { case (id, v) =>
+        assert(online.insert(id + 9000000L, v) === expected(id + 9000000L),
+          s"online routing diverged from assignToIvf for source id $id")
+      }
+      // and an insert is immediately searchable: exact twin of vec 7
+      // (inserted above as 9000007) — original first on the dist tie
+      val v7 = qvec(7)
+      val hits = online.search(v7, k = 2, ef = 32, nprobe = 4).map(_.vecId)
+      assert(hits === Seq(7L, 9000007L))
     }
+  }
+
+  test("search rejects non-finite queries (same contract as insert)") {
+    val g = new HnswGraph(P)
+    g.insert(1L, Array(1f, 0f))
+    intercept[IllegalArgumentException] { g.search(Array(Float.NaN, 0f), 5, 16) }
+    intercept[IllegalArgumentException] {
+      g.search(Array(0f, Float.NegativeInfinity), 5, 16)
+    }
+  }
+
+  test("appendToShards: untouched passthrough adds no exchange to the plan") {
+    val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+    val graph = Hnsw.buildShards(index.assigned, P)
+    val newRows = emb.where($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+    val appended = Hnsw.appendToShards(graph, Ann.assignToIvf(index, newRows), P)
+    // the touched branch's shard exchange lives behind its RDD
+    // boundary; the OUTER plan — untouched filter + union — must be
+    // exchange-free, i.e. untouched shards' rows never shuffle
+    val plan = appended.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"untouched passthrough introduced a shuffle:\n$plan")
   }
 
   test("insert kernel edge cases: duplicates, non-finite, empty search") {
