@@ -410,15 +410,22 @@ object Hnsw {
     * (query_id, shard, vec_id, dist) — ≤ nprobe·ef rows per query;
     * callers exact-rerank to k (the handoff the SQL oracle replays).
     * `dist` is already the exact f32 Euclidean kernel. */
+  /** The probed slice of a graph frame, shard-collated for the search
+    * tasks — factored out so PlanSpec-style tests can pin that the
+    * shard filter reaches the persisted layout as a PARTITION filter
+    * (unprobed `shard=` directories are never listed or read). */
+  private[graft] def probedSlim(graph: DataFrame, wanted: Seq[Int]): DataFrame =
+    graph
+      .filter(col("shard").isin(wanted.map(Integer.valueOf): _*))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("vec_id"), col("layer"))
+
   def searchShards(graph: DataFrame, queries: Seq[HnswQuery], ef: Int,
                    params: HnswParams): DataFrame = {
     val spark = graph.sparkSession
     val wanted = queries.flatMap(_.shards).distinct
     val bcQueries = spark.sparkContext.broadcast(queries)
-    val slim = graph
-      .filter(col("shard").isin(wanted.map(Integer.valueOf): _*))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("vec_id"), col("layer"))
+    val slim = probedSlim(graph, wanted)
     val outSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("shard", IntegerType, nullable = false),

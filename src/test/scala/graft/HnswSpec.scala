@@ -179,6 +179,40 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("searchShards on the persisted layout prunes unprobed shard partitions") {
+    withTempDir("hnsw-prune") { dir =>
+      val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      val graph = Hnsw.buildShards(index.assigned, P)
+      Hnsw.saveHnsw(graph, index.centroids, P, dir.getPath)
+      val idx = Hnsw.loadHnsw(spark, dir.getPath)
+      val q = qvec(0)
+      val probes = Hnsw.route(idx, q, 2)
+      // the exact frame searchShards consumes (the RDD boundary hides
+      // it from the outer plan): its shard filter must reach the scan
+      // as a PARTITION filter — unprobed shard directories are never
+      // listed or read (the file-pruning half of the 100 TB story)
+      val slim = Hnsw.probedSlim(idx.graph, probes)
+      val phys = slim.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan // current physical tree (post-EnsureRequirements)
+        case p => p
+      }
+      val scans = phys.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a parquet scan under probedSlim")
+      val pf = scans.head.partitionFilters.mkString(";")
+      assert(pf.contains("shard"),
+        s"shard probe filter did not reach partition pruning: $pf")
+      // and the pruned scan actually selects only the probed dirs
+      assert(scans.head.relation.location.listFiles(
+          scans.head.partitionFilters, scans.head.dataFilters)
+        .flatMap(_.files).forall { f =>
+          probes.exists(p => f.getPath.toString.contains(s"shard=$p"))
+        })
+    }
+  }
+
   test("search rejects non-finite queries (same contract as insert)") {
     val g = new HnswGraph(P)
     g.insert(1L, Array(1f, 0f))
