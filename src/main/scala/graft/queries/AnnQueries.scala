@@ -114,7 +114,7 @@ object AnnQueries {
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
       val approx = Ann.batchSearchIvf(s, index, qs, k = 10, nprobe = 4)
-      val exact = VectorSearch.batchTopK(emb, qs, 10, VectorSearch.Euclidean)
+      val exact = PartitionedTopK.batchTopK(emb, evalSample(emb), 10)
       Ann.recallAtK(approx, exact, 10).orderBy(col("query_id"))
     },
     // hard-negative mining for contrastive embedding training: per
@@ -214,7 +214,7 @@ object AnnQueries {
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
       val approx = Ann.batchSearchIvf(s, index, qs, k = 10, nprobe = 4)
-      val exact = VectorSearch.batchTopK(emb, qs, 10, VectorSearch.Euclidean)
+      val exact = PartitionedTopK.batchTopK(emb, evalSample(emb), 10)
       Ann.mrrAtK(approx, exact, 10).orderBy(col("query_id"))
     },
     // NDCG@10 of the IVF ranking vs exact ground truth — the
@@ -232,7 +232,7 @@ object AnnQueries {
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
       val approx = Ann.batchSearchIvf(s, index, qs, k = 10, nprobe = 4)
-      val exact = VectorSearch.batchTopK(emb, qs, 10, VectorSearch.Euclidean)
+      val exact = PartitionedTopK.batchTopK(emb, evalSample(emb), 10)
       Ann.ndcgAtK(approx, exact, disc, 10).orderBy(col("query_id"))
     },
     // IVF-PQ: same persisted coarse index, corpus re-expressed as
@@ -328,10 +328,7 @@ object AnnQueries {
         cands.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10).select(col("query_id"), col("vec_id")),
         HnswApproxHandoff)
-      val qs = emb.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("query_id"),
-          col("embedding").as("query_embedding"))
-      val exact = VectorSearch.batchTopK(emb, qs, 10, VectorSearch.Euclidean)
+      val exact = PartitionedTopK.batchTopK(emb, qRows.toSeq, 10)
       Ann.recallAtK(approx, exact, 10).orderBy(col("query_id"))
     },
     // incremental graph maintenance (hnswlib add_items): route a
@@ -403,6 +400,19 @@ object AnnQueries {
 
   def persistedHnsw(s: SparkSession, dir: String): Hnsw.HnswIndex =
     Hnsw.loadHnsw(s, persistedHnswPath(s, dir))
+
+  /** The ≤32-query eval sample as a driver-side seq (bounded: n rows ×
+    * dim floats) — feeds the HEAP-form exact scan
+    * ([[PartitionedTopK.batchTopK]], bit-identical to the window form,
+    * AnnSpec-pinned) in every recall/NDCG/MRR eval query: the
+    * exact-side shuffle then carries partitions·Q·k heap survivors
+    * instead of Q·|corpus| windowed sim rows — the r9 verdict's
+    * heap-pre-aggregation pattern, extended to the eval family. */
+  private def evalSample(emb: DataFrame, n: Int = 32): Seq[(Long, Array[Float])] =
+    emb.filter(col("vec_id") < n)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
 
   private val qvecSql = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
   private def rp(path: String) = s"read_parquet('$path/*.parquet')"
