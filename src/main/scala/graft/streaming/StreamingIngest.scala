@@ -153,6 +153,61 @@ object StreamingIngest {
         graft.operators.CorpusModels.nbScoreColumn(model, priorFp)(col(textCol)))
       .withColumn("keep_pred", col("score_fp") > 0)
 
+  /** Streaming GRAPH-index maintenance: the stream twin of the
+    * nightly [[graft.operators.Hnsw.appendToShards]], completing the
+    * graph family's batch/serve/stream matrix (the reference's
+    * per-upload hnswlib `add_items` loop, restated as micro-batch
+    * maintenance). Each micro-batch: resolve the CURRENT immutable
+    * graph version (the one pointer protocol —
+    * [[graft.operators.Maintenance.resolveCurrent]]), route arrivals
+    * with the SAME f64-argmin assignment kernel as batch and the
+    * online server ([[graft.operators.Ann.assignToIvf]] /
+    * `Ann.nearestCentroid`), append into only the touched shard
+    * graphs, and publish the result as a NEW immutable version
+    * ([[graft.operators.CorpusModels.publishModelVersion]]). A
+    * resident prober resolving
+    * [[graft.serving.Serving.currentModelDir]] therefore never sees a
+    * torn graph, and its freshness-keyed caches warm per version.
+    *
+    * Epoch-idempotent, not just at-least-once: each applied epoch
+    * writes an `_epoch_<id>` marker INTO the version it publishes
+    * (before the atomic rename), and a replayed epoch (checkpoint
+    * recovery) that finds its own marker in the CURRENT version is
+    * skipped. Without the marker, the replay would fail loudly on
+    * duplicate inserts ([[graft.operators.Hnsw.HnswGraph.insert]]'s
+    * contract) — id uniqueness ACROSS distinct epochs stays the
+    * upstream B9 dup guard's job, as everywhere. Null-embedding rows
+    * are dropped (the [[vectorIngestStream]] poison-record contract);
+    * an empty surviving batch publishes nothing. */
+  def hnswIngestStream(vectors: DataFrame, root: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val rows = batch.filter(col("embedding").isNotNull)
+        val cur = graft.operators.Maintenance.resolveCurrent(spark, root)
+        val fs = new org.apache.hadoop.fs.Path(cur)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$cur/_epoch_$epochId")
+        if (!fs.exists(marker) && !rows.isEmpty) {
+          val idx = graft.operators.Hnsw.loadHnsw(spark, cur)
+          val routed = graft.operators.Ann.assignToIvf(
+            graft.operators.Ann.IvfIndex(idx.centroids, rows,
+              "embedding", "vec_id"),
+            rows)
+          val appended = graft.operators.Hnsw.appendToShards(
+            idx.graph, routed, idx.params)
+          graft.operators.CorpusModels.publishModelVersion(spark, root) { dir =>
+            graft.operators.Hnsw.saveHnsw(appended, idx.centroids,
+              idx.params, dir)
+            fs.create(new org.apache.hadoop.fs.Path(s"$dir/_epoch_$epochId"),
+              true).close()
+          }
+        }
+        ()
+      }
+
   /** Streaming vector-index maintenance: new embeddings are routed to
     * their IVF cluster (broadcast k-row centroid argmin —
     * [[graft.operators.Ann.assignToIvf]], the append-without-refit

@@ -394,4 +394,24 @@ class ServingSpec extends SparkSpec {
       "cached scorer must serve the republished model, not the stale cache")
     assert(s1 !== s2, "flipped-label models should score this text differently")
   }
+
+  test("HNSW serving probe + online search launch zero Spark jobs") {
+    val path = AnnQueries.persistedHnswPath(spark, sfDir)
+    val q = VectorQueries.qvec(spark, sfDir, 0).toArray
+    Serving.searchHnsw(path, q, k = 10, ef = 32, nprobe = 4) // warm
+    val online = Serving.openHnsw(path) // load outside the window
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val t0 = System.nanoTime()
+    val hits = Serving.searchHnsw(path, q, k = 10, ef = 32, nprobe = 4)
+    val servingMs = (System.nanoTime() - t0) / 1e6
+    val onlineHits = online.search(q, k = 10, ef = 32, nprobe = 4)
+    online.insert(7000000L, q)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(hits.size === 10)
+    assert(onlineHits.map(h => (h.vecId, h.dist)) ===
+      hits.map(h => (h.vecId, h.dist)))
+    assert(jobsAfter === jobsBefore,
+      "HNSW probe/online search/insert must not launch Spark jobs")
+    info(f"hnsw probe latency: $servingMs%.1f ms (warm, uncached)")
+  }
 }

@@ -605,4 +605,64 @@ class StreamingSpec extends SparkSpec {
       assert(!q.lastProgress.toString().contains("stateOperators\" : [ {"))
     } finally q.stop()
   }
+
+  test("hnsw ingest stream: versioned append, servable per version, batch==stream graph") {
+    val Hnsw = graft.operators.Hnsw
+    val Ann = graft.operators.Ann
+    withTempDir("hnsw-stream") { dir =>
+      val root = dir.getPath
+      val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      val P = Hnsw.HnswParams()
+      val graph0 = Hnsw.buildShards(index.assigned, P)
+      graft.operators.CorpusModels.publishModelVersion(spark, root) { d =>
+        Hnsw.saveHnsw(graph0, index.centroids, P, d)
+      }
+      val v1 = graft.serving.Serving.currentModelDir(root)
+      val src = Tables.embeddings(spark, sfDir).filter($"vec_id" < 4)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0) + 3000000L, r.getSeq[Float](1))).sortBy(_._1)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingIngest.hnswIngestStream(
+          input.toDF().toDF("vec_id", "embedding"), root)
+        .option("checkpointLocation", s"$root-ckpt")
+        .start()
+      try {
+        input.addData(src.take(2).toIndexedSeq: _*)
+        q.processAllAvailable()
+        val v2 = graft.serving.Serving.currentModelDir(root)
+        assert(v2 !== v1, "epoch 0 must publish a new version")
+        // the appended exact twin of corpus vec 0 is immediately
+        // servable from the freshly-resolved version (no torn reads:
+        // the prober only ever sees the atomic pointer flip)
+        val q0 = Tables.embeddings(spark, sfDir).filter($"vec_id" === 0)
+          .select($"embedding").head().getSeq[Float](0).toArray
+        val hits = graft.serving.Serving
+          .searchHnsw(v2, q0, k = 2, ef = 32, nprobe = 4).map(_.vecId)
+        assert(hits === Seq(0L, 3000000L))
+        input.addData(src.drop(2).toIndexedSeq: _*)
+        q.processAllAvailable()
+        val v3 = graft.serving.Serving.currentModelDir(root)
+        assert(v3 !== v2, "epoch 1 must publish another version")
+        // the replay guard rode the published version
+        val fs = new org.apache.hadoop.fs.Path(v3)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$v3/_epoch_*")).nonEmpty)
+        // stream == batch: the two micro-batch appends must equal the
+        // same two nightly appendToShards calls run sequentially
+        def slice(rows: Seq[(Long, Seq[Float])]) =
+          rows.toDF("vec_id", "embedding")
+        val batchG = Hnsw.appendToShards(
+          Hnsw.appendToShards(graph0,
+            Ann.assignToIvf(index, slice(src.take(2))), P),
+          Ann.assignToIvf(index, slice(src.drop(2))), P)
+        def rows(df: org.apache.spark.sql.DataFrame) = df
+          .select($"shard", $"vec_id", $"level", $"layer",
+            concat_ws(",", $"neighbors").as("nbrs"))
+          .as[(Int, Long, Int, Int, String)].collect().toSeq.sorted
+        assert(rows(Hnsw.loadHnsw(spark, v3).graph) === rows(batchG))
+      } finally q.stop()
+    }
+  }
 }
