@@ -402,14 +402,6 @@ object Hnsw {
   final case class HnswQuery(queryId: Long, vec: Array[Float],
                              shards: Seq[Int])
 
-  /** Batch ef-search over a sharded graph frame. Queries broadcast
-    * (bounded: a query batch, not a corpus); only the shards some
-    * query probes are read at all — on the [[saveHnsw]] layout that
-    * filter is partition pruning, so unprobed shards cost nothing.
-    * Emits the per-shard candidate streams
-    * (query_id, shard, vec_id, dist) — ≤ nprobe·ef rows per query;
-    * callers exact-rerank to k (the handoff the SQL oracle replays).
-    * `dist` is already the exact f32 Euclidean kernel. */
   /** The probed slice of a graph frame, shard-collated for the search
     * tasks — factored out so PlanSpec-style tests can pin that the
     * shard filter reaches the persisted layout as a PARTITION filter
@@ -420,6 +412,14 @@ object Hnsw {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("vec_id"), col("layer"))
 
+  /** Batch ef-search over a sharded graph frame. Queries broadcast
+    * (bounded: a query batch, not a corpus); only the shards some
+    * query probes are read at all — on the [[saveHnsw]] layout that
+    * filter is partition pruning ([[probedSlim]], spec-pinned), so
+    * unprobed shards cost nothing. Emits the per-shard candidate
+    * streams (query_id, shard, vec_id, dist) — ≤ nprobe·ef rows per
+    * query; callers exact-rerank to k (the handoff the SQL oracle
+    * replays). `dist` is already the exact f32 Euclidean kernel. */
   def searchShards(graph: DataFrame, queries: Seq[HnswQuery], ef: Int,
                    params: HnswParams): DataFrame = {
     val spark = graph.sparkSession

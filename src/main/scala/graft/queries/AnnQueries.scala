@@ -315,12 +315,9 @@ object AnnQueries {
       import org.apache.spark.sql.expressions.Window
       val idx = persistedHnsw(s, dir)
       val emb = Tables.embeddings(s, dir)
-      val qRows = emb.filter(col("vec_id") < 32)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
+      val qRows = evalSample(emb)
       val hq = qRows.map { case (id, v) =>
-        Hnsw.HnswQuery(id, v, Hnsw.route(idx, v, 4)) }.toSeq
+        Hnsw.HnswQuery(id, v, Hnsw.route(idx, v, 4)) }
       val cands = Hnsw.searchShards(idx.graph, hq, ef = 32, idx.params)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("dist"), col("vec_id"))
@@ -328,7 +325,7 @@ object AnnQueries {
         cands.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10).select(col("query_id"), col("vec_id")),
         HnswApproxHandoff)
-      val exact = PartitionedTopK.batchTopK(emb, qRows.toSeq, 10)
+      val exact = PartitionedTopK.batchTopK(emb, qRows, 10)
       Ann.recallAtK(approx, exact, 10).orderBy(col("query_id"))
     },
     // incremental graph maintenance (hnswlib add_items): route a

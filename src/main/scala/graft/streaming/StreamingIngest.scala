@@ -170,41 +170,63 @@ object StreamingIngest {
     * torn graph, and its freshness-keyed caches warm per version.
     *
     * Epoch-idempotent, not just at-least-once: each applied epoch
-    * writes an `_epoch_<id>` marker INTO the version it publishes
-    * (before the atomic rename), and a replayed epoch (checkpoint
-    * recovery) that finds its own marker in the CURRENT version is
-    * skipped. Without the marker, the replay would fail loudly on
-    * duplicate inserts ([[graft.operators.Hnsw.HnswGraph.insert]]'s
-    * contract) — id uniqueness ACROSS distinct epochs stays the
-    * upstream B9 dup guard's job, as everywhere. Null-embedding rows
-    * are dropped (the [[vectorIngestStream]] poison-record contract);
-    * an empty surviving batch publishes nothing. */
+    * writes an `_epoch_<id>_<content-fingerprint>` marker INTO the
+    * version it publishes (before the atomic rename), and a replayed
+    * epoch (checkpoint recovery) that finds its own marker in the
+    * CURRENT version is skipped. The fingerprint (row count +
+    * order-insensitive xxhash64 id xor) scopes the skip to THIS
+    * batch's content: a fresh checkpoint or second stream whose
+    * epoch 0 carries DIFFERENT rows misses the marker and applies
+    * normally — a bare-epochId marker would silently drop that new
+    * data. A same-content re-application is correctly skipped either
+    * way (re-inserting the same ids would only fail the dup guard).
+    * Without the marker, a replay would fail loudly on duplicate
+    * inserts ([[graft.operators.Hnsw.HnswGraph.insert]]'s contract) —
+    * id uniqueness ACROSS distinct batches stays the upstream B9 dup
+    * guard's job, as everywhere. Null-embedding rows are dropped (the
+    * [[vectorIngestStream]] poison-record contract); an empty
+    * surviving batch publishes nothing. The batch is persisted for
+    * the epoch (fingerprint + routing + graph write each act on it) —
+    * the read-once-per-epoch convention of [[jsonlIngestStream]]. */
   def hnswIngestStream(vectors: DataFrame, root: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
-        val rows = batch.filter(col("embedding").isNotNull)
-        val cur = graft.operators.Maintenance.resolveCurrent(spark, root)
-        val fs = new org.apache.hadoop.fs.Path(cur)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(s"$cur/_epoch_$epochId")
-        if (!fs.exists(marker) && !rows.isEmpty) {
-          val idx = graft.operators.Hnsw.loadHnsw(spark, cur)
-          val routed = graft.operators.Ann.assignToIvf(
-            graft.operators.Ann.IvfIndex(idx.centroids, rows,
-              "embedding", "vec_id"),
-            rows)
-          val appended = graft.operators.Hnsw.appendToShards(
-            idx.graph, routed, idx.params)
-          graft.operators.CorpusModels.publishModelVersion(spark, root) { dir =>
-            graft.operators.Hnsw.saveHnsw(appended, idx.centroids,
-              idx.params, dir)
-            fs.create(new org.apache.hadoop.fs.Path(s"$dir/_epoch_$epochId"),
-              true).close()
+        val rows = batch.filter(col("embedding").isNotNull).persist()
+        try {
+          // order-insensitive, overflow-free content fingerprint
+          // (bit_xor, the digest-jaccard-gate recipe; ids are unique
+          // per batch — the dup guard's contract — so xor can't cancel)
+          val fp = rows.agg(
+              count(lit(1)).as("n"),
+              coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)).as("h"))
+            .head()
+          val (n, h) = (fp.getLong(0), fp.getLong(1))
+          if (n > 0) {
+            val cur = graft.operators.Maintenance.resolveCurrent(spark, root)
+            val fs = new org.apache.hadoop.fs.Path(cur)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val markerName = f"_epoch_${epochId}_${n}_$h%016x"
+            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$cur/$markerName"))) {
+              val idx = graft.operators.Hnsw.loadHnsw(spark, cur)
+              val routed = graft.operators.Ann.assignToIvf(
+                graft.operators.Ann.IvfIndex(idx.centroids, rows,
+                  "embedding", "vec_id"),
+                rows)
+              val appended = graft.operators.Hnsw.appendToShards(
+                idx.graph, routed, idx.params)
+              graft.operators.CorpusModels.publishModelVersion(spark, root) {
+                dir =>
+                  graft.operators.Hnsw.saveHnsw(appended, idx.centroids,
+                    idx.params, dir)
+                  fs.create(new org.apache.hadoop.fs.Path(s"$dir/$markerName"),
+                    true).close()
+              }
+            }
           }
-        }
+        } finally rows.unpersist()
         ()
       }
 

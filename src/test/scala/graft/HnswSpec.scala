@@ -208,7 +208,7 @@ class HnswSpec extends SparkSpec {
       assert(scans.head.relation.location.listFiles(
           scans.head.partitionFilters, scans.head.dataFilters)
         .flatMap(_.files).forall { f =>
-          probes.exists(p => f.getPath.toString.contains(s"shard=$p"))
+          probes.exists(p => f.getPath.toString.contains(s"/shard=$p/"))
         })
     }
   }

@@ -625,7 +625,7 @@ class StreamingSpec extends SparkSpec {
       val input = MemoryStream[(Long, Seq[Float])]
       val q = StreamingIngest.hnswIngestStream(
           input.toDF().toDF("vec_id", "embedding"), root)
-        .option("checkpointLocation", s"$root-ckpt")
+        .option("checkpointLocation", s"$root/ckpt")
         .start()
       try {
         input.addData(src.take(2).toIndexedSeq: _*)
