@@ -58,8 +58,8 @@ object Bench {
     // HNSW gates search/append against the PERSISTED graph (built
     // over the same IVF) — warm it so graph construction never sits
     // in a timed window
-    if (Seq("ann_hnsw", "ann_hnsw_recall", "ann_hnsw_append")
-        .exists(selected.contains))
+    if (Seq("ann_hnsw", "ann_hnsw_recall", "ann_hnsw_append",
+        "ann_hnsw_filtered").exists(selected.contains))
       try graft.queries.AnnQueries.persistedHnsw(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] WARNING: HNSW warmup failed (${e.getMessage}); " +

@@ -36,6 +36,7 @@ object AnnQueries {
   private val HnswCandHandoff  = Handoff.path("hnsw_candidates")
   private val HnswApproxHandoff = Handoff.path("hnsw_approx")
   private val HnswAppendHandoff = Handoff.path("hnsw_append_candidates")
+  private val HnswFilterHandoff = Handoff.path("hnsw_filter_candidates")
 
   /** Gate-scale HNSW hyper-parameters (the [[Hnsw]] defaults): shards
     * are the persisted IVF's 16 cells, so the m=8 graphs sit well
@@ -327,6 +328,29 @@ object AnnQueries {
         HnswApproxHandoff)
       val exact = PartitionedTopK.batchTopK(emb, qRows, 10)
       Ann.recallAtK(approx, exact, 10).orderBy(col("query_id"))
+    },
+    // filtered graph-ANN (where + HNSW — the ann_ivf_filtered twin,
+    // and hnswlib's filter-functor shape): traversal explores the
+    // graph UNRESTRICTED (a hard in-beam filter can strand the walk
+    // in a filtered-out neighborhood), the predicate applies to the
+    // emitted candidates, and ef is widened (64 vs the plain gate's
+    // 32) to buy back the recall the filter consumes — the same
+    // nprobe-widening tradeoff ann_ivf_filtered documents. The
+    // candidate set is the handoff; predicate + exact rerank replay
+    // in SQL.
+    "ann_hnsw_filtered" -> { (s, dir) =>
+      val idx = persistedHnsw(s, dir)
+      val q = VectorQueries.qvec(s, dir, 0)
+      val cands = Hnsw.searchShards(idx.graph,
+        Seq(Hnsw.HnswQuery(0L, q.toArray, Hnsw.route(idx, q.toArray, 4))),
+        ef = 64, idx.params)
+      val candIds = Handoff.publish(cands.select(col("vec_id")),
+        HnswFilterHandoff)
+      VectorSearch.topKWithScore(
+          Tables.embeddings(s, dir).join(candIds, Seq("vec_id"))
+            .filter(col("label").isin(2, 3) || col("label") >= 8),
+          q, 10, VectorSearch.Euclidean)
+        .select(col("vec_id"), col("label"), col("dist"))
     },
     // incremental graph maintenance (hnswlib add_items): route a
     // "nightly" append slice via the index's own centroids, insert
@@ -880,6 +904,17 @@ object AnnQueries {
          |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
          |FROM q LEFT JOIN hits h USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
+    // the ann_hnsw replay + the same predicate (the ann_ivf_filtered
+    // oracle relationship)
+    "ann_hnsw_filtered" ->
+      s"""WITH h AS (SELECT vec_id FROM ${rp(HnswFilterHandoff)})
+         |SELECT h.vec_id, e.label,
+         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM h JOIN embeddings e ON h.vec_id = e.vec_id
+         |CROSS JOIN $qvecSql q
+         |WHERE e.label IN (2, 3) OR e.label >= 8
+         |ORDER BY dist, h.vec_id
+         |LIMIT 10""".stripMargin,
     // base ∪ appended reconstructed by formula (appends are corpus
     // rows at shifted ids), then the exact rerank over the handoff
     "ann_hnsw_append" ->
