@@ -587,4 +587,24 @@ object Hnsw {
     * cluster id), shared with every IVF path. */
   def route(index: HnswIndex, q: Array[Float], nprobe: Int): Seq[Int] =
     Ann.rankProbes(index.centroids, q, nprobe)
+
+  /** Materialize a resident server's live shard graphs
+    * ([[graft.serving.Serving.OnlineHnsw.shardGraphs]]) as a graph
+    * frame — the server-side flush that hands in-memory state back to
+    * the batch pipeline ([[saveHnsw]] / `publishModelVersion`).
+    * Because online inserts run the SAME insert kernel and routing as
+    * the batch append, flush == the [[appendToShards]] that would
+    * have ingested the same rows (spec-pinned), so a server can
+    * checkpoint mid-day and the nightly batch continues from it with
+    * zero divergence. Driver-bounded by the online index size — the
+    * resident-server capacity plan, not a corpus. */
+  def fromOnline(spark: SparkSession,
+                 shards: Seq[(Int, HnswGraph)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows: Seq[Row] = shards.sortBy(_._1).flatMap { case (s, g) =>
+      g.exportRows.map(r =>
+        Row(s, r.vec_id, r.level, r.layer, r.neighbors, r.embedding))
+    }
+    spark.createDataFrame(rows.asJava, graphSchema)
+  }
 }

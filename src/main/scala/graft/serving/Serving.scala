@@ -808,6 +808,19 @@ object Serving {
       s
     }
 
+    /** Snapshot of the live shard graphs (shard-id order) — the flush
+      * surface: [[graft.operators.Hnsw.fromOnline]] materializes it
+      * back into a graph frame for `saveHnsw`/`publishModelVersion`.
+      * The graphs are the live objects, not copies — flush while no
+      * insert is in flight (the single-writer contract). */
+    def shardGraphs: Seq[(Int, graft.operators.Hnsw.HnswGraph)] =
+      shards.toSeq.sortBy(_._1)
+
+    /** The routing/centroid table (cluster-id order) and params this
+      * index serves with — what a flush passes to `saveHnsw`. */
+    def centroidTable: Seq[(Int, Array[Float])] = centSorted.toSeq
+    def hnswParams: graft.operators.Hnsw.HnswParams = params
+
     /** Query the live graphs — same probe ranking, ef-beam, and
       * (dist, id) merge as [[searchHnsw]]. */
     def search(query: Array[Float], k: Int, ef: Int,

@@ -213,6 +213,37 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("OnlineHnsw flush (fromOnline) == the batch append over the same rows") {
+    withTempDir("hnsw-flush") { dir =>
+      val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      val graph = Hnsw.buildShards(index.assigned, P)
+      Hnsw.saveHnsw(graph, index.centroids, P, dir.getPath)
+      val online = Serving.openHnsw(dir.getPath)
+      val slice = allVecs.take(20)
+        .map { case (id, v) => (id + 4000000L, v) }
+      slice.foreach { case (id, v) => online.insert(id, v) }
+      val flushed = Hnsw.fromOnline(spark, online.shardGraphs)
+      val newRows = slice.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val batch = Hnsw.appendToShards(graph, Ann.assignToIvf(index, newRows), P)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"shard", $"vec_id", $"level", $"layer",
+          concat_ws(",", $"neighbors").as("nbrs"))
+        .as[(Int, Long, Int, Int, String)].collect().toSeq.sorted
+      assert(rows(flushed) === rows(batch))
+      assert(online.hnswParams === P)
+      assert(online.centroidTable.map(_._1) === index.centroids.indices.toSeq)
+    }
+  }
+
+  test("searchShards/probedSlim with no queries or empty probe sets are empty, not errors") {
+    val graph = Hnsw.buildShards(singleShard, P, shardCol = "shard0")
+    assert(Hnsw.searchShards(graph, Seq.empty, ef = 16, P).count() === 0)
+    assert(Hnsw.searchShards(graph,
+      Seq(HnswQuery(0L, qvec(0), Seq.empty)), ef = 16, P).count() === 0)
+    assert(Hnsw.probedSlim(graph, Seq.empty).count() === 0)
+  }
+
   test("search rejects non-finite queries (same contract as insert)") {
     val g = new HnswGraph(P)
     g.insert(1L, Array(1f, 0f))
