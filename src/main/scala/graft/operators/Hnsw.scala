@@ -592,11 +592,18 @@ object Hnsw {
     * ([[graft.serving.Serving.OnlineHnsw.shardGraphs]]) as a graph
     * frame — the server-side flush that hands in-memory state back to
     * the batch pipeline ([[saveHnsw]] / `publishModelVersion`).
-    * Because online inserts run the SAME insert kernel and routing as
-    * the batch append, flush == the [[appendToShards]] that would
-    * have ingested the same rows (spec-pinned), so a server can
-    * checkpoint mid-day and the nightly batch continues from it with
-    * zero divergence. Driver-bounded by the online index size — the
+    *
+    * Parity contract — SAME ROWS IN THE SAME ORDER: online inserts
+    * run the one shared insert kernel and assignment router, so a
+    * flush equals the [[appendToShards]] that would have ingested the
+    * same rows iff the server received them id-ascending per shard
+    * (the batch append's sort order; also the realistic case — upload
+    * ids are monotone counters). Out-of-order arrivals still produce
+    * a VALID, searchable, reconstruction-stable graph (HnswSpec pins
+    * this) — it is just not the bit-twin of the batch append, because
+    * HNSW structure is inherently insertion-order dependent; both
+    * orders' graphs serve the same corpus with the same recall
+    * contract. Driver-bounded by the online index size — the
     * resident-server capacity plan, not a corpus. */
   def fromOnline(spark: SparkSession,
                  shards: Seq[(Int, HnswGraph)]): DataFrame = {

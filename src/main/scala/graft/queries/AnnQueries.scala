@@ -347,9 +347,9 @@ object AnnQueries {
       val candIds = Handoff.publish(cands.select(col("vec_id")),
         HnswFilterHandoff)
       VectorSearch.topKWithScore(
-          Tables.embeddings(s, dir).join(candIds, Seq("vec_id"))
-            .filter(col("label").isin(2, 3) || col("label") >= 8),
-          q, 10, VectorSearch.Euclidean)
+          Tables.embeddings(s, dir).join(candIds, Seq("vec_id")),
+          q, 10, VectorSearch.Euclidean,
+          filter = Some(col("label").isin(2, 3) || col("label") >= 8))
         .select(col("vec_id"), col("label"), col("dist"))
     },
     // incremental graph maintenance (hnswlib add_items): route a

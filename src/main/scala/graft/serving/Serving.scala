@@ -779,10 +779,14 @@ object Serving {
     * lives in process and grows per upload), backed by the same
     * persisted layout batch maintains. Inserts here and batch
     * [[graft.operators.Hnsw.appendToShards]] produce the SAME graph
-    * when fed the same rows in id order (one shared insert kernel —
-    * spec-pinned), so a server can flush its in-memory state to the
-    * nightly batch append with no divergence. Not thread-safe (one
-    * writer), like the underlying graphs. */
+    * when fed the same rows IN ID-ASCENDING ORDER (one shared insert
+    * kernel — spec-pinned; the batch append's sort order, and the
+    * realistic case since upload ids are monotone counters), so such
+    * a server flushes to the nightly batch with no divergence;
+    * out-of-order arrival still builds a valid searchable graph, just
+    * not the bit-twin ([[graft.operators.Hnsw.fromOnline]]'s
+    * contract). Not thread-safe (one writer), like the underlying
+    * graphs. */
   final class OnlineHnsw private[Serving] (
       cents: Seq[(Int, Array[Float])],
       shards: mutable.Map[Int, graft.operators.Hnsw.HnswGraph],

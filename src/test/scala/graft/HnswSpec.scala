@@ -226,14 +226,33 @@ class HnswSpec extends SparkSpec {
       val newRows = slice.map { case (id, v) => (id, v.toSeq) }
         .toDF("vec_id", "embedding")
       val batch = Hnsw.appendToShards(graph, Ann.assignToIvf(index, newRows), P)
+      // embedding included (md5 of the joined floats): a flush that
+      // dropped or mis-mapped the layer-0 embedding would corrupt the
+      // persisted lifecycle hop this parity exists to protect
       def rows(df: org.apache.spark.sql.DataFrame) = df
         .select($"shard", $"vec_id", $"level", $"layer",
-          concat_ws(",", $"neighbors").as("nbrs"))
-        .as[(Int, Long, Int, Int, String)].collect().toSeq.sorted
+          concat_ws(",", $"neighbors").as("nbrs"),
+          coalesce(md5(to_json($"embedding")), lit("null")).as("emb_sig"))
+        .as[(Int, Long, Int, Int, String, String)].collect().toSeq.sorted
       assert(rows(flushed) === rows(batch))
       assert(online.hnswParams === P)
       assert(online.centroidTable.map(_._1) === index.centroids.indices.toSeq)
     }
+  }
+
+  test("out-of-id-order online inserts still build a valid, searchable graph") {
+    // the fromOnline parity contract requires id-ascending arrival;
+    // DESCENDING arrival must still yield a correct index (every
+    // vector self-findable, round-trip stable) — just not the
+    // bit-twin of the batch append
+    val g = new HnswGraph(P)
+    val vecs = allVecs.take(50).reverse // descending ids
+    vecs.foreach { case (id, v) => g.insert(id, v) }
+    vecs.foreach { case (id, v) =>
+      assert(g.search(v, 1, 32).head._1 === id, s"self-search missed $id")
+    }
+    val g2 = HnswGraph.fromRows(g.exportRows, P)
+    assert(g2.exportRows === g.exportRows)
   }
 
   test("searchShards/probedSlim with no queries or empty probe sets are empty, not errors") {
