@@ -86,9 +86,14 @@ object Hnsw {
   /** One exported adjacency row: a node appears once per layer it
     * occupies; `embedding` rides ONLY the layer-0 row (every node has
     * exactly one), so the persisted graph is self-contained without
-    * duplicating vectors per layer. */
+    * duplicating vectors per layer. `deleted` is the hnswlib
+    * `mark_deleted` tombstone — a dead node keeps its links and keeps
+    * routing traversals, it just never enters a result set; the flag
+    * rides every row of the node so a persisted shard can be filtered
+    * on it without a layer-0 self-join. */
   final case class GraphRow(vec_id: Long, level: Int, layer: Int,
-                            neighbors: Seq[Long], embedding: Seq[Float])
+                            neighbors: Seq[Long], embedding: Seq[Float],
+                            deleted: Boolean = false)
 
   // ------------------------------------------------------------------
   // In-memory shard graph — the ONE kernel shared by the mapPartitions
@@ -107,10 +112,25 @@ object Hnsw {
     // adj(node)(layer) — neighbor NODE indexes, unordered
     private val adj = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
     private val idToNode = mutable.LongMap.empty[Int]
+    private val dead = mutable.BitSet.empty
     private var entry: Int = -1
 
     def size: Int = ids.length
+    def liveSize: Int = ids.length - dead.size
     def contains(id: Long): Boolean = idToNode.contains(id)
+    def isDeleted(id: Long): Boolean =
+      idToNode.get(id).exists(dead.contains)
+
+    /** Tombstone one node — the hnswlib `mark_deleted` contract: the
+      * node keeps its adjacency and keeps routing searches (removing
+      * a hub would strand its neighborhood), but no search result
+      * ever contains it. Idempotent; returns false iff the id is not
+      * in this shard (callers route deletes by scanning their bounded
+      * shard set — [[graft.serving.Serving.OnlineHnsw.delete]]). */
+    def markDeleted(id: Long): Boolean = idToNode.get(id) match {
+      case Some(n) => dead += n; true
+      case None    => false
+    }
 
     /** The EuclideanDistF32 kernel: f32 accumulation, double-rounded
       * sqrt — bit-equal to the codegen'd expression and DuckDB
@@ -129,9 +149,18 @@ object Hnsw {
 
     /** Greedy best-first beam over one layer from entry points `eps`:
       * the paper's SEARCH-LAYER with a bounded result set of `ef`.
+      * `accept` gates RESULT membership only — rejected nodes (the
+      * tombstoned ones, at layer 0 of a query search) are still
+      * visited, enqueued, and expanded, exactly hnswlib's
+      * mark_deleted traversal: a dead hub keeps routing the beam to
+      * its live neighborhood, and the result set still fills to ef
+      * LIVE candidates instead of shrinking by the dead ones. The
+      * construction path accepts everything (dead nodes stay linkable
+      * neighbors — removing them would strand their neighborhoods).
       * Returns (nodeIdx, dist) sorted by (dist, id) asc. */
     private def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int,
-                            layer: Int): mutable.ArrayBuffer[(Int, Float)] = {
+                            layer: Int, accept: Int => Boolean = _ => true)
+        : mutable.ArrayBuffer[(Int, Float)] = {
       val visited = mutable.BitSet.empty
       // candidates: min-first by (dist, id); results: max-first
       val candOrd = new Ordering[(Int, Float)] {
@@ -145,13 +174,14 @@ object Hnsw {
         if (!visited(ep)) {
           visited += ep
           val d = dist(q, vecs(ep))
-          cands.enqueue((ep, d)); results.enqueue((ep, d))
+          cands.enqueue((ep, d))
+          if (accept(ep)) results.enqueue((ep, d))
         }
       }
       while (cands.nonEmpty) {
         val (c, cd) = cands.dequeue()
-        val (_, worst) = results.head
-        if (results.size >= ef && !closer(cd, c, worst, results.head._1)) {
+        if (results.size >= ef &&
+            !closer(cd, c, results.head._2, results.head._1)) {
           cands.clear() // every remaining candidate is farther still
         } else {
           val nbrs = adj(c)(layer)
@@ -162,8 +192,11 @@ object Hnsw {
               visited += n
               val d = dist(q, vecs(n))
               if (results.size < ef || closer(d, n, results.head._2, results.head._1)) {
-                cands.enqueue((n, d)); results.enqueue((n, d))
-                if (results.size > ef) results.dequeue()
+                cands.enqueue((n, d))
+                if (accept(n)) {
+                  results.enqueue((n, d))
+                  if (results.size > ef) results.dequeue()
+                }
               }
             }
             i += 1
@@ -271,7 +304,12 @@ object Hnsw {
       var ep = entry
       var layer = lvls(entry)
       while (layer > 0) { ep = greedyStep(q, ep, layer); layer -= 1 }
-      searchLayer(q, Seq(ep), math.max(ef, k), 0)
+      // layer-0 beam excludes tombstoned nodes from RESULTS only —
+      // they still route (greedyStep above may even navigate through
+      // a dead entry point), so the ef live candidates come back at
+      // full strength after deletes (no post-hoc shrinkage)
+      searchLayer(q, Seq(ep), math.max(ef, k), 0,
+          accept = n => !dead.contains(n))
         .map { case (n, d) => (ids(n), d) }.toSeq
     }
 
@@ -285,7 +323,8 @@ object Hnsw {
         while (layer <= lvls(n)) {
           out += GraphRow(ids(n), lvls(n), layer,
             adj(n)(layer).map(ids(_)).sorted.toSeq,
-            if (layer == 0) vecs(n).toSeq else null)
+            if (layer == 0) vecs(n).toSeq else null,
+            dead.contains(n))
           layer += 1
         }
       }
@@ -315,10 +354,12 @@ object Hnsw {
         g.adj += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
         g.idToNode(id) = g.ids.length - 1
       }
-      // second pass: adjacency via the id→node map
+      // second pass: adjacency via the id→node map; tombstones ride
+      // every row of a node, so any row restores the flag
       rows.foreach { r =>
         val n = g.idToNode(r.vec_id)
         g.adj(n)(r.layer) ++= r.neighbors.map(g.idToNode(_))
+        if (r.deleted) g.dead += n
       }
       // entry: max level, tie lowest id == the id-asc insertion result
       if (g.ids.nonEmpty) {
@@ -348,7 +389,8 @@ object Hnsw {
     StructField("neighbors", ArrayType(LongType, containsNull = false),
       nullable = false),
     StructField("embedding", ArrayType(FloatType, containsNull = false),
-      nullable = true)))
+      nullable = true),
+    StructField("deleted", BooleanType, nullable = false)))
 
   /** Build one HNSW graph per shard. `assigned` must carry
     * (`shardCol` int, `idCol` long, `embCol` array<float>) — the
@@ -387,7 +429,8 @@ object Hnsw {
               g.insert(r.getLong(1), r.getSeq[Float](2).toArray)
             }
             cur = g.exportRows.iterator.map(e =>
-              Row(shard, e.vec_id, e.level, e.layer, e.neighbors, e.embedding))
+              Row(shard, e.vec_id, e.level, e.layer, e.neighbors,
+                e.embedding, e.deleted))
           }
         def hasNext: Boolean = { advance(); cur.hasNext }
         def next(): Row = { advance(); cur.next() }
@@ -437,6 +480,7 @@ object Hnsw {
     val yi = slim.schema.fieldIndex("layer")
     val ni = slim.schema.fieldIndex("neighbors")
     val ei = slim.schema.fieldIndex("embedding")
+    val di = slim.schema.fieldIndex("deleted")
     val rdd = slim.rdd.mapPartitions { rows =>
       val out = mutable.ArrayBuffer.empty[Row]
       var curShard = Int.MinValue
@@ -457,7 +501,9 @@ object Hnsw {
         val s = r.getInt(si)
         if (s != curShard) { flush(); curShard = s }
         buf += GraphRow(r.getLong(ii), r.getInt(li), r.getInt(yi),
-          r.getSeq[Long](ni), if (r.isNullAt(ei)) null else r.getSeq[Float](ei))
+          r.getSeq[Long](ni),
+          if (r.isNullAt(ei)) null else r.getSeq[Float](ei),
+          r.getBoolean(di))
       }
       flush()
       out.iterator
@@ -491,13 +537,15 @@ object Hnsw {
     // tag: kind 0 = existing graph row, kind 1 = new vector
     val existing = graph.filter(col("shard").isin(touchedVals: _*))
       .select(col("shard"), col("vec_id"), col("level"),
-        col("layer"), col("neighbors"), col("embedding"), lit(0).as("kind"))
+        col("layer"), col("neighbors"), col("embedding"),
+        col("deleted"), lit(0).as("kind"))
     val incoming = newAssigned.select(
       col(shardCol).cast("int").as("shard"),
       col(idCol).cast("long").as("vec_id"),
       lit(-1).as("level"), lit(-1).as("layer"),
       typedLit(Seq.empty[Long]).as("neighbors"),
-      col(embCol).as("embedding"), lit(1).as("kind"))
+      col(embCol).as("embedding"), lit(false).as("deleted"),
+      lit(1).as("kind"))
     val slim = existing.unionByName(incoming)
       .repartition(col("shard"))
       // new rows sort AFTER existing graph rows within a shard
@@ -515,17 +563,19 @@ object Hnsw {
             val fresh = mutable.ArrayBuffer.empty[(Long, Array[Float])]
             while (it.hasNext && it.head.getInt(0) == shard) {
               val r = it.next()
-              if (r.getInt(6) == 0)
+              if (r.getInt(7) == 0)
                 buf += GraphRow(r.getLong(1), r.getInt(2), r.getInt(3),
                   r.getSeq[Long](4),
-                  if (r.isNullAt(5)) null else r.getSeq[Float](5))
+                  if (r.isNullAt(5)) null else r.getSeq[Float](5),
+                  r.getBoolean(6))
               else fresh += ((r.getLong(1), r.getSeq[Float](5).toArray))
             }
             val g = HnswGraph.fromRows(buf.toSeq, params)
             fresh.sortInPlace()(Ordering.by[(Long, Array[Float]), Long](_._1))
             fresh.foreach { case (id, v) => g.insert(id, v) }
             cur = g.exportRows.iterator.map(e =>
-              Row(shard, e.vec_id, e.level, e.layer, e.neighbors, e.embedding))
+              Row(shard, e.vec_id, e.level, e.layer, e.neighbors,
+                e.embedding, e.deleted))
           }
         def hasNext: Boolean = { advance(); cur.hasNext }
         def next(): Row = { advance(); cur.next() }
@@ -575,7 +625,8 @@ object Hnsw {
     HnswIndex(
       spark.read.parquet(s"$dir/graph")
         .select(col("shard").cast("int").as("shard"), col("vec_id"),
-          col("level"), col("layer"), col("neighbors"), col("embedding")),
+          col("level"), col("layer"), col("neighbors"), col("embedding"),
+          col("deleted")),
       cents,
       HnswParams(p.getInt(p.fieldIndex("m")),
         p.getInt(p.fieldIndex("ef_construction")),
@@ -610,8 +661,71 @@ object Hnsw {
     import scala.jdk.CollectionConverters._
     val rows: Seq[Row] = shards.sortBy(_._1).flatMap { case (s, g) =>
       g.exportRows.map(r =>
-        Row(s, r.vec_id, r.level, r.layer, r.neighbors, r.embedding))
+        Row(s, r.vec_id, r.level, r.layer, r.neighbors, r.embedding,
+          r.deleted))
     }
     spark.createDataFrame(rows.asJava, graphSchema)
+  }
+
+  // ------------------------------------------------------------------
+  // Delete (tombstone) + compaction — the rest of the index lifecycle
+  // ------------------------------------------------------------------
+
+  /** Tombstone a set of vector ids across the sharded graph — the
+    * batch form of hnswlib `mark_deleted` (reference
+    * `vector_store.py:delete_document`: Chroma removes a document's
+    * chunks from its persisted segment; the graph answer is a flag
+    * flip, not a structural rewrite). A pure column update: NO shard
+    * reconstructs, no exchange moves graph rows — the delete frame
+    * broadcasts (a delete batch is operationally bounded: an API
+    * delete call or a maintenance window's worth of doc ids, not a
+    * corpus; corpus-scale deletion is a rebuild, not a delete).
+    * Ids absent from the graph are ignored (the delete-report query
+    * family already accounts success/failure at the chunk-store
+    * level). Dead nodes keep routing searches; [[compactShards]]
+    * reclaims them once a shard's dead fraction crosses threshold. */
+  def deleteFromShards(graph: DataFrame, deleteIds: DataFrame,
+                       idCol: String = "vec_id"): DataFrame = {
+    val del = broadcast(
+      deleteIds.select(col(idCol).cast("long").as("vec_id")).distinct()
+        .withColumn("__dead", lit(true)))
+    graph.join(del, Seq("vec_id"), "left")
+      .withColumn("deleted", col("deleted") || coalesce(col("__dead"), lit(false)))
+      .drop("__dead")
+      .select(col("shard"), col("vec_id"), col("level"), col("layer"),
+        col("neighbors"), col("embedding"), col("deleted"))
+  }
+
+  /** Reclaim tombstoned nodes: every shard whose dead fraction is
+    * ≥ `minDeadFrac` REBUILDS from its live rows (id-ascending
+    * insertion — so a compacted shard is bit-identical to
+    * [[buildShards]] over the survivors, spec-pinned); every other
+    * shard passes through untouched, tombstones intact. This is the
+    * Lucene segment-merge shape: reclamation cost scales with the
+    * doomed shards, not the corpus, and the doomed-shard set is a
+    * ≤ #centroids driver collect exactly like [[appendToShards]]'s
+    * touched set. */
+  def compactShards(graph: DataFrame, params: HnswParams,
+                    minDeadFrac: Double = 0.2): DataFrame = {
+    require(minDeadFrac > 0.0 && minDeadFrac <= 1.0,
+      s"minDeadFrac must be in (0, 1], got $minDeadFrac")
+    val spark = graph.sparkSession
+    val doomed = graph.filter(col("layer") === 0)
+      .groupBy(col("shard"))
+      .agg((sum(when(col("deleted"), 1L).otherwise(0L)) /
+        count(lit(1))).as("frac"))
+      .filter(col("frac") >= minDeadFrac)
+      .select(col("shard")).collect().map(_.getInt(0)).toSeq.sorted
+    if (doomed.isEmpty) return graph
+    val doomedVals = doomed.map(Integer.valueOf)
+    val untouched = graph.filter(!col("shard").isin(doomedVals: _*))
+    // survivors' layer-0 rows are a full (id, embedding) corpus slice
+    // for the rebuild — the same input shape buildShards takes
+    val rebuilt = buildShards(
+      graph.filter(col("shard").isin(doomedVals: _*))
+        .filter(col("layer") === 0 && !col("deleted"))
+        .select(col("shard"), col("vec_id"), col("embedding")),
+      params, shardCol = "shard")
+    untouched.unionByName(rebuilt)
   }
 }

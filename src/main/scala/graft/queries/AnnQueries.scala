@@ -37,6 +37,8 @@ object AnnQueries {
   private val HnswApproxHandoff = Handoff.path("hnsw_approx")
   private val HnswAppendHandoff = Handoff.path("hnsw_append_candidates")
   private val HnswFilterHandoff = Handoff.path("hnsw_filter_candidates")
+  private val HnswDeleteHandoff = Handoff.path("hnsw_delete_candidates")
+  private val HnswCompactHandoff = Handoff.path("hnsw_compact_candidates")
 
   /** Gate-scale HNSW hyper-parameters (the [[Hnsw]] defaults): shards
     * are the persisted IVF's 16 cells, so the m=8 graphs sit well
@@ -380,6 +382,57 @@ object AnnQueries {
       VectorSearch.topKWithScore(uni.join(candIds, Seq("vec_id")),
           q, 10, VectorSearch.Euclidean)
         .select(col("vec_id"), col("label"), col("dist"))
+    },
+    // graph-index DELETE (hnswlib mark_deleted; the reference's
+    // delete endpoint removes a doc's chunks from the served segment):
+    // tombstone every vec_id ≡ 0 (mod 5) — including vec_id 0, the
+    // query vector itself, so the pre-delete top-1 hit MUST vanish —
+    // then search. Tombstoned nodes still ROUTE the beam (no
+    // structural rewrite, no exchange of graph rows); they can never
+    // be RESULTS. The gate is adversarial by construction: Spark
+    // reranks the handed-off candidates with NO delete filter
+    // (trusting the kernel), the oracle applies the delete predicate
+    // on its side — one leaked tombstone in the candidate top-10 and
+    // the hashes diverge.
+    "ann_hnsw_delete" -> { (s, dir) =>
+      val idx = persistedHnsw(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val tomb = Hnsw.deleteFromShards(idx.graph,
+        emb.where(col("vec_id") % 5 === 0).select(col("vec_id")))
+      val q = VectorQueries.qvec(s, dir, 0)
+      val cands = Hnsw.searchShards(tomb,
+        Seq(Hnsw.HnswQuery(0L, q.toArray, Hnsw.route(idx, q.toArray, 4))),
+        ef = 32, idx.params)
+      val candIds = Handoff.publish(cands.select(col("vec_id")),
+        HnswDeleteHandoff)
+      VectorSearch.topKWithScore(emb.join(candIds, Seq("vec_id")),
+          q, 10, VectorSearch.Euclidean)
+        .select(col("vec_id"), col("label"), col("dist"))
+    },
+    // tombstone reclamation (the Lucene segment-merge shape): same
+    // delete set as ann_hnsw_delete (20% dead), then every shard past
+    // the dead-fraction threshold REBUILDS from its survivors —
+    // id-ascending, so a compacted shard is bit-identical to a fresh
+    // build of the live rows (HnswSpec-pinned) — and the search runs
+    // over the compacted graph. The oracle keeps the delete predicate
+    // on its side: compaction must not resurrect a tombstone or lose
+    // a survivor from the candidate neighborhoods.
+    "ann_hnsw_compact" -> { (s, dir) =>
+      val idx = persistedHnsw(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val tomb = Hnsw.deleteFromShards(idx.graph,
+        emb.where(col("vec_id") % 5 === 0).select(col("vec_id")))
+      val compacted = Hnsw.compactShards(tomb, idx.params,
+        minDeadFrac = 0.15)
+      val q = VectorQueries.qvec(s, dir, 0)
+      val cands = Hnsw.searchShards(compacted,
+        Seq(Hnsw.HnswQuery(0L, q.toArray, Hnsw.route(idx, q.toArray, 4))),
+        ef = 32, idx.params)
+      val candIds = Handoff.publish(cands.select(col("vec_id")),
+        HnswCompactHandoff)
+      VectorSearch.topKWithScore(emb.join(candIds, Seq("vec_id")),
+          q, 10, VectorSearch.Euclidean)
+        .select(col("vec_id"), col("label"), col("dist"))
     }
   )
 
@@ -411,7 +464,9 @@ object AnnQueries {
     * identical graph whether freshly built or loaded; key/lock
     * discipline is [[BuildOnce.cached]]'s. */
   def persistedHnswPath(s: SparkSession, dir: String): String =
-    BuildOnce.cached("hnsw-m8-k16",
+    // v2: the graph schema gained the `deleted` tombstone column — a
+    // new cache key keeps a warm container from reading an old layout
+    BuildOnce.cached("hnsw-m8-k16-v2",
         new java.io.File(s"$dir/embeddings.parquet"))(
         p => s"$p/graph/_SUCCESS") { p =>
       val index = persistedIvf(s, dir)
@@ -928,6 +983,30 @@ object AnnQueries {
          |       CAST(list_distance(u.embedding, q.qv) AS DOUBLE) AS dist
          |FROM h JOIN uni u ON h.vec_id = u.vec_id
          |CROSS JOIN $qvecSql q
+         |ORDER BY dist, h.vec_id
+         |LIMIT 10""".stripMargin,
+    // the ann_hnsw replay with the DELETE predicate applied on the
+    // oracle side only — Spark trusts the kernel's tombstone filter,
+    // so one leaked deleted id in the candidate top-10 forks the hash
+    "ann_hnsw_delete" ->
+      s"""WITH h AS (SELECT vec_id FROM ${rp(HnswDeleteHandoff)})
+         |SELECT h.vec_id, e.label,
+         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM h JOIN embeddings e ON h.vec_id = e.vec_id
+         |CROSS JOIN $qvecSql q
+         |WHERE e.vec_id % 5 <> 0
+         |ORDER BY dist, h.vec_id
+         |LIMIT 10""".stripMargin,
+    // same delete predicate over the post-compaction candidates:
+    // compaction must neither resurrect a tombstone nor lose live
+    // neighborhoods
+    "ann_hnsw_compact" ->
+      s"""WITH h AS (SELECT vec_id FROM ${rp(HnswCompactHandoff)})
+         |SELECT h.vec_id, e.label,
+         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM h JOIN embeddings e ON h.vec_id = e.vec_id
+         |CROSS JOIN $qvecSql q
+         |WHERE e.vec_id % 5 <> 0
          |ORDER BY dist, h.vec_id
          |LIMIT 10""".stripMargin
   )

@@ -738,7 +738,8 @@ object Serving {
           else floatArray(g, "embedding").toSeq
         rows += graft.operators.Hnsw.GraphRow(
           g.getLong("vec_id", 0), g.getInteger("level", 0),
-          g.getInteger("layer", 0), longArray(g, "neighbors").toSeq, emb)
+          g.getInteger("layer", 0), longArray(g, "neighbors").toSeq, emb,
+          g.getBoolean("deleted", 0))
       }
       graft.operators.Hnsw.HnswGraph.fromRows(rows.toSeq, params)
     }
@@ -811,6 +812,24 @@ object Serving {
         .insert(id, vec)
       s
     }
+
+    /** Tombstone one vector — the live form of
+      * [[graft.operators.Hnsw.deleteFromShards]] (hnswlib
+      * `mark_deleted`; the reference's delete endpoint removes a
+      * doc's chunks from the served segment, `vector_store.py`).
+      * The owning shard is found by probing the bounded shard map
+      * (O(#shards) LongMap lookups — no routing ambiguity: deletes
+      * key on identity, not geometry, and an id inserted when the
+      * routing table was older may not sit in its current
+      * nearest-centroid shard). Returns the shard it was marked in,
+      * or None if the id is nowhere live. Idempotent; flush carries
+      * the tombstones ([[graft.operators.Hnsw.fromOnline]]), so a
+      * nightly [[graft.operators.Hnsw.compactShards]] reclaims them —
+      * parity with the batch tombstone path is ServingSpec-pinned. */
+    def delete(id: Long): Option[Int] =
+      shards.toSeq.sortBy(_._1)
+        .find { case (_, g) => g.contains(id) }
+        .map { case (s, g) => g.markDeleted(id); s }
 
     /** Snapshot of the live shard graphs (shard-id order) — the flush
       * surface: [[graft.operators.Hnsw.fromOnline]] materializes it

@@ -286,6 +286,160 @@ class HnswSpec extends SparkSpec {
       s"untouched passthrough introduced a shuffle:\n$plan")
   }
 
+  test("markDeleted: tombstones never surface, dead hubs still route, beam stays full") {
+    val g = new HnswGraph(P)
+    allVecs.take(100).foreach { case (id, v) => g.insert(id, v) }
+    val q = qvec(0)
+    val before = g.search(q, 10, 32).map(_._1)
+    assert(before.head === 0L) // self-query: vec 0 is its own NN
+    // tombstone the top-3 — including the query's own vector, the
+    // nearest possible "hub" for this beam
+    before.take(3).foreach(id => assert(g.markDeleted(id)))
+    assert(g.isDeleted(before.head))
+    assert(g.liveSize === 97)
+    val after = g.search(q, 10, 32).map(_._1)
+    // no deleted id in the results, and the beam still FILLS to the
+    // same ef-many LIVE candidates as before (in-kernel filtering,
+    // not a post-hoc shrink that would hand the reranker 3 fewer)
+    assert(after.toSet.intersect(before.take(3).toSet).isEmpty)
+    assert(after.length === before.length)
+    // the live survivors of the old beam are all still found — the
+    // dead nodes kept routing the beam through their neighborhood
+    assert(before.drop(3).forall(after.contains))
+    // idempotent; unknown id is a no-op returning false
+    assert(g.markDeleted(before.head))
+    assert(!g.markDeleted(424242L))
+  }
+
+  test("delete survives export/reconstruct and the online flush") {
+    val g = new HnswGraph(P)
+    allVecs.take(60).foreach { case (id, v) => g.insert(id, v) }
+    g.markDeleted(0L); g.markDeleted(7L)
+    val g2 = HnswGraph.fromRows(g.exportRows, P)
+    assert(g2.isDeleted(0L) && g2.isDeleted(7L))
+    assert(g2.exportRows === g.exportRows)
+    val q = qvec(0)
+    assert(g2.search(q, 10, 32) === g.search(q, 10, 32))
+    assert(!g2.search(q, 10, 32).map(_._1).contains(0L))
+    // fromOnline materializes the flag into the frame
+    val flushed = Hnsw.fromOnline(spark, Seq((0, g)))
+    val deadRows = flushed.filter($"deleted" && $"layer" === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(deadRows === Set(0L, 7L))
+  }
+
+  test("deleteFromShards: pure flag flip, no structural change, search filters") {
+    val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+    val graph = Hnsw.buildShards(index.assigned, P)
+    val delIds = emb.where($"vec_id" % 5 === 0).select($"vec_id")
+    val tomb = Hnsw.deleteFromShards(graph, delIds)
+    // structure untouched: same rows modulo the deleted column
+    def structure(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy($"vec_id", $"layer")
+      .select($"shard", $"vec_id", $"level", $"layer",
+        concat_ws(",", $"neighbors").as("nbrs"))
+      .as[(Int, Long, Int, Int, String)].collect().toSeq
+    assert(structure(tomb) === structure(graph))
+    val nDead = tomb.filter($"deleted" && $"layer" === 0).count()
+    assert(nDead === delIds.count())
+    // search never returns a tombstoned id
+    val q = qvec(0)
+    val probes = Ann.rankProbes(index.centroids, q, 4)
+    val hits = Hnsw.searchShards(tomb, Seq(HnswQuery(0L, q, probes.toSeq)),
+        ef = 32, P)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.nonEmpty && hits.forall(_ % 5 != 0))
+  }
+
+  test("compactShards: doomed shard == fresh build of survivors; others untouched") {
+    val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+    val graph = Hnsw.buildShards(index.assigned, P)
+    // kill 30% of ids in shard 0 only — it crosses a 0.2 threshold,
+    // every other shard stays below and must pass through untouched
+    val inShard0 = graph.filter($"shard" === 0 && $"layer" === 0)
+      .select("vec_id").as[Long].collect().sorted
+    val doomedIds = inShard0.take(math.max(1, (inShard0.length * 0.3).toInt))
+    val tomb = Hnsw.deleteFromShards(graph,
+      doomedIds.toSeq.toDF("vec_id"))
+    val compacted = Hnsw.compactShards(tomb, P, minDeadFrac = 0.2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy($"shard", $"vec_id", $"layer")
+      .select($"shard", $"vec_id", $"level", $"layer",
+        concat_ws(",", $"neighbors").as("nbrs"), $"deleted")
+      .as[(Int, Long, Int, Int, String, Boolean)].collect().toSeq
+    // shard 0 after compaction == a fresh deterministic build over its
+    // survivors (id-ascending insertion makes this EXACT)
+    val survivors = tomb.filter($"shard" === 0 && $"layer" === 0 && !$"deleted")
+      .select($"shard", $"vec_id", $"embedding")
+    val fresh = Hnsw.buildShards(survivors, P, shardCol = "shard")
+    assert(rows(compacted.filter($"shard" === 0)) === rows(fresh))
+    // no tombstone survives in the compacted shard
+    assert(compacted.filter($"shard" === 0 && $"deleted").count() === 0)
+    // every other shard passes through bit-identical, tombstones intact
+    assert(rows(compacted.filter($"shard" =!= 0)) ===
+      rows(tomb.filter($"shard" =!= 0)))
+    // under-threshold call is the identity
+    assert(rows(Hnsw.compactShards(tomb, P, minDeadFrac = 0.5)) === rows(tomb))
+  }
+
+  test("OnlineHnsw.delete == batch tombstone path (serve parity after deletes)") {
+    withTempDir("hnsw-del-serve") { dir =>
+      val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      val graph = Hnsw.buildShards(index.assigned, P)
+      Hnsw.saveHnsw(graph, index.centroids, P, dir.getPath)
+      val delIds = emb.where($"vec_id" % 5 === 0)
+        .select("vec_id").as[Long].collect().toSeq.sorted
+      // batch: flag flip on the frame
+      val tomb = Hnsw.deleteFromShards(graph, delIds.toDF("vec_id"))
+      // online: per-id live deletes against the loaded server
+      val online = Serving.openHnsw(dir.getPath)
+      delIds.foreach { id =>
+        assert(online.delete(id).isDefined, s"online delete missed $id")
+      }
+      assert(online.delete(999999L).isEmpty)
+      for (qid <- Seq(0L, 5L, 17L)) {
+        val q = qvec(qid)
+        val probes = Hnsw.route(Hnsw.HnswIndex(tomb, index.centroids, P), q, 4)
+        val batch = Hnsw.searchShards(tomb, Seq(HnswQuery(qid, q, probes)),
+            ef = 32, P)
+          .select($"vec_id", $"dist").as[(Long, Double)].collect()
+          .sortBy(h => (h._2, h._1)).take(10).toSeq
+        val served = online.search(q, k = 10, ef = 32, nprobe = 4)
+          .map(h => (h.vecId, h.dist))
+        assert(served === batch, s"online-delete serve != batch for query $qid")
+        assert(batch.forall(_._1 % 5 != 0))
+      }
+      // flush carries the tombstones back to the batch pipeline
+      val flushed = Hnsw.fromOnline(spark, online.shardGraphs)
+      val flushedDead = flushed.filter($"deleted" && $"layer" === 0)
+        .select("vec_id").as[Long].collect().toSeq.sorted
+      assert(flushedDead === delIds)
+    }
+  }
+
+  test("persisted tombstones serve: saveHnsw round-trip keeps deletes") {
+    withTempDir("hnsw-del-persist") { dir =>
+      val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      val graph = Hnsw.buildShards(index.assigned, P)
+      val tomb = Hnsw.deleteFromShards(graph,
+        emb.where($"vec_id" % 5 === 0).select($"vec_id"))
+      Hnsw.saveHnsw(tomb, index.centroids, P, dir.getPath)
+      val q = qvec(0)
+      val served = Serving.searchHnsw(dir.getPath, q, k = 10, ef = 32,
+        nprobe = 4)
+      assert(served.nonEmpty && served.forall(_.vecId % 5 != 0))
+      // and the reloaded frame searches identically to the live one
+      val idx = Hnsw.loadHnsw(spark, dir.getPath)
+      val probes = Hnsw.route(idx, q, 4)
+      def top(g: org.apache.spark.sql.DataFrame) =
+        Hnsw.searchShards(g, Seq(HnswQuery(0L, q, probes)), ef = 32, P)
+          .select($"vec_id", $"dist").as[(Long, Double)].collect()
+          .sortBy(h => (h._2, h._1)).take(10).toSeq
+      assert(top(idx.graph) === top(tomb))
+      assert(served.map(h => (h.vecId, h.dist)) === top(idx.graph))
+    }
+  }
+
   test("insert kernel edge cases: duplicates, non-finite, empty search") {
     val g = new HnswGraph(P)
     assert(g.search(Array(1f, 2f), 5, 16) === Seq.empty)
