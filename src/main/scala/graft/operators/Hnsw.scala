@@ -238,9 +238,23 @@ object Hnsw {
       * heuristic: simple selection is order-deterministic and its
       * recall at the gate's shard sizes is indistinguishable
       * (spec-measured ≥ 0.9); bidirectional links shrink back to
-      * mMax by the same comparison. */
+      * mMax by the same comparison.
+      *
+      * Re-inserting a TOMBSTONED id revives it — the hnswlib
+      * `replace_deleted` shape (the reference lifecycle is
+      * delete_document then re-upload, `vector_store.py`): the dead
+      * node's slot is reused (its hashed level is a pure function of
+      * the id, so the level cannot change), its old links are fully
+      * unstitched (backlinks removed — nothing routes to it until it
+      * relinks), the vector is replaced, and the node relinks through
+      * the ONE fresh-insert link phase. A revived graph is valid and
+      * searchable but not the bit-twin of a never-deleted build — the
+      * same documented contract as out-of-order append. Re-inserting
+      * a LIVE id is still an error: silent vector replacement of a
+      * live node would fork batch/serve twins that already served it. */
     def insert(id: Long, vec: Array[Float]): Unit = {
-      require(!idToNode.contains(id), s"duplicate hnsw insert: id=$id")
+      require(!idToNode.contains(id) || isDeleted(id),
+        s"duplicate hnsw insert of a live id: id=$id")
       var i = 0
       while (i < vec.length) {
         require(!vec(i).isNaN && !vec(i).isInfinite,
@@ -248,11 +262,37 @@ object Hnsw {
         i += 1
       }
       val lvl = levelOf(id, params)
-      val node = ids.length
-      ids += id; vecs += vec; lvls += lvl
-      adj += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
-      idToNode(id) = node
-      if (entry < 0) { entry = node; return }
+      val node = idToNode.get(id) match {
+        case Some(n) => // revive: unstitch the dead node, reuse its slot
+          dead -= n
+          var layer = 0
+          while (layer <= lvl) {
+            adj(n)(layer).foreach { nb => adj(nb)(layer) -= n }
+            adj(n)(layer).clear()
+            layer += 1
+          }
+          vecs(n) = vec
+          // the revived node may BE the entry; re-seat it on the best
+          // OTHER node so the relink descent below never starts from
+          // the unlinked node itself (single-node graph: keep it)
+          if (entry == n && ids.length > 1) {
+            var best = -1; var b = 0
+            while (b < ids.length) {
+              if (b != n && (best < 0 || lvls(b) > lvls(best) ||
+                  (lvls(b) == lvls(best) && ids(b) < ids(best)))) best = b
+              b += 1
+            }
+            entry = best
+          }
+          n
+        case None =>
+          val n = ids.length
+          ids += id; vecs += vec; lvls += lvl
+          adj += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+          idToNode(id) = n
+          n
+      }
+      if (entry < 0 || entry == node) { entry = node; return }
 
       var ep = entry
       var layer = lvls(entry)
@@ -622,8 +662,16 @@ object Hnsw {
       .orderBy(col("cluster_id")).collect()
       .map(_.getSeq[Float](1).toArray)
     val p = spark.read.parquet(s"$dir/params").head()
+    // layouts persisted before the tombstone column exist in the wild
+    // (any saveHnsw dir from an earlier version, incl. the streaming
+    // maintenance chain's previous published version) — default them
+    // to all-live instead of failing the column resolution
+    val raw = spark.read.parquet(s"$dir/graph")
+    val withDeleted =
+      if (raw.columns.contains("deleted")) raw
+      else raw.withColumn("deleted", lit(false))
     HnswIndex(
-      spark.read.parquet(s"$dir/graph")
+      withDeleted
         .select(col("shard").cast("int").as("shard"), col("vec_id"),
           col("level"), col("layer"), col("neighbors"), col("embedding"),
           col("deleted")),
@@ -676,19 +724,21 @@ object Hnsw {
     * `vector_store.py:delete_document`: Chroma removes a document's
     * chunks from its persisted segment; the graph answer is a flag
     * flip, not a structural rewrite). A pure column update: NO shard
-    * reconstructs, no exchange moves graph rows — the delete frame
-    * broadcasts (a delete batch is operationally bounded: an API
-    * delete call or a maintenance window's worth of doc ids, not a
-    * corpus; corpus-scale deletion is a rebuild, not a delete).
-    * Ids absent from the graph are ignored (the delete-report query
-    * family already accounts success/failure at the chunk-store
+    * reconstructs by it. The join strategy is deliberately LEFT TO
+    * THE PLANNER — no broadcast hint: an API-call-sized delete batch
+    * sits under the auto-broadcast threshold (and AQE re-plans on the
+    * runtime size), while a corpus-proportional delete set — which a
+    * forced hint would OOM the driver on — degrades to a correct
+    * shuffle join, an acceptable one-off for a maintenance-scale
+    * delete. Ids absent from the graph are ignored (the delete-report
+    * query family already accounts success/failure at the chunk-store
     * level). Dead nodes keep routing searches; [[compactShards]]
     * reclaims them once a shard's dead fraction crosses threshold. */
   def deleteFromShards(graph: DataFrame, deleteIds: DataFrame,
                        idCol: String = "vec_id"): DataFrame = {
-    val del = broadcast(
+    val del =
       deleteIds.select(col(idCol).cast("long").as("vec_id")).distinct()
-        .withColumn("__dead", lit(true)))
+        .withColumn("__dead", lit(true))
     graph.join(del, Seq("vec_id"), "left")
       .withColumn("deleted", col("deleted") || coalesce(col("__dead"), lit(false)))
       .drop("__dead")
@@ -709,7 +759,6 @@ object Hnsw {
                     minDeadFrac: Double = 0.2): DataFrame = {
     require(minDeadFrac > 0.0 && minDeadFrac <= 1.0,
       s"minDeadFrac must be in (0, 1], got $minDeadFrac")
-    val spark = graph.sparkSession
     val doomed = graph.filter(col("layer") === 0)
       .groupBy(col("shard"))
       .agg((sum(when(col("deleted"), 1L).otherwise(0L)) /

@@ -395,19 +395,8 @@ object AnnQueries {
     // on its side — one leaked tombstone in the candidate top-10 and
     // the hashes diverge.
     "ann_hnsw_delete" -> { (s, dir) =>
-      val idx = persistedHnsw(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val tomb = Hnsw.deleteFromShards(idx.graph,
-        emb.where(col("vec_id") % 5 === 0).select(col("vec_id")))
-      val q = VectorQueries.qvec(s, dir, 0)
-      val cands = Hnsw.searchShards(tomb,
-        Seq(Hnsw.HnswQuery(0L, q.toArray, Hnsw.route(idx, q.toArray, 4))),
-        ef = 32, idx.params)
-      val candIds = Handoff.publish(cands.select(col("vec_id")),
-        HnswDeleteHandoff)
-      VectorSearch.topKWithScore(emb.join(candIds, Seq("vec_id")),
-          q, 10, VectorSearch.Euclidean)
-        .select(col("vec_id"), col("label"), col("dist"))
+      val (idx, emb, tomb) = tombstonedGraph(s, dir)
+      hnswCandidateRerank(s, dir, idx, emb, tomb, HnswDeleteHandoff)
     },
     // tombstone reclamation (the Lucene segment-merge shape): same
     // delete set as ann_hnsw_delete (20% dead), then every shard past
@@ -418,23 +407,44 @@ object AnnQueries {
     // on its side: compaction must not resurrect a tombstone or lose
     // a survivor from the candidate neighborhoods.
     "ann_hnsw_compact" -> { (s, dir) =>
-      val idx = persistedHnsw(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val tomb = Hnsw.deleteFromShards(idx.graph,
-        emb.where(col("vec_id") % 5 === 0).select(col("vec_id")))
+      val (idx, emb, tomb) = tombstonedGraph(s, dir)
       val compacted = Hnsw.compactShards(tomb, idx.params,
         minDeadFrac = 0.15)
-      val q = VectorQueries.qvec(s, dir, 0)
-      val cands = Hnsw.searchShards(compacted,
-        Seq(Hnsw.HnswQuery(0L, q.toArray, Hnsw.route(idx, q.toArray, 4))),
-        ef = 32, idx.params)
-      val candIds = Handoff.publish(cands.select(col("vec_id")),
-        HnswCompactHandoff)
-      VectorSearch.topKWithScore(emb.join(candIds, Seq("vec_id")),
-          q, 10, VectorSearch.Euclidean)
-        .select(col("vec_id"), col("label"), col("dist"))
+      hnswCandidateRerank(s, dir, idx, emb, compacted, HnswCompactHandoff)
     }
   )
+
+  /** The shared delete fixture for the tombstone gates: every
+    * vec_id ≡ 0 (mod 5) dies — INCLUDING vec_id 0, the query vector
+    * itself, so the pre-delete top-1 hit must vanish. One definition
+    * here and one mirrored predicate in [[hnswDeleteOracleSql]]; a
+    * change to either without the other forks the gate. */
+  private def tombstonedGraph(s: SparkSession, dir: String)
+      : (Hnsw.HnswIndex, DataFrame, DataFrame) = {
+    val idx = persistedHnsw(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val tomb = Hnsw.deleteFromShards(idx.graph,
+      emb.where(col("vec_id") % 5 === 0).select(col("vec_id")))
+    (idx, emb, tomb)
+  }
+
+  /** Search the given graph for query-vector 0, publish the candidate
+    * ids to `handoff`, exact-rerank the candidates with NO delete
+    * filter — Spark trusts the kernel's tombstone filtering; the
+    * oracle applies the delete predicate on its side, so one leaked
+    * tombstone in the candidate top-10 forks the hash. */
+  private def hnswCandidateRerank(s: SparkSession, dir: String,
+      idx: Hnsw.HnswIndex, emb: DataFrame, graph: DataFrame,
+      handoff: String): DataFrame = {
+    val q = VectorQueries.qvec(s, dir, 0)
+    val cands = Hnsw.searchShards(graph,
+      Seq(Hnsw.HnswQuery(0L, q.toArray, Hnsw.route(idx, q.toArray, 4))),
+      ef = 32, idx.params)
+    val candIds = Handoff.publish(cands.select(col("vec_id")), handoff)
+    VectorSearch.topKWithScore(emb.join(candIds, Seq("vec_id")),
+        q, 10, VectorSearch.Euclidean)
+      .select(col("vec_id"), col("label"), col("dist"))
+  }
 
   /** Build-once cache of the IVF index for a fixture dir (seeded k-means
     * → identical index whether freshly built or loaded). Lives under the
@@ -988,26 +998,23 @@ object AnnQueries {
     // the ann_hnsw replay with the DELETE predicate applied on the
     // oracle side only — Spark trusts the kernel's tombstone filter,
     // so one leaked deleted id in the candidate top-10 forks the hash
-    "ann_hnsw_delete" ->
-      s"""WITH h AS (SELECT vec_id FROM ${rp(HnswDeleteHandoff)})
-         |SELECT h.vec_id, e.label,
-         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
-         |FROM h JOIN embeddings e ON h.vec_id = e.vec_id
-         |CROSS JOIN $qvecSql q
-         |WHERE e.vec_id % 5 <> 0
-         |ORDER BY dist, h.vec_id
-         |LIMIT 10""".stripMargin,
+    "ann_hnsw_delete" -> hnswDeleteOracleSql(HnswDeleteHandoff),
     // same delete predicate over the post-compaction candidates:
     // compaction must neither resurrect a tombstone nor lose live
     // neighborhoods
-    "ann_hnsw_compact" ->
-      s"""WITH h AS (SELECT vec_id FROM ${rp(HnswCompactHandoff)})
-         |SELECT h.vec_id, e.label,
-         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
-         |FROM h JOIN embeddings e ON h.vec_id = e.vec_id
-         |CROSS JOIN $qvecSql q
-         |WHERE e.vec_id % 5 <> 0
-         |ORDER BY dist, h.vec_id
-         |LIMIT 10""".stripMargin
+    "ann_hnsw_compact" -> hnswDeleteOracleSql(HnswCompactHandoff)
   )
+
+  /** The one oracle-side mirror of [[tombstonedGraph]]'s delete
+    * predicate (`vec_id % 5 <> 0`), parameterized on the candidate
+    * handoff — both tombstone gates replay through this definition. */
+  private def hnswDeleteOracleSql(handoff: String): String =
+    s"""WITH h AS (SELECT vec_id FROM ${rp(handoff)})
+       |SELECT h.vec_id, e.label,
+       |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+       |FROM h JOIN embeddings e ON h.vec_id = e.vec_id
+       |CROSS JOIN $qvecSql q
+       |WHERE e.vec_id % 5 <> 0
+       |ORDER BY dist, h.vec_id
+       |LIMIT 10""".stripMargin
 }

@@ -736,10 +736,14 @@ object Serving {
         val emb =
           if (g.getFieldRepetitionCount("embedding") == 0) null
           else floatArray(g, "embedding").toSeq
+        // pre-tombstone layouts lack the column — default all-live,
+        // the same compat rule as Hnsw.loadHnsw
+        val del = g.getType.containsField("deleted") &&
+          g.getBoolean("deleted", 0)
         rows += graft.operators.Hnsw.GraphRow(
           g.getLong("vec_id", 0), g.getInteger("level", 0),
           g.getInteger("layer", 0), longArray(g, "neighbors").toSeq, emb,
-          g.getBoolean("deleted", 0))
+          del)
       }
       graft.operators.Hnsw.HnswGraph.fromRows(rows.toSeq, params)
     }
@@ -822,13 +826,19 @@ object Serving {
       * key on identity, not geometry, and an id inserted when the
       * routing table was older may not sit in its current
       * nearest-centroid shard). Returns the shard it was marked in,
-      * or None if the id is nowhere live. Idempotent; flush carries
-      * the tombstones ([[graft.operators.Hnsw.fromOnline]]), so a
-      * nightly [[graft.operators.Hnsw.compactShards]] reclaims them —
-      * parity with the batch tombstone path is ServingSpec-pinned. */
+      * or None if the id is nowhere LIVE — so a re-delete of an
+      * already-dead id is a no-op returning None, and a caller's
+      * delete-report can tell deleted-now from already-gone. Flush
+      * carries the tombstones ([[graft.operators.Hnsw.fromOnline]]),
+      * so a nightly [[graft.operators.Hnsw.compactShards]] reclaims
+      * them — parity with the batch tombstone path is
+      * HnswSpec-pinned. A later [[insert]] of the same id revives it
+      * (the kernel's replace_deleted path) when it routes back to the
+      * same shard; if the routing table moved it to a different
+      * shard, the old tombstone simply waits for compaction. */
     def delete(id: Long): Option[Int] =
       shards.toSeq.sortBy(_._1)
-        .find { case (_, g) => g.contains(id) }
+        .find { case (_, g) => g.contains(id) && !g.isDeleted(id) }
         .map { case (s, g) => g.markDeleted(id); s }
 
     /** Snapshot of the live shard graphs (shard-id order) — the flush

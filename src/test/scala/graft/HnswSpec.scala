@@ -311,6 +311,47 @@ class HnswSpec extends SparkSpec {
     assert(!g.markDeleted(424242L))
   }
 
+  test("re-insert revives a tombstoned id (replace_deleted); live duplicate still errors") {
+    val g = new HnswGraph(P)
+    allVecs.take(100).foreach { case (id, v) => g.insert(id, v) }
+    val q = qvec(0)
+    // a live duplicate insert is still a hard error — silent vector
+    // replacement of a served node would fork batch/serve twins
+    intercept[IllegalArgumentException] { g.insert(0L, q) }
+    g.markDeleted(0L)
+    assert(!g.search(q, 10, 32).map(_._1).contains(0L))
+    // revive with a NEW vector: the node relinks and surfaces again
+    val moved = q.clone(); moved(0) += 0.25f
+    g.insert(0L, moved)
+    assert(!g.isDeleted(0L))
+    assert(g.liveSize === 100)
+    val hits = g.search(moved, 10, 32).map(_._1)
+    assert(hits.contains(0L), "revived id never resurfaced")
+    // the revived graph still round-trips (export carries no stale flag)
+    val g2 = HnswGraph.fromRows(g.exportRows, P)
+    assert(!g2.isDeleted(0L))
+    assert(g2.search(moved, 10, 32) === g.search(moved, 10, 32))
+  }
+
+  test("revive of a tombstoned ENTRY node re-seats and relinks correctly") {
+    val g = new HnswGraph(P)
+    val vs = allVecs.take(60)
+    vs.foreach { case (id, v) => g.insert(id, v) }
+    // find the current entry: the kernel's canonical rule is
+    // (max level, tie lowest id) — recompute it from levelOf
+    val entryId = vs.map(_._1)
+      .maxBy(id => (Hnsw.levelOf(id, P), -id))
+    g.markDeleted(entryId)
+    val vec = vs.find(_._1 == entryId).get._2
+    g.insert(entryId, vec) // revive the entry node itself
+    assert(!g.isDeleted(entryId))
+    val hits = g.search(vec, 10, 32).map(_._1)
+    assert(hits.head === entryId, "revived entry is its own NN again")
+    // every other node is still reachable through the revived graph
+    val q = qvec(17)
+    assert(g.search(q, 10, 32).nonEmpty)
+  }
+
   test("delete survives export/reconstruct and the online flush") {
     val g = new HnswGraph(P)
     allVecs.take(60).foreach { case (id, v) => g.insert(id, v) }
@@ -397,6 +438,9 @@ class HnswSpec extends SparkSpec {
         assert(online.delete(id).isDefined, s"online delete missed $id")
       }
       assert(online.delete(999999L).isEmpty)
+      // re-delete of an already-dead id: no-op returning None — the
+      // delete-report distinction between deleted-now and already-gone
+      assert(online.delete(delIds.head).isEmpty)
       for (qid <- Seq(0L, 5L, 17L)) {
         val q = qvec(qid)
         val probes = Hnsw.route(Hnsw.HnswIndex(tomb, index.centroids, P), q, 4)
@@ -414,6 +458,56 @@ class HnswSpec extends SparkSpec {
       val flushedDead = flushed.filter($"deleted" && $"layer" === 0)
         .select("vec_id").as[Long].collect().toSeq.sorted
       assert(flushedDead === delIds)
+    }
+  }
+
+  test("appendToShards re-ingests a tombstoned id (delete then re-upload)") {
+    val graph = Hnsw.buildShards(singleShard, P, shardCol = "shard0")
+    val tomb = Hnsw.deleteFromShards(graph, Seq(0L).toDF("vec_id"))
+    val v0 = qvec(0)
+    val reIngest = Seq((0, 0L, v0.toSeq)).toDF("shard0", "vec_id", "embedding")
+    // before the revive path this threw inside the append task
+    val appended = Hnsw.appendToShards(tomb, reIngest, P,
+      shardCol = "shard0")
+    assert(appended.filter($"deleted" && $"layer" === 0).count() === 0)
+    val hits = Hnsw.searchShards(appended,
+        Seq(HnswQuery(0L, v0, Seq(0))), ef = 32, P)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.contains(0L), "re-ingested id not searchable")
+  }
+
+  test("pre-tombstone persisted layouts load as all-live (batch + serving)") {
+    withTempDir("hnsw-old-layout") { dir =>
+      val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      val graph = Hnsw.buildShards(index.assigned, P)
+      Hnsw.saveHnsw(graph, index.centroids, P, dir.getPath)
+      // rewrite the graph dir WITHOUT the deleted column — the layout
+      // every pre-tombstone version persisted (incl. the streaming
+      // chain's previous published version)
+      val legacy = spark.read.parquet(s"${dir.getPath}/graph")
+        .drop("deleted")
+      val tmp = s"${dir.getPath}/graph_legacy"
+      legacy.write.partitionBy("shard").parquet(tmp)
+      val gd = new java.io.File(s"${dir.getPath}/graph")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(gd)
+      new java.io.File(tmp).renameTo(gd)
+      // batch loader defaults deleted=false
+      val idx = Hnsw.loadHnsw(spark, dir.getPath)
+      assert(idx.graph.filter($"deleted").count() === 0)
+      val q = qvec(0)
+      val probes = Hnsw.route(idx, q, 4)
+      val batch = Hnsw.searchShards(idx.graph,
+          Seq(HnswQuery(0L, q, probes)), ef = 32, P)
+        .select($"vec_id", $"dist").as[(Long, Double)].collect()
+        .sortBy(h => (h._2, h._1)).take(10).toSeq
+      assert(batch.nonEmpty && batch.head._1 === 0L)
+      // serving reader defaults too, and still matches batch
+      val served = Serving.searchHnsw(dir.getPath, q, k = 10, ef = 32,
+        nprobe = 4)
+      assert(served.map(h => (h.vecId, h.dist)) === batch)
     }
   }
 
