@@ -230,6 +230,68 @@ object StreamingIngest {
         ()
       }
 
+  /** Streaming GRAPH-index deletes: the stream twin of
+    * [[graft.operators.Hnsw.deleteFromShards]], completing the delete
+    * lifecycle's batch/serve/stream matrix (batch flag-flip /
+    * [[graft.serving.Serving.OnlineHnsw.delete]] / this). Each
+    * micro-batch of `vec_id` delete requests resolves the CURRENT
+    * immutable graph version, tombstones the ids (pure column update —
+    * dead nodes keep routing, never surface; ids absent from the
+    * graph are ignored, the [[graft.operators.Hnsw.deleteFromShards]]
+    * contract), and publishes a NEW version — the same one-pointer
+    * protocol as [[hnswIngestStream]], so a resident prober never
+    * sees a torn graph. Reclamation stays the nightly
+    * [[graft.operators.Hnsw.compactShards]] job, exactly as for the
+    * online server's tombstones.
+    *
+    * Epoch-idempotent via the same `_epoch_…` marker protocol as the
+    * insert stream, under a `_epoch_del_` prefix so an insert epoch
+    * and a delete epoch over the SAME ids (epoch 0 of two streams on
+    * one root) can never satisfy each other's skip. A replayed delete
+    * is naturally idempotent (re-flipping a flag changes nothing) —
+    * the marker's job here is version economy: recovery must not
+    * republish an identical graph and stampede every prober's
+    * freshness-keyed cache. A batch whose ids all miss the graph
+    * still publishes (detecting the no-op would cost a second full
+    * join pass; delete traffic is maintenance-scale, version GC is
+    * cheaper than the check). */
+  def hnswDeleteStream(deleteIds: DataFrame, root: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    deleteIds.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val ids = batch.filter(col("vec_id").isNotNull)
+          .select(col("vec_id").cast("long").as("vec_id"))
+          .distinct().persist()
+        try {
+          val fp = ids.agg(
+              count(lit(1)).as("n"),
+              coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)).as("h"))
+            .head()
+          val (n, h) = (fp.getLong(0), fp.getLong(1))
+          if (n > 0) {
+            val cur = graft.operators.Maintenance.resolveCurrent(spark, root)
+            val fs = new org.apache.hadoop.fs.Path(cur)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val markerName = f"_epoch_del_${epochId}_${n}_$h%016x"
+            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$cur/$markerName"))) {
+              val idx = graft.operators.Hnsw.loadHnsw(spark, cur)
+              val tombstoned =
+                graft.operators.Hnsw.deleteFromShards(idx.graph, ids)
+              graft.operators.CorpusModels.publishModelVersion(spark, root) {
+                dir =>
+                  graft.operators.Hnsw.saveHnsw(tombstoned, idx.centroids,
+                    idx.params, dir)
+                  fs.create(new org.apache.hadoop.fs.Path(s"$dir/$markerName"),
+                    true).close()
+              }
+            }
+          }
+        } finally ids.unpersist()
+        ()
+      }
+
   /** Streaming vector-index maintenance: new embeddings are routed to
     * their IVF cluster (broadcast k-row centroid argmin —
     * [[graft.operators.Ann.assignToIvf]], the append-without-refit

@@ -665,4 +665,59 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("hnsw delete stream: versioned tombstones, servable, batch==stream") {
+    val Hnsw = graft.operators.Hnsw
+    withTempDir("hnsw-del-stream") { dir =>
+      val root = dir.getPath
+      val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      val P = Hnsw.HnswParams()
+      val graph0 = Hnsw.buildShards(index.assigned, P)
+      graft.operators.CorpusModels.publishModelVersion(spark, root) { d =>
+        Hnsw.saveHnsw(graph0, index.centroids, P, d)
+      }
+      val v1 = graft.serving.Serving.currentModelDir(root)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Long]
+      val q = StreamingIngest.hnswDeleteStream(
+          input.toDF().toDF("vec_id"), root)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        // epoch 0: tombstone vec 0 — the self-query's own top-1 hit
+        input.addData(0L)
+        q.processAllAvailable()
+        val v2 = graft.serving.Serving.currentModelDir(root)
+        assert(v2 !== v1, "delete epoch 0 must publish a new version")
+        val q0 = Tables.embeddings(spark, sfDir).filter($"vec_id" === 0)
+          .select($"embedding").head().getSeq[Float](0).toArray
+        val hits = graft.serving.Serving
+          .searchHnsw(v2, q0, k = 5, ef = 32, nprobe = 4).map(_.vecId)
+        assert(hits.nonEmpty && !hits.contains(0L),
+          "tombstoned id served from the fresh version")
+        // epoch 1: a second delete batch, incl. an id the graph has
+        // never seen (ignored by contract, still publishes)
+        input.addData(5L, 424242L)
+        q.processAllAvailable()
+        val v3 = graft.serving.Serving.currentModelDir(root)
+        assert(v3 !== v2, "delete epoch 1 must publish another version")
+        // the delete marker rode the published version, under its own
+        // prefix — an insert-epoch marker can never satisfy it
+        val fs = new org.apache.hadoop.fs.Path(v3)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$v3/_epoch_del_*")).nonEmpty)
+        // stream == batch: two micro-batch deletes equal the same two
+        // deleteFromShards calls run sequentially, flags included
+        val batchG = Hnsw.deleteFromShards(
+          Hnsw.deleteFromShards(graph0, Seq(0L).toDF("vec_id")),
+          Seq(5L, 424242L).toDF("vec_id"))
+        def rows(df: org.apache.spark.sql.DataFrame) = df
+          .select($"shard", $"vec_id", $"level", $"layer",
+            concat_ws(",", $"neighbors").as("nbrs"), $"deleted")
+          .as[(Int, Long, Int, Int, String, Boolean)].collect().toSeq.sorted
+        assert(rows(Hnsw.loadHnsw(spark, v3).graph) === rows(batchG))
+      } finally q.stop()
+    }
+  }
 }
