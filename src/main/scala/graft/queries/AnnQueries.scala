@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, Hnsw, PartitionedTopK, Pq, Sq, VectorSearch}
+import graft.operators.{Ann, Bq, Hnsw, PartitionedTopK, Pq, Sq, VectorSearch}
 
 /** ANN + scale-path search queries. `batch_topk_partitioned` is exact
   * (same oracle as the window formulation — the plans differ, the answer
@@ -195,6 +195,18 @@ object AnnQueries {
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
       Sq.searchSq8(Sq.quantize(emb), VectorQueries.qvec(s, dir, 0),
         k = 10, rerank = 32)
+    },
+    // Binary quantization ANN: 1-bit sign codes (32x smaller than
+    // f32), asymmetric integer candidate ranking (doc bits vs the
+    // query in 2^20 fixed point — exact longs, engine-portable), f32
+    // exact rerank of an oversampled top-96 (1-bit codes are coarse;
+    // production BQ oversamples 4-10x). Like ann_sq8, NO handoff:
+    // bits, fixed-point query, integer dots, cut and rerank all
+    // re-derive from `embeddings` alone in SQL.
+    "ann_bq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      Bq.searchBq(Bq.quantize(emb), VectorQueries.qvec(s, dir, 0),
+        k = 10, rerank = 96)
     },
     // IVF + SQ8 (faiss IVF16,SQ8): coarse pruning to nprobe=4
     // clusters, int8-dot ranking of the survivors, exact f32 rerank.
@@ -704,6 +716,33 @@ object AnnQueries {
         |  SELECT * FROM scored ORDER BY approx_dot DESC, vec_id LIMIT 32
         |)
         |SELECT vec_id, label, approx_dot, cos_sim FROM cand
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // full BQ replay from embeddings alone: the bit rule
+    // (isfinite AND > 0 — identical semantics both engines, NaN
+    // comparisons differ unguarded), the query in 2^20 fixed point,
+    // exact integer asymmetric dots, oversampled top-96 cut, f32
+    // cosine rerank
+    "ann_bq" ->
+      """WITH bits AS (
+        |  SELECT vec_id, label, embedding,
+        |         list_transform(embedding, x ->
+        |           CASE WHEN isfinite(x) AND x > 0 THEN 1 ELSE 0 END) AS bit
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        |), scored AS (
+        |  SELECT b.vec_id, b.label,
+        |         CAST(list_sum(list_transform(list_zip(b.bit, q.qe),
+        |           t -> (2*t[1] - 1) *
+        |                CAST(floor(CAST(t[2] AS DOUBLE) * 1048576.0) AS BIGINT)))
+        |           AS BIGINT) AS adot_fp,
+        |         CAST(list_cosine_similarity(b.embedding, q.qe) AS DOUBLE) AS cos_sim
+        |  FROM bits b CROSS JOIN q
+        |  WHERE b.vec_id <> 0
+        |), cand AS (
+        |  SELECT * FROM scored ORDER BY adot_fp DESC, vec_id LIMIT 96
+        |)
+        |SELECT vec_id, label, adot_fp, cos_sim FROM cand
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "ann_ivf_sq8" ->
       s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
