@@ -162,6 +162,49 @@ object TextQueries {
         .windowDocs(Tables.documents(s, dir), "doc_id", "text",
           windowTokens = 32, strideTokens = 24)
         .orderBy(col("doc_id"), col("window_id"))
+    },
+    // unigram-LM (SentencePiece-style) tokenizer APPLY: per-doc Viterbi
+    // piece count + in-order piece digest. The trained vocab
+    // (fixed-point logprobs) is the handoff — EM is float training,
+    // spec-gated like the k-means centroids; the oracle independently
+    // replays the VITERBI DP per distinct word (recursive CTE carrying
+    // the exact-long score and segmentation lists, tie rule
+    // (score desc, start asc)) and re-aggregates per document in word
+    // order.
+    "unigram_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Unigram.train(docs, "text",
+        vocabSize = 40, maxPieceLen = 8, emIters = 4, minCount = 2L)
+      if (!Handoff.benchMode) {
+        import s.implicits._
+        vocab.map(p => (p.piece, p.logpFp)).toDF("piece", "logp_fp")
+          .coalesce(1).write.mode("overwrite").parquet(UnigramVocabHandoff)
+      }
+      val pieces = graft.operators.Unigram.encodeColumn(col("text"), vocab)
+      docs.select(col("doc_id"),
+          size(pieces).cast("long").as("n_pieces"),
+          md5(concat_ws("\u001f", pieces).cast("binary")).as("piece_digest"))
+        .orderBy(col("doc_id"))
+    },
+    // corpus piece census THROUGH the same Viterbi apply: top pieces by
+    // weighted frequency — the identity check on what the tokenizer
+    // actually emits (the encode gate pins counts/order; this pins the
+    // piece STRINGS corpus-wide). Oracle: Viterbi replay per distinct
+    // word from the handoff × corpus word counts.
+    "unigram_top_pieces" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Unigram.train(docs, "text",
+        vocabSize = 40, maxPieceLen = 8, emIters = 4, minCount = 2L)
+      if (!Handoff.benchMode) {
+        import s.implicits._
+        vocab.map(p => (p.piece, p.logpFp)).toDF("piece", "logp_fp")
+          .coalesce(1).write.mode("overwrite").parquet(UnigramTopHandoff)
+      }
+      docs.select(explode(
+          graft.operators.Unigram.encodeColumn(col("text"), vocab))
+          .as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("piece")).limit(30)
     }
   )
 
@@ -256,6 +299,54 @@ object TextQueries {
   private val BpeMergesHandoff = Handoff.path("bpe_merges")
   private val BpeEncodeHandoff = Handoff.path("bpe_encode_merges")
 
+  /** Handoffs for the unigram-tokenizer gates (same separation rule). */
+  private val UnigramVocabHandoff = Handoff.path("unigram_vocab")
+  private val UnigramTopHandoff = Handoff.path("unigram_top_vocab")
+
+  /** Viterbi unigram tokenization as a DuckDB recursive CTE: per
+    * distinct word, a linear DP over character positions carrying TWO
+    * lists — the exact-long best score of every prefix and its
+    * segmentation string (pieces joined by chr(31)). Step j+1 scans
+    * the ≤ maxPieceLen candidate start positions, looks each piece's
+    * fixed-point logprob up in the vocab MAP (unknown single chars
+    * take the UnkFp constant; unknown longer pieces are filtered), and
+    * picks by the struct sort (negscore, i) — max score, then smallest
+    * start = the Scala kernel's tie rule. Terminal rows are the full
+    * words. Requires `words(w)` upstream; produces
+    * `terminal(w, score, seg)`. */
+  private def unigramViterbiRecursion(handoff: String): String =
+    s"""m AS (SELECT map(list(piece), list(logp_fp)) AS mp
+       |      FROM read_parquet('$handoff/*.parquet')),
+       |dp AS (
+       |  SELECT w, 0 AS j,
+       |         [CAST(0 AS BIGINT)] AS best,
+       |         [CAST('' AS VARCHAR)] AS segs
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, j + 1,
+       |         list_append(best, -pick.negscore),
+       |         list_append(segs,
+       |           CASE WHEN pick.i = 0 THEN pick.piece
+       |                ELSE segs[pick.i + 1] || chr(31) || pick.piece END)
+       |  FROM (
+       |    SELECT w, j, best, segs,
+       |           list_sort(list_filter(
+       |             list_transform(range(greatest(0, j + 1 - ${graft.operators.Unigram.GateMaxPieceLen}), j + 1),
+       |               i -> struct_pack(
+       |                 negscore := -(best[i + 1] +
+       |                   coalesce(map_extract(m.mp, substr(w, i + 1, j + 1 - i))[1],
+       |                            CASE WHEN j + 1 - i = 1
+       |                                 THEN CAST(${graft.operators.Unigram.UnkFp} AS BIGINT) END)),
+       |                 i := i,
+       |                 piece := substr(w, i + 1, j + 1 - i))),
+       |             x -> x.negscore IS NOT NULL))[1] AS pick
+       |    FROM dp, m
+       |    WHERE j < length(w)
+       |  )
+       |),
+       |terminal AS (SELECT w, best[j + 1] AS score, segs[j + 1] AS seg
+       |             FROM dp WHERE j = length(w))"""
+
   // the BPE-ish pattern, SQL-string-escaped for the DuckDB oracle (the
   // pattern is Java-and-RE2-compatible by construction)
   private val bpePatSql = TextAnalysis.BpeishPattern.replace("'", "''")
@@ -342,6 +433,54 @@ object TextQueries {
     // independent greedy-encode replay over the distinct word set (a
     // single pseudo-rank covers the full merge table), re-aggregated
     // per document; docs with no tokens keep their row at 0.
+    // independent Viterbi replay over the distinct word set from the
+    // vocab handoff (exact long scores, (score desc, start asc) ties),
+    // re-joined per document IN WORD ORDER for the digest; docs with
+    // no tokens keep their row at (0, md5(''))
+    "unigram_encode" ->
+      s"""WITH RECURSIVE
+         |words AS (
+         |  SELECT DISTINCT w
+         |  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+         |),
+         |${unigramViterbiRecursion(UnigramVocabHandoff)},
+         |docw AS (
+         |  SELECT doc_id, k AS pos, wl[k] AS w
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wl
+         |        FROM documents),
+         |       unnest(range(1, len(wl) + 1)) AS u(k)
+         |),
+         |docseg AS (
+         |  SELECT d.doc_id,
+         |         string_agg(t.seg, chr(31) ORDER BY d.pos) AS segstr,
+         |         SUM(len(string_split(t.seg, chr(31)))) AS np
+         |  FROM docw d JOIN terminal t ON d.w = t.w
+         |  GROUP BY d.doc_id
+         |)
+         |SELECT doc.doc_id,
+         |       CAST(coalesce(ds.np, 0) AS BIGINT) AS n_pieces,
+         |       md5(coalesce(ds.segstr, '')) AS piece_digest
+         |FROM documents doc LEFT JOIN docseg ds ON doc.doc_id = ds.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+    // the same Viterbi replay, re-aggregated corpus-wide: piece
+    // frequencies weighted by word counts, top 30 by (n desc, piece)
+    "unigram_top_pieces" ->
+      s"""WITH RECURSIVE
+         |wordcnt AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+         |  GROUP BY w
+         |),
+         |words AS (SELECT w FROM wordcnt),
+         |${unigramViterbiRecursion(UnigramTopHandoff)},
+         |piece_occ AS (
+         |  SELECT t.w, u.p
+         |  FROM terminal t, unnest(string_split(t.seg, chr(31))) AS u(p)
+         |)
+         |SELECT po.p AS piece, CAST(SUM(wc.n) AS BIGINT) AS n
+         |FROM piece_occ po JOIN wordcnt wc ON po.w = wc.w
+         |GROUP BY po.p
+         |ORDER BY n DESC, piece LIMIT 30""".stripMargin,
     "bpe_encode_learned" ->
       s"""WITH RECURSIVE
          |rks AS (SELECT 2147483646 AS r),

@@ -691,6 +691,32 @@ object Serving {
       .flatMap(w => graft.operators.Bpe.encodeWord(w, ranks))
   }
 
+  /** Single-string UNIGRAM tokenization from a
+    * [[graft.operators.Unigram.saveVocab]] layout, no Spark — the
+    * [[encodeBpe]] twin for the other subword family. Same whitespace
+    * pre-split and the ONE shared Viterbi kernel
+    * (`Unigram.encodeWord`, exact long scores, (score desc, start asc)
+    * ties) as the batch `Unigram.encodeColumn` — doc-for-doc parity +
+    * zero Spark jobs spec-pinned. Freshness-keyed caching, as
+    * [[scoreNb]]. */
+  def encodeUnigram(modelDir: String, text: String,
+                    maxPieceLen: Int = graft.operators.Unigram.GateMaxPieceLen,
+                    conf: Configuration = defaultConf,
+                    cache: IndexCache = noCache): Seq[String] = {
+    val base = modelDir.stripSuffix("/")
+    val pieces = cache.getOrLoad(freshKey(conf, s"$base/unigram_vocab")) {
+      val rows = mutable.ArrayBuffer.empty[(String, Long)]
+      foreachGroup(conf, s"$base/unigram_vocab") { g =>
+        rows += ((g.getString("piece", 0), g.getLong("logp_fp", 0)))
+      }
+      require(rows.nonEmpty, s"no vocab rows under $base/unigram_vocab")
+      rows.toMap
+    }
+    if (text == null) Seq.empty[String]
+    else text.split(" ").filter(_.nonEmpty).toSeq
+      .flatMap(w => graft.operators.Unigram.encodeWord(w, pieces, maxPieceLen))
+  }
+
   // ------------------------------------------------------------ HNSW probe
 
   /** Read a Spark-written `array<bigint>` column (3-level LIST group)
