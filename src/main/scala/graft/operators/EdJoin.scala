@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join (Ed-Join, Xiao/Wang/Lin VLDB 2008):
+  * all pairs of documents within Levenshtein distance ≤ τ — the
+  * CHARACTER-level near-dup detector, completing the dedup family next
+  * to the token-set engines (PPJoin Jaccard, MinHash, SimHash) whose
+  * signals word-order edits and small in-word typos evade.
+  *
+  * Exact (no false negatives) by q-gram PREFIX-PREFIX filtering: one
+  * edit destroys at most q of a string's l−q+1 positional q-grams, so
+  * strings with ed ≤ τ disagree on at most q·τ of them. Order every
+  * string's positional grams by one GLOBAL total order (corpus
+  * frequency asc, gram asc, pos asc — rare grams make few join
+  * partners) and take the first q·τ+1 as its prefix; two qualifying
+  * strings always share a gram STRING across their prefixes. (Proof
+  * sketch: if no surviving positional gram of either prefix maps into
+  * the other's prefix, each side's survivor ranks past the other's
+  * whole prefix, forcing e ≥ f and f ≥ e in the global order — equal
+  * (freq, gram) — i.e. the prefixes share that gram string after all.
+  * Content-gram matching, not positional: the position tolerance that
+  * holds for survival pairs does NOT hold for the shared-string case,
+  * so no |Δpos| predicate is applied at the candidate stage.)
+  * Candidates then length-filter (|len_a − len_b| ≤ τ — an edit
+  * changes length by at most 1) and verify with the banded O(τ·n)
+  * Levenshtein (Spark's threshold form — codegen'd, no UDF).
+  *
+  * Scale shape: grams shuffle once for the frequency dictionary (one
+  * map-side-combined agg), the prefix cut is a per-doc window, the
+  * self-join touches only prefix rows (≤ q·τ+1 per doc, deduped per
+  * gram string) bucketed by gram — never all-pairs — and verification
+  * is per-candidate, output-bound like the PPJoin engine. The prefix
+  * projection feeds both join sides, so it is persisted and
+  * self-releases after the first action (the hashedTokenProjection
+  * pattern). Strings shorter than q have no grams and take a separate
+  * broadcast path (documented bounded: sub-q strings are degenerate —
+  * empty or near-empty docs; a corpus dominated by them needs a
+  * smaller q, and the broadcast fails loudly at driver limits rather
+  * than silently dropping pairs). */
+object EdJoin {
+
+  /** All pairs `(id_a, id_b, edit_dist)` with `id_a < id_b` and
+    * Levenshtein ≤ τ. `q` is the gram width (default 3). */
+  def editDistanceJoin(docs: DataFrame, idCol: String, textCol: String,
+                       tau: Int, q: Int = 3): DataFrame = {
+    require(tau >= 0, s"tau must be >= 0, got $tau")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .filter(col("__id").isNotNull && col("__text").isNotNull)
+      .withColumn("__len", length(col("__text")))
+    // --- positional q-grams of every string with >= q chars
+    val grams = base.filter(col("__len") >= q)
+      .select(col("__id"), col("__len"),
+        posexplode(expr(s"transform(sequence(0, __len - $q), " +
+          s"i -> substring(__text, i + 1, $q))")).as(Seq("pos", "gram")))
+    // --- global gram frequency (the one corpus-wide agg), then the
+    // q*tau+1 rarest positional grams per string, deduped per gram
+    // string (content matching downstream)
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("__gfreq"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__gfreq"), col("gram"), col("pos"))
+    val prefix = grams.join(freq, "gram")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= q * tau + 1)
+      .select(col("__id"), col("__len"), col("gram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.releaseAfterUse(prefix)
+    val pa = prefix.select(col("__id").as("id_a"), col("__len").as("len_a"),
+      col("gram").as("gram_a"))
+    val pb = prefix.select(col("__id").as("id_b"), col("__len").as("len_b"),
+      col("gram").as("gram_b"))
+    val cands = pa.join(pb,
+        col("gram_a") === col("gram_b") &&
+          col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= tau)
+      .select(col("id_a"), col("id_b")).distinct()
+    // --- verify with the banded Levenshtein (threshold form: -1 past tau)
+    val ta = base.select(col("__id").as("id_a"), col("__text").as("__text_a"))
+    val tb = base.select(col("__id").as("id_b"), col("__text").as("__text_b"))
+    val longPairs = cands.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("edit_dist",
+        levenshtein(col("__text_a"), col("__text_b"), tau).cast("long"))
+      .filter(col("edit_dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+    // --- sub-q strings have no grams: broadcast the (degenerate,
+    // bounded-by-contract) short side against the length window
+    val shorts = base.filter(col("__len") < q)
+      .select(col("__id").as("id_s"), col("__text").as("__text_s"),
+        col("__len").as("len_s"))
+    val shortPairs = broadcast(shorts).join(base,
+        col("id_s") =!= col("__id") &&
+          abs(col("len_s") - col("__len")) <= tau)
+      .withColumn("edit_dist",
+        levenshtein(col("__text_s"), col("__text"), tau).cast("long"))
+      .filter(col("edit_dist") >= 0)
+      .select(least(col("id_s"), col("__id")).as("id_a"),
+        greatest(col("id_s"), col("__id")).as("id_b"), col("edit_dist"))
+      .distinct()
+    longPairs.unionByName(shortPairs)
+  }
+}

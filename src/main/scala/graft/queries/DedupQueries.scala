@@ -56,6 +56,19 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_pairs"),
           expr("bit_xor(__sig)").as("pairs_sig"))
     },
+    // character-level near-dup: every pair within Levenshtein 10 —
+    // the typo/small-edit detector the token-set engines above can't
+    // see. Spark runs the Ed-Join prefix-filtered plan (positional
+    // q-gram survival lemma, lossless); the oracle is a FULL-SEMANTICS
+    // independent check — brute-force banded levenshtein over the
+    // length-filtered pair space — so a hash match certifies the
+    // filter chain found EVERY qualifying pair, not that both engines
+    // ran the same algorithm.
+    "dedup_editdist" -> { (s, dir) =>
+      graft.operators.EdJoin.editDistanceJoin(
+          Tables.documents(s, dir), "doc_id", "text", tau = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // incremental near-dup: the nightly batch (doc_id%10==0) checked
     // against the standing corpus and itself — corpus x corpus pairs
     // are structurally excluded from the candidate space, not filtered
@@ -332,6 +345,16 @@ object DedupQueries {
         |         CAST(CAST(floor(jaccard * 1e9) AS BIGINT) AS VARCHAR)
         |       ), 1, 15) AS UBIGINT) AS BIGINT)) AS pairs_sig
         |FROM j""".stripMargin,
+    // brute force with the same length band — INDEPENDENT of the
+    // prefix-filter plan by design (full-semantics oracle)
+    "dedup_editdist" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 10
+        |WHERE levenshtein(a.text, b.text) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_incremental" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

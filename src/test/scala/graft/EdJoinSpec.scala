@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EdJoin
+
+/** Ed-Join edit-distance similarity join: losslessness of the
+  * prefix-prefix filter vs brute force, the τ boundary, random-edit
+  * recall, the sub-q-gram short-string path, and input hygiene. */
+class EdJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(docs: org.apache.spark.sql.DataFrame,
+                    tau: Int): Seq[(Long, Long, Long)] = {
+    val a = docs.select($"doc_id".as("id_a"), $"text".as("ta"))
+    val b = docs.select($"doc_id".as("id_b"), $"text".as("tb"))
+    a.join(b, $"id_a" < $"id_b" &&
+        abs(length($"ta") - length($"tb")) <= tau)
+      .withColumn("edit_dist", levenshtein($"ta", $"tb", tau).cast("long"))
+      .filter($"edit_dist" >= 0)
+      .select($"id_a", $"id_b", $"edit_dist")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+  }
+
+  test("operator == brute force on the fixture corpus (tau=10)") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val got = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 10)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = brute(docs, 10)
+    assert(got === want)
+    assert(want.nonEmpty, "fixture should contain near-dup pairs within tau")
+  }
+
+  test("tau boundary: distance exactly tau kept, tau+1 dropped") {
+    val docs = Seq(
+      (1L, "abcdefghij"),   // vs 2: 2 substitutions
+      (2L, "abXdefghiY"),
+      (3L, "zzzzzzzzzz")    // far from both
+    ).toDF("doc_id", "text")
+    val at2 = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(at2 === Seq((1L, 2L, 2L)))
+    val at1 = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 1)
+      .collect()
+    assert(at1.isEmpty)
+  }
+
+  test("random-edit recall: every pair built by <= tau edits is found") {
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abcdefgh"
+    val rows = (0 until 20).flatMap { g =>
+      val base = Seq.fill(30 + rnd.nextInt(40))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val edited = {
+        val sb = new StringBuilder(base)
+        (1 to 1 + rnd.nextInt(5)).foreach { _ =>
+          rnd.nextInt(3) match {
+            case 0 if sb.nonEmpty => // substitute
+              sb.setCharAt(rnd.nextInt(sb.length), alphabet(rnd.nextInt(8)))
+            case 1 if sb.nonEmpty => // delete
+              sb.deleteCharAt(rnd.nextInt(sb.length))
+            case _ => // insert
+              sb.insert(rnd.nextInt(sb.length + 1), alphabet(rnd.nextInt(8)))
+          }
+        }
+        sb.toString
+      }
+      Seq((g.toLong * 2, base), (g.toLong * 2 + 1, edited))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val got = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    (0 until 20).foreach { g =>
+      assert(got.contains((g.toLong * 2, g.toLong * 2 + 1)),
+        s"edited pair of group $g not found")
+    }
+    // and nothing outside brute force
+    assert(got === brute(docs, 5).map(t => (t._1, t._2)).toSet)
+  }
+
+  test("short strings below the gram width pair correctly") {
+    val docs = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "abcd"),
+      (5L, "xyzw")).toDF("doc_id", "text")
+    val got = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === brute(docs, 2))
+    // ""~"a" (1), ""~"ab" (2), "a"~"ab" (1), "ab"~"abcd" (2) must be in
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).subsetOf(pairs))
+  }
+
+  test("null ids and null texts are ignored, not joined or crashed on") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "hello world"),
+      (java.lang.Long.valueOf(2L), "hello worlD"),
+      (null.asInstanceOf[java.lang.Long], "hello world"),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L)))
+  }
+
+  test("guards: negative tau, non-positive q") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = -1))
+    intercept[IllegalArgumentException](
+      EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 1, q = 0))
+  }
+}
