@@ -155,6 +155,53 @@ object VectorSearch {
       .limit(kGroups)
   }
 
+  /** Late-interaction multi-vector retrieval (the ColBERT scoring
+    * rule, Khattab & Zaharia SIGIR 2020): both sides are vector SETS —
+    * the query a handful of token vectors, each document its chunk
+    * vectors (`groupCol` groups them) — and
+    * `score(q, d) = Σ_t max_{v∈d} cos(t, v)`: every query token finds
+    * its best-matching document vector independently, so multi-topic
+    * documents aren't punished the way single-pooled-vector scoring
+    * punishes them, and single-vector [[bestChunkPerDoc]] (A8) is
+    * exactly the 1-token special case.
+    *
+    * Engine-exact with NO handoff: per-vector sims are the f32 kernel,
+    * per-group MAX is order-insensitive (unlike a sum, no float
+    * accumulation-order hazard — this is why maxsim gates exactly
+    * where mean-pooling needed fixed-point), and the final score is a
+    * FIXED left-associative sum of the |q| maxes — one IEEE expression
+    * both engines evaluate identically.
+    *
+    * Scale shape: one narrow map (|q| sim columns per vector row), one
+    * map-side-combined group agg (groups·|q| doubles), one TakeOrdered
+    * — nothing corpus-sized shuffles or broadcasts; |q| is a query,
+    * not data, so the column fan-out is bounded by contract. Groups
+    * whose vectors are all null score null and are excluded on both
+    * engines. Returns (groupCol, max_sim_0.., maxsim_score) in
+    * (score desc, group) order. */
+  def maxSimTopK(vectors: DataFrame, groupCol: String,
+                 queryVecs: Seq[Seq[Float]], k: Int,
+                 embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queryVecs.nonEmpty, "maxSimTopK needs at least one query vector")
+    val sims = queryVecs.zipWithIndex.map { case (q, i) =>
+      cosSimF32(col(embCol), typedLit(q)).cast("double").as(s"__sim_$i")
+    }
+    val maxes = queryVecs.indices
+      .map(i => max(col(s"__sim_$i")).as(s"max_sim_$i"))
+    val score = queryVecs.indices.map(i => col(s"max_sim_$i"))
+      .reduceLeft(_ + _)
+    vectors
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol) +: sims: _*)
+      .groupBy(col(groupCol))
+      .agg(maxes.head, maxes.tail: _*)
+      .withColumn("maxsim_score", score)
+      .filter(col("maxsim_score").isNotNull)
+      .orderBy(col("maxsim_score").desc, col(groupCol))
+      .limit(k)
+  }
+
   /** Similarity-threshold calibration over a query sample — the
     * data-driven version of the reference's hardcoded
     * `SIMILARITY_THRESHOLD = 0.1` (`config.py:49`): per query,

@@ -196,6 +196,18 @@ object AnnQueries {
       Sq.searchSq8(Sq.quantize(emb), VectorQueries.qvec(s, dir, 0),
         k = 10, rerank = 32)
     },
+    // late-interaction (ColBERT maxsim) multi-vector retrieval: 4
+    // query token vectors vs 8-vector document groups; per-token max
+    // cosine (order-insensitive — no float-sum hazard), fixed-order
+    // score sum, top-10 docs. NO handoff: sims, maxes, the score and
+    // the cut all replay from `embeddings` alone.
+    "ann_maxsim" -> { (s, dir) =>
+      val qs = (0L to 3L).map(i => VectorQueries.qvec(s, dir, i))
+      VectorSearch.maxSimTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 8)
+          .withColumn("doc_id", expr("vec_id div 8")),
+        "doc_id", qs, k = 10)
+    },
     // Binary quantization ANN: 1-bit sign codes (32x smaller than
     // f32), asymmetric integer candidate ranking (doc bits vs the
     // query in 2^20 fixed point — exact longs, engine-portable), f32
@@ -717,6 +729,30 @@ object AnnQueries {
         |)
         |SELECT vec_id, label, approx_dot, cos_sim FROM cand
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // full maxsim replay from embeddings alone: f32 cosine kernel,
+    // order-insensitive per-group max, the same left-associative
+    // 4-term score sum
+    "ann_maxsim" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 3
+        |), sims AS (
+        |  SELECT e.vec_id // 8 AS doc_id, q.qid,
+        |         CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id >= 8
+        |), mx AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN qid = 0 THEN sim END) AS max_sim_0,
+        |         max(CASE WHEN qid = 1 THEN sim END) AS max_sim_1,
+        |         max(CASE WHEN qid = 2 THEN sim END) AS max_sim_2,
+        |         max(CASE WHEN qid = 3 THEN sim END) AS max_sim_3
+        |  FROM sims GROUP BY doc_id
+        |)
+        |SELECT doc_id, max_sim_0, max_sim_1, max_sim_2, max_sim_3,
+        |       max_sim_0 + max_sim_1 + max_sim_2 + max_sim_3 AS maxsim_score
+        |FROM mx
+        |WHERE max_sim_0 + max_sim_1 + max_sim_2 + max_sim_3 IS NOT NULL
+        |ORDER BY maxsim_score DESC, doc_id LIMIT 10""".stripMargin,
     // full BQ replay from embeddings alone: the bit rule
     // (isfinite AND > 0 — identical semantics both engines, NaN
     // comparisons differ unguarded), the query in 2^20 fixed point,
