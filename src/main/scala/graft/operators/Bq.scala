@@ -170,23 +170,7 @@ object Bq {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val cand = bqCandidates(quantized, queryVec, rerank, idCol, codeCol)
       .collect()
-    val spark = quantized.sparkSession
-    import scala.jdk.CollectionConverters._
-    val dots = spark.createDataFrame(
-      cand.toSeq.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(idCol,
-          quantized.schema(idCol).dataType, nullable = false),
-        org.apache.spark.sql.types.StructField("adot_fp",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    val ids = cand.map(_.get(0))
-    quantized
-      .filter(col(idCol).isin(ids: _*))
-      .join(broadcast(dots), Seq(idCol))
-      .withColumn("cos_sim",
-        cosSimF32(col(embCol), typedLit(queryVec)).cast("double"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
-      .drop(embCol, codeCol)
+    Sq.fetchAndRerank(quantized, cand, "adot_fp", queryVec, k,
+      embCol, idCol, codeCol)
   }
 }

@@ -32,14 +32,21 @@ import org.apache.spark.sql.functions._
   * map-side-combined agg), the prefix cut is a per-doc window, the
   * self-join touches only prefix rows (≤ q·τ+1 per doc, deduped per
   * gram string) bucketed by gram — never all-pairs — and verification
-  * is per-candidate, output-bound like the PPJoin engine. The prefix
-  * projection feeds both join sides, so it is persisted and
-  * self-releases after the first action (the hashedTokenProjection
-  * pattern). Strings shorter than q have no grams and take a separate
-  * broadcast path (documented bounded: sub-q strings are degenerate —
-  * empty or near-empty docs; a corpus dominated by them needs a
-  * smaller q, and the broadcast fails loudly at driver limits rather
-  * than silently dropping pairs). */
+  * is per-candidate, output-bound like the PPJoin engine. The base
+  * and prefix projections each feed multiple consumers, so both are
+  * persisted and self-release after the first action (the
+  * hashedTokenProjection pattern).
+  *
+  * The survival lemma needs a string to OWN q·τ+1 grams: with fewer
+  * (length < q·(τ+1)), every gram can be destroyed and the prefix
+  * argument is void — such SHORT strings take a separate broadcast
+  * path (short × any-doc-in-the-length-window, so short-short and
+  * short-long pairs are both covered; the prefix self-join keeps only
+  * full-prefix strings on both sides, so the two paths are disjoint).
+  * Documented bounded: at the gate's τ the cutoff is a few dozen
+  * characters — near-empty degenerate docs; a corpus dominated by
+  * them needs a smaller q/τ, and the broadcast fails loudly at driver
+  * limits rather than silently dropping pairs. */
 object EdJoin {
 
   /** All pairs `(id_a, id_b, edit_dist)` with `id_a < id_b` and
@@ -51,8 +58,13 @@ object EdJoin {
     val base = docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .filter(col("__id").isNotNull && col("__text").isNotNull)
       .withColumn("__len", length(col("__text")))
-    // --- positional q-grams of every string with >= q chars
-    val grams = base.filter(col("__len") >= q)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.releaseAfterUse(base)
+    // the survival-lemma cutoff: a full q*tau+1-gram prefix needs
+    // l - q + 1 >= q*tau + 1, i.e. l >= q*(tau+1)
+    val fullPrefixLen = q * (tau + 1)
+    // --- positional q-grams of every full-prefix string
+    val grams = base.filter(col("__len") >= fullPrefixLen)
       .select(col("__id"), col("__len"),
         posexplode(expr(s"transform(sequence(0, __len - $q), " +
           s"i -> substring(__text, i + 1, $q))")).as(Seq("pos", "gram")))
@@ -86,9 +98,11 @@ object EdJoin {
         levenshtein(col("__text_a"), col("__text_b"), tau).cast("long"))
       .filter(col("edit_dist") >= 0)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
-    // --- sub-q strings have no grams: broadcast the (degenerate,
-    // bounded-by-contract) short side against the length window
-    val shorts = base.filter(col("__len") < q)
+    // --- strings below the survival cutoff (incl. sub-q ones with no
+    // grams at all): broadcast the (degenerate, bounded-by-contract)
+    // short side against the length window — covers short-short and
+    // short-long; disjoint from the full-prefix self-join above
+    val shorts = base.filter(col("__len") < fullPrefixLen)
       .select(col("__id").as("id_s"), col("__text").as("__text_s"),
         col("__len").as("len_s"))
     val shortPairs = broadcast(shorts).join(base,

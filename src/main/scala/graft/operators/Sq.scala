@@ -106,6 +106,40 @@ object Sq {
       .select(col(idCol), col("approx_dot"))
   }
 
+  /** Shared PHASE 2 of the two-phase code-scan contract ([[searchSq8]]
+    * and [[Bq.searchBq]] — one owner, so the fetch/rerank shape cannot
+    * fork between the quantization families): materialize the bounded
+    * candidate (id, dot) list on the driver, re-read the candidates'
+    * f32 vectors via a pushed `isin` predicate, broadcast the dots
+    * back alongside, exact f32 cosine top-k. Returns (input columns
+    * minus emb/code) + (dotCol, cos_sim) in (cos_sim desc, id)
+    * order. */
+  private[operators] def fetchAndRerank(quantized: DataFrame,
+                                        cand: Array[org.apache.spark.sql.Row],
+                                        dotCol: String, queryVec: Seq[Float],
+                                        k: Int, embCol: String,
+                                        idCol: String,
+                                        codeCol: String): DataFrame = {
+    val spark = quantized.sparkSession
+    import scala.jdk.CollectionConverters._
+    val dots = spark.createDataFrame(
+      cand.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          quantized.schema(idCol).dataType, nullable = false),
+        org.apache.spark.sql.types.StructField(dotCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val ids = cand.map(_.get(0))
+    quantized
+      .filter(col(idCol).isin(ids: _*))
+      .join(broadcast(dots), Seq(idCol))
+      .withColumn("cos_sim",
+        cosSimF32(col(embCol), typedLit(queryVec)).cast("double"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .drop(embCol, codeCol)
+  }
+
   /** SQ8 ANN in TWO PHASES, like every production code-scan index:
     *
     *  1. CANDIDATE SCAN reads ONLY (id, code) — a narrow projection
@@ -134,24 +168,8 @@ object Sq {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val cand = sq8Candidates(quantized, queryVec, rerank, idCol, codeCol)
       .collect()
-    val spark = quantized.sparkSession
-    import scala.jdk.CollectionConverters._
-    val dots = spark.createDataFrame(
-      cand.toSeq.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(idCol,
-          quantized.schema(idCol).dataType, nullable = false),
-        org.apache.spark.sql.types.StructField("approx_dot",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    val ids = cand.map(_.get(0))
-    quantized
-      .filter(col(idCol).isin(ids: _*))
-      .join(broadcast(dots), Seq(idCol))
-      .withColumn("cos_sim",
-        cosSimF32(col(embCol), typedLit(queryVec)).cast("double"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
-      .drop(embCol, codeCol)
+    fetchAndRerank(quantized, cand, "approx_dot", queryVec, k,
+      embCol, idCol, codeCol)
   }
 
   /** IVF + SQ8 — the combined at-scale shape (faiss `IVF<n>,SQ8`):

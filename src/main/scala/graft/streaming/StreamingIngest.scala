@@ -188,6 +188,37 @@ object StreamingIngest {
     * surviving batch publishes nothing. The batch is persisted for
     * the epoch (fingerprint + routing + graph write each act on it) —
     * the read-once-per-epoch convention of [[jsonlIngestStream]]. */
+  /** Carry every retained replay marker from the current version into
+    * a freshly built one. Load-bearing when SEVERAL publishers share
+    * one root (insert stream + delete stream, or a nightly batch
+    * publish between stream epochs): [[graft.operators.Hnsw.saveHnsw]]
+    * writes a fresh directory, so without the carry each publish would
+    * DROP the other publishers' markers — an insert epoch replayed
+    * after an interleaved delete publish would miss its own marker,
+    * re-apply, and poison the stream on the live-id dup guard.
+    * Retention is capped per marker prefix (insert vs delete) at the
+    * numerically-highest epoch ids: replay only ever concerns the most
+    * recent uncommitted epochs, and an unbounded carry would grow a
+    * long-lived stream's versions by one empty file per epoch
+    * forever. */
+  private def carryEpochMarkers(fs: org.apache.hadoop.fs.FileSystem,
+                                cur: String, dir: String,
+                                keepPerPrefix: Int = 64): Unit = {
+    val markers = fs.globStatus(new org.apache.hadoop.fs.Path(s"$cur/_epoch_*"))
+    if (markers != null && markers.nonEmpty) {
+      def epochOf(n: String): Long = {
+        val parts = n.split("_") // "", "epoch", ["del",] id, n, hash
+        val idx = if (n.startsWith("_epoch_del_")) 3 else 2
+        scala.util.Try(parts(idx).toLong).getOrElse(-1L)
+      }
+      markers.map(_.getPath.getName)
+        .groupBy(_.startsWith("_epoch_del_")).values
+        .foreach(_.sortBy(n => -epochOf(n)).take(keepPerPrefix).foreach { n =>
+          fs.create(new org.apache.hadoop.fs.Path(s"$dir/$n"), true).close()
+        })
+    }
+  }
+
   def hnswIngestStream(vectors: DataFrame, root: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream
@@ -221,6 +252,7 @@ object StreamingIngest {
                 dir =>
                   graft.operators.Hnsw.saveHnsw(appended, idx.centroids,
                     idx.params, dir)
+                  carryEpochMarkers(fs, cur, dir)
                   fs.create(new org.apache.hadoop.fs.Path(s"$dir/$markerName"),
                     true).close()
               }
@@ -247,7 +279,11 @@ object StreamingIngest {
     * Epoch-idempotent via the same `_epoch_…` marker protocol as the
     * insert stream, under a `_epoch_del_` prefix so an insert epoch
     * and a delete epoch over the SAME ids (epoch 0 of two streams on
-    * one root) can never satisfy each other's skip. A replayed delete
+    * one root) can never satisfy each other's skip. Every publish
+    * CARRIES the other publishers' retained markers forward
+    * ([[carryEpochMarkers]]) — without that, an interleaved publish
+    * from the sibling stream would drop this stream's marker and a
+    * checkpoint replay would re-apply. A replayed delete
     * is naturally idempotent (re-flipping a flag changes nothing) —
     * the marker's job here is version economy: recovery must not
     * republish an identical graph and stampede every prober's
@@ -283,6 +319,7 @@ object StreamingIngest {
                 dir =>
                   graft.operators.Hnsw.saveHnsw(tombstoned, idx.centroids,
                     idx.params, dir)
+                  carryEpochMarkers(fs, cur, dir)
                   fs.create(new org.apache.hadoop.fs.Path(s"$dir/$markerName"),
                     true).close()
               }

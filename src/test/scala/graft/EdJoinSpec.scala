@@ -78,6 +78,45 @@ class EdJoinSpec extends SparkSpec {
     assert(got === brute(docs, 5).map(t => (t._1, t._2)).toSet)
   }
 
+  test("strings with fewer than q*tau+1 grams are not lost (survival-lemma cutoff)") {
+    // the prefix of a 5-char string at q=3 is ALL 3 of its grams and
+    // one substitution can destroy all of them: 'abcde' vs 'abXde'
+    // share no gram string — only the short path can find the pair
+    val docs = Seq((1L, "abcde"), (2L, "abXde"), (3L, "qqqqq"))
+      .toDF("doc_id", "text")
+    val got = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 1)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 2L, 1L)))
+    // and the mixed case: one side short of a full prefix, one not
+    val mixed = Seq((1L, "abcdefgh"), (2L, "abcdefghXXXXXXXXXXXXXXXXXXXXXXXXXXXX"))
+      .toDF("doc_id", "text")
+    assert(EdJoin.editDistanceJoin(mixed, "doc_id", "text", tau = 2)
+      .collect().isEmpty) // distance 28 — sanity that nothing false-positives
+    val mixed2 = Seq((1L, "abcdefgh"), (2L, "abYdefgh"))
+      .toDF("doc_id", "text")
+    assert(EdJoin.editDistanceJoin(mixed2, "doc_id", "text", tau = 2)
+      .as[(Long, Long, Long)].collect().toSeq === Seq((1L, 2L, 1L)))
+  }
+
+  test("random-edit recall on SHORT strings (below q*(tau+1)) == brute force") {
+    val rnd = new scala.util.Random(43)
+    val alphabet = "abcd"
+    val rows = (0 until 15).flatMap { g =>
+      val base = Seq.fill(4 + rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val sb = new StringBuilder(base)
+      (1 to 1 + rnd.nextInt(3)).foreach { _ =>
+        if (sb.nonEmpty) sb.setCharAt(rnd.nextInt(sb.length),
+          alphabet(rnd.nextInt(4)))
+      }
+      Seq((g.toLong * 2, base), (g.toLong * 2 + 1, sb.toString))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val got = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === brute(docs, 3))
+  }
+
   test("short strings below the gram width pair correctly") {
     val docs = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "abcd"),
       (5L, "xyzw")).toDF("doc_id", "text")

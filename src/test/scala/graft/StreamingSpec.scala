@@ -666,6 +666,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("interleaved publishers carry each other's epoch markers forward") {
+    // the poison-replay hazard: insert stream publishes epoch E's
+    // marker into vN; a delete publish then builds vN+1 FRESH — if it
+    // dropped the insert marker, a checkpoint replay of E would
+    // re-insert live ids and crash the stream on the dup guard
+    val Hnsw = graft.operators.Hnsw
+    withTempDir("hnsw-marker-carry") { dir =>
+      val root = dir.getPath
+      val index = graft.queries.AnnQueries.persistedIvf(spark, sfDir)
+      val P = Hnsw.HnswParams()
+      val graph0 = Hnsw.buildShards(index.assigned, P)
+      graft.operators.CorpusModels.publishModelVersion(spark, root) { d =>
+        Hnsw.saveHnsw(graph0, index.centroids, P, d)
+      }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // insert epoch 0
+      val ins = MemoryStream[(Long, Seq[Float])]
+      val q1 = StreamingIngest.hnswIngestStream(
+          ins.toDF().toDF("vec_id", "embedding"), root)
+        .option("checkpointLocation", s"$root/ckpt-ins").start()
+      val v0 = Tables.embeddings(spark, sfDir).filter($"vec_id" === 7)
+        .select($"embedding").head().getSeq[Float](0)
+      try { ins.addData((900001L, v0)); q1.processAllAvailable() }
+      finally q1.stop()
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def markers(v: String) = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$v/_epoch_*")).map(_.getPath.getName).toSet
+      val v2 = graft.serving.Serving.currentModelDir(root)
+      val insertMarkers = markers(v2).filterNot(_.startsWith("_epoch_del_"))
+      assert(insertMarkers.nonEmpty, "insert epoch must leave its marker")
+      // delete epoch 0 on the same root
+      val del = MemoryStream[Long]
+      val q2 = StreamingIngest.hnswDeleteStream(
+          del.toDF().toDF("vec_id"), root)
+        .option("checkpointLocation", s"$root/ckpt-del").start()
+      try { del.addData(900001L); q2.processAllAvailable() }
+      finally q2.stop()
+      val v3 = graft.serving.Serving.currentModelDir(root)
+      assert(v3 !== v2)
+      val m3 = markers(v3)
+      assert(insertMarkers.subsetOf(m3),
+        s"delete publish dropped the insert stream's markers: $m3")
+      assert(m3.exists(_.startsWith("_epoch_del_")))
+    }
+  }
+
   test("hnsw delete stream: versioned tombstones, servable, batch==stream") {
     val Hnsw = graft.operators.Hnsw
     withTempDir("hnsw-del-stream") { dir =>
