@@ -128,6 +128,28 @@ class EdJoinSpec extends SparkSpec {
     assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).subsetOf(pairs))
   }
 
+  test("exact-twin collapse: duplicate-heavy corpus == brute force (incl. distance-0 pairs)") {
+    // 4 classes: two twin groups of sizes 3 and 4 within tau of each
+    // other, plus two singletons (one near, one far)
+    val rows =
+      (0 until 3).map(i => (10L + i, "the quick brown fox jumps")) ++
+      (0 until 4).map(i => (20L + i, "the quick brown fax jumps")) ++
+      Seq((30L, "the quick brown fox jumpers"),
+          (40L, "completely unrelated text zzz"))
+    val docs = rows.toDF("doc_id", "text")
+    val got = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === brute(docs, 3))
+    // intra-class pairs all at distance 0, cross-class at their true d
+    assert(got.count(_._3 == 0L) === 3 + 6)
+    assert(got.contains((10L, 20L, 1L)) && got.contains((12L, 23L, 1L)))
+    // even tau = 0 keeps the twins
+    val zero = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau = 0)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(zero === brute(docs, 0))
+    assert(zero.nonEmpty && zero.forall(_._3 == 0L))
+  }
+
   test("null ids and null texts are ignored, not joined or crashed on") {
     val docs = Seq(
       (java.lang.Long.valueOf(1L), "hello world"),
