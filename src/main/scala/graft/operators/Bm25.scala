@@ -100,14 +100,18 @@ object Bm25 {
     scoreAndTake(postings, dfByTerm, stats, k, k1, b, rationalIdf)
   }
 
-  /** The shared scoring tail of [[topK]] and [[searchPersistedIndex]]
-    * — one implementation, so on-the-fly and index-backed search agree
-    * bit-for-bit by construction. Both joined sides after the
-    * broadcasts are bounded by the query postings; stats and df are
-    * 1-row / |queryTerms|-row broadcasts. */
+  /** The shared scoring tail of [[topK]], [[searchPersistedIndex]] and
+    * [[prfTopK]] — one implementation, so on-the-fly, index-backed and
+    * feedback-expanded search agree bit-for-bit by construction. Both
+    * joined sides after the broadcasts are bounded by the query
+    * postings; stats and df are 1-row / |queryTerms|-row broadcasts.
+    * `weights` (term → integer weight, default all-1) multiplies each
+    * term's FLOORED fixed-point score — exact long arithmetic, so the
+    * weighted form stays engine-portable. */
   private def scoreAndTake(postings: DataFrame, dfByTerm: DataFrame,
                            stats: DataFrame, k: Int, k1: Double, b: Double,
-                           rationalIdf: Boolean): DataFrame = {
+                           rationalIdf: Boolean,
+                           weights: Map[String, Long] = Map.empty): DataFrame = {
     val ratio = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val idf = if (rationalIdf) ratio else log(ratio + lit(1.0))
@@ -115,14 +119,67 @@ object Bm25 {
       lit(k1) * (lit(1.0) - lit(b) +
         lit(b) * (col("dl").cast("double") / col("avgdl")))
     val termScore = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) / denom
+    val w =
+      if (weights.isEmpty) lit(1L)
+      else coalesce(element_at(typedLit(weights), col("term")), lit(1L))
     postings
       .join(broadcast(dfByTerm), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("score_fp", floor(termScore * lit(1.0e9)).cast("long"))
+      .withColumn("score_fp", floor(termScore * lit(1.0e9)).cast("long") * w)
       .groupBy(col("id"))
       .agg(sum(col("score_fp")).as("bm25_fp"), count(lit(1)).as("n_terms"))
       .orderBy(col("bm25_fp").desc, col("id"))
       .limit(k)
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3/Rocchio idea,
+    * integer-exact): run BM25 for the original terms, harvest the
+    * `fbTerms` most frequent NEW terms from the top `fbDocs` feedback
+    * documents (total occurrence count across the feedback set, exact
+    * longs, ties by term asc — the deterministic RM3-lite weighting),
+    * and re-score with the union, original terms weighted `wOrig` and
+    * expansion terms `wExp` (integer multipliers of the floored
+    * per-term fixed-point scores, so the interpolation is exact).
+    * With `fbTerms = 0` and `wOrig = 1` this IS [[topK]].
+    *
+    * Fully SQL-replayable — both passes, the feedback cut and the
+    * expansion-term selection are relational (no handoff): the one IR
+    * op in the family whose ENTIRE feedback loop the oracle re-runs.
+    *
+    * Scale shape: pass 1 is [[topK]] (query postings only shuffle);
+    * the harvest explodes ONLY the `fbDocs` feedback documents
+    * (driver-bounded id list, pushed isin); pass 2 is [[topK]] over
+    * |orig| + `fbTerms` terms. Driver round-trips between the phases
+    * carry fbDocs ids and fbTerms strings — the ANN candidate-list
+    * contract. */
+  def prfTopK(docs: DataFrame, idCol: String, textCol: String,
+              queryTerms: Seq[String], k: Int,
+              fbDocs: Int = 10, fbTerms: Int = 8,
+              wOrig: Long = 2L, wExp: Long = 1L,
+              k1: Double = 1.2, b: Double = 0.75,
+              rationalIdf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fbDocs > 0, s"fbDocs must be positive, got $fbDocs")
+    require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
+    require(wOrig > 0 && wExp > 0, "weights must be positive integers")
+    val fb = topK(docs, idCol, textCol, queryTerms, fbDocs, k1, b, rationalIdf)
+      .select(col("id")).collect().map(_.get(0))
+    val expTerms: Seq[String] =
+      if (fbTerms == 0 || fb.isEmpty) Seq.empty
+      else docs.filter(col(idCol).isin(fb: _*))
+        .select(explode(terms(col(textCol))).as("term"))
+        .filter(!col("term").isin(queryTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(fbTerms)
+        .collect().map(_.getString(0)).toSeq
+    val union = queryTerms ++ expTerms
+    val weights: Map[String, Long] =
+      (queryTerms.map(_ -> wOrig) ++ expTerms.map(_ -> wExp)).toMap
+    val postings = index(docs, idCol, textCol, union)
+    val dfByTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreAndTake(postings, dfByTerm, corpusStats(docs, textCol), k, k1, b,
+      rationalIdf, weights)
   }
 
   /** Materialize the FULL inverted index once — the amortization path

@@ -30,6 +30,18 @@ object HybridQueries {
           QueryTerms, k = 20, rationalIdf = true)
         .withColumnRenamed("id", "doc_id")
     },
+    // pseudo-relevance-feedback expansion (RM3-lite): BM25 top-10
+    // feedback docs -> 8 most frequent new terms -> weighted re-score
+    // (orig x2, expansion x1, integer multipliers of the floored
+    // fixed-point term scores). The ONE IR gate whose entire feedback
+    // loop the oracle re-runs in SQL — both passes, the feedback cut
+    // and the term selection are relational, no handoff.
+    "bm25_prf" -> { (s, dir) =>
+      Bm25.prfTopK(Tables.documents(s, dir), "doc_id", "text",
+          QueryTerms, k = 20, fbDocs = 10, fbTerms = 8,
+          wOrig = 2L, wExp = 1L, rationalIdf = true)
+        .withColumnRenamed("id", "doc_id")
+    },
     // the SAME query answered from a PERSISTED inverted index: must
     // hash-match the on-the-fly bm25_topk oracle exactly. The index is
     // built once per fixture dir and reused (the persistedIvf pattern —
@@ -178,6 +190,45 @@ object HybridQueries {
       s"""WITH ${bm25Sql("documents", 20)}
          |SELECT doc_id, bm25_fp, n_terms FROM btop
          |ORDER BY bm25_fp DESC, doc_id""".stripMargin,
+    // the full PRF loop replayed: pass-1 btop (k=10) is the feedback
+    // set, expansion terms re-derived from the corpus token stream
+    // (count desc, term asc, originals excluded), pass 2 re-scored
+    // with the integer weights — no handoff anywhere
+    "bm25_prf" ->
+      s"""WITH ${bm25Sql("documents", 10)},
+         |fb AS (SELECT doc_id FROM btop),
+         |expt AS (
+         |  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM toks t JOIN fb USING (doc_id)
+         |  WHERE t.term NOT IN ('vector', 'hash', 'join')
+         |  GROUP BY 1
+         |),
+         |expterms AS (SELECT term FROM expt ORDER BY cnt DESC, term LIMIT 8),
+         |qterms AS (
+         |  SELECT term, CAST(2 AS BIGINT) AS w
+         |  FROM (VALUES ('vector'), ('hash'), ('join')) v(term)
+         |  UNION ALL
+         |  SELECT term, CAST(1 AS BIGINT) FROM expterms
+         |),
+         |post2 AS (
+         |  SELECT t.doc_id, t.term, t.dl, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks t JOIN qterms q USING (term)
+         |  GROUP BY 1, 2, 3
+         |),
+         |dft2 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post2 GROUP BY 1),
+         |scored2 AS (
+         |  SELECT p.doc_id,
+         |         q.w * CAST(floor((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)
+         |           * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+         |           / (CAST(p.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(p.dl AS DOUBLE) / s.avgdl)))
+         |           * 1.0e9) AS BIGINT) AS score_fp
+         |  FROM post2 p JOIN dft2 d USING (term) JOIN qterms q USING (term)
+         |  CROSS JOIN stats s
+         |)
+         |SELECT doc_id, CAST(SUM(score_fp) AS BIGINT) AS bm25_fp,
+         |       CAST(COUNT(*) AS BIGINT) AS n_terms
+         |FROM scored2 GROUP BY 1
+         |ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin,
     // index-backed search must equal the on-the-fly computation
     "bm25_indexed" ->
       s"""WITH ${bm25Sql("documents", 20)}

@@ -252,6 +252,61 @@ class HybridSearchSpec extends SparkSpec {
 
   // ------------------------------------------------------- token windows
 
+  test("prfTopK: fbTerms=0 with unit weight IS plain topK") {
+    val docs = Tables.documents(spark, sfDir)
+    val q = Seq("vector", "hash", "join")
+    val plain = Bm25.topK(docs, "doc_id", "text", q, k = 20, rationalIdf = true)
+      .as[(Long, Long, Long)].collect().toSeq
+    val prf = Bm25.prfTopK(docs, "doc_id", "text", q, k = 20,
+        fbDocs = 10, fbTerms = 0, wOrig = 1L, wExp = 1L, rationalIdf = true)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(prf === plain)
+  }
+
+  test("prfTopK: weighted score decomposes as wOrig*orig + wExp*expansion parts") {
+    val docs = Tables.documents(spark, sfDir)
+    val q = Seq("vector", "hash", "join")
+    val n = docs.count().toInt
+    // re-derive the expansion terms exactly as the operator does
+    val fb = Bm25.topK(docs, "doc_id", "text", q, k = 10, rationalIdf = true)
+      .select($"id").as[Long].collect()
+    val exp = docs.filter($"doc_id".isin(fb: _*))
+      .select(explode(Bm25.terms($"text")).as("term"))
+      .filter(!$"term".isin(q: _*))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"term").limit(8)
+      .select($"term").as[String].collect().toSeq
+    assert(exp.size === 8 && exp.intersect(q).isEmpty)
+    // per-term BM25 parts are independent (df per term, shared stats),
+    // so the weighted score must equal 2*origPart + 1*expPart
+    def scores(ts: Seq[String]): Map[Long, Long] =
+      Bm25.topK(docs, "doc_id", "text", ts, k = n, rationalIdf = true)
+        .select($"id", $"bm25_fp").as[(Long, Long)].collect().toMap
+    val (orig, expanded) = (scores(q), scores(exp))
+    val got = Bm25.prfTopK(docs, "doc_id", "text", q, k = 20,
+        fbDocs = 10, fbTerms = 8, wOrig = 2L, wExp = 1L, rationalIdf = true)
+      .select($"id", $"bm25_fp").as[(Long, Long)].collect().toSeq
+    got.foreach { case (id, s) =>
+      val want = 2L * orig.getOrElse(id, 0L) + expanded.getOrElse(id, 0L)
+      assert(s === want, s"doc $id")
+    }
+    // and the run is deterministic
+    val again = Bm25.prfTopK(docs, "doc_id", "text", q, k = 20,
+        fbDocs = 10, fbTerms = 8, wOrig = 2L, wExp = 1L, rationalIdf = true)
+      .select($"id", $"bm25_fp").as[(Long, Long)].collect().toSeq
+    assert(again === got)
+  }
+
+  test("prfTopK guards: positive k/fbDocs/weights") {
+    val docs = Tables.documents(spark, sfDir)
+    intercept[IllegalArgumentException](
+      Bm25.prfTopK(docs, "doc_id", "text", Seq("a"), k = 0))
+    intercept[IllegalArgumentException](
+      Bm25.prfTopK(docs, "doc_id", "text", Seq("a"), k = 1, fbDocs = 0))
+    intercept[IllegalArgumentException](
+      Bm25.prfTopK(docs, "doc_id", "text", Seq("a"), k = 1, wOrig = 0L))
+  }
+
   test("windowDocs: boundary math — exact window counts and coverage") {
     val docs = Seq(
       (1L, ""),                                   // empty → 1 empty window
