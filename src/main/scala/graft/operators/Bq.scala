@@ -173,4 +173,22 @@ object Bq {
     Sq.fetchAndRerank(quantized, cand, "adot_fp", queryVec, k,
       embCol, idCol, codeCol)
   }
+
+  /** IVF + BQ — the combined at-scale shape (faiss `IVF<n>,` + a
+    * binary quantizer, Milvus `BIN_IVF`): coarse cluster pruning cuts
+    * the scan to ~nprobe/k of the corpus, the 1-bit asymmetric
+    * integer dot ranks the survivors on 32×-compressed codes, and the
+    * f32 rerank restores exact order — [[Sq.searchIvfSq8]]'s contract
+    * at the compression family's far end. Probe ranking is the ONE
+    * shared [[Ann.rankProbes]] kernel; quantization runs in-plan over
+    * the pruned rows (a production table stores `bq_code` next to
+    * `ivf_cluster` at ingest — [[quantize]] is stateless, appends
+    * never refit). */
+  def searchIvfBq(index: Ann.IvfIndex, queryVec: Seq[Float], k: Int,
+                  rerank: Int, nprobe: Int): DataFrame = {
+    val probes = Ann.rankProbes(index.centroids, queryVec.toArray, nprobe)
+    val pruned = index.assigned.filter(col("ivf_cluster").isin(probes: _*))
+    searchBq(quantize(pruned, index.embCol), queryVec, k, rerank,
+      index.embCol, index.idCol)
+  }
 }

@@ -231,6 +231,17 @@ object AnnQueries {
       Sq.searchIvfSq8(index, VectorQueries.qvec(s, dir, 0),
         k = 10, rerank = 32, nprobe = 4)
     },
+    // IVF + BQ (Milvus BIN_IVF shape): the same coarse pruning with
+    // the 1-bit asymmetric integer ranking — the compression family's
+    // far end composed with the routing layer. Probe replay from the
+    // centroid handoff; bits/fixed-point dots/cut/rerank re-derived
+    // from embeddings (the ann_bq contract).
+    "ann_ivf_bq" -> { (s, dir) =>
+      val index = persistedIvf(s, dir)
+      writeIvfHandoff(s, index)
+      Bq.searchIvfBq(index, VectorQueries.qvec(s, dir, 0),
+        k = 10, rerank = 64, nprobe = 4)
+    },
     // MRR@10 — the third retrieval-eval leg on the same sample/index:
     // how far down the IVF list the first truly-relevant id sits
     "ann_mrr_report" -> { (s, dir) =>
@@ -834,6 +845,40 @@ object AnnQueries {
          |  SELECT * FROM scored ORDER BY approx_dot DESC, vec_id LIMIT 32
          |)
          |SELECT vec_id, label, ivf_cluster, approx_dot, cos_sim FROM cand
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // ann_ivf's probe replay composed with ann_bq's bit replay over
+    // the pruned rows
+    "ann_ivf_bq" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |asg AS (SELECT * FROM ${rp(AssignedHandoff)}),
+         |probes AS (
+         |  SELECT cluster_id FROM cents CROSS JOIN $qvecSql q
+         |  ORDER BY CAST(list_distance(centroid, q.qv) AS DOUBLE), cluster_id
+         |  LIMIT 4
+         |),
+         |bits AS (
+         |  SELECT e.vec_id, e.label, a.ivf_cluster, e.embedding,
+         |         list_transform(e.embedding, x ->
+         |           CASE WHEN isfinite(x) AND x > 0 THEN 1 ELSE 0 END) AS bit
+         |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+         |  WHERE a.ivf_cluster IN (SELECT cluster_id FROM probes)
+         |),
+         |q AS (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+         |),
+         |scored AS (
+         |  SELECT b.vec_id, b.label, b.ivf_cluster,
+         |         CAST(list_sum(list_transform(list_zip(b.bit, q.qe),
+         |           t -> (2*t[1] - 1) *
+         |                CAST(floor(CAST(t[2] AS DOUBLE) * 1048576.0) AS BIGINT)))
+         |           AS BIGINT) AS adot_fp,
+         |         CAST(list_cosine_similarity(b.embedding, q.qe) AS DOUBLE) AS cos_sim
+         |  FROM bits b CROSS JOIN q
+         |),
+         |cand AS (
+         |  SELECT * FROM scored ORDER BY adot_fp DESC, vec_id LIMIT 64
+         |)
+         |SELECT vec_id, label, ivf_cluster, adot_fp, cos_sim FROM cand
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // same replay as ann_recall_report; first hit = min approx rank
     // inside the exact set, rr = one engine-identical division

@@ -135,6 +135,29 @@ class BqSpec extends SparkSpec {
     }
   }
 
+  test("searchIvfBq: nprobe=ALL + corpus-wide rerank equals exact cosine top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = graft.operators.Ann.buildIvf(emb, numClusters = 8)
+    val q = graft.queries.VectorQueries.qvec(spark, sfDir, 3)
+    val got = Bq.searchIvfBq(idx, q, k = 10, rerank = 500, nprobe = 8)
+      .select($"vec_id").as[Long].collect().toSeq
+    val exact = emb
+      .withColumn("cs", cosSimF32($"embedding", typedLit(q)).cast("double"))
+      .orderBy($"cs".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got === exact)
+  }
+
+  test("searchIvfBq: results come only from the probed clusters") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = graft.operators.Ann.buildIvf(emb, numClusters = 8)
+    val q = graft.queries.VectorQueries.qvec(spark, sfDir, 3)
+    val probed = graft.operators.Ann.rankProbes(idx.centroids, q.toArray, 2).toSet
+    val clusters = Bq.searchIvfBq(idx, q, k = 10, rerank = 64, nprobe = 2)
+      .select($"ivf_cluster".cast("int")).as[Int].collect().toSet
+    assert(clusters.subsetOf(probed))
+  }
+
   test("searchBq guards: rerank >= k") {
     val emb = Tables.embeddings(spark, sfDir)
     intercept[IllegalArgumentException](
