@@ -205,6 +205,72 @@ object TextQueries {
           .as("piece"))
         .groupBy(col("piece")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("piece")).limit(30)
+    },
+    // WordPiece tokenizer induction (the third subword family — BERT):
+    // the learned likelihood-merge table in rank order, with the pair
+    // AND both symbol counts at merge time (the score is ONE shared
+    // IEEE-double expression over them). Oracle: the bpe_train_merges
+    // inductive contract — rank r re-derived from the corpus plus only
+    // the merges BEFORE r (min-rank-first re-encode, weighted
+    // symbol/pair counts, argmax by the same double score with the
+    // lexicographic tie-break), so rank 0 uses no handoff and a hash
+    // match replays the whole training.
+    "wordpiece_train_merges" -> { (s, dir) =>
+      import s.implicits._
+      Handoff.publish(
+        graft.operators.WordPiece.train(Tables.documents(s, dir), "text",
+            nMerges = 64)
+          .toDF()
+          .select(col("rank").cast("long").as("rank"), col("left"),
+            col("right"), col("pairCount").as("pair_count"),
+            col("leftCount").as("left_count"),
+            col("rightCount").as("right_count"))
+          .orderBy(col("rank")),
+        WpMergesHandoff)
+    },
+    // WordPiece APPLY: per-doc greedy longest-match piece count, [UNK]
+    // count, and in-order digest. The trained vocabulary is the
+    // handoff; the oracle independently replays the greedy scan per
+    // distinct word (recursive CTE over positions, longest vocab match
+    // first, whole-word [UNK] on any miss or past-maxWordLen word —
+    // the cutoff sits below the fixture's longest word so the UNK path
+    // is live) and re-aggregates per document in word order.
+    "wordpiece_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.WordPiece.trainVocabulary(docs, "text",
+        nMerges = 64)
+      if (!Handoff.benchMode) {
+        import s.implicits._
+        vocab.sorted.toDF("piece")
+          .coalesce(1).write.mode("overwrite").parquet(WpVocabHandoff)
+      }
+      val pieces = graft.operators.WordPiece.encodeColumn(col("text"),
+        vocab, maxWordLen = graft.operators.WordPiece.GateMaxWordLen)
+      docs.select(col("doc_id"),
+          size(pieces).cast("long").as("n_pieces"),
+          size(filter(pieces, p => p === graft.operators.WordPiece.Unk))
+            .cast("long").as("n_unk"),
+          md5(concat_ws("\u001f", pieces).cast("binary")).as("piece_digest"))
+        .orderBy(col("doc_id"))
+    },
+    // corpus piece census through the same greedy apply: what the
+    // WordPiece tokenizer actually emits, top 30 by (n desc, piece) —
+    // [UNK] appears as a real census row via the maxWordLen cutoff.
+    "wordpiece_top_pieces" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.WordPiece.trainVocabulary(docs, "text",
+        nMerges = 64)
+      if (!Handoff.benchMode) {
+        import s.implicits._
+        vocab.sorted.toDF("piece")
+          .coalesce(1).write.mode("overwrite").parquet(WpTopHandoff)
+      }
+      docs.select(explode(
+          graft.operators.WordPiece.encodeColumn(col("text"), vocab,
+            maxWordLen = graft.operators.WordPiece.GateMaxWordLen))
+          .as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("piece")).limit(30)
     }
   )
 
@@ -303,6 +369,11 @@ object TextQueries {
   private val UnigramVocabHandoff = Handoff.path("unigram_vocab")
   private val UnigramTopHandoff = Handoff.path("unigram_top_vocab")
 
+  /** Handoffs for the WordPiece gates (same separation rule). */
+  private val WpMergesHandoff = Handoff.path("wordpiece_merges")
+  private val WpVocabHandoff = Handoff.path("wordpiece_vocab")
+  private val WpTopHandoff = Handoff.path("wordpiece_top_vocab")
+
   /** Viterbi unigram tokenization as a DuckDB recursive CTE: per
     * distinct word, a linear DP over character positions carrying TWO
     * lists — the exact-long best score of every prefix and its
@@ -346,6 +417,100 @@ object TextQueries {
        |),
        |terminal AS (SELECT w, best[j + 1] AS score, segs[j + 1] AS seg
        |             FROM dp WHERE j = length(w))"""
+
+  /** Greedy WordPiece encode as a DuckDB recursive CTE: per distinct
+    * word, a position cursor that at each step takes the LONGEST vocab
+    * piece matching at `pos` (`##`-prefixed beyond position 1 — the
+    * struct sort (negl, …) picks maximal length), appends it, and
+    * advances; a miss — or a word longer than
+    * [[graft.operators.WordPiece.GateMaxWordLen]] code points — turns
+    * the whole word into `[UNK]` (BERT's rule). The scan bound is
+    * DERIVED from the handoff (max piece body length), never a shared
+    * constant. Requires `words(w)` upstream; produces
+    * `terminal(w, pieces)` — exactly one row per word (failed rows
+    * stop recursing via the `failed` flag, finished rows via
+    * `pos > length(w)`). */
+  private def wordPieceEncodeRecursion(handoff: String): String =
+    s"""v AS (SELECT map(list(piece), list(1)) AS mp,
+       |             max(CASE WHEN starts_with(piece, '##') THEN length(piece) - 2
+       |                      ELSE length(piece) END) AS maxlen
+       |      FROM read_parquet('$handoff/*.parquet')),
+       |enc(w, pos, pieces, failed) AS (
+       |  SELECT w, 1,
+       |         CASE WHEN length(w) > ${graft.operators.WordPiece.GateMaxWordLen}
+       |              THEN ['${graft.operators.WordPiece.Unk}'] ELSE CAST([] AS VARCHAR[]) END,
+       |         length(w) > ${graft.operators.WordPiece.GateMaxWordLen}
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |         CASE WHEN pick.l IS NULL THEN length(w) + 1 ELSE pos + pick.l END,
+       |         CASE WHEN pick.l IS NULL THEN ['${graft.operators.WordPiece.Unk}']
+       |              ELSE list_append(pieces, pick.piece) END,
+       |         pick.l IS NULL
+       |  FROM (
+       |    SELECT e.w AS w, e.pos AS pos, e.pieces AS pieces,
+       |           list_sort(list_filter(
+       |             list_transform(range(1, least(v.maxlen, length(e.w) - e.pos + 1) + 1),
+       |               l -> struct_pack(
+       |                 negl := -l,
+       |                 l := l,
+       |                 piece := CASE WHEN e.pos = 1 THEN substr(e.w, e.pos, l)
+       |                               ELSE '##' || substr(e.w, e.pos, l) END)),
+       |             x -> map_extract(v.mp, x.piece)[1] IS NOT NULL))[1] AS pick
+       |    FROM enc e, v
+       |    WHERE e.pos <= length(e.w) AND NOT e.failed
+       |  )
+       |),
+       |terminal AS (
+       |  SELECT w, pieces FROM enc WHERE pos > length(w) OR failed
+       |)""" // not stripMargin'd: the caller strips ONCE (the
+             // bpeEncodeRecursion rule)
+
+  /** WordPiece training replay recursion: re-encode the weighted word
+    * vocab applying only merges with rank < r, min-rank-first leftmost
+    * (equivalent to the training sequence because a merged symbol only
+    * exists from its own rank on — the [[bpeEncodeRecursion]]
+    * argument), with the WordPiece symbol seed (bare first code point,
+    * `##` continuations) and the `##`-stripping merge concat. Requires
+    * `rks(r)` and `words(w, n)` upstream; produces
+    * `terminal(r, w, syms)`. */
+  private def wordPieceTrainRecursion(handoff: String): String =
+    s"""m AS (SELECT map(list("left" || chr(1) || "right"), list(rank)) AS mp
+       |      FROM read_parquet('$handoff/*.parquet')),
+       |enc(r, w, syms) AS (
+       |  SELECT r, w,
+       |         list_transform(range(1, length(w) + 1),
+       |           i -> CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END)
+       |  FROM rks, words
+       |  UNION ALL
+       |  SELECT r, w,
+       |         list_slice(syms, 1, i - 1)
+       |           || [syms[i] || substr(syms[i + 1], 3)]
+       |           || list_slice(syms, i + 2, len(syms))
+       |  FROM (
+       |    SELECT e.r AS r, e.w AS w, e.syms AS syms,
+       |           list_transform(
+       |             list_transform(range(1, len(e.syms)),
+       |               k -> coalesce(map_extract(m.mp, e.syms[k] || chr(1) || e.syms[k + 1])[1],
+       |                             2147483647)),
+       |             x -> CASE WHEN x < r THEN x ELSE 2147483647 END) AS pr,
+       |           list_min(pr) AS best,
+       |           list_position(pr, best) AS i
+       |    FROM enc e, m
+       |  ) WHERE best < 2147483647
+       |),
+       |terminal AS (
+       |  SELECT t.r, t.w, t.syms
+       |  FROM (
+       |    SELECT e.r, e.w, e.syms,
+       |           coalesce(list_min(list_transform(
+       |             list_transform(range(1, len(e.syms)),
+       |               k -> coalesce(map_extract(m.mp, e.syms[k] || chr(1) || e.syms[k + 1])[1],
+       |                             2147483647)),
+       |             x -> CASE WHEN x < e.r THEN x ELSE 2147483647 END)), 2147483647) AS best
+       |    FROM enc e, m
+       |  ) t WHERE t.best = 2147483647
+       |)""" // not stripMargin'd: the caller strips ONCE
 
   // the BPE-ish pattern, SQL-string-escaped for the DuckDB oracle (the
   // pattern is Java-and-RE2-compatible by construction)
@@ -462,6 +627,98 @@ object TextQueries {
          |       md5(coalesce(ds.segstr, '')) AS piece_digest
          |FROM documents doc LEFT JOIN docseg ds ON doc.doc_id = ds.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
+    // full inductive WordPiece training replay (the bpe_train_merges
+    // contract): rank r's (left, right, pair_count, left_count,
+    // right_count) re-derived from the corpus and merges BEFORE r only
+    // — min-rank-first re-encode of the weighted vocab, weighted
+    // symbol + adjacent-pair counts, argmax by the ONE IEEE-double
+    // likelihood score c_ab/(c_a*c_b) (counts < 2^53 are exact, both
+    // engines round identically) with the (left, right) lexicographic
+    // tie-break. Rank 0 touches no handoff.
+    "wordpiece_train_merges" ->
+      s"""WITH RECURSIVE
+         |rks AS (SELECT rank AS r FROM read_parquet('$WpMergesHandoff/*.parquet')),
+         |words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+         |  GROUP BY w ORDER BY n DESC, w LIMIT 200000
+         |),
+         |${wordPieceTrainRecursion(WpMergesHandoff)},
+         |symcnt AS (
+         |  SELECT t.r, t.syms[k] AS s, SUM(v.n) AS cnt
+         |  FROM terminal t JOIN words v ON t.w = v.w,
+         |       unnest(range(1, len(t.syms) + 1)) AS u(k)
+         |  GROUP BY t.r, s
+         |),
+         |paircnt AS (
+         |  SELECT t.r, t.syms[k] AS l, t.syms[k + 1] AS rr, SUM(v.n) AS cnt
+         |  FROM terminal t JOIN words v ON t.w = v.w,
+         |       unnest(range(1, len(t.syms))) AS u(k)
+         |  GROUP BY t.r, l, rr
+         |),
+         |best AS (
+         |  SELECT p.r, p.l, p.rr, p.cnt, sl.cnt AS lcnt, sr.cnt AS rcnt,
+         |         row_number() OVER (PARTITION BY p.r ORDER BY
+         |           CAST(p.cnt AS DOUBLE) / (CAST(sl.cnt AS DOUBLE) * CAST(sr.cnt AS DOUBLE)) DESC,
+         |           p.l, p.rr) AS rn
+         |  FROM paircnt p
+         |  JOIN symcnt sl ON p.r = sl.r AND p.l = sl.s
+         |  JOIN symcnt sr ON p.r = sr.r AND p.rr = sr.s
+         |)
+         |SELECT CAST(r AS BIGINT) AS rank, l AS "left", rr AS "right",
+         |       CAST(cnt AS BIGINT) AS pair_count,
+         |       CAST(lcnt AS BIGINT) AS left_count,
+         |       CAST(rcnt AS BIGINT) AS right_count
+         |FROM best WHERE rn = 1 ORDER BY rank""".stripMargin,
+    // independent greedy longest-match replay over the distinct word
+    // set from the vocab handoff, re-aggregated per document in word
+    // order; docs with no tokens keep their row at (0, 0, md5(''))
+    "wordpiece_encode" ->
+      s"""WITH RECURSIVE
+         |words AS (
+         |  SELECT DISTINCT w
+         |  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+         |),
+         |${wordPieceEncodeRecursion(WpVocabHandoff)},
+         |docw AS (
+         |  SELECT doc_id, k AS pos, wl[k] AS w
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wl
+         |        FROM documents),
+         |       unnest(range(1, len(wl) + 1)) AS u(k)
+         |),
+         |docseg AS (
+         |  SELECT d.doc_id,
+         |         string_agg(array_to_string(t.pieces, chr(31)), chr(31) ORDER BY d.pos) AS segstr,
+         |         SUM(len(t.pieces)) AS np,
+         |         SUM(len(list_filter(t.pieces, x -> x = '${graft.operators.WordPiece.Unk}'))) AS nunk
+         |  FROM docw d JOIN terminal t ON d.w = t.w
+         |  GROUP BY d.doc_id
+         |)
+         |SELECT doc.doc_id,
+         |       CAST(coalesce(ds.np, 0) AS BIGINT) AS n_pieces,
+         |       CAST(coalesce(ds.nunk, 0) AS BIGINT) AS n_unk,
+         |       md5(coalesce(ds.segstr, '')) AS piece_digest
+         |FROM documents doc LEFT JOIN docseg ds ON doc.doc_id = ds.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+    // the same greedy replay, re-aggregated corpus-wide: piece
+    // frequencies weighted by word counts, top 30 by (n desc, piece)
+    "wordpiece_top_pieces" ->
+      s"""WITH RECURSIVE
+         |wordcnt AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+         |  GROUP BY w
+         |),
+         |words AS (SELECT w FROM wordcnt),
+         |${wordPieceEncodeRecursion(WpTopHandoff)},
+         |piece_occ AS (
+         |  SELECT t.w, u.p
+         |  FROM terminal t, unnest(t.pieces) AS u(p)
+         |)
+         |SELECT po.p AS piece, CAST(SUM(wc.n) AS BIGINT) AS n
+         |FROM piece_occ po JOIN wordcnt wc ON po.w = wc.w
+         |GROUP BY po.p
+         |ORDER BY n DESC, piece LIMIT 30""".stripMargin,
     // the same Viterbi replay, re-aggregated corpus-wide: piece
     // frequencies weighted by word counts, top 30 by (n desc, piece)
     "unigram_top_pieces" ->

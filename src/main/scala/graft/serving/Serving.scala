@@ -717,6 +717,34 @@ object Serving {
       .flatMap(w => graft.operators.Unigram.encodeWord(w, pieces, maxPieceLen))
   }
 
+  /** Single-string WORDPIECE tokenization from a
+    * [[graft.operators.WordPiece.saveVocab]] layout, no Spark — the
+    * [[encodeBpe]]/[[encodeUnigram]] twin for the third subword
+    * family (BERT's). Same whitespace pre-split, the ONE shared greedy
+    * longest-match kernel (`WordPiece.encodeWord`, `##` continuations,
+    * whole-word `[UNK]` on a miss or past-`maxWordLen` word) as the
+    * batch `WordPiece.encodeColumn`, and the scan bound DERIVED from
+    * the loaded vocab (`WordPiece.maxMatchLen`) exactly as the batch
+    * path derives it — doc-for-doc parity + zero Spark jobs
+    * spec-pinned. Freshness-keyed caching, as [[scoreNb]]. */
+  def encodeWordPiece(modelDir: String, text: String,
+                      maxWordLen: Int = graft.operators.WordPiece.GateMaxWordLen,
+                      conf: Configuration = defaultConf,
+                      cache: IndexCache = noCache): Seq[String] = {
+    val base = modelDir.stripSuffix("/")
+    val (vset, maxLen) = cache.getOrLoad(freshKey(conf, s"$base/wordpiece_vocab")) {
+      val rows = mutable.ArrayBuffer.empty[String]
+      foreachGroup(conf, s"$base/wordpiece_vocab") { g =>
+        rows += g.getString("piece", 0)
+      }
+      require(rows.nonEmpty, s"no vocab rows under $base/wordpiece_vocab")
+      (rows.toSet, graft.operators.WordPiece.maxMatchLen(rows.toSeq))
+    }
+    if (text == null) Seq.empty[String]
+    else text.split(" ").filter(_.nonEmpty).toSeq
+      .flatMap(w => graft.operators.WordPiece.encodeWord(w, vset, maxLen, maxWordLen))
+  }
+
   // ------------------------------------------------------------ HNSW probe
 
   /** Read a Spark-written `array<bigint>` column (3-level LIST group)

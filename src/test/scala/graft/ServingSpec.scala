@@ -333,6 +333,38 @@ class ServingSpec extends SparkSpec {
     }
   }
 
+  test("WordPiece serving probe == batch encodeColumn doc for doc, zero Spark jobs") {
+    import graft.operators.WordPiece
+    val docs = Tables.documents(spark, sfDir).limit(150)
+    val vocab = WordPiece.trainVocabulary(docs, "text", nMerges = 40)
+    val dir = java.nio.file.Files.createTempDirectory("wp-serve").toString
+    WordPiece.saveVocab(spark, vocab, dir)
+    // batch encode against the PERSISTED vocab (round-trip included)
+    val loaded = WordPiece.loadVocab(spark, dir)
+    assert(loaded === vocab.sorted)
+    val texts = docs.select("doc_id", "text").limit(30).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val batch = docs.limit(30)
+      .select($"doc_id", WordPiece.encodeColumn($"text", loaded,
+        maxWordLen = WordPiece.GateMaxWordLen).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val cache = Serving.newCache()
+    Serving.encodeWordPiece(dir, texts.head._2, cache = cache) // warm
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    texts.foreach { case (id, text) =>
+      assert(Serving.encodeWordPiece(dir, text, cache = cache) === batch(id),
+        s"doc $id")
+    }
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "WordPiece probe must not launch Spark jobs")
+    // null text → empty piece list, like the batch UDF
+    assert(Serving.encodeWordPiece(dir, null, cache = cache) === Seq.empty)
+    // fail-loud on a missing model dir
+    intercept[IllegalArgumentException] {
+      Serving.encodeWordPiece("/nonexistent/wp-model", "a b")
+    }
+  }
+
   test("versioned model publish: pointer flip, immutable versions, retention, FS-only resolve") {
     import graft.operators.CorpusModels
     import org.apache.spark.sql.functions.col
