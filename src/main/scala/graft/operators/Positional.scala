@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Positional search: exact-phrase and term-proximity queries over the
+  * corpus — the text-retrieval surface BM25 alone cannot express
+  * (BM25 is bag-of-words; "table hash" as a PHRASE is not "table" AND
+  * "hash"). The Lucene positional-postings design re-expressed
+  * Spark-first:
+  *
+  *  - postings are (id, term, pos) rows; the query-term filter runs
+  *    INSIDE the token array before the explode ([[Bm25.index]]'s
+  *    generate rule — Catalyst does not push predicates into a
+  *    Generate), so only matched tokens ever become rows and only
+  *    query postings ever shuffle;
+  *  - an n-term phrase is the classic positional n-way join: anchor on
+  *    term 0, join term i at `pos0 + i`. Both sides of every join key
+  *    on (id, position-expression), so Catalyst extracts a COMPOSITE
+  *    equi-join key — a hash join on (id, pos), never an id-only join
+  *    with a position post-filter — and per-doc blowup cannot occur
+  *    even for a stop-word-heavy phrase;
+  *  - proximity joins on id alone with the |pa−pb| ≤ w band as a join
+  *    filter: per-doc cost is tf(a)·tf(b), the doc-at-a-time bound
+  *    every positional engine pays.
+  *
+  * At 100 TB the on-the-fly form still scans the corpus to tokenize;
+  * [[buildPersistedIndex]] is the scale path — the [[Bm25]]
+  * term-range-sharded layout with positions, so a phrase query reads
+  * ONLY the ranges its terms route to (manifest zone-map pruning, the
+  * `searchPersistedIndex` contract) and never touches the text.
+  *
+  * Oracle exactness: outputs are pure integer counts/distances —
+  * occurrence counts, pair counts, min token distance — so both
+  * engines agree bit-for-bit with no fixed-point scaffolding; the
+  * oracle replays FULL SEMANTICS from the raw text (list scans), no
+  * handoff, so an index-path gate match also certifies the index. */
+object Positional {
+
+  /** Positional postings of `terms` only: (id, term, pos), pos 0-based
+    * in the [[Bm25.terms]] token array. One narrow map + struct filter
+    * before the explode. */
+  def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    docs
+      .select(col(idCol).as("id"), Bm25.terms(col(textCol)).as("__terms"))
+      .select(col("id"), explode(filter(
+        transform(col("__terms"),
+          (t, i) => struct(t.as("term"), i.as("pos"))),
+        s => s("term").isin(terms: _*))).as("tp"))
+      .select(col("id"), col("tp.term").as("term"),
+        col("tp.pos").cast("long").as("pos"))
+  }
+
+  /** ALL positional postings — the index build's input (row per token;
+    * only the build pays this, queries read pruned ranges). */
+  private def allPostings(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), Bm25.terms(col(textCol)).as("__terms"))
+      .select(col("id"), posexplode(col("__terms")).as(Seq("pos", "term")))
+      .select(col("id"), col("term"), col("pos").cast("long").as("pos"))
+
+  /** Docs containing the exact consecutive `phrase`, with occurrence
+    * counts (overlapping occurrences count — "a a a" contains "a a"
+    * twice): the n-way positional join over positional postings.
+    * `postings` must cover at least the phrase's terms
+    * ([[postingsOf]] or a pruned index read). Output:
+    * (id, n_occurrences). */
+  def phraseOccurrences(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    // each join input gets UNIQUE column names: the sides derive from
+    // one frame, and same-name predicates across shared lineage are
+    // where Spark manufactures trivially-true equality
+    var cur = postings.filter(col("term") === phrase.head)
+      .select(col("id"), col("pos").as("__p0"))
+    var i = 1
+    while (i < phrase.length) {
+      val pi = postings.filter(col("term") === phrase(i))
+        .select(col("id").as(s"__id_$i"), col("pos").as(s"__p_$i"))
+      cur = cur.join(pi,
+          col("id") === col(s"__id_$i") &&
+            col(s"__p_$i") === col("__p0") + lit(i.toLong))
+        .drop(s"__id_$i", s"__p_$i")
+      i += 1
+    }
+    cur.groupBy(col("id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** On-the-fly phrase search: term-filtered postings + the positional
+    * join. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame =
+    phraseOccurrences(postingsOf(docs, idCol, textCol, phrase.distinct), phrase)
+
+  /** Docs where `termA` and `termB` occur within `window` tokens:
+    * (id, n_pairs, min_dist) — pair count and closest distance, the
+    * proximity-scoring ingredients. Same-term queries are refused
+    * (every position would pair with itself at distance 0). */
+  def proximityPairs(postings: DataFrame, termA: String, termB: String,
+                     window: Long): DataFrame = {
+    require(termA != termB, "proximity terms must differ")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val pa = postings.filter(col("term") === termA)
+      .select(col("id"), col("pos").as("__pa"))
+    val pb = postings.filter(col("term") === termB)
+      .select(col("id").as("__idb"), col("pos").as("__pb"))
+    pa.join(pb, col("id") === col("__idb") &&
+        abs(col("__pa") - col("__pb")) <= lit(window))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("__pa") - col("__pb"))).as("min_dist"))
+  }
+
+  /** On-the-fly proximity search. */
+  def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
+                      termA: String, termB: String, window: Long): DataFrame =
+    proximityPairs(postingsOf(docs, idCol, textCol, Seq(termA, termB)),
+      termA, termB, window)
+
+  /** Persist the positional index: term-range-sharded postings
+    * (id, term, pos) + manifest + schema pin — the
+    * [[Bm25.buildPersistedIndex]] layout with a position column. */
+  def buildPersistedIndex(docs: DataFrame, idCol: String, textCol: String,
+                          nRanges: Int, path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val postings = allPostings(docs, idCol, textCol)
+    val manifest = Sharding.exportSorted(postings, "term", nRanges,
+      s"$base/postings")
+    manifest.write.mode("overwrite").parquet(s"$base/manifest")
+    postings.filter(lit(false)).repartition(1)
+      .write.mode("overwrite").parquet(s"$base/schema")
+  }
+
+  /** Read only the ranges whose [min,max] key interval can hold one of
+    * `terms` (driver-side manifest pruning — terms are [a-z0-9]+ so
+    * Java String order == UTF8String binary order, the
+    * [[Bm25.searchPersistedIndex]] argument), then filter to the
+    * terms. */
+  def readPostings(spark: org.apache.spark.sql.SparkSession,
+                   path: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val base = path.stripSuffix("/")
+    val overlapping = spark.read.parquet(s"$base/manifest")
+      .select(col("range_id").cast("long"), col("min_key"), col("max_key"))
+      .collect()
+      .filter(r => !r.isNullAt(1) && terms.exists(t =>
+        r.getString(1) <= t && t <= r.getString(2)))
+      .map(_.getLong(0)).sorted
+    if (overlapping.isEmpty) spark.read.parquet(s"$base/schema")
+    else spark.read.option("basePath", s"$base/postings")
+      .parquet(overlapping.map(id => s"$base/postings/range_id=$id"): _*)
+      .filter(col("term").isin(terms.distinct: _*))
+      .drop("range_id")
+  }
+
+  /** Phrase search against a [[buildPersistedIndex]] layout: pruned
+    * range read, no text scan. */
+  def searchPersistedPhrase(spark: org.apache.spark.sql.SparkSession,
+                            path: String, phrase: Seq[String]): DataFrame =
+    phraseOccurrences(readPostings(spark, path, phrase.distinct), phrase)
+
+  /** Proximity search against the persisted index. */
+  def searchPersistedProximity(spark: org.apache.spark.sql.SparkSession,
+                               path: String, termA: String, termB: String,
+                               window: Long): DataFrame =
+    proximityPairs(readPostings(spark, path, Seq(termA, termB)),
+      termA, termB, window)
+}

@@ -107,6 +107,38 @@ object HybridQueries {
         Seq(col("bm25_fp").desc, col("id").asc)).select("id", "rank")
       Bm25.rrfFuse(vecRanked, bmRanked, k = 10)
         .withColumnRenamed("id", "doc_id")
+    },
+    // exact-phrase search (the positional surface BM25 can't express):
+    // n-way positional join over term-filtered postings — composite
+    // (id, pos) equi-keys, overlapping occurrences counted. Oracle is
+    // FULL SEMANTICS from the raw text (list scan), no handoff, pure
+    // integer counts.
+    "phrase_search" -> { (s, dir) =>
+      graft.operators.Positional.phraseSearch(Tables.documents(s, dir),
+          "doc_id", "text", Seq("table", "hash"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // the SAME semantics answered from the PERSISTED positional index
+    // (term-range-sharded postings, manifest-pruned reads — no text
+    // scan): must hash-match the independent full-semantics oracle,
+    // which also certifies the index content. 3-term phrase so two
+    // join hops run against the pruned ranges.
+    "phrase_search_indexed" -> { (s, dir) =>
+      graft.operators.Positional.searchPersistedPhrase(s,
+          persistedPositional(s, dir), Seq("slow", "hash", "batch"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // term-proximity search: pairs of (customer, join) within 3
+    // tokens, pair count + closest distance per doc — the
+    // doc-at-a-time positional intersection, id-equi join with the
+    // band as join filter (per-doc cost tf_a * tf_b)
+    "proximity_search" -> { (s, dir) =>
+      graft.operators.Positional.proximitySearch(Tables.documents(s, dir),
+          "doc_id", "text", "customer", "join", window = 3L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -122,6 +154,18 @@ object HybridQueries {
         new java.io.File(s"$dir/documents.parquet"))(
         p => s"$p/schema/_SUCCESS") { p =>
       graft.operators.Bm25.buildPersistedIndex(Tables.documents(s, dir),
+        "doc_id", "text", nRanges, p)
+    }
+
+  /** Build-once cache of the persisted POSITIONAL index (same
+    * fingerprint + lock discipline as [[persistedBm25]], distinct
+    * suffix — Bench pre-builds in warmup so the gate times the pruned
+    * range reads + positional joins, not the index write). */
+  def persistedPositional(s: SparkSession, dir: String, nRanges: Int = 8): String =
+    BuildOnce.cached(s"pos-r$nRanges",
+        new java.io.File(s"$dir/documents.parquet"))(
+        p => s"$p/schema/_SUCCESS") { p =>
+      graft.operators.Positional.buildPersistedIndex(Tables.documents(s, dir),
         "doc_id", "text", nRanges, p)
     }
 
@@ -261,6 +305,57 @@ object HybridQueries {
          |  FROM vrank v FULL OUTER JOIN brank b ON v.doc_id = b.doc_id
          |)
          |SELECT doc_id, rrf_fp FROM fused
-         |ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin
+         |ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin,
+    // full-semantics phrase scan: count positions where the 2-gram
+    // matches, keep docs with >= 1 occurrence (overlaps count)
+    "phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id,
+        |         len(list_filter(range(1, len(w)), i -> w[i] = 'table' AND w[i+1] = 'hash')) AS n
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+        |FROM occ WHERE n >= 1 ORDER BY doc_id""".stripMargin,
+    // same full-semantics scan for the 3-gram — deliberately identical
+    // machinery to the on-the-fly gate's oracle: a hash match on the
+    // INDEXED path certifies the persisted postings too
+    "phrase_search_indexed" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id,
+        |         len(list_filter(range(1, len(w) - 1),
+        |             i -> w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch')) AS n
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+        |FROM occ WHERE n >= 1 ORDER BY doc_id""".stripMargin,
+    // proximity pairs from position lists: the banded position join,
+    // integer pair counts and min token distance
+    "proximity_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents
+        |), ga AS (
+        |  SELECT doc_id, unnest(list_filter(range(1, len(w) + 1), i -> w[i] = 'customer')) AS pa
+        |  FROM t
+        |), gb AS (
+        |  SELECT doc_id, unnest(list_filter(range(1, len(w) + 1), i -> w[i] = 'join')) AS pb
+        |  FROM t
+        |), pr AS (
+        |  SELECT ga.doc_id, abs(pa - pb) AS d
+        |  FROM ga JOIN gb ON ga.doc_id = gb.doc_id
+        |  WHERE abs(pa - pb) <= 3
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(min(d) AS BIGINT) AS min_dist
+        |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
