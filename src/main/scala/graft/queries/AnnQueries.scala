@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, Bq, Hnsw, PartitionedTopK, Pq, Sq, VectorSearch}
+import graft.operators.{Ann, Bq, Hnsw, PartitionedTopK, Pca, Pq, Sq, VectorSearch}
 
 /** ANN + scale-path search queries. `batch_topk_partitioned` is exact
   * (same oracle as the window formulation — the plans differ, the answer
@@ -39,6 +39,8 @@ object AnnQueries {
   private val HnswFilterHandoff = Handoff.path("hnsw_filter_candidates")
   private val HnswDeleteHandoff = Handoff.path("hnsw_delete_candidates")
   private val HnswCompactHandoff = Handoff.path("hnsw_compact_candidates")
+  private val PcaProjectHandoff = Handoff.path("pca_project_model")
+  private val PcaKnnHandoff    = Handoff.path("pca_knn_model")
 
   /** Gate-scale HNSW hyper-parameters (the [[Hnsw]] defaults): shards
     * are the persisted IVF's 16 cells, so the m=8 graphs sit well
@@ -241,6 +243,31 @@ object AnnQueries {
       writeIvfHandoff(s, index)
       Bq.searchIvfBq(index, VectorQueries.qvec(s, dir, 0),
         k = 10, rerank = 64, nprobe = 4)
+    },
+    // PCA embedding compression (faiss's PCAR pre-transform shape):
+    // top-8 variance directions fitted by the one-pass Gram
+    // aggregation + driver Jacobi; the published fixed-point model is
+    // the handoff (float training spec-gated, the k-means/EM rule) and
+    // the oracle replays the EXACT integer projection of every vector
+    // from the handed-off mean/components.
+    "pca_project" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val model = Pca.fit(emb, "embedding", r = 8)
+      if (!Handoff.benchMode) Pca.saveModel(s, model, PcaProjectHandoff)
+      Pca.project(emb, "vec_id", "embedding", model)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"), col("comp_id"))
+    },
+    // retrieval IN the reduced space: squared L2 over rescaled exact
+    // coordinates (pure int64 — no float in the ranking), top-10 to
+    // query vec 0 — the "is the compression usable" gate
+    "pca_knn" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val model = Pca.fit(emb, "embedding", r = 8)
+      if (!Handoff.benchMode) Pca.saveModel(s, model, PcaKnnHandoff)
+      Pca.knn(emb, "vec_id", "embedding", model,
+          VectorQueries.qvec(s, dir, 0), k = 10)
+        .withColumnRenamed("id", "vec_id")
     },
     // MRR@10 — the third retrieval-eval leg on the same sample/index:
     // how far down the IVF list the first truly-relevant id sits
@@ -880,6 +907,51 @@ object AnnQueries {
          |)
          |SELECT vec_id, label, ivf_cluster, adot_fp, cos_sim FROM cand
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // exact integer projection replay from the model handoff:
+    // inputs quantize floor(x*2^20), coord = sum of exact long
+    // products — no float anywhere downstream of the handoff
+    "pca_project" ->
+      s"""WITH mean AS (SELECT mu_fp FROM ${rp(s"$PcaProjectHandoff/pca_mean")}),
+         |comps AS (SELECT comp_id, comp_fp FROM ${rp(s"$PcaProjectHandoff/pca_components")}),
+         |x AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xfp
+         |  FROM embeddings
+         |)
+         |SELECT x.vec_id, CAST(c.comp_id AS BIGINT) AS comp_id,
+         |       CAST(list_sum(list_transform(range(1, len(x.xfp) + 1),
+         |         i -> (x.xfp[i] - m.mu_fp[i]) * c.comp_fp[i])) AS BIGINT) AS coord_fp
+         |FROM x CROSS JOIN mean m CROSS JOIN comps c
+         |ORDER BY vec_id, comp_id""".stripMargin,
+    // same projection replay, coords rescaled floor(c/2^20) (exact in
+    // f64 for powers of two), ranked by the exact int64 squared L2
+    "pca_knn" ->
+      s"""WITH mean AS (SELECT mu_fp FROM ${rp(s"$PcaKnnHandoff/pca_mean")}),
+         |comps AS (SELECT comp_id, comp_fp FROM ${rp(s"$PcaKnnHandoff/pca_components")}),
+         |x AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xfp
+         |  FROM embeddings
+         |),
+         |proj AS (
+         |  SELECT x.vec_id, c.comp_id,
+         |         CAST(floor(CAST(list_sum(list_transform(range(1, len(x.xfp) + 1),
+         |           i -> (x.xfp[i] - m.mu_fp[i]) * c.comp_fp[i])) AS DOUBLE)
+         |             / 1048576.0) AS BIGINT) AS cs
+         |  FROM x CROSS JOIN mean m CROSS JOIN comps c
+         |),
+         |pv AS (SELECT vec_id, list(cs ORDER BY comp_id) AS pc FROM proj GROUP BY vec_id),
+         |qv2 AS (SELECT pc AS qc FROM pv WHERE vec_id = 0),
+         |dist AS (
+         |  SELECT vec_id,
+         |         CAST(list_sum(list_transform(range(1, len(pc) + 1),
+         |           i -> (pc[i] - qc[i]) * (pc[i] - qc[i]))) AS BIGINT) AS pca_dist
+         |  FROM pv CROSS JOIN qv2
+         |)
+         |SELECT vec_id, pca_dist FROM dist
+         |ORDER BY pca_dist ASC, vec_id LIMIT 10""".stripMargin,
     // same replay as ann_recall_report; first hit = min approx rank
     // inside the exact set, rr = one engine-identical division
     "ann_mrr_report" ->
