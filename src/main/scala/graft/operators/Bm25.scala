@@ -471,6 +471,22 @@ object Bm25 {
     * directory twice however many terms share it. An empty index (or
     * a query whose terms are all out of range) returns an empty
     * result, never a schema-inference crash. */
+  /** THE zone-map pruning rule for term-range-sharded layouts — one
+    * owner, shared with [[Positional.readPostings]]: a range survives
+    * iff some key can fall inside its [min, max]. Keys are [a-z0-9]+
+    * by construction ([[terms]]), so Java's String ordering ==
+    * Spark's UTF8String binary ordering and the driver-side test
+    * matches the manifest's min/max. */
+  private[operators] def overlappingRangeIds(
+      spark: org.apache.spark.sql.SparkSession,
+      base: String, keys: Seq[String]): Seq[Long] =
+    spark.read.parquet(s"$base/manifest")
+      .select(col("range_id").cast("long"), col("min_key"), col("max_key"))
+      .collect()
+      .filter(r => !r.isNullAt(1) && keys.exists(t =>
+        r.getString(1) <= t && t <= r.getString(2)))
+      .map(_.getLong(0)).sorted.toSeq
+
   def searchPersistedIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, queryTerms: Seq[String], k: Int,
                            k1: Double = 1.2, b: Double = 0.75,
@@ -479,15 +495,7 @@ object Bm25 {
     require(k > 0, s"k must be positive, got $k")
     val base = path.stripSuffix("/")
     val terms = queryTerms.distinct
-    // terms are [a-z0-9]+ by construction (see [[Bm25.terms]]), so
-    // Java's String ordering == Spark's UTF8String binary ordering and
-    // the driver-side range test matches the manifest's min/max
-    val overlapping = spark.read.parquet(s"$base/manifest")
-      .select(col("range_id").cast("long"), col("min_key"), col("max_key"))
-      .collect()
-      .filter(r => !r.isNullAt(1) && terms.exists(t =>
-        r.getString(1) <= t && t <= r.getString(2)))
-      .map(_.getLong(0)).sorted
+    val overlapping = overlappingRangeIds(spark, base, terms)
     // the schema-pinning empty file keeps the no-range path's result
     // schema identical to a populated read (id type included). Indexes
     // persisted by builds predating schema/ fall back to the postings

@@ -53,26 +53,34 @@ object Pca {
       var sum: Array[Double] = null
       var gram: Array[Double] = null
       var d = 0
+      // null embeddings don't vote in the fit (the Bq.quantize
+      // null-pass rule applied to a moment pass); non-finite
+      // components are refused — one NaN would silently poison the
+      // whole Gram and every downstream component
       it.foreach { row =>
         val v = row.getSeq[Float](0)
-        if (sum == null) {
-          d = v.length
-          sum = new Array[Double](d)
-          gram = new Array[Double](d * (d + 1) / 2)
-        }
-        require(v.length == d, s"ragged embedding: ${v.length} vs $d")
-        n += 1
-        var i = 0
-        var t = 0
-        while (i < d) {
-          val xi = v(i).toDouble
-          sum(i) += xi
-          var j = i
-          while (j < d) {
-            gram(t) += xi * v(j).toDouble
-            t += 1; j += 1
+        if (v != null) {
+          v.foreach(x => require(java.lang.Float.isFinite(x),
+            "PCA fit needs finite embeddings"))
+          if (sum == null) {
+            d = v.length
+            sum = new Array[Double](d)
+            gram = new Array[Double](d * (d + 1) / 2)
           }
-          i += 1
+          require(v.length == d, s"ragged embedding: ${v.length} vs $d")
+          n += 1
+          var i = 0
+          var t = 0
+          while (i < d) {
+            val xi = v(i).toDouble
+            sum(i) += xi
+            var j = i
+            while (j < d) {
+              gram(t) += xi * v(j).toDouble
+              t += 1; j += 1
+            }
+            i += 1
+          }
         }
       }
       if (n == 0) Iterator.empty else Iterator.single((pid, n, sum, gram, d))
@@ -190,12 +198,21 @@ object Pca {
   }
 
   /** Quantize a float vector the way both engines do:
-    * `floor(CAST(x AS DOUBLE) · 2^20)` per element. */
+    * `floor(CAST(x AS DOUBLE) · 2^20)` per element. Requires finite
+    * components (the [[Bq.qFixedPoint]] rule — floor(NaN·2^20) forks
+    * the engines: Scala's NaN.toLong is 0, DuckDB's CAST errors) small
+    * enough that the fixed point is exact in a long. */
   private def quantizeVec(v: Seq[Float]): Array[Long] = {
     val out = new Array[Long](v.length)
     var i = 0
     while (i < v.length) {
-      out(i) = StrictMath.floor(v(i).toDouble * FpScale.toDouble).toLong
+      val x = v(i)
+      require(java.lang.Float.isFinite(x),
+        "PCA fixed-point projection needs finite embeddings")
+      val fp = StrictMath.floor(x.toDouble * FpScale.toDouble)
+      require(StrictMath.abs(fp) < (1L << 40).toDouble,
+        s"embedding component $x out of the fixed-point domain")
+      out(i) = fp.toLong
       i += 1
     }
     out
@@ -225,8 +242,10 @@ object Pca {
     * (r+1)·d-long model riding the closure. */
   def project(df: DataFrame, idCol: String, vecCol: String,
               model: PcaModel): DataFrame = {
+    // null embedding → null coords → posexplode emits no rows, the
+    // same zero rows DuckDB's unnest over a NULL list produces
     val u = udf { (v: Seq[Float]) =>
-      projectFp(quantizeVec(v), model).toSeq
+      if (v == null) null else projectFp(quantizeVec(v), model).toSeq
     }
     df.select(col(idCol).as("id"), posexplode(u(col(vecCol))).as(Seq("comp_id", "coord_fp")))
       .select(col("id"), col("comp_id").cast("long").as("comp_id"),
@@ -249,17 +268,23 @@ object Pca {
     require(k >= 1, s"k must be >= 1, got $k")
     val qc = projectFp(quantizeVec(queryVec), model).map(rescale)
     val u = udf { (v: Seq[Float]) =>
-      val p = projectFp(quantizeVec(v), model)
-      var acc = 0L
-      var j = 0
-      while (j < p.length) {
-        val dd = rescale(p(j)) - qc(j)
-        acc += dd * dd
-        j += 1
+      if (v == null) null
+      else {
+        val p = projectFp(quantizeVec(v), model)
+        var acc = 0L
+        var j = 0
+        while (j < p.length) {
+          val dd = rescale(p(j)) - qc(j)
+          acc += dd * dd
+          j += 1
+        }
+        java.lang.Long.valueOf(acc)
       }
-      acc
     }
+    // null-dist rows drop BEFORE the sort: Spark seats nulls first on
+    // asc, DuckDB last — the bqCandidates rule
     df.select(col(idCol).as("id"), u(col(vecCol)).as("pca_dist"))
+      .filter(col("pca_dist").isNotNull)
       .orderBy(col("pca_dist").asc, col("id"))
       .limit(k)
   }

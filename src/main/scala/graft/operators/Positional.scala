@@ -70,14 +70,24 @@ object Positional {
     * (id, n_occurrences). */
   def phraseOccurrences(postings: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
+    // an n-term phrase reads the postings n times (one filter branch
+    // per term): persist once, self-release on the first action — the
+    // tokenize scan / pruned index read must not re-run per term
+    val src =
+      if (phrase.length <= 1) postings
+      else {
+        val c = postings.persist()
+        Dedup.releaseAfterUse(c)
+        c
+      }
     // each join input gets UNIQUE column names: the sides derive from
     // one frame, and same-name predicates across shared lineage are
     // where Spark manufactures trivially-true equality
-    var cur = postings.filter(col("term") === phrase.head)
+    var cur = src.filter(col("term") === phrase.head)
       .select(col("id"), col("pos").as("__p0"))
     var i = 1
     while (i < phrase.length) {
-      val pi = postings.filter(col("term") === phrase(i))
+      val pi = src.filter(col("term") === phrase(i))
         .select(col("id").as(s"__id_$i"), col("pos").as(s"__p_$i"))
       cur = cur.join(pi,
           col("id") === col(s"__id_$i") &&
@@ -102,9 +112,12 @@ object Positional {
                      window: Long): DataFrame = {
     require(termA != termB, "proximity terms must differ")
     require(window >= 1, s"window must be >= 1, got $window")
-    val pa = postings.filter(col("term") === termA)
+    // two filter branches over one source: persist once, self-release
+    val src = postings.persist()
+    Dedup.releaseAfterUse(src)
+    val pa = src.filter(col("term") === termA)
       .select(col("id"), col("pos").as("__pa"))
-    val pb = postings.filter(col("term") === termB)
+    val pb = src.filter(col("term") === termB)
       .select(col("id").as("__idb"), col("pos").as("__pb"))
     pa.join(pb, col("id") === col("__idb") &&
         abs(col("__pa") - col("__pb")) <= lit(window))
@@ -134,20 +147,13 @@ object Positional {
   }
 
   /** Read only the ranges whose [min,max] key interval can hold one of
-    * `terms` (driver-side manifest pruning — terms are [a-z0-9]+ so
-    * Java String order == UTF8String binary order, the
-    * [[Bm25.searchPersistedIndex]] argument), then filter to the
-    * terms. */
+    * `terms` — the ONE zone-map pruning rule,
+    * [[Bm25.overlappingRangeIds]] — then filter to the terms. */
   def readPostings(spark: org.apache.spark.sql.SparkSession,
                    path: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val base = path.stripSuffix("/")
-    val overlapping = spark.read.parquet(s"$base/manifest")
-      .select(col("range_id").cast("long"), col("min_key"), col("max_key"))
-      .collect()
-      .filter(r => !r.isNullAt(1) && terms.exists(t =>
-        r.getString(1) <= t && t <= r.getString(2)))
-      .map(_.getLong(0)).sorted
+    val overlapping = Bm25.overlappingRangeIds(spark, base, terms)
     if (overlapping.isEmpty) spark.read.parquet(s"$base/schema")
     else spark.read.option("basePath", s"$base/postings")
       .parquet(overlapping.map(id => s"$base/postings/range_id=$id"): _*)

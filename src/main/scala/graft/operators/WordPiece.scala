@@ -57,6 +57,20 @@ object WordPiece {
   def mergedSymbol(left: String, right: String): String =
     left + (if (right.startsWith("##")) right.substring(2) else right)
 
+  /** The representation invariant the single-string vocab encoding
+    * needs: a piece STRING starts with `##` iff it IS a continuation
+    * piece. Words may legally contain `#` (the corpus splits on spaces
+    * only), so an unguarded merge of bare `#` with a continuation whose
+    * body starts with `#` would mint a BARE symbol reading `##…` —
+    * thereafter conflated with a continuation everywhere (scan bound,
+    * membership, reconstruction). Training refuses exactly those
+    * candidates; since initial bare symbols are single code points and
+    * every other bare merge keeps its first code point ≠ prefix-`##`,
+    * the invariant holds inductively. Mirrored verbatim in the oracle's
+    * argmax filter. */
+  private[operators] def keepsMarkerInvariant(left: String, right: String): Boolean =
+    left.startsWith("##") || !mergedSymbol(left, right).startsWith("##")
+
   /** A word as WordPiece symbols: first code point bare, continuations
     * `##`-prefixed. */
   private[operators] def wpSymbols(word: String): Array[String] = {
@@ -66,19 +80,25 @@ object WordPiece {
     cps
   }
 
+  /** The ONE capped-vocab collection rule (count desc, word asc,
+    * limit) — the cap/ordering the oracle's `ORDER BY n DESC, w LIMIT`
+    * must mirror; shared by [[train]] and [[trainVocabulary]] so the
+    * two gates cannot fork on it. */
+  private def collectVocab(docs: DataFrame, textCol: String,
+                           minCount: Long, maxVocab: Int): Seq[(String, Long)] =
+    Bpe.wordVocab(docs, textCol)
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("word"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** Learn `nMerges` WordPiece merges from the corpus. The capped
     * vocab is collected ordered (count desc, word) — deterministic —
     * and the exact merge recursion runs over it (the [[Bpe.train]]
     * shape). */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
-            minCount: Long = 1L, maxVocab: Int = 200000): Seq[Merge] = {
-    val vocab = Bpe.wordVocab(docs, textCol)
-      .filter(col("n") >= minCount)
-      .orderBy(col("n").desc, col("word"))
-      .limit(maxVocab)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainFromVocab(vocab, nMerges)
-  }
+            minCount: Long = 1L, maxVocab: Int = 200000): Seq[Merge] =
+    trainFromVocab(collectVocab(docs, textCol, minCount, maxVocab), nMerges)
 
   /** The likelihood-merge recursion over a weighted word vocabulary.
     * Per round: weighted symbol and adjacent-pair counts, argmax of
@@ -104,9 +124,12 @@ object WordPiece {
           i += 1
         }
       }
-      if (pairC.isEmpty) done = true
+      val legal = pairC.toSeq.filter { case ((l, r), _) =>
+        keepsMarkerInvariant(l, r)
+      }
+      if (legal.isEmpty) done = true
       else {
-        val (best, bestN) = pairC.toSeq.minBy { case ((l, r), n) =>
+        val (best, bestN) = legal.minBy { case ((l, r), n) =>
           (-(n.toDouble / (symC(l).toDouble * symC(r).toDouble)), l, r)
         }
         merges += Merge(rank, best._1, best._2, bestN, symC(best._1), symC(best._2))
@@ -146,16 +169,13 @@ object WordPiece {
     * input). */
   def trainVocabulary(docs: DataFrame, textCol: String, nMerges: Int,
                       minCount: Long = 1L, maxVocab: Int = 200000): Seq[String] = {
-    val vocab = Bpe.wordVocab(docs, textCol)
-      .filter(col("n") >= minCount)
-      .orderBy(col("n").desc, col("word"))
-      .limit(maxVocab)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vocab = collectVocab(docs, textCol, minCount, maxVocab)
     vocabulary(vocab, trainFromVocab(vocab, nMerges))
   }
 
   /** Greedy scan bound in code points, derived from the vocab: the
-    * longest span any piece can match (`##` marker excluded). The
+    * longest span any piece can match (`##` marker excluded — a `##`
+    * prefix always IS the marker by [[keepsMarkerInvariant]]). The
     * oracle computes the same bound from the handoff
     * (`max(length(piece) - CASE ## THEN 2 ELSE 0)`). */
   def maxMatchLen(vocab: Seq[String]): Int =
@@ -187,7 +207,13 @@ object WordPiece {
         var k = pos
         while (k < pos + l) { sb.append(cps(k)); k += 1 }
         val cand = sb.toString
-        if (vocab.contains(cand)) hit = cand else l -= 1
+        // at position 0 a span of word text that itself reads `##…`
+        // must not match: every vocab string starting with `##` IS a
+        // continuation piece ([[keepsMarkerInvariant]]) and cannot seat
+        // bare — greedy falls through to shorter spans
+        if (vocab.contains(cand) && !(pos == 0 && cand.startsWith("##")))
+          hit = cand
+        else l -= 1
       }
       if (hit == null) return Seq(Unk)
       out += hit; pos += l

@@ -456,7 +456,11 @@ object TextQueries {
        |                 l := l,
        |                 piece := CASE WHEN e.pos = 1 THEN substr(e.w, e.pos, l)
        |                               ELSE '##' || substr(e.w, e.pos, l) END)),
-       |             x -> map_extract(v.mp, x.piece)[1] IS NOT NULL))[1] AS pick
+       |             x -> map_extract(v.mp, x.piece)[1] IS NOT NULL
+       |                  -- marker invariant: a '##…' span of raw word
+       |                  -- text can only have matched a CONTINUATION
+       |                  -- piece, which cannot seat at position 1
+       |                  AND NOT (e.pos = 1 AND starts_with(x.piece, '##'))))[1] AS pick
        |    FROM enc e, v
        |    WHERE e.pos <= length(e.w) AND NOT e.failed
        |  )
@@ -664,6 +668,11 @@ object TextQueries {
          |  FROM paircnt p
          |  JOIN symcnt sl ON p.r = sl.r AND p.l = sl.s
          |  JOIN symcnt sr ON p.r = sr.r AND p.rr = sr.s
+         |  -- the marker invariant (WordPiece.keepsMarkerInvariant): a
+         |  -- merge may not mint a BARE symbol reading '##…'
+         |  WHERE starts_with(p.l, '##')
+         |     OR NOT starts_with(p.l || CASE WHEN starts_with(p.rr, '##')
+         |                                    THEN substr(p.rr, 3) ELSE p.rr END, '##')
          |)
          |SELECT CAST(r AS BIGINT) AS rank, l AS "left", rr AS "right",
          |       CAST(cnt AS BIGINT) AS pair_count,

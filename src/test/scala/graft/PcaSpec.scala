@@ -106,4 +106,40 @@ class PcaSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pca.fit(emb.filter(lit(false)), "embedding", 2))
   }
+
+  test("null embeddings: skipped by fit, dropped by project and knn") {
+    val base = synth(120)
+    val withNull = base.union(
+      Seq((999L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    // the null row doesn't vote: same model either way
+    val m = Pca.fit(base, "embedding", r = 2)
+    val mn = Pca.fit(withNull, "embedding", r = 2)
+    assert(mn.n === m.n)
+    assert(mn.meanFp.toSeq === m.meanFp.toSeq)
+    assert(mn.compFp.map(_.toSeq).toSeq === m.compFp.map(_.toSeq).toSeq)
+    // project emits zero coords for it (the DuckDB unnest-of-NULL
+    // twin), knn never ranks it
+    val proj = Pca.project(withNull, "vec_id", "embedding", m)
+    assert(proj.filter(col("id") === 999L).count() === 0L)
+    assert(proj.count() === 120L * 2)
+    val top = Pca.knn(withNull, "vec_id", "embedding", m,
+      Seq(0.0f, 0.0f, 0.1f, -0.2f), k = 200).collect()
+    assert(top.length === 120)
+    assert(!top.map(_.getLong(0)).contains(999L))
+  }
+
+  test("non-finite embeddings are refused, not silently floored to 0") {
+    val bad = Seq((0L, Seq(1.0f, Float.NaN, 0.0f, 0.0f)),
+        (1L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    intercept[Exception](Pca.fit(bad, "embedding", r = 2))
+    val m = Pca.fit(synth(60), "embedding", r = 2)
+    intercept[Exception](
+      Pca.project(bad, "vec_id", "embedding", m).collect())
+    intercept[Exception](
+      Pca.knn(synth(60), "vec_id", "embedding", m,
+        Seq(Float.NaN, 0.0f, 0.0f, 0.0f), k = 5).collect())
+  }
 }

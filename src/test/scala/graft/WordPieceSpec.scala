@@ -126,6 +126,52 @@ class WordPieceSpec extends SparkSpec {
     assert(unks > 0L, "gate cutoff no longer reaches any fixture word")
   }
 
+  test("marker invariant: training never mints a bare '##…' symbol") {
+    // wpSymbols("##") = [#, ###]; merging them would read "##" — a
+    // bare piece conflated with the continuation marker. The pair is
+    // refused outright: a '##'-only corpus learns NOTHING…
+    assert(WordPiece.trainFromVocab(Seq(("##", 5L)), nMerges = 4).isEmpty)
+    // …and a lower-count LEGAL pair wins over the higher-count
+    // illegal one instead of the argmax picking the poison merge
+    val m = WordPiece.trainFromVocab(Seq(("##", 5L), ("ab", 3L)), nMerges = 1)
+    assert(m.head.left === "a" && m.head.right === "##b")
+    // end-to-end on a '#'-heavy corpus: no trained piece is ever a
+    // bare string reading '##…', and every merge obeys the invariant
+    val docs = Seq("## ##x ##x #ab #ab ab", "##x #ab ## ab ab")
+      .toDF("text")
+    val merges = WordPiece.train(docs, "text", nMerges = 16)
+    merges.foreach { mm =>
+      assert(!mm.left.startsWith("##") ||
+        WordPiece.mergedSymbol(mm.left, mm.right).startsWith("##"))
+      assert(mm.left.startsWith("##") ||
+        !WordPiece.mergedSymbol(mm.left, mm.right).startsWith("##"))
+    }
+  }
+
+  test("marker invariant: a '##…' word never seats a continuation at position 0") {
+    // "##b" is the DISPLAY of continuation body 'b'; the word "##b"'s
+    // own pos-0 span reads the same string. Without the pos-0 guard
+    // the greedy scan would emit the single continuation piece
+    // ["##b"], breaking head-is-bare and reconstruction. "xyz" only
+    // widens the scan bound so length 3 is actually tried.
+    val vocab = Seq("#", "###", "##b", "xyz")
+    assert(enc("##b", vocab) === Seq("#", "###", "##b"))
+    // reconstruction invariant holds corpus-wide on '#'-heavy data
+    val docs = Seq("## ##x ##x #ab #ab ab", "##x #ab ## ab ab").toDF("text")
+    val tv = WordPiece.trainVocabulary(docs, "text", nMerges = 16)
+    val vset = tv.toSet
+    val maxLen = WordPiece.maxMatchLen(tv)
+    Seq("##", "##x", "#ab", "ab").foreach { w =>
+      val ps = WordPiece.encodeWord(w, vset, maxLen, maxWordLen = 100)
+      assert(ps.nonEmpty)
+      if (ps != Seq(WordPiece.Unk)) {
+        assert(!ps.head.startsWith("##"), s"continuation head for '$w'")
+        assert(ps.tail.forall(_.startsWith("##")))
+        assert(ps.head + ps.tail.map(_.substring(2)).mkString === w)
+      }
+    }
+  }
+
   test("save/load round-trip preserves the vocabulary") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val vocab = WordPiece.trainVocabulary(docs, "text", nMerges = 16)
