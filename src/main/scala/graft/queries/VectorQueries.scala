@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.{Rerank, VectorSearch}
+import graft.operators.{Contrastive, Rerank, VectorSearch}
 import graft.operators.VectorSearch.{Euclidean, Cosine}
 
 /** SURVEY.md §2.A search surface as driver-checkable queries over
@@ -159,6 +159,31 @@ object VectorQueries {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
         .drop("embedding")
+    },
+    // contrastive hard-negative mining (FaceNet/SBERT): per labeled
+    // anchor, the 5 nearest rows with a DIFFERENT label — the
+    // training-data leg over the served embeddings. Declarative
+    // broadcast-join + window-limit plan (the batch_topk shape);
+    // f32-kernel dists gate bit-exactly against list_distance.
+    "mine_label_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"),
+          col("label").as("query_label"))
+      Contrastive.hardNegatives(emb, anchors, k = 5)
+    },
+    // semi-hard band (pos_dist < dist <= pos_dist + margin): margin
+    // 0.03 binds for 5 of the 8 fixture anchors (others cap at k), so
+    // BOTH the band edges and the rank cutoff are exercised. Pure IEEE
+    // double +/<= — engine-identical with no fixed point.
+    "mine_semihard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"),
+          col("label").as("query_label"))
+      Contrastive.semiHardNegatives(emb, anchors, k = 5, margin = 0.03)
     }
   )
 
@@ -404,6 +429,48 @@ object VectorQueries {
          |FROM embeddings e CROSS JOIN $qvecSql
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id
-         |LIMIT 10""".stripMargin
+         |LIMIT 10""".stripMargin,
+    "mine_label_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, label AS qlab
+        |  FROM embeddings WHERE vec_id < 8
+        |), d AS (
+        |  SELECT q.query_id, e.vec_id, e.label AS neg_label,
+        |         CAST(list_distance(e.embedding, q.qe) AS DOUBLE) AS dist,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY CAST(list_distance(e.embedding, q.qe) AS DOUBLE),
+        |                    e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.label IS NOT NULL AND e.label <> q.qlab
+        |)
+        |SELECT query_id, vec_id, neg_label, dist, rn FROM d WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+    "mine_semihard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, label AS qlab
+        |  FROM embeddings WHERE vec_id < 8
+        |), pos AS (
+        |  SELECT q.query_id,
+        |         min(CAST(list_distance(e.embedding, q.qe) AS DOUBLE)) AS pos_dist
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.label IS NOT NULL AND e.label = q.qlab
+        |    AND e.vec_id <> q.query_id
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         CAST(list_distance(e.embedding, q.qe) AS DOUBLE) AS dist,
+        |         p.pos_dist,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY CAST(list_distance(e.embedding, q.qe) AS DOUBLE),
+        |                    e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q
+        |  JOIN pos p ON p.query_id = q.query_id
+        |  WHERE e.label IS NOT NULL AND e.label <> q.qlab
+        |    AND CAST(list_distance(e.embedding, q.qe) AS DOUBLE) > p.pos_dist
+        |    AND CAST(list_distance(e.embedding, q.qe) AS DOUBLE)
+        |        <= p.pos_dist + 0.03
+        |)
+        |SELECT query_id, vec_id, dist, pos_dist, rn FROM d WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin
   )
 }
