@@ -22,6 +22,10 @@ import graft.operators.Bm25
 object HybridQueries {
 
   private val QueryTerms = Seq("vector", "hash", "join")
+  private val QldTerms = Seq("vector", "hash", "join", "search")
+  private val QldMu = 2000L
+  private val QldLnHandoff = Handoff.path("qld_ln")
+  private def rp(path: String) = s"read_parquet('$path/*.parquet')"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 keyword top-20 (rational idf + fixed-point, oracle-exact)
@@ -139,6 +143,20 @@ object HybridQueries {
           "doc_id", "text", "customer", "join", window = 3L)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+    // Dirichlet query-likelihood top-15 (QL/Dirichlet, the second
+    // classic probabilistic ranking next to BM25). Pure-integer score
+    // sums over floor(ln·1e9) fixed-point values; ln() is not
+    // bitwise-portable cross-engine, so Spark publishes the (v, ln_fp)
+    // table over every ln argument and the oracle joins it under a
+    // completeness guard instead of computing any ln itself. 'search'
+    // is absent from the fixture corpus — the drop-unseen-terms rule
+    // is genuinely exercised.
+    "qld_topk" -> { (s, dir) =>
+      val (res, lnT) = graft.operators.Qld.topK(Tables.documents(s, dir),
+        "doc_id", "text", QldTerms, k = 15, mu = QldMu)
+      if (!Handoff.benchMode) Handoff.publish(lnT, QldLnHandoff)
+      res.withColumnRenamed("id", "doc_id")
     }
   )
 
@@ -356,6 +374,57 @@ object HybridQueries {
         |)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
         |       CAST(min(d) AS BIGINT) AS min_dist
-        |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Dirichlet QL, dense form (every doc × kept term; the Spark side
+    // runs the sparse rewrite — identical by exact integer
+    // cancellation). No ln is computed here: ln_fp values come from
+    // the handoff, and the eok guard NULLs every score if any needed
+    // argument is missing from it.
+    "qld_topk" ->
+      s"""WITH lt AS (SELECT v, ln_fp FROM ${rp(QldLnHandoff)}),
+         |tok2 AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+         |    FROM documents) WHERE t <> ''
+         |), dl AS (
+         |  SELECT d.doc_id, CAST(coalesce(c.dl, 0) AS BIGINT) AS dl
+         |  FROM documents d LEFT JOIN (
+         |    SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1) c USING (doc_id)
+         |), n AS (SELECT CAST(sum(dl) AS BIGINT) AS n FROM dl),
+         |q(term) AS (VALUES ${QldTerms.map(t => s"('$t')").mkString(",")}),
+         |kept AS (
+         |  SELECT t.term, CAST(count(*) AS BIGINT) AS cf
+         |  FROM tok2 t JOIN q USING (term) GROUP BY 1
+         |), tf AS (
+         |  SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok2 t JOIN kept USING (term) GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT dl.doc_id, k.term,
+         |         coalesce(tf.tf, 0) * n.n + $QldMu * k.cf AS av,
+         |         n.n * (dl.dl + $QldMu) AS cv,
+         |         coalesce(tf.tf, 0) AS tf
+         |  FROM dl CROSS JOIN kept k CROSS JOIN n
+         |  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = k.term
+         |), needed AS (
+         |  SELECT DISTINCT av AS v FROM pairs
+         |  UNION SELECT DISTINCT cv AS v FROM pairs
+         |), ok AS (
+         |  SELECT CASE WHEN (SELECT count(*) FROM needed) =
+         |              (SELECT count(*) FROM needed JOIN lt USING (v))
+         |         THEN 1 ELSE NULL END AS ok
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |         CAST(sum(la.ln_fp - lc.ln_fp) AS BIGINT)
+         |           * (SELECT ok FROM ok) AS qld_fp,
+         |         CAST(sum(CASE WHEN p.tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_terms
+         |  FROM pairs p
+         |  JOIN lt la ON la.v = p.av
+         |  JOIN lt lc ON lc.v = p.cv
+         |  GROUP BY 1
+         |)
+         |SELECT doc_id, qld_fp, n_terms FROM sc
+         |ORDER BY qld_fp DESC, doc_id LIMIT 15""".stripMargin
   )
 }
