@@ -271,6 +271,16 @@ object TextQueries {
           .as("piece"))
         .groupBy(col("piece")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("piece")).limit(30)
+    },
+    // TextRank keyword extraction: top-20 terms of the corpus
+    // co-occurrence graph (top-64 vocab, window 2, 10 weighted-
+    // PageRank rounds in 1e9 fixed point). Pure-integer iteration —
+    // the oracle replays the WHOLE thing from raw text as a recursive
+    // CTE, no handoff: vocab cap, banded pair counts, degrees, ghost
+    // self-edges for isolated terms, all ten rounds.
+    "textrank_keywords" -> { (s, dir) =>
+      graft.operators.TextRank.keywords(Tables.documents(s, dir),
+        "doc_id", "text", vocabCap = 64, k = 20)
     }
   )
 
@@ -910,6 +920,53 @@ object TextQueries {
         |       CAST(len(toks[(window_id*24+1):(window_id*24+32)]) AS BIGINT) AS n_tokens,
         |       array_to_string(toks[(window_id*24+1):(window_id*24+32)], ' ') AS window_text
         |FROM e
-        |ORDER BY doc_id, window_id""".stripMargin
+        |ORDER BY doc_id, window_id""".stripMargin,
+    // TextRank, full inductive replay: vocab cap, list-indexed
+    // positions (deterministic — never row_number over an unnest),
+    // banded pair counts, weighted degrees, ghost self-edges, and the
+    // 10-round integer recursion. `//` == Scala long division on the
+    // all-positive operands.
+    "textrank_keywords" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS w
+        |  FROM documents
+        |), kept AS (
+        |  SELECT term FROM (
+        |    SELECT t2.term, count(*) AS n
+        |    FROM (SELECT unnest(w) AS term FROM t) t2
+        |    GROUP BY 1 ORDER BY n DESC, term LIMIT 64)
+        |), kt AS (
+        |  SELECT t.doc_id, t.w[u.i] AS term, CAST(u.i AS BIGINT) AS pos
+        |  FROM t, unnest(range(1, len(t.w) + 1)) AS u(i)
+        |  WHERE t.w[u.i] IN (SELECT term FROM kept)
+        |), und AS (
+        |  SELECT least(a.term, b.term) AS u, greatest(a.term, b.term) AS v,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM kt a JOIN kt b
+        |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+        |   AND a.term <> b.term
+        |  GROUP BY 1, 2
+        |), dir AS (
+        |  SELECT u, v, w FROM und UNION ALL SELECT v, u, w FROM und
+        |), wdeg AS (
+        |  SELECT u, CAST(sum(w) AS BIGINT) AS wdeg FROM dir GROUP BY 1
+        |), edges AS (
+        |  SELECT d.u, d.v, d.w, g.wdeg FROM dir d JOIN wdeg g USING (u)
+        |  UNION ALL
+        |  SELECT term, term, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM kept
+        |), pr AS (
+        |  SELECT 0 AS i, term, CAST(1000000000 AS BIGINT) AS pr FROM kept
+        |  UNION ALL
+        |  SELECT p.i + 1, e.v AS term,
+        |         CAST(150000000 + (85 * sum((p.pr * e.w) // e.wdeg)) // 100
+        |              AS BIGINT)
+        |  FROM pr p JOIN edges e ON e.u = p.term
+        |  WHERE p.i < 10
+        |  GROUP BY p.i, e.v
+        |)
+        |SELECT term, pr AS textrank_fp FROM pr WHERE i = 10
+        |ORDER BY textrank_fp DESC, term LIMIT 20""".stripMargin
   )
 }
