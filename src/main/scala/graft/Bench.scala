@@ -50,7 +50,8 @@ object Bench {
     // when the subset doesn't touch them.
     if (Seq("ann_ivf", "ann_ivfpq", "ann_ivf_append", "cluster_domains",
         "ann_recall_report", "mine_hard_negatives", "ann_ivf_filtered",
-        "ann_ivf_sq8", "ann_ndcg_report", "ann_mrr_report").exists(selected.contains))
+        "ann_ivf_sq8", "ann_ivf_bq", "ann_ndcg_report",
+        "ann_mrr_report").exists(selected.contains))
       try graft.queries.AnnQueries.persistedIvf(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] WARNING: IVF warmup failed (${e.getMessage}); " +
@@ -81,6 +82,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] WARNING: DSIR warmup failed (${e.getMessage}); " +
           "dsir_* timing will include model training") }
+    // the positional index gate times the pruned range reads +
+    // positional joins, not the index write — same warmup contract
+    if (selected.contains("phrase_search_indexed"))
+      try graft.queries.HybridQueries.persistedPositional(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: positional-index warmup failed " +
+          s"(${e.getMessage}); phrase_search_indexed timing will include " +
+          "index construction") }
     if (selected.contains("bm25_indexed"))
       try graft.queries.HybridQueries.persistedBm25(spark, sfDir)
       catch { case e: Throwable =>
