@@ -337,4 +337,67 @@ object VectorSearch {
       .select(col(qIdCol), col(idCol), col("dist"), col("rn"))
       .orderBy(col(qIdCol), col("rn"))
   }
+
+  /** Rocchio dense relevance feedback (Rocchio '71 — the DENSE
+    * counterpart of [[Bm25.prfTopK]]): take the cosine top-`kFb`
+    * feedback set, refine the query toward its centroid, re-rank the
+    * corpus with the refined query.
+    *
+    * Engine-portable by exact integers end to end, NO handoff: the
+    * refined query is `q'_j = wq·floor(q_j·2^20) + wf·(Σ_fb
+    * floor(d_j·2^20) / kFb)` (truncating long division — Scala `/` ==
+    * DuckDB `//` on any sign), and ranking is the pure-int64
+    * asymmetric dot Σ_j floor(e_j·2^20)·q'_j — the Bq/Pq fixed-point
+    * rule, so a float never orders anything. The feedback fetch is
+    * the f32 cosine kernel (bit-equal to `list_cosine_similarity`).
+    *
+    * Scale shape: round 1 is a TakeOrdered top-kFb; the kFb feedback
+    * vectors are collected (kFb-bounded — the qvec rule) and q' is
+    * driver arithmetic; round 2 is one narrow map + TakeOrdered.
+    * Neither round shuffles the corpus. Null embeddings drop before
+    * both sorts (cross-engine null-order rule). */
+  def rocchioTopK(corpus: DataFrame, queryVec: Seq[Float], kFb: Int, k: Int,
+                  wq: Long = 2L, wf: Long = 1L,
+                  embCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    require(kFb >= 1, s"kFb must be >= 1, got $kFb")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val Scale = 1L << 20
+    def fp(x: Float): Long = StrictMath.floor(x.toDouble * Scale.toDouble).toLong
+
+    val fb = corpus
+      .where(col(idCol).isNotNull && col(embCol).isNotNull)
+      .withColumn("__sim", cosSimF32(col(embCol), typedLit(queryVec)).cast("double"))
+      .orderBy(col("__sim").desc, col(idCol))
+      .limit(kFb)
+      .select(col(embCol))
+      .collect().map(_.getSeq[Float](0))
+    require(fb.nonEmpty, "empty corpus: no feedback set")
+    val d = queryVec.length
+    fb.foreach(v => require(v.length == d,
+      s"ragged feedback embedding: ${v.length} vs $d"))
+    val n = fb.length.toLong
+    val qPrime: Array[Long] = Array.tabulate(d) { j =>
+      var s = 0L
+      fb.foreach(v => s += fp(v(j)))
+      wq * fp(queryVec(j)) + wf * (s / n)
+    }
+
+    val dot = udf { (v: Seq[Float]) =>
+      if (v == null || v.length != d) null
+      else {
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += fp(v(j)) * qPrime(j); j += 1 }
+        java.lang.Long.valueOf(acc)
+      }
+    }
+    corpus
+      .select(col(idCol), dot(col(embCol)).as("dot_fp"))
+      .filter(col("dot_fp").isNotNull)
+      .orderBy(col("dot_fp").desc, col(idCol))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("dot_fp").desc, col(idCol))).cast("long"))
+  }
 }
