@@ -173,4 +173,51 @@ object Positional {
                                window: Long): DataFrame =
     proximityPairs(readPostings(spark, path, Seq(termA, termB)),
       termA, termB, window)
+
+  /** Best-passage extraction (passage retrieval / snippet selection):
+    * per document, the `window`-token span holding the most query-term
+    * occurrences, then the top-`k` documents by that best span — what
+    * a RAG pipeline quotes instead of the whole document.
+    *
+    * Candidate spans anchor at MATCHED positions only (an optimal
+    * window always starts at a hit — shifting a window right to its
+    * first hit never loses one), so the per-doc cost is tf², the
+    * proximity-join bound, never dl·window. Ties: earliest span wins
+    * inside a doc; doc id breaks cross-doc ties. Pure integer counts
+    * + deterministic token slicing — the oracle replays everything
+    * from raw text, no handoff.
+    *
+    * Output: (id, n_hits, win_start [0-based token index], passage). */
+  def bestPassage(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], window: Long, k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(window >= 1L, s"window must be >= 1, got $window")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val post = postingsOf(docs, idCol, textCol, terms.distinct).persist()
+    Dedup.releaseAfterUse(post)
+    val a = post.select(col("id").as("__ida"), col("pos").as("__pa"))
+    val b = post.select(col("id").as("__idb"), col("pos").as("__pb"))
+    val hits = a.join(b,
+        col("__ida") === col("__idb") &&
+          col("__pb") >= col("__pa") &&
+          col("__pb") < col("__pa") + lit(window))
+      .groupBy(col("__ida").as("id"), col("__pa").as("win_start"))
+      .agg(count(lit(1)).as("n_hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("n_hits").desc, col("win_start"))
+    val best = hits.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("n_hits"), col("win_start"))
+      .orderBy(col("n_hits").desc, col("id"))
+      .limit(k)
+    val toks = docs.select(col(idCol).as("id"),
+      Bm25.terms(col(textCol)).as("__toks"))
+    best.join(toks, Seq("id"))
+      .select(col("id"), col("n_hits"), col("win_start"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("win_start") + lit(1)).cast("int"),
+          lit(window.toInt))).as("passage"))
+      .orderBy(col("n_hits").desc, col("id"))
+  }
 }

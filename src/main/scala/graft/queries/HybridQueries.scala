@@ -157,6 +157,18 @@ object HybridQueries {
         "doc_id", "text", QldTerms, k = 15, mu = QldMu)
       if (!Handoff.benchMode) Handoff.publish(lnT, QldLnHandoff)
       res.withColumnRenamed("id", "doc_id")
+    },
+    // best-passage extraction (RAG snippet selection): per doc the
+    // 16-token span with the most query-term hits (anchored at
+    // matched positions — optimal windows always start at a hit, so
+    // per-doc cost is tf^2, the proximity bound), top-10 docs by that
+    // span. Integer counts + deterministic token slice; full raw-text
+    // replay, no handoff.
+    "best_passage" -> { (s, dir) =>
+      graft.operators.Positional.bestPassage(Tables.documents(s, dir),
+          "doc_id", "text", Seq("hash", "join", "vector"),
+          window = 16L, k = 10)
+        .withColumnRenamed("id", "doc_id")
     }
   )
 
@@ -425,6 +437,32 @@ object HybridQueries {
          |  GROUP BY 1
          |)
          |SELECT doc_id, qld_fp, n_terms FROM sc
-         |ORDER BY qld_fp DESC, doc_id LIMIT 15""".stripMargin
+         |ORDER BY qld_fp DESC, doc_id LIMIT 15""".stripMargin,
+    "best_passage" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS w
+        |  FROM documents
+        |), kt AS (
+        |  SELECT t.doc_id, CAST(u.i AS BIGINT) AS pos
+        |  FROM t, unnest(range(1, len(t.w) + 1)) AS u(i)
+        |  WHERE t.w[u.i] IN ('hash', 'join', 'vector')
+        |), hits AS (
+        |  SELECT a.doc_id, a.pos AS s, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM kt a JOIN kt b
+        |    ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 16
+        |  GROUP BY 1, 2
+        |), best AS (
+        |  SELECT doc_id, s, n_hits,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY n_hits DESC, s) AS rn
+        |  FROM hits
+        |)
+        |SELECT b.doc_id, b.n_hits, b.s - 1 AS win_start,
+        |       array_to_string(t.w[b.s : b.s + 15], ' ') AS passage
+        |FROM best b JOIN t USING (doc_id)
+        |WHERE b.rn = 1
+        |ORDER BY b.n_hits DESC, b.doc_id LIMIT 10""".stripMargin
   )
 }

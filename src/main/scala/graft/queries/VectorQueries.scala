@@ -184,6 +184,16 @@ object VectorQueries {
           col("embedding").as("query_embedding"),
           col("label").as("query_label"))
       Contrastive.semiHardNegatives(emb, anchors, k = 5, margin = 0.03)
+    },
+    // Rocchio dense relevance feedback (the dense twin of bm25_prf):
+    // cosine top-8 feedback set -> fixed-point centroid refinement
+    // (q' = 2*q_fp + fsum/8, truncating division — Scala / == DuckDB
+    // // on any sign) -> pure-int64 asymmetric dot re-rank. NO
+    // handoff: both rounds replay entirely from `embeddings`.
+    "rocchio_feedback" -> { (s, dir) =>
+      VectorSearch.rocchioTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        qvec(s, dir, 0), kFb = 8, k = 10)
     }
   )
 
@@ -471,6 +481,40 @@ object VectorQueries {
         |        <= p.pos_dist + 0.03
         |)
         |SELECT query_id, vec_id, dist, pos_dist, rn FROM d WHERE rn <= 5
-        |ORDER BY query_id, rn""".stripMargin
+        |ORDER BY query_id, rn""".stripMargin,
+    "rocchio_feedback" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |fb AS (
+         |  SELECT e.vec_id, e.embedding
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE)
+         |           DESC, e.vec_id
+         |  LIMIT 8
+         |), dims AS (
+         |  SELECT i.i AS dim,
+         |         CAST(sum(CAST(floor(CAST(f.embedding[i.i] AS DOUBLE)
+         |                              * 1048576) AS BIGINT)) AS BIGINT) AS fsum
+         |  FROM fb f, unnest(range(1, len(f.embedding) + 1)) AS i(i)
+         |  GROUP BY 1
+         |), qfp AS (
+         |  SELECT i.i AS dim,
+         |         CAST(floor(CAST(q.qe[i.i] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+         |  FROM q, unnest(range(1, len(q.qe) + 1)) AS i(i)
+         |), qprime AS (
+         |  SELECT qfp.dim, 2 * qfp.qv + (dims.fsum // 8) AS qp
+         |  FROM qfp JOIN dims USING (dim)
+         |), scored AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CAST(floor(CAST(e.embedding[qp.dim] AS DOUBLE)
+         |                              * 1048576) AS BIGINT) * qp.qp)
+         |              AS BIGINT) AS dot_fp
+         |  FROM embeddings e CROSS JOIN qprime qp
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY 1
+         |)
+         |SELECT vec_id, dot_fp,
+         |       row_number() OVER (ORDER BY dot_fp DESC, vec_id) AS rn
+         |FROM scored ORDER BY dot_fp DESC, vec_id LIMIT 10""".stripMargin
   )
 }

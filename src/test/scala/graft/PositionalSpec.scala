@@ -105,4 +105,55 @@ class PositionalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Positional.proximitySearch(d, "doc_id", "text", "a", "b", 0L))
   }
+
+  test("bestPassage: hand-checkable window, tie to earliest, text slice") {
+    //            pos: 0 1 2 3 4 5 6 7
+    val d = docs(1L -> "q x q q y y y q",
+                 2L -> "q y y y y y y q",
+                 3L -> "z z z")
+    val got = Positional.bestPassage(d, "doc_id", "text", Seq("q"),
+      window = 3L, k = 5).collect()
+    // doc 1: [0,3) holds q@0,q@2 and [2,5) holds q@2,q@3 — both 2
+    // hits, earliest anchor 0 wins the tie; doc 2: 1 hit everywhere,
+    // anchor 0 wins; doc 3: no hits, absent
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val d1 = got.find(_.getLong(0) == 1L).get
+    assert(d1.getLong(1) === 2L && d1.getLong(2) === 0L)
+    assert(d1.getString(3) === "q x q")
+    val d2 = got.find(_.getLong(0) == 2L).get
+    assert(d2.getLong(1) === 1L && d2.getLong(2) === 0L)
+    assert(d2.getString(3) === "q y y")
+  }
+
+  test("bestPassage: hit-anchored spans find the same optimum as an exhaustive scan") {
+    val d = Tables.documents(spark, sfDir)
+    val terms = Seq("hash", "join", "vector")
+    val w = 16
+    val got = Positional.bestPassage(d, "doc_id", "text", terms,
+      window = w.toLong, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // exhaustive: every start position, not just hits
+    val texts = d.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val best = texts.map { case (id, t) =>
+      val ws = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val hit = ws.map(x => if (terms.contains(x)) 1 else 0)
+      val m = if (hit.sum == 0) 0
+        else ws.indices.map(i => hit.slice(i, i + w).sum).max
+      id -> m.toLong
+    }.toMap
+    got.foreach { case (id, n) => assert(n === best(id), s"doc $id") }
+    // and the operator's top hit-count equals the global exhaustive max
+    assert(got.values.max === best.values.max)
+  }
+
+  test("bestPassage guards") {
+    val d = docs(1L -> "a b")
+    intercept[IllegalArgumentException](
+      Positional.bestPassage(d, "doc_id", "text", Seq.empty, 4L, 5))
+    intercept[IllegalArgumentException](
+      Positional.bestPassage(d, "doc_id", "text", Seq("a"), 0L, 5))
+    intercept[IllegalArgumentException](
+      Positional.bestPassage(d, "doc_id", "text", Seq("a"), 4L, 0))
+  }
 }
