@@ -191,7 +191,8 @@ object Positional {
   def bestPassage(docs: DataFrame, idCol: String, textCol: String,
                   terms: Seq[String], window: Long, k: Int): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    require(window >= 1L, s"window must be >= 1, got $window")
+    require(window >= 1L && window <= Int.MaxValue.toLong,
+      s"window must be in [1, ${Int.MaxValue}], got $window")
     require(k >= 1, s"k must be >= 1, got $k")
     val post = postingsOf(docs, idCol, textCol, terms.distinct).persist()
     Dedup.releaseAfterUse(post)

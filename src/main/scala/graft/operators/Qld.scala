@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   * Every doc gets a score (smoothing ranks even no-match docs, the
   * textbook semantics); query terms absent from the corpus have
   * p(t|C) = 0 — their factor is 0 for every doc alike — and are
-  * dropped, the standard QL convention.
+  * dropped, the standard QL convention; a query with NO
+  * corpus-present term ranks nothing (empty result, the oracle's
+  * empty dense pair set).
   */
 object Qld {
 
@@ -61,9 +63,14 @@ object Qld {
 
     // (id, dl) over ALL docs: a null/empty text has dl = 0 (DuckDB's
     // unnest-of-NULL emits no token rows; the oracle left-join
-    // coalesces to the same 0)
+    // coalesces to the same 0). Both dl and the postings feed several
+    // branches (score + every lnTable union leg): persist once,
+    // self-release on the first consuming action — the tokenize scan
+    // must not re-run per branch.
     val dl = docs.select(col(idCol).as("id"),
       coalesce(size(Bm25.terms(col(textCol))), lit(0)).cast("long").as("dl"))
+      .persist()
+    Dedup.releaseAfterUse(dl)
     val n1 = dl.agg(sum(col("dl")).as("n")) // 1 row
 
     // matched postings (id, term, tf) and per-term corpus stats; a
@@ -71,6 +78,8 @@ object Qld {
     // appears — the drop-unseen-terms rule
     val postings = Bm25.index(docs, idCol, textCol, queryTerms.distinct)
       .select(col("id"), col("term"), col("tf").cast("long").as("tf"))
+      .persist()
+    Dedup.releaseAfterUse(postings)
     val kept = postings.groupBy(col("term"))
       .agg(sum(col("tf")).as("cf"))
       .crossJoin(broadcast(n1))
@@ -94,10 +103,14 @@ object Qld {
     val scored = dl
       .crossJoin(broadcast(n1))
       .crossJoin(broadcast(consts))
+      // a query with NO corpus-present term ranks nothing (the oracle's
+      // dense pair set is empty → zero rows) — without this, the empty
+      // kept aggregate's NULL b_sum would poison every score
+      .where(col("qlen") > lit(0L))
       .withColumn("c_v", col("n") * (col("dl") + lit(mu)))
       .join(matched, Seq("id"), "left")
       .select(col("id"),
-        (col("b_sum") + coalesce(col("m_sum"), lit(0L)) -
+        (coalesce(col("b_sum"), lit(0L)) + coalesce(col("m_sum"), lit(0L)) -
           col("qlen") * lnFp(col("c_v"))).as("qld_fp"),
         coalesce(col("n_terms"), lit(0L)).as("n_terms"))
       .orderBy(col("qld_fp").desc, col("id"))

@@ -393,6 +393,7 @@ object VectorSearch {
       }
     }
     corpus
+      .where(col(idCol).isNotNull)
       .select(col(idCol), dot(col(embCol)).as("dot_fp"))
       .filter(col("dot_fp").isNotNull)
       .orderBy(col("dot_fp").desc, col(idCol))

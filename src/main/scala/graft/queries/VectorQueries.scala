@@ -451,7 +451,8 @@ object VectorQueries {
         |           ORDER BY CAST(list_distance(e.embedding, q.qe) AS DOUBLE),
         |                    e.vec_id) AS rn
         |  FROM embeddings e CROSS JOIN q
-        |  WHERE e.label IS NOT NULL AND e.label <> q.qlab
+        |  WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+        |    AND e.label IS NOT NULL AND e.label <> q.qlab
         |)
         |SELECT query_id, vec_id, neg_label, dist, rn FROM d WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
@@ -463,7 +464,8 @@ object VectorQueries {
         |  SELECT q.query_id,
         |         min(CAST(list_distance(e.embedding, q.qe) AS DOUBLE)) AS pos_dist
         |  FROM embeddings e CROSS JOIN q
-        |  WHERE e.label IS NOT NULL AND e.label = q.qlab
+        |  WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+        |    AND e.label IS NOT NULL AND e.label = q.qlab
         |    AND e.vec_id <> q.query_id
         |  GROUP BY 1
         |), d AS (
@@ -475,7 +477,8 @@ object VectorQueries {
         |                    e.vec_id) AS rn
         |  FROM embeddings e CROSS JOIN q
         |  JOIN pos p ON p.query_id = q.query_id
-        |  WHERE e.label IS NOT NULL AND e.label <> q.qlab
+        |  WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+        |    AND e.label IS NOT NULL AND e.label <> q.qlab
         |    AND CAST(list_distance(e.embedding, q.qe) AS DOUBLE) > p.pos_dist
         |    AND CAST(list_distance(e.embedding, q.qe) AS DOUBLE)
         |        <= p.pos_dist + 0.03

@@ -55,6 +55,12 @@ class QldSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === expectedOrder)
   }
 
+  test("a query with NO corpus-present term ranks nothing") {
+    val (res, _) = Qld.topK(docs, "doc_id", "text",
+      Seq("zzzzqqqqxxxx", "qqqqzzzzyyyy"), k = 10, mu = Mu)
+    assert(res.count() === 0L)
+  }
+
   test("a query term absent from the corpus is dropped, not -inf") {
     val (base, _) = Qld.topK(docs, "doc_id", "text", Terms, k = 10, mu = Mu)
     val (plus, _) = Qld.topK(docs, "doc_id", "text",

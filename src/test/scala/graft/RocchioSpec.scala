@@ -62,13 +62,17 @@ class RocchioSpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("null embeddings never rank and never join the feedback set") {
+  test("null embeddings and null ids never rank and never join the feedback set") {
+    val nullId: java.lang.Long = null
     val holed = corpus.union(
       Seq((9999L, null.asInstanceOf[Seq[Float]], 0))
         .toDF("vec_id", "embedding", "label")
         .withColumn("embedding", col("embedding").cast("array<float>")))
+      .union(corpus.limit(1)
+        .withColumn("vec_id", lit(nullId).cast("long")))
     val got = VectorSearch.rocchioTopK(holed, qv, kFb = 8, k = 500)
-    assert(!got.select($"vec_id").as[Long].collect().contains(9999L))
+    val ids = got.select($"vec_id").collect().map(_.get(0))
+    assert(!ids.contains(9999L) && !ids.contains(null))
     assert(got.collect().toSeq ===
       VectorSearch.rocchioTopK(corpus, qv, kFb = 8, k = 500).collect().toSeq)
   }
