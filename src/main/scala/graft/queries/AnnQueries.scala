@@ -29,6 +29,8 @@ object AnnQueries {
     * the oracle reads them with read_parquet). */
   private val CentroidsHandoff = Handoff.path("ivf_centroids")
   private val AssignedHandoff  = Handoff.path("ivf_assigned")
+  private val GraphCentsHandoff = Handoff.path("knn_graph_cents")
+  private val GraphAsgHandoff   = Handoff.path("knn_graph_asg")
   private val LshBucketsHandoff = Handoff.path("lsh_buckets")
   private val PqCandHandoff    = Handoff.path("pq_candidates")
   private val RpPlanesHandoff  = Handoff.path("rp_planes")
@@ -243,6 +245,21 @@ object AnnQueries {
       writeIvfHandoff(s, index)
       Bq.searchIvfBq(index, VectorQueries.qvec(s, dir, 0),
         k = 10, rerank = 64, nprobe = 4)
+    },
+    // approximate kNN-graph over the IVF cells: per vector, the 4
+    // nearest co-cell neighbors — the SemDeDup/NN-descent seed graph.
+    // The index is the CORPUS-PROPORTIONAL one (k = max(16, n/1000),
+    // the semdedup sizing): cell population stays ~constant as the
+    // corpus grows, so the within-cell quadratic cost stays linear in
+    // total — a fixed cell count measured 1021 s at the 100× fixture
+    // before this. Own handoff paths: the shared AssignedHandoff
+    // carries the 16-cell index other gates replay against.
+    // Assignment rides the handoff (the ann_ivfpq contract); the
+    // within-cell join, dists, and ranks replay fully in SQL.
+    "knn_graph" -> { (s, dir) =>
+      val index = ModelQueries.semdedupIndex(s, dir)
+      writeIvfHandoff(s, index, GraphCentsHandoff, GraphAsgHandoff)
+      Ann.knnGraph(index, k = 4)
     },
     // PCA embedding compression (faiss's PCAR pre-transform shape):
     // top-8 variance directions fitted by the one-pass Gram
@@ -910,6 +927,24 @@ object AnnQueries {
     // exact integer projection replay from the model handoff:
     // inputs quantize floor(x*2^20), coord = sum of exact long
     // products — no float anywhere downstream of the handoff
+    "knn_graph" ->
+      s"""WITH asg AS (SELECT * FROM ${rp(GraphAsgHandoff)}),
+         |v AS (
+         |  SELECT e.vec_id, e.embedding, a.ivf_cluster
+         |  FROM embeddings e JOIN asg a USING (vec_id)
+         |  WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+         |), d AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         |         CAST(list_distance(a.embedding, b.embedding) AS DOUBLE)
+         |           AS dist,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY CAST(list_distance(a.embedding, b.embedding)
+         |                         AS DOUBLE), b.vec_id) AS rn
+         |  FROM v a JOIN v b
+         |    ON a.ivf_cluster = b.ivf_cluster AND a.vec_id <> b.vec_id
+         |)
+         |SELECT src_id, nbr_id, dist, rn FROM d WHERE rn <= 4
+         |ORDER BY src_id, rn""".stripMargin,
     "pca_project" ->
       s"""WITH mean AS (SELECT mu_fp FROM ${rp(s"$PcaProjectHandoff/pca_mean")}),
          |comps AS (SELECT comp_id, comp_fp FROM ${rp(s"$PcaProjectHandoff/pca_components")}),

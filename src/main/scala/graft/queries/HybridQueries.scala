@@ -169,6 +169,16 @@ object HybridQueries {
           "doc_id", "text", Seq("hash", "join", "vector"),
           window = 16L, k = 10)
         .withColumnRenamed("id", "doc_id")
+    },
+    // fuzzy term search: edit-distance-1 query expansion over the
+    // corpus vocabulary ('vecto' is a deliberate typo — it only ever
+    // matches through the expansion), integer tf scoring. Both
+    // engines ship classic unweighted levenshtein, so the whole
+    // pipeline replays in SQL with no handoff.
+    "fuzzy_term_search" -> { (s, dir) =>
+      graft.operators.Fuzzy.termSearch(Tables.documents(s, dir),
+          "doc_id", "text", Seq("vecto", "hash"), k = 15)
+        .withColumnRenamed("id", "doc_id")
     }
   )
 
@@ -463,6 +473,27 @@ object HybridQueries {
         |       array_to_string(t.w[b.s : b.s + 15], ' ') AS passage
         |FROM best b JOIN t USING (doc_id)
         |WHERE b.rn = 1
-        |ORDER BY b.n_hits DESC, b.doc_id LIMIT 10""".stripMargin
+        |ORDER BY b.n_hits DESC, b.doc_id LIMIT 10""".stripMargin,
+    "fuzzy_term_search" ->
+      """WITH tok2 AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok2 GROUP BY 1, 2
+        |), vocab AS (SELECT DISTINCT term FROM tok2),
+        |q(qterm) AS (VALUES ('vecto'), ('hash')),
+        |exp AS (
+        |  SELECT v.term, q.qterm FROM vocab v CROSS JOIN q
+        |  WHERE levenshtein(v.term, q.qterm) <= 1
+        |), sc AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS score,
+        |         CAST(count(DISTINCT e.qterm) AS BIGINT) AS n_terms
+        |  FROM tf JOIN exp e USING (term) GROUP BY 1
+        |)
+        |SELECT doc_id, score, n_terms FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
   )
 }
