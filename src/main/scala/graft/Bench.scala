@@ -71,8 +71,9 @@ object Bench {
     if (Seq("semdedup_keep", "knn_graph").exists(selected.contains))
       try graft.queries.ModelQueries.semdedupIndex(spark, sfDir)
       catch { case e: Throwable =>
-        System.err.println(s"[bench] WARNING: semdedup IVF warmup failed " +
-          s"(${e.getMessage}); semdedup_keep timing will include the fit") }
+        System.err.println(s"[bench] WARNING: corpus-proportional IVF warmup " +
+          s"failed (${e.getMessage}); semdedup_keep/knn_graph timing will " +
+          "include the fit") }
     // DSIR: the trio (weights/select/resample) scores against ONE
     // trained artifact (nightly-retrain semantics, like the persisted
     // IVF/BM25 indexes) — warm the build-once cache so training never

@@ -646,12 +646,7 @@ object Ann {
                   var j = 0
                   while (j < n) {
                     if (j != i) {
-                      val a = vecs(i); val b = vecs(j)
-                      var acc = 0.0f
-                      var d = 0
-                      while (d < a.length) { val x = a(d) - b(d); acc += x * x; d += 1 }
-                      val dist = math.sqrt(acc.toDouble).toFloat
-                      val e = (dist, ids(j))
+                      val e = (PartitionedTopK.l2F32(vecs(i), vecs(j)), ids(j))
                       if (h.size < k) h.enqueue(e)
                       else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
                     }

@@ -35,14 +35,23 @@ object Fuzzy {
                  queryTerms: Seq[String], k: Int,
                  maxDist: Int = 1): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // the vocab lives in the tokenizer alphabet; a cased/punctuated
+    // query term would never exact-match yet silently spend its whole
+    // edit budget on normalization ("Hash" fuzzy-matching every
+    // 'hash') — refuse instead
+    require(queryTerms.forall(_.matches("[a-z0-9]+")),
+      s"queryTerms must be lowercase [a-z0-9]+ (the tokenizer alphabet), " +
+        s"got ${queryTerms.filterNot(_.matches("[a-z0-9]+")).mkString(", ")}")
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val spark = docs.sparkSession
     import spark.implicits._
 
     // tf per (doc, term): the one corpus-sized agg; persist-once — the
-    // vocab derives from it, so the tokenize scan must not run twice
+    // vocab derives from it, so the tokenize scan must not run twice.
+    // Null-id docs never score (cross-engine null-order hygiene).
     val tf = docs
+      .where(col(idCol).isNotNull)
       .select(col(idCol).as("id"), explode(Bm25.terms(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))

@@ -23,6 +23,19 @@ import org.apache.spark.sql.types._
   */
 object PartitionedTopK {
 
+  /** THE row-level f32 sequential Euclidean kernel — one owner for
+    * every mapPartitions operator (this one, [[Ann.knnGraph]]): f32
+    * accumulation in index order, sqrt widened then narrowed, exactly
+    * the arithmetic of the codegen `l2DistF32` column kernel and of
+    * DuckDB `list_distance` — an edit here is an edit to the oracle
+    * contract of every caller. Callers check dimensions. */
+  private[operators] def l2F32(a: Array[Float], b: Array[Float]): Float = {
+    var acc = 0.0f
+    var d = 0
+    while (d < a.length) { val x = a(d) - b(d); acc += x * x; d += 1 }
+    math.sqrt(acc.toDouble).toFloat
+  }
+
   /** queries: driver-side (id, vector) pairs — the broadcast side.
     * Returns (query_id, idCol, dist, rn) ranked 1..k per query.
     * The id column may be long, int or string (e.g. ChunkSchema's
@@ -52,17 +65,13 @@ object PartitionedTopK {
       val heaps = Array.fill(qs.length)(mutable.PriorityQueue.empty[(Float, Any)](ord))
       for (r <- rows) {
         val id = r.get(0)
-        val v = r.getSeq[Float](1)
+        val v = r.getSeq[Float](1).toArray
         var qi = 0
         while (qi < qs.length) {
           val q = qs(qi)._2
           if (v.length != q.length) throw new IllegalArgumentException(
             s"batchTopK: vector dimensions differ (${v.length} vs ${q.length})")
-          var acc = 0.0f
-          var d = 0
-          val n = v.length
-          while (d < n) { val x = v(d) - q(d); acc += x * x; d += 1 }
-          val dist = math.sqrt(acc.toDouble).toFloat
+          val dist = l2F32(v, q)
           val h = heaps(qi)
           if (h.size < k) h.enqueue((dist, id))
           else if (ord.lt((dist, id), h.head)) { h.dequeue(); h.enqueue((dist, id)) }

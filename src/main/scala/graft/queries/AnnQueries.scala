@@ -924,9 +924,9 @@ object AnnQueries {
          |)
          |SELECT vec_id, label, ivf_cluster, adot_fp, cos_sim FROM cand
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
-    // exact integer projection replay from the model handoff:
-    // inputs quantize floor(x*2^20), coord = sum of exact long
-    // products — no float anywhere downstream of the handoff
+    // within-cell graph replay from the assignment handoff: the
+    // co-cell join, f32 list_distance dists and (dist, nbr) ranks are
+    // all re-derived in SQL
     "knn_graph" ->
       s"""WITH asg AS (SELECT * FROM ${rp(GraphAsgHandoff)}),
          |v AS (
@@ -945,6 +945,9 @@ object AnnQueries {
          |)
          |SELECT src_id, nbr_id, dist, rn FROM d WHERE rn <= 4
          |ORDER BY src_id, rn""".stripMargin,
+    // exact integer projection replay from the model handoff:
+    // inputs quantize floor(x*2^20), coord = sum of exact long
+    // products — no float anywhere downstream of the handoff
     "pca_project" ->
       s"""WITH mean AS (SELECT mu_fp FROM ${rp(s"$PcaProjectHandoff/pca_mean")}),
          |comps AS (SELECT comp_id, comp_fp FROM ${rp(s"$PcaProjectHandoff/pca_components")}),

@@ -50,6 +50,12 @@ class FuzzySpec extends SparkSpec {
       Fuzzy.termSearch(docs, "doc_id", "text", Seq("a"), k = 0))
     intercept[IllegalArgumentException](
       Fuzzy.termSearch(docs, "doc_id", "text", Seq("a"), k = 5, maxDist = -1))
+    // cased/punctuated query terms are refused, not silently matched
+    // with the edit budget spent on normalization
+    intercept[IllegalArgumentException](
+      Fuzzy.termSearch(docs, "doc_id", "text", Seq("Hash"), k = 5))
+    intercept[IllegalArgumentException](
+      Fuzzy.termSearch(docs, "doc_id", "text", Seq("ha-sh"), k = 5))
   }
 
   test("knnGraph: exact within-cell ranks, no self edges, singleton cells silent") {
