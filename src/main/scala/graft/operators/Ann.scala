@@ -679,4 +679,25 @@ object Ann {
     spark.createDataFrame(partial, schema)
       .orderBy(col("src_id"), col("rn"))
   }
+
+  /** kth-NN distance outliers (Ramaswamy et al., SIGMOD'00 — the
+    * classic kNN outlier score): a vector whose k-th nearest neighbor
+    * is FAR sits alone in embedding space — mislabeled, corrupt, or
+    * genuinely novel; the standard embedding-space cleaning signal for
+    * a training corpus. Score = the [[knnGraph]] rank-k distance
+    * inside the vector's routing cell; top-`n` by (score desc, id).
+    *
+    * Vectors whose cell holds ≤ k other members have no k-th neighbor
+    * and are NOT scored (with corpus-proportional cells that means
+    * near-empty cells — themselves an outlier signal a caller can read
+    * off the assignment counts). Inherits the graph's exact-arithmetic
+    * oracle story wholesale. */
+  def knnOutliers(index: IvfIndex, k: Int, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    knnGraph(index, k)
+      .filter(col("rn") === k)
+      .select(col("src_id"), col("dist").as("knn_dist"))
+      .orderBy(col("knn_dist").desc, col("src_id"))
+      .limit(n)
+  }
 }

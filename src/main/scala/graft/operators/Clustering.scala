@@ -117,4 +117,76 @@ object Clustering {
     Dedup.releaseAfterUse(base)
     out
   }
+
+  /** Greedy k-center coreset (Gonzalez '85 farthest-point traversal):
+    * pick the `k` most mutually-distant vectors — the classic
+    * diversity/coreset selection a training pipeline runs to get a
+    * small set that COVERS embedding space (dataset summarization,
+    * diverse eval-set picking, seed selection for labeling).
+    *
+    * Deterministic: seed = smallest id; each round picks the vector
+    * maximizing its min distance to the picked set, ties to the
+    * smaller id. Distances are the one f32 row kernel
+    * ([[PartitionedTopK.l2F32]]) widened to double, so every pick
+    * replays in SQL as a recursive CTE over `list_distance` (the
+    * mmr_rerank greedy-loop oracle shape) — the per-round float MIN
+    * widens monotonically, no fixed point needed.
+    *
+    * Scale shape: k sequential narrow passes (the algorithm is
+    * inherently iterative — each pick depends on all prior picks);
+    * each pass is one map with the ≤k-center array riding the closure
+    * + a TakeOrdered(1). No shuffle, no corpus collect. Output:
+    * (pick_rank, id, covered_dist) — covered_dist is the picked
+    * vector's min distance to the PRIOR centers (the coverage radius
+    * sequence, decreasing), NULL for the seed. */
+  def kCenterCoreset(corpus: DataFrame, k: Int,
+                     embCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val clean = corpus
+      .where(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(embCol))
+      .persist()
+    Dedup.releaseAfterUse(clean)
+
+    val seedRow = clean.orderBy(col("id")).limit(1).collect()
+    require(seedRow.nonEmpty, "empty corpus: nothing to pick")
+    val centers = scala.collection.mutable.ArrayBuffer(
+      (seedRow(0).getLong(0), seedRow(0).getSeq[Float](1).toArray))
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, centers(0)._1, Option.empty[Double]))
+
+    var r = 2
+    while (r <= k) {
+      val cArr = centers.map(_._2).toArray
+      val cIds = centers.map(_._1).toSet
+      val mind = udf { (v: Seq[Float]) =>
+        val a = v.toArray
+        var m = Float.MaxValue
+        var i = 0
+        while (i < cArr.length) {
+          val d = PartitionedTopK.l2F32(a, cArr(i))
+          if (d < m) m = d
+          i += 1
+        }
+        m.toDouble
+      }
+      val next = clean
+        .where(!col("id").isin(cIds.toSeq: _*))
+        .select(col("id"), col(embCol), mind(col(embCol)).as("mind"))
+        .orderBy(col("mind").desc, col("id"))
+        .limit(1).collect()
+      if (next.isEmpty) r = k + 1 // corpus smaller than k: stop
+      else {
+        centers += ((next(0).getLong(0), next(0).getSeq[Float](1).toArray))
+        picks += ((r.toLong, next(0).getLong(0), Some(next(0).getDouble(2))))
+        r += 1
+      }
+    }
+    picks.toSeq
+      .toDF("pick_rank", "vec_id", "covered_dist")
+      .orderBy(col("pick_rank"))
+  }
 }

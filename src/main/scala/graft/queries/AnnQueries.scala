@@ -261,6 +261,15 @@ object AnnQueries {
       writeIvfHandoff(s, index, GraphCentsHandoff, GraphAsgHandoff)
       Ann.knnGraph(index, k = 4)
     },
+    // kth-NN distance outliers (the embedding-space cleaning signal):
+    // the graph's rank-4 distance, top-20 loners. Same index, same
+    // handoff content as knn_graph — the oracle re-derives the graph
+    // and reads off rank k.
+    "outlier_knn" -> { (s, dir) =>
+      val index = ModelQueries.semdedupIndex(s, dir)
+      writeIvfHandoff(s, index, GraphCentsHandoff, GraphAsgHandoff)
+      Ann.knnOutliers(index, k = 4, n = 20)
+    },
     // PCA embedding compression (faiss's PCAR pre-transform shape):
     // top-8 variance directions fitted by the one-pass Gram
     // aggregation + driver Jacobi; the published fixed-point model is
@@ -945,6 +954,24 @@ object AnnQueries {
          |)
          |SELECT src_id, nbr_id, dist, rn FROM d WHERE rn <= 4
          |ORDER BY src_id, rn""".stripMargin,
+    "outlier_knn" ->
+      s"""WITH asg AS (SELECT * FROM ${rp(GraphAsgHandoff)}),
+         |v AS (
+         |  SELECT e.vec_id, e.embedding, a.ivf_cluster
+         |  FROM embeddings e JOIN asg a USING (vec_id)
+         |  WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+         |), d AS (
+         |  SELECT a.vec_id AS src_id,
+         |         CAST(list_distance(a.embedding, b.embedding) AS DOUBLE)
+         |           AS knn_dist,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY CAST(list_distance(a.embedding, b.embedding)
+         |                         AS DOUBLE), b.vec_id) AS rn
+         |  FROM v a JOIN v b
+         |    ON a.ivf_cluster = b.ivf_cluster AND a.vec_id <> b.vec_id
+         |)
+         |SELECT src_id, knn_dist FROM d WHERE rn = 4
+         |ORDER BY knn_dist DESC, src_id LIMIT 20""".stripMargin,
     // exact integer projection replay from the model handoff:
     // inputs quantize floor(x*2^20), coord = sum of exact long
     // products — no float anywhere downstream of the handoff

@@ -194,6 +194,14 @@ object VectorQueries {
       VectorSearch.rocchioTopK(
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
         qvec(s, dir, 0), kFb = 8, k = 10)
+    },
+    // greedy k-center coreset (Gonzalez farthest-point): the 6 most
+    // mutually-distant vectors — diversity/coreset selection for
+    // dataset summarization. Every greedy pick replays in SQL as a
+    // recursive CTE (the mmr_rerank loop-oracle shape), no handoff.
+    "kcenter_coreset" -> { (s, dir) =>
+      graft.operators.Clustering.kCenterCoreset(
+        Tables.embeddings(s, dir), k = 6)
     }
   )
 
@@ -518,6 +526,34 @@ object VectorQueries {
          |)
          |SELECT vec_id, dot_fp,
          |       row_number() OVER (ORDER BY dot_fp DESC, vec_id) AS rn
-         |FROM scored ORDER BY dot_fp DESC, vec_id LIMIT 10""".stripMargin
+         |FROM scored ORDER BY dot_fp DESC, vec_id LIMIT 10""".stripMargin,
+    "kcenter_coreset" ->
+      """WITH RECURSIVE picks AS (
+        |  SELECT 1 AS r,
+        |         (SELECT min(vec_id) FROM embeddings
+        |          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) AS picked,
+        |         CAST(NULL AS DOUBLE) AS covered_dist,
+        |         [(SELECT min(vec_id) FROM embeddings
+        |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)]
+        |           AS all_picked
+        |  UNION ALL
+        |  SELECT p.r + 1, nxt.vec_id, nxt.mind,
+        |         list_append(p.all_picked, nxt.vec_id)
+        |  FROM picks p, LATERAL (
+        |    SELECT e.vec_id,
+        |           (SELECT min(CAST(list_distance(e.embedding, c.embedding)
+        |                            AS DOUBLE))
+        |            FROM embeddings c
+        |            WHERE list_contains(p.all_picked, c.vec_id)) AS mind
+        |    FROM embeddings e
+        |    WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+        |      AND NOT list_contains(p.all_picked, e.vec_id)
+        |    ORDER BY mind DESC, e.vec_id
+        |    LIMIT 1
+        |  ) nxt
+        |  WHERE p.r < 6
+        |)
+        |SELECT CAST(r AS BIGINT) AS pick_rank, picked AS vec_id, covered_dist
+        |FROM picks ORDER BY pick_rank""".stripMargin
   )
 }

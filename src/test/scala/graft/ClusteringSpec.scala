@@ -92,4 +92,58 @@ class ClusteringSpec extends SparkSpec {
     val again = Clustering.semDedup(idx.copy(assigned = survivors), 0.9)
     assert(again.filter(!org.apache.spark.sql.functions.col("kept")).count() === 0)
   }
+
+  test("kCenterCoreset == greedy driver reference; radii non-increasing") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val got = Clustering.kCenterCoreset(emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+
+    val rows = emb.where(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def d(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0f; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); acc += x * x; i += 1 }
+      math.sqrt(acc.toDouble).toFloat.toDouble
+    }
+    val embMap = rows.toMap
+    var centers = Seq(rows.map(_._1).min)
+    var want = Seq((1L, centers.head, Option.empty[Double]))
+    (2 to 5).foreach { r =>
+      val (id, mind) = rows.filterNot(x => centers.contains(x._1))
+        .map { case (id, v) => (id, centers.map(c => d(v, embMap(c))).min) }
+        .minBy { case (id, m) => (-m, id) }
+      centers = centers :+ id
+      want = want :+ ((r.toLong, id, Some(mind)))
+    }
+    assert(got === want)
+    // coverage radii decrease (weakly) — the k-center invariant
+    val radii = got.flatMap(_._3)
+    assert(radii === radii.sorted.reverse)
+  }
+
+  test("kCenterCoreset: corpus smaller than k stops early; guards") {
+    import org.apache.spark.sql.functions.col
+    val tiny = graft.Tables.embeddings(spark, sfDir).where(col("vec_id") < 3)
+    val got = Clustering.kCenterCoreset(tiny, k = 10).collect()
+    assert(got.length === 3)
+    intercept[IllegalArgumentException](
+      Clustering.kCenterCoreset(tiny, k = 0))
+    intercept[IllegalArgumentException](
+      Clustering.kCenterCoreset(tiny.where(org.apache.spark.sql.functions.lit(false)), k = 2))
+  }
+
+  test("knnOutliers: the top outlier carries the global max rank-k distance") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvf(emb, numClusters = 4)
+    val graph = Ann.knnGraph(idx, k = 3).collect()
+    val kth = graph.filter(_.getLong(3) == 3L)
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val out = Ann.knnOutliers(idx, k = 3, n = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = kth.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    assert(out.toSeq === want)
+  }
 }
