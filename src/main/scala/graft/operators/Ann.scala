@@ -687,7 +687,7 @@ object Ann {
     * a training corpus. Score = the [[knnGraph]] rank-k distance
     * inside the vector's routing cell; top-`n` by (score desc, id).
     *
-    * Vectors whose cell holds ≤ k other members have no k-th neighbor
+    * Vectors whose cell holds < k other members have no k-th neighbor
     * and are NOT scored (with corpus-proportional cells that means
     * near-empty cells — themselves an outlier signal a caller can read
     * off the assignment counts). Inherits the graph's exact-arithmetic

@@ -143,50 +143,56 @@ object Clustering {
                      embCol: String = "embedding",
                      idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val idType = corpus.schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType,
+      s"kCenterCoreset id column must be long, got $idType")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // explicit unpersist AFTER the loop, NOT releaseAfterUse: the
+    // greedy rounds are k separate actions and the listener would
+    // free the cache after the first one (the seed pick)
     val clean = corpus
       .where(col(idCol).isNotNull && col(embCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(embCol))
+      .select(col(idCol).as("id"), col(embCol))
       .persist()
-    Dedup.releaseAfterUse(clean)
+    try {
+      val seedRow = clean.orderBy(col("id")).limit(1).collect()
+      require(seedRow.nonEmpty, "empty corpus: nothing to pick")
+      val centers = scala.collection.mutable.ArrayBuffer(
+        (seedRow(0).getLong(0), seedRow(0).getSeq[Float](1).toArray))
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (1L, centers(0)._1, Option.empty[Double]))
 
-    val seedRow = clean.orderBy(col("id")).limit(1).collect()
-    require(seedRow.nonEmpty, "empty corpus: nothing to pick")
-    val centers = scala.collection.mutable.ArrayBuffer(
-      (seedRow(0).getLong(0), seedRow(0).getSeq[Float](1).toArray))
-    val picks = scala.collection.mutable.ArrayBuffer(
-      (1L, centers(0)._1, Option.empty[Double]))
-
-    var r = 2
-    while (r <= k) {
-      val cArr = centers.map(_._2).toArray
-      val cIds = centers.map(_._1).toSet
-      val mind = udf { (v: Seq[Float]) =>
-        val a = v.toArray
-        var m = Float.MaxValue
-        var i = 0
-        while (i < cArr.length) {
-          val d = PartitionedTopK.l2F32(a, cArr(i))
-          if (d < m) m = d
-          i += 1
+      var r = 2
+      while (r <= k) {
+        val cArr = centers.map(_._2).toArray
+        val cIds = centers.map(_._1).toSet
+        val mind = udf { (v: Seq[Float]) =>
+          val a = v.toArray
+          var m = Float.MaxValue
+          var i = 0
+          while (i < cArr.length) {
+            val d = PartitionedTopK.l2F32(a, cArr(i))
+            if (d < m) m = d
+            i += 1
+          }
+          m.toDouble
         }
-        m.toDouble
+        val next = clean
+          .where(!col("id").isin(cIds.toSeq: _*))
+          .select(col("id"), col(embCol), mind(col(embCol)).as("mind"))
+          .orderBy(col("mind").desc, col("id"))
+          .limit(1).collect()
+        if (next.isEmpty) r = k + 1 // corpus smaller than k: stop
+        else {
+          centers += ((next(0).getLong(0), next(0).getSeq[Float](1).toArray))
+          picks += ((r.toLong, next(0).getLong(0), Some(next(0).getDouble(2))))
+          r += 1
+        }
       }
-      val next = clean
-        .where(!col("id").isin(cIds.toSeq: _*))
-        .select(col("id"), col(embCol), mind(col(embCol)).as("mind"))
-        .orderBy(col("mind").desc, col("id"))
-        .limit(1).collect()
-      if (next.isEmpty) r = k + 1 // corpus smaller than k: stop
-      else {
-        centers += ((next(0).getLong(0), next(0).getSeq[Float](1).toArray))
-        picks += ((r.toLong, next(0).getLong(0), Some(next(0).getDouble(2))))
-        r += 1
-      }
-    }
-    picks.toSeq
-      .toDF("pick_rank", "vec_id", "covered_dist")
-      .orderBy(col("pick_rank"))
+      picks.toSeq
+        .toDF("pick_rank", "vec_id", "covered_dist")
+        .orderBy(col("pick_rank"))
+    } finally clean.unpersist(blocking = false)
   }
 }

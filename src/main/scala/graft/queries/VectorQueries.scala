@@ -528,14 +528,15 @@ object VectorQueries {
          |       row_number() OVER (ORDER BY dot_fp DESC, vec_id) AS rn
          |FROM scored ORDER BY dot_fp DESC, vec_id LIMIT 10""".stripMargin,
     "kcenter_coreset" ->
-      """WITH RECURSIVE picks AS (
-        |  SELECT 1 AS r,
-        |         (SELECT min(vec_id) FROM embeddings
-        |          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) AS picked,
+      """WITH RECURSIVE seed AS (
+        |  SELECT min(vec_id) AS v FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |), picks AS (
+        |  SELECT 1 AS r, seed.v AS picked,
         |         CAST(NULL AS DOUBLE) AS covered_dist,
-        |         [(SELECT min(vec_id) FROM embeddings
-        |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)]
-        |           AS all_picked
+        |         [seed.v] AS all_picked
+        |  FROM seed
+        |  WHERE seed.v IS NOT NULL
         |  UNION ALL
         |  SELECT p.r + 1, nxt.vec_id, nxt.mind,
         |         list_append(p.all_picked, nxt.vec_id)
