@@ -33,6 +33,6 @@ object SparkEntry {
     VectorQueries.oracle ++ CatalogQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++ AnnQueries.oracle ++
       MultimodalQueries.oracle ++ EventQueries.oracle ++
-      RelationalQueries.oracle ++ CurationQueries.oracle ++
-      HybridQueries.oracle ++ ModelQueries.oracle
+      RelationalQueries.oracle ++ PipelineQueries.oracle ++
+      CurationQueries.oracle ++ HybridQueries.oracle ++ ModelQueries.oracle
 }

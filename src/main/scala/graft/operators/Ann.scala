@@ -472,13 +472,18 @@ object Ann {
       .join(disc, Seq("rank"))
       .groupBy(col(qIdCol))
       .agg(sum(coalesce(col("__rel"), lit(0L)) * col("disc_fp")).as("dcg_fp"))
+    // idcg joins LEFT: a query present in `exact` whose rows all sit
+    // beyond rank k has an empty ideal frame — it must still appear
+    // (the "every query in exact" contract), scored 0.0 like the
+    // constant-IDCG form did, not vanish on an inner join
     exact.select(col(qIdCol)).distinct()
-      .join(idcg, Seq(qIdCol))
+      .join(idcg, Seq(qIdCol), "left")
       .join(dcg, Seq(qIdCol), "left")
       .select(col(qIdCol),
         coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
-        (coalesce(col("dcg_fp"), lit(0L)).cast("double") /
-          col("idcg_fp").cast("double")).as(s"ndcg_at_$k"))
+        when(col("idcg_fp").isNull, lit(0.0))
+          .otherwise(coalesce(col("dcg_fp"), lit(0L)).cast("double") /
+            col("idcg_fp").cast("double")).as(s"ndcg_at_$k"))
   }
 
   /** MRR@k — the third leg of the retrieval-eval family next to

@@ -1054,8 +1054,52 @@ object CorpusModels {
     * dir it is given (e.g. `saveNbModel(model, prior, _)`). The
     * `retainPrevious` most recent prior versions are kept for
     * in-flight readers. Returns the published version name. */
+  /** Thrown by [[publishModelVersion]] when `expectCurrent` no longer
+    * matches the live `_current` pointer: another publisher flipped the
+    * root between the caller's snapshot resolve and this publish, so a
+    * build derived from that snapshot would silently DISCARD the
+    * interleaved publish's rows/tombstones if it shipped. Callers
+    * re-resolve, rebuild from the fresh version, and retry (the
+    * [[graft.streaming.StreamingIngest]] epoch loop). */
+  final class ConcurrentPublishException(msg: String)
+    extends RuntimeException(msg)
+
+  /** One JVM-wide lock object per model root — lazily interned, never
+    * evicted (roots are few and long-lived). Serializes same-driver
+    * publishers; see [[withPublishLock]]. */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `body` holding this JVM's publish lock for `root`. Two
+    * publishers that share one root AND one driver (the actual
+    * topology for an insert stream + delete stream over one HNSW
+    * root) are fully serialized: each epoch's resolve → build →
+    * publish becomes atomic with respect to the sibling's, so no
+    * publish can build from a snapshot the other has already
+    * superseded. Cross-JVM publishers are NOT covered by the lock —
+    * they rely on [[publishModelVersion]]'s `expectCurrent` abort
+    * (optimistic concurrency; the doomed publish detects the moved
+    * pointer and retries from the fresh version). The lock is
+    * reentrant-by-structure: `publishModelVersion` does its own
+    * locking via the same monitor, and Java monitors are reentrant. */
+  def withPublishLock[T](root: String)(body: => T): T = {
+    val lock = publishLocks.computeIfAbsent(
+      root.stripSuffix("/"), _ => new Object)
+    lock.synchronized(body)
+  }
+
   def publishModelVersion(spark: org.apache.spark.sql.SparkSession, root: String,
-                          retainPrevious: Int = 1)(save: String => Unit): String = {
+                          retainPrevious: Int = 1,
+                          expectCurrent: Option[String] = None)
+                         (save: String => Unit): String =
+    withPublishLock(root) {
+      publishModelVersionLocked(spark, root, retainPrevious, expectCurrent)(save)
+    }
+
+  private def publishModelVersionLocked(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      retainPrevious: Int, expectCurrent: Option[String])
+      (save: String => Unit): String = {
     require(retainPrevious >= 1,
       s"retainPrevious must be >= 1, got $retainPrevious")
     val base = root.stripSuffix("/")
@@ -1063,6 +1107,22 @@ object CorpusModels {
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
     val cur = Maintenance.resolveCurrent(spark, base)
+    // optimistic-concurrency guard: the caller built its artifact from
+    // `expectCurrent`; if the pointer has moved since, shipping the
+    // build would drop the interleaved publisher's changes — abort so
+    // the caller rebuilds from the fresh version. Checked INSIDE the
+    // lock, before any version is claimed, so an abort leaves no claim
+    // or half-written dir behind. (A cross-JVM flip between this check
+    // and flipCurrent below remains possible on a plain Hadoop FS —
+    // pointer flips are not CAS — but same-JVM publishers, the
+    // deployed topology for multi-stream roots, are fully serialized
+    // by the lock.)
+    expectCurrent.foreach { exp =>
+      if (exp.stripSuffix("/") != cur.stripSuffix("/"))
+        throw new ConcurrentPublishException(
+          s"publish to $base: _current moved from $exp to $cur since the " +
+            "caller's snapshot — rebuild from the fresh version and retry")
+    }
     val curVer = if (cur == base) 0 else cur.substring(cur.lastIndexOf("/v") + 2).toInt
     val maxVer = (curVer +: fs.listStatus(basePath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.matches("v[0-9]+"))

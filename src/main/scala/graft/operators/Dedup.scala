@@ -450,6 +450,20 @@ object Dedup {
   private def classPairJaccard(all: DataFrame, idCol: String, textCol: String,
                                blockCol: String, threshold: Double,
                                saltBuckets: Int): DataFrame = {
+    val (repJac, m) = classPairCore(all, idCol, textCol, blockCol,
+      threshold, saltBuckets)
+    expandClassPairs(repJac, m, threshold)
+  }
+
+  /** Stages 1–2 of the class-collapsed engine: verified CLASS pairs
+    * (`__ra < __rb`, jaccard) plus the slim member table
+    * (`__mid, blk, is_new, sz, __rep`). Finishers: [[expandClassPairs]]
+    * (id-level output) or [[jaccardClassPairCounts]] (multiplicity
+    * digest rows — the 100 TB gate shape, where the quadratic id
+    * expansion never materializes). */
+  private def classPairCore(all: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, threshold: Double,
+                            saltBuckets: Int): (DataFrame, DataFrame) = {
     val t = hashedTokenProjection(all, idCol, textCol, blockCol)
     // one row per class: the token-set array itself + rep = min member
     val reps = t.groupBy(col("h")).agg(min(col(idCol)).as("__rep"))
@@ -518,7 +532,12 @@ object Dedup {
         (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("__ra"), col("id_b").as("__rb"), col("jaccard"))
+    (repJac, m)
+  }
 
+  /** Id-level finisher over [[classPairCore]]'s output. */
+  private def expandClassPairs(repJac: DataFrame, m: DataFrame,
+                               threshold: Double): DataFrame = {
     // EXPAND members over the verified class pairs — the only
     // output-sized stage, produced at the sink with no further shuffle
     val ma = m.select(col("__mid").as("__xid"), col("blk").as("__xblk"),
@@ -544,6 +563,48 @@ object Dedup {
         lit(1.0).as("jaccard"))
       .filter(lit(1.0) >= threshold)
     crossClass.unionByName(sameClass)
+  }
+
+  /** Class-pair MULTIPLICITY rows for the exact Jaccard near-dup set —
+    * the 100 TB gate/digest shape. Output: one row per qualifying class
+    * pair, `(id_a, id_b, jaccard, n_pairs)` where id_a/id_b are the
+    * class reps (min member id; `id_a == id_b` marks same-class groups)
+    * and `n_pairs` is the number of id-level pairs the class pair
+    * expands to (Σ_block |A_b|·|B_b| cross-class; Σ_block C(k_b, 2)
+    * same-class). Exactly determines [[jaccardPairsPrefix]]'s id-level
+    * multiset given class membership — which an independent oracle
+    * derives itself from the raw documents — so digesting THESE rows
+    * verifies the full pair multiset while the output-quadratic id
+    * expansion (7.6B rows at the 100× twin fixture, produced only to be
+    * hashed) never materializes. Rows stay class-pair-sized end to end:
+    * the member table is consumed by one map-side-combinable count
+    * aggregate, never joined at id grain. */
+  def jaccardClassPairCounts(docs: DataFrame, idCol: String, textCol: String,
+                             blockCol: String, threshold: Double): DataFrame = {
+    val (repJac, m) = classPairCore(docs.withColumn("is_new", lit(true)),
+      idCol, textCol, blockCol, threshold, saltBuckets = 1)
+    // per (class, block) member counts — sz carried for the non-empty
+    // same-class guard (members of one class share sz by construction)
+    val cnt = m.groupBy(col("__rep"), col("blk"))
+      .agg(count(lit(1)).as("n"), max(col("sz")).as("__sz"))
+    val ca = cnt.select(col("__rep").as("__ra"), col("blk"), col("n").as("na"))
+    val cb = cnt.select(col("__rep").as("__rb"), col("blk"), col("n").as("nb"))
+    // cross-class: member-pair count per shared block, summed — the
+    // joins are class-pair-sized (repJac) x class-block-sized (cnt)
+    val cross = repJac.join(ca, Seq("__ra")).join(cb, Seq("__rb", "blk"))
+      .groupBy(col("__ra"), col("__rb"), col("jaccard"))
+      .agg(sum(col("na") * col("nb")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .select(col("__ra").as("id_a"), col("__rb").as("id_b"),
+        col("jaccard"), col("n_pairs"))
+    // same-class: C(k, 2) per block, summed per class (jaccard 1.0)
+    val same = cnt.filter(col("__sz") >= 1 && lit(1.0) >= threshold)
+      .groupBy(col("__rep"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .select(col("__rep").as("id_a"), col("__rep").as("id_b"),
+        lit(1.0).as("jaccard"), col("n_pairs"))
+    cross.unionByName(same)
   }
 
   /** Incremental exact Jaccard near-dup check — the nightly-ingest

@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   * both engines replay bit-for-bit: inputs quantize as
   * `floor(x·2^20)` (the [[Sq]]/[[Bq]] recipe), the model carries
   * fixed-point mean and components, and a projected coordinate is the
-  * exact long sum Σ_i (x_fp_i − μ_fp_i)·w_fp_i (magnitudes ≤ 2^42·d —
-  * overflow-free for d ≤ 2^21). Eigenvector SIGN is pinned by
+  * exact long sum Σ_i (x_fp_i − μ_fp_i)·w_fp_i — provably overflow-free
+  * because the quantizer bounds |x_fp| by min(2^40, 2^41/d), so the sum
+  * of d terms of (≤2·bound+1)·2^20 stays under 2^63 for every d (the
+  * per-element requirement derives from the vector's own dimension;
+  * unit-norm embeddings sit orders of magnitude inside it).
+  * Eigenvector SIGN is pinned by
   * convention (the largest-|w| component, first index on ties, is
   * made positive) so two fits of the same data publish the same
   * model. */
@@ -200,18 +204,24 @@ object Pca {
   /** Quantize a float vector the way both engines do:
     * `floor(CAST(x AS DOUBLE) · 2^20)` per element. Requires finite
     * components (the [[Bq.qFixedPoint]] rule — floor(NaN·2^20) forks
-    * the engines: Scala's NaN.toLong is 0, DuckDB's CAST errors) small
-    * enough that the fixed point is exact in a long. */
+    * the engines: Scala's NaN.toLong is 0, DuckDB's CAST errors) and
+    * bounds |fp| by min(2^40, 2^41/d) so [[projectFp]]'s accumulator
+    * is PROVABLY exact: with |μ_fp| ≤ bound+1 and |w_fp| ≤ 2^20 (unit
+    * eigenvectors), |Σ| ≤ d·(2·bound+1)·2^20 ≤ 2^62 + d·2^20 < 2^63
+    * for every d. (The former flat 2^40 bound admitted a silent long
+    * overflow from d ≥ 4 at guard-max magnitudes.) */
   private def quantizeVec(v: Seq[Float]): Array[Long] = {
     val out = new Array[Long](v.length)
+    val bound = StrictMath.min(1L << 40, (1L << 41) / StrictMath.max(1, v.length))
+      .toDouble
     var i = 0
     while (i < v.length) {
       val x = v(i)
       require(java.lang.Float.isFinite(x),
         "PCA fixed-point projection needs finite embeddings")
       val fp = StrictMath.floor(x.toDouble * FpScale.toDouble)
-      require(StrictMath.abs(fp) < (1L << 40).toDouble,
-        s"embedding component $x out of the fixed-point domain")
+      require(StrictMath.abs(fp) < bound,
+        s"embedding component $x out of the fixed-point domain for dim ${v.length}")
       out(i) = fp.toLong
       i += 1
     }

@@ -35,26 +35,33 @@ object DedupQueries {
     // algorithm whose plan has NO full-corpus broadcast and survives
     // 100 TB — against the same oracle as the pair-join formulation
     // (both are exact; DedupSpec asserts plan-level equality too).
-    // GATE SHAPE: one digest row, not the ordered pair stream. The
-    // engine's pair output is quadratic under twin replication (7.6B
-    // rows at the 100× derived fixture, emitted in ~80 s) and a
-    // trailing global orderBy — pure hash-contract presentation —
-    // was the one thing that died at 100× (the sort retains the
-    // whole compressed pair stream on one box's scratch). The
-    // contract is now order-insensitive: n_pairs + bit_xor over the
-    // top-60 md5 bits of (id_a, id_b, floor(jaccard·1e9)) — the
-    // jsonl_roundtrip content_sig recipe — which verifies the exact
-    // pair MULTISET and every jaccard value (IEEE division of exact
-    // ints + floor is engine-identical) with an O(1) result.
+    // GATE SHAPE: one digest row at CLASS-PAIR granularity. The
+    // engine's id-level pair output is quadratic under twin
+    // replication (7.6B rows at the 100× derived fixture) and r10's
+    // gate digested every one of them — 552 s of hashing rows that
+    // existed only to be hashed, while the class-collapsed engine
+    // finished its real work in ~80 s. The contract now digests
+    // Dedup.jaccardClassPairCounts: one row per verified class pair
+    // (reps id_a ≤ id_b, exact jaccard, n_pairs = id-level
+    // multiplicity with the block constraint folded in), fingerprinted
+    // order-insensitively (count + Σ n_pairs + bit_xor over the
+    // top-60 md5 bits of id_a:id_b:floor(jaccard·1e9):n_pairs). The
+    // oracle independently re-derives the classes, reps, per-block
+    // member counts, and rep-level jaccards from the raw documents, so
+    // a hash match still certifies the exact id-level pair multiset —
+    // membership × class pairs × multiplicities determine it — while
+    // the gate's cost is class-pair-sized at every scale.
     "dedup_jaccard" -> { (s, dir) =>
-      Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text", "lang", 0.8)
-        .select(conv(substring(md5(concat(
+      Dedup.jaccardClassPairCounts(Tables.documents(s, dir), "doc_id", "text", "lang", 0.8)
+        .select(col("n_pairs"), conv(substring(md5(concat(
             col("id_a").cast("string"), lit(":"),
             col("id_b").cast("string"), lit(":"),
-            floor(col("jaccard") * lit(1e9)).cast("long").cast("string"))
+            floor(col("jaccard") * lit(1e9)).cast("long").cast("string"), lit(":"),
+            col("n_pairs").cast("string"))
             .cast("binary")), 1, 15), 16, 10).cast("long").as("__sig"))
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("bit_xor(__sig)").as("pairs_sig"))
+        .agg(count(lit(1)).as("n_class_pairs"),
+          coalesce(sum(col("n_pairs")), lit(0L)).as("n_id_pairs"),
+          coalesce(expr("bit_xor(__sig)"), lit(0L)).as("pairs_sig"))
     },
     // character-level near-dup: every pair within Levenshtein 10 —
     // the typo/small-edit detector the token-set engines above can't
@@ -325,26 +332,54 @@ object DedupQueries {
     "dedup_exact_groups" -> groupsSql("md5(text)"),
     "dedup_wordset_groups" -> groupsSql(
       "md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' '))"),
+    // independent class-pair re-derivation: classes from the raw word
+    // sets, reps = min member id, per-(class, lang) counts, rep-level
+    // jaccard brute-forced over class reps — none of the engine's
+    // prefix-filter machinery is replayed
     "dedup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |         list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS w
         |  FROM documents
+        |), cls AS (
+        |  SELECT w, min(doc_id) AS rep FROM t GROUP BY w
+        |), mem AS (
+        |  SELECT t.doc_id, t.lang, cls.rep FROM t JOIN cls USING (w)
+        |), cnt AS (
+        |  SELECT rep, lang, count(*) AS n FROM mem GROUP BY rep, lang
         |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  SELECT a.rep AS id_a, b.rep AS id_b,
         |         len(list_intersect(a.w, b.w)) AS inter,
         |         len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS uni
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  FROM cls a JOIN cls b ON a.rep < b.rep
         |), j AS (
         |  SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
         |  FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.8
+        |), crossn AS (
+        |  SELECT j.id_a, j.id_b, j.jaccard, CAST(sum(ca.n * cb.n) AS BIGINT) AS n_pairs
+        |  FROM j
+        |  JOIN cnt ca ON ca.rep = j.id_a
+        |  JOIN cnt cb ON cb.rep = j.id_b AND cb.lang = ca.lang
+        |  GROUP BY 1, 2, 3
+        |), same AS (
+        |  SELECT cls.rep AS id_a, cls.rep AS id_b, 1.0 AS jaccard,
+        |         CAST(sum(cnt.n * (cnt.n - 1) // 2) AS BIGINT) AS n_pairs
+        |  FROM cnt JOIN cls USING (rep)
+        |  WHERE len(cls.w) >= 1
+        |  GROUP BY cls.rep
+        |  HAVING sum(cnt.n * (cnt.n - 1) // 2) > 0
+        |), allp AS (
+        |  SELECT * FROM crossn WHERE n_pairs > 0
+        |  UNION ALL SELECT * FROM same
         |)
-        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-        |       bit_xor(CAST(CAST('0x' || substr(md5(
+        |SELECT CAST(count(*) AS BIGINT) AS n_class_pairs,
+        |       CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS n_id_pairs,
+        |       coalesce(bit_xor(CAST(CAST('0x' || substr(md5(
         |         CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR) || ':' ||
-        |         CAST(CAST(floor(jaccard * 1e9) AS BIGINT) AS VARCHAR)
-        |       ), 1, 15) AS UBIGINT) AS BIGINT)) AS pairs_sig
-        |FROM j""".stripMargin,
+        |         CAST(CAST(floor(jaccard * 1e9) AS BIGINT) AS VARCHAR) || ':' ||
+        |         CAST(n_pairs AS VARCHAR)
+        |       ), 1, 15) AS UBIGINT) AS BIGINT)), 0) AS pairs_sig
+        |FROM allp""".stripMargin,
     // brute force with the same length band — INDEPENDENT of the
     // prefix-filter plan by design (full-semantics oracle)
     "dedup_editdist" ->

@@ -9,14 +9,27 @@ import graft.operators.{ChunkStore, TextChunker, VectorSearch}
 
 /** The complete reference lifecycle composed end-to-end (SURVEY §3.1 +
   * §3.2) as one driver-gate query: ingest (B4-B8, B11) then the
-  * flagship read path (A1-A5, A7) against the just-built store. Not
-  * SQL-expressible (chunker + hashing embedder) → rows-only; each stage
-  * is oracle- or scalatest-verified individually.
+  * flagship read path (A1-A5, A7) against the just-built store.
+  *
+  * HASH-GATED via the verify-THROUGH handoff pattern: the write path
+  * (chunker + hashing embedder — not SQL-expressible) publishes the
+  * embedded dual-written store plus the driver-embedded query vector
+  * as parquet handoffs, and the DuckDB oracle independently replays
+  * the ENTIRE read path against them — collection + metadata
+  * where-filter, `list_distance` L2 (bit-parity with the f32 kernel),
+  * (dist, chunk_uid) top-k, score = 1 − dist² (≡ the reference's
+  * 1 − l2sq, `app.py:417-418`), threshold 0.1 (`config.py:49`), sort
+  * desc. Every stage was already individually oracle-gated; this
+  * hashes the flagship COMPOSITION itself (`app.py:373-432`).
   */
 object PipelineQueries {
 
+  private val StoreHandoff = Handoff.path("e2e_store")
+  private val QvecHandoff  = Handoff.path("e2e_qvec")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_reference_pipeline" -> { (s, dir) =>
+      import s.implicits._
       // §3.2 write path: load → chunk (500/100) → enrich → embed →
       // dual-write tag into target + master
       val docs = Tables.documents(s, dir)
@@ -25,23 +38,47 @@ object PipelineQueries {
         // total order (doc_id alone repeats across a doc's chunks)
         .withColumn("chunk_uid", col("doc_id") * 100000 + col("chunk_index"))
       val embedded = HashingEmbedder.withEmbedding(chunks, "content")
-      val store = ChunkStore.dualWrite(embedded, "strategy_documents")
+      val store = Handoff.publish(
+        ChunkStore.dualWrite(embedded, "strategy_documents")
+          .select(col("chunk_uid"), col("doc_id"), col("chunk_index"),
+            col("lang"), col("collection"), col("embedding")),
+        StoreHandoff)
 
       // §3.1 read path: embed query driver-side, KNN top-k over the
       // master collection with metadata pre-filter, score threshold,
-      // sort desc — the reference's /search_score composition
+      // sort desc — the reference's /search_score composition. The
+      // Euclidean kernel + dist² reproduces the reference's l2sq score
+      // through the one metric DuckDB replays bit-for-bit
+      // (list_distance — the a3_score_threshold recipe).
       val queryText = "spark table scan join merge"
       val qv = HashingEmbedder.embed(queryText).toSeq
+      Handoff.publish(Seq(qv).toDF("embedding"), QvecHandoff)
       val topk = VectorSearch.topKWithScore(
         store.filter(col("collection") === "master"),
-        qv, k = 10, VectorSearch.L2Sq,
+        qv, k = 10, VectorSearch.Euclidean,
         filter = Some(col("lang") =!= "zh"),
         embCol = "embedding", idCol = "chunk_uid")
-      VectorSearch.scoreAndThreshold(topk, threshold = 0.1, idCol = "chunk_uid")
+      topk
+        .withColumn("score", lit(1.0) - col("dist") * col("dist"))
+        .filter(col("score") >= 0.1)
         .select(col("doc_id"), col("chunk_index"), col("score"))
         .orderBy(col("score").desc, col("doc_id"), col("chunk_index"))
     }
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "e2e_reference_pipeline" ->
+      s"""WITH st AS (SELECT * FROM read_parquet('$StoreHandoff/*.parquet')),
+         |q AS (SELECT embedding AS qv FROM read_parquet('$QvecHandoff/*.parquet')),
+         |topk AS (
+         |  SELECT st.doc_id, st.chunk_index, st.chunk_uid,
+         |         CAST(list_distance(st.embedding, q.qv) AS DOUBLE) AS dist
+         |  FROM st CROSS JOIN q
+         |  WHERE st.collection = 'master' AND st.lang <> 'zh'
+         |  ORDER BY dist, st.chunk_uid LIMIT 10
+         |)
+         |SELECT doc_id, chunk_index, 1.0 - dist * dist AS score
+         |FROM topk WHERE 1.0 - dist * dist >= 0.1
+         |ORDER BY score DESC, doc_id, chunk_index""".stripMargin
+  )
 }

@@ -201,6 +201,29 @@ object StreamingIngest {
     * recent uncommitted epochs, and an unbounded carry would grow a
     * long-lived stream's versions by one empty file per epoch
     * forever. */
+  /** Bounded in-epoch retry for optimistic-publish aborts. The per-root
+    * JVM lock already serializes same-driver publishers, so a
+    * [[graft.operators.CorpusModels.ConcurrentPublishException]] here
+    * means a publisher in ANOTHER JVM flipped `_current` mid-epoch;
+    * the body re-resolves the fresh version and rebuilds. Retrying
+    * in-place keeps the streaming query alive (a foreachBatch throw
+    * would kill it); past the bound the stream fails loudly rather
+    * than livelock against a pathological publisher. */
+  private def retryOnConcurrentPublish[T](what: String, attempts: Int = 5)
+                                         (body: => T): T = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: graft.operators.CorpusModels.ConcurrentPublishException =>
+          left -= 1
+          if (left <= 0) throw new IllegalStateException(
+            s"$what: publish still racing after $attempts attempts", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def carryEpochMarkers(fs: org.apache.hadoop.fs.FileSystem,
                                 cur: String, dir: String,
                                 keepPerPrefix: Int = 64): Unit = {
@@ -236,25 +259,40 @@ object StreamingIngest {
             .head()
           val (n, h) = (fp.getLong(0), fp.getLong(1))
           if (n > 0) {
-            val cur = graft.operators.Maintenance.resolveCurrent(spark, root)
-            val fs = new org.apache.hadoop.fs.Path(cur)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
             val markerName = f"_epoch_${epochId}_${n}_$h%016x"
-            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$cur/$markerName"))) {
-              val idx = graft.operators.Hnsw.loadHnsw(spark, cur)
-              val routed = graft.operators.Ann.assignToIvf(
-                graft.operators.Ann.IvfIndex(idx.centroids, rows,
-                  "embedding", "vec_id"),
-                rows)
-              val appended = graft.operators.Hnsw.appendToShards(
-                idx.graph, routed, idx.params)
-              graft.operators.CorpusModels.publishModelVersion(spark, root) {
-                dir =>
-                  graft.operators.Hnsw.saveHnsw(appended, idx.centroids,
-                    idx.params, dir)
-                  carryEpochMarkers(fs, cur, dir)
-                  fs.create(new org.apache.hadoop.fs.Path(s"$dir/$markerName"),
-                    true).close()
+            // resolve → build → publish runs under the per-root publish
+            // lock, pinned to the resolved snapshot via expectCurrent:
+            // a sibling publisher (the delete stream, a nightly batch)
+            // can otherwise flip _current between this resolve and the
+            // publish, and shipping a build derived from the stale
+            // snapshot would silently drop its rows/tombstones. Same-
+            // JVM publishers serialize on the lock; a cross-JVM flip
+            // aborts the publish (ConcurrentPublishException) and the
+            // epoch retries against the fresh version — the marker
+            // protocol makes the retry idempotent.
+            retryOnConcurrentPublish(s"hnswIngestStream epoch $epochId") {
+              graft.operators.CorpusModels.withPublishLock(root) {
+                val cur = graft.operators.Maintenance.resolveCurrent(spark, root)
+                val fs = new org.apache.hadoop.fs.Path(cur)
+                  .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                if (!fs.exists(new org.apache.hadoop.fs.Path(s"$cur/$markerName"))) {
+                  val idx = graft.operators.Hnsw.loadHnsw(spark, cur)
+                  val routed = graft.operators.Ann.assignToIvf(
+                    graft.operators.Ann.IvfIndex(idx.centroids, rows,
+                      "embedding", "vec_id"),
+                    rows)
+                  val appended = graft.operators.Hnsw.appendToShards(
+                    idx.graph, routed, idx.params)
+                  graft.operators.CorpusModels.publishModelVersion(spark, root,
+                    expectCurrent = Some(cur)) { dir =>
+                      graft.operators.Hnsw.saveHnsw(appended, idx.centroids,
+                        idx.params, dir)
+                      carryEpochMarkers(fs, cur, dir)
+                      fs.create(new org.apache.hadoop.fs.Path(s"$dir/$markerName"),
+                        true).close()
+                  }
+                  ()
+                }
               }
             }
           }
@@ -307,21 +345,29 @@ object StreamingIngest {
             .head()
           val (n, h) = (fp.getLong(0), fp.getLong(1))
           if (n > 0) {
-            val cur = graft.operators.Maintenance.resolveCurrent(spark, root)
-            val fs = new org.apache.hadoop.fs.Path(cur)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
             val markerName = f"_epoch_del_${epochId}_${n}_$h%016x"
-            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$cur/$markerName"))) {
-              val idx = graft.operators.Hnsw.loadHnsw(spark, cur)
-              val tombstoned =
-                graft.operators.Hnsw.deleteFromShards(idx.graph, ids)
-              graft.operators.CorpusModels.publishModelVersion(spark, root) {
-                dir =>
-                  graft.operators.Hnsw.saveHnsw(tombstoned, idx.centroids,
-                    idx.params, dir)
-                  carryEpochMarkers(fs, cur, dir)
-                  fs.create(new org.apache.hadoop.fs.Path(s"$dir/$markerName"),
-                    true).close()
+            // same lock + expectCurrent protocol as [[hnswIngestStream]]
+            // — the two streams are exactly the concurrent-publisher
+            // pair the guard exists for
+            retryOnConcurrentPublish(s"hnswDeleteStream epoch $epochId") {
+              graft.operators.CorpusModels.withPublishLock(root) {
+                val cur = graft.operators.Maintenance.resolveCurrent(spark, root)
+                val fs = new org.apache.hadoop.fs.Path(cur)
+                  .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                if (!fs.exists(new org.apache.hadoop.fs.Path(s"$cur/$markerName"))) {
+                  val idx = graft.operators.Hnsw.loadHnsw(spark, cur)
+                  val tombstoned =
+                    graft.operators.Hnsw.deleteFromShards(idx.graph, ids)
+                  graft.operators.CorpusModels.publishModelVersion(spark, root,
+                    expectCurrent = Some(cur)) { dir =>
+                      graft.operators.Hnsw.saveHnsw(tombstoned, idx.centroids,
+                        idx.params, dir)
+                      carryEpochMarkers(fs, cur, dir)
+                      fs.create(new org.apache.hadoop.fs.Path(s"$dir/$markerName"),
+                        true).close()
+                  }
+                  ()
+                }
               }
             }
           }

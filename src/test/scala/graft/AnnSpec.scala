@@ -392,6 +392,22 @@ class AnnSpec extends SparkSpec {
     assert(missed === Seq((1L, 0.0)))
   }
 
+  test("ndcgAtK: a query whose exact rows all sit beyond k still reports, at 0.0") {
+    val disc = Ann.ndcgDiscounts(spark, 2)
+    // query 1 has a real top-2 frame; query 2's exact rows start at
+    // rank 3 — its ideal frame is empty at k=2, and the per-query-IDCG
+    // inner join used to drop it from the report entirely
+    val exact = Seq((1L, 100L, 1), (1L, 200L, 2), (2L, 300L, 3), (2L, 400L, 4))
+      .toDF("query_id", "vec_id", "rn")
+    val approx = Seq((1L, 100L, 1), (1L, 200L, 2), (2L, 300L, 1))
+      .toDF("query_id", "vec_id", "rn")
+    val out = Ann.ndcgAtK(approx, exact, disc, k = 2)
+      .select($"query_id", $"dcg_fp", $"ndcg_at_2")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, out.head._2, 1.0), (2L, 0L, 0.0)))
+    assert(out.map(_._1) === Seq(1L, 2L), "every exact query must report")
+  }
+
   test("ndcgAtK clips inputs to rank <= k: top-3 frames with k=2 still score a perfect 1.0") {
     val disc = Ann.ndcgDiscounts(spark, 3)
     val exact = Seq((1L, 100L, 1), (1L, 200L, 2), (1L, 300L, 3))

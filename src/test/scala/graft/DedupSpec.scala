@@ -172,6 +172,50 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("jaccardClassPairCounts == id-level jaccardPairsPrefix aggregated to class pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    // independent class derivation: word set -> class, rep = min doc_id
+    val byId = docs.select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    def wset(t: String) = t.split(" ").filter(_.nonEmpty).toSet
+    val repOf: Map[Long, Long] = byId.groupBy(r => wset(r._3))
+      .values.flatMap { ms => val rep = ms.map(_._1).min; ms.map(r => r._1 -> rep) }
+      .toMap
+    val idPairs = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", "lang", 0.8)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    // aggregate the id-level multiset to (rep_a, rep_b) -> (jaccard, count)
+    val expected = idPairs.groupBy { case (a, b, _) =>
+      val (ra, rb) = (repOf(a), repOf(b)); if (ra < rb) (ra, rb) else (rb, ra)
+    }.map { case (k, vs) =>
+      assert(vs.map(_._3).distinct.length === 1,
+        s"class pair $k carries distinct jaccards")
+      (k._1, k._2, vs.head._3, vs.length.toLong)
+    }.toSet
+    val viaCounts = Dedup.jaccardClassPairCounts(docs, "doc_id", "text", "lang", 0.8)
+      .select($"id_a", $"id_b", $"jaccard", $"n_pairs")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaCounts === expected)
+    assert(viaCounts.toSeq.map(_._4).sum === idPairs.length.toLong,
+      "multiplicities must cover the exact id-level pair count")
+    assert(viaCounts.nonEmpty)
+  }
+
+  test("jaccardClassPairCounts: degenerate docs (empty set, blocks, twins)") {
+    val docs = Seq(
+      (1L, "a b c d e", "en"),  // class {1,3,6}: 6 is a twin in 'de'
+      (2L, "a b c d x", "en"),
+      (3L, "a b c d e", "en"),
+      (4L, "", "en"),           // empty token set: contributes nothing
+      (5L, "a b c d e", "de"),  // other block twin of class(1)
+      (6L, "a b c d e", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.jaccardClassPairCounts(docs, "doc_id", "text", "lang", 1.0)
+      .select($"id_a", $"id_b", $"jaccard", $"n_pairs")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // one class {1,3,5,6} (same word set): en pair (1,3) + de pair (5,6)
+    assert(out === Set((1L, 1L, 1.0, 2L)))
+  }
+
   test("sorted_intersect_size (bigint): merge-scan == array_intersect, dup/collision-safe") {
     import graft.functions.ArrayFunctions.sortedIntersectSize
     import org.apache.spark.sql.functions.{array_intersect, array_sort, size => asize}

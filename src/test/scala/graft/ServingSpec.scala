@@ -404,6 +404,51 @@ class ServingSpec extends SparkSpec {
       "resolve + probe must not launch Spark jobs")
   }
 
+  test("publishModelVersion: stale expectCurrent aborts cleanly; locked publishers never lose an update") {
+    import graft.operators.CorpusModels
+    val root = java.nio.file.Files.createTempDirectory("pub-race").toString
+    def touch(d: String, name: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(d, name))
+    }
+    CorpusModels.publishModelVersion(spark, root)(touch(_, "base"))
+    val v1 = graft.operators.Maintenance.resolveCurrent(spark, root)
+    CorpusModels.publishModelVersion(spark, root)(touch(_, "other"))
+    // publisher built from v1, but _current moved to v2 → abort BEFORE
+    // claiming anything: no marker, no writing dir, pointer unchanged
+    intercept[CorpusModels.ConcurrentPublishException] {
+      CorpusModels.publishModelVersion(spark, root,
+        expectCurrent = Some(v1))(touch(_, "stale"))
+    }
+    assert(graft.operators.Maintenance.resolveCurrent(spark, root).endsWith("/v2"))
+    val leftovers = new java.io.File(root).list().toSeq
+      .filter(n => n.contains("writing") || n.startsWith(".claim"))
+    assert(leftovers.isEmpty, s"aborted publish left $leftovers")
+    // two concurrent publishers under the lock: each resolves INSIDE
+    // the critical section, carries the current version's files
+    // forward, and publishes with expectCurrent — both updates must
+    // survive into the final version (the lost-update scenario the
+    // hnsw insert/delete stream pair would otherwise hit)
+    val threads = Seq("left", "right").map { tag =>
+      new Thread(() => {
+        CorpusModels.withPublishLock(root) {
+          val cur = graft.operators.Maintenance.resolveCurrent(spark, root)
+          CorpusModels.publishModelVersion(spark, root,
+            expectCurrent = Some(cur)) { d =>
+              new java.io.File(cur).list().foreach(n => touch(d, n))
+              touch(d, tag)
+          }
+          ()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val finalDir = graft.operators.Maintenance.resolveCurrent(spark, root)
+    val names = new java.io.File(finalDir).list().toSet
+    assert(names.contains("left") && names.contains("right"),
+      s"lost update: final version only has $names")
+  }
+
   test("republish at the same path reaches a CACHED scorer (freshness key)") {
     import graft.operators.CorpusModels
     import org.apache.spark.sql.functions.col
