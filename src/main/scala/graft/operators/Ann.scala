@@ -705,4 +705,238 @@ object Ann {
       .orderBy(col("knn_dist").desc, col("src_id"))
       .limit(n)
   }
+
+  /** A vector's `p` nearest IVF cells by the f32 kernel, (dist,
+    * cell id) tie-broken — the probe ranking DuckDB replays as
+    * `row_number() OVER (ORDER BY CAST(list_distance(centroid, v) AS
+    * DOUBLE), cluster_id)`. Bounded p-heap over the k-bounded centroid
+    * table; rides the closure, no shuffle. */
+  private[operators] def topProbeCells(cents: Array[Array[Float]],
+                                       v: Seq[Float], p: Int): Array[Int] = {
+    val va = v.toArray
+    val ord: Ordering[(Float, Int)] =
+      Ordering.Tuple2(Ordering.Float.TotalOrdering, Ordering.Int)
+    val h = scala.collection.mutable.PriorityQueue.empty[(Float, Int)](ord)
+    var c = 0
+    while (c < cents.length) {
+      val e = (PartitionedTopK.l2F32(va, cents(c)), c)
+      if (h.size < p) h.enqueue(e)
+      else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+      c += 1
+    }
+    h.toArray.sorted(ord).map(_._2)
+  }
+
+  /** Boundary-recall kNN-graph: multi-probe seed + NN-descent
+    * refinement — the fix for [[knnGraph]]'s structural blind spot
+    * (co-cell only: a vector's true nearest neighbor in an adjacent
+    * IVF cell is invisible; measured recall@10 on the fixture is 0.30).
+    *
+    *  - SEED: each vector probes its `probes` nearest cells
+    *    ([[topProbeCells]], f32 + cell-id tie-break) and ranks the
+    *    probed cells' HOME members (the `ivf_cluster` assignment —
+    *    what the oracle's asg handoff carries) to an internal width
+    *    `workK ≥ k`. Edges still compute cell-locally: candidates are
+    *    buffered once per cell, queries STREAM against them (memory =
+    *    one cell's home members, the lazy-group rule).
+    *  - REFINE (×`refineRounds`): NN-descent's local join (Dong et
+    *    al., WWW'11) — symmetrize the graph, and for every pivot j
+    *    all members of B(j) ∪ {j} become candidates for EACH OTHER;
+    *    re-rank per src to workK. Every stage is (dist, id)
+    *    tie-broken exact arithmetic on the f32 kernel: no RNG, no
+    *    iteration-order dependence, so the WHOLE construction —
+    *    seed, every round, final truncation — replays in SQL and the
+    *    recall gate can hash it (`knn_graph_recall`).
+    *  - The internal width is the recall lever NN-descent needs on
+    *    hard (unclustered) data: probes=2/workK=2k/rounds=2 measures
+    *    0.98 recall@10 on the fixture whose co-cell graph sits at
+    *    0.30 and whose IVF routing caps at 0.89 even probing HALF the
+    *    cells — the data is the adversarial case for routing, which
+    *    is exactly when a consumer needs the refinement.
+    *
+    * 100 TB shape: the seed shuffles (1+probes)·n slim rows grouped
+    * by cell (per-cell cost |queries|·|members|, cells stay
+    * corpus-proportional); each round shuffles 2·n·workK
+    * embedding-attached rows grouped by pivot and emits ≤(2·workK+1)²
+    * slim candidate rows per pivot that map-side-combine into the
+    * (src, nbr) dedup — all linear in n with workK² constants, no
+    * corpus broadcast, no driver materialization. Output contract =
+    * [[knnGraph]]: (src_id, nbr_id, dist, rn ≤ k). */
+  def knnGraphRefined(index: IvfIndex, k: Int, probes: Int = 2,
+                      refineRounds: Int = 2, workK: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(refineRounds >= 0, s"refineRounds must be >= 0, got $refineRounds")
+    val kk = math.max(k, if (workK <= 0) 2 * k else workK)
+    val spark = index.assigned.sparkSession
+    val clean = index.assigned
+      .where(col(index.idCol).isNotNull && col(index.embCol).isNotNull)
+      .select(col("ivf_cluster").cast("int").as("__cell"),
+        col(index.idCol).as("__id"), col(index.embCol).as("__emb"))
+      // one projection, many consumers (seed homes+queries, per-round
+      // embedding attach + pivot self rows) — all consumed EAGERLY by
+      // the per-stage localCheckpoints, so the explicit unpersist at
+      // the end is safe (multi-action loop: persist + unpersist, not
+      // releaseAfterUse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idType = index.assigned.schema(index.idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType,
+      s"knnGraphRefined id column must be long, got $idType")
+
+    val cents = index.centroids
+    val probeUdf = udf { (v: Seq[Float]) => topProbeCells(cents, v, probes) }
+    // home members (candidates) sort BEFORE queries inside each cell:
+    // buffer candidates once, stream every query row against them
+    val homes = clean.select(col("__cell"), col("__id"), col("__emb"),
+      lit(false).as("__is_q"))
+    val queries = clean.select(explode(probeUdf(col("__emb"))).as("__cell"),
+      col("__id"), col("__emb"), lit(true).as("__is_q"))
+    val seedRows = homes.unionByName(queries)
+      .repartition(col("__cell"))
+      .sortWithinPartitions(col("__cell"), col("__is_q"))
+      .rdd.mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[org.apache.spark.sql.Row] {
+          private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+          private def refill(): Unit = {
+            while (!out.hasNext && buf.hasNext) {
+              val cell = buf.head.getInt(0)
+              val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+              while (buf.hasNext && buf.head.getInt(0) == cell &&
+                     !buf.head.getBoolean(3)) {
+                val r = buf.next()
+                ids += r.getLong(1)
+                vecs += r.getSeq[Float](2).toArray
+              }
+              val qs = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Array[Float])]
+              while (buf.hasNext && buf.head.getInt(0) == cell) {
+                val r = buf.next()
+                qs += ((r.getLong(1), r.getSeq[Float](2).toArray))
+              }
+              out = qs.iterator.flatMap { case (qid, qv) =>
+                topKAgainst(qid, qv, ids, vecs, kk)
+              }
+            }
+          }
+          def hasNext: Boolean = { refill(); out.hasNext }
+          def next(): org.apache.spark.sql.Row = { refill(); out.next() }
+        }
+      }
+    // seed contract: per src, rank ≤ workK over the UNION of its
+    // probed cells' members — per-cell heaps emit ≤ probes·workK rows
+    // per src, the window merges them. (src, nbr) pairs are unique by
+    // construction (nbr's home cell is unique), min() is pure dedup
+    // hygiene. Checkpoint: each round consumes `edges` twice.
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dist"), col("nbr"))
+    var edges = spark.createDataFrame(seedRows, edgeSchema)
+      .groupBy(col("src"), col("nbr")).agg(min(col("dist")).as("dist"))
+      .withColumn("__rn", row_number().over(wSeed))
+      .filter(col("__rn") <= kk).drop("__rn")
+      .localCheckpoint()
+
+    val embF = clean.select(col("__id").as("__eid"), col("__emb"))
+    var round = 0
+    while (round < refineRounds) {
+      // NN-descent local join: pivot j's B(j) ∪ {j}, embeddings
+      // attached per endpoint; one cell of the groupBy = one pivot's
+      // ≤ 2·workK+1 members — pairs stream out of a lazy per-pivot
+      // iterator and land in the (src, nbr) min-dist dedup
+      val e = edges.select(col("src"), col("nbr"))
+      val sym = e.unionByName(e.select(col("nbr").as("src"), col("src").as("nbr")))
+        .distinct()
+      val mem = sym.select(col("src").as("__pivot"), col("nbr").as("__mid"))
+        .unionByName(clean.select(col("__id").as("__pivot"), col("__id").as("__mid")))
+        .join(embF, col("__mid") === col("__eid"))
+        .select(col("__pivot"), col("__mid"), col("__emb"))
+      val pairRows = mem
+        .repartition(col("__pivot"))
+        .sortWithinPartitions(col("__pivot"))
+        .rdd.mapPartitions { rows =>
+          val buf = rows.buffered
+          new Iterator[org.apache.spark.sql.Row] {
+            private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+            private def refill(): Unit = {
+              while (!out.hasNext && buf.hasNext) {
+                val pivot = buf.head.getLong(0)
+                val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+                val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+                while (buf.hasNext && buf.head.getLong(0) == pivot) {
+                  val r = buf.next()
+                  ids += r.getLong(1)
+                  vecs += r.getSeq[Float](2).toArray
+                }
+                val n = ids.length
+                out =
+                  if (n < 2) Iterator.empty
+                  else (0 until n).iterator.flatMap { i =>
+                    (0 until n).iterator.filter { j =>
+                      j != i && ids(j) != ids(i)
+                    }.map { j =>
+                      org.apache.spark.sql.Row(ids(i), ids(j),
+                        PartitionedTopK.l2F32(vecs(i), vecs(j)).toDouble)
+                    }
+                  }
+              }
+            }
+            def hasNext: Boolean = { refill(); out.hasNext }
+            def next(): org.apache.spark.sql.Row = { refill(); out.next() }
+          }
+        }
+      val cand = spark.createDataFrame(pairRows, edgeSchema)
+        .unionByName(edges)
+        .groupBy(col("src"), col("nbr")).agg(min(col("dist")).as("dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dist"), col("nbr"))
+      edges = cand.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= kk).drop("__rn")
+        // truncate lineage: each round's plan otherwise nests the
+        // previous round's full DAG (the connectedComponents rule)
+        .localCheckpoint()
+      round += 1
+    }
+
+    clean.unpersist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dist"), col("nbr"))
+    edges.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("src").as("src_id"), col("nbr").as("nbr_id"),
+        col("dist"), col("rn"))
+      .orderBy(col("src_id"), col("rn"))
+  }
+
+  private val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("src",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("nbr",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dist",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  /** Heap top-`kk` of one query against a buffered candidate list,
+    * (f32 dist, id)-ordered, self-excluded — the [[knnGraph]] inner
+    * loop shared by the seed stage. */
+  private def topKAgainst(qid: Long, qv: Array[Float],
+                          ids: scala.collection.mutable.ArrayBuffer[Long],
+                          vecs: scala.collection.mutable.ArrayBuffer[Array[Float]],
+                          kk: Int): Iterator[org.apache.spark.sql.Row] = {
+    val ord: Ordering[(Float, Long)] =
+      Ordering.Tuple2(Ordering.Float.TotalOrdering, Ordering.Long)
+    val h = scala.collection.mutable.PriorityQueue.empty[(Float, Long)](ord)
+    var j = 0
+    while (j < ids.length) {
+      if (ids(j) != qid) {
+        val e = (PartitionedTopK.l2F32(qv, vecs(j)), ids(j))
+        if (h.size < kk) h.enqueue(e)
+        else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+      }
+      j += 1
+    }
+    h.toArray.sorted(ord).iterator.map { case (dist, nbr) =>
+      org.apache.spark.sql.Row(qid, nbr, dist.toDouble)
+    }
+  }
 }

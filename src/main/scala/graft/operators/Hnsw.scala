@@ -432,6 +432,27 @@ object Hnsw {
       nullable = true),
     StructField("deleted", BooleanType, nullable = false)))
 
+  /** Hard per-shard node bound, ENFORCED (fail-fast) in [[buildShards]]
+    * and [[appendToShards]] — the "re-fit with more clusters if a shard
+    * outgrows an executor" scaladoc promise as code, not a comment. A
+    * skewed IVF cell (a hot duplicate cluster is the realistic 100 TB
+    * case) would otherwise silently concentrate one task's heap until
+    * it OOMs mid-build. The default (2M nodes ≈ 0.5–1 GB of graph +
+    * vectors at d=64–128) trips well before a typical executor heap
+    * does; the remedy is a policy decision the TASK cannot take —
+    * re-fit the IVF with more clusters (the [[Ann.refitIfDrifted]]
+    * shape) or dedup the hot cell — so the guard fails loudly with
+    * that instruction instead of auto-splitting into shards no
+    * centroid routes to. */
+  val DefaultMaxShardRows: Int = 2000000
+
+  private def shardBoundError(shard: Int, n: Int, bound: Int): Nothing =
+    throw new IllegalStateException(
+      s"HNSW shard $shard exceeds maxShardRows=$bound (>= $n nodes): the " +
+        "IVF cell is too hot for one executor — re-fit the routing index " +
+        "with more clusters (Ann.refitIfDrifted policy) or dedup the cell, " +
+        "then rebuild")
+
   /** Build one HNSW graph per shard. `assigned` must carry
     * (`shardCol` int, `idCol` long, `embCol` array<float>) — the
     * [[Ann.IvfIndex.assigned]] frame is the intended input, so graph
@@ -439,11 +460,15 @@ object Hnsw {
     * each shard; insertion order within a shard is id-ascending
     * (sortWithinPartitions), making the build deterministic. Shard
     * graph memory is O(rows·(d + m·avgLevels)) — the IVF partitioner
-    * bounds it, exactly as it bounds the probe scans. */
+    * bounds it and [[DefaultMaxShardRows]] enforces the bound
+    * (fail-fast on the first row past it, before the oversized graph
+    * is materialized). */
   def buildShards(assigned: DataFrame, params: HnswParams,
                   shardCol: String = "ivf_cluster",
                   embCol: String = "embedding",
-                  idCol: String = "vec_id"): DataFrame = {
+                  idCol: String = "vec_id",
+                  maxShardRows: Int = DefaultMaxShardRows): DataFrame = {
+    require(maxShardRows >= 1, s"maxShardRows must be >= 1, got $maxShardRows")
     val spark = assigned.sparkSession
     val slim = assigned.select(
         col(shardCol).cast("int").as("shard"),
@@ -464,8 +489,11 @@ object Hnsw {
           while (!cur.hasNext && it.hasNext) {
             val shard = it.head.getInt(0)
             val g = new HnswGraph(params)
+            var n = 0
             while (it.hasNext && it.head.getInt(0) == shard) {
               val r = it.next()
+              n += 1
+              if (n > maxShardRows) shardBoundError(shard, n, maxShardRows)
               g.insert(r.getLong(1), r.getSeq[Float](2).toArray)
             }
             cur = g.exportRows.iterator.map(e =>
@@ -563,7 +591,9 @@ object Hnsw {
                      params: HnswParams,
                      shardCol: String = "ivf_cluster",
                      embCol: String = "embedding",
-                     idCol: String = "vec_id"): DataFrame = {
+                     idCol: String = "vec_id",
+                     maxShardRows: Int = DefaultMaxShardRows): DataFrame = {
+    require(maxShardRows >= 1, s"maxShardRows must be >= 1, got $maxShardRows")
     val spark = graph.sparkSession
     // the touched shard set is ≤ #centroids — a k-row driver collect.
     // Untouched shards NEVER enter the exchange: their rows pass
@@ -612,6 +642,11 @@ object Hnsw {
             }
             val g = HnswGraph.fromRows(buf.toSeq, params)
             fresh.sortInPlace()(Ordering.by[(Long, Array[Float]), Long](_._1))
+            // append path honors the same hot-cell bound as the build:
+            // counted over NODES (existing graph + incoming), checked
+            // before the oversized graph is grown
+            if (g.size + fresh.length > maxShardRows)
+              shardBoundError(shard, g.size + fresh.length, maxShardRows)
             fresh.foreach { case (id, v) => g.insert(id, v) }
             cur = g.exportRows.iterator.map(e =>
               Row(shard, e.vec_id, e.level, e.layer, e.neighbors,

@@ -27,14 +27,22 @@ import org.apache.spark.sql.functions._
   * only — the in-array filter). The graph itself is `vocabCap`-bounded
   * (≤ cap² edges) and iterates driver-side — the NB-vocabCap /
   * BPE-merge-recursion rule: the collect is bounded by a required cap
-  * at any corpus size, and a 10-round loop over a capped graph is
-  * driver arithmetic, not cluster work. Overflow headroom: pr ≤
+  * at any corpus size (and since cap² can itself be large, the edge
+  * collect is additionally guarded by an enforced `maxEdges` — the
+  * driver never fetches more than maxEdges+1 rows), and a 10-round
+  * loop over a capped graph is driver arithmetic, not cluster work.
+  * Overflow headroom: pr ≤
   * cap·ONE and pr·w needs w ≤ 9e18/(cap·ONE) ≈ 1.4e8 co-occurrences
   * of one pair at cap 64 — guarded explicitly. */
 object TextRank {
 
   /** Fixed-point unit for rank scores. */
   val One = 1000000000L
+
+  /** Default cap on the collected edge set — ~100 MB of driver tuples,
+    * far under any sane driver heap but far above what keyword graphs
+    * need (a cap-64 gate graph has ≤ 2016 edges). */
+  val DefaultMaxEdges: Int = 4000000
 
   /** Top-`k` corpus keywords: (term, textrank_fp), score desc, term.
     *
@@ -43,14 +51,26 @@ object TextRank {
     * @param window co-occurrence window in token positions (pairs at
     *   distance 1..window).
     * @param iterations fixed power-iteration rounds (TextRank
-    *   converges in tens; a fixed count keeps both engines identical). */
+    *   converges in tens; a fixed count keeps both engines identical).
+    * @param maxEdges ENFORCED bound on the collected edge set (the NB
+    *   vocabCap-collect rule: every driver materialization carries an
+    *   explicit required cap). vocabCap bounds edges only
+    *   quadratically — cap 10⁴ admits up to ~5·10⁷ distinct
+    *   co-occurring pairs — so the collect itself is guarded: the
+    *   driver fetches AT MOST maxEdges+1 rows (one bounded action, not
+    *   a full pull that then fails) and refuses loudly when the graph
+    *   exceeds the cap. The remedy is a smaller vocabCap or window —
+    *   TextRank keyword quality saturates far below graphs this
+    *   size. */
   def keywords(docs: DataFrame, idCol: String, textCol: String,
                vocabCap: Int, k: Int,
-               window: Long = 2L, iterations: Int = 10): DataFrame = {
+               window: Long = 2L, iterations: Int = 10,
+               maxEdges: Int = DefaultMaxEdges): DataFrame = {
     require(vocabCap >= 1, s"vocabCap must be >= 1, got $vocabCap")
     require(k >= 1, s"k must be >= 1, got $k")
     require(window >= 1L, s"window must be >= 1, got $window")
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(maxEdges >= 1, s"maxEdges must be >= 1, got $maxEdges")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -79,7 +99,12 @@ object TextRank {
       .select(least(col("__ta"), col("__tb")).as("u"),
         greatest(col("__ta"), col("__tb")).as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .limit(maxEdges + 1) // bounded action: never pulls an unbounded graph
       .as[(String, String, Long)].collect()
+    require(und.length <= maxEdges,
+      s"TextRank graph exceeds maxEdges=$maxEdges at vocabCap=$vocabCap/" +
+        s"window=$window — shrink the vocab cap or window (keyword quality " +
+        "saturates far below graphs this size) or raise the cap explicitly")
 
     // driver-side exact integer power iteration over the capped graph
     val wdeg = scala.collection.mutable.Map.empty[String, Long]

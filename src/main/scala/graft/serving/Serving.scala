@@ -441,6 +441,95 @@ object Serving {
       .sortBy(h => (-h.bm25Fp, h.id)).take(k)
   }
 
+  // ------------------------------------------------ positional index probes
+
+  final case class PhraseHit(id: Long, nOccurrences: Long)
+
+  final case class ProximityHit(id: Long, nPairs: Long, minDist: Long)
+
+  /** Positional postings of `terms` from a
+    * [[graft.operators.Positional.buildPersistedIndex]] layout, no
+    * Spark: manifest zone-map prune, then the overlapping
+    * `range_id=<r>` dirs only. The cache holds each dir's FULL rows
+    * (term filter outside the entry, the [[searchBm25]] rule). */
+  private def readPositional(indexDir: String, terms: Set[String],
+                             conf: Configuration, cache: IndexCache)
+      : Seq[(Long, String, Long)] = {
+    val base = indexDir.stripSuffix("/")
+    val manifest = cache.getOrLoad(s"$base/manifest") {
+      val b0 = mutable.ArrayBuffer.empty[(Int, String, String)]
+      foreachGroup(conf, s"$base/manifest") { g =>
+        b0 += ((g.getInteger("range_id", 0), g.getString("min_key", 0),
+          g.getString("max_key", 0)))
+      }
+      b0.toSeq
+    }
+    val ranges = manifest.collect {
+      case (rid, lo, hi) if terms.exists(t => t >= lo && t <= hi) => rid
+    }
+    val out = mutable.ArrayBuffer.empty[(Long, String, Long)]
+    ranges.sorted.foreach { rid =>
+      val dir = s"$base/postings/range_id=$rid"
+      val rows = cache.getOrLoad(dir) {
+        val b0 = mutable.ArrayBuffer.empty[(Long, String, Long)]
+        foreachGroup(conf, dir) { g =>
+          b0 += ((g.getLong("id", 0), g.getString("term", 0),
+            g.getLong("pos", 0)))
+        }
+        b0.toSeq
+      }
+      rows.foreach { case row @ (_, t, _) => if (terms.contains(t)) out += row }
+    }
+    out.toSeq
+  }
+
+  /** Single-query exact-phrase search from the persisted positional
+    * index, no Spark — the serving twin of
+    * [[graft.operators.Positional.searchPersistedPhrase]] (the one
+    * persisted layout that had no driver probe). Same semantics as
+    * the batch n-way positional join: an occurrence is a start
+    * position p with phrase(i) at p+i for every i (overlapping
+    * occurrences count); docs with none are absent. Output
+    * (id asc) — hit-for-hit parity spec-pinned. */
+  def searchPhrase(indexDir: String, phrase: Seq[String],
+                   conf: Configuration = defaultConf,
+                   cache: IndexCache = noCache): Seq[PhraseHit] = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val rows = readPositional(indexDir, phrase.distinct.toSet, conf, cache)
+    // per doc: positions per term, then count chain starts — tiny
+    // (pruned postings of the phrase terms only), pure driver work
+    rows.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val byTerm = ps.groupBy(_._2)
+        .map { case (t, rs) => t -> rs.map(_._3).toSet }
+      val starts = byTerm.getOrElse(phrase.head, Set.empty[Long])
+      val n = starts.count(p0 => phrase.indices.forall(i =>
+        byTerm.getOrElse(phrase(i), Set.empty[Long]).contains(p0 + i)))
+      if (n > 0) Some(PhraseHit(id, n.toLong)) else None
+    }.sortBy(_.id)
+  }
+
+  /** Single-query proximity search from the persisted positional
+    * index, no Spark — the serving twin of
+    * [[graft.operators.Positional.searchPersistedProximity]]: docs
+    * where `termA` and `termB` co-occur within `window` tokens, with
+    * the pair count and closest distance. Output (id asc). */
+  def searchProximity(indexDir: String, termA: String, termB: String,
+                      window: Long,
+                      conf: Configuration = defaultConf,
+                      cache: IndexCache = noCache): Seq[ProximityHit] = {
+    require(termA != termB, "proximity terms must differ")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val rows = readPositional(indexDir, Set(termA, termB), conf, cache)
+    rows.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val pa = ps.collect { case (_, t, p) if t == termA => p }
+      val pb = ps.collect { case (_, t, p) if t == termB => p }
+      val dists = for (a <- pa; b <- pb; d = math.abs(a - b) if d <= window)
+        yield d
+      if (dists.nonEmpty) Some(ProximityHit(id, dists.length.toLong, dists.min))
+      else None
+    }.sortBy(_.id)
+  }
+
   // --------------------------------------------------- NB classifier probe
 
   final case class NbScore(scoreFp: Long, keepPred: Boolean)

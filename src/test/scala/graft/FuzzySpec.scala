@@ -35,6 +35,25 @@ class FuzzySpec extends SparkSpec {
     assert(!texts.exists(_._2.toLowerCase.split("[^a-z0-9]+").contains("vecto")))
   }
 
+  test("qgram-indexed expansion == plain scan (the promised large-vocab path)") {
+    val docs = Tables.documents(spark, sfDir)
+    // mixed lengths: 'vecto' (5 chars, survives q·(τ+1)=4) rides the
+    // gram index; 'ab' (2 chars) must take the exactness fallback scan
+    val qs = Seq("vecto", "hash", "ab")
+    val scan = Fuzzy.termSearch(docs, "doc_id", "text", qs, k = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    val indexed = Fuzzy.termSearch(docs, "doc_id", "text", qs, k = 20,
+      qgramIndex = true).as[(Long, Long, Long)].collect().toSeq
+    assert(indexed === scan)
+    assert(scan.nonEmpty)
+    // maxDist=0 and q=3 parity too (different survival cutoffs)
+    val scan0 = Fuzzy.termSearch(docs, "doc_id", "text", Seq("hash"), k = 10,
+      maxDist = 0).as[(Long, Long, Long)].collect().toSeq
+    val idx0 = Fuzzy.termSearch(docs, "doc_id", "text", Seq("hash"), k = 10,
+      maxDist = 0, qgramIndex = true, q = 3).as[(Long, Long, Long)].collect().toSeq
+    assert(idx0 === scan0)
+  }
+
   test("maxDist=0 degenerates to exact term counting") {
     val docs = Seq((1L, "hash table hash"), (2L, "hashx")).toDF("doc_id", "text")
     val got = Fuzzy.termSearch(docs, "doc_id", "text", Seq("hash"), k = 5,
@@ -93,5 +112,68 @@ class FuzzySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sfDir)
     val index = Ann.buildIvf(emb, numClusters = 2)
     intercept[IllegalArgumentException](Ann.knnGraph(index, k = 0))
+  }
+
+  test("knnGraphRefined: multi-probe sees the cross-cell true NN the co-cell graph misses") {
+    // planted boundary case: x lives in cell 0 but its true nearest
+    // neighbor b1 lives in cell 1 — the exact blind spot of the
+    // co-cell graph
+    val assigned = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),   // a1
+      (2L, Seq(4.0f, 0.0f), 0),   // x (boundary)
+      (3L, Seq(6.0f, 0.0f), 1),   // b1 — x's true NN (dist 2 < 3)
+      (4L, Seq(10.0f, 0.0f), 1)   // b2
+    ).toDF("vec_id", "embedding", "ivf_cluster")
+    val cents = Array(Array(0.0f, 0.0f), Array(10.0f, 0.0f))
+    val index = Ann.IvfIndex(cents, assigned, "embedding", "vec_id")
+    val coCell = Ann.knnGraph(index, k = 1)
+      .select($"src_id", $"nbr_id").as[(Long, Long)].collect().toMap
+    assert(coCell(2L) === 1L, "co-cell graph is stuck with the same-cell neighbor")
+    val refined = Ann.knnGraphRefined(index, k = 1, probes = 2,
+        refineRounds = 0)
+      .select($"src_id", $"nbr_id").as[(Long, Long)].collect().toMap
+    assert(refined(2L) === 3L, "2-probe seed must find the adjacent-cell true NN")
+    // contract hygiene: no self edges, rn within k
+    val full = Ann.knnGraphRefined(index, k = 2, probes = 2, refineRounds = 1)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(full.forall { case (s, n, _, rn) => s != n && rn >= 1 && rn <= 2 })
+  }
+
+  test("knnGraphRefined: NN-descent rounds lift fixture recall@k to >= 0.9 vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val index = Ann.buildIvf(emb, numClusters = math.max(4, (n / 30).toInt))
+    val k = 5
+    val graph = Ann.knnGraphRefined(index, k, probes = 2, refineRounds = 2,
+        workK = 4 * k)
+      .select($"src_id", $"nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    // brute-force reference (self-excluded), the f32 kernel
+    val rows = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    def dist(a: Seq[Float], b: Seq[Float]): Float = {
+      var acc = 0.0f; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc.toDouble).toFloat
+    }
+    val recalls = rows.map { case (id, v) =>
+      val exact = rows.filter(_._1 != id)
+        .map { case (nid, nv) => (dist(v, nv), nid) }
+        .sortBy(identity).take(k).map(_._2).toSet
+      (exact intersect graph.getOrElse(id, Set.empty)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"refined graph recall@$k = $mean on the spec fixture")
+    // and the refinement is doing real work: the co-cell graph is far worse
+    val coCell = Ann.knnGraph(index, k)
+      .select($"src_id", $"nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val coMean = rows.map { case (id, v) =>
+      val exact = rows.filter(_._1 != id)
+        .map { case (nid, nv) => (dist(v, nv), nid) }
+        .sortBy(identity).take(k).map(_._2).toSet
+      (exact intersect coCell.getOrElse(id, Set.empty)).size.toDouble / k
+    }.sum / recalls.length
+    assert(mean > coMean, s"refined $mean must beat co-cell $coMean")
   }
 }

@@ -46,6 +46,35 @@ class HnswSpec extends SparkSpec {
     assert((0L until 2000L).map(Hnsw.levelOf(_, HnswParams(seed = 7L))) !== lvls)
   }
 
+  test("maxShardRows fail-fasts on a planted hot cell, build AND append paths") {
+    // planted hot cell: every vector routed to shard 0
+    val hot = singleShard
+    intercept[org.apache.spark.SparkException] {
+      Hnsw.buildShards(hot, P, shardCol = "shard0", maxShardRows = 3).count()
+    }.getMessage // the wrapped IllegalStateException carries the remedy
+    // same corpus under the bound builds fine
+    val n = emb.count().toInt
+    val graph = Hnsw.buildShards(hot, P, shardCol = "shard0",
+      maxShardRows = n)
+    assert(graph.select($"vec_id").distinct().count() === n.toLong)
+    // append path: the EXISTING nodes + incoming must fit the bound
+    val fresh = Seq((900001L, Seq.fill(qvec(0L).length)(0.25f), 0))
+      .toDF("vec_id", "embedding", "shard0")
+    intercept[org.apache.spark.SparkException] {
+      Hnsw.appendToShards(graph, fresh, P, shardCol = "shard0",
+        maxShardRows = n).count()
+    }
+    val ok = Hnsw.appendToShards(graph, fresh, P, shardCol = "shard0",
+      maxShardRows = n + 1)
+    assert(ok.select($"vec_id").distinct().count() === (n + 1).toLong)
+    // the guard names the remedy (refit policy) in its message
+    val e = intercept[org.apache.spark.SparkException] {
+      Hnsw.buildShards(hot, P, shardCol = "shard0", maxShardRows = 1).count()
+    }
+    assert(e.getMessage.contains("maxShardRows") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxShardRows")))
+  }
+
   test("buildShards is deterministic: two builds, identical rows") {
     def rows() = Hnsw.buildShards(singleShard, P, shardCol = "shard0")
       .orderBy($"vec_id", $"layer")

@@ -80,6 +80,45 @@ class PositionalSpec extends SparkSpec {
     assert(none.columns.toSeq === Seq("id", "term", "pos"))
   }
 
+  test("serving phrase/proximity probes == persisted-index batch, zero Spark jobs") {
+    import graft.serving.Serving
+    val d = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("pos-probe").toString
+    Positional.buildPersistedIndex(d, "doc_id", "text", nRanges = 8, dir)
+    for (phrase <- Seq(Seq("table", "hash"), Seq("big", "order", "scan"),
+        Seq("customer"))) {
+      val batch = Positional.searchPersistedPhrase(spark, dir, phrase)
+        .orderBy($"id").as[(Long, Long)].collect().toSeq
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val probe = Serving.searchPhrase(dir, phrase)
+        .map(h => (h.id, h.nOccurrences))
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(jobsAfter === jobsBefore, "phrase probe must launch no Spark jobs")
+      assert(probe === batch, s"phrase $phrase")
+      assert(batch.nonEmpty, s"phrase $phrase matches nothing — dead test")
+    }
+    // proximity probe parity through the same layout
+    val batchP = Positional.searchPersistedProximity(spark, dir,
+        "customer", "join", 3L)
+      .orderBy($"id").as[(Long, Long, Long)].collect().toSeq
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val probeP = Serving.searchProximity(dir, "customer", "join", 3L)
+      .map(h => (h.id, h.nPairs, h.minDist))
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      === jobsBefore, "proximity probe must launch no Spark jobs")
+    assert(probeP === batchP && batchP.nonEmpty)
+    // duplicate-term phrase exercises the same-source branches of both
+    val dd = Seq((1L, "a a a b"), (2L, "a b a")).toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("pos-probe2").toString
+    Positional.buildPersistedIndex(dd, "doc_id", "text", nRanges = 2, dir2)
+    val dupBatch = Positional.searchPersistedPhrase(spark, dir2, Seq("a", "a"))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    val dupProbe = Serving.searchPhrase(dir2, Seq("a", "a"))
+      .map(h => (h.id, h.nOccurrences))
+    assert(dupProbe === dupBatch)
+    assert(dupBatch === Seq((1L, 2L))) // "a a a" holds "a a" twice
+  }
+
   test("postings explode only emits query-term rows") {
     val d = Tables.documents(spark, sfDir).limit(50)
     val p = Positional.postingsOf(d, "doc_id", "text", Seq("table", "hash"))

@@ -91,6 +91,21 @@ class TextRankSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("maxEdges bound: oversized graphs refuse loudly, results unchanged under it") {
+    val docs = Tables.documents(spark, sfDir)
+    // the fixture graph at cap 16 has > 4 edges — the bound must trip
+    val e = intercept[IllegalArgumentException](
+      TextRank.keywords(docs, "doc_id", "text", vocabCap = 16, k = 8,
+        maxEdges = 4))
+    assert(e.getMessage.contains("maxEdges"))
+    // a bound the graph fits under changes nothing
+    val tight = TextRank.keywords(docs, "doc_id", "text", vocabCap = 16,
+      k = 8, maxEdges = TextRank.DefaultMaxEdges).collect().toSeq
+    val loose = TextRank.keywords(docs, "doc_id", "text", vocabCap = 16,
+      k = 8).collect().toSeq
+    assert(tight === loose)
+  }
+
   test("guards") {
     val docs = Tables.documents(spark, sfDir)
     intercept[IllegalArgumentException](
@@ -101,5 +116,7 @@ class TextRankSpec extends SparkSpec {
       TextRank.keywords(docs, "doc_id", "text", vocabCap = 8, k = 5, window = 0L))
     intercept[IllegalArgumentException](
       TextRank.keywords(docs, "doc_id", "text", vocabCap = 8, k = 5, iterations = 0))
+    intercept[IllegalArgumentException](
+      TextRank.keywords(docs, "doc_id", "text", vocabCap = 8, k = 5, maxEdges = 0))
   }
 }
