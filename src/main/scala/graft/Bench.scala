@@ -68,7 +68,8 @@ object Bench {
     // semdedup's cluster count scales with the corpus (may differ from
     // the ANN k=16 at derived SFs) — warm ITS index so the fit never
     // sits in the timed window
-    if (Seq("semdedup_keep", "knn_graph", "outlier_knn").exists(selected.contains))
+    if (Seq("semdedup_keep", "knn_graph", "knn_graph_recall",
+        "outlier_knn").exists(selected.contains))
       try graft.queries.ModelQueries.semdedupIndex(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] WARNING: corpus-proportional IVF warmup " +

@@ -826,16 +826,11 @@ object Ann {
       }
     // seed contract: per src, rank ≤ workK over the UNION of its
     // probed cells' members — per-cell heaps emit ≤ probes·workK rows
-    // per src, the window merges them. (src, nbr) pairs are unique by
-    // construction (nbr's home cell is unique), min() is pure dedup
-    // hygiene. Checkpoint: each round consumes `edges` twice.
-    val wSeed = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("dist"), col("nbr"))
-    var edges = spark.createDataFrame(seedRows, edgeSchema)
-      .groupBy(col("src"), col("nbr")).agg(min(col("dist")).as("dist"))
-      .withColumn("__rn", row_number().over(wSeed))
-      .filter(col("__rn") <= kk).drop("__rn")
-      .localCheckpoint()
+    // per src, one fused repartition+heap merges them ([[topKPerSrc]]:
+    // dedup + rank in ONE exchange, no agg + window pair). Checkpoint:
+    // each round consumes `edges` twice.
+    var edges = topKPerSrc(
+      spark.createDataFrame(seedRows, edgeSchema), kk).localCheckpoint()
 
     val embF = clean.select(col("__id").as("__eid"), col("__emb"))
     var round = 0
@@ -885,15 +880,11 @@ object Ann {
             def next(): org.apache.spark.sql.Row = { refill(); out.next() }
           }
         }
-      val cand = spark.createDataFrame(pairRows, edgeSchema)
-        .unionByName(edges)
-        .groupBy(col("src"), col("nbr")).agg(min(col("dist")).as("dist"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")).orderBy(col("dist"), col("nbr"))
-      edges = cand.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= kk).drop("__rn")
-        // truncate lineage: each round's plan otherwise nests the
-        // previous round's full DAG (the connectedComponents rule)
+      // dedup + re-rank fused into one exchange; localCheckpoint
+      // truncates lineage (each round's plan would otherwise nest the
+      // previous round's full DAG — the connectedComponents rule)
+      edges = topKPerSrc(
+        spark.createDataFrame(pairRows, edgeSchema).unionByName(edges), kk)
         .localCheckpoint()
       round += 1
     }
@@ -906,6 +897,50 @@ object Ann {
       .select(col("src").as("src_id"), col("nbr").as("nbr_id"),
         col("dist"), col("rn"))
       .orderBy(col("src_id"), col("rn"))
+  }
+
+  /** Fused dedup + per-src top-`kk` over an (src, nbr, dist) edge
+    * stream: ONE repartition-by-src exchange, then a lazy per-src
+    * heap (duplicate (src, nbr) rows carry identical deterministic
+    * dists — a seen-set drops them). Replaces the groupBy(src, nbr)
+    * agg + window rank pair, which paid two exchanges of the same
+    * candidate stream — at the 100× fixture the candidate stream is
+    * the round's dominant volume, so the saved exchange is the
+    * round's wall-clock lever. Per-src memory = the seen set
+    * (≤ candidates of one src, (2·workK)²-bounded). */
+  private def topKPerSrc(df: DataFrame, kk: Int): DataFrame = {
+    val spark = df.sparkSession
+    val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val rdd = df.repartition(col("src")).sortWithinPartitions(col("src"))
+      .rdd.mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[org.apache.spark.sql.Row] {
+          private var cur: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+          private def refill(): Unit =
+            while (!cur.hasNext && buf.hasNext) {
+              val src = buf.head.getLong(0)
+              val seen = scala.collection.mutable.HashSet.empty[Long]
+              val h = scala.collection.mutable.PriorityQueue
+                .empty[(Double, Long)](ord)
+              while (buf.hasNext && buf.head.getLong(0) == src) {
+                val r = buf.next()
+                val nbr = r.getLong(1)
+                if (seen.add(nbr)) {
+                  val e = (r.getDouble(2), nbr)
+                  if (h.size < kk) h.enqueue(e)
+                  else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+                }
+              }
+              cur = h.toArray.sorted(ord).iterator.map { case (d, nbr) =>
+                org.apache.spark.sql.Row(src, nbr, d)
+              }
+            }
+          def hasNext: Boolean = { refill(); cur.hasNext }
+          def next(): org.apache.spark.sql.Row = { refill(); cur.next() }
+        }
+      }
+    spark.createDataFrame(rdd, edgeSchema)
   }
 
   private val edgeSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -262,21 +262,24 @@ object AnnQueries {
       Ann.knnGraph(index, k = 4)
     },
     // boundary-recall graph + its MEASURED recall gate: multi-probe
-    // seed (2 cells) + 2 NN-descent local-join rounds at internal
+    // seed (3 cells) + ONE NN-descent local-join round at internal
     // width 20, truncated to k=10, recall vs self-excluded brute force
     // on the 32-query sample. The whole construction is deterministic
     // (dist, id)-tie-broken f32 arithmetic, so the oracle replays
-    // seed, BOTH rounds, truncation, and the recall division from the
+    // seed, the round, truncation, and the recall division from the
     // same centroid/assignment handoffs — nothing is taken on faith.
-    // Measured: 0.98 mean recall@10 on the fixture whose co-cell
-    // graph (knn_graph) sits at 0.30 — the adversarial unclustered
-    // case the refinement exists for. AnnSpec pins recall >= 0.9.
+    // Config by measurement: p=3/rounds=1 scores 0.983 full-graph
+    // recall@10 on this corpus at HALF the candidate volume of
+    // p=2/rounds=2 (0.996), and one round is one fewer exchange set
+    // at 100×. The co-cell graph (knn_graph) sits at 0.30 — the
+    // adversarial unclustered case the refinement exists for.
+    // FuzzySpec pins recall >= 0.9.
     "knn_graph_recall" -> { (s, dir) =>
       val index = ModelQueries.semdedupIndex(s, dir)
       writeIvfHandoff(s, index, GraphCentsHandoff, GraphAsgHandoff)
       val emb = Tables.embeddings(s, dir)
-      val graph = Ann.knnGraphRefined(index, k = 10, probes = 2,
-          refineRounds = 2)
+      val graph = Ann.knnGraphRefined(index, k = 10, probes = 3,
+          refineRounds = 1)
         .filter(col("src_id") < 32)
         .select(col("src_id").as("query_id"), col("nbr_id").as("vec_id"))
       // exact ground truth, self-excluded like the graph: top-11 heaps
@@ -688,9 +691,9 @@ object AnnQueries {
          |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
          |FROM q LEFT JOIN hits h USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
-    // FULL construction replay: seed (2-probe ranking over the
+    // FULL construction replay: seed (3-probe ranking over the
     // centroid handoff, home membership from the asg handoff, rank 20)
-    // then BOTH NN-descent local-join rounds (symmetrize → pivot
+    // then the NN-descent local-join round (symmetrize → pivot
     // member lists incl. self → all ordered member pairs ∪ previous
     // edges → re-rank 20), truncation to 10, and the recall division —
     // every stage (dist, id)-tie-broken on the bit-equal f32 kernel,
@@ -707,7 +710,7 @@ object AnnQueries {
          |           row_number() OVER (PARTITION BY v.vec_id
          |             ORDER BY CAST(list_distance(c.centroid, v.embedding) AS DOUBLE),
          |                      c.cluster_id) AS rn
-         |    FROM v CROSS JOIN cents c) s WHERE rn <= 2
+         |    FROM v CROSS JOIN cents c) s WHERE rn <= 3
          |), g0 AS (
          |  SELECT src, nbr FROM (
          |    SELECT p.src, e.vec_id AS nbr,
@@ -737,36 +740,18 @@ object AnnQueries {
          |    FROM cand0 c
          |    JOIN v ea ON ea.vec_id = c.src
          |    JOIN v eb ON eb.vec_id = c.nbr) s WHERE rn <= 20
-         |), sym1 AS (
-         |  SELECT src, nbr FROM g1 UNION SELECT nbr, src FROM g1
-         |), mem1 AS (
-         |  SELECT src AS pivot, nbr AS member FROM sym1
-         |  UNION SELECT vec_id, vec_id FROM v
-         |), cand1 AS (
-         |  SELECT a.member AS src, b.member AS nbr
-         |  FROM mem1 a JOIN mem1 b ON a.pivot = b.pivot AND a.member <> b.member
-         |  UNION SELECT src, nbr FROM g1
-         |), g2 AS (
-         |  SELECT src, nbr FROM (
-         |    SELECT c.src, c.nbr,
-         |           row_number() OVER (PARTITION BY c.src
-         |             ORDER BY CAST(list_distance(ea.embedding, eb.embedding) AS DOUBLE),
-         |                      c.nbr) AS rn
-         |    FROM cand1 c
-         |    JOIN v ea ON ea.vec_id = c.src
-         |    JOIN v eb ON eb.vec_id = c.nbr) s WHERE rn <= 20
          |), q AS (
          |  SELECT vec_id AS query_id FROM v WHERE vec_id < 32
          |), approx AS (
          |  SELECT src AS query_id, nbr AS vec_id FROM (
-         |    SELECT g2.src, g2.nbr,
-         |           row_number() OVER (PARTITION BY g2.src
+         |    SELECT g1.src, g1.nbr,
+         |           row_number() OVER (PARTITION BY g1.src
          |             ORDER BY CAST(list_distance(ea.embedding, eb.embedding) AS DOUBLE),
-         |                      g2.nbr) AS rn
-         |    FROM g2
-         |    JOIN v ea ON ea.vec_id = g2.src
-         |    JOIN v eb ON eb.vec_id = g2.nbr
-         |    WHERE g2.src < 32) s WHERE rn <= 10
+         |                      g1.nbr) AS rn
+         |    FROM g1
+         |    JOIN v ea ON ea.vec_id = g1.src
+         |    JOIN v eb ON eb.vec_id = g1.nbr
+         |    WHERE g1.src < 32) s WHERE rn <= 10
          |), exact AS (
          |  SELECT query_id, vec_id FROM (
          |    SELECT q.query_id, e.vec_id,
