@@ -623,8 +623,6 @@ object Ann {
     // PartitionedTopK f32 kernel — bit-equal to `list_distance` — and
     // heap order (f32 dist, nbr id) widens monotonically to the
     // (double, id) rank order the oracle replays.
-    val ord: Ordering[(Float, Long)] =
-      Ordering.Tuple2(Ordering.Float.TotalOrdering, Ordering.Long)
     val partial = clean
       .repartition(col("__cell"))
       .sortWithinPartitions(col("__cell"))
@@ -646,22 +644,14 @@ object Ann {
               out =
                 if (n < 2) Iterator.empty
                 else (0 until n).iterator.flatMap { i =>
-                  val h = scala.collection.mutable.PriorityQueue
-                    .empty[(Float, Long)](ord)
-                  var j = 0
-                  while (j < n) {
-                    if (j != i) {
-                      val e = (PartitionedTopK.l2F32(vecs(i), vecs(j)), ids(j))
-                      if (h.size < k) h.enqueue(e)
-                      else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+                  // ONE heap kernel shared with knnGraphRefined's seed
+                  // (topKAgainst) — tie-break or kernel changes cannot
+                  // fork the two graph operators
+                  topKAgainst(ids(i), vecs(i), ids, vecs, k)
+                    .zipWithIndex.map { case (r, rank) =>
+                      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+                        r.getDouble(2), (rank + 1).toLong)
                     }
-                    j += 1
-                  }
-                  h.toArray.sorted(ord).iterator.zipWithIndex.map {
-                    case ((dist, nbr), rank) =>
-                      org.apache.spark.sql.Row(
-                        ids(i), nbr, dist.toDouble, (rank + 1).toLong)
-                  }
                 }
             }
           }
@@ -796,27 +786,34 @@ object Ann {
       .sortWithinPartitions(col("__cell"), col("__is_q"))
       .rdd.mapPartitions { rows =>
         val buf = rows.buffered
+        // task memory = ONE cell's home members. Queries are NOT
+        // buffered: on adversarial (unclustered) data — the operator's
+        // own target — many vectors probe the same few central cells,
+        // so the per-cell query count is unbounded by cell population;
+        // each query row streams off the sorted input, answers against
+        // the buffered candidates, and is dropped
         new Iterator[org.apache.spark.sql.Row] {
           private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+          private var curCell = Int.MinValue
+          private var ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          private var vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
           private def refill(): Unit = {
             while (!out.hasNext && buf.hasNext) {
-              val cell = buf.head.getInt(0)
-              val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-              val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-              while (buf.hasNext && buf.head.getInt(0) == cell &&
-                     !buf.head.getBoolean(3)) {
-                val r = buf.next()
-                ids += r.getLong(1)
-                vecs += r.getSeq[Float](2).toArray
+              if (buf.head.getInt(0) != curCell) {
+                curCell = buf.head.getInt(0)
+                ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+                vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+                while (buf.hasNext && buf.head.getInt(0) == curCell &&
+                       !buf.head.getBoolean(3)) {
+                  val r = buf.next()
+                  ids += r.getLong(1)
+                  vecs += r.getSeq[Float](2).toArray
+                }
               }
-              val qs = scala.collection.mutable.ArrayBuffer
-                .empty[(Long, Array[Float])]
-              while (buf.hasNext && buf.head.getInt(0) == cell) {
-                val r = buf.next()
-                qs += ((r.getLong(1), r.getSeq[Float](2).toArray))
-              }
-              out = qs.iterator.flatMap { case (qid, qv) =>
-                topKAgainst(qid, qv, ids, vecs, kk)
+              if (buf.hasNext && buf.head.getInt(0) == curCell) {
+                val r = buf.next() // exactly one query row per refill
+                out = topKAgainst(r.getLong(1), r.getSeq[Float](2).toArray,
+                  ids, vecs, kk)
               }
             }
           }
@@ -900,19 +897,24 @@ object Ann {
   }
 
   /** Fused dedup + per-src top-`kk` over an (src, nbr, dist) edge
-    * stream: ONE repartition-by-src exchange, then a lazy per-src
-    * heap (duplicate (src, nbr) rows carry identical deterministic
-    * dists — a seen-set drops them). Replaces the groupBy(src, nbr)
-    * agg + window rank pair, which paid two exchanges of the same
-    * candidate stream — at the 100× fixture the candidate stream is
-    * the round's dominant volume, so the saved exchange is the
-    * round's wall-clock lever. Per-src memory = the seen set
-    * (≤ candidates of one src, (2·workK)²-bounded). */
+    * stream: ONE repartition-by-src exchange sorted on (src, nbr), so
+    * duplicate (src, nbr) rows — which carry identical deterministic
+    * dists — arrive ADJACENT and dedup with a last-nbr cursor, no
+    * per-src set. Replaces the groupBy(src, nbr) agg + window rank
+    * pair, which paid two exchanges of the same candidate stream —
+    * at the 100× fixture the candidate stream is the round's dominant
+    * volume, so the saved exchange is the round's wall-clock lever.
+    * Per-src task memory = the kk-heap ALONE: a hub src whose
+    * reverse-kNN degree makes its candidate list O(n·workK) streams
+    * through the sort-merge without ever materializing (the
+    * seen-set form this replaced grew O(candidates) on exactly that
+    * src). */
   private def topKPerSrc(df: DataFrame, kk: Int): DataFrame = {
     val spark = df.sparkSession
     val ord: Ordering[(Double, Long)] =
       Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-    val rdd = df.repartition(col("src")).sortWithinPartitions(col("src"))
+    val rdd = df.repartition(col("src"))
+      .sortWithinPartitions(col("src"), col("nbr"))
       .rdd.mapPartitions { rows =>
         val buf = rows.buffered
         new Iterator[org.apache.spark.sql.Row] {
@@ -920,13 +922,15 @@ object Ann {
           private def refill(): Unit =
             while (!cur.hasNext && buf.hasNext) {
               val src = buf.head.getLong(0)
-              val seen = scala.collection.mutable.HashSet.empty[Long]
+              var lastNbr = Long.MinValue
+              var first = true
               val h = scala.collection.mutable.PriorityQueue
                 .empty[(Double, Long)](ord)
               while (buf.hasNext && buf.head.getLong(0) == src) {
                 val r = buf.next()
                 val nbr = r.getLong(1)
-                if (seen.add(nbr)) {
+                if (first || nbr != lastNbr) {
+                  first = false; lastNbr = nbr
                   val e = (r.getDouble(2), nbr)
                   if (h.size < kk) h.enqueue(e)
                   else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }

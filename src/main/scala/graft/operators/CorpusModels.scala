@@ -1038,22 +1038,6 @@ object CorpusModels {
 
   // ------------------------------------------------- versioned model publish
 
-  /** Versioned, reader-safe model publish — `save*Model`'s
-    * overwrite-in-place is racy against a RESIDENT scorer reading the
-    * same path mid-overwrite, so a production nightly retrain
-    * publishes each model as an immutable `v<N>` under `root` and
-    * atomically flips the `_current` pointer. Exactly
-    * [[Maintenance.compactParquetVersioned]]'s protocol (claim →
-    * write aside → rename → flip → vacuum), sharing its primitives so
-    * there is ONE pointer implementation in the repo. Readers resolve
-    * the pointer driver-side
-    * ([[graft.serving.Serving.currentModelDir]], no Spark session)
-    * and then read an IMMUTABLE dir — no torn reads, and a resolved
-    * version's freshness keys never change, so the serving cache
-    * stays warm per version. `save` writes any model layout into the
-    * dir it is given (e.g. `saveNbModel(model, prior, _)`). The
-    * `retainPrevious` most recent prior versions are kept for
-    * in-flight readers. Returns the published version name. */
   /** Thrown by [[publishModelVersion]] when `expectCurrent` no longer
     * matches the live `_current` pointer: another publisher flipped the
     * root between the caller's snapshot resolve and this publish, so a
@@ -1088,6 +1072,30 @@ object CorpusModels {
     lock.synchronized(body)
   }
 
+  /** Versioned, reader-safe model publish — `save*Model`'s
+    * overwrite-in-place is racy against a RESIDENT scorer reading the
+    * same path mid-overwrite, so a production nightly retrain
+    * publishes each model as an immutable `v<N>` under `root` and
+    * atomically flips the `_current` pointer. Exactly
+    * [[Maintenance.compactParquetVersioned]]'s protocol (claim →
+    * write aside → rename → flip → vacuum), sharing its primitives so
+    * there is ONE pointer implementation in the repo. Readers resolve
+    * the pointer driver-side
+    * ([[graft.serving.Serving.currentModelDir]], no Spark session)
+    * and then read an IMMUTABLE dir — no torn reads, and a resolved
+    * version's freshness keys never change, so the serving cache
+    * stays warm per version. `save` writes any model layout into the
+    * dir it is given (e.g. `saveNbModel(model, prior, _)`). The
+    * `retainPrevious` most recent prior versions are kept for
+    * in-flight readers. Returns the published version name.
+    *
+    * Runs under this JVM's per-root publish lock ([[withPublishLock]],
+    * reentrant for callers that already hold it). `expectCurrent`
+    * opts into optimistic concurrency: pass the `_current` dir the
+    * artifact was BUILT from, and the publish aborts with
+    * [[ConcurrentPublishException]] — before claiming anything — if
+    * another publisher flipped the pointer since (the
+    * lost-tombstone/lost-append guard for multi-stream roots). */
   def publishModelVersion(spark: org.apache.spark.sql.SparkSession, root: String,
                           retainPrevious: Int = 1,
                           expectCurrent: Option[String] = None)

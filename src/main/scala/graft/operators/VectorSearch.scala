@@ -57,7 +57,16 @@ object VectorSearch {
 
   /** A3+A4+A5: similarity = 1 - dist (`app.py:417-418`), threshold filter
     * (default 0.1, `config.py:49`), then sort by score desc. Applied
-    * POST top-k exactly as the reference does. */
+    * POST top-k exactly as the reference does.
+    *
+    * METRIC CONTRACT: 1 − dist is the reference's formula for its own
+    * space — Chroma `space=l2` returns SQUARED L2 — so this pairs with
+    * [[L2Sq]] `dist` columns ONLY. The oracle-gated queries use
+    * [[Euclidean]] (DuckDB `list_distance` bit-parity) and inline the
+    * numerically-equal `1 − dist·dist` instead (the
+    * a3_score_threshold / e2e_reference_pipeline recipe); feeding a
+    * Euclidean `dist` to THIS helper would score on a different
+    * scale. VectorKernelSpec pins the two forms equal. */
   def scoreAndThreshold(topk: DataFrame, threshold: Double = 0.1,
                         idCol: String = "vec_id"): DataFrame =
     topk

@@ -1225,9 +1225,10 @@ object AnnQueries {
          |)
          |SELECT q.query_id,
          |       CAST(coalesce(g.dcg_fp, 0) AS BIGINT) AS dcg_fp,
-         |       CAST(coalesce(g.dcg_fp, 0) AS DOUBLE) /
-         |         CAST(i.idcg_fp AS DOUBLE) AS ndcg_at_10
-         |FROM q LEFT JOIN dcg g USING (query_id) JOIN idcg i USING (query_id)
+         |       CASE WHEN i.idcg_fp IS NULL THEN 0.0
+         |            ELSE CAST(coalesce(g.dcg_fp, 0) AS DOUBLE) /
+         |                 CAST(i.idcg_fp AS DOUBLE) END AS ndcg_at_10
+         |FROM q LEFT JOIN dcg g USING (query_id) LEFT JOIN idcg i USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
     "ann_ivfpq" ->
       s"""WITH h AS (SELECT * FROM ${rp(PqCandHandoff)})

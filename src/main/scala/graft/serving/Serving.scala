@@ -392,18 +392,7 @@ object Serving {
       (n0, a0)
     }
 
-    // zone-map prune: a range overlaps if any term falls in [min, max]
-    val manifest = cache.getOrLoad(s"$base/manifest") {
-      val b0 = mutable.ArrayBuffer.empty[(Int, String, String)]
-      foreachGroup(conf, s"$base/manifest") { g =>
-        b0 += ((g.getInteger("range_id", 0), g.getString("min_key", 0),
-          g.getString("max_key", 0)))
-      }
-      b0.toSeq
-    }
-    val ranges = manifest.collect {
-      case (rid, lo, hi) if terms.exists(t => t >= lo && t <= hi) => rid
-    }
+    val ranges = prunedRangeIds(base, terms, conf, cache)
 
     // postings scan of the pruned dirs only: (id, term, dl, tf); the
     // cache holds the dir's FULL posting list (the per-query term
@@ -447,6 +436,30 @@ object Serving {
 
   final case class ProximityHit(id: Long, nPairs: Long, minDist: Long)
 
+  /** Manifest zone-map prune shared by every range-sharded probe
+    * (BM25, positional — the [[graft.operators.Sharding.exportSorted]]
+    * layout): cached manifest read + the overlapping-interval rule,
+    * mirroring `Bm25.overlappingRangeIds` including its null-key
+    * guard (an EMPTY range's manifest row carries null min/max and
+    * can never hold a term). ONE owner: a prune-rule fix applies to
+    * every probe at once. */
+  private def prunedRangeIds(base: String, terms: Set[String],
+                             conf: Configuration,
+                             cache: IndexCache): Seq[Int] = {
+    val manifest = cache.getOrLoad(s"$base/manifest") {
+      val b0 = mutable.ArrayBuffer.empty[(Int, String, String)]
+      foreachGroup(conf, s"$base/manifest") { g =>
+        if (g.getFieldRepetitionCount("min_key") > 0)
+          b0 += ((g.getInteger("range_id", 0), g.getString("min_key", 0),
+            g.getString("max_key", 0)))
+      }
+      b0.toSeq
+    }
+    manifest.collect {
+      case (rid, lo, hi) if terms.exists(t => t >= lo && t <= hi) => rid
+    }
+  }
+
   /** Positional postings of `terms` from a
     * [[graft.operators.Positional.buildPersistedIndex]] layout, no
     * Spark: manifest zone-map prune, then the overlapping
@@ -456,17 +469,7 @@ object Serving {
                              conf: Configuration, cache: IndexCache)
       : Seq[(Long, String, Long)] = {
     val base = indexDir.stripSuffix("/")
-    val manifest = cache.getOrLoad(s"$base/manifest") {
-      val b0 = mutable.ArrayBuffer.empty[(Int, String, String)]
-      foreachGroup(conf, s"$base/manifest") { g =>
-        b0 += ((g.getInteger("range_id", 0), g.getString("min_key", 0),
-          g.getString("max_key", 0)))
-      }
-      b0.toSeq
-    }
-    val ranges = manifest.collect {
-      case (rid, lo, hi) if terms.exists(t => t >= lo && t <= hi) => rid
-    }
+    val ranges = prunedRangeIds(base, terms, conf, cache)
     val out = mutable.ArrayBuffer.empty[(Long, String, Long)]
     ranges.sorted.foreach { rid =>
       val dir = s"$base/postings/range_id=$rid"

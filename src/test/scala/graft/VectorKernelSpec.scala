@@ -102,4 +102,25 @@ class VectorKernelSpec extends SparkSpec {
     val scores = scored.map(_.getDouble(1))
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
+
+  test("scoreAndThreshold over L2Sq == the inline 1 - dist^2 Euclidean form (metric-contract bridge)") {
+    import graft.operators.VectorSearch
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val viaHelper = VectorSearch.scoreAndThreshold(
+        VectorSearch.topKWithScore(e, q, 10, VectorSearch.L2Sq), threshold = 0.1)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    val viaEuclid = VectorSearch.topKWithScore(e, q, 10, VectorSearch.Euclidean)
+      .withColumn("score", lit(1.0) - col("dist") * col("dist"))
+      .filter(col("score") >= 0.1)
+      .orderBy(col("score").desc, col("vec_id"))
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(viaHelper.map(_._1) === viaEuclid.map(_._1))
+    // scores agree to f64 rounding of sqrt-then-square vs direct sum
+    viaHelper.zip(viaEuclid).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-6, s"$a vs $b")
+    }
+    assert(viaHelper.nonEmpty)
+  }
 }
