@@ -179,6 +179,17 @@ object HybridQueries {
       graft.operators.Fuzzy.termSearch(Tables.documents(s, dir),
           "doc_id", "text", Seq("vecto", "hash"), k = 15)
         .withColumnRenamed("id", "doc_id")
+    },
+    // the SAME semantics through the q-gram-indexed expansion plan —
+    // the 100 TB path where the full-vocab levenshtein scan never
+    // runs. Identical oracle by construction (plans differ, answers
+    // must not): a hash match certifies the count-filter chain lost
+    // no expansion.
+    "fuzzy_term_search_indexed" -> { (s, dir) =>
+      graft.operators.Fuzzy.termSearch(Tables.documents(s, dir),
+          "doc_id", "text", Seq("vecto", "hash"), k = 15,
+          qgramIndex = true)
+        .withColumnRenamed("id", "doc_id")
     }
   )
 
@@ -474,26 +485,35 @@ object HybridQueries {
         |FROM best b JOIN t USING (doc_id)
         |WHERE b.rn = 1
         |ORDER BY b.n_hits DESC, b.doc_id LIMIT 10""".stripMargin,
-    "fuzzy_term_search" ->
-      """WITH tok2 AS (
-        |  SELECT doc_id, t AS term FROM (
-        |    SELECT doc_id,
-        |           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
-        |    FROM documents) WHERE t <> ''
-        |), tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM tok2 GROUP BY 1, 2
-        |), vocab AS (SELECT DISTINCT term FROM tok2),
-        |q(qterm) AS (VALUES ('vecto'), ('hash')),
-        |exp AS (
-        |  SELECT v.term, q.qterm FROM vocab v CROSS JOIN q
-        |  WHERE levenshtein(v.term, q.qterm) <= 1
-        |), sc AS (
-        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS score,
-        |         CAST(count(DISTINCT e.qterm) AS BIGINT) AS n_terms
-        |  FROM tf JOIN exp e USING (term) GROUP BY 1
-        |)
-        |SELECT doc_id, score, n_terms FROM sc
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    "fuzzy_term_search" -> FuzzyScanOracle,
+    // indexed plan, identical answer: literally the same oracle
+    // (shared reference - the batch_topk_partitioned aliasing rule)
+    "fuzzy_term_search_indexed" -> FuzzyScanOracle
   )
+
+  /** The one fuzzy oracle BOTH plan variants gate against (plans
+    * differ, answers must not). Lazy: referenced by the `oracle` val
+    * declared above it — a strict val here would still be null when
+    * the map initializes. */
+  private lazy val FuzzyScanOracle: String =
+    """WITH tok2 AS (
+      |  SELECT doc_id, t AS term FROM (
+      |    SELECT doc_id,
+      |           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+      |    FROM documents) WHERE t <> ''
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok2 GROUP BY 1, 2
+      |), vocab AS (SELECT DISTINCT term FROM tok2),
+      |q(qterm) AS (VALUES ('vecto'), ('hash')),
+      |exp AS (
+      |  SELECT v.term, q.qterm FROM vocab v CROSS JOIN q
+      |  WHERE levenshtein(v.term, q.qterm) <= 1
+      |), sc AS (
+      |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS score,
+      |         CAST(count(DISTINCT e.qterm) AS BIGINT) AS n_terms
+      |  FROM tf JOIN exp e USING (term) GROUP BY 1
+      |)
+      |SELECT doc_id, score, n_terms FROM sc
+      |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 }

@@ -394,24 +394,9 @@ object Serving {
 
     val ranges = prunedRangeIds(base, terms, conf, cache)
 
-    // postings scan of the pruned dirs only: (id, term, dl, tf); the
-    // cache holds the dir's FULL posting list (the per-query term
-    // filter stays outside it, so any query reuses the entry)
-    val postings = mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
-    ranges.sorted.foreach { rid =>
-      val dir = s"$base/postings/range_id=$rid"
-      val rows = cache.getOrLoad(dir) {
-        val b0 = mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
-        foreachGroup(conf, dir) { g =>
-          b0 += ((g.getLong("id", 0), g.getString("term", 0),
-            g.getLong("dl", 0), g.getLong("tf", 0)))
-        }
-        b0.toSeq
-      }
-      rows.foreach { case row @ (_, t, _, _) =>
-        if (terms.contains(t)) postings += row
-      }
-    }
+    // postings scan of the pruned dirs only: (id, term, dl, tf)
+    val postings = bm25PostingRows(base, ranges, conf, cache)
+      .filter { case (_, t, _, _) => terms.contains(t) }.toSeq
     // df per term = full posting count (each term lives in ONE range)
     val df = postings.groupBy(_._2).map { case (t, ps) => t -> ps.size.toLong }
     val byDoc = mutable.LinkedHashMap.empty[Long, (Long, Long)]
@@ -430,23 +415,109 @@ object Serving {
       .sortBy(h => (-h.bm25Fp, h.id)).take(k)
   }
 
+  /** Full posting rows (id, term, dl, tf) of the given range dirs from
+    * a [[graft.operators.Bm25.buildPersistedIndex]] layout — each dir
+    * cached WHOLE (per-query term filters stay outside the entry, so
+    * any query over the layout reuses it; [[searchBm25]] and
+    * [[searchFuzzy]] share these entries). */
+  private def bm25PostingRows(base: String, rids: Seq[Int],
+                              conf: Configuration, cache: IndexCache)
+      : Iterator[(Long, String, Long, Long)] =
+    rids.sorted.iterator.flatMap { rid =>
+      val dir = s"$base/postings/range_id=$rid"
+      cache.getOrLoad(dir) {
+        val b0 = mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+        foreachGroup(conf, dir) { g =>
+          b0 += ((g.getLong("id", 0), g.getString("term", 0),
+            g.getLong("dl", 0), g.getLong("tf", 0)))
+        }
+        b0.toSeq
+      }.iterator
+    }
+
+  // --------------------------------------------------- fuzzy search probe
+
+  final case class FuzzyHit(id: Long, score: Long, nTerms: Long)
+
+  /** Single-query FUZZY term search from the persisted BM25 layout, no
+    * Spark — the serving twin of [[graft.operators.Fuzzy.termSearch]]:
+    * each query term expands to every vocabulary term within `maxDist`
+    * levenshtein edits, documents score Σ tf over the expanded set (a
+    * term reachable from two query terms counts once per query term),
+    * (score desc, id) order, top-`k`. The index's (id, term, tf) rows
+    * ARE the operator's tf aggregation (same [[graft.operators.Bm25]]
+    * tokenizer), so parity is hit-for-hit (FuzzySpec pin).
+    *
+    * No zone-map prune: ANY vocabulary term can sit within `maxDist`
+    * of a query term, so the probe reads every non-empty range — the
+    * full-vocab residency a resident fuzzy endpoint needs anyway, paid
+    * once per cache lifetime, not per query. */
+  def searchFuzzy(indexDir: String, queryTerms: Seq[String], k: Int,
+                  maxDist: Int = 1,
+                  conf: Configuration = defaultConf,
+                  cache: IndexCache = noCache): Seq[FuzzyHit] = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(_.matches("[a-z0-9]+")),
+      s"queryTerms must be lowercase [a-z0-9]+ (the tokenizer alphabet), " +
+        s"got ${queryTerms.filterNot(_.matches("[a-z0-9]+")).mkString(", ")}")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val base = indexDir.stripSuffix("/")
+    val qts = queryTerms.distinct
+    val rids = manifestRows(base, conf, cache).map(_._1)
+    val rows = bm25PostingRows(base, rids, conf, cache).toSeq
+    // vocabulary expansion: qterms within maxDist of each distinct term
+    val expansion: Map[String, Seq[String]] = rows.iterator.map(_._2)
+      .toSet.iterator
+      .map((t: String) => t -> qts.filter(q => levenshtein(t, q) <= maxDist))
+      .filter(_._2.nonEmpty).toMap
+    val byDoc = mutable.LinkedHashMap.empty[Long, (Long, mutable.Set[String])]
+    rows.foreach { case (id, t, _, tf) =>
+      expansion.get(t).foreach { qs =>
+        val (s0, seen) = byDoc.getOrElseUpdate(id,
+          (0L, mutable.Set.empty[String]))
+        // once per (posting, reachable query term) — the multi-set OR
+        byDoc(id) = (s0 + tf * qs.length, seen ++= qs)
+      }
+    }
+    byDoc.toSeq.map { case (id, (s, qs)) => FuzzyHit(id, s, qs.size.toLong) }
+      .sortBy(h => (-h.score, h.id)).take(k)
+  }
+
+  /** Classic unweighted Wagner–Fischer — the same metric as Spark's
+    * `levenshtein` function, which the batch operator and the oracle
+    * both ship. */
+  private def levenshtein(a: String, b: String): Int = {
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
   // ------------------------------------------------ positional index probes
 
   final case class PhraseHit(id: Long, nOccurrences: Long)
 
   final case class ProximityHit(id: Long, nPairs: Long, minDist: Long)
 
-  /** Manifest zone-map prune shared by every range-sharded probe
-    * (BM25, positional — the [[graft.operators.Sharding.exportSorted]]
-    * layout): cached manifest read + the overlapping-interval rule,
-    * mirroring `Bm25.overlappingRangeIds` including its null-key
-    * guard (an EMPTY range's manifest row carries null min/max and
-    * can never hold a term). ONE owner: a prune-rule fix applies to
-    * every probe at once. */
-  private def prunedRangeIds(base: String, terms: Set[String],
-                             conf: Configuration,
-                             cache: IndexCache): Seq[Int] = {
-    val manifest = cache.getOrLoad(s"$base/manifest") {
+  /** Cached manifest of a range-sharded layout's NON-EMPTY ranges
+    * (the [[graft.operators.Sharding.exportSorted]] layout; a row
+    * with null min/max keys marks an empty range — no postings, never
+    * read, the `Bm25.overlappingRangeIds` guard). */
+  private def manifestRows(base: String, conf: Configuration,
+                           cache: IndexCache): Seq[(Int, String, String)] =
+    cache.getOrLoad(s"$base/manifest") {
       val b0 = mutable.ArrayBuffer.empty[(Int, String, String)]
       foreachGroup(conf, s"$base/manifest") { g =>
         if (g.getFieldRepetitionCount("min_key") > 0)
@@ -455,10 +526,17 @@ object Serving {
       }
       b0.toSeq
     }
-    manifest.collect {
+
+  /** Manifest zone-map prune shared by every range-sharded probe
+    * (BM25, positional): the overlapping-interval rule over
+    * [[manifestRows]]. ONE owner: a prune-rule fix applies to every
+    * probe at once. */
+  private def prunedRangeIds(base: String, terms: Set[String],
+                             conf: Configuration,
+                             cache: IndexCache): Seq[Int] =
+    manifestRows(base, conf, cache).collect {
       case (rid, lo, hi) if terms.exists(t => t >= lo && t <= hi) => rid
     }
-  }
 
   /** Positional postings of `terms` from a
     * [[graft.operators.Positional.buildPersistedIndex]] layout, no

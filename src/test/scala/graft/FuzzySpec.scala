@@ -54,6 +54,30 @@ class FuzzySpec extends SparkSpec {
     assert(idx0 === scan0)
   }
 
+  test("Serving.searchFuzzy probe == batch termSearch from the persisted BM25 layout, zero Spark jobs") {
+    import graft.serving.Serving
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy-probe").toString
+    graft.operators.Bm25.buildPersistedIndex(docs, "doc_id", "text",
+      nRanges = 8, dir)
+    val batch = Fuzzy.termSearch(docs, "doc_id", "text",
+        Seq("vecto", "hash"), k = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val probe = Serving.searchFuzzy(dir, Seq("vecto", "hash"), k = 20)
+      .map(h => (h.id, h.score, h.nTerms))
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      === jobsBefore, "fuzzy probe must launch no Spark jobs")
+    assert(probe === batch)
+    assert(batch.nonEmpty)
+    // maxDist=0 degeneracy holds through the probe too
+    val b0 = Fuzzy.termSearch(docs, "doc_id", "text", Seq("hash"), k = 10,
+      maxDist = 0).as[(Long, Long, Long)].collect().toSeq
+    val p0 = Serving.searchFuzzy(dir, Seq("hash"), k = 10, maxDist = 0)
+      .map(h => (h.id, h.score, h.nTerms))
+    assert(p0 === b0)
+  }
+
   test("maxDist=0 degenerates to exact term counting") {
     val docs = Seq((1L, "hash table hash"), (2L, "hashx")).toDF("doc_id", "text")
     val got = Fuzzy.termSearch(docs, "doc_id", "text", Seq("hash"), k = 5,
