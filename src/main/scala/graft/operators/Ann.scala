@@ -648,9 +648,9 @@ object Ann {
                   // (topKAgainst) — tie-break or kernel changes cannot
                   // fork the two graph operators
                   topKAgainst(ids(i), vecs(i), ids, vecs, k)
-                    .zipWithIndex.map { case (r, rank) =>
-                      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
-                        r.getDouble(2), (rank + 1).toLong)
+                    .iterator.zipWithIndex.map { case ((dist, nbr), rank) =>
+                      org.apache.spark.sql.Row(ids(i), nbr, dist.toDouble,
+                        (rank + 1).toLong)
                     }
                 }
             }
@@ -812,8 +812,12 @@ object Ann {
               }
               if (buf.hasNext && buf.head.getInt(0) == curCell) {
                 val r = buf.next() // exactly one query row per refill
-                out = topKAgainst(r.getLong(1), r.getSeq[Float](2).toArray,
-                  ids, vecs, kk)
+                val qid = r.getLong(1)
+                out = topKAgainst(qid, r.getSeq[Float](2).toArray,
+                    ids, vecs, kk)
+                  .iterator.map { case (dist, nbr) =>
+                    org.apache.spark.sql.Row(qid, nbr, dist.toDouble)
+                  }
               }
             }
           }
@@ -955,13 +959,16 @@ object Ann {
     org.apache.spark.sql.types.StructField("dist",
       org.apache.spark.sql.types.DoubleType, nullable = false)))
 
-  /** Heap top-`kk` of one query against a buffered candidate list,
-    * (f32 dist, id)-ordered, self-excluded — the [[knnGraph]] inner
-    * loop shared by the seed stage. */
+  /** Heap top-`kk` of one query against a buffered candidate list —
+    * sorted (f32 dist, id) pairs, self-excluded by id. The ONE inner
+    * kernel shared by [[knnGraph]] and [[knnGraphRefined]]'s seed
+    * (returns raw pairs so each call site builds its output Row
+    * exactly once — this loop is the graph family's measured hot
+    * path). */
   private def topKAgainst(qid: Long, qv: Array[Float],
                           ids: scala.collection.mutable.ArrayBuffer[Long],
                           vecs: scala.collection.mutable.ArrayBuffer[Array[Float]],
-                          kk: Int): Iterator[org.apache.spark.sql.Row] = {
+                          kk: Int): Array[(Float, Long)] = {
     val ord: Ordering[(Float, Long)] =
       Ordering.Tuple2(Ordering.Float.TotalOrdering, Ordering.Long)
     val h = scala.collection.mutable.PriorityQueue.empty[(Float, Long)](ord)
@@ -974,8 +981,6 @@ object Ann {
       }
       j += 1
     }
-    h.toArray.sorted(ord).iterator.map { case (dist, nbr) =>
-      org.apache.spark.sql.Row(qid, nbr, dist.toDouble)
-    }
+    h.toArray.sorted(ord)
   }
 }

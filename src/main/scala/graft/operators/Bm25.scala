@@ -203,9 +203,13 @@ object Bm25 {
     * and makes partial rebuilds compose. */
   /** (id, dl, term, tf) postings of a doc set — shared by the full
     * build and the incremental append so the two can never tokenize
-    * differently. */
+    * differently. Null-id docs are EXCLUDED from the index (they
+    * cannot be addressed by id, every query operator's null-hygiene
+    * rule drops them anyway, and a null id in the layout would crash
+    * the driver probes' required-field parquet reads). */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
+      .where(col(idCol).isNotNull)
       .select(col(idCol).as("id"), terms(col(textCol)).as("__terms"))
       .select(col("id"), size(col("__terms")).cast("long").as("dl"),
         explode(col("__terms")).as("term"))

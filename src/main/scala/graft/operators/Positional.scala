@@ -54,10 +54,14 @@ object Positional {
   }
 
   /** ALL positional postings — the index build's input (row per token;
-    * only the build pays this, queries read pruned ranges). */
+    * only the build pays this, queries read pruned ranges). Null-id
+    * docs are excluded: they cannot be addressed by id, and a null id
+    * in the persisted layout would crash the driver probes'
+    * required-field parquet reads (the Bm25.postingsOf rule). */
   private def allPostings(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame =
     docs
+      .where(col(idCol).isNotNull)
       .select(col(idCol).as("id"), Bm25.terms(col(textCol)).as("__terms"))
       .select(col("id"), posexplode(col("__terms")).as(Seq("pos", "term")))
       .select(col("id"), col("term"), col("pos").cast("long").as("pos"))

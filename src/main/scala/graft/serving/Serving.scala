@@ -465,14 +465,22 @@ object Serving {
     val base = indexDir.stripSuffix("/")
     val qts = queryTerms.distinct
     val rids = manifestRows(base, conf, cache).map(_._1)
-    val rows = bm25PostingRows(base, rids, conf, cache).toSeq
-    // vocabulary expansion: qterms within maxDist of each distinct term
-    val expansion: Map[String, Seq[String]] = rows.iterator.map(_._2)
-      .toSet.iterator
-      .map((t: String) => t -> qts.filter(q => levenshtein(t, q) <= maxDist))
+    // vocabulary expansion: qterms within maxDist of each distinct
+    // term. The per-dir distinct-term sets cache ALONGSIDE the posting
+    // rows (suffixed key), so a resident endpoint pays the vocab
+    // derivation once per cache lifetime; the scoring pass streams the
+    // cached per-dir Seqs without re-materializing the corpus posting
+    // list per query.
+    val expansion: Map[String, Seq[String]] = rids.sorted.iterator
+      .flatMap { rid =>
+        cache.getOrLoad(s"$base/postings/range_id=$rid#terms") {
+          bm25PostingRows(base, Seq(rid), conf, cache).map(_._2).toSet
+        }.iterator
+      }
+      .map(t => t -> qts.filter(q => levenshtein(t, q) <= maxDist))
       .filter(_._2.nonEmpty).toMap
     val byDoc = mutable.LinkedHashMap.empty[Long, (Long, mutable.Set[String])]
-    rows.foreach { case (id, t, _, tf) =>
+    bm25PostingRows(base, rids, conf, cache).foreach { case (id, t, _, tf) =>
       expansion.get(t).foreach { qs =>
         val (s0, seen) = byDoc.getOrElseUpdate(id,
           (0L, mutable.Set.empty[String]))
