@@ -607,6 +607,54 @@ object Dedup {
     cross.unionByName(same)
   }
 
+  /** [[jaccardClassPairCounts]] restricted to pairs touching an
+    * increment — the digest twin of [[jaccardPairsPrefixIncremental]],
+    * whose id-level output is quadratic under exact-twin replication
+    * (every new twin pairs with every standing twin of its class).
+    * `n_pairs` counts, per qualifying class pair and per shared block,
+    * only the id pairs with at least one NEW endpoint:
+    * `na·nb − naOld·nbOld` cross-class and `C(k,2) − C(kOld,2)`
+    * same-class — so the digest exactly determines the incremental
+    * id-level multiset given class membership while staying class-pair-
+    * sized. Candidate generation is unchanged from the incremental
+    * operator (new units probe the corpus prefix index), so corpus ×
+    * corpus work still never happens. */
+  def jaccardClassPairCountsIncremental(newDocs: DataFrame, corpus: DataFrame,
+                                        idCol: String, textCol: String,
+                                        blockCol: String,
+                                        threshold: Double): DataFrame = {
+    val all = newDocs.select(col(idCol), col(blockCol), col(textCol))
+      .withColumn("is_new", lit(true))
+      .unionByName(corpus.select(col(idCol), col(blockCol), col(textCol))
+        .withColumn("is_new", lit(false)))
+    val (repJac, m) = classPairCore(all, idCol, textCol, blockCol,
+      threshold, saltBuckets = 1)
+    val cnt = m.groupBy(col("__rep"), col("blk"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("nnew"),
+        max(col("sz")).as("__sz"))
+    val ca = cnt.select(col("__rep").as("__ra"), col("blk"),
+      col("n").as("na"), col("nnew").as("nna"))
+    val cb = cnt.select(col("__rep").as("__rb"), col("blk"),
+      col("n").as("nb"), col("nnew").as("nnb"))
+    val cross = repJac.join(ca, Seq("__ra")).join(cb, Seq("__rb", "blk"))
+      .groupBy(col("__ra"), col("__rb"), col("jaccard"))
+      .agg(sum(col("na") * col("nb") -
+        (col("na") - col("nna")) * (col("nb") - col("nnb"))).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .select(col("__ra").as("id_a"), col("__rb").as("id_b"),
+        col("jaccard"), col("n_pairs"))
+    val same = cnt.filter(col("__sz") >= 1 && lit(1.0) >= threshold)
+      .groupBy(col("__rep"))
+      .agg(sum(expr(
+        "n * (n - 1) div 2 - (n - nnew) * (n - nnew - 1) div 2"))
+        .as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .select(col("__rep").as("id_a"), col("__rep").as("id_b"),
+        lit(1.0).as("jaccard"), col("n_pairs"))
+    cross.unionByName(same)
+  }
+
   /** Incremental exact Jaccard near-dup check — the nightly-ingest
     * shape: a new batch arrives and must be checked against the
     * existing corpus (and against itself), but corpus×corpus pairs were
@@ -781,8 +829,18 @@ object Dedup {
     * appear in no pair survive untouched — the anti-join removes exactly
     * the non-canonical component members. */
   def keepCanonical(docs: DataFrame, pairs: DataFrame, idCol: String,
-                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val victims = connectedComponents(pairs, aCol, bCol)
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    keepCanonicalFromComponents(docs, connectedComponents(pairs, aCol, bCol),
+      idCol)
+
+  /** [[keepCanonical]] over an ALREADY-COMPUTED component labeling
+    * (`node_id`, `component` = min member id) — the form the
+    * class-collapsed emitters produce directly, where re-deriving the
+    * labeling from an id-level pair set would materialize the
+    * quadratic pair expansion just to collapse it again. */
+  def keepCanonicalFromComponents(docs: DataFrame, components: DataFrame,
+                                  idCol: String): DataFrame = {
+    val victims = components
       .filter(col("node_id") =!= col("component"))
       .select(col("node_id").as(idCol))
     docs.join(victims, Seq(idCol), "left_anti")
@@ -799,8 +857,17 @@ object Dedup {
     * Docs in no pair survive untouched, as in [[keepCanonical]]. */
   def keepCanonicalBy(docs: DataFrame, pairs: DataFrame, idCol: String,
                       scoreCol: String, aCol: String = "id_a",
-                      bCol: String = "id_b"): DataFrame = {
-    val members = connectedComponents(pairs, aCol, bCol)
+                      bCol: String = "id_b"): DataFrame =
+    keepCanonicalByFromComponents(docs,
+      connectedComponents(pairs, aCol, bCol), idCol, scoreCol)
+
+  /** [[keepCanonicalBy]] over an ALREADY-COMPUTED component labeling —
+    * see [[keepCanonicalFromComponents]] for why the class-collapsed
+    * emitters hand the labeling over directly. */
+  def keepCanonicalByFromComponents(docs: DataFrame, components: DataFrame,
+                                    idCol: String,
+                                    scoreCol: String): DataFrame = {
+    val members = components
       .select(col("node_id").as(idCol), col("component"))
       .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
     // (score desc, id asc) in two map-side-combinable aggs: best score
@@ -1114,5 +1181,139 @@ object Dedup {
       .withColumn("cos_sim", cosSimF32(col("ea"), col("eb")).cast("double"))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  // --------------------------- class-collapsed cosine near-dup family
+  //
+  // Exact-twin replication (boilerplate corpora, scaled fixtures) makes
+  // the id-level cosine pair set quadratic in the twin factor: k copies
+  // of one embedding contribute C(k, 2) same-class pairs plus k·k'
+  // pairs against every near-neighbor class. The [[classPairJaccard]]
+  // recipe applies wholesale — identical embeddings form classes, every
+  // pair stage runs once per CLASS pair, and the id grain is either a
+  // multiplicity count (gates) or a linear per-node expansion
+  // (components/apply). Same-class semantics: members hold the SAME
+  // bits, so their similarity is 1.0 BY DEFINITION; the engine reports
+  // lit(1.0) rather than the f32 kernel's self round-trip
+  // (cosSimF32(v, v) lands on 1.0000001192 for ~half the fixture — a
+  // sqrt(na)·sqrt(nb) rounding artifact, not a semantic). All-zero
+  // classes never qualify (matching the kernel's zero-norm guard; the
+  // test is exact element-wise ≠ 0, so a subnormal-only vector whose
+  // squared norm underflows f32 counts as non-zero here — divergence
+  // only on that pathology).
+
+  /** Classes of IDENTICAL embeddings. Returns `(classes, members)`:
+    * `classes` — one row per distinct embedding, `(__rep` = min member
+    * id, `__k` = member count, `__emb`, `__nz` = any element ≠ 0`)`,
+    * persisted (register [[releaseAfterUse]] or unpersist at the call
+    * site); `members` — `(__mid, __rep)`, lazy and unpersisted. One
+    * shuffle total: a window over the embedding key labels members and
+    * classes in the same pass. */
+  def cosineClasses(emb: DataFrame, idCol: String,
+                    embCol: String): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(embCol))
+    val m0 = emb.select(col(idCol), col(embCol))
+      .withColumn("__rep", min(col(idCol)).over(w))
+      .withColumn("__k", count(lit(1)).over(w))
+    val classes = m0.filter(col(idCol) === col("__rep"))
+      .select(col("__rep"), col("__k"), col(embCol).as("__emb"),
+        exists(col(embCol), x => x =!= lit(0.0f)).as("__nz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = m0.select(col(idCol).as("__mid"), col("__rep"))
+    (classes, members)
+  }
+
+  /** Verified cross-class cosine pairs over the class reps —
+    * [[cosineNearDup]]'s exact emitter run once per distinct-embedding
+    * pair instead of once per id pair. Output: `(__ra, __rb, cos_sim)`
+    * with `__ra < __rb`. Still the declared correctness oracle (O(c²)
+    * over DISTINCT embeddings); the scale path routes class reps
+    * through [[signLshBandBuckets]] instead. */
+  def cosineClassPairs(classes: DataFrame, threshold: Double): DataFrame = {
+    val a = classes
+      .repartition(classes.sparkSession.sparkContext.defaultParallelism)
+      .select(col("__rep").as("__ra"), col("__emb").as("__ea"))
+    val b = classes.select(col("__rep").as("__rb"), col("__emb").as("__eb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("__ra") < col("__rb"))
+      .withColumn("cos_sim", cosSimF32(col("__ea"), col("__eb")).cast("double"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("__ra"), col("__rb"), col("cos_sim"))
+  }
+
+  /** Class-pair MULTIPLICITY rows for the exact cosine near-dup set —
+    * the 100 TB gate/digest shape ([[jaccardClassPairCounts]]'s
+    * contract applied to embeddings). Output: one row per qualifying
+    * class pair, `(id_a, id_b, cos_sim, n_pairs)`: cross rows carry the
+    * kernel cosine of the two class embeddings — bit-identical to every
+    * member pair's — and `n_pairs = ka·kb`; `id_a == id_b` marks
+    * same-class groups (identical non-zero embeddings, `cos_sim = 1.0`
+    * by definition, `n_pairs = C(k, 2)`, qualifying at any threshold
+    * ≤ 1). Together with class membership — which an independent oracle
+    * re-derives from the raw embeddings — these rows exactly determine
+    * [[cosineNearDup]]'s id-level pair multiset (same-class pairs
+    * reported at the DEFINED 1.0 rather than the kernel round-trip), so
+    * digesting them verifies the full pair set while the
+    * output-quadratic id expansion never materializes. */
+  def cosineClassPairCounts(emb: DataFrame, idCol: String, embCol: String,
+                            threshold: Double): DataFrame = {
+    val (classes, _) = cosineClasses(emb, idCol, embCol)
+    releaseAfterUse(classes)
+    val cross = cosineClassPairs(classes, threshold)
+      .join(classes.select(col("__rep").as("__ra"), col("__k").as("__ka")),
+        Seq("__ra"))
+      .join(classes.select(col("__rep").as("__rb"), col("__k").as("__kb")),
+        Seq("__rb"))
+      .select(col("__ra").as("id_a"), col("__rb").as("id_b"), col("cos_sim"),
+        (col("__ka") * col("__kb")).as("n_pairs"))
+    val same = classes
+      .filter(col("__nz") && col("__k") >= 2 && lit(1.0) >= threshold)
+      .select(col("__rep").as("id_a"), col("__rep").as("id_b"),
+        lit(1.0).as("cos_sim"), expr("__k * (__k - 1) div 2").as("n_pairs"))
+    cross.unionByName(same)
+  }
+
+  /** Expand a verified CLASS-pair edge set to the id-level component
+    * labeling — `(node_id, component)` with component = min member id,
+    * exactly [[connectedComponents]] over the (never materialized)
+    * id-level pair expansion. Nodes appear iff they would appear in an
+    * id-level pair: members of classes on a cross edge, and members of
+    * multi-member qualifying classes (identical non-zero embeddings are
+    * pairs at any threshold ≤ 1). Cross-edge members need no explicit
+    * same-class edge: each connects to the SAME opposite-class members,
+    * so the closure already merges them, and the rep-level labels are
+    * the true id-level minima (every member ≥ its class rep). */
+  def cosineExpandComponents(classes: DataFrame, members: DataFrame,
+                             repPairs: DataFrame,
+                             threshold: Double): DataFrame = {
+    val repComp = connectedComponents(
+      repPairs.select(col("__ra").as("id_a"), col("__rb").as("id_b")))
+    members
+      .join(classes.select(col("__rep"), col("__k"), col("__nz")), Seq("__rep"))
+      .join(repComp.select(col("node_id").as("__rep"), col("component")),
+        Seq("__rep"), "left_outer")
+      .filter(col("component").isNotNull ||
+        (col("__nz") && col("__k") >= 2 && lit(1.0) >= threshold))
+      .select(col("__mid").as("node_id"),
+        coalesce(col("component"), col("__rep")).as("component"))
+  }
+
+  /** Connected components over the exact cosine near-dup graph, class-
+    * collapsed end to end: the CC rounds run over CLASS reps (edge set
+    * is class-pair-sized) and the only id-grain stage is the final
+    * linear per-node label expansion. Equals
+    * `connectedComponents(cosineNearDup(...))` with same-class pairs
+    * qualified at the defined 1.0 (see [[cosineClassPairCounts]]). */
+  def cosineComponents(emb: DataFrame, idCol: String, embCol: String,
+                       threshold: Double): DataFrame = {
+    val (classes, members) = cosineClasses(emb, idCol, embCol)
+    val repPairs = cosineClassPairs(classes, threshold)
+    val out = cosineExpandComponents(classes, members, repPairs, threshold)
+    // register AFTER cosineExpandComponents: its connectedComponents
+    // call eagerly checkpoints the rep edge set (referencing classes),
+    // so the next cache-reading action is the caller's — which also
+    // reads classes through the expansion joins
+    releaseAfterUse(classes)
+    out
   }
 }

@@ -52,16 +52,10 @@ object DedupQueries {
     // membership × class pairs × multiplicities determine it — while
     // the gate's cost is class-pair-sized at every scale.
     "dedup_jaccard" -> { (s, dir) =>
-      Dedup.jaccardClassPairCounts(Tables.documents(s, dir), "doc_id", "text", "lang", 0.8)
-        .select(col("n_pairs"), conv(substring(md5(concat(
-            col("id_a").cast("string"), lit(":"),
-            col("id_b").cast("string"), lit(":"),
-            floor(col("jaccard") * lit(1e9)).cast("long").cast("string"), lit(":"),
-            col("n_pairs").cast("string"))
-            .cast("binary")), 1, 15), 16, 10).cast("long").as("__sig"))
-        .agg(count(lit(1)).as("n_class_pairs"),
-          coalesce(sum(col("n_pairs")), lit(0L)).as("n_id_pairs"),
-          coalesce(expr("bit_xor(__sig)"), lit(0L)).as("pairs_sig"))
+      classPairDigest(
+        Dedup.jaccardClassPairCounts(Tables.documents(s, dir),
+          "doc_id", "text", "lang", 0.8),
+        "jaccard")
     },
     // character-level near-dup: every pair within Levenshtein 10 —
     // the typo/small-edit detector the token-set engines above can't
@@ -79,20 +73,40 @@ object DedupQueries {
     // incremental near-dup: the nightly batch (doc_id%10==0) checked
     // against the standing corpus and itself — corpus x corpus pairs
     // are structurally excluded from the candidate space, not filtered
-    // after the fact.
+    // after the fact. GATE SHAPE: the dedup_jaccard class-pair digest
+    // with increment-aware multiplicities (n_pairs counts only id
+    // pairs with >= 1 new endpoint) — the id-level expansion is
+    // quadratic under twin replication (every new twin pairs with
+    // every standing twin of its class) and existed only to be hashed.
+    // The oracle re-derives classes, reps, per-(class, lang) total/new
+    // member counts, and rep-level jaccards from the raw documents, so
+    // the hash still certifies the exact incremental pair multiset.
     "dedup_incremental" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      Dedup.jaccardPairsPrefixIncremental(
+      classPairDigest(
+        Dedup.jaccardClassPairCountsIncremental(
           docs.where(col("doc_id") % 10 === 0),
           docs.where(col("doc_id") % 10 =!= 0),
-          "doc_id", "text", "lang", 0.8)
-        .orderBy(col("id_a"), col("id_b"))
+          "doc_id", "text", "lang", 0.8),
+        "jaccard")
     },
-    // exact embedding-cosine near-dup pairs (>= 0.45 on the fixture's
-    // cosine range); the scale path prefilters via sign-LSH buckets.
+    // exact embedding-cosine near-dup (>= 0.45 on the fixture's cosine
+    // range); the scale path prefilters via sign-LSH buckets. GATE
+    // SHAPE: the dedup_jaccard class-pair digest applied to embeddings
+    // — identical embeddings form classes (twin replication makes the
+    // id-level pair set quadratic; r11 spent ~850 s of the 100× suite
+    // hashing it), the kernel cosine runs once per DISTINCT-embedding
+    // pair, and the oracle independently re-derives classes, reps,
+    // member counts, and rep-level cosines from the raw embeddings, so
+    // the hash still certifies the exact id-level pair multiset.
+    // Same-class pairs are reported at the DEFINED similarity 1.0
+    // (identical non-zero vectors), not the f32 kernel's self
+    // round-trip — see Dedup.cosineClassPairCounts.
     "dedup_cosine" -> { (s, dir) =>
-      Dedup.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
-        .orderBy(col("id_a"), col("id_b"))
+      classPairDigest(
+        Dedup.cosineClassPairCounts(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 0.45),
+        "cos_sim")
     },
     // LSH-bucketed cosine near-dup — the scale path. nBits auto-sizes
     // from the corpus count; `bands` is pinned because the fixture's
@@ -125,16 +139,50 @@ object DedupQueries {
     // a~b and b~c with a~c below threshold — so the closure is a real
     // test of transitivity, not clique re-labeling.
     "dedup_components" -> { (s, dir) =>
-      val pairs = Dedup.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
-      Dedup.connectedComponents(pairs)
+      // class-collapsed end to end: CC rounds run over class reps, the
+      // only id-grain stage is the final linear label expansion — the
+      // output was always linear; the quadratic id-level pair INPUT is
+      // what no longer materializes
+      Dedup.cosineComponents(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 0.45)
         .orderBy(col("node_id"))
     },
-    // end-to-end dedup APPLY: pairs -> components -> keep the canonical
-    // (min-id) member per component; untouched docs survive.
+    // end-to-end dedup APPLY: class pairs -> components over reps ->
+    // expand labels -> keep the canonical (min-id) member per
+    // component; untouched docs survive.
     "dedup_apply" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val pairs = Dedup.cosineNearDup(emb, "vec_id", "embedding", 0.45)
-      Dedup.keepCanonical(emb.select(col("vec_id")), pairs, "vec_id")
+      val comps = Dedup.cosineComponents(emb, "vec_id", "embedding", 0.45)
+      Dedup.keepCanonicalFromComponents(emb.select(col("vec_id")), comps,
+          "vec_id")
+        .orderBy(col("vec_id"))
+    },
+    // the composition a real 100 TB dedup run executes: class-collapse
+    // -> sign-LSH bucket the class REPS -> candidate pairs + exact
+    // verify -> components over reps -> expand -> keep canonical. The
+    // rep bucket table is the parquet handoff; the oracle re-derives
+    // classes itself and replays the hot-bucket cap, pair generation,
+    // cosine verify, transitive closure, label expansion, and the
+    // keep-canonical anti-join from it. Recall vs the exact path stays
+    // scalatest-pinned (DedupSpec).
+    "dedup_apply_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val (classes, members) = Dedup.cosineClasses(emb, "vec_id", "embedding")
+      val reps = classes.select(col("__rep").as("vec_id"),
+        col("__emb").as("embedding"))
+      val buckets = Handoff.publish(
+        Dedup.signLshBandBuckets(reps, "vec_id", "embedding",
+          bands = 8, bits = Dedup.lshBitsFor(classes.count())),
+        ApplyLshHandoff)
+      val repPairs = Dedup.cosinePairsFromBuckets(buckets, reps,
+          "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a").as("__ra"), col("id_b").as("__rb"),
+          col("cos_sim"))
+      val comps = Dedup.cosineExpandComponents(classes, members, repPairs,
+        threshold = 0.45)
+      Dedup.releaseAfterUse(classes)
+      Dedup.keepCanonicalFromComponents(emb.select(col("vec_id")), comps,
+          "vec_id")
         .orderBy(col("vec_id"))
     },
     // ExactSubstr-style duplicated-span detection over 8-token windows
@@ -160,10 +208,10 @@ object DedupQueries {
     // deterministic synthetic quality (vec_id*37 % 101) plants ties
     "dedup_apply_best" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val pairs = Dedup.cosineNearDup(emb, "vec_id", "embedding", 0.45)
+      val comps = Dedup.cosineComponents(emb, "vec_id", "embedding", 0.45)
       val scored = emb.select(col("vec_id"),
         (col("vec_id") * 37 % 101).as("quality"))
-      Dedup.keepCanonicalBy(scored, pairs, "vec_id", "quality")
+      Dedup.keepCanonicalByFromComponents(scored, comps, "vec_id", "quality")
         .orderBy(col("vec_id"))
     },
     // MinHash-LSH near-dup. The banded signature rows (the hash-family
@@ -197,9 +245,28 @@ object DedupQueries {
 
   /** Spark↔oracle handoff files for the LSH gates (absolute paths
     * shared by both engines — the pack_bpe verify-THROUGH pattern). */
-  private val CosLshHandoff  = Handoff.path("coslsh_buckets")
-  private val MinhashHandoff = Handoff.path("minhash_bands")
-  private val SimhashHandoff = Handoff.path("simhash_sigs")
+  private val CosLshHandoff   = Handoff.path("coslsh_buckets")
+  private val ApplyLshHandoff = Handoff.path("applylsh_rep_buckets")
+  private val MinhashHandoff  = Handoff.path("minhash_bands")
+  private val SimhashHandoff  = Handoff.path("simhash_sigs")
+
+  /** Order-insensitive one-row digest of a class-pair multiplicity
+    * frame `(id_a, id_b, <valueCol>, n_pairs)`: class-pair count, Σ
+    * n_pairs, and bit_xor over the top-60 md5 bits of
+    * `id_a:id_b:floor(value·1e9):n_pairs` — the r11 dedup_jaccard gate
+    * contract, shared by every pair family whose id-level output is
+    * quadratic under twin replication. Mirrored term-for-term in the
+    * oracle SQL. */
+  private def classPairDigest(cp: DataFrame, valueCol: String): DataFrame =
+    cp.select(col("n_pairs"), conv(substring(md5(concat(
+        col("id_a").cast("string"), lit(":"),
+        col("id_b").cast("string"), lit(":"),
+        floor(col(valueCol) * lit(1e9)).cast("long").cast("string"), lit(":"),
+        col("n_pairs").cast("string"))
+        .cast("binary")), 1, 15), 16, 10).cast("long").as("__sig"))
+      .agg(count(lit(1)).as("n_class_pairs"),
+        coalesce(sum(col("n_pairs")), lit(0L)).as("n_id_pairs"),
+        coalesce(expr("bit_xor(__sig)"), lit(0L)).as("pairs_sig"))
 
   /** Boilerplate tail appended to every %10 doc — 12 words, so 8-token
     * windows inside it repeat verbatim across the tagged docs. The SQL
@@ -390,21 +457,62 @@ object DedupQueries {
         | AND abs(length(a.text) - length(b.text)) <= 10
         |WHERE levenshtein(a.text, b.text) <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+    // independent incremental class-pair re-derivation: classes from
+    // the raw word sets, per-(class, lang) TOTAL and NEW member counts
+    // (new = doc_id%10=0), rep-level jaccard brute-forced over class
+    // reps, and new-touching multiplicities na·nb − naOld·nbOld /
+    // C(n,2) − C(nOld,2) — none of the engine's prefix-filter or
+    // candidate-probe machinery is replayed
     "dedup_incremental" ->
       """WITH t AS (
-        |  SELECT doc_id, lang,
-        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  SELECT doc_id, lang, doc_id % 10 = 0 AS is_new,
+        |         list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS w
         |  FROM documents
+        |), cls AS (
+        |  SELECT w, min(doc_id) AS rep FROM t GROUP BY w
+        |), mem AS (
+        |  SELECT t.doc_id, t.lang, t.is_new, cls.rep FROM t JOIN cls USING (w)
+        |), cnt AS (
+        |  SELECT rep, lang, count(*) AS n,
+        |         sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS nnew
+        |  FROM mem GROUP BY rep, lang
         |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  SELECT a.rep AS id_a, b.rep AS id_b,
         |         len(list_intersect(a.w, b.w)) AS inter,
         |         len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS uni
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+        |  FROM cls a JOIN cls b ON a.rep < b.rep
+        |), j AS (
+        |  SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+        |  FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.8
+        |), crossn AS (
+        |  SELECT j.id_a, j.id_b, j.jaccard,
+        |         CAST(sum(ca.n * cb.n
+        |           - (ca.n - ca.nnew) * (cb.n - cb.nnew)) AS BIGINT) AS n_pairs
+        |  FROM j
+        |  JOIN cnt ca ON ca.rep = j.id_a
+        |  JOIN cnt cb ON cb.rep = j.id_b AND cb.lang = ca.lang
+        |  GROUP BY 1, 2, 3
+        |  HAVING sum(ca.n * cb.n - (ca.n - ca.nnew) * (cb.n - cb.nnew)) > 0
+        |), same AS (
+        |  SELECT cls.rep AS id_a, cls.rep AS id_b, 1.0 AS jaccard,
+        |         CAST(sum(cnt.n * (cnt.n - 1) // 2
+        |           - (cnt.n - cnt.nnew) * (cnt.n - cnt.nnew - 1) // 2) AS BIGINT) AS n_pairs
+        |  FROM cnt JOIN cls USING (rep)
+        |  WHERE len(cls.w) >= 1
+        |  GROUP BY cls.rep
+        |  HAVING sum(cnt.n * (cnt.n - 1) // 2
+        |           - (cnt.n - cnt.nnew) * (cnt.n - cnt.nnew - 1) // 2) > 0
+        |), allp AS (
+        |  SELECT * FROM crossn UNION ALL SELECT * FROM same
         |)
-        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
-        |FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+        |SELECT CAST(count(*) AS BIGINT) AS n_class_pairs,
+        |       CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS n_id_pairs,
+        |       coalesce(bit_xor(CAST(CAST('0x' || substr(md5(
+        |         CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR) || ':' ||
+        |         CAST(CAST(floor(jaccard * 1e9) AS BIGINT) AS VARCHAR) || ':' ||
+        |         CAST(n_pairs AS VARCHAR)
+        |       ), 1, 15) AS UBIGINT) AS BIGINT)), 0) AS pairs_sig
+        |FROM allp""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -508,11 +616,89 @@ object DedupQueries {
         |SELECT vec_id, quality FROM scored
         |WHERE vec_id NOT IN (SELECT node_id FROM victims)
         |ORDER BY vec_id""".stripMargin,
+    // independent class-pair re-derivation for the cosine digest:
+    // classes from the raw embedding arrays, reps = min member id,
+    // rep-level cosine brute-forced over class reps, same-class rows
+    // at the defined 1.0 for non-zero multi-member classes
     "dedup_cosine" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) AS cos_sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin
+      """WITH cls AS (
+        |  SELECT embedding AS e, min(vec_id) AS rep, count(*) AS n
+        |  FROM embeddings GROUP BY embedding
+        |), p AS (
+        |  SELECT a.rep AS id_a, b.rep AS id_b,
+        |         CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE) AS cos_sim,
+        |         CAST(a.n * b.n AS BIGINT) AS n_pairs
+        |  FROM cls a JOIN cls b ON a.rep < b.rep
+        |  WHERE CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE) >= 0.45
+        |), s AS (
+        |  SELECT rep AS id_a, rep AS id_b, 1.0 AS cos_sim,
+        |         CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+        |  FROM cls
+        |  WHERE n >= 2 AND len(list_filter(e, x -> x <> 0)) > 0
+        |), allp AS (
+        |  SELECT * FROM p UNION ALL SELECT * FROM s
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_class_pairs,
+        |       CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS n_id_pairs,
+        |       coalesce(bit_xor(CAST(CAST('0x' || substr(md5(
+        |         CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR) || ':' ||
+        |         CAST(CAST(floor(cos_sim * 1e9) AS BIGINT) AS VARCHAR) || ':' ||
+        |         CAST(n_pairs AS VARCHAR)
+        |       ), 1, 15) AS UBIGINT) AS BIGINT)), 0) AS pairs_sig
+        |FROM allp""".stripMargin,
+    // full replay of the LSH-routed apply composition from the rep
+    // bucket handoff: classes re-derived from the raw embeddings,
+    // hot-bucket cap -> candidate rep pairs -> exact cosine verify ->
+    // recursive transitive closure over reps -> label expansion
+    // (cross-edge classes plus non-zero multi-member classes) ->
+    // keep-canonical anti-join
+    "dedup_apply_lsh" ->
+      s"""WITH RECURSIVE cls AS (
+         |  SELECT embedding AS e, min(vec_id) AS rep, count(*) AS n,
+         |         len(list_filter(embedding, x -> x <> 0)) > 0 AS nz
+         |  FROM embeddings GROUP BY embedding
+         |), mem AS (
+         |  SELECT em.vec_id, cls.rep
+         |  FROM embeddings em JOIN cls ON em.embedding = cls.e
+         |), h AS (SELECT * FROM read_parquet('$ApplyLshHandoff/*.parquet')),
+         |sz AS (SELECT band, bucket, count(*) AS c FROM h GROUP BY band, bucket),
+         |pr AS (
+         |  SELECT h.band, h.bucket, h.vec_id
+         |  FROM h JOIN sz ON h.band = sz.band AND h.bucket = sz.bucket
+         |  WHERE sz.c > 1 AND sz.c <= 1000
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM pr a JOIN pr b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |),
+         |rp AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN cls ca ON c.id_a = ca.rep
+         |  JOIN cls cb ON c.id_b = cb.rep
+         |  WHERE CAST(list_cosine_similarity(ca.e, cb.e) AS DOUBLE) >= 0.45
+         |),
+         |sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM rp
+         |  UNION SELECT id_b AS u, id_a AS v FROM rp
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+         |), repcomp AS (
+         |  SELECT u AS rep, least(u, min(v)) AS component FROM reach GROUP BY u
+         |), labeled AS (
+         |  SELECT mem.vec_id, coalesce(rc.component, mem.rep) AS component
+         |  FROM mem
+         |  JOIN cls ON mem.rep = cls.rep
+         |  LEFT JOIN repcomp rc ON mem.rep = rc.rep
+         |  WHERE rc.rep IS NOT NULL OR (cls.nz AND cls.n >= 2)
+         |), victims AS (
+         |  SELECT vec_id FROM labeled WHERE vec_id <> component
+         |)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+         |ORDER BY vec_id""".stripMargin
   )
 }

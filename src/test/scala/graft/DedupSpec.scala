@@ -345,4 +345,155 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(pn(1L) === ((1L, 0L, 0L, 0.0)))
   }
+
+  /** Twin-replicated embedding corpus (the ScaleUp shape: payloads
+    * verbatim, ids shifted) — classes of size `factor`. */
+  private def twinEmbeddings(factor: Int) = {
+    val base = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    (0 until factor).map(i =>
+        base.select(($"vec_id" + i * 1000000L).as("vec_id"), $"embedding"))
+      .reduce(_ unionByName _)
+  }
+
+  test("cosine class family == id-level path under twin replication") {
+    val twins = twinEmbeddings(3)
+    val t = 0.45
+    val idPairs = Dedup.cosineNearDup(twins, "vec_id", "embedding", t)
+      .persist()
+    try {
+      // digest multiplicities cover the exact id-level pair count
+      val counts = Dedup.cosineClassPairCounts(twins, "vec_id", "embedding", t)
+        .select($"id_a", $"id_b", $"cos_sim", $"n_pairs")
+        .as[(Long, Long, Double, Long)].collect()
+      assert(counts.map(_._4).sum === idPairs.count())
+      // cross rows are exactly the rep-level subset of the id emitter
+      val repSet = counts.filter(c => c._1 != c._2).map(c => (c._1, c._2, c._3)).toSet
+      val repIds = counts.flatMap(c => Seq(c._1, c._2)).toSet
+      val idSubset = idPairs.as[(Long, Long, Double)].collect()
+        .filter(p => repIds.contains(p._1) && repIds.contains(p._2))
+        .filter(p => p._1 != p._2).toSet
+      assert(repSet.subsetOf(idSubset))
+      // component labeling: class-collapsed == id-level
+      val viaClass = Dedup.cosineComponents(twins, "vec_id", "embedding", t)
+        .as[(Long, Long)].collect().toSet
+      val viaId = Dedup.connectedComponents(idPairs)
+        .as[(Long, Long)].collect().toSet
+      assert(viaClass === viaId)
+      assert(viaClass.nonEmpty)
+      // apply: keepCanonical over the quadratic pair set == the
+      // class-collapsed components path
+      val docs = twins.select($"vec_id")
+      val exactKeep = Dedup.keepCanonical(docs, idPairs, "vec_id")
+        .as[Long].collect().toSet
+      val classKeep = Dedup.keepCanonicalFromComponents(docs,
+          Dedup.cosineComponents(twins, "vec_id", "embedding", t), "vec_id")
+        .as[Long].collect().toSet
+      assert(classKeep === exactKeep)
+      // apply_best: quality-chosen canonical agrees too
+      val scored = twins.select($"vec_id", ($"vec_id" * 37 % 101).as("q"))
+      val exactBest = Dedup.keepCanonicalBy(scored, idPairs, "vec_id", "q")
+        .select($"vec_id").as[Long].collect().toSet
+      val classBest = Dedup.keepCanonicalByFromComponents(scored,
+          Dedup.cosineComponents(twins, "vec_id", "embedding", t), "vec_id", "q")
+        .select($"vec_id").as[Long].collect().toSet
+      assert(classBest === exactBest)
+    } finally idPairs.unpersist()
+  }
+
+  test("cosine class family: zero-vector twins never qualify; real twins do") {
+    val df = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)),   // zero class: excluded
+      (3L, Seq(1f, 0f)), (4L, Seq(1f, 0f)),   // real twins
+      (5L, Seq(0.9f, 0.1f))                   // near-dup of the twins
+    ).toDF("vec_id", "embedding")
+    val counts = Dedup.cosineClassPairCounts(df, "vec_id", "embedding", 0.45)
+      .select($"id_a", $"id_b", $"cos_sim", $"n_pairs")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // same-class (3,4) at the DEFINED 1.0; cross class (3,5) with
+    // multiplicity 2 (both twins pair with 5); zero class absent
+    assert(counts.map(c => (c._1, c._2, c._4)) === Set((3L, 3L, 1L), (3L, 5L, 2L)))
+    assert(counts.find(c => c._1 == 3L && c._2 == 3L).get._3 === 1.0)
+    val comps = Dedup.cosineComponents(df, "vec_id", "embedding", 0.45)
+      .as[(Long, Long)].collect().toSet
+    assert(comps === Set((3L, 3L), (4L, 3L), (5L, 3L)))
+    val kept = Dedup.keepCanonicalFromComponents(df.select($"vec_id"),
+        Dedup.cosineComponents(df, "vec_id", "embedding", 0.45), "vec_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
+  test("incremental class-pair counts == id-level incremental aggregated") {
+    // twin-replicate documents 2x (shift a multiple of 10 keeps the
+    // %10 newness of every twin aligned with its original)
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text", $"lang")
+    val twins = (0 until 2).map(i =>
+        base.select(($"doc_id" + i * 1000000L).as("doc_id"), $"text", $"lang"))
+      .reduce(_ unionByName _)
+    val newD = twins.where($"doc_id" % 10 === 0)
+    val corp = twins.where($"doc_id" % 10 =!= 0)
+    val idPairs = Dedup.jaccardPairsPrefixIncremental(newD, corp,
+        "doc_id", "text", "lang", 0.8)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    // independent class derivation (word set -> rep), as in the full
+    // jaccardClassPairCounts spec
+    val byId = twins.select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    def wset(t: String) = t.split(" ").filter(_.nonEmpty).toSet
+    val repOf: Map[Long, Long] = byId.groupBy(r => wset(r._3))
+      .values.flatMap { ms => val rep = ms.map(_._1).min; ms.map(r => r._1 -> rep) }
+      .toMap
+    val expected = idPairs.groupBy { case (a, b, _) =>
+      val (ra, rb) = (repOf(a), repOf(b)); if (ra < rb) (ra, rb) else (rb, ra)
+    }.map { case (k, vs) => (k._1, k._2, vs.head._3, vs.length.toLong) }.toSet
+    val viaCounts = Dedup.jaccardClassPairCountsIncremental(newD, corp,
+        "doc_id", "text", "lang", 0.8)
+      .select($"id_a", $"id_b", $"jaccard", $"n_pairs")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaCounts === expected)
+    assert(viaCounts.toSeq.map(_._4).sum === idPairs.length.toLong)
+    assert(viaCounts.nonEmpty)
+  }
+
+  test("LSH-routed apply composition: deletion-safe, victim recall >= 0.9 on clustered data") {
+    val rnd = new scala.util.Random(11)
+    def normed(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(10)(normed(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val rows = for { c <- centers.indices; m <- 0 until 10 } yield {
+      val v = normed(centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      (c.toLong * 100 + m, v.toSeq)
+    }
+    // plant exact twins of the first member of each cluster
+    val twins = centers.indices.map { c =>
+      (c.toLong * 100 + 50, rows(c * 10)._2)
+    }
+    val df = (rows ++ twins).toDF("vec_id", "embedding")
+    val t = 0.9
+    val exactKeep = Dedup.keepCanonical(df.select($"vec_id"),
+        Dedup.cosineNearDup(df, "vec_id", "embedding", t), "vec_id")
+      .as[Long].collect().toSet
+    val (classes, members) = Dedup.cosineClasses(df, "vec_id", "embedding")
+    val reps = classes.select($"__rep".as("vec_id"), $"__emb".as("embedding"))
+    val repPairs = Dedup.cosinePairsFromBuckets(
+        Dedup.signLshBandBuckets(reps, "vec_id", "embedding",
+          bands = Dedup.signLshBands(t, 8), bits = 8),
+        reps, "vec_id", "embedding", t)
+      .select($"id_a".as("__ra"), $"id_b".as("__rb"), $"cos_sim")
+    val comps = Dedup.cosineExpandComponents(classes, members, repPairs, t)
+    val lshKeep = Dedup.keepCanonicalFromComponents(df.select($"vec_id"),
+        comps, "vec_id").as[Long].collect().toSet
+    classes.unpersist()
+    // missed LSH edges only SPLIT components: every exact survivor
+    // remains a survivor (the composition never deletes a doc the
+    // exact path keeps)
+    assert(exactKeep.subsetOf(lshKeep))
+    val all = df.select($"vec_id").as[Long].collect().toSet
+    val exactVictims = all -- exactKeep
+    val lshVictims = all -- lshKeep
+    assert(exactVictims.nonEmpty)
+    val recall = (lshVictims & exactVictims).size.toDouble / exactVictims.size
+    assert(recall >= 0.9, s"victim recall $recall over ${exactVictims.size}")
+  }
 }
