@@ -55,10 +55,22 @@ object Bm25 {
     * row-per-token generation is the form that degrades with document
     * length.) Only query postings ever shuffle. */
   def index(docs: DataFrame, idCol: String, textCol: String,
-            queryTerms: Seq[String]): DataFrame = {
+            queryTerms: Seq[String]): DataFrame =
+    indexFromTokens(tokenized(docs, idCol, textCol), queryTerms)
+
+  /** The corpus tokenized once: `(id, __terms)` — the shared input of
+    * [[indexFromTokens]] / [[statsFromTokens]], so multi-pass callers
+    * ([[prfTopK]]) persist ONE regex-split pass instead of re-splitting
+    * the corpus per pass. */
+  private def tokenized(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), terms(col(textCol)).as("__terms"))
+
+  /** [[index]] over a pre-tokenized `(id, __terms)` frame. */
+  private def indexFromTokens(tok: DataFrame,
+                              queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    docs
-      .select(col(idCol).as("id"), terms(col(textCol)).as("__terms"))
+    tok
       .select(col("id"), size(col("__terms")).cast("long").as("dl"),
         explode(filter(col("__terms"), t => t.isin(queryTerms: _*))).as("term"))
       .groupBy(col("id"), col("term"), col("dl"))
@@ -72,11 +84,15 @@ object Bm25 {
     * exact longs; the single division is then identical to a full
     * rebuild's). */
   private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
-    docs.agg(
+    statsFromTokens(docs.select(terms(col(textCol)).as("__terms")))
+
+  /** [[corpusStats]] over a pre-tokenized `__terms` frame. */
+  private def statsFromTokens(tok: DataFrame): DataFrame =
+    tok.agg(
       count(lit(1)).as("n"),
-      (sum(size(terms(col(textCol))).cast("long")).cast("double") /
+      (sum(size(col("__terms")).cast("long")).cast("double") /
         count(lit(1)).cast("double")).as("avgdl"),
-      sum(size(terms(col(textCol))).cast("long")).as("sum_dl"))
+      sum(size(col("__terms")).cast("long")).as("sum_dl"))
 
   /** BM25 top-k for `queryTerms` over `docs`.
     *
@@ -146,12 +162,14 @@ object Bm25 {
     * expansion-term selection are relational (no handoff): the one IR
     * op in the family whose ENTIRE feedback loop the oracle re-runs.
     *
-    * Scale shape: pass 1 is [[topK]] (query postings only shuffle);
-    * the harvest explodes ONLY the `fbDocs` feedback documents
-    * (driver-bounded id list, pushed isin); pass 2 is [[topK]] over
-    * |orig| + `fbTerms` terms. Driver round-trips between the phases
-    * carry fbDocs ids and fbTerms strings — the ANN candidate-list
-    * contract. */
+    * Scale shape: the corpus is regex-split ONCE into a persisted
+    * `(id, __terms)` frame that serves all three phases — the pass-1
+    * postings + stats, the feedback harvest (pushed isin over the
+    * cached frame), and the pass-2 postings + stats; only query
+    * postings ever shuffle in either pass. Driver round-trips between
+    * the phases carry fbDocs ids and fbTerms strings — the ANN
+    * candidate-list contract. The cache self-releases on the caller's
+    * first action over the returned frame. */
   def prfTopK(docs: DataFrame, idCol: String, textCol: String,
               queryTerms: Seq[String], k: Int,
               fbDocs: Int = 10, fbTerms: Int = 8,
@@ -162,24 +180,31 @@ object Bm25 {
     require(fbDocs > 0, s"fbDocs must be positive, got $fbDocs")
     require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
     require(wOrig > 0 && wExp > 0, "weights must be positive integers")
-    val fb = topK(docs, idCol, textCol, queryTerms, fbDocs, k1, b, rationalIdf)
+    val tok = tokenized(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = statsFromTokens(tok)
+    val p1 = indexFromTokens(tok, queryTerms)
+    val fb = scoreAndTake(p1, p1.groupBy(col("term")).agg(count(lit(1)).as("df")),
+        stats, fbDocs, k1, b, rationalIdf)
       .select(col("id")).collect().map(_.get(0))
     val expTerms: Seq[String] =
       if (fbTerms == 0 || fb.isEmpty) Seq.empty
-      else docs.filter(col(idCol).isin(fb: _*))
-        .select(explode(terms(col(textCol))).as("term"))
+      else tok.filter(col("id").isin(fb: _*))
+        .select(explode(col("__terms")).as("term"))
         .filter(!col("term").isin(queryTerms: _*))
         .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term"))
         .limit(fbTerms)
         .collect().map(_.getString(0)).toSeq
+    // both internal actions are done — the caller's first action over
+    // the returned frame (pass 2) frees the tokenize cache
+    Dedup.releaseAfterUse(tok)
     val union = queryTerms ++ expTerms
     val weights: Map[String, Long] =
       (queryTerms.map(_ -> wOrig) ++ expTerms.map(_ -> wExp)).toMap
-    val postings = index(docs, idCol, textCol, union)
+    val postings = indexFromTokens(tok, union)
     val dfByTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    scoreAndTake(postings, dfByTerm, corpusStats(docs, textCol), k, k1, b,
-      rationalIdf, weights)
+    scoreAndTake(postings, dfByTerm, stats, k, k1, b, rationalIdf, weights)
   }
 
   /** Materialize the FULL inverted index once — the amortization path

@@ -17,10 +17,14 @@ import graft.operators.{ChunkStore, TextChunker, VectorSearch}
   * as parquet handoffs, and the DuckDB oracle independently replays
   * the ENTIRE read path against them — collection + metadata
   * where-filter, `list_distance` L2 (bit-parity with the f32 kernel),
-  * (dist, chunk_uid) top-k, score = 1 − dist² (≡ the reference's
-  * 1 − l2sq, `app.py:417-418`), threshold 0.1 (`config.py:49`), sort
-  * desc. Every stage was already individually oracle-gated; this
-  * hashes the flagship COMPOSITION itself (`app.py:373-432`).
+  * (dist, chunk_uid) top-k, score = 1 − dist² (within f64 rounding of
+  * the reference's 1 − l2sq, `app.py:417-418` — dist is the f32
+  * Euclidean, so squaring it back reconstructs l2sq up to one f32
+  * sqrt round-trip; engine and oracle compute the IDENTICAL
+  * expression, so the gate itself is exact), threshold 0.1
+  * (`config.py:49`), sort desc. Every stage was already individually
+  * oracle-gated; this hashes the flagship COMPOSITION itself
+  * (`app.py:373-432`).
   */
 object PipelineQueries {
 
@@ -47,9 +51,12 @@ object PipelineQueries {
       // §3.1 read path: embed query driver-side, KNN top-k over the
       // master collection with metadata pre-filter, score threshold,
       // sort desc — the reference's /search_score composition. The
-      // Euclidean kernel + dist² reproduces the reference's l2sq score
-      // through the one metric DuckDB replays bit-for-bit
-      // (list_distance — the a3_score_threshold recipe).
+      // Euclidean kernel + dist² reconstructs the reference's l2sq
+      // score within f64 rounding (one f32 sqrt round-trip) through
+      // the one metric DuckDB replays bit-for-bit (list_distance —
+      // the a3_score_threshold recipe); near-boundary values could in
+      // principle land on the other side of the 0.1 threshold than a
+      // direct-l2sq engine, but engine and oracle stay exact twins.
       val queryText = "spark table scan join merge"
       val qv = HashingEmbedder.embed(queryText).toSeq
       Handoff.publish(Seq(qv).toDF("embedding"), QvecHandoff)

@@ -473,9 +473,19 @@ object Serving {
     // list per query.
     val expansion: Map[String, Seq[String]] = rids.sorted.iterator
       .flatMap { rid =>
-        cache.getOrLoad(s"$base/postings/range_id=$rid#terms") {
-          bm25PostingRows(base, Seq(rid), conf, cache).map(_._2).toSet
-        }.iterator
+        // load the posting rows STRICTLY (toSet forces the lazy
+        // iterator) BEFORE entering the '#terms' compute:
+        // bm25PostingRows getOrLoads the postings dir itself, and CHM
+        // computeIfAbsent forbids touching other mappings from inside a
+        // mapping function (recursive-update IllegalStateException or a
+        // same-bin deadlock on a resident server's real cache — the
+        // FuzzySpec real-cache test crashes if this ever nests again).
+        // On that server the rows are cache-resident anyway, so
+        // hoisting them costs a map hit, not a reload.
+        val rowTerms = bm25PostingRows(base, Seq(rid), conf, cache)
+          .map(_._2).toSet
+        cache.getOrLoad(s"$base/postings/range_id=$rid#terms")(rowTerms)
+          .iterator
       }
       .map(t => t -> qts.filter(q => levenshtein(t, q) <= maxDist))
       .filter(_._2.nonEmpty).toMap

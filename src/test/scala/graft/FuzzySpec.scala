@@ -76,6 +76,17 @@ class FuzzySpec extends SparkSpec {
     val p0 = Serving.searchFuzzy(dir, Seq("hash"), k = 10, maxDist = 0)
       .map(h => (h.id, h.score, h.nTerms))
     assert(p0 === b0)
+    // the RESIDENT-server path: a real IndexCache means the '#terms'
+    // loader runs inside computeIfAbsent — posting rows must be loaded
+    // BEFORE that compute (CHM forbids touching other mappings from a
+    // mapping function). Cold + warm both match the no-cache answer.
+    val cache = Serving.newCache()
+    val cold = Serving.searchFuzzy(dir, Seq("vecto", "hash"), k = 20,
+      cache = cache).map(h => (h.id, h.score, h.nTerms))
+    val warm = Serving.searchFuzzy(dir, Seq("vecto", "hash"), k = 20,
+      cache = cache).map(h => (h.id, h.score, h.nTerms))
+    assert(cold === probe)
+    assert(warm === probe)
   }
 
   test("maxDist=0 degenerates to exact term counting") {

@@ -213,6 +213,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("prfTopK pass 2 reads the one persisted tokenize, never re-splits the corpus") {
+    // the PRF loop used to regex-split the corpus four times (pass-1
+    // index + stats, pass-2 index + stats); all phases now share one
+    // cached (id, __terms) frame — a re-split in the returned plan
+    // means the fold regressed
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.operators.Bm25.prfTopK(docs, "doc_id", "text",
+      Seq("spark", "table"), k = 5, fbDocs = 3, fbTerms = 2)
+    val exec = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // tree traversal stops at the cache boundary: the InMemoryRelation's
+    // cached BUILD plan (which rightly contains the one split) is not
+    // part of the executed tree, so any StringSplit found here is a
+    // fresh corpus re-split
+    val cacheScans = exec.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
+    }
+    assert(cacheScans.nonEmpty, s"pass 2 must read the persisted tokenize:\n$exec")
+    val resplits = exec.collect { case p => p }.flatMap(_.expressions)
+      .flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.StringSplit => s
+      })
+    assert(resplits.isEmpty, s"pass 2 must not re-split the corpus:\n$exec")
+  }
+
   test("model scoring plans: model rides a broadcast join, corpus never shuffles for it") {
     import graft.operators.CorpusModels
     val docs = Tables.documents(spark, sfDir)
