@@ -83,8 +83,23 @@ object Clustering {
     * (large-star/small-star, O(log n) rounds); the keep rule is two
     * map-side-combinable aggs ([[Dedup.keepCanonicalBy]]). Skewed
     * mega-clusters are the known failure mode — cap or split them at
-    * fit time (more k), not at pair time. */
-  def semDedup(index: Ann.IvfIndex, threshold: Double): DataFrame = {
+    * fit time (more k), not at pair time.
+    *
+    * `refinedPairs = true` swaps the within-cluster pair generator for
+    * [[Ann.knnGraphRefined]] edges (cosine-verified against the same
+    * threshold): the cluster-scoped form is BLIND to near-dups whose
+    * twins land in adjacent cells (the boundary blind spot knnGraph
+    * shares — fixture recall 0.30), and a mega-cluster costs |cell|²
+    * pairs where the graph is n·workK-bounded. Trade-off: a near-dup
+    * beyond a vector's `pairK` nearest neighbors is missed, which at
+    * dedup-grade thresholds (cos ≈ 1) does not happen unless a clique
+    * of > pairK mutual twins exists — and any such clique still
+    * collapses transitively through the components step as long as
+    * each member sees ONE other member. `probes`/`refineRounds` pass
+    * through to the graph. */
+  def semDedup(index: Ann.IvfIndex, threshold: Double,
+               refinedPairs: Boolean = false, pairK: Int = 10,
+               probes: Int = 2, refineRounds: Int = 2): DataFrame = {
     val spark = index.assigned.sparkSession
     val centDf = Ann.centroidsDf(spark, index.centroids, "ivf_cluster")
       .withColumnRenamed("centroid", "__centroid")
@@ -95,17 +110,40 @@ object Clustering {
         Ann.fp(graft.functions.VectorFunctions.l2DistF32(
           col(index.embCol), col("__centroid")).cast("double")).as("dist_fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = base.select(col("ivf_cluster"), col(index.idCol).as("id_a"),
-      col(index.embCol).as("__ea"))
-    val b = base.select(col("ivf_cluster"), col(index.idCol).as("id_b"),
-      col(index.embCol).as("__eb"))
-    val pairs = a.join(b, Seq("ivf_cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        graft.functions.VectorFunctions.cosSimF32(col("__ea"), col("__eb"))
-          .cast("double"))
-      .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"))
+    val pairs =
+      if (refinedPairs) {
+        // graph edges as candidates (n·workK-bounded, boundary-aware);
+        // re-attach both embeddings for the cosine verify — the edge's
+        // dist is L2, the dedup predicate is cosine
+        Ann.knnGraphRefined(index, pairK, probes, refineRounds)
+          // kNN edges are DIRECTED (a's top-k may hold b without b's
+          // holding a): canonicalize min-first before the dedup — a
+          // src<nbr filter would drop pairs whose only direction runs
+          // high-id -> low-id
+          .select(least(col("src_id"), col("nbr_id")).as("id_a"),
+            greatest(col("src_id"), col("nbr_id")).as("id_b"))
+          .filter(col("id_a") =!= col("id_b"))
+          .distinct()
+          .join(base.select(col(index.idCol).as("id_a"),
+            col(index.embCol).as("__ea")), Seq("id_a"))
+          .join(base.select(col(index.idCol).as("id_b"),
+            col(index.embCol).as("__eb")), Seq("id_b"))
+          .filter(graft.functions.VectorFunctions
+            .cosSimF32(col("__ea"), col("__eb")).cast("double") >= threshold)
+          .select(col("id_a"), col("id_b"))
+      } else {
+        val a = base.select(col("ivf_cluster"), col(index.idCol).as("id_a"),
+          col(index.embCol).as("__ea"))
+        val b = base.select(col("ivf_cluster"), col(index.idCol).as("id_b"),
+          col(index.embCol).as("__eb"))
+        a.join(b, Seq("ivf_cluster"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos_sim",
+            graft.functions.VectorFunctions.cosSimF32(col("__ea"), col("__eb"))
+              .cast("double"))
+          .filter(col("cos_sim") >= threshold)
+          .select(col("id_a"), col("id_b"))
+      }
     val kept = Dedup.keepCanonicalBy(
         base.select(col(index.idCol), col("dist_fp")), pairs,
         index.idCol, "dist_fp")

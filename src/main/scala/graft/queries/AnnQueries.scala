@@ -304,6 +304,19 @@ object AnnQueries {
       writeIvfHandoff(s, index, GraphCentsHandoff, GraphAsgHandoff)
       Ann.knnOutliers(index, k = 4, n = 20)
     },
+    // the boundary-honest outlier list: same rank-4-distance score off
+    // the REFINED graph (multi-probe seed + one NN-descent round, the
+    // knn_graph_recall construction) — the co-cell graph inflates a
+    // boundary vector's rank-k distance (its true neighbors sit in the
+    // adjacent cell) and false-flags it above genuine loners. Same
+    // handoffs; the oracle replays seed, round, final k-truncation,
+    // and the desc top-20 in SQL.
+    "outlier_knn_refined" -> { (s, dir) =>
+      val index = ModelQueries.semdedupIndex(s, dir)
+      writeIvfHandoff(s, index, GraphCentsHandoff, GraphAsgHandoff)
+      Ann.knnOutliers(index, k = 4, n = 20, refined = true,
+        probes = 3, refineRounds = 1, workK = 20)
+    },
     // PCA embedding compression (faiss's PCAR pre-transform shape):
     // top-8 variance directions fitted by the one-pass Gram
     // aggregation + driver Jacobi; the published fixed-point model is
@@ -1087,6 +1100,62 @@ object AnnQueries {
          |    ON a.ivf_cluster = b.ivf_cluster AND a.vec_id <> b.vec_id
          |)
          |SELECT src_id, knn_dist FROM d WHERE rn = 4
+         |ORDER BY knn_dist DESC, src_id LIMIT 20""".stripMargin,
+    // the knn_graph_recall construction replay (probes rn<=3, seed
+    // width 20, one NN-descent round) with the outlier tail: final
+    // re-rank, rank-4 distance, desc top-20
+    "outlier_knn_refined" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(GraphCentsHandoff)}),
+         |asg AS (SELECT * FROM ${rp(GraphAsgHandoff)}),
+         |v AS (SELECT vec_id, embedding FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id AS src, cluster_id FROM (
+         |    SELECT v.vec_id, c.cluster_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY CAST(list_distance(c.centroid, v.embedding) AS DOUBLE),
+         |                      c.cluster_id) AS rn
+         |    FROM v CROSS JOIN cents c) s WHERE rn <= 3
+         |), g0 AS (
+         |  SELECT src, nbr FROM (
+         |    SELECT p.src, e.vec_id AS nbr,
+         |           row_number() OVER (PARTITION BY p.src
+         |             ORDER BY CAST(list_distance(e.embedding, q.embedding) AS DOUBLE),
+         |                      e.vec_id) AS rn
+         |    FROM probes p
+         |    JOIN asg a ON a.ivf_cluster = p.cluster_id
+         |    JOIN v e ON e.vec_id = a.vec_id
+         |    JOIN v q ON q.vec_id = p.src
+         |    WHERE e.vec_id <> p.src) s WHERE rn <= 20
+         |), sym0 AS (
+         |  SELECT src, nbr FROM g0 UNION SELECT nbr, src FROM g0
+         |), mem0 AS (
+         |  SELECT src AS pivot, nbr AS member FROM sym0
+         |  UNION SELECT vec_id, vec_id FROM v
+         |), cand0 AS (
+         |  SELECT a.member AS src, b.member AS nbr
+         |  FROM mem0 a JOIN mem0 b ON a.pivot = b.pivot AND a.member <> b.member
+         |  UNION SELECT src, nbr FROM g0
+         |), g1 AS (
+         |  SELECT src, nbr FROM (
+         |    SELECT c.src, c.nbr,
+         |           row_number() OVER (PARTITION BY c.src
+         |             ORDER BY CAST(list_distance(ea.embedding, eb.embedding) AS DOUBLE),
+         |                      c.nbr) AS rn
+         |    FROM cand0 c
+         |    JOIN v ea ON ea.vec_id = c.src
+         |    JOIN v eb ON eb.vec_id = c.nbr) s WHERE rn <= 20
+         |), final AS (
+         |  SELECT src, d FROM (
+         |    SELECT g1.src,
+         |           CAST(list_distance(ea.embedding, eb.embedding) AS DOUBLE) AS d,
+         |           row_number() OVER (PARTITION BY g1.src
+         |             ORDER BY CAST(list_distance(ea.embedding, eb.embedding) AS DOUBLE),
+         |                      g1.nbr) AS rn
+         |    FROM g1
+         |    JOIN v ea ON ea.vec_id = g1.src
+         |    JOIN v eb ON eb.vec_id = g1.nbr) s WHERE rn = 4
+         |)
+         |SELECT src AS src_id, d AS knn_dist FROM final
          |ORDER BY knn_dist DESC, src_id LIMIT 20""".stripMargin,
     // exact integer projection replay from the model handoff:
     // inputs quantize floor(x*2^20), coord = sum of exact long

@@ -146,4 +146,47 @@ class ClusteringSpec extends SparkSpec {
     val want = kth.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
     assert(out.toSeq === want)
   }
+
+  test("knnOutliers refined: boundary false-positive demoted, true loner found only by the refined path") {
+    import spark.implicits._
+    // x sits at the cell-0/cell-1 boundary: its co-cell rank-1 distance
+    // (3.5, to a2) EXCEEDS the true loner L's (3.0, to b2) because x's
+    // real nearest neighbor b1 lives in the adjacent cell (dist 2.0) —
+    // the co-cell score inflates exactly at boundaries
+    val assigned = Seq(
+      (1L, Seq(-0.5f, 0f), 0), // a1
+      (2L, Seq(0.5f, 0f), 0),  // a2
+      (3L, Seq(4f, 0f), 0),    // x (boundary)
+      (4L, Seq(6f, 0f), 1),    // b1 — x's true NN
+      (5L, Seq(6.5f, 0f), 1),  // b2
+      (6L, Seq(9.5f, 0f), 1)   // L — the genuine loner
+    ).toDF("vec_id", "embedding", "ivf_cluster")
+    val cents = Array(Array(0f, 0f), Array(7f, 0f))
+    val index = Ann.IvfIndex(cents, assigned, "embedding", "vec_id")
+    val coCell = Ann.knnOutliers(index, k = 1, n = 1).collect()
+    assert(coCell.head.getLong(0) === 3L,
+      "co-cell scoring false-flags the boundary vector as the top outlier")
+    val refined = Ann.knnOutliers(index, k = 1, n = 1, refined = true,
+      probes = 2, refineRounds = 0).collect()
+    assert(refined.head.getLong(0) === 6L,
+      "refined scoring must surface the true loner")
+    assert(refined.head.getDouble(1) === 3.0)
+  }
+
+  test("semDedup refinedPairs: cross-cluster twins collapse; cluster-scoped stays blind") {
+    // semIndex's vector 6 is cos-identical to v1/v2 but lives in the
+    // OTHER cluster: the cluster-scoped pair generator cannot see it
+    val scoped = Clustering.semDedup(semIndex(), threshold = 0.9)
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("kept")).toMap
+    assert(scoped(6L) === true, "cluster-scoped form keeps the cross-cell twin")
+    val refined = Clustering.semDedup(semIndex(), threshold = 0.9,
+        refinedPairs = true, pairK = 5, probes = 2, refineRounds = 1)
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("kept")).toMap
+    // component {1, 2, 6} keeps v6 — farthest from ITS centroid (~5.1
+    // vs 1 and 2); {4, 5} unchanged; orthogonal v3 untouched
+    assert(refined === Map(1L -> false, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> true))
+  }
 }
