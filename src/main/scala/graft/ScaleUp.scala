@@ -108,3 +108,147 @@ object ScaleUp {
     spark.stop()
   }
 }
+
+/** VOCABULARY-scaling derived fixture — documents only. Twin
+  * replication ([[ScaleUp]]) grows row counts but copies text verbatim,
+  * so |vocab| stays at the base corpus's 31 words; plans whose win is
+  * in vocabulary size (the fuzzy q-gram index prunes a per-query
+  * LEVENSHTEIN SCAN of every distinct term) can never demonstrate a
+  * crossover there. This variant holds the doc count fixed and
+  * typo-perturbs tokens per doc-bucket instead: docs in bucket
+  * j = doc_id % buckets have every token's hash-picked character
+  * substituted with a hash-picked letter (bucket 0 stays verbatim), so
+  * |vocab| grows ~31 × buckets while token counts, doc lengths, and tf
+  * structure are preserved — and the variants are REAL typo shapes,
+  * within small edit distances of each other, exactly the vocabulary a
+  * crawl corpus's misspellings produce.
+  *
+  * Only `documents.parquet` is written: the fuzzy gates read nothing
+  * else, and the correctness contract is unchanged (both fuzzy plans
+  * still gate against the one shared DuckDB oracle at sf0.01 — this
+  * fixture exists to MEASURE the crossover, SCALEBENCH.md records it).
+  *
+  * Usage: runMain graft.VocabScaleUp [baseDir] [buckets] [outDir]
+  */
+object VocabScaleUp {
+
+  /** One deterministic typo: substitute the character at position
+    * xxhash64(token, seed) mod len with a letter picked by a second
+    * hash. Empty tokens and bucket 0 pass through verbatim. */
+  private def mutateOnce(t: org.apache.spark.sql.Column,
+                         seed: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val p = pmod(xxhash64(t, seed), length(t).cast("long")).cast("int")
+    val c = lit("abcdefghijklmnopqrstuvwxyz")
+      .substr(pmod(xxhash64(t, seed + 1000000L), lit(26L)).cast("int") + 1,
+        lit(1))
+    when(length(t) === 0 || seed === 0L, t)
+      .otherwise(concat(t.substr(lit(1), p), c,
+        t.substr(p + lit(2), length(t))))
+  }
+
+  /** Two chained substitutions (distinct hash streams): a single
+    * substitution's mutation space is only len·26 per token (~4k
+    * distinct terms over the 31-word base vocabulary, whatever the
+    * bucket count); chaining two lifts it to (len·26)² so tens of
+    * thousands of buckets still mint fresh variants — each at edit
+    * distance ≤ 2 from its base word and ≤ 4 from its siblings, the
+    * typo-cluster shape a q-gram index is built for. */
+  private def mutate(t: org.apache.spark.sql.Column,
+                     seed: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    // the bucket-0 verbatim guard must wrap the CHAIN: the second
+    // substitution's shifted seed is non-zero even when seed is 0
+    when(seed === 0L, t)
+      .otherwise(mutateOnce(mutateOnce(t, seed), seed + 7777777L))
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val buckets = if (args.length > 1) args(1).toInt else 200
+    val outDir  = if (args.length > 2) args(2) else "target/sfvocab-derived"
+    val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-vocab-scaleup")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, baseDir)
+    val seed = (col("doc_id") % buckets).cast("long")
+    val mutated = docs.withColumn("text",
+      concat_ws(" ", transform(split(col("text"), " "), t => mutate(t, seed))))
+    mutated.repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val vocab = spark.read.parquet(s"$outDir/documents.parquet")
+      .select(explode(graft.operators.Bm25.terms(col("text"))).as("t"))
+      .agg(countDistinct(col("t")), count(lit(1))).head()
+    println(s"[vocab-scaleup] buckets=$buckets vocab=${vocab.getLong(0)} " +
+      s"tokens=${vocab.getLong(1)}")
+    spark.stop()
+  }
+}
+
+/** Crossover measurement for the two fuzzy expansion plans over a
+  * [[VocabScaleUp]] fixture: times `Fuzzy.termSearch` with
+  * `qgramIndex` off (full-vocab levenshtein scan) and on (positional
+  * q-gram survival index) at a given query-term count, median of 3.
+  * The scan's cost is |vocab|·|queryTerms| levenshteins; the index
+  * amortizes ONE gram-posting build across all terms — so the
+  * crossover needs BOTH a large vocabulary and a multi-term batch (a
+  * spell-corrected query log), which is exactly the workload shape the
+  * index exists for. Results go to SCALEBENCH.md.
+  *
+  * Usage: runMain graft.FuzzyScaleProbe <docsDir> <nTerms>
+  */
+object FuzzyScaleProbe {
+
+  // length >= 4 so every term takes the indexed route at q=2/maxDist=1
+  // (the survival cutoff q·(τ+1) = 4; shorter terms fall back to the
+  // scan in BOTH plans and would dilute the comparison)
+  private val BaseWords = Seq("vector", "table", "spark", "stream",
+    "window", "column", "customer", "filter", "merge", "order", "query",
+    "batch", "value", "small", "scan", "sort", "group", "hash", "join",
+    "line", "part")
+
+  /** Deterministic single-substitution typo of a base word. */
+  private def typo(w: String, i: Int): String = {
+    val p = math.abs(w.hashCode + i * 31) % w.length
+    val c = ('a' + math.abs(w.hashCode * 7 + i) % 26).toChar
+    w.updated(p, c)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val nTerms = if (args.length > 1) args(1).toInt else 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-fuzzy-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qts = (0 until nTerms)
+      .map(i => typo(BaseWords(i % BaseWords.length), i))
+      .distinct.filter(_.matches("[a-z0-9]+"))
+    docs.count() // warm the file cache so neither plan pays first-read
+    for (indexed <- Seq(false, true)) {
+      val times = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Fuzzy.termSearch(docs, "doc_id", "text", qts,
+          k = 15, qgramIndex = indexed).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[fuzzy-probe] dir=$dir nTerms=${qts.length} " +
+        f"indexed=$indexed median=${times(1)}%.2f s " +
+        f"(min=${times.head}%.2f max=${times.last}%.2f)")
+    }
+    spark.stop()
+  }
+}
