@@ -178,8 +178,17 @@ object MultimodalQueries {
         rm(tmp)
       }
     },
-    // zip explode + parse + status rollup, self-contained: members are
-    // built from the documents table driver-side (rows-only)
+    // zip explode + parse, HASH-GATED against the source table (the
+    // jsonl_roundtrip recovery contract): the zip is built driver-side
+    // from the top-20 documents plus one composite-font (Identity-H +
+    // ToUnicode CMap) PDF member, so byte-exact extraction means the
+    // (member_name | text) signature over the ingested rows equals the
+    // same signature the oracle computes from documents directly (the
+    // PDF member's decoded text is the fixture's pinned literal). The
+    // zip/PDF PARSE stays engine-side — a wrong member name, a lost
+    // byte, or a broken CMap decode all break the signature. The
+    // binary plumbing itself (CP437 names, corrupt-zip quarantine,
+    // the B13 status lattice) stays spec-land (IngestSourcesSpec).
     "b2_zip_ingest" -> { (s, dir) =>
       import java.util.zip.{ZipEntry, ZipOutputStream}
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -191,19 +200,42 @@ object MultimodalQueries {
         zos.write(r.getString(1).getBytes("UTF-8"))
         zos.closeEntry()
       }
-      // one composite-font (Identity-H + ToUnicode CMap) PDF member so
-      // the CMap decode path runs through the gate, not just unit tests
       zos.putNextEntry(new ZipEntry("doc_korean.pdf"))
       zos.write(graft.sources.PdfSamples.koreanIdentityH)
       zos.closeEntry()
       zos.close()
       import s.implicits._
       val bin = Seq(("mem://batch.zip", bos.toByteArray)).toDF("path", "content")
-      ZipIngest.ingestZips(bin).orderBy(col("member_name"))
+      ZipIngest.ingestZips(bin)
+        .select(col("ok"), conv(substring(md5(
+            concat(col("member_name"), lit("|"),
+              coalesce(col("text"), lit(""))).cast("binary")),
+            1, 15), 16, 10).cast("long").as("__sig"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          coalesce(expr("bit_xor(__sig)"), lit(0L)).as("members_sig"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // independent recovery check: expected members re-derived from the
+    // SOURCE documents table (top-20 by doc_id, the gate's zip build
+    // order) plus the pinned decode of the fixture PDF; every member
+    // must extract ok with byte-exact text
+    "b2_zip_ingest" ->
+      """WITH m AS (
+        |  SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member_name,
+        |         text
+        |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+        |  UNION ALL
+        |  SELECT 'doc_korean.pdf', '한국어 PDF 문서의 텍스트 추출 검증'
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(count(*) AS BIGINT) AS n_ok,
+        |       coalesce(bit_xor(CAST(CAST('0x' || substr(md5(
+        |         member_name || '|' || text), 1, 15) AS UBIGINT) AS BIGINT)),
+        |         0) AS members_sig
+        |FROM m""".stripMargin,
     // the JSONL round-trip is content-verified against the SOURCE
     // table: recovering every doc byte-exactly means the good-row
     // signature over the round-tripped rows equals the same signature

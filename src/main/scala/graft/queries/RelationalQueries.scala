@@ -53,8 +53,14 @@ object RelationalQueries {
       Refresh.latestByKey(versioned, "doc_id", "version")
         .orderBy(col("doc_id"))
     },
-    // stratified sample: deterministic for a fixed seed (rows-only —
-    // DuckDB's sampler draws differently; determinism is scalatest-gated)
+    // stratified sample: deterministic for a fixed seed. PERMANENTLY
+    // rows-only BY NATURE (adjudicated r12): the operator's contract
+    // is Spark's Bernoulli sampler — its XORShift stream is the
+    // product, and no other engine draws the same stream, so a DuckDB
+    // oracle is impossible WITHOUT changing the operator into its
+    // deterministic twin, which exists and is hash-gated as
+    // rel_stratified_det (md5-threshold survival). Same-seed
+    // reproducibility and per-stratum rate bounds are scalatest-gated.
     "rel_stratified_sample" -> { (s, dir) =>
       Refresh.stratifiedSample(Tables.documents(s, dir), "lang",
           Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5), seed = 42L)
