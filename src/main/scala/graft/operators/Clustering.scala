@@ -90,12 +90,17 @@ object Clustering {
     * threshold): the cluster-scoped form is BLIND to near-dups whose
     * twins land in adjacent cells (the boundary blind spot knnGraph
     * shares — fixture recall 0.30), and a mega-cluster costs |cell|²
-    * pairs where the graph is n·workK-bounded. Trade-off: a near-dup
-    * beyond a vector's `pairK` nearest neighbors is missed, which at
-    * dedup-grade thresholds (cos ≈ 1) does not happen unless a clique
-    * of > pairK mutual twins exists — and any such clique still
-    * collapses transitively through the components step as long as
-    * each member sees ONE other member. `probes`/`refineRounds` pass
+    * pairs where the graph is n·workK-bounded. Trade-off: candidates
+    * come from an L2-ranked graph while the dedup predicate is COSINE,
+    * so the recall story assumes a (near-)normalized corpus — on the
+    * unit sphere L2 order IS cosine order, and there a near-dup is
+    * missed only when > pairK mutual twins crowd each other's lists
+    * (any such clique still collapses transitively through the
+    * components step as long as each member sees ONE other member).
+    * On a corpus with wild norm spread, a cosine-identical pair at
+    * very different magnitudes (v vs 3·v) can rank beyond both
+    * vectors' top-pairK L2 lists and be missed — normalize first, or
+    * keep the cluster-scoped path. `probes`/`refineRounds` pass
     * through to the graph. */
   def semDedup(index: Ann.IvfIndex, threshold: Double,
                refinedPairs: Boolean = false, pairK: Int = 10,

@@ -580,32 +580,13 @@ object Dedup {
     * the member table is consumed by one map-side-combinable count
     * aggregate, never joined at id grain. */
   def jaccardClassPairCounts(docs: DataFrame, idCol: String, textCol: String,
-                             blockCol: String, threshold: Double): DataFrame = {
-    val (repJac, m) = classPairCore(docs.withColumn("is_new", lit(true)),
-      idCol, textCol, blockCol, threshold, saltBuckets = 1)
-    // per (class, block) member counts — sz carried for the non-empty
-    // same-class guard (members of one class share sz by construction)
-    val cnt = m.groupBy(col("__rep"), col("blk"))
-      .agg(count(lit(1)).as("n"), max(col("sz")).as("__sz"))
-    val ca = cnt.select(col("__rep").as("__ra"), col("blk"), col("n").as("na"))
-    val cb = cnt.select(col("__rep").as("__rb"), col("blk"), col("n").as("nb"))
-    // cross-class: member-pair count per shared block, summed — the
-    // joins are class-pair-sized (repJac) x class-block-sized (cnt)
-    val cross = repJac.join(ca, Seq("__ra")).join(cb, Seq("__rb", "blk"))
-      .groupBy(col("__ra"), col("__rb"), col("jaccard"))
-      .agg(sum(col("na") * col("nb")).as("n_pairs"))
-      .filter(col("n_pairs") > 0)
-      .select(col("__ra").as("id_a"), col("__rb").as("id_b"),
-        col("jaccard"), col("n_pairs"))
-    // same-class: C(k, 2) per block, summed per class (jaccard 1.0)
-    val same = cnt.filter(col("__sz") >= 1 && lit(1.0) >= threshold)
-      .groupBy(col("__rep"))
-      .agg(sum(expr("n * (n - 1) div 2")).as("n_pairs"))
-      .filter(col("n_pairs") > 0)
-      .select(col("__rep").as("id_a"), col("__rep").as("id_b"),
-        lit(1.0).as("jaccard"), col("n_pairs"))
-    cross.unionByName(same)
-  }
+                             blockCol: String, threshold: Double): DataFrame =
+    // every row new ⇒ the new-endpoint deltas vanish (na·nb − 0,
+    // C(n,2) − 0): the full-corpus contract IS the incremental one
+    // with an empty standing corpus — ONE digest builder, kept aligned
+    // by construction
+    classPairCountRows(docs.withColumn("is_new", lit(true)),
+      idCol, textCol, blockCol, threshold)
 
   /** [[jaccardClassPairCounts]] restricted to pairs touching an
     * increment — the digest twin of [[jaccardPairsPrefixIncremental]],
@@ -627,8 +608,21 @@ object Dedup {
       .withColumn("is_new", lit(true))
       .unionByName(corpus.select(col(idCol), col(blockCol), col(textCol))
         .withColumn("is_new", lit(false)))
+    classPairCountRows(all, idCol, textCol, blockCol, threshold)
+  }
+
+  /** Shared digest assembly of [[jaccardClassPairCounts]] (every row
+    * new) and [[jaccardClassPairCountsIncremental]]: `n_pairs` counts,
+    * per qualifying class pair and per shared block, only the id pairs
+    * with at least one `is_new` endpoint — `na·nb − naOld·nbOld`
+    * cross-class, `C(k,2) − C(kOld,2)` same-class. */
+  private def classPairCountRows(all: DataFrame, idCol: String,
+                                 textCol: String, blockCol: String,
+                                 threshold: Double): DataFrame = {
     val (repJac, m) = classPairCore(all, idCol, textCol, blockCol,
       threshold, saltBuckets = 1)
+    // per (class, block) member counts — sz carried for the non-empty
+    // same-class guard (members of one class share sz by construction)
     val cnt = m.groupBy(col("__rep"), col("blk"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("is_new"), 1L).otherwise(0L)).as("nnew"),

@@ -622,19 +622,25 @@ object DedupQueries {
     // at the defined 1.0 for non-zero multi-member classes
     "dedup_cosine" ->
       """WITH cls AS (
-        |  SELECT embedding AS e, min(vec_id) AS rep, count(*) AS n
+        |  SELECT embedding AS e, min(vec_id) AS rep, count(*) AS n,
+        |         len(list_filter(embedding, x -> x <> 0)) > 0 AS nz
         |  FROM embeddings GROUP BY embedding
         |), p AS (
+        |  -- nz guards mirror the kernel's zero-norm rule (similarity
+        |  -- of/with a zero vector is 0, never a pair at a positive
+        |  -- threshold); DuckDB's NaN would otherwise sort ABOVE the
+        |  -- threshold and emit pairs the engine never does
         |  SELECT a.rep AS id_a, b.rep AS id_b,
         |         CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE) AS cos_sim,
         |         CAST(a.n * b.n AS BIGINT) AS n_pairs
         |  FROM cls a JOIN cls b ON a.rep < b.rep
-        |  WHERE CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE) >= 0.45
+        |  WHERE a.nz AND b.nz
+        |    AND CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE) >= 0.45
         |), s AS (
         |  SELECT rep AS id_a, rep AS id_b, 1.0 AS cos_sim,
         |         CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
         |  FROM cls
-        |  WHERE n >= 2 AND len(list_filter(e, x -> x <> 0)) > 0
+        |  WHERE n >= 2 AND nz
         |), allp AS (
         |  SELECT * FROM p UNION ALL SELECT * FROM s
         |)
@@ -673,11 +679,13 @@ object DedupQueries {
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |),
          |rp AS (
+         |  -- nz guard = the kernel's zero-norm rule (see dedup_cosine)
          |  SELECT c.id_a, c.id_b
          |  FROM cand c
          |  JOIN cls ca ON c.id_a = ca.rep
          |  JOIN cls cb ON c.id_b = cb.rep
-         |  WHERE CAST(list_cosine_similarity(ca.e, cb.e) AS DOUBLE) >= 0.45
+         |  WHERE ca.nz AND cb.nz
+         |    AND CAST(list_cosine_similarity(ca.e, cb.e) AS DOUBLE) >= 0.45
          |),
          |sym AS (
          |  SELECT id_a AS u, id_b AS v FROM rp

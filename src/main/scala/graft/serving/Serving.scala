@@ -66,6 +66,12 @@ object Serving {
     // directory — wasted FS round-trips if evaluated eagerly)
     private[Serving] def getOrLoad[T <: AnyRef](key: => String)(load: => T): T =
       entries.computeIfAbsent(key, _ => load).asInstanceOf[T]
+    // lock-free warm probe: lets a caller whose LOADER would getOrLoad
+    // other keys (forbidden inside computeIfAbsent) skip the load
+    // entirely on a warm cache instead of recomputing the value just
+    // to hand it to the store
+    private[Serving] def getIfPresent[T <: AnyRef](key: String): Option[T] =
+      Option(entries.get(key)).map(_.asInstanceOf[T])
     def size: Int = entries.size
     def clear(): Unit = entries.clear()
   }
@@ -473,19 +479,19 @@ object Serving {
     // list per query.
     val expansion: Map[String, Seq[String]] = rids.sorted.iterator
       .flatMap { rid =>
-        // load the posting rows STRICTLY (toSet forces the lazy
-        // iterator) BEFORE entering the '#terms' compute:
+        // warm probe FIRST (O(1)), else build the term set STRICTLY
+        // (toSet forces the lazy iterator) BEFORE the getOrLoad store:
         // bm25PostingRows getOrLoads the postings dir itself, and CHM
         // computeIfAbsent forbids touching other mappings from inside a
         // mapping function (recursive-update IllegalStateException or a
         // same-bin deadlock on a resident server's real cache — the
-        // FuzzySpec real-cache test crashes if this ever nests again).
-        // On that server the rows are cache-resident anyway, so
-        // hoisting them costs a map hit, not a reload.
-        val rowTerms = bm25PostingRows(base, Seq(rid), conf, cache)
-          .map(_._2).toSet
-        cache.getOrLoad(s"$base/postings/range_id=$rid#terms")(rowTerms)
-          .iterator
+        // FuzzySpec real-cache test crashes if this ever nests again)
+        val key = s"$base/postings/range_id=$rid#terms"
+        cache.getIfPresent[Set[String]](key).getOrElse {
+          val rowTerms = bm25PostingRows(base, Seq(rid), conf, cache)
+            .map(_._2).toSet
+          cache.getOrLoad(key)(rowTerms)
+        }.iterator
       }
       .map(t => t -> qts.filter(q => levenshtein(t, q) <= maxDist))
       .filter(_._2.nonEmpty).toMap
