@@ -1253,7 +1253,19 @@ object Dedup {
                             threshold: Double): DataFrame = {
     val (classes, _) = cosineClasses(emb, idCol, embCol)
     releaseAfterUse(classes)
-    val cross = cosineClassPairs(classes, threshold)
+    cosineClassPairCountsFrom(classes,
+      cosineClassPairs(classes, threshold), threshold)
+  }
+
+  /** Multiplicity rows from an ALREADY-VERIFIED cross-class pair frame
+    * (`__ra, __rb, cos_sim`) — shared by the exact emitter
+    * ([[cosineClassPairCounts]]) and the LSH-routed gate (rep pairs
+    * from [[cosinePairsFromBuckets]] over the class reps). Same-class
+    * rows are appended by DEFINITION (identical non-zero embeddings,
+    * 1.0, C(k, 2)) — they do not depend on the cross route. */
+  def cosineClassPairCountsFrom(classes: DataFrame, repPairs: DataFrame,
+                                threshold: Double): DataFrame = {
+    val cross = repPairs
       .join(classes.select(col("__rep").as("__ra"), col("__k").as("__ka")),
         Seq("__ra"))
       .join(classes.select(col("__rep").as("__rb"), col("__k").as("__kb")),

@@ -109,29 +109,41 @@ object DedupQueries {
         "cos_sim")
     },
     // LSH-bucketed cosine near-dup — the scale path. nBits auto-sizes
-    // from the corpus count; `bands` is pinned because the fixture's
+    // from the CLASS count; `bands` is pinned because the fixture's
     // similarity ceiling (~0.5) forces a LOOSE threshold, and at loose
     // thresholds the recall-derived band count rightly explodes (LSH
     // is a tight-threshold tool — the exact pair join is the honest
-    // plan at 0.45). The hyperplane bucket table is the parquet
-    // handoff; the DuckDB oracle independently replays the hot-bucket
-    // cap, pair generation, and exact-cosine verify from it. Recall vs
-    // the exact pair join stays scalatest-gated.
+    // plan at 0.45). GATE SHAPE (r12): class-collapsed like
+    // dedup_cosine — identical embeddings share every band signature,
+    // so bucketing twins is pure candidate inflation (and the r11
+    // id-level gate's pair output was quadratic under twin
+    // replication, 105.7 s of the 100× suite spent emitting it). The
+    // class REPS route through the buckets (rep bucket table = the
+    // parquet handoff; the hot-bucket cap now counts DISTINCT
+    // embeddings per bucket — the boilerplate-cap semantics made
+    // honest); the oracle re-derives classes from the raw embeddings
+    // and replays cap, pair generation, exact-cosine verify, and the
+    // multiplicity digest from the handoff. Same-class rows by
+    // definition (identical non-zero twins, 1.0, C(k,2) — the
+    // dedup_cosine contract). Recall vs the exact pair join stays
+    // scalatest-gated.
     "dedup_cosine_lsh" -> { (s, dir) =>
-      // persist the slim projection across its consumers (sizing
-      // count, bucketing, both verify joins) like cosineNearDupLsh
-      // does internally; the release listener frees it once the
-      // verify result materializes
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bits = Dedup.lshBitsFor(e.count())
+      val (classes, _) = Dedup.cosineClasses(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+      val reps = classes.select(col("__rep").as("vec_id"),
+        col("__emb").as("embedding"))
+      val bits = Dedup.lshBitsFor(classes.count())
       val buckets = Handoff.publish(
-        Dedup.signLshBandBuckets(e, "vec_id", "embedding", bands = 8, bits),
+        Dedup.signLshBandBuckets(reps, "vec_id", "embedding", bands = 8, bits),
         CosLshHandoff)
-      Dedup.releaseAfterUse(e)
-      Dedup.cosinePairsFromBuckets(buckets, e, "vec_id", "embedding",
-          threshold = 0.45)
-        .orderBy(col("id_a"), col("id_b"))
+      val repPairs = Dedup.cosinePairsFromBuckets(buckets, reps,
+          "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a").as("__ra"), col("id_b").as("__rb"),
+          col("cos_sim"))
+      Dedup.releaseAfterUse(classes)
+      classPairDigest(
+        Dedup.cosineClassPairCountsFrom(classes, repPairs, threshold = 0.45),
+        "cos_sim")
     },
     // connected components over the exact cosine near-dup pair set
     // (large-star/small-star; oracled against a DuckDB recursive-CTE
@@ -214,21 +226,45 @@ object DedupQueries {
       Dedup.keepCanonicalByFromComponents(scored, comps, "vec_id", "quality")
         .orderBy(col("vec_id"))
     },
-    // MinHash-LSH near-dup. The banded signature rows (the hash-family
-    // bit math) are the parquet handoff; the oracle replays the
-    // hot-bucket cap, candidate pairing, AND the exact 3-gram shingle
-    // Jaccard verify — DuckDB re-tokenizes and re-shingles the
-    // documents itself, so a wrong Spark-side Jaccard cannot pass.
-    // Signature recall vs exact Jaccard stays scalatest-verified.
+    // MinHash-LSH near-dup. GATE SHAPE (r12): class-collapsed like
+    // dedup_cosine_lsh — identical texts have identical signatures in
+    // EVERY band, so bucketing twins is pure candidate inflation and
+    // the id-level pair output was quadratic under twin replication
+    // (137.2 s of the r11 100× suite). One rep per distinct text
+    // routes through the banded signatures (the rep band rows are the
+    // parquet handoff; the hot-bucket cap now counts DISTINCT texts
+    // per bucket); the oracle re-derives the classes, replays cap /
+    // candidate pairing / the exact 3-gram shingle Jaccard verify
+    // from the handoff — DuckDB re-tokenizes and re-shingles the rep
+    // texts itself — and digests class-pair multiplicities.
+    // Same-class rows by definition (identical texts, jaccard 1.0,
+    // C(k,2)). Signature recall vs exact Jaccard stays
+    // scalatest-verified.
     "dedup_minhash_lsh" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      val cls = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("__k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reps = cls.select(col("doc_id"), col("text"))
       val bandRows = Handoff.publish(
-        Dedup.minHashBandRows(docs, "doc_id", "text",
+        Dedup.minHashBandRows(reps, "doc_id", "text",
           numHashes = 128, bands = 32, shingle = 3),
         MinhashHandoff)
-      Dedup.minHashVerifyPairs(bandRows, docs,
-          "doc_id", "text", shingle = 3, threshold = 0.7)
-        .orderBy(col("id_a"), col("id_b"))
+      val repPairs = Dedup.minHashVerifyPairs(bandRows, reps,
+        "doc_id", "text", shingle = 3, threshold = 0.7)
+      val cnt = cls.select(col("doc_id").as("__r"), col("__k"))
+      val cross = repPairs
+        .join(cnt.select(col("__r").as("id_a"), col("__k").as("__ka")),
+          Seq("id_a"))
+        .join(cnt.select(col("__r").as("id_b"), col("__k").as("__kb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (col("__ka") * col("__kb")).as("n_pairs"))
+      val same = cls.filter(col("__k") >= 2)
+        .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"),
+          lit(1.0).as("jaccard"), expr("__k * (__k - 1) div 2").as("n_pairs"))
+      Dedup.releaseAfterUse(cls)
+      classPairDigest(cross.unionByName(same), "jaccard")
     },
     // SimHash near-dup (Hamming <= 3 of 64 bits). The 64-bit
     // signatures are the handoff; pigeonhole chunking, pair join, and
@@ -318,8 +354,15 @@ object DedupQueries {
        |ORDER BY fingerprint""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // classes re-derived from the raw embeddings; cap/pairs/verify
+    // replayed from the rep-bucket handoff; same-class rows by
+    // definition; nz guards = the kernel's zero-norm rule
     "dedup_cosine_lsh" ->
-      s"""WITH h AS (SELECT * FROM read_parquet('$CosLshHandoff/*.parquet')),
+      s"""WITH cls AS (
+         |  SELECT embedding AS e, min(vec_id) AS rep, count(*) AS n,
+         |         len(list_filter(embedding, x -> x <> 0)) > 0 AS nz
+         |  FROM embeddings GROUP BY embedding
+         |), h AS (SELECT * FROM read_parquet('$CosLshHandoff/*.parquet')),
          |sz AS (SELECT band, bucket, count(*) AS c FROM h GROUP BY band, bucket),
          |pr AS (
          |  SELECT h.band, h.bucket, h.vec_id
@@ -330,18 +373,40 @@ object DedupQueries {
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM pr a JOIN pr b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |),
+         |p AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(list_cosine_similarity(ca.e, cb.e) AS DOUBLE) AS cos_sim,
+         |         CAST(ca.n * cb.n AS BIGINT) AS n_pairs
+         |  FROM cand c
+         |  JOIN cls ca ON c.id_a = ca.rep
+         |  JOIN cls cb ON c.id_b = cb.rep
+         |  WHERE ca.nz AND cb.nz
+         |    AND CAST(list_cosine_similarity(ca.e, cb.e) AS DOUBLE) >= 0.45
+         |), s AS (
+         |  SELECT rep AS id_a, rep AS id_b, 1.0 AS cos_sim,
+         |         CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+         |  FROM cls
+         |  WHERE n >= 2 AND nz
+         |), allp AS (
+         |  SELECT * FROM p UNION ALL SELECT * FROM s
          |)
-         |SELECT c.id_a, c.id_b,
-         |       CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE)
-         |         AS cos_sim
-         |FROM cand c
-         |JOIN embeddings ea ON c.id_a = ea.vec_id
-         |JOIN embeddings eb ON c.id_b = eb.vec_id
-         |WHERE CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE)
-         |      >= 0.45
-         |ORDER BY id_a, id_b""".stripMargin,
+         |SELECT CAST(count(*) AS BIGINT) AS n_class_pairs,
+         |       CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS n_id_pairs,
+         |       coalesce(bit_xor(CAST(CAST('0x' || substr(md5(
+         |         CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR) || ':' ||
+         |         CAST(CAST(floor(cos_sim * 1e9) AS BIGINT) AS VARCHAR) || ':' ||
+         |         CAST(n_pairs AS VARCHAR)
+         |       ), 1, 15) AS UBIGINT) AS BIGINT)), 0) AS pairs_sig
+         |FROM allp""".stripMargin,
+    // classes re-derived from the raw texts (GROUP BY text); cap /
+    // candidate pairing / shingle-jaccard verify replayed from the
+    // rep-bucket handoff; same-class rows by definition
     "dedup_minhash_lsh" ->
-      s"""WITH h AS (SELECT * FROM read_parquet('$MinhashHandoff/*.parquet')),
+      s"""WITH cls AS (
+         |  SELECT text, min(doc_id) AS rep, count(*) AS n
+         |  FROM documents GROUP BY text
+         |), h AS (SELECT * FROM read_parquet('$MinhashHandoff/*.parquet')),
          |sz AS (SELECT band, bucket, count(*) AS c FROM h GROUP BY band, bucket),
          |pr AS (
          |  SELECT h.band, h.bucket, h.doc_id
@@ -354,15 +419,15 @@ object DedupQueries {
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |),
          |sh AS (
-         |  SELECT doc_id,
+         |  SELECT rep AS doc_id,
          |         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
          |              ELSE list_distinct(list_transform(
          |                generate_series(1, len(toks) - 2),
          |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
          |         END AS s
-         |  FROM (SELECT doc_id,
+         |  FROM (SELECT rep,
          |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
-         |        FROM documents)
+         |        FROM cls)
          |),
          |j AS (
          |  SELECT c.id_a, c.id_b,
@@ -371,14 +436,33 @@ object DedupQueries {
          |  FROM cand c
          |  JOIN sh sa ON c.id_a = sa.doc_id
          |  JOIN sh sb ON c.id_b = sb.doc_id
+         |),
+         |p AS (
+         |  SELECT j.id_a, j.id_b,
+         |         CASE WHEN uni = 0 THEN 1.0
+         |              ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)
+         |         END AS jaccard,
+         |         CAST(ca.n * cb.n AS BIGINT) AS n_pairs
+         |  FROM j
+         |  JOIN cls ca ON j.id_a = ca.rep
+         |  JOIN cls cb ON j.id_b = cb.rep
+         |  WHERE (CASE WHEN uni = 0 THEN 1.0
+         |              ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END) >= 0.7
+         |), s AS (
+         |  SELECT rep AS id_a, rep AS id_b, 1.0 AS jaccard,
+         |         CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+         |  FROM cls WHERE n >= 2
+         |), allp AS (
+         |  SELECT * FROM p UNION ALL SELECT * FROM s
          |)
-         |SELECT id_a, id_b,
-         |       CASE WHEN uni = 0 THEN 1.0
-         |            ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END AS jaccard
-         |FROM j
-         |WHERE (CASE WHEN uni = 0 THEN 1.0
-         |            ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END) >= 0.7
-         |ORDER BY id_a, id_b""".stripMargin,
+         |SELECT CAST(count(*) AS BIGINT) AS n_class_pairs,
+         |       CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS n_id_pairs,
+         |       coalesce(bit_xor(CAST(CAST('0x' || substr(md5(
+         |         CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR) || ':' ||
+         |         CAST(CAST(floor(jaccard * 1e9) AS BIGINT) AS VARCHAR) || ':' ||
+         |         CAST(n_pairs AS VARCHAR)
+         |       ), 1, 15) AS UBIGINT) AS BIGINT)), 0) AS pairs_sig
+         |FROM allp""".stripMargin,
     "dedup_simhash" ->
       s"""WITH h AS (SELECT * FROM read_parquet('$SimhashHandoff/*.parquet')),
          |ch AS (

@@ -454,6 +454,63 @@ class DedupSpec extends SparkSpec {
     assert(viaCounts.nonEmpty)
   }
 
+  test("minhash class-pair digest == id-level LSH pairs under twin replication (uncapped)") {
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val twins = (0 until 2).map(i =>
+        base.select(($"doc_id" + i * 1000000L).as("doc_id"), $"text"))
+      .reduce(_ unionByName _)
+    // id-level route: twins share every band signature, so every
+    // member pair of a qualifying class pair is co-bucketed (and no
+    // fixture bucket approaches the cap)
+    val idPairs = Dedup.minHashVerifyPairs(
+      Dedup.minHashBandRows(twins, "doc_id", "text", 128, 32, 3),
+      twins, "doc_id", "text", shingle = 3, threshold = 0.7)
+    val nId = idPairs.count()
+    // class route: reps through the same signatures + multiplicities
+    val cls = twins.groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("__k"))
+      .persist()
+    try {
+      val reps = cls.select($"doc_id", $"text")
+      val repPairs = Dedup.minHashVerifyPairs(
+        Dedup.minHashBandRows(reps, "doc_id", "text", 128, 32, 3),
+        reps, "doc_id", "text", shingle = 3, threshold = 0.7)
+      val cnt = cls.select($"doc_id".as("__r"), $"__k")
+      val crossN = repPairs
+        .join(cnt.select($"__r".as("id_a"), $"__k".as("__ka")), Seq("id_a"))
+        .join(cnt.select($"__r".as("id_b"), $"__k".as("__kb")), Seq("id_b"))
+        .agg(coalesce(sum($"__ka" * $"__kb"), lit(0L))).as[Long].head()
+      val sameN = cls.filter($"__k" >= 2)
+        .agg(coalesce(sum(expr("__k * (__k - 1) div 2")), lit(0L)))
+        .as[Long].head()
+      assert(crossN + sameN === nId,
+        s"class multiplicities ($crossN cross + $sameN same) must cover " +
+          s"the id-level pair count ($nId)")
+      assert(nId > 0)
+    } finally cls.unpersist()
+  }
+
+  test("cosine LSH class-pair digest == id-level LSH pairs under twin replication (uncapped)") {
+    val twins = twinEmbeddings(2)
+    val bits = Dedup.lshBitsFor(twins.count())
+    val idPairs = Dedup.cosinePairsFromBuckets(
+      Dedup.signLshBandBuckets(twins, "vec_id", "embedding", bands = 8, bits),
+      twins, "vec_id", "embedding", threshold = 0.45)
+    val nId = idPairs.count()
+    val (classes, _) = Dedup.cosineClasses(twins, "vec_id", "embedding")
+    try {
+      val reps = classes.select($"__rep".as("vec_id"), $"__emb".as("embedding"))
+      val repPairs = Dedup.cosinePairsFromBuckets(
+          Dedup.signLshBandBuckets(reps, "vec_id", "embedding", bands = 8, bits),
+          reps, "vec_id", "embedding", threshold = 0.45)
+        .select($"id_a".as("__ra"), $"id_b".as("__rb"), $"cos_sim")
+      val total = Dedup.cosineClassPairCountsFrom(classes, repPairs, 0.45)
+        .agg(coalesce(sum($"n_pairs"), lit(0L))).as[Long].head()
+      assert(total === nId)
+      assert(nId > 0)
+    } finally classes.unpersist()
+  }
+
   test("LSH-routed apply composition: deletion-safe, victim recall >= 0.9 on clustered data") {
     val rnd = new scala.util.Random(11)
     def normed(v: Array[Float]): Array[Float] = {
