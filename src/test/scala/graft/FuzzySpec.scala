@@ -211,4 +211,22 @@ class FuzzySpec extends SparkSpec {
     }.sum / recalls.length
     assert(mean > coMean, s"refined $mean must beat co-cell $coMean")
   }
+
+  test("wide refined graph truncates to every k: filter(rn <= k) == knnGraphRefined(k)") {
+    // the shared persisted wide-graph contract (AnnQueries
+    // .refinedGraphPath): the final per-src re-rank assigns rn in
+    // (dist, nbr) order over the SAME refined candidate set for any
+    // k <= workK, so both graph gates may read one artifact
+    val emb = Tables.embeddings(spark, sfDir)
+    val index = Ann.buildIvf(emb, numClusters = 4)
+    val wide = Ann.knnGraphRefined(index, k = 20, probes = 3,
+        refineRounds = 1, workK = 20)
+      .as[(Long, Long, Double, Long)].collect()
+    for (k <- Seq(4, 10)) {
+      val direct = Ann.knnGraphRefined(index, k, probes = 3,
+          refineRounds = 1, workK = 20)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(wide.filter(_._4 <= k).toSet === direct, s"k=$k")
+    }
+  }
 }
