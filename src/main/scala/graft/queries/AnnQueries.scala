@@ -612,7 +612,11 @@ object AnnQueries {
     * second copy of the shared build — at 100× the two gates each
     * paid the identical ~60 s construction (SCALEBENCH r12). */
   def refinedGraphPath(s: SparkSession, dir: String): String =
-    BuildOnce.cached("refined-graph-p3r1w20",
+    // the -v1 suffix is the algorithm VERSION (the hnsw-…-v2 rule):
+    // bump it whenever knnGraphRefined's construction changes, or a
+    // warm machine serves a stale /tmp artifact to two correctness
+    // gates
+    BuildOnce.cached("refined-graph-p3r1w20-v1",
         new java.io.File(s"$dir/embeddings.parquet"))(
         p => s"$p/graph.parquet/_SUCCESS") { p =>
       graft.operators.Ann.knnGraphRefined(

@@ -599,9 +599,13 @@ object DedupQueries {
         |FROM allp""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE pairs AS (
+        |  -- nz guards = the kernel's zero-norm rule (see dedup_cosine):
+        |  -- DuckDB's NaN cosine would otherwise sort above the threshold
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |  WHERE len(list_filter(a.embedding, x -> x <> 0)) > 0
+        |    AND len(list_filter(b.embedding, x -> x <> 0)) > 0
+        |    AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
         |), sym AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION SELECT id_b AS u, id_a AS v FROM pairs
@@ -614,9 +618,13 @@ object DedupQueries {
         |FROM reach GROUP BY u ORDER BY node_id""".stripMargin,
     "dedup_apply" ->
       """WITH RECURSIVE pairs AS (
+        |  -- nz guards = the kernel's zero-norm rule (see dedup_cosine):
+        |  -- DuckDB's NaN cosine would otherwise sort above the threshold
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |  WHERE len(list_filter(a.embedding, x -> x <> 0)) > 0
+        |    AND len(list_filter(b.embedding, x -> x <> 0)) > 0
+        |    AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
         |), sym AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION SELECT id_b AS u, id_a AS v FROM pairs
@@ -671,9 +679,13 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin,
     "dedup_apply_best" ->
       """WITH RECURSIVE pairs AS (
+        |  -- nz guards = the kernel's zero-norm rule (see dedup_cosine):
+        |  -- DuckDB's NaN cosine would otherwise sort above the threshold
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |  WHERE len(list_filter(a.embedding, x -> x <> 0)) > 0
+        |    AND len(list_filter(b.embedding, x -> x <> 0)) > 0
+        |    AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
         |), sym AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION SELECT id_b AS u, id_a AS v FROM pairs

@@ -1307,7 +1307,10 @@ object ModelQueries {
          |    ON a.ivf_cluster = b.ivf_cluster AND a.vec_id < b.vec_id
          |  JOIN embeddings ea ON a.vec_id = ea.vec_id
          |  JOIN embeddings eb ON b.vec_id = eb.vec_id
-         |  WHERE CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE)
+         |  -- nz guards = the kernel's zero-norm rule (NaN would pass)
+         |  WHERE len(list_filter(ea.embedding, x -> x <> 0)) > 0
+         |    AND len(list_filter(eb.embedding, x -> x <> 0)) > 0
+         |    AND CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE)
          |        >= 0.45
          |), sym AS (
          |  SELECT id_a AS u, id_b AS v FROM pairs
