@@ -75,6 +75,15 @@ object Bench {
         System.err.println(s"[bench] WARNING: corpus-proportional IVF warmup " +
           s"failed (${e.getMessage}); semdedup_keep/knn_graph timing will " +
           "include the fit") }
+    // the two span gates consume ONE persisted dup-flags frame — same
+    // shared-build warmup contract as the refined graph below
+    if (Seq("dedup_spans_profile", "dedup_spans_trim")
+        .exists(selected.contains))
+      try graft.queries.DedupQueries.spanFlagsPath(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: span-flags warmup failed " +
+          s"(${e.getMessage}); dedup_spans_* timing will include the " +
+          "shared fingerprint build") }
     // the two refined-graph gates consume ONE persisted wide graph —
     // warm the shared build so neither timed window pays it (and the
     // second never pays it twice)

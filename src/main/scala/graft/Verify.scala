@@ -15,7 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_QUERIES=a,b,c dumps a subset (dev loop for a
+    // targeted gate re-verify — tools/verify_local.py compares only
+    // the dirs present; the driver never sets this)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] WARNING: unknown queries ignored: $unknown")
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

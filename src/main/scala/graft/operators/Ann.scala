@@ -767,6 +767,15 @@ object Ann {
     * (src, nbr) dedup — all linear in n with workK² constants, no
     * corpus broadcast, no driver materialization. Output contract =
     * [[knnGraph]]: (src_id, nbr_id, dist, rn ≤ k). */
+  /** Algorithm fingerprint of [[knnGraphRefined]], owned HERE so a
+    * construction change cannot be committed without the persisted-
+    * artifact cache keys seeing it: every BuildOnce key that caches a
+    * refined graph MUST interpolate this constant (AnnQueries
+    * .refinedGraphPath does). Bump on ANY change to the candidate
+    * generation, refine rounds semantics, tie-breaks, or output
+    * contract below. */
+  val KnnGraphRefinedAlgoVersion = 1
+
   def knnGraphRefined(index: IvfIndex, k: Int, probes: Int = 2,
                       refineRounds: Int = 2, workK: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

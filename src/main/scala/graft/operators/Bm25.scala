@@ -169,7 +169,12 @@ object Bm25 {
     * postings ever shuffle in either pass. Driver round-trips between
     * the phases carry fbDocs ids and fbTerms strings — the ANN
     * candidate-list contract. The cache self-releases on the caller's
-    * first action over the returned frame. */
+    * first ACTION over the returned frame — a caller that only
+    * inspects the plan (explain/PlanSpec-style usage) never triggers
+    * one, leaving the tokenize cache resident for the session; such
+    * callers should `spark.catalog.clearCache()` (or run one action)
+    * when they care. Acceptable for interactive use — the cache is
+    * corpus-token-sized, bounded, and re-registered per call. */
   def prfTopK(docs: DataFrame, idCol: String, textCol: String,
               queryTerms: Seq[String], k: Int,
               fbDocs: Int = 10, fbTerms: Int = 8,

@@ -117,6 +117,22 @@ object Clustering {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs =
       if (refinedPairs) {
+        // runtime signal for the scaladoc's normalization assumption
+        // (candidates are L2-ranked, the verify is cosine): one cheap
+        // agg over the already-persisted base — if the corpus's norm
+        // spread is wide, cosine twins at different magnitudes can fall
+        // outside every top-pairK L2 list and the miss is silent
+        val norm = sqrt(graft.functions.VectorFunctions
+          .dotF32(col(index.embCol), col(index.embCol)).cast("double"))
+        val ns = base.agg(min(norm), max(norm)).head()
+        val (nMin, nMax) = (ns.getDouble(0), ns.getDouble(1))
+        if (nMin <= 0.0 || nMax / nMin > 1.25)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            f"semDedup(refinedPairs=true): corpus norm spread " +
+              f"[$nMin%.4g, $nMax%.4g] exceeds the near-normalized " +
+              "assumption — L2-ranked candidates may miss cosine " +
+              "near-dups at different magnitudes; normalize embeddings " +
+              "first or use the cluster-scoped path")
         // graph edges as candidates (n·workK-bounded, boundary-aware);
         // re-attach both embeddings for the cosine verify — the edge's
         // dist is L2, the dedup predicate is cosine

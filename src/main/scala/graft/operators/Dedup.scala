@@ -172,10 +172,20 @@ object Dedup {
 
   /** Stage 2 of [[nearDupMinHash]]: hot-bucket cap, candidate pair
     * join, exact-Jaccard verify — pure relational algebra + the
-    * int/double Jaccard arithmetic, all replayable in ANSI SQL. */
+    * int/double Jaccard arithmetic, all replayable in ANSI SQL.
+    *
+    * `textsAreDistinct = true` declares that `docs` holds one row per
+    * DISTINCT text (e.g. class reps from an upstream collapse): the
+    * internal text-classing below is then an identity transform — one
+    * rep per candidate id, zero same-class pairs — and is skipped
+    * entirely (~4 exchanges: the class groupBy, the id→rep join pair,
+    * and the rep-pair distinct). The caller owns the claim; a
+    * duplicate text under the flag scores its pairs correctly but
+    * redundantly (once per member, not once per class). */
   def minHashVerifyPairs(bandRows: DataFrame, docs: DataFrame, idCol: String,
                          textCol: String, shingle: Int, threshold: Double,
-                         maxBucket: Int = 1000): DataFrame = {
+                         maxBucket: Int = 1000,
+                         textsAreDistinct: Boolean = false): DataFrame = {
     // cap hot buckets before the pair join — one window pass instead of
     // an aggregate + semi-join (same shuffle key, half the exchanges)
     val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
@@ -191,6 +201,19 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+
+    val jacUdfD = udf((x: String, y: String) => jaccard(x, y, shingle))
+    if (textsAreDistinct) {
+      // distinct-texts fast path: every id IS its own class — verify
+      // each candidate pair directly, no classing bookkeeping
+      val t = docs.select(col(idCol), col(textCol))
+      return candidates
+        .join(t.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
+        .join(t.select(col(idCol).as("id_b"), col(textCol).as("text_b")), Seq("id_b"))
+        .withColumn("jaccard", jacUdfD(col("text_a"), col("text_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
 
     // CLASS-DEDUPED verify (the [[classPairJaccard]] trick at the
     // verify step only): identical texts have identical shingle sets,
@@ -599,7 +622,15 @@ object Dedup {
     * id-level multiset given class membership while staying class-pair-
     * sized. Candidate generation is unchanged from the incremental
     * operator (new units probe the corpus prefix index), so corpus ×
-    * corpus work still never happens. */
+    * corpus work still never happens.
+    *
+    * PRECONDITION: `newDocs` and `corpus` must be id-disjoint — the
+    * union treats every row independently, so a doc present on both
+    * sides is counted as two class members and its pairs double-count
+    * (silently: no duplicate-id check is affordable at corpus scale).
+    * The nightly-ingest contract guarantees this by construction
+    * (increment = rows not yet in the standing corpus); DedupSpec
+    * asserts it on the gate's fixture split. */
   def jaccardClassPairCountsIncremental(newDocs: DataFrame, corpus: DataFrame,
                                         idCol: String, textCol: String,
                                         blockCol: String,
@@ -917,11 +948,24 @@ object Dedup {
     occ
   }
 
+  /** Algorithm fingerprint of [[duplicatedSpanFlags]] (tokenization,
+    * window/fingerprint scheme, keeper rule): every persisted-artifact
+    * cache key for a flags frame MUST interpolate this constant —
+    * bump on any change, or a warm machine serves a stale artifact to
+    * the two span gates (the [[Ann.KnnGraphRefinedAlgoVersion]] rule). */
+  val DuplicatedSpanAlgoVersion = 1
+
   /** Occurrences with their duplicate flag — the shared core of the
     * profile and trim entry points: (idCol, pos, __dup) where __dup
-    * marks a NON-canonical occurrence of a repeated fingerprint. */
-  private def dupFlaggedSpans(docs: DataFrame, idCol: String,
-                              textCol: String, window: Int): DataFrame = {
+    * marks a NON-canonical occurrence of a repeated fingerprint.
+    * Public because it is the natural PERSISTED ARTIFACT of the span
+    * family: one build serves both consumers ([[duplicatedSpanProfileFrom]]
+    * aggregates it, [[trimDuplicatedSpansFrom]] expands only its
+    * `__dup` rows) — the window-concat + md5 projection and the
+    * frequency agg+join are the dominant cost and need not be paid
+    * once per consumer. */
+  def duplicatedSpanFlags(docs: DataFrame, idCol: String,
+                          textCol: String, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     val occ = spanOccurrences(docs, idCol, textCol, window)
       .withColumn("__epos",
@@ -959,8 +1003,15 @@ object Dedup {
     * and no doc pair is ever materialized (a boilerplate span shared
     * by 10⁶ docs is one frequency row, not 10¹² pairs). */
   def duplicatedSpanProfile(docs: DataFrame, idCol: String,
-                            textCol: String, window: Int): DataFrame = {
-    val flagged = dupFlaggedSpans(docs, idCol, textCol, window)
+                            textCol: String, window: Int): DataFrame =
+    duplicatedSpanProfileFrom(docs,
+      duplicatedSpanFlags(docs, idCol, textCol, window), idCol)
+
+  /** [[duplicatedSpanProfile]] over a pre-built (possibly persisted)
+    * flags frame — see [[duplicatedSpanFlags]]. */
+  def duplicatedSpanProfileFrom(docs: DataFrame, flags: DataFrame,
+                                idCol: String): DataFrame = {
+    val flagged = flags
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_spans"))
@@ -985,8 +1036,18 @@ object Dedup {
     * their `window` token indices before a distinct — linear in the
     * tokens actually being removed, never in the corpus. */
   def trimDuplicatedSpans(docs: DataFrame, idCol: String,
-                          textCol: String, window: Int): DataFrame = {
-    val covered = dupFlaggedSpans(docs, idCol, textCol, window)
+                          textCol: String, window: Int): DataFrame =
+    trimDuplicatedSpansFrom(docs,
+      duplicatedSpanFlags(docs, idCol, textCol, window),
+      idCol, textCol, window)
+
+  /** [[trimDuplicatedSpans]] over a pre-built (possibly persisted)
+    * flags frame — see [[duplicatedSpanFlags]]. `window` must match
+    * the flags build (it sizes the covered-token expansion). */
+  def trimDuplicatedSpansFrom(docs: DataFrame, flags: DataFrame,
+                              idCol: String, textCol: String,
+                              window: Int): DataFrame = {
+    val covered = flags
       .filter(col("__dup"))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (window - 1))).as("tok_idx"))
@@ -1222,13 +1283,38 @@ object Dedup {
     * pair instead of once per id pair. Output: `(__ra, __rb, cos_sim)`
     * with `__ra < __rb`. Still the declared correctness oracle (O(c²)
     * over DISTINCT embeddings); the scale path routes class reps
-    * through [[signLshBandBuckets]] instead. */
-  def cosineClassPairs(classes: DataFrame, threshold: Double): DataFrame = {
+    * through [[signLshBandBuckets]] instead.
+    *
+    * Broadcast guard: on a twin-heavy corpus the class table is tiny
+    * and a broadcast nested-loop is the right plan, but on a
+    * DISTINCT-heavy corpus (c ≈ n — the real 100 TB shape) the
+    * unguarded `broadcast(b)` ships every distinct embedding to every
+    * task and fails outright at driver/broadcast limits long before
+    * the O(c²) compute does. Above `maxBroadcastClasses` the emitter
+    * falls back to a partitioned cartesian (`CartesianProductExec`,
+    * small side re-bucketed so task count stays ~parallelism²) — the
+    * same pair multiset, no broadcast, still O(c²) compute BY DESIGN:
+    * this is the declared oracle, not the scale route. The class-count
+    * action is cheap (callers hand in the persisted `classes` frame)
+    * and must run BEFORE [[releaseAfterUse]] is registered on it. */
+  def cosineClassPairs(classes: DataFrame, threshold: Double,
+                       maxBroadcastClasses: Long = 500000L): DataFrame = {
+    val par = classes.sparkSession.sparkContext.defaultParallelism
     val a = classes
-      .repartition(classes.sparkSession.sparkContext.defaultParallelism)
+      .repartition(par)
       .select(col("__rep").as("__ra"), col("__emb").as("__ea"))
     val b = classes.select(col("__rep").as("__rb"), col("__emb").as("__eb"))
-    a.crossJoin(broadcast(b))
+    val nClasses = classes.count()
+    val crossed =
+      if (nClasses <= maxBroadcastClasses) a.crossJoin(broadcast(b))
+      else {
+        // ~par² tasks of c/par × c/par pairs each — balanced without
+        // ever holding more than one b-bucket per task in memory
+        val bBuckets = math.max(1, math.min(par.toLong,
+          nClasses / math.max(1L, maxBroadcastClasses) + 1).toInt)
+        a.crossJoin(b.repartition(bBuckets))
+      }
+    crossed
       .filter(col("__ra") < col("__rb"))
       .withColumn("cos_sim", cosSimF32(col("__ea"), col("__eb")).cast("double"))
       .filter(col("cos_sim") >= threshold)
@@ -1252,9 +1338,43 @@ object Dedup {
   def cosineClassPairCounts(emb: DataFrame, idCol: String, embCol: String,
                             threshold: Double): DataFrame = {
     val (classes, _) = cosineClasses(emb, idCol, embCol)
+    // pairs BEFORE the release registration: cosineClassPairs counts
+    // the classes (its broadcast guard), and that action must not be
+    // the one that frees the cache
+    val pairs = cosineClassPairs(classes, threshold)
     releaseAfterUse(classes)
-    cosineClassPairCountsFrom(classes,
-      cosineClassPairs(classes, threshold), threshold)
+    cosineClassPairCountsFrom(classes, pairs, threshold)
+  }
+
+  /** THE class-pair multiplicity contract, in one place: given a
+    * classing `classes` (`__rep` = class rep id, `__k` = member count,
+    * any extra columns pass through to `sameClassGuard`) and an
+    * already-verified CROSS-class rep-pair frame `repPairs`
+    * (`id_a, id_b, <valueCol>`), emit one row per qualifying class
+    * pair — cross rows carry the verified value and
+    * `n_pairs = ka·kb`; `id_a == id_b` rows mark same-class groups
+    * (value 1.0 BY DEFINITION of identity, `n_pairs = C(k, 2)`,
+    * qualifying at any threshold ≤ 1 when `sameClassGuard` holds).
+    * Shared by the cosine family ([[cosineClassPairCountsFrom]], guard
+    * = non-zero embedding) and the text families (minhash gate, guard
+    * = always — jaccard(x, x) is 1.0 even for empty texts). Every
+    * blockless class-collapsed gate digests THESE rows; the oracle
+    * re-derives classes from the raw corpus and replays the assembly. */
+  def classPairCountsFromReps(classes: DataFrame, repPairs: DataFrame,
+                              valueCol: String, threshold: Double,
+                              sameClassGuard: Column = lit(true)): DataFrame = {
+    val cross = repPairs
+      .join(classes.select(col("__rep").as("id_a"), col("__k").as("__ka")),
+        Seq("id_a"))
+      .join(classes.select(col("__rep").as("id_b"), col("__k").as("__kb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col(valueCol),
+        (col("__ka") * col("__kb")).as("n_pairs"))
+    val same = classes
+      .filter(sameClassGuard && col("__k") >= 2 && lit(1.0) >= threshold)
+      .select(col("__rep").as("id_a"), col("__rep").as("id_b"),
+        lit(1.0).as(valueCol), expr("__k * (__k - 1) div 2").as("n_pairs"))
+    cross.unionByName(same)
   }
 
   /** Multiplicity rows from an ALREADY-VERIFIED cross-class pair frame
@@ -1264,20 +1384,11 @@ object Dedup {
     * rows are appended by DEFINITION (identical non-zero embeddings,
     * 1.0, C(k, 2)) — they do not depend on the cross route. */
   def cosineClassPairCountsFrom(classes: DataFrame, repPairs: DataFrame,
-                                threshold: Double): DataFrame = {
-    val cross = repPairs
-      .join(classes.select(col("__rep").as("__ra"), col("__k").as("__ka")),
-        Seq("__ra"))
-      .join(classes.select(col("__rep").as("__rb"), col("__k").as("__kb")),
-        Seq("__rb"))
-      .select(col("__ra").as("id_a"), col("__rb").as("id_b"), col("cos_sim"),
-        (col("__ka") * col("__kb")).as("n_pairs"))
-    val same = classes
-      .filter(col("__nz") && col("__k") >= 2 && lit(1.0) >= threshold)
-      .select(col("__rep").as("id_a"), col("__rep").as("id_b"),
-        lit(1.0).as("cos_sim"), expr("__k * (__k - 1) div 2").as("n_pairs"))
-    cross.unionByName(same)
-  }
+                                threshold: Double): DataFrame =
+    classPairCountsFromReps(classes,
+      repPairs.select(col("__ra").as("id_a"), col("__rb").as("id_b"),
+        col("cos_sim")),
+      "cos_sim", threshold, sameClassGuard = col("__nz"))
 
   /** Expand a verified CLASS-pair edge set to the id-level component
     * labeling — `(node_id, component)` with component = min member id,

@@ -611,19 +611,25 @@ object AnnQueries {
     * pre-builds it so each timed window measures the consumer, not a
     * second copy of the shared build — at 100× the two gates each
     * paid the identical ~60 s construction (SCALEBENCH r12). */
-  def refinedGraphPath(s: SparkSession, dir: String): String =
-    // the -v1 suffix is the algorithm VERSION (the hnsw-…-v2 rule):
-    // bump it whenever knnGraphRefined's construction changes, or a
-    // warm machine serves a stale /tmp artifact to two correctness
-    // gates
-    BuildOnce.cached("refined-graph-p3r1w20-v1",
+  def refinedGraphPath(s: SparkSession, dir: String): String = {
+    // the key interpolates the CONSTRUCTION PARAMS and the algorithm
+    // version constant owned next to knnGraphRefined itself — a
+    // construction change (or a param edit here) mints a fresh /tmp
+    // artifact instead of serving a stale one to two correctness
+    // gates on warm machines (r12 used a hand-bumped suffix; the
+    // advisor rightly flagged the forget-to-bump failure mode)
+    val (k, probes, rounds, workK) = (20, 3, 1, 20)
+    BuildOnce.cached(
+        s"refined-graph-k$k-p$probes-r$rounds-w$workK" +
+          s"-algo${graft.operators.Ann.KnnGraphRefinedAlgoVersion}",
         new java.io.File(s"$dir/embeddings.parquet"))(
         p => s"$p/graph.parquet/_SUCCESS") { p =>
       graft.operators.Ann.knnGraphRefined(
           ModelQueries.semdedupIndex(s, dir),
-          k = 20, probes = 3, refineRounds = 1, workK = 20)
+          k = k, probes = probes, refineRounds = rounds, workK = workK)
         .write.mode("overwrite").parquet(s"$p/graph.parquet")
     }
+  }
 
   /** The persisted index's on-disk path (built if absent) — the single
     * owner of the cache-key/naming recipe, so serving-path callers

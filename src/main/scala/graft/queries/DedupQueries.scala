@@ -203,16 +203,17 @@ object DedupQueries {
     // leading text stays unique. Linear everywhere: no doc pair ever
     // materializes (the shared span is ONE frequency row).
     "dedup_spans_profile" -> { (s, dir) =>
-      Dedup.duplicatedSpanProfile(spanFixture(s, dir), "doc_id", "text",
-          window = 8)
+      Dedup.duplicatedSpanProfileFrom(spanFixture(s, dir),
+          s.read.parquet(s"${spanFlagsPath(s, dir)}/flags.parquet"), "doc_id")
         .orderBy(col("doc_id"))
     },
     // the APPLY step: delete tokens covered by non-canonical repeated
     // spans; the globally-first copy of the boilerplate survives in
     // exactly one document
     "dedup_spans_trim" -> { (s, dir) =>
-      Dedup.trimDuplicatedSpans(spanFixture(s, dir), "doc_id", "text",
-          window = 8)
+      Dedup.trimDuplicatedSpansFrom(spanFixture(s, dir),
+          s.read.parquet(s"${spanFlagsPath(s, dir)}/flags.parquet"),
+          "doc_id", "text", window = 8)
         .orderBy(col("doc_id"))
     },
     // dedup APPLY, quality-chosen canonical: each component keeps its
@@ -243,28 +244,27 @@ object DedupQueries {
     "dedup_minhash_lsh" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val cls = docs.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("__k"))
+        .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__k"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val reps = cls.select(col("doc_id"), col("text"))
+      val reps = cls.select(col("__rep").as("doc_id"), col("text"))
       val bandRows = Handoff.publish(
         Dedup.minHashBandRows(reps, "doc_id", "text",
           numHashes = 128, bands = 32, shingle = 3),
         MinhashHandoff)
+      // reps hold one row per DISTINCT text by construction, so the
+      // verify's internal re-classing was an identity transform (~4
+      // redundant exchanges — r12 deferred finding): take the
+      // distinct-texts fast path, then assemble multiplicities with
+      // the ONE shared class-pair builder (the cosine family's).
       val repPairs = Dedup.minHashVerifyPairs(bandRows, reps,
-        "doc_id", "text", shingle = 3, threshold = 0.7)
-      val cnt = cls.select(col("doc_id").as("__r"), col("__k"))
-      val cross = repPairs
-        .join(cnt.select(col("__r").as("id_a"), col("__k").as("__ka")),
-          Seq("id_a"))
-        .join(cnt.select(col("__r").as("id_b"), col("__k").as("__kb")),
-          Seq("id_b"))
-        .select(col("id_a"), col("id_b"), col("jaccard"),
-          (col("__ka") * col("__kb")).as("n_pairs"))
-      val same = cls.filter(col("__k") >= 2)
-        .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"),
-          lit(1.0).as("jaccard"), expr("__k * (__k - 1) div 2").as("n_pairs"))
+        "doc_id", "text", shingle = 3, threshold = 0.7,
+        textsAreDistinct = true)
+      val out = classPairDigest(
+        Dedup.classPairCountsFromReps(cls.select(col("__rep"), col("__k")),
+          repPairs, "jaccard", threshold = 0.7),
+        "jaccard")
       Dedup.releaseAfterUse(cls)
-      classPairDigest(cross.unionByName(same), "jaccard")
+      out
     },
     // SimHash near-dup (Hamming <= 3 of 64 bits). The 64-bit
     // signatures are the handoff; pigeonhole chunking, pair join, and
@@ -278,6 +278,24 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }
   )
+
+  /** Build-once persisted span-dup flags frame over the span fixture
+    * (window=8) — ONE window-concat + md5 + frequency build shared by
+    * both span gates: `dedup_spans_profile` aggregates it,
+    * `dedup_spans_trim` expands only its `__dup` rows (the refined-
+    * graph shared-build recipe; at 100× each gate re-paid the same
+    * ~55 s fingerprint pass — SCALEBENCH r12). Bench warms it like
+    * every persisted index. The key interpolates the window and the
+    * algorithm version constant owned next to the builder. */
+  private[graft] def spanFlagsPath(s: SparkSession, dir: String): String =
+    BuildOnce.cached(
+        s"span-flags-w8-algo${Dedup.DuplicatedSpanAlgoVersion}",
+        new java.io.File(s"$dir/documents.parquet"))(
+        p => s"$p/flags.parquet/_SUCCESS") { p =>
+      Dedup.duplicatedSpanFlags(spanFixture(s, dir), "doc_id", "text",
+          window = 8)
+        .write.mode("overwrite").parquet(s"$p/flags.parquet")
+    }
 
   /** Spark↔oracle handoff files for the LSH gates (absolute paths
     * shared by both engines — the pack_bpe verify-THROUGH pattern). */

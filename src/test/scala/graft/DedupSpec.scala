@@ -326,6 +326,36 @@ class DedupSpec extends SparkSpec {
     assert(t(4L) === ((5L, 5L, "")))
   }
 
+  test("span gates' persisted-flags route == direct route (parquet round-trip)") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "x a b c d y"), (3L, "a b"), (4L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("spanflags").toFile
+    try {
+      val p = s"${tmp.getAbsolutePath}/flags.parquet"
+      Dedup.duplicatedSpanFlags(docs, "doc_id", "text", window = 3)
+        .write.mode("overwrite").parquet(p)
+      val flags = spark.read.parquet(p)
+      val profDirect = Dedup.duplicatedSpanProfile(docs, "doc_id", "text", 3)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val profFrom = Dedup.duplicatedSpanProfileFrom(docs, flags, "doc_id")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(profFrom === profDirect)
+      val trimDirect = Dedup.trimDuplicatedSpans(docs, "doc_id", "text", 3)
+        .as[(Long, Long, Long, String)].collect().toSet
+      val trimFrom = Dedup.trimDuplicatedSpansFrom(docs, flags,
+          "doc_id", "text", 3)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(trimFrom === trimDirect)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("duplicated spans: no corpus without repeats is ever modified") {
     val docs = Seq((1L, "one two three four"), (2L, "five six seven eight"))
       .toDF("doc_id", "text")
@@ -422,6 +452,22 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 3L))
   }
 
+  test("cosineClassPairs broadcast guard: cartesian fallback == broadcast route") {
+    val (classes, _) = Dedup.cosineClasses(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    try {
+      val viaBroadcast = Dedup.cosineClassPairs(classes, 0.45)
+        .as[(Long, Long, Double)].collect().toSet
+      // maxBroadcastClasses=1 forces the non-broadcast CartesianProduct
+      // path on every corpus — the guard must change the PLAN only
+      val viaCartesian = Dedup.cosineClassPairs(classes, 0.45,
+          maxBroadcastClasses = 1L)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaCartesian === viaBroadcast)
+      assert(viaBroadcast.nonEmpty)
+    } finally classes.unpersist()
+  }
+
   test("incremental class-pair counts == id-level incremental aggregated") {
     // twin-replicate documents 2x (shift a multiple of 10 keeps the
     // %10 newness of every twin aligned with its original)
@@ -431,6 +477,10 @@ class DedupSpec extends SparkSpec {
       .reduce(_ unionByName _)
     val newD = twins.where($"doc_id" % 10 === 0)
     val corp = twins.where($"doc_id" % 10 =!= 0)
+    // the documented PRECONDITION of jaccardClassPairCountsIncremental:
+    // increment and corpus are id-disjoint (overlap would silently
+    // double-count memberships and pair multiplicities)
+    assert(newD.join(corp, Seq("doc_id"), "inner").isEmpty)
     val idPairs = Dedup.jaccardPairsPrefixIncremental(newD, corp,
         "doc_id", "text", "lang", 0.8)
       .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
@@ -466,26 +516,29 @@ class DedupSpec extends SparkSpec {
       Dedup.minHashBandRows(twins, "doc_id", "text", 128, 32, 3),
       twins, "doc_id", "text", shingle = 3, threshold = 0.7)
     val nId = idPairs.count()
-    // class route: reps through the same signatures + multiplicities
+    // class route — the GATE shape: distinct-reps fast path through
+    // the signatures + the shared class-pair multiplicity builder
     val cls = twins.groupBy($"text")
-      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("__k"))
+      .agg(min($"doc_id").as("__rep"), count(lit(1)).as("__k"))
       .persist()
     try {
-      val reps = cls.select($"doc_id", $"text")
+      val reps = cls.select($"__rep".as("doc_id"), $"text")
       val repPairs = Dedup.minHashVerifyPairs(
         Dedup.minHashBandRows(reps, "doc_id", "text", 128, 32, 3),
-        reps, "doc_id", "text", shingle = 3, threshold = 0.7)
-      val cnt = cls.select($"doc_id".as("__r"), $"__k")
-      val crossN = repPairs
-        .join(cnt.select($"__r".as("id_a"), $"__k".as("__ka")), Seq("id_a"))
-        .join(cnt.select($"__r".as("id_b"), $"__k".as("__kb")), Seq("id_b"))
-        .agg(coalesce(sum($"__ka" * $"__kb"), lit(0L))).as[Long].head()
-      val sameN = cls.filter($"__k" >= 2)
-        .agg(coalesce(sum(expr("__k * (__k - 1) div 2")), lit(0L)))
-        .as[Long].head()
-      assert(crossN + sameN === nId,
-        s"class multiplicities ($crossN cross + $sameN same) must cover " +
-          s"the id-level pair count ($nId)")
+        reps, "doc_id", "text", shingle = 3, threshold = 0.7,
+        textsAreDistinct = true)
+      // the fast path must equal the classed path on distinct texts
+      val viaClassed = Dedup.minHashVerifyPairs(
+          Dedup.minHashBandRows(reps, "doc_id", "text", 128, 32, 3),
+          reps, "doc_id", "text", shingle = 3, threshold = 0.7)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(repPairs.as[(Long, Long, Double)].collect().toSet === viaClassed)
+      val total = Dedup.classPairCountsFromReps(
+          cls.select($"__rep", $"__k"), repPairs, "jaccard", 0.7)
+        .agg(coalesce(sum($"n_pairs"), lit(0L))).as[Long].head()
+      assert(total === nId,
+        s"class multiplicities ($total) must cover the id-level pair " +
+          s"count ($nId)")
       assert(nId > 0)
     } finally cls.unpersist()
   }

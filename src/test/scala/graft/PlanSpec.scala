@@ -317,6 +317,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("minhash gate verify: distinct-reps fast path leaves no re-classing in the plan") {
+    // the r12 deferred finding: the gate fed already-distinct rep
+    // texts into minHashVerifyPairs' internal text-classing — an
+    // identity transform costing ~4 exchanges (class groupBy, id→rep
+    // join pair, rep-pair distinct). The fast path must keep the
+    // classing's private columns (__ctext / __tid / __pra) out of the
+    // physical plan entirely; the gate's ONE legitimate text groupBy
+    // (its own class collapse) uses different names.
+    sys.props("graft.bench.mode") = "true" // skip the handoff write
+    try {
+      val p = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      Seq("__ctext", "__tid", "__pra").foreach { c =>
+        assert(!p.contains(c),
+          s"internal classing column $c found in the fast-path plan:\n$p")
+      }
+    } finally sys.props.remove("graft.bench.mode")
+  }
+
   test("retriever factory (E1) returns a curried query function") {
     val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(50)
     val store = ChunkStore.dualWrite(
