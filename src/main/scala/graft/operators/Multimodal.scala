@@ -92,6 +92,45 @@ object Multimodal {
   /** Encode PCM16 mono samples as a WAV payload through the JDK's own
     * RIFF/WAVE writer (`javax.sound.sampled` ships with the JRE — the
     * codec-availability probe that kept audio stubbed missed it). */
+  // The JDK's RIFF/WAVE codec, resolved ONCE per JVM via the public
+  // SPI: every AudioSystem.getAudioInputStream/write call routes
+  // through JDK13Services.getProviders — a synchronized static that
+  // re-scans the ServiceLoader — which SERIALIZES all executor
+  // threads (measured on this JRE, AudioKernelProbe: encode+decode of
+  // 20k clips takes 3.7 s on 32 threads vs 2.5 s on one — negative
+  // scaling; the r12 100× audio pair spent ~220 s mostly queued on
+  // that lock). Calling the resolved provider directly is the SAME
+  // real codec minus the global lock; provider instances are
+  // stateless (each call builds fresh streams). AudioSystem stays the
+  // fallback if the SPI lists nothing.
+  private lazy val wavReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var out = List.empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) out = it.next() :: out
+    // WAVE-capable readers FIRST: the JRE's SPI order is (Aiff, Au,
+    // SoftMidi, Wave, …) and each miss costs an exception fill-in —
+    // and the SoftMidi reader re-enters the synchronized MidiSystem
+    // provider registry, which re-serializes all threads (measured:
+    // 20k decodes 1.6 s via the trial loop vs 0.04 s straight to
+    // WaveFileReader at 32 threads). This function decodes RIFF/WAVE
+    // by contract, so Wave-first is semantics-neutral.
+    val (wave, rest) = out.reverse.partition(
+      _.getClass.getSimpleName.startsWith("Wave"))
+    wave ++ rest
+  }
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: Option[javax.sound.sampled.spi.AudioFileWriter] = None
+    while (found.isEmpty && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        found = Some(w)
+    }
+    found
+  }
+
   def encodeWavPcm16(samples: Array[Int], sampleRate: Int = AudioSampleRate): Array[Byte] = {
     val bytes = new Array[Byte](samples.length * 2)
     var i = 0
@@ -105,8 +144,13 @@ object Multimodal {
     val in = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(in,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    wavWriter match {
+      case Some(w) =>
+        w.write(in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      case None =>
+        javax.sound.sampled.AudioSystem.write(in,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    }
     out.toByteArray
   }
 
@@ -115,8 +159,23 @@ object Multimodal {
     * AIFF PCM decode ships with the JRE; compressed codecs (mp3/ogg/
     * aac) genuinely do not exist in this container and stay stubbed. */
   def decodeWavPcm16(payload: Array[Byte]): (Int, Int, Array[Int]) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    // mimic AudioSystem's provider loop over the ONE pre-resolved SPI
+    // list (lock-free, see wavReaders); fall back to AudioSystem only
+    // when the SPI lists no readers at all
+    def viaProviders: javax.sound.sampled.AudioInputStream = {
+      var rs = wavReaders
+      while (rs.nonEmpty) {
+        try return rs.head.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+        rs = rs.tail
+      }
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+    }
+    val ais = viaProviders
     val fmt = ais.getFormat
     require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         && fmt.getSampleSizeInBits == 16,
