@@ -152,26 +152,77 @@ object Pq {
     best
   }
 
+  // --------- row kernels shared by the batch UDFs and the serving probe
+  // (the Sq.sq8Codes discipline: batch and serve call the SAME code so
+  // they cannot fork)
+
+  /** One row's PQ code: residual against `cent`, each subvector to its
+    * nearest codebook entry. */
+  private[graft] def encodeRow(model: PqModel, cent: Array[Float],
+                               v: Array[Float]): Array[Byte] = {
+    require(v.length == model.m * model.subDim,
+      s"encode: vector dim ${v.length} != model dim ${model.m * model.subDim}")
+    val code = new Array[Byte](model.m)
+    var s = 0
+    while (s < model.m) {
+      val sub = Array.tabulate(model.subDim)(d =>
+        v(s * model.subDim + d) - cent(s * model.subDim + d))
+      code(s) = nearest(sub, model.codebooks(s)).toByte
+      s += 1
+    }
+    code
+  }
+
+  /** Per-cluster ADC lookup table for a query:
+    * `lut(s·k + j) = ||q_res_sub(s) − codebook(s)(j)||²` (f32). */
+  private[graft] def lutFor(model: PqModel, cent: Array[Float],
+                            q: Array[Float]): Array[Float] = {
+    val lut = new Array[Float](model.m * model.k)
+    var s = 0
+    while (s < model.m) {
+      val qSub = Array.tabulate(model.subDim)(d =>
+        q(s * model.subDim + d) - cent(s * model.subDim + d))
+      var j = 0
+      while (j < model.k) {
+        lut(s * model.k + j) = l2(qSub, model.codebooks(s)(j)); j += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** ADC distance of one code against a LUT (f32 accumulation in code
+    * order — the batch UDF's arithmetic exactly). */
+  private[graft] def adcRow(model: PqModel, lut: Array[Float],
+                            code: Array[Byte]): Float = {
+    var acc = 0.0f
+    var s = 0
+    while (s < code.length) { acc += lut(s * model.k + (code(s) & 0xff)); s += 1 }
+    acc
+  }
+
+  /** [[adcCandidates]]' probe ranking: RAW SQUARED f32 distance
+    * (deliberately not the sqrt-rounded [[Ann.rankProbes]] — squared
+    * never merges two distinct distances, so it is at least as
+    * discriminating; kept separate because changing either would
+    * silently re-rank existing gates), ties to the lower cluster id.
+    * Shared with the serving probe so probe sets cannot fork. */
+  private[graft] def rankProbesSq(centroids: Array[Array[Float]],
+                                  q: Array[Float], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      require(c.length == q.length,
+        s"searchIvfPq: query dim ${q.length} != centroid dim ${c.length}")
+      (i, l2(c, q))
+    }.sortBy { case (i, dist) => (dist, i) }.take(nprobe).map(_._1).toSeq
+
   /** Encode an IVF-assigned corpus: one `m`-byte code per row
     * (residual-quantized). Output keeps (id, cluster, embedding, code)
     * — at scale the code table is what you persist per cluster; the
     * embedding column stays in cold storage for the rerank fetch. */
   def encode(index: Ann.IvfIndex, model: PqModel): DataFrame = {
     val cents = index.centroids
-    val cbs = model.codebooks
-    val subDim = model.subDim
     val encUdf = udf { (v: Seq[Float], c: Int) =>
-      require(v.length == cbs.length * subDim,
-        s"encode: vector dim ${v.length} != model dim ${cbs.length * subDim}")
-      val cent = cents(c)
-      val code = new Array[Byte](cbs.length)
-      var s = 0
-      while (s < cbs.length) {
-        val sub = Array.tabulate(subDim)(d => v(s * subDim + d) - cent(s * subDim + d))
-        code(s) = nearest(sub, cbs(s)).toByte
-        s += 1
-      }
-      code
+      encodeRow(model, cents(c), v.toArray)
     }
     index.assigned.withColumn("pq_code",
       encUdf(col(index.embCol), col("ivf_cluster")))
@@ -214,31 +265,12 @@ object Pq {
                     refine: Int = 4): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     val q = queryVec.toArray
-    val ranked = index.centroids.zipWithIndex.map { case (c, i) =>
-      require(c.length == q.length,
-        s"searchIvfPq: query dim ${q.length} != centroid dim ${c.length}")
-      (i, l2(c, q))
-    }.sortBy { case (i, dist) => (dist, i) }
-    val probes = ranked.take(nprobe).map(_._1)
+    val probes = rankProbesSq(index.centroids, q, nprobe)
     // per-probed-cluster ADC tables: lut(c)(s*k + j) = ||q_res_sub - cb||²
-    val luts: Map[Int, Array[Float]] = probes.map { c =>
-      val cent = index.centroids(c)
-      val lut = new Array[Float](model.m * model.k)
-      var s = 0
-      while (s < model.m) {
-        val qSub = Array.tabulate(model.subDim)(d => q(s * model.subDim + d) - cent(s * model.subDim + d))
-        var j = 0
-        while (j < model.k) { lut(s * model.k + j) = l2(qSub, model.codebooks(s)(j)); j += 1 }
-        s += 1
-      }
-      c -> lut
-    }.toMap
+    val luts: Map[Int, Array[Float]] =
+      probes.map(c => c -> lutFor(model, index.centroids(c), q)).toMap
     val adcUdf = udf { (c: Int, code: Array[Byte]) =>
-      val lut = luts(c)
-      var acc = 0.0f
-      var s = 0
-      while (s < code.length) { acc += lut(s * model.k + (code(s) & 0xff)); s += 1 }
-      acc
+      adcRow(model, luts(c), code)
     }
     encoded
       .filter(col("ivf_cluster").isin(probes.toIndexedSeq: _*))

@@ -290,6 +290,130 @@ object Serving {
       .take(k).toSeq
   }
 
+  /** One hit of [[searchIvfPq]]. */
+  final case class PqHit(vecId: Long, label: Int, cluster: Int,
+                         adcDist: Double, dist: Double)
+
+  /** Single-query IVF-PQ ANN from a [[graft.operators.Ann.saveIvf]]
+    * layout, no Spark — the serving form of the IVFADC shape
+    * (`ann_ivfpq`): rank probes with PQ's OWN squared-distance kernel
+    * ([[graft.operators.Pq.rankProbesSq]] — shared, so probe sets
+    * cannot fork), encode the probed rows and build the per-cluster
+    * ADC tables with the same row kernels the batch UDFs call
+    * ([[graft.operators.Pq.encodeRow]]/`lutFor`/`adcRow`), keep the
+    * `refine·k` best by (adc asc, id), then exact-f32-L2 rerank to k
+    * in [[graft.operators.Pq.rerank]]'s (dist, id) order —
+    * hit-for-hit parity with the batch operator spec-pinned. The
+    * `model` is the server's resident codebook state (kilobytes); a
+    * production layout stores `pq_code` next to `ivf_cluster` at
+    * ingest (the batch scaladoc's contract) and this probe would read
+    * m bytes/row. */
+  def searchIvfPq(indexDir: String, model: graft.operators.Pq.PqModel,
+                  query: Array[Float], k: Int, nprobe: Int,
+                  refine: Int = 4,
+                  conf: Configuration = defaultConf,
+                  cache: IndexCache = noCache): Seq[PqHit] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val base = indexDir.stripSuffix("/")
+    val cents = loadCentroids(conf, cache, base).sortBy(_._1)
+    val centArr = cents.map(_._2).toArray
+    val probes = graft.operators.Pq.rankProbesSq(centArr, query, nprobe)
+    val cands = mutable.ArrayBuffer.empty[(Long, Int, Int, Float, Array[Float])]
+    probes.foreach { c =>
+      val lut = graft.operators.Pq.lutFor(model, centArr(c), query)
+      loadClusterVecs(conf, cache, base, c).foreach { case (id, label, v) =>
+        val code = graft.operators.Pq.encodeRow(model, centArr(c), v)
+        cands += ((id, label, c,
+          graft.operators.Pq.adcRow(model, lut, code), v))
+      }
+    }
+    cands.sortBy { case (id, _, _, adc, _) => (adc, id) }
+      .take(refine * k)
+      .map { case (id, label, c, adc, v) =>
+        // the Pq.rerank kernel: f32 accumulation, double-rounded sqrt
+        var acc = 0.0f; var d = 0
+        while (d < v.length) { val x = v(d) - query(d); acc += x * x; d += 1 }
+        PqHit(id, label, c, adc.toDouble,
+          math.sqrt(acc.toDouble).toFloat.toDouble)
+      }
+      .sortBy(h => (h.dist, h.vecId))
+      .take(k).toSeq
+  }
+
+  /** One hit of [[searchBq]] / [[searchIvfBq]]. */
+  final case class BqHit(vecId: Long, label: Int, cluster: Int,
+                         adotFp: Long, cosSim: Double)
+
+  /** Single-query BQ ANN from a [[graft.operators.Ann.saveIvf]]
+    * layout, no Spark — the serving form of `ann_bq`'s two-phase
+    * code-scan over the persisted corpus (every cluster directory —
+    * BQ's global form scans all codes; [[searchIvfBq]] is the pruned
+    * shape). Codes and the fixed-point query ride the ONE shared
+    * kernel set ([[graft.operators.Bq.bqCodes]]/`qFixedPoint`/
+    * `adotFp` — the sign quantization is stateless, per the batch
+    * scaladoc a production table stores `bq_code` at ingest), the
+    * `rerank` cut is (adot_fp desc, id) and the final exact-f32-cosine
+    * rerank uses [[graft.operators.PartitionedTopK.compareSimDesc]] —
+    * hit-for-hit parity with [[graft.operators.Bq.searchBq]]
+    * spec-pinned. */
+  def searchBq(indexDir: String, query: Array[Float], k: Int, rerank: Int,
+               conf: Configuration = defaultConf,
+               cache: IndexCache = noCache): Seq[BqHit] = {
+    val base = indexDir.stripSuffix("/")
+    val all = loadCentroids(conf, cache, base).map(_._1).sorted
+    bqOverClusters(base, all, query, k, rerank, conf, cache)
+  }
+
+  /** Single-query IVF+BQ ANN — the serving form of `ann_ivf_bq`:
+    * coarse probes ranked exactly as [[searchIvf]] (the
+    * [[graft.operators.Ann.rankProbes]] contract via
+    * [[rankProbesLocal]]), then [[searchBq]]'s two-phase code scan
+    * over only the probed cluster directories — hit-for-hit parity
+    * with [[graft.operators.Bq.searchIvfBq]] spec-pinned. */
+  def searchIvfBq(indexDir: String, query: Array[Float], k: Int,
+                  rerank: Int, nprobe: Int,
+                  conf: Configuration = defaultConf,
+                  cache: IndexCache = noCache): Seq[BqHit] = {
+    val base = indexDir.stripSuffix("/")
+    val cents = loadCentroids(conf, cache, base)
+    val probes = rankProbesLocal(cents, query, nprobe)
+    bqOverClusters(base, probes, query, k, rerank, conf, cache)
+  }
+
+  /** Shared two-phase BQ scan of [[searchBq]]/[[searchIvfBq]]. */
+  private def bqOverClusters(base: String, clusters: Seq[Int],
+                             query: Array[Float], k: Int, rerank: Int,
+                             conf: Configuration,
+                             cache: IndexCache): Seq[BqHit] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val qfp = graft.operators.Bq.qFixedPoint(query)
+    val cands = mutable.ArrayBuffer.empty[(Long, Int, Int, Long, Array[Float])]
+    clusters.foreach { c =>
+      loadClusterVecs(conf, cache, base, c).foreach { case (id, label, v) =>
+        cands += ((id, label, c,
+          graft.operators.Bq.adotFp(graft.operators.Bq.bqCodes(v), qfp), v))
+      }
+    }
+    // phase-1 cut: (adot_fp desc, id asc) — bqCandidates' TakeOrdered
+    cands.sortWith { case ((ia, _, _, da, _), (ib, _, _, db, _)) =>
+      da > db || (da == db && ia < ib)
+    }
+      .take(rerank)
+      .map { case (id, label, c, dot, v) =>
+        BqHit(id, label, c, dot,
+          graft.operators.Rerank.cosSimLocal(v, query).toDouble)
+      }
+      // phase-2 rerank: Spark's (cos_sim desc, id) via the ONE shared
+      // comparator (NaN first like desc, ±0.0 equal so the id decides)
+      .sortWith { (a, b) =>
+        val cc = graft.operators.PartitionedTopK.compareSimDesc(a.cosSim, b.cosSim)
+        cc < 0 || (cc == 0 && a.vecId < b.vecId)
+      }
+      .take(k).toSeq
+  }
+
   /** One diversified pick of [[mmrIvf]]. */
   final case class MmrHit(vecId: Long, rank: Long, score: Double)
 

@@ -36,6 +36,69 @@ class ServingSpec extends SparkSpec {
     assert(viaServing === viaSpark)
   }
 
+  test("IVF-PQ serving probe == Spark searchIvfPq, hit for hit, zero Spark jobs") {
+    import graft.operators.Pq
+    val path = ivfPath
+    val index = Ann.loadIvf(spark, path)
+    val model = Pq.train(Pq.residuals(index), "residual", m = 8, k = 16)
+    val encoded = Pq.encode(index, model)
+    val q = VectorQueries.qvec(spark, sfDir, 2)
+    for (nprobe <- Seq(4, 16)) {
+      val viaSpark = Pq.searchIvfPq(encoded, index, model, q,
+          k = 8, nprobe = nprobe, refine = 4)
+        .select($"vec_id", $"adc_dist", $"dist")
+        .as[(Long, Double, Double)].collect().toSeq
+      val cache = Serving.newCache()
+      Serving.searchIvfPq(path, model, q.toArray, 8, nprobe, cache = cache) // warm
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val viaServing = Serving.searchIvfPq(path, model, q.toArray, 8, nprobe,
+          cache = cache)
+        .map(h => (h.vecId, h.adcDist, h.dist))
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(jobsAfter === jobsBefore, "PQ probe must not launch Spark jobs")
+      assert(viaServing === viaSpark, s"nprobe=$nprobe")
+    }
+    intercept[IllegalArgumentException](
+      Serving.searchIvfPq(path, model,
+        VectorQueries.qvec(spark, sfDir, 2).toArray, 8, 4, refine = 0))
+  }
+
+  test("BQ + IVF-BQ serving probes == Spark searchBq/searchIvfBq, hit for hit, zero Spark jobs") {
+    import graft.operators.Bq
+    val path = ivfPath
+    val index = Ann.loadIvf(spark, path)
+    val q = VectorQueries.qvec(spark, sfDir, 1)
+    // global form: the batch scan over the whole persisted corpus
+    val viaSparkGlobal = Bq.searchBq(Bq.quantize(index.assigned), q,
+        k = 8, rerank = 48)
+      .select($"vec_id", $"label", $"ivf_cluster".cast("int"),
+        $"adot_fp", $"cos_sim")
+      .as[(Long, Int, Int, Long, Double)].collect().toSeq
+    val cache = Serving.newCache()
+    Serving.searchBq(path, q.toArray, 8, 48, cache = cache) // warm
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val viaServingGlobal = Serving.searchBq(path, q.toArray, 8, 48,
+        cache = cache)
+      .map(h => (h.vecId, h.label, h.cluster, h.adotFp, h.cosSim))
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "BQ probe must not launch Spark jobs")
+    assert(viaServingGlobal === viaSparkGlobal)
+    // pruned form: coarse probes + the same two-phase code scan
+    for (nprobe <- Seq(4, 16)) {
+      val viaSpark = Bq.searchIvfBq(index, q, k = 8, rerank = 48,
+          nprobe = nprobe)
+        .select($"vec_id", $"label", $"ivf_cluster".cast("int"),
+          $"adot_fp", $"cos_sim")
+        .as[(Long, Int, Int, Long, Double)].collect().toSeq
+      val viaServing = Serving.searchIvfBq(path, q.toArray, 8, 48, nprobe,
+          cache = cache)
+        .map(h => (h.vecId, h.label, h.cluster, h.adotFp, h.cosSim))
+      assert(viaServing === viaSpark, s"nprobe=$nprobe")
+    }
+    intercept[IllegalArgumentException](
+      Serving.searchBq(path, q.toArray, 8, rerank = 4))
+  }
+
   test("MMR serving probe (nprobe=ALL) == batchMmr, pick for pick, zero Spark jobs") {
     val path = ivfPath
     val q = VectorQueries.qvec(spark, sfDir, 0)
