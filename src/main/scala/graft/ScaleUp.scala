@@ -193,6 +193,86 @@ object VocabScaleUp {
   }
 }
 
+/** DISTINCT-HEAVY embedding scale fixture — embeddings only. Twin
+  * replication ([[ScaleUp]]) copies vectors verbatim, so identical
+  * embeddings collapse into classes and the class-collapsed cosine
+  * family measures exactly where that trick is strongest (c = 2000
+  * classes at any factor). On a real crawl corpus distinct embeddings
+  * ≈ corpus size: c ≈ n, the exact `cosineClassPairs` oracle is O(n²)
+  * again, and `dedup_apply_lsh`'s verify volume depends on true
+  * bucket collision rates. This variant replicates WITHOUT collapse:
+  * replica i shifts vec_id by i·stride AND jitters ONE hash-picked
+  * dimension by a hash-picked ±[1e-6, 1e-3] (replica 0 verbatim), so
+  * every row is a distinct class while the near-dup structure
+  * survives — the base corpus is unit-normalized and a one-dim
+  * ±1e-3 nudge moves any cosine by ≤ ~2e-3, so each base vector's
+  * replicas are mutual near-dups (cos ≈ 1−ε) and each qualifying
+  * base pair stays qualifying across replicas (flips only within
+  * 2e-3 of the threshold — the honest boundary). Exactly the shape a
+  * re-embedded crawl produces: near-duplicate pages whose embeddings
+  * differ in the last decimals, never bit-identical.
+  *
+  * Only `embeddings.parquet` is written (the cosine-dedup gates read
+  * nothing else). Correctness contract unchanged — the gates still
+  * oracle-verify at sf0.01; this fixture exists to MEASURE the
+  * exact-vs-LSH regime crossover (SCALEBENCH.md records it).
+  *
+  * Usage: runMain graft.EmbScaleUp [baseDir] [factor] [outDir]
+  */
+object EmbScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor  = if (args.length > 1) args(1).toInt else 100
+    val outDir  = if (args.length > 2) args(2) else "target/sfembdistinct-derived"
+    val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-emb-scaleup")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val embs = Tables.embeddings(spark, baseDir)
+    val m = embs.agg(max(col("vec_id").cast("long"))).head.get(0)
+    require(m != null, "EmbScaleUp: embeddings table is empty")
+    val stride = m.asInstanceOf[Long] + 1L
+
+    val rep = col("__rep").cast("long")
+    // hash streams keyed on the ORIGINAL vec_id + replica
+    val dimPick = pmod(xxhash64(col("vec_id"), rep), size(col("embedding")))
+      .cast("int")
+    // delta in ±[1e-6, 1e-3], never zero: magnitude 1..1000 scaled by
+    // 1e-6, sign from a second hash bit
+    val mag = (pmod(xxhash64(col("vec_id"), rep, lit(1L)), lit(1000L)) + 1L)
+      .cast("double") * lit(1e-6)
+    val sign = when(pmod(xxhash64(col("vec_id"), rep, lit(2L)), lit(2L)) === 0L,
+      lit(1.0)).otherwise(lit(-1.0))
+    val jittered = transform(col("embedding"),
+      (x, i) => when(i === dimPick, (x + (mag * sign)).cast("float"))
+        .otherwise(x))
+    val out = embs
+      .withColumn("__rep", explode(lit((0 until factor).toArray)))
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding")).otherwise(jittered))
+      .withColumn("vec_id", col("vec_id") + rep * lit(stride))
+      .drop("__rep")
+    out.repartition(math.max(4, factor / 8))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val stats = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .agg(count(lit(1)),
+        countDistinct(col("embedding")),
+        countDistinct(col("vec_id"))).head()
+    println(s"[emb-scaleup] factor=$factor rows=${stats.getLong(0)} " +
+      s"distinct_embeddings=${stats.getLong(1)} distinct_ids=${stats.getLong(2)}")
+    spark.stop()
+  }
+}
+
 /** Crossover measurement for the two fuzzy expansion plans over a
   * [[VocabScaleUp]] fixture: times `Fuzzy.termSearch` with
   * `qgramIndex` off (full-vocab levenshtein scan) and on (positional

@@ -184,7 +184,17 @@ case class CosineSimF32(left: Expression, right: Expression) extends VectorBinar
     // through >= threshold filters). Divergence from DuckDB only on
     // zero vectors, which unit-norm corpora never contain.
     if (na == 0.0f || nb == 0.0f) 0.0f
-    else dot / (math.sqrt(na.toDouble).toFloat * math.sqrt(nb.toDouble).toFloat)
+    else {
+      // clamp to [-1, 1]: |cos| <= 1 is a mathematical invariant the
+      // f32 rounding can violate for near-identical vectors (the
+      // sqrt(na)·sqrt(nb) product rounds low -> 1.0000001192…), and
+      // DuckDB's list_cosine_similarity clamps — measured bit-parity
+      // everywhere else, so the unclamped kernel forked the engines
+      // exactly in the near-twin zone a distinct-heavy dedup corpus
+      // lives in (r13 EmbScaleUp finding: 1401 of 23.9k pairs).
+      val r = dot / (math.sqrt(na.toDouble).toFloat * math.sqrt(nb.toDouble).toFloat)
+      if (r > 1.0f) 1.0f else if (r < -1.0f) -1.0f else r
+    }
   }
 
   override protected def loopCode(ctx: CodegenContext, a: String, b: String, target: String): String = {
@@ -195,6 +205,8 @@ case class CosineSimF32(left: Expression, right: Expression) extends VectorBinar
     val i = ctx.freshName("i")
     val x = ctx.freshName("x")
     val y = ctx.freshName("y")
+    val r = ctx.freshName("r")
+    // the [-1, 1] clamp mirrors compute() — see the comment there
     s"""
        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
        |float $dot = 0.0f; float $na = 0.0f; float $nb = 0.0f;
@@ -202,9 +214,10 @@ case class CosineSimF32(left: Expression, right: Expression) extends VectorBinar
        |  float $x = $a.getFloat($i); float $y = $b.getFloat($i);
        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |$target = ($na == 0.0f || $nb == 0.0f) ? 0.0f
+       |float $r = ($na == 0.0f || $nb == 0.0f) ? 0.0f
        |  : $dot / ((float) java.lang.Math.sqrt((double) $na)
        |            * (float) java.lang.Math.sqrt((double) $nb));
+       |$target = $r > 1.0f ? 1.0f : ($r < -1.0f ? -1.0f : $r);
      """.stripMargin
   }
 

@@ -1249,9 +1249,10 @@ object Dedup {
   // multiplicity count (gates) or a linear per-node expansion
   // (components/apply). Same-class semantics: members hold the SAME
   // bits, so their similarity is 1.0 BY DEFINITION; the engine reports
-  // lit(1.0) rather than the f32 kernel's self round-trip
-  // (cosSimF32(v, v) lands on 1.0000001192 for ~half the fixture — a
-  // sqrt(na)·sqrt(nb) rounding artifact, not a semantic). All-zero
+  // lit(1.0) without running the kernel (cheaper — and since r13's
+  // [-1, 1] clamp the kernel's self round-trip agrees exactly: the
+  // old 1.0000001192 sqrt(na)·sqrt(nb) artifact is clamped away, in
+  // bit-parity with DuckDB's own clamp). All-zero
   // classes never qualify (matching the kernel's zero-norm guard; the
   // test is exact element-wise ≠ 0, so a subnormal-only vector whose
   // squared norm underflows f32 counts as non-zero here — divergence
@@ -1332,7 +1333,8 @@ object Dedup {
     * ≤ 1). Together with class membership — which an independent oracle
     * re-derives from the raw embeddings — these rows exactly determine
     * [[cosineNearDup]]'s id-level pair multiset (same-class pairs
-    * reported at the DEFINED 1.0 rather than the kernel round-trip), so
+    * reported at the DEFINED 1.0 — which the clamped kernel's self
+    * round-trip now equals bit-for-bit), so
     * digesting them verifies the full pair set while the
     * output-quadratic id expansion never materializes. */
   def cosineClassPairCounts(emb: DataFrame, idCol: String, embCol: String,

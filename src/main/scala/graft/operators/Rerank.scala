@@ -51,7 +51,11 @@ object Rerank {
       i += 1
     }
     if (na == 0.0f || nb == 0.0f) 0.0f
-    else dot / (math.sqrt(na.toDouble).toFloat * math.sqrt(nb.toDouble).toFloat)
+    else {
+      // [-1, 1] clamp — must mirror CosineSimF32 (serve==batch parity)
+      val r = dot / (math.sqrt(na.toDouble).toFloat * math.sqrt(nb.toDouble).toFloat)
+      if (r > 1.0f) 1.0f else if (r < -1.0f) -1.0f else r
+    }
   }
 
   /** One MMR selection row. */

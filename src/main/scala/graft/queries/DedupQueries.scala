@@ -100,8 +100,9 @@ object DedupQueries {
     // member counts, and rep-level cosines from the raw embeddings, so
     // the hash still certifies the exact id-level pair multiset.
     // Same-class pairs are reported at the DEFINED similarity 1.0
-    // (identical non-zero vectors), not the f32 kernel's self
-    // round-trip — see Dedup.cosineClassPairCounts.
+    // (identical non-zero vectors) without running the kernel — the
+    // clamped kernel's self round-trip agrees bit-for-bit; see
+    // Dedup.cosineClassPairCounts.
     "dedup_cosine" -> { (s, dir) =>
       classPairDigest(
         Dedup.cosineClassPairCounts(Tables.embeddings(s, dir),

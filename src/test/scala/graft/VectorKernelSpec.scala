@@ -80,6 +80,20 @@ class VectorKernelSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("dimensions differ")), e.toString)
   }
 
+  test("cosine clamps to [-1, 1]: near-identical vectors never exceed 1 (DuckDB parity)") {
+    // unclamped f32 rounds cos(v, v') above 1 for near-twins (the
+    // sqrt(na)·sqrt(nb) product rounds low) — the r13 EmbScaleUp
+    // fixture surfaced 1401 such pairs forking the oracle digest
+    val v = Seq(0.1f, 0.3f, 0.7f, 0.011f)
+    val w = v.updated(2, 0.7000001f) // distinct near-twin
+    val df = Seq((v, v), (v, w)).toDF("a", "b")
+    val r = df.select(cosSimF32($"a", $"b").as("c")).collect()
+    assert(r(0).getFloat(0) === 1.0f)
+    assert(r(1).getFloat(0) <= 1.0f)
+    // the local serve kernel must mirror the clamp (parity specs ride it)
+    assert(graft.operators.Rerank.cosSimLocal(v.toArray, v.toArray) === 1.0f)
+  }
+
   test("cosine of a zero vector is 0, never NaN (ranking safety)") {
     val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
     val c = df.select(cosSimF32($"a", $"b").as("c")).head().getFloat(0)
