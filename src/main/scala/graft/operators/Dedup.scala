@@ -202,10 +202,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
 
-    val jacUdfD = udf((x: String, y: String) => jaccard(x, y, shingle))
     if (textsAreDistinct) {
       // distinct-texts fast path: every id IS its own class — verify
       // each candidate pair directly, no classing bookkeeping
+      val jacUdfD = udf((x: String, y: String) => jaccard(x, y, shingle))
       val t = docs.select(col(idCol), col(textCol))
       return candidates
         .join(t.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))

@@ -34,7 +34,13 @@ object Multimodal {
     var i = 0
     while (i < gray.length) { raster.setSample(i % w, i / w, 0, gray(i)); i += 1 }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    // explicit memory-cache stream: the OutputStream overload wraps in
+    // a FileCacheImageOutputStream — a TEMP FILE created+deleted per
+    // call (the audio SPI lesson's imageio twin: ~340k filesystem
+    // round-trips at the 100× fixture, all on one temp dir)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.flush()
     out.toByteArray
   }
 
@@ -50,7 +56,11 @@ object Multimodal {
   /** [[decodeGray]] plus band-0's sample bit depth — callers whose
     * math assumes 8-bit values (histogram binning) must check it. */
   def decodeGrayDepth(bytes: Array[Byte]): (Int, Int, Array[Int], Int) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // memory-cache stream for the same reason as encodePng: the bare
+    // InputStream overload spools through a per-call temp FILE
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
     require(img != null, "decodeGray: ImageIO could not decode payload")
     val w = img.getWidth; val h = img.getHeight
     val raster = img.getRaster
