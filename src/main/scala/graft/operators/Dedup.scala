@@ -1355,15 +1355,21 @@ object Dedup {
     * (`id_a, id_b, <valueCol>`), emit one row per qualifying class
     * pair — cross rows carry the verified value and
     * `n_pairs = ka·kb`; `id_a == id_b` rows mark same-class groups
-    * (value 1.0 BY DEFINITION of identity, `n_pairs = C(k, 2)`,
-    * qualifying at any threshold ≤ 1 when `sameClassGuard` holds).
-    * Shared by the cosine family ([[cosineClassPairCountsFrom]], guard
-    * = non-zero embedding) and the text families (minhash gate, guard
-    * = always — jaccard(x, x) is 1.0 even for empty texts). Every
-    * blockless class-collapsed gate digests THESE rows; the oracle
-    * re-derives classes from the raw corpus and replays the assembly. */
+    * (value = `sameClassValue` BY DEFINITION of identity — 1.0 for
+    * similarity measures, 0.0 for distances like Hamming —
+    * `n_pairs = C(k, 2)`, emitted when `sameClassQualifies` — the
+    * statically-known answer to "does an identical pair pass the
+    * family's threshold?" — and `sameClassGuard` hold). Shared by the
+    * cosine family ([[cosineClassPairCountsFrom]], guard = non-zero
+    * embedding), the text families (minhash gate, guard = always —
+    * jaccard(x, x) is 1.0 even for empty texts), and the simhash gate
+    * (identical texts at Hamming 0). Every blockless class-collapsed
+    * gate digests THESE rows; the oracle re-derives classes from the
+    * raw corpus and replays the assembly. */
   def classPairCountsFromReps(classes: DataFrame, repPairs: DataFrame,
-                              valueCol: String, threshold: Double,
+                              valueCol: String,
+                              sameClassValue: Double = 1.0,
+                              sameClassQualifies: Boolean = true,
                               sameClassGuard: Column = lit(true)): DataFrame = {
     val cross = repPairs
       .join(classes.select(col("__rep").as("id_a"), col("__k").as("__ka")),
@@ -1373,9 +1379,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col(valueCol),
         (col("__ka") * col("__kb")).as("n_pairs"))
     val same = classes
-      .filter(sameClassGuard && col("__k") >= 2 && lit(1.0) >= threshold)
+      .filter(sameClassGuard && lit(sameClassQualifies) && col("__k") >= 2)
       .select(col("__rep").as("id_a"), col("__rep").as("id_b"),
-        lit(1.0).as(valueCol), expr("__k * (__k - 1) div 2").as("n_pairs"))
+        lit(sameClassValue).as(valueCol),
+        expr("__k * (__k - 1) div 2").as("n_pairs"))
     cross.unionByName(same)
   }
 
@@ -1390,7 +1397,8 @@ object Dedup {
     classPairCountsFromReps(classes,
       repPairs.select(col("__ra").as("id_a"), col("__rb").as("id_b"),
         col("cos_sim")),
-      "cos_sim", threshold, sameClassGuard = col("__nz"))
+      "cos_sim", sameClassValue = 1.0, sameClassQualifies = 1.0 >= threshold,
+      sameClassGuard = col("__nz"))
 
   /** Expand a verified CLASS-pair edge set to the id-level component
     * labeling — `(node_id, component)` with component = min member id,

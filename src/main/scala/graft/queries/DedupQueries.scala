@@ -8,10 +8,13 @@ import graft.operators.Dedup
 
 /** Deduplication queries (north-star scope, BASELINE.md): exact and
   * word-set fingerprint groups, blocked n-gram Jaccard, exact
-  * embedding-cosine near-dup — all with DuckDB oracles. MinHash-LSH and
-  * SimHash run as rows-only entries (their hash families are not
-  * expressible in ANSI SQL) and are recall-verified against the exact
-  * variants in scalatest.
+  * embedding-cosine near-dup — all with DuckDB oracles. MinHash-LSH
+  * and SimHash hash families are not expressible in ANSI SQL, so
+  * their signatures are the parquet HANDOFF and the oracle replays
+  * everything downstream (cap, pairing, verify, multiplicity digest);
+  * signature recall vs the exact variants stays scalatest-verified.
+  * Every pair family whose id-level output is quadratic under twin
+  * replication gates at CLASS-pair granularity (see classPairDigest).
   */
 object DedupQueries {
 
@@ -262,21 +265,39 @@ object DedupQueries {
         textsAreDistinct = true)
       val out = classPairDigest(
         Dedup.classPairCountsFromReps(cls.select(col("__rep"), col("__k")),
-          repPairs, "jaccard", threshold = 0.7),
+          repPairs, "jaccard", sameClassQualifies = 1.0 >= 0.7),
         "jaccard")
       Dedup.releaseAfterUse(cls)
       out
     },
-    // SimHash near-dup (Hamming <= 3 of 64 bits). The 64-bit
-    // signatures are the handoff; pigeonhole chunking, pair join, and
-    // popcount verify replay in DuckDB as shift/mask/xor/bit_count.
+    // SimHash near-dup (Hamming <= 3 of 64 bits). GATE SHAPE (r13):
+    // class-collapsed like the minhash/cosine gates — identical texts
+    // have the identical 64-bit signature, so the id-level pair
+    // output was quadratic under twin replication (39.5 s of the
+    // r13 100× suite, the last id-level pair gate standing). One rep
+    // per distinct text rides the signature handoff; pigeonhole
+    // chunking, pair join, and popcount verify replay in DuckDB as
+    // shift/mask/xor/bit_count over the rep signatures; the oracle
+    // re-derives the text classes and digests class-pair
+    // multiplicities. Same-class rows by definition: identical texts
+    // are Hamming 0, qualifying at any maxHamming >= 0.
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.simHashPairs(
-          Handoff.publish(
-            Dedup.simHashSignatures(Tables.documents(s, dir), "doc_id", "text"),
-            SimhashHandoff),
-          "doc_id", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      val docs = Tables.documents(s, dir)
+      val cls = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reps = cls.select(col("__rep").as("doc_id"), col("text"))
+      val sigs = Handoff.publish(
+        Dedup.simHashSignatures(reps, "doc_id", "text"), SimhashHandoff)
+      val repPairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("double").as("hamming"))
+      val out = classPairDigest(
+        Dedup.classPairCountsFromReps(cls.select(col("__rep"), col("__k")),
+          repPairs, "hamming", sameClassValue = 0.0),
+        "hamming")
+      Dedup.releaseAfterUse(cls)
+      out
     }
   )
 
@@ -482,8 +503,15 @@ object DedupQueries {
          |         CAST(n_pairs AS VARCHAR)
          |       ), 1, 15) AS UBIGINT) AS BIGINT)), 0) AS pairs_sig
          |FROM allp""".stripMargin,
+    // classes re-derived from the raw texts; pigeonhole + popcount
+    // replayed over the REP signature handoff; class-pair
+    // multiplicities digested (same-class rows = Hamming 0 by
+    // definition of identical texts, C(n,2) multiplicity)
     "dedup_simhash" ->
-      s"""WITH h AS (SELECT * FROM read_parquet('$SimhashHandoff/*.parquet')),
+      s"""WITH cls AS (
+         |  SELECT text, min(doc_id) AS rep, count(*) AS n
+         |  FROM documents GROUP BY text
+         |), h AS (SELECT * FROM read_parquet('$SimhashHandoff/*.parquet')),
          |ch AS (
          |  SELECT doc_id, sim, t.i AS chunk, (sim >> (t.i * 16)) & 65535 AS cv
          |  FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)
@@ -493,12 +521,30 @@ object DedupQueries {
          |         a.sim AS sim_a, b.sim AS sim_b
          |  FROM ch a JOIN ch b
          |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+         |),
+         |p AS (
+         |  SELECT id_a, id_b,
+         |         CAST(bit_count(xor(sim_a, sim_b)) AS DOUBLE) AS hamming,
+         |         CAST(ca.n * cb.n AS BIGINT) AS n_pairs
+         |  FROM pairs
+         |  JOIN cls ca ON pairs.id_a = ca.rep
+         |  JOIN cls cb ON pairs.id_b = cb.rep
+         |  WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         |), s AS (
+         |  SELECT rep AS id_a, rep AS id_b, 0.0 AS hamming,
+         |         CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+         |  FROM cls WHERE n >= 2
+         |), allp AS (
+         |  SELECT * FROM p UNION ALL SELECT * FROM s
          |)
-         |SELECT id_a, id_b,
-         |       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
-         |FROM pairs
-         |WHERE bit_count(xor(sim_a, sim_b)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin,
+         |SELECT CAST(count(*) AS BIGINT) AS n_class_pairs,
+         |       CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS n_id_pairs,
+         |       coalesce(bit_xor(CAST(CAST('0x' || substr(md5(
+         |         CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR) || ':' ||
+         |         CAST(CAST(floor(hamming * 1e9) AS BIGINT) AS VARCHAR) || ':' ||
+         |         CAST(n_pairs AS VARCHAR)
+         |       ), 1, 15) AS UBIGINT) AS BIGINT)), 0) AS pairs_sig
+         |FROM allp""".stripMargin,
     "dedup_exact_groups" -> groupsSql("md5(text)"),
     "dedup_wordset_groups" -> groupsSql(
       "md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' '))"),

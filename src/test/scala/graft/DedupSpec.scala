@@ -452,6 +452,33 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 3L))
   }
 
+  test("simhash class-pair digest == id-level pairs under twin replication") {
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val twins = (0 until 2).map(i =>
+        base.select(($"doc_id" + i * 1000000L).as("doc_id"), $"text"))
+      .reduce(_ unionByName _)
+    // id-level route: twins share the signature, so every member pair
+    // of a qualifying class pair is co-chunked
+    val nId = Dedup.simHashPairs(
+      Dedup.simHashSignatures(twins, "doc_id", "text"), "doc_id", 3).count()
+    val cls = twins.groupBy($"text")
+      .agg(min($"doc_id").as("__rep"), count(lit(1)).as("__k")).persist()
+    try {
+      val reps = cls.select($"__rep".as("doc_id"), $"text")
+      val repPairs = Dedup.simHashPairs(
+          Dedup.simHashSignatures(reps, "doc_id", "text"), "doc_id", 3)
+        .select($"id_a", $"id_b", $"hamming".cast("double").as("hamming"))
+      val counts = Dedup.classPairCountsFromReps(
+        cls.select($"__rep", $"__k"), repPairs, "hamming",
+        sameClassValue = 0.0)
+      assert(counts.agg(coalesce(sum($"n_pairs"), lit(0L)))
+        .as[Long].head() === nId)
+      // same-class rows carry the DEFINED Hamming 0
+      assert(counts.filter($"id_a" === $"id_b" && $"hamming" =!= 0.0).isEmpty)
+      assert(nId > 0)
+    } finally cls.unpersist()
+  }
+
   test("cosineClassPairs broadcast guard: cartesian fallback == broadcast route") {
     val (classes, _) = Dedup.cosineClasses(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding")
