@@ -115,66 +115,95 @@ object Clustering {
         Ann.fp(graft.functions.VectorFunctions.l2DistF32(
           col(index.embCol), col("__centroid")).cast("double")).as("dist_fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs =
-      if (refinedPairs) {
-        // runtime signal for the scaladoc's normalization assumption
-        // (candidates are L2-ranked, the verify is cosine): one cheap
-        // agg over the already-persisted base — if the corpus's norm
-        // spread is wide, cosine twins at different magnitudes can fall
-        // outside every top-pairK L2 list and the miss is silent
-        val norm = sqrt(graft.functions.VectorFunctions
-          .dotF32(col(index.embCol), col(index.embCol)).cast("double"))
-        val ns = base.agg(min(norm), max(norm)).head()
-        val (nMin, nMax) = (ns.getDouble(0), ns.getDouble(1))
-        if (nMin <= 0.0 || nMax / nMin > 1.25)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            f"semDedup(refinedPairs=true): corpus norm spread " +
-              f"[$nMin%.4g, $nMax%.4g] exceeds the near-normalized " +
-              "assumption — L2-ranked candidates may miss cosine " +
-              "near-dups at different magnitudes; normalize embeddings " +
-              "first or use the cluster-scoped path")
-        // graph edges as candidates (n·workK-bounded, boundary-aware);
-        // re-attach both embeddings for the cosine verify — the edge's
-        // dist is L2, the dedup predicate is cosine
-        Ann.knnGraphRefined(index, pairK, probes, refineRounds)
-          // kNN edges are DIRECTED (a's top-k may hold b without b's
-          // holding a): canonicalize min-first before the dedup — a
-          // src<nbr filter would drop pairs whose only direction runs
-          // high-id -> low-id
-          .select(least(col("src_id"), col("nbr_id")).as("id_a"),
-            greatest(col("src_id"), col("nbr_id")).as("id_b"))
-          .filter(col("id_a") =!= col("id_b"))
-          .distinct()
-          .join(base.select(col(index.idCol).as("id_a"),
-            col(index.embCol).as("__ea")), Seq("id_a"))
-          .join(base.select(col(index.idCol).as("id_b"),
-            col(index.embCol).as("__eb")), Seq("id_b"))
-          .filter(graft.functions.VectorFunctions
-            .cosSimF32(col("__ea"), col("__eb")).cast("double") >= threshold)
-          .select(col("id_a"), col("id_b"))
-      } else {
-        val a = base.select(col("ivf_cluster"), col(index.idCol).as("id_a"),
-          col(index.embCol).as("__ea"))
-        val b = base.select(col("ivf_cluster"), col(index.idCol).as("id_b"),
-          col(index.embCol).as("__eb"))
-        a.join(b, Seq("ivf_cluster"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("cos_sim",
-            graft.functions.VectorFunctions.cosSimF32(col("__ea"), col("__eb"))
-              .cast("double"))
-          .filter(col("cos_sim") >= threshold)
-          .select(col("id_a"), col("id_b"))
-      }
-    val kept = Dedup.keepCanonicalBy(
+    // shared tail: flag every base row with its survival verdict and
+    // release the base cache on the caller's first action
+    def flagKept(keptIds: DataFrame): DataFrame = {
+      val kept = keptIds.select(col(index.idCol)).withColumn("__kept", lit(true))
+      val out = base.select(col(index.idCol), col("ivf_cluster"), col("dist_fp"))
+        .join(kept, Seq(index.idCol), "left")
+        .select(col(index.idCol), col("ivf_cluster"), col("dist_fp"),
+          coalesce(col("__kept"), lit(false)).as("kept"))
+      Dedup.releaseAfterUse(base)
+      out
+    }
+    if (refinedPairs) {
+      // runtime signal for the scaladoc's normalization assumption
+      // (candidates are L2-ranked, the verify is cosine): one cheap
+      // agg over the already-persisted base — if the corpus's norm
+      // spread is wide, cosine twins at different magnitudes can fall
+      // outside every top-pairK L2 list and the miss is silent
+      val norm = sqrt(graft.functions.VectorFunctions
+        .dotF32(col(index.embCol), col(index.embCol)).cast("double"))
+      val ns = base.agg(min(norm), max(norm)).head()
+      val (nMin, nMax) = (ns.getDouble(0), ns.getDouble(1))
+      if (nMin <= 0.0 || nMax / nMin > 1.25)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"semDedup(refinedPairs=true): corpus norm spread " +
+            f"[$nMin%.4g, $nMax%.4g] exceeds the near-normalized " +
+            "assumption — L2-ranked candidates may miss cosine " +
+            "near-dups at different magnitudes; normalize embeddings " +
+            "first or use the cluster-scoped path")
+      // graph edges as candidates (n·workK-bounded, boundary-aware);
+      // re-attach both embeddings for the cosine verify — the edge's
+      // dist is L2, the dedup predicate is cosine
+      val pairs = Ann.knnGraphRefined(index, pairK, probes, refineRounds)
+        // kNN edges are DIRECTED (a's top-k may hold b without b's
+        // holding a): canonicalize min-first before the dedup — a
+        // src<nbr filter would drop pairs whose only direction runs
+        // high-id -> low-id
+        .select(least(col("src_id"), col("nbr_id")).as("id_a"),
+          greatest(col("src_id"), col("nbr_id")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+        .distinct()
+        .join(base.select(col(index.idCol).as("id_a"),
+          col(index.embCol).as("__ea")), Seq("id_a"))
+        .join(base.select(col(index.idCol).as("id_b"),
+          col(index.embCol).as("__eb")), Seq("id_b"))
+        .filter(graft.functions.VectorFunctions
+          .cosSimF32(col("__ea"), col("__eb")).cast("double") >= threshold)
+        .select(col("id_a"), col("id_b"))
+      flagKept(Dedup.keepCanonicalBy(
         base.select(col(index.idCol), col("dist_fp")), pairs,
-        index.idCol, "dist_fp")
-      .select(col(index.idCol)).withColumn("__kept", lit(true))
-    val out = base.select(col(index.idCol), col("ivf_cluster"), col("dist_fp"))
-      .join(kept, Seq(index.idCol), "left")
-      .select(col(index.idCol), col("ivf_cluster"), col("dist_fp"),
-        coalesce(col("__kept"), lit(false)).as("kept"))
-    Dedup.releaseAfterUse(base)
-    out
+        index.idCol, "dist_fp"))
+    } else {
+      // CLASS-COLLAPSED within-cluster pair generation (r13):
+      // identical embeddings (boilerplate corpora, scaled fixtures)
+      // inflate each cell's candidate volume k² under k-fold
+      // duplication, and the cell-quadratic join paid it at id grain
+      // (43.5 s of the 100× suite as twin-replicated cells). They
+      // always share a cluster (same deterministic assignment), so
+      // classes are cluster-local: the candidate join runs once per
+      // DISTINCT-embedding pair per cell; same-class members merge
+      // through cosineExpandComponents' defined-1.0 rule — the
+      // clamped kernel's cosine of identical non-zero vectors IS
+      // 1.0, zero vectors never pair (the kernel's zero-norm rule,
+      // preserved; thresholds ≤ 0 would diverge on all-zero twins,
+      // but a cosine DEDUP threshold is positive by meaning). The
+      // id-level pair set never materializes; the kept set is
+      // identical (ClusteringSpec's planted winners + idempotency
+      // pins, DedupSpec's class == id-level family).
+      val (classes, members) = Dedup.cosineClasses(
+        base.select(col(index.idCol), col(index.embCol)),
+        index.idCol, index.embCol)
+      val repsC = classes.join(
+        base.select(col(index.idCol).as("__rep"), col("ivf_cluster")),
+        Seq("__rep"))
+      val a = repsC.select(col("ivf_cluster"), col("__rep").as("__ra"),
+        col("__emb").as("__ea"))
+      val b = repsC.select(col("ivf_cluster"), col("__rep").as("__rb"),
+        col("__emb").as("__eb"))
+      val repPairs = a.join(b, Seq("ivf_cluster"))
+        .filter(col("__ra") < col("__rb"))
+        .filter(graft.functions.VectorFunctions
+          .cosSimF32(col("__ea"), col("__eb")).cast("double") >= threshold)
+        .select(col("__ra"), col("__rb"))
+      val comps = Dedup.cosineExpandComponents(classes, members, repPairs,
+        threshold)
+      Dedup.releaseAfterUse(classes)
+      flagKept(Dedup.keepCanonicalByFromComponents(
+        base.select(col(index.idCol), col("dist_fp")), comps,
+        index.idCol, "dist_fp"))
+    }
   }
 
   /** Greedy k-center coreset (Gonzalez '85 farthest-point traversal):
