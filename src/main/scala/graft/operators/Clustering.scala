@@ -135,14 +135,18 @@ object Clustering {
       val norm = sqrt(graft.functions.VectorFunctions
         .dotF32(col(index.embCol), col(index.embCol)).cast("double"))
       val ns = base.agg(min(norm), max(norm)).head()
-      val (nMin, nMax) = (ns.getDouble(0), ns.getDouble(1))
-      if (nMin <= 0.0 || nMax / nMin > 1.25)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          f"semDedup(refinedPairs=true): corpus norm spread " +
-            f"[$nMin%.4g, $nMax%.4g] exceeds the near-normalized " +
-            "assumption — L2-ranked candidates may miss cosine " +
-            "near-dups at different magnitudes; normalize embeddings " +
-            "first or use the cluster-scoped path")
+      // empty index: min/max aggregate to null — skip the warning (the
+      // operator stays lazily-empty downstream) instead of NPEing here
+      if (!ns.isNullAt(0) && !ns.isNullAt(1)) {
+        val (nMin, nMax) = (ns.getDouble(0), ns.getDouble(1))
+        if (nMin <= 0.0 || nMax / nMin > 1.25)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            f"semDedup(refinedPairs=true): corpus norm spread " +
+              f"[$nMin%.4g, $nMax%.4g] exceeds the near-normalized " +
+              "assumption — L2-ranked candidates may miss cosine " +
+              "near-dups at different magnitudes; normalize embeddings " +
+              "first or use the cluster-scoped path")
+      }
       // graph edges as candidates (n·workK-bounded, boundary-aware);
       // re-attach both embeddings for the cosine verify — the edge's
       // dist is L2, the dedup predicate is cosine

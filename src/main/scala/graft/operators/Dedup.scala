@@ -1297,15 +1297,20 @@ object Dedup {
     * same pair multiset, no broadcast, still O(c²) compute BY DESIGN:
     * this is the declared oracle, not the scale route. The class-count
     * action is cheap (callers hand in the persisted `classes` frame)
-    * and must run BEFORE [[releaseAfterUse]] is registered on it. */
+    * and must run BEFORE [[releaseAfterUse]] is registered on it —
+    * callers that already know the class count pass it via
+    * `knownClassCount` and the guard runs NO action at all (an
+    * unpersisted `classes` frame is then never recomputed, and a
+    * release-registered one is never freed by the guard's count). */
   def cosineClassPairs(classes: DataFrame, threshold: Double,
-                       maxBroadcastClasses: Long = 500000L): DataFrame = {
+                       maxBroadcastClasses: Long = 500000L,
+                       knownClassCount: Option[Long] = None): DataFrame = {
     val par = classes.sparkSession.sparkContext.defaultParallelism
     val a = classes
       .repartition(par)
       .select(col("__rep").as("__ra"), col("__emb").as("__ea"))
     val b = classes.select(col("__rep").as("__rb"), col("__emb").as("__eb"))
-    val nClasses = classes.count()
+    val nClasses = knownClassCount.getOrElse(classes.count())
     val crossed =
       if (nClasses <= maxBroadcastClasses) a.crossJoin(broadcast(b))
       else {

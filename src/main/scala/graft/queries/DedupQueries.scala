@@ -307,11 +307,17 @@ object DedupQueries {
     * `dedup_spans_trim` expands only its `__dup` rows (the refined-
     * graph shared-build recipe; at 100× each gate re-paid the same
     * ~55 s fingerprint pass — SCALEBENCH r12). Bench warms it like
-    * every persisted index. The key interpolates the window and the
-    * algorithm version constant owned next to the builder. */
+    * every persisted index. The key interpolates the window, the
+    * algorithm version constant owned next to the builder, AND a hash
+    * of the fixture transform (SpanTail + the %10 rule) — the flags
+    * are built over [[spanFixture]], which is outside both the
+    * version constant's documented scope and the input parquet's
+    * fingerprint, so editing the fixture must invalidate the cache
+    * without a manual bump. */
   private[graft] def spanFlagsPath(s: SparkSession, dir: String): String =
     BuildOnce.cached(
-        s"span-flags-w8-algo${Dedup.DuplicatedSpanAlgoVersion}",
+        s"span-flags-w8-algo${Dedup.DuplicatedSpanAlgoVersion}" +
+          s"-fx${Integer.toHexString((SpanTail + "|doc_id%10=0").hashCode)}",
         new java.io.File(s"$dir/documents.parquet"))(
         p => s"$p/flags.parquet/_SUCCESS") { p =>
       Dedup.duplicatedSpanFlags(spanFixture(s, dir), "doc_id", "text",

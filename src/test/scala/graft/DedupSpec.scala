@@ -561,7 +561,8 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().toSet
       assert(repPairs.as[(Long, Long, Double)].collect().toSet === viaClassed)
       val total = Dedup.classPairCountsFromReps(
-          cls.select($"__rep", $"__k"), repPairs, "jaccard", 0.7)
+          cls.select($"__rep", $"__k"), repPairs, "jaccard",
+          sameClassQualifies = 1.0 >= 0.7)
         .agg(coalesce(sum($"n_pairs"), lit(0L))).as[Long].head()
       assert(total === nId,
         s"class multiplicities ($total) must cover the id-level pair " +
