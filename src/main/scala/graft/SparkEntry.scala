@@ -24,7 +24,7 @@ object SparkEntry {
       MultimodalQueries.queries ++ EventQueries.queries ++
       RelationalQueries.queries ++ PipelineQueries.queries ++
       CurationQueries.queries ++ HybridQueries.queries ++
-      ModelQueries.queries
+      ModelQueries.queries ++ WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -34,5 +34,6 @@ object SparkEntry {
       TextQueries.oracle ++ DedupQueries.oracle ++ AnnQueries.oracle ++
       MultimodalQueries.oracle ++ EventQueries.oracle ++
       RelationalQueries.oracle ++ PipelineQueries.oracle ++
-      CurationQueries.oracle ++ HybridQueries.oracle ++ ModelQueries.oracle
+      CurationQueries.oracle ++ HybridQueries.oracle ++
+      ModelQueries.oracle ++ WebQueries.oracle
 }

@@ -1,0 +1,230 @@
+package graft.queries
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.{HtmlText, WarcIngest}
+
+/** Web-ingestion gates: HTML boilerplate-strip extraction and
+  * WARC-container ingest — the Common Crawl front door feeding the
+  * curation suite (SURVEY §8; VERDICT r13 Next #1).
+  *
+  * Oracle strategy (the `b2_zip_ingest` recovery contract): both
+  * fixtures are built deterministically FROM the documents table by
+  * wrapping each text in a fixed HTML template with boilerplate
+  * (head/style/script, nav, a comment, an entity-bearing footer) and
+  * HTML-escaping the payload. Byte-exact extraction therefore means
+  * extract(wrap(text)) == the template's constant text joined with
+  * the whitespace-normalized original — an expression DuckDB computes
+  * from `documents` directly, never running the stripper. A lost
+  * word, a broken entity decode, an unstripped script, a wrong WARC
+  * record boundary, a failed charset sniff, or a bad de-chunk all
+  * fork the digest.
+  */
+object WebQueries {
+
+  /** Escape a text payload for embedding in the HTML fixture — the
+    * extractor's entity decode must invert this exactly. */
+  private[graft] def escapeHtml(t: String): String =
+    t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  // The shared wrapper template (both the in-plan html_extract column
+  // and the warc_ingest fixture builder use THIS function, so the two
+  // gates can never drift). Boilerplate exercised: doctype, head with
+  // style + script (script body contains <p> tags, quotes, < > & —
+  // must be dropped raw), a quoted attribute containing '>', nav,
+  // numeric entity in the h1, a comment containing tags, and named
+  // entities in the footer.
+  private val H1 = "<!DOCTYPE html>\n<html><head><title>T"
+  private val H2 = "</title>\n<style>p { margin: 0; }</style>\n" +
+    "<script>var s = \"<p>bogus</p>\"; if (1 < 2 && 3 > 1) { f(\"&amp;\"); }" +
+    "</script>\n</head>\n<body data-note=\"5 > 4\">\n" +
+    "<nav><a href=\"/\">Home</a></nav>\n<h1>Doc &#68;"
+  private val H3 = "</h1>\n<p>"
+  private val H4 = "</p>\n<!-- hidden <p>comment</p> -->\n" +
+    "<footer>&copy; 2026 &mdash; graft</footer>\n</body></html>"
+
+  private[graft] def sampleHtml(id: Long, text: String): String =
+    H1 + id + H2 + id + H3 + escapeHtml(text) + H4
+
+  /** The expected extraction of [[sampleHtml]], as DuckDB SQL over a
+    * `doc_id`/`text` row (normalization replayed as trim + ASCII-ws
+    * collapse — covers empty/ragged payload text). */
+  private def expectedSql(idExpr: String, textExpr: String): String =
+    // one line: a multi-line snippet here would collide with the outer
+    // oracle templates' stripMargin (lines starting with '||')
+    s"trim(regexp_replace('T' || CAST($idExpr AS VARCHAR) || ' Home Doc D' " +
+      s"|| CAST($idExpr AS VARCHAR) || ' ' || $textExpr || ' © 2026 — graft', " +
+      "'[ \\t\\n\\r]+', ' ', 'g'))"
+
+  // ---- WARC fixture building (driver-side, like b2_zip_ingest) ----
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(b.length / 2 + 64)
+    val g = new GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  private def warcRecord(recType: String, uri: String, contentType: String,
+                         block: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder()
+    h.append("WARC/1.0\r\n")
+    h.append("WARC-Type: ").append(recType).append("\r\n")
+    if (uri.nonEmpty) h.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    h.append("WARC-Date: 2026-08-16T00:00:00Z\r\n")
+    h.append("WARC-Record-ID: <urn:uuid:0000-").append(uri.hashCode.toHexString)
+      .append(">\r\n")
+    h.append("Content-Type: ").append(contentType).append("\r\n")
+    h.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    val head = h.toString.getBytes(StandardCharsets.UTF_8)
+    val out = new ByteArrayOutputStream(head.length + block.length + 4)
+    out.write(head); out.write(block); out.write("\r\n\r\n".getBytes)
+    out.toByteArray
+  }
+
+  private def httpResponse(status: String, headers: Seq[(String, String)],
+                           body: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder()
+    h.append("HTTP/1.1 ").append(status).append("\r\n")
+    headers.foreach { case (k, v) =>
+      h.append(k).append(": ").append(v).append("\r\n") }
+    h.append("\r\n")
+    val head = h.toString.getBytes(StandardCharsets.UTF_8)
+    val out = new ByteArrayOutputStream(head.length + body.length)
+    out.write(head); out.write(body)
+    out.toByteArray
+  }
+
+  private def chunked(body: Array[Byte], firstChunk: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length + 32)
+    val cut = math.min(firstChunk, body.length)
+    def chunk(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(Integer.toHexString(len).getBytes(StandardCharsets.US_ASCII))
+      out.write("\r\n".getBytes); out.write(b, off, len)
+      out.write("\r\n".getBytes)
+    }
+    chunk(body, 0, cut)
+    if (body.length > cut) chunk(body, cut, body.length - cut)
+    out.write("0\r\n\r\n".getBytes)
+    out.toByteArray
+  }
+
+  /** Pinned non-UTF-8 member: meta-tag charset sniff must find euc-kr
+    * (the HTTP header deliberately carries no charset). The literal is
+    * mirrored in the oracle SQL. */
+  private[graft] val KoreanBody = "한국어 웹 문서 본문 추출 검증"
+  private[graft] val WetBody = "wet conversion text payload"
+
+  /** Build the whole fixture `.warc.gz` (per-record gzip members —
+    * the Common Crawl layout) from the top-20 document rows. */
+  private[graft] def sampleWarcGz(docs: Seq[(Long, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 20)
+    def add(rec: Array[Byte]): Unit = out.write(gz(rec))
+    add(warcRecord("warcinfo", "", "application/warc-fields",
+      "software: graft-warc-fixture\r\n".getBytes(StandardCharsets.UTF_8)))
+    docs.foreach { case (id, text) =>
+      val html = sampleHtml(id, text).getBytes(StandardCharsets.UTF_8)
+      add(warcRecord("response", s"https://example.org/doc/$id",
+        "application/http; msgtype=response",
+        httpResponse("200 OK", Seq(
+          "Content-Type" -> "text/html; charset=utf-8",
+          "Content-Length" -> html.length.toString), html)))
+    }
+    // request record: bookkeeping, not content
+    add(warcRecord("request", "https://example.org/doc/0",
+      "application/http; msgtype=request",
+      "GET /doc/0 HTTP/1.1\r\nHost: example.org\r\n\r\n"
+        .getBytes(StandardCharsets.UTF_8)))
+    // unsupported mime → ok=false
+    add(warcRecord("response", "https://example.org/logo.gif",
+      "application/http; msgtype=response",
+      httpResponse("200 OK", Seq("Content-Type" -> "image/gif"),
+        Array[Byte](0x47, 0x49, 0x46, 0x38, 0x39, 0x61))))
+    // EUC-KR page, charset only in the meta tag
+    val krHtml = ("<html><head><meta charset=\"euc-kr\"></head><body><p>" +
+      KoreanBody + "</p></body></html>").getBytes(Charset.forName("EUC-KR"))
+    add(warcRecord("response", "https://example.org/kr",
+      "application/http; msgtype=response",
+      httpResponse("200 OK", Seq("Content-Type" -> "text/html"), krHtml)))
+    // chunked transfer-encoding page
+    val chHtml = "<p>chunk one two</p>".getBytes(StandardCharsets.UTF_8)
+    add(warcRecord("response", "https://example.org/chunked",
+      "application/http; msgtype=response",
+      httpResponse("200 OK", Seq(
+        "Content-Type" -> "text/html; charset=utf-8",
+        "Transfer-Encoding" -> "chunked"), chunked(chHtml, 9))))
+    // WET conversion record: payload is already-extracted text
+    add(warcRecord("conversion", "https://example.org/wet", "text/plain",
+      WetBody.getBytes(StandardCharsets.UTF_8)))
+    out.toByteArray
+  }
+
+  /** Fixture record census: 1 warcinfo + 20 html + 1 request + 1 gif
+    * + 1 euc-kr + 1 chunked + 1 wet. */
+  private val NRecords = 26L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HTML boilerplate strip, in-plan over EVERY document: wrap with
+    // the fixture template (escaped payload + script/style/nav/comment
+    // boilerplate), extract, and return the full extracted text —
+    // value-compared row-for-row against the oracle's independent
+    // expectation. The wrap+extract kernel runs inside the scan task
+    // (one UDF, no shuffle before the presentation sort).
+    "html_extract" -> { (s, dir) =>
+      val u = udf((id: Long, t: String) =>
+        HtmlText.extractText(sampleHtml(id, t)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), u(col("doc_id"), col("text")).as("extracted"))
+        .orderBy(col("doc_id"))
+    },
+    // WARC container ingest: per-record gzip members, HTTP envelope
+    // split, chunked decode, charset sniff (header + meta), WET fast
+    // path, non-content record bookkeeping — rolled into the census +
+    // recovery signature the oracle re-derives from `documents`.
+    "warc_ingest" -> { (s, dir) =>
+      val top = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(20).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val warc = sampleWarcGz(top)
+      import s.implicits._
+      val bin = Seq(("mem://sample.warc.gz", warc)).toDF("path", "content")
+      WarcIngest.ingestWarcs(bin)
+        .select(col("ok"), conv(substring(md5(
+            concat(col("target_uri"), lit("|"),
+              coalesce(col("text"), lit(""))).cast("binary")),
+            1, 15), 16, 10).cast("long").as("__sig"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          coalesce(expr("bit_xor(CASE WHEN ok THEN __sig END)"), lit(0L))
+            .as("text_sig"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "html_extract" ->
+      s"""SELECT doc_id,
+         |       ${expectedSql("doc_id", "text")} AS extracted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "warc_ingest" ->
+      s"""WITH m AS (
+         |  SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+         |         ${expectedSql("doc_id", "text")} AS text
+         |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+         |  UNION ALL SELECT 'https://example.org/kr', '$KoreanBody'
+         |  UNION ALL SELECT 'https://example.org/chunked', 'chunk one two'
+         |  UNION ALL SELECT 'https://example.org/wet', '$WetBody'
+         |)
+         |SELECT CAST($NRecords AS BIGINT) AS n_records,
+         |       CAST(count(*) AS BIGINT) AS n_ok,
+         |       coalesce(bit_xor(CAST(CAST('0x' || substr(md5(
+         |         uri || '|' || text), 1, 15) AS UBIGINT) AS BIGINT)), 0)
+         |         AS text_sig
+         |FROM m""".stripMargin
+  )
+}

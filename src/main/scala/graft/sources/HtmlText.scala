@@ -1,0 +1,277 @@
+package graft.sources
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+/** HTML → text extraction (the Common Crawl front door; the natural
+  * web generalization of the reference's loader dispatch,
+  * `document_processor.py:100-124`, which handles pdf/docx/txt but
+  * nothing web). Pure-JVM single-pass state machine — no external
+  * parser dependency — covering the boilerplate-strip role
+  * trafilatura/jusText play in CCNet/C4/RefinedWeb-style pipelines:
+  *
+  *  - script / style / noscript / template contents are dropped
+  *    entirely (raw-text elements: their close tag is located by a
+  *    literal case-insensitive scan, per the HTML parsing spec — they
+  *    cannot nest);
+  *  - comments (`<!-- -->`), doctypes, CDATA and processing
+  *    instructions are dropped;
+  *  - tags are skipped with quote-aware attribute scanning (a `>`
+  *    inside a quoted attribute value does not end the tag);
+  *  - BLOCK-level tags (p, div, li, h1..h6, nav, …) contribute a
+  *    whitespace break; inline tags (`a<b>b</b>c` → `abc`) do not;
+  *  - character entities are decoded: numeric (`&#68;`, `&#x44;`,
+  *    supplementary planes included) and a core named set; an
+  *    unknown entity stays literal (`&foo;`), as does a bare `&`;
+  *  - a `<` not opening a tag/comment/doctype is literal text
+  *    (malformed markup never throws — worst case it is kept as
+  *    text or skipped to end-of-input, both deterministic);
+  *  - output whitespace is normalized: ASCII whitespace runs collapse
+  *    to one space, leading/trailing trimmed (`&nbsp;` decodes to a
+  *    plain space and participates in the collapse).
+  *
+  * Scale shape: a pure `String => String` kernel with no allocation
+  * beyond the output builder — called per-document inside whatever
+  * task already holds the payload (WARC explode, binaryFile scan), so
+  * it parallelizes with the scan and shuffles nothing.
+  */
+object HtmlText {
+
+  /** Elements whose entire content is dropped. Raw-text per the HTML
+    * spec — closed only by their literal end tag. */
+  private val Excluded = Set("script", "style", "noscript", "template")
+
+  /** Elements that force a word break around their tags. Inline tags
+    * (a, b, i, em, span, …) are everything not listed. */
+  private val Block = Set(
+    "html", "head", "body", "title", "p", "div", "br", "hr",
+    "ul", "ol", "li", "dl", "dt", "dd",
+    "h1", "h2", "h3", "h4", "h5", "h6",
+    "table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption",
+    "blockquote", "pre", "section", "article", "aside", "header",
+    "footer", "nav", "main", "form", "fieldset", "figure", "figcaption",
+    "address", "details", "summary", "iframe", "option", "select")
+
+  /** Core named entities (HTML4 set that appears in real crawl data;
+    * unknown names stay literal rather than guessing). `nbsp` decodes
+    * to a PLAIN space — it then participates in whitespace collapse,
+    * which is the extraction-normalization semantics (layout spacing
+    * is not content). */
+  private val Entities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "trade" -> "™", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "laquo" -> "«", "raquo" -> "»",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”", "middot" -> "·", "bull" -> "•",
+    "deg" -> "°", "times" -> "×", "divide" -> "÷",
+    "plusmn" -> "±", "frac12" -> "½", "frac14" -> "¼",
+    "sect" -> "§", "para" -> "¶", "euro" -> "€",
+    "pound" -> "£", "yen" -> "¥", "cent" -> "¢")
+
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+      c == '\u000B'
+
+  /** Collapse ASCII-whitespace runs to single spaces and trim. */
+  def normalizeWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isAsciiWs(c)) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Decode the entity starting at `i` (which must point at '&').
+    * Returns (decoded text, index after the consumed span); a
+    * non-entity '&' (or unknown name) returns ("&", i+1) so the
+    * original text is preserved verbatim. */
+  private def decodeEntityAt(s: String, i: Int): (String, Int) = {
+    val n = s.length
+    if (i + 1 >= n) return ("&", i + 1)
+    if (s.charAt(i + 1) == '#') {
+      val hex = i + 2 < n && (s.charAt(i + 2) == 'x' || s.charAt(i + 2) == 'X')
+      var j = if (hex) i + 3 else i + 2
+      val digStart = j
+      def isDig(c: Char) =
+        if (hex) Character.digit(c, 16) >= 0 else c >= '0' && c <= '9'
+      while (j < n && j - digStart < 8 && isDig(s.charAt(j))) j += 1
+      if (j > digStart && j < n && s.charAt(j) == ';') {
+        try {
+          val cp = Integer.parseInt(s.substring(digStart, j), if (hex) 16 else 10)
+          if (Character.isValidCodePoint(cp) && cp != 0)
+            return (new String(Character.toChars(cp)), j + 1)
+        } catch { case _: NumberFormatException => () }
+      }
+      ("&", i + 1)
+    } else {
+      var j = i + 1
+      while (j < n && j - i <= 10 &&
+        (s.charAt(j).isLetter || s.charAt(j).isDigit)) j += 1
+      if (j > i + 1 && j < n && s.charAt(j) == ';')
+        Entities.get(s.substring(i + 1, j)) match {
+          case Some(v) => (v, j + 1)
+          case None    => ("&", i + 1)
+        }
+      else ("&", i + 1)
+    }
+  }
+
+  /** Index just past the close tag `</name ...>` at or after `from`
+    * (case-insensitive; the HTML raw-text rule). End-of-input if the
+    * element is never closed — the rest is dropped, deterministically. */
+  private def indexPastCloseTag(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    var i = from
+    while (i < n) {
+      i = s.indexOf('<', i)
+      if (i < 0) return n
+      if (i + 1 < n && s.charAt(i + 1) == '/' &&
+        s.regionMatches(true, i + 2, name, 0, name.length)) {
+        val after = i + 2 + name.length
+        if (after >= n) return n
+        val c = s.charAt(after)
+        if (c == '>' || isAsciiWs(c) || c == '/') {
+          val gt = s.indexOf('>', after)
+          return if (gt < 0) n else gt + 1
+        }
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** Extract the text content of an HTML document: strip tags /
+    * scripts / styles / comments, decode entities, insert word breaks
+    * at block boundaries, normalize whitespace. Never throws on
+    * malformed markup. */
+  def extractText(html: String): String = {
+    if (html == null) return ""
+    val n = html.length
+    val sb = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!') {
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else {
+            // doctype / CDATA — skip to '>' (CDATA is not HTML content)
+            val e = html.indexOf('>', i)
+            i = if (e < 0) n else e + 1
+          }
+        } else if (c1 == '?') {
+          val e = html.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        } else if (c1.isLetter ||
+          (c1 == '/' && i + 2 < n && html.charAt(i + 2).isLetter)) {
+          val closing = c1 == '/'
+          var j = if (closing) i + 2 else i + 1
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetterOrDigit ||
+            html.charAt(j) == '-' || html.charAt(j) == ':')) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          // scan to the tag's '>' with quote-aware attribute handling
+          var quote: Char = 0
+          var end = -1
+          var k = j
+          while (k < n && end < 0) {
+            val ch = html.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') end = k
+            k += 1
+          }
+          val selfClosed = end > 0 && html.charAt(end - 1) == '/'
+          val tagEnd = if (end < 0) n else end + 1
+          if (Block(name)) sb.append(' ')
+          i = if (!closing && !selfClosed && Excluded(name))
+            indexPastCloseTag(html, tagEnd, name)
+          else tagEnd
+        } else {
+          sb.append(c); i += 1 // bare '<' is literal text
+        }
+      } else if (c == '&') {
+        val (decoded, next) = decodeEntityAt(html, i)
+        sb.append(decoded); i = next
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    normalizeWs(sb.toString)
+  }
+
+  /** Charset of an HTML payload, by precedence: byte-order mark →
+    * `charset=` in the transport Content-Type → `<meta charset=…>` /
+    * `<meta http-equiv="Content-Type" content="…charset=…">` in the
+    * first `metaScanBytes` bytes (ASCII-scanned, the WHATWG prescan) →
+    * UTF-8. Unknown/unsupported names fall through to the next rule. */
+  def sniffCharset(bytes: Array[Byte], contentType: Option[String],
+                   metaScanBytes: Int = 2048): Charset = {
+    def lookup(name: String): Option[Charset] =
+      try { val t = name.trim.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'")
+        if (t.nonEmpty && Charset.isSupported(t)) Some(Charset.forName(t))
+        else None
+      } catch { case _: Exception => None }
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+      (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      return StandardCharsets.UTF_8
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+      return StandardCharsets.UTF_16LE
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      return StandardCharsets.UTF_16BE
+    val fromHeader = contentType.flatMap(charsetParam).flatMap(lookup)
+    if (fromHeader.isDefined) return fromHeader.get
+    // ASCII prescan of the head for a meta declaration
+    val head = new String(bytes, 0, math.min(bytes.length, metaScanBytes),
+      StandardCharsets.ISO_8859_1).toLowerCase
+    val meta = MetaCharset.findFirstMatchIn(head)
+      .map(_.group(1)).flatMap(lookup)
+    meta.getOrElse(StandardCharsets.UTF_8)
+  }
+
+  private val MetaCharset =
+    """charset\s*=\s*["']?\s*([a-z0-9_\-]+)""".r
+
+  /** The `charset` parameter of a Content-Type value, if present. */
+  def charsetParam(contentType: String): Option[String] = {
+    val lower = contentType.toLowerCase
+    val i = lower.indexOf("charset=")
+    if (i < 0) None
+    else {
+      val rest = contentType.substring(i + "charset=".length)
+      val end = rest.indexWhere(c => c == ';' || c == ' ' || c == '\t')
+      Some(if (end < 0) rest else rest.substring(0, end))
+    }
+  }
+
+  /** Decode payload bytes with the sniffed charset (malformed input
+    * replaced, never thrown). */
+  def decode(bytes: Array[Byte], contentType: Option[String]): String = {
+    val cs = sniffCharset(bytes, contentType)
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    val skip = // strip the BOM the sniffer keyed on
+      if (cs == StandardCharsets.UTF_8 && bytes.length >= 3 &&
+        (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb &&
+        (bytes(2) & 0xff) == 0xbf) 3
+      else if ((cs == StandardCharsets.UTF_16LE || cs == StandardCharsets.UTF_16BE) &&
+        bytes.length >= 2) 2
+      else 0
+    dec.decode(java.nio.ByteBuffer.wrap(bytes, skip, bytes.length - skip))
+      .toString
+  }
+}

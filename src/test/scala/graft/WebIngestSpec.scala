@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{HtmlText, WarcIngest}
+
+/** HTML boilerplate strip + WARC container ingest edge pins
+  * (VERDICT r13 Next #1: nested tags, entities, malformed markup,
+  * charset sniff; plus the WARC record grammar, gzip members, chunked
+  * decode, and the quarantine rules). */
+class WebIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- HtmlText.extractText ----------------
+
+  test("strips tags; inline tags join, block tags break") {
+    assert(HtmlText.extractText("a<b>b</b>c") === "abc")
+    assert(HtmlText.extractText("<p>one</p><p>two</p>") === "one two")
+    assert(HtmlText.extractText("x<br>y<hr/>z") === "x y z")
+    assert(HtmlText.extractText("<div>a<span>b</span>c</div>") === "abc")
+  }
+
+  test("script/style/noscript/template contents dropped, incl fake closes") {
+    assert(HtmlText.extractText(
+      "<p>a</p><script>var x = \"<p>no</p>\"; if (1<2 && 3>1) f();</script><p>b</p>")
+      === "a b")
+    assert(HtmlText.extractText(
+      "<style>p { color: red; } /* </div> */</style>text") === "text")
+    // case-insensitive close, attributes on close tolerated
+    assert(HtmlText.extractText("<SCRIPT>x<y</ScRiPt >after") === "after")
+    // unclosed raw-text element drops the rest, deterministically
+    assert(HtmlText.extractText("before<script>var x = 1;") === "before")
+  }
+
+  test("comments, doctype, CDATA, processing instructions dropped") {
+    assert(HtmlText.extractText("a<!-- <p>gone</p> -->b") === "ab")
+    assert(HtmlText.extractText("a<!-- unterminated") === "a")
+    assert(HtmlText.extractText("<!DOCTYPE html><p>x</p>") === "x")
+    assert(HtmlText.extractText("<?xml version=\"1.0\"?><p>x</p>") === "x")
+  }
+
+  test("entities: named, decimal, hex, supplementary, unknown, bare &") {
+    assert(HtmlText.extractText("&amp;&lt;&gt;&quot;&apos;") === "&<>\"'")
+    assert(HtmlText.extractText("&#68;&#111;&#99;") === "Doc")
+    assert(HtmlText.extractText("&#x44;&#x6F;&#x63;") === "Doc")
+    assert(HtmlText.extractText("&#x1F600;") === new String(Character.toChars(0x1F600)))
+    assert(HtmlText.extractText("&copy; &mdash; &hellip;") === "© — …")
+    // unknown/malformed entities stay literal
+    assert(HtmlText.extractText("&notanentity; &amp &#; &#xZZ; a&b") ===
+      "&notanentity; &amp &#; &#xZZ; a&b")
+    // nbsp participates in whitespace collapse
+    assert(HtmlText.extractText("a&nbsp;&nbsp;b") === "a b")
+  }
+
+  test("malformed markup: bare '<', quoted '>', ragged input never throw") {
+    assert(HtmlText.extractText("1 < 2 and 2 > 1") === "1 < 2 and 2 > 1")
+    assert(HtmlText.extractText("<p data-x=\"a > b\">kept</p>") === "kept")
+    assert(HtmlText.extractText("<p data-x='5 > 4'>kept</p>") === "kept")
+    assert(HtmlText.extractText("<p unterminated") === "")
+    // '</' not followed by a letter is not a close tag — literal text
+    assert(HtmlText.extractText("</>text<//>") === "</>text<//>")
+    assert(HtmlText.extractText("") === "")
+    assert(HtmlText.extractText(null) === "")
+  }
+
+  test("whitespace normalization collapses and trims") {
+    assert(HtmlText.extractText("  a \n\t b\r\nc  ") === "a b c")
+    assert(HtmlText.normalizeWs(" a \f b ") === "a b")
+  }
+
+  // ---------------- charset sniffing ----------------
+
+  test("sniffCharset precedence: BOM > header > meta > utf-8") {
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "<meta charset=\"euc-kr\">x".getBytes("UTF-8")
+    assert(HtmlText.sniffCharset(bom, Some("text/html; charset=iso-8859-1"))
+      === StandardCharsets.UTF_8)
+    val plain = "<html><body>x</body></html>".getBytes("UTF-8")
+    assert(HtmlText.sniffCharset(plain, Some("text/html; charset=ISO-8859-1"))
+      === StandardCharsets.ISO_8859_1)
+    val meta = "<html><head><meta charset=euc-kr></head></html>".getBytes("UTF-8")
+    assert(HtmlText.sniffCharset(meta, Some("text/html"))
+      === Charset.forName("EUC-KR"))
+    val metaHttpEquiv = ("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=utf-16le\">").getBytes("UTF-8")
+    assert(HtmlText.sniffCharset(metaHttpEquiv, None) === StandardCharsets.UTF_16LE)
+    assert(HtmlText.sniffCharset("plain".getBytes, None) === StandardCharsets.UTF_8)
+    // unsupported charset names fall through to the default
+    assert(HtmlText.sniffCharset(plain, Some("text/html; charset=bogus-enc"))
+      === StandardCharsets.UTF_8)
+  }
+
+  test("decode: EUC-KR via meta tag round-trips; BOM stripped") {
+    val kr = "한국어 본문"
+    val html = s"""<html><head><meta charset="euc-kr"></head><body>$kr</body></html>"""
+    val bytes = html.getBytes(Charset.forName("EUC-KR"))
+    assert(HtmlText.extractText(HtmlText.decode(bytes, Some("text/html"))) === kr)
+    val withBom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "abc".getBytes("UTF-8")
+    assert(HtmlText.decode(withBom, None) === "abc")
+  }
+
+  // ---------------- WARC parsing ----------------
+
+  private def mkRecord(recType: String, uri: String, ct: String,
+                       block: Array[Byte]): Array[Byte] = {
+    val h = s"WARC/1.0\r\nWARC-Type: $recType\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Type: $ct\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n"
+    h.getBytes(StandardCharsets.UTF_8) ++ block ++ "\r\n\r\n".getBytes
+  }
+
+  private def httpOk(ct: String, body: Array[Byte],
+                     extra: Seq[(String, String)] = Nil): Array[Byte] = {
+    val h = new StringBuilder("HTTP/1.1 200 OK\r\n")
+    (Seq("Content-Type" -> ct) ++ extra).foreach { case (k, v) =>
+      h.append(k).append(": ").append(v).append("\r\n") }
+    h.append("\r\n")
+    h.toString.getBytes(StandardCharsets.UTF_8) ++ body
+  }
+
+  test("parseRecords: response + conversion round-trip, plain and gzip") {
+    val html = "<p>hello web</p>".getBytes("UTF-8")
+    val plainWarc =
+      mkRecord("response", "http://a", "application/http; msgtype=response",
+        httpOk("text/html; charset=utf-8", html)) ++
+      mkRecord("conversion", "http://b", "text/plain", "wet text".getBytes("UTF-8"))
+    val rs = WarcIngest.parseRecords(plainWarc)
+    assert(rs.map(_.recType) === Seq("response", "conversion"))
+    assert(rs.head.httpStatus === 200)
+    assert(rs.head.httpContentType === "text/html; charset=utf-8")
+    assert(WarcIngest.extractRecord(rs.head) === Right("hello web"))
+    assert(WarcIngest.extractRecord(rs(1)) === Right("wet text"))
+    // gzip: one member per record (the Common Crawl layout)
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    val gzWarc = gz(mkRecord("response", "http://a",
+      "application/http; msgtype=response",
+      httpOk("text/html", html))) ++
+      gz(mkRecord("conversion", "http://b", "text/plain", "wet text".getBytes))
+    val rs2 = WarcIngest.parseRecords(gzWarc)
+    assert(rs2.map(_.recType) === Seq("response", "conversion"))
+  }
+
+  test("parseRecords: truncated tail quarantined, clean prefix kept") {
+    val good = mkRecord("conversion", "http://a", "text/plain", "ok".getBytes)
+    val truncated = "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 999\r\n\r\nshort"
+      .getBytes(StandardCharsets.UTF_8)
+    val rs = WarcIngest.parseRecords(good ++ truncated)
+    assert(rs.length === 1)
+    assert(WarcIngest.extractRecord(rs.head) === Right("ok"))
+    assert(WarcIngest.parseRecords("garbage not warc".getBytes).isEmpty)
+  }
+
+  test("chunked transfer-encoding is de-chunked") {
+    val body = "<p>chunk one two</p>"
+    val chunked = ("9\r\n" + body.substring(0, 9) + "\r\n" +
+      Integer.toHexString(body.length - 9) + "\r\n" + body.substring(9) +
+      "\r\n0\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val rec = mkRecord("response", "http://c",
+      "application/http; msgtype=response",
+      httpOk("text/html", chunked, Seq("Transfer-Encoding" -> "chunked")))
+    val rs = WarcIngest.parseRecords(rec)
+    assert(rs.length === 1)
+    assert(WarcIngest.extractRecord(rs.head) === Right("chunk one two"))
+  }
+
+  test("extractRecord dispatch: status >= 400, non-html mime, bookkeeping") {
+    val err = mkRecord("response", "http://e",
+      "application/http; msgtype=response",
+      ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n<p>gone</p>")
+        .getBytes(StandardCharsets.UTF_8))
+    assert(WarcIngest.extractRecord(WarcIngest.parseRecords(err).head)
+      === Left("http status 404"))
+    val gif = mkRecord("response", "http://g",
+      "application/http; msgtype=response",
+      httpOk("image/gif", Array[Byte](0x47, 0x49)))
+    assert(WarcIngest.extractRecord(WarcIngest.parseRecords(gif).head)
+      === Left("unsupported mime: image/gif"))
+    val info = mkRecord("warcinfo", "", "application/warc-fields",
+      "software: x\r\n".getBytes)
+    assert(WarcIngest.extractRecord(WarcIngest.parseRecords(info).head)
+      === Left("non-content record type: warcinfo"))
+  }
+
+  test("ingestWarcs + warcStatus: lattice over content records only") {
+    val warc =
+      mkRecord("warcinfo", "", "application/warc-fields", "s: x\r\n".getBytes) ++
+      mkRecord("response", "http://a", "application/http; msgtype=response",
+        httpOk("text/html", "<p>a</p>".getBytes)) ++
+      mkRecord("response", "http://g", "application/http; msgtype=response",
+        httpOk("image/gif", Array[Byte](1, 2))) ++
+      mkRecord("conversion", "http://w", "text/plain", "wet".getBytes)
+    val bin = Seq(("mem://t.warc", warc)).toDF("path", "content")
+    val ing = WarcIngest.ingestWarcs(bin)
+    assert(ing.count() === 4)
+    assert(ing.filter(col("ok")).count() === 2)
+    val st = WarcIngest.warcStatus(ing).collect()
+    assert(st.length === 1)
+    assert(st.head.getAs[String]("status") === "partial_success")
+    assert(st.head.getAs[Long]("n_members") === 3) // warcinfo excluded
+    assert(st.head.getAs[Long]("n_ok") === 2)
+  }
+}
