@@ -1043,34 +1043,40 @@ object Dedup {
 
   /** [[trimDuplicatedSpans]] over a pre-built (possibly persisted)
     * flags frame — see [[duplicatedSpanFlags]]. `window` must match
-    * the flags build (it sizes the covered-token expansion). */
+    * the flags build (it sizes the covered-token expansion).
+    *
+    * Plan shape (r14): the flags collapse to ONE sorted span-start
+    * list per flagged doc (dup-span-grain agg), that doc-grain frame
+    * joins the documents once, and the trim itself — token i dropped
+    * iff some start s has s ≤ i < s+window — is a higher-order filter
+    * computed inside the row. The r13 plan posexploded EVERY corpus
+    * token through an anti-join and re-assembled with a
+    * collect_list+sort: three token-grain shuffles that were 29.2 s of
+    * the 100× suite for what is per-doc-local work. Per-row cost is
+    * O(tokens · dupSpansInDoc) — dup spans per doc are the quantity
+    * the trim exists to remove, so the product degrades only on a doc
+    * that is mostly boilerplate, where the output is tiny anyway. */
   def trimDuplicatedSpansFrom(docs: DataFrame, flags: DataFrame,
                               idCol: String, textCol: String,
                               window: Int): DataFrame = {
-    val covered = flags
-      .filter(col("__dup"))
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (window - 1))).as("tok_idx"))
-      .distinct()
-    val toks = docs.select(col(idCol),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("tok_idx", "tok")))
-      .withColumn("tok_idx", col("tok_idx").cast("long"))
-    val kept = toks.join(covered, Seq(idCol, "tok_idx"), "left_anti")
+    val starts = flags.filter(col("__dup"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("tok_idx"), col("tok")))),
-          x => x.getField("tok"))).as("kept_text"))
-    // coalesce: a null text tokenizes to a null array, whose size is
-    // null — report (0, 0, "") exactly like duplicatedSpanProfile does
-    val totals = docs.select(col(idCol),
-      coalesce(size(TextAnalysis.tokens(col(textCol))).cast("long"), lit(0L))
-        .as("n_tokens"))
-    totals.join(kept, Seq(idCol), "left_outer")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+      .agg(array_sort(collect_list(col("pos"))).as("__starts"))
+    val toksCol = TextAnalysis.tokens(col(textCol))
+    val keptArr = when(col("__starts").isNull, col("__toks"))
+      .otherwise(filter(col("__toks"), (_, i) =>
+        !exists(col("__starts"),
+          s => s <= i.cast("long") && i.cast("long") < s + window)))
+    docs.select(col(idCol), toksCol.as("__toks"))
+      .join(starts, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        // a null text tokenizes to a null array, whose size is null —
+        // report (0, 0, "") exactly like duplicatedSpanProfile does
+        coalesce(size(col("__toks")).cast("long"), lit(0L)).as("n_tokens"),
+        (coalesce(size(col("__toks")).cast("long"), lit(0L)) -
+          coalesce(size(keptArr).cast("long"), lit(0L)))
           .as("n_dropped_tokens"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+        coalesce(concat_ws(" ", keptArr), lit("")).as("kept_text"))
   }
 
   /** Exact embedding-cosine near-dup pairs (the correctness oracle; the
@@ -1447,5 +1453,52 @@ object Dedup {
     // reads classes through the expansion joins
     releaseAfterUse(classes)
     out
+  }
+
+  /** Route chooser for the cosine dedup family, in one place so specs
+    * can pin it: the exact O(c²) class-pair emitter below the
+    * crossover, the sign-LSH bucketed route above it. The default
+    * crossover is the measured ~10⁵-class boundary (SCALEBENCH r13:
+    * exact 2.8 s @ 20k classes growing clean-quadratic to 232.8 s @
+    * 200k, vs 88.4 s for the LSH route — curves crossing near 1e5). */
+  def chooseCosineRoute(nClasses: Long,
+                        crossoverClasses: Long = 100000L): String =
+    if (nClasses <= crossoverClasses) "exact" else "lsh"
+
+  /** Regime-routed end-to-end cosine dedup APPLY (class collapse →
+    * pair generation by [[chooseCosineRoute]] → components over reps →
+    * label expansion → keep canonical): the entry point a 100 TB
+    * caller uses without reading SCALEBENCH. Below the crossover the
+    * exact emitter is both faster and lossless; above it the sign-LSH
+    * bucket route owns the regime (candidate volume scales with true
+    * bucket collisions, not c²). The class count is computed ONCE on
+    * the persisted classing and reused by the broadcast guard
+    * (`knownClassCount`) and the LSH bit sizing — no hidden actions.
+    * Kept-set equality of the two routes on both fixture shapes (twin
+    * and distinct-heavy) is DedupSpec-pinned; at production scale the
+    * LSH route's recall is probabilistic by design ([[signLshBands]]).
+    */
+  def cosineDedupAuto(emb: DataFrame, idCol: String, embCol: String,
+                      threshold: Double,
+                      crossoverClasses: Long = 100000L,
+                      bands: Int = 8): DataFrame = {
+    val (classes, members) = cosineClasses(emb, idCol, embCol)
+    val nClasses = classes.count()
+    val repPairs = chooseCosineRoute(nClasses, crossoverClasses) match {
+      case "exact" =>
+        cosineClassPairs(classes, threshold,
+          knownClassCount = Some(nClasses))
+      case _ =>
+        val reps = classes.select(col("__rep").as(idCol),
+          col("__emb").as(embCol))
+        val buckets = signLshBandBuckets(reps, idCol, embCol, bands,
+          lshBitsFor(nClasses))
+        cosinePairsFromBuckets(buckets, reps, idCol, embCol, threshold)
+          .select(col("id_a").as("__ra"), col("id_b").as("__rb"),
+            col("cos_sim"))
+    }
+    val comps = cosineExpandComponents(classes, members, repPairs, threshold)
+    releaseAfterUse(classes)
+    keepCanonicalFromComponents(emb.select(col(idCol)), comps, idCol)
   }
 }

@@ -298,8 +298,109 @@ object DedupQueries {
         "hamming")
       Dedup.releaseAfterUse(cls)
       out
+    },
+    // STANDING distinct-heavy exact-cosine gate (r13 `weak` closed):
+    // the jitter fixture makes every row its own class, so the exact
+    // emitter runs in the c ≈ n regime where the r13 clamp bug lived —
+    // a regression in the [−1,1] clamp (eval, codegen, or the DuckDB
+    // accumulation-order parity) forks floor(cos·1e9) in the digest
+    // every round, no manual SCALEBENCH side-run required.
+    "dedup_cosine_distinct" -> { (s, dir) =>
+      classPairDigest(
+        Dedup.cosineClassPairCounts(distinctHeavyFixture(s, dir),
+          "vec_id", "embedding", 0.98),
+        "cos_sim")
+    },
+    // STANDING distinct-heavy LSH apply gate: the scale route
+    // (sign-LSH buckets → verify → components → keep-canonical) over
+    // the same fixture, replayed from the rep-bucket handoff — pins
+    // the LSH route's recall on the distinct-heavy shape (every
+    // jittered twin group must survive bucketing and collapse to one
+    // kept row) alongside the exact twin above.
+    "dedup_apply_lsh_distinct" -> { (s, dir) =>
+      val emb = distinctHeavyFixture(s, dir)
+      val (classes, members) = Dedup.cosineClasses(emb, "vec_id", "embedding")
+      val reps = classes.select(col("__rep").as("vec_id"),
+        col("__emb").as("embedding"))
+      val buckets = Handoff.publish(
+        Dedup.signLshBandBuckets(reps, "vec_id", "embedding",
+          bands = 8, bits = Dedup.lshBitsFor(classes.count())),
+        ApplyLshDistinctHandoff)
+      val repPairs = Dedup.cosinePairsFromBuckets(buckets, reps,
+          "vec_id", "embedding", threshold = 0.98)
+        .select(col("id_a").as("__ra"), col("id_b").as("__rb"),
+          col("cos_sim"))
+      val comps = Dedup.cosineExpandComponents(classes, members, repPairs,
+        threshold = 0.98)
+      Dedup.releaseAfterUse(classes)
+      Dedup.keepCanonicalFromComponents(emb.select(col("vec_id")), comps,
+          "vec_id")
+        .orderBy(col("vec_id"))
     }
   )
+
+  /** DISTINCT-HEAVY standing fixture (VERDICT r13 Next #2 — the
+    * EmbScaleUp jitter recipe promoted from a manual SCALEBENCH
+    * side-run to an in-plan gate input): the 500 lowest-id embeddings,
+    * replicated ×4, each replica r ≥ 1 nudged in ONE hash-picked
+    * dimension by a hash-picked ±[1e-6, 1e-3]. Every row is a distinct
+    * class (c = 2000 singletons at every SF — the real-crawl shape
+    * where c ≈ n), each base vector's replicas are mutual near-dups at
+    * cos ≈ 1−ε — exactly the shape that caught the r13 unclamped-f32
+    * bug (cosine rounding above 1 where DuckDB clamps) — and cross-base
+    * pairs stay far below the 0.98 gate threshold (base ceiling ~0.5).
+    * Hash streams are integer arithmetic (not xxhash64) so DuckDB
+    * replays the fixture bit-for-bit; the id stride is a fixed 1e6
+    * (base ids here are ≤ the 500 smallest, far below it at any SF).
+    * The LIMIT keeps the gate's exact-emitter cost constant across
+    * SFs — scale MEASUREMENT stays with [[graft.EmbScaleUp]]. */
+  private def distinctHeavyFixture(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(500)
+    val rep = col("__rep").cast("long")
+    val vid = col("vec_id")
+    val dim = size(col("embedding")).cast("long")
+    val dimPick = pmod(vid * lit(2654435761L) + rep * lit(40503L), dim).cast("int")
+    val mag = (pmod(vid * lit(48271L) + rep * lit(16807L), lit(1000L)) + lit(1L))
+      .cast("double") * lit(1e-6)
+    val sign = when(pmod(vid * lit(65027L) + rep * lit(30269L), lit(2L)) === 0L,
+      lit(1.0)).otherwise(lit(-1.0))
+    base.withColumn("__rep", explode(lit((0 until 4).toArray)))
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"),
+            (x, i) => when(i === dimPick, (x + mag * sign).cast("float"))
+              .otherwise(x))))
+      .withColumn("vec_id", vid + rep * lit(1000000L))
+      .drop("__rep")
+  }
+
+  /** The SQL twin of [[distinctHeavyFixture]] — keep both in sync.
+    * Guarded mods mirror Spark's pmod; the one-dimension rebuild uses
+    * 1-based inclusive list slicing around the 0-based pick. */
+  private val distinctFixtureSql: String =
+    """sel AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+      |  FROM embeddings ORDER BY vec_id LIMIT 500
+      |), rep AS (
+      |  SELECT s.vec_id, s.embedding, CAST(r.rep AS BIGINT) AS rep,
+      |         CAST(((s.vec_id * 2654435761 + r.rep * 40503) % len(s.embedding)
+      |           + len(s.embedding)) % len(s.embedding) AS INTEGER) AS dp,
+      |         (((s.vec_id * 48271 + r.rep * 16807) % 1000 + 1000) % 1000 + 1)
+      |           * 1e-6
+      |           * (CASE WHEN ((s.vec_id * 65027 + r.rep * 30269) % 2 + 2) % 2 = 0
+      |              THEN 1.0 ELSE -1.0 END) AS delta
+      |  FROM sel s CROSS JOIN (VALUES (0), (1), (2), (3)) r(rep)
+      |), jit AS (
+      |  SELECT vec_id + rep * 1000000 AS vec_id,
+      |         CASE WHEN rep = 0 THEN embedding
+      |              ELSE embedding[1:dp] ||
+      |                   [CAST(embedding[dp+1] + delta AS FLOAT)] ||
+      |                   embedding[dp+2:]
+      |         END AS embedding
+      |  FROM rep
+      |)""".stripMargin
 
   /** Build-once persisted span-dup flags frame over the span fixture
     * (window=8) — ONE window-concat + md5 + frequency build shared by
@@ -331,6 +432,7 @@ object DedupQueries {
   private val ApplyLshHandoff = Handoff.path("applylsh_rep_buckets")
   private val MinhashHandoff  = Handoff.path("minhash_bands")
   private val SimhashHandoff  = Handoff.path("simhash_sigs")
+  private val ApplyLshDistinctHandoff = Handoff.path("applylsh_distinct_rep_buckets")
 
   /** Order-insensitive one-row digest of a class-pair multiplicity
     * frame `(id_a, id_b, <valueCol>, n_pairs)`: class-pair count, Σ
@@ -400,6 +502,94 @@ object DedupQueries {
        |ORDER BY fingerprint""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // independent replay of the distinct-heavy exact gate: the jitter
+    // fixture re-derived bit-for-bit from the raw embeddings (integer
+    // hash streams + one-dim float rebuild), then the dedup_cosine
+    // class-pair contract over it (all classes are singletons by
+    // construction, so this is the raw exact pair join in the c ≈ n
+    // regime — the clamp's home turf)
+    "dedup_cosine_distinct" ->
+      s"""WITH $distinctFixtureSql,
+         |cls AS (
+         |  SELECT embedding AS e, min(vec_id) AS rep, count(*) AS n,
+         |         len(list_filter(embedding, x -> x <> 0)) > 0 AS nz
+         |  FROM jit GROUP BY embedding
+         |), p AS (
+         |  SELECT a.rep AS id_a, b.rep AS id_b,
+         |         CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE) AS cos_sim,
+         |         CAST(a.n * b.n AS BIGINT) AS n_pairs
+         |  FROM cls a JOIN cls b ON a.rep < b.rep
+         |  WHERE a.nz AND b.nz
+         |    AND CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE) >= 0.98
+         |), s AS (
+         |  SELECT rep AS id_a, rep AS id_b, 1.0 AS cos_sim,
+         |         CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+         |  FROM cls
+         |  WHERE n >= 2 AND nz
+         |), allp AS (
+         |  SELECT * FROM p UNION ALL SELECT * FROM s
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_class_pairs,
+         |       CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS n_id_pairs,
+         |       coalesce(bit_xor(CAST(CAST('0x' || substr(md5(
+         |         CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR) || ':' ||
+         |         CAST(CAST(floor(cos_sim * 1e9) AS BIGINT) AS VARCHAR) || ':' ||
+         |         CAST(n_pairs AS VARCHAR)
+         |       ), 1, 15) AS UBIGINT) AS BIGINT)), 0) AS pairs_sig
+         |FROM allp""".stripMargin,
+    // the dedup_apply_lsh replay over the re-derived jitter fixture:
+    // hot-bucket cap -> candidate rep pairs -> exact cosine verify at
+    // 0.98 -> transitive closure -> label expansion -> keep-canonical
+    "dedup_apply_lsh_distinct" ->
+      s"""WITH RECURSIVE $distinctFixtureSql,
+         |cls AS (
+         |  SELECT embedding AS e, min(vec_id) AS rep, count(*) AS n,
+         |         len(list_filter(embedding, x -> x <> 0)) > 0 AS nz
+         |  FROM jit GROUP BY embedding
+         |), mem AS (
+         |  SELECT em.vec_id, cls.rep
+         |  FROM jit em JOIN cls ON em.embedding = cls.e
+         |), h AS (SELECT * FROM read_parquet('$ApplyLshDistinctHandoff/*.parquet')),
+         |sz AS (SELECT band, bucket, count(*) AS c FROM h GROUP BY band, bucket),
+         |pr AS (
+         |  SELECT h.band, h.bucket, h.vec_id
+         |  FROM h JOIN sz ON h.band = sz.band AND h.bucket = sz.bucket
+         |  WHERE sz.c > 1 AND sz.c <= 1000
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM pr a JOIN pr b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |),
+         |rp AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN cls ca ON c.id_a = ca.rep
+         |  JOIN cls cb ON c.id_b = cb.rep
+         |  WHERE ca.nz AND cb.nz
+         |    AND CAST(list_cosine_similarity(ca.e, cb.e) AS DOUBLE) >= 0.98
+         |),
+         |sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM rp
+         |  UNION SELECT id_b AS u, id_a AS v FROM rp
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+         |), repcomp AS (
+         |  SELECT u AS rep, least(u, min(v)) AS component FROM reach GROUP BY u
+         |), labeled AS (
+         |  SELECT mem.vec_id, coalesce(rc.component, mem.rep) AS component
+         |  FROM mem
+         |  JOIN cls ON mem.rep = cls.rep
+         |  LEFT JOIN repcomp rc ON mem.rep = rc.rep
+         |  WHERE rc.rep IS NOT NULL OR (cls.nz AND cls.n >= 2)
+         |), victims AS (
+         |  SELECT vec_id FROM labeled WHERE vec_id <> component
+         |)
+         |SELECT vec_id FROM jit
+         |WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+         |ORDER BY vec_id""".stripMargin,
     // classes re-derived from the raw embeddings; cap/pairs/verify
     // replayed from the rep-bucket handoff; same-class rows by
     // definition; nz guards = the kernel's zero-norm rule

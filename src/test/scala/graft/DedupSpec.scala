@@ -495,6 +495,39 @@ class DedupSpec extends SparkSpec {
     } finally classes.unpersist()
   }
 
+  test("cosineDedupAuto: route choice pinned both sides of the crossover, " +
+    "kept sets agree across routes on both fixture shapes") {
+    assert(Dedup.chooseCosineRoute(100000L) === "exact")
+    assert(Dedup.chooseCosineRoute(100001L) === "lsh")
+    assert(Dedup.chooseCosineRoute(10L, crossoverClasses = 5L) === "lsh")
+    def kept(df: org.apache.spark.sql.DataFrame, crossover: Long): Set[Long] =
+      Dedup.cosineDedupAuto(df, "vec_id", "embedding", 0.98,
+        crossoverClasses = crossover).as[Long].collect().toSet
+    // distinct-heavy shape: jittered replicas — every row its own
+    // class, each base group mutual near-dups at cos ≈ 1−ε
+    val base = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+      .orderBy($"vec_id").limit(100)
+    val jit = (0 until 3).map { r =>
+      val emb =
+        if (r == 0) $"embedding"
+        else transform($"embedding", (x, i) =>
+          when(i === pmod($"vec_id" * 7919L + r, lit(64L)).cast("int"),
+            (x + lit(r * 1e-5)).cast("float")).otherwise(x))
+      base.select(($"vec_id" + r * 1000000L).as("vec_id"), emb.as("embedding"))
+    }.reduce(_ unionByName _)
+    // crossover = MaxValue forces the exact route, 1 forces LSH — the
+    // kept sets must agree, and each jitter group keeps ONE canonical
+    val exactKept = kept(jit, Long.MaxValue)
+    assert(exactKept === kept(jit, 1L))
+    assert(exactKept.size === 100)
+    // twin shape: identical copies collapse via same-class semantics
+    // on either route
+    val twins = twinEmbeddings(2)
+    val twinKept = kept(twins, Long.MaxValue)
+    assert(twinKept === kept(twins, 1L))
+    assert(twinKept.nonEmpty)
+  }
+
   test("incremental class-pair counts == id-level incremental aggregated") {
     // twin-replicate documents 2x (shift a multiple of 10 keeps the
     // %10 newness of every twin aligned with its original)
