@@ -84,6 +84,15 @@ object Bench {
         System.err.println(s"[bench] WARNING: span-flags warmup failed " +
           s"(${e.getMessage}); dedup_spans_* timing will include the " +
           "shared fingerprint build") }
+    // the two decontamination gates consume ONE persisted overlap
+    // report — same shared-build warmup contract
+    if (Seq("decontam_overlap", "curation_pipeline")
+        .exists(selected.contains))
+      try graft.queries.CurationQueries.overlapReportPath(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: overlap-report warmup failed " +
+          s"(${e.getMessage}); decontam_overlap/curation_pipeline timing " +
+          "will include the shared n-gram pass") }
     // the two refined-graph gates consume ONE persisted wide graph —
     // warm the shared build so neither timed window pays it (and the
     // second never pays it twice)

@@ -86,6 +86,26 @@ object CurationQueries {
   private def sqlQuote(pat: String): String = pat.replace("'", "''")
   private val blockedSql = BlockedHosts.map(h => s"'$h'").mkString(", ")
 
+  /** Build-once persisted `Decontam.overlapReport(corpus, benchmark,
+    * n=4)` over the %29 split — ONE n-gram pass shared by
+    * `decontam_overlap` (the whole report) and `curation_pipeline`
+    * (its n_shared/contaminated columns): at 100× each gate re-paid
+    * the same ~28–33 s pass (VERDICT r13 Next #4; the span-flags
+    * shared-build recipe, `DedupQueries.spanFlagsPath`). Bench warms
+    * it like every persisted artifact. The key carries the n-gram
+    * width, the split rule, and the algorithm version owned next to
+    * the operator. */
+  private[graft] def overlapReportPath(s: SparkSession, dir: String): String =
+    BuildOnce.cached(
+        s"decontam-overlap-n4-split29-algo${Decontam.OverlapAlgoVersion}",
+        new java.io.File(s"$dir/documents.parquet"))(
+        p => s"$p/overlap.parquet/_SUCCESS") { p =>
+      val docs = Tables.documents(s, dir)
+      Decontam.overlapReport(docs.where(col("doc_id") % 29 =!= 0),
+          docs.where(col("doc_id") % 29 === 0), n = 4)
+        .write.mode("overwrite").parquet(s"$p/overlap.parquet")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII detect + redact: counts per kind, full redacted text
     "t_pii_scrub" -> { (s, dir) =>
@@ -113,12 +133,10 @@ object CurationQueries {
         .orderBy(col("n").desc, col("domain"))
     },
     // benchmark decontamination: distinct shared 4-grams per corpus doc
-    // against the doc_id%29==0 "benchmark" slice
+    // against the doc_id%29==0 "benchmark" slice (read through the
+    // shared build-once report — see overlapReportPath)
     "decontam_overlap" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val corpus = docs.where(col("doc_id") % 29 =!= 0)
-      val benchmark = docs.where(col("doc_id") % 29 === 0)
-      Decontam.overlapReport(corpus, benchmark, n = 4)
+      s.read.parquet(s"${overlapReportPath(s, dir)}/overlap.parquet")
         .orderBy(col("doc_id"))
     },
     // C4-style line dedup over 4-word chunks, keep-first, minCount=2
@@ -145,8 +163,8 @@ object CurationQueries {
       import graft.operators.TextAnalysis.{qualityScore, tokenCount}
       val docs = Tables.documents(s, dir)
       val corpus = docs.where(col("doc_id") % 29 =!= 0)
-      val benchmark = docs.where(col("doc_id") % 29 === 0)
-      val contam = Decontam.overlapReport(corpus, benchmark, n = 4)
+      val contam = s.read
+        .parquet(s"${overlapReportPath(s, dir)}/overlap.parquet")
         .select(col("doc_id"), col("n_shared"), col("contaminated"))
       val t = col("text")
       Pii.scrub(corpus.select(col("doc_id"), col("source"),
