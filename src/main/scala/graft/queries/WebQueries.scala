@@ -183,6 +183,20 @@ object WebQueries {
         .select(col("doc_id"), u(col("doc_id"), col("text")).as("extracted"))
         .orderBy(col("doc_id"))
     },
+    // MAIN-content extraction (the jusText-lite classification layer):
+    // same wrap, but block-level length + link-density rules must keep
+    // ONLY the payload paragraph — title ("T{id}", 1 word), nav
+    // ("Home", link density 1.0), h1 ("Doc D{id}", 2 words) and the
+    // footer (4 words) are all boilerplate-dropped; documents whose
+    // payload itself is shorter than 5 words yield ''. DuckDB computes
+    // the expectation from `documents` alone.
+    "html_main_text" -> { (s, dir) =>
+      val u = udf((id: Long, t: String) =>
+        HtmlText.mainText(sampleHtml(id, t)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), u(col("doc_id"), col("text")).as("main_text"))
+        .orderBy(col("doc_id"))
+    },
     // WARC container ingest: per-record gzip members, HTTP envelope
     // split, chunked decode, charset sniff (header + meta), WET fast
     // path, non-content record bookkeeping — rolled into the census +
@@ -211,6 +225,16 @@ object WebQueries {
       s"""SELECT doc_id,
          |       ${expectedSql("doc_id", "text")} AS extracted
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "html_main_text" ->
+      """WITH nt AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN len(list_filter(string_split(t, ' '), x -> x <> '')) >= 5
+        |            THEN t ELSE '' END AS main_text
+        |FROM nt ORDER BY doc_id""".stripMargin,
     "warc_ingest" ->
       s"""WITH m AS (
          |  SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,

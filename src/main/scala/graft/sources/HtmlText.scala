@@ -149,14 +149,48 @@ object HtmlText {
     n
   }
 
-  /** Extract the text content of an HTML document: strip tags /
-    * scripts / styles / comments, decode entities, insert word breaks
-    * at block boundaries, normalize whitespace. Never throws on
-    * malformed markup. */
-  def extractText(html: String): String = {
-    if (html == null) return ""
+  /** One text block between block-tag boundaries: normalized text,
+    * word count, and the fraction of its characters that were emitted
+    * inside an `<a>` element (the jusText/trafilatura link-density
+    * signal — navigation and footer link farms sit near 1.0, body
+    * prose near 0.0). */
+  final case class TextBlock(text: String, words: Int, linkDensity: Double)
+
+  /** Segment an HTML document into [[TextBlock]]s: the same state
+    * machine as [[extractText]] (which is defined as the non-empty
+    * blocks joined with single spaces), but block-tag boundaries FLUSH
+    * a block instead of just inserting a word break, and characters
+    * emitted while inside an `<a>` element are counted toward the
+    * block's link density. */
+  def extractBlocks(html: String): Seq[TextBlock] = {
+    if (html == null) return Seq.empty
     val n = html.length
-    val sb = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    val out = scala.collection.mutable.ArrayBuffer.empty[TextBlock]
+    val sb = new java.lang.StringBuilder(256)
+    var linkChars = 0
+    var anchorDepth = 0
+    def emit(s: String): Unit = {
+      sb.append(s)
+      if (anchorDepth > 0) linkChars += s.length
+    }
+    def emitChar(c: Char): Unit = {
+      sb.append(c)
+      if (anchorDepth > 0) linkChars += 1
+    }
+    def flush(): Unit = {
+      val t = normalizeWs(sb.toString)
+      if (t.nonEmpty) {
+        // density over the RAW emitted chars (pre-normalization):
+        // whitespace collapse removes layout chars from both counts
+        // proportionally enough for a 0/1-ish signal, and raw counts
+        // keep the pass single-scan
+        val d = if (sb.length == 0) 0.0
+        else math.min(1.0, linkChars.toDouble / sb.length.toDouble)
+        out += TextBlock(t, t.split(' ').count(_.nonEmpty), d)
+      }
+      sb.setLength(0)
+      linkChars = 0
+    }
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -195,22 +229,50 @@ object HtmlText {
           }
           val selfClosed = end > 0 && html.charAt(end - 1) == '/'
           val tagEnd = if (end < 0) n else end + 1
-          if (Block(name)) sb.append(' ')
+          if (name == "a" && !selfClosed) {
+            if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+            else anchorDepth += 1
+          }
+          if (Block(name)) flush()
           i = if (!closing && !selfClosed && Excluded(name))
             indexPastCloseTag(html, tagEnd, name)
           else tagEnd
         } else {
-          sb.append(c); i += 1 // bare '<' is literal text
+          emitChar(c); i += 1 // bare '<' is literal text
         }
       } else if (c == '&') {
         val (decoded, next) = decodeEntityAt(html, i)
-        sb.append(decoded); i = next
+        emit(decoded); i = next
       } else {
-        sb.append(c); i += 1
+        emitChar(c); i += 1
       }
     }
-    normalizeWs(sb.toString)
+    flush()
+    out.toSeq
   }
+
+  /** Extract the text content of an HTML document: strip tags /
+    * scripts / styles / comments, decode entities, insert word breaks
+    * at block boundaries, normalize whitespace. Never throws on
+    * malformed markup. Defined as the non-empty [[extractBlocks]]
+    * texts joined with single spaces. */
+  def extractText(html: String): String =
+    extractBlocks(html).iterator.map(_.text).mkString(" ")
+
+  /** MAIN-content extraction (the jusText-lite classification layer on
+    * top of the tag strip): keep blocks that read like body prose —
+    * at least `minWords` words and link density at most
+    * `maxLinkDensity` — and drop titles, nav/footer link farms and
+    * other short boilerplate fragments. The thresholds are the
+    * standard jusText-family defaults rounded to this block model;
+    * the full heuristic stack (context-sensitive short-block rescue,
+    * stopword densities) belongs to a language-aware pass downstream.
+    */
+  def mainText(html: String, minWords: Int = 5,
+               maxLinkDensity: Double = 0.4): String =
+    extractBlocks(html).iterator
+      .filter(b => b.words >= minWords && b.linkDensity <= maxLinkDensity)
+      .map(_.text).mkString(" ")
 
   /** Charset of an HTML payload, by precedence: byte-order mark →
     * `charset=` in the transport Content-Type → `<meta charset=…>` /

@@ -274,6 +274,66 @@ object WarcIngest {
         col("r._5").as("ok"), col("r._6").as("text"), col("r._7").as("error"))
   }
 
+  /** One WARC/1.0 `conversion` (WET) record for an extracted text —
+    * the exact record shape [[parseRecords]] reads back. `date` is a
+    * parameter (not wall-clock) so writers are deterministic and
+    * replayable. */
+  def conversionRecord(uri: String, text: String,
+                       date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
+    val body = text.getBytes(StandardCharsets.UTF_8)
+    val h = new StringBuilder()
+    h.append("WARC/1.0\r\n")
+    h.append("WARC-Type: conversion\r\n")
+    h.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    h.append("WARC-Date: ").append(date).append("\r\n")
+    h.append("Content-Type: text/plain\r\n")
+    h.append("Content-Length: ").append(body.length).append("\r\n\r\n")
+    val head = h.toString.getBytes(StandardCharsets.UTF_8)
+    val out = new ByteArrayOutputStream(head.length + body.length + 4)
+    out.write(head); out.write(body)
+    out.write("\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+    out.toByteArray
+  }
+
+  /** WET EXPORT — the write half of the round trip: persist extracted
+    * text as `.warc.gz` conversion segments, one file per partition,
+    * each record its own gzip member (the Common Crawl WET layout, so
+    * [[parseRecords]]/[[ingestWarcs]] read the output back
+    * unchanged). Writes go through the Hadoop FileSystem of the
+    * target path, so the same code lands on file://, hdfs:// or an
+    * object store; `repartition(n)` upstream picks the segment count
+    * (real WET segments are ~150 MB — size partitions accordingly).
+    * Rows with a null text are skipped (they carry no conversion
+    * payload; quarantine them upstream). */
+  def writeWet(docs: DataFrame, uriCol: String, textCol: String,
+               outDir: String, date: String = "2026-01-01T00:00:00Z"): Unit = {
+    val rows = docs.select(col(uriCol).cast("string").as("uri"),
+      col(textCol).cast("string").as("text"))
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(
+          f"$outDir/part-$pid%05d.warc.gz")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(path, true)
+        try {
+          // per-record gzip members need separate GZIPOutputStream
+          // instances (java's cannot restart after finish): compress
+          // each member, then append its bytes to the one FS stream
+          it.foreach { r =>
+            if (!r.isNullAt(1)) {
+              val rec = conversionRecord(r.getString(0), r.getString(1), date)
+              val bos = new ByteArrayOutputStream(rec.length / 2 + 64)
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(rec); g.close()
+              out.write(bos.toByteArray)
+            }
+          }
+        } finally out.close()
+      }
+    }
+  }
+
   /** Per-file status rollup — [[ZipIngest.uploadStatus]]'s lattice
     * over WARC files (content records only; warcinfo/request/metadata
     * records are bookkeeping, not payload). */

@@ -50,6 +50,28 @@ object StreamingIngest {
     graft.sources.JsonlDocs.statusFromLines(
       spark.readStream.text(inputDir), schema)
 
+  /** Streaming WARC ingest: tail a landing directory of `.warc(.gz)`
+    * segments (the Common Crawl drop layout — new segments appear as
+    * whole files, which is exactly the file source's contract) with
+    * the binaryFile source and explode each new archive through the
+    * SAME parse + extract as batch
+    * [[graft.sources.WarcIngest.ingestWarcs]] — stream==batch parity
+    * by construction. Stateless narrow plan (parse + extract inside
+    * the scan task, no aggregation, no state store), any output mode;
+    * parquet appends replay at-least-once on epoch retry (see
+    * [[jsonlIngestStream]]). */
+  def warcIngestStream(spark: SparkSession, inputDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    graft.sources.WarcIngest.ingestWarcs(
+      spark.readStream.format("binaryFile")
+        .schema(binaryFileSchema).load(inputDir))
+  }
+
   /** Streaming CSV ingest: the [[jsonlIngestStream]] twin over the
     * positional format — the same shared lines→status parse as batch
     * [[graft.sources.CsvDocs]], so stream==batch parity (including the

@@ -767,4 +767,42 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming WARC ingest: stream parse+extract == batch, stateless") {
+    withTempDir("warc-stream") { root =>
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      def rec(recType: String, uri: String, ct: String,
+              block: Array[Byte]): Array[Byte] =
+        (s"WARC/1.0\r\nWARC-Type: $recType\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Type: $ct\r\nContent-Length: ${block.length}\r\n\r\n")
+          .getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+      val html = "<p>hello stream</p>".getBytes("UTF-8")
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        .getBytes("UTF-8") ++ html
+      val warc = rec("response", "http://s/a", "application/http; msgtype=response", http) ++
+        rec("conversion", "http://s/w", "text/plain", "wet body".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"${in.getAbsolutePath}/a.warc"), warc)
+      val out = new java.io.File(root, "out").getAbsolutePath
+      val q = StreamingIngest.warcIngestStream(spark, in.getAbsolutePath)
+        .writeStream
+        .option("checkpointLocation", new java.io.File(root, "ckpt").getAbsolutePath)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select($"target_uri", $"ok", $"text")
+            .write.mode("append").parquet(out)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.read.parquet(out)
+        .as[(String, Boolean, Option[String])].collect().toSet
+      assert(streamed === Set(("http://s/a", true, Some("hello stream")),
+        ("http://s/w", true, Some("wet body"))))
+      // stream == batch over the same files
+      val batch = graft.sources.WarcIngest.ingestWarcs(
+          spark.read.format("binaryFile").load(in.getAbsolutePath))
+        .select($"target_uri", $"ok", $"text")
+        .as[(String, Boolean, Option[String])].collect().toSet
+      assert(batch === streamed)
+    }
+  }
 }

@@ -70,6 +70,38 @@ class WebIngestSpec extends SparkSpec {
     assert(HtmlText.normalizeWs(" a \f b ") === "a b")
   }
 
+  test("extractBlocks: segmentation, word counts, link density") {
+    val html = "<nav><a href=\"/\">Home</a> <a href=\"/x\">More</a></nav>" +
+      "<p>real body prose with several words here</p>" +
+      "<footer>short <a href=\"/y\">link</a> tail</footer>"
+    val bs = HtmlText.extractBlocks(html)
+    assert(bs.map(_.text) === Seq("Home More",
+      "real body prose with several words here", "short link tail"))
+    assert(bs.map(_.words) === Seq(2, 7, 3))
+    assert(bs(0).linkDensity > 0.85) // only the inter-anchor space is unlinked
+    assert(bs(1).linkDensity === 0.0)
+    assert(bs(2).linkDensity > 0.2 && bs(2).linkDensity < 0.5)
+    // extractText is DEFINED as the block join — no drift possible
+    assert(HtmlText.extractText(html) === bs.map(_.text).mkString(" "))
+    // unclosed anchor: density accrues to end of block, never negative
+    val open = HtmlText.extractBlocks("<p><a href=x>all linked text here now</a></p>")
+    assert(open.head.linkDensity === 1.0)
+    assert(HtmlText.extractBlocks("</a>plain</a>").head.linkDensity === 0.0)
+  }
+
+  test("mainText: keeps prose blocks, drops short + link-farm boilerplate") {
+    val html = "<title>T9</title><nav><a href=\"/\">Home</a></nav>" +
+      "<h1>Doc D9</h1><p>one two three four five six</p>" +
+      "<footer>© 2026 — graft</footer>"
+    assert(HtmlText.mainText(html) === "one two three four five six")
+    // minWords boundary: a 5-word block survives, 4-word does not
+    assert(HtmlText.mainText("<p>a b c d e</p>") === "a b c d e")
+    assert(HtmlText.mainText("<p>a b c d</p>") === "")
+    // link density boundary: fully-linked long block dropped
+    assert(HtmlText.mainText(
+      "<p><a href=x>one two three four five six</a></p>") === "")
+  }
+
   // ---------------- charset sniffing ----------------
 
   test("sniffCharset precedence: BOM > header > meta > utf-8") {
@@ -186,6 +218,39 @@ class WebIngestSpec extends SparkSpec {
       "software: x\r\n".getBytes)
     assert(WarcIngest.extractRecord(WarcIngest.parseRecords(info).head)
       === Left("non-content record type: warcinfo"))
+  }
+
+  test("writeWet round-trip: exported WET segments re-ingest unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("wet").toFile
+    try {
+      val docs = Seq(
+        ("https://e.org/1", "alpha beta gamma"),
+        ("https://e.org/2", "second doc text"),
+        ("https://e.org/3", null.asInstanceOf[String]), // skipped: no payload
+        ("https://e.org/4", "fourth one")
+      ).toDF("uri", "text").repartition(2)
+      WarcIngest.writeWet(docs, "uri", "text", tmp.getAbsolutePath)
+      val back = WarcIngest.ingestWarcs(
+          spark.read.format("binaryFile").load(tmp.getAbsolutePath))
+        .select(col("rec_type"), col("target_uri"), col("ok"), col("text"))
+        .collect()
+      assert(back.forall(_.getString(0) === "conversion"))
+      assert(back.forall(_.getBoolean(2)))
+      val got = back.map(r => r.getString(1) -> r.getString(3)).toMap
+      assert(got === Map("https://e.org/1" -> "alpha beta gamma",
+        "https://e.org/2" -> "second doc text",
+        "https://e.org/4" -> "fourth one"))
+      // the segments are per-record gzip members readable standalone
+      val seg = new java.io.File(tmp, tmp.list().filter(_.endsWith(".warc.gz")).head)
+      val bytes = java.nio.file.Files.readAllBytes(seg.toPath)
+      assert((bytes(0) & 0xff) === 0x1f && (bytes(1) & 0xff) === 0x8b)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(tmp)
+    }
   }
 
   test("ingestWarcs + warcStatus: lattice over content records only") {
