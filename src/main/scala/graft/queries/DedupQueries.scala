@@ -299,6 +299,17 @@ object DedupQueries {
       Dedup.releaseAfterUse(cls)
       out
     },
+    // the REGIME AUTO-ROUTER as a standing gate: at fixture class
+    // counts the router must take the exact route, and its end-to-end
+    // apply output must equal the independent DuckDB closure replay
+    // (the dedup_apply oracle verbatim) — a router regression that
+    // flipped the route or broke the composition forks the hash.
+    // Route choice at both sides of the crossover stays DedupSpec-land.
+    "dedup_apply_auto" -> { (s, dir) =>
+      Dedup.cosineDedupAuto(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 0.45)
+        .orderBy(col("vec_id"))
+    },
     // STANDING distinct-heavy exact-cosine gate (r13 `weak` closed):
     // the jitter fixture makes every row its own class, so the exact
     // emitter runs in the c ≈ n regime where the r13 clamp bug lived —
@@ -410,15 +421,16 @@ object DedupQueries {
     * ~55 s fingerprint pass — SCALEBENCH r12). Bench warms it like
     * every persisted index. The key interpolates the window, the
     * algorithm version constant owned next to the builder, AND a hash
-    * of the fixture transform (SpanTail + the %10 rule) — the flags
-    * are built over [[spanFixture]], which is outside both the
-    * version constant's documented scope and the input parquet's
-    * fingerprint, so editing the fixture must invalidate the cache
-    * without a manual bump. */
+    * of the fixture DEFINITION — [[spanFixtureSql]], which embeds both
+    * SpanTail and the %10 rule and is already kept in sync with
+    * [[spanFixture]] by the oracle contract — so editing the fixture
+    * invalidates the cache without a manual bump (hashing a
+    * hand-maintained literal instead would go stale the first time
+    * the rule changed but the literal didn't). */
   private[graft] def spanFlagsPath(s: SparkSession, dir: String): String =
     BuildOnce.cached(
         s"span-flags-w8-algo${Dedup.DuplicatedSpanAlgoVersion}" +
-          s"-fx${Integer.toHexString((SpanTail + "|doc_id%10=0").hashCode)}",
+          s"-fx${Integer.toHexString(spanFixtureSql.hashCode)}",
         new java.io.File(s"$dir/documents.parquet"))(
         p => s"$p/flags.parquet/_SUCCESS") { p =>
       Dedup.duplicatedSpanFlags(spanFixture(s, dir), "doc_id", "text",
@@ -877,6 +889,28 @@ object DedupQueries {
         |)
         |SELECT u AS node_id, least(u, min(v)) AS component
         |FROM reach GROUP BY u ORDER BY node_id""".stripMargin,
+    // the dedup_apply closure replay verbatim — the router's exact
+    // route must reproduce it end-to-end
+    "dedup_apply_auto" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE len(list_filter(a.embedding, x -> x <> 0)) > 0
+        |    AND len(list_filter(b.embedding, x -> x <> 0)) > 0
+        |    AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |), sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b AS u, id_a AS v FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+        |), victims AS (
+        |  SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) < u
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT u FROM victims)
+        |ORDER BY vec_id""".stripMargin,
     "dedup_apply" ->
       """WITH RECURSIVE pairs AS (
         |  -- nz guards = the kernel's zero-norm rule (see dedup_cosine):

@@ -2,7 +2,6 @@ package graft.queries
 
 import java.io.ByteArrayOutputStream
 import java.nio.charset.{Charset, StandardCharsets}
-import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,9 +28,11 @@ import graft.sources.{HtmlText, WarcIngest}
 object WebQueries {
 
   /** Escape a text payload for embedding in the HTML fixture — the
-    * extractor's entity decode must invert this exactly. */
+    * extractor's entity decode must invert this exactly. A null text
+    * embeds as empty (the oracle mirrors with coalesce(text, '')). */
   private[graft] def escapeHtml(t: String): String =
-    t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if (t == null) ""
+    else t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   // The shared wrapper template (both the in-plan html_extract column
   // and the warc_ingest fixture builder use THIS function, so the two
@@ -57,19 +58,14 @@ object WebQueries {
     * collapse — covers empty/ragged payload text). */
   private def expectedSql(idExpr: String, textExpr: String): String =
     // one line: a multi-line snippet here would collide with the outer
-    // oracle templates' stripMargin (lines starting with '||')
+    // oracle templates' stripMargin (lines starting with '||').
+    // coalesce = the Spark side's null-embeds-as-empty rule; the ws
+    // class mirrors HtmlText.isAsciiWs exactly (\f and \x0B included)
     s"trim(regexp_replace('T' || CAST($idExpr AS VARCHAR) || ' Home Doc D' " +
-      s"|| CAST($idExpr AS VARCHAR) || ' ' || $textExpr || ' © 2026 — graft', " +
-      "'[ \\t\\n\\r]+', ' ', 'g'))"
+      s"|| CAST($idExpr AS VARCHAR) || ' ' || coalesce($textExpr, '') " +
+      "|| ' © 2026 — graft', '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))"
 
   // ---- WARC fixture building (driver-side, like b2_zip_ingest) ----
-
-  private def gz(b: Array[Byte]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(b.length / 2 + 64)
-    val g = new GZIPOutputStream(bos)
-    g.write(b); g.close()
-    bos.toByteArray
-  }
 
   private def warcRecord(recType: String, uri: String, contentType: String,
                          block: Array[Byte]): Array[Byte] = {
@@ -125,7 +121,7 @@ object WebQueries {
     * the Common Crawl layout) from the top-20 document rows. */
   private[graft] def sampleWarcGz(docs: Seq[(Long, String)]): Array[Byte] = {
     val out = new ByteArrayOutputStream(1 << 20)
-    def add(rec: Array[Byte]): Unit = out.write(gz(rec))
+    def add(rec: Array[Byte]): Unit = out.write(WarcIngest.gzipMember(rec))
     add(warcRecord("warcinfo", "", "application/warc-fields",
       "software: graft-warc-fixture\r\n".getBytes(StandardCharsets.UTF_8)))
     docs.foreach { case (id, text) =>
@@ -204,7 +200,8 @@ object WebQueries {
     "warc_ingest" -> { (s, dir) =>
       val top = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .orderBy(col("doc_id")).limit(20).collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+        .toSeq
       val warc = sampleWarcGz(top)
       import s.implicits._
       val bin = Seq(("mem://sample.warc.gz", warc)).toDF("path", "content")
@@ -228,7 +225,7 @@ object WebQueries {
     "html_main_text" ->
       """WITH nt AS (
         |  SELECT doc_id,
-        |         trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
+        |         trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS t
         |  FROM documents
         |)
         |SELECT doc_id,

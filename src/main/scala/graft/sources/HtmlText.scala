@@ -107,8 +107,15 @@ object HtmlText {
       if (j > digStart && j < n && s.charAt(j) == ';') {
         try {
           val cp = Integer.parseInt(s.substring(digStart, j), if (hex) 16 else 10)
-          if (Character.isValidCodePoint(cp) && cp != 0)
+          // the HTML spec maps NUL, surrogates, and out-of-range
+          // references to U+FFFD — a lone surrogate in the output
+          // would round-trip differently per engine (silent divergence
+          // in the md5 signatures)
+          if (Character.isValidCodePoint(cp) && cp != 0 &&
+            !(cp >= 0xD800 && cp <= 0xDFFF))
             return (new String(Character.toChars(cp)), j + 1)
+          else
+            return ("�", j + 1)
         } catch { case _: NumberFormatException => () }
       }
       ("&", i + 1)
@@ -280,7 +287,8 @@ object HtmlText {
     * first `metaScanBytes` bytes (ASCII-scanned, the WHATWG prescan) →
     * UTF-8. Unknown/unsupported names fall through to the next rule. */
   def sniffCharset(bytes: Array[Byte], contentType: Option[String],
-                   metaScanBytes: Int = 2048): Charset = {
+                   metaScanBytes: Int = 2048,
+                   htmlPrescan: Boolean = true): Charset = {
     def lookup(name: String): Option[Charset] =
       try { val t = name.trim.stripPrefix("\"").stripSuffix("\"")
         .stripPrefix("'").stripSuffix("'")
@@ -296,7 +304,10 @@ object HtmlText {
       return StandardCharsets.UTF_16BE
     val fromHeader = contentType.flatMap(charsetParam).flatMap(lookup)
     if (fromHeader.isDefined) return fromHeader.get
-    // ASCII prescan of the head for a meta declaration
+    if (!htmlPrescan) return StandardCharsets.UTF_8
+    // ASCII prescan of the head for a META declaration — scoped to
+    // the inside of a <meta …> tag (the WHATWG prescan rule): a
+    // 'charset=' in an href/body text must not hijack the decode
     val head = new String(bytes, 0, math.min(bytes.length, metaScanBytes),
       StandardCharsets.ISO_8859_1).toLowerCase
     val meta = MetaCharset.findFirstMatchIn(head)
@@ -305,7 +316,7 @@ object HtmlText {
   }
 
   private val MetaCharset =
-    """charset\s*=\s*["']?\s*([a-z0-9_\-]+)""".r
+    """<meta[^>]{0,512}?charset\s*=\s*["']?\s*([a-z0-9_\-]+)""".r
 
   /** The `charset` parameter of a Content-Type value, if present. */
   def charsetParam(contentType: String): Option[String] = {
@@ -320,18 +331,25 @@ object HtmlText {
   }
 
   /** Decode payload bytes with the sniffed charset (malformed input
-    * replaced, never thrown). */
-  def decode(bytes: Array[Byte], contentType: Option[String]): String = {
-    val cs = sniffCharset(bytes, contentType)
+    * replaced, never thrown). `htmlPrescan = false` for non-HTML
+    * payloads (WET / text/plain) — their body text mentioning
+    * 'charset=' is content, not a declaration. */
+  def decode(bytes: Array[Byte], contentType: Option[String],
+             htmlPrescan: Boolean = true): String = {
+    val cs = sniffCharset(bytes, contentType, htmlPrescan = htmlPrescan)
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)
-    val skip = // strip the BOM the sniffer keyed on
+    // strip ONLY a BOM that is actually present (a header-declared
+    // UTF-16 page without a BOM must keep its first character)
+    val skip =
       if (cs == StandardCharsets.UTF_8 && bytes.length >= 3 &&
         (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb &&
         (bytes(2) & 0xff) == 0xbf) 3
-      else if ((cs == StandardCharsets.UTF_16LE || cs == StandardCharsets.UTF_16BE) &&
-        bytes.length >= 2) 2
+      else if (cs == StandardCharsets.UTF_16LE && bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) 2
+      else if (cs == StandardCharsets.UTF_16BE && bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) 2
       else 0
     dec.decode(java.nio.ByteBuffer.wrap(bytes, skip, bytes.length - skip))
       .toString

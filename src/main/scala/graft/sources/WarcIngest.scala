@@ -219,9 +219,10 @@ object WarcIngest {
   /** Extract text from one parsed record following the dispatch in
     * the object doc: Right(text) or Left(error). */
   def extractRecord(r: Record): Either[String, String] = r.recType match {
-    case "conversion" => // WET: the block IS the extracted text
+    case "conversion" => // WET: the block IS the extracted text — no
+      // meta prescan (a body mentioning 'charset=' is content)
       Right(HtmlText.normalizeWs(
-        HtmlText.decode(r.payload, Some(r.contentType))))
+        HtmlText.decode(r.payload, Some(r.contentType), htmlPrescan = false)))
     case "response" =>
       if (r.httpStatus >= 400)
         Left(s"http status ${r.httpStatus}")
@@ -230,7 +231,8 @@ object WarcIngest {
           HtmlText.decode(r.payload, Some(r.httpContentType))))
       else if (isTextMime(r.httpContentType))
         Right(HtmlText.normalizeWs(
-          HtmlText.decode(r.payload, Some(r.httpContentType))))
+          HtmlText.decode(r.payload, Some(r.httpContentType),
+            htmlPrescan = false)))
       else
         Left(s"unsupported mime: ${if (r.httpContentType.isEmpty) "(none)"
         else r.httpContentType}")
@@ -274,6 +276,17 @@ object WarcIngest {
         col("r._5").as("ok"), col("r._6").as("text"), col("r._7").as("error"))
   }
 
+  /** One standalone gzip member (the per-record compression unit of
+    * the Common Crawl `.warc.gz` layout, readable by [[inflate]]'s
+    * multi-member stream) — the ONE shared implementation for the
+    * exporter, the fixture builders, and the specs. */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(record.length / 2 + 64)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(record); g.close()
+    bos.toByteArray
+  }
+
   /** One WARC/1.0 `conversion` (WET) record for an extracted text —
     * the exact record shape [[parseRecords]] reads back. `date` is a
     * parameter (not wall-clock) so writers are deterministic and
@@ -309,27 +322,47 @@ object WarcIngest {
                outDir: String, date: String = "2026-01-01T00:00:00Z"): Unit = {
     val rows = docs.select(col(uriCol).cast("string").as("uri"),
       col(textCol).cast("string").as("text"))
+    // ship the SESSION Hadoop conf to the tasks (spark.hadoop.* —
+    // object-store credentials, custom filesystems); a bare
+    // `new Configuration()` on the executor would see only classpath
+    // defaults. Configuration is not Serializable, so carry the
+    // entries; the array is small (hundreds of strings).
+    val confEntries = {
+      val it = docs.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val buf = ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toArray
+    }
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val path = new org.apache.hadoop.fs.Path(
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val finalPath = new org.apache.hadoop.fs.Path(
           f"$outDir/part-$pid%05d.warc.gz")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(path, true)
+        // task-attempt-unique temp + rename-on-success: a retried or
+        // speculative duplicate attempt never truncates the committed
+        // segment (losers leave only a temp file the next overwrite
+        // cleans, and the delete+rename pair is idempotent per
+        // partition — both attempts carry identical bytes)
+        val tmpPath = new org.apache.hadoop.fs.Path(
+          f"$outDir/_tmp-part-$pid%05d-attempt-${tc.taskAttemptId()}.warc.gz")
+        val fs = finalPath.getFileSystem(conf)
+        val out = fs.create(tmpPath, true)
         try {
-          // per-record gzip members need separate GZIPOutputStream
-          // instances (java's cannot restart after finish): compress
-          // each member, then append its bytes to the one FS stream
           it.foreach { r =>
-            if (!r.isNullAt(1)) {
-              val rec = conversionRecord(r.getString(0), r.getString(1), date)
-              val bos = new ByteArrayOutputStream(rec.length / 2 + 64)
-              val g = new java.util.zip.GZIPOutputStream(bos)
-              g.write(rec); g.close()
-              out.write(bos.toByteArray)
-            }
+            if (!r.isNullAt(1))
+              out.write(gzipMember(
+                conversionRecord(r.getString(0), r.getString(1), date)))
           }
         } finally out.close()
+        if (fs.exists(finalPath)) fs.delete(finalPath, false)
+        if (!fs.rename(tmpPath, finalPath)) {
+          fs.delete(tmpPath, false)
+          throw new java.io.IOException(
+            s"writeWet: rename $tmpPath -> $finalPath failed")
+        }
       }
     }
   }

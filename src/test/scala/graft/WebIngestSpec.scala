@@ -52,6 +52,11 @@ class WebIngestSpec extends SparkSpec {
       "&notanentity; &amp &#; &#xZZ; a&b")
     // nbsp participates in whitespace collapse
     assert(HtmlText.extractText("a&nbsp;&nbsp;b") === "a b")
+    // NUL / surrogate / out-of-range numeric references → U+FFFD (the
+    // HTML spec rule; a lone surrogate would round-trip differently
+    // per engine)
+    assert(HtmlText.extractText("&#0;&#xD800;&#xDFFF;&#x110000;") ===
+      "����")
   }
 
   test("malformed markup: bare '<', quoted '>', ragged input never throw") {
@@ -132,6 +137,29 @@ class WebIngestSpec extends SparkSpec {
     val withBom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
       "abc".getBytes("UTF-8")
     assert(HtmlText.decode(withBom, None) === "abc")
+    // header-declared UTF-16 WITHOUT a BOM keeps its first character
+    val noBom16 = "<p>x</p>".getBytes(StandardCharsets.UTF_16LE)
+    assert(HtmlText.decode(noBom16, Some("text/html; charset=utf-16le"))
+      === "<p>x</p>")
+    // with a BOM, the BOM (and only the BOM) is stripped
+    val bom16 = Array[Byte](0xff.toByte, 0xfe.toByte) ++ noBom16
+    assert(HtmlText.decode(bom16, Some("text/html; charset=utf-16le"))
+      === "<p>x</p>")
+  }
+
+  test("meta prescan is scoped to meta tags and to HTML payloads") {
+    // 'charset=' inside an href must NOT hijack the decode
+    val href = "<a href=\"/conv?charset=iso-8859-1\">x</a>".getBytes("UTF-8")
+    assert(HtmlText.sniffCharset(href, Some("text/html"))
+      === StandardCharsets.UTF_8)
+    // a text/plain body MENTIONING a charset is content, not a
+    // declaration — extractRecord disables the prescan
+    val mention = "use <meta charset=euc-kr> in your header".getBytes("UTF-8")
+    assert(HtmlText.sniffCharset(mention, Some("text/plain"),
+      htmlPrescan = false) === StandardCharsets.UTF_8)
+    val wet = mkRecord("conversion", "http://w", "text/plain", mention)
+    assert(WarcIngest.extractRecord(WarcIngest.parseRecords(wet).head)
+      === Right("use <meta charset=euc-kr> in your header"))
   }
 
   // ---------------- WARC parsing ----------------
