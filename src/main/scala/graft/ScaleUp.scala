@@ -273,6 +273,44 @@ object EmbScaleUp {
   }
 }
 
+/** Regime probe for [[graft.operators.Dedup.cosineDedupAuto]] over a
+  * distinct-heavy [[EmbScaleUp]] fixture: reports the distinct-class
+  * count, the route the router chooses, end-to-end wall time, and the
+  * kept-row count — the measured evidence that a crawl-shaped corpus
+  * (c ≈ n, here ~200k classes at factor 100) gets the survivable
+  * sign-LSH plan without the caller reading SCALEBENCH, and that the
+  * apply still collapses every jitter group to one canonical row.
+  *
+  * Usage: runMain graft.CosineRouterProbe [embDir] [threshold]
+  */
+object CosineRouterProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "target/sfembdistinct-derived"
+    val threshold = if (args.length > 1) args(1).toDouble else 0.99
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-router-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rows = emb.count()
+    val classes = emb.select(countDistinct(col("embedding"))).head.getLong(0)
+    val route = graft.operators.Dedup.chooseCosineRoute(classes)
+    val t0 = System.nanoTime()
+    val kept = graft.operators.Dedup
+      .cosineDedupAuto(emb, "vec_id", "embedding", threshold).count()
+    println(f"[router-probe] dir=$dir rows=$rows classes=$classes " +
+      f"route=$route threshold=$threshold kept=$kept " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}
+
 /** Crossover measurement for the two fuzzy expansion plans over a
   * [[VocabScaleUp]] fixture: times `Fuzzy.termSearch` with
   * `qgramIndex` off (full-vocab levenshtein scan) and on (positional
