@@ -281,6 +281,105 @@ object HtmlText {
       .filter(b => b.words >= minWords && b.linkDensity <= maxLinkDensity)
       .map(_.text).mkString(" ")
 
+  /** The attribute bodies of every `<name …>` tag in the document
+    * (quote-aware end scan, same rule as the extractor) — the shared
+    * scanner for the head-metadata extractors below. */
+  private def tagBodies(html: String, name: String): Iterator[String] =
+    new Iterator[String] {
+      private var i = 0
+      private var nextBody: String = null
+      private def advance(): Unit = {
+        nextBody = null
+        val n = html.length
+        while (nextBody == null && i < n) {
+          i = html.indexOf('<', i)
+          if (i < 0) { i = n; return }
+          val start = i + 1
+          if (html.regionMatches(true, start, name, 0, name.length) &&
+            start + name.length < n && {
+              val c = html.charAt(start + name.length)
+              isAsciiWs(c) || c == '>' || c == '/'
+            }) {
+            var quote: Char = 0
+            var k = start + name.length
+            var end = -1
+            while (k < n && end < 0) {
+              val ch = html.charAt(k)
+              if (quote != 0) { if (ch == quote) quote = 0 }
+              else if (ch == '"' || ch == '\'') quote = ch
+              else if (ch == '>') end = k
+              k += 1
+            }
+            if (end < 0) { i = n; return }
+            nextBody = html.substring(start + name.length, end)
+            i = end + 1
+          } else i += 1
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextBody != null
+      override def next(): String = { val b = nextBody; advance(); b }
+    }
+
+  /** Parse a tag's attribute body into lowercase-name → value pairs
+    * (quoted or bare values; valueless attributes map to ""). */
+  private[sources] def parseAttrs(body: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    val n = body.length
+    while (i < n) {
+      while (i < n && (isAsciiWs(body.charAt(i)) || body.charAt(i) == '/')) i += 1
+      val nameStart = i
+      while (i < n && !isAsciiWs(body.charAt(i)) && body.charAt(i) != '=' &&
+        body.charAt(i) != '/' && body.charAt(i) != '>') i += 1
+      if (i > nameStart) {
+        val name = body.substring(nameStart, i).toLowerCase
+        while (i < n && isAsciiWs(body.charAt(i))) i += 1
+        if (i < n && body.charAt(i) == '=') {
+          i += 1
+          while (i < n && isAsciiWs(body.charAt(i))) i += 1
+          if (i < n && (body.charAt(i) == '"' || body.charAt(i) == '\'')) {
+            val q = body.charAt(i); i += 1
+            val vs = i
+            while (i < n && body.charAt(i) != q) i += 1
+            out += name -> body.substring(vs, i)
+            if (i < n) i += 1
+          } else {
+            val vs = i
+            while (i < n && !isAsciiWs(body.charAt(i))) i += 1
+            out += name -> body.substring(vs, i)
+          }
+        } else out += name -> ""
+      }
+    }
+    out.result()
+  }
+
+  /** `<link rel="canonical" href=…>` — the URL-level dedup signal a
+    * crawl pipeline keys on (the same page crawled at many URLs
+    * declares ONE canonical). Attribute order-insensitive; first
+    * declaration wins (the WHATWG rule for duplicated signals). */
+  def canonicalUrl(html: String): Option[String] = {
+    if (html == null) return None
+    tagBodies(html, "link").map(parseAttrs)
+      .collectFirst {
+        case a if a.get("rel").exists(_.equalsIgnoreCase("canonical")) &&
+          a.get("href").exists(_.nonEmpty) => a("href")
+      }
+  }
+
+  /** Directives of `<meta name="robots" content="…">` (lowercased,
+    * split on commas/whitespace) — `noindex` is the page-level drop
+    * signal a training-data crawl must honor. Empty set when absent. */
+  def metaRobots(html: String): Set[String] = {
+    if (html == null) return Set.empty
+    tagBodies(html, "meta").map(parseAttrs)
+      .filter(_.get("name").exists(_.equalsIgnoreCase("robots")))
+      .flatMap(_.getOrElse("content", "")
+        .toLowerCase.split("[,\\s]+").iterator.filter(_.nonEmpty))
+      .toSet
+  }
+
   /** Charset of an HTML payload, by precedence: byte-order mark →
     * `charset=` in the transport Content-Type → `<meta charset=…>` /
     * `<meta http-equiv="Content-Type" content="…charset=…">` in the

@@ -107,6 +107,45 @@ class WebIngestSpec extends SparkSpec {
       "<p><a href=x>one two three four five six</a></p>") === "")
   }
 
+  test("canonicalUrl + metaRobots: head metadata extraction") {
+    val html = "<html><head>" +
+      "<link href=\"https://e.org/canon\" rel=canonical>" +
+      "<link rel=\"stylesheet\" href=\"/s.css\">" +
+      "<meta name=\"robots\" content=\"NoIndex, nofollow\">" +
+      "</head><body>x</body></html>"
+    assert(HtmlText.canonicalUrl(html) === Some("https://e.org/canon"))
+    assert(HtmlText.metaRobots(html) === Set("noindex", "nofollow"))
+    // first canonical wins; attribute order and quoting are free
+    val two = "<LINK REL='canonical' HREF='/a'><link rel=canonical href=/b>"
+    assert(HtmlText.canonicalUrl(two) === Some("/a"))
+    assert(HtmlText.canonicalUrl("<link rel=\"stylesheet\" href=\"/x\">") === None)
+    assert(HtmlText.canonicalUrl("<p>no links</p>") === None)
+    assert(HtmlText.canonicalUrl(null) === None)
+    assert(HtmlText.metaRobots("<meta charset=\"utf-8\">") === Set.empty)
+    // quoted '>' inside an attribute does not end the tag
+    assert(HtmlText.canonicalUrl(
+      "<link data-x=\"a > b\" rel=canonical href=\"/q\">") === Some("/q"))
+  }
+
+  test("fuzz: extractText/extractBlocks/mainText/canonicalUrl never throw, " +
+    "normalization idempotent (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab <>&;/\"'=!-#xD8p" + "\t\n\r\f"
+    (0 until 2000).foreach { _ =>
+      val s = (0 until rnd.nextInt(80))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val t = HtmlText.extractText(s)
+      assert(t === HtmlText.normalizeWs(t)) // output is normal form
+      HtmlText.extractBlocks(s).foreach { b =>
+        assert(b.linkDensity >= 0.0 && b.linkDensity <= 1.0)
+        assert(b.words >= 1) // empty blocks are never emitted
+      }
+      HtmlText.mainText(s)
+      HtmlText.canonicalUrl(s)
+      HtmlText.metaRobots(s)
+    }
+  }
+
   // ---------------- charset sniffing ----------------
 
   test("sniffCharset precedence: BOM > header > meta > utf-8") {
