@@ -214,8 +214,13 @@ object Hnsw {
     }
 
     /** Greedy single-path descent on one layer (ef=1 special case of
-      * the paper — the upper-layer navigation step). */
-    private def greedyStep(q: Array[Float], ep: Int, layer: Int): Int = {
+      * the paper — the upper-layer navigation step). `exclude` keeps
+      * the descent off a node being relinked (a REVIVED node can be
+      * reachable through stale one-way inbound edges left by mMax
+      * shrinks, sits at distance 0 of its own new vector, and has an
+      * empty adjacency — stepping onto it would strand the descent). */
+    private def greedyStep(q: Array[Float], ep: Int, layer: Int,
+                           exclude: Int = -1): Int = {
       var cur = ep
       var curD = dist(q, vecs(cur))
       var improved = true
@@ -225,8 +230,10 @@ object Hnsw {
         var i = 0
         while (i < nbrs.length) {
           val n = nbrs(i)
-          val d = dist(q, vecs(n))
-          if (closer(d, n, curD, cur)) { cur = n; curD = d; improved = true }
+          if (n != exclude) {
+            val d = dist(q, vecs(n))
+            if (closer(d, n, curD, cur)) { cur = n; curD = d; improved = true }
+          }
           i += 1
         }
       }
@@ -294,12 +301,21 @@ object Hnsw {
       }
       if (entry < 0 || entry == node) { entry = node; return }
 
+      // the relink must never select the node ITSELF: a revived node
+      // can still be REACHED through stale one-way inbound edges (an
+      // mMax shrink drops X from adj(n) but leaves n in adj(X)), and
+      // its replaced vector puts it at distance 0 of the insert query
+      // — unexcluded, it would pick itself as its own nearest
+      // neighbor, self-link, and relink every lower layer to nothing
       var ep = entry
       var layer = lvls(entry)
-      while (layer > lvl) { ep = greedyStep(vec, ep, layer); layer -= 1 }
+      while (layer > lvl) {
+        ep = greedyStep(vec, ep, layer, exclude = node); layer -= 1
+      }
       layer = math.min(lvl, lvls(entry))
       while (layer >= 0) {
-        val cands = searchLayer(vec, Seq(ep), params.efConstruction, layer)
+        val cands = searchLayer(vec, Seq(ep), params.efConstruction, layer,
+          accept = _ != node)
         val cap = if (layer == 0) params.mMax0 else params.m
         val selected = cands.take(params.m)
         selected.foreach { case (n, _) =>

@@ -204,13 +204,13 @@ object Serving {
     * instead would diverge by one probe exactly at a collision). */
   private def rankProbesLocal(cents: Seq[(Int, Array[Float])],
                               query: Array[Float], nprobe: Int): Seq[Int] = {
-    cents.map { case (i, c) =>
-      require(c.length == query.length,
-        s"query dim ${query.length} != centroid dim ${c.length}")
-      var acc = 0.0f; var d = 0
-      while (d < c.length) { val x = c(d) - query(d); acc += x * x; d += 1 }
-      (i, math.sqrt(acc.toDouble).toFloat)
-    }.sortBy { case (i, dist) => (dist, i) }.take(nprobe).map(_._1)
+    // delegate to THE probe-ranking kernel (one owner — a tweak to
+    // Ann.rankProbes must move serving and batch probe sets together).
+    // Sorting by cluster id first makes positional ties == id ties.
+    val sorted = cents.sortBy(_._1).toIndexedSeq
+    graft.operators.Ann
+      .rankProbes(sorted.map(_._2).toArray, query, nprobe)
+      .map(i => sorted(i)._1)
   }
 
   final case class IvfHit(vecId: Long, label: Int, cluster: Int, dist: Double)
@@ -320,11 +320,16 @@ object Serving {
     val centArr = cents.map(_._2).toArray
     val probes = graft.operators.Pq.rankProbesSq(centArr, query, nprobe)
     val cands = mutable.ArrayBuffer.empty[(Long, Int, Int, Float, Array[Float])]
-    probes.foreach { c =>
-      val lut = graft.operators.Pq.lutFor(model, centArr(c), query)
-      loadClusterVecs(conf, cache, base, c).foreach { case (id, label, v) =>
-        val code = graft.operators.Pq.encodeRow(model, centArr(c), v)
-        cands += ((id, label, c,
+    probes.foreach { p =>
+      // rankProbesSq returns POSITIONS into centArr; resolve to the
+      // row's actual cluster_id before touching the layout (the ids
+      // are contiguous today, but a pruned/renumbered centroid table
+      // must break loudly in one place, not scan wrong directories)
+      val (cid, cvec) = cents(p)
+      val lut = graft.operators.Pq.lutFor(model, cvec, query)
+      loadClusterVecs(conf, cache, base, cid).foreach { case (id, label, v) =>
+        val code = graft.operators.Pq.encodeRow(model, cvec, v)
+        cands += ((id, label, cid,
           graft.operators.Pq.adcRow(model, lut, code), v))
       }
     }
@@ -476,11 +481,13 @@ object Serving {
   def hybridRrf(ivfDir: String, bm25Dir: String, query: Array[Float],
                 terms: Seq[String], k: Int, fetchK: Int = 50,
                 nprobe: Int = 4, kRrf: Int = 60,
+                rationalIdf: Boolean = false,
                 conf: Configuration = defaultConf,
                 cache: IndexCache = noCache): Seq[HybridHit] = {
     require(k > 0 && kRrf > 0, s"k and kRrf must be positive, got $k, $kRrf")
     val vec = searchIvf(ivfDir, query, fetchK, nprobe, conf, cache)
-    val lex = searchBm25(bm25Dir, terms, fetchK, conf = conf, cache = cache)
+    val lex = searchBm25(bm25Dir, terms, fetchK,
+      rationalIdf = rationalIdf, conf = conf, cache = cache)
     val score = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
     vec.iterator.zipWithIndex.foreach { case (h, i) =>
       score(h.vecId) += 1000000000L / (kRrf + i + 1L)
@@ -506,7 +513,7 @@ object Serving {
     * hit-for-hit parity with `searchPersistedIndex`, spec-pinned. */
   def searchBm25(indexDir: String, queryTerms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75,
-                 rationalIdf: Boolean = true,
+                 rationalIdf: Boolean = false,
                  conf: Configuration = defaultConf,
                  cache: IndexCache = noCache): Seq[Bm25Hit] = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
@@ -1144,7 +1151,12 @@ object Serving {
     val probes = rankProbesLocal(cents, query, nprobe)
     val hits = mutable.ArrayBuffer.empty[HnswHit]
     probes.foreach { c =>
-      loadHnswShard(conf, cache, base, c, params).search(query, k, ef)
+      // k=1 to the kernel: the beam width must be EXACTLY ef — the
+      // batch tasks run g.search(vec, 1, ef), and the kernel widens
+      // its layer-0 beam to max(ef, k), so passing k here would give
+      // serving a wider candidate set than batch whenever k > ef and
+      // silently break the pinned hit-for-hit parity
+      loadHnswShard(conf, cache, base, c, params).search(query, 1, ef)
         .foreach { case (id, d) => hits += HnswHit(id, c, d.toDouble) }
     }
     hits.toSeq.sortBy(h => (h.dist, h.vecId)).take(k)
@@ -1184,6 +1196,18 @@ object Serving {
     def insert(id: Long, vec: Array[Float]): Int = {
       val s = centSorted(
         graft.operators.Ann.nearestCentroid(centArray, vec.toSeq))._1
+      // single-live-copy invariant ACROSS shards: an id inserted under
+      // an older routing table may live in a different shard than the
+      // current nearest-centroid one; fresh-inserting there would
+      // create a second live copy (search could return the id twice,
+      // and delete/batch semantics would fork). The kernel already
+      // rejects a live duplicate within one shard — extend the same
+      // contract across the bounded shard map.
+      shards.foreach { case (os, g) =>
+        require(os == s || !g.contains(id) || g.isDeleted(id),
+          s"duplicate live insert: id=$id is live in shard $os " +
+            s"(currently routed to $s); delete it first")
+      }
       shards.getOrElseUpdate(s, new graft.operators.Hnsw.HnswGraph(params))
         .insert(id, vec)
       s
@@ -1208,10 +1232,16 @@ object Serving {
       * (the kernel's replace_deleted path) when it routes back to the
       * same shard; if the routing table moved it to a different
       * shard, the old tombstone simply waits for compaction. */
-    def delete(id: Long): Option[Int] =
-      shards.toSeq.sortBy(_._1)
-        .find { case (_, g) => g.contains(id) && !g.isDeleted(id) }
+    def delete(id: Long): Option[Int] = {
+      // tombstone EVERY live copy — batch deleteFromShards joins on
+      // vec_id and marks all of them; the insert invariant keeps live
+      // copies unique, but a layout written before the invariant could
+      // still carry duplicates, and delete must not serve one back
+      val marked = shards.toSeq.sortBy(_._1)
+        .filter { case (_, g) => g.contains(id) && !g.isDeleted(id) }
         .map { case (s, g) => g.markDeleted(id); s }
+      marked.headOption
+    }
 
     /** Snapshot of the live shard graphs (shard-id order) — the flush
       * surface: [[graft.operators.Hnsw.fromOnline]] materializes it
@@ -1233,7 +1263,8 @@ object Serving {
       val probes = rankProbesLocal(cents, query, nprobe)
       val hits = mutable.ArrayBuffer.empty[HnswHit]
       probes.foreach { c =>
-        shards.get(c).foreach(_.search(query, k, ef).foreach { case (id, d) =>
+        // k=1: beam width exactly ef (see searchHnsw)
+        shards.get(c).foreach(_.search(query, 1, ef).foreach { case (id, d) =>
           hits += HnswHit(id, c, d.toDouble)
         })
       }

@@ -362,6 +362,40 @@ class HnswSpec extends SparkSpec {
     assert(g2.search(moved, 10, 32) === g.search(moved, 10, 32))
   }
 
+  test("same-vector revive through stale inbound edges: no self-links, " +
+    "no duplicate neighbors, node stays searchable") {
+    // a TIGHT cluster forces constant mMax shrinks, which leave stale
+    // one-way inbound edges (X keeps n after adj(n) dropped X); the
+    // reference lifecycle then deletes and re-uploads the SAME
+    // embedding — distance 0 of the relink query, the exact shape
+    // that made the pre-fix relink select the node as its own
+    // neighbor and strand its lower layers
+    val g = new HnswGraph(P)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(rnd.nextFloat())
+    val vecsById = (0L until 200L).map { id =>
+      id -> base.map(x => x + rnd.nextFloat() * 1e-3f)
+    }
+    vecsById.foreach { case (id, v) => g.insert(id, v) }
+    Seq(3L, 57L, 111L, 199L).foreach { id =>
+      val v = vecsById(id.toInt)._2
+      g.markDeleted(id)
+      g.insert(id, v) // revive with the IDENTICAL vector
+      assert(!g.isDeleted(id))
+      val hits = g.search(v, 5, 32).map(_._1)
+      assert(hits.contains(id), s"revived id $id lost from its own NN set")
+    }
+    g.exportRows.foreach { r =>
+      assert(!r.neighbors.contains(r.vec_id),
+        s"self-link on ${r.vec_id} layer ${r.layer}")
+      assert(r.neighbors.distinct.size === r.neighbors.size,
+        s"duplicate neighbors on ${r.vec_id} layer ${r.layer}")
+      if (r.layer == 0 && g.liveSize > 1)
+        assert(r.neighbors.nonEmpty,
+          s"stranded node ${r.vec_id}: empty layer-0 adjacency")
+    }
+  }
+
   test("revive of a tombstoned ENTRY node re-seats and relinks correctly") {
     val g = new HnswGraph(P)
     val vs = allVecs.take(60)

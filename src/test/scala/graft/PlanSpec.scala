@@ -224,21 +224,32 @@ class PlanSpec extends SparkSpec {
     // listener can then unpersist it between our persist and the plan
     // inspection (suite-order flake; correctness unaffected — recompute)
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 397)
-    val out = graft.operators.Bm25.prfTopK(docs, "doc_id", "text",
-      Seq("spark", "table"), k = 5, fbDocs = 3, fbTerms = 2)
-    val exec = out.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
+    def passTwoPlan() = {
+      val out = graft.operators.Bm25.prfTopK(docs, "doc_id", "text",
+        Seq("spark", "table"), k = 5, fbDocs = 3, fbTerms = 2)
+      out.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
     }
+    def cacheScans(exec: org.apache.spark.sql.execution.SparkPlan) =
+      exec.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
+      }
     // tree traversal stops at the cache boundary: the InMemoryRelation's
     // cached BUILD plan (which rightly contains the one split) is not
     // part of the executed tree, so any StringSplit found here is a
-    // fresh corpus re-split
-    val cacheScans = exec.collect {
-      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
-    }
-    assert(cacheScans.nonEmpty, s"pass 2 must read the persisted tokenize:\n$exec")
+    // fresh corpus re-split.
+    // ONE retry: even with the unique plan above, a concurrent suite's
+    // in-flight async self-release can still unpersist between our
+    // persist and the plan inspection (documented flake — the listener
+    // bus offers no public drain). A REAL regression — the persist
+    // removed from prfTopK — fails both attempts deterministically.
+    var exec = passTwoPlan()
+    if (cacheScans(exec).isEmpty) exec = passTwoPlan()
+    assert(cacheScans(exec).nonEmpty,
+      s"pass 2 must read the persisted tokenize:\n$exec")
     val resplits = exec.collect { case p => p }.flatMap(_.expressions)
       .flatMap(_.collect {
         case s: org.apache.spark.sql.catalyst.expressions.StringSplit => s

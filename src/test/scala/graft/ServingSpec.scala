@@ -31,7 +31,8 @@ class ServingSpec extends SparkSpec {
     val viaSpark = Bm25.searchPersistedIndex(spark, path, terms, k = 20,
         rationalIdf = true)
       .as[(Long, Long, Long)].collect().toSeq
-    val viaServing = Serving.searchBm25(path, terms, k = 20)
+    val viaServing = Serving.searchBm25(path, terms, k = 20,
+        rationalIdf = true)
       .map(h => (h.id, h.bm25Fp, h.nTerms))
     assert(viaServing === viaSpark)
   }
@@ -137,9 +138,11 @@ class ServingSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("id").asc)).select("id", "rank")
     val viaSpark = Bm25.rrfFuse(vecRanked, bmRanked, k = 10)
       .as[(Long, Long)].collect().toSeq
-    Serving.hybridRrf(ivf, bm25, q.toArray, terms, 10) // warm
+    Serving.hybridRrf(ivf, bm25, q.toArray, terms, 10,
+      rationalIdf = true) // warm
     val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val viaServing = Serving.hybridRrf(ivf, bm25, q.toArray, terms, 10)
+    val viaServing = Serving.hybridRrf(ivf, bm25, q.toArray, terms, 10,
+      rationalIdf = true)
       .map(h => (h.id, h.rrfFp))
     val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(jobsAfter === jobsBefore, "hybrid probe must not launch Spark jobs")
