@@ -50,11 +50,15 @@ object Clustering {
       .agg(sum(col("ln")).as("n"),
         (sum(col("sd")).cast("double") /
           (sum(col("ln")) * Ann.FpScale).cast("double")).as("mean_dist"),
-        max_by(col("lbl"), struct(col("ln"), col("lbl"))).as("majority_label"),
-        max(struct(col("ln"), col("lbl"))).getField("ln").as("mn"))
+        // ONE aggregate owns the (count, label) tie-break; the label
+        // and its count are fields of the same max so they can never
+        // drift apart on edit
+        max(struct(col("ln"), col("lbl"))).as("__m"))
       .select(col("ivf_cluster").cast("long").as("cluster_id"),
-        col("n"), col("mean_dist"), col("majority_label"),
-        (col("mn").cast("double") / col("n")).as("majority_frac"))
+        col("n"), col("mean_dist"),
+        col("__m").getField("lbl").as("majority_label"),
+        (col("__m").getField("ln").cast("double") / col("n"))
+          .as("majority_frac"))
       .orderBy(col("n").desc, col("cluster_id"))
   }
 
@@ -128,10 +132,16 @@ object Clustering {
     }
     if (refinedPairs) {
       // runtime signal for the scaladoc's normalization assumption
-      // (candidates are L2-ranked, the verify is cosine): one cheap
-      // agg over the already-persisted base — if the corpus's norm
-      // spread is wide, cosine twins at different magnitudes can fall
-      // outside every top-pairK L2 list and the miss is silent
+      // (candidates are L2-ranked, the verify is cosine): if the
+      // corpus's norm spread is wide, cosine twins at different
+      // magnitudes can fall outside every top-pairK L2 list and the
+      // miss is SILENT — which is why this check is eager. Honest
+      // cost note: this agg is the action that computes and caches
+      // `base`, so refinedPairs=true does corpus work at PLAN time; a
+      // caller that executes the result amortizes it (the cache
+      // serves every downstream phase), but a plan-only caller pays
+      // the scan and leaves the cache for releaseAfterUse's listener
+      // (the prfTopK plan-only contract).
       val norm = sqrt(graft.functions.VectorFunctions
         .dotF32(col(index.embCol), col(index.embCol)).cast("double"))
       val ns = base.agg(min(norm), max(norm)).head()
@@ -283,7 +293,7 @@ object Clustering {
         }
       }
       picks.toSeq
-        .toDF("pick_rank", "vec_id", "covered_dist")
+        .toDF("pick_rank", idCol, "covered_dist")
         .orderBy(col("pick_rank"))
     } finally clean.unpersist(blocking = false)
   }

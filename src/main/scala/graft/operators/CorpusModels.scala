@@ -193,7 +193,14 @@ object CorpusModels {
     val scored = tok
       .join(broadcast(vocab.select(col("grp"), col("token"), col("logp_fp"))),
         Seq("grp", "token"), "left")
-      .join(broadcast(stats.select(col("grp"), col("oov_logp_fp"))), Seq("grp"))
+      // LEFT on stats: an inner join would DROP every token row of an
+      // unmodeled group, making foreign-group docs indistinguishable
+      // from empty ones (n_tokens 0, cross_entropy 0.0 — the best
+      // possible score, silently keeping exactly the docs the model
+      // knows nothing about). Unmodeled groups keep their token
+      // counts and score NULL — the scaladoc's fail-loud contract.
+      .join(broadcast(stats.select(col("grp"), col("oov_logp_fp"))),
+        Seq("grp"), "left")
       .withColumn("lp", coalesce(col("logp_fp"), col("oov_logp_fp")))
       .groupBy(col(idCol), col("grp"))
       .agg(sum(col("__tc")).as("n"), (-sum(col("__tc") * col("lp"))).as("nll"))
@@ -201,7 +208,9 @@ object CorpusModels {
       .join(scored, Seq(idCol, "grp"), "left")
       .select(col(idCol), col("grp"),
         coalesce(col("n"), lit(0L)).as("n_tokens"),
-        coalesce(col("nll"), lit(0L)).as("nll_fp"),
+        // empty doc (no scored row): 0; unmodeled group (tokens but
+        // every lp null): NULL rides through sum -> stays NULL
+        when(col("n").isNull, lit(0L)).otherwise(col("nll")).as("nll_fp"),
         when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
           .otherwise(col("nll").cast("double") / lit(LpScale) /
             col("n").cast("double"))
@@ -299,6 +308,12 @@ object CorpusModels {
                                 classesAsc: Array[(String, Long, Long)])
       : (String, Long) = {
     val k = classesAsc.length
+    // fail LOUD with the actual problem: an empty class table (a model
+    // trained on docs that all tokenized empty) would otherwise AIOOBE
+    // inside the serving/streaming UDF, where the batch path degrades
+    // to an empty result frame
+    require(k > 0, "mcNbKernel: empty class table — the model has no " +
+      "trained classes (training corpus tokenized empty?)")
     val sums = new Array[Long](k)
     var c = 0
     while (c < k) { sums(c) = classesAsc(c)._3; c += 1 } // priors
@@ -415,6 +430,22 @@ object CorpusModels {
     * per-doc shuffle at all: one map-side-combined agg to |domains|
     * rows. Nothing corpus-sized broadcasts (both models capped),
     * nothing funnels to one task. */
+  /** Exact int64 aggregate with an overflow GUARD: sums in
+    * decimal(38,0) (exact at any corpus size) and fail-fasts on a
+    * result outside int64 instead of letting the long sum wrap
+    * silently. The fixed-point nll/llr sums here are ~1e10 per token
+    * occurrence, so a single domain/group with ≳1e9 occurrences (a
+    * few GB of text) overflows a raw long sum — at that scale, shard
+    * the input and combine partial reports. */
+  private def guardedLongSum(e: Column, name: String): Column = {
+    val s = sum(e.cast("decimal(38,0)"))
+    when(s.between(lit(Long.MinValue), lit(Long.MaxValue)), s.cast("long"))
+      .otherwise(raise_error(lit(s"$name overflows int64 at this corpus " +
+        "scale; shard the input (e.g. by domain) and combine partial " +
+        "reports")).cast("long"))
+      .as(name)
+  }
+
   def domainMixWeights(docs: DataFrame, idCol: String, domainCol: String,
                        textCol: String,
                        globalVocab: DataFrame, globalStats: DataFrame,
@@ -433,13 +464,13 @@ object CorpusModels {
       .groupBy(col("grp").as("domain"))
       .agg(countDistinct(col(idCol)).as("n_docs"),
         sum(col("__tc")).as("n_tokens"),
-        (-sum(col("__tc") * coalesce(col("__glp"), col("__goov"))))
-          .as("nll_global_fp"),
-        (-sum(col("__tc") * coalesce(col("__dlp"), col("__doov"))))
-          .as("nll_self_fp"))
+        (-guardedLongSum(col("__tc") * coalesce(col("__glp"), col("__goov")),
+          "nll_global_fp")).as("nll_global_fp"),
+        (-guardedLongSum(col("__tc") * coalesce(col("__dlp"), col("__doov")),
+          "nll_self_fp")).as("nll_self_fp"))
       .withColumn("excess_fp",
         greatest(col("nll_global_fp") - col("nll_self_fp"), lit(0L)))
-    val tot = per.agg(sum(col("excess_fp")).as("__te"),
+    val tot = per.agg(guardedLongSum(col("excess_fp"), "__te").as("__te"),
       count(lit(1)).as("__nd"))
     per.crossJoin(broadcast(tot))
       .withColumn("mix_weight",
@@ -513,8 +544,15 @@ object CorpusModels {
     // bigram log-probs use the TRUE (uncapped) context totals: a
     // capped-in transition under a capped-out context is simply never
     // reached by scoring (the contexts join drops it first)
-    val bigrams = pairCounts
-      .orderBy(col("c_uw").desc, col("ctx"), col("tok")).limit(bigramCap)
+    val pairCapped =
+      // mirror the contextCap sentinel: an "uncapped" Int.MaxValue must
+      // not plan a top-2^31 global sort-limit over the corpus-sized
+      // pair table (the exact single-task funnel the cap exists to
+      // prevent)
+      if (bigramCap == Int.MaxValue) pairCounts
+      else pairCounts
+        .orderBy(col("c_uw").desc, col("ctx"), col("tok")).limit(bigramCap)
+    val bigrams = pairCapped
       .join(ctxAll, Seq("ctx"))
       .crossJoin(broadcast(vocab))
       .withColumn("logp_fp",
@@ -1031,7 +1069,7 @@ object CorpusModels {
       .select(col("grp"), col("token"), col("cnt"), col("cnt_all"), col("lr_fp")))
     model.groupBy(col("grp"))
       .agg(sum(col("cnt")).as("n_tokens"),
-        sum(col("cnt") * col("lr_fp")).as("kl_fp"))
+        guardedLongSum(col("cnt") * col("lr_fp"), "kl_fp").as("kl_fp"))
       .withColumn("kl_nats",
         col("kl_fp").cast("double") / lit(LpScale) / col("n_tokens").cast("double"))
   }

@@ -469,6 +469,30 @@ class CorpusModelsSpec extends SparkSpec {
     assert(byId(3L) === (("y", 0L, 0L)))
   }
 
+  test("groupedPerplexity: unmodeled group keeps n_tokens, scores NULL") {
+    // train on group x ONLY, score a corpus containing group q: the
+    // q docs must keep their token counts and score null — a silent
+    // (0, 0.0) would be the BEST possible perplexity for exactly the
+    // docs the model knows nothing about (the fail-loud contract)
+    val (vocab, stats) = CorpusModels.groupedUnigramLm(
+      grpDocs.filter($"grp0" === "x"), "grp0", "text", 2)
+    val foreign = Seq((10L, "a a b", "x"), (11L, "w w w", "q"),
+      (12L, "", "q")).toDF("doc_id", "text", "grp0")
+    val out = CorpusModels.groupedPerplexity(
+        foreign, "doc_id", "grp0", "text", vocab, stats)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") === 3L)
+    assert(out(0).getAs[Long]("nll_fp") > 0L)
+    // unmodeled group, non-empty doc: tokens counted, scores null
+    assert(out(1).getAs[Long]("n_tokens") === 3L)
+    assert(out(1).isNullAt(out(1).fieldIndex("nll_fp")))
+    assert(out(1).isNullAt(out(1).fieldIndex("cross_entropy")))
+    // unmodeled group, EMPTY doc: indistinguishable from any empty doc
+    assert(out(2).getAs[Long]("n_tokens") === 0L)
+    assert(out(2).getAs[Long]("nll_fp") === 0L)
+    assert(out(2).getAs[Double]("cross_entropy") === 0.0)
+  }
+
   test("domainMixWeights: distinctive domains weigh by exact excess; uniform at zero") {
     val docs = Seq(
       (0L, "a a a a", "d1"),
