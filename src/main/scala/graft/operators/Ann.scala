@@ -62,7 +62,13 @@ object Ann {
   /** Tag rows with their LSH bucket (narrow map, codegen-adjacent UDF). */
   def withSignBucket(df: DataFrame, embCol: String = "embedding",
                      nBits: Int = 12, out: String = "lsh_bucket"): DataFrame = {
-    val u = udf((v: Seq[Float]) => signSignature(v, nBits))
+    val u = udf { (v: Seq[Float]) =>
+      // fail LOUD, not an anonymous NPE deep in a stage (the
+      // nearestCentroid null-hygiene rule)
+      require(v != null, "withSignBucket: null embedding — filter or " +
+        "impute null vectors before bucketing")
+      signSignature(v, nBits)
+    }
     df.withColumn(out, u(col(embCol)))
   }
 
@@ -258,7 +264,10 @@ object Ann {
       .withColumn("__d2fp", fp(d * d))
       .groupBy(col("ivf_cluster"))
       .agg(count(lit(1)).as("n_vectors"),
-        (sum(col("__d2fp")).cast("double") /
+        // guarded exact sum: the per-row fp value is bounded but a
+        // mega-cluster's SUM can exceed int64 — a silent wrap would
+        // corrupt the refitIfDrifted decision
+        (ExactSums.guardedLongSum(col("__d2fp"), "sum_d2_fp").cast("double") /
           (count(lit(1)) * FpScale).cast("double")).as("mean_sq_dist"))
   }
 
@@ -311,9 +320,9 @@ object Ann {
       .map { case (c, i) =>
         require(c.length == q.length,
           s"rankProbes: query dim ${q.length} != centroid dim ${c.length}")
-        var acc = 0.0f; var d = 0
-        while (d < c.length) { val x = c(d) - q(d); acc += x * x; d += 1 }
-        (i, math.sqrt(acc.toDouble).toFloat)
+        // THE f32 L2 kernel (one owner — PartitionedTopK.l2F32, the
+        // stated bit-parity kernel); an inline copy here could drift
+        (i, PartitionedTopK.l2F32(c, q))
       }
       .sortBy { case (i, dist) => (dist, i) }
       .take(nprobe).map(_._1).toIndexedSeq
@@ -400,11 +409,20 @@ object Ann {
     val hits = exact.select(col(qIdCol), col(idCol)).distinct()
       .join(approx.select(col(qIdCol), col(idCol)).distinct(), Seq(qIdCol, idCol))
       .groupBy(col(qIdCol)).agg(count(lit(1)).as("n_hits"))
+    // denominator = the query's ACTUAL exact-list size (capped at k),
+    // not the constant k: a filtered corpus can yield fewer than k
+    // exact results, and a perfect approximate ranking of that short
+    // list must score 1.0 — the same short-list contract ndcgAtK's
+    // per-query IDCG implements (full-k queries are unchanged)
+    val nEx = exact.select(col(qIdCol), col(idCol)).distinct()
+      .groupBy(col(qIdCol)).agg(count(lit(1)).as("__nex"))
     exact.select(col(qIdCol)).distinct()
       .join(hits, Seq(qIdCol), "left")
+      .join(nEx, Seq(qIdCol))
       .select(col(qIdCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          least(lit(k.toLong), col("__nex")).cast("double"))
           .as(s"recall_at_$k"))
   }
 
@@ -449,15 +467,28 @@ object Ann {
               k: Int, qIdCol: String = "query_id", idCol: String = "vec_id",
               rnCol: String = "rn"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // an undersized discounts table would silently DROP rank
+    // contributions through the inner joins below (NDCG@5 labeled
+    // ndcg_at_10) — validate coverage loudly; the table is k rows
+    require(discounts.filter(col("rank").between(1L, k.toLong))
+      .select(col("rank")).distinct().count() == k,
+      s"discounts table does not cover ranks 1..$k — build it with " +
+        s"ndcgDiscounts(spark, $k)")
     // clip EVERY input to rank <= k: a top-20 frame with k=10 must
     // score its first 10 rows only — unclipped, exact ranks beyond k
     // would contribute NEGATIVE grades (k+1-rn < 0) and approx ranks
     // beyond k extra discount terms, corrupting the metric both ways
     val disc = broadcast(discounts.filter(col("rank") <= k)
       .select(col("rank"), col("disc_fp")))
-    val rel = exact.filter(col(rnCol) <= k).select(col(qIdCol), col(idCol),
-      col(rnCol).cast("long").as("__ern"),
-      (lit(k + 1) - col(rnCol).cast("long")).as("__rel"))
+    // SET semantics (the recallAtK distinct rule): a duplicated
+    // (query, id) row in either frame would multiply relevance
+    // through the joins and can report ndcg > 1 — keep each id's
+    // BEST (lowest) rank
+    val rel = exact.filter(col(rnCol) <= k)
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(min(col(rnCol).cast("long")).as("__ern"))
+      .select(col(qIdCol), col(idCol), col("__ern"),
+        (lit(k + 1) - col("__ern")).as("__rel"))
     // per-query ideal DCG: each query's own exact rows in their exact
     // order (rank r carries grade k+1−r AND discount disc(r)) — Q·k
     // rows joined to the k-row broadcast table, map-side-combined sum
@@ -466,7 +497,8 @@ object Ann {
       .groupBy(col(qIdCol))
       .agg(sum(col("__rel") * col("disc_fp")).as("idcg_fp"))
     val dcg = approx.filter(col(rnCol) <= k)
-      .select(col(qIdCol), col(idCol), col(rnCol).cast("long").as("rank"))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(min(col(rnCol).cast("long")).as("rank"))
       .join(rel.select(col(qIdCol), col(idCol), col("__rel")),
         Seq(qIdCol, idCol), "left")
       .join(disc, Seq("rank"))
@@ -582,12 +614,16 @@ object Ann {
       zip_with(col(projCol), qLit, (a, b) =>
         floor(((a - b) * (a - b)).cast("double") * lit(1048576.0)).cast("long")),
       lit(0L), (acc, x) => acc + x)
+    // nulls LAST on both stages (the VectorSearch.topKWithScore rule):
+    // a null embedding row projects/rescores to null, and the default
+    // NULLS FIRST would seat it ahead of every real neighbor
     val cand = projected.withColumn("rp_dist_fp", distFp)
       .select(col(idCol), col("rp_dist_fp"))
-      .orderBy(col("rp_dist_fp"), col(idCol)).limit(candidates)
+      .orderBy(col("rp_dist_fp").asc_nulls_last, col(idCol))
+      .limit(candidates)
     projected.join(broadcast(cand), Seq(idCol))
       .withColumn("dist", l2DistF32(col(embCol), typedLit(queryVec)).cast("double"))
-      .orderBy(col("dist"), col(idCol)).limit(k)
+      .orderBy(col("dist").asc_nulls_last, col(idCol)).limit(k)
       .drop(embCol, projCol)
   }
 

@@ -430,22 +430,6 @@ object CorpusModels {
     * per-doc shuffle at all: one map-side-combined agg to |domains|
     * rows. Nothing corpus-sized broadcasts (both models capped),
     * nothing funnels to one task. */
-  /** Exact int64 aggregate with an overflow GUARD: sums in
-    * decimal(38,0) (exact at any corpus size) and fail-fasts on a
-    * result outside int64 instead of letting the long sum wrap
-    * silently. The fixed-point nll/llr sums here are ~1e10 per token
-    * occurrence, so a single domain/group with ≳1e9 occurrences (a
-    * few GB of text) overflows a raw long sum — at that scale, shard
-    * the input and combine partial reports. */
-  private def guardedLongSum(e: Column, name: String): Column = {
-    val s = sum(e.cast("decimal(38,0)"))
-    when(s.between(lit(Long.MinValue), lit(Long.MaxValue)), s.cast("long"))
-      .otherwise(raise_error(lit(s"$name overflows int64 at this corpus " +
-        "scale; shard the input (e.g. by domain) and combine partial " +
-        "reports")).cast("long"))
-      .as(name)
-  }
-
   def domainMixWeights(docs: DataFrame, idCol: String, domainCol: String,
                        textCol: String,
                        globalVocab: DataFrame, globalStats: DataFrame,
@@ -464,13 +448,13 @@ object CorpusModels {
       .groupBy(col("grp").as("domain"))
       .agg(countDistinct(col(idCol)).as("n_docs"),
         sum(col("__tc")).as("n_tokens"),
-        (-guardedLongSum(col("__tc") * coalesce(col("__glp"), col("__goov")),
+        (-ExactSums.guardedLongSum(col("__tc") * coalesce(col("__glp"), col("__goov")),
           "nll_global_fp")).as("nll_global_fp"),
-        (-guardedLongSum(col("__tc") * coalesce(col("__dlp"), col("__doov")),
+        (-ExactSums.guardedLongSum(col("__tc") * coalesce(col("__dlp"), col("__doov")),
           "nll_self_fp")).as("nll_self_fp"))
       .withColumn("excess_fp",
         greatest(col("nll_global_fp") - col("nll_self_fp"), lit(0L)))
-    val tot = per.agg(guardedLongSum(col("excess_fp"), "__te").as("__te"),
+    val tot = per.agg(ExactSums.guardedLongSum(col("excess_fp"), "__te").as("__te"),
       count(lit(1)).as("__nd"))
     per.crossJoin(broadcast(tot))
       .withColumn("mix_weight",
@@ -1069,7 +1053,7 @@ object CorpusModels {
       .select(col("grp"), col("token"), col("cnt"), col("cnt_all"), col("lr_fp")))
     model.groupBy(col("grp"))
       .agg(sum(col("cnt")).as("n_tokens"),
-        guardedLongSum(col("cnt") * col("lr_fp"), "kl_fp").as("kl_fp"))
+        ExactSums.guardedLongSum(col("cnt") * col("lr_fp"), "kl_fp").as("kl_fp"))
       .withColumn("kl_nats",
         col("kl_fp").cast("double") / lit(LpScale) / col("n_tokens").cast("double"))
   }

@@ -42,6 +42,10 @@ object Pq {
   def residuals(index: Ann.IvfIndex): DataFrame = {
     val cents = index.centroids
     val resUdf = udf { (v: Seq[Float], c: Int) =>
+      // fail LOUD (the Ann.nearestCentroid null-hygiene rule), not an
+      // anonymous NPE deep in a stage
+      require(v != null, "Pq.residuals: null embedding — filter or " +
+        "impute null vectors before encoding")
       val cent = cents(c)
       Array.tabulate(v.length)(i => v(i) - cent(i)).toSeq
     }
@@ -66,6 +70,12 @@ object Pq {
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    // ragged input fails loudly: Arrays.copyOfRange would silently
+    // ZERO-PAD a shorter vector's subspaces and train codebooks on
+    // phantom zeros (while encodeRow later rejects the same rows)
+    sample.foreach(v => require(v.length == dim,
+      s"PQ training sample is ragged: got a ${v.length}-dim vector " +
+        s"among $dim-dim ones"))
     val subDim = dim / m
     val rnd = new scala.util.Random(seed)
     val codebooks = Array.tabulate(m) { s =>
@@ -222,6 +232,8 @@ object Pq {
   def encode(index: Ann.IvfIndex, model: PqModel): DataFrame = {
     val cents = index.centroids
     val encUdf = udf { (v: Seq[Float], c: Int) =>
+      require(v != null, "Pq.encode: null embedding — filter or impute " +
+        "null vectors before encoding")
       encodeRow(model, cents(c), v.toArray)
     }
     index.assigned.withColumn("pq_code",
@@ -295,7 +307,9 @@ object Pq {
       .withColumn("dist",
         graft.functions.VectorFunctions.l2DistF32(col(embCol),
           typedLit(queryVec)).cast("double"))
-      .orderBy(col("dist"), col(idCol))
+      // nulls LAST (the VectorSearch.topKWithScore rule): a null
+      // corpus embedding rescored to null must not occupy a top-k slot
+      .orderBy(col("dist").asc_nulls_last, col(idCol))
       .limit(k)
       .select(col(idCol), col("adc_dist"), col("dist"))
 }

@@ -732,6 +732,9 @@ object AnnQueries {
          |             ORDER BY CAST(list_distance(e.embedding, q.qv) AS DOUBLE),
          |                      e.vec_id) AS rn
          |    FROM q CROSS JOIN embeddings e) AS s WHERE rn <= 10
+         |), nex AS (
+         |  SELECT query_id, count(DISTINCT vec_id) AS n_ex
+         |  FROM exact GROUP BY 1
          |), hits AS (
          |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
          |  FROM exact e JOIN approx a ON e.query_id = a.query_id
@@ -740,8 +743,9 @@ object AnnQueries {
          |)
          |SELECT q.query_id,
          |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
-         |FROM q LEFT JOIN hits h USING (query_id)
+         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+         |         / CAST(least(10, nex.n_ex) AS DOUBLE) AS recall_at_10
+         |FROM q LEFT JOIN hits h USING (query_id) JOIN nex USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
     // FULL construction replay: seed (3-probe ranking over the
     // centroid handoff, home membership from the asg handoff, rank 20)
@@ -814,6 +818,9 @@ object AnnQueries {
          |    JOIN v qe ON qe.vec_id = q.query_id
          |    CROSS JOIN v e
          |    WHERE e.vec_id <> q.query_id) s WHERE rn <= 10
+         |), nex AS (
+         |  SELECT query_id, count(DISTINCT vec_id) AS n_ex
+         |  FROM exact GROUP BY 1
          |), hits AS (
          |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
          |  FROM exact e JOIN approx a ON e.query_id = a.query_id
@@ -822,8 +829,9 @@ object AnnQueries {
          |)
          |SELECT q.query_id,
          |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
-         |FROM q LEFT JOIN hits h USING (query_id)
+         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+         |         / CAST(least(10, nex.n_ex) AS DOUBLE) AS recall_at_10
+         |FROM q LEFT JOIN hits h USING (query_id) JOIN nex USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
     // replay the mining from the index handoff: Euclidean probe
     // ranking (the batchSearchIvf contract), cosine top-20 candidates
@@ -1440,6 +1448,9 @@ object AnnQueries {
          |             ORDER BY CAST(list_distance(e.embedding, q.qv) AS DOUBLE),
          |                      e.vec_id) AS rn
          |    FROM q CROSS JOIN embeddings e) AS s WHERE rn <= 10
+         |), nex AS (
+         |  SELECT query_id, count(DISTINCT vec_id) AS n_ex
+         |  FROM exact GROUP BY 1
          |), hits AS (
          |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
          |  FROM exact e JOIN approx a ON e.query_id = a.query_id
@@ -1448,8 +1459,9 @@ object AnnQueries {
          |)
          |SELECT q.query_id,
          |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
-         |FROM q LEFT JOIN hits h USING (query_id)
+         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+         |         / CAST(least(10, nex.n_ex) AS DOUBLE) AS recall_at_10
+         |FROM q LEFT JOIN hits h USING (query_id) JOIN nex USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
     // the ann_hnsw replay + the same predicate (the ann_ivf_filtered
     // oracle relationship)
