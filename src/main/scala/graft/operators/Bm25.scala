@@ -70,7 +70,12 @@ object Bm25 {
   private def indexFromTokens(tok: DataFrame,
                               queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    tok
+    // null-id docs carry no postings (the persisted index's rule —
+    // postingsOf drops them at build): unfiltered, ALL null-id docs
+    // would merge into one pseudo-document with summed tf. They still
+    // count in corpus stats (n/avgdl), exactly like the persisted
+    // layout whose stats are built over the unfiltered corpus.
+    tok.where(col("id").isNotNull)
       .select(col("id"), size(col("__terms")).cast("long").as("dl"),
         explode(filter(col("__terms"), t => t.isin(queryTerms: _*))).as("term"))
       .groupBy(col("id"), col("term"), col("dl"))
@@ -137,7 +142,7 @@ object Bm25 {
     val termScore = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) / denom
     val w =
       if (weights.isEmpty) lit(1L)
-      else coalesce(element_at(typedLit(weights), col("term")), lit(1L))
+      else coalesce(try_element_at(typedLit(weights), col("term")), lit(1L))
     postings
       .join(broadcast(dfByTerm), "term")
       .crossJoin(broadcast(stats))
@@ -450,7 +455,13 @@ object Bm25 {
           throw new IllegalStateException(
             s"append: publish failed, all ranges rolled back: ${e.getMessage}", e)
       }
-      touched.foreach(rid => fs.delete(oldP(rid), true))
+      // NOTE: the .old_r* recovery parks are deleted only AFTER the
+      // manifest + stats swaps below succeed — deleting them first
+      // opened an UNDETECTABLE crash window (postings published, zone
+      // map stale: a widened range's new max never reaches the
+      // manifest and queries for the new terms silently prune to
+      // empty). With the parks still present, a crash here leaves a
+      // state the next append's entry fail-fast refuses loudly.
 
       // manifest: interval union + counts, pure driver math
       val deltaByRid = touchedStats.map(t => t._1 -> t).toMap
@@ -473,6 +484,7 @@ object Bm25 {
       val sum1 = sum0 + (if (dAgg.isNullAt(1)) 0L else dAgg.getLong(1))
       writeSwap(Seq((n1, sum1.toDouble / n1.toDouble, sum1))
         .toDF("n", "avgdl", "sum_dl"), s"$base/stats", fs)
+      touched.foreach(rid => fs.delete(oldP(rid), true))
       touched
     } finally delta.unpersist()
   }
@@ -576,9 +588,13 @@ object Bm25 {
       .limit(k)
   }
 
-  /** Attach a 1-based dense rank to a bounded candidate list already in
-    * final order — callers pass a top-K result (≤ K rows), so the
-    * single-partition window is over a bounded list, never the corpus. */
+  /** Attach a 1-based row_number rank to a bounded candidate list
+    * already in final order — callers pass a top-K result (≤ K rows),
+    * so the single-partition window is over a bounded list, never the
+    * corpus. `orderCols` MUST be a total order (append an id
+    * tiebreaker, as every in-repo caller does): row_number gives tied
+    * rows arbitrary ranks, which would make a downstream RRF fusion
+    * nondeterministic. */
   def withRank(topList: DataFrame, orderCols: Seq[Column]): DataFrame =
     topList.withColumn("rank",
       row_number().over(Window.orderBy(orderCols: _*)))

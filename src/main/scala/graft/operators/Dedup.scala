@@ -37,7 +37,22 @@ object Dedup {
   private[graft] def releaseAfterUse(cached: DataFrame): Unit = {
     val lm = cached.sparkSession.listenerManager
     val ids = cached.queryExecution.analyzed.output.map(_.exprId).toSet
+    // STALE-EVENT watermark: the execution-listener bus is async, so a
+    // listener registered here can still be DELIVERED completion
+    // events of queries that finished BEFORE registration — exactly
+    // the builder's own internal actions over `cached` (they reference
+    // it by construction), which would free the cache the instant the
+    // bus drains, silently defeating the optimization for the caller's
+    // real first action. Ignore any query whose ANALYSIS began before
+    // this registration; a pre-analyzed plan executed later is then
+    // never auto-released (a benign bounded leak, the documented
+    // plan-only trade), which beats releasing early.
+    val regTimeMs = System.currentTimeMillis()
     lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def fresh(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        scala.util.Try(qe.tracker.phases
+          .get(org.apache.spark.sql.catalyst.QueryPlanningTracker.ANALYSIS)
+          .forall(_.startTimeMs >= regTimeMs)).getOrElse(true)
       private def refs(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
         // optimizedPlan re-throws for queries that FAILED in analysis —
         // such a query never read the cache, so treat it as no-reference
@@ -47,7 +62,9 @@ object Dedup {
           case _ => false
         }).getOrElse(false)
       private def cleanup(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        if (refs(qe)) { cached.unpersist(blocking = false); lm.unregister(this) }
+        if (fresh(qe) && refs(qe)) {
+          cached.unpersist(blocking = false); lm.unregister(this)
+        }
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              durationNs: Long): Unit = cleanup(qe)

@@ -43,7 +43,11 @@ object Positional {
   def postingsOf(docs: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
+    // null-id docs drop here so the single-term (no-join) paths agree
+    // with the multi-term joins and the persisted layout, instead of
+    // merging all null-id docs into one pseudo-row
     docs
+      .where(col(idCol).isNotNull)
       .select(col(idCol).as("id"), Bm25.terms(col(textCol)).as("__terms"))
       .select(col("id"), explode(filter(
         transform(col("__terms"),
@@ -216,11 +220,13 @@ object Positional {
       .select(col("id"), col("n_hits"), col("win_start"))
       .orderBy(col("n_hits").desc, col("id"))
       .limit(k)
-    val toks = docs.select(col(idCol).as("id"),
-      Bm25.terms(col(textCol)).as("__toks"))
-    best.join(toks, Seq("id"))
+    // join the ≤k winners to the RAW text first, then tokenize only
+    // those rows for the passage slice — the corpus-wide regex split
+    // (the dominant cost) runs once in postingsOf, not twice
+    best.join(docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        Seq("id"))
       .select(col("id"), col("n_hits"), col("win_start"),
-        concat_ws(" ", slice(col("__toks"),
+        concat_ws(" ", slice(Bm25.terms(col("__text")),
           (col("win_start") + lit(1)).cast("int"),
           lit(window.toInt))).as("passage"))
       .orderBy(col("n_hits").desc, col("id"))

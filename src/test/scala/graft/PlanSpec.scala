@@ -223,8 +223,8 @@ class PlanSpec extends SparkSpec {
     // onto another suite's identical entry, whose in-flight self-release
     // listener can then unpersist it between our persist and the plan
     // inspection (suite-order flake; correctness unaffected — recompute)
-    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 397)
-    def passTwoPlan() = {
+    def passTwoPlan(cut: Int) = {
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < cut)
       val out = graft.operators.Bm25.prfTopK(docs, "doc_id", "text",
         Seq("spark", "table"), k = 5, fbDocs = 3, fbTerms = 2)
       out.queryExecution.executedPlan match {
@@ -241,13 +241,16 @@ class PlanSpec extends SparkSpec {
     // cached BUILD plan (which rightly contains the one split) is not
     // part of the executed tree, so any StringSplit found here is a
     // fresh corpus re-split.
-    // ONE retry: even with the unique plan above, a concurrent suite's
-    // in-flight async self-release can still unpersist between our
-    // persist and the plan inspection (documented flake — the listener
-    // bus offers no public drain). A REAL regression — the persist
-    // removed from prfTopK — fails both attempts deterministically.
-    var exec = passTwoPlan()
-    if (cacheScans(exec).isEmpty) exec = passTwoPlan()
+    // ONE retry with a DIFFERENT filter constant: even with a unique
+    // plan, a concurrent suite's in-flight async self-release can
+    // unpersist between our persist and the plan inspection
+    // (documented flake — the listener bus offers no public drain),
+    // and a same-constant retry would DEDUPE onto the first attempt's
+    // cache entry and trip over ITS still-live listener. A REAL
+    // regression — the persist removed from prfTopK — fails both
+    // attempts deterministically.
+    var exec = passTwoPlan(397)
+    if (cacheScans(exec).isEmpty) exec = passTwoPlan(398)
     assert(cacheScans(exec).nonEmpty,
       s"pass 2 must read the persisted tokenize:\n$exec")
     val resplits = exec.collect { case p => p }.flatMap(_.expressions)
