@@ -243,28 +243,52 @@ object Bm25 {
     * rule drops them anyway, and a null id in the layout would crash
     * the driver probes' required-field parquet reads). */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .where(col(idCol).isNotNull)
-      .select(col(idCol).as("id"), terms(col(textCol)).as("__terms"))
+    postingsFromTokens(docs.select(col(idCol).as("id"),
+      terms(col(textCol)).as("__terms")))
+
+  /** [[postingsOf]] over a pre-tokenized `(id, __terms)` frame — the
+    * seam that lets [[appendToPersistedIndex]] tokenize its delta ONCE
+    * and feed both the postings delta and the stats delta from the
+    * same frame. Null-id rows are excluded here (not by the caller)
+    * so every route shares one hygiene rule. */
+  private def postingsFromTokens(tok: DataFrame): DataFrame =
+    tok
+      .where(col("id").isNotNull)
       .select(col("id"), size(col("__terms")).cast("long").as("dl"),
         explode(col("__terms")).as("term"))
       .groupBy(col("id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
-  def buildPersistedIndex(docs: DataFrame, idCol: String, textCol: String,
-                          nRanges: Int, path: String): Unit = {
-    val base = path.stripSuffix("/")
-    val postings = postingsOf(docs, idCol, textCol)
+  /** The term-range-sharded persisted layout — ONE owner for the
+    * exportSorted + manifest + schema-pin sequence shared by this
+    * index and [[Positional.buildPersistedIndex]] (the two layouts
+    * differ only in the postings columns; the append crash-window
+    * reasoning must hold for both, so they must not drift):
+    *   `postings/` — range-sorted on `term` via
+    *     [[Sharding.exportSorted]]: each term lives in exactly one
+    *     `range_id` directory and parquet row-group min/max stats are
+    *     tight, so a query's terms prune to a handful of files;
+    *   `manifest/` — the persisted zone map over the term ranges;
+    *   `schema/` — a footer-bearing EMPTY postings file pinning the
+    *     postings schema (incl. the id column's true type) for query
+    *     paths that read no range: an empty index or an
+    *     all-out-of-range query must return an empty frame of the
+    *     SAME schema as a populated read, not a hardcoded one. */
+  private[operators] def writeShardedPostingsLayout(postings: DataFrame,
+                                                    nRanges: Int,
+                                                    base: String): Unit = {
     val manifest = Sharding.exportSorted(postings, "term", nRanges,
       s"$base/postings")
     manifest.write.mode("overwrite").parquet(s"$base/manifest")
-    corpusStats(docs, textCol).write.mode("overwrite").parquet(s"$base/stats")
-    // a footer-bearing EMPTY postings file pins the schema (including
-    // the id column's true type) for query paths that read no range —
-    // an empty index or an all-out-of-range query must return an empty
-    // frame of the SAME schema as a populated read, not a hardcoded one
     postings.filter(lit(false)).repartition(1)
       .write.mode("overwrite").parquet(s"$base/schema")
+  }
+
+  def buildPersistedIndex(docs: DataFrame, idCol: String, textCol: String,
+                          nRanges: Int, path: String): Unit = {
+    val base = path.stripSuffix("/")
+    writeShardedPostingsLayout(postingsOf(docs, idCol, textCol), nRanges, base)
+    corpusStats(docs, textCol).write.mode("overwrite").parquet(s"$base/stats")
   }
 
   /** INCREMENTAL index maintenance: merge a batch of NEW documents
@@ -359,7 +383,14 @@ object Bm25 {
         mins(lo)._2
       }
     }
-    val delta = postingsOf(newDocs, idCol, textCol)
+    // tokenize the delta docs ONCE: the postings delta and the stats
+    // delta both read this cached frame (the corpus-text regex split
+    // is the dominant cost of an append — paying it twice doubled the
+    // append's scan work for no semantic difference)
+    val tokd = newDocs
+      .select(col(idCol).as("id"), terms(col(textCol)).as("__terms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val delta = postingsFromTokens(tokd)
       .withColumn("__rid", routeUdf(col("term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -477,16 +508,19 @@ object Bm25 {
         .select(col("range_id").cast("int"), col("min_key"), col("max_key"),
           col("n_rows")), s"$base/manifest", fs)
 
-      // stats: exact integer sums -> one division, rebuild-identical
-      val dAgg = newDocs
-        .agg(count(lit(1)), sum(size(terms(col(textCol))).cast("long"))).head()
+      // stats: exact integer sums -> one division, rebuild-identical.
+      // Reads the SAME cached tokenize as the postings delta; note it
+      // deliberately counts null-id docs too — corpusStats does not
+      // filter them, and append stats must stay rebuild-identical.
+      val dAgg = tokd
+        .agg(count(lit(1)), sum(size(col("__terms")).cast("long"))).head()
       val n1 = n0 + dAgg.getLong(0)
       val sum1 = sum0 + (if (dAgg.isNullAt(1)) 0L else dAgg.getLong(1))
       writeSwap(Seq((n1, sum1.toDouble / n1.toDouble, sum1))
         .toDF("n", "avgdl", "sum_dl"), s"$base/stats", fs)
       touched.foreach(rid => fs.delete(oldP(rid), true))
       touched
-    } finally delta.unpersist()
+    } finally { delta.unpersist(); tokd.unpersist() }
   }
 
   /** Overwrite a tiny metadata parquet (manifest/stats) via

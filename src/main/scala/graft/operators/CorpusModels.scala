@@ -203,7 +203,14 @@ object CorpusModels {
         Seq("grp"), "left")
       .withColumn("lp", coalesce(col("logp_fp"), col("oov_logp_fp")))
       .groupBy(col(idCol), col("grp"))
-      .agg(sum(col("__tc")).as("n"), (-sum(col("__tc") * col("lp"))).as("nll"))
+      // a group present in vocab but absent from stats (possible only
+      // when the two frames were not built together) leaves lp null on
+      // just the OOV rows; a bare sum would SKIP those and report a
+      // partial nll — any null lp in the group poisons the whole score
+      // to NULL, same fail-loud contract as the fully-unmodeled case
+      .agg(sum(col("__tc")).as("n"),
+        when(max(col("lp").isNull.cast("int")) === 1, lit(null))
+          .otherwise(-sum(col("__tc") * col("lp"))).as("nll"))
     docs.select(col(idCol), col(groupCol).as("grp"))
       .join(scored, Seq(idCol, "grp"), "left")
       .select(col(idCol), col("grp"),

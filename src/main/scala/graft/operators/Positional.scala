@@ -144,15 +144,9 @@ object Positional {
     * (id, term, pos) + manifest + schema pin — the
     * [[Bm25.buildPersistedIndex]] layout with a position column. */
   def buildPersistedIndex(docs: DataFrame, idCol: String, textCol: String,
-                          nRanges: Int, path: String): Unit = {
-    val base = path.stripSuffix("/")
-    val postings = allPostings(docs, idCol, textCol)
-    val manifest = Sharding.exportSorted(postings, "term", nRanges,
-      s"$base/postings")
-    manifest.write.mode("overwrite").parquet(s"$base/manifest")
-    postings.filter(lit(false)).repartition(1)
-      .write.mode("overwrite").parquet(s"$base/schema")
-  }
+                          nRanges: Int, path: String): Unit =
+    Bm25.writeShardedPostingsLayout(allPostings(docs, idCol, textCol),
+      nRanges, path.stripSuffix("/"))
 
   /** Read only the ranges whose [min,max] key interval can hold one of
     * `terms` — the ONE zone-map pruning rule,

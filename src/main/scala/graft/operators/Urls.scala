@@ -83,6 +83,92 @@ object Urls {
     df.join(offending, Seq(idCol), "left_anti")
   }
 
+  /** Resolve a canonical `href` against the page URL it was declared
+    * on — the RFC 3986 reference-resolution subset a crawl pipeline
+    * needs, implemented deterministically (no java.net.URI, whose
+    * normalization quirks an independent oracle cannot replay):
+    * absolute (`scheme:`…) stays as-is; protocol-relative (`//host/…`)
+    * takes the base scheme; root-relative (`/path`) takes the base
+    * origin; anything else replaces the last segment of the base
+    * path. Fragments are dropped (a canonical target is a page, not
+    * an anchor); empty/null href resolves to the base itself. */
+  def resolveUrl(base: String, href: String): String = {
+    def noFrag(s: String): String = {
+      val h = s.indexOf('#'); if (h < 0) s else s.substring(0, h)
+    }
+    if (href == null || href.isEmpty) return noFrag(base)
+    val h = noFrag(href.trim)
+    if (h.isEmpty) return noFrag(base)
+    val hasScheme = h.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
+    if (hasScheme) return h
+    val schemeEnd = base.indexOf("://")
+    if (schemeEnd < 0) return h // non-hierarchical base: keep href
+    val scheme = base.substring(0, schemeEnd)
+    if (h.startsWith("//")) return s"$scheme:$h"
+    val pathStart = base.indexOf('/', schemeEnd + 3)
+    val origin = if (pathStart < 0) base else base.substring(0, pathStart)
+    // dot-segment removal (RFC 3986 §5.2.4) on the path we build —
+    // '../x' canonicals are common on real pages and an unnormalized
+    // 'a/sub/../x' key would split one canonical group in two
+    def normPath(p: String): String = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      p.split("/", -1).foreach {
+        case "." | "" => // collapse '.' and duplicate slashes
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case seg => out += seg
+      }
+      "/" + out.mkString("/") + (if (p.endsWith("/") && out.nonEmpty) "/" else "")
+    }
+    if (h.startsWith("/")) return origin + normPath(h)
+    val basePath = if (pathStart < 0) "/" else noFrag(base).substring(pathStart)
+    val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
+    origin + normPath(dir + h)
+  }
+
+  /** Canonical-URL collapse with robots `noindex` honoring — the two
+    * head-metadata signals a crawl pipeline consumes BEFORE spending
+    * dedup/quality compute (the same page crawled at many URLs
+    * declares one canonical target; a `noindex` page asked not to be
+    * indexed at all). Per page: drop it if its
+    * [[graft.sources.HtmlText.metaRobots]] carries `noindex`;
+    * otherwise its group key is the declared
+    * [[graft.sources.HtmlText.canonicalUrl]] resolved against the
+    * page URL via [[resolveUrl]] (pages declaring none are their own
+    * canonical). Per group, ONE page is kept: the self-canonical page
+    * (url == canonical target) when crawled, else the
+    * lexicographically smallest member URL — deterministic either
+    * way.
+    *
+    * Output: (canonical, kept_url, n_aliases) — one row per surviving
+    * canonical group; callers semi-join `kept_url` back onto the page
+    * frame to materialize the kept content. Scale shape: both signal
+    * extractions are narrow per-row projections inside the scan task
+    * (never the full extractor — only the head scanners), and the
+    * collapse is ONE map-side-combined hash aggregation on the
+    * canonical key; the page HTML itself never shuffles. */
+  def canonicalCollapse(pages: DataFrame, urlCol: String = "url",
+                        htmlCol: String = "html"): DataFrame = {
+    val noindexU = udf((h: String) =>
+      graft.sources.HtmlText.metaRobots(h).contains("noindex"))
+    val canonU = udf((u: String, h: String) =>
+      graft.sources.HtmlText.canonicalUrl(h) match {
+        case Some(c) => resolveUrl(u, c)
+        case None => u
+      })
+    pages
+      .filter(!noindexU(col(htmlCol)))
+      .select(col(urlCol).as("__url"),
+        canonU(col(urlCol), col(htmlCol)).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_aliases"),
+        min(when(col("__url") === col("canonical"), col("__url")))
+          .as("__self"),
+        min(col("__url")).as("__minu"))
+      .select(col("canonical"),
+        coalesce(col("__self"), col("__minu")).as("kept_url"),
+        col("n_aliases"))
+  }
+
   /** Corpus-wide domain frequency with the blocklist removed: explode
     * hosts → registered domain → hash-agg count. One shuffle on the
     * domain key with map-side partial aggregation; the blocklist

@@ -166,11 +166,16 @@ object DedupQueries {
     // end-to-end dedup APPLY: class pairs -> components over reps ->
     // expand labels -> keep the canonical (min-id) member per
     // component; untouched docs survive.
+    // the PRODUCTION-NAMED apply path goes through the production
+    // dispatch: cosineDedupAuto (router -> pairs -> components ->
+    // expand -> keep canonical) is the one entry point a 100 TB
+    // caller uses, so the gate named after the operation exercises it
+    // every round. At gate class counts the router takes the exact
+    // route, making the output oracle-identical to the closure replay
+    // (route equality on both fixture shapes stays DedupSpec-pinned).
     "dedup_apply" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      val comps = Dedup.cosineComponents(emb, "vec_id", "embedding", 0.45)
-      Dedup.keepCanonicalFromComponents(emb.select(col("vec_id")), comps,
-          "vec_id")
+      Dedup.cosineDedupAuto(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 0.45)
         .orderBy(col("vec_id"))
     },
     // the composition a real 100 TB dedup run executes: class-collapse
@@ -305,8 +310,14 @@ object DedupQueries {
     // (the dedup_apply oracle verbatim) — a router regression that
     // flipped the route or broke the composition forks the hash.
     // Route choice at both sides of the crossover stays DedupSpec-land.
+    // Input is BOUNDED (orderBy+limit, the distinctHeavyFixture rule)
+    // so the class count sits below the ~1e5 crossover at EVERY scale
+    // factor: the oracle always replays the exact closure, and an
+    // unbounded input at a big SF would flip the router to the
+    // probabilistic LSH route and fork the gate spuriously.
     "dedup_apply_auto" -> { (s, dir) =>
-      Dedup.cosineDedupAuto(Tables.embeddings(s, dir),
+      Dedup.cosineDedupAuto(
+          Tables.embeddings(s, dir).orderBy(col("vec_id")).limit(2000),
           "vec_id", "embedding", 0.45)
         .orderBy(col("vec_id"))
     },
@@ -889,12 +900,16 @@ object DedupQueries {
         |)
         |SELECT u AS node_id, least(u, min(v)) AS component
         |FROM reach GROUP BY u ORDER BY node_id""".stripMargin,
-    // the dedup_apply closure replay verbatim — the router's exact
-    // route must reproduce it end-to-end
+    // the dedup_apply closure replay verbatim over the same BOUNDED
+    // input (orderBy+limit keeps the class count below the router
+    // crossover at every SF) — the router's exact route must
+    // reproduce it end-to-end
     "dedup_apply_auto" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE bounded AS (
+        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 2000
+        |), pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  FROM bounded a JOIN bounded b ON a.vec_id < b.vec_id
         |  WHERE len(list_filter(a.embedding, x -> x <> 0)) > 0
         |    AND len(list_filter(b.embedding, x -> x <> 0)) > 0
         |    AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
@@ -908,7 +923,7 @@ object DedupQueries {
         |), victims AS (
         |  SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) < u
         |)
-        |SELECT vec_id FROM embeddings
+        |SELECT vec_id FROM bounded
         |WHERE vec_id NOT IN (SELECT u FROM victims)
         |ORDER BY vec_id""".stripMargin,
     "dedup_apply" ->

@@ -165,6 +165,52 @@ object WebQueries {
     * + 1 euc-kr + 1 chunked + 1 wet. */
   private val NRecords = 26L
 
+  // ---- canonical-URL / noindex fixture (url_canonical_dedup) ----
+
+  /** One fixture page per (kind, doc_id) — the head-metadata shapes a
+    * real crawl throws at [[graft.operators.Urls.canonicalCollapse]]:
+    *  - `self`: the canonical page itself, declared ROOT-RELATIVE
+    *    (`/d/{id}`), preceded by a commented-out noindex, a scripted
+    *    fake canonical (both must be ignored) and followed by a second
+    *    canonical declaration (first one wins);
+    *  - `alias`: a mirror URL declaring the ABSOLUTE canonical;
+    *  - `sub` (doc_id%3=0): a subpath URL declaring `../{id}` —
+    *    dot-segment resolution must land it in the same group;
+    *  - `noidx` (doc_id%5=0): a real `NOINDEX` robots meta (case-
+    *    insensitive) — the page must vanish entirely;
+    *  - `xa`/`xb` (doc_id%7=0): two aliases of a PROTOCOL-RELATIVE
+    *    canonical (`//c.ex.org/…`) that was never crawled — min-URL
+    *    fallback keeps `xa`. */
+  private[graft] def canonPage(kind: String, id: Long): (String, String) =
+    kind match {
+      case "self" =>
+        (s"https://ex.org/d/$id",
+          "<html><head><!-- <meta name=\"robots\" content=\"noindex\"> -->" +
+            "<script>var x = '<link rel=\"canonical\" href=\"/SCRIPTED\">';" +
+            "</script>" +
+            s"""<link rel="canonical" href="/d/$id">""" +
+            s"""<link rel="canonical" href="/WRONG/$id">""" +
+            "</head><body><p>self page</p></body></html>")
+      case "alias" =>
+        (s"https://m.ex.org/amp/$id",
+          s"""<html><head><link rel=canonical href=https://ex.org/d/$id>""" +
+            "</head><body><p>amp mirror</p></body></html>")
+      case "sub" =>
+        (s"https://ex.org/d/sub/page$id.html",
+          s"""<html><head><link href="../$id" rel="canonical">""" +
+            "</head><body><p>print view</p></body></html>")
+      case "noidx" =>
+        (s"https://ex.org/noidx/$id",
+          "<html><head><meta name=\"robots\" content=\"NOINDEX, follow\">" +
+            s"""<link rel="canonical" href="/noidx/$id">""" +
+            "</head><body><p>dropped</p></body></html>")
+      case "xa" | "xb" =>
+        val sub = if (kind == "xa") "a" else "b"
+        (s"https://$sub.ex.org/x/$id",
+          s"""<html><head><link rel="canonical" href="//c.ex.org/x/$id">""" +
+            "</head><body><p>uncrawled canonical</p></body></html>")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HTML boilerplate strip, in-plan over EVERY document: wrap with
     // the fixture template (escaped payload + script/style/nav/comment
@@ -214,6 +260,31 @@ object WebQueries {
           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
           coalesce(expr("bit_xor(CASE WHEN ok THEN __sig END)"), lit(0L))
             .as("text_sig"))
+    },
+    // canonical-URL collapse + noindex honoring as a standing gate
+    // (VERDICT r14 #4): the in-plan fixture synthesizes the crawl
+    // shapes per document (self/alias/subpath/noindex/uncrawled-
+    // canonical pages, see canonPage) and runs the PRODUCTION
+    // operator; DuckDB writes the expected groups down directly from
+    // `documents` without running any extraction or resolution. A
+    // regression in first-declaration-wins, comment/script skipping,
+    // root-relative / absolute / protocol-relative / dot-segment
+    // resolution, noindex dropping, or self-vs-min-url keeping forks
+    // rows or the hash.
+    "url_canonical_dedup" -> { (s, dir) =>
+      val mk = udf((kind: String, id: Long) => canonPage(kind, id))
+      val pages = Tables.documents(s, dir).select(col("doc_id"))
+        .select(col("doc_id"), explode(array(
+          lit("self"), lit("alias"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("sub")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("noidx")),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("xa")),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("xb")))).as("kind"))
+        .filter(col("kind").isNotNull)
+        .select(mk(col("kind"), col("doc_id")).as("p"))
+        .select(col("p._1").as("url"), col("p._2").as("html"))
+      graft.operators.Urls.canonicalCollapse(pages, "url", "html")
+        .orderBy(col("canonical"))
     }
   )
 
@@ -246,6 +317,27 @@ object WebQueries {
          |       coalesce(bit_xor(CAST(CAST('0x' || substr(md5(
          |         uri || '|' || text), 1, 15) AS UBIGINT) AS BIGINT)), 0)
          |         AS text_sig
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+    // the expected canonical groups, written down directly (no
+    // extraction, no URL resolution — pure arithmetic over doc_id):
+    // every doc forms the self-canonical group with its alias (+ the
+    // subpath page when doc_id%3=0); noindex pages form NO group; the
+    // doc_id%7=0 docs add the uncrawled-canonical group kept at the
+    // min member URL.
+    "url_canonical_dedup" ->
+      """WITH g1 AS (
+        |  SELECT 'https://ex.org/d/' || CAST(doc_id AS VARCHAR) AS canonical,
+        |         'https://ex.org/d/' || CAST(doc_id AS VARCHAR) AS kept_url,
+        |         CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |           AS n_aliases
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT 'https://c.ex.org/x/' || CAST(doc_id AS VARCHAR) AS canonical,
+        |         'https://a.ex.org/x/' || CAST(doc_id AS VARCHAR) AS kept_url,
+        |         CAST(2 AS BIGINT) AS n_aliases
+        |  FROM documents WHERE doc_id % 7 = 0
+        |)
+        |SELECT * FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+        |ORDER BY canonical""".stripMargin
   )
 }

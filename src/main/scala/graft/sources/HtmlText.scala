@@ -283,11 +283,24 @@ object HtmlText {
 
   /** The attribute bodies of every `<name …>` tag in the document
     * (quote-aware end scan, same rule as the extractor) — the shared
-    * scanner for the head-metadata extractors below. */
+    * scanner for the head-metadata extractors below. Comment spans and
+    * the raw-text contents of [[Excluded]] elements are skipped with
+    * the same rules as [[extractBlocks]], so a `<meta>`/`<link>`
+    * inside `<!-- -->` or a script string literal is never honored
+    * (a commented-out `noindex` must not drop the page). */
   private def tagBodies(html: String, name: String): Iterator[String] =
     new Iterator[String] {
       private var i = 0
       private var nextBody: String = null
+      private def excludedOpenAt(start: Int): Option[String] = {
+        val n = html.length
+        if (start >= n || !html.charAt(start).isLetter) return None
+        var j = start
+        while (j < n && (html.charAt(j).isLetterOrDigit ||
+          html.charAt(j) == '-' || html.charAt(j) == ':')) j += 1
+        val tag = html.substring(start, j).toLowerCase
+        if (Excluded(tag)) Some(tag) else None
+      }
       private def advance(): Unit = {
         nextBody = null
         val n = html.length
@@ -295,7 +308,29 @@ object HtmlText {
           i = html.indexOf('<', i)
           if (i < 0) { i = n; return }
           val start = i + 1
-          if (html.regionMatches(true, start, name, 0, name.length) &&
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else if (excludedOpenAt(start).isDefined) {
+            // skip the raw-text element: find the tag's '>' (quote-
+            // aware, mirroring the extractor), then jump past its
+            // close tag unless it is self-closed
+            val tag = excludedOpenAt(start).get
+            var quote: Char = 0
+            var k = start + tag.length
+            var end = -1
+            while (k < n && end < 0) {
+              val ch = html.charAt(k)
+              if (quote != 0) { if (ch == quote) quote = 0 }
+              else if (ch == '"' || ch == '\'') quote = ch
+              else if (ch == '>') end = k
+              k += 1
+            }
+            if (end < 0) { i = n; return }
+            val selfClosed = html.charAt(end - 1) == '/'
+            i = if (selfClosed) end + 1
+                else indexPastCloseTag(html, end + 1, tag)
+          } else if (html.regionMatches(true, start, name, 0, name.length) &&
             start + name.length < n && {
               val c = html.charAt(start + name.length)
               isAsciiWs(c) || c == '>' || c == '/'

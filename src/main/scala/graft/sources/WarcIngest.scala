@@ -317,11 +317,28 @@ object WarcIngest {
     * object store; `repartition(n)` upstream picks the segment count
     * (real WET segments are ~150 MB — size partitions accordingly).
     * Rows with a null text are skipped (they carry no conversion
-    * payload; quarantine them upstream). */
+    * payload; quarantine them upstream). The output directory is
+    * CLEANED first (existing `part-*`/`_tmp-*` segments deleted on the
+    * driver, before any task runs): a re-run with fewer partitions
+    * must not leave stale segments from the previous run for directory
+    * readers to mix in, and orphaned temp files from lost attempts
+    * must not accumulate. */
   def writeWet(docs: DataFrame, uriCol: String, textCol: String,
                outDir: String, date: String = "2026-01-01T00:00:00Z"): Unit = {
     val rows = docs.select(col(uriCol).cast("string").as("uri"),
       col(textCol).cast("string").as("text"))
+    locally {
+      val dirPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = dirPath.getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(dirPath)) {
+        fs.listStatus(dirPath).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("part-") || nm.startsWith("_tmp-"))
+            fs.delete(st.getPath, false)
+        }
+      }
+    }
     // ship the SESSION Hadoop conf to the tasks (spark.hadoop.* —
     // object-store credentials, custom filesystems); a bare
     // `new Configuration()` on the executor would see only classpath

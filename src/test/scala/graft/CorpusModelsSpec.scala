@@ -493,6 +493,30 @@ class CorpusModelsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("cross_entropy") === 0.0)
   }
 
+  test("groupedPerplexity: group in vocab but missing from stats scores " +
+    "NULL, never a partial nll") {
+    // vocab and stats are built together by groupedUnigramLm; if a
+    // caller ever hands a stats frame missing a group the vocab knows,
+    // the OOV rows of that group lose their logp — summing over only
+    // the in-vocab tokens would report a plausible-looking PARTIAL nll
+    // (silent corruption). Any null lp must poison the whole doc score.
+    val (vocab, stats) = CorpusModels.groupedUnigramLm(
+      grpDocs.filter($"grp0" === "x"), "grp0", "text", 2)
+    val brokenStats = stats.filter($"grp" =!= "x") // drop x's stats row
+    // doc 20 has an OOV token ("zzz" is beyond vocabCap=2): its lp is
+    // null under brokenStats, so the whole score must be NULL
+    val probe = Seq((20L, "a a zzz", "x")).toDF("doc_id", "text", "grp0")
+    val out = CorpusModels.groupedPerplexity(
+      probe, "doc_id", "grp0", "text", vocab, brokenStats).collect()
+    assert(out(0).getAs[Long]("n_tokens") === 3L)
+    assert(out(0).isNullAt(out(0).fieldIndex("nll_fp")))
+    assert(out(0).isNullAt(out(0).fieldIndex("cross_entropy")))
+    // sanity: the same doc under the COMPLETE stats scores normally
+    val ok = CorpusModels.groupedPerplexity(
+      probe, "doc_id", "grp0", "text", vocab, stats).collect()
+    assert(ok(0).getAs[Long]("nll_fp") > 0L)
+  }
+
   test("domainMixWeights: distinctive domains weigh by exact excess; uniform at zero") {
     val docs = Seq(
       (0L, "a a a a", "d1"),

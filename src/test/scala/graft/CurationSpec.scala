@@ -81,6 +81,60 @@ class CurationSpec extends SparkSpec {
       s"blocklist lookup should broadcast:\n$plan")
   }
 
+  test("urls: resolveUrl covers the RFC 3986 subset deterministically") {
+    val base = "https://ex.org/a/b/page.html"
+    // absolute stays; protocol-relative takes the base scheme
+    assert(Urls.resolveUrl(base, "http://other.org/x") === "http://other.org/x")
+    assert(Urls.resolveUrl(base, "//cdn.ex.org/x") === "https://cdn.ex.org/x")
+    // root-relative takes the origin; plain relative replaces the
+    // last segment; dot segments are removed
+    assert(Urls.resolveUrl(base, "/c/d") === "https://ex.org/c/d")
+    assert(Urls.resolveUrl(base, "other.html") === "https://ex.org/a/b/other.html")
+    assert(Urls.resolveUrl(base, "../up.html") === "https://ex.org/a/up.html")
+    assert(Urls.resolveUrl(base, "./same.html") === "https://ex.org/a/b/same.html")
+    assert(Urls.resolveUrl(base, "../../../root.html") === "https://ex.org/root.html")
+    // fragments are dropped from both sides; empty href = the base
+    assert(Urls.resolveUrl(base, "/c#frag") === "https://ex.org/c")
+    assert(Urls.resolveUrl("https://ex.org/p#top", "") === "https://ex.org/p")
+    assert(Urls.resolveUrl(base, null) === base)
+    // host-only base: root- and plain-relative both resolve at /
+    assert(Urls.resolveUrl("https://ex.org", "/x") === "https://ex.org/x")
+    assert(Urls.resolveUrl("https://ex.org", "x") === "https://ex.org/x")
+    // trailing slash preserved through normalization
+    assert(Urls.resolveUrl(base, "../dir/") === "https://ex.org/a/dir/")
+  }
+
+  test("urls: canonicalCollapse keeps self-canonical (else min url), " +
+    "drops noindex, one hash agg") {
+    val pages = Seq(
+      // group ex.org/d/1: self (root-relative decl) + alias (absolute)
+      ("https://ex.org/d/1",
+        """<head><link rel="canonical" href="/d/1"></head><body>x</body>"""),
+      ("https://m.ex.org/amp/1",
+        """<head><link rel=canonical href=https://ex.org/d/1></head>"""),
+      // noindex page: dropped even though it declares a canonical
+      ("https://ex.org/secret",
+        """<head><meta name="robots" content="noindex"><link rel="canonical" href="/secret"></head>"""),
+      // uncrawled canonical: min member url wins
+      ("https://b.ex.org/x", """<link rel="canonical" href="https://c.ex.org/x">"""),
+      ("https://a.ex.org/x", """<link rel="canonical" href="https://c.ex.org/x">"""),
+      // no declaration: page is its own canonical
+      ("https://solo.ex.org/p", "<body>plain</body>")
+    ).toDF("url", "html")
+    val out = Urls.canonicalCollapse(pages)
+    val got = out.orderBy("canonical")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("https://c.ex.org/x", "https://a.ex.org/x", 2L),
+      ("https://ex.org/d/1", "https://ex.org/d/1", 2L),
+      ("https://solo.ex.org/p", "https://solo.ex.org/p", 1L)))
+    // scale shape: exactly one exchange (the canonical-key hash agg) —
+    // the page HTML itself never shuffles
+    val plan = out.queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx === 1, s"expected one exchange, got $nEx:\n$plan")
+  }
+
   // ---------------------------------------------------------- Decontam
 
   test("decontam: flags docs sharing an n-gram with the benchmark, exact counts") {

@@ -350,6 +350,65 @@ class PlanSpec extends SparkSpec {
     } finally sys.props.remove("graft.bench.mode")
   }
 
+  test("BM25 append tokenizes the delta once: every delta tokenize reads the shared cache") {
+    // the r14 deferred debt: appendToPersistedIndex used to re-run the
+    // corpus-text regex split a second time for the stats delta. The
+    // pin: during an append, EVERY executed plan that tokenizes the
+    // delta's text column must read it through the shared cached
+    // (id, __terms) frame — i.e. the split only ever appears under an
+    // InMemoryTableScan. A reintroduced direct tokenize (plan with the
+    // split over the delta column but no cache scan) fails here.
+    // The delta text column gets a UNIQUE name so stragglers from
+    // other tests' (legitimately uncached) tokenizes never match.
+    withTempDir("plan-append-once") { dir =>
+      val base = Seq((1L, "alpha beta gamma"), (2L, "beta delta"))
+        .toDF("doc_id", "text")
+      graft.operators.Bm25.buildPersistedIndex(base, "doc_id", "text",
+        nRanges = 2, dir.getAbsolutePath)
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               d: Long): Unit =
+          plans.add(scala.util.Try(qe.executedPlan.toString).getOrElse(""))
+        override def onFailure(f: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               e: Exception): Unit = ()
+      }
+      // the delta must come from a FILE source: a literal Seq is a
+      // foldable LocalRelation whose tokenize Catalyst evaluates at
+      // plan time (ConvertToLocalRelation), leaving no split in any
+      // executed plan to pin
+      val deltaDir = new java.io.File(dir, "delta-src")
+      Seq((10L, "epsilon beta zeta"), (11L, "eta theta"))
+        .toDF("doc_id", "txt_appendpin")
+        .write.parquet(deltaDir.getAbsolutePath)
+      spark.listenerManager.register(l)
+      try {
+        val delta = spark.read.parquet(deltaDir.getAbsolutePath)
+        graft.operators.Bm25.appendToPersistedIndex(delta, "doc_id",
+          "txt_appendpin", dir.getAbsolutePath)
+        // the execution-listener bus is async: run a sentinel query and
+        // poll until it lands — FIFO delivery means every append event
+        // arrived before it
+        spark.range(1).select(lit("sentinel_appendpin_done").as("s")).collect()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        import scala.jdk.CollectionConverters._
+        while (!plans.asScala.exists(_.contains("sentinel_appendpin_done")) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+        val tokenizing = plans.asScala
+          .filter(p => p.contains("appendpin") && p.contains("split(lower("))
+          .toSeq
+        assert(tokenizing.nonEmpty,
+          "expected at least one captured plan tokenizing the delta")
+        val offenders = tokenizing.filterNot(_.contains("InMemoryTableScan"))
+        assert(offenders.isEmpty,
+          "delta tokenize executed outside the shared cache:\n" +
+            offenders.mkString("\n---\n"))
+      } finally spark.listenerManager.unregister(l)
+    }
+  }
+
   test("retriever factory (E1) returns a curried query function") {
     val docs = Tables.documents(spark, sfDir).orderBy("doc_id").limit(50)
     val store = ChunkStore.dualWrite(

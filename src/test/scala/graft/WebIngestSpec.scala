@@ -127,6 +127,29 @@ class WebIngestSpec extends SparkSpec {
       "<link data-x=\"a > b\" rel=canonical href=\"/q\">") === Some("/q"))
   }
 
+  test("head metadata ignores comments and script/style raw text " +
+    "(a commented-out noindex must not drop the page)") {
+    // the extractor already skips these spans; the head scanners must
+    // apply the same rules or real crawl pages get false drops
+    val commented = "<head><!-- <meta name=\"robots\" content=\"noindex\"> " +
+      "<link rel=canonical href=/wrong> --></head>" +
+      "<link rel=canonical href=/right>"
+    assert(HtmlText.metaRobots(commented) === Set.empty)
+    assert(HtmlText.canonicalUrl(commented) === Some("/right"))
+    val scripted = "<script>var s = '<meta name=\"robots\" " +
+      "content=\"noindex\">';</script>" +
+      "<style>/* <link rel=canonical href=/styled> */</style>" +
+      "<meta name=robots content=nofollow>"
+    assert(HtmlText.metaRobots(scripted) === Set("nofollow"))
+    assert(HtmlText.canonicalUrl(scripted) === None)
+    // unterminated comment swallows the rest (the extractor rule)
+    assert(HtmlText.metaRobots(
+      "<!-- <meta name=robots content=noindex>") === Set.empty)
+    // a self-closed excluded element does not swallow what follows
+    assert(HtmlText.canonicalUrl(
+      "<script src=x.js/><link rel=canonical href=/after>") === Some("/after"))
+  }
+
   test("fuzz: extractText/extractBlocks/mainText/canonicalUrl never throw, " +
     "normalization idempotent (seeded)") {
     val rnd = new scala.util.Random(42)
@@ -317,6 +340,30 @@ class WebIngestSpec extends SparkSpec {
         f.delete()
       }
       rm(tmp)
+    }
+  }
+
+  test("writeWet re-run cleans stale segments and orphaned temp files") {
+    withTempDir("wet-rerun") { tmp =>
+      val wide = Seq.tabulate(4)(i => (s"https://e.org/$i", s"doc $i"))
+        .toDF("uri", "text").repartition(4)
+      WarcIngest.writeWet(wide, "uri", "text", tmp.getAbsolutePath)
+      // simulate an orphaned temp from a lost attempt
+      val orphan = new java.io.File(tmp, "_tmp-part-00002-attempt-99.warc.gz")
+      java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+      // re-run with FEWER partitions: stale part-0000{2,3} from the
+      // first run must not survive for directory readers to mix in
+      val narrow = Seq(("https://e.org/a", "only doc"))
+        .toDF("uri", "text").repartition(1)
+      WarcIngest.writeWet(narrow, "uri", "text", tmp.getAbsolutePath)
+      // ignore the local-FS checksum sidecars (".…crc"), invisible to
+      // readers; the visible directory must hold ONLY the new segment
+      val files = tmp.list().filterNot(_.startsWith(".")).sorted.toSeq
+      assert(files === Seq("part-00000.warc.gz"), files.toString)
+      val back = WarcIngest.ingestWarcs(
+          spark.read.format("binaryFile").load(tmp.getAbsolutePath))
+        .select(col("target_uri")).as[String].collect().toSeq
+      assert(back === Seq("https://e.org/a"))
     }
   }
 
