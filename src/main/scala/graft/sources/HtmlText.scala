@@ -267,19 +267,56 @@ object HtmlText {
     extractBlocks(html).iterator.map(_.text).mkString(" ")
 
   /** MAIN-content extraction (the jusText-lite classification layer on
-    * top of the tag strip): keep blocks that read like body prose —
-    * at least `minWords` words and link density at most
-    * `maxLinkDensity` — and drop titles, nav/footer link farms and
-    * other short boilerplate fragments. The thresholds are the
-    * standard jusText-family defaults rounded to this block model;
-    * the full heuristic stack (context-sensitive short-block rescue,
-    * stopword densities) belongs to a language-aware pass downstream.
+    * top of the tag strip), in the standard two stages:
+    *
+    * Context-free: a block is GOOD when it reads like body prose (at
+    * least `minWords` words and link density at most `maxLinkDensity`),
+    * BAD when its link density exceeds the ceiling (nav/footer link
+    * farms), SHORT otherwise (headings, table cells, list items —
+    * too little text to judge alone).
+    *
+    * Context-sensitive (the jusText neighborhood rule — where the
+    * C4/RefinedWeb-family ablations say extraction quality is won):
+    * a SHORT block is RESCUED iff its nearest non-short neighbor on
+    * BOTH sides is good (document edge counts as bad) — so the cells
+    * of a data table inside an article, or a list embedded in prose,
+    * survive; a heading above pure boilerplate, or trailing footer
+    * fragments, stay dropped. Good blocks are never demoted here:
+    * without language-aware stopword densities there is no near-good
+    * class to demote (that refinement belongs to a downstream pass).
     */
   def mainText(html: String, minWords: Int = 5,
-               maxLinkDensity: Double = 0.4): String =
-    extractBlocks(html).iterator
-      .filter(b => b.words >= minWords && b.linkDensity <= maxLinkDensity)
-      .map(_.text).mkString(" ")
+               maxLinkDensity: Double = 0.4): String = {
+    val blocks = extractBlocks(html)
+    val n = blocks.length
+    val Bad = 0; val Short = 1; val Good = 2
+    val cls = Array.tabulate(n) { i =>
+      val b = blocks(i)
+      if (b.linkDensity > maxLinkDensity) Bad
+      else if (b.words >= minWords) Good
+      else Short
+    }
+    // nearest non-short class on each side, one pass per direction
+    val left = new Array[Int](n)
+    var run = Bad
+    var i = 0
+    while (i < n) { left(i) = run; if (cls(i) != Short) run = cls(i); i += 1 }
+    val right = new Array[Int](n)
+    run = Bad
+    i = n - 1
+    while (i >= 0) { right(i) = run; if (cls(i) != Short) run = cls(i); i -= 1 }
+    val out = new StringBuilder()
+    i = 0
+    while (i < n) {
+      if (cls(i) == Good ||
+        (cls(i) == Short && left(i) == Good && right(i) == Good)) {
+        if (out.nonEmpty) out.append(' ')
+        out.append(blocks(i).text)
+      }
+      i += 1
+    }
+    out.toString
+  }
 
   /** The attribute bodies of every `<name …>` tag in the document
     * (quote-aware end scan, same rule as the extractor) — the shared

@@ -107,6 +107,37 @@ class WebIngestSpec extends SparkSpec {
       "<p><a href=x>one two three four five six</a></p>") === "")
   }
 
+  test("mainText neighborhood rule: short blocks between good prose are " +
+    "rescued, table- and list-heavy pages keep their data") {
+    val prose1 = "opening paragraph with plenty of body words here"
+    val prose2 = "closing paragraph also has plenty of body words"
+    // TABLE-HEAVY page: every cell is a short block; surrounded by
+    // good prose the whole table must survive (a data table inside an
+    // article IS content), while the same table alone is boilerplate
+    val table = "<table><tr><th>name</th><th>score</th></tr>" +
+      "<tr><td>alpha</td><td>97</td></tr>" +
+      "<tr><td>beta</td><td>88</td></tr></table>"
+    val article = s"<p>$prose1</p>$table<p>$prose2</p>"
+    assert(HtmlText.mainText(article) ===
+      s"$prose1 name score alpha 97 beta 88 $prose2")
+    assert(HtmlText.mainText(table) === "") // no good neighbors: dropped
+    // LIST-HEAVY page: items embedded in prose are rescued; a bare
+    // nav-like list (edge on one side) is not
+    val list = "<ul><li>first item</li><li>second item</li></ul>"
+    assert(HtmlText.mainText(s"<p>$prose1</p>$list<p>$prose2</p>") ===
+      s"$prose1 first item second item $prose2")
+    assert(HtmlText.mainText(s"$list<p>$prose1</p>") === prose1)
+    // a BAD (link-farm) block between the prose and the shorts blocks
+    // the rescue — the boilerplate frontier is respected
+    assert(HtmlText.mainText(
+      s"<p>$prose1</p><nav><a href=\"/\">x y z w</a></nav>$list<p>$prose2</p>") ===
+      s"$prose1 $prose2")
+    // heading directly between two good paragraphs is rescued
+    assert(HtmlText.mainText(
+      s"<p>$prose1</p><h2>Results</h2><p>$prose2</p>") ===
+      s"$prose1 Results $prose2")
+  }
+
   test("canonicalUrl + metaRobots: head metadata extraction") {
     val html = "<html><head>" +
       "<link href=\"https://e.org/canon\" rel=canonical>" +
