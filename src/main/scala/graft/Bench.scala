@@ -141,15 +141,31 @@ object Bench {
     // one loaded window without hiding a real regression. Scale runs
     // that can't afford 3 passes set the env to 1 explicitly.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // between-run cache hygiene (default ON; SPARK_GRAFT_BENCH_RELEASE=0
+    // disables for A/B): drop the releaseAfterUse frames the analysis-
+    // start watermark retained, OUTSIDE the timed window — a 3-repeat
+    // 183-query run otherwise accumulates hundreds of dead cached
+    // frames whose eviction pressure lands on whichever cache-heavy
+    // query runs late in the suite (the r14 end-of-round band).
+    val releaseBetween =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RELEASE", "1") != "0"
+    val verbose = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE", "0") == "1"
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+      finally if (releaseBetween) graft.operators.Dedup.releasePending()
     }
     val results = selected.map { case (name, fn) =>
       val runs = (1 to repeats).map(_ => timeOnce(name, fn))
+      if (verbose) {
+        val st = spark.sparkContext.getRDDStorageInfo
+        System.err.println(f"[bench-v] $name runs=${
+          runs.map(r => f"$r%.2f").mkString(",")} cachedRdds=${st.length} " +
+          f"cachedMem=${st.map(_.memSize).sum / 1e6}%.1f MB")
+      }
       // any failed run fails the query: -1 so a fast failure can never
       // masquerade as a fast success in the perf gate
       val v =

@@ -370,3 +370,106 @@ object FuzzyScaleProbe {
     spark.stop()
   }
 }
+
+/** WARC front-door scale probe — the measured number behind the
+  * `warc_ingest` gate's fixed-size fixture (constant at every SF by
+  * design, so silent on scale). Four stages over a derived-100×
+  * documents dir (500k docs at sf10-derived):
+  *
+  *  1. EXPORT — [[graft.sources.WarcIngest.writeWet]] over every
+  *     document into `nSegments` per-record-gzip `.warc.gz` segments
+  *     (the Common Crawl WET layout; parallelism unit = the segment).
+  *  2. READ — [[graft.sources.WarcIngest.ingestWarcs]] over the
+  *     exported directory via `binaryFile`: full de-gzip + record
+  *     grammar + envelope dispatch, counted, records/s reported.
+  *  3. QUARANTINE — one segment copied and truncated mid-member into a
+  *     sibling dir; re-ingest must parse the clean prefix, quarantine
+  *     the ragged tail, and never throw (reported as records recovered
+  *     from the truncated shard vs intact).
+  *  4. KERNEL — the wrap + [[graft.sources.HtmlText.mainText]]
+  *     extraction over documents × `kernelFactor` in-plan replicas
+  *     (no I/O): boilerplate-strip throughput in docs/s at multi-
+  *     million-document scale.
+  *
+  * Usage: runMain graft.WarcScaleProbe [docsDir] [nSegments] [kernelFactor]
+  */
+object WarcScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "target/sf10-derived"
+    val nSegments = if (args.length > 1) args(1).toInt else 32
+    val kernelFactor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-warc-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.{HtmlText, WarcIngest}
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count() // also warms the file cache
+
+    // 1. EXPORT
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft-warc-probe-out"
+    val t1 = System.nanoTime()
+    WarcIngest.writeWet(
+      docs.select(concat(lit("https://ex.org/d/"), col("doc_id")).as("uri"),
+        col("text")).repartition(nSegments),
+      "uri", "text", outDir)
+    val wExport = (System.nanoTime() - t1) / 1e9
+    println(f"[warc-probe] export docs=$nDocs segments=$nSegments " +
+      f"wall=$wExport%.1f s rate=${nDocs / wExport}%.0f rec/s")
+
+    // 2. READ
+    val t2 = System.nanoTime()
+    val readBack = WarcIngest.ingestWarcs(
+      spark.read.format("binaryFile").load(outDir))
+    val counts = readBack.agg(count(lit(1)),
+      sum(when(col("ok"), 1L).otherwise(0L))).head()
+    val wRead = (System.nanoTime() - t2) / 1e9
+    println(f"[warc-probe] read records=${counts.getLong(0)} " +
+      f"ok=${counts.getLong(1)} wall=$wRead%.1f s " +
+      f"rate=${counts.getLong(0) / wRead}%.0f rec/s " +
+      f"(${counts.getLong(0) / wRead / nSegments}%.0f rec/s/task)")
+    require(counts.getLong(0) == nDocs && counts.getLong(1) == nDocs,
+      s"round trip lost records: ${counts.getLong(0)} of $nDocs")
+
+    // 3. QUARANTINE on a truncated shard
+    val qDir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-warc-probe-trunc")
+    if (qDir.exists()) qDir.listFiles().foreach(_.delete()) else qDir.mkdirs()
+    val seg = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).maxBy(_.length)
+    val bytes = java.nio.file.Files.readAllBytes(seg.toPath)
+    val intact = WarcIngest.ingestWarcs(
+      spark.read.format("binaryFile")
+        .load(seg.getAbsolutePath)).count()
+    java.nio.file.Files.write(
+      new java.io.File(qDir, seg.getName).toPath,
+      java.util.Arrays.copyOf(bytes, (bytes.length * 0.6).toInt))
+    val t3 = System.nanoTime()
+    val fromTrunc = WarcIngest.ingestWarcs(
+      spark.read.format("binaryFile").load(qDir.getAbsolutePath)).count()
+    println(f"[warc-probe] quarantine intactShard=$intact " +
+      f"truncShard(60%%)=$fromTrunc wall=${(System.nanoTime() - t3) / 1e9}%.1f s " +
+      "(clean prefix recovered, ragged tail dropped, no throw)")
+    require(fromTrunc > 0 && fromTrunc < intact,
+      s"quarantine shape wrong: $fromTrunc of $intact")
+
+    // 4. KERNEL at docs × kernelFactor
+    val wrapMain = udf((id: Long, t: String) =>
+      HtmlText.mainText(graft.queries.WebQueries.sampleHtml(id, t)))
+    val t4 = System.nanoTime()
+    val kOut = docs
+      .withColumn("__rep", explode(lit((0 until kernelFactor).toArray)))
+      .select(length(wrapMain(col("doc_id"), col("text"))).as("l"))
+      .agg(sum(col("l"))).head().getLong(0)
+    val wKernel = (System.nanoTime() - t4) / 1e9
+    val kDocs = nDocs * kernelFactor
+    println(f"[warc-probe] kernel docs=$kDocs chars=$kOut " +
+      f"wall=$wKernel%.1f s rate=${kDocs / wKernel}%.0f docs/s")
+    spark.stop()
+  }
+}

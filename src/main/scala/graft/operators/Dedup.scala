@@ -33,7 +33,9 @@ object Dedup {
     * over the same result pays a recompute from the second on — a perf
     * trade, never a correctness one (unpersist is safe mid-flight). A
     * plan that is built but never executed keeps its (lazy, therefore
-    * empty) cache entry plus this listener for the session's lifetime. */
+    * empty) cache entry plus this listener for the session's lifetime —
+    * bounded by [[releasePending]], which a harness calls between
+    * queries to drop everything the watermark rule retained. */
   private[graft] def releaseAfterUse(cached: DataFrame): Unit = {
     val lm = cached.sparkSession.listenerManager
     val ids = cached.queryExecution.analyzed.output.map(_.exprId).toSet
@@ -48,7 +50,7 @@ object Dedup {
     // never auto-released (a benign bounded leak, the documented
     // plan-only trade), which beats releasing early.
     val regTimeMs = System.currentTimeMillis()
-    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private def fresh(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
         scala.util.Try(qe.tracker.phases
           .get(org.apache.spark.sql.catalyst.QueryPlanningTracker.ANALYSIS)
@@ -64,6 +66,7 @@ object Dedup {
       private def cleanup(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
         if (fresh(qe) && refs(qe)) {
           cached.unpersist(blocking = false); lm.unregister(this)
+          pendingReleases.remove(this)
         }
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
@@ -71,7 +74,39 @@ object Dedup {
       override def onFailure(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = cleanup(qe)
-    })
+    }
+    pendingReleases.put(listener, cached)
+    lm.register(listener)
+  }
+
+  /** Every releaseAfterUse registration whose listener has not fired
+    * yet — the frames the analysis-start watermark deliberately
+    * retains (a pre-analyzed plan executed later never auto-releases).
+    * Strong refs are intended: the cache entry itself keeps the plan
+    * alive inside Spark's CacheManager anyway. */
+  private val pendingReleases = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.util.QueryExecutionListener, DataFrame]()
+
+  /** Drop every cache the watermark rule retained: unpersist each
+    * still-pending releaseAfterUse frame and unregister its listener.
+    * Correctness-safe at any time (unpersist is safe mid-flight; the
+    * worst case is a recompute). Harness seam: a suite runner (Bench,
+    * Verify) calls this BETWEEN queries so a 3-repeat 183-query run
+    * does not accumulate hundreds of dead cached frames whose eviction
+    * pressure lands on whichever cache-heavy query runs last. Returns
+    * the number of entries released. */
+  private[graft] def releasePending(): Int = {
+    var n = 0
+    val it = pendingReleases.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      it.remove()
+      n += 1
+      val df = e.getValue
+      scala.util.Try(df.unpersist(blocking = false))
+      scala.util.Try(df.sparkSession.listenerManager.unregister(e.getKey))
+    }
+    n
   }
 
   /** Canonical token array: whitespace split, empties removed. */

@@ -667,4 +667,31 @@ class DedupSpec extends SparkSpec {
     val recall = (lshVictims & exactVictims).size.toDouble / exactVictims.size
     assert(recall >= 0.9, s"victim recall $recall over ${exactVictims.size}")
   }
+
+  test("releasePending drops watermark-retained caches; fired listeners " +
+    "leave nothing behind") {
+    // drain whatever earlier suites left pending so counts are ours
+    Dedup.releasePending()
+    // a frame whose cache-reading action ran through a PRE-REGISTRATION
+    // analyzed plan: the watermark rule retains it -> pending
+    val df = spark.range(100).toDF("id").persist()
+    df.count() // analyzed + executed before registration
+    Dedup.releaseAfterUse(df)
+    Thread.sleep(300) // let the async bus deliver the stale event
+    assert(df.storageLevel.useMemory, "watermark must retain the cache")
+    val n = Dedup.releasePending()
+    assert(n >= 1, s"expected >=1 pending release, got $n")
+    assert(!df.storageLevel.useMemory, "releasePending must unpersist")
+    // normal path: a fresh post-registration query fires the listener,
+    // which must ALSO clear its pending entry (eventually)
+    val df2 = spark.range(50).toDF("id").persist()
+    Dedup.releaseAfterUse(df2)
+    df2.count()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (df2.storageLevel.useMemory && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(!df2.storageLevel.useMemory, "listener must self-release")
+    assert(Dedup.releasePending() === 0,
+      "a fired listener must remove its own pending entry")
+  }
 }
