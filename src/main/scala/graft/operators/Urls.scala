@@ -156,6 +156,10 @@ object Urls {
         case None => u
       })
     pages
+      // null-hygiene (the Bm25 layout rule): a page without a URL has
+      // no usable group key or kept address — drop it up front rather
+      // than NPE inside resolution
+      .filter(col(urlCol).isNotNull)
       .filter(!noindexU(col(htmlCol)))
       .select(col(urlCol).as("__url"),
         canonU(col(urlCol), col(htmlCol)).as("canonical"))

@@ -119,7 +119,10 @@ class CurationSpec extends SparkSpec {
       ("https://b.ex.org/x", """<link rel="canonical" href="https://c.ex.org/x">"""),
       ("https://a.ex.org/x", """<link rel="canonical" href="https://c.ex.org/x">"""),
       // no declaration: page is its own canonical
-      ("https://solo.ex.org/p", "<body>plain</body>")
+      ("https://solo.ex.org/p", "<body>plain</body>"),
+      // null url: no usable group key, dropped (null-hygiene)
+      (null.asInstanceOf[String],
+        """<link rel="canonical" href="https://ex.org/d/1">""")
     ).toDF("url", "html")
     val out = Urls.canonicalCollapse(pages)
     val got = out.orderBy("canonical")
