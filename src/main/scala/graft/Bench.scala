@@ -142,11 +142,14 @@ object Bench {
     // that can't afford 3 passes set the env to 1 explicitly.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     // between-run cache hygiene (default ON; SPARK_GRAFT_BENCH_RELEASE=0
-    // disables for A/B): drop the releaseAfterUse frames the analysis-
-    // start watermark retained, OUTSIDE the timed window — a 3-repeat
-    // 183-query run otherwise accumulates hundreds of dead cached
-    // frames whose eviction pressure lands on whichever cache-heavy
-    // query runs late in the suite (the r14 end-of-round band).
+    // disables for A/B), OUTSIDE the timed window. Measured rationale
+    // (SCALEBENCH r15): watermark-retained frames are tiny at sf0.1
+    // (peak 6 RDDs / 5 MB — NOT a memory effect), but CacheManager
+    // plan-matching let repeat k+1 reuse repeat k's still-cached
+    // frames, so cache-heavy medians measured a WARM rerun
+    // (dedup_editdist 2-3 s warm vs ~6 s cold). Releasing between runs
+    // makes every repeat measure the operator cold; at larger SFs it
+    // also bounds retention.
     val releaseBetween =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RELEASE", "1") != "0"
     val verbose = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE", "0") == "1"

@@ -217,25 +217,6 @@ object Bm25 {
     scoreAndTake(postings, dfByTerm, stats, k, k1, b, rationalIdf, weights)
   }
 
-  /** Materialize the FULL inverted index once — the amortization path
-    * for repeated keyword queries over a stable corpus snapshot (the
-    * on-the-fly [[topK]] re-splits every document per query). Layout
-    * under `path`:
-    *   `postings/` — (term, id, tf, dl) range-sorted on term via
-    *     [[Sharding.exportSorted]]: each term lives in exactly one
-    *     `range_id` directory and parquet row-group min/max stats are
-    *     tight, so a query's terms prune to a handful of files;
-    *   `manifest/` — the persisted zone map over the term ranges;
-    *   `stats/` — one row (n docs, avgdl as exact-int sum / count);
-    *   `schema/` — a footer-bearing EMPTY postings file pinning the
-    *     postings schema (incl. the id column's true type) for query
-    *     paths that read no range.
-    * One corpus pass + one range shuffle of the postings (a posting is
-    * ~3 longs + the term string — far smaller than the corpus text).
-    * Per-term document frequencies are NOT stored: df is recomputed
-    * from the pruned postings at query time (a count over one file
-    * set), which keeps the index layout a pure function of the corpus
-    * and makes partial rebuilds compose. */
   /** (id, dl, term, tf) postings of a doc set — shared by the full
     * build and the incremental append so the two can never tokenize
     * differently. Null-id docs are EXCLUDED from the index (they
@@ -284,6 +265,17 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$base/schema")
   }
 
+  /** Materialize the FULL inverted index once — the amortization path
+    * for repeated keyword queries over a stable corpus snapshot (the
+    * on-the-fly [[topK]] re-splits every document per query). Layout =
+    * [[writeShardedPostingsLayout]] plus `stats/` (one row: n docs,
+    * avgdl as exact-int sum / count, sum_dl). One corpus pass + one
+    * range shuffle of the postings (a posting is ~3 longs + the term
+    * string — far smaller than the corpus text). Per-term document
+    * frequencies are NOT stored: df is recomputed from the pruned
+    * postings at query time (a count over one file set), which keeps
+    * the index layout a pure function of the corpus and makes partial
+    * rebuilds compose. */
   def buildPersistedIndex(docs: DataFrame, idCol: String, textCol: String,
                           nRanges: Int, path: String): Unit = {
     val base = path.stripSuffix("/")

@@ -96,6 +96,10 @@ object Urls {
     def noFrag(s: String): String = {
       val h = s.indexOf('#'); if (h < 0) s else s.substring(0, h)
     }
+    // null base: nothing to resolve against — pass the href through
+    // (de-fragmented) rather than NPE; callers with a null PAGE url
+    // should drop the row upstream (canonicalCollapse does)
+    if (base == null) return if (href == null) null else noFrag(href.trim)
     if (href == null || href.isEmpty) return noFrag(base)
     val h = noFrag(href.trim)
     if (h.isEmpty) return noFrag(base)
