@@ -177,6 +177,36 @@ object Urls {
         col("n_aliases"))
   }
 
+  /** The kept PAGE ROWS under [[canonicalCollapse]]'s keep rule: one
+    * surviving page per canonical group (self-canonical when crawled,
+    * else min member URL), noindex pages gone, every input column
+    * preserved — the frame a pipeline feeds into dedup/quality next.
+    * NOT a join against the collapse report: the report is one row per
+    * group, which at crawl scale is corpus-sized (most pages are
+    * unduplicated), so the kept row is selected in place with a
+    * row_number window over the canonical key — ONE shuffle total and
+    * the page HTML moves once. */
+  def applyCanonicalCollapse(pages: DataFrame, urlCol: String = "url",
+                             htmlCol: String = "html"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val noindexU = udf((h: String) =>
+      graft.sources.HtmlText.metaRobots(h).contains("noindex"))
+    val canonU = udf((u: String, h: String) =>
+      graft.sources.HtmlText.canonicalUrl(h) match {
+        case Some(c) => resolveUrl(u, c)
+        case None => u
+      })
+    val w = Window.partitionBy(col("__canon"))
+      .orderBy((col(urlCol) === col("__canon")).desc, col(urlCol))
+    pages
+      .filter(col(urlCol).isNotNull)
+      .filter(!noindexU(col(htmlCol)))
+      .withColumn("__canon", canonU(col(urlCol), col(htmlCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__canon", "__rn")
+  }
+
   /** Corpus-wide domain frequency with the blocklist removed: explode
     * hosts → registered domain → hash-agg count. One shuffle on the
     * domain key with map-side partial aggregation; the blocklist

@@ -136,6 +136,18 @@ class CurationSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(nEx === 1, s"expected one exchange, got $nEx:\n$plan")
+    // applyCanonicalCollapse returns the kept PAGE ROWS under the same
+    // keep rule, all input columns preserved, in ONE shuffle (window
+    // over the canonical key — never a join against the group report,
+    // which is corpus-sized at crawl scale)
+    val kept = Urls.applyCanonicalCollapse(pages)
+    assert(kept.columns.toSeq === Seq("url", "html"))
+    assert(kept.select("url").as[String].collect().sorted.toSeq === Seq(
+      "https://a.ex.org/x", "https://ex.org/d/1", "https://solo.ex.org/p"))
+    val kPlan = kept.queryExecution.executedPlan.toString
+    val kEx = "Exchange hashpartitioning".r.findAllIn(kPlan).length
+    assert(kEx === 1, s"expected one exchange, got $kEx:\n$kPlan")
+    assert(!kPlan.contains("Join"), s"kept-page path must not join:\n$kPlan")
   }
 
   // ---------------------------------------------------------- Decontam
