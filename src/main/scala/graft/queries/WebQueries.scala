@@ -211,6 +211,25 @@ object WebQueries {
             "</head><body><p>uncrawled canonical</p></body></html>")
     }
 
+  /** The per-host robots policy of the `robots_filter` gate — one body
+    * exercising group selection (a decoy evilbot group + a graftbot
+    * group + a * fallback), prefix deny, longer-allow override,
+    * wildcard + $ anchoring, stacked comments and an unknown field. */
+  private[graft] val RobotsFixtureBody: String =
+    """# fixture crawl policy
+      |User-agent: evilbot
+      |Disallow: /
+      |
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/open
+      |Disallow: /*.gif$
+      |Crawl-delay: 10
+      |
+      |User-agent: *
+      |Disallow: /page/
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HTML boilerplate strip, in-plan over EVERY document: wrap with
     // the fixture template (escaped payload + script/style/nav/comment
@@ -285,6 +304,42 @@ object WebQueries {
         .select(col("p._1").as("url"), col("p._2").as("html"))
       graft.operators.Urls.canonicalCollapse(pages, "url", "html")
         .orderBy(col("canonical"))
+    },
+    // RFC 9309 robots honoring as a standing gate: one host per
+    // document with the fixture policy (RobotsFixtureBody), five
+    // candidate pages per doc + a no-robots-row host for even ids,
+    // filtered by the PRODUCTION RobotsTxt.filterByRobots as
+    // user-agent graftbot. Kept kinds are constant per shape — `keep`
+    // (no rule matches; the * group's /page/ deny must NOT apply once
+    // the specific group is selected), `open` (longer allow overrides
+    // the /private/ deny), `gifx` ($ anchor must not match .gifx) and
+    // `nox` (absent robots row = allowed) — while `priv` and `gif`
+    // must vanish. DuckDB writes the expected (doc_id, kind) rows
+    // down with pure arithmetic; a regression in group selection,
+    // precedence, wildcard/$ matching, or the join's keep-on-absent
+    // rule adds/drops rows.
+    "robots_filter" -> { (s, dir) =>
+      val pages = Tables.documents(s, dir).select(col("doc_id"))
+        .select(col("doc_id"), explode(array(
+          lit("keep"), lit("priv"), lit("open"), lit("gif"), lit("gifx"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("nox")))).as("kind"))
+        .filter(col("kind").isNotNull)
+        .withColumn("url",
+          when(col("kind") === "nox",
+            concat(lit("https://d"), col("doc_id"), lit(".nox.org/n/"),
+              col("doc_id")))
+          .otherwise(concat(lit("https://d"), col("doc_id"), lit(".ex.org"),
+            when(col("kind") === "keep", concat(lit("/page/"), col("doc_id")))
+              .when(col("kind") === "priv", concat(lit("/private/"), col("doc_id")))
+              .when(col("kind") === "open", concat(lit("/private/open/"), col("doc_id")))
+              .when(col("kind") === "gif", concat(lit("/img/"), col("doc_id"), lit(".gif")))
+              .otherwise(concat(lit("/img/"), col("doc_id"), lit(".gifx"))))))
+      val robots = Tables.documents(s, dir)
+        .select(concat(lit("d"), col("doc_id"), lit(".ex.org")).as("host"),
+          lit(RobotsFixtureBody).as("body"))
+      graft.sources.RobotsTxt.filterByRobots(pages, robots, "graftbot")
+        .select(col("doc_id"), col("kind"))
+        .orderBy(col("doc_id"), col("kind"))
     }
   )
 
@@ -338,6 +393,17 @@ object WebQueries {
         |  FROM documents WHERE doc_id % 7 = 0
         |)
         |SELECT * FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
-        |ORDER BY canonical""".stripMargin
+        |ORDER BY canonical""".stripMargin,
+    // the expected kept (doc_id, kind) rows, written down directly —
+    // kinds keep/open/gifx survive for every doc, nox for even ids;
+    // priv and gif never appear
+    "robots_filter" ->
+      """SELECT doc_id, kind FROM (
+        |  SELECT doc_id, unnest(['gifx', 'keep', 'open']) AS kind
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'nox' AS kind FROM documents WHERE doc_id % 2 = 0
+        |)
+        |ORDER BY doc_id, kind""".stripMargin
   )
 }
