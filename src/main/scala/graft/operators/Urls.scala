@@ -114,19 +114,67 @@ object Urls {
     // dot-segment removal (RFC 3986 §5.2.4) on the path we build —
     // '../x' canonicals are common on real pages and an unnormalized
     // 'a/sub/../x' key would split one canonical group in two
-    def normPath(p: String): String = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      p.split("/", -1).foreach {
-        case "." | "" => // collapse '.' and duplicate slashes
-        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
-        case seg => out += seg
-      }
-      "/" + out.mkString("/") + (if (p.endsWith("/") && out.nonEmpty) "/" else "")
-    }
     if (h.startsWith("/")) return origin + normPath(h)
     val basePath = if (pathStart < 0) "/" else noFrag(base).substring(pathStart)
     val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
     origin + normPath(dir + h)
+  }
+
+  /** Dot-segment removal + duplicate-slash collapse on a path (RFC
+    * 3986 §5.2.4, shared by [[resolveUrl]] and [[normalizeUrl]]). */
+  private def normPath(p: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    p.split("/", -1).foreach {
+      case "." | "" => // collapse '.' and duplicate slashes
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    "/" + out.mkString("/") + (if (p.endsWith("/") && out.nonEmpty) "/" else "")
+  }
+
+  /** Syntax-based URL normalization (RFC 3986 §6) — the frontier-dedup
+    * key a crawler computes BEFORE fetching, complementing the
+    * post-fetch [[canonicalCollapse]]: lowercase the scheme and host,
+    * strip the fragment, drop the scheme's default port (`:80` http,
+    * `:443` https), remove dot segments and duplicate slashes, and
+    * give a path-less URL the root path. The query string is kept
+    * verbatim (reordering parameters changes semantics on real sites);
+    * percent-encoding is left untouched for the same reason. Non-http
+    * and unparseable values normalize to themselves (trimmed,
+    * de-fragmented) — never throws, never nulls a non-null input. */
+  def normalizeUrl(url: String): String = {
+    if (url == null) return null
+    val noFrag = {
+      val u = url.trim
+      // trim AGAIN after the fragment cut: '#' can expose trailing
+      // whitespace ('x #f' → 'x ') and the result must be idempotent
+      (if (u.indexOf('#') < 0) u else u.substring(0, u.indexOf('#'))).trim
+    }
+    val schemeEnd = noFrag.indexOf("://")
+    if (schemeEnd < 0) return noFrag
+    val scheme = noFrag.substring(0, schemeEnd).toLowerCase
+    val rest = noFrag.substring(schemeEnd + 3)
+    val pathStart = rest.indexOf('/')
+    val qStartAuth = rest.indexOf('?')
+    // authority ends at the first '/', or at '?' for a path-less URL
+    val authEnd =
+      if (pathStart >= 0 && (qStartAuth < 0 || pathStart < qStartAuth)) pathStart
+      else if (qStartAuth >= 0) qStartAuth
+      else rest.length
+    var auth = rest.substring(0, authEnd).toLowerCase
+    val defPort = scheme match {
+      case "http" => ":80"
+      case "https" => ":443"
+      case _ => null
+    }
+    if (defPort != null && auth.endsWith(defPort))
+      auth = auth.substring(0, auth.length - defPort.length)
+    val tail = rest.substring(authEnd)
+    val qStart = tail.indexOf('?')
+    val (path, query) =
+      if (qStart < 0) (tail, "")
+      else (tail.substring(0, qStart), tail.substring(qStart))
+    s"$scheme://$auth${if (path.isEmpty) "/" else normPath(path)}$query"
   }
 
   /** Canonical-URL collapse with robots `noindex` honoring — the two

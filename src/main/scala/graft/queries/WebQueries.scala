@@ -340,6 +340,28 @@ object WebQueries {
       graft.sources.RobotsTxt.filterByRobots(pages, robots, "graftbot")
         .select(col("doc_id"), col("kind"))
         .orderBy(col("doc_id"), col("kind"))
+    },
+    // RFC 3986 syntax normalization as a standing gate: three URL
+    // variants per document (case+default-port+fragment+dot-segments;
+    // path-less; query kept verbatim), normalized by the production
+    // Urls.normalizeUrl; DuckDB writes the expected normal forms down
+    // with string arithmetic — a regression in any normalization rule
+    // forks the full-string row compare.
+    "url_normalize" -> { (s, dir) =>
+      val u = udf((x: String) => graft.operators.Urls.normalizeUrl(x))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .select(col("doc_id"), explode(array(
+          struct(lit("case_port_dots").as("kind"),
+            concat(lit("HTTP://D"), col("doc_id"), lit(".Ex.ORG:80/a//b/../c"),
+              col("doc_id"), lit("#frag")).as("raw")),
+          struct(lit("pathless").as("kind"),
+            concat(lit("https://d"), col("doc_id"), lit(".ex.org:443")).as("raw")),
+          struct(lit("query_verbatim").as("kind"),
+            concat(lit("https://d"), col("doc_id"), lit(".ex.org/p?b="),
+              col("doc_id"), lit("&a=1")).as("raw")))).as("v"))
+        .select(col("doc_id"), col("v.kind").as("kind"),
+          u(col("v.raw")).as("normalized"))
+        .orderBy(col("doc_id"), col("kind"))
     }
   )
 
@@ -403,6 +425,24 @@ object WebQueries {
         |  FROM documents
         |  UNION ALL
         |  SELECT doc_id, 'nox' AS kind FROM documents WHERE doc_id % 2 = 0
+        |)
+        |ORDER BY doc_id, kind""".stripMargin,
+    // the expected normal forms, written down with string arithmetic
+    "url_normalize" ->
+      """SELECT doc_id, kind, normalized FROM (
+        |  SELECT doc_id, 'case_port_dots' AS kind,
+        |         'http://d' || CAST(doc_id AS VARCHAR) || '.ex.org/a/c'
+        |           || CAST(doc_id AS VARCHAR) AS normalized
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'pathless',
+        |         'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'query_verbatim',
+        |         'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/p?b='
+        |           || CAST(doc_id AS VARCHAR) || '&a=1'
+        |  FROM documents
         |)
         |ORDER BY doc_id, kind""".stripMargin
   )

@@ -104,6 +104,33 @@ class CurationSpec extends SparkSpec {
     assert(Urls.resolveUrl(base, "../dir/") === "https://ex.org/a/dir/")
   }
 
+  test("urls: normalizeUrl — RFC 3986 syntax normalization, total and " +
+    "idempotent") {
+    assert(Urls.normalizeUrl("HTTPS://Ex.ORG:443/a/./b/../c#frag") ===
+      "https://ex.org/a/c")
+    assert(Urls.normalizeUrl("http://ex.org:80/x") === "http://ex.org/x")
+    assert(Urls.normalizeUrl("http://ex.org:8080/x") === "http://ex.org:8080/x")
+    assert(Urls.normalizeUrl("https://ex.org") === "https://ex.org/")
+    assert(Urls.normalizeUrl("https://ex.org?q=1") === "https://ex.org/?q=1")
+    // query kept VERBATIM (reordering params changes semantics)
+    assert(Urls.normalizeUrl("https://ex.org/p?b=2&a=1") ===
+      "https://ex.org/p?b=2&a=1")
+    assert(Urls.normalizeUrl("https://ex.org//a///b/") === "https://ex.org/a/b/")
+    // non-hierarchical / unparseable: trimmed + de-fragmented, never null
+    assert(Urls.normalizeUrl(" mailto:x@y#z ") === "mailto:x@y")
+    assert(Urls.normalizeUrl("not a url") === "not a url")
+    assert(Urls.normalizeUrl(null) === null)
+    // idempotent on its own output (seeded sample)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abA:/.?#=&%80 "
+    (0 until 1000).foreach { _ =>
+      val s = (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val once = Urls.normalizeUrl(s)
+      assert(Urls.normalizeUrl(once) === once, s"not idempotent on '$s'")
+    }
+  }
+
   test("urls: canonicalCollapse keeps self-canonical (else min url), " +
     "drops noindex, one hash agg") {
     val pages = Seq(

@@ -73,6 +73,21 @@ class RobotsSpec extends SparkSpec {
     assert(RobotsTxt.isAllowed(mid, "/a-middle"))
   }
 
+  test("fuzz: parse/isAllowed/patternMatches never throw on garbage " +
+    "(seeded), allow verdict is total") {
+    val rnd = new scala.util.Random(43)
+    val alphabet = "ab:*$/#= -\t\nUserAgentDisallow"
+    (0 until 2000).foreach { _ =>
+      val body = (0 until rnd.nextInt(120))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val path = "/" + (0 until rnd.nextInt(20))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val rules = RobotsTxt.parse(body, "graftbot")
+      // the verdict is a total Boolean on any parsed body — never throws
+      RobotsTxt.isAllowed(rules, path)
+    }
+  }
+
   test("urlPath extraction") {
     assert(RobotsTxt.urlPath("https://e.org/a/b?q=1") === "/a/b?q=1")
     assert(RobotsTxt.urlPath("https://e.org") === "/")
