@@ -362,6 +362,34 @@ object WebQueries {
         .select(col("doc_id"), col("v.kind").as("kind"),
           u(col("v.raw")).as("normalized"))
         .orderBy(col("doc_id"), col("kind"))
+    },
+    // sitemap-protocol ingest as a standing gate: every third document
+    // synthesizes a sitemapindex (one sub-sitemap reference), the rest
+    // a urlset with an entity-bearing loc + lastmod/priority, a
+    // CDATA-wrapped loc, and a loc-less block that must be SKIPPED.
+    // The production Sitemaps.ingestSitemaps explodes them; DuckDB
+    // writes the expected rows down with string arithmetic — a
+    // regression in block scanning, entity/CDATA decode, optional
+    // children, index dispatch, or the skip rule forks rows.
+    "sitemap_ingest" -> { (s, dir) =>
+      val mkBody = udf((id: Long) =>
+        if (id % 3 == 0)
+          s"<sitemapindex><sitemap><loc>https://d$id.ex.org/sm/$id.xml" +
+            "</loc></sitemap></sitemapindex>"
+        else
+          "<?xml version=\"1.0\"?><urlset>" +
+            s"<url><loc>https://d$id.ex.org/p/$id?a=1&amp;b=2</loc>" +
+            f"<lastmod>2026-01-${id % 28 + 1}%02d</lastmod>" +
+            "<priority>0.5</priority></url>" +
+            s"<url><loc><![CDATA[https://d$id.ex.org/cdata/$id]]></loc></url>" +
+            "<url><lastmod>2026-01-01</lastmod></url></urlset>")
+      graft.sources.Sitemaps.ingestSitemaps(
+          Tables.documents(s, dir).select(col("doc_id"))
+            .select(col("doc_id"), mkBody(col("doc_id")).as("body")),
+          srcCol = "doc_id")
+        .select(col("doc_id"), col("loc"), col("lastmod"), col("priority"),
+          col("is_index"))
+        .orderBy(col("doc_id"), col("loc"))
     }
   )
 
@@ -444,6 +472,31 @@ object WebQueries {
         |           || CAST(doc_id AS VARCHAR) || '&a=1'
         |  FROM documents
         |)
-        |ORDER BY doc_id, kind""".stripMargin
+        |ORDER BY doc_id, kind""".stripMargin,
+    // the expected sitemap entries, written down with string
+    // arithmetic (the loc-less third urlset block contributes nothing)
+    "sitemap_ingest" ->
+      """SELECT doc_id, loc, lastmod, priority, is_index FROM (
+        |  SELECT doc_id,
+        |         'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/p/'
+        |           || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+        |         '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |           AS lastmod,
+        |         '0.5' AS priority, false AS is_index
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id,
+        |         'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/cdata/'
+        |           || CAST(doc_id AS VARCHAR),
+        |         NULL, NULL, false
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id,
+        |         'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/sm/'
+        |           || CAST(doc_id AS VARCHAR) || '.xml',
+        |         NULL, NULL, true
+        |  FROM documents WHERE doc_id % 3 = 0
+        |)
+        |ORDER BY doc_id, loc""".stripMargin
   )
 }
