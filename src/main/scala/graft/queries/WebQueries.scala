@@ -230,6 +230,18 @@ object WebQueries {
       |Disallow: /page/
       |""".stripMargin
 
+  /** The web_pipeline fixture page: the html_extract wrap template
+    * (same H1..H4 boilerplate, escaped payload) with a canonical
+    * `<link>` inserted in the head — block structure and therefore the
+    * mainText expectation are IDENTICAL to [[sampleHtml]]'s (a void
+    * head tag contributes no text), so the pipeline oracle reuses the
+    * html_main_text CASE unchanged. */
+  private[graft] def canonSampleHtml(id: Long, text: String,
+                                     canonicalHref: String): String =
+    H1 + id + "</title>" +
+      s"""<link rel="canonical" href="$canonicalHref">""" +
+      H2.stripPrefix("</title>") + id + H3 + escapeHtml(text) + H4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HTML boilerplate strip, in-plan over EVERY document: wrap with
     // the fixture template (escaped payload + script/style/nav/comment
@@ -390,6 +402,50 @@ object WebQueries {
         .select(col("doc_id"), col("loc"), col("lastmod"), col("priority"),
           col("is_index"))
         .orderBy(col("doc_id"), col("loc"))
+    },
+    // THE CRAWL FRONT DOOR END-TO-END (the round's composite, the
+    // export_pipeline/curation_pipeline pattern): per document, a
+    // sitemap DISCOVERS three URLs on the doc's host; the fixture
+    // robots policy DENIES /private/ for user-agent graftbot; the two
+    // surviving URLs FETCH wrap-template pages (the amp mirror
+    // declaring the page's canonical); canonicalCollapse keeps the
+    // self-canonical page per group; its MAIN TEXT is extracted with
+    // the production jusText-lite stack. Every stage is the production
+    // operator; DuckDB re-derives the final (doc_id, kept_url,
+    // n_aliases, main_text) rows from `documents` alone — a regression
+    // ANYWHERE in sitemap parse, robots group selection, collapse keep
+    // rules, resolution, or extraction forks rows or text.
+    "web_pipeline" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mkSitemap = udf((id: Long) =>
+        "<urlset>" +
+          s"<url><loc>https://d$id.ex.org/page/$id</loc></url>" +
+          s"<url><loc>https://d$id.ex.org/private/$id</loc></url>" +
+          s"<url><loc>https://d$id.ex.org/amp/$id</loc></url>" +
+          "</urlset>")
+      val discovered = graft.sources.Sitemaps.ingestSitemaps(
+          docs.select(col("doc_id"), mkSitemap(col("doc_id")).as("body")),
+          srcCol = "doc_id")
+        .select(col("doc_id"), col("loc").as("url"))
+      val robots = docs
+        .select(concat(lit("d"), col("doc_id"), lit(".ex.org")).as("host"),
+          lit(RobotsFixtureBody).as("body"))
+      val fetched = graft.sources.RobotsTxt
+        .filterByRobots(discovered, robots, "graftbot")
+        .join(docs, Seq("doc_id"))
+      val render = udf((id: Long, url: String, text: String) =>
+        if (url.contains("/amp/"))
+          canonSampleHtml(id, text, s"https://d$id.ex.org/page/$id")
+        else canonSampleHtml(id, text, s"/page/$id"))
+      val pages = fetched.select(col("doc_id"), col("url"),
+        render(col("doc_id"), col("url"), col("text")).as("html"))
+      val mainU = udf((h: String) => HtmlText.mainText(h))
+      graft.operators.Urls.canonicalCollapse(pages, "url", "html")
+        .join(pages.select(col("doc_id"), col("url").as("kept_url"),
+          col("html")), Seq("kept_url"))
+        .select(col("doc_id"), col("kept_url"), col("n_aliases"),
+          mainU(col("html")).as("main_text"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -497,6 +553,23 @@ object WebQueries {
         |         NULL, NULL, true
         |  FROM documents WHERE doc_id % 3 = 0
         |)
-        |ORDER BY doc_id, loc""".stripMargin
+        |ORDER BY doc_id, loc""".stripMargin,
+    // the pipeline's final rows, re-derived from documents alone: one
+    // kept self-canonical page per doc with the amp mirror collapsed
+    // into it (n_aliases = 2; the /private/ URL never fetched), and
+    // the html_main_text CASE for the extracted payload
+    "web_pipeline" ->
+      """WITH nt AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/page/'
+        |         || CAST(doc_id AS VARCHAR) AS kept_url,
+        |       CAST(2 AS BIGINT) AS n_aliases,
+        |       CASE WHEN len(list_filter(string_split(t, ' '), x -> x <> '')) >= 5
+        |            THEN t ELSE '' END AS main_text
+        |FROM nt ORDER BY doc_id""".stripMargin
   )
 }
