@@ -126,12 +126,22 @@ object RobotsTxt {
       i += 1
     }
     if (anchored) {
-      // the final segment must end the path: if the pattern ends in
-      // '*' (empty last seg) any tail matches; else pos must be the end
-      // after sliding the LAST segment to the path's tail if possible
       val last = segs.last
-      if (last.isEmpty) true
-      else path.endsWith(last) && pos <= path.length
+      if (last.isEmpty)
+        // pattern ends in '*$': any tail matches; a bare '$' with no
+        // '*' anchors the end of the empty prefix = only the empty path
+        segs.length > 1 || path.isEmpty
+      else if (segs.length == 1)
+        // no '*' anywhere: '$' makes the literal match EXACT ('/a$'
+        // must not match '/a/a', which is prefix AND suffix but not
+        // the whole path)
+        path == pat
+      else
+        // ≥1 '*' before the last segment: in-order occurrences (the
+        // loop above) + a terminal occurrence suffice — the terminal
+        // occurrence is the maximal one, so if any in-order match
+        // exists, the terminal one is also in order
+        path.endsWith(last)
     } else true
   }
 

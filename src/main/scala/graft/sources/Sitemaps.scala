@@ -106,13 +106,19 @@ object Sitemaps {
           if (local == name) {
             val open = lower.indexOf('>', i)
             if (open < 0) { i = -1; return }
-            val close = lower.indexOf(s"</$tag>", open)
-            val closeAlt = lower.indexOf(s"</$name>", open)
-            val c = if (close >= 0 && (closeAlt < 0 || close <= closeAlt)) close
-                    else closeAlt
-            if (c < 0) { i = -1; return } // unclosed tail: drop
-            nxt = body.substring(open + 1, c)
-            i = c + 2
+            if (body.charAt(open - 1) == '/') {
+              // self-closed <url/>: an empty (loc-less) block — skip
+              // it, do NOT drop the rest of the document
+              i = open + 1
+            } else {
+              val close = lower.indexOf(s"</$tag>", open)
+              val closeAlt = lower.indexOf(s"</$name>", open)
+              val c = if (close >= 0 && (closeAlt < 0 || close <= closeAlt)) close
+                      else closeAlt
+              if (c < 0) { i = -1; return } // unclosed tail: drop
+              nxt = body.substring(open + 1, c)
+              i = c + 2
+            }
           } else i = j
         }
       }

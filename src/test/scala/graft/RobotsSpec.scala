@@ -71,6 +71,16 @@ class RobotsSpec extends SparkSpec {
     val mid = Seq(Rule(false, "/a*z"))
     assert(!RobotsTxt.isAllowed(mid, "/a-middle-z-tail"))
     assert(RobotsTxt.isAllowed(mid, "/a-middle"))
+    // $ with NO wildcard anchors the whole literal: '/a$' matches only
+    // the exact path, not a path that merely starts and ends with it
+    val exact = Seq(Rule(false, "/a$"))
+    assert(!RobotsTxt.isAllowed(exact, "/a"))   // exact match -> denied
+    assert(RobotsTxt.isAllowed(exact, "/a/a"))  // prefix+suffix but not
+    assert(RobotsTxt.isAllowed(exact, "/ab"))   //   the whole path: allowed
+    assert(RobotsTxt.isAllowed(exact, "/b"))
+    // a bare '$' matches only the empty path; '*$' matches any tail
+    assert(RobotsTxt.isAllowed(Seq(Rule(false, "$")), "/x"))
+    assert(!RobotsTxt.isAllowed(Seq(Rule(false, "/*$")), "/anything"))
   }
 
   test("fuzz: parse/isAllowed/patternMatches never throw on garbage " +

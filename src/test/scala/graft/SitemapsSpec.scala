@@ -50,6 +50,11 @@ class SitemapsSpec extends SparkSpec {
     val trunc = "<urlset><url><loc>https://e.org/1</loc></url>" +
       "<url><loc>https://e.org/2</lo"
     assert(Sitemaps.parse(trunc).map(_.loc) === Seq("https://e.org/1"))
+    // a self-closed <url/> is an empty block, not a reason to drop
+    // everything after it
+    val selfClosed = "<urlset><url/><url><loc>https://e.org/after</loc>" +
+      "</url></urlset>"
+    assert(Sitemaps.parse(selfClosed).map(_.loc) === Seq("https://e.org/after"))
     assert(Sitemaps.parse(null) === Seq.empty)
     assert(Sitemaps.parse("no xml here") === Seq.empty)
     val rnd = new scala.util.Random(44)
