@@ -173,6 +173,11 @@ object DedupQueries {
     // every round. At gate class counts the router takes the exact
     // route, making the output oracle-identical to the closure replay
     // (route equality on both fixture shapes stays DedupSpec-pinned).
+    // SF note: unlike dedup_apply_auto this input is deliberately
+    // UNBOUNDED — its DuckDB oracle is the O(n²) recursive closure, so
+    // any SF where the router could flip (>1e5 distinct classes) is
+    // already un-verifiable on the oracle side; bounding here would
+    // only mask that.
     "dedup_apply" -> { (s, dir) =>
       Dedup.cosineDedupAuto(Tables.embeddings(s, dir),
           "vec_id", "embedding", 0.45)

@@ -177,6 +177,31 @@ class CurationSpec extends SparkSpec {
     assert(!kPlan.contains("Join"), s"kept-page path must not join:\n$kPlan")
   }
 
+  test("urls: applyCanonicalCollapse kept set == canonicalCollapse " +
+    "kept_url set on a randomized fixture (the two implement one keep " +
+    "rule independently — agg vs window)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val group = rnd.nextInt(40)
+      val self = rnd.nextBoolean()
+      val url = s"https://h$group.ex.org/${if (self) s"d/$group" else s"m/$i"}"
+      val html =
+        if (rnd.nextInt(10) == 0)
+          "<meta name=robots content=noindex>"
+        else if (self) s"""<link rel="canonical" href="/d/$group">"""
+        else if (rnd.nextBoolean())
+          s"""<link rel="canonical" href="https://h$group.ex.org/d/$group">"""
+        else "" // no declaration: own canonical
+      (url, html)
+    }.distinct
+    val pages = rows.toDF("url", "html")
+    val report = Urls.canonicalCollapse(pages)
+      .select("kept_url").as[String].collect().toSet
+    val kept = Urls.applyCanonicalCollapse(pages)
+      .select("url").as[String].collect().toSet
+    assert(kept === report)
+  }
+
   // ---------------------------------------------------------- Decontam
 
   test("decontam: flags docs sharing an n-gram with the benchmark, exact counts") {
