@@ -105,19 +105,34 @@ object Urls {
     if (h.isEmpty) return noFrag(base)
     val hasScheme = h.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
     if (hasScheme) return h
-    val schemeEnd = base.indexOf("://")
+    // RFC 3986 §5.3 excludes the base's QUERY from the merge path —
+    // cut at the first '?' before computing origin/path/dir, else
+    // 'https://ex.org?q=1' + 'x' merges inside the query string and a
+    // '/' inside the base query corrupts the merge directory.
+    val b = {
+      val nf = noFrag(base)
+      val q = nf.indexOf('?'); if (q < 0) nf else nf.substring(0, q)
+    }
+    val schemeEnd = b.indexOf("://")
     if (schemeEnd < 0) return h // non-hierarchical base: keep href
-    val scheme = base.substring(0, schemeEnd)
+    val scheme = b.substring(0, schemeEnd)
     if (h.startsWith("//")) return s"$scheme:$h"
-    val pathStart = base.indexOf('/', schemeEnd + 3)
-    val origin = if (pathStart < 0) base else base.substring(0, pathStart)
+    val pathStart = b.indexOf('/', schemeEnd + 3)
+    val origin = if (pathStart < 0) b else b.substring(0, pathStart)
+    // the href's own query likewise stays OUT of dot-segment removal:
+    // a '/' inside it must not be read as a path separator
+    val (hPath, hQuery) = {
+      val q = h.indexOf('?'); if (q < 0) (h, "") else (h.substring(0, q), h.substring(q))
+    }
+    val basePath = if (pathStart < 0) "/" else b.substring(pathStart)
+    // '?q=2' alone: RFC 3986 §5.2.2 keeps the base path verbatim
+    if (hPath.isEmpty) return origin + basePath + hQuery
     // dot-segment removal (RFC 3986 §5.2.4) on the path we build —
     // '../x' canonicals are common on real pages and an unnormalized
     // 'a/sub/../x' key would split one canonical group in two
-    if (h.startsWith("/")) return origin + normPath(h)
-    val basePath = if (pathStart < 0) "/" else noFrag(base).substring(pathStart)
+    if (hPath.startsWith("/")) return origin + normPath(hPath) + hQuery
     val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
-    origin + normPath(dir + h)
+    origin + normPath(dir + hPath) + hQuery
   }
 
   /** Dot-segment removal + duplicate-slash collapse on a path (RFC
@@ -161,7 +176,15 @@ object Urls {
       if (pathStart >= 0 && (qStartAuth < 0 || pathStart < qStartAuth)) pathStart
       else if (qStartAuth >= 0) qStartAuth
       else rest.length
-    var auth = rest.substring(0, authEnd).toLowerCase
+    // RFC 3986 §6.2.2.1: only the HOST is case-insensitive — userinfo
+    // ('User:Pass@host') keeps its case, so two URLs differing only in
+    // credential case never collapse to one frontier key
+    var auth = {
+      val a = rest.substring(0, authEnd)
+      val at = a.lastIndexOf('@')
+      if (at < 0) a.toLowerCase
+      else a.substring(0, at + 1) + a.substring(at + 1).toLowerCase
+    }
     val defPort = scheme match {
       case "http" => ":80"
       case "https" => ":443"
@@ -198,23 +221,31 @@ object Urls {
     * (never the full extractor — only the head scanners), and the
     * collapse is ONE map-side-combined hash aggregation on the
     * canonical key; the page HTML itself never shuffles. */
+  /** The fused per-page head signal: NULL when the page declares
+    * `noindex` (drop it), else its resolved canonical group key — ONE
+    * [[graft.sources.HtmlText.headSignals]] scanner walk per page
+    * where the two-UDF form walked the HTML twice. NULL is unambiguous
+    * as the drop marker: with a non-null page URL, [[resolveUrl]]
+    * never returns null. */
+  private def canonKeyUdf = udf((u: String, h: String) => {
+    val (noindex, canon) = graft.sources.HtmlText.headSignals(h)
+    if (noindex) null
+    else canon match {
+      case Some(c) => resolveUrl(u, c)
+      case None => u
+    }
+  })
+
   def canonicalCollapse(pages: DataFrame, urlCol: String = "url",
                         htmlCol: String = "html"): DataFrame = {
-    val noindexU = udf((h: String) =>
-      graft.sources.HtmlText.metaRobots(h).contains("noindex"))
-    val canonU = udf((u: String, h: String) =>
-      graft.sources.HtmlText.canonicalUrl(h) match {
-        case Some(c) => resolveUrl(u, c)
-        case None => u
-      })
     pages
       // null-hygiene (the Bm25 layout rule): a page without a URL has
       // no usable group key or kept address — drop it up front rather
       // than NPE inside resolution
       .filter(col(urlCol).isNotNull)
-      .filter(!noindexU(col(htmlCol)))
       .select(col(urlCol).as("__url"),
-        canonU(col(urlCol), col(htmlCol)).as("canonical"))
+        canonKeyUdf(col(urlCol), col(htmlCol)).as("canonical"))
+      .filter(col("canonical").isNotNull) // noindex pages
       .groupBy(col("canonical"))
       .agg(count(lit(1)).as("n_aliases"),
         min(when(col("__url") === col("canonical"), col("__url")))
@@ -237,19 +268,12 @@ object Urls {
   def applyCanonicalCollapse(pages: DataFrame, urlCol: String = "url",
                              htmlCol: String = "html"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val noindexU = udf((h: String) =>
-      graft.sources.HtmlText.metaRobots(h).contains("noindex"))
-    val canonU = udf((u: String, h: String) =>
-      graft.sources.HtmlText.canonicalUrl(h) match {
-        case Some(c) => resolveUrl(u, c)
-        case None => u
-      })
     val w = Window.partitionBy(col("__canon"))
       .orderBy((col(urlCol) === col("__canon")).desc, col(urlCol))
     pages
       .filter(col(urlCol).isNotNull)
-      .filter(!noindexU(col(htmlCol)))
-      .withColumn("__canon", canonU(col(urlCol), col(htmlCol)))
+      .withColumn("__canon", canonKeyUdf(col(urlCol), col(htmlCol)))
+      .filter(col("__canon").isNotNull) // noindex pages, one fused scan
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__canon", "__rn")

@@ -53,6 +53,22 @@ object WebQueries {
   private[graft] def sampleHtml(id: Long, text: String): String =
     H1 + id + H2 + id + H3 + escapeHtml(text) + H4
 
+  /** The stopword-refinement fixture page: [[sampleHtml]] plus one
+    * zero-stopword LISTING block (8 words, zero links) after the
+    * payload — long enough for the length rule to keep, so only the
+    * jusText stopword-density refinement drops it. */
+  private val SwListing =
+    "<div>products pricing download catalog sitemap archive support contact</div>\n"
+  private[graft] def sampleHtmlSw(id: Long, text: String): String =
+    H1 + id + H2 + id + H3 + escapeHtml(text) + "</p>\n" + SwListing +
+      H4.stripPrefix("</p>\n")
+
+  /** Stopword lexicon for the sw gate — the fixture vocabulary's
+    * function words (the t_quality_score list). Thresholds are scaled
+    * to the synthetic corpus (~3–7% density in the word-salad payload
+    * vs jusText's 30/32% English defaults): low 0.01 / high 0.02. */
+  private[graft] val SwLexicon = Set("the", "a", "of", "and", "in")
+
   /** The expected extraction of [[sampleHtml]], as DuckDB SQL over a
     * `doc_id`/`text` row (normalization replayed as trim + ASCII-ws
     * collapse — covers empty/ragged payload text). */
@@ -270,6 +286,23 @@ object WebQueries {
         .select(col("doc_id"), u(col("doc_id"), col("text")).as("main_text"))
         .orderBy(col("doc_id"))
     },
+    // the jusText STOPWORD-DENSITY refinement (the language-aware
+    // layer the length rule can't express): the fixture page adds a
+    // long zero-stopword listing block that the density-only rule
+    // keeps and the refined rule must drop, and the payload itself now
+    // survives only when its function-word density clears the GOOD
+    // threshold (a neargood payload has no good neighbor on this page
+    // and demotes — the jusText context pass). DuckDB re-derives the
+    // whole expectation from `documents`: token count, stopword hits,
+    // one IEEE division, same CASE.
+    "html_main_text_sw" -> { (s, dir) =>
+      val u = udf((id: Long, t: String) =>
+        HtmlText.mainText(sampleHtmlSw(id, t), stopwords = SwLexicon,
+          stopwordLow = 0.01, stopwordHigh = 0.02))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), u(col("doc_id"), col("text")).as("main_text"))
+        .orderBy(col("doc_id"))
+    },
     // WARC container ingest: per-record gzip members, HTTP envelope
     // split, chunked decode, charset sniff (header + meta), WET fast
     // path, non-content record bookkeeping — rolled into the census +
@@ -464,6 +497,27 @@ object WebQueries {
         |       CASE WHEN len(list_filter(string_split(t, ' '), x -> x <> '')) >= 5
         |            THEN t ELSE '' END AS main_text
         |FROM nt ORDER BY doc_id""".stripMargin,
+    // stopword refinement: the listing block NEVER appears (zero
+    // stopwords -> bad however long), and the payload survives only at
+    // GOOD density (>= 0.02 of its words in the lexicon) — the
+    // neargood band demotes because this page offers no good neighbor
+    "html_main_text_sw" ->
+      """WITH nt AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS t
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, t,
+        |         list_filter(string_split(t, ' '), x -> x <> '') AS toks
+        |  FROM nt
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN len(toks) >= 5
+        |             AND CAST(len(list_filter(toks,
+        |                   x -> lower(x) IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE) >= 0.02
+        |            THEN t ELSE '' END AS main_text
+        |FROM w ORDER BY doc_id""".stripMargin,
     "warc_ingest" ->
       s"""WITH m AS (
          |  SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,

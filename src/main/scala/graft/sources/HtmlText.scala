@@ -269,37 +269,88 @@ object HtmlText {
   /** MAIN-content extraction (the jusText-lite classification layer on
     * top of the tag strip), in the standard two stages:
     *
-    * Context-free: a block is GOOD when it reads like body prose (at
-    * least `minWords` words and link density at most `maxLinkDensity`),
-    * BAD when its link density exceeds the ceiling (nav/footer link
-    * farms), SHORT otherwise (headings, table cells, list items —
-    * too little text to judge alone).
+    * Context-free: a block is BAD when its link density exceeds the
+    * ceiling (nav/footer link farms), SHORT when it has fewer than
+    * `minWords` words (headings, table cells, list items — too little
+    * text to judge alone); otherwise, with `stopwords` empty (the
+    * default), it is GOOD. With a non-empty `stopwords` lexicon the
+    * published jusText refinement applies — the language-aware signal
+    * where extraction quality is won on pages the length rule alone
+    * misjudges: body PROSE is dense in function words, while listing/
+    * keyword boilerplate ("products pricing download sitemap…") is
+    * long but stopword-free. Stopword density (fraction of the
+    * block's words, lowercased, in the lexicon) at or above
+    * `stopwordHigh` → GOOD; at or above `stopwordLow` → NEARGOOD;
+    * below → BAD even when long.
     *
     * Context-sensitive (the jusText neighborhood rule — where the
     * C4/RefinedWeb-family ablations say extraction quality is won):
-    * a SHORT block is RESCUED iff its nearest non-short neighbor on
-    * BOTH sides is good (document edge counts as bad) — so the cells
-    * of a data table inside an article, or a list embedded in prose,
-    * survive; a heading above pure boilerplate, or trailing footer
-    * fragments, stay dropped. Good blocks are never demoted here:
-    * without language-aware stopword densities there is no near-good
-    * class to demote (that refinement belongs to a downstream pass).
-    */
+    * a NEARGOOD block resolves to good iff its nearest GOOD/BAD
+    * neighbor on EITHER side (skipping short and neargood; document
+    * edge counts as bad) is good; then a SHORT block is RESCUED iff
+    * its nearest non-short neighbor on BOTH sides resolves good — so
+    * the cells of a data table inside an article, or a list embedded
+    * in prose, survive; a heading above pure boilerplate, or trailing
+    * footer fragments, stay dropped.
+    *
+    * Defaults for the stopword thresholds are jusText's published
+    * English settings (0.30/0.32); pair the lexicon with the page's
+    * language (e.g. via `langId`) — density against a wrong-language
+    * lexicon degrades toward the length-only rule. With `stopwords`
+    * empty the behavior is EXACTLY the pre-refinement rule
+    * (spec-pinned). */
   def mainText(html: String, minWords: Int = 5,
-               maxLinkDensity: Double = 0.4): String = {
+               maxLinkDensity: Double = 0.4,
+               stopwords: Set[String] = Set.empty,
+               stopwordLow: Double = 0.30,
+               stopwordHigh: Double = 0.32): String = {
     val blocks = extractBlocks(html)
     val n = blocks.length
-    val Bad = 0; val Short = 1; val Good = 2
+    val Bad = 0; val Short = 1; val NearGood = 2; val Good = 3
     val cls = Array.tabulate(n) { i =>
       val b = blocks(i)
       if (b.linkDensity > maxLinkDensity) Bad
-      else if (b.words >= minWords) Good
-      else Short
+      else if (b.words < minWords) Short
+      else if (stopwords.isEmpty) Good
+      else {
+        var hits = 0
+        b.text.split(' ').foreach { t =>
+          if (t.nonEmpty && stopwords.contains(t.toLowerCase)) hits += 1
+        }
+        val d = hits.toDouble / b.words.toDouble
+        if (d >= stopwordHigh) Good
+        else if (d >= stopwordLow) NearGood
+        else Bad
+      }
     }
-    // nearest non-short class on each side, one pass per direction
-    val left = new Array[Int](n)
+    // resolve NEARGOOD from the nearest decided (good/bad) neighbor on
+    // each side, skipping short and neargood — one pass per direction
+    val leftGB = new Array[Int](n)
     var run = Bad
     var i = 0
+    while (i < n) {
+      leftGB(i) = run
+      if (cls(i) == Good || cls(i) == Bad) run = cls(i)
+      i += 1
+    }
+    val rightGB = new Array[Int](n)
+    run = Bad
+    i = n - 1
+    while (i >= 0) {
+      rightGB(i) = run
+      if (cls(i) == Good || cls(i) == Bad) run = cls(i)
+      i -= 1
+    }
+    i = 0
+    while (i < n) {
+      if (cls(i) == NearGood)
+        cls(i) = if (leftGB(i) == Good || rightGB(i) == Good) Good else Bad
+      i += 1
+    }
+    // nearest non-short RESOLVED class on each side for the short rescue
+    val left = new Array[Int](n)
+    run = Bad
+    i = 0
     while (i < n) { left(i) = run; if (cls(i) != Short) run = cls(i); i += 1 }
     val right = new Array[Int](n)
     run = Bad
@@ -326,9 +377,17 @@ object HtmlText {
     * inside `<!-- -->` or a script string literal is never honored
     * (a commented-out `noindex` must not drop the page). */
   private def tagBodies(html: String, name: String): Iterator[String] =
-    new Iterator[String] {
+    tagBodiesMulti(html, Array(name)).map(_._2)
+
+  /** Multi-name variant of the head scanner: ONE walk over the
+    * document yielding (tagName, attrBody) for every tag whose name is
+    * in `names` — so a consumer needing both `<meta>` and `<link>`
+    * signals (canonical collapse) pays one scanner pass instead of
+    * two. Same comment/raw-text skipping as the single-name form. */
+  private def tagBodiesMulti(html: String, names: Array[String]): Iterator[(String, String)] =
+    new Iterator[(String, String)] {
       private var i = 0
-      private var nextBody: String = null
+      private var nextBody: (String, String) = null
       private def excludedOpenAt(start: Int): Option[String] = {
         val n = html.length
         if (start >= n || !html.charAt(start).isLetter) return None
@@ -367,31 +426,72 @@ object HtmlText {
             val selfClosed = html.charAt(end - 1) == '/'
             i = if (selfClosed) end + 1
                 else indexPastCloseTag(html, end + 1, tag)
-          } else if (html.regionMatches(true, start, name, 0, name.length) &&
-            start + name.length < n && {
-              val c = html.charAt(start + name.length)
-              isAsciiWs(c) || c == '>' || c == '/'
-            }) {
-            var quote: Char = 0
-            var k = start + name.length
-            var end = -1
-            while (k < n && end < 0) {
-              val ch = html.charAt(k)
-              if (quote != 0) { if (ch == quote) quote = 0 }
-              else if (ch == '"' || ch == '\'') quote = ch
-              else if (ch == '>') end = k
-              k += 1
+          } else {
+            var matched: String = null
+            var m = 0
+            while (matched == null && m < names.length) {
+              val name = names(m)
+              if (html.regionMatches(true, start, name, 0, name.length) &&
+                start + name.length < n && {
+                  val c = html.charAt(start + name.length)
+                  isAsciiWs(c) || c == '>' || c == '/'
+                }) matched = name
+              m += 1
             }
-            if (end < 0) { i = n; return }
-            nextBody = html.substring(start + name.length, end)
-            i = end + 1
-          } else i += 1
+            if (matched != null) {
+              var quote: Char = 0
+              var k = start + matched.length
+              var end = -1
+              while (k < n && end < 0) {
+                val ch = html.charAt(k)
+                if (quote != 0) { if (ch == quote) quote = 0 }
+                else if (ch == '"' || ch == '\'') quote = ch
+                else if (ch == '>') end = k
+                k += 1
+              }
+              if (end < 0) { i = n; return }
+              nextBody = (matched, html.substring(start + matched.length, end))
+              i = end + 1
+            } else i += 1
+          }
         }
       }
       advance()
       override def hasNext: Boolean = nextBody != null
-      override def next(): String = { val b = nextBody; advance(); b }
+      override def next(): (String, String) = { val b = nextBody; advance(); b }
     }
+
+  /** Fused single-pass extraction of BOTH head signals the canonical
+    * collapse consumes — `(noindex, canonicalHref)` — one scanner walk
+    * instead of one for `<meta>` plus one for `<link>`. At crawl scale
+    * the HTML column IS the cost, so halving the per-page scanner work
+    * matters. Semantics are pinned equal to the two-pass form
+    * (`metaRobots(h).contains("noindex")`, [[canonicalUrl]]): noindex
+    * from ANY robots meta tag; canonical = FIRST declared href; the
+    * scan stops early once noindex is seen (the page is dropped
+    * regardless of its canonical). */
+  def headSignals(html: String): (Boolean, Option[String]) = {
+    if (html == null) return (false, None)
+    var noindex = false
+    var canonical: Option[String] = None
+    val it = tagBodiesMulti(html, HeadSignalTags)
+    while (!noindex && it.hasNext) {
+      val (tag, body) = it.next()
+      if (tag == "meta") {
+        val a = parseAttrs(body)
+        if (a.get("name").exists(_.equalsIgnoreCase("robots")) &&
+          a.getOrElse("content", "").toLowerCase
+            .split("[,\\s]+").exists(_ == "noindex")) noindex = true
+      } else if (canonical.isEmpty) {
+        val a = parseAttrs(body)
+        if (a.get("rel").exists(_.equalsIgnoreCase("canonical")) &&
+          a.get("href").exists(_.nonEmpty)) canonical = Some(a("href"))
+      }
+    }
+    (noindex, canonical)
+  }
+
+  private val HeadSignalTags = Array("meta", "link")
 
   /** Parse a tag's attribute body into lowercase-name → value pairs
     * (quoted or bare values; valueless attributes map to ""). */
@@ -422,7 +522,9 @@ object HtmlText {
             out += name -> body.substring(vs, i)
           }
         } else out += name -> ""
-      }
+      } else if (i < n) i += 1 // empty name ('=' or '>' soup): skip the
+        // char or the scan never advances — malformed markup must not
+        // stall the crawler (found by the headSignals parity fuzz)
     }
     out.result()
   }

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   *    an allow/disallow tie at equal length resolves to ALLOW;
   *  - no matching rule, no matching group, empty `Disallow:` value,
   *    or an unparseable body → allowed (the RFC's fail-open rule);
-  *  - `#` comments, blank lines, unknown fields (Sitemap, Crawl-delay)
-  *    and case-insensitive field names are tolerated.
+  *  - `#` comments, blank lines, unknown fields and case-insensitive
+  *    field names are tolerated;
+  *  - `Crawl-delay:` (per-group politeness, seconds) and `Sitemap:`
+  *    (file-global declared sitemap URLs) are parsed via [[parseMeta]]
+  *    so the discovery loop can be seeded from robots.txt — the way
+  *    real crawlers find sitemaps.
   *
   * Scale shape: [[rulesColumn]] parses each host's body ONCE into an
   * array of (allow, pattern) structs on the (small) robots frame;
@@ -36,18 +40,25 @@ object RobotsTxt {
   /** One parsed rule: allow/disallow + its raw path pattern. */
   final case class Rule(allow: Boolean, pattern: String)
 
-  /** Parse a robots.txt body and return the rules of the group that
-    * governs `userAgent` (RFC 9309 group selection — longest matching
-    * user-agent token, `*` as fallback). Never throws: an unparseable
-    * body yields no rules, i.e. everything allowed. */
-  def parse(body: String, userAgent: String): Seq[Rule] = {
-    if (body == null) return Seq.empty
-    val ua = userAgent.toLowerCase
-    // group accumulation: (uaTokens, rules) per group
-    val groups = scala.collection.mutable.ArrayBuffer.empty[
-      (scala.collection.mutable.ArrayBuffer[String],
-        scala.collection.mutable.ArrayBuffer[Rule])]
-    var curUas: scala.collection.mutable.ArrayBuffer[String] = null
+  /** One parsed group: its user-agent tokens (lowercased), its
+    * allow/disallow rules, and an optional per-group crawl-delay. */
+  private final case class Group(
+      uas: scala.collection.mutable.ArrayBuffer[String],
+      rules: scala.collection.mutable.ArrayBuffer[Rule],
+      var crawlDelay: Option[Double])
+
+  /** Per-host metadata beyond allow/deny: the governing group's
+    * politeness delay (seconds) and the file-global declared sitemap
+    * URLs — the way real crawlers seed sitemap discovery. */
+  final case class Meta(crawlDelay: Option[Double], sitemaps: Seq[String])
+
+  /** Parse the full file into groups + global sitemap list. Never
+    * throws: an unparseable body yields no groups. */
+  private def parseGroups(body: String): (Seq[Group], Seq[String]) = {
+    if (body == null) return (Seq.empty, Seq.empty)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur: Group = null
     var inUaRun = false // stacked User-agent lines extend ONE group
     body.linesIterator.foreach { raw =>
       val noComment = {
@@ -60,46 +71,77 @@ object RobotsTxt {
         val value = line.substring(colon + 1).trim
         field match {
           case "user-agent" =>
-            if (!inUaRun || curUas == null) {
-              curUas = scala.collection.mutable.ArrayBuffer.empty[String]
-              groups += ((curUas, scala.collection.mutable.ArrayBuffer.empty[Rule]))
+            if (!inUaRun || cur == null) {
+              cur = Group(
+                scala.collection.mutable.ArrayBuffer.empty[String],
+                scala.collection.mutable.ArrayBuffer.empty[Rule], None)
+              groups += cur
             }
-            curUas += value.toLowerCase
+            cur.uas += value.toLowerCase
             inUaRun = true
           case "allow" | "disallow" =>
             inUaRun = false
             // rules before any User-agent line have no group: ignored
             // (the RFC treats them as belonging to no group)
-            if (groups.nonEmpty) {
+            if (cur != null) {
               // empty Disallow value = "allow everything" = no rule;
               // empty Allow value is equally vacuous
               if (value.nonEmpty)
-                groups.last._2 += Rule(field == "allow", value)
+                cur.rules += Rule(field == "allow", value)
             }
-          case _ => inUaRun = false // Sitemap, Crawl-delay, unknown
+          case "crawl-delay" =>
+            inUaRun = false
+            if (cur != null && cur.crawlDelay.isEmpty)
+              try {
+                val d = value.toDouble
+                if (d >= 0 && !d.isNaN && !d.isInfinite) cur.crawlDelay = Some(d)
+              } catch { case _: NumberFormatException => }
+          case "sitemap" =>
+            // file-global per sitemaps.org: valid anywhere, absolute URL
+            inUaRun = false
+            if (value.nonEmpty) sitemaps += value
+          case _ => inUaRun = false // unknown field
         }
       } else if (line.nonEmpty) inUaRun = false
     }
-    // group selection: longest ua token that is a prefix of OUR token
-    // (RFC: match the product token, most specific group governs);
-    // '*' only when nothing specific matched
+    (groups.toSeq, sitemaps.toSeq)
+  }
+
+  /** The groups governing `userAgent` (lowercased product token).
+    * RFC 9309 group selection: the LONGEST user-agent token that
+    * prefixes ours wins; `*` groups apply only when nothing specific
+    * matched. §2.2.1: when more than one group matches (duplicated UA
+    * tokens are common in real files), ALL groups matching at the
+    * winning length combine — likewise all `*` groups on fallback. */
+  private def selectGroups(groups: Seq[Group], ua: String): Seq[Group] = {
     var bestLen = -1
-    var best: Seq[Rule] = Seq.empty
-    var starSeen = false
-    var star: Seq[Rule] = Seq.empty
-    groups.foreach { case (uas, rules) =>
-      uas.foreach { tok =>
-        if (tok == "*") {
-          // first * group wins among * groups (RFC: combine is
-          // permitted but first-match is the common interpretation)
-          if (!starSeen) { star = rules.toSeq; starSeen = true }
-        } else if (ua.startsWith(tok) && tok.length > bestLen) {
+    groups.foreach { g =>
+      g.uas.foreach { tok =>
+        if (tok != "*" && ua.startsWith(tok) && tok.length > bestLen)
           bestLen = tok.length
-          best = rules.toSeq
-        }
       }
     }
-    if (bestLen >= 0) best else star
+    if (bestLen >= 0)
+      groups.filter(_.uas.exists(tok =>
+        tok != "*" && tok.length == bestLen && ua.startsWith(tok)))
+    else groups.filter(_.uas.contains("*"))
+  }
+
+  /** Parse a robots.txt body and return the combined rules of the
+    * groups that govern `userAgent`. Never throws: an unparseable
+    * body yields no rules, i.e. everything allowed. */
+  def parse(body: String, userAgent: String): Seq[Rule] = {
+    val (groups, _) = parseGroups(body)
+    selectGroups(groups, userAgent.toLowerCase).flatMap(_.rules)
+  }
+
+  /** Parse the non-rule metadata: the governing groups' crawl-delay
+    * (most conservative — maximum — when several matching groups
+    * declare one) and the file-global sitemap URLs. */
+  def parseMeta(body: String, userAgent: String): Meta = {
+    val (groups, sitemaps) = parseGroups(body)
+    val delays = selectGroups(groups, userAgent.toLowerCase).flatMap(_.crawlDelay)
+    Meta(if (delays.isEmpty) None else Some(delays.max), sitemaps)
   }
 
   /** Does `pattern` match `path` under RFC 9309 wildcard semantics?
@@ -179,6 +221,32 @@ object RobotsTxt {
   def rulesColumn(body: Column, userAgent: String): Column = {
     val u = udf((b: String) => parse(b, userAgent).map(r => (r.allow, r.pattern)))
     u(body)
+  }
+
+  /** Parse a robots BODY column into struct<crawl_delay double,
+    * sitemaps array<string>> — per-host politeness + declared sitemap
+    * seeds, one parse per host on the (small) robots frame. A host
+    * with no declared delay yields a null crawl_delay. */
+  def metaColumn(body: Column, userAgent: String): Column = {
+    val u = udf((b: String) => {
+      val m = parseMeta(b, userAgent)
+      (m.crawlDelay.map(Double.box).orNull, m.sitemaps)
+    })
+    u(body).cast("struct<crawl_delay:double,sitemaps:array<string>>")
+  }
+
+  /** Per-host fetch-policy metadata frame: (host, crawl_delay,
+    * sitemap) with one row per declared sitemap URL (hosts declaring
+    * none keep one row with a null sitemap, so the politeness delay
+    * survives for them). Feed the `sitemap` column into
+    * [[Sitemaps]]-based discovery to seed the crawl frontier. */
+  def robotsMeta(robots: DataFrame, userAgent: String,
+                 hostCol: String = "host", bodyCol: String = "body"): DataFrame = {
+    robots
+      .select(col(hostCol).as("host"),
+        metaColumn(col(bodyCol), userAgent).as("__m"))
+      .select(col("host"), col("__m.crawl_delay").as("crawl_delay"),
+        explode_outer(col("__m.sitemaps")).as("sitemap"))
   }
 
   /** Keep only the pages whose URL path the host's robots rules allow.

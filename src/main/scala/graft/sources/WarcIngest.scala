@@ -317,28 +317,24 @@ object WarcIngest {
     * object store; `repartition(n)` upstream picks the segment count
     * (real WET segments are ~150 MB — size partitions accordingly).
     * Rows with a null text are skipped (they carry no conversion
-    * payload; quarantine them upstream). The output directory is
-    * CLEANED first (existing `part-*`/`_tmp-*` segments deleted on the
-    * driver, before any task runs): a re-run with fewer partitions
-    * must not leave stale segments from the previous run for directory
-    * readers to mix in, and orphaned temp files from lost attempts
-    * must not accumulate. */
+    * payload; quarantine them upstream). Stale segments from a
+    * PREVIOUS run (`part-*` names this run did not produce — e.g. a
+    * re-run with fewer partitions — plus orphaned `_tmp-*` attempt
+    * files) are removed only AFTER the new write commits: a re-run
+    * that fails mid-job leaves the old stale-but-complete data in
+    * place instead of an empty/partial directory, and same-name
+    * collisions are already handled per-partition by the
+    * delete+rename commit. */
   def writeWet(docs: DataFrame, uriCol: String, textCol: String,
                outDir: String, date: String = "2026-01-01T00:00:00Z"): Unit = {
     val rows = docs.select(col(uriCol).cast("string").as("uri"),
       col(textCol).cast("string").as("text"))
-    locally {
-      val dirPath = new org.apache.hadoop.fs.Path(outDir)
-      val fs = dirPath.getFileSystem(
-        docs.sparkSession.sparkContext.hadoopConfiguration)
-      if (fs.exists(dirPath)) {
-        fs.listStatus(dirPath).foreach { st =>
-          val nm = st.getPath.getName
-          if (nm.startsWith("part-") || nm.startsWith("_tmp-"))
-            fs.delete(st.getPath, false)
-        }
-      }
-    }
+    // collect the segment names this run commits, so the post-commit
+    // sweep can tell fresh segments from stale ones (empty partitions
+    // write nothing, so the name set is NOT derivable from the
+    // partition count alone)
+    val written = docs.sparkSession.sparkContext
+      .collectionAccumulator[String]("writeWetSegments")
     // ship the SESSION Hadoop conf to the tasks (spark.hadoop.* —
     // object-store credentials, custom filesystems); a bare
     // `new Configuration()` on the executor would see only classpath
@@ -379,6 +375,27 @@ object WarcIngest {
           fs.delete(tmpPath, false)
           throw new java.io.IOException(
             s"writeWet: rename $tmpPath -> $finalPath failed")
+        }
+        written.add(finalPath.getName)
+      }
+    }
+    // post-commit sweep: the job succeeded, so any part-* segment this
+    // run did NOT write is stale (previous run, different partition
+    // count) and any _tmp-* file is an orphaned loser attempt. Only
+    // plain files are touched (a matching-name DIRECTORY is not ours
+    // to remove, and a non-recursive delete on one would throw).
+    locally {
+      val fresh = new java.util.HashSet[String](written.value)
+      val dirPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = dirPath.getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(dirPath)) {
+        fs.listStatus(dirPath).foreach { st =>
+          val nm = st.getPath.getName
+          if (st.isFile &&
+            ((nm.startsWith("part-") && !fresh.contains(nm)) ||
+              nm.startsWith("_tmp-")))
+            fs.delete(st.getPath, false)
         }
       }
     }

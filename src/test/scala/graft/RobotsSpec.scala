@@ -83,6 +83,81 @@ class RobotsSpec extends SparkSpec {
     assert(!RobotsTxt.isAllowed(Seq(Rule(false, "/*$")), "/anything"))
   }
 
+  test("parse: rules of ALL groups matching at the winning length " +
+    "combine (RFC 9309 §2.2.1), and all * groups merge on fallback") {
+    // duplicated UA token across two separate groups — common in real
+    // files; first/longest-only parsing would silently drop /b
+    val dup = "User-agent: graftbot\nDisallow: /a\n\n" +
+      "User-agent: graftbot\nDisallow: /b\n"
+    assert(RobotsTxt.parse(dup, "graftbot") ===
+      Seq(Rule(false, "/a"), Rule(false, "/b")))
+    // only the groups at the WINNING (longest) token length combine:
+    // the shorter 'graft' group stays out
+    val mixed = "User-agent: graft\nDisallow: /short\n\n" +
+      "User-agent: graftbot\nDisallow: /a\n\n" +
+      "User-agent: graftbot\nAllow: /a/open\n"
+    assert(RobotsTxt.parse(mixed, "graftbot") ===
+      Seq(Rule(false, "/a"), Rule(true, "/a/open")))
+    // duplicated '*' groups merge the same way on fallback
+    val stars = "User-agent: *\nDisallow: /x\n\n" +
+      "User-agent: *\nDisallow: /y\n"
+    assert(RobotsTxt.parse(stars, "unknownbot") ===
+      Seq(Rule(false, "/x"), Rule(false, "/y")))
+    // a group stacking the same token twice still contributes ONCE
+    val stacked = "User-agent: graftbot\nUser-agent: graftbot\nDisallow: /a\n"
+    assert(RobotsTxt.parse(stacked, "graftbot") === Seq(Rule(false, "/a")))
+    // and the combined rules evaluate as one rule set
+    assert(!RobotsTxt.isAllowed(RobotsTxt.parse(dup, "graftbot"), "/b/page"))
+  }
+
+  test("parseMeta: per-group crawl-delay (max over matching groups), " +
+    "file-global sitemaps, fail-open on junk") {
+    val m = RobotsTxt.parseMeta(body, "graftbot")
+    assert(m.crawlDelay === Some(10.0))
+    assert(m.sitemaps === Seq.empty)
+    // the delay belongs to its group: other agents don't inherit it
+    assert(RobotsTxt.parseMeta(body, "somebot").crawlDelay === None)
+    // sitemaps are file-global (sitemaps.org: valid anywhere), and
+    // several matching groups combine to the MOST CONSERVATIVE delay
+    val full = "Sitemap: https://e.org/sm0.xml\n" +
+      "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /a\n\n" +
+      "Sitemap: https://e.org/sm1.xml\n" +
+      "User-agent: graftbot\nCrawl-delay: 7.5\n\n" +
+      "User-agent: *\nCrawl-delay: 99\n"
+    val fm = RobotsTxt.parseMeta(full, "graftbot")
+    assert(fm.crawlDelay === Some(7.5))
+    assert(fm.sitemaps ===
+      Seq("https://e.org/sm0.xml", "https://e.org/sm1.xml"))
+    // unknown agent gets the * group's delay
+    assert(RobotsTxt.parseMeta(full, "somebot").crawlDelay === Some(99.0))
+    // junk delays are ignored, never thrown
+    assert(RobotsTxt.parseMeta(
+      "User-agent: *\nCrawl-delay: soon\n", "x").crawlDelay === None)
+    assert(RobotsTxt.parseMeta(
+      "User-agent: *\nCrawl-delay: -3\n", "x").crawlDelay === None)
+    assert(RobotsTxt.parseMeta(null, "x") === RobotsTxt.Meta(None, Seq.empty))
+  }
+
+  test("robotsMeta: per-host frame, one row per declared sitemap, " +
+    "delay survives for hosts declaring none") {
+    val robots = Seq(
+      ("a.org", "Sitemap: https://a.org/s1.xml\nSitemap: https://a.org/s2.xml\n" +
+        "User-agent: graftbot\nCrawl-delay: 3\n"),
+      ("b.org", "User-agent: *\nCrawl-delay: 1\nDisallow: /x\n"),
+      ("c.org", "User-agent: *\nDisallow: /y\n")
+    ).toDF("host", "body")
+    val meta = RobotsTxt.robotsMeta(robots, "graftbot")
+    assert(meta.columns.toSeq === Seq("host", "crawl_delay", "sitemap"))
+    val rows = meta.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getDouble(1),
+      r.getString(2))).sortBy(r => (r._1, String.valueOf(r._3)))
+    assert(rows.toSeq === Seq(
+      ("a.org", 3.0, "https://a.org/s1.xml"),
+      ("a.org", 3.0, "https://a.org/s2.xml"),
+      ("b.org", 1.0, null),
+      ("c.org", null, null)))
+  }
+
   test("fuzz: parse/isAllowed/patternMatches never throw on garbage " +
     "(seeded), allow verdict is total") {
     val rnd = new scala.util.Random(43)
@@ -95,6 +170,7 @@ class RobotsSpec extends SparkSpec {
       val rules = RobotsTxt.parse(body, "graftbot")
       // the verdict is a total Boolean on any parsed body — never throws
       RobotsTxt.isAllowed(rules, path)
+      RobotsTxt.parseMeta(body, "graftbot") // meta parse equally total
     }
   }
 

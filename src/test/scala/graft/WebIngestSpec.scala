@@ -181,6 +181,95 @@ class WebIngestSpec extends SparkSpec {
       "<script src=x.js/><link rel=canonical href=/after>") === Some("/after"))
   }
 
+  test("mainText stopword refinement: zero-stopword listing drops, " +
+    "neargood resolves by neighbor, empty lexicon == legacy rule") {
+    val sw = Set("the", "a", "of", "and", "in")
+    // 16 words, 7 lexicon hits -> density 0.4375 >= 0.32 -> GOOD
+    val prose =
+      "<p>the cat sat on a mat and the dog sat in the hall of fame</p>"
+    // 8 words, 0 links, 0 stopwords: the density-only rule KEEPS this
+    // (>= 5 words), the refined rule drops it — the refinement's point
+    val listing = "<div>products pricing download catalog sitemap " +
+      "archive support contact</div>"
+    val page = prose + listing
+    assert(HtmlText.mainText(page).contains("products"),
+      "length-only rule should keep the listing (the gap under test)")
+    val refined = HtmlText.mainText(page, stopwords = sw)
+    assert(refined.contains("the cat sat") && !refined.contains("products"))
+    // NEARGOOD (10 words, 3 hits = 0.30 exactly): promoted beside a
+    // good block, demoted when every decided neighbor is bad
+    val nearGood =
+      "<p>the cat and a dog walked home every single day</p>"
+    val besideGood = HtmlText.mainText(prose + nearGood, stopwords = sw)
+    assert(besideGood.contains("walked home"),
+      "neargood beside good must promote")
+    val isolated = HtmlText.mainText(nearGood + listing, stopwords = sw)
+    assert(isolated === "", "neargood with only bad neighbors must demote")
+    // SHORT rescue consults RESOLVED classes: a heading between good
+    // prose and a PROMOTED neargood block survives
+    val sandwich = HtmlText.mainText(
+      prose + "<h2>heading words</h2>" + nearGood, stopwords = sw)
+    assert(sandwich.contains("heading words"))
+    // …but not between good prose and a DEMOTED long block
+    val sandwichBad = HtmlText.mainText(
+      prose + "<h2>heading words</h2>" + listing, stopwords = sw)
+    assert(!sandwichBad.contains("heading words"))
+    // empty lexicon: EXACTLY the pre-refinement rule (same call path,
+    // pinned on the shapes above)
+    for (p <- Seq(page, prose + nearGood, nearGood + listing,
+        "<p>one two</p>" + prose, ""))
+      assert(HtmlText.mainText(p) ===
+        HtmlText.mainText(p, stopwords = Set.empty))
+  }
+
+  test("headSignals: fused single-pass scan == the two-pass form on " +
+    "every signal combination (seeded parity)") {
+    // hand-picked shapes covering every (noindex?, canonical?) cell
+    // plus the comment/raw-text skip rules
+    val pages = Seq(
+      "<html><head><link rel=canonical href=/c>" +
+        "<meta name=robots content=\"noindex\"></head><body>x</body></html>",
+      "<head><meta name=\"robots\" content=\"NoIndex, nofollow\"></head>",
+      "<head><link href=\"https://e.org/canon\" rel=canonical></head>",
+      "<LINK REL='canonical' HREF='/a'><link rel=canonical href=/b>",
+      "<meta name=robots content=nofollow><link rel=stylesheet href=/s>",
+      "<!-- <meta name=robots content=noindex> --><link rel=canonical href=/r>",
+      "<script>var s='<meta name=\"robots\" content=\"noindex\">';</script>",
+      "<p>nothing here</p>", "", null,
+      "<link data-x=\"a > b\" rel=canonical href=\"/q\">" +
+        "<meta name=robots content=\"none,noindex\">")
+    pages.foreach { h =>
+      val (noindex, canon) = HtmlText.headSignals(h)
+      assert(noindex ===
+        (if (h == null) false else HtmlText.metaRobots(h).contains("noindex")),
+        s"noindex diverged on: $h")
+      // two-pass canonical compares only when the page SURVIVES — the
+      // fused scan stops early on noindex (the page is dropped
+      // regardless of its canonical), so parity is over kept pages
+      if (!noindex)
+        assert(canon === HtmlText.canonicalUrl(h), s"canonical diverged on: $h")
+    }
+    // regression (found by this fuzz): attribute soup whose token
+    // starts with '='/'>' (a quoted-junk "attribute" with no name)
+    // must terminate, not stall the scanner — real crawls hit
+    // adversarial markup
+    assert(HtmlText.canonicalUrl(
+      "<link \"a > b\" rel=canonical href=/q>") === Some("/q"))
+    assert(HtmlText.headSignals("<meta \"= >\" name=robots content=noindex>")
+      ._1 === true)
+    // seeded fuzz: random tag soup, same parity contract
+    val rnd = new scala.util.Random(11)
+    val frags = Seq("<meta name=robots ", "content=\"noindex\"", "<link ",
+      "rel=canonical ", "href=/x", ">", "<!--", "-->", "<script>", "</script>",
+      " text ", "\"", "'", "content=nofollow ", "<p>", "rel=stylesheet ")
+    (0 until 500).foreach { _ =>
+      val h = (0 until rnd.nextInt(12)).map(_ => frags(rnd.nextInt(frags.length))).mkString
+      val (noindex, canon) = HtmlText.headSignals(h)
+      assert(noindex === HtmlText.metaRobots(h).contains("noindex"), s"on: $h")
+      if (!noindex) assert(canon === HtmlText.canonicalUrl(h), s"on: $h")
+    }
+  }
+
   test("fuzz: extractText/extractBlocks/mainText/canonicalUrl never throw, " +
     "normalization idempotent (seeded)") {
     val rnd = new scala.util.Random(42)
