@@ -314,35 +314,179 @@ object Bm25 {
     * the ingest-side enforcement); single writer per index (like any
     * index build). Pre-`sum_dl` indexes must rebuild once to upgrade.
     * Returns the touched range ids. */
+  /** Entry fail-fast shared by the append and delete maintenance ops:
+    * FAIL FAST on leftover crash-recovery state. A `.old_r*` park from
+    * a prior crashed maintenance run is the operator's MANUAL-RESTORE
+    * artifact (scaladoc contract). Deleting it silently would destroy
+    * the recovery path — and worse, a stale park could later be
+    * "restored" by this run's rollback over the live range dir,
+    * corrupting the index with pre-crash data. The operator must
+    * restore-or-rebuild first; this run refuses. `.append_r*` STAGING
+    * leftovers are different: staging is disposable by construction
+    * (the live index is untouched until the publish loop), so a failed
+    * prior run's staging must NOT block a retry — with no park present
+    * it is deleted here (single-writer contract makes that safe); with
+    * a park present it is left alone for the operator's restore. */
+  private def failFastOnParks(fs: org.apache.hadoop.fs.FileSystem,
+                              base: String, op: String): Unit = {
+    val parks = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$base/postings/.old_r*")))
+      .getOrElse(Array.empty).map(_.getPath.getName)
+    require(parks.isEmpty,
+      s"$op: index at $base holds crash-recovery dirs " +
+        s"${parks.mkString(", ")} from a prior interrupted append/delete — " +
+        s"restore the parked ranges (or rebuild the index) before this $op")
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/postings/.append_r*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** The manifest's term routing rule — the range with the largest
+    * `min_key <= term` (ranges are key-ordered and disjoint by
+    * construction of repartitionByRange; append only ever widens an
+    * interval toward, never across, its neighbor), else the first.
+    * Kilobyte routing table in the closure, narrow map. For any term
+    * that IS in the index this is exactly the range holding its
+    * postings, which is what lets the delete find its touched ranges
+    * without scanning the index. */
+  private def routeByMinKey(mins: Array[(String, Long)]) = udf { (t: String) =>
+    var lo = 0; var hi = mins.length - 1
+    if (t < mins(0)._1) mins(0)._2
+    else {
+      while (lo < hi) { // invariant: mins(lo) <= t < mins(hi+1)
+        val mid = (lo + hi + 1) / 2
+        if (mins(mid)._1 <= t) lo = mid else hi = mid - 1
+      }
+      mins(lo)._2
+    }
+  }
+
+  /** Stage every touched range's replacement CONCURRENTLY under
+    * `.append_r<rid>`: each staging job is an independent
+    * read→transform→write over disjoint directories, and Spark
+    * schedules concurrent jobs from one session fine — sequential
+    * staging would pay ~nRanges × job-submit latency for no ordering
+    * benefit. Failures propagate: any staging error aborts before a
+    * single live dir is touched. The failure path AWAITS every sibling
+    * future before throwing (fail-fast alone would leave detached jobs
+    * writing staging dirs after this method returned — racing a
+    * caller's cleanup or rebuild) and then deletes all staging dirs,
+    * so a failed run leaves the index exactly as it found it and a
+    * retry starts clean. `staged(rid, existing)` returns the range's
+    * full replacement contents.
+    *
+    * With `collectStats` the staged files are re-read (by explicit
+    * part-file paths, cheap: touched ranges only, footer counts +
+    * dictionary min/max) and the per-range (n_rows, min, max) returned
+    * — the delete's exact post-rewrite manifest rows; an emptied range
+    * reports (0, null, null). */
+  private def stageRanges(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          base: String, touched: Seq[Long], op: String,
+                          staged: (Long, DataFrame) => DataFrame,
+                          collectStats: Boolean = false)
+      : Map[Long, (Long, String, String)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = touched.map { rid => Future {
+      val staging = s"$base/postings/.append_r$rid"
+      val existing = spark.read.parquet(s"$base/postings/range_id=$rid")
+      staged(rid, existing)
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(staging)
+      // a staged result can be EMPTY (a delete that kills a whole
+      // range): Spark may then write no data file at all, and a later
+      // read of the published dir would crash on schema inference —
+      // pin the schema with one empty footer-bearing file (the
+      // `schema/` dir trick)
+      def parts: Seq[String] = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$staging/part-*")))
+        .getOrElse(Array.empty).map(_.getPath.toString).toSeq
+      val empty = parts.isEmpty
+      if (empty)
+        existing.filter(lit(false)).repartition(1)
+          .write.mode("overwrite").parquet(staging)
+      if (!collectStats) rid -> ((0L, null: String, null: String))
+      else if (empty) rid -> ((0L, null: String, null: String))
+      else {
+        val r = spark.read.parquet(parts: _*)
+          .agg(count(lit(1)), min(col("term")), max(col("term"))).head()
+        rid -> ((r.getLong(0), r.getString(1), r.getString(2)))
+      }
+    }}
+    val outcomes = futures.map(f => Await.ready(f, Duration.Inf).value.get)
+    outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
+      touched.foreach(rid => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid"), true))
+      throw new IllegalStateException(
+        s"$op: staging failed, index untouched, staging cleaned: ${e.getMessage}", e)
+    }
+    if (collectStats)
+      outcomes.collect { case scala.util.Success(kv) => kv }.toMap
+    else Map.empty
+  }
+
+  /** Swap every staged range in with aside-renames. Park dirs are
+    * dot-prefixed (invisible to parquet partition discovery) and
+    * retained until the CALLER finishes its metadata swaps — a failure
+    * anywhere in this loop rolls ALL published ranges back to the
+    * parked originals, so the index is never left with a subset of the
+    * change applied. Callers delete the parks via [[removeParks]] only
+    * after manifest/stats commit (deleting them first opened an
+    * UNDETECTABLE crash window: postings published, zone map stale).
+    * The irreducible residue is a hard CRASH mid-protocol — parked
+    * dirs remain on disk for manual restore, and a rebuild is always
+    * safe. Full multi-dir + manifest/stats atomicity would need a
+    * versioned-pointer layout like
+    * [[Maintenance.compactParquetVersioned]]; for this operator the
+    * contract is single writer + restore-or-rebuild on a crash. */
+  private def publishRanges(fs: org.apache.hadoop.fs.FileSystem,
+                            base: String, touched: Seq[Long], op: String): Unit = {
+    def dirP(rid: Long) = new org.apache.hadoop.fs.Path(s"$base/postings/range_id=$rid")
+    def oldP(rid: Long) = new org.apache.hadoop.fs.Path(s"$base/postings/.old_r$rid")
+    val published = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      touched.foreach { rid =>
+        val staging = new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid")
+        // no stale oldP can exist here: the entry fail-fast refused
+        // the run if any crash-recovery dir was present
+        require(fs.rename(dirP(rid), oldP(rid)),
+          s"$op: could not park ${dirP(rid)} aside; index untouched")
+        if (!fs.rename(staging, dirP(rid)))
+          throw new IllegalStateException(
+            s"$op: could not publish $staging -> ${dirP(rid)}")
+        published += rid
+      }
+    } catch {
+      case e: Throwable =>
+        // roll back every range already swapped this run, then the
+        // one that failed mid-park (whose dir may be at oldP only)
+        (published :+ touched.find(r => !published.contains(r)).getOrElse(-1L))
+          .filter(_ >= 0).foreach { rid =>
+            if (fs.exists(oldP(rid))) {
+              fs.delete(dirP(rid), true)
+              fs.rename(oldP(rid), dirP(rid))
+            }
+          }
+        throw new IllegalStateException(
+          s"$op: publish failed, all ranges rolled back: ${e.getMessage}", e)
+    }
+  }
+
+  /** Drop the crash-recovery parks — ONLY after every metadata swap
+    * (manifest, stats) has committed. */
+  private def removeParks(fs: org.apache.hadoop.fs.FileSystem,
+                          base: String, touched: Seq[Long]): Unit =
+    touched.foreach(rid => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$base/postings/.old_r$rid"), true))
+
   def appendToPersistedIndex(newDocs: DataFrame, idCol: String, textCol: String,
                              path: String): Seq[Long] = {
     val spark = newDocs.sparkSession
     val base = path.stripSuffix("/")
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
-
-    // FAIL FAST on leftover crash-recovery state: a `.old_r*` park from
-    // a prior crashed append is the operator's MANUAL-RESTORE artifact
-    // (scaladoc contract). Deleting it silently would destroy the
-    // recovery path — and worse, a stale park could later be
-    // "restored" by this run's rollback over the live range dir,
-    // corrupting the index with pre-crash data. The operator must
-    // restore-or-rebuild first; this append refuses. `.append_r*`
-    // STAGING leftovers are different: staging is disposable by
-    // construction (the live index is untouched until the publish
-    // loop), so a failed prior append's staging must NOT block a
-    // retry — with no park present it is deleted here (single-writer
-    // contract makes that safe); with a park present it is left alone
-    // for the operator's restore.
-    val parks = Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$base/postings/.old_r*")))
-      .getOrElse(Array.empty).map(_.getPath.getName)
-    require(parks.isEmpty,
-      s"append: index at $path holds crash-recovery dirs " +
-        s"${parks.mkString(", ")} from a prior interrupted append — " +
-        "restore the parked ranges (or rebuild the index) before appending")
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/postings/.append_r*")))
-      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    failFastOnParks(fs, base, "append")
 
     val statsRow = spark.read.parquet(s"$base/stats").head()
     require(statsRow.schema.fieldNames.contains("sum_dl"),
@@ -359,22 +503,15 @@ object Bm25 {
     require(man.nonEmpty,
       s"index at $path has no ranges (empty corpus) — rebuild instead of appending")
 
-    // route: the range with the largest min_key <= term (ranges are
-    // key-ordered by construction of repartitionByRange), else the
-    // first — kilobyte routing table in the closure, narrow map
+    // null-keyed ranges (emptied by a prior delete) are unroutable —
+    // appends route into the keyed ranges only (interval disjointness
+    // among them is preserved; emptied ranges stay empty)
     val mins: Array[(String, Long)] =
-      man.sortBy(_._1).map { case (rid, mn, _, _) => (mn, rid) }
-    val routeUdf = udf { (t: String) =>
-      var lo = 0; var hi = mins.length - 1
-      if (t < mins(0)._1) mins(0)._2
-      else {
-        while (lo < hi) { // invariant: mins(lo) <= t < mins(hi+1)
-          val mid = (lo + hi + 1) / 2
-          if (mins(mid)._1 <= t) lo = mid else hi = mid - 1
-        }
-        mins(lo)._2
-      }
-    }
+      man.sortBy(_._1).collect { case (rid, mn, _, _) if mn != null => (mn, rid) }
+    require(mins.nonEmpty,
+      s"index at $path has no keyed ranges (all emptied by deletes) — " +
+        "rebuild instead of appending")
+    val routeUdf = routeByMinKey(mins)
     // tokenize the delta docs ONCE: the postings delta and the stats
     // delta both read this cached frame (the corpus-text regex split
     // is the dominant cost of an append — paying it twice doubled the
@@ -394,97 +531,16 @@ object Bm25 {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       val touched = touchedStats.map(_._1).sorted.toSeq
 
-      // TWO-PHASE publish: stage EVERY touched range's merge first
-      // (all heavy work, all failure-prone IO), only then swap them in
-      // with aside-renames. A failure during staging leaves the live
-      // index byte-untouched; a failure anywhere in the swap loop
-      // rolls back every already-swapped range from its parked
-      // `.old_r*` dir (parks are deleted only after ALL ranges
-      // publish). The irreducible residue is a hard CRASH mid-loop —
-      // parked dirs remain on disk for manual restore, and a rebuild
-      // is always safe. Full multi-dir + manifest/stats atomicity
-      // would need a versioned-pointer layout like
-      // [[Maintenance.compactParquetVersioned]]; for this operator the
-      // contract is single writer + restore-or-rebuild on a crash.
-      // Re-running a SUCCEEDED append double-inserts the delta (the
-      // ids-must-be-new contract) — idempotence lives with the
-      // caller's ingest ledger.
-      // stage CONCURRENTLY: each touched range's merge is an
-      // independent read→union→sort→write over disjoint directories,
-      // and Spark schedules concurrent jobs from one session fine —
-      // sequential staging would pay ~nRanges × job-submit latency for
-      // no ordering benefit (the publish loop below is the only part
-      // that needs an order). Failures propagate: any staging error
-      // aborts before a single live dir is touched. The failure path
-      // AWAITS every sibling future before throwing (Future.sequence
-      // alone fails fast and would leave detached jobs writing staging
-      // dirs after this method returned — racing a caller's cleanup or
-      // rebuild) and then deletes all staging dirs, so a failed append
-      // leaves the index exactly as it found it and a retry starts
-      // clean.
-      {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val futures = touched.map { rid => Future {
-          val staging = s"$base/postings/.append_r$rid"
-          val existing = spark.read.parquet(s"$base/postings/range_id=$rid")
-          existing
-            .unionByName(delta.filter(col("__rid") === rid).drop("__rid")
-              .select(existing.columns.map(col).toIndexedSeq: _*))
-            .sortWithinPartitions(col("term"))
-            .write.mode("overwrite").parquet(staging)
-        }}
-        val outcomes = futures.map(f =>
-          Await.ready(f, Duration.Inf).value.get)
-        outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
-          touched.foreach(rid => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid"), true))
-          throw new IllegalStateException(
-            s"append: staging failed, index untouched, staging cleaned: ${e.getMessage}", e)
-        }
-      }
-      // park dirs are dot-prefixed (invisible to parquet partition
-      // discovery) and retained until EVERY range has swapped — a
-      // failure anywhere in this loop rolls ALL published ranges back
-      // to the parked originals, so the index is never left with a
-      // subset of the delta merged in
-      def dirP(rid: Long) = new org.apache.hadoop.fs.Path(s"$base/postings/range_id=$rid")
-      def oldP(rid: Long) = new org.apache.hadoop.fs.Path(s"$base/postings/.old_r$rid")
-      val published = scala.collection.mutable.ArrayBuffer.empty[Long]
-      try {
-        touched.foreach { rid =>
-          val staging = new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid")
-          // no stale oldP can exist here: the entry fail-fast refused
-          // the append if any crash-recovery dir was present
-          require(fs.rename(dirP(rid), oldP(rid)),
-            s"append: could not park ${dirP(rid)} aside; index untouched")
-          if (!fs.rename(staging, dirP(rid)))
-            throw new IllegalStateException(
-              s"append: could not publish $staging -> ${dirP(rid)}")
-          published += rid
-        }
-      } catch {
-        case e: Throwable =>
-          // roll back every range already swapped this run, then the
-          // one that failed mid-park (whose dir may be at oldP only)
-          (published :+ touched.find(r => !published.contains(r)).getOrElse(-1L))
-            .filter(_ >= 0).foreach { rid =>
-              if (fs.exists(oldP(rid))) {
-                fs.delete(dirP(rid), true)
-                fs.rename(oldP(rid), dirP(rid))
-              }
-            }
-          throw new IllegalStateException(
-            s"append: publish failed, all ranges rolled back: ${e.getMessage}", e)
-      }
-      // NOTE: the .old_r* recovery parks are deleted only AFTER the
-      // manifest + stats swaps below succeed — deleting them first
-      // opened an UNDETECTABLE crash window (postings published, zone
-      // map stale: a widened range's new max never reaches the
-      // manifest and queries for the new terms silently prune to
-      // empty). With the parks still present, a crash here leaves a
-      // state the next append's entry fail-fast refuses loudly.
+      // TWO-PHASE publish ([[stageRanges]] + [[publishRanges]], the
+      // protocol shared with the delete): stage EVERY touched range's
+      // merge first (all heavy work, all failure-prone IO), only then
+      // swap them in with aside-renames. Re-running a SUCCEEDED append
+      // double-inserts the delta (the ids-must-be-new contract) —
+      // idempotence lives with the caller's ingest ledger.
+      stageRanges(spark, fs, base, touched, "append", (rid, existing) =>
+        existing.unionByName(delta.filter(col("__rid") === rid).drop("__rid")
+          .select(existing.columns.map(col).toIndexedSeq: _*)))
+      publishRanges(fs, base, touched, "append")
 
       // manifest: interval union + counts, pure driver math
       val deltaByRid = touchedStats.map(t => t._1 -> t).toMap
@@ -510,9 +566,177 @@ object Bm25 {
       val sum1 = sum0 + (if (dAgg.isNullAt(1)) 0L else dAgg.getLong(1))
       writeSwap(Seq((n1, sum1.toDouble / n1.toDouble, sum1))
         .toDF("n", "avgdl", "sum_dl"), s"$base/stats", fs)
-      touched.foreach(rid => fs.delete(oldP(rid), true))
+      removeParks(fs, base, touched)
       touched
     } finally { delta.unpersist(); tokd.unpersist() }
+  }
+
+  /** DELETE-maintenance: remove a batch of indexed documents from a
+    * [[buildPersistedIndex]] layout, touching only the range
+    * directories that hold their postings — the dual of
+    * [[appendToPersistedIndex]], completing the index-maintenance
+    * story for a corpus that deletes documents as a first-class op
+    * (reference `vector_store.py:190-298`; without this, an
+    * append-only keyword index silently drifts from the chunk table
+    * until a full rebuild). After the delete the index is
+    * SEMANTICALLY IDENTICAL to a fresh build over the surviving
+    * corpus (gate-pinned: delete ≡ rebuild ≡ on-the-fly, hash-matched):
+    *
+    *  - `victimDocs` carries the SAME (id, text) rows that were
+    *    indexed — tokenization is deterministic, so the victim TERMS
+    *    recompute exactly, route through the manifest's binary-search
+    *    rule ([[routeByMinKey]] — for an indexed term this IS the
+    *    range holding its postings), and the touched-range set is
+    *    found WITHOUT scanning a single live postings file; terms
+    *    outside every manifest interval carry no postings and are
+    *    dropped before they can touch a range;
+    *  - each touched range rewrites to its SURVIVORS only (one id
+    *    anti-join against the victim-id set), re-sorted on term;
+    *    untouched ranges are NOT rewritten (spec-pinned via file
+    *    listings); staging/park/rollback is the append's two-phase
+    *    protocol ([[stageRanges]]/[[publishRanges]]), so a failure
+    *    leaves the live index byte-untouched and a crash inside the
+    *    publish window is recoverable from the parked `.old_r*` dirs;
+    *  - the manifest's touched rows take EXACT post-delete row counts
+    *    and tight min/max keys re-read from the staged survivors (a
+    *    range deleted down to empty gets null keys, which the zone-map
+    *    read already skips);
+    *  - when the layout carries `stats/` (the BM25 index; the
+    *    positional layout does not), n and the exact integer `sum_dl`
+    *    decrement by the victims' counts, so post-delete scores are
+    *    bit-identical to a rebuild's (same single division).
+    *
+    * Contract (the dual of append's ids-must-be-NEW): every victim id
+    * must currently be indexed, with the text it was indexed under —
+    * deleting an absent id or stale text makes n/sum_dl drift from a
+    * rebuild. Single writer per index; restore-or-rebuild on a crash;
+    * pre-`sum_dl` BM25 indexes must rebuild once to upgrade. Returns
+    * the touched range ids. */
+  def deleteFromPersistedIndex(victimDocs: DataFrame, idCol: String,
+                               textCol: String, path: String): Seq[Long] =
+    deleteFromShardedLayout(victimDocs, idCol, textCol, path)
+
+  /** [[deleteFromPersistedIndex]]'s engine, shared with
+    * [[Positional.deleteFromPersistedIndex]] — the layout's `stats/`
+    * dir (present for BM25, absent for positional) decides whether
+    * corpus stats update. */
+  private[operators] def deleteFromShardedLayout(victimDocs: DataFrame,
+                                                 idCol: String, textCol: String,
+                                                 path: String): Seq[Long] = {
+    val spark = victimDocs.sparkSession
+    val base = path.stripSuffix("/")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+    failFastOnParks(fs, base, "delete")
+
+    val hasStats = fs.exists(new org.apache.hadoop.fs.Path(s"$base/stats"))
+    val (n0, sum0) = if (hasStats) {
+      val statsRow = spark.read.parquet(s"$base/stats").head()
+      require(statsRow.schema.fieldNames.contains("sum_dl"),
+        s"index at $path predates sum_dl stats — rebuild once with " +
+          "buildPersistedIndex to enable deletes")
+      // an empty index (post-full-delete) carries null avgdl/sum_dl —
+      // read as 0 so the over-delete guard fires instead of an NPE
+      val si = statsRow.fieldIndex("sum_dl")
+      (statsRow.getAs[Long]("n"),
+        if (statsRow.isNullAt(si)) 0L else statsRow.getLong(si))
+    } else (0L, 0L)
+
+    val man = spark.read.parquet(s"$base/manifest")
+      .select(col("range_id").cast("long"), col("min_key"), col("max_key"),
+        col("n_rows"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    if (man.isEmpty) return Seq.empty // empty index: nothing to delete from
+
+    // ranges already emptied by a prior delete carry null keys — they
+    // hold no postings, so they are unroutable AND untouchable; with
+    // every range empty the postings side is a no-op (only stats can
+    // still change)
+    val mins: Array[(String, Long)] =
+      man.sortBy(_._1).collect { case (rid, mn, _, _) if mn != null => (mn, rid) }
+    val routeUdf = routeByMinKey(mins)
+    // interval check: a victim term outside its routed range's
+    // [min, max] was never indexed there (or anywhere) — skip it so a
+    // victim whose terms all miss the index touches zero ranges
+    val bounds = man.map { case (rid, mn, mx, _) => rid -> ((mn, mx)) }.toMap
+    val inRangeUdf = udf { (t: String, rid: Long) =>
+      bounds.get(rid).exists { case (mn, mx) =>
+        mn != null && mx != null && mn <= t && t <= mx }
+    }
+
+    // tokenize the victims ONCE (the append's shared-cache rule): the
+    // touched-range discovery, the victim-id set, and the stats delta
+    // all read this frame
+    val tokd = victimDocs
+      .select(col(idCol).as("id"), terms(col(textCol)).as("__terms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched =
+        if (mins.isEmpty) Seq.empty[Long]
+        else tokd.where(col("id").isNotNull)
+          .select(explode(col("__terms")).as("term")).distinct()
+          .withColumn("__rid", routeUdf(col("term")))
+          .where(inRangeUdf(col("term"), col("__rid")))
+          .select(col("__rid")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+      if (touched.isEmpty) {
+        // no victim term overlaps the index: only stats can change
+        // (victims still leave the corpus), postings stay untouched
+        if (hasStats) updateStatsAfterDelete(spark, fs, base, tokd, n0, sum0)
+        return Seq.empty
+      }
+      val victimIds = tokd.where(col("id").isNotNull)
+        .select(col("id")).distinct()
+
+      // exact post-delete manifest rows come back from the STAGED
+      // survivors (before publish): tight min/max (delete can shrink
+      // an interval) + exact n_rows; an emptied range keeps its dir
+      // but takes null keys, which overlappingRangeIds already skips
+      val stagedStats = stageRanges(spark, fs, base, touched, "delete",
+        (_, existing) => existing.join(victimIds, Seq("id"), "left_anti"),
+        collectStats = true)
+      publishRanges(fs, base, touched, "delete")
+
+      val newMan = man.map { case (rid, mn, mx, n) =>
+        stagedStats.get(rid) match {
+          case Some((sn, smn, smx)) => (rid, smn, smx, sn)
+          case None => (rid, mn, mx, n)
+        }
+      }.sortBy(_._1).toIndexedSeq
+      import spark.implicits._
+      writeSwap(newMan.toDF("range_id", "min_key", "max_key", "n_rows")
+        .select(col("range_id").cast("int"), col("min_key"), col("max_key"),
+          col("n_rows")), s"$base/manifest", fs)
+      if (hasStats) updateStatsAfterDelete(spark, fs, base, tokd, n0, sum0)
+      removeParks(fs, base, touched)
+      touched
+    } finally { tokd.unpersist() }
+  }
+
+  /** Decrement n / sum_dl by the victim batch's exact integer counts —
+    * the same arithmetic as the append's increment, so delete stats
+    * are bit-identical to a rebuild over the survivors. Deliberately
+    * counts null-id victims too (corpusStats does not filter them).
+    * A full-corpus delete writes the exact empty-rebuild stats row
+    * (n=0, null avgdl/sum_dl — what statsFromTokens yields on an
+    * empty corpus). */
+  private def updateStatsAfterDelete(spark: org.apache.spark.sql.SparkSession,
+                                     fs: org.apache.hadoop.fs.FileSystem,
+                                     base: String, tokd: DataFrame,
+                                     n0: Long, sum0: Long): Unit = {
+    val dAgg = tokd
+      .agg(count(lit(1)), sum(size(col("__terms")).cast("long"))).head()
+    val n1 = n0 - dAgg.getLong(0)
+    val sum1 = sum0 - (if (dAgg.isNullAt(1)) 0L else dAgg.getLong(1))
+    require(n1 >= 0 && sum1 >= 0,
+      s"delete: victim batch exceeds the indexed corpus (n $n0 -> $n1, " +
+        s"sum_dl $sum0 -> $sum1) — victims must be currently-indexed docs")
+    import spark.implicits._
+    val row =
+      if (n1 == 0) Seq((0L, Option.empty[Double], Option.empty[Long]))
+      else Seq((n1, Some(sum1.toDouble / n1.toDouble), Some(sum1)))
+    writeSwap(row.toDF("n", "avgdl", "sum_dl"), s"$base/stats", fs)
   }
 
   /** Overwrite a tiny metadata parquet (manifest/stats) via

@@ -148,6 +148,17 @@ object Positional {
     Bm25.writeShardedPostingsLayout(allPostings(docs, idCol, textCol),
       nRanges, path.stripSuffix("/"))
 
+  /** DELETE-maintenance for the positional layout — the
+    * [[Bm25.deleteFromPersistedIndex]] protocol over (id, term, pos)
+    * postings (this layout carries no `stats/`, so only the touched
+    * ranges and the manifest change). Same contract: `victimDocs` are
+    * the indexed (id, text) rows; delete ≡ rebuild over the survivors;
+    * untouched ranges are not rewritten; single writer;
+    * restore-or-rebuild on a crash. Returns the touched range ids. */
+  def deleteFromPersistedIndex(victimDocs: DataFrame, idCol: String,
+                               textCol: String, path: String): Seq[Long] =
+    Bm25.deleteFromShardedLayout(victimDocs, idCol, textCol, path)
+
   /** Read only the ranges whose [min,max] key interval can hold one of
     * `terms` — the ONE zone-map pruning rule,
     * [[Bm25.overlappingRangeIds]] — then filter to the terms. */

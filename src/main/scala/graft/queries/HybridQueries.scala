@@ -90,6 +90,36 @@ object HybridQueries {
         rm(tmp)
       }
     },
+    // DELETE-maintenance gate: copy the FULL-corpus persisted index,
+    // DELETE the doc_id % 10 == 0 docs (touched-range-only rewrite),
+    // and search — the result must hash-match the on-the-fly oracle
+    // over the SURVIVING corpus, i.e. delete ≡ rebuild, bit for bit
+    // (stats decremented by exact ints, manifest re-tightened). The
+    // full-corpus baseline is the same persistedBm25 cache bm25_indexed
+    // reads; it is file-copied to a fresh temp dir because the delete
+    // mutates the layout in place.
+    "bm25_delete" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("bm25del").toFile
+      try {
+        copyTree(new java.io.File(persistedBm25(s, dir)), tmp)
+        Bm25.deleteFromPersistedIndex(docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", tmp.getAbsolutePath)
+        val r = Bm25.searchPersistedIndex(s, tmp.getAbsolutePath,
+            QueryTerms, k = 20, rationalIdf = true)
+          .withColumnRenamed("id", "doc_id")
+        // materialize before the temp dir is deleted
+        import s.implicits._
+        r.as[(Long, Long, Long)].collect().toSeq
+          .toDF("doc_id", "bm25_fp", "n_terms")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(tmp)
+      }
+    },
     // RRF fusion of dense cosine top-50 and BM25 top-50 over the
     // embedded subset (docs that carry a vector: vec_id == doc_id)
     "hybrid_rrf" -> { (s, dir) =>
@@ -333,6 +363,13 @@ object HybridQueries {
     // exactly like the on-the-fly computation over the FULL corpus
     "bm25_append" ->
       s"""WITH ${bm25Sql("documents", 20)}
+         |SELECT doc_id, bm25_fp, n_terms FROM btop
+         |ORDER BY bm25_fp DESC, doc_id""".stripMargin,
+    // delete ≡ rebuild: the delete-maintained index must answer
+    // exactly like the on-the-fly computation over the SURVIVORS
+    "bm25_delete" ->
+      s"""WITH surv AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+         |${bm25Sql("surv", 20)}
          |SELECT doc_id, bm25_fp, n_terms FROM btop
          |ORDER BY bm25_fp DESC, doc_id""".stripMargin,
     "hybrid_rrf" ->

@@ -228,6 +228,133 @@ class HybridSearchSpec extends SparkSpec {
     } finally { rm(appendDir); rm(rebuildDir) }
   }
 
+  test("deleteFromPersistedIndex: delete == rebuild over survivors; " +
+    "untouched ranges not rewritten; emptied range and full-delete safe") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir).limit(200).select($"doc_id", $"text")
+    val victims = docs.filter($"doc_id" % 10 === 0)
+    val survivors = docs.filter($"doc_id" % 10 =!= 0)
+    val synth = Seq((999999L, "zzzq zzzq zzzr")).toDF("doc_id", "text")
+    val delDir = java.nio.file.Files.createTempDirectory("bm25-del").toFile
+    val rebuildDir = java.nio.file.Files.createTempDirectory("bm25-delreb").toFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      // index over full corpus + synth; rebuild baseline over survivors
+      Bm25.buildPersistedIndex(docs.unionByName(synth), "doc_id", "text", 8,
+        delDir.getAbsolutePath)
+      Bm25.buildPersistedIndex(survivors, "doc_id", "text", 8,
+        rebuildDir.getAbsolutePath)
+      def files(dir: java.io.File): Map[String, Seq[(String, Long)]] =
+        Option(new java.io.File(dir, "postings").listFiles()).getOrElse(Array())
+          .filter(d => d.isDirectory && d.getName.startsWith("range_id="))
+          .map(d => d.getName -> Option(d.listFiles()).getOrElse(Array())
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).sorted.toSeq).toMap
+      val before = files(delDir)
+      // NARROW delete: synth's unique high terms route to ONE range;
+      // every other dir's file set (names AND mtimes) stays intact,
+      // and since synth's terms were that range's whole tail, its
+      // manifest max must TIGHTEN back
+      val touchedSynth = Bm25.deleteFromPersistedIndex(synth, "doc_id", "text",
+        delDir.getAbsolutePath)
+      assert(touchedSynth.size === 1,
+        s"narrow delete should touch exactly one range (touched $touchedSynth)")
+      val after = files(delDir)
+      val untouchedDirs = before.keySet.filterNot(d =>
+        touchedSynth.contains(d.stripPrefix("range_id=").toLong))
+      assert(untouchedDirs.nonEmpty)
+      untouchedDirs.foreach(d => assert(after(d) === before(d), s"$d rewritten"))
+      val manAfter = spark.read.parquet(s"$delDir/manifest")
+        .select($"range_id".cast("long"), $"max_key")
+        .as[(Long, String)].collect().toMap
+      assert(manAfter(touchedSynth.head) < "zzzq",
+        "delete must tighten the touched range's max_key")
+      // then the broad victim batch — delete-after-delete must equal a
+      // fresh rebuild over the survivors: postings, stats, search
+      val touchedVic = Bm25.deleteFromPersistedIndex(victims, "doc_id", "text",
+        delDir.getAbsolutePath)
+      assert(touchedVic.nonEmpty)
+      def postings(dir: java.io.File) =
+        spark.read.option("basePath", s"${dir.getAbsolutePath}/postings")
+          .parquet(s"${dir.getAbsolutePath}/postings")
+          .select($"id", $"term", $"dl", $"tf")
+          .as[(Long, String, Long, Long)].collect().sorted.toSeq
+      assert(postings(delDir) === postings(rebuildDir))
+      assert(spark.read.parquet(s"$delDir/stats")
+        .as[(Long, Double, Long)].head() ===
+        spark.read.parquet(s"$rebuildDir/stats").as[(Long, Double, Long)].head())
+      val viaDelete = Bm25.searchPersistedIndex(spark, delDir.getAbsolutePath,
+        Seq("vector", "hash", "join"), 20, rationalIdf = true)
+        .as[(Long, Long, Long)].collect().toSeq
+      val viaRebuild = Bm25.searchPersistedIndex(spark, rebuildDir.getAbsolutePath,
+        Seq("vector", "hash", "join"), 20, rationalIdf = true)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(viaDelete === viaRebuild && viaDelete.nonEmpty)
+      // manifest n_rows stays EXACT after the deletes (== live rows per range)
+      val liveByRange = spark.read
+        .option("basePath", s"$delDir/postings").parquet(s"$delDir/postings")
+        .groupBy($"range_id").count()
+        .as[(Int, Long)].collect().toMap
+      spark.read.parquet(s"$delDir/manifest")
+        .select($"range_id", $"n_rows").as[(Int, Long)].collect()
+        .foreach { case (rid, n) =>
+          assert(n === liveByRange.getOrElse(rid, 0L), s"n_rows drift in range $rid")
+        }
+      // an INDEXED victim with no terms (empty text) exists only in
+      // the corpus stats: its delete touches 0 ranges, decrements n
+      // only, and leaves every postings dir byte-untouched
+      locally {
+        val tiny = java.nio.file.Files.createTempDirectory("bm25-notok").toFile
+        try {
+          val corpus = Seq((1L, "alpha beta"), (2L, "")).toDF("doc_id", "text")
+          Bm25.buildPersistedIndex(corpus, "doc_id", "text", 2,
+            tiny.getAbsolutePath)
+          val s0 = spark.read.parquet(s"$tiny/stats")
+            .as[(Long, Double, Long)].head()
+          assert(Bm25.deleteFromPersistedIndex(
+            corpus.filter($"doc_id" === 2L), "doc_id", "text",
+            tiny.getAbsolutePath) === Seq.empty)
+          val s1 = spark.read.parquet(s"$tiny/stats")
+            .as[(Long, Double, Long)].head()
+          assert(s1._1 === s0._1 - 1 && s1._3 === s0._3,
+            "empty-text victim decrements n only")
+          assert(Bm25.searchPersistedIndex(spark, tiny.getAbsolutePath,
+            Seq("alpha"), k = 5).count() === 1L)
+        } finally rm(tiny)
+      }
+      // FULL delete: every remaining doc dies; search over any term is
+      // empty (emptied ranges keep null manifest keys, zone-map read
+      // skips them — never a schema crash), stats row is the exact
+      // empty-rebuild shape (n=0, null avgdl/sum_dl)
+      Bm25.deleteFromPersistedIndex(survivors, "doc_id", "text",
+        delDir.getAbsolutePath)
+      assert(Bm25.searchPersistedIndex(spark, delDir.getAbsolutePath,
+        Seq("vector", "hash"), 20).count() === 0L)
+      val sEmpty = spark.read.parquet(s"$delDir/stats")
+        .select($"n", $"avgdl", $"sum_dl")
+        .as[(Long, Option[Double], Option[Long])].head()
+      assert(sEmpty === ((0L, None, None)))
+      // guard: over-deleting (victims exceed the indexed corpus) refuses
+      val e = intercept[IllegalArgumentException](
+        Bm25.deleteFromPersistedIndex(survivors, "doc_id", "text",
+          delDir.getAbsolutePath))
+      assert(e.getMessage.contains("currently-indexed"), e.getMessage)
+      // guard: leftover crash-recovery dirs make the delete REFUSE and
+      // leave them untouched for the operator's restore
+      val park = new java.io.File(delDir, "postings/.old_r0")
+      park.mkdirs()
+      try {
+        val e2 = intercept[IllegalArgumentException](
+          Bm25.deleteFromPersistedIndex(victims, "doc_id", "text",
+            delDir.getAbsolutePath))
+        assert(e2.getMessage.contains(".old_r0"), e2.getMessage)
+        assert(park.exists(), "fail-fast must not delete recovery state")
+      } finally rm(park)
+    } finally { rm(delDir); rm(rebuildDir) }
+  }
+
   test("rrf: hand-computed fusion incl. a one-list-only candidate") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")

@@ -80,6 +80,67 @@ class PositionalSpec extends SparkSpec {
     assert(none.columns.toSeq === Seq("id", "term", "pos"))
   }
 
+  test("deleteFromPersistedIndex: delete == rebuild for phrase and " +
+    "proximity; untouched ranges not rewritten") {
+    val d = Tables.documents(spark, sfDir).limit(200).select($"doc_id", $"text")
+    val victims = d.filter($"doc_id" % 7 === 0)
+    val survivors = d.filter($"doc_id" % 7 =!= 0)
+    val delDir = java.nio.file.Files.createTempDirectory("pos-del").toFile
+    val rebDir = java.nio.file.Files.createTempDirectory("pos-delreb").toFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      // synth doc with unique high terms: its delete must touch ONE range
+      val synth = Seq((999999L, "zzzq zzzr zzzq")).toDF("doc_id", "text")
+      Positional.buildPersistedIndex(d.unionByName(synth), "doc_id", "text",
+        nRanges = 8, delDir.getAbsolutePath)
+      Positional.buildPersistedIndex(survivors, "doc_id", "text",
+        nRanges = 8, rebDir.getAbsolutePath)
+      def files(dir: java.io.File): Map[String, Seq[(String, Long)]] =
+        Option(new java.io.File(dir, "postings").listFiles()).getOrElse(Array())
+          .filter(x => x.isDirectory && x.getName.startsWith("range_id="))
+          .map(x => x.getName -> Option(x.listFiles()).getOrElse(Array())
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).sorted.toSeq).toMap
+      val before = files(delDir)
+      val touchedSynth = Positional.deleteFromPersistedIndex(synth,
+        "doc_id", "text", delDir.getAbsolutePath)
+      assert(touchedSynth.size === 1,
+        s"narrow delete should touch one range (touched $touchedSynth)")
+      val after = files(delDir)
+      before.keySet
+        .filterNot(k => touchedSynth.contains(k.stripPrefix("range_id=").toLong))
+        .foreach(k => assert(after(k) === before(k), s"$k rewritten"))
+      // broad delete, then parity with the survivor rebuild
+      Positional.deleteFromPersistedIndex(victims, "doc_id", "text",
+        delDir.getAbsolutePath)
+      def post(dir: java.io.File) =
+        spark.read.option("basePath", s"${dir.getAbsolutePath}/postings")
+          .parquet(s"${dir.getAbsolutePath}/postings")
+          .select($"id", $"term", $"pos")
+          .as[(Long, String, Long)].collect().sorted.toSeq
+      assert(post(delDir) === post(rebDir))
+      for (phrase <- Seq(Seq("table", "hash"), Seq("customer"))) {
+        val viaDel = Positional.searchPersistedPhrase(spark,
+            delDir.getAbsolutePath, phrase)
+          .orderBy($"id").as[(Long, Long)].collect().toSeq
+        val viaReb = Positional.searchPersistedPhrase(spark,
+            rebDir.getAbsolutePath, phrase)
+          .orderBy($"id").as[(Long, Long)].collect().toSeq
+        assert(viaDel === viaReb, s"phrase $phrase")
+        assert(viaDel.nonEmpty, s"phrase $phrase matches nothing — dead test")
+      }
+      val proxDel = Positional.searchPersistedProximity(spark,
+          delDir.getAbsolutePath, "customer", "join", 3L)
+        .orderBy($"id").as[(Long, Long, Long)].collect().toSeq
+      val proxReb = Positional.searchPersistedProximity(spark,
+          rebDir.getAbsolutePath, "customer", "join", 3L)
+        .orderBy($"id").as[(Long, Long, Long)].collect().toSeq
+      assert(proxDel === proxReb && proxDel.nonEmpty)
+    } finally { rm(delDir); rm(rebDir) }
+  }
+
   test("serving phrase/proximity probes == persisted-index batch, zero Spark jobs") {
     import graft.serving.Serving
     val d = Tables.documents(spark, sfDir)
