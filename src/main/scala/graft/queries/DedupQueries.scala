@@ -170,17 +170,18 @@ object DedupQueries {
     // dispatch: cosineDedupAuto (router -> pairs -> components ->
     // expand -> keep canonical) is the one entry point a 100 TB
     // caller uses, so the gate named after the operation exercises it
-    // every round. At gate class counts the router takes the exact
-    // route, making the output oracle-identical to the closure replay
-    // (route equality on both fixture shapes stays DedupSpec-pinned).
-    // SF note: unlike dedup_apply_auto this input is deliberately
-    // UNBOUNDED — its DuckDB oracle is the O(n²) recursive closure, so
-    // any SF where the router could flip (>1e5 distinct classes) is
-    // already un-verifiable on the oracle side; bounding here would
-    // only mask that.
+    // every round. The route is PINNED exact (crossoverClasses =
+    // MaxValue): this input is deliberately UNBOUNDED and its DuckDB
+    // oracle is the O(n²) recursive closure, so at any SF with >1e5
+    // distinct classes an unpinned router would flip to the
+    // probabilistic LSH route and hard-fork from the oracle — the pin
+    // keeps gate and oracle computing the same function at EVERY SF.
+    // The router's own crossover decision stays covered by
+    // dedup_apply_auto (LIMIT-bounded input, route pinned by bound)
+    // and DedupSpec's route-equality pins on both fixture shapes.
     "dedup_apply" -> { (s, dir) =>
       Dedup.cosineDedupAuto(Tables.embeddings(s, dir),
-          "vec_id", "embedding", 0.45)
+          "vec_id", "embedding", 0.45, crossoverClasses = Long.MaxValue)
         .orderBy(col("vec_id"))
     },
     // the composition a real 100 TB dedup run executes: class-collapse

@@ -53,19 +53,53 @@ object RelationalQueries {
       Refresh.latestByKey(versioned, "doc_id", "version")
         .orderBy(col("doc_id"))
     },
-    // stratified sample: deterministic for a fixed seed. PERMANENTLY
-    // rows-only BY NATURE (adjudicated r12): the operator's contract
-    // is Spark's Bernoulli sampler — its XORShift stream is the
-    // product, and no other engine draws the same stream, so a DuckDB
-    // oracle is impossible WITHOUT changing the operator into its
-    // deterministic twin, which exists and is hash-gated as
-    // rel_stratified_det (md5-threshold survival). Same-seed
-    // reproducibility and per-stratum rate bounds are scalatest-gated.
+    // stratified sample over Spark's Bernoulli sampler. The exact row
+    // set is PERMANENTLY un-replayable by another engine (adjudicated
+    // r12: the XORShift stream is the product and only Spark draws
+    // it), but the row set is still independently VERIFIABLE — the
+    // ev_sketch_profile pattern: Spark publishes the sampled ids, and
+    // BOTH engines re-derive from raw `documents` the per-stratum
+    // population counts and check (1) membership ⊆ population with the
+    // declared strata, (2) id-distinctness (Bernoulli never
+    // duplicates), (3) the sampled count inside an exact-integer
+    // 6-sigma binomial envelope: with p = 1/2 the test is
+    // (2k − n)² ≤ 36n — mean n/2, std √n/2, so |k − n/2| ≤ 3√n = 6σ
+    // (false-alarm ~2e-9 per stratum; a broken rate like p=0.25 trips
+    // it for any stratum over ~150 rows). Pure int64 on both sides —
+    // (2k − n)² ≤ n² stays in range for n < 3e9, far past any fixture
+    // SF. The exact-twin (row-identical) contract lives in
+    // rel_stratified_det; same-seed reproducibility and tighter rate
+    // bounds stay scalatest-gated. Bench mode times the SAMPLER (the
+    // production operator), not the gate instrumentation — the bound
+    // check is exactly the oracle's workload (the ev_sketch rule).
     "rel_stratified_sample" -> { (s, dir) =>
-      Refresh.stratifiedSample(Tables.documents(s, dir), "lang",
-          Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5), seed = 42L)
+      val strata = Seq("en", "de", "es", "fr", "zh")
+      val sample = Refresh.stratifiedSample(Tables.documents(s, dir), "lang",
+          strata.map(_ -> 0.5).toMap, seed = 42L)
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
+      if (Handoff.benchMode) sample.orderBy(col("doc_id"))
+      else {
+        val published = Handoff.publish(sample, StratSampleHandoff)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        val pop = docs.filter(col("lang").isin(strata: _*))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_pop"))
+        val samp = published.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_samp"),
+            countDistinct(col("doc_id")).as("n_distinct"))
+        val alien = published.join(docs, Seq("doc_id", "lang"), "left_anti")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_alien"))
+        pop.join(samp, Seq("lang"), "left_outer")
+          .join(alien, Seq("lang"), "left_outer")
+          .select(col("lang"), col("n_pop"),
+            coalesce(col("n_samp"), lit(0L)).as("n_sampled"),
+            (coalesce(col("n_alien"), lit(0L)) === 0L).as("subset_ok"),
+            (coalesce(col("n_samp"), lit(0L)) ===
+              coalesce(col("n_distinct"), lit(0L))).as("distinct_ok"),
+            ((lit(2L) * coalesce(col("n_samp"), lit(0L)) - col("n_pop")) *
+              (lit(2L) * coalesce(col("n_samp"), lit(0L)) - col("n_pop")) <=
+              lit(36L) * col("n_pop")).as("bound_ok"))
+          .orderBy(col("lang"))
+      }
     },
     // engine-portable deterministic stratified sample: md5-threshold
     // survival (no RNG stream), so the DuckDB oracle reproduces the
@@ -161,7 +195,45 @@ object RelationalQueries {
       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       |)""".stripMargin
 
+  /** The rel_stratified_sample Spark↔oracle handoff: the sampled
+    * (doc_id, lang) rows, written by the Spark gate, bound-checked by
+    * both engines against raw `documents`. */
+  private val StratSampleHandoff = Handoff.path("strat_sample")
+
   val oracle: Map[String, String] = Map(
+    // statistical-bound oracle over the published sample (the
+    // ev_sketch_profile pattern): DuckDB re-derives per-stratum
+    // population counts from raw documents and checks membership,
+    // distinctness, and the exact-integer 6-sigma binomial envelope
+    // (2k − n)² ≤ 36n — the RNG stream itself stays unreplayed; a
+    // broken sampler flips a boolean on both sides of the compare
+    "rel_stratified_sample" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('$StratSampleHandoff/*.parquet')),
+         |pop AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_pop FROM documents
+         |  WHERE lang IN ('en', 'de', 'es', 'fr', 'zh') GROUP BY 1
+         |),
+         |samp AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_samp,
+         |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+         |  FROM s GROUP BY 1
+         |),
+         |alien AS (
+         |  SELECT s.lang, CAST(count(*) AS BIGINT) AS n_alien
+         |  FROM s LEFT JOIN documents d
+         |    ON d.doc_id = s.doc_id AND d.lang = s.lang
+         |  WHERE d.doc_id IS NULL GROUP BY s.lang
+         |)
+         |SELECT p.lang, p.n_pop,
+         |       coalesce(m.n_samp, 0) AS n_sampled,
+         |       coalesce(a.n_alien, 0) = 0 AS subset_ok,
+         |       coalesce(m.n_samp, 0) = coalesce(m.n_distinct, 0) AS distinct_ok,
+         |       (2 * coalesce(m.n_samp, 0) - p.n_pop)
+         |         * (2 * coalesce(m.n_samp, 0) - p.n_pop) <= 36 * p.n_pop AS bound_ok
+         |FROM pop p
+         |LEFT JOIN samp m USING (lang)
+         |LEFT JOIN alien a USING (lang)
+         |ORDER BY p.lang""".stripMargin,
     // md5-threshold survival: top 52 md5 bits of 'doc_id:salt' as an
     // exact int64, kept iff < floor(fraction * 2^52) (same hex→integer
     // trick as shard_assign; thresholds are precomputed literals)
