@@ -450,21 +450,42 @@ object WebQueries {
     // rules, resolution, or extraction forks rows or text.
     "web_pipeline" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val mkSitemap = udf((id: Long) =>
-        "<urlset>" +
-          s"<url><loc>https://d$id.ex.org/page/$id</loc></url>" +
-          s"<url><loc>https://d$id.ex.org/private/$id</loc></url>" +
-          s"<url><loc>https://d$id.ex.org/amp/$id</loc></url>" +
-          "</urlset>")
+      // per-host robots: the fixture policy plus a DECLARED sitemap
+      // URL — discovery below is seeded from robots.txt (the way real
+      // crawlers find sitemaps), not handed the sitemap list
+      val robots = docs
+        .select(col("doc_id"),
+          concat(lit("d"), col("doc_id"), lit(".ex.org")).as("host"),
+          concat(lit(RobotsFixtureBody), lit("Sitemap: https://d"),
+            col("doc_id"), lit(".ex.org/sitemap.xml\n")).as("body"))
+      // DISCOVER: parse Sitemap/Crawl-delay per host, keep only hosts
+      // that declare a sitemap, "fetch" each declared URL (fixture:
+      // the body derives from the id embedded in the URL) and ingest.
+      // The parsed crawl_delay (10s here) is the politeness budget a
+      // fetch scheduler consumes; batch ingest just carries it.
+      val declared = graft.sources.RobotsTxt
+        .robotsMeta(robots.select(col("host"), col("body")), "graftbot")
+        .where(col("sitemap").isNotNull)
+        .join(robots.select(col("host"), col("doc_id")), Seq("host"))
+      val mkSitemap = udf((id: Long, smUrl: String) =>
+        // the fixture's fetch: the declared URL names the host, whose
+        // id determines the body — a wrong/missing declaration yields
+        // no pages for that host and forks the oracle
+        if (smUrl == s"https://d$id.ex.org/sitemap.xml")
+          "<urlset>" +
+            s"<url><loc>https://d$id.ex.org/page/$id</loc></url>" +
+            s"<url><loc>https://d$id.ex.org/private/$id</loc></url>" +
+            s"<url><loc>https://d$id.ex.org/amp/$id</loc></url>" +
+            "</urlset>"
+        else "<urlset></urlset>")
       val discovered = graft.sources.Sitemaps.ingestSitemaps(
-          docs.select(col("doc_id"), mkSitemap(col("doc_id")).as("body")),
+          declared.select(col("doc_id"),
+            mkSitemap(col("doc_id"), col("sitemap")).as("body")),
           srcCol = "doc_id")
         .select(col("doc_id"), col("loc").as("url"))
-      val robots = docs
-        .select(concat(lit("d"), col("doc_id"), lit(".ex.org")).as("host"),
-          lit(RobotsFixtureBody).as("body"))
       val fetched = graft.sources.RobotsTxt
-        .filterByRobots(discovered, robots, "graftbot")
+        .filterByRobots(discovered, robots.select(col("host"), col("body")),
+          "graftbot")
         .join(docs, Seq("doc_id"))
       val render = udf((id: Long, url: String, text: String) =>
         if (url.contains("/amp/"))
