@@ -72,6 +72,30 @@ object StreamingIngest {
         .schema(binaryFileSchema).load(inputDir))
   }
 
+  /** Streaming crawl front door — the STATELESS crawl stages beside
+    * the WARC stream: frontier-normalize the page URL
+    * ([[graft.operators.Urls.normalizeUrl]]), honor the host's robots
+    * policy (the PRODUCTION [[graft.sources.RobotsTxt.filterByRobots]]
+    * as a stream-static join against the small per-host robots frame —
+    * parity with batch by construction), and extract the fused head
+    * signals: noindex pages drop, survivors carry `canonical` (their
+    * resolved group key). The canonical COLLAPSE itself is
+    * corpus-global and stays a batch/at-rest job by design (the
+    * dedup/train rule); this stream emits exactly the per-page columns
+    * that at-rest collapse consumes. Stateless narrow plan plus one
+    * broadcastable static join: no aggregation, no state store, any
+    * output mode. */
+  def crawlPageStream(pages: DataFrame, robots: DataFrame,
+                      userAgent: String, urlCol: String = "url",
+                      htmlCol: String = "html"): DataFrame =
+    graft.sources.RobotsTxt.filterByRobots(
+        pages.withColumn(urlCol,
+          graft.operators.Urls.normalizeUrlCol(col(urlCol))),
+        robots, userAgent)
+      .withColumn("canonical",
+        graft.operators.Urls.canonicalKeyCol(col(urlCol), col(htmlCol)))
+      .where(col("canonical").isNotNull)
+
   /** Streaming CSV ingest: the [[jsonlIngestStream]] twin over the
     * positional format — the same shared lines→status parse as batch
     * [[graft.sources.CsvDocs]], so stream==batch parity (including the

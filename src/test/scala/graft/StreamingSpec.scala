@@ -382,6 +382,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming crawl front-door twin: normalize + robots + head " +
+    "signals, batch==stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val robotsBody = "User-agent: graftbot\nDisallow: /private/\n"
+    val robots = Seq(("ex.org", robotsBody)).toDF("host", "body")
+    val pages = Seq(
+      // needs normalization (default port + dot segment), self-canonical
+      ("https://EX.org:443/a/./p1", "<p>alpha</p>"),
+      // alias declaring a canonical target
+      ("https://ex.org/alias1", "<link rel=canonical href=/a/p1><p>alpha</p>"),
+      // robots-disallowed: dropped by the policy stage
+      ("https://ex.org/private/x", "<p>secret</p>"),
+      // noindex: dropped by the head-signal stage
+      ("https://ex.org/noidx", "<meta name=robots content=noindex><p>x</p>"),
+      // host with no robots row: kept (fail-open)
+      ("https://other.net/q", "<p>beta</p>"),
+      (null.asInstanceOf[String], "<p>urlless</p>"))
+    val input = MemoryStream[(String, String)]
+    val out = StreamingIngest.crawlPageStream(
+      input.toDF().toDF("url", "html"), robots, "graftbot")
+    val q = out.writeStream.format("memory").queryName("crawlfd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(pages: _*)
+      q.processAllAvailable()
+      val stream = spark.table("crawlfd")
+        .select($"url", $"canonical").as[(String, String)]
+        .collect().sortBy(_._1)
+      val batch = StreamingIngest.crawlPageStream(
+          pages.toDF("url", "html"), robots, "graftbot")
+        .select($"url", $"canonical").as[(String, String)]
+        .collect().sortBy(_._1)
+      // the twin is literally the same function -> identical output
+      assert(stream.toSeq === batch.toSeq)
+      assert(stream.toSeq === Seq(
+        // normalized frontier key; self-canonical
+        ("https://ex.org/a/p1", "https://ex.org/a/p1"),
+        // alias resolves its declared canonical against its own url
+        ("https://ex.org/alias1", "https://ex.org/a/p1"),
+        ("https://other.net/q", "https://other.net/q")))
+      // the emitted `canonical` is exactly the batch collapse's group
+      // key: grouping the stream output reproduces applyCanonical-
+      // Collapse's group sizes over the same pages
+      val groups = spark.table("crawlfd").groupBy($"canonical").count()
+        .as[(String, Long)].collect().toMap
+      assert(groups === Map("https://ex.org/a/p1" -> 2L,
+        "https://other.net/q" -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming NB scoring twin: stateless, batch==stream integer parity") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CorpusModels
