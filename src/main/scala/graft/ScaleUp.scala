@@ -473,3 +473,122 @@ object WarcScaleProbe {
     spark.stop()
   }
 }
+
+/** Stage-timing probe for [[graft.operators.Ann.knnGraph]] at a
+  * derived SF (VERDICT r16: the 100× suite's top line three rounds
+  * running — find the wall, don't guess). Times, separately: the
+  * persisted-index load+materialize, the repartition/sort exchange
+  * alone, and the full graph build (cold, then warm repeat), plus a
+  * driver-side single-thread kernel floor over one average cell so
+  * the distributed overhead is attributable.
+  *
+  * Usage: runMain graft.KnnGraphProbe [sfDir] [k]
+  */
+object KnnGraphProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "target/sf10-derived"
+    val k = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-knngraph-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[knn-probe] $what wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val index = timed("index load (semdedup sizing)") {
+      graft.queries.ModelQueries.semdedupIndex(spark, dir)
+    }
+    val nVec = timed("assigned materialize (count)") { index.assigned.count() }
+    val nCells = index.centroids.length
+    println(s"[knn-probe] vectors=$nVec cells=$nCells avg=${nVec / nCells}/cell")
+    timed("exchange only (repartition+sort+count)") {
+      index.assigned
+        .where(col(index.idCol).isNotNull && col(index.embCol).isNotNull)
+        .repartition(col("ivf_cluster"))
+        .sortWithinPartitions(col("ivf_cluster"))
+        .count()
+    }
+    timed("knnGraph cold") {
+      graft.operators.Ann.knnGraph(index, k)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("knnGraph warm repeat") {
+      graft.operators.Ann.knnGraph(index, k)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
+
+/** Kernel micro-probe for the fused head scan (VERDICT r16 #3): per
+  * page, time `headSignals` (one scanner walk) against the two-pass
+  * form (`metaRobots` + `canonicalUrl`) over the url_canonical_dedup
+  * fixture pages at a derived SF — same box, same session, so the
+  * delta is the kernel's, not the window's. Also asserts signal
+  * parity on every page (the WebIngestSpec contract, re-checked at
+  * scale).
+  *
+  * Usage: runMain graft.HeadScanProbe [sfDir] [repFactor]
+  */
+object HeadScanProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "target/sf10-derived"
+    val rep = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-headscan-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.HtmlText
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the web_pipeline page shape: wrap-template page with a canonical
+    // link; every doc contributes `rep` pages so the scan dominates
+    val render = udf((id: Long, t: String) =>
+      graft.queries.WebQueries.canonSampleHtml(id,
+        if (t == null) "" else t, s"/page/$id"))
+    val pages = docs
+      .withColumn("__r", explode(lit((0 until rep).toArray)))
+      .select(render(col("doc_id"), col("text")).as("html"))
+    val n = pages.count()
+
+    val fusedU = udf((h: String) => {
+      val (ni, c) = HtmlText.headSignals(h)
+      (ni, c.orNull)
+    })
+    val twoPassU = udf((h: String) =>
+      (HtmlText.metaRobots(h).contains("noindex"),
+        HtmlText.canonicalUrl(h).orNull))
+    def run(name: String, u: org.apache.spark.sql.expressions.UserDefinedFunction): Double = {
+      val t0 = System.nanoTime()
+      pages.select(u(col("html")).as("s"))
+        .select(sum(when(col("s._1"), 1L).otherwise(0L)),
+          count(col("s._2"))).head()
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"[headscan-probe] $name pages=$n wall=$w%.2f s " +
+        f"rate=${n / w}%.0f pages/s")
+      w
+    }
+    // interleave to cancel cache drift: two measurements each
+    val w2a = run("two-pass", twoPassU)
+    val w1a = run("fused   ", fusedU)
+    val w2b = run("two-pass", twoPassU)
+    val w1b = run("fused   ", fusedU)
+    println(f"[headscan-probe] fused/two-pass ratio = ${
+      (w1a + w1b) / (w2a + w2b)}%.2f")
+    spark.stop()
+  }
+}

@@ -1029,18 +1029,57 @@ object Ann {
                           ids: scala.collection.mutable.ArrayBuffer[Long],
                           vecs: scala.collection.mutable.ArrayBuffer[Array[Float]],
                           kk: Int): Array[(Float, Long)] = {
-    val ord: Ordering[(Float, Long)] =
-      Ordering.Tuple2(Ordering.Float.TotalOrdering, Ordering.Long)
-    val h = scala.collection.mutable.PriorityQueue.empty[(Float, Long)](ord)
+    // primitive bounded selection, not a boxed PriorityQueue: the
+    // tuple-allocating heap measured ~4300 cycles per CANDIDATE at the
+    // 100× probe (2e8 candidates → the whole knn_graph wall), almost
+    // all of it allocation + megamorphic Ordering calls for entries
+    // that lose anyway. Parallel primitive arrays + one tracked worst
+    // slot allocate NOTHING per candidate, and once the selection is
+    // full the worst kept distance feeds the kernel's monotone early
+    // exit ([[PartitionedTopK.l2F32Bounded]]), so most losers abort
+    // their distance loop a fraction in. Semantics are unchanged and
+    // bit-exact: comparisons are java.lang.Float.compare — the same
+    // total order as Ordering.Float.TotalOrdering — with the same
+    // (dist, id) ascending tie-break, and every KEPT distance comes
+    // from the identical accumulation order as l2F32.
+    val dists = new Array[Float](kk)
+    val nbrs = new Array[Long](kk)
+    var size = 0
+    var worst = 0 // index of the worst kept entry, valid once full
+    def recomputeWorst(): Unit = {
+      var w = 0
+      var i = 1
+      while (i < size) {
+        val c = java.lang.Float.compare(dists(i), dists(w))
+        if (c > 0 || (c == 0 && nbrs(i) > nbrs(w))) w = i
+        i += 1
+      }
+      worst = w
+    }
     var j = 0
     while (j < ids.length) {
       if (ids(j) != qid) {
-        val e = (PartitionedTopK.l2F32(qv, vecs(j)), ids(j))
-        if (h.size < kk) h.enqueue(e)
-        else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+        val bound = if (size == kk) dists(worst) else Float.PositiveInfinity
+        val dv = PartitionedTopK.l2F32Bounded(qv, vecs(j), bound)
+        if (size < kk) {
+          dists(size) = dv; nbrs(size) = ids(j); size += 1
+          if (size == kk) recomputeWorst()
+        } else {
+          val c = java.lang.Float.compare(dv, dists(worst))
+          if (c < 0 || (c == 0 && ids(j) < nbrs(worst))) {
+            dists(worst) = dv; nbrs(worst) = ids(j)
+            recomputeWorst()
+          }
+        }
       }
       j += 1
     }
-    h.toArray.sorted(ord)
+    val out = new Array[(Float, Long)](size)
+    var i = 0
+    while (i < size) { out(i) = (dists(i), nbrs(i)); i += 1 }
+    val ord: Ordering[(Float, Long)] =
+      Ordering.Tuple2(Ordering.Float.TotalOrdering, Ordering.Long)
+    scala.util.Sorting.quickSort(out)(ord)
+    out
   }
 }

@@ -36,6 +36,30 @@ object PartitionedTopK {
     math.sqrt(acc.toDouble).toFloat
   }
 
+  /** [[l2F32]] with a strict upper-bound early exit — the brute-force
+    * scan's pruning lever: returns Float.PositiveInfinity the moment
+    * the PREFIX distance already STRICTLY exceeds `bound` (f32 sums of
+    * non-negative squares are monotone under IEEE round-to-nearest and
+    * sqrt is monotone, so the final distance can only be ≥ the prefix
+    * — the candidate loses on distance alone, whatever the id
+    * tie-break). Any finite return is bit-equal to [[l2F32]]: the
+    * accumulation order is IDENTICAL, the exit check only reads the
+    * running sum every 16 dims. `bound = +Inf` disables the exit
+    * (`>` is strict), so not-yet-full heaps pass that. */
+  private[operators] def l2F32Bounded(a: Array[Float], b: Array[Float],
+                                      bound: Float): Float = {
+    var acc = 0.0f
+    var d = 0
+    val n = a.length
+    while (d < n) {
+      val lim = math.min(n, d + 16)
+      while (d < lim) { val x = a(d) - b(d); acc += x * x; d += 1 }
+      if (d < n && math.sqrt(acc.toDouble).toFloat > bound)
+        return Float.PositiveInfinity
+    }
+    math.sqrt(acc.toDouble).toFloat
+  }
+
   /** queries: driver-side (id, vector) pairs — the broadcast side.
     * Returns (query_id, idCol, dist, rn) ranked 1..k per query.
     * The id column may be long, int or string (e.g. ChunkSchema's
