@@ -294,6 +294,44 @@ object Urls {
       .drop("__canon", "__rn")
   }
 
+  /** Politeness-scheduled fetch plan — the consumer of the parsed
+    * robots `Crawl-delay` ([[graft.sources.RobotsTxt.robotsMeta]]):
+    * per host, frontier URLs take deterministic slots (url ascending)
+    * and a fetch offset of `slot × delay`, so a fetch fleet sharded
+    * by host (the natural crawl partitioning — exactly this op's one
+    * shuffle) never hits a host faster than its declared delay.
+    * Hosts declaring no delay (or absent from `hostDelays`) take
+    * `defaultDelayMs`; several delay rows per host (robotsMeta emits
+    * one per declared sitemap) reduce to the MOST CONSERVATIVE (max).
+    * Offsets are exact int64 milliseconds — `slot ×
+    * round(delay·1000)` — so the schedule replays bit-identically in
+    * any engine. Output: input columns + (host, slot, delay_ms,
+    * fetch_after_ms). Null-URL rows drop (no host to be polite to).
+    *
+    * Scale shape: one hash exchange on host + one per-host window —
+    * no global window, no corpus-sized broadcast; the delay side is
+    * host-cardinality (small) and broadcastable. */
+  def politeSchedule(frontier: DataFrame, hostDelays: DataFrame,
+                     defaultDelayMs: Long = 1000L,
+                     urlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(defaultDelayMs >= 0, s"defaultDelayMs must be >= 0, got $defaultDelayMs")
+    val w = Window.partitionBy(col("host")).orderBy(col(urlCol))
+    val delays = hostDelays
+      .groupBy(col("host"))
+      .agg(max(col("crawl_delay")).as("__delay_s"))
+    frontier
+      .filter(col(urlCol).isNotNull)
+      .withColumn("host", host(col(urlCol)))
+      .join(broadcast(delays), Seq("host"), "left_outer")
+      .withColumn("delay_ms",
+        coalesce(round(col("__delay_s") * 1000).cast("long"),
+          lit(defaultDelayMs)))
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_after_ms", col("slot") * col("delay_ms"))
+      .drop("__delay_s")
+  }
+
   /** Corpus-wide domain frequency with the blocklist removed: explode
     * hosts → registered domain → hash-agg count. One shuffle on the
     * domain key with map-side partial aggregation; the blocklist

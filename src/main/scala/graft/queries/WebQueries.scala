@@ -448,6 +448,33 @@ object WebQueries {
     // n_aliases, main_text) rows from `documents` alone — a regression
     // ANYWHERE in sitemap parse, robots group selection, collapse keep
     // rules, resolution, or extraction forks rows or text.
+    // politeness scheduling: the CONSUMER of the parsed Crawl-delay —
+    // per-host deterministic fetch slots × the host's declared delay,
+    // exact int64 milliseconds. Fixture: 3 frontier URLs per document
+    // host; doc_id%5==0 hosts declare no robots (default delay), the
+    // rest declare Crawl-delay = doc_id%4 seconds, parsed by the
+    // production robotsMeta. DuckDB re-derives the whole schedule
+    // (slots, delays, offsets) from `documents` arithmetically.
+    "crawl_schedule" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val d = col("doc_id").cast("string")
+      val frontier = docs.select(col("doc_id"),
+        explode(array(
+          concat(lit("https://d"), d, lit(".ex.org/page/"), d),
+          concat(lit("https://d"), d, lit(".ex.org/amp/"), d),
+          concat(lit("https://d"), d, lit(".ex.org/private/"), d))).as("url"))
+      val robots = docs.where(col("doc_id") % 5 =!= 0)
+        .select(concat(lit("d"), d, lit(".ex.org")).as("host"),
+          concat(lit("User-agent: graftbot\nCrawl-delay: "),
+            (col("doc_id") % 4).cast("string"),
+            lit("\nDisallow: /private/\n")).as("body"))
+      graft.operators.Urls.politeSchedule(frontier,
+          graft.sources.RobotsTxt.robotsMeta(robots, "graftbot"),
+          defaultDelayMs = 1500L)
+        .select(col("doc_id"), col("url"), col("host"), col("slot"),
+          col("delay_ms"), col("fetch_after_ms"))
+        .orderBy(col("doc_id"), col("url"))
+    },
     "web_pipeline" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // per-host robots: the fixture policy plus a DECLARED sitemap
@@ -633,6 +660,25 @@ object WebQueries {
     // kept self-canonical page per doc with the amp mirror collapsed
     // into it (n_aliases = 2; the /private/ URL never fetched), and
     // the html_main_text CASE for the extracted payload
+    "crawl_schedule" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest([
+        |    'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/page/' || CAST(doc_id AS VARCHAR),
+        |    'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/amp/' || CAST(doc_id AS VARCHAR),
+        |    'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/private/' || CAST(doc_id AS VARCHAR)
+        |  ]) AS url
+        |  FROM documents
+        |), sched AS (
+        |  SELECT doc_id, url,
+        |         'd' || CAST(doc_id AS VARCHAR) || '.ex.org' AS host,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY url) - 1 AS BIGINT) AS slot,
+        |         CAST(CASE WHEN doc_id % 5 <> 0 THEN (doc_id % 4) * 1000
+        |              ELSE 1500 END AS BIGINT) AS delay_ms
+        |  FROM f
+        |)
+        |SELECT doc_id, url, host, slot, delay_ms,
+        |       slot * delay_ms AS fetch_after_ms
+        |FROM sched ORDER BY doc_id, url""".stripMargin,
     "web_pipeline" ->
       """WITH nt AS (
         |  SELECT doc_id,

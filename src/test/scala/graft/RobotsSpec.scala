@@ -180,6 +180,40 @@ class RobotsSpec extends SparkSpec {
     assert(RobotsTxt.urlPath(null) === null)
   }
 
+  test("politeSchedule: per-host slots x declared delay, default for " +
+    "silent hosts, max of duplicate delay rows, broadcast delay side") {
+    import graft.operators.Urls
+    val frontier = Seq(
+      "https://a.org/p2", "https://a.org/p1", "https://a.org/p3",
+      "https://b.org/x", "https://b.org/y",
+      "https://c.org/only",
+      null.asInstanceOf[String]
+    ).toDF("url")
+    // robotsMeta-shaped: duplicate host rows (one per sitemap) must
+    // reduce to the most conservative delay; c.org declares none
+    val delays = Seq(
+      ("a.org", Some(2.0)), ("a.org", Some(10.0)),
+      ("b.org", Some(0.5)), ("c.org", None)
+    ).toDF("host", "crawl_delay")
+    val out = Urls.politeSchedule(frontier, delays, defaultDelayMs = 1500L)
+    val rows = out.select($"url", $"host", $"slot", $"delay_ms", $"fetch_after_ms")
+      .as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(rows.toSeq === Seq(
+      // a.org: slots in url order, max(2, 10) s = 10000 ms
+      ("https://a.org/p1", "a.org", 0L, 10000L, 0L),
+      ("https://a.org/p2", "a.org", 1L, 10000L, 10000L),
+      ("https://a.org/p3", "a.org", 2L, 10000L, 20000L),
+      // b.org: 0.5 s rounds to exact 500 ms
+      ("https://b.org/x", "b.org", 0L, 500L, 0L),
+      ("https://b.org/y", "b.org", 1L, 500L, 500L),
+      // c.org declared no delay -> the caller's default
+      ("https://c.org/only", "c.org", 0L, 1500L, 0L)))
+    // null-url rows drop; the delay side broadcasts (host-cardinality)
+    assert(out.count() === 6L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"delay join should broadcast:\n$plan")
+  }
+
   test("filterByRobots: per-host policy, absent robots row keeps, " +
     "null url drops") {
     val pages = Seq(
