@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The link-graph half of the crawl loop: hyperlink extraction,
+  * host-graph construction, and frontier prioritization by a
+  * deterministic fixed-point PageRank.
+  *
+  * A crawl that fetches in discovery order wastes its budget on
+  * whatever hosts happen to link densely to themselves; real crawlers
+  * order the frontier by link-graph centrality (the original use of
+  * PageRank). The chain here is
+  * [[extractLinks]] → [[hostGraph]] → [[pageRank]] — every stage a
+  * DataFrame transform, no driver-side graph object.
+  *
+  * Scale shape: extraction is a per-row projection inside the scan
+  * task (the page HTML never shuffles); the host graph is one
+  * distinct on (src, dst); PageRank is the textbook iterative
+  * join+aggregate — per iteration ONE shuffle of the (node, rank)
+  * frame onto the edge partitioning plus one hash aggregation on the
+  * destination key. The edge frame (joined with its out-degrees) is
+  * computed once, persisted, and reused by every iteration, so the
+  * corpus-sized side is shuffled once for the whole run.
+  *
+  * Determinism (load-bearing for the oracle): ranks are exact int64
+  * fixed-point micro-units (`scale` = 1.0) and every step — the
+  * contribution `rank div out_degree`, the damped update
+  * `teleport + (dampNum·Σcontrib) div dampDen` — is integer
+  * arithmetic, so sums are order-independent and the whole iteration
+  * replays bit-identically in any engine (DuckDB chains the same
+  * algebra through k CTEs). Dangling-node mass leaks each iteration
+  * (the classic simplified variant): ranks are a relative priority
+  * signal, not a probability distribution.
+  */
+object LinkGraph {
+
+  /** Outgoing hyperlinks per page, as frontier keys: every `<a href>`
+    * ([[graft.sources.HtmlText.links]] — comment/script-hidden anchors
+    * never emitted, `rel=nofollow` honored when `skipNofollow`)
+    * resolved against the page URL ([[Urls.resolveUrl]]) and
+    * normalized ([[Urls.normalizeUrl]]). Only http(s) targets survive
+    * (a `mailto:`/`javascript:` href is not a crawlable edge);
+    * duplicate targets within a page collapse to one (the link-graph
+    * convention — PageRank counts an edge once); with `dropSelf` a
+    * link resolving to the page's own normalized URL (fragment-only
+    * hrefs do) is dropped. Null-URL pages drop (no base to resolve
+    * against — the [[Urls.canonicalCollapse]] hygiene rule).
+    *
+    * Output: the input columns + `link`, one row per distinct
+    * surviving target; pages with none emit no rows. The extraction
+    * is one narrow projection in the scan task — zero shuffle. */
+  def extractLinks(pages: DataFrame, urlCol: String = "url",
+                   htmlCol: String = "html",
+                   skipNofollow: Boolean = true,
+                   dropSelf: Boolean = true): DataFrame = {
+    val extract = udf { (pageUrl: String, html: String) =>
+      val self = Urls.normalizeUrl(pageUrl)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      graft.sources.HtmlText.links(html, skipNofollow).foreach { href =>
+        val l = Urls.normalizeUrl(Urls.resolveUrl(pageUrl, href))
+        if (l != null &&
+          (l.startsWith("http://") || l.startsWith("https://")) &&
+          !(dropSelf && l == self)) seen += l
+      }
+      seen.toSeq
+    }
+    pages
+      .filter(col(urlCol).isNotNull)
+      .withColumn("link",
+        explode(extract(col(urlCol), col(htmlCol))))
+  }
+
+  /** Host-level edge list from an [[extractLinks]] frame: (src, dst) =
+    * (page host, target host), distinct, self-loops and rows with an
+    * unparseable host on either side dropped. One distinct shuffle on
+    * the edge key; hosts extract in the scan task. */
+  def hostGraph(links: DataFrame, urlCol: String = "url",
+                linkCol: String = "link"): DataFrame = {
+    links
+      .select(Urls.host(col(urlCol)).as("src"),
+        Urls.host(col(linkCol)).as("dst"))
+      .where(col("src") =!= "" && col("dst") =!= "" &&
+        col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Deterministic fixed-point PageRank over an edge list — the
+    * frontier-priority signal. Nodes are `src ∪ dst` (a linked-to
+    * host that was never crawled is still a node — that is the point
+    * of frontier prioritization); every node starts at `scale`
+    * (fixed-point 1.0) and each of the `iterations` steps applies
+    *
+    * {{{ rank' = teleport + (dampNum · Σ_in (rank div outDeg)) div dampDen }}}
+    *
+    * with `teleport = (scale·(dampDen−dampNum)) div dampDen` — all
+    * int64, all floor division, so the result is bit-identical across
+    * engines and partitionings (see the object doc). Duplicate edges
+    * collapse; self-loops are kept if present (feed them through
+    * [[hostGraph]] to drop them). Output: (node, rank), rank in
+    * micro-units of `scale`.
+    *
+    * Scale shape: the degree-joined edge frame persists once
+    * (released after the consuming action via the
+    * [[Dedup.releaseAfterUse]] watermark seam) and each iteration is
+    * one join of the node-cardinality rank frame onto it plus one
+    * map-side-combined hash agg on `dst` — the edge side shuffles
+    * once for the whole run, the rank side once per iteration, which
+    * is PageRank's floor. Iteration count is a small constant (the
+    * signal saturates in single digits); lineage stays linear in it. */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               srcCol: String = "src", dstCol: String = "dst",
+               scale: Long = 1000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"bad fixed-point parameters: scale=$scale damp=$dampNum/$dampDen")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    // src-keyed distinct, src-keyed agg, src-keyed join: one exchange
+    // feeds all three, and the persisted result feeds every iteration
+    val eDeg = e.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = scale * (dampDen - dampNum) / dampDen
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      val sums = eDeg
+        .join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("rank div __deg").as("__c"))
+        .groupBy("node")
+        .agg(sum(col("__c")).as("__s"))
+      ranks = nodes
+        .join(sums, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen"))
+            .as("rank"))
+    }
+    Dedup.releaseAfterUse(eDeg)
+    Dedup.releaseAfterUse(nodes)
+    ranks
+  }
+}

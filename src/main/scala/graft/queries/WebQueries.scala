@@ -475,6 +475,62 @@ object WebQueries {
           col("delay_ms"), col("fetch_after_ms"))
         .orderBy(col("doc_id"), col("url"))
     },
+    // link extraction: the link-graph half of the crawl loop. Per-doc
+    // page with anchors exercising root-relative, directory-relative,
+    // protocol-relative, absolute-with-fragment, dot-segment, nofollow
+    // (dropped), fragment-only self (dropped), mailto (dropped), a
+    // comment-hidden and a script-hidden anchor (never emitted), and a
+    // duplicate that must collapse after normalization. DuckDB writes
+    // the 5 expected frontier keys per document down with string
+    // arithmetic — zero shared code with the scanner or the resolver.
+    "link_extract" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val d = col("doc_id").cast("string")
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://D"), d, lit(".ex.org:443/dir/page")).as("url"),
+        concat(
+          lit("<html><body><a href=\"/abs/"), d,
+          lit("\">a</a><a href = 'rel/"), d,
+          lit("'>r</a><a href=\"//m"), d,
+          lit(".ex.org/x\">p</a><a href=\"https://ext.com/"), d,
+          lit("?q=1#f\">q</a><a href=\"../up/"), d,
+          lit("\">u</a><a rel=\"nofollow\" href=\"/spam/"), d,
+          lit("\">n</a><a href=\"#top\">t</a>"),
+          lit("<a href=\"mailto:a@b.c\">m</a>"),
+          lit("<!-- <a href=\"/ghost\"> -->"),
+          lit("<script>var s='<a href=\"/js\">';</script>"),
+          lit("<a href=\"/abs/"), d, lit("#dup\">d</a></body></html>")
+        ).as("html"))
+      graft.operators.LinkGraph.extractLinks(pages)
+        .select(col("doc_id"), col("link"))
+        .orderBy(col("doc_id"), col("link"))
+    },
+    // frontier prioritization: the FULL link-graph chain — production
+    // extractLinks → hostGraph → deterministic fixed-point pageRank
+    // (5 iterations, int64 micro-ranks). Fixture: one page per doc at
+    // host h(doc_id%97), linking to h((2d+1)%97) and h((3d+7)%97) —
+    // residues 96 and 45 self-loop and must drop, duplicate edges from
+    // colliding docs must collapse. DuckDB re-derives the edge list
+    // arithmetically and replays the SAME integer algebra through five
+    // chained CTEs; a wrong degree, a float sum, a kept self-loop, or
+    // a missed never-crawled node forks the ranks.
+    "link_pagerank" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val d = col("doc_id")
+      val pages = docs.select(
+        concat(lit("https://h"), (d % 97).cast("string"),
+          lit(".ex.org/p/"), d.cast("string")).as("url"),
+        concat(lit("<html><body><a href=\"https://h"),
+          ((d * 2 + 1) % 97).cast("string"),
+          lit(".ex.org/x\">1</a><a href=\"//h"),
+          ((d * 3 + 7) % 97).cast("string"),
+          lit(".ex.org/y\">2</a></body></html>")).as("html"))
+      graft.operators.LinkGraph.pageRank(
+          graft.operators.LinkGraph.hostGraph(
+            graft.operators.LinkGraph.extractLinks(pages)),
+          iterations = 5)
+        .orderBy(col("node"))
+    },
     "web_pipeline" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // per-host robots: the fixture policy plus a DECLARED sitemap
@@ -679,6 +735,48 @@ object WebQueries {
         |SELECT doc_id, url, host, slot, delay_ms,
         |       slot * delay_ms AS fetch_after_ms
         |FROM sched ORDER BY doc_id, url""".stripMargin,
+    // the 5 surviving frontier keys per document, written down with
+    // string arithmetic (nofollow/self/mailto/comment/script/dup
+    // variants must NOT appear — an extractor or resolver regression
+    // adds or drops rows)
+    "link_extract" ->
+      """SELECT doc_id, unnest([
+        |  'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/abs/' || CAST(doc_id AS VARCHAR),
+        |  'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/dir/rel/' || CAST(doc_id AS VARCHAR),
+        |  'https://d' || CAST(doc_id AS VARCHAR) || '.ex.org/up/' || CAST(doc_id AS VARCHAR),
+        |  'https://ext.com/' || CAST(doc_id AS VARCHAR) || '?q=1',
+        |  'https://m' || CAST(doc_id AS VARCHAR) || '.ex.org/x'
+        |]) AS link
+        |FROM documents ORDER BY doc_id, link""".stripMargin,
+    // the same integer fixed-point algebra, replayed through five
+    // chained CTEs over the arithmetically re-derived edge list —
+    // int64 micro-ranks make the sums order-independent so the replay
+    // is exact, never tolerance-based
+    "link_pagerank" -> {
+      def iter(k: Int) =
+        s"""r$k AS (
+           |  SELECT n.node, CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e2.dst AS node, SUM(p.r // deg.dg) AS s
+           |    FROM e2 JOIN deg ON e2.src = deg.src
+           |    JOIN r${k - 1} p ON p.node = e2.src
+           |    GROUP BY e2.dst) s ON s.node = n.node)"""
+      """WITH e AS (
+        |  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.ex.org' AS src,
+        |         'h' || CAST((doc_id * 2 + 1) % 97 AS VARCHAR) || '.ex.org' AS dst
+        |  FROM documents
+        |  UNION
+        |  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.ex.org',
+        |         'h' || CAST((doc_id * 3 + 7) % 97 AS VARCHAR) || '.ex.org'
+        |  FROM documents
+        |), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+        |nodes AS (SELECT src AS node FROM e2 UNION SELECT dst AS node FROM e2),
+        |deg AS (SELECT src, COUNT(*) AS dg FROM e2 GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |""" + (1 to 5).map(iter).mkString(",\n") +
+        """
+          |SELECT node, r AS "rank" FROM r5 ORDER BY node"""
+    }.stripMargin,
     "web_pipeline" ->
       """WITH nt AS (
         |  SELECT doc_id,

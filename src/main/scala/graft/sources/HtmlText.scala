@@ -542,6 +542,36 @@ object HtmlText {
       }
   }
 
+  /** Outgoing hyperlinks — every `<a href=…>` in document order, raw
+    * (unresolved) href values. The link-graph half of the crawl loop:
+    * [[graft.operators.Urls.extractLinks]] resolves these against the
+    * page URL and normalizes them into frontier keys. Rides the same
+    * scanner as the head signals, so links inside comments or
+    * script/style raw text are never emitted (a scripted
+    * `document.write('<a href=…>')` is not a crawlable edge). With
+    * `skipNofollow` set, anchors whose `rel` carries the `nofollow`
+    * token (whitespace-split, case-insensitive — `rel="nofollow
+    * noopener"` counts) are dropped, the link-graph convention since
+    * the tag was introduced. Empty hrefs and valueless `href` drop;
+    * duplicates are KEPT (multiplicity is the caller's call — a
+    * frontier dedups on the normalized key, an anchor-stats consumer
+    * wants the raw count). Null HTML yields no links, never throws. */
+  def links(html: String, skipNofollow: Boolean = false): Seq[String] = {
+    if (html == null) return Seq.empty
+    val out = Seq.newBuilder[String]
+    val it = tagBodiesMulti(html, AnchorTags)
+    while (it.hasNext) {
+      val a = parseAttrs(it.next()._2)
+      val href = a.getOrElse("href", "")
+      if (href.nonEmpty && !(skipNofollow && a.get("rel").exists(
+          _.toLowerCase.split("\\s+").contains("nofollow"))))
+        out += href
+    }
+    out.result()
+  }
+
+  private val AnchorTags = Array("a")
+
   /** Directives of `<meta name="robots" content="…">` (lowercased,
     * split on commas/whitespace) — `noindex` is the page-level drop
     * signal a training-data crawl must honor. Empty set when absent. */
