@@ -592,3 +592,91 @@ object HeadScanProbe {
     spark.stop()
   }
 }
+
+/** Link-layer scale probe (SCALEBENCH instrument, r16): measures the
+  * two halves of the link graph at web scale on this box.
+  *
+  * 1. `extractLinks` throughput — pages synthesized from `documents`
+  *    (`rep` pages per doc, 8 anchors each: relative/absolute/
+  *    protocol-relative/nofollow mix), reported as pages/s and
+  *    links/s. The extraction is the per-crawled-byte cost, so the
+  *    rate is the number that must survive a 1000-executor scale-out
+  *    (it parallelizes embarrassingly — no shuffle).
+  * 2. `pageRank` at graph scale — `hosts` nodes × `degree` out-edges
+  *    synthesized in-plan (hash-mixed dst plus a 1000-hub skew lane
+  *    absorbing 10% of edges, the web's hub shape), 1 and then
+  *    `iters` iterations so the per-iteration marginal cost is
+  *    visible. Top-rank sanity: the hub nodes must dominate.
+  *
+  * Usage: runMain graft.LinkScaleProbe [sfDir] [rep] [hosts] [degree] [iters]
+  */
+object LinkScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "target/sf10-derived"
+    val rep = if (args.length > 1) args(1).toInt else 2
+    val hosts = if (args.length > 2) args(2).toLong else 500000L
+    val degree = if (args.length > 3) args(3).toInt else 10
+    val iters = if (args.length > 4) args(4).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-link-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- extractLinks throughput ----
+    val render = udf((id: Long) =>
+      s"""<html><body><p>text</p><a href="/a/$id">1</a><a href="b/$id">2</a>
+         |<a href="//h${id % 9973}.ex.org/c">3</a>
+         |<a href="https://h${(id * 7) % 9973}.ex.org/d?q=$id#f">4</a>
+         |<a href="../e/$id">5</a><a rel="nofollow" href="/spam">6</a>
+         |<a href="#top">7</a><a href="/a/$id#dup">8</a></body></html>"""
+        .stripMargin)
+    val pages = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .withColumn("__r", explode(lit((0 until rep).toArray)))
+      .select(concat(lit("https://h"),
+        (col("doc_id") % 9973).cast("string"),
+        lit(".ex.org/p/"), col("doc_id").cast("string")).as("url"),
+        render(col("doc_id")).as("html"))
+    val nPages = pages.count()
+    val t0 = System.nanoTime()
+    val nLinks = operators.LinkGraph.extractLinks(pages).count()
+    val wx = (System.nanoTime() - t0) / 1e9
+    println(f"[link-probe] extractLinks pages=$nPages links=$nLinks " +
+      f"wall=$wx%.2f s rate=${nPages / wx}%.0f pages/s ${nLinks / wx}%.0f links/s")
+
+    // ---- pageRank at graph scale ----
+    val e = spark.range(hosts * degree).select(
+      concat(lit("h"), (col("id") % hosts).cast("string")).as("src"),
+      concat(lit("h"),
+        when(col("id") % 10 === 0, (col("id") % hosts) % 1000)
+          .otherwise(pmod(col("id") * 2654435761L + 7, lit(hosts)))
+          .cast("string")).as("dst"))
+    def runPr(k: Int): Double = {
+      // cold protocol (the Bench between-repeat rule): drop any cache
+      // a previous run retained so run N never measures run N-1's warm
+      // frames, and JIT-warm the first window out of the comparison
+      operators.Dedup.releasePending()
+      spark.sharedState.cacheManager.clearCache()
+      val t = System.nanoTime()
+      val n = operators.LinkGraph.pageRank(e, iterations = k).count()
+      val w = (System.nanoTime() - t) / 1e9
+      println(f"[link-probe] pageRank hosts=$hosts edges=${hosts * degree} " +
+        f"iters=$k nodes=$n wall=$w%.1f s")
+      w
+    }
+    runPr(1); runPr(iters) // warm-up pair (JIT + shuffle service)
+    val w1 = runPr(1)
+    val wk = runPr(iters)
+    println(f"[link-probe] marginal per-iteration ≈ ${
+      (wk - w1) / math.max(1, iters - 1)}%.2f s")
+    val top = operators.LinkGraph.pageRank(e, iterations = iters)
+      .orderBy(col("rank").desc).limit(5)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"[link-probe] top ranks (hubs must dominate): $top")
+    spark.stop()
+  }
+}

@@ -72,6 +72,44 @@ object LinkGraph {
         explode(extract(col(urlCol), col(htmlCol))))
   }
 
+  /** Inbound anchor-text statistics per link target — the signal web
+    * ranking has used since the earliest engines: a target page is
+    * described by what OTHER pages' anchors call it. Per page, every
+    * `<a href>` with non-empty link text
+    * ([[graft.sources.HtmlText.anchors]] — same hidden-anchor /
+    * nofollow rules as [[extractLinks]]) resolves+normalizes to the
+    * target frontier key (http(s) only, self-links dropped — a page's
+    * own navigation does not describe it); then ONE map-side-combined
+    * hash aggregation per target: `n_anchors` (inbound anchor
+    * occurrences), `n_texts` (distinct texts), `min_text`/`max_text`
+    * (deterministic representatives). Bounded state per group — no
+    * collect_list, so a mega-target (every page links to the home
+    * page) costs O(1) aggregation state, not O(in-degree) memory. */
+  def anchorStats(pages: DataFrame, urlCol: String = "url",
+                  htmlCol: String = "html",
+                  skipNofollow: Boolean = true): DataFrame = {
+    val extract = udf { (pageUrl: String, html: String) =>
+      val self = Urls.normalizeUrl(pageUrl)
+      graft.sources.HtmlText.anchors(html, skipNofollow).flatMap {
+        case (href, text) =>
+          val l = Urls.normalizeUrl(Urls.resolveUrl(pageUrl, href))
+          if (text.nonEmpty && l != null &&
+            (l.startsWith("http://") || l.startsWith("https://")) &&
+            l != self) Some((l, text))
+          else None
+      }
+    }
+    pages
+      .filter(col(urlCol).isNotNull)
+      .select(explode(extract(col(urlCol), col(htmlCol))).as("__a"))
+      .select(col("__a._1").as("link"), col("__a._2").as("anchor"))
+      .groupBy("link")
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col("anchor")).as("n_texts"),
+        min(col("anchor")).as("min_text"),
+        max(col("anchor")).as("max_text"))
+  }
+
   /** Host-level edge list from an [[extractLinks]] frame: (src, dst) =
     * (page host, target host), distinct, self-loops and rows with an
     * unparseable host on either side dropped. One distinct shuffle on

@@ -531,6 +531,30 @@ object WebQueries {
           iterations = 5)
         .orderBy(col("node"))
     },
+    // inbound anchor-text aggregation: each doc's page sends one
+    // unique anchor ("Doc K & co" — entity decode in-gate) and one
+    // COLLIDING anchor ("shared ref" — wrapped in an inline tag that
+    // must strip) at target t(K%50); nofollow / img-only (empty text)
+    // / fragment-self / comment-hidden anchors at the same or decoy
+    // targets must never count. DuckDB rebuilds the anchor rows with
+    // string arithmetic and aggregates them itself.
+    "anchor_stats" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val d = col("doc_id").cast("string")
+      val j = (col("doc_id") % 50).cast("string")
+      val pages = docs.select(
+        concat(lit("https://d"), d, lit(".ex.org/p")).as("url"),
+        concat(
+          lit("<html><body><a href=\"//t"), j, lit(".ex.org/page\">Doc "),
+          d, lit(" &amp; co</a><a href=\"https://t"), j,
+          lit(".ex.org/page\"><b>shared</b> ref</a>"),
+          lit("<a rel=\"nofollow\" href=\"https://t"), j,
+          lit(".ex.org/page\">spam</a><a href=\"https://t"), j,
+          lit(".ex.org/page\"><img src=\"x\"></a><a href=\"#top\">self</a>"),
+          lit("<!-- <a href=\"https://ghost.org/\">ghost</a> --></body></html>")
+        ).as("html"))
+      graft.operators.LinkGraph.anchorStats(pages).orderBy(col("link"))
+    },
     "web_pipeline" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // per-host robots: the fixture policy plus a DECLARED sitemap
@@ -777,6 +801,23 @@ object WebQueries {
         """
           |SELECT node, r AS "rank" FROM r5 ORDER BY node"""
     }.stripMargin,
+    // the surviving anchor rows rebuilt arithmetically, aggregated by
+    // DuckDB itself — a counted nofollow/empty/self/ghost anchor, a
+    // missed entity decode, or a failed inline-tag strip forks counts
+    // or representatives
+    "anchor_stats" ->
+      """WITH a AS (
+        |  SELECT 'https://t' || CAST(doc_id % 50 AS VARCHAR) || '.ex.org/page' AS link,
+        |         'Doc ' || CAST(doc_id AS VARCHAR) || ' & co' AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://t' || CAST(doc_id % 50 AS VARCHAR) || '.ex.org/page',
+        |         'shared ref'
+        |  FROM documents
+        |)
+        |SELECT link, COUNT(*) AS n_anchors, COUNT(DISTINCT anchor) AS n_texts,
+        |       MIN(anchor) AS min_text, MAX(anchor) AS max_text
+        |FROM a GROUP BY link ORDER BY link""".stripMargin,
     "web_pipeline" ->
       """WITH nt AS (
         |  SELECT doc_id,

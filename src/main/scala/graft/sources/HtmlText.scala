@@ -136,24 +136,10 @@ object HtmlText {
     * (case-insensitive; the HTML raw-text rule). End-of-input if the
     * element is never closed — the rest is dropped, deterministically. */
   private def indexPastCloseTag(s: String, from: Int, name: String): Int = {
-    val n = s.length
-    var i = from
-    while (i < n) {
-      i = s.indexOf('<', i)
-      if (i < 0) return n
-      if (i + 1 < n && s.charAt(i + 1) == '/' &&
-        s.regionMatches(true, i + 2, name, 0, name.length)) {
-        val after = i + 2 + name.length
-        if (after >= n) return n
-        val c = s.charAt(after)
-        if (c == '>' || isAsciiWs(c) || c == '/') {
-          val gt = s.indexOf('>', after)
-          return if (gt < 0) n else gt + 1
-        }
-      }
-      i += 1
-    }
-    n
+    val i = indexOfCloseTag(s, from, name)
+    if (i >= s.length) return s.length
+    val gt = s.indexOf('>', i)
+    if (gt < 0) s.length else gt + 1
   }
 
   /** One text block between block-tag boundaries: normalized text,
@@ -380,14 +366,16 @@ object HtmlText {
     tagBodiesMulti(html, Array(name)).map(_._2)
 
   /** Multi-name variant of the head scanner: ONE walk over the
-    * document yielding (tagName, attrBody) for every tag whose name is
-    * in `names` — so a consumer needing both `<meta>` and `<link>`
-    * signals (canonical collapse) pays one scanner pass instead of
-    * two. Same comment/raw-text skipping as the single-name form. */
-  private def tagBodiesMulti(html: String, names: Array[String]): Iterator[(String, String)] =
-    new Iterator[(String, String)] {
+    * document yielding (tagName, attrBody, indexPastGt) for every tag
+    * whose name is in `names` — so a consumer needing both `<meta>`
+    * and `<link>` signals (canonical collapse) pays one scanner pass
+    * instead of two, and a consumer needing the element's inner
+    * content ([[anchors]]) knows where it starts. Same comment/raw-text
+    * skipping as the single-name form. */
+  private def tagBodiesMulti(html: String, names: Array[String]): Iterator[(String, String, Int)] =
+    new Iterator[(String, String, Int)] {
       private var i = 0
-      private var nextBody: (String, String) = null
+      private var nextBody: (String, String, Int) = null
       private def excludedOpenAt(start: Int): Option[String] = {
         val n = html.length
         if (start >= n || !html.charAt(start).isLetter) return None
@@ -450,7 +438,8 @@ object HtmlText {
                 k += 1
               }
               if (end < 0) { i = n; return }
-              nextBody = (matched, html.substring(start + matched.length, end))
+              nextBody = (matched, html.substring(start + matched.length, end),
+                end + 1)
               i = end + 1
             } else i += 1
           }
@@ -458,7 +447,7 @@ object HtmlText {
       }
       advance()
       override def hasNext: Boolean = nextBody != null
-      override def next(): (String, String) = { val b = nextBody; advance(); b }
+      override def next(): (String, String, Int) = { val b = nextBody; advance(); b }
     }
 
   /** Fused single-pass extraction of BOTH head signals the canonical
@@ -476,7 +465,7 @@ object HtmlText {
     var canonical: Option[String] = None
     val it = tagBodiesMulti(html, HeadSignalTags)
     while (!noindex && it.hasNext) {
-      val (tag, body) = it.next()
+      val (tag, body, _) = it.next()
       if (tag == "meta") {
         val a = parseAttrs(body)
         if (a.get("name").exists(_.equalsIgnoreCase("robots")) &&
@@ -571,6 +560,56 @@ object HtmlText {
   }
 
   private val AnchorTags = Array("a")
+
+  /** Anchors WITH their link text — the inbound-anchor retrieval
+    * signal (a target page is described by what other pages call it;
+    * anchor text has fed web ranking since the earliest engines).
+    * Per `<a href=…>`: the raw href plus the element's inner content
+    * run through [[extractText]] (tags stripped, entities decoded,
+    * whitespace normalized — an `<img>`-only anchor yields ""). The
+    * inner span ends at the first `</a>` close tag; anchors don't
+    * nest in valid HTML, and an unclosed anchor takes the rest of the
+    * document (never throws). Same scanner as [[links]] — comment and
+    * script/style-hidden anchors are never emitted — and the same
+    * `skipNofollow`/empty-href rules. */
+  def anchors(html: String, skipNofollow: Boolean = false)
+      : Seq[(String, String)] = {
+    if (html == null) return Seq.empty
+    val out = Seq.newBuilder[(String, String)]
+    val it = tagBodiesMulti(html, AnchorTags)
+    while (it.hasNext) {
+      val (_, body, innerStart) = it.next()
+      val a = parseAttrs(body)
+      val href = a.getOrElse("href", "")
+      if (href.nonEmpty && !(skipNofollow && a.get("rel").exists(
+          _.toLowerCase.split("\\s+").contains("nofollow")))) {
+        val close = indexOfCloseTag(html, innerStart, "a")
+        out += href -> extractText(html.substring(innerStart, close))
+      }
+    }
+    out.result()
+  }
+
+  /** Start index of the first `</name…>` close tag at or after `from`
+    * (name-boundary checked, case-insensitive), or `s.length` when the
+    * element is never closed. */
+  private def indexOfCloseTag(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    var i = from
+    while (i < n) {
+      i = s.indexOf('<', i)
+      if (i < 0) return n
+      if (i + 1 < n && s.charAt(i + 1) == '/' &&
+        s.regionMatches(true, i + 2, name, 0, name.length)) {
+        val after = i + 2 + name.length
+        if (after >= n) return i
+        val c = s.charAt(after)
+        if (c == '>' || isAsciiWs(c) || c == '/') return i
+      }
+      i += 1
+    }
+    n
+  }
 
   /** Directives of `<meta name="robots" content="…">` (lowercased,
     * split on commas/whitespace) — `noindex` is the page-level drop

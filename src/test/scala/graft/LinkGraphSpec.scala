@@ -32,6 +32,50 @@ class LinkGraphSpec extends SparkSpec {
     assert(HtmlText.links(null) === Seq.empty)
   }
 
+  // ---- anchors (href + link text) ----
+
+  test("anchors: inner text extracted (tags stripped, entities " +
+    "decoded, ws normalized), img-only anchor yields empty text, " +
+    "case-insensitive close, unclosed anchor takes the rest") {
+    val html =
+      """<a href="/a"> Doc &amp; <b>co</b> </a>
+        |<a href="/b"><img src="x"></a>
+        |<a href="/c">upper close</A><p>after</p>
+        |<a rel="nofollow" href="/d">nf</a>
+        |<a href="/e">unclosed <i>tail""".stripMargin
+    assert(HtmlText.anchors(html) === Seq(
+      "/a" -> "Doc & co",
+      "/b" -> "",
+      "/c" -> "upper close",
+      "/d" -> "nf",
+      "/e" -> "unclosed tail"))
+    assert(HtmlText.anchors(html, skipNofollow = true).map(_._1) ===
+      Seq("/a", "/b", "/c", "/e"))
+    assert(HtmlText.anchors(null) === Seq.empty)
+  }
+
+  test("anchorStats: per-target counts and representatives; empty-text," +
+    " nofollow, self and comment-hidden anchors never counted") {
+    val pages = Seq(
+      ("https://p1.org/x",
+        """<a href="https://t.org/page">alpha</a>
+          |<a href="https://t.org/page"><b>shared</b> ref</a>
+          |<a href="https://t.org/page"><img src="i"></a>
+          |<a rel="nofollow" href="https://t.org/page">spam</a>
+          |<a href="#top">self</a>
+          |<!-- <a href="https://ghost.org/">ghost</a> -->""".stripMargin),
+      ("https://p2.org/y",
+        "<a href=\"https://t.org/page\">shared ref</a>" +
+          "<a href=\"https://solo.org/\">only</a>")
+    ).toDF("url", "html")
+    val out = LinkGraph.anchorStats(pages)
+      .as[(String, Long, Long, String, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("https://solo.org/", 1L, 1L, "only", "only"),
+      // 3 inbound anchors, 2 distinct texts ("shared ref" collides)
+      ("https://t.org/page", 3L, 2L, "alpha", "shared ref")))
+  }
+
   // ---- extractLinks (resolution + frontier-key layer) ----
 
   test("extractLinks: resolve + normalize, http(s) only, per-page " +
