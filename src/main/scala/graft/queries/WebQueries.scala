@@ -531,6 +531,45 @@ object WebQueries {
           iterations = 5)
         .orderBy(col("node"))
     },
+    // the crawl LOOP closed: discovered links become the next fetch
+    // plan — production extractLinks → hostGraph → pageRank (host
+    // priority, 3 iterations) → robotsMeta Crawl-delay → politeSchedule
+    // slots. Output: every frontier URL with its host's rank and its
+    // politeness-bound fetch offset; a fetch fleet orders by
+    // (rank desc, fetch_after_ms). DuckDB re-derives ALL of it — the
+    // frontier, the rank algebra, the delays, the slots — from
+    // `documents` arithmetically.
+    "crawl_frontier" -> { (s, dir) =>
+      import graft.operators.LinkGraph
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val d = col("doc_id")
+      val pages = docs.select(
+        concat(lit("https://h"), (d % 97).cast("string"),
+          lit(".ex.org/p/"), d.cast("string")).as("url"),
+        concat(lit("<html><body><a href=\"https://h"),
+          ((d * 2 + 1) % 97).cast("string"),
+          lit(".ex.org/x/"), d.cast("string"),
+          lit("\">1</a><a href=\"//h"),
+          ((d * 3 + 7) % 97).cast("string"),
+          lit(".ex.org/y/"), d.cast("string"),
+          lit("\">2</a></body></html>")).as("html"))
+      val links = LinkGraph.extractLinks(pages)
+      val ranks = LinkGraph.pageRank(LinkGraph.hostGraph(links),
+        iterations = 3)
+      val hosts = docs.select((d % 97).as("n")).distinct()
+      val robots = hosts.where(col("n") % 5 =!= 0).select(
+        concat(lit("h"), col("n").cast("string"), lit(".ex.org")).as("host"),
+        concat(lit("User-agent: graftbot\nCrawl-delay: "),
+          (col("n") % 4).cast("string"), lit("\n")).as("body"))
+      graft.operators.Urls.politeSchedule(
+          links.select(col("link")).distinct(),
+          graft.sources.RobotsTxt.robotsMeta(robots, "graftbot"),
+          defaultDelayMs = 1000L, urlCol = "link")
+        .join(broadcast(ranks), col("host") === col("node"))
+        .select(col("link"), col("host"), col("rank"), col("slot"),
+          col("delay_ms"), col("fetch_after_ms"))
+        .orderBy(col("link"))
+    },
     // inbound anchor-text aggregation: each doc's page sends one
     // unique anchor ("Doc K & co" — entity decode in-gate) and one
     // COLLIDING anchor ("shared ref" — wrapped in an inline tag that
@@ -609,6 +648,38 @@ object WebQueries {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** The shared DuckDB replay of the 97-host link-graph fixture (the
+    * `link_pagerank` / `crawl_frontier` gates): edge list re-derived
+    * arithmetically from `documents`, self-loops dropped, then `k`
+    * fixed-point PageRank iterations of the SAME integer algebra as
+    * [[graft.operators.LinkGraph.pageRank]] — int64 micro-ranks,
+    * floor division, order-independent sums — chained through CTEs
+    * `r1..rk`. Returns the full `WITH …` prefix (CTEs `e2`, `nodes`,
+    * `deg`, `r0..rk`); callers append their final SELECT. */
+  private def pagerankFixtureCtes(k: Int): String = {
+    def iter(i: Int) =
+      s"""r$i AS (
+         |  SELECT n.node, CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e2.dst AS node, SUM(p.r // deg.dg) AS s
+         |    FROM e2 JOIN deg ON e2.src = deg.src
+         |    JOIN r${i - 1} p ON p.node = e2.src
+         |    GROUP BY e2.dst) s ON s.node = n.node)""".stripMargin
+    """WITH e AS (
+      |  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.ex.org' AS src,
+      |         'h' || CAST((doc_id * 2 + 1) % 97 AS VARCHAR) || '.ex.org' AS dst
+      |  FROM documents
+      |  UNION
+      |  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.ex.org',
+      |         'h' || CAST((doc_id * 3 + 7) % 97 AS VARCHAR) || '.ex.org'
+      |  FROM documents
+      |), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+      |nodes AS (SELECT src AS node FROM e2 UNION SELECT dst AS node FROM e2),
+      |deg AS (SELECT src, COUNT(*) AS dg FROM e2 GROUP BY src),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |""".stripMargin + (1 to k).map(iter).mkString(",\n")
+  }
 
   val oracle: Map[String, String] = Map(
     "html_extract" ->
@@ -776,31 +847,40 @@ object WebQueries {
     // chained CTEs over the arithmetically re-derived edge list —
     // int64 micro-ranks make the sums order-independent so the replay
     // is exact, never tolerance-based
-    "link_pagerank" -> {
-      def iter(k: Int) =
-        s"""r$k AS (
-           |  SELECT n.node, CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
-           |  FROM nodes n LEFT JOIN (
-           |    SELECT e2.dst AS node, SUM(p.r // deg.dg) AS s
-           |    FROM e2 JOIN deg ON e2.src = deg.src
-           |    JOIN r${k - 1} p ON p.node = e2.src
-           |    GROUP BY e2.dst) s ON s.node = n.node)"""
-      """WITH e AS (
-        |  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.ex.org' AS src,
-        |         'h' || CAST((doc_id * 2 + 1) % 97 AS VARCHAR) || '.ex.org' AS dst
-        |  FROM documents
-        |  UNION
-        |  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.ex.org',
-        |         'h' || CAST((doc_id * 3 + 7) % 97 AS VARCHAR) || '.ex.org'
-        |  FROM documents
-        |), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
-        |nodes AS (SELECT src AS node FROM e2 UNION SELECT dst AS node FROM e2),
-        |deg AS (SELECT src, COUNT(*) AS dg FROM e2 GROUP BY src),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
-        |""" + (1 to 5).map(iter).mkString(",\n") +
-        """
-          |SELECT node, r AS "rank" FROM r5 ORDER BY node"""
-    }.stripMargin,
+    "link_pagerank" -> (pagerankFixtureCtes(5) +
+      "\nSELECT node, r AS \"rank\" FROM r5 ORDER BY node"),
+    // the whole fetch plan re-derived from `documents`: frontier URLs
+    // + host ranks (3 shared-algebra PageRank CTEs) + declared delays
+    // + row_number slots — a regression in ANY of extraction,
+    // resolution, rank algebra, robots parsing, or scheduling forks
+    // rows, ranks, or offsets
+    "crawl_frontier" -> (pagerankFixtureCtes(3) + """,
+      |f AS (
+      |  SELECT DISTINCT
+      |    'https://h' || CAST((doc_id * 2 + 1) % 97 AS VARCHAR) || '.ex.org/x/' || CAST(doc_id AS VARCHAR) AS link,
+      |    'h' || CAST((doc_id * 2 + 1) % 97 AS VARCHAR) || '.ex.org' AS host
+      |  FROM documents
+      |  UNION
+      |  SELECT
+      |    'https://h' || CAST((doc_id * 3 + 7) % 97 AS VARCHAR) || '.ex.org/y/' || CAST(doc_id AS VARCHAR),
+      |    'h' || CAST((doc_id * 3 + 7) % 97 AS VARCHAR) || '.ex.org'
+      |  FROM documents
+      |),
+      |del AS (
+      |  SELECT 'h' || CAST(n AS VARCHAR) || '.ex.org' AS host,
+      |         CAST(CASE WHEN n % 5 <> 0 THEN (n % 4) * 1000 ELSE 1000 END AS BIGINT) AS delay_ms
+      |  FROM (SELECT DISTINCT doc_id % 97 AS n FROM documents)
+      |),
+      |sched AS (
+      |  SELECT f.link, f.host,
+      |         CAST(row_number() OVER (PARTITION BY f.host ORDER BY f.link) - 1 AS BIGINT) AS slot,
+      |         del.delay_ms
+      |  FROM f JOIN del ON f.host = del.host
+      |)
+      |SELECT s.link, s.host, r.r AS "rank", s.slot, s.delay_ms,
+      |       s.slot * s.delay_ms AS fetch_after_ms
+      |FROM sched s JOIN r3 r ON r.node = s.host
+      |ORDER BY s.link""".stripMargin),
     // the surviving anchor rows rebuilt arithmetically, aggregated by
     // DuckDB itself — a counted nofollow/empty/self/ghost anchor, a
     // missed entity decode, or a failed inline-tag strip forks counts
