@@ -3,7 +3,7 @@ package graft.queries
 import java.io.ByteArrayOutputStream
 import java.nio.charset.{Charset, StandardCharsets}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -570,6 +570,64 @@ object WebQueries {
           col("delay_ms"), col("fetch_after_ms"))
         .orderBy(col("link"))
     },
+    // recrawl scheduling: the consumer that makes the parsed sitemap
+    // freshness hints actionable. Per doc one entry cycling through
+    // the full changefreq vocabulary (+ junk + NULL for the default
+    // path), a derived W3C datetime lastmod (time-of-day must cut at
+    // day granularity) and a junk lastmod lane (never-crawled ⇒ due
+    // immediately). `now` is a fixed literal — the schedule is a pure
+    // function, so DuckDB replays the identical integer arithmetic.
+    "recrawl_schedule" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val d = col("doc_id")
+      val freqs = array(lit("always"), lit("hourly"), lit("daily"),
+        lit("weekly"), lit("monthly"), lit("yearly"), lit("never"),
+        lit("junk"), lit(null).cast("string"))
+      val entries = docs.select(col("doc_id"),
+        concat(lit("https://s.ex.org/"), d.cast("string")).as("loc"),
+        when(d % 11 === 0, lit("junk date")).otherwise(
+          format_string("2026-%02d-%02dT05:06:07+00:00",
+            (d % 6 + 1).cast("int"), (d % 28 + 1).cast("int"))).as("lastmod"),
+        element_at(freqs, (d % 9 + 1).cast("int")).as("changefreq"))
+      graft.sources.Sitemaps.recrawlSchedule(entries,
+          nowEpochSec = 1782864000L)
+        .select(col("doc_id"), col("loc"), col("lastmod"),
+          col("changefreq"), col("period_sec"), col("due_at_sec"),
+          col("overdue_sec"), col("fetch_due"))
+        .orderBy(col("doc_id"))
+    },
+    // redirect-chain collapse: per doc a chain of doc_id%6 hops (the
+    // production resolver must land on the terminal with the exact hop
+    // count; length-5 chains settle EXACTLY at the maxHops=5 cap) and,
+    // for doc_id%31==0, a 2-node redirect LOOP that must come back
+    // unresolved at the cap instead of hanging. DuckDB writes every
+    // expected (final_url, hops, resolved) row down arithmetically —
+    // no join replay, pure string+modulo algebra.
+    "redirect_resolve" -> { (s, dir) =>
+      import graft.operators.LinkGraph
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val d = col("doc_id")
+      val ds = d.cast("string")
+      def u(i: Column) =
+        concat(lit("https://r.ex.org/u/"), ds, lit("/"), i.cast("string"))
+      def c(side: String) =
+        concat(lit("https://r.ex.org/c/"), ds, lit("/" + side))
+      val chain = docs
+        .select(d, explode(sequence(lit(0), lit(4))).as("i"))
+        .where(col("i") < d % 6)
+        .select(u(col("i")).as("src"), u(col("i") + 1).as("dst"))
+      val loopA = docs.where(d % 31 === 0)
+        .select(c("a").as("src"), c("b").as("dst"))
+      val loopB = loopA.select(col("dst").as("src"), col("src").as("dst"))
+      val frontier = docs.select(col("doc_id"), u(lit(0)).as("url"))
+        .unionByName(docs.where(d % 31 === 0)
+          .select(col("doc_id"), c("a").as("url")))
+      LinkGraph.resolveRedirects(frontier,
+          chain.unionByName(loopA).unionByName(loopB), maxHops = 5)
+        .select(col("doc_id"), col("url"), col("final_url"),
+          col("hops"), col("resolved"))
+        .orderBy(col("url"))
+    },
     // inbound anchor-text aggregation: each doc's page sends one
     // unique anchor ("Doc K & co" — entity decode in-gate) and one
     // COLLIDING anchor ("shared ref" — wrapped in an inline tag that
@@ -881,6 +939,58 @@ object WebQueries {
       |       s.slot * s.delay_ms AS fetch_after_ms
       |FROM sched s JOIN r3 r ON r.node = s.host
       |ORDER BY s.link""".stripMargin),
+    // the same pure schedule arithmetic: changefreq CASE, day-granular
+    // TRY_CAST lastmod, never/default/junk lanes, one fixed `now`
+    "recrawl_schedule" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    'https://s.ex.org/' || CAST(doc_id AS VARCHAR) AS loc,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'junk date'
+        |         ELSE printf('2026-%02d-%02dT05:06:07+00:00',
+        |                     CAST(doc_id % 6 + 1 AS INTEGER),
+        |                     CAST(doc_id % 28 + 1 AS INTEGER)) END AS lastmod,
+        |    (['always','hourly','daily','weekly','monthly','yearly',
+        |      'never','junk',NULL])[CAST(doc_id % 9 + 1 AS INTEGER)] AS changefreq
+        |  FROM documents
+        |), p AS (
+        |  SELECT *, CAST(CASE changefreq
+        |    WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600
+        |    WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+        |    WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
+        |    WHEN 'never' THEN NULL ELSE 86400 END AS BIGINT) AS period_sec
+        |  FROM e
+        |), q AS (
+        |  SELECT *, CASE
+        |    WHEN changefreq = 'never' THEN NULL
+        |    WHEN TRY_CAST(substr(lastmod, 1, 10) AS DATE) IS NULL THEN 0
+        |    ELSE (TRY_CAST(substr(lastmod, 1, 10) AS DATE)
+        |          - DATE '1970-01-01') * 86400 + period_sec
+        |    END AS due_at_sec
+        |  FROM p
+        |)
+        |SELECT doc_id, loc, lastmod, changefreq, period_sec,
+        |       CAST(due_at_sec AS BIGINT) AS due_at_sec,
+        |       CAST(1782864000 - due_at_sec AS BIGINT) AS overdue_sec,
+        |       COALESCE(1782864000 - due_at_sec >= 0, FALSE) AS fetch_due
+        |FROM q ORDER BY doc_id""".stripMargin,
+    // every expected resolution written down with string+modulo
+    // arithmetic: chains land on u/<d>/<d%6> with hops=d%6 resolved;
+    // loop entries land on c/<d>/b (5 hops around a 2-loop) unresolved
+    "redirect_resolve" ->
+      """SELECT doc_id,
+        |       'https://r.ex.org/u/' || CAST(doc_id AS VARCHAR) || '/0' AS url,
+        |       'https://r.ex.org/u/' || CAST(doc_id AS VARCHAR) || '/'
+        |         || CAST(doc_id % 6 AS VARCHAR) AS final_url,
+        |       CAST(doc_id % 6 AS INTEGER) AS hops,
+        |       TRUE AS resolved
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id,
+        |       'https://r.ex.org/c/' || CAST(doc_id AS VARCHAR) || '/a',
+        |       'https://r.ex.org/c/' || CAST(doc_id AS VARCHAR) || '/b',
+        |       CAST(5 AS INTEGER), FALSE
+        |FROM documents WHERE doc_id % 31 = 0
+        |ORDER BY url""".stripMargin,
     // the surviving anchor rows rebuilt arithmetically, aggregated by
     // DuckDB itself — a counted nofollow/empty/self/ghost anchor, a
     // missed entity decode, or a failed inline-tag strip forks counts

@@ -160,4 +160,55 @@ object Sitemaps {
         col("e.priority").as("priority"),
         col("e.is_index").as("is_index"))
   }
+
+  /** Seconds per `<changefreq>` token (sitemaps.org vocabulary,
+    * matched case-insensitively): `always` re-fetches every visit
+    * (period 0), `never` disables recrawl (None), the rest take their
+    * calendar meaning with the 30-day month convention. Unknown or
+    * absent tokens fall back to the caller's default. */
+  private val ChangefreqSec: Map[String, Long] = Map(
+    "always" -> 0L, "hourly" -> 3600L, "daily" -> 86400L,
+    "weekly" -> 604800L, "monthly" -> 2592000L, "yearly" -> 31536000L)
+
+  /** Recrawl scheduling from the freshness hints [[ingestSitemaps]]
+    * already parses — the consumer that makes `lastmod`/`changefreq`
+    * actionable: per entry, `period_sec` (the changefreq mapping,
+    * `defaultPeriodSec` for unknown/absent, null for `never`),
+    * `due_at_sec` = lastmod + period, `overdue_sec` = now − due, and
+    * `fetch_due`. The lastmod is consumed at DAY granularity (the
+    * first 10 chars of the W3C datetime, the granularity sitemaps
+    * carry in practice): epoch-day × 86400, via `try_to_date` so an
+    * unparseable value never throws — it means never-crawled-as-far-
+    * as-we-know and is due immediately (due_at 0). `never` entries
+    * are not due, ever. `nowEpochSec` is an explicit input: the
+    * schedule is a pure function of its arguments, so two engines (or
+    * two runs) produce bit-identical plans — the oracle replays the
+    * same integer arithmetic.
+    *
+    * Scale shape: a narrow per-row projection in the scan task — zero
+    * shuffle; order or partition downstream (e.g. feed the due rows
+    * into [[graft.operators.Urls.politeSchedule]]). */
+  def recrawlSchedule(entries: DataFrame, nowEpochSec: Long,
+                      defaultPeriodSec: Long = 86400L,
+                      lastmodCol: String = "lastmod",
+                      changefreqCol: String = "changefreq"): DataFrame = {
+    require(defaultPeriodSec >= 0,
+      s"defaultPeriodSec must be >= 0, got $defaultPeriodSec")
+    val freq = lower(trim(col(changefreqCol)))
+    val period = ChangefreqSec.foldLeft(
+        when(freq === "never", lit(null).cast("long"))) {
+      case (acc, (tok, sec)) => acc.when(freq === tok, lit(sec))
+    }.otherwise(lit(defaultPeriodSec))
+    val lastmodDay = try_to_date(substring(col(lastmodCol), 1, 10),
+      "yyyy-MM-dd")
+    val lastmodSec = datediff(lastmodDay, to_date(lit("1970-01-01")))
+      .cast("long") * 86400L
+    entries
+      .withColumn("period_sec", period)
+      .withColumn("due_at_sec",
+        when(col("period_sec").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(lastmodSec + col("period_sec"), lit(0L))))
+      .withColumn("overdue_sec", lit(nowEpochSec) - col("due_at_sec"))
+      .withColumn("fetch_due", coalesce(col("overdue_sec") >= 0, lit(false)))
+  }
 }

@@ -133,6 +133,54 @@ class LinkGraphSpec extends SparkSpec {
     assert(edges.toSeq === Seq("a.org" -> "b.org", "c.org" -> "a.org"))
   }
 
+  // ---- resolveRedirects (bounded-hop chain collapse) ----
+
+  test("resolveRedirects: chains collapse to their terminal, " +
+    "never-redirected urls settle at hops=0, loops come back " +
+    "unresolved at the cap instead of hanging") {
+    val redirects = Seq(
+      ("a", "b"), ("b", "c"), // a → b → c, c terminal
+      ("x", "y"), ("y", "x")  // 2-loop
+    ).toDF("src", "dst")
+    val urls = Seq("a", "b", "c", "x", "plain").toDF("url")
+    val out = LinkGraph.resolveRedirects(urls, redirects, maxHops = 4)
+      .select($"url", $"final_url", $"hops", $"resolved")
+      .as[(String, String, Int, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("a", "c", 2, true),
+      ("b", "c", 1, true),
+      ("c", "c", 0, true),
+      ("plain", "plain", 0, true),
+      // 4 hops around the 2-loop lands back on x, unresolved
+      ("x", "x", 4, false)))
+  }
+
+  test("resolveRedirects: chain of exactly maxHops settles AT the cap," +
+    " one hop longer reports unresolved where it stopped") {
+    val chain = (0 until 5).map(i => (s"u$i", s"u${i + 1}")).toDF("src", "dst")
+    val out = LinkGraph.resolveRedirects(
+      Seq("u0", "u1").toDF("url"), chain, maxHops = 4)
+      .select($"url", $"final_url", $"hops", $"resolved")
+      .as[(String, String, Int, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      // u0's chain has 5 hops: stops at u4, which still redirects
+      ("u0", "u4", 4, false),
+      // u1's remaining chain is exactly 4 hops: settles at the cap
+      ("u1", "u5", 4, true)))
+  }
+
+  test("resolveRedirects: duplicate sources reduce to the MIN target " +
+    "deterministically; guards refuse maxHops < 1") {
+    val redirects = Seq(("a", "z"), ("a", "b")).toDF("src", "dst")
+    val out = LinkGraph.resolveRedirects(
+      Seq("a").toDF("url"), redirects, maxHops = 2)
+      .select($"final_url", $"hops").as[(String, Int)].collect()
+    assert(out.toSeq === Seq(("b", 1)))
+    intercept[IllegalArgumentException] {
+      LinkGraph.resolveRedirects(Seq("a").toDF("url"), redirects, maxHops = 0)
+    }
+  }
+
   // ---- pageRank (deterministic fixed-point) ----
 
   test("pageRank: hand-computed two-iteration fixed point, " +

@@ -79,4 +79,43 @@ class SitemapsSpec extends SparkSpec {
     assert(out === Seq(("s1.xml", "https://e.org/1", false),
       ("s2.xml", "https://e.org/sub.xml", true)))
   }
+
+  test("recrawlSchedule: changefreq periods, day-granular lastmod, " +
+    "never disables, unknown/absent defaults, bad lastmod due " +
+    "immediately, zero shuffle") {
+    // now = 2026-01-11T00:00:00Z = 20464 days * 86400
+    val now = 20464L * 86400L
+    val entries = Seq(
+      // lastmod 2026-01-01 = epoch day 20454
+      ("u1", "2026-01-01", "daily"),        // due 20455d, overdue 9d
+      ("u2", "2026-01-01T08:30:00+00:00", "weekly"), // time-of-day cut
+      ("u3", "2026-01-01", "never"),        // never due
+      ("u4", "2026-01-01", "junk"),         // unknown -> default 2d
+      ("u5", "2026-01-01", null),           // absent -> default
+      ("u6", "not a date", "daily"),        // bad lastmod -> due at 0
+      ("u7", "2026-01-01", "ALWAYS")        // case-insensitive, period 0
+    ).toDF("loc", "lastmod", "changefreq")
+    val out = Sitemaps.recrawlSchedule(entries, now,
+      defaultPeriodSec = 2L * 86400L)
+    val rows = out.select($"loc", $"period_sec", $"due_at_sec",
+        $"overdue_sec", $"fetch_due")
+      .as[(String, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect().sortBy(_._1)
+    val d20454 = 20454L * 86400L
+    assert(rows.toSeq === Seq(
+      ("u1", Some(86400L), Some(d20454 + 86400L),
+        Some(now - d20454 - 86400L), true),
+      ("u2", Some(604800L), Some(d20454 + 604800L),
+        Some(now - d20454 - 604800L), true),
+      ("u3", None, None, None, false),
+      ("u4", Some(172800L), Some(d20454 + 172800L),
+        Some(now - d20454 - 172800L), true),
+      ("u5", Some(172800L), Some(d20454 + 172800L),
+        Some(now - d20454 - 172800L), true),
+      ("u6", Some(86400L), Some(0L), Some(now), true),
+      ("u7", Some(0L), Some(d20454), Some(now - d20454), true)))
+    // narrow projection: no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"recrawlSchedule must not shuffle:\n$plan")
+  }
 }
