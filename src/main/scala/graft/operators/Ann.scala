@@ -230,6 +230,102 @@ object Ann {
     newVectors.withColumn("ivf_cluster", assignUdf(col(index.embCol)))
   }
 
+  /** Delete-maintenance for the persisted IVF layout — the dual of
+    * [[assignToIvf]]'s nightly append, closing the same asymmetry the
+    * keyword indexes closed with `Bm25.deleteFromPersistedIndex`: a
+    * corpus that deletes documents must not drift from its vector
+    * index until a refit.
+    *
+    * Victims (id + embedding) route to their cluster by the SAME
+    * double-precision centroid argmin the layout was built with
+    * ([[nearestCentroid]]), so the touched `ivf_cluster=K` partitions
+    * are known WITHOUT scanning the index; only those partitions are
+    * read (partition-pruned) and rewritten survivors-only. The swap
+    * follows the keyword-index discipline: every staged partition
+    * writes before any publish; publishes are aside-renames rolled
+    * back TOGETHER on failure; crash parks (`.old_c*`) are removed
+    * only after every publish committed, and a leftover park from a
+    * crashed run refuses loudly (restore or rebuild first). An
+    * EMPTIED cluster's partition dir is removed — partition discovery
+    * then treats the cluster as empty, which is the correct search
+    * result. A victim id absent from its routed partition refuses
+    * loudly: the caller's corpus and the index disagree, and deleting
+    * around that would hide corruption.
+    *
+    * Returns the touched cluster ids, ascending. Single-writer
+    * contract, like the keyword indexes. */
+  def deleteFromPersistedIvf(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, victims: DataFrame,
+                             embCol: String = "embedding",
+                             idCol: String = "vec_id"): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val corpus = s"$dir/corpus"
+    val fs = new Path(corpus).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parks = Option(fs.globStatus(new Path(s"$corpus/.old_c*")))
+      .getOrElse(Array.empty).toSeq
+    require(parks.isEmpty,
+      s"ivf-delete: leftover crash-recovery park(s) " +
+        s"${parks.map(_.getPath).mkString(", ")} — restore the parked " +
+        "partitions (or rebuild the index) before deleting")
+    val index = loadIvf(spark, dir, embCol, idCol)
+    val cents = index.centroids
+    val assignU = udf { (v: Seq[Float]) => nearestCentroid(cents, v) }
+    val routed = victims
+      .select(col(idCol).as("__vid"), assignU(col(embCol)).as("__vc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = routed.select(col("__vc")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    try {
+      if (touched.isEmpty) return Seq.empty
+      val corpusTouched = spark.read.parquet(corpus)
+        .where(col("ivf_cluster").isin(touched: _*))
+      val missing = routed.join(
+        corpusTouched.select(col(idCol).as("__vid"),
+          col("ivf_cluster").as("__vc")),
+        Seq("__vid", "__vc"), "left_anti").count()
+      require(missing == 0,
+        s"ivf-delete: $missing victim id(s) not present in their routed " +
+          "cluster — corpus and index disagree; rebuild the index")
+      // stage ALL survivors before publishing ANY partition
+      val staging = s"$corpus/.delete_stage"
+      fs.delete(new Path(staging), true)
+      corpusTouched
+        .join(routed.select(col("__vid").as(idCol)), Seq(idCol), "left_anti")
+        .write.partitionBy("ivf_cluster").parquet(staging)
+      def dirP(c: Int) = new Path(s"$corpus/ivf_cluster=$c")
+      def oldP(c: Int) = new Path(s"$corpus/.old_c$c")
+      def stgP(c: Int) = new Path(s"$staging/ivf_cluster=$c")
+      val published = scala.collection.mutable.ArrayBuffer.empty[Int]
+      try {
+        touched.foreach { c =>
+          require(fs.rename(dirP(c), oldP(c)),
+            s"ivf-delete: could not park ${dirP(c)}; index untouched")
+          // an emptied cluster stages nothing: parking alone removes it
+          if (fs.exists(stgP(c)) && !fs.rename(stgP(c), dirP(c)))
+            throw new IllegalStateException(
+              s"ivf-delete: could not publish ${stgP(c)} -> ${dirP(c)}")
+          published += c
+        }
+      } catch {
+        case e: Throwable =>
+          (published :+ touched.find(c => !published.contains(c))
+            .getOrElse(-1)).filter(_ >= 0).foreach { c =>
+            if (fs.exists(oldP(c))) {
+              fs.delete(dirP(c), true)
+              fs.rename(oldP(c), dirP(c))
+            }
+          }
+          throw new IllegalStateException(
+            s"ivf-delete: publish failed, all partitions rolled back: " +
+              e.getMessage, e)
+      }
+      touched.foreach(c => fs.delete(oldP(c), true))
+      fs.delete(new Path(staging), true)
+      touched
+    } finally routed.unpersist(blocking = false)
+  }
+
   /** Fixed-point scale for deterministic distributed float sums: a
     * per-row double in [0, ~8e12) is floored to integer 2^-20 units, so
     * the aggregation sums LONGS — exact, associative, and therefore

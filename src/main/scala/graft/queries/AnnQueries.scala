@@ -419,6 +419,47 @@ object AnnQueries {
       Ann.ivfDriftReport(index.copy(assigned = union))
         .orderBy(col("ivf_cluster"))
     },
+    // delete-maintenance for the persisted IVF — the append's dual
+    // (ann_ivf_append), same contract as bm25_delete: victims route
+    // by the SAME centroid assignment (no index scan), only their
+    // partitions rewrite via stage/park/publish, and the standard
+    // search over the deleted index must equal the search over the
+    // SURVIVING corpus — delete ≡ rebuild (survivor assignment IS the
+    // full assignment restricted: centroids don't refit on delete).
+    // The oracle therefore replays probes + the FULL-corpus handoff
+    // assignment + the explicit victim predicate — an innocent row
+    // the delete wrongly dropped (or a victim it missed) in a probed
+    // cluster forks the top-10. The shared BuildOnce artifact is
+    // file-copied to a temp dir because the delete mutates in place.
+    "ann_ivf_delete" -> { (s, dir) =>
+      val full = persistedIvf(s, dir)
+      writeIvfHandoff(s, full)
+      val src = new java.io.File(persistedIvfPath(s, dir))
+      val tmp = java.nio.file.Files.createTempDirectory("ivfdel").toFile
+      try {
+        HybridQueries.copyTree(src, tmp)
+        val victims = Tables.embeddings(s, dir)
+          .where(col("vec_id") % 10 === 0)
+          .select(col("vec_id"), col("embedding"))
+        Ann.deleteFromPersistedIvf(s, tmp.getAbsolutePath, victims)
+        val index = Ann.loadIvf(s, tmp.getAbsolutePath)
+        // materialize before the temp dir is deleted
+        import s.implicits._
+        Ann.searchIvf(index, VectorQueries.qvec(s, dir, 0), 10, nprobe = 4)
+          .drop("embedding")
+          .select(col("vec_id"), col("label"), col("ivf_cluster"),
+            col("dist"))
+          .as[(Long, Int, Int, Double)].collect().toSeq
+          .toDF("vec_id", "label", "ivf_cluster", "dist")
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(tmp)
+      }
+    },
     // embedding-space domain discovery: per-cluster census over the
     // SAME persisted IVF index the ANN path searches (one k-means fit
     // serves both). The oracle replays the census — fixed-point mean
@@ -915,6 +956,27 @@ object AnnQueries {
          |JOIN asg a ON e.vec_id = a.vec_id
          |CROSS JOIN $qvecSql q
          |WHERE a.ivf_cluster IN (SELECT cluster_id FROM probes)
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    // ann_ivf's replay over the full-corpus handoff assignment MINUS
+    // the victims — survivor assignment is the full assignment
+    // restricted (no refit on delete), so this re-derives the
+    // deleted-index search independently of the delete code
+    "ann_ivf_delete" ->
+      s"""WITH cents AS (SELECT * FROM ${rp(CentroidsHandoff)}),
+         |probes AS (
+         |  SELECT cluster_id FROM cents CROSS JOIN $qvecSql q
+         |  ORDER BY CAST(list_distance(centroid, q.qv) AS DOUBLE), cluster_id
+         |  LIMIT 4
+         |),
+         |asg AS (SELECT * FROM ${rp(AssignedHandoff)})
+         |SELECT e.vec_id, e.label, a.ivf_cluster,
+         |       CAST(list_distance(e.embedding, q.qv) AS DOUBLE) AS dist
+         |FROM embeddings e
+         |JOIN asg a ON e.vec_id = a.vec_id
+         |CROSS JOIN $qvecSql q
+         |WHERE a.ivf_cluster IN (SELECT cluster_id FROM probes)
+         |  AND e.vec_id % 10 <> 0
          |ORDER BY dist, e.vec_id
          |LIMIT 10""".stripMargin,
     // ann_ivf's replay + the same predicate inside the probed set

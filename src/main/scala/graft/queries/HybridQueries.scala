@@ -267,7 +267,7 @@ object HybridQueries {
 
   /** Local-FS recursive copy (the persisted-index layout is plain
     * files; bench/gate both run on local dirs). */
-  private def copyTree(from: java.io.File, to: java.io.File): Unit = {
+  private[queries] def copyTree(from: java.io.File, to: java.io.File): Unit = {
     if (from.isDirectory) {
       to.mkdirs()
       Option(from.listFiles()).foreach(_.foreach(f =>

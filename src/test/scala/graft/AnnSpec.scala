@@ -693,4 +693,68 @@ class AnnSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ann.searchRp(projected, planes, q, k = 10, candidates = 5))
   }
+
+  test("deleteFromPersistedIvf: delete == rebuild over survivors; only " +
+    "routed partitions rewrite; emptied cluster disappears; over-delete" +
+    " and crash parks refuse; empty victims no-op") {
+    withTempDir("ivfdel") { dir =>
+      val emb = Tables.embeddings(spark, sfDir)
+      val p = dir.getAbsolutePath
+      Ann.saveIvf(Ann.buildIvf(emb, numClusters = 8), p)
+      val loaded = Ann.loadIvf(spark, p)
+      // victims: every vector of ONE cluster (to empty it) plus a few
+      // from another — untouched clusters' files must not be rewritten
+      val asg = loaded.assigned.select($"vec_id", $"ivf_cluster")
+        .as[(Long, Int)].collect()
+      val clusters = asg.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val emptyC = clusters.keys.min
+      val otherC = clusters.keys.max
+      val victimIds =
+        (clusters(emptyC) ++ clusters(otherC).take(2)).toSet
+      val untouched = clusters.keys.filter(c => c != emptyC && c != otherC)
+      val mtimes = untouched.map { c =>
+        val d = new java.io.File(dir, s"corpus/ivf_cluster=$c")
+        c -> Option(d.listFiles()).getOrElse(Array.empty)
+          .map(f => f.getName -> f.lastModified()).toMap
+      }.toMap
+      val victims = emb.filter($"vec_id".isin(victimIds.toSeq: _*))
+        .select($"vec_id", $"embedding")
+      val touched = Ann.deleteFromPersistedIvf(spark, p, victims)
+      assert(touched === Seq(emptyC, otherC).sorted)
+      // emptied cluster's partition dir is gone; no parks/staging left
+      assert(!new java.io.File(dir, s"corpus/ivf_cluster=$emptyC").exists())
+      assert(Option(new java.io.File(dir, "corpus").listFiles()).get
+        .forall(f => !f.getName.startsWith(".old_c") &&
+          f.getName != ".delete_stage"))
+      // untouched partitions: byte-for-byte the same files
+      untouched.foreach { c =>
+        val d = new java.io.File(dir, s"corpus/ivf_cluster=$c")
+        val now = Option(d.listFiles()).getOrElse(Array.empty)
+          .map(f => f.getName -> f.lastModified()).toMap
+        assert(now === mtimes(c), s"cluster $c was rewritten")
+      }
+      // delete == rebuild: surviving rows identical to the full
+      // assignment minus victims (no refit on delete)
+      val after = Ann.loadIvf(spark, p).assigned
+        .select($"vec_id", $"ivf_cluster").as[(Long, Int)].collect().toSet
+      val expect = asg.filterNot(r => victimIds(r._1)).toSet
+      assert(after === expect)
+      // over-delete: an id not in its routed cluster refuses loudly
+      val ghost = emb.filter($"vec_id" === clusters(otherC).head)
+        .select(($"vec_id" + 900000).as("vec_id"), $"embedding")
+      intercept[IllegalArgumentException] {
+        Ann.deleteFromPersistedIvf(spark, p, ghost)
+      }
+      // crash park present: refuse before touching anything
+      val park = new java.io.File(dir, "corpus/.old_c99")
+      park.mkdirs()
+      intercept[IllegalArgumentException] {
+        Ann.deleteFromPersistedIvf(spark, p, victims.limit(1))
+      }
+      park.delete()
+      // empty victim set: no-op, no touched clusters
+      assert(Ann.deleteFromPersistedIvf(spark, p,
+        victims.limit(0)) === Seq.empty)
+    }
+  }
 }
