@@ -51,7 +51,7 @@ object Bench {
     if (Seq("ann_ivf", "ann_ivfpq", "ann_ivf_append", "cluster_domains",
         "ann_recall_report", "mine_hard_negatives", "ann_ivf_filtered",
         "ann_ivf_sq8", "ann_ivf_bq", "ann_ndcg_report",
-        "ann_mrr_report").exists(selected.contains))
+        "ann_mrr_report", "ann_ivf_delete").exists(selected.contains))
       try graft.queries.AnnQueries.persistedIvf(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] WARNING: IVF warmup failed (${e.getMessage}); " +
