@@ -96,6 +96,20 @@ object StreamingIngest {
         graft.operators.Urls.canonicalKeyCol(col(urlCol), col(htmlCol)))
       .where(col("canonical").isNotNull)
 
+  /** Streaming link discovery: [[crawlPageStream]]'s continuation —
+    * the PRODUCTION [[graft.operators.LinkGraph.extractLinks]] over
+    * each arriving page (per-row flatMap: resolve + normalize +
+    * nofollow/self/scheme hygiene), emitting one row per discovered
+    * frontier key. Stateless, so batch==stream by construction; the
+    * corpus-global stages that CONSUME the discovered links —
+    * pageRank, canonical collapse, frontier dedup — stay batch by
+    * design, exactly like the collapse in [[crawlPageStream]]. */
+  def linkDiscoveryStream(pages: DataFrame, urlCol: String = "url",
+                          htmlCol: String = "html",
+                          skipNofollow: Boolean = true): DataFrame =
+    graft.operators.LinkGraph.extractLinks(pages, urlCol, htmlCol,
+      skipNofollow)
+
   /** Streaming CSV ingest: the [[jsonlIngestStream]] twin over the
     * positional format — the same shared lines→status parse as batch
     * [[graft.sources.CsvDocs]], so stream==batch parity (including the

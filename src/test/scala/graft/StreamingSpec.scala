@@ -432,6 +432,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming link discovery twin: production extractLinks per " +
+    "arriving page, batch==stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val pages = Seq(
+      ("https://ex.org/dir/p", "<a href=\"/abs\">a</a><a href=\"rel\">r</a>" +
+        "<a rel=\"nofollow\" href=\"/spam\">n</a><a href=\"#top\">s</a>"),
+      ("https://other.net/q", "<a href=\"https://t.org/x#f\">t</a>"),
+      (null.asInstanceOf[String], "<a href=\"/never\">x</a>"))
+    val input = MemoryStream[(String, String)]
+    val out = StreamingIngest.linkDiscoveryStream(
+      input.toDF().toDF("url", "html"))
+    val q = out.writeStream.format("memory").queryName("linkdisc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(pages: _*)
+      q.processAllAvailable()
+      val stream = spark.table("linkdisc").select($"url", $"link")
+        .as[(String, String)].collect().sorted
+      val batch = graft.operators.LinkGraph.extractLinks(
+          pages.toDF("url", "html"))
+        .select($"url", $"link").as[(String, String)].collect().sorted
+      assert(stream.toSeq === batch.toSeq)
+      assert(stream.map(_._2).toSeq === Seq(
+        "https://ex.org/abs", "https://ex.org/dir/rel", "https://t.org/x"))
+    } finally q.stop()
+  }
+
   test("streaming NB scoring twin: stateless, batch==stream integer parity") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CorpusModels
