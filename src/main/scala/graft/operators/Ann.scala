@@ -248,9 +248,13 @@ object Ann {
     * crashed run refuses loudly (restore or rebuild first). An
     * EMPTIED cluster's partition dir is removed — partition discovery
     * then treats the cluster as empty, which is the correct search
-    * result. A victim id absent from its routed partition refuses
-    * loudly: the caller's corpus and the index disagree, and deleting
-    * around that would hide corruption.
+    * result. A victim missing from its routed partition (possible:
+    * build-time assignment is MLlib's double-precision transform
+    * while routing argmins the float-rounded stored centroids, so a
+    * boundary-straddling vector can land one cluster over) is LOCATED
+    * by a column-pruned id scan and deleted where it actually lives;
+    * only a victim absent from the whole index refuses loudly —
+    * corpus/index disagreement must not be papered over.
     *
     * Returns the touched cluster ids, ascending. Single-writer
     * contract, like the keyword indexes. */
@@ -271,59 +275,61 @@ object Ann {
     val index = loadIvf(spark, dir, embCol, idCol)
     val cents = index.centroids
     val assignU = udf { (v: Seq[Float]) => nearestCentroid(cents, v) }
-    val routed = victims
+    val routed0 = victims
       .select(col(idCol).as("__vid"), assignU(col(embCol)).as("__vc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = routed.select(col("__vc")).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
     try {
-      if (touched.isEmpty) return Seq.empty
-      val corpusTouched = spark.read.parquet(corpus)
-        .where(col("ivf_cluster").isin(touched: _*))
-      val missing = routed.join(
-        corpusTouched.select(col(idCol).as("__vid"),
-          col("ivf_cluster").as("__vc")),
-        Seq("__vid", "__vc"), "left_anti").count()
-      require(missing == 0,
-        s"ivf-delete: $missing victim id(s) not present in their routed " +
-          "cluster — corpus and index disagree; rebuild the index")
-      // stage ALL survivors before publishing ANY partition
+      val touched0 = routed0.select(col("__vc")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (touched0.isEmpty) return Seq.empty
+      def idClusters(pruneTo: Option[Seq[Int]]) = {
+        // ids + the partition column ONLY — never the vectors
+        val all = spark.read.parquet(corpus)
+        pruneTo.fold(all)(cs => all.where(col("ivf_cluster").isin(cs: _*)))
+          .select(col(idCol).as("__vid"), col("ivf_cluster").as("__vc"))
+      }
+      // build-time assignment is MLlib's double-precision transform;
+      // the routing here argmins against the float-rounded stored
+      // centroids — a victim sitting within float-rounding distance of
+      // two centroids can straddle the boundary. Those strays are
+      // LOCATED by a column-pruned id scan instead of refusing a
+      // healthy delete; only a victim absent from the whole index is a
+      // real corpus/index disagreement and still refuses.
+      val missIds = routed0
+        .join(idClusters(Some(touched0)), Seq("__vid", "__vc"), "left_anti")
+        .select(col("__vid")).collect().map(_.get(0))
+      val routed = if (missIds.isEmpty) routed0 else {
+        val strays = idClusters(None)
+          .where(col("__vid").isin(missIds: _*))
+          .withColumnRenamed("__vc", "__vc2")
+        val found = strays.select(col("__vid")).collect().map(_.get(0)).toSet
+        val absent = missIds.filterNot(found)
+        require(absent.isEmpty,
+          s"ivf-delete: victim id(s) ${absent.take(5).mkString(", ")} not " +
+            "present in the index — corpus and index disagree; rebuild")
+        routed0.join(strays, Seq("__vid"), "left_outer")
+          .select(col("__vid"),
+            coalesce(col("__vc2"), col("__vc")).as("__vc"))
+      }
+      val touched = routed.select(col("__vc")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      // stage ALL survivors before publishing ANY partition — the one
+      // full-row read of the touched partitions in the whole protocol
       val staging = s"$corpus/.delete_stage"
       fs.delete(new Path(staging), true)
-      corpusTouched
+      spark.read.parquet(corpus)
+        .where(col("ivf_cluster").isin(touched: _*))
         .join(routed.select(col("__vid").as(idCol)), Seq(idCol), "left_anti")
         .write.partitionBy("ivf_cluster").parquet(staging)
-      def dirP(c: Int) = new Path(s"$corpus/ivf_cluster=$c")
       def oldP(c: Int) = new Path(s"$corpus/.old_c$c")
-      def stgP(c: Int) = new Path(s"$staging/ivf_cluster=$c")
-      val published = scala.collection.mutable.ArrayBuffer.empty[Int]
-      try {
-        touched.foreach { c =>
-          require(fs.rename(dirP(c), oldP(c)),
-            s"ivf-delete: could not park ${dirP(c)}; index untouched")
-          // an emptied cluster stages nothing: parking alone removes it
-          if (fs.exists(stgP(c)) && !fs.rename(stgP(c), dirP(c)))
-            throw new IllegalStateException(
-              s"ivf-delete: could not publish ${stgP(c)} -> ${dirP(c)}")
-          published += c
-        }
-      } catch {
-        case e: Throwable =>
-          (published :+ touched.find(c => !published.contains(c))
-            .getOrElse(-1)).filter(_ >= 0).foreach { c =>
-            if (fs.exists(oldP(c))) {
-              fs.delete(dirP(c), true)
-              fs.rename(oldP(c), dirP(c))
-            }
-          }
-          throw new IllegalStateException(
-            s"ivf-delete: publish failed, all partitions rolled back: " +
-              e.getMessage, e)
-      }
-      touched.foreach(c => fs.delete(oldP(c), true))
+      LayoutSwap.publish[Int](fs, touched,
+        c => new Path(s"$corpus/ivf_cluster=$c"), oldP,
+        c => new Path(s"$staging/ivf_cluster=$c"),
+        "ivf-delete", allowMissingStaged = true)
+      LayoutSwap.removeParks(fs, touched, oldP)
       fs.delete(new Path(staging), true)
       touched
-    } finally routed.unpersist(blocking = false)
+    } finally routed0.unpersist(blocking = false)
   }
 
   /** Fixed-point scale for deterministic distributed float sums: a

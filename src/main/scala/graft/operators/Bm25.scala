@@ -441,37 +441,14 @@ object Bm25 {
     * [[Maintenance.compactParquetVersioned]]; for this operator the
     * contract is single writer + restore-or-rebuild on a crash. */
   private def publishRanges(fs: org.apache.hadoop.fs.FileSystem,
-                            base: String, touched: Seq[Long], op: String): Unit = {
-    def dirP(rid: Long) = new org.apache.hadoop.fs.Path(s"$base/postings/range_id=$rid")
-    def oldP(rid: Long) = new org.apache.hadoop.fs.Path(s"$base/postings/.old_r$rid")
-    val published = scala.collection.mutable.ArrayBuffer.empty[Long]
-    try {
-      touched.foreach { rid =>
-        val staging = new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid")
-        // no stale oldP can exist here: the entry fail-fast refused
-        // the run if any crash-recovery dir was present
-        require(fs.rename(dirP(rid), oldP(rid)),
-          s"$op: could not park ${dirP(rid)} aside; index untouched")
-        if (!fs.rename(staging, dirP(rid)))
-          throw new IllegalStateException(
-            s"$op: could not publish $staging -> ${dirP(rid)}")
-        published += rid
-      }
-    } catch {
-      case e: Throwable =>
-        // roll back every range already swapped this run, then the
-        // one that failed mid-park (whose dir may be at oldP only)
-        (published :+ touched.find(r => !published.contains(r)).getOrElse(-1L))
-          .filter(_ >= 0).foreach { rid =>
-            if (fs.exists(oldP(rid))) {
-              fs.delete(dirP(rid), true)
-              fs.rename(oldP(rid), dirP(rid))
-            }
-          }
-        throw new IllegalStateException(
-          s"$op: publish failed, all ranges rolled back: ${e.getMessage}", e)
-    }
-  }
+                            base: String, touched: Seq[Long], op: String): Unit =
+    // no stale .old_r can exist here: the entry fail-fast refused the
+    // run if any crash-recovery dir was present
+    LayoutSwap.publish[Long](fs, touched,
+      rid => new org.apache.hadoop.fs.Path(s"$base/postings/range_id=$rid"),
+      rid => new org.apache.hadoop.fs.Path(s"$base/postings/.old_r$rid"),
+      rid => new org.apache.hadoop.fs.Path(s"$base/postings/.append_r$rid"),
+      op)
 
   /** Drop the crash-recovery parks — ONLY after every metadata swap
     * (manifest, stats) has committed. */

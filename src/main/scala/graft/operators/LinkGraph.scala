@@ -156,6 +156,10 @@ object LinkGraph {
                        srcCol: String = "src", dstCol: String = "dst")
       : DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    // null-URL hygiene (the canonicalCollapse rule, same as every
+    // other crawl-loop stage): a URL-less row has nothing to resolve
+    // and must not ride into the fetch plan as a "resolved" null
+    val frontier = urls.filter(col(urlCol).isNotNull)
     val rmap = redirects
       .select(col(srcCol).cast("string").as("__rsrc"),
         col(dstCol).cast("string").as("__rdst"))
@@ -163,7 +167,7 @@ object LinkGraph {
       .groupBy("__rsrc")
       .agg(min(col("__rdst")).as("__rdst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var f = urls
+    var f = frontier
       .withColumn("__cur", col(urlCol).cast("string"))
       .withColumn("__hops", lit(0))
     for (_ <- 1 to maxHops) {

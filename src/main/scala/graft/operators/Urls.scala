@@ -323,6 +323,11 @@ object Urls {
     frontier
       .filter(col(urlCol).isNotNull)
       .withColumn("host", host(col(urlCol)))
+      // hostless junk ('not a url', non-http schemes) extracts '' —
+      // there is no host to be polite to and nothing to fetch, so it
+      // must not occupy slots in a shared fake '' partition (the same
+      // guard hostGraph applies to its edge ends)
+      .filter(col("host") =!= "")
       .join(broadcast(delays), Seq("host"), "left_outer")
       .withColumn("delay_ms",
         coalesce(round(col("__delay_s") * 1000).cast("long"),

@@ -932,8 +932,8 @@ object WebQueries {
       |sched AS (
       |  SELECT f.link, f.host,
       |         CAST(row_number() OVER (PARTITION BY f.host ORDER BY f.link) - 1 AS BIGINT) AS slot,
-      |         del.delay_ms
-      |  FROM f JOIN del ON f.host = del.host
+      |         COALESCE(del.delay_ms, 1000) AS delay_ms
+      |  FROM f LEFT JOIN del ON f.host = del.host
       |)
       |SELECT s.link, s.host, r.r AS "rank", s.slot, s.delay_ms,
       |       s.slot * s.delay_ms AS fetch_after_ms

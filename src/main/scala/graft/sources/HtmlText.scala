@@ -533,8 +533,8 @@ object HtmlText {
 
   /** Outgoing hyperlinks — every `<a href=…>` in document order, raw
     * (unresolved) href values. The link-graph half of the crawl loop:
-    * [[graft.operators.Urls.extractLinks]] resolves these against the
-    * page URL and normalizes them into frontier keys. Rides the same
+    * `graft.operators.LinkGraph.extractLinks` resolves these against
+    * the page URL and normalizes them into frontier keys. Rides the same
     * scanner as the head signals, so links inside comments or
     * script/style raw text are never emitted (a scripted
     * `document.write('<a href=…>')` is not a crawlable edge). With
@@ -583,11 +583,60 @@ object HtmlText {
       val href = a.getOrElse("href", "")
       if (href.nonEmpty && !(skipNofollow && a.get("rel").exists(
           _.toLowerCase.split("\\s+").contains("nofollow")))) {
-        val close = indexOfCloseTag(html, innerStart, "a")
+        val close = indexOfCloseTagMarkup(html, innerStart, "a")
         out += href -> extractText(html.substring(innerStart, close))
       }
     }
     out.result()
+  }
+
+  /** [[indexOfCloseTag]] for spans of regular MARKUP (the anchor inner
+    * content): a close tag inside an HTML comment is not a close tag,
+    * and neither is one inside a quoted attribute value of a nested
+    * tag — `<a>see <!-- </a> --> this</a>` must not truncate at the
+    * commented-out close. The raw-text variant ([[indexOfCloseTag]],
+    * serving script/style skipping) deliberately stays comment-BLIND:
+    * a JS string containing `<!--` must not swallow the real
+    * `</script>`. */
+  private def indexOfCloseTagMarkup(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    var i = from
+    while (i < n) {
+      i = s.indexOf('<', i)
+      if (i < 0) return n
+      if (s.startsWith("<!--", i)) {
+        val e = s.indexOf("-->", i + 4)
+        if (e < 0) return n
+        i = e + 3
+      } else if (i + 1 < n && s.charAt(i + 1) == '/' &&
+        s.regionMatches(true, i + 2, name, 0, name.length) && {
+          val after = i + 2 + name.length
+          after >= n || {
+            val c = s.charAt(after)
+            c == '>' || isAsciiWs(c) || c == '/'
+          }
+        }) {
+        return i
+      } else if (i + 1 < n && (s.charAt(i + 1).isLetter ||
+        s.charAt(i + 1) == '/' || s.charAt(i + 1) == '!' ||
+        s.charAt(i + 1) == '?')) {
+        // some other tag: skip its body quote-aware so a '</a>' inside
+        // a quoted attribute value never truncates the span
+        var quote: Char = 0
+        var k = i + 1
+        var end = -1
+        while (k < n && end < 0) {
+          val ch = s.charAt(k)
+          if (quote != 0) { if (ch == quote) quote = 0 }
+          else if (ch == '"' || ch == '\'') quote = ch
+          else if (ch == '>') end = k
+          k += 1
+        }
+        if (end < 0) return n
+        i = end + 1
+      } else i += 1
+    }
+    n
   }
 
   /** Start index of the first `</name…>` close tag at or after `from`

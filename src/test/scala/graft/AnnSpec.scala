@@ -757,4 +757,31 @@ class AnnSpec extends SparkSpec {
         victims.limit(0)) === Seq.empty)
     }
   }
+
+  test("deleteFromPersistedIvf: a victim routing to the wrong cluster " +
+    "(boundary-stray simulation) is located by id and deleted where it" +
+    " lives") {
+    withTempDir("ivfstray") { dir =>
+      val emb = Tables.embeddings(spark, sfDir)
+      val p = dir.getAbsolutePath
+      Ann.saveIvf(Ann.buildIvf(emb, numClusters = 8), p)
+      val asg = Ann.loadIvf(spark, p).assigned
+        .select($"vec_id", $"ivf_cluster").as[(Long, Int)].collect()
+      val byCluster = asg.groupBy(_._2)
+      val c1 = byCluster.keys.min
+      val c2 = byCluster.keys.max
+      val victimId = byCluster(c1).head._1 // lives in c1
+      val otherId = byCluster(c2).head._1 // its embedding routes to c2
+      // the victim arrives with an embedding that argmins into c2 —
+      // exactly what a float-rounding boundary straddle looks like to
+      // the router; the id must still be found and deleted from c1
+      val victims = emb.filter($"vec_id" === otherId)
+        .select(lit(victimId).as("vec_id"), $"embedding")
+      val touched = Ann.deleteFromPersistedIvf(spark, p, victims)
+      assert(touched === Seq(c1), s"expected relocation to c1, got $touched")
+      val after = Ann.loadIvf(spark, p).assigned
+        .select($"vec_id").as[Long].collect().toSet
+      assert(!after.contains(victimId) && after.contains(otherId))
+    }
+  }
 }

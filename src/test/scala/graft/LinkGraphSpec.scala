@@ -54,6 +54,20 @@ class LinkGraphSpec extends SparkSpec {
     assert(HtmlText.anchors(null) === Seq.empty)
   }
 
+  test("anchors: a close tag hidden in a comment or a quoted attribute" +
+    " of the inner content does not truncate the span") {
+    assert(HtmlText.anchors("<a href=\"/x\">see <!-- </a> --> this</a>")
+      === Seq("/x" -> "see this"))
+    assert(HtmlText.anchors("<a href=\"/x\"><img alt=\"</a>\">real</a>")
+      === Seq("/x" -> "real"))
+    // unterminated comment / unterminated inner tag: never throws,
+    // the span runs to the end like an unclosed anchor
+    assert(HtmlText.anchors("<a href=\"/x\">tail <!-- </a>")
+      === Seq("/x" -> "tail"))
+    assert(HtmlText.anchors("<a href=\"/x\">t <img src=\"y")
+      === Seq("/x" -> "t"))
+  }
+
   test("anchorStats: per-target counts and representatives; empty-text," +
     " nofollow, self and comment-hidden anchors never counted") {
     val pages = Seq(
@@ -142,7 +156,10 @@ class LinkGraphSpec extends SparkSpec {
       ("a", "b"), ("b", "c"), // a → b → c, c terminal
       ("x", "y"), ("y", "x")  // 2-loop
     ).toDF("src", "dst")
-    val urls = Seq("a", "b", "c", "x", "plain").toDF("url")
+    // the null URL must drop (crawl-loop hygiene), not ride through
+    // as a "resolved" null
+    val urls = Seq("a", "b", "c", "x", "plain", null.asInstanceOf[String])
+      .toDF("url")
     val out = LinkGraph.resolveRedirects(urls, redirects, maxHops = 4)
       .select($"url", $"final_url", $"hops", $"resolved")
       .as[(String, String, Int, Boolean)].collect().sortBy(_._1)

@@ -187,6 +187,7 @@ class RobotsSpec extends SparkSpec {
       "https://a.org/p2", "https://a.org/p1", "https://a.org/p3",
       "https://b.org/x", "https://b.org/y",
       "https://c.org/only",
+      "not a url", // hostless junk: nothing to fetch, nothing to schedule
       null.asInstanceOf[String]
     ).toDF("url")
     // robotsMeta-shaped: duplicate host rows (one per sitemap) must
@@ -208,7 +209,8 @@ class RobotsSpec extends SparkSpec {
       ("https://b.org/y", "b.org", 1L, 500L, 500L),
       // c.org declared no delay -> the caller's default
       ("https://c.org/only", "c.org", 0L, 1500L, 0L)))
-    // null-url rows drop; the delay side broadcasts (host-cardinality)
+    // null-url and hostless rows drop; the delay side broadcasts
+    // (host-cardinality)
     assert(out.count() === 6L)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"delay join should broadcast:\n$plan")
