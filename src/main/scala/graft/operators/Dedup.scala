@@ -65,8 +65,14 @@ object Dedup {
         }).getOrElse(false)
       private def cleanup(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
         if (fresh(qe) && refs(qe)) {
-          cached.unpersist(blocking = false); lm.unregister(this)
+          // remove the pending entry BEFORE unpersisting: an observer
+          // that polls for the unpersist (releasePending callers, the
+          // DedupSpec self-release pin) must never see the unpersist
+          // land while the entry still reads as pending — the old
+          // order had that microsecond window and lost the race under
+          // a loaded box
           pendingReleases.remove(this)
+          cached.unpersist(blocking = false); lm.unregister(this)
         }
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
