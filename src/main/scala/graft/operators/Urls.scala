@@ -337,6 +337,58 @@ object Urls {
       .drop("__delay_s")
   }
 
+  /** URL → structural template, the crawl-trap signal: digit runs in
+    * the path collapse to `0`, long (≥8) hex runs to `H`, and query
+    * parameter VALUES drop (keys stay) — so `/cal/2026/08/17?sid=abc`
+    * and `/cal/2026/08/18?sid=def` read as ONE template
+    * (`/cal/0/0/0?sid`). Patterns live in the Java∩RE2 common subset
+    * (the [[UrlPattern]] contract) so the oracle evaluates the
+    * identical strings. Scheme/host are excluded — templates describe
+    * a host's PATH space. */
+  def urlTemplate(url: Column): Column = {
+    // path+query of the URL (strip scheme://authority), then the
+    // three collapses; non-URL junk yields its own literal template
+    val tail = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(tail, "=[^&#]*", ""),
+        "[0-9a-fA-F]{8,}", "H"),
+      "[0-9]+", "0")
+  }
+
+  /** Crawl-trap report: per host, how much of its URL space is
+    * structural explosion. A calendar trap, a session-id mirror, or a
+    * faceted-search lattice mints unbounded URLs from a handful of
+    * path TEMPLATES — so `n_urls` grows without bound while
+    * `n_templates` stays flat, and the fetch budget drowns. Emits
+    * (host, n_urls, n_templates, urls_per_template, trap) where
+    * `trap` = at least `minUrls` URLs AND a urls-per-template ratio
+    * at or above `minRatio`; downstream, anti-join the frontier
+    * against the flagged hosts (or cap their politeness budget).
+    *
+    * Scale shape: template is a narrow per-row projection; the report
+    * is one hash aggregation on host (count + distinct-template
+    * count). Ratio is ONE IEEE division of two exact int64s —
+    * deterministic in any engine. */
+  def trapReport(frontier: DataFrame, urlCol: String = "url",
+                 minUrls: Long = 100L, minRatio: Double = 20.0)
+      : DataFrame = {
+    require(minUrls >= 1 && minRatio >= 1.0,
+      s"bad trap thresholds: minUrls=$minUrls minRatio=$minRatio")
+    frontier
+      .filter(col(urlCol).isNotNull)
+      .select(host(col(urlCol)).as("host"),
+        urlTemplate(col(urlCol)).as("__tpl"))
+      .filter(col("host") =!= "")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("__tpl")).as("n_templates"))
+      .withColumn("urls_per_template",
+        col("n_urls").cast("double") / col("n_templates").cast("double"))
+      .withColumn("trap",
+        col("n_urls") >= minUrls && col("urls_per_template") >= minRatio)
+  }
+
   /** Corpus-wide domain frequency with the blocklist removed: explode
     * hosts → registered domain → hash-agg count. One shuffle on the
     * domain key with map-side partial aggregation; the blocklist

@@ -570,6 +570,27 @@ object WebQueries {
           col("delay_ms"), col("fetch_after_ms"))
         .orderBy(col("link"))
     },
+    // crawl-trap detection: per-host URL-vs-template explosion. Trap
+    // hosts mint every URL from ONE calendar template (digit runs
+    // collapse); healthy hosts carry a letter-ized unique token per
+    // URL (translate defeats the digit collapse) so their ratio stays
+    // 1.0 at every SF. DuckDB writes n_urls/n_templates down
+    // arithmetically — no regex in the oracle, zero shared algebra
+    // with the template collapse.
+    "trap_report" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val d = col("doc_id")
+      val urls = docs.select(explode(array(
+        concat(lit("https://h"), (d % 10).cast("string"),
+          lit(".trap.ex/cal/"), d.cast("string"), lit("/x"),
+          d.cast("string")),
+        concat(lit("https://m"), (d % 10).cast("string"),
+          lit(".ok.ex/p/"),
+          translate(d.cast("string"), "0123456789", "abcdefghij"))
+      )).as("url"))
+      graft.operators.Urls.trapReport(urls, minUrls = 30, minRatio = 10.0)
+        .orderBy(col("host"))
+    },
     // recrawl scheduling: the consumer that makes the parsed sitemap
     // freshness hints actionable. Per doc one entry cycling through
     // the full changefreq vocabulary (+ junk + NULL for the default
@@ -939,6 +960,27 @@ object WebQueries {
       |       s.slot * s.delay_ms AS fetch_after_ms
       |FROM sched s JOIN r3 r ON r.node = s.host
       |ORDER BY s.link""".stripMargin),
+    // the trap expectations written down arithmetically: trap hosts
+    // have ONE template by construction, healthy hosts one per URL
+    "trap_report" ->
+      """WITH u AS (
+        |  SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.trap.ex' AS host,
+        |         doc_id, 0 AS kind
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) || '.ok.ex', doc_id, 1
+        |  FROM documents
+        |), g AS (
+        |  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |         CAST(CASE WHEN MIN(kind) = 0 THEN 1
+        |              ELSE COUNT(DISTINCT doc_id) END AS BIGINT) AS n_templates
+        |  FROM u GROUP BY host
+        |)
+        |SELECT host, n_urls, n_templates,
+        |       CAST(n_urls AS DOUBLE) / CAST(n_templates AS DOUBLE) AS urls_per_template,
+        |       n_urls >= 30 AND
+        |         CAST(n_urls AS DOUBLE) / CAST(n_templates AS DOUBLE) >= 10.0 AS trap
+        |FROM g ORDER BY host""".stripMargin,
     // the same pure schedule arithmetic: changefreq CASE, day-granular
     // TRY_CAST lastmod, never/default/junk lanes, one fixed `now`
     "recrawl_schedule" ->

@@ -344,4 +344,47 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].head()
     assert(a === b)
   }
+
+  test("urlTemplate: digit runs, long hex, query values collapse; " +
+    "scheme/host excluded; non-URL junk keeps its literal shape") {
+    val got = Seq(
+      "https://h.org/cal/2026/08/17?sid=abc&page=2",
+      "https://h.org/cal/2026/08/18?sid=def&page=9",
+      "http://H.org:8080/a1b2c3d4e5f67890/x",
+      "https://h.org/plain#frag",
+      "not a url at all 123"
+    ).toDF("url").select(Urls.urlTemplate($"url")).as[String].collect()
+    assert(got(0) === "/cal/0/0/0?sid&page" && got(0) === got(1))
+    assert(got(2) === "/H/x")
+    assert(got(3) === "/plain#frag")
+    assert(got(4) === "not a url at all 0")
+  }
+
+  test("trapReport: calendar-trap host flagged, template-diverse host " +
+    "not, thresholds respected, hostless/null rows drop") {
+    val urls =
+      (0 until 200).map(i => s"https://trap.org/cal/2026/${i % 12}/$i") ++
+        // 26 letter-keyed sections: distinct TEMPLATES, ratio ~7.7
+        (0 until 200).map(i =>
+          s"https://ok.org/${('a' + i % 26).toChar}/$i") ++
+        Seq("junk", null.asInstanceOf[String])
+    val rep = Urls.trapReport(urls.toDF("url"),
+      minUrls = 100, minRatio = 20.0)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .sortBy(_._1).toSeq
+    assert(rep.map(_._1) === Seq("ok.org", "trap.org"))
+    // trap.org: 200 urls, ONE template (/cal/0/0/0) -> ratio 200, trap
+    val trap = rep.find(_._1 == "trap.org").get
+    assert(trap._2 === 200L && trap._3 === 1L && trap._4 === 200.0 && trap._5)
+    val ok = rep.find(_._1 == "ok.org").get
+    assert(ok._3 === 26L && !ok._5)
+    // below minUrls nothing flags, however explosive the ratio
+    val small = Urls.trapReport(
+      urls.take(50).toDF("url"), minUrls = 100, minRatio = 2.0)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+    assert(small.forall(!_._5))
+    intercept[IllegalArgumentException] {
+      Urls.trapReport(urls.toDF("url"), minRatio = 0.5)
+    }
+  }
 }
