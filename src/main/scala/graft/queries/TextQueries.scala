@@ -181,9 +181,13 @@ object TextQueries {
           .coalesce(1).write.mode("overwrite").parquet(UnigramVocabHandoff)
       }
       val pieces = graft.operators.Unigram.encodeColumn(col("text"), vocab)
-      docs.select(col("doc_id"),
-          size(pieces).cast("long").as("n_pieces"),
-          md5(concat_ws("\u001f", pieces).cast("binary")).as("piece_digest"))
+      // two-stage projection: one Viterbi evaluation per row, not two
+      // (the wordpiece_encode rationale)
+      docs.select(col("doc_id"), pieces.as("__p"))
+        .select(col("doc_id"),
+          size(col("__p")).cast("long").as("n_pieces"),
+          md5(concat_ws("\u001f", col("__p")).cast("binary"))
+            .as("piece_digest"))
         .orderBy(col("doc_id"))
     },
     // corpus piece census THROUGH the same Viterbi apply: top pieces by
@@ -246,11 +250,18 @@ object TextQueries {
       }
       val pieces = graft.operators.WordPiece.encodeColumn(col("text"),
         vocab, maxWordLen = graft.operators.WordPiece.GateMaxWordLen)
-      docs.select(col("doc_id"),
-          size(pieces).cast("long").as("n_pieces"),
-          size(filter(pieces, p => p === graft.operators.WordPiece.Unk))
+      // two-stage projection: the encode UDF is non-cheap, and three
+      // inline references carry THREE copies into the physical plan --
+      // measured 22.3 -> 13.0 s at derived-100x for the same rows
+      // (SCALEBENCH r16 addendum)
+      docs.select(col("doc_id"), pieces.as("__p"))
+        .select(col("doc_id"),
+          size(col("__p")).cast("long").as("n_pieces"),
+          size(filter(col("__p"),
+            p => p === graft.operators.WordPiece.Unk))
             .cast("long").as("n_unk"),
-          md5(concat_ws("\u001f", pieces).cast("binary")).as("piece_digest"))
+          md5(concat_ws("\u001f", col("__p")).cast("binary"))
+            .as("piece_digest"))
         .orderBy(col("doc_id"))
     },
     // corpus piece census through the same greedy apply: what the
