@@ -680,3 +680,57 @@ object LinkScaleProbe {
     spark.stop()
   }
 }
+
+/** Term-scan scale probe (SCALEBENCH instrument, r16): one
+  * Aho–Corasick pass vs |dict| naive contains passes per document,
+  * interleaved A/B in one session. The dictionary derives from the
+  * corpus's own top words suffixed into `factor` variants so its size
+  * is a CLI knob while every term still hits real text.
+  *
+  * Usage: runMain graft.TermScanProbe [sfDir] [dictSize]
+  */
+object TermScanProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "target/sf10-derived"
+    val dictSize = if (args.length > 1) args(1).toInt else 2000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-termscan-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val top = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 3)
+      .groupBy("w").count().orderBy(col("count").desc, col("w"))
+      .limit(math.max(1, dictSize / 4)).collect().map(_.getString(0))
+    val dict = (0 until dictSize).map { i =>
+      val w = top(i % top.length)
+      i / top.length match {
+        case 0 => w
+        case 1 => w + " " + top((i + 1) % top.length) // cross-word phrase
+        case 2 => w.reverse + i // mostly-absent
+        case _ => w + "_" + i // absent
+      }
+    }
+    val nDocs = docs.count()
+    def run(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val total = df.select(sum(col("n_terms"))).head().getLong(0)
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"[termscan-probe] $name dict=$dictSize docs=$nDocs " +
+        f"hits=$total wall=$w%.1f s rate=${nDocs / w}%.0f docs/s")
+    }
+    val naive = udf { (t: String) =>
+      if (t == null) 0L else dict.count(t.contains).toLong
+    }
+    def acDf = operators.TermMatch.scanTerms(docs, dict)
+      .select(col("n_terms"))
+    def naiveDf = docs.select(naive(col("text")).as("n_terms"))
+    // interleaved: naive, ac, naive, ac (first pair absorbs JIT warm)
+    run("naive-contains", naiveDf); run("aho-corasick  ", acDf)
+    run("naive-contains", naiveDf); run("aho-corasick  ", acDf)
+    spark.stop()
+  }
+}

@@ -108,6 +108,20 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII detect + redact: counts per kind, full redacted text
+    // dictionary term scan (the blocklist/bad-word primitive): ONE
+    // Aho–Corasick pass per document instead of |dict| contains
+    // passes or a |dict|-way regex alternation. Substring semantics —
+    // DuckDB replays position(term IN text) per literal term, so the
+    // automaton's failure-link machinery is checked against plain SQL
+    // with zero shared code. Terms include a cross-word phrase and an
+    // absent decoy.
+    "term_scan" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.operators.TermMatch.scanTerms(docs, TermScanDict)
+        .select(col("doc_id"), col("n_terms"),
+          concat_ws(" ", col("terms_found")).as("terms_digest"))
+        .orderBy(col("doc_id"))
+    },
     "t_pii_scrub" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), withPii(col("text")).as("text"))
@@ -455,7 +469,31 @@ object CurationQueries {
       |  )
       |) WHERE qs >= 0.5 AND n BETWEEN 10 AND 100000""".stripMargin
 
+  /** The term_scan gate's literal dictionary: corpus-vocabulary words,
+    * a shared-prefix pair, a cross-word phrase, and an absent decoy —
+    * the same literals the oracle's VALUES list carries. */
+  private val TermScanDict = Seq(
+    "agg", "table", "scan", "row scan", "hash", "ha", "zzz_absent")
+
   val oracle: Map[String, String] = Map(
+    // plain per-term substring replay over the same literal dictionary
+    // — distinct-terms-present semantics make the check exact without
+    // pinning overlap-counting behavior
+    "term_scan" ->
+      """WITH dict AS (
+        |  SELECT * FROM (VALUES ('agg'), ('table'), ('scan'),
+        |    ('row scan'), ('hash'), ('ha'), ('zzz_absent')) d(term)
+        |), hits AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |         string_agg(term, ' ' ORDER BY term) AS ts
+        |  FROM documents, dict
+        |  WHERE position(term IN text) > 0
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(h.n, 0) AS n_terms,
+        |       COALESCE(h.ts, '') AS terms_digest
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "rank_topfrac" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,
