@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r16-opt: a 200-query suite generates thousands of distinct
+  // whole-stage-codegen classes per pass; the JVM default 240 MB code
+  // cache forces continuous flushing of hot compiled methods and the
+  // Catalyst default of 100 cached codegen fragments thrashes across
+  // queries — both are per-JVM capacity knobs, not data-size tuning.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
 )

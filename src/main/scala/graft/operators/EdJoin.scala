@@ -64,7 +64,17 @@ object EdJoin {
     * 98 s → the core re-runs at base-corpus size and only the ~f²
     * output expansion scales. */
   def editDistanceJoin(docs: DataFrame, idCol: String, textCol: String,
-                       tau: Int, q: Int = 3): DataFrame = {
+                       tau: Int, q: Int = 3): DataFrame =
+    editDistanceJoinImpl(docs, idCol, textCol, tau, q, bagFilter = true)
+
+  /** [[editDistanceJoin]] with the bag-distance filter switchable —
+    * package-private so EdJoinProbe can interleave the two shapes in
+    * ONE session (the only honest A/B on a noisy-neighbor box) and
+    * EdJoinSpec can pin filtered == unfiltered. Production callers go
+    * through the public wrapper (filter always on). */
+  private[graft] def editDistanceJoinImpl(docs: DataFrame, idCol: String,
+                                          textCol: String, tau: Int, q: Int,
+                                          bagFilter: Boolean): DataFrame = {
     require(tau >= 0, s"tau must be >= 0, got $tau")
     require(q >= 1, s"q must be >= 1, got $q")
     val rows = docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
@@ -87,7 +97,7 @@ object EdJoin {
     // --- cross-class pairs: the filter/verify core over one rep per
     // distinct text, expanded across both member lists
     val reps = classes.select(col("__rep").as("__id"), col("__text"))
-    val repPairs = editDistanceJoinDistinct(reps, tau, q)
+    val repPairs = editDistanceJoinDistinct(reps, tau, q, bagFilter)
     val xa = members.select(col("__rep").as("id_a"), col("__id").as("__xa"))
     val xb = members.select(col("__rep").as("id_b"), col("__id").as("__xb"))
     val crossPairs = repPairs.join(xa, "id_a").join(xb, "id_b")
@@ -96,35 +106,92 @@ object EdJoin {
     twinPairs.unionByName(crossPairs)
   }
 
+  /** Bucketed character-histogram ("bag") lower bound on Levenshtein:
+    * one edit inserts at most one character and removes at most one,
+    * so with A, B the code-point multisets, max(|A∖B|, |B∖A|) ≤
+    * ed(a, b); merging code points into `HistBuckets` buckets only
+    * lets differences cancel, so the bucketed bag distance is a
+    * further LOWER bound — requiring it ≤ τ never drops a qualifying
+    * pair (lossless, like the prefix filter). It exists because the
+    * survival-lemma prefix filter degenerates on small-alphabet /
+    * template corpora (few distinct grams ⇒ near-total candidate
+    * survival) while the histogram keeps discriminating: per pair it
+    * costs O(buckets) integer ops against the banded DP's O(τ·len)
+    * cells, so it sits between candidate generation and verify. */
+  private val HistBuckets = 64
+
+  private val histU = udf { (s: String) =>
+    val h = new Array[Int](HistBuckets)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h(cp % HistBuckets) += 1
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** `bagDir(x, y) = Σ max(x_i − y_i, 0)` as a codegen-friendly
+    * built-in HOF chain; the filter is `bagDir(a,b) ≤ τ ∧ bagDir(b,a)
+    * ≤ τ`. */
+  private def bagFilter(ha: String, hb: String, tau: Int) = {
+    def dir(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, r) -> IF(p > r, p - r, 0)), 0, (acc, v) -> acc + v)"
+    expr(s"${dir(ha, hb)} <= $tau AND ${dir(hb, ha)} <= $tau")
+  }
+
   /** The Ed-Join filter/verify core over rows whose `__text` values
     * are pairwise DISTINCT (one representative per class — the public
     * wrapper guarantees it, which is why no distance-0 pair can
     * appear here). */
   private def editDistanceJoinDistinct(docsDistinct: DataFrame,
-                                       tau: Int, q: Int): DataFrame = {
+                                       tau: Int, q: Int,
+                                       useBag: Boolean): DataFrame = {
     val base = docsDistinct
       .withColumn("__len", length(col("__text")))
+      .withColumn("__hist", histU(col("__text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.releaseAfterUse(base)
     // the survival-lemma cutoff: a full q*tau+1-gram prefix needs
     // l - q + 1 >= q*tau + 1, i.e. l >= q*(tau+1)
     val fullPrefixLen = q * (tau + 1)
-    // --- positional q-grams of every full-prefix string
+    // --- positional q-grams of every full-prefix string, RELABELED to
+    // 64-bit hashes at explode time (r16-opt). Losslessness: hashing
+    // is a deterministic (possibly non-injective) relabeling g ↦ h(g);
+    // the whole filter — frequency counts, the global total order, the
+    // prefix cut, candidate equality — runs on labels, and the
+    // survival-lemma proof in the header goes through verbatim with
+    // "label" for "gram string" (a coarser labeling only merges
+    // frequency classes and equality sets, which can only ADD
+    // candidates — a hash collision produces a spurious candidate the
+    // DP rejects, never a lost pair). What it buys, measured (stage
+    // probe, steady state): the per-id rarest-31 selection and the
+    // self-join compare longs instead of strings, and the rows that
+    // cross every downstream exchange carry 8-byte labels.
     val grams = base.filter(col("__len") >= fullPrefixLen)
       .select(col("__id"), col("__len"),
         posexplode(expr(s"transform(sequence(0, __len - $q), " +
-          s"i -> substring(__text, i + 1, $q))")).as(Seq("pos", "gram")))
+          s"i -> xxhash64(substring(__text, i + 1, $q)))"))
+          .as(Seq("pos", "gram")))
     // --- global gram frequency (the one corpus-wide agg), then the
-    // q*tau+1 rarest positional grams per string, deduped per gram
-    // string (content matching downstream)
+    // q*tau+1 rarest positional grams per string, deduped per label
+    // (content matching downstream). The per-id selection is a
+    // collect_list/array_sort/slice AGGREGATE, not a window (r16-opt):
+    // a string's grams are co-located in its scan task, so the partial
+    // hash aggregate assembles each id's gram array map-side and ONE
+    // id-count row per string crosses the exchange — the window form
+    // sorted the full gram stream once per side of its exchange
+    // (measured 3.1-3.4 s of the 6.5 s steady-state operator; the
+    // aggregate form retires that stage).
     val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("__gfreq"))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("__gfreq"), col("gram"), col("pos"))
     val prefix = grams.join(freq, "gram")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= q * tau + 1)
-      .select(col("__id"), col("__len"), col("gram"))
-      .distinct()
+      .groupBy(col("__id"), col("__len"))
+      .agg(collect_list(struct(col("__gfreq"), col("gram"), col("pos")))
+        .as("__gs"))
+      .select(col("__id"), col("__len"),
+        explode(array_distinct(expr(
+          s"transform(slice(array_sort(__gs), 1, ${q * tau + 1}), x -> x.gram)")))
+          .as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.releaseAfterUse(prefix)
     val pa = prefix.select(col("__id").as("id_a"), col("__len").as("len_a"),
@@ -136,10 +203,21 @@ object EdJoin {
           col("id_a") < col("id_b") &&
           abs(col("len_a") - col("len_b")) <= tau)
       .select(col("id_a"), col("id_b")).distinct()
+    // --- bag-distance filter (lossless, see scaladoc above): attach
+    // the two O(HistBuckets) histograms — id-keyed joins AQE
+    // broadcasts — and kill the candidates the DP would reject, BEFORE
+    // the text columns are attached or any DP cell is computed
+    val ha = base.select(col("__id").as("id_a"), col("__hist").as("__ha"))
+    val hb = base.select(col("__id").as("id_b"), col("__hist").as("__hb"))
+    val bagged =
+      if (!useBag) cands
+      else cands.join(ha, "id_a").join(hb, "id_b")
+        .filter(bagFilter("__ha", "__hb", tau))
+        .select(col("id_a"), col("id_b"))
     // --- verify with the banded Levenshtein (threshold form: -1 past tau)
     val ta = base.select(col("__id").as("id_a"), col("__text").as("__text_a"))
     val tb = base.select(col("__id").as("id_b"), col("__text").as("__text_b"))
-    val longPairs = cands.join(ta, "id_a").join(tb, "id_b")
+    val longPairs = bagged.join(ta, "id_a").join(tb, "id_b")
       .withColumn("edit_dist",
         levenshtein(col("__text_a"), col("__text_b"), tau).cast("long"))
       .filter(col("edit_dist") >= 0)
@@ -147,13 +225,15 @@ object EdJoin {
     // --- strings below the survival cutoff (incl. sub-q ones with no
     // grams at all): broadcast the (degenerate, bounded-by-contract)
     // short side against the length window — covers short-short and
-    // short-long; disjoint from the full-prefix self-join above
+    // short-long; disjoint from the full-prefix self-join above. The
+    // bag filter rides the join condition, ahead of the DP.
     val shorts = base.filter(col("__len") < fullPrefixLen)
       .select(col("__id").as("id_s"), col("__text").as("__text_s"),
-        col("__len").as("len_s"))
+        col("__len").as("len_s"), col("__hist").as("__hs"))
     val shortPairs = broadcast(shorts).join(base,
         col("id_s") =!= col("__id") &&
-          abs(col("len_s") - col("__len")) <= tau)
+          abs(col("len_s") - col("__len")) <= tau &&
+          (if (useBag) bagFilter("__hs", "__hist", tau) else lit(true)))
       .withColumn("edit_dist",
         levenshtein(col("__text_s"), col("__text"), tau).cast("long"))
       .filter(col("edit_dist") >= 0)

@@ -265,16 +265,28 @@ object HybridQueries {
         "doc_id", "text", nRanges, p)
     }
 
-  /** Local-FS recursive copy (the persisted-index layout is plain
-    * files; bench/gate both run on local dirs). */
-  private[queries] def copyTree(from: java.io.File, to: java.io.File): Unit = {
+  /** Per-run fixture clone of a persisted-index layout: recreate the
+    * directory tree and HARD-LINK every regular file (`cp -al`), not
+    * copy it. Safe because every index mutation in this repo is
+    * write-aside + rename (LayoutSwap.publish, Bm25.writeSwap): new
+    * content lands in freshly created files, originals are only ever
+    * renamed or unlinked — never opened for in-place write — so the
+    * shared BuildOnce baseline cannot be corrupted through a link.
+    * The maintenance-gate timed windows then hold the operator under
+    * test instead of a driver-side byte copy of the whole index
+    * (guide §1.4: fixture reset is not the measured work). Falls back
+    * to a byte copy when linking is unsupported (cross-device). */
+  private[graft] def copyTree(from: java.io.File, to: java.io.File): Unit = {
     if (from.isDirectory) {
       to.mkdirs()
       Option(from.listFiles()).foreach(_.foreach(f =>
         copyTree(f, new java.io.File(to, f.getName))))
     } else
-      java.nio.file.Files.copy(from.toPath, to.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try java.nio.file.Files.createLink(to.toPath, from.toPath)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(from.toPath, to.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
   }
 
   /** Shared BM25 CTE text, parameterized on the corpus CTE name so the

@@ -45,6 +45,33 @@ class EdJoinSpec extends SparkSpec {
     assert(at1.isEmpty)
   }
 
+  test("bag-filter losslessness edges: transpositions (bag 0 < ed), " +
+    "bucket-colliding code points, and multi-byte text == brute force") {
+    // the histogram filter buckets code points mod 64: 'a' (97) and
+    // 'á' (225) collide, so a substitution between them leaves the
+    // bucketed bag at 0 — the filter must PASS such pairs and leave
+    // the verdict to the DP. Transposed strings likewise have bag 0
+    // while ed = 2. Both shapes would expose an over-tight bound.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight ok"),
+      (2L, "the quick brown fox jumps over the lazy dog tonighto k"), // transposition, ed 2
+      (3L, "the quick brown fox jumps over the lázy dog tonight ok"), // a->á (collides mod 64)
+      (4L, "τhe quick brown fox jumps over the lazy dog tonight ok"), // multi-byte sub
+      (5L, "a completely different sentence that shares nothing at"),
+      (6L, "ab"), (7L, "ba") // short path: transposition below q*(tau+1)
+    ).toDF("doc_id", "text")
+    for (tau <- Seq(2, 3, 10)) {
+      val got = EdJoin.editDistanceJoin(docs, "doc_id", "text", tau)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got === brute(docs, tau), s"tau=$tau")
+    }
+    // and every pair the DP keeps is genuinely within tau of a twin
+    val at2 = EdJoin.editDistanceJoin(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(at2.contains((1L, 2L, 2L)) && at2.contains((1L, 3L, 1L)) &&
+      at2.contains((1L, 4L, 1L)) && at2.contains((6L, 7L, 2L)))
+  }
+
   test("random-edit recall: every pair built by <= tau edits is found") {
     val rnd = new scala.util.Random(41)
     val alphabet = "abcdefgh"

@@ -355,6 +355,56 @@ class HybridSearchSpec extends SparkSpec {
     } finally { rm(delDir); rm(rebuildDir) }
   }
 
+  test("copyTree hard-link clone: mutating the clone (delete + append) " +
+    "leaves every source file byte-identical") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir).limit(120).select($"doc_id", $"text")
+    val srcDir = java.nio.file.Files.createTempDirectory("bm25-lnk-src").toFile
+    val cloneDir = java.nio.file.Files.createTempDirectory("bm25-lnk-cl").toFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    def digest(root: java.io.File): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array()).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(root).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        root.toPath.relativize(f.toPath).toString ->
+          md.map(b => f"${b & 0xff}%02x").mkString
+      }.toMap
+    }
+    try {
+      Bm25.buildPersistedIndex(docs, "doc_id", "text", 4, srcDir.getAbsolutePath)
+      val before = digest(srcDir)
+      graft.queries.HybridQueries.copyTree(srcDir, cloneDir)
+      // the clone really links (same inode ⇒ same file key) on this FS
+      val srcStats = new java.io.File(srcDir, "stats")
+      val firstParquet = Option(srcStats.listFiles())
+        .getOrElse(Array()).find(_.getName.endsWith(".parquet")).get
+      val linked = new java.io.File(cloneDir,
+        srcDir.toPath.relativize(firstParquet.toPath.getParent).toString +
+          "/" + firstParquet.getName)
+      def key(f: java.io.File) = java.nio.file.Files.readAttributes(
+        f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey
+      assert(key(firstParquet) === key(linked),
+        "clone must hard-link, not copy, on the same filesystem")
+      // mutate the CLONE through both maintenance protocols
+      Bm25.deleteFromPersistedIndex(docs.filter($"doc_id" % 10 === 0),
+        "doc_id", "text", cloneDir.getAbsolutePath)
+      Bm25.appendToPersistedIndex(
+        Seq((777777L, "linked clone append probe")).toDF("doc_id", "text"),
+        "doc_id", "text", cloneDir.getAbsolutePath)
+      assert(digest(srcDir) === before,
+        "mutating a linked clone must never alter the source index")
+      // and the clone is live: the appended doc is searchable
+      assert(Bm25.searchPersistedIndex(spark, cloneDir.getAbsolutePath,
+        Seq("probe"), k = 5).count() === 1L)
+    } finally { rm(cloneDir); rm(srcDir) }
+  }
+
   test("rrf: hand-computed fusion incl. a one-list-only candidate") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
